@@ -1,0 +1,261 @@
+"""Relational operator showcase queries (SURVEY §2.1-2.6) over the fixtures.
+
+Role mapping (FIXTURES.md §2): orders plays the parent fact
+(``conversations``), lineitem plays the 1-N children, customer/nation/region
+play the dim chain, part/supplier extra dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.operators.denormalize import denormalize_orders
+from tweets_elastic_spark.registry import register
+from tweets_elastic_spark.sources.catalog import load_table
+
+
+@register(
+    "denorm_order_lineitems",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderstatus,
+           COALESCE(li.n_items, 0) AS n_items,
+           COALESCE(li.revenue, 0.0) AS revenue,
+           COALESCE(li.line_numbers, []) AS line_numbers
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+        FROM lineitem
+        GROUP BY l_orderkey
+    ) li ON o.o_orderkey = li.l_orderkey
+    """,
+    doc="Group-then-left-join denormalization spine (J2+A1+P4, queries.sql:35-40).",
+)
+def q_denorm_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return denormalize_orders(spark, sf_dir)
+
+
+@register(
+    "keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 500
+    ORDER BY o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="Keyset pagination predicate+order+limit (F1/O1/O2, src/main.py:98-100).",
+)
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") > 500)
+        .orderBy(F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "point_lookup",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 42",
+    doc="Equality point-lookup (F2, queries.sql:72).",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") == 42).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "snowflake_dim_join",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Snowflake dim chain with broadcast joins (J3, queries.sql:30-32).",
+)
+def q_snowflake_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "star_join_project",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name AS customer_name,
+           c.c_mktsegment AS segment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 1000
+    """,
+    doc="Fact ⋈ dim inner join + projection/rename (J1+P1, queries.sql:27).",
+)
+def q_star_join_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
+    return orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "self_join_pairs",
+    oracle="""
+    SELECT l1.l_orderkey AS o_key,
+           l1.l_linenumber AS ln_a,
+           l2.l_linenumber AS ln_b
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+    WHERE l1.l_quantity > 45 AND l2.l_quantity > 45
+    """,
+    doc="Self-join with distinct aliases (J6, queries.sql:68-69).",
+)
+def q_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    a = li.alias("l1")
+    b = li.alias("l2")
+    return a.join(
+        b,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+    ).select(
+        F.col("l1.l_orderkey").alias("o_key"),
+        F.col("l1.l_linenumber").alias("ln_a"),
+        F.col("l2.l_linenumber").alias("ln_b"),
+    )
+
+
+@register(
+    "exists_child_hof",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+    )
+    """,
+    doc="exists-over-array higher-order predicate (F5/Q6, elastic_queries.json:30-40).",
+)
+def q_exists_child_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately exercises the HOF path: nest children, then F.exists —
+    # the document-side equivalent of ES `exists` on a nested field.
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_quantity")).alias("items")
+    )
+    return (
+        orders.join(nested, orders["o_orderkey"] == nested["l_orderkey"], "inner")
+        .filter(F.exists("items", lambda it: it["l_quantity"] >= 49))
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Relevance-style top-k → TakeOrderedAndProject (O3).",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Partial+final aggregation with exact decimal arithmetic (A1/A2 scale-up; TPC-H Q1 shape).",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "range_filter_conj",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 100 AND c_acctbal < 9000 AND c_mktsegment = 'BUILDING'
+    """,
+    doc="Boolean conjunction of range + equality filters (F4/F8, elastic_queries.json:23-41).",
+)
+def q_range_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(
+        (F.col("c_acctbal") > 100)
+        & (F.col("c_acctbal") < 9000)
+        & (F.col("c_mktsegment") == "BUILDING")
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "match_all_count",
+    oracle="SELECT count(*) AS n_docs FROM documents",
+    doc="match_all + count verification (Q8/A2/A3, docs/protokol.md:544-550,643).",
+)
+def q_match_all_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(F.count(F.lit(1)).alias("n_docs"))

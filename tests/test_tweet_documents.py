@@ -1,0 +1,123 @@
+"""Golden-document test (SURVEY §5.2 item 2).
+
+Structurally replicates /root/reference/docs/sample_document.json: one
+conversation with every child populated, plus the two semantics traps —
+top-level [] for childless conversations (COALESCE, queries.sql:21-25) and
+NULL nested hashtags for a parent without hashtags (queries.sql:61-66).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tweets_elastic_spark import schemas
+from tweets_elastic_spark.operators.denormalize import build_tweet_documents
+from tweets_elastic_spark.sources.fixtures import make_tweets_tables
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    tables = make_tweets_tables(spark, n_conversations=100)
+    df = build_tweet_documents(tables)
+    rows = {r["id"]: r for r in df.collect()}
+    return df, rows
+
+
+def test_document_schema(docs):
+    """Types must match the declared contract exactly; the pipeline is
+    allowed to be *stricter* on nullability (COALESCE → non-null arrays)."""
+    df, _ = docs
+    assert df.schema.simpleString() == schemas.TWEETS_DOCUMENT.simpleString()
+
+
+def test_row_count_one_doc_per_conversation(docs):
+    _, rows = docs
+    assert len(rows) == 100
+
+
+def test_golden_document_full(docs):
+    _, rows = docs
+    d = rows[1].asDict(recursive=True)
+
+    assert d["content"].startswith("RT @WilburSoot")
+    assert d["language"] == "en"
+    assert d["possibly_sensitive"] is False
+    assert d["created_at"].isoformat().startswith("2022-02-26T23:29:55")
+
+    # P2: author packed as struct (J1 inner join)
+    assert d["author"] == {
+        "id": 1, "name": "Wilbur Soot", "username": "WilburSoot",
+        "description": "I'm in Antarctica's coldest café",
+        "followers_count": 500000, "following_count": 50,
+        "tweet_count": 1200, "listed_count": 300,
+    }
+
+    # J2/J3 + A1: duplicated annotation pair preserved (sample_document.json:26-51)
+    ca = d["context_annotations"]
+    assert len(ca) == 3
+    assert ca[0] == ca[1]
+    assert ca[0]["entity"]["name"] == "Wilbur Soot"
+    assert ca[0]["domain"] == {
+        "id": 123, "name": "Person",
+        "description": "Named people in the world like Nelson Mandela",
+    }
+    assert ca[2]["entity"]["name"] == "Music"
+    assert ca[2]["domain"]["name"] == "Interests and Hobbies Category"
+
+    # J4: hashtags, deterministic (sorted) order
+    assert d["conversation_hashtags"] == [{"tag": "Peace"}, {"tag": "Ukraine"}]
+
+    # J5: annotations with half_float→float widening
+    (an,) = d["annotations"]
+    assert an["value"] == "UKRAINE" and an["type"] == "Place"
+    assert abs(an["probability"] - 0.6334) < 1e-4
+
+    # J5: links with null title/description preserved
+    assert d["links"] == [
+        {"url": "https://example.com/article", "title": "An article", "description": None}
+    ]
+
+    # J6-J9: reference to parent 4 with decorrelated author subquery
+    (ref,) = d["conversation_references"]
+    assert ref["id"] == 4 and ref["type"] == "retweeted"
+    assert ref["content"].startswith("tweet number 4")
+    assert ref["author"]["id"] is not None and ref["author"]["username"] is not None
+
+
+def test_childless_conversation_gets_empty_arrays(docs):
+    _, rows = docs
+    d = rows[2].asDict(recursive=True)
+    assert d["context_annotations"] == []
+    assert d["conversation_hashtags"] == []
+    assert d["annotations"] == []
+    assert d["links"] == []
+    assert d["conversation_references"] == []
+
+
+def test_nested_parent_hashtags_null_not_empty(docs):
+    """queries.sql:61-66 has no COALESCE: parent without hashtags → NULL."""
+    _, rows = docs
+    d = rows[3].asDict(recursive=True)
+    (ref,) = d["conversation_references"]
+    assert ref["id"] == 2 and ref["type"] == "replied_to"
+    assert ref["hashtags"] is None  # NOT []
+
+
+def test_parent_with_hashtags_gets_sorted_list(docs):
+    _, rows = docs
+    # find any reference whose parent has hashtags; assert sorted, non-empty
+    found = False
+    parent_tags = {}
+    for r in rows.values():
+        d = r.asDict(recursive=True)
+        for tag in d["conversation_hashtags"]:
+            parent_tags.setdefault(d["id"], []).append(tag["tag"])
+    for r in rows.values():
+        d = r.asDict(recursive=True)
+        for ref in d["conversation_references"]:
+            if ref["hashtags"] is not None:
+                tags = [h["tag"] for h in ref["hashtags"]]
+                assert tags == sorted(tags)
+                assert tags == sorted(parent_tags[ref["id"]])
+                found = True
+    assert found, "fixture should contain at least one parent with hashtags"

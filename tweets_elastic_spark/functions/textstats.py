@@ -1,0 +1,169 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+North-star extensions beyond the reference's analyzer surface (SURVEY §7
+item 7): language identification, document quality scoring, token counting,
+and content fingerprinting — each a pure JVM-side Column expression (no
+Python in the hot path), so at 100 TB they run inside whole-stage codegen
+directly over the parquet scan with zero shuffles.
+
+Every function here is deliberately SQL-expressible so the DuckDB oracle can
+replicate it term-for-term (IEEE doubles with identical operand order are
+bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ASCII-safe tokenization shared by these stats (and mirrored in oracles):
+# split on non-alphanumeric runs, drop empties.
+_TOKEN_SPLIT = "[^a-zA-Z0-9]+"
+
+
+def simple_tokens(c: Column) -> Column:
+    return F.filter(F.split(c, _TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace/punctuation token count (BPE-ish proxy: alnum runs)."""
+    return F.size(simple_tokens(c)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Language identification: stopword-profile voting. Real profiles for
+# en/de/fr/es; argmax with fixed priority tiebreak (en > de > es > fr),
+# 'und' when nothing matches. O(tokens) per row, no shuffle.
+# ---------------------------------------------------------------------------
+
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "not", "this", "are", "have"],
+    "de": ["der", "die", "und", "das", "ist", "von", "nicht", "mit", "ein",
+           "eine", "auf", "für", "den", "sich", "auch"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para",
+           "del", "este", "como", "más", "pero"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "qui",
+           "avec", "pas", "sur", "mais", "nous", "vous"],
+}
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    toks = F.transform(simple_tokens(c), F.lower)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(profile))).cast("long")
+        for lang, profile in LANG_PROFILES.items()
+    }
+
+
+def lang_id(c: Column) -> Column:
+    s = lang_scores(c)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"])
+               & (s["en"] > 0), F.lit("en"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] > 0), F.lit("de"))
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def lang_id_oracle_sql(text_expr: str = "text") -> str:
+    """The DuckDB-SQL mirror of lang_id() — same profiles, same tiebreak."""
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        return (
+            f"len(list_filter(list_transform("
+            f"list_filter(regexp_split_to_array({text_expr}, '{_TOKEN_SPLIT}'), x -> x <> ''),"
+            f" x -> lower(x)), t -> t IN ({words})))"
+        )
+
+    s = {lang: score(lang) for lang in LANG_PROFILES}
+    return f"""
+    CASE
+      WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['es']}
+           AND {s['en']} >= {s['fr']} AND {s['en']} > 0 THEN 'en'
+      WHEN {s['de']} >= {s['es']} AND {s['de']} >= {s['fr']} AND {s['de']} > 0 THEN 'de'
+      WHEN {s['es']} >= {s['fr']} AND {s['es']} > 0 THEN 'es'
+      WHEN {s['fr']} > 0 THEN 'fr'
+      ELSE 'und'
+    END
+    """
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword signals combined into one
+# deterministic [0,1] score (the usual pre-training heuristic filters).
+# ---------------------------------------------------------------------------
+
+def quality_features(c: Column) -> dict[str, Column]:
+    toks = simple_tokens(c)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(c).cast("long")
+    alnum_chars = F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", "")).cast("long")
+    lower_toks = F.transform(toks, F.lower)
+    n_stop = F.size(
+        F.filter(lower_toks, lambda t: t.isin(LANG_PROFILES["en"]))
+    ).cast("long")
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "punct_ratio": F.when(
+            n_chars > 0, (n_chars - alnum_chars) / n_chars
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)),
+        "mean_token_len": F.when(n_tok > 0, total_tok_chars / n_tok).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(c: Column) -> Column:
+    """0.35·length-signal + 0.25·stopword + 0.25·(1-punct) + 0.15·word-shape."""
+    f = quality_features(c)
+    length_signal = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    shape_signal = F.when(
+        (f["mean_token_len"] >= 3.0) & (f["mean_token_len"] <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.35) * length_signal
+        + F.lit(0.25) * f["stopword_ratio"]
+        + F.lit(0.25) * (F.lit(1.0) - f["punct_ratio"])
+        + F.lit(0.15) * shape_signal
+    )
+
+
+QUALITY_ORACLE_SQL = """
+    0.35 * least(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) / 100.0, 1.0)
+  + 0.25 * (CASE WHEN len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) > 0
+       THEN len(list_filter(list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x)),
+                 t -> t IN ('the','and','of','to','in','is','that','it','was','for','with','not','this','are','have')))
+            / CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS DOUBLE)
+       ELSE 0.0 END)
+  + 0.25 * (1.0 - (CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+       ELSE 0.0 END))
+  + 0.15 * (CASE WHEN len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) > 0
+       AND (list_aggregate(list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''), x -> length(x)), 'sum')
+            / CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+       THEN 1.0 ELSE 0.0 END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting: md5 over whitespace-normalized lowercase text — the exact
+# dedup key (rolling-hash shingle fingerprints live in operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+def normalized_text(c: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def fingerprint_md5(c: Column) -> Column:
+    return F.md5(normalized_text(c))
+
+
+FINGERPRINT_ORACLE_EXPR = (
+    "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+)

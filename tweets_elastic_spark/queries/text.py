@@ -1,0 +1,118 @@
+"""Text-analysis queries over the documents corpus (SURVEY §2.8 + the
+training-data-pipeline text operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.functions import analyzers as A
+from tweets_elastic_spark.functions import textstats as T
+from tweets_elastic_spark.registry import register
+from tweets_elastic_spark.sources.catalog import load_table
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS n_tokens
+    FROM documents
+    """,
+    doc="Token counting over the corpus (T2-ish; training-pipeline stat).",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, {T.lang_id_oracle_sql('text')} AS lang_pred
+    FROM documents
+    """,
+    doc="Stopword-profile language identification (north-star text op).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id, round({T.QUALITY_ORACLE_SQL}, 6) AS quality
+    FROM documents
+    """,
+    doc="Document quality heuristic: length/punct/stopword/word-shape.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@register(
+    "fingerprint",
+    oracle=f"""
+    SELECT doc_id, {T.FINGERPRINT_ORACLE_EXPR} AS fp
+    FROM documents
+    """,
+    doc="Content fingerprint: md5 over normalized text (exact-dedup key).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+@register(
+    "analyze_keyword_lowercase",
+    oracle="SELECT doc_id, [lower(source)] AS tokens FROM documents",
+    doc="AN4 keyword_lowercase analyzer (settings.json:40-44) applied at scale.",
+)
+def q_analyze_keyword_lowercase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", A.analyze(F.col("source"), "keyword_lowercase").alias("tokens")
+    )
+
+
+@register(
+    "analyze_shingles",
+    oracle="""
+    SELECT doc_id,
+           list_concat(
+             toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || toks[i+1])
+                  ELSE [] END
+           ) AS tokens
+    FROM (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'), x -> x <> ''),
+                 x -> lower(x)) AS toks
+        FROM documents
+    )
+    """,
+    doc="AN3 shingle pipeline (settings.json:30-39) at corpus scale; ASCII corpus ⇒ asciifold is identity.",
+)
+def q_analyze_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", A.analyze(F.col("text"), "custom_shingles").alias("tokens")
+    )
+
+
+@register(
+    "analyze_englando",
+    oracle=None,  # Porter stemming is not SQL-expressible; unit tests pin it
+    doc="AN1 englando analyzer (settings.json:9-19) at corpus scale (rows-only check).",
+)
+def q_analyze_englando(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", A.analyze(F.col("text"), "englando").alias("tokens")
+    )

@@ -1,0 +1,127 @@
+"""Search-query tests (SURVEY §5.2 item 4): the reference query against the
+fixture documents with an independently computed expected hit set, plus
+operator-level checks for the DSL nodes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.operators.denormalize import build_tweet_documents
+from tweets_elastic_spark.plans.search import (
+    Bool, Exists, FunctionScore, Match, MatchAll, Nested, Range, Term,
+    reference_query, search,
+)
+from tweets_elastic_spark.sources.fixtures import make_tweets_tables
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return build_tweet_documents(make_tweets_tables(spark, n_conversations=100))
+
+
+@pytest.fixture(scope="module")
+def docs_py(docs_df):
+    return [r.asDict(recursive=True) for r in docs_df.collect()]
+
+
+def expected_reference_hits(docs_py):
+    """Independent Python reimplementation of elastic_queries.json:1-46."""
+    hits = {}
+    for d in docs_py:
+        a = d["author"]
+        if not (a["following_count"] > 100 and a["followers_count"] > 100):
+            continue
+        if not any(link["url"] is not None for link in d["links"]):
+            continue
+        score = 5.0 if any(
+            ca["domain"]["name"] == "Person" for ca in d["context_annotations"]
+        ) else 0.0
+        hits[d["id"]] = score
+    return hits
+
+
+def test_reference_query_hit_set_and_scores(spark, docs_df, docs_py):
+    expected = expected_reference_hits(docs_py)
+    got = {
+        r["id"]: r["score"]
+        for r in search(docs_df, reference_query(), k=None).collect()
+    }
+    assert got == expected
+    assert any(s == 5.0 for s in expected.values()), "fixture should produce scored hits"
+    assert any(s == 0.0 for s in expected.values()), "fixture should produce zero-score hits"
+
+
+def test_reference_query_topk_deterministic(spark, docs_df, docs_py):
+    expected = expected_reference_hits(docs_py)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["id"], r["score"])
+        for r in search(docs_df, reference_query(), k=10, tiebreak="id").collect()
+    ]
+    assert got == top
+
+
+def test_match_all_count(spark, docs_df):
+    # docs/protokol.md:542-558: import N docs, match_all returns N
+    assert search(docs_df, MatchAll(), k=None).count() == 100
+
+
+def test_analyzed_match_on_content(spark, docs_df, docs_py):
+    # englando analyzes both sides: "Troubling" stems to "troubl"
+    q = Bool(filter=[Match("content", "Troubling", analyzer="englando")])
+    got = {r["id"] for r in search(docs_df, q, k=None).collect()}
+    # independent check: stemmed token present in analyzed content
+    from tweets_elastic_spark.functions.analyzers import analyze
+    tok_rows = docs_df.select(
+        "id", analyze(F.col("content"), "englando").alias("t")
+    ).collect()
+    expected = {r["id"] for r in tok_rows if "troubl" in list(r["t"])}
+    assert got == expected
+
+
+def test_term_and_must_not(spark, docs_df, docs_py):
+    q = Bool(must=[Term("language", "en")], must_not=[Range("like_count", gte=100)])
+    got = {r["id"] for r in search(docs_df, q, k=None).collect()}
+    expected = {
+        d["id"] for d in docs_py if d["language"] == "en" and not d["like_count"] >= 100
+    }
+    assert got == expected
+
+
+def test_minimum_should_match(spark, docs_df, docs_py):
+    q = Bool(
+        should=[(Term("language", "en"), 1.0), (Term("source", "Twitter Web App"), 1.0)],
+        minimum_should_match=2,
+    )
+    got = {r["id"] for r in search(docs_df, q, k=None).collect()}
+    expected = {
+        d["id"] for d in docs_py
+        if d["language"] == "en" and d["source"] == "Twitter Web App"
+    }
+    assert got == expected
+
+
+def test_nested_scopes_per_element(spark):
+    """The nested query must match within ONE element (SURVEY §2.7 Q4):
+    a doc whose array has {type:A} and {value:B} in *different* elements
+    must NOT match nested(type=A AND value=B)."""
+    df = spark.createDataFrame(
+        [
+            (1, [{"type": "A", "value": "B"}]),
+            (2, [{"type": "A", "value": "X"}, {"type": "Y", "value": "B"}]),
+        ],
+        "id long, items array<struct<type:string,value:string>>",
+    )
+    q = Bool(filter=[
+        Nested("items", Bool(must=[Term("type", "A"), Term("value", "B")]))
+    ])
+    got = {r["id"] for r in search(df, q, k=None).collect()}
+    assert got == {1}
+
+
+def test_range_bounds(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    q = Bool(filter=[Range("x", gte=3, lt=7)])
+    got = sorted(r["x"] for r in search(df, q, k=None).collect())
+    assert got == [3, 4, 5, 6]

@@ -1,0 +1,283 @@
+"""Search-query layer: the ES-DSL analogue as DataFrame plans (SURVEY §2.7).
+
+The reference's one query language beyond SQL is the Elasticsearch DSL; its
+showcase query (/root/reference/src/used_queries/elastic_queries.json:1-46)
+composes ``function_score`` → ``bool`` with a weighted ``should`` (nested
+match) and a non-scoring ``filter`` (two ranges + a nested exists). This
+module re-expresses that surface as a small query tree that compiles to
+
+    df.filter(<mandatory predicates>)
+      .withColumn(score, <sum of matched should-weights>)
+      .orderBy(desc(score), tiebreak).limit(k)
+
+Scatter-gather-merge over shards (SURVEY §3.3) maps to Spark's
+``TakeOrderedAndProject``: per-partition top-k, then a merge on the driver —
+the same plan shape Lucene executes, for free, at any partition count.
+
+Scoring fidelity (SURVEY §7 risk 4): v1 implements exactly what the
+reference exercises — constant ``weight`` per should-clause
+(elastic_queries.json:20), keyword equality inside ``nested`` scopes
+(domain.name is a keyword field, mapping.json:77), analyzed token-overlap
+for text fields. BM25 is additive later; the tree already isolates
+per-clause scores.
+
+Match semantics for text fields mirror ES's two-sided analysis: the query
+string is analyzed with the target field's analyzer at query time
+(``analyze_text``) and compared against the field's index-time token column
+(``materialize_tokens``) or an inline analysis — token overlap = match.
+At 100 TB: materialize token columns at ingest; the match then compiles to
+``arrays_overlap(tokens_col, lit(query_tokens))``, a codegen'd expression
+with full predicate pushdown on the non-analyzed filters next to it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.functions.analyzers import analyze, analyze_text
+
+# A resolver maps a field path ("author.following_count", "domain.name") to
+# a Column, either at the row scope (F.col) or inside a nested-array lambda
+# (struct element getter).
+Resolver = object
+
+
+def _col_resolver(path: str) -> Column:
+    return F.col(path)
+
+
+def _element_resolver(element: Column):
+    def resolve(path: str) -> Column:
+        c = element
+        for part in path.split("."):
+            c = c[part]
+        return c
+
+    return resolve
+
+
+@dataclass
+class Query:
+    """Base node. ``predicate`` = does the row/element match (non-scoring);
+    ``score`` = the clause's score contribution when matched."""
+
+    def predicate(self, spark: SparkSession, resolve) -> Column:
+        raise NotImplementedError
+
+    def score(self, spark: SparkSession, resolve) -> Column:
+        p = self.predicate(spark, resolve)
+        return F.when(p, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+@dataclass
+class MatchAll(Query):
+    """Q8 (docs/protokol.md:545-550): the identity."""
+
+    def predicate(self, spark, resolve) -> Column:
+        return F.lit(True)
+
+
+@dataclass
+class Term(Query):
+    """Exact keyword equality (non-analyzed string fields, SURVEY §1.3)."""
+
+    field: str
+    value: object
+
+    def predicate(self, spark, resolve) -> Column:
+        return resolve(self.field) == F.lit(self.value)
+
+
+@dataclass
+class Match(Query):
+    """Q5: analyzed full-text match. With ``analyzer=None`` the field is a
+    keyword → equality (exactly what the reference query needs for
+    ``context_annotations.domain.name`` = "Person"). With an analyzer, the
+    query text is analyzed at query time and matched by token overlap
+    against ``tokens_col`` (materialized) or an inline analysis."""
+
+    field: str
+    text: str
+    analyzer: str | None = None
+    tokens_col: str | None = None
+
+    def predicate(self, spark, resolve) -> Column:
+        if self.analyzer is None:
+            return resolve(self.field) == F.lit(self.text)
+        query_tokens = analyze_text(spark, self.text, self.analyzer)
+        if not query_tokens:
+            return F.lit(False)
+        field_tokens = (
+            resolve(self.tokens_col)
+            if self.tokens_col is not None
+            else analyze(resolve(self.field), self.analyzer)
+        )
+        return F.arrays_overlap(
+            field_tokens, F.array(*[F.lit(t) for t in query_tokens])
+        )
+
+
+@dataclass
+class Range(Query):
+    """Q7 (elastic_queries.json:25,28): numeric/temporal comparisons."""
+
+    field: str
+    gt: object = None
+    gte: object = None
+    lt: object = None
+    lte: object = None
+
+    def predicate(self, spark, resolve) -> Column:
+        c = resolve(self.field)
+        conds = []
+        if self.gt is not None:
+            conds.append(c > F.lit(self.gt))
+        if self.gte is not None:
+            conds.append(c >= F.lit(self.gte))
+        if self.lt is not None:
+            conds.append(c < F.lit(self.lt))
+        if self.lte is not None:
+            conds.append(c <= F.lit(self.lte))
+        if not conds:
+            raise ValueError(
+                f"Range({self.field!r}) needs at least one bound (gt/gte/lt/lte)"
+            )
+        out = conds[0]
+        for extra in conds[1:]:
+            out = out & extra
+        return out
+
+
+@dataclass
+class Exists(Query):
+    """Q6 (elastic_queries.json:33-36): field present and non-null."""
+
+    field: str
+
+    def predicate(self, spark, resolve) -> Column:
+        return resolve(self.field).isNotNull()
+
+
+@dataclass
+class Nested(Query):
+    """Q4 (elastic_queries.json:9-18): scope an inner query to single
+    elements of an array-of-structs — the match must occur within ONE
+    element, which is precisely the higher-order ``exists`` semantics."""
+
+    path: str
+    query: Query
+
+    def predicate(self, spark, resolve) -> Column:
+        return F.exists(
+            resolve(self.path),
+            lambda el: self.query.predicate(spark, _element_resolver(el)),
+        )
+
+
+@dataclass
+class Bool(Query):
+    """Q2/Q3 (elastic_queries.json:5-41). ``filter`` and ``must`` are
+    mandatory; ``must_not`` mandatory-negative; ``should`` optional and
+    scoring (weight added when the clause matches — the reference's
+    ``weight: 5`` semantics)."""
+
+    must: list[Query] = dc_field(default_factory=list)
+    filter: list[Query] = dc_field(default_factory=list)
+    should: list[tuple[Query, float]] = dc_field(default_factory=list)
+    must_not: list[Query] = dc_field(default_factory=list)
+    minimum_should_match: int = 0
+
+    def predicate(self, spark, resolve) -> Column:
+        out = F.lit(True)
+        for q in self.must + self.filter:
+            out = out & q.predicate(spark, resolve)
+        for q in self.must_not:
+            out = out & ~q.predicate(spark, resolve)
+        if self.minimum_should_match > 0 and self.should:
+            matched = sum(
+                (
+                    F.when(q.predicate(spark, resolve), 1).otherwise(0)
+                    for q, _ in self.should
+                ),
+                start=F.lit(0),
+            )
+            out = out & (matched >= self.minimum_should_match)
+        return out
+
+    def score(self, spark, resolve) -> Column:
+        contributions = [
+            F.when(q.predicate(spark, resolve), F.lit(w) * q.score(spark, resolve))
+            .otherwise(F.lit(0.0))
+            for q, w in self.should
+        ]
+        if not contributions:
+            return F.lit(0.0)
+        total = contributions[0]
+        for c in contributions[1:]:
+            total = total + c
+        return total
+
+
+@dataclass
+class FunctionScore(Query):
+    """Q1 (elastic_queries.json:3): wraps a query, exposes its score."""
+
+    query: Query
+
+    def predicate(self, spark, resolve) -> Column:
+        return self.query.predicate(spark, resolve)
+
+    def score(self, spark, resolve) -> Column:
+        return self.query.score(spark, resolve)
+
+
+def search(
+    df: DataFrame,
+    query: Query,
+    k: int | None = 10,
+    tiebreak: str | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Compile the query tree to filter → score → top-k (SURVEY §2.7).
+
+    ``tiebreak`` (an id column) makes the hit list fully deterministic —
+    ES breaks score ties by internal doc id, which isn't reproducible; an
+    explicit key is. ``k=None`` returns all hits scored, unsorted."""
+    spark = df.sparkSession
+    out = df.filter(query.predicate(spark, _col_resolver))
+    out = out.withColumn(score_col, query.score(spark, _col_resolver))
+    if k is None:
+        return out
+    order = [F.col(score_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    return out.orderBy(*order).limit(k)
+
+
+def reference_query() -> Query:
+    """The reference's showcase query, verbatim
+    (src/used_queries/elastic_queries.json:1-46): function_score(bool(
+    should=[nested match on context_annotations.domain.name="Person",
+    weight 5], filter=[author.following_count>100,
+    author.followers_count>100, nested exists links.url]))."""
+    return FunctionScore(
+        Bool(
+            should=[
+                (
+                    Nested(
+                        "context_annotations",
+                        Match("domain.name", "Person", analyzer=None),
+                    ),
+                    5.0,
+                )
+            ],
+            filter=[
+                Range("author.following_count", gt=100),
+                Range("author.followers_count", gt=100),
+                Nested("links", Exists("url")),
+            ],
+        )
+    )

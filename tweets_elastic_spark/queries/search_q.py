@@ -1,0 +1,82 @@
+"""Search-layer showcase over the documents corpus: the reference query's
+shape (function_score(bool(should-with-weights, filter))) compiled to a
+filter → score → top-k plan, with a full SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tweets_elastic_spark.plans.search import Bool, Match, Range, Term, FunctionScore, search
+from tweets_elastic_spark.registry import register
+from tweets_elastic_spark.sources.catalog import load_table
+
+# DuckDB mirror of the custom_shingles analysis (words + glued bigrams; the
+# corpus is ASCII so asciifolding is the identity).
+_TOKENS_CTE = """
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, source,
+               list_concat(
+                 t,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)), i -> t[i] || t[i+1])
+                      ELSE [] END
+               ) AS tokens
+        FROM (
+            SELECT doc_id, lang, n_chars, source,
+                   list_transform(
+                     list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'), x -> x <> ''),
+                     x -> lower(x)) AS t
+            FROM documents
+        )
+    )
+"""
+
+
+@register(
+    "search_function_score",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id, lang, n_chars,
+           CAST(
+             CASE WHEN list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+                  THEN 5.0 ELSE 0.0 END
+           + CASE WHEN source = 'src1' THEN 2.0 ELSE 0.0 END
+           AS DOUBLE) AS score
+    FROM toks
+    WHERE n_chars > 300 AND lang = 'en'
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+    doc="Reference-query shape (Q1-Q7, elastic_queries.json): weighted "
+        "should (analyzed match + term) over a non-scoring filter, top-k.",
+)
+def q_search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    query = FunctionScore(
+        Bool(
+            should=[
+                (Match("text", "spark merge", analyzer="custom_shingles"), 5.0),
+                (Term("source", "src1"), 2.0),
+            ],
+            filter=[Range("n_chars", gt=300), Term("lang", "en")],
+        )
+    )
+    return search(docs, query, k=25, tiebreak="doc_id").select(
+        "doc_id", "lang", "n_chars", "score"
+    )
+
+
+@register(
+    "search_exists_filter",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE text IS NOT NULL AND n_chars >= 100 AND n_chars <= 400
+    """,
+    doc="exists + double-bounded range filters (Q6/Q7 composition).",
+)
+def q_search_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import Exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    query = Bool(filter=[Exists("text"), Range("n_chars", gte=100, lte=400)])
+    return search(docs, query, k=None).select("doc_id", "source")

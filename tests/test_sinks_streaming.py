@@ -1,0 +1,185 @@
+"""Sink idempotence + quarantine (SURVEY §5.2 item 5), incremental
+watermark ingestion (S3), and the Structured-Streaming layer (windows,
+foreachBatch, custom stateful operator) — streaming results checked against
+their batch twins."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.sinks import validate_split, write_documents
+from tweets_elastic_spark.sources.catalog import load_table
+from tweets_elastic_spark.sources.incremental import (
+    WatermarkStore,
+    ingest_increment,
+    read_increment,
+)
+from tweets_elastic_spark.streaming.ingest import (
+    run_foreach_batch_ingest,
+    run_windowed_stream,
+    stream_events,
+)
+from tweets_elastic_spark.streaming.stateful import running_user_totals
+from tweets_elastic_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- sinks -------------------------------------------------------------------
+
+def test_write_documents_idempotent_overwrite(spark, tmp_path):
+    df = load_table(spark, SF, "orders")
+    path = str(tmp_path / "docs")
+    write_documents(df, path, id_col="o_orderkey")
+    write_documents(df, path, id_col="o_orderkey")  # rerun == same result
+    assert spark.read.parquet(path).count() == df.count()
+
+
+def test_write_documents_dedups_ids(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, payload string"
+    )
+    path = str(tmp_path / "dedup")
+    write_documents(df, path, id_col="id")
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    assert out.filter("id = 1").count() == 1
+
+
+def test_validate_split_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, "ok", 5), (2, None, 5), (3, "ok", -1), (4, None, -2)],
+        "id long, url string, qty int",
+    )
+    good, bad = validate_split(
+        df, {"url_missing": F.col("url").isNotNull(), "qty_negative": F.col("qty") >= 0}
+    )
+    assert {r["id"] for r in good.collect()} == {1}
+    bad_rows = {r["id"]: list(r["_errors"]) for r in bad.collect()}
+    assert bad_rows == {
+        2: ["url_missing"],
+        3: ["qty_negative"],
+        4: ["url_missing", "qty_negative"],
+    }
+
+
+# -- incremental (keyset watermark) -------------------------------------------
+
+def test_incremental_ingest_watermark_cycle(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    orders = load_table(spark, SF, "orders")
+    # first arrival: keys <= 700
+    orders.filter("o_orderkey <= 700").write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    sink = str(tmp_path / "sink")
+
+    n1 = ingest_increment(spark, str(src), "orders", "o_orderkey", sink, store)
+    assert n1 == orders.filter("o_orderkey <= 700").count()
+    # caught up → 0 rows, watermark unchanged
+    assert ingest_increment(spark, str(src), "orders", "o_orderkey", sink, store) == 0
+
+    # second arrival: the rest
+    shutil.rmtree(src / "orders.parquet")
+    orders.write.parquet(str(src / "orders.parquet"))
+    n2 = ingest_increment(spark, str(src), "orders", "o_orderkey", sink, store)
+    assert n1 + n2 == orders.count()
+    assert spark.read.parquet(sink).count() == orders.count()
+    # predicate actually prunes: read_increment matches filter semantics
+    assert (
+        read_increment(spark, SF, "orders", "o_orderkey", 700).count()
+        == orders.filter("o_orderkey > 700").count()
+    )
+
+
+# -- streaming ----------------------------------------------------------------
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path, events_dir):
+    sink = str(tmp_path / "agg_out")
+    q = run_windowed_stream(
+        stream_events(spark, events_dir), sink, str(tmp_path / "ckpt"),
+        width="1 hour", watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(sink)
+
+    batch_events = load_table(spark, SF, "events")
+    max_ts = batch_events.agg(F.max("ts").alias("m")).head()["m"]
+    batch = tumbling_counts(batch_events, "1 hour").filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in streamed.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_ingest_exactly_once(spark, tmp_path, events_dir):
+    sink = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    q = run_foreach_batch_ingest(stream_events(spark, events_dir), sink, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 1000
+    # restart with same checkpoint: no new files → no duplicates
+    q2 = run_foreach_batch_ingest(stream_events(spark, events_dir), sink, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 1000
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path, events_dir):
+    out = (
+        running_user_totals(stream_events(spark, events_dir))
+        .writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    out.awaitTermination(120)
+    # last update per user == batch aggregate
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql("select * from user_totals").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    # memory sink in update mode appends rows; keep the max-count row per user
+    assert {u: v for u, v in final.items() if v[0] == batch[u][0]} == batch
+
+
+def test_sliding_and_session_windows_batch(spark):
+    events = load_table(spark, SF, "events")
+    slid = sliding_counts(events, "2 hours", "1 hour")
+    # every event contributes to exactly 2 windows
+    total = slid.agg(F.sum("n_events").alias("s")).head()["s"]
+    assert total == 2 * events.count()
+    sess = session_counts(events, "30 minutes")
+    # sessions partition all events
+    assert sess.agg(F.sum("n_events").alias("s")).head()["s"] == events.count()

@@ -1,3 +1,8 @@
 """Named query modules — importing this package registers every query."""
 
-from tweets_elastic_spark.queries import relational, search_q, text  # noqa: F401
+from tweets_elastic_spark.queries import (  # noqa: F401
+    relational,
+    search_q,
+    text,
+    windows_q,
+)

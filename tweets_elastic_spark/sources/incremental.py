@@ -1,0 +1,83 @@
+"""Watermark-based incremental ingestion (SURVEY §2.1 S3).
+
+The reference paginates with a keyset loop — ``WHERE c.id > last_id ORDER BY
+c.id LIMIT n`` (src/main.py:98-100,118-124) — holding ``last_id`` as its
+only checkpoint state (src/main.py:143). In Spark the *parallel scan* makes
+pagination unnecessary; what remains useful is the re-runnable increment:
+"give me everything past the watermark, then advance it". That is this
+module: a JSON-file watermark store (the ``last_id`` variable made durable)
+plus a filter-past-watermark reader whose predicate pushes down to the scan.
+
+The Structured-Streaming variant of the same idea lives in
+streaming/ingest.py (checkpointed foreachBatch). At 100 TB: the watermark
+predicate prunes row groups via parquet min/max stats, so an increment
+touches only new files — no full-table rescan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.sources.catalog import load_table
+
+
+class WatermarkStore:
+    """Durable high-water mark per (table, key) — the reference's
+    ``last_id`` (src/main.py:143) as a tiny JSON checkpoint."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def get(self, name: str, default: int = -1) -> int:
+        if not os.path.exists(self.path):
+            return default
+        with open(self.path) as f:
+            return json.load(f).get(name, default)
+
+    def set(self, name: str, value: int) -> None:
+        state = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                state = json.load(f)
+        state[name] = value
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
+
+def read_increment(
+    spark: SparkSession, sf_dir: str, table: str, key: str, watermark: int
+) -> DataFrame:
+    """Everything past the watermark (F1). The ``>`` predicate reaches the
+    parquet scan (PushedFilters), so old row groups are skipped via
+    min/max stats rather than read-and-discarded."""
+    return load_table(spark, sf_dir, table).filter(F.col(key) > F.lit(watermark))
+
+
+def ingest_increment(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    sink_path: str,
+    store: WatermarkStore,
+) -> int:
+    """One incremental batch: read past watermark, append to the sink,
+    advance the watermark. Returns rows ingested (0 = caught up — the
+    reference's loop-termination condition, src/main.py:161-162)."""
+    wm = store.get(f"{table}.{key}")
+    inc = read_increment(spark, sf_dir, table, key, wm)
+    agg = inc.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.col(key)).alias("mx")
+    ).head()
+    n, mx = agg["n"], agg["mx"]
+    if n == 0:
+        return 0
+    inc.write.mode("append").parquet(sink_path)
+    store.set(f"{table}.{key}", int(mx))
+    return int(n)

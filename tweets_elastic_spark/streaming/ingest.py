@@ -1,0 +1,83 @@
+"""Structured-Streaming ingestion: the reference's micro-batch loop done
+properly (SURVEY §2.9).
+
+``stream_events`` turns the events table into a file-source stream;
+``run_windowed_stream`` runs a watermarked windowed aggregation to a sink
+with ``availableNow`` (process-everything-then-stop — the batch-parity
+trigger used in tests); ``run_foreach_batch_ingest`` is the streaming twin
+of sources/incremental.py: each micro-batch appends to an id-keyed parquet
+sink, with Spark's checkpoint replacing the hand-rolled ``last_id`` state
+(src/main.py:143).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tweets_elastic_spark.sources.catalog import events_raw_schema
+from tweets_elastic_spark.streaming.windows import tumbling_counts
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files (new
+    files are discovered per micro-batch — the S3/keyset analogue where
+    arrival order, not an id column, defines the increment). The source
+    stores nanosecond timestamps, which Spark can only read as raw longs
+    (see sources/catalog.py); converted to TimestampType here."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(events_raw_schema())
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_windowed_stream(
+    events_stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Watermarked tumbling aggregation → parquet (append mode: windows
+    emit once the watermark passes them — late data inside the horizon is
+    incorporated, later data dropped)."""
+    agg = tumbling_counts(
+        events_stream.withWatermark("ts", watermark), width=width
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", sink_path)
+        .start()
+    )
+
+
+def run_foreach_batch_ingest(
+    events_stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """foreachBatch sink: arbitrary per-batch logic (dedup within batch by
+    event_id, append to parquet). The checkpoint makes restarts exactly-once
+    at the batch level — the durable version of the reference's last_id."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.dropDuplicates(["event_id"])
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

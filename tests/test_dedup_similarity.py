@@ -1,0 +1,132 @@
+"""Dedup + similarity operators: exact variants vs hand-built expectations,
+approximate variants (MinHash-LSH, SimHash, ANN) vs their exact baselines
+(recall/precision pinned on the deterministic corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.operators import dedup as D
+from tweets_elastic_spark.operators import similarity as S
+from tweets_elastic_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"  # 500 docs with planted near-dup pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def true_pairs(spark, docs):
+    """Exact jaccard≥0.5 pairs — ground truth for the approximate variants."""
+    rows = D.jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+
+
+def test_exact_dedup_on_synthetic_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),      # same after normalization
+            (3, "different text"),
+            (4, "Hello World "),     # same after normalization
+        ],
+        "doc_id long, text string",
+    )
+    groups = D.exact_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3 and groups[0]["keeper_id"] == 1
+    survivors = {r["doc_id"] for r in D.dedup_exact(df).collect()}
+    assert survivors == {1, 3}
+
+
+def test_jaccard_pairs_finds_planted_near_dups(true_pairs):
+    # the corpus plants ~25 pairs with jaccard ≥ 0.9 (calibrated offline)
+    high = {p for p, j in true_pairs.items() if j >= 0.9}
+    assert len(high) >= 20
+    assert all(j >= 0.5 for j in true_pairs.values())
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    rows = D.jaccard_pairs(df, k=3, threshold=0.1).collect()
+    assert {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows} == {(1, 2): 1.0}
+
+
+def test_jaccard_max_df_prunes_hot_shingles(spark):
+    # a shingle present in every doc is dropped by the skew guard
+    df = spark.createDataFrame(
+        [(i, f"common shingle here unique{i} tail{i} words{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    without_guard = D.jaccard_pairs(df, k=3, threshold=0.01).count()
+    with_guard = D.jaccard_pairs(df, k=3, threshold=0.01, max_df=5).count()
+    assert without_guard > 0 and with_guard == 0
+
+
+def test_minhash_lsh_recall_and_estimates(spark, docs, true_pairs):
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    high = {p: j for p, j in true_pairs.items() if j >= 0.8}
+    missed = set(high) - set(cands)
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    # signature agreement estimates true jaccard within ±0.25 on 64 hashes
+    for p, j in high.items():
+        assert abs(cands[p] - j) <= 0.25, (p, cands[p], j)
+
+
+def test_simhash_near_pairs_cover_extreme_dups(spark, docs, true_pairs):
+    got = {
+        (r["id_a"], r["id_b"]) for r in D.simhash_near_pairs(docs, max_distance=3).collect()
+    }
+    # near-identical token multisets → near-identical simhash. The banding
+    # guarantee is distance ≤ 3; measured on this corpus, every pair with
+    # jaccard ≥ 0.985 sits at Hamming ≤ 3 (0.976 pairs reach distance 4).
+    extreme = {p for p, j in true_pairs.items() if j >= 0.985}
+    assert extreme, "corpus should contain extreme near-dups"
+    covered = len(got & extreme) / len(extreme)
+    assert covered >= 0.85, f"simhash covered only {covered:.0%} of extreme pairs"
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "the same exact words"), (2, "the same exact words")],
+        "doc_id long, text string",
+    )
+    rows = D.simhash_near_pairs(df, max_distance=0).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_embedding_near_pairs_symmetric_threshold(spark):
+    emb = load_table(spark, SF, "embeddings")
+    pairs = D.embedding_near_pairs(emb, threshold=0.45).collect()
+    assert all(r["id_a"] < r["id_b"] and r["cos"] >= 0.45 for r in pairs)
+    assert len(pairs) > 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in S.ann_lsh_topk(emb, qvec, k=10).collect()]
+    assert exact[0] == 7 and approx[0] == 7  # self is the nearest neighbor
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"ANN recall@10 = {recall}"
+
+
+def test_cosine_topk_scores_sorted_and_bounded(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    rows = S.cosine_topk(emb, qvec, k=10).collect()
+    scores = [r["score"] for r in rows]
+    assert rows[0]["vec_id"] == 0 and abs(scores[0] - 1.0) < 1e-6
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in scores)

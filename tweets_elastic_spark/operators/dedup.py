@@ -1,0 +1,379 @@
+"""Deduplication operators for training-data pipelines (north-star block).
+
+Five dedup families, all shuffle-architected for 100 TB:
+
+* **Exact** — fingerprint (md5 of normalized text) groupBy. One shuffle on
+  the fingerprint; keeper = min id (deterministic).
+* **N-gram Jaccard** — the *inverted-index* pair algorithm, NOT a cross
+  join: explode distinct shingles, self-join on the shingle (only docs
+  sharing a shingle ever meet), count shared shingles per pair, compute
+  jaccard = inter / (|A|+|B|-inter). With a document-frequency cap on
+  shingles (drop shingles present in > max_df docs) the join's fan-out is
+  bounded — the classic skew guard at corpus scale.
+* **MinHash + LSH** — shingle→minhash signatures (universal hashing over
+  xxhash64), banded into buckets; only same-bucket docs become candidates;
+  candidates verified with exact jaccard. Sub-quadratic: cost scales with
+  bucket collisions, not pairs.
+* **SimHash** — 64-bit weighted-token fingerprint; near-dups = signatures
+  within Hamming distance k, found by banding (pigeonhole: distance ≤ 3
+  ⇒ at least one of 4 16-bit chunks equal).
+* **Embedding cosine** — near-dup pairs above a cosine threshold; exact
+  (within LSH buckets at scale — see operators/similarity.py).
+
+Every deterministic choice (hash seeds, keeper selection, tie order) is
+fixed so reruns and oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from tweets_elastic_spark.functions.textstats import normalized_text, simple_tokens
+from tweets_elastic_spark.functions.vectors import cosine
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per duplicated fingerprint: keeper id, group size."""
+    fp = F.md5(normalized_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per fingerprint (deterministic keeper)."""
+    fp = F.md5(normalized_text(F.col(text_col))).alias("_fp")
+    ranked = df.withColumn("_fp", fp)
+    keepers = ranked.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return ranked.join(keepers, [id_col, "_fp"], "left_semi").drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# Word-shingle machinery shared by Jaccard / MinHash
+# ---------------------------------------------------------------------------
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of the lowercased text."""
+    toks = F.transform(simple_tokens(c), F.lower)
+    n = F.size(toks)
+    shingle_starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    shingled = F.when(
+        n >= k,
+        F.transform(
+            shingle_starts,
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(
+        # shorter than k words: the whole text is one shingle
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return F.array_distinct(shingled)
+
+
+def _shingle_posting_list(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_df: int | None
+) -> DataFrame:
+    """(id, shingle) postings, optionally dropping high-document-frequency
+    shingles (skew guard: a stopword-ish shingle would otherwise join
+    O(df²) pairs)."""
+    posts = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    if max_df is not None:
+        hot = posts.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") > max_df
+        )
+        posts = posts.join(F.broadcast(hot), "_sh", "left_anti")
+    return posts
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via the inverted-index join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Cost: Σ_shingle df² instead of |docs|² — sub-quadratic on real corpora;
+    cap pathological shingles with ``max_df`` at scale.
+    """
+    posts = _shingle_posting_list(df, text_col, id_col, k, max_df)
+    sizes = posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Mersenne-31 keeps a·x + b under 2^62 (no ANSI long overflow in the JVM):
+# a, x < 2^31 → product < 2^62; 31-bit hash space is ample for minhash.
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing h(x) = (a·x+b) mod p.
+    Derived from a fixed LCG so every run/partition agrees."""
+    params = []
+    state = seed
+    for _ in range(num):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """array<long> of ``num_hashes`` min-hash values over the shingle set.
+
+    Base hash = xxhash64 (JVM-side); each h_i is a universal-hash rehash.
+    Everything is a SQL expression — no Python, no UDF, codegen throughout.
+    """
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    mins = []
+    for a, b in _hash_params(num_hashes, seed):
+        # (a * x + b) mod p over signed 64-bit: use pmod to stay positive.
+        # xxhash64 is signed; reduce into [0, p) first for stable arithmetic.
+        rehashed = F.transform(
+            base,
+            lambda x: F.pmod(
+                F.lit(a) * F.pmod(x, F.lit(_MERSENNE)) + F.lit(b), F.lit(_MERSENNE)
+            ),
+        )
+        mins.append(F.array_min(rehashed))
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+
+    bands=16 over 64 hashes → rows-per-band r=4; collision probability
+    1-(1-j⁴)¹⁶ — the usual S-curve centered near j≈0.5. Returns distinct
+    (id_a, id_b) with id_a < id_b plus the estimated jaccard from signature
+    agreement (verify with jaccard_pairs for the exact value).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(F.col(text_col), k), num_hashes, seed).alias(
+            "_sig"
+        ),
+    )
+    # band hash: xxhash64 over the band's slice serialized as a string
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("_sig", i * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_sig_a"),
+            F.col("b._sig").alias("_sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(num_hashes)
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(LongType())
+def _simhash_from_hashes(hash_lists: "pd.Series") -> "pd.Series":
+    """Reduce a list of 64-bit token hashes to one SimHash signature.
+
+    Token hashing stays JVM-side (xxhash64 inside a codegen'd transform);
+    only the 64-way bit-vote reduction runs here, fully vectorized in NumPy
+    over the Arrow batch (a 64-term SQL aggregate per row was ~100× slower
+    in whole-stage codegen — expression-tree blowup)."""
+    import numpy as np
+
+    def reduce_one(hs):
+        if hs is None or len(hs) == 0:
+            return 0
+        h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(j)
+        return int(sig.view(np.int64))
+
+    return hash_lists.map(reduce_one)
+
+
+def simhash64(c: Column) -> Column:
+    """64-bit SimHash over lowercased tokens: bit j of the signature is the
+    sign of Σ_token (±1 per token's hash bit j). Duplicate tokens vote
+    multiple times (multiset weighting)."""
+    toks = F.transform(simple_tokens(c), F.lower)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return _simhash_from_hashes(hashes)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: distance ≤ 3 over 4 chunks of 16
+    bits ⇒ pigeonhole guarantees one identical chunk; join per chunk, then
+    verify the exact Hamming distance."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
+    )
+    chunks = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright("_sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("cc"),
+    ).select("_id", "_sig", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sig"), F.col("b._sig")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_by: Column | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Exact within buckets: pass
+    ``bucket_by`` (e.g. an LSH signature or a label) to bound the join
+    fan-out at scale; None compares all pairs (test scale only)."""
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if bucket_by is not None:
+        cols.append(bucket_by.alias("_bk"))
+    base = df.select(*cols)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if bucket_by is not None:
+        cond = cond & (F.col("a._bk") == F.col("b._bk"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

@@ -1,6 +1,8 @@
 """Named query modules — importing this package registers every query."""
 
 from tweets_elastic_spark.queries import (  # noqa: F401
+    dedup_q,
+    multimodal_q,
     relational,
     search_q,
     text,

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized fully via the noop sink (measures compute +
+shuffle, not Python collection). Session config mirrors production defaults
+(AQE on, Arrow on); parallelism comes from SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tweets_elastic_spark import registry
+from tweets_elastic_spark.session import get_spark
+
+HEADLINE = [
+    # relational spine
+    "denorm_order_lineitems",
+    "pricing_summary",
+    "snowflake_dim_join",
+    "star_join_project",
+    "self_join_pairs",
+    "exists_child_hof",
+    "topk_orders",
+    # windows
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    # search + text
+    "search_function_score",
+    "analyze_englando",
+    "quality_score",
+    "lang_id",
+    # training-data ops
+    "dedup_exact_survivors",
+    "jaccard_near_dups",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "ann_cosine_topk",
+    "multimodal_decode",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.all_queries()
+    # JVM/codegen warmup on the smallest fixture
+    materialize(queries["pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,12 +48,24 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
-def lang_scores(c: Column) -> dict[str, Column]:
-    toks = F.transform(simple_tokens(c), F.lower)
-    return {
-        lang: F.size(F.filter(toks, lambda t: t.isin(profile))).cast("long")
-        for lang, profile in LANG_PROFILES.items()
-    }
+def lang_scores(c: Column) -> Column:
+    """All four profile counts in ONE pass over the tokens: a struct
+    accumulator inside a single ``aggregate``. The naive per-language
+    ``size(filter(...))`` form re-tokenizes per language AND per reference
+    in the downstream CASE — Catalyst inlines rather than CSEs lambda
+    subtrees, which cost ~8 tokenizations per row."""
+    toks = simple_tokens(c)
+    zero = F.struct(*[F.lit(0).cast("long").alias(lang) for lang in LANG_PROFILES])
+
+    def step(acc: Column, t: Column) -> Column:
+        low = F.lower(t)
+        return F.struct(*[
+            (acc[lang] + F.when(low.isin(LANG_PROFILES[lang]), 1).otherwise(0))
+            .alias(lang)
+            for lang in LANG_PROFILES
+        ])
+
+    return F.aggregate(toks, zero, step)
 
 
 def lang_id(c: Column) -> Column:

@@ -29,7 +29,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from tweets_elastic_spark.functions.textstats import normalized_text, simple_tokens
 from tweets_elastic_spark.functions.vectors import cosine
@@ -164,27 +164,39 @@ def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def _make_minhash_udf(num_hashes: int, seed: int):
+    params = _hash_params(num_hashes, seed)
+    import numpy as np
+
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(hash_lists: pd.Series) -> pd.Series:
+        def reduce_one(hs):
+            if hs is None or len(hs) == 0:
+                return [int(_MERSENNE)] * num_hashes
+            x = (np.asarray(hs, dtype=np.int64) % _MERSENNE)[None, :]
+            rehashed = (a_vec * x + b_vec) % _MERSENNE  # (num_hashes, n)
+            return [int(v) for v in rehashed.min(axis=1)]
+
+        return hash_lists.map(reduce_one)
+
+    return _minhash
+
+
 def minhash_signature(
     shingles: Column, num_hashes: int = 64, seed: int = 42
 ) -> Column:
     """array<long> of ``num_hashes`` min-hash values over the shingle set.
 
-    Base hash = xxhash64 (JVM-side); each h_i is a universal-hash rehash.
-    Everything is a SQL expression — no Python, no UDF, codegen throughout.
-    """
+    Base hash = xxhash64 (JVM-side, codegen); the (a·x+b) mod p rehash +
+    min-reduction runs as ONE vectorized Arrow batch op. A pure-SQL variant
+    (64 array transforms per row) exploded Catalyst's expression tree —
+    every downstream reference re-inlined all 64 transforms, turning the
+    banding join quadratic in expression size."""
     base = F.transform(shingles, lambda s: F.xxhash64(s))
-    mins = []
-    for a, b in _hash_params(num_hashes, seed):
-        # (a * x + b) mod p over signed 64-bit: use pmod to stay positive.
-        # xxhash64 is signed; reduce into [0, p) first for stable arithmetic.
-        rehashed = F.transform(
-            base,
-            lambda x: F.pmod(
-                F.lit(a) * F.pmod(x, F.lit(_MERSENNE)) + F.lit(b), F.lit(_MERSENNE)
-            ),
-        )
-        mins.append(F.array_min(rehashed))
-    return F.array(*mins)
+    return _make_minhash_udf(num_hashes, seed)(base)
 
 
 def minhash_lsh_candidates(
@@ -210,7 +222,8 @@ def minhash_lsh_candidates(
             "_sig"
         ),
     )
-    # band hash: xxhash64 over the band's slice serialized as a string
+    # band bucket: xxhash64 directly over the band's signature slots (plus a
+    # band tag so buckets never collide across bands) — no string building
     banded = sig.select(
         "_id",
         "_sig",
@@ -219,13 +232,11 @@ def minhash_lsh_candidates(
                 F.struct(
                     F.lit(i).alias("band"),
                     F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("_sig", i * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
+                        F.lit(i),
+                        *[
+                            F.element_at("_sig", i * rows_per_band + j + 1)
+                            for j in range(rows_per_band)
+                        ],
                     ).alias("bucket"),
                 )
                 for i in range(bands)
@@ -357,8 +368,19 @@ def embedding_near_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. Exact within buckets: pass
     ``bucket_by`` (e.g. an LSH signature or a label) to bound the join
-    fan-out at scale; None compares all pairs (test scale only)."""
-    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    fan-out at scale; None compares all pairs (test scale only).
+
+    Each side is L2-normalized BEFORE the join (O(n·d) once), so the O(n²)
+    pair stage is a single dot product instead of dot + two norms — 3× less
+    work exactly where the cost is quadratic."""
+    from tweets_elastic_spark.functions.vectors import dot, norm
+
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
+        ).alias("_vn"),
+    ]
     if bucket_by is not None:
         cols.append(bucket_by.alias("_bk"))
     base = df.select(*cols)
@@ -369,7 +391,7 @@ def embedding_near_pairs(
         cond = cond & (F.col("a._bk") == F.col("b._bk"))
     return (
         a.join(b, cond)
-        .withColumn("cos", cosine(F.col("a._v"), F.col("b._v")))
+        .withColumn("cos", dot(F.col("a._vn"), F.col("b._vn")))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("a._id").alias("id_a"),

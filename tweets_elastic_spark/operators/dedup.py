@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from tweets_elastic_spark.functions.textstats import normalized_text, simple_tokens
+from tweets_elastic_spark.sources.catalog import fan_out
 from tweets_elastic_spark.functions.vectors import cosine
 
 # ---------------------------------------------------------------------------
@@ -66,16 +67,33 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) of the lowercased text."""
+    """Distinct k-word shingles (space-joined) of the lowercased text.
+
+    Built by zipping k position-shifted copies of the token array — the
+    token arrays appear only as DIRECT arguments of ``slice``/``zip_with``,
+    never inside a lambda body. The naive form
+    ``transform(sequence(1, n-k+1), i -> array_join(slice(toks, i, k)))``
+    re-evaluates the whole tokenization expression for EVERY shingle
+    position (Catalyst inlines outer expressions into HOF lambdas without
+    CSE), turning shingling O(tokens²) per doc — measured 20× slower at
+    sf0.1."""
     toks = F.transform(simple_tokens(c), F.lower)
     n = F.size(toks)
-    shingle_starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # acc[i] = toks[i] ' ' toks[i+1] ... ' ' toks[i+j]; positions past
+    # n-j get NULL (zip_with pads the shorter shifted side) and stay NULL.
+    acc = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
     shingled = F.when(
         n >= k,
-        F.transform(
-            shingle_starts,
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
+        F.filter(acc, lambda s: s.isNotNull()),
     ).otherwise(
         # shorter than k words: the whole text is one shingle
         F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
@@ -117,7 +135,7 @@ def jaccard_pairs(
     Cost: Σ_shingle df² instead of |docs|² — sub-quadratic on real corpora;
     cap pathological shingles with ``max_df`` at scale.
     """
-    posts = _shingle_posting_list(df, text_col, id_col, k, max_df)
+    posts = _shingle_posting_list(fan_out(df), text_col, id_col, k, max_df)
     sizes = posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
 
     a = posts.alias("a")
@@ -216,17 +234,25 @@ def minhash_lsh_candidates(
     agreement (verify with jaccard_pairs for the exact value).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    sig = fan_out(df).select(
         F.col(id_col).alias("_id"),
         minhash_signature(word_shingles(F.col(text_col), k), num_hashes, seed).alias(
             "_sig"
         ),
     )
+    # The signature table is referenced four times below (two band-join sides
+    # + two re-attachments). Persist it so the Arrow-batched minhash UDF runs
+    # exactly once per doc — at ingest scale the signatures would be
+    # materialized alongside the corpus instead.
+    sig = sig.persist()
+
     # band bucket: xxhash64 directly over the band's signature slots (plus a
-    # band tag so buckets never collide across bands) — no string building
+    # band tag so buckets never collide across bands) — no string building.
+    # Only (id, band, bucket) enters the pair join: the 64-long signature
+    # payloads stay OUT of the shuffle and the pair dedup compares slim
+    # (id_a, id_b) rows, not wide array rows.
     banded = sig.select(
         "_id",
-        "_sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -242,7 +268,7 @@ def minhash_lsh_candidates(
                 for i in range(bands)
             ])
         ).alias("bb"),
-    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    ).select("_id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -253,21 +279,24 @@ def minhash_lsh_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("_sig_a"),
-            F.col("b._sig").alias("_sig_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Re-attach the two signatures once per SURVIVING pair (candidate count,
+    # not candidate×band count) to estimate jaccard from slot agreement.
+    sig_a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
+    sig_b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
             lambda eq: eq,
         )
     ) / F.lit(num_hashes)
-    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +349,7 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash banding: distance ≤ 3 over 4 chunks of 16
     bits ⇒ pigeonhole guarantees one identical chunk; join per chunk, then
     verify the exact Hamming distance."""
-    sig = df.select(
+    sig = fan_out(df).select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
     )
     chunks = sig.select(
@@ -383,7 +412,7 @@ def embedding_near_pairs(
     ]
     if bucket_by is not None:
         cols.append(bucket_by.alias("_bk"))
-    base = df.select(*cols)
+    base = fan_out(df).select(*cols)
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a._id") < F.col("b._id")
@@ -398,4 +427,75 @@ def embedding_near_pairs(
             F.col("b._id").alias("id_b"),
             F.round("cos", 6).alias("cos"),
         )
+    )
+
+
+def embedding_near_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH bucketing.
+
+    Each vector gets an ``n_bits`` signed-projection signature (fixed-seed
+    hyperplanes, operators/similarity.py) and is exploded into its own
+    bucket plus every 1-bit-flip neighbor bucket; candidates are pairs
+    sharing any probe bucket — exactly the pairs whose signatures are
+    within Hamming distance 2 (sig_a ^ flip_i == sig_b ^ flip_j ⇒
+    sig_a ^ sig_b ∈ {0, e_i, e_i|e_j}). Candidates are verified with the
+    exact cosine. Fully deterministic, so a SQL oracle can mirror it with
+    literal hyperplanes + ``bit_count(xor(sig_a, sig_b)) <= 2``.
+
+    Cost: |pairs| scales with bucket occupancy (2^n_bits buckets ×
+    (n_bits+1) probes), not |docs|²; the probe join carries only
+    (id, bucket) and vectors are re-attached once per surviving pair.
+    Recall vs the exact variant is the S-curve P[hamming ≤ 2] — ≈0.96 for
+    true near-dups (cos ≥ 0.95) at n_bits=8; raise n_bits for precision,
+    lower for recall.
+    """
+    from tweets_elastic_spark.operators.similarity import (
+        _hyperplanes,
+        rh_signature_col,
+    )
+
+    # dim from the schema: element count is fixed per dataset
+    dim = len(df.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, n_bits, seed)
+    df = fan_out(df)
+    sig_df = df.select(
+        F.col(id_col).alias("_id"),
+        rh_signature_col(F.col(vec_col), planes).alias("_sig"),
+    )
+    probes = sig_df.select(
+        "_id",
+        F.explode(
+            F.array(
+                F.col("_sig"),
+                *[F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+            )
+        ).alias("_bk"),
+    )
+    a = probes.alias("a")
+    b = probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # AQE would coalesce the small candidate shuffle to one partition and
+    # serialize the (CPU-heavy) cosine verification — keep it fanned out.
+    return (
+        fan_out(cand).join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -58,9 +58,16 @@ def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(_doubled_docs(spark, sf_dir)).select("doc_id")
 
 
+# Document-frequency cap for the jaccard inverted-index join: shingles in
+# more than max(5, 1% of corpus) docs are dropped from BOTH sides before
+# pairing — the skew guard that bounds the hot-shingle fan-out (Σ df² would
+# otherwise be unbounded on a skewed corpus). Mirrored exactly in the oracle.
+_JACCARD_MAX_DF_SQL = "greatest(5, (SELECT count(*) FROM documents) // 100)"
+
+
 @register(
     "jaccard_near_dups",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id,
                list_transform(
@@ -77,10 +84,16 @@ def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE [] END)) AS sh
         FROM toks
     ),
-    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shf AS (
+        SELECT s.doc_id, s.sh
+        FROM sh s
+        JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh) d ON s.sh = d.sh
+        WHERE d.df <= {_JACCARD_MAX_DF_SQL}
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -91,11 +104,13 @@ def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
     """,
     doc="Exact 3-word-shingle Jaccard near-dup pairs via inverted-index join "
-        "(sub-quadratic; the LSH variant approximates this).",
+        "with the document-frequency skew guard engaged (max_df = max(5, 1%) "
+        "of corpus) — the 100 TB-safe configuration; oracle mirrors the cap.",
 )
 def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, k=3, threshold=0.5)
+    n_docs = docs.count()
+    return D.jaccard_pairs(docs, k=3, threshold=0.5, max_df=max(5, n_docs // 100))
 
 
 @register(
@@ -118,19 +133,66 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs, max_distance=3)
 
 
+def _rh_sig_sql(vec_expr: str, n_bits: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """Random-hyperplane signature as a SQL expression with LITERAL planes —
+    the exact doubles Spark's rh_signature_col uses (fixed NumPy seed), so
+    DuckDB and Spark compute bit-identical signatures."""
+    from tweets_elastic_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    terms = []
+    for i, h in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 @register(
     "embedding_near_dups",
-    oracle="""
+    oracle=f"""
     -- ::DOUBLE[] casts force f64 math; bare FLOAT[] would make DuckDB
-    -- compute the cosine in f32, which drifts from Spark at the 6th decimal
+    -- compute the cosine in f32, which drifts from Spark at the 6th decimal.
+    -- The LSH bucketing is mirrored exactly: candidate pairs are signatures
+    -- within Hamming distance 2 (== the Spark side's self+1-bit-flip probe
+    -- union), then verified with the exact cosine.
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_rh_sig_sql('embedding::DOUBLE[]')} AS sig
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM s a JOIN s b
+      ON a.vec_id < b.vec_id
+     AND bit_count(xor(a.sig::BIGINT, b.sig::BIGINT)) <= 2
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    doc="Embedding near-dup pairs via random-hyperplane LSH bucketing + "
+        "1-bit-flip probes + exact-cosine verify — the 100 TB path (no "
+        "all-pairs join); the oracle mirrors the bucketing with literal "
+        "hyperplanes. embedding_near_dups_exact is the exhaustive baseline.",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_pairs_lsh(emb, threshold=0.45, n_bits=8, seed=7)
+
+
+@register(
+    "embedding_near_dups_exact",
+    oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
     """,
-    doc="Embedding-cosine near-dup pairs (exact; LSH-bucketed at scale).",
+    doc="Exhaustive-pairs cosine near-dup — the exactness/recall baseline "
+        "for embedding_near_dups. O(n²) by definition: correctness gate and "
+        "small-scale use only; the registered scale path is the LSH variant.",
 )
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_pairs(emb, threshold=0.45)
 

@@ -22,7 +22,7 @@ from tweets_elastic_spark.sources.catalog import load_table
            o.o_orderstatus,
            COALESCE(li.n_items, 0) AS n_items,
            COALESCE(li.revenue, 0.0) AS revenue,
-           COALESCE(li.line_numbers, []) AS line_numbers
+           COALESCE(array_to_string(li.line_numbers, ','), '') AS line_numbers
     FROM orders o
     LEFT JOIN (
         SELECT l_orderkey,
@@ -33,10 +33,16 @@ from tweets_elastic_spark.sources.catalog import load_table
         GROUP BY l_orderkey
     ) li ON o.o_orderkey = li.l_orderkey
     """,
-    doc="Group-then-left-join denormalization spine (J2+A1+P4, queries.sql:35-40).",
+    doc="Group-then-left-join denormalization spine (J2+A1+P4, queries.sql:35-40). "
+        "The sorted line-number array is joined to a comma string at the query "
+        "boundary so the driver's canonicalizer gets hash-stable primitives.",
 )
 def q_denorm_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return denormalize_orders(spark, sf_dir)
+    doc = denormalize_orders(spark, sf_dir)
+    return doc.withColumn(
+        "line_numbers",
+        F.array_join(F.transform("line_numbers", lambda x: x.cast("string")), ","),
+    )
 
 
 @register(

@@ -6,9 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tweets_elastic_spark.functions.analyzers import materialize_tokens
 from tweets_elastic_spark.plans.search import Bool, Match, Range, Term, FunctionScore, search
 from tweets_elastic_spark.registry import register
-from tweets_elastic_spark.sources.catalog import load_table
+from tweets_elastic_spark.sources.catalog import fan_out, load_table
 
 # DuckDB mirror of the custom_shingles analysis (words + glued bigrams; the
 # corpus is ASCII so asciifolding is the identity).
@@ -50,11 +51,58 @@ _TOKENS_CTE = """
         "should (analyzed match + term) over a non-scoring filter, top-k.",
 )
 def q_search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     query = FunctionScore(
         Bool(
             should=[
                 (Match("text", "spark merge", analyzer="custom_shingles"), 5.0),
+                (Term("source", "src1"), 2.0),
+            ],
+            filter=[Range("n_chars", gt=300), Term("lang", "en")],
+        )
+    )
+    return search(docs, query, k=25, tiebreak="doc_id").select(
+        "doc_id", "lang", "n_chars", "score"
+    )
+
+
+@register(
+    "search_materialized_tokens",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id, lang, n_chars,
+           CAST(
+             CASE WHEN list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+                  THEN 5.0 ELSE 0.0 END
+           + CASE WHEN source = 'src1' THEN 2.0 ELSE 0.0 END
+           AS DOUBLE) AS score
+    FROM toks
+    WHERE n_chars > 300 AND lang = 'en'
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+    doc="Same query as search_function_score but over an index-time "
+        "materialized token column (materialize_tokens, the multi-field "
+        "analogue of mapping.json:23-54) — the 100 TB plan: the match is "
+        "arrays_overlap(tokens_col, lit(query_tokens)), a codegen'd "
+        "expression; analysis runs once per doc at ingest, not per query.",
+)
+def q_search_materialized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Index-time analysis: in production this column is written alongside
+    # the corpus; here it materializes in the same job, one analysis pass.
+    docs = materialize_tokens(docs, {"text": ["custom_shingles"]})
+    query = FunctionScore(
+        Bool(
+            should=[
+                (
+                    Match(
+                        "text",
+                        "spark merge",
+                        analyzer="custom_shingles",
+                        tokens_col="text__custom_shingles",
+                    ),
+                    5.0,
+                ),
                 (Term("source", "src1"), 2.0),
             ],
             filter=[Range("n_chars", gt=300), Term("lang", "en")],

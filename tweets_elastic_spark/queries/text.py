@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from tweets_elastic_spark.functions import analyzers as A
 from tweets_elastic_spark.functions import textstats as T
 from tweets_elastic_spark.registry import register
-from tweets_elastic_spark.sources.catalog import load_table
+from tweets_elastic_spark.sources.catalog import fan_out, load_table
 
 
 @register(
@@ -67,15 +67,24 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp"))
 
 
+# The analyze_* queries emit the token array joined to ONE string per doc
+# (order-preserving) so the driver's canonicalizer — which sorts rows through
+# pandas — sees hash-stable primitives instead of unhashable lists. Token
+# order is part of the analyzer contract, so the join loses nothing.
+
+
 @register(
     "analyze_keyword_lowercase",
-    oracle="SELECT doc_id, [lower(source)] AS tokens FROM documents",
+    oracle="SELECT doc_id, lower(source) AS tokens FROM documents",
     doc="AN4 keyword_lowercase analyzer (settings.json:40-44) applied at scale.",
 )
 def q_analyze_keyword_lowercase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", A.analyze(F.col("source"), "keyword_lowercase").alias("tokens")
+        "doc_id",
+        F.array_join(
+            A.analyze(F.col("source"), "keyword_lowercase"), " "
+        ).alias("tokens"),
     )
 
 
@@ -83,12 +92,12 @@ def q_analyze_keyword_lowercase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analyze_shingles",
     oracle="""
     SELECT doc_id,
-           list_concat(
+           array_to_string(list_concat(
              toks,
              CASE WHEN len(toks) >= 2
                   THEN list_transform(range(1, len(toks)), i -> toks[i] || toks[i+1])
                   ELSE [] END
-           ) AS tokens
+           ), ' ') AS tokens
     FROM (
         SELECT doc_id,
                list_transform(
@@ -100,9 +109,42 @@ def q_analyze_keyword_lowercase(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="AN3 shingle pipeline (settings.json:30-39) at corpus scale; ASCII corpus ⇒ asciifold is identity.",
 )
 def q_analyze_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", A.analyze(F.col("text"), "custom_shingles").alias("tokens")
+        "doc_id",
+        F.array_join(A.analyze(F.col("text"), "custom_shingles"), " ").alias("tokens"),
+    )
+
+
+@register(
+    "analyze_ngram",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(
+             flatten(list_transform(
+               list_filter(
+                 list_transform(
+                   list_filter(regexp_split_to_array(source, '[^a-zA-Z0-9'']+'), x -> x <> ''),
+                   x -> lower(x)),
+                 t -> length(t) >= 1),
+               t -> flatten(list_transform(
+                      range(1, length(t) + 1),
+                      i -> list_transform(
+                             range(1, least(10, length(t) - i + 1) + 1),
+                             n -> substring(t, i, n)))))),
+             ' ') AS tokens
+    FROM documents
+    """,
+    doc="AN2 custom_ngram analyzer (settings.json:20-29; .ngram multi-fields "
+        "mapping.json:26-29,39-43): char 1..10-grams, position-major order. "
+        "Run over the short `source` field (the author-name/username analogue); "
+        "ASCII corpus ⇒ asciifold is identity, as analyze_shingles exploits.",
+)
+def q_analyze_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.array_join(A.analyze(F.col("source"), "custom_ngram"), " ").alias("tokens"),
     )
 
 
@@ -112,7 +154,8 @@ def q_analyze_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="AN1 englando analyzer (settings.json:9-19) at corpus scale (rows-only check).",
 )
 def q_analyze_englando(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", A.analyze(F.col("text"), "englando").alias("tokens")
+        "doc_id",
+        F.array_join(A.analyze(F.col("text"), "englando"), " ").alias("tokens"),
     )

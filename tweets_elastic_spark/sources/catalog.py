@@ -54,6 +54,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(path)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread CPU-bound per-row work over the session's full parallelism.
+
+    The local fixture parquets are single-row-group files, so Spark reads
+    them as ONE input split — and every downstream per-doc expression/UDF
+    stage (shingling, minhash, analyzers) would run on one core of
+    local[32]. A round-robin repartition up to ``defaultParallelism`` fixes
+    that for pennies (the projected id+text rows shuffle once). On a real
+    cluster a 100 TB scan already carries far more partitions than cores,
+    so this returns the input unchanged (never repartitions DOWN).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

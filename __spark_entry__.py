@@ -17,11 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the group-then-left-join
-    denormalization spine (SURVEY §3.2) over orders/lineitem."""
-    from tweets_elastic_spark.operators.denormalize import denormalize_orders
+    """Flagship query on /root/testdata/sf0.001: the full tweet-document
+    denormalization (queries.sql:18-71 — J1-J9/A1/P1-P4) over star tables
+    derived from the fixtures, flattened to a stable primitive schema."""
+    from tweets_elastic_spark import registry
 
-    return denormalize_orders(spark, "/root/testdata/sf0.001")
+    return registry.get("tweet_documents_flat").fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

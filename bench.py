@@ -25,6 +25,7 @@ from tweets_elastic_spark.session import get_spark
 HEADLINE = [
     # relational spine
     "denorm_order_lineitems",
+    "tweet_documents_flat",
     "pricing_summary",
     "snowflake_dim_join",
     "star_join_project",
@@ -37,7 +38,9 @@ HEADLINE = [
     "session_window",
     # search + text
     "search_function_score",
+    "search_materialized_tokens",
     "analyze_englando",
+    "analyze_ngram",
     "quality_score",
     "lang_id",
     # training-data ops

@@ -112,14 +112,18 @@ def test_embedding_near_pairs_symmetric_threshold(spark):
     assert len(pairs) > 0
 
 
-def test_ann_lsh_recall_vs_bruteforce(spark):
+@pytest.mark.parametrize("qid", [7, 42, 400])
+def test_ann_lsh_recall_vs_bruteforce(spark, qid):
+    # multi-table LSH (4 tables × 6 bits, 2-bit multiprobe): min measured
+    # recall 0.9 on this corpus of UNIFORM random embeddings — the hardest
+    # regime for LSH; the bar leaves one-result slack for seed drift
     emb = load_table(spark, SF, "embeddings")
-    qvec = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").head()["embedding"]]
     exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
     approx = [r["vec_id"] for r in S.ann_lsh_topk(emb, qvec, k=10).collect()]
-    assert exact[0] == 7 and approx[0] == 7  # self is the nearest neighbor
+    assert exact[0] == qid and approx[0] == qid  # self is the nearest neighbor
     recall = len(set(exact) & set(approx)) / 10
-    assert recall >= 0.3, f"ANN recall@10 = {recall}"
+    assert recall >= 0.7, f"ANN recall@10 = {recall} for query {qid}"
 
 
 def test_cosine_topk_scores_sorted_and_bounded(spark):

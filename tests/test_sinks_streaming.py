@@ -183,3 +183,81 @@ def test_sliding_and_session_windows_batch(spark):
     sess = session_counts(events, "30 minutes")
     # sessions partition all events
     assert sess.agg(F.sum("n_events").alias("s")).head()["s"] == events.count()
+
+
+# -- P6: document JSON serialization at the sink -----------------------------
+
+def test_document_json_byte_stable_golden(spark):
+    """The golden document's JSON wire format is byte-stable run-to-run
+    (P6: to_json(a.*) queries.sql:20 / bulk bodies main.py:140,146)."""
+    from tweets_elastic_spark.operators.denormalize import build_tweet_documents
+    from tweets_elastic_spark.sinks import document_json
+    from tweets_elastic_spark.sources.fixtures import make_tweets_tables
+
+    tables = make_tweets_tables(spark, n_conversations=5)
+    doc = build_tweet_documents(tables)
+    j1 = {r["id"]: r["json"] for r in document_json(doc).collect()}
+    j2 = {r["id"]: r["json"] for r in document_json(doc).collect()}
+    assert j1 == j2  # byte-stable
+
+    import json as jsonlib
+    golden = jsonlib.loads(j1[1])
+    # id travels in the header (op pair), not the body — like the bulk loop
+    assert "id" not in golden
+    assert golden["author"]["username"] == "WilburSoot"
+    assert golden["created_at"] == "2022-02-26T23:29:55Z"
+    assert [h["tag"] for h in golden["conversation_hashtags"]] == ["Peace", "Ukraine"]
+    # P4: childless conversation serializes [] (not null/missing)
+    bare = jsonlib.loads(j1[2])
+    assert bare["links"] == [] and bare["annotations"] == []
+
+
+def test_write_documents_json_lines(spark, tmp_path):
+    from tweets_elastic_spark.sinks import write_documents_json
+
+    df = load_table(spark, SF, "orders").limit(50)
+    path = str(tmp_path / "docs_json")
+    write_documents_json(df, path, id_col="o_orderkey")
+    back = spark.read.json(path)
+    assert back.count() == 50
+    assert set(back.columns) == {"o_orderkey", "json"}
+
+
+# -- P5: string-timestamp ingest ---------------------------------------------
+
+def test_parse_es_timestamp_offset_preserving(spark):
+    """yyyy-MM-dd'T'HH:mm:ssZZZZZ parse (mapping.json:16-19) — offsets
+    normalize to the same instant under the pinned-UTC session."""
+    from tweets_elastic_spark.schemas import parse_es_timestamp
+
+    df = spark.createDataFrame(
+        [("2022-02-23T09:51:47+00:00",), ("2022-02-23T10:51:47+01:00",),
+         ("2022-02-23T09:51:47Z",), (None,)],
+        "raw string",
+    ).select(parse_es_timestamp(F.col("raw")).alias("ts"))
+    out = [r["ts"] for r in df.collect()]
+    assert out[0] == out[1] == out[2]  # same instant, offset-normalized
+    assert out[0].isoformat().startswith("2022-02-23T09:51:47")
+    assert out[3] is None
+
+
+# -- incremental: crash-replay idempotence -----------------------------------
+
+def test_incremental_replay_does_not_duplicate(spark, tmp_path):
+    """A crash between the increment write and the watermark advance replays
+    the same increment into the same ingest_wm partition (overwrite) —
+    effectively-once without a transactional sink."""
+    src = tmp_path / "src"
+    src.mkdir()
+    orders = load_table(spark, SF, "orders")
+    orders.write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    sink = str(tmp_path / "sink")
+
+    n1 = ingest_increment(spark, str(src), "orders", "o_orderkey", sink, store)
+    assert n1 == orders.count()
+    # simulate the crash: roll the watermark back as if store.set never ran
+    store.set("orders.o_orderkey", -1)
+    n2 = ingest_increment(spark, str(src), "orders", "o_orderkey", sink, store)
+    assert n2 == n1
+    assert spark.read.parquet(sink).count() == orders.count()  # no dups

@@ -6,5 +6,6 @@ from tweets_elastic_spark.queries import (  # noqa: F401
     relational,
     search_q,
     text,
+    tweetdoc_q,
     windows_q,
 )

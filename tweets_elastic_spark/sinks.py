@@ -60,6 +60,43 @@ def write_documents(
     writer.parquet(path)
 
 
+def document_json(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """P6: the document's JSON wire format (to_json at the sink boundary —
+    ``to_json(a.*)`` queries.sql:20; bulk bodies src/main.py:140,146).
+
+    Internally documents stay native nested structs (SURVEY §1.1); JSON
+    exists only when rows cross to an external system. Returns
+    (id, json) where ``json`` serializes every column EXCEPT the id — the
+    id travels in the bulk-op header, not the body, exactly like the
+    reference's ``{'index': {'_id': ...}}`` + document pairs
+    (src/main.py:137-141). Timestamps render in ISO-8601; field order is
+    schema order, so the bytes are stable run-to-run."""
+    body = [c for c in df.columns if c != id_col]
+    return df.select(
+        F.col(id_col),
+        F.to_json(
+            F.struct(*[F.col(c) for c in body]),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ssXXX"},
+        ).alias("json"),
+    )
+
+
+def write_documents_json(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    mode: str = "overwrite",
+    target_file_partitions: int | None = None,
+) -> None:
+    """JSON-lines sink variant of write_documents (S8 + P6): one
+    ``{"id": ..., "json": "..."}`` line per document — the bulk-request
+    body the reference ships over HTTP, materialized as files."""
+    out = document_json(df, id_col)
+    if target_file_partitions is not None:
+        out = out.repartition(target_file_partitions)
+    out.write.mode(mode).json(path)
+
+
 def validate_split(
     df: DataFrame, rules: dict[str, Column]
 ) -> tuple[DataFrame, DataFrame]:

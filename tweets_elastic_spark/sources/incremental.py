@@ -67,17 +67,35 @@ def ingest_increment(
     sink_path: str,
     store: WatermarkStore,
 ) -> int:
-    """One incremental batch: read past watermark, append to the sink,
-    advance the watermark. Returns rows ingested (0 = caught up — the
-    reference's loop-termination condition, src/main.py:161-162)."""
+    """One incremental batch: read past watermark, write it, advance the
+    watermark. Returns rows ingested (0 = caught up — the reference's
+    loop-termination condition, src/main.py:161-162).
+
+    Two failure modes of the naive read-stats-then-write version are closed:
+
+    * The increment is persisted so stats (count/max) and the write come
+      from ONE materialization — rows landing in the source between two
+      separate scans can no longer be written yet left above the recorded
+      watermark (they arrive with the next increment instead).
+    * Each increment writes to a deterministic partition directory
+      ``ingest_wm=<old watermark>`` with overwrite semantics. A crash
+      between the write and ``store.set`` replays the SAME increment into
+      the SAME directory — at-least-once becomes effectively-once without
+      a transactional sink. Readers see the batch lineage as an
+      ``ingest_wm`` partition column (``spark.read.parquet(sink_path)``)."""
     wm = store.get(f"{table}.{key}")
-    inc = read_increment(spark, sf_dir, table, key, wm)
-    agg = inc.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.col(key)).alias("mx")
-    ).head()
-    n, mx = agg["n"], agg["mx"]
-    if n == 0:
-        return 0
-    inc.write.mode("append").parquet(sink_path)
-    store.set(f"{table}.{key}", int(mx))
-    return int(n)
+    inc = read_increment(spark, sf_dir, table, key, wm).persist()
+    try:
+        agg = inc.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.col(key)).alias("mx")
+        ).head()
+        n, mx = agg["n"], agg["mx"]
+        if n == 0:
+            return 0
+        inc.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"ingest_wm={wm}")
+        )
+        store.set(f"{table}.{key}", int(mx))
+        return int(n)
+    finally:
+        inc.unpersist()

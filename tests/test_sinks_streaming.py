@@ -261,3 +261,33 @@ def test_incremental_replay_does_not_duplicate(spark, tmp_path):
     n2 = ingest_increment(spark, str(src), "orders", "o_orderkey", sink, store)
     assert n2 == n1
     assert spark.read.parquet(sink).count() == orders.count()  # no dups
+
+
+# -- S11: batch update-in-place analogue ---------------------------------------
+
+def test_increment_counters_update_in_place(spark, tmp_path):
+    """Painless `ctx._source.retweet_count += n` (docs/protokol.md:596-611)
+    as a batch recompute + atomic directory swap."""
+    from tweets_elastic_spark.sinks import increment_counters
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 0), (3, "c", 5)],
+        "id long, content string, retweet_count int",
+    )
+    path = str(tmp_path / "docs")
+    write_documents(df, path, id_col="id")
+
+    deltas = spark.createDataFrame(
+        [(1, 7), (3, -2), (99, 100)],  # 99 unknown → ignored
+        "id long, delta int",
+    )
+    n = increment_counters(spark, path, deltas, counter_col="retweet_count")
+    assert n == 2
+    back = {r["id"]: r["retweet_count"] for r in spark.read.parquet(path).collect()}
+    assert back == {1: 17, 2: 0, 3: 3}
+    # schema unchanged (counter keeps its declared int type)
+    assert dict(spark.read.parquet(path).dtypes)["retweet_count"] == "int"
+    # idempotent re-apply of an empty delta set
+    empty = spark.createDataFrame([], "id long, delta int")
+    assert increment_counters(spark, path, empty) == 0
+    assert {r["id"]: r["retweet_count"] for r in spark.read.parquet(path).collect()} == back

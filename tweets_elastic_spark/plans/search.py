@@ -62,7 +62,17 @@ def _element_resolver(element: Column):
 @dataclass
 class Query:
     """Base node. ``predicate`` = does the row/element match (non-scoring);
-    ``score`` = the clause's score contribution when matched."""
+    ``score`` = the clause's score contribution when matched.
+
+    ``CONSTANT_SCORE`` marks clauses whose score is 1.0 whenever they match
+    (every v1 node — the reference only exercises constant ``weight``
+    scoring, elastic_queries.json:20). Bool.score exploits it to evaluate
+    such clauses' predicates ONCE instead of predicate+score — Catalyst
+    does not CSE the duplicated expression trees, and for analyzed matches
+    each tree re-runs the full analyzer pipeline per row. A future BM25
+    node sets CONSTANT_SCORE = False."""
+
+    CONSTANT_SCORE = True
 
     def predicate(self, spark: SparkSession, resolve) -> Column:
         raise NotImplementedError
@@ -208,11 +218,16 @@ class Bool(Query):
         return out
 
     def score(self, spark, resolve) -> Column:
-        contributions = [
-            F.when(q.predicate(spark, resolve), F.lit(w) * q.score(spark, resolve))
-            .otherwise(F.lit(0.0))
-            for q, w in self.should
-        ]
+        contributions = []
+        for q, w in self.should:
+            p = q.predicate(spark, resolve)
+            if q.CONSTANT_SCORE:
+                c = F.when(p, F.lit(float(w))).otherwise(F.lit(0.0))
+            else:
+                c = F.when(p, F.lit(w) * q.score(spark, resolve)).otherwise(
+                    F.lit(0.0)
+                )
+            contributions.append(c)
         if not contributions:
             return F.lit(0.0)
         total = contributions[0]

@@ -24,6 +24,9 @@ ES's overwrite-by-id would.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +61,51 @@ def write_documents(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def increment_counters(
+    spark,
+    path: str,
+    deltas: DataFrame,
+    id_col: str = "id",
+    counter_col: str = "retweet_count",
+    delta_col: str = "delta",
+) -> int:
+    """S11 analogue: batch update-in-place of a counter column.
+
+    The reference applies ``ctx._source.retweet_count += params.n`` per
+    document through ES's ``_update`` + Painless (docs/protokol.md:596-611).
+    The Spark-first batch equivalent: read the id-keyed dataset, left-join
+    the (id, delta) updates, add the delta, and atomically swap the dataset
+    directory (write-to-temp + rename — reading and overwriting the SAME
+    parquet path in one job would race the file deletion). Documents
+    without a delta pass through unchanged; deltas for unknown ids are
+    ignored (ES would 404 them). Returns the number of documents updated.
+
+    One scan + one broadcast-or-shuffle join at any scale; a transactional
+    table format (Delta MERGE) is the upsert-grade version of the same
+    logical plan.
+    """
+    docs = spark.read.parquet(path)
+    d = deltas.select(
+        F.col(id_col).alias("_upd_id"), F.col(delta_col).alias("_delta")
+    )
+    updated = (
+        docs.join(F.broadcast(d), docs[id_col] == d["_upd_id"], "left")
+        .withColumn(
+            counter_col,
+            (F.col(counter_col) + F.coalesce(F.col("_delta"), F.lit(0))).cast(
+                dict(docs.dtypes)[counter_col]
+            ),
+        )
+        .drop("_upd_id", "_delta")
+    )
+    n_updated = docs.join(d, docs[id_col] == d["_upd_id"], "left_semi").count()
+    tmp = path.rstrip("/") + ".updating"
+    updated.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_updated
 
 
 def document_json(df: DataFrame, id_col: str = "id") -> DataFrame:

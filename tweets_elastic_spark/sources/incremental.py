@@ -73,29 +73,31 @@ def ingest_increment(
 
     Two failure modes of the naive read-stats-then-write version are closed:
 
-    * The increment is persisted so stats (count/max) and the write come
-      from ONE materialization — rows landing in the source between two
-      separate scans can no longer be written yet left above the recorded
-      watermark (they arrive with the next increment instead).
+    * Stats (count/max) ride the write job itself via ``observe()`` — ONE
+      scan serves both, so rows landing in the source between two separate
+      scans can no longer be written yet left above the recorded watermark
+      (they arrive with the next increment instead).
     * Each increment writes to a deterministic partition directory
       ``ingest_wm=<old watermark>`` with overwrite semantics. A crash
       between the write and ``store.set`` replays the SAME increment into
       the SAME directory — at-least-once becomes effectively-once without
       a transactional sink. Readers see the batch lineage as an
       ``ingest_wm`` partition column (``spark.read.parquet(sink_path)``)."""
+    from pyspark.sql import Observation
+
     wm = store.get(f"{table}.{key}")
-    inc = read_increment(spark, sf_dir, table, key, wm).persist()
-    try:
-        agg = inc.agg(
-            F.count(F.lit(1)).alias("n"), F.max(F.col(key)).alias("mx")
-        ).head()
-        n, mx = agg["n"], agg["mx"]
-        if n == 0:
-            return 0
-        inc.write.mode("overwrite").parquet(
-            os.path.join(sink_path, f"ingest_wm={wm}")
-        )
-        store.set(f"{table}.{key}", int(mx))
-        return int(n)
-    finally:
-        inc.unpersist()
+    # A4 analogue: running counters ride the write job via observe() — the
+    # reference's processed_rows/last_id bookkeeping (src/main.py:112-156)
+    # without a second scan. ONE pass computes stats AND writes, so the
+    # recorded watermark describes exactly the rows that were written.
+    obs = Observation()
+    inc = read_increment(spark, sf_dir, table, key, wm).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.max(F.col(key)).alias("mx")
+    )
+    inc.write.mode("overwrite").parquet(os.path.join(sink_path, f"ingest_wm={wm}"))
+    metrics = obs.get
+    n, mx = metrics["n"], metrics["mx"]
+    if n == 0:
+        return 0
+    store.set(f"{table}.{key}", int(mx))
+    return int(n)

@@ -39,6 +39,7 @@ HEADLINE = [
     # search + text
     "search_function_score",
     "search_materialized_tokens",
+    "search_bm25",
     "analyze_englando",
     "analyze_ngram",
     "quality_score",

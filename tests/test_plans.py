@@ -1,0 +1,115 @@
+"""Physical-plan audits: the properties that make these queries viable at
+100 TB, pinned as assertions so a refactor can't silently regress them
+(SURVEY §4 — pushdown/pruning/broadcast are Catalyst's job, but only if the
+queries stay expressed so Catalyst can do it).
+
+Checked per query shape:
+* filter pushdown reaches the parquet scan (``DataFilters`` non-empty);
+* column pruning (scans read only referenced columns, not ``*``);
+* top-k compiles to ``TakeOrderedAndProject`` (per-partition top-k + merge,
+  the Lucene scatter-gather analogue) — never a global Sort;
+* small dims join as ``BroadcastHashJoin`` (no shuffle of the big side);
+* aggregations are partial+final (map-side combine before the exchange);
+* no ``CartesianProduct`` anywhere, including the LSH dedup pair joins.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tweets_elastic_spark import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.get(name).fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scans(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_keyset_page_pushdown_topk(spark):
+    p = plan_of(spark, "keyset_page")
+    assert "TakeOrderedAndProject" in p  # ORDER BY + LIMIT never global-sorts
+    scan = scans(p)[0]
+    assert "o_orderkey" in scan and "(o_orderkey" in scan  # predicate pushed
+    # pruned: the scan reads 3 columns, not the 6-column orders schema
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert len(cols.split(",")) == 3
+
+
+def test_topk_orders_take_ordered(spark):
+    p = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject(limit=10" in p
+    assert "Sort " not in p  # no global sort for a top-k
+
+
+def test_star_join_broadcasts_dim(spark):
+    p = plan_of(spark, "star_join_project")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dim is broadcast, fact never shuffles
+    cust_scan = next(s for s in scans(p) if "customer.parquet" in s)
+    assert "c_acctbal" in cust_scan and "1000" in cust_scan  # filter pushed
+
+
+def test_snowflake_dims_broadcast_chain(spark):
+    p = plan_of(spark, "snowflake_dim_join")
+    assert p.count("BroadcastHashJoin") == 2  # nation AND region broadcast
+    assert "partial_count" in p and "partial_sum" in p  # map-side combine
+
+
+def test_denorm_single_copartitioned_shuffle(spark):
+    p = plan_of(spark, "denorm_order_lineitems")
+    assert "CartesianProduct" not in p
+    # exactly one hash exchange: children aggregate on l_orderkey, then the
+    # grouped (small) side broadcasts to the orders scan
+    assert len(re.findall(r"Exchange hashpartitioning\(l_orderkey", p)) == 1
+    assert "partial_collect_list" in p  # A1 combines map-side
+    li_scan = next(s for s in scans(p) if "lineitem.parquet" in s)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", li_scan).group(1)
+    assert len(cols.split(",")) == 3  # 11-column table pruned to 3
+
+
+def test_pricing_summary_pushdown_partial_agg(spark):
+    p = plan_of(spark, "pricing_summary")
+    assert "partial_sum" in p
+    scan = scans(p)[0]
+    assert "l_shipdate" in scan  # timestamp filter pushed to the scan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "jaccard_near_dups",
+        "minhash_lsh_near_dups",
+        "simhash_near_dups",
+        "embedding_near_dups",
+        "tweet_documents_flat",
+        "search_function_score",
+        "search_materialized_tokens",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    """Every pair-generating operator joins on a key (shingle, band bucket,
+    LSH probe) — an accidental cross join would be quadratic at any scale."""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tweet_documents_broadcasts_dims(spark):
+    """Snowflake dims (entities, domains, hashtags) broadcast; the fact side
+    shuffles only on the document key."""
+    p = plan_of(spark, "tweet_documents_flat")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "partial_collect_list" in p  # children combine map-side
+
+
+def test_ann_topk_is_take_ordered(spark):
+    p = plan_of(spark, "ann_cosine_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p  # single scan, no shuffle

@@ -125,3 +125,48 @@ def test_range_bounds(spark):
     q = Bool(filter=[Range("x", gte=3, lt=7)])
     got = sorted(r["x"] for r in search(df, q, k=None).collect())
     assert got == [3, 4, 5, 6]
+
+
+# -- BM25 ----------------------------------------------------------------------
+
+def test_bm25_ranking_properties(spark):
+    """Rare terms outweigh common ones (idf) and repetition saturates (tf)."""
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.functions.analyzers import analyze_text, materialize_tokens
+    from tweets_elastic_spark.plans.search import BM25Match, bm25_stats, search, Bool, FunctionScore
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common filler one"),
+            (2, "common filler two padding words"),
+            (3, "rare rare rare rare rare rare"),
+            (4, "totally unrelated text here now"),
+            (5, "common common common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    df = materialize_tokens(df, {"text": ["keyword_lowercase"]})
+    # tokenize per word instead of keyword for this test
+    df = df.withColumn("toks", F.split(F.lower(F.col("text")), " "))
+    qt = ["rare", "common"]
+    stats = bm25_stats(df, "toks", qt)
+    assert stats.n_docs == 5.0
+    assert stats.df["rare"] == 2.0 and stats.df["common"] == 3.0
+
+    match = BM25Match("text", "rare common", analyzer="keyword_lowercase",
+                      tokens_col="toks", stats=stats)
+    # analyzer only feeds query-side tokens; patch them via monkey tokens
+    match._query_tokens = lambda spark: qt
+    out = search(df, FunctionScore(Bool(should=[(match, 1.0)])), k=None)
+    scores = {r["doc_id"]: r["score"] for r in out.collect()}
+    # coverage beats repetition: doc 1 (both terms) > doc 3 (6x rare only),
+    # and the rarer term outweighs the commoner (doc 3 > doc 2, idf)
+    assert scores[1] > scores[3] > scores[2]
+    # no query token → zero; 5x the common term still loses to 1x rare
+    assert scores[4] == 0.0
+    assert scores[5] < scores[3]
+    # tf saturation: 6 repetitions score far below 6x one occurrence
+    import math
+    idf_rare = math.log(1 + (5 - 2 + 0.5) / 2.5)
+    one_rare_at_dl6 = idf_rare * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 6 / stats.avgdl))
+    assert scores[3] < 2 * one_rare_at_dl6

@@ -131,6 +131,93 @@ class Match(Query):
 
 
 @dataclass
+class Bm25Stats:
+    """Corpus statistics BM25 needs: doc count, mean doc length (in tokens),
+    and document frequency per query token. Computed in ONE aggregation job
+    by ``bm25_stats``; at production scale these live with the index
+    (materialized at ingest alongside the token columns), exactly like
+    Lucene's segment statistics."""
+
+    n_docs: float
+    avgdl: float
+    df: dict[str, float]
+
+
+def bm25_stats(df: DataFrame, tokens_col: str, query_tokens: list[str]) -> Bm25Stats:
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.size(F.col(tokens_col))).alias("_avgdl"),
+    ] + [
+        F.sum(F.array_contains(F.col(tokens_col), t).cast("long"))
+        .cast("double")
+        .alias(f"_df_{i}")
+        for i, t in enumerate(query_tokens)
+    ]
+    row = df.agg(*aggs).head()
+    return Bm25Stats(
+        n_docs=float(row["_n"]),
+        avgdl=float(row["_avgdl"]),
+        df={t: float(row[f"_df_{i}"]) for i, t in enumerate(query_tokens)},
+    )
+
+
+@dataclass
+class BM25Match(Query):
+    """Q5 with real relevance: Okapi BM25 over a materialized token column
+    (the scoring ES applies to ``match``, which v1 scoped to constant
+    weights — SURVEY §7 risk 4). Per query token t:
+
+        idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))          (Lucene idf)
+        tf_sat = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))  (saturation)
+        score  = Σ idf(t) · tf_sat(t, doc)
+
+    All per-doc math is JVM Column expressions over the token array
+    (``size(filter(tokens, = t))``); corpus stats arrive as literals from
+    ``bm25_stats``. Absent tokens contribute 0 naturally (tf = 0)."""
+
+    CONSTANT_SCORE = False
+
+    field: str
+    text: str
+    analyzer: str
+    tokens_col: str
+    stats: Bm25Stats
+    k1: float = 1.2
+    b: float = 0.75
+
+    def _query_tokens(self, spark) -> list[str]:
+        return analyze_text(spark, self.text, self.analyzer)
+
+    def predicate(self, spark, resolve) -> Column:
+        qt = self._query_tokens(spark)
+        if not qt:
+            return F.lit(False)
+        return F.arrays_overlap(
+            resolve(self.tokens_col), F.array(*[F.lit(t) for t in qt])
+        )
+
+    def score(self, spark, resolve) -> Column:
+        import math
+
+        toks = resolve(self.tokens_col)
+        dl = F.size(toks).cast("double")
+        total = F.lit(0.0)
+        for t in self._query_tokens(spark):
+            df_t = self.stats.df.get(t, 0.0)
+            idf = math.log(
+                1.0 + (self.stats.n_docs - df_t + 0.5) / (df_t + 0.5)
+            )
+            tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+            sat = (tf * F.lit(self.k1 + 1.0)) / (
+                tf
+                + F.lit(self.k1)
+                * (F.lit(1.0 - self.b) + F.lit(self.b) * dl / F.lit(self.stats.avgdl))
+            )
+            total = total + F.lit(idf) * sat
+        return total
+
+
+@dataclass
 class Range(Query):
     """Q7 (elastic_queries.json:25,28): numeric/temporal comparisons."""
 

@@ -5,6 +5,7 @@ filter → score → top-k plan, with a full SQL oracle."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tweets_elastic_spark.functions.analyzers import materialize_tokens
 from tweets_elastic_spark.plans.search import Bool, Match, Range, Term, FunctionScore, search
@@ -110,6 +111,62 @@ def q_search_materialized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return search(docs, query, k=25, tiebreak="doc_id").select(
         "doc_id", "lang", "n_chars", "score"
+    )
+
+
+# BM25 oracle: same Lucene-style formula, computed entirely in SQL from the
+# same shingle tokens (k1=1.2, b=0.75; idf = ln(1+(N-df+0.5)/(df+0.5))).
+_BM25_TOKENS = ["spark", "merge", "sparkmerge"]
+_BM25_SCORE_SQL = " + ".join(
+    f"""ln(1.0 + (s.n - d.df_{t} + 0.5)/(d.df_{t} + 0.5))
+        * (CAST(len(list_filter(tokens, x -> x = '{t}')) AS DOUBLE) * 2.2)
+        / (CAST(len(list_filter(tokens, x -> x = '{t}')) AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * CAST(len(tokens) AS DOUBLE) / s.avgdl))"""
+    for t in _BM25_TOKENS
+)
+_BM25_DF_SQL = ", ".join(
+    f"CAST(sum(CASE WHEN list_contains(tokens, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
+    for t in _BM25_TOKENS
+)
+
+
+@register(
+    "search_bm25",
+    oracle=_TOKENS_CTE + f""",
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               avg(CAST(len(tokens) AS DOUBLE)) AS avgdl
+        FROM toks
+    ),
+    dfs AS (SELECT {_BM25_DF_SQL} FROM toks)
+    SELECT doc_id, lang,
+           round({_BM25_SCORE_SQL}, 6) AS score
+    FROM toks, stats s, dfs d
+    WHERE lang = 'en'
+      AND list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+    """,
+    doc="Okapi BM25 relevance over the custom_shingles token column "
+        "(ES match scoring, SURVEY §7 risk 4 — the v2 item): corpus stats "
+        "from one aggregation job, per-doc tf/dl math as JVM expressions; "
+        "the oracle recomputes the identical formula in SQL.",
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.plans.search import BM25Match, bm25_stats
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = materialize_tokens(docs, {"text": ["custom_shingles"]})
+    qtokens = analyze_text(spark, "spark merge", "custom_shingles")
+    stats = bm25_stats(docs, "text__custom_shingles", qtokens)
+    match = BM25Match(
+        "text", "spark merge", analyzer="custom_shingles",
+        tokens_col="text__custom_shingles", stats=stats,
+    )
+    query = FunctionScore(
+        Bool(should=[(match, 1.0)], filter=[Term("lang", "en"), match])
+    )
+    return search(docs, query, k=None).select(
+        "doc_id", "lang", F.round("score", 6).alias("score")
     )
 
 

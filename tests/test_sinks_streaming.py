@@ -291,3 +291,70 @@ def test_increment_counters_update_in_place(spark, tmp_path):
     empty = spark.createDataFrame([], "id long, delta int")
     assert increment_counters(spark, path, empty) == 0
     assert {r["id"]: r["retweet_count"] for r in spark.read.parquet(path).collect()} == back
+
+
+# -- streaming dedup -----------------------------------------------------------
+
+def test_streaming_dedup_exact_suppresses_in_horizon_dups(spark, tmp_path):
+    """Duplicates arriving within the watermark horizon are suppressed;
+    distinct texts all pass."""
+    from tweets_elastic_spark.streaming.dedup import streaming_dedup_exact
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows = [
+        (1, "alpha beta gamma", "2024-01-01 10:00:00"),
+        (2, "Alpha  beta GAMMA", "2024-01-01 10:05:00"),   # dup of 1 (normalized)
+        (3, "something different", "2024-01-01 10:10:00"),
+        (4, "alpha beta gamma", "2024-01-01 10:20:00"),     # dup of 1, in horizon
+        (5, "yet another doc", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, raw_ts string")
+    df = df.withColumn("ts", F.to_timestamp("raw_ts")).drop("raw_ts")
+    # stage FLAT files: the file-stream source does not recurse into the
+    # directory-per-dataset layout df.write.parquet produces
+    staging = tmp_path / "staging"
+    df.coalesce(1).write.parquet(str(staging))
+    import glob
+
+    for i, part in enumerate(glob.glob(str(staging / "part-*.parquet"))):
+        shutil.copy(part, src / f"batch{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(str(src))
+    )
+    out = (
+        streaming_dedup_exact(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    out.awaitTermination(120)
+    survivors = {r["doc_id"] for r in spark.sql("select * from dedup_out").collect()}
+    # one survivor per distinct normalized text
+    assert len(survivors) == 3
+    assert 3 in survivors and 5 in survivors
+    assert len(survivors & {1, 2, 4}) == 1
+
+
+def test_salted_collect_list_matches_plain_groupby(spark):
+    """Two-stage salted aggregation == plain groupBy+collect_list (sorted),
+    including under a pathologically hot key."""
+    from tweets_elastic_spark.operators.skew import salted_collect_list
+
+    rows = [(1, f"v{i:04d}") for i in range(500)] + [(k, f"x{k}") for k in range(2, 30)]
+    df = spark.createDataFrame(rows, "key long, val string")
+    salted = {
+        r["key"]: list(r["vals"])
+        for r in salted_collect_list(df, "key", F.col("val"), "vals", salts=8).collect()
+    }
+    plain = {
+        r["key"]: sorted(r["vals"])
+        for r in df.groupBy("key").agg(F.collect_list("val").alias("vals")).collect()
+    }
+    assert salted == plain
+    assert len(salted[1]) == 500

@@ -258,6 +258,68 @@ def q_range_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Analytic window: latest row per key via row_number() — the "
+        "keeper-selection pattern (newest document per author) that exact "
+        "dedup and update-in-place pipelines build on. One shuffle on the "
+        "partition key; WindowExec streams sorted groups, no materialized "
+        "per-group arrays.",
+)
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "corpus_profile",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Corpus profiling for pipeline triage: per-language doc counts, "
+        "distinct sources, char-length extrema/total — grouped aggregation "
+        "with a distinct count (partial aggregation + expand) over the "
+        "documents table.",
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "match_all_count",
     oracle="SELECT count(*) AS n_docs FROM documents",
     doc="match_all + count verification (Q8/A2/A3, docs/protokol.md:544-550,643).",

@@ -66,8 +66,8 @@ def dedup_exact(
 # Word-shingle machinery shared by Jaccard / MinHash
 # ---------------------------------------------------------------------------
 
-def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) of the lowercased text.
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) from a token-array column.
 
     Built by zipping k position-shifted copies of the token array — the
     token arrays appear only as DIRECT arguments of ``slice``/``zip_with``,
@@ -76,8 +76,12 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     re-evaluates the whole tokenization expression for EVERY shingle
     position (Catalyst inlines outer expressions into HOF lambdas without
     CSE), turning shingling O(tokens²) per doc — measured 20× slower at
-    sf0.1."""
-    toks = F.transform(simple_tokens(c), F.lower)
+    sf0.1.
+
+    Pass ``toks`` as a COLUMN REFERENCE from its own projection (see
+    ``_tokens_projection``), not an inline expression: this expression
+    still references its input ~6 times (size, k slices, fallback join),
+    and only an attribute makes those references free."""
     n = F.size(toks)
     # acc[i] = toks[i] ' ' toks[i+1] ... ' ' toks[i+j]; positions past
     # n-j get NULL (zip_with pads the shorter shifted side) and stay NULL.
@@ -103,15 +107,40 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     return F.array_distinct(shingled)
 
 
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Shingles straight from a text column (convenience for small inputs;
+    the scan-scale operators below tokenize in a separate projection so the
+    regex tokenization runs once per row — ``_tokens_projection``)."""
+    return word_shingles_from_tokens(F.transform(simple_tokens(c), F.lower), k)
+
+
+def _tokens_projection(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(_id, _toks) with lowercased tokens in their OWN projection.
+
+    Downstream shingle/signature expressions reference the token array many
+    times; keeping tokenization in a separate Project node means Catalyst's
+    CollapseProject refuses to inline it (expensive expression, multiple
+    references) and it executes once per row. ``fan_out`` additionally
+    spreads the CPU-heavy downstream stages across all cores."""
+    return fan_out(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(simple_tokens(F.col(text_col)), F.lower).alias("_toks"),
+        )
+    )
+
+
 def _shingle_posting_list(
     df: DataFrame, text_col: str, id_col: str, k: int, max_df: int | None
 ) -> DataFrame:
     """(id, shingle) postings, optionally dropping high-document-frequency
     shingles (skew guard: a stopword-ish shingle would otherwise join
     O(df²) pairs)."""
-    posts = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    posts = _tokens_projection(df, text_col, id_col).select(
+        "_id",
+        F.explode(word_shingles_from_tokens(F.col("_toks"), k)).alias("_sh"),
     )
     if max_df is not None:
         hot = posts.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df")).filter(
@@ -135,7 +164,7 @@ def jaccard_pairs(
     Cost: Σ_shingle df² instead of |docs|² — sub-quadratic on real corpora;
     cap pathological shingles with ``max_df`` at scale.
     """
-    posts = _shingle_posting_list(fan_out(df), text_col, id_col, k, max_df)
+    posts = _shingle_posting_list(df, text_col, id_col, k, max_df)
     sizes = posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
 
     a = posts.alias("a")
@@ -234,11 +263,11 @@ def minhash_lsh_candidates(
     agreement (verify with jaccard_pairs for the exact value).
     """
     rows_per_band = num_hashes // bands
-    sig = fan_out(df).select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text_col), k), num_hashes, seed).alias(
-            "_sig"
-        ),
+    sig = _tokens_projection(df, text_col, id_col).select(
+        "_id",
+        minhash_signature(
+            word_shingles_from_tokens(F.col("_toks"), k), num_hashes, seed
+        ).alias("_sig"),
     )
     # The signature table is referenced four times below (two band-join sides
     # + two re-attachments). Persist it so the Arrow-batched minhash UDF runs

@@ -133,7 +133,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs, max_distance=3)
 
 
-def _rh_sig_sql(vec_expr: str, n_bits: int = 8, dim: int = 64, seed: int = 7) -> str:
+def _rh_sig_sql(vec_expr: str, n_bits: int = 12, dim: int = 64, seed: int = 7) -> str:
     """Random-hyperplane signature as a SQL expression with LITERAL planes —
     the exact doubles Spark's rh_signature_col uses (fixed NumPy seed), so
     DuckDB and Spark compute bit-identical signatures."""
@@ -177,7 +177,7 @@ def _rh_sig_sql(vec_expr: str, n_bits: int = 8, dim: int = 64, seed: int = 7) ->
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_near_pairs_lsh(emb, threshold=0.45, n_bits=8, seed=7)
+    return D.embedding_near_pairs_lsh(emb, threshold=0.45, n_bits=12, seed=7)
 
 
 @register(

@@ -358,3 +358,15 @@ def test_salted_collect_list_matches_plain_groupby(spark):
     }
     assert salted == plain
     assert len(salted[1]) == 500
+
+
+# -- S6: ES connector (optional; sandbox has no jar) --------------------------
+
+def test_write_elasticsearch_clear_error_without_connector(spark):
+    """Without the connector jar on the classpath the sink must fail with
+    actionable guidance, not a raw ClassNotFoundException."""
+    from tweets_elastic_spark.sinks import write_elasticsearch
+
+    df = spark.createDataFrame([(1, "x")], "id long, content string")
+    with pytest.raises(RuntimeError, match="elasticsearch-spark connector"):
+        write_elasticsearch(df, "tweets")

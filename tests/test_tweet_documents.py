@@ -121,3 +121,42 @@ def test_parent_with_hashtags_gets_sorted_list(docs):
                 assert tags == sorted(parent_tags[ref["id"]])
                 found = True
     assert found, "fixture should contain at least one parent with hashtags"
+
+
+def test_document_field_paths_match_reference_sample(spark, docs):
+    """Every nested field path in the reference's own golden document
+    (/root/reference/docs/sample_document.json:5-94, the `_source` body)
+    exists in our document schema, and vice versa — wire-format parity a
+    reference user can rely on when switching engines."""
+    import json
+
+    sample = json.load(open("/root/reference/docs/sample_document.json"))["_source"]
+
+    def sample_paths(obj, prefix=""):
+        out = set()
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                out.add(prefix + k)
+                out |= sample_paths(v, prefix + k + ".")
+        elif isinstance(obj, list):
+            for el in obj:
+                out |= sample_paths(el, prefix)
+        return out
+
+    from pyspark.sql.types import ArrayType, StructType
+
+    def schema_paths(dt, prefix=""):
+        out = set()
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                out.add(prefix + f.name)
+                out |= schema_paths(f.dataType, prefix + f.name + ".")
+        elif isinstance(dt, ArrayType):
+            out |= schema_paths(dt.elementType, prefix)
+        return out
+
+    df, _ = docs
+    ours = schema_paths(df.schema)
+    theirs = sample_paths(sample)
+    assert theirs <= ours, f"missing from our schema: {sorted(theirs - ours)}"
+    assert ours <= theirs, f"extra fields not in reference: {sorted(ours - theirs)}"

@@ -44,6 +44,47 @@ def cosine_topk(
     )
 
 
+def cosine_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched top-k: many query vectors against the corpus in ONE job.
+
+    The single-query variant fetches its vector with a driver ``.head()``
+    per invocation — fine for one query, a driver round-trip per query for
+    a workload. Here the query set is a DataFrame: broadcast it against the
+    corpus (small × big nested-loop is the RIGHT plan — every (query, doc)
+    pair must be scored), then per-query top-k via a ranking window over
+    the query id. One tiny shuffle on query_id; corpus scanned once
+    regardless of query count.
+
+    Returns (q_id, {id_col}, score) with ≤ k rows per q_id.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(query_vec_col).alias("_qv"),
+        )
+    )
+    scored = embeddings.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    scored = scored.withColumn("_cos", cosine(F.col(vec_col), F.col("_qv")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col, F.round("_cos", 6).alias("score"))
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_bits, dim)

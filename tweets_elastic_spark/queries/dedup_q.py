@@ -220,6 +220,36 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_multi_query_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                            e.vec_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS score
+    FROM scored WHERE rn <= 3
+    """,
+    doc="Batched similarity search: 5 query vectors × corpus in one job — "
+        "broadcast queries, score, per-query ranking window. No per-query "
+        "driver round-trip (the single-query .head() pattern batched away).",
+)
+def q_ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk_multi(emb, queries, k=3)
+
+
+@register(
     "ann_lsh_topk",
     oracle=None,  # approximate; recall vs the exact baseline pinned in tests
     doc="LSH-bucketed ANN top-k (random hyperplanes + multiprobe + rerank).",

@@ -67,3 +67,92 @@ def test_metadata_plan_prunes_payload(spark):
     assets = _assets(spark)
     plan = assets.select("modality").distinct()._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+# -- real stdlib codecs (PPM images, WAV audio) --------------------------------
+
+def _make_ppm_df(spark, arrays):
+    import numpy as np
+    from tweets_elastic_spark.functions.multimodal import MIME_PPM, encode_ppm
+
+    rows = [(i, "image", bytearray(encode_ppm(np.array(a, dtype=np.uint8))), MIME_PPM)
+            for i, a in enumerate(arrays)]
+    return spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary, mime_type string"
+    )
+
+
+def test_ppm_roundtrip_and_decode(spark):
+    import numpy as np
+    from tweets_elastic_spark.functions.multimodal import decode_assets, decode_ppm, encode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)  # H=2, W=3
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comment + whitespace variants in the header parse too
+    variant = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    assert (decode_ppm(variant) == img).all()
+
+    out = decode_assets(_make_ppm_df(spark, [img])).head()
+    assert (out["width"], out["height"]) == (3, 2)
+
+
+def test_ppm_nearest_neighbor_resize_exact(spark):
+    import numpy as np
+    from tweets_elastic_spark.functions.multimodal import decode_ppm, resize_images
+
+    # 2x2 quadrant image upscaled 2x: each pixel becomes a 2x2 block
+    q = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    out = resize_images(_make_ppm_df(spark, [q]), width=4, height=4).head()
+    resized = decode_ppm(bytes(out["payload"]))
+    assert resized.shape == (4, 4, 3)
+    expected = q.repeat(2, axis=0).repeat(2, axis=1)
+    assert (resized == expected).all()
+    # downscale back to 2x2 recovers the original quadrants
+    back = resize_images(_make_ppm_df(spark, [expected]), width=2, height=2).head()
+    assert (decode_ppm(bytes(back["payload"])) == q).all()
+
+
+def test_wav_decode_meta(spark):
+    import io
+    import wave as wavmod
+    from tweets_elastic_spark.functions.multimodal import MIME_WAV, decode_assets
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"\x00\x01" * 1234)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), MIME_WAV)],
+        "asset_id long, modality string, payload binary, mime_type string",
+    )
+    out = decode_assets(df).head()
+    assert (out["width"], out["height"]) == (16000, 1234)  # (rate, frames)
+
+
+def test_ppm_real_features_channel_stats(spark):
+    import numpy as np
+    from tweets_elastic_spark.functions.multimodal import extract_features
+
+    solid_red = np.zeros((4, 4, 3), dtype=np.uint8)
+    solid_red[:, :, 0] = 255
+    out = extract_features(_make_ppm_df(spark, [solid_red]), dim=6).head()
+    f = [round(float(x), 6) for x in out["features"]]
+    assert f == [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # means then stds, /255
+
+
+def test_stub_mimes_raise_clearly(spark):
+    import pytest as pt
+    from pyspark.sql.utils import PythonException
+    from tweets_elastic_spark.functions.multimodal import decode_assets
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff"), "image/jpeg")],
+        "asset_id long, modality string, payload binary, mime_type string",
+    )
+    with pt.raises(PythonException, match="requires PIL/ffmpeg"):
+        decode_assets(df).collect()

@@ -132,7 +132,7 @@ def test_range_bounds(spark):
 def test_bm25_ranking_properties(spark):
     """Rare terms outweigh common ones (idf) and repetition saturates (tf)."""
     from pyspark.sql import functions as F
-    from tweets_elastic_spark.functions.analyzers import analyze_text, materialize_tokens
+    from tweets_elastic_spark.functions.analyzers import materialize_tokens
     from tweets_elastic_spark.plans.search import BM25Match, bm25_stats, search, Bool, FunctionScore
 
     df = spark.createDataFrame(

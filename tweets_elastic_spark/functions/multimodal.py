@@ -3,23 +3,27 @@
 
 Images/audio/video ride through the engine as ``binary`` columns. The three
 canonical operations — decode/inspect, feature extraction, frame sampling —
-are Arrow-batched ``mapInPandas`` transforms: the Spark-side plumbing
-(schemas, batch shapes, 1→1 and 1→N row mappings, partition preservation)
-is real and tested; the codec itself is STUBBED because no image/audio
-library ships in this container:
+are Arrow-batched ``mapInPandas`` transforms with REAL codecs for the
+formats the Python stdlib can handle and clearly-marked stubs for the rest:
 
-* ``decode_assets`` parses the deterministic fake header laid down by
-  ``attach_payload`` (or any 8-byte WxH header). A real deployment swaps
-  ``_decode_one`` for PIL/ffmpeg — the function raises NotImplementedError
-  for real codecs to make the boundary unmistakable.
-* ``extract_features`` derives a fixed-dim float vector from payload bytes
-  (hash-fold) — stands in for a vision/audio encoder; shape and dtype
-  contracts are what the similarity operators downstream consume.
-* ``sample_frames`` emits N rows per video asset (1→N inside one Arrow
-  batch) — the explode-shaped plumbing a real frame sampler needs.
+* **Real**: binary netpbm P6 (PPM) images — header parse, pixel access,
+  nearest-neighbor resize (``resize_images``), channel-mean features — and
+  RIFF/WAV audio via the stdlib ``wave`` module (sample-rate/frame counts).
+  No external library involved; these paths are exact and tested.
+* **Stub**: compressed codecs (JPEG/PNG/MP4/…) need PIL/ffmpeg, which this
+  container doesn't ship — ``_decode_one`` raises ``NotImplementedError``
+  for those mimes so the boundary is unmistakable; the deterministic fake
+  (``application/x-fake``, byte-length pseudo-dims) keeps the plumbing
+  testable at scale.
+
+``extract_features`` yields a fixed-dim float vector per asset (channel
+statistics for PPM, hash-fold elsewhere) — the contract the similarity
+operators downstream consume. ``sample_frames`` emits N rows per video
+asset (1→N inside one Arrow batch) — the explode-shaped plumbing a real
+frame sampler needs.
 
 At 100 TB: binary payloads dominate row size, so these transforms must not
-shuffle — all three are narrow (mapInPandas preserves partitioning), and
+shuffle — all are narrow (mapInPandas preserves partitioning), and
 metadata-only plans prune the payload column entirely (nested-schema
 pruning keeps the scan payload-free when only width/height are selected).
 """
@@ -27,6 +31,8 @@ pruning keeps the scan payload-free when only width/height are selected).
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,7 +47,55 @@ DECODED_SCHEMA = (
 FEATURES_SCHEMA = "asset_id long, features array<float>"
 FRAMES_SCHEMA = "asset_id long, frame_idx int, byte_offset long, frame_sha string"
 
-REAL_CODECS = False  # flip when PIL/ffmpeg are available in the image
+# mimes with a real stdlib decode path
+MIME_PPM = "image/x-portable-pixmap"
+MIME_WAV = "audio/x-wav"
+# compressed formats that genuinely need PIL/ffmpeg — stubbed
+STUB_MIMES = {"image/jpeg", "image/png", "video/mp4", "audio/mpeg"}
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (pure stdlib/NumPy)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary netpbm P6 bytes."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary netpbm P6 → (H, W, 3) uint8. Header: magic, whitespace/
+    comment-separated width height maxval, single whitespace, raster."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def decode_wav_meta(payload: bytes) -> tuple[int, int]:
+    """WAV → (sample_rate, n_frames) via the stdlib wave reader."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        return wf.getframerate(), wf.getnframes()
 
 
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -59,13 +113,19 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def _decode_one(payload: bytes, modality: str) -> tuple[int, int]:
-    """STUB codec: deterministic pseudo-dimensions from byte length.
-    A real decoder would dispatch on modality/mime and raise here only
-    for genuinely unsupported codecs."""
-    if REAL_CODECS:
+def _decode_one(payload: bytes, modality: str, mime: str) -> tuple[int, int]:
+    """Dispatch by mime: real decode for PPM/WAV, deterministic fake dims
+    for the synthetic payloads, explicit NotImplementedError for codecs
+    that require PIL/ffmpeg."""
+    if mime == MIME_PPM:
+        img = decode_ppm(payload)
+        return img.shape[1], img.shape[0]
+    if mime == MIME_WAV:
+        rate, frames = decode_wav_meta(payload)
+        return rate, frames
+    if mime in STUB_MIMES:
         raise NotImplementedError(
-            "real image/audio decode requires PIL/ffmpeg — not in this container"
+            f"{mime} decode requires PIL/ffmpeg — not in this container"
         )
     n = len(payload)
     return 1 + n % 640, 1 + n % 480
@@ -76,7 +136,10 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_one(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            dims = [
+                _decode_one(p, m, t)
+                for p, m, t in zip(pdf["payload"], pdf["modality"], pdf["mime_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -91,6 +154,39 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "asset_id long, payload binary, width int, height int"
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for PPM images (pure NumPy index
+    sampling), re-encoded to PPM — the canonical payload-transforming
+    multimodal op: binary in, binary out, narrow (no shuffle), payload
+    never leaves the executor. Non-PPM mimes raise (resize of compressed
+    formats needs a real decoder first)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for p, t in zip(pdf["payload"], pdf["mime_type"]):
+                if t != MIME_PPM:
+                    raise NotImplementedError(f"resize for {t} requires PIL")
+                img = decode_ppm(p)
+                h, w = img.shape[:2]
+                rows = (np.arange(height) * h) // height
+                cols = (np.arange(width) * w) // width
+                out_payload.append(encode_ppm(img[rows][:, cols]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     """1→1 feature extraction: fixed-dim float vector per asset. The stub
     folds sha256 bytes into ``dim`` floats in [-1, 1] — deterministic, so
@@ -99,7 +195,15 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for p in pdf["payload"]:
+            for p, t in zip(pdf["payload"], pdf["mime_type"]):
+                if t == MIME_PPM:
+                    # real image features: per-channel mean/std, tiled to dim
+                    img = decode_ppm(p).astype(np.float32)
+                    stats = np.concatenate(
+                        [img.mean(axis=(0, 1)) / 255.0, img.std(axis=(0, 1)) / 255.0]
+                    )
+                    feats.append(np.resize(stats, dim).astype(np.float32))
+                    continue
                 digest = hashlib.sha256(p).digest()
                 raw = np.frombuffer(
                     (digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32

@@ -87,14 +87,24 @@ def attach_children(
 # Flagship #1 — the reference's own document: tweets star → nested documents
 # ---------------------------------------------------------------------------
 
-def build_tweet_documents(t: dict[str, DataFrame]) -> DataFrame:
+def build_tweet_documents(
+    t: dict[str, DataFrame], spine: DataFrame | None = None
+) -> DataFrame:
     """Assemble the full denormalized tweet document (queries.sql:18-71).
 
     ``t`` maps table name → DataFrame for the ten tweets-star tables
     (schemas.TWEETS_TABLES). Output schema == schemas.TWEETS_DOCUMENT.
-    """
+
+    ``spine`` optionally restricts WHICH conversations become documents
+    (the keyset page, src/main.py:98-100) while every lookup — parent
+    tweets (J6), parent authors (J7), parent hashtags (J8) — still
+    resolves against the FULL ``t["conversations"]``/``t["authors"]``,
+    exactly like the reference's page query whose subqueries run over the
+    whole database. Defaults to all conversations."""
     conv = t["conversations"]
     authors = t["authors"]
+    if spine is None:
+        spine = conv
 
     # J3 + A1: context_annotations ⋈ entities ⋈ domains, grouped.
     # Both dims are small → broadcast (index-nested-loop analogue, SURVEY §4).
@@ -206,7 +216,7 @@ def build_tweet_documents(t: dict[str, DataFrame]) -> DataFrame:
     # J1: conversations ⋈ authors (inner), author packed as a struct (P2).
     a = authors.alias("a")
     doc = (
-        conv.alias("c")
+        spine.alias("c")
         .join(a, F.col("c.author_id") == F.col("a.id"), "inner")
         .select(
             F.col("c.id").alias("id"),

@@ -90,8 +90,10 @@ def increment_counters(
     d = deltas.select(
         F.col(id_col).alias("_upd_id"), F.col(delta_col).alias("_delta")
     )
+    # no forced broadcast: delta sets are usually small (AQE broadcasts
+    # them on its own) but can be corpus-sized after a recount job
     updated = (
-        docs.join(F.broadcast(d), docs[id_col] == d["_upd_id"], "left")
+        docs.join(d, docs[id_col] == d["_upd_id"], "left")
         .withColumn(
             counter_col,
             (F.col(counter_col) + F.coalesce(F.col("_delta"), F.lit(0))).cast(

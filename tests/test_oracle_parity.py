@@ -34,3 +34,30 @@ def test_query_runs_smoke(spark, sf_dir, name):
     df = reg.fn(spark, sf_dir)
     assert df.columns, f"{name}: no columns"
     df.limit(5).collect()
+
+
+def test_approx_distinct_within_error_bound(spark, sf_correct):
+    """HLL++ approximate distincts stay within 5% of the exact counts (the
+    rsd=0.02 sketch's practical bound on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    reg = registry.get("approx_distinct_profile")
+    approx = {r["lang"]: (r["approx_sources"], r["approx_texts"])
+              for r in reg.fn(spark, sf_correct).collect()}
+    exact = {
+        r["lang"]: (r["s"], r["t"])
+        for r in load_table(spark, sf_correct, "documents")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("source").alias("s"),
+            F.countDistinct(F.md5("text")).alias("t"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for lang, (es, et) in exact.items():
+        as_, at = approx[lang]
+        assert abs(as_ - es) <= max(1, 0.05 * es), (lang, as_, es)
+        assert abs(at - et) <= max(1, 0.05 * et), (lang, at, et)

@@ -320,6 +320,43 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_rollup",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    """,
+    doc="Hierarchical subtotals via ROLLUP(lang, source) — grouping-sets "
+        "aggregation (the Expand operator): per-(lang,source), per-lang, "
+        "and grand-total rows in one pass over the corpus.",
+)
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "approx_distinct_profile",
+    oracle=None,  # HLL sketches are engine-specific; error bound pinned in pytest
+    doc="Approximate distinct counts (HyperLogLog++): distinct sources and "
+        "distinct text fingerprints per language — the sketch path for "
+        "cardinality profiling where exact countDistinct's shuffle is "
+        "unaffordable (rows-only driver check; ≤5%% relative error vs the "
+        "exact count is pinned in tests).",
+)
+def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.approx_count_distinct("source", rsd=0.02).alias("approx_sources"),
+        F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("approx_texts"),
+    )
+
+
+@register(
     "match_all_count",
     oracle="SELECT count(*) AS n_docs FROM documents",
     doc="match_all + count verification (Q8/A2/A3, docs/protokol.md:544-550,643).",

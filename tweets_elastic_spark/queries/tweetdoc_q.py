@@ -125,6 +125,9 @@ def tweet_star_from_tpch(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
         (F.col("l_orderkey") + F.col("l_linenumber") - 3).alias("parent_id"),
         F.col("l_returnflag").alias("type"),
     )
+    # NOTE: deliberately NO fan_out on the lineitem-derived children — the
+    # map-side struct building is light, and measured at sf0.1 the five
+    # extra exchanges cost more than the 3-split scan parallelism buys.
     return {
         "conversations": conversations,
         "authors": authors,

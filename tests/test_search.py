@@ -170,3 +170,20 @@ def test_bm25_ranking_properties(spark):
     idf_rare = math.log(1 + (5 - 2 + 0.5) / 2.5)
     one_rare_at_dl6 = idf_rare * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 6 / stats.avgdl))
     assert scores[3] < 2 * one_rare_at_dl6
+
+
+def test_nested_bool_should_multiplies_inner_score(spark):
+    """A compound (Bool/FunctionScore) inside a should list is NOT
+    constant-score: the outer weight multiplies the inner weighted sum."""
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.plans.search import Bool, Term, FunctionScore, search
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")],
+        "id long, f1 string, f2 string",
+    )
+    inner = Bool(should=[(Term("f1", "a"), 5.0), (Term("f2", "x"), 2.0)])
+    outer = FunctionScore(Bool(should=[(inner, 3.0)]))
+    scores = {r["id"]: r["score"] for r in search(df, outer, k=None).collect()}
+    # 3 * (5 if f1=a else 0 + 2 if f2=x else 0)
+    assert scores == {1: 21.0, 2: 15.0, 3: 6.0}

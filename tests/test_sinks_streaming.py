@@ -370,3 +370,20 @@ def test_write_elasticsearch_clear_error_without_connector(spark):
     df = spark.createDataFrame([(1, "x")], "id long, content string")
     with pytest.raises(RuntimeError, match="elasticsearch-spark connector"):
         write_elasticsearch(df, "tweets")
+
+
+def test_increment_counters_sums_duplicate_delta_ids(spark, tmp_path):
+    """Several delta batches for one id sum into one update — never
+    duplicate document rows."""
+    from tweets_elastic_spark.sinks import increment_counters
+
+    df = spark.createDataFrame([(1, 10), (2, 1)], "id long, retweet_count int")
+    path = str(tmp_path / "docs")
+    write_documents(df, path, id_col="id")
+    deltas = spark.createDataFrame(
+        [(1, 7), (1, 3), (1, -2)], "id long, delta int"
+    )
+    assert increment_counters(spark, path, deltas) == 1
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2  # one row per doc, no join fan-out
+    assert {r["id"]: r["retweet_count"] for r in rows} == {1: 18, 2: 1}

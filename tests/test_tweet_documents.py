@@ -163,11 +163,11 @@ def test_document_field_paths_match_reference_sample(spark, docs):
 
 
 def test_incremental_etl_equals_full_build(spark, tmp_path):
-    """§3.1 main() lifecycle: keyset-paged incremental ETL unions to exactly
-    the one-shot build — spine paged, lookups (parent refs/authors/hashtags)
-    resolved against the full tables, watermark advanced per batch."""
-    from pyspark.sql import functions as F
-
+    """§3.1 main() lifecycle: keyset-PAGED incremental ETL (page_limit, the
+    reference's LIMIT) over a static source unions to exactly the one-shot
+    build, byte-for-byte — including documents whose parent references
+    point OUTSIDE their own page (J6-J8 lookups run over the full tables,
+    so cross-page parent hashtags must resolve, not NULL out)."""
     from tweets_elastic_spark.pipeline import etl_full, etl_increment
     from tweets_elastic_spark.sinks import document_json
     from tweets_elastic_spark.sources.incremental import WatermarkStore
@@ -177,29 +177,33 @@ def test_incremental_etl_equals_full_build(spark, tmp_path):
     for name, df in tables.items():
         df.write.parquet(str(src / f"{name}.parquet"))
 
-    # one-shot reference output
-    full_sink = str(tmp_path / "full")
-    n_full = etl_full(spark, str(src), full_sink)
-    assert n_full == 60
+    # the fixtures must actually exercise cross-page parents with hashtags,
+    # otherwise this test can't catch page-pruning bugs
+    refs = tables["conversation_references"]
+    ht_convs = {r["conversation_id"] for r in tables["conversation_hashtags"].collect()}
+    cross = [
+        r for r in refs.collect()
+        if abs(r["parent_id"] - r["conversation_id"]) > 25 and r["parent_id"] in ht_convs
+    ]
+    assert cross, "fixture lacks cross-page parents with hashtags"
 
-    # three keyset pages via the watermark: ids 1-20, 21-45, 46-60
+    full_sink = str(tmp_path / "full")
+    assert etl_full(spark, str(src), full_sink) == 60
+
+    # true keyset pages: 25 docs per increment until caught up
     inc_sink = str(tmp_path / "inc")
     store = WatermarkStore(str(tmp_path / "wm.json"))
     store.set("conversations.id", 0)
     ns = []
-    for upper in (20, 45, 10_000):
-        # simulate growth: the driver can't limit the scan, so emulate the
-        # pages by pre-setting the upper bound through a filtered source?
-        # Simpler: run one increment per current watermark over the full
-        # source — the first call documents everything past 0.
-        ns.append(etl_increment(spark, str(src), inc_sink, store))
-        if ns[-1] == 0:
+    while True:
+        n = etl_increment(spark, str(src), inc_sink, store, page_limit=25)
+        if n == 0:
             break
-    # first increment consumed everything (static source), rest are no-ops
-    assert ns[0] == 60 and (len(ns) == 1 or ns[1] == 0)
+        ns.append(n)
+    assert ns == [25, 25, 10]
 
     # equality of the document sets, byte-level via the JSON wire format
-    full_docs = spark.read.parquet(full_sink)
+    full_docs = spark.read.parquet(full_sink).drop("ingest_wm")
     inc_docs = spark.read.parquet(inc_sink).drop("ingest_wm")
     a = {r["id"]: r["json"] for r in document_json(full_docs).collect()}
     b = {r["id"]: r["json"] for r in document_json(inc_docs).collect()}
@@ -238,7 +242,10 @@ def test_incremental_etl_pages_union_to_full(spark, tmp_path):
 
     full_sink = str(tmp_path / "full")
     etl_full(spark, str(src), full_sink)
-    a = {r["id"]: r["json"] for r in document_json(spark.read.parquet(full_sink)).collect()}
+    a = {
+        r["id"]: r["json"]
+        for r in document_json(spark.read.parquet(full_sink).drop("ingest_wm")).collect()
+    }
     b = {
         r["id"]: r["json"]
         for r in document_json(spark.read.parquet(inc_sink).drop("ingest_wm")).collect()

@@ -269,11 +269,13 @@ def minhash_lsh_candidates(
             word_shingles_from_tokens(F.col("_toks"), k), num_hashes, seed
         ).alias("_sig"),
     )
-    # The signature table is referenced four times below (two band-join sides
-    # + two re-attachments). Persist it so the Arrow-batched minhash UDF runs
-    # exactly once per doc — at ingest scale the signatures would be
-    # materialized alongside the corpus instead.
-    sig = sig.persist()
+    # The signature table is referenced four times below (two band-join
+    # sides + two re-attachments) and recomputed per reference. Measured at
+    # sf0.1 the recompute is CHEAPER than persist (cache materialization
+    # overhead exceeds four signature passes once tokenization is
+    # single-eval), and persisting here would leak storage the function
+    # can't free (its output is lazy). At production scale signatures are
+    # materialized alongside the corpus at ingest, making this moot.
 
     # band bucket: xxhash64 directly over the band's signature slots (plus a
     # band tag so buckets never collide across bands) — no string building.
@@ -490,8 +492,13 @@ def embedding_near_pairs_lsh(
         rh_signature_col,
     )
 
-    # dim from the schema: element count is fixed per dataset
-    dim = len(df.select(vec_col).head()[0])
+    # dim from the data: element count is fixed per dataset
+    first = df.select(vec_col).head()
+    if first is None:  # empty corpus → no pairs
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}, cos double"
+        )
+    dim = len(first[0])
     planes = _hyperplanes(dim, n_bits, seed)
     df = fan_out(df)
     sig_df = df.select(

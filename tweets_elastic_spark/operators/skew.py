@@ -42,10 +42,15 @@ def salted_collect_list(
     hot key's rows while building partials.
 
     ``salts`` sizes the split: use ≥ the ratio (hottest key's rows /
-    rows-per-task budget). Deterministic salting (hash of the value, not
-    rand()) keeps reruns and retries byte-identical.
+    rows-per-task budget). The salt must carry PER-ROW entropy — salting by
+    a hash of the value would collapse a hot key whose rows share one value
+    (the canonical duplicate-heavy hot key) into a single salt bucket.
+    ``monotonically_increasing_id`` is per-(partition, row-position), so
+    a deterministic input partitioning re-derives the same salts on task
+    retry; and because the merged array is sorted, the RESULT is identical
+    under any salt assignment anyway.
     """
-    salt = (F.xxhash64(value.cast("string")) % salts).cast("int").alias("_salt")
+    salt = (F.monotonically_increasing_id() % salts).cast("int").alias("_salt")
     stage1 = (
         df.select(F.col(key), value.alias("_v"), salt)
         .groupBy(key, "_salt")

@@ -7,15 +7,25 @@ documents, advancing ``last_id`` } (src/main.py:106-162). Here:
 * ``etl_full`` — the one-shot form: a single distributed pipeline replaces
   the whole loop (partitioned scan ≙ pagination, per-partition writes ≙
   bulk batches).
-* ``etl_increment`` — the re-runnable form for a GROWING source: document
-  only the conversations past the durable watermark, but resolve every
-  lookup (parent tweets/authors/hashtags, J6-J8) against the FULL tables —
-  the same semantics as the reference's page query, whose subqueries run
-  over the whole database. Child tables are semi-join-pruned to the page
-  before their group-by so an increment's cost scales with the increment,
-  not the corpus. Watermark stats ride the write job (observe()); each
-  increment lands in a deterministic ``ingest_wm=<wm>`` partition so crash
-  replays overwrite instead of duplicating (see sources/incremental.py).
+* ``etl_increment`` — the re-runnable form: document only conversations
+  past the durable watermark (optionally capped by ``page_limit``, the
+  reference's LIMIT at src/main.py:100), but resolve every lookup —
+  parent tweets/authors (J6/J7) and parent hashtags (J8) — against the
+  FULL tables, the same semantics as the reference's page query whose
+  subqueries run over the whole database. Child tables that only feed the
+  PAGE's documents are semi-join-pruned to the page so an increment's
+  cost scales with the increment; ``conversation_hashtags`` is NOT pruned
+  because it also feeds the parent-hashtag lookup for parents outside the
+  page. Watermark stats ride the write job (observe()); each increment
+  lands in a deterministic ``ingest_wm=<wm>`` partition so crash replays
+  overwrite instead of duplicating (see sources/incremental.py).
+
+Both writers use the same ``ingest_wm=…`` partition layout (``-1`` for the
+one-shot build), so a sink stays readable with plain
+``spark.read.parquet(sink)`` whichever mode produced it. Use ONE mode per
+sink: re-documenting conversations across modes would leave both versions
+in different partitions (an append-style sink has no overwrite-by-id
+across partitions; compaction or Delta MERGE would add it).
 
 Unioned increments are exactly ``etl_full``'s output as long as referenced
 parents exist in the source when their child's page is processed — for a
@@ -33,9 +43,10 @@ from tweets_elastic_spark import schemas
 from tweets_elastic_spark.operators.denormalize import build_tweet_documents
 from tweets_elastic_spark.sources.incremental import WatermarkStore
 
-CHILD_TABLES = [
+# children that only ever join to the page's own documents (safe to prune);
+# conversation_hashtags is excluded — it also resolves J8 parent hashtags
+PAGE_LOCAL_CHILDREN = [
     "context_annotations",
-    "conversation_hashtags",
     "annotations",
     "links",
     "conversation_references",
@@ -52,12 +63,19 @@ def load_tweet_tables(spark: SparkSession, src_dir: str) -> dict[str, DataFrame]
 
 def etl_full(spark: SparkSession, src_dir: str, sink_path: str) -> int:
     """One-shot ETL: scan → denormalize → id-keyed overwrite. Returns docs
-    written."""
+    written (counted by observe() on the write job — no re-scan)."""
+    from pyspark.sql import Observation
+
     from tweets_elastic_spark.sinks import write_documents
 
-    docs = build_tweet_documents(load_tweet_tables(spark, src_dir))
-    write_documents(docs, sink_path, id_col="id", mode="overwrite")
-    return spark.read.parquet(sink_path).count()
+    obs = Observation()
+    docs = build_tweet_documents(load_tweet_tables(spark, src_dir)).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    write_documents(
+        docs, os.path.join(sink_path, "ingest_wm=-1"), id_col="id", mode="overwrite"
+    )
+    return int(obs.get["n"])
 
 
 def etl_increment(
@@ -65,20 +83,29 @@ def etl_increment(
     src_dir: str,
     sink_path: str,
     store: WatermarkStore,
+    page_limit: int | None = None,
 ) -> int:
-    """One incremental ETL batch. Returns documents written (0 = caught up)."""
+    """One incremental ETL batch. Returns documents written (0 = caught up
+    — the reference's loop-termination condition, src/main.py:161-162)."""
     from pyspark.sql import Observation
 
     t = load_tweet_tables(spark, src_dir)
     wm = store.get("conversations.id")
     spine = t["conversations"].filter(F.col("id") > F.lit(wm))
+    if page_limit is not None:
+        # the keyset page: ORDER BY id LIMIT n (src/main.py:98-100)
+        spine = spine.orderBy(F.col("id").asc()).limit(page_limit)
 
-    # Prune children to the page BEFORE their group-bys: the left-semi join
-    # keeps the per-increment work O(increment), and Catalyst can push the
-    # id bound into the child scans when ids correlate with files.
+    # caught up? cheap limit-1 probe before launching the write job, so an
+    # idle polling loop doesn't litter empty ingest_wm partitions
+    if spine.isEmpty():
+        return 0
+
+    # Prune page-local children BEFORE their group-bys: the left-semi join
+    # keeps the per-increment work O(increment).
     page_ids = spine.select(F.col("id").alias("conversation_id"))
     pruned = dict(t)
-    for child in CHILD_TABLES:
+    for child in PAGE_LOCAL_CHILDREN:
         pruned[child] = t[child].join(page_ids, "conversation_id", "left_semi")
 
     docs = build_tweet_documents(pruned, spine=spine)

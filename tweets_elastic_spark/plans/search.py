@@ -281,6 +281,11 @@ class Bool(Query):
     scoring (weight added when the clause matches — the reference's
     ``weight: 5`` semantics)."""
 
+    # a Bool's own score is the weighted sum of its should-clauses — NOT a
+    # constant — so a nested Bool inside another Bool's should list must go
+    # through the weight * score path, not the constant fast path
+    CONSTANT_SCORE = False
+
     must: list[Query] = dc_field(default_factory=list)
     filter: list[Query] = dc_field(default_factory=list)
     should: list[tuple[Query, float]] = dc_field(default_factory=list)
@@ -326,6 +331,8 @@ class Bool(Query):
 @dataclass
 class FunctionScore(Query):
     """Q1 (elastic_queries.json:3): wraps a query, exposes its score."""
+
+    CONSTANT_SCORE = False  # passes through the wrapped query's score
 
     query: Query
 

@@ -155,9 +155,10 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.search import BM25Match, bm25_stats
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    # persist the analyzed tokens: the stats job and the scoring query both
-    # consume them (at ingest scale the token column is stored, not cached)
-    docs = materialize_tokens(docs, {"text": ["custom_shingles"]}).persist()
+    # the stats job and the scoring query each analyze once; no persist —
+    # a cached DF leaked from a registered query can never be unpersisted
+    # (at ingest scale the token column is stored, not cached)
+    docs = materialize_tokens(docs, {"text": ["custom_shingles"]})
     qtokens = analyze_text(spark, "spark merge", "custom_shingles")
     stats = bm25_stats(docs, "text__custom_shingles", qtokens)
     match = BM25Match(

@@ -76,19 +76,24 @@ def increment_counters(
     The reference applies ``ctx._source.retweet_count += params.n`` per
     document through ES's ``_update`` + Painless (docs/protokol.md:596-611).
     The Spark-first batch equivalent: read the id-keyed dataset, left-join
-    the (id, delta) updates, add the delta, and atomically swap the dataset
-    directory (write-to-temp + rename — reading and overwriting the SAME
-    parquet path in one job would race the file deletion). Documents
-    without a delta pass through unchanged; deltas for unknown ids are
-    ignored (ES would 404 them). Returns the number of documents updated.
+    the summed (id, delta) updates, add the delta, and swap the dataset
+    directory (write-to-temp, rename old aside, rename new in — reading
+    and overwriting the SAME parquet path in one job would race the file
+    deletion, and deleting before writing could lose data on a crash).
+    Documents without a delta pass through unchanged; deltas for unknown
+    ids are ignored (ES would 404 them); several deltas for one id sum.
+    Returns the number of documents updated.
 
     One scan + one broadcast-or-shuffle join at any scale; a transactional
     table format (Delta MERGE) is the upsert-grade version of the same
     logical plan.
     """
     docs = spark.read.parquet(path)
-    d = deltas.select(
-        F.col(id_col).alias("_upd_id"), F.col(delta_col).alias("_delta")
+    # pre-aggregate: several delta batches for one id sum into one update
+    # (ES would apply them sequentially to one doc) — without this, dup ids
+    # in the join would duplicate whole document rows
+    d = deltas.groupBy(F.col(id_col).alias("_upd_id")).agg(
+        F.sum(delta_col).alias("_delta")
     )
     # no forced broadcast: delta sets are usually small (AQE broadcasts
     # them on its own) but can be corpus-sized after a recount job
@@ -104,9 +109,17 @@ def increment_counters(
     )
     n_updated = docs.join(d, docs[id_col] == d["_upd_id"], "left_semi").count()
     tmp = path.rstrip("/") + ".updating"
+    old = path.rstrip("/") + ".old"
     updated.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # swap via two renames: the dataset is always recoverable (a crash
+    # between them leaves `.old` + `.updating` intact — the only window is
+    # a momentarily missing live path, vs rmtree-first which could LOSE the
+    # data). A transactional table format (Delta) removes even that window.
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_updated
 
 

@@ -86,12 +86,18 @@ def ingest_increment(
     from pyspark.sql import Observation
 
     wm = store.get(f"{table}.{key}")
+    inc = read_increment(spark, sf_dir, table, key, wm)
+    # caught up? cheap limit-1 probe (the > predicate is pushed down, so an
+    # idle poll reads footers, not data) — without it every poll would run
+    # a write job and litter an empty ingest_wm partition
+    if inc.isEmpty():
+        return 0
     # A4 analogue: running counters ride the write job via observe() — the
     # reference's processed_rows/last_id bookkeeping (src/main.py:112-156)
     # without a second scan. ONE pass computes stats AND writes, so the
     # recorded watermark describes exactly the rows that were written.
     obs = Observation()
-    inc = read_increment(spark, sf_dir, table, key, wm).observe(
+    inc = inc.observe(
         obs, F.count(F.lit(1)).alias("n"), F.max(F.col(key)).alias("mx")
     )
     inc.write.mode("overwrite").parquet(os.path.join(sink_path, f"ingest_wm={wm}"))

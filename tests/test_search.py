@@ -162,8 +162,9 @@ def test_bm25_ranking_properties(spark):
     # coverage beats repetition: doc 1 (both terms) > doc 3 (6x rare only),
     # and the rarer term outweighs the commoner (doc 3 > doc 2, idf)
     assert scores[1] > scores[3] > scores[2]
-    # no query token → zero; 5x the common term still loses to 1x rare
-    assert scores[4] == 0.0
+    # should-only bool: non-matching doc 4 is NOT a hit (ES implicit
+    # minimum_should_match=1); 5x the common term still loses to 1x rare
+    assert 4 not in scores
     assert scores[5] < scores[3]
     # tf saturation: 6 repetitions score far below 6x one occurrence
     import math

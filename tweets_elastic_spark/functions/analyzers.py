@@ -158,7 +158,10 @@ def porter_stem_tokens(toks: Column) -> Column:
 
 def char_ngrams(toks: Column, min_gram: int = 1, max_gram: int = 10) -> Column:
     def grams_of(t: Column) -> Column:
-        starts = F.sequence(F.lit(1), F.length(t))
+        # start positions stop at length - min_gram + 1: beyond that the
+        # remaining tail is shorter than min_gram and the inner sequence
+        # would run DESCENDING, fabricating sub-min_gram grams
+        starts = F.sequence(F.lit(1), F.length(t) - F.lit(min_gram - 1))
         return F.flatten(
             F.transform(
                 starts,
@@ -172,8 +175,8 @@ def char_ngrams(toks: Column, min_gram: int = 1, max_gram: int = 10) -> Column:
             )
         )
 
-    # guard: tokens shorter than min_gram yield no grams (sequence would
-    # otherwise run descending and fabricate grams)
+    # guard: tokens shorter than min_gram yield no grams (and keep the
+    # outer starts sequence ascending)
     return F.flatten(
         F.transform(
             F.filter(toks, lambda t: F.length(t) >= min_gram),

@@ -48,13 +48,23 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
+# Language ID tokenizes UNICODE letters (not the ASCII-only simple_tokens):
+# 'für'/'más' would otherwise split at the accented character and the de/es
+# profile entries could never match. Java regex \p{L} ≙ RE2 \p{L} in DuckDB.
+_LETTER_SPLIT = r"[^\p{L}]+"
+
+
+def letter_tokens(c: Column) -> Column:
+    return F.filter(F.split(c, _LETTER_SPLIT), lambda t: t != F.lit(""))
+
+
 def lang_scores(c: Column) -> Column:
     """All four profile counts in ONE pass over the tokens: a struct
     accumulator inside a single ``aggregate``. The naive per-language
     ``size(filter(...))`` form re-tokenizes per language AND per reference
     in the downstream CASE — Catalyst inlines rather than CSEs lambda
     subtrees, which cost ~8 tokenizations per row."""
-    toks = simple_tokens(c)
+    toks = letter_tokens(c)
     zero = F.struct(*[F.lit(0).cast("long").alias(lang) for lang in LANG_PROFILES])
 
     def step(acc: Column, t: Column) -> Column:
@@ -86,7 +96,7 @@ def lang_id_oracle_sql(text_expr: str = "text") -> str:
         words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
         return (
             f"len(list_filter(list_transform("
-            f"list_filter(regexp_split_to_array({text_expr}, '{_TOKEN_SPLIT}'), x -> x <> ''),"
+            f"list_filter(regexp_split_to_array({text_expr}, '[^\\p{{L}}]+'), x -> x <> ''),"
             f" x -> lower(x)), t -> t IN ({words})))"
         )
 

@@ -435,15 +435,28 @@ def embedding_near_pairs(
     work exactly where the cost is quadratic."""
     from tweets_elastic_spark.functions.vectors import dot, norm
 
-    cols = [
+    # The norm must be its OWN column computed before the fan_out shuffle:
+    # placing norm(vec) inside the transform lambda would inline the O(d)
+    # fold per ELEMENT (the no-CSE HOF trap, see word_shingles_from_tokens),
+    # making normalization O(d²) per row. After the shuffle barrier `_norm`
+    # is a materialized attribute, so the lambda reads it for free.
+    pre_cols = [
         F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_norm"),
+    ]
+    if bucket_by is not None:
+        pre_cols.append(bucket_by.alias("_bk"))
+    pre = fan_out(df.select(*pre_cols))
+    cols = [
+        "_id",
         F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
+            F.col("_v"), lambda x: x.cast("double") / F.col("_norm")
         ).alias("_vn"),
     ]
     if bucket_by is not None:
-        cols.append(bucket_by.alias("_bk"))
-    base = fan_out(df).select(*cols)
+        cols.append(F.col("_bk"))
+    base = pre.select(*cols)
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a._id") < F.col("b._id")

@@ -85,10 +85,12 @@ def etl_increment(
     store: WatermarkStore,
     page_limit: int | None = None,
 ) -> int:
-    """One incremental ETL batch. Returns documents written (0 = caught up
-    — the reference's loop-termination condition, src/main.py:161-162)."""
-    from pyspark.sql import Observation
-
+    """One incremental ETL batch. Returns conversations PROCESSED (the
+    reference's processed_rows; 0 = caught up, the loop-termination
+    condition at src/main.py:161-162). Processed ≥ documents written: a
+    conversation without an author drops at the J1 inner join yet still
+    counts as processed — returning docs-written here would make an
+    all-dropped middle page look like end-of-data to the caller's loop."""
     t = load_tweet_tables(spark, src_dir)
     wm = store.get("conversations.id")
     spine = t["conversations"].filter(F.col("id") > F.lit(wm))
@@ -96,29 +98,35 @@ def etl_increment(
         # the keyset page: ORDER BY id LIMIT n (src/main.py:98-100)
         spine = spine.orderBy(F.col("id").asc()).limit(page_limit)
 
-    # caught up? cheap limit-1 probe before launching the write job, so an
-    # idle polling loop doesn't litter empty ingest_wm partitions
-    if spine.isEmpty():
-        return 0
+    # The spine feeds the isEmpty probe, four semi-join prunes, and the
+    # document join — cache it so the sorted-limit page query runs once,
+    # and unpersist before returning (everything is materialized below).
+    spine = spine.persist()
+    try:
+        # caught up? cheap probe before launching the write job, so an
+        # idle polling loop doesn't litter empty ingest_wm partitions
+        if spine.isEmpty():
+            return 0
 
-    # Prune page-local children BEFORE their group-bys: the left-semi join
-    # keeps the per-increment work O(increment).
-    page_ids = spine.select(F.col("id").alias("conversation_id"))
-    pruned = dict(t)
-    for child in PAGE_LOCAL_CHILDREN:
-        pruned[child] = t[child].join(page_ids, "conversation_id", "left_semi")
+        # Prune page-local children BEFORE their group-bys: the left-semi
+        # join keeps the per-increment work O(increment).
+        page_ids = spine.select(F.col("id").alias("conversation_id"))
+        pruned = dict(t)
+        for child in PAGE_LOCAL_CHILDREN:
+            pruned[child] = t[child].join(page_ids, "conversation_id", "left_semi")
 
-    docs = build_tweet_documents(pruned, spine=spine)
+        docs = build_tweet_documents(pruned, spine=spine)
 
-    obs = Observation()
-    docs = docs.observe(
-        obs, F.count(F.lit(1)).alias("n"), F.max("id").alias("mx")
-    )
-    docs.write.mode("overwrite").parquet(
-        os.path.join(sink_path, f"ingest_wm={wm}")
-    )
-    metrics = obs.get
-    if metrics["n"] == 0:
-        return 0
-    store.set("conversations.id", int(metrics["mx"]))
-    return int(metrics["n"])
+        docs.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"ingest_wm={wm}")
+        )
+        # advance by the max SPINE id (cached → cheap agg), not the max
+        # document id: a page whose tail conversations drop at the author
+        # inner join (J1) is still fully processed — anchoring the
+        # watermark to emitted docs would re-process the dropped tail on
+        # every poll (and an all-dropped page would never advance at all)
+        mx, n_spine = spine.agg(F.max("id"), F.count(F.lit(1))).head()
+        store.set("conversations.id", int(mx))
+        return int(n_spine)
+    finally:
+        spine.unpersist()

@@ -298,7 +298,13 @@ class Bool(Query):
             out = out & q.predicate(spark, resolve)
         for q in self.must_not:
             out = out & ~q.predicate(spark, resolve)
-        if self.minimum_should_match > 0 and self.should:
+        # ES semantics: a bool with ONLY should clauses requires at least
+        # one of them to match (implicit minimum_should_match=1); with
+        # must/filter present, should stays purely optional/scoring
+        msm = self.minimum_should_match
+        if msm == 0 and self.should and not (self.must or self.filter):
+            msm = 1
+        if msm > 0 and self.should:
             matched = sum(
                 (
                     F.when(q.predicate(spark, resolve), 1).otherwise(0)
@@ -306,7 +312,7 @@ class Bool(Query):
                 ),
                 start=F.lit(0),
             )
-            out = out & (matched >= self.minimum_should_match)
+            out = out & (matched >= msm)
         return out
 
     def score(self, spark, resolve) -> Column:

@@ -49,12 +49,19 @@ def write_documents(
         # max_by over a monotonic tiebreak would need an order column; for
         # batch loads "last" is meaningless across a shuffle, so keep ONE
         # arbitrary-but-deterministic row per id via a sorted struct agg.
+        # Unorderable payload types (maps) can't go through max(struct) —
+        # fall back to dropDuplicates (still one row per id, but which row
+        # wins is partition-order-dependent).
         other = [c for c in out.columns if c != id_col]
-        out = (
-            out.groupBy(id_col)
-            .agg(F.max(F.struct(*other)).alias("_row"))
-            .select(id_col, "_row.*")
-        )
+        orderable = not any("map<" in t for _, t in out.dtypes)
+        if orderable:
+            out = (
+                out.groupBy(id_col)
+                .agg(F.max(F.struct(*other)).alias("_row"))
+                .select(id_col, "_row.*")
+            )
+        else:
+            out = out.dropDuplicates([id_col])
     if target_file_partitions is not None:
         out = out.repartition(target_file_partitions)
     writer = out.write.mode(mode)
@@ -97,6 +104,9 @@ def increment_counters(
     )
     # no forced broadcast: delta sets are usually small (AQE broadcasts
     # them on its own) but can be corpus-sized after a recount job
+    from pyspark.sql import Observation
+
+    obs = Observation()
     updated = (
         docs.join(d, docs[id_col] == d["_upd_id"], "left")
         .withColumn(
@@ -105,12 +115,18 @@ def increment_counters(
                 dict(docs.dtypes)[counter_col]
             ),
         )
+        # the updated-row count rides the write job (observe) — a separate
+        # semi-join count would re-scan the whole dataset
+        .observe(
+            obs,
+            F.sum(F.col("_upd_id").isNotNull().cast("long")).alias("n_updated"),
+        )
         .drop("_upd_id", "_delta")
     )
-    n_updated = docs.join(d, docs[id_col] == d["_upd_id"], "left_semi").count()
     tmp = path.rstrip("/") + ".updating"
     old = path.rstrip("/") + ".old"
     updated.write.mode("overwrite").parquet(tmp)
+    n_updated = int(obs.get["n_updated"] or 0)
     # swap via two renames: the dataset is always recoverable (a crash
     # between them leaves `.old` + `.updating` intact — the only window is
     # a momentarily missing live path, vs rmtree-first which could LOSE the
@@ -199,9 +215,19 @@ def write_elasticsearch(
             .mode("append")
             .save(index)
         )
-    except Exception as e:  # noqa: BLE001 — re-raise with setup guidance
-        raise RuntimeError(
-            "elasticsearch-spark connector not available on the classpath; "
-            "add org.elasticsearch:elasticsearch-spark-30_2.13 to "
-            "spark.jars.packages or use write_documents (parquet sink)"
-        ) from e
+    except Exception as e:
+        # only translate the missing-connector case — a live-cluster write
+        # failure (ES down, mapping rejection, task failure) must surface
+        # as itself, not as classpath guidance
+        msg = str(e)
+        if (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            raise RuntimeError(
+                "elasticsearch-spark connector not available on the classpath; "
+                "add org.elasticsearch:elasticsearch-spark-30_2.13 to "
+                "spark.jars.packages or use write_documents (parquet sink)"
+            ) from e
+        raise

@@ -64,15 +64,20 @@ def run_foreach_batch_ingest(
     checkpoint: str,
 ) -> StreamingQuery:
     """foreachBatch sink: arbitrary per-batch logic (dedup within batch by
-    event_id, append to parquet). The checkpoint makes restarts exactly-once
-    at the batch level — the durable version of the reference's last_id."""
+    event_id). The checkpoint gives at-least-once batch replay; writing each
+    batch to a deterministic ``batch_id=<id>`` partition with OVERWRITE makes
+    the replay idempotent (a crash after the write but before the checkpoint
+    commit re-runs the same batch_id into the same directory) — together,
+    effectively exactly-once. A plain append here would duplicate rows on
+    exactly that crash. Same scheme as the batch twin in
+    sources/incremental.py."""
+    import os
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         (
             batch.dropDuplicates(["event_id"])
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(sink_path)
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink_path, f"batch_id={batch_id}"))
         )
 
     return (

@@ -155,3 +155,19 @@ def test_materialize_tokens_multifield(spark):
     assert "name__custom_shingles" in out.columns
     row = out.head()
     assert "wilbursoot" in list(row["name__custom_shingles"])
+
+
+def test_char_ngrams_min_gram_above_one_no_fabricated_grams(spark):
+    """min_gram=2: tail positions must not emit sub-min_gram grams (a
+    descending sequence bug would fabricate duplicated 1-char grams)."""
+    from tweets_elastic_spark.functions.analyzers import char_ngrams
+
+    row = spark.range(1).select(
+        char_ngrams(F.array(F.lit("abc")), 2, 10).alias("g")
+    ).head()
+    assert list(row["g"]) == ["ab", "abc", "bc"]
+    # token shorter than min_gram yields nothing
+    row2 = spark.range(1).select(
+        char_ngrams(F.array(F.lit("a")), 2, 10).alias("g")
+    ).head()
+    assert list(row2["g"]) == []

@@ -32,6 +32,8 @@ HEADLINE = [
     "self_join_pairs",
     "exists_child_hof",
     "topk_orders",
+    "latest_order_per_customer",
+    "corpus_rollup",
     # windows
     "tumbling_window",
     "sliding_window",
@@ -51,6 +53,7 @@ HEADLINE = [
     "simhash_near_dups",
     "embedding_near_dups",
     "ann_cosine_topk",
+    "ann_multi_query_topk",
     "multimodal_decode",
 ]
 

@@ -134,3 +134,37 @@ def test_cosine_topk_scores_sorted_and_bounded(spark):
     assert rows[0]["vec_id"] == 0 and abs(scores[0] - 1.0) < 1e-6
     assert scores == sorted(scores, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+@pytest.mark.parametrize("qid", [7, 123, 250])
+def test_ann_ivf_recall_vs_bruteforce(spark, qid):
+    """IVF (16 cells, 6 probes): self always found; recall@10 >= 0.4 on the
+    UNIFORM fixture embeddings — the no-cluster-structure worst case for a
+    coarse quantizer (measured 0.5-0.9 here; multi-table LSH reaches 0.9 on
+    the same data at a similar probed fraction). On clustered real-world
+    embeddings IVF's per-recall probe cost drops sharply."""
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").head()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in S.ann_ivf_topk(emb, qvec, k=10, n_cells=16, nprobe=6).collect()]
+    assert approx[0] == qid
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, f"IVF recall@10 = {recall} for query {qid}"
+
+
+def test_ivf_cell_assignment_partitions_corpus(spark):
+    """Every vector lands in exactly one of the k cells and cells are
+    reasonably balanced on isotropic data."""
+    import numpy as np
+    from tweets_elastic_spark.operators.similarity import ivf_cell_col, kmeans_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    train = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()
+    ])
+    C = kmeans_centroids(train, 16, seed=7)
+    cells = emb.select(ivf_cell_col(F.col("embedding"), C).alias("c"))
+    counts = {r["c"]: r["n"] for r in cells.groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()
+    assert set(counts) <= set(range(16))
+    assert max(counts.values()) < emb.count() * 0.5  # no degenerate mega-cell

@@ -22,6 +22,7 @@ arrays — every executor, run, and the test oracle agree on them.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -83,6 +84,93 @@ def cosine_topk_multi(
         .filter(F.col("_rn") <= k)
         .select("q_id", id_col, F.round("_cos", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probe nearest cells
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(
+    mat: np.ndarray, k: int, seed: int = 7, iters: int = 20
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a (driver-side) training matrix.
+
+    At corpus scale the trainer sees a SAMPLE (a few 100k vectors is ample
+    for a coarse quantizer) — the full corpus never reaches the driver;
+    only the k×d centroid matrix does, and it ships back as a broadcast-
+    sized literal. Fixed seed + fixed iteration count ⇒ identical
+    centroids every run."""
+    rng = np.random.RandomState(seed)
+    mat = np.asarray(mat, dtype=np.float64)
+    centers = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(centers)):
+            pts = mat[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+    return centers
+
+
+def ivf_cell_col(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid assignment as an Arrow-batched matrix op: one
+    (batch × d)·(d × k) GEMM + argmin per batch — vectorized NumPy, never
+    per-row Python. In production this column is materialized at ingest
+    (like the LSH signatures)."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)  # ‖c‖² per centroid
+
+    @F.pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=np.int32)
+        if len(vecs):
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            # argmin ‖x-c‖² = argmin ‖c‖² - 2x·c  (‖x‖² constant per row)
+            d2 = c_sq[None, :] - 2.0 * (M @ C.T)
+            out = d2.argmin(axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return _assign(vec_col)
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: float | None = None,
+) -> DataFrame:
+    """IVF ANN: k-means cells + probe the ``nprobe`` cells nearest the
+    query + exact rerank — the second classic ANN index family next to
+    LSH (ann_lsh_topk). Probed fraction ≈ nprobe/n_cells of the corpus
+    (cells are balanced on isotropic data); raise n_cells with corpus
+    size (√n is the usual rule) to keep it small.
+
+    ``train_sample`` optionally trains the quantizer on a fraction of the
+    corpus (the at-scale path); None trains on everything (test scale)."""
+    train_df = embeddings.select(vec_col)
+    if train_sample is not None:
+        train_df = train_df.sample(fraction=train_sample, seed=seed)
+    train = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in train_df.collect()]
+    )
+    centroids = kmeans_centroids(train, n_cells, seed)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in d2.argsort()[:nprobe]]
+
+    candidates = embeddings.withColumn(
+        "_cell", ivf_cell_col(F.col(vec_col), centroids)
+    ).filter(F.col("_cell").isin(probe_cells))
+    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:

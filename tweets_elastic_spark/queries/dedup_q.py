@@ -250,6 +250,24 @@ def q_ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate; recall vs the exact baseline pinned in tests
+    doc="IVF ANN top-k: deterministic k-means coarse quantizer (16 cells), "
+        "probe the 6 cells nearest the query, exact-cosine rerank — the "
+        "second classic ANN index family next to LSH. Probed fraction "
+        "≈ nprobe/n_cells; recall on the UNIFORM fixture embeddings is "
+        "modest by construction (no cluster structure — IVF's worst case; "
+        "the multi-table LSH variant holds 0.9 there), but on real "
+        "embedding corpora with cluster structure IVF probes far less "
+        "data per unit recall.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return S.ann_ivf_topk(emb, qvec, k=10, n_cells=16, nprobe=6)
+
+
+@register(
     "ann_lsh_topk",
     oracle=None,  # approximate; recall vs the exact baseline pinned in tests
     doc="LSH-bucketed ANN top-k (random hyperplanes + multiprobe + rerank).",

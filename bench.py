@@ -54,6 +54,8 @@ HEADLINE = [
     "embedding_near_dups",
     "ann_cosine_topk",
     "ann_multi_query_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_decode",
 ]
 

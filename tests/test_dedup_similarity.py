@@ -152,6 +152,53 @@ def test_ann_ivf_recall_vs_bruteforce(spark, qid):
     assert recall >= 0.4, f"IVF recall@10 = {recall} for query {qid}"
 
 
+def test_ann_ivf_recall_on_clustered_corpus(spark):
+    """IVF on its home turf: a deterministic mixture of Gaussians (the
+    structure real embedding corpora have — tight clusters around topic
+    directions). The uniform-fixture tests above pin the worst case at
+    0.4; here the quantizer's cells align with the true clusters and
+    nprobe/n_cells = 1/4 of the data yields recall ≥ 0.8 (measured 1.0)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    n_clusters, per_cluster, dim = 8, 250, 64
+    centers = rng.randn(n_clusters, dim) * 5.0
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c][None, :] + rng.randn(per_cluster, dim)
+        rows += [
+            (c * per_cluster + i, [float(x) for x in p])
+            for i, p in enumerate(pts)
+        ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for qid in (0, 500, 1500):  # one query point in each of three clusters
+        qvec = rows[qid][1]
+        exact = [r["vec_id"] for r in S.cosine_topk(df, qvec, k=10).collect()]
+        approx = [
+            r["vec_id"]
+            for r in S.ann_ivf_topk(
+                df, qvec, k=10, n_cells=16, nprobe=4, train_limit=1024
+            ).collect()
+        ]
+        assert approx[0] == qid
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.8, f"clustered IVF recall@10 = {recall} for {qid}"
+
+
+def test_ivf_train_limit_bounds_driver_rows(spark):
+    """The training collect is capped: the plan is TakeOrderedAndProject
+    (per-partition top-n + driver merge), never a full-corpus collect."""
+    emb = load_table(spark, SF, "embeddings")
+    train_df = (
+        emb.select(F.col("vec_id"), F.col("embedding"))
+        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(64)
+    )
+    plan = train_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert train_df.count() == 64
+
+
 def test_ivf_cell_assignment_partitions_corpus(spark):
     """Every vector lands in exactly one of the k cells and cells are
     reasonably balanced on isotropic data."""

@@ -104,12 +104,16 @@ def kmeans_centroids(
     mat = np.asarray(mat, dtype=np.float64)
     centers = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # GEMM distance form, O(n·k) memory (the (n,k,d) broadcast form is
+        # tens of GB at a 100k-vector sample with √n cells):
+        # argmin ‖x−c‖² = argmin ‖c‖² − 2·x·c  (‖x‖² constant per row)
+        d2 = (centers * centers).sum(axis=1)[None, :] - 2.0 * (mat @ centers.T)
         assign = d2.argmin(axis=1)
-        for j in range(len(centers)):
-            pts = mat[assign == j]
-            if len(pts):
-                centers[j] = pts.mean(axis=0)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(centers)).astype(np.float64)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centers
 
 
@@ -145,7 +149,7 @@ def ann_ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_sample: float | None = None,
+    train_limit: int | None = 4096,
 ) -> DataFrame:
     """IVF ANN: k-means cells + probe the ``nprobe`` cells nearest the
     query + exact rerank — the second classic ANN index family next to
@@ -153,13 +157,21 @@ def ann_ivf_topk(
     (cells are balanced on isotropic data); raise n_cells with corpus
     size (√n is the usual rule) to keep it small.
 
-    ``train_sample`` optionally trains the quantizer on a fraction of the
-    corpus (the at-scale path); None trains on everything (test scale)."""
-    train_df = embeddings.select(vec_col)
-    if train_sample is not None:
-        train_df = train_df.sample(fraction=train_sample, seed=seed)
+    The quantizer trains on a BOUNDED deterministic sample: rows ordered
+    by ``xxhash64(id)`` (a seed-free pseudo-random shuffle every executor
+    agrees on), capped at ``train_limit`` via ``TakeOrderedAndProject`` —
+    so at most k·d + train_limit·d floats ever reach the driver no matter
+    the corpus size. A few thousand vectors is ample for a coarse
+    quantizer; ``train_limit=None`` (full-corpus training) is an explicit
+    test-scale opt-in, never the default."""
+    train_df = embeddings.select(F.col(id_col), F.col(vec_col))
+    if train_limit is not None:
+        train_df = (
+            train_df.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(train_limit)
+        )
     train = np.stack(
-        [np.asarray(r[0], dtype=np.float64) for r in train_df.collect()]
+        [np.asarray(r[vec_col], dtype=np.float64) for r in train_df.collect()]
     )
     centroids = kmeans_centroids(train, n_cells, seed)
 

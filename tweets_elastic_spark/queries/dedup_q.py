@@ -252,9 +252,10 @@ def q_ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     oracle=None,  # approximate; recall vs the exact baseline pinned in tests
-    doc="IVF ANN top-k: deterministic k-means coarse quantizer (16 cells), "
-        "probe the 6 cells nearest the query, exact-cosine rerank — the "
-        "second classic ANN index family next to LSH. Probed fraction "
+    doc="IVF ANN top-k: deterministic k-means coarse quantizer (16 cells, "
+        "trained on a hash-ordered bounded sample — no full-corpus driver "
+        "collect), probe the 6 cells nearest the query, exact-cosine rerank "
+        "— the second classic ANN index family next to LSH. Probed fraction "
         "≈ nprobe/n_cells; recall on the UNIFORM fixture embeddings is "
         "modest by construction (no cluster structure — IVF's worst case; "
         "the multi-table LSH variant holds 0.9 there), but on real "

@@ -268,10 +268,45 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, qvec, k=10, n_cells=16, nprobe=6)
 
 
+# ann_lsh_topk is fully deterministic (fixed-seed hyperplanes, exhaustive
+# probe union), so it carries a REAL oracle: per-table signatures as
+# literal-plane SQL expressions on both the corpus and the query vector,
+# candidate = Hamming(sig, q_sig) <= probe_bits in ANY table (identical to
+# the Spark side's self + 1-flip + 2-flip probe union), exact-cosine rerank.
+_LSH_TABLE_SIGS = [
+    (f"s{t}", f"q{t}", 7 + 101 * t) for t in range(4)  # seeds mirror ann_lsh_topk
+]
+_LSH_ORACLE = (
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),\n"
+    "s AS (\n    SELECT vec_id, embedding::DOUBLE[] AS v,\n"
+    + ",\n".join(
+        f"        {_rh_sig_sql('embedding::DOUBLE[]', n_bits=6, seed=seed)} AS {sc}"
+        for sc, _, seed in _LSH_TABLE_SIGS
+    )
+    + "\n    FROM embeddings\n),\n"
+    "qs AS (\n    SELECT\n"
+    + ",\n".join(
+        f"        {_rh_sig_sql('qv', n_bits=6, seed=seed)} AS {qc}"
+        for _, qc, seed in _LSH_TABLE_SIGS
+    )
+    + "\n    FROM q\n)\n"
+    "SELECT s.vec_id, round(list_cosine_similarity(s.v, q.qv), 6) AS score\n"
+    "FROM s, q, qs\nWHERE "
+    + "\n   OR ".join(
+        f"bit_count(xor({sc}::BIGINT, {qc}::BIGINT)) <= 2"
+        for sc, qc, _ in _LSH_TABLE_SIGS
+    )
+    + "\nORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id ASC\nLIMIT 10"
+)
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate; recall vs the exact baseline pinned in tests
-    doc="LSH-bucketed ANN top-k (random hyperplanes + multiprobe + rerank).",
+    oracle=_LSH_ORACLE,
+    doc="LSH-bucketed ANN top-k (4 tables of fixed-seed random hyperplanes "
+        "+ 2-bit multiprobe + exact-cosine rerank). Deterministic, so the "
+        "oracle mirrors it exactly: literal-plane signature SQL per table, "
+        "Hamming <= 2 candidate filter (== the probe union), same rerank.",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

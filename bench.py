@@ -42,6 +42,8 @@ HEADLINE = [
     "search_function_score",
     "search_materialized_tokens",
     "search_bm25",
+    "search_bm25_indexed",
+    "search_bm25_function_score",
     "analyze_englando",
     "analyze_ngram",
     "quality_score",
@@ -56,6 +58,9 @@ HEADLINE = [
     "ann_multi_query_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_lsh_topk_indexed",
+    "ann_ivf_topk_indexed",
+    "ann_lsh_multi_indexed",
     "multimodal_decode",
 ]
 
@@ -76,6 +81,16 @@ def main() -> None:
     # per-query times measure steady-state compute, not one-time startup.
     materialize(queries["pricing_summary"](spark, "/root/testdata/sf0.001"))
     materialize(queries["analyze_englando"](spark, "/root/testdata/sf0.001"))
+    # Build the materialized index up front: ingest-time cost, amortized
+    # across the query workload (the *_indexed entries then measure pure
+    # query-time scans — the number that matters for a served index). The
+    # build itself is timed and reported separately as index_build_sec.
+    from tweets_elastic_spark.indexing import ensure_index, index_dir_for
+    import shutil
+    shutil.rmtree(index_dir_for(sf_dir), ignore_errors=True)
+    t0 = time.perf_counter()
+    ensure_index(spark, sf_dir)
+    index_build_sec = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -89,6 +104,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "index_build_sec": index_build_sec,
         "sf": sf,
     }))
     spark.stop()

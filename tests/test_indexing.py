@@ -1,0 +1,170 @@
+"""Index-at-ingest: the written index round-trips the inline analysis, and
+every *_indexed query plan is pure JVM (no Python eval nodes) — the
+demonstrated 100 TB story of SURVEY §2.8 / Lucene index-time analysis."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark import indexing, registry
+from tweets_elastic_spark.operators import similarity as S
+from tweets_elastic_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark):
+    return indexing.ensure_index(spark, SF)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ensure_index_builds_once(spark, index_dir):
+    meta = os.path.join(index_dir, "index_meta.json")
+    mtime = os.path.getmtime(meta)
+    again = indexing.ensure_index(spark, SF)
+    assert again == index_dir
+    assert os.path.getmtime(meta) == mtime  # reused, not rebuilt
+
+
+def test_stored_tokens_equal_inline_analysis(spark, index_dir):
+    """The persisted token column is byte-identical to analyzing the raw
+    text inline — the index faithfully materializes the analyzer."""
+    from tweets_elastic_spark.functions.analyzers import analyze
+
+    stored = indexing.read_indexed_documents(spark, index_dir).select(
+        "doc_id", F.col("text__custom_shingles").alias("stored")
+    )
+    inline = load_table(spark, SF, "documents").select(
+        "doc_id", analyze("text", "custom_shingles").alias("inline")
+    )
+    diff = (
+        stored.join(inline, "doc_id")
+        .filter(F.col("stored") != F.col("inline"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_stored_signatures_equal_inline(spark, index_dir):
+    """Persisted LSH signatures and IVF cells match recomputation from the
+    raw vectors with the same planes/centroids."""
+    emb = load_table(spark, SF, "embeddings")
+    meta = indexing.read_index_meta(index_dir)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    recomputed = indexing.enrich_embeddings(emb, centroids)
+    stored = indexing.read_indexed_embeddings(spark, index_dir)
+    cols = list(indexing.SIG_COLS) + ["ivf_cell"]
+    a = {r["vec_id"]: tuple(r[c] for c in cols)
+         for r in stored.select("vec_id", *cols).collect()}
+    b = {r["vec_id"]: tuple(r[c] for c in cols)
+         for r in recomputed.select("vec_id", *cols).collect()}
+    assert a == b
+
+
+def test_term_dictionary_matches_aggregation_stats(spark, index_dir):
+    """The ingest-time term dictionary + sidecar stats return exactly what
+    the full-scan aggregation (bm25_stats) would, including df=0 for
+    unknown tokens."""
+    from tweets_elastic_spark.plans.search import bm25_stats
+
+    docs = indexing.read_indexed_documents(spark, index_dir)
+    qtokens = ["spark", "merge", "sparkmerge", "zzz-not-a-token"]
+    scan = bm25_stats(docs, "text__custom_shingles", qtokens)
+    lookup = indexing.bm25_stats_from_index(
+        spark, index_dir, "text__custom_shingles", qtokens
+    )
+    assert lookup.n_docs == scan.n_docs
+    assert abs(lookup.avgdl - scan.avgdl) < 1e-9
+    assert lookup.df == scan.df
+    assert lookup.df["zzz-not-a-token"] == 0.0
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "search_bm25_indexed",
+        "search_bm25_function_score",
+        "ann_lsh_topk_indexed",
+        "ann_ivf_topk_indexed",
+        "ann_lsh_multi_indexed",
+    ],
+)
+def test_indexed_query_plans_have_no_python(spark, index_dir, qname):
+    """The whole point of the index: query-time corpus plans are pure JVM —
+    no ArrowEvalPython / BatchEvalPython / MapInPandas stages anywhere."""
+    df = registry.get(qname).fn(spark, SF)
+    plan = _executed_plan(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"{qname} plan contains {marker}"
+
+
+def test_indexed_lsh_equals_inline_lsh(spark, index_dir):
+    """Stored-signature candidate filter (Hamming <= 2 over sig columns)
+    selects the same candidates as the inline probe union — identical
+    top-k, scores and all."""
+    emb_raw = load_table(spark, SF, "embeddings")
+    emb_idx = indexing.read_indexed_embeddings(spark, index_dir)
+    qvec = [float(x) for x in emb_raw.filter("vec_id = 0").head()["embedding"]]
+    inline = S.ann_lsh_topk(emb_raw, qvec, k=10).collect()
+    indexed = S.ann_lsh_topk_indexed(
+        emb_idx, qvec, k=10, sig_cols=indexing.SIG_COLS
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in inline] == [
+        (r["vec_id"], r["score"]) for r in indexed
+    ]
+
+
+def test_indexed_ivf_equals_inline_ivf(spark, index_dir):
+    """Sidecar centroids == a fresh bounded training run (deterministic),
+    so the indexed query returns exactly the inline result."""
+    emb_raw = load_table(spark, SF, "embeddings")
+    emb_idx = indexing.read_indexed_embeddings(spark, index_dir)
+    centroids = np.asarray(
+        indexing.read_index_meta(index_dir)["centroids"], dtype=np.float64
+    )
+    qvec = [float(x) for x in emb_raw.filter("vec_id = 0").head()["embedding"]]
+    inline = S.ann_ivf_topk(emb_raw, qvec, k=10, n_cells=16, nprobe=6).collect()
+    indexed = S.ann_ivf_topk_indexed(
+        emb_idx, centroids, qvec, k=10, nprobe=6
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in inline] == [
+        (r["vec_id"], r["score"]) for r in indexed
+    ]
+
+
+def test_multi_query_matches_single_query_per_id(spark, index_dir):
+    """The batched scan gives each query exactly what the single-query
+    indexed variant would (same candidates, same rerank, same tiebreak)."""
+    emb_idx = indexing.read_indexed_embeddings(spark, index_dir)
+    queries = emb_idx.filter(F.col("vec_id") < 3)
+    multi = S.ann_lsh_topk_multi(
+        emb_idx, queries, k=5, sig_cols=indexing.SIG_COLS
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in multi:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["score"]))
+    for qid in (0, 1, 2):
+        qvec = [
+            float(x)
+            for x in emb_idx.filter(f"vec_id = {qid}").head()["embedding"]
+        ]
+        single = S.ann_lsh_topk_indexed(
+            emb_idx, qvec, k=5, sig_cols=indexing.SIG_COLS
+        ).collect()
+        assert by_q[qid] == [(r["vec_id"], r["score"]) for r in single]
+
+
+def test_ivf_cell_filter_pushes_down(spark, index_dir):
+    """The isin(ivf_cell) candidate filter reaches the parquet scan as a
+    pushed filter — the index prunes I/O, not just rows."""
+    emb_idx = indexing.read_indexed_embeddings(spark, index_dir)
+    plan = _executed_plan(emb_idx.filter(F.col("ivf_cell").isin([1, 2])))
+    assert "PushedFilters" in plan and "ivf_cell" in plan.split("PushedFilters")[1][:200]

@@ -255,11 +255,20 @@ def analyze(c: Column | str, analyzer: str) -> Column:
     return ANALYZERS[analyzer](c)
 
 
+_ANALYZE_TEXT_CACHE: dict[tuple[str, str], list[str]] = {}
+
+
 def analyze_text(spark, text: str, analyzer: str) -> list[str]:
     """Query-time analysis of one string (ES analyzes the query with the
-    target field's analyzer before matching, SURVEY §2.7 Q5)."""
-    row = spark.range(1).select(analyze(F.lit(text), analyzer).alias("t")).head()
-    return list(row["t"])
+    target field's analyzer before matching, SURVEY §2.7 Q5). Memoized:
+    analyzers are pure functions of the literal, and a query tree may ask
+    for the same analysis several times (predicate + score) — each miss
+    costs a 1-row Spark job."""
+    key = (text, analyzer)
+    if key not in _ANALYZE_TEXT_CACHE:
+        row = spark.range(1).select(analyze(F.lit(text), analyzer).alias("t")).head()
+        _ANALYZE_TEXT_CACHE[key] = list(row["t"])
+    return list(_ANALYZE_TEXT_CACHE[key])
 
 
 def materialize_tokens(df: DataFrame, spec: dict[str, list[str]]) -> DataFrame:

@@ -1,0 +1,214 @@
+"""Index-at-ingest: analyze once, scan stored columns at query time.
+
+The reference never analyzes at query time: every text field is analyzed
+ONCE when a document is indexed (Lucene multi-fields,
+/root/reference/src/config/mapping.json:23-54), and queries run against the
+stored token streams and doc values. This module is that story for the
+Spark engine, demonstrated end-to-end rather than asserted in docstrings:
+
+* ``enrich_documents`` — adds the analyzer token columns (the multi-field
+  analogue, ``materialize_tokens``);
+* ``enrich_embeddings`` — adds the L LSH signature columns and the IVF
+  cell id (quantizer trained on a bounded sample, ``train_quantizer``);
+* ``build_index`` — writes both enriched datasets as id-keyed parquet via
+  the S7/S8 sink (``write_documents``) plus a JSON sidecar carrying the
+  quantizer centroids and index parameters;
+* ``ensure_index`` — build-once-per-fixture cache used by the registered
+  ``*_indexed`` queries, so the driver's correctness gate exercises a real
+  write → read-back cycle every round.
+
+At 100 TB this is the ingest job: analysis/signature/assignment cost is
+paid once per document (one extra projection inside the ingest pipeline's
+existing scan), and every query afterwards is a scan of stored columns
+with pure JVM predicates — ``arrays_overlap`` for matches, ``bit_count``
+over signature longs for LSH, ``isin`` over the cell id for IVF (these
+push down to the parquet reader) — no Python UDF in any query-time plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.functions.analyzers import materialize_tokens
+from tweets_elastic_spark.operators.similarity import (
+    ivf_cell_col,
+    lsh_tables,
+    rh_signature_col,
+    train_quantizer,
+)
+from tweets_elastic_spark.sinks import write_documents
+from tweets_elastic_spark.sources.catalog import fan_out, load_table
+
+# Bump to invalidate previously-built fixture indexes on disk.
+INDEX_FORMAT_VERSION = 2
+
+# One parameter set shared by the ingest job, every *_indexed query, and
+# the DuckDB oracles (which inline the same fixed-seed hyperplanes).
+DOC_TOKEN_SPEC = {"text": ["custom_shingles"]}
+LSH_N_BITS = 6
+LSH_N_TABLES = 4
+LSH_SEED = 7
+SIG_COLS = tuple(f"sig{t}" for t in range(LSH_N_TABLES))
+IVF_N_CELLS = 16
+IVF_TRAIN_LIMIT = 4096
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_INDEX_ROOT = os.path.join(_REPO_ROOT, ".index_cache")
+
+
+def enrich_documents(docs: DataFrame, spec: dict | None = None) -> DataFrame:
+    """Index-time text analysis: one ``{col}__{analyzer}`` token column per
+    requested pairing — the only place the analyzer UDF pipeline runs."""
+    return materialize_tokens(docs, spec or DOC_TOKEN_SPEC)
+
+
+def enrich_embeddings(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    n_bits: int = LSH_N_BITS,
+    n_tables: int = LSH_N_TABLES,
+    seed: int = LSH_SEED,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds sig0..sig{L-1} (per-table LSH signatures) and ivf_cell — all in
+    the same projection, one pass over the vectors."""
+    dim = len(np.asarray(centroids)[0])
+    out = emb
+    for t, planes in enumerate(lsh_tables(dim, n_bits, n_tables, seed)):
+        out = out.withColumn(f"sig{t}", rh_signature_col(F.col(vec_col), planes))
+    return out.withColumn("ivf_cell", ivf_cell_col(F.col(vec_col), centroids))
+
+
+def build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ivf_train_limit: int | None = IVF_TRAIN_LIMIT,
+) -> str:
+    """The ingest job: scan the raw corpus tables, enrich, write back as
+    id-keyed parquet datasets + a centroid/params sidecar. The sidecar is
+    written LAST, so a half-built index (crash mid-write) is never treated
+    as valid by ``ensure_index``."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_quantizer(
+        emb, IVF_N_CELLS, LSH_SEED, train_limit=ivf_train_limit
+    )
+    # dedup_ids=False: enrichment is a per-row projection over sources whose
+    # ids are already unique (the ETL sink enforced overwrite-by-id) — the
+    # id-dedup shuffle would be pure waste at ingest scale.
+    docs_enriched = enrich_documents(docs)
+    write_documents(
+        docs_enriched,
+        os.path.join(out_dir, "documents_indexed"),
+        id_col="doc_id",
+        dedup_ids=False,
+    )
+    # Term dictionary + corpus stats (Lucene's segment statistics, computed
+    # at index time): df per token and (n_docs, avgdl) per token column.
+    # BM25 query-time stats then become a pushdown-filtered lookup of the
+    # query's few tokens instead of a full corpus aggregation pass.
+    corpus_stats: dict[str, dict[str, float]] = {}
+    for col_name, analyzers_ in (DOC_TOKEN_SPEC).items():
+        for an in analyzers_:
+            tok_col = f"{col_name}__{an}"
+            indexed = spark.read.parquet(os.path.join(out_dir, "documents_indexed"))
+            row = indexed.agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                F.avg(F.size(F.col(tok_col))).alias("avgdl"),
+            ).head()
+            corpus_stats[tok_col] = {"n_docs": float(row["n"]), "avgdl": float(row["avgdl"])}
+            (
+                indexed.select(
+                    F.explode(F.array_distinct(F.col(tok_col))).alias("token")
+                )
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"token_stats__{tok_col}"))
+            )
+    write_documents(
+        enrich_embeddings(fan_out(emb), centroids),
+        os.path.join(out_dir, "embeddings_indexed"),
+        id_col="vec_id",
+        dedup_ids=False,
+    )
+    meta = {
+        "version": INDEX_FORMAT_VERSION,
+        "sf_dir": os.path.abspath(sf_dir),
+        "doc_token_spec": DOC_TOKEN_SPEC,
+        "lsh": {"n_bits": LSH_N_BITS, "n_tables": LSH_N_TABLES, "seed": LSH_SEED},
+        "ivf": {"n_cells": IVF_N_CELLS, "train_limit": ivf_train_limit},
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "corpus_stats": corpus_stats,
+    }
+    with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+def index_dir_for(sf_dir: str, root: str | None = None) -> str:
+    base = os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
+    return os.path.join(root or DEFAULT_INDEX_ROOT, base)
+
+
+def ensure_index(spark: SparkSession, sf_dir: str, root: str | None = None) -> str:
+    """Idempotent build-or-reuse: the registered ``*_indexed`` queries call
+    this, so the first query against a fixture pays the (amortizable)
+    ingest cost and every later one reads the stored columns."""
+    out = index_dir_for(sf_dir, root)
+    meta_path = os.path.join(out, "index_meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (
+                meta.get("version") == INDEX_FORMAT_VERSION
+                and meta.get("sf_dir") == os.path.abspath(sf_dir)
+            ):
+                return out
+        except (json.JSONDecodeError, OSError):
+            pass
+    return build_index(spark, sf_dir, out)
+
+
+def read_index_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "index_meta.json")) as f:
+        return json.load(f)
+
+
+def bm25_stats_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    tok_col: str,
+    query_tokens: list[str],
+):
+    """BM25 corpus statistics from the index, Lucene-style: (n_docs, avgdl)
+    from the sidecar, per-token df from a pushdown-filtered lookup of the
+    term dictionary — the query's handful of tokens, not a corpus scan.
+    Tokens absent from the dictionary get df=0 (same as the aggregation
+    path: nothing contains them)."""
+    from tweets_elastic_spark.plans.search import Bm25Stats
+
+    cs = read_index_meta(index_dir)["corpus_stats"][tok_col]
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, f"token_stats__{tok_col}"))
+        .filter(F.col("token").isin(list(query_tokens)))
+        .collect()
+    )
+    df = {t: 0.0 for t in query_tokens}
+    df.update({r["token"]: float(r["df"]) for r in rows})
+    return Bm25Stats(n_docs=cs["n_docs"], avgdl=cs["avgdl"], df=df)
+
+
+def read_indexed_documents(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "documents_indexed"))
+
+
+def read_indexed_embeddings(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "embeddings_indexed"))

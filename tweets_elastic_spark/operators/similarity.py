@@ -74,8 +74,15 @@ def cosine_topk_multi(
             F.col(query_vec_col).alias("_qv"),
         )
     )
-    scored = embeddings.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
-    scored = scored.withColumn("_cos", cosine(F.col(vec_col), F.col("_qv")))
+    # project to (q_id, id, score) BEFORE the ranking window: the window
+    # shuffle then moves 3 scalars per row instead of two d-dim vectors
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(q)
+        .select(
+            "q_id", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos")
+        )
+    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("_cos").desc(), F.col(id_col).asc()
     )
@@ -140,6 +147,43 @@ def ivf_cell_col(vec_col: Column, centroids: np.ndarray) -> Column:
     return _assign(vec_col)
 
 
+def train_quantizer(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int | None = 4096,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer on a BOUNDED deterministic sample:
+    rows ordered by ``xxhash64(id)`` (a seed-free pseudo-random shuffle
+    every executor agrees on), capped at ``train_limit`` via
+    ``TakeOrderedAndProject`` — so at most train_limit·d floats ever reach
+    the driver no matter the corpus size. A few thousand vectors is ample
+    for a coarse quantizer; ``train_limit=None`` (full-corpus training) is
+    an explicit test-scale opt-in, never the default."""
+    train_df = embeddings.select(F.col(id_col), F.col(vec_col))
+    if train_limit is not None:
+        train_df = (
+            train_df.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(train_limit)
+        )
+    train = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in train_df.collect()]
+    )
+    return kmeans_centroids(train, n_cells, seed)
+
+
+def ivf_probe_cells(
+    centroids: np.ndarray, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids nearest the query — k×d driver math."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    return [int(c) for c in d2.argsort(kind="stable")[:nprobe]]
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -157,37 +201,68 @@ def ann_ivf_topk(
     (cells are balanced on isotropic data); raise n_cells with corpus
     size (√n is the usual rule) to keep it small.
 
-    The quantizer trains on a BOUNDED deterministic sample: rows ordered
-    by ``xxhash64(id)`` (a seed-free pseudo-random shuffle every executor
-    agrees on), capped at ``train_limit`` via ``TakeOrderedAndProject`` —
-    so at most k·d + train_limit·d floats ever reach the driver no matter
-    the corpus size. A few thousand vectors is ample for a coarse
-    quantizer; ``train_limit=None`` (full-corpus training) is an explicit
-    test-scale opt-in, never the default."""
-    train_df = embeddings.select(F.col(id_col), F.col(vec_col))
-    if train_limit is not None:
-        train_df = (
-            train_df.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-            .limit(train_limit)
-        )
-    train = np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in train_df.collect()]
+    Quantizer training is bounded (see ``train_quantizer``); the cell
+    column is computed inline here so the operator is self-contained —
+    ``ann_ivf_topk_indexed`` is the production shape over a cell column
+    materialized at ingest (indexing.build_index)."""
+    centroids = train_quantizer(
+        embeddings, n_cells, seed, id_col, vec_col, train_limit
     )
-    centroids = kmeans_centroids(train, n_cells, seed)
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in d2.argsort()[:nprobe]]
-
+    probe_cells = ivf_probe_cells(centroids, query_vec, nprobe)
     candidates = embeddings.withColumn(
         "_cell", ivf_cell_col(F.col(vec_col), centroids)
     ).filter(F.col("_cell").isin(probe_cells))
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ann_ivf_topk_indexed(
+    emb_indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF ANN over a MATERIALIZED cell column (indexing.build_index): the
+    query-time plan is ``filter(cell IN probes)`` + exact rerank — pure JVM
+    expressions over stored columns, no Python, no training job, and the
+    isin filter pushes down to the parquet scan. This is the 100 TB shape:
+    assignment cost was paid once at ingest."""
+    probes = ivf_probe_cells(centroids, query_vec, nprobe)
+    candidates = emb_indexed.filter(F.col(cell_col).isin(probes))
+    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_bits, dim)
+
+
+def lsh_tables(
+    dim: int, n_bits: int = 6, n_tables: int = 4, seed: int = 7
+) -> list[np.ndarray]:
+    """The L independent hyperplane sets shared by every LSH ANN entry
+    point (inline, indexed, batched) AND the DuckDB oracles — one seed
+    schedule so signatures agree everywhere."""
+    return [_hyperplanes(dim, n_bits, seed + 101 * t) for t in range(n_tables)]
+
+
+def query_lsh_signatures(
+    query_vec: list[float], n_bits: int = 6, n_tables: int = 4, seed: int = 7
+) -> list[int]:
+    """Per-table signature of one query vector — driver-side NumPy over the
+    same planes the corpus columns use."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sigs = []
+    for planes in lsh_tables(len(query_vec), n_bits, n_tables, seed):
+        sig = 0
+        for i, h in enumerate(planes):
+            if float(np.dot(q, h)) > 0:
+                sig |= 1 << i
+        sigs.append(sig)
+    return sigs
 
 
 def rh_signature_col(vec_col: Column, planes: np.ndarray) -> Column:
@@ -234,15 +309,10 @@ def ann_lsh_topk(
     (``withColumn(f'sig{t}', rh_signature_col(...))`` + write); here they
     are computed inline so the operator is self-contained.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
+    tables = lsh_tables(len(query_vec), n_bits, n_tables, seed)
+    q_sigs = query_lsh_signatures(query_vec, n_bits, n_tables, seed)
     cond = None
-    out = embeddings
-    for t in range(n_tables):
-        planes = _hyperplanes(len(query_vec), n_bits, seed + 101 * t)
-        q_sig = 0
-        for i, h in enumerate(planes):
-            if float(np.dot(q, h)) > 0:
-                q_sig |= 1 << i
+    for planes, q_sig in zip(tables, q_sigs):
         probes = [q_sig]
         if probe_bits >= 1:
             probes += [q_sig ^ (1 << i) for i in range(n_bits)]
@@ -255,5 +325,109 @@ def ann_lsh_topk(
         sig = rh_signature_col(F.col(vec_col), planes)
         c = sig.isin(probes)
         cond = c if cond is None else (cond | c)
-    candidates = out.filter(cond)
+    candidates = embeddings.filter(cond)
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ann_lsh_topk_indexed(
+    emb_indexed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_bits: int = 2,
+    sig_cols: tuple[str, ...] = ("sig0", "sig1", "sig2", "sig3"),
+) -> DataFrame:
+    """LSH ANN over MATERIALIZED signature columns (indexing.build_index):
+    no per-row signature computation at query time — the candidate filter
+    is ``bit_count(sig_t XOR q_sig_t) <= probe_bits`` over stored longs
+    (identical set to the probe union: Hamming ≤ probe_bits), then exact
+    rerank. Query-side signatures are k·d driver math. This is the ingest-
+    time-analysis story the inline variant's docstring promises."""
+    q_sigs = query_lsh_signatures(query_vec, n_bits, len(sig_cols), seed)
+    cond = None
+    for sc, qs in zip(sig_cols, q_sigs):
+        c = F.bit_count(F.col(sc).bitwiseXOR(F.lit(qs))) <= probe_bits
+        cond = c if cond is None else (cond | c)
+    candidates = emb_indexed.filter(cond)
+    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ann_lsh_topk_multi(
+    emb_indexed: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    probe_bits: int = 2,
+    sig_cols: tuple[str, ...] | None = ("sig0", "sig1", "sig2", "sig3"),
+    dim: int = 64,
+    query_sig_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Batched ANN THROUGH the LSH index: a query workload served in one
+    corpus scan. The query set (small) gets its per-table signatures and is
+    broadcast; the join condition is the same Hamming-≤-probe_bits filter
+    as the single-query indexed variant, evaluated per (doc, query) inside
+    a broadcast nested-loop join — so the corpus is scanned ONCE for the
+    whole batch, candidates are exact-cosine scored, and a per-query
+    ranking window takes the top k. Compare ``cosine_topk_multi``: same
+    broadcast-batch shape, but the index filter drops the non-candidate
+    (doc, query) pairs before any cosine is computed.
+
+    ``sig_cols=None`` computes the corpus signatures inline (self-contained
+    test shape); the registered query passes the stored index columns.
+    ``query_sig_cols`` names signature columns already present on the
+    query set (e.g. queries drawn from the indexed corpus itself) — then
+    NO signature is computed anywhere in the plan; without it the query
+    side gets the hyperplane expressions inline (a per-batch cost
+    proportional to the small query set, not the corpus)."""
+    from pyspark.sql.window import Window
+
+    n_tables_eff = len(sig_cols) if sig_cols else 4
+    corpus = emb_indexed
+    if sig_cols is None:
+        tables = lsh_tables(dim, n_bits, n_tables_eff, seed)
+        sig_cols = tuple(f"_sig{t}" for t in range(len(tables)))
+        for sc, planes in zip(sig_cols, tables):
+            corpus = corpus.withColumn(sc, rh_signature_col(F.col(vec_col), planes))
+
+    if query_sig_cols is not None:
+        q = queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(query_vec_col).alias("_qv"),
+            *[
+                F.col(qs).alias(f"_qsig{t}")
+                for t, qs in enumerate(query_sig_cols)
+            ],
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col).alias("q_id"), F.col(query_vec_col).alias("_qv")
+        )
+        for t, planes in enumerate(
+            lsh_tables(dim, n_bits, n_tables_eff, seed)[: len(sig_cols)]
+        ):
+            q = q.withColumn(f"_qsig{t}", rh_signature_col(F.col("_qv"), planes))
+    q = F.broadcast(q)
+
+    cond = None
+    for t, sc in enumerate(sig_cols):
+        c = F.bit_count(F.col(sc).bitwiseXOR(F.col(f"_qsig{t}"))) <= probe_bits
+        cond = c if cond is None else (cond | c)
+
+    # project to scalars before the ranking window (see cosine_topk_multi)
+    scored = corpus.join(q, cond).select(
+        "q_id", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col, F.round("_cos", 6).alias("score"))
+    )

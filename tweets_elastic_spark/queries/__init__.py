@@ -2,6 +2,7 @@
 
 from tweets_elastic_spark.queries import (  # noqa: F401
     dedup_q,
+    indexed_q,
     multimodal_q,
     relational,
     search_q,

@@ -1,0 +1,233 @@
+"""Queries over the MATERIALIZED index (indexing.build_index) — the
+demonstrated form of the "analyze once at ingest, scan stored columns at
+query time" plan every inline variant's docstring points to.
+
+Each entry calls ``ensure_index`` (build-once per fixture, a real parquet
+write → read-back), then runs a query whose corpus-side plan contains no
+analyzer UDFs and no signature computation — only stored-column JVM
+predicates. Oracles recompute the same tokens/signatures from the RAW
+tables with the same deterministic definitions, so the driver's gate also
+proves the stored columns faithfully round-trip the inline analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.indexing import (
+    SIG_COLS,
+    bm25_stats_from_index,
+    ensure_index,
+    read_index_meta,
+    read_indexed_documents,
+    read_indexed_embeddings,
+)
+from tweets_elastic_spark.operators import similarity as S
+from tweets_elastic_spark.registry import register
+from tweets_elastic_spark.queries.dedup_q import _LSH_ORACLE, _rh_sig_sql
+from tweets_elastic_spark.queries.search_q import (
+    _BM25_DF_SQL,
+    _BM25_SCORE_SQL,
+    _TOKENS_CTE,
+)
+
+
+def _query_vec(emb: DataFrame, vec_id: int = 0) -> list[float]:
+    return [float(x) for x in emb.filter(f"vec_id = {vec_id}").head()["embedding"]]
+
+
+@register(
+    "search_bm25_indexed",
+    oracle=_TOKENS_CTE + f""",
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               avg(CAST(len(tokens) AS DOUBLE)) AS avgdl
+        FROM toks
+    ),
+    dfs AS (SELECT {_BM25_DF_SQL} FROM toks)
+    SELECT doc_id, lang,
+           round({_BM25_SCORE_SQL}, 6) AS score
+    FROM toks, stats s, dfs d
+    WHERE lang = 'en'
+      AND list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+    """,
+    doc="search_bm25 over the WRITTEN index: tokens come from the stored "
+        "text__custom_shingles column (one analyzer pass at ingest, never "
+        "at query time), corpus stats from the sidecar + a pushdown lookup "
+        "of the ingest-time term dictionary — so the whole query is ONE "
+        "corpus scan of pure JVM expressions, no Python anywhere. The "
+        "oracle recomputes tokens AND stats from raw text, so a green row "
+        "also proves the stored columns round-trip the inline analysis.",
+)
+def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.plans.search import (
+        BM25Match,
+        Bool,
+        FunctionScore,
+        Term,
+        search,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    docs = read_indexed_documents(spark, idx)
+    qtokens = analyze_text(spark, "spark merge", "custom_shingles")
+    stats = bm25_stats_from_index(spark, idx, "text__custom_shingles", qtokens)
+    match = BM25Match(
+        "text", "spark merge", analyzer="custom_shingles",
+        tokens_col="text__custom_shingles", stats=stats,
+    )
+    query = FunctionScore(
+        Bool(should=[(match, 1.0)], filter=[Term("lang", "en"), match])
+    )
+    return search(docs, query, k=None).select(
+        "doc_id", "lang", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "search_bm25_function_score",
+    oracle=_TOKENS_CTE + f""",
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               avg(CAST(len(tokens) AS DOUBLE)) AS avgdl
+        FROM toks
+    ),
+    dfs AS (SELECT {_BM25_DF_SQL} FROM toks)
+    SELECT doc_id, lang, n_chars,
+           round(2.0 * ({_BM25_SCORE_SQL}), 6) AS score
+    FROM toks, stats s, dfs d
+    WHERE lang = 'en' AND n_chars > 300
+      AND list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+    ORDER BY round(2.0 * ({_BM25_SCORE_SQL}), 6) DESC, doc_id ASC
+    LIMIT 25
+    """,
+    doc="The full ES semantics in one plan: function_score(bool(should="
+        "[BM25 match, weight 2], filter=[term lang, range n_chars, match])) "
+        "+ top-k — the reference query shape with real relevance scoring, "
+        "over the written index. Ordering uses the 6-decimal-rounded score "
+        "on BOTH sides so cross-engine float noise cannot reorder the "
+        "cutoff; ties break by doc_id.",
+)
+def q_search_bm25_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.plans.search import (
+        BM25Match,
+        Bool,
+        FunctionScore,
+        Range,
+        Term,
+        search,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    docs = read_indexed_documents(spark, idx)
+    qtokens = analyze_text(spark, "spark merge", "custom_shingles")
+    stats = bm25_stats_from_index(spark, idx, "text__custom_shingles", qtokens)
+    match = BM25Match(
+        "text", "spark merge", analyzer="custom_shingles",
+        tokens_col="text__custom_shingles", stats=stats,
+    )
+    query = FunctionScore(
+        Bool(
+            should=[(match, 2.0)],
+            filter=[Term("lang", "en"), Range("n_chars", gt=300), match],
+        )
+    )
+    scored = search(docs, query, k=None).withColumn(
+        "score", F.round("score", 6)
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+        .select("doc_id", "lang", "n_chars", "score")
+    )
+
+
+@register(
+    "ann_lsh_topk_indexed",
+    oracle=_LSH_ORACLE,
+    doc="LSH ANN over the written index: the candidate filter is "
+        "bit_count(stored_sig XOR query_sig) <= 2 over the four persisted "
+        "signature longs — no signature computation in the corpus plan. "
+        "Same oracle as the inline variant (identical candidate set by "
+        "construction), which also pins stored == recomputed signatures.",
+)
+def q_ann_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_indexed_embeddings(spark, ensure_index(spark, sf_dir))
+    qvec = _query_vec(emb)
+    return S.ann_lsh_topk_indexed(emb, qvec, k=10, sig_cols=SIG_COLS)
+
+
+@register(
+    "ann_ivf_topk_indexed",
+    oracle=None,  # centroids live in the index sidecar, not in static SQL
+    doc="IVF ANN over the written index: probe cells come from the sidecar "
+        "centroids (k x d driver math), the corpus plan is a pure "
+        "isin(ivf_cell) filter over the stored cell id + exact rerank — "
+        "no training job, no assignment UDF at query time.",
+)
+def q_ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    idx = ensure_index(spark, sf_dir)
+    emb = read_indexed_embeddings(spark, idx)
+    centroids = np.asarray(read_index_meta(idx)["centroids"], dtype=np.float64)
+    qvec = _query_vec(emb)
+    return S.ann_ivf_topk_indexed(emb, centroids, qvec, k=10, nprobe=6)
+
+
+# Batched-ANN oracle: per-query signatures and the Hamming filter inlined
+# with the same literal planes, ranked per query.
+_LSH_TABLE_SEEDS = [7 + 101 * t for t in range(4)]
+_LSH_MULTI_ORACLE = (
+    "WITH qraw AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv\n"
+    "              FROM embeddings WHERE vec_id < 5),\n"
+    "q AS (\n    SELECT q_id, qv,\n"
+    + ",\n".join(
+        f"        {_rh_sig_sql('qv', n_bits=6, seed=seed)} AS q{t}"
+        for t, seed in enumerate(_LSH_TABLE_SEEDS)
+    )
+    + "\n    FROM qraw\n),\n"
+    "s AS (\n    SELECT vec_id, embedding::DOUBLE[] AS v,\n"
+    + ",\n".join(
+        f"        {_rh_sig_sql('embedding::DOUBLE[]', n_bits=6, seed=seed)} AS s{t}"
+        for t, seed in enumerate(_LSH_TABLE_SEEDS)
+    )
+    + "\n    FROM embeddings\n),\n"
+    "cand AS (\n"
+    "    SELECT q.q_id, s.vec_id, list_cosine_similarity(s.v, q.qv) AS cos\n"
+    "    FROM s JOIN q ON ("
+    + "\n        OR ".join(
+        f"bit_count(xor(s.s{t}::BIGINT, q.q{t}::BIGINT)) <= 2"
+        for t in range(4)
+    )
+    + ")\n),\n"
+    "ranked AS (\n"
+    "    SELECT q_id, vec_id, cos,\n"
+    "           row_number() OVER (PARTITION BY q_id\n"
+    "                              ORDER BY cos DESC, vec_id ASC) AS rn\n"
+    "    FROM cand\n)\n"
+    "SELECT q_id, vec_id, round(cos, 6) AS score FROM ranked WHERE rn <= 3"
+)
+
+
+@register(
+    "ann_lsh_multi_indexed",
+    oracle=_LSH_MULTI_ORACLE,
+    doc="Batched ANN THROUGH the index: 5 query vectors served in ONE "
+        "corpus scan — broadcast query signatures, Hamming-<=2 candidate "
+        "join against the stored signature columns, exact-cosine scoring "
+        "of candidates only, per-query ranking window. The indexed answer "
+        "to cosine_topk_multi: same broadcast-batch shape, but the LSH "
+        "filter prunes (doc, query) pairs before any cosine is computed.",
+)
+def q_ann_lsh_multi_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_indexed_embeddings(spark, ensure_index(spark, sf_dir))
+    queries = emb.filter(F.col("vec_id") < 5)
+    # queries come from the indexed corpus, so even THEIR signatures are
+    # stored — the whole plan computes zero signatures
+    return S.ann_lsh_topk_multi(
+        emb, queries, k=3, sig_cols=SIG_COLS, query_sig_cols=SIG_COLS
+    )

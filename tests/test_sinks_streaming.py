@@ -387,3 +387,33 @@ def test_increment_counters_sums_duplicate_delta_ids(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 2  # one row per doc, no join fan-out
     assert {r["id"]: r["retweet_count"] for r in rows} == {1: 18, 2: 1}
+
+
+def test_compact_sink_latest_increment_wins(spark, tmp_path):
+    """compact_sink keeps the row from the highest ingest_wm per id,
+    collapses the sink to one partition, and is idempotent."""
+    from tweets_elastic_spark.sinks import compact_sink
+
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame(
+        [(1, "v0"), (2, "v0"), (3, "v0")], "id long, payload string"
+    ).write.parquet(sink + "/ingest_wm=0")
+    spark.createDataFrame(
+        [(2, "v10"), (4, "v10")], "id long, payload string"
+    ).write.parquet(sink + "/ingest_wm=10")
+    spark.createDataFrame(
+        [(3, "v5")], "id long, payload string"
+    ).write.parquet(sink + "/ingest_wm=5")
+
+    n = compact_sink(spark, sink, id_col="id")
+    assert n == 4
+    rows = {r["id"]: r["payload"] for r in
+            spark.read.parquet(sink).drop("ingest_wm").collect()}
+    assert rows == {1: "v0", 2: "v10", 3: "v5", 4: "v10"}
+    wms = {r["ingest_wm"] for r in spark.read.parquet(sink).collect()}
+    assert wms == {-1}
+    # idempotent: compacting a compacted sink changes nothing
+    assert compact_sink(spark, sink, id_col="id") == 4
+    rows2 = {r["id"]: r["payload"] for r in
+             spark.read.parquet(sink).drop("ingest_wm").collect()}
+    assert rows2 == rows

@@ -263,3 +263,66 @@ def test_incremental_etl_pages_union_to_full(spark, tmp_path):
     for doc_id, j in a.items():
         if doc_id not in late_parent_children:
             assert b[doc_id] == j, f"doc {doc_id} differs"
+
+
+def test_backfill_then_compact_equals_full_build(spark, tmp_path):
+    """The cross-increment overwrite-by-id story end-to-end: conversations
+    arrive in two batches, then the watermark is REWOUND (a backfill — the
+    reference would re-run its loop from an earlier last_id and let ES
+    overwrite by _id) so ids 26..60 are re-documented into a third
+    partition. compact_sink keeps the latest version per id; the result is
+    byte-identical (JSON wire format) to a one-shot full build — including
+    batch-1 documents whose parents arrived late and are only correct in
+    the re-documented version."""
+    import shutil as sh
+
+    from tweets_elastic_spark.pipeline import etl_full, etl_increment
+    from tweets_elastic_spark.sinks import compact_sink, document_json
+    from tweets_elastic_spark.sources.incremental import WatermarkStore
+
+    tables = make_tweets_tables(spark, n_conversations=60)
+    src = tmp_path / "src"
+    for name, df in tables.items():
+        if name == "conversations":
+            df.filter("id <= 30").write.parquet(str(src / f"{name}.parquet"))
+        else:
+            df.write.parquet(str(src / f"{name}.parquet"))
+
+    inc_sink = str(tmp_path / "inc")
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.set("conversations.id", 0)
+    assert etl_increment(spark, str(src), inc_sink, store) == 30
+
+    # arrival 2 + normal increment
+    sh.rmtree(src / "conversations.parquet")
+    tables["conversations"].write.parquet(str(src / "conversations.parquet"))
+    assert etl_increment(spark, str(src), inc_sink, store) == 30
+
+    # backfill: rewind the watermark to 0 (re-document EVERYTHING — only a
+    # full rewind can refresh batch-1 docs whose parents arrived late; a
+    # partial rewind deliberately leaves docs below the rewind point
+    # untouched). The rewound run overwrites its deterministic ingest_wm=0
+    # directory; ids 31..60 still duplicate against the ingest_wm=30 batch.
+    store.set("conversations.id", 0)
+    assert etl_increment(spark, str(src), inc_sink, store) == 60
+    pre = spark.read.parquet(inc_sink)
+    assert pre.count() == 90 and pre.select("id").distinct().count() == 60
+
+    n = compact_sink(spark, inc_sink, id_col="id")
+    assert n == 60
+
+    full_sink = str(tmp_path / "full")
+    etl_full(spark, str(src), full_sink)
+    a = {
+        r["id"]: r["json"]
+        for r in document_json(
+            spark.read.parquet(full_sink).drop("ingest_wm")
+        ).collect()
+    }
+    b = {
+        r["id"]: r["json"]
+        for r in document_json(
+            spark.read.parquet(inc_sink).drop("ingest_wm")
+        ).collect()
+    }
+    assert a == b

@@ -22,10 +22,11 @@ documents, advancing ``last_id`` } (src/main.py:106-162). Here:
 
 Both writers use the same ``ingest_wm=…`` partition layout (``-1`` for the
 one-shot build), so a sink stays readable with plain
-``spark.read.parquet(sink)`` whichever mode produced it. Use ONE mode per
-sink: re-documenting conversations across modes would leave both versions
-in different partitions (an append-style sink has no overwrite-by-id
-across partitions; compaction or Delta MERGE would add it).
+``spark.read.parquet(sink)`` whichever mode produced it. Re-documenting a
+conversation across increments (watermark rewound for a backfill, or
+mixing modes) leaves both versions in different partitions;
+``sinks.compact_sink`` resolves that — latest ``ingest_wm`` wins per id,
+the cross-partition overwrite-by-id ES applies at write time.
 
 Unioned increments are exactly ``etl_full``'s output as long as referenced
 parents exist in the source when their child's page is processed — for a

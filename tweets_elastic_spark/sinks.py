@@ -124,19 +124,70 @@ def increment_counters(
         .drop("_upd_id", "_delta")
     )
     tmp = path.rstrip("/") + ".updating"
-    old = path.rstrip("/") + ".old"
     updated.write.mode("overwrite").parquet(tmp)
     n_updated = int(obs.get["n_updated"] or 0)
-    # swap via two renames: the dataset is always recoverable (a crash
-    # between them leaves `.old` + `.updating` intact — the only window is
-    # a momentarily missing live path, vs rmtree-first which could LOSE the
-    # data). A transactional table format (Delta) removes even that window.
+    _swap_dataset_dir(path, tmp)
+    return n_updated
+
+
+def _swap_dataset_dir(path: str, tmp: str) -> None:
+    """Replace the live dataset directory with ``tmp`` via two renames: the
+    data is always recoverable (a crash between them leaves `.old` + the
+    new directory intact — the only window is a momentarily missing live
+    path, vs rmtree-first which could LOSE data). A transactional table
+    format (Delta) removes even that window; documented trade-off for a
+    filesystem sink."""
+    old = path.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return n_updated
+
+
+def compact_sink(spark, path: str, id_col: str = "id") -> int:
+    """Cross-increment overwrite-by-id for the ``ingest_wm=…`` sink layout
+    (pipeline.py): keep the row from the LATEST increment per id and
+    rewrite the dataset as a single ``ingest_wm=-1`` partition.
+
+    The incremental writers are append-only across partitions — when a
+    conversation is re-documented (watermark rewound for a backfill, or a
+    one-shot build followed by increments), both versions exist in
+    different ``ingest_wm`` directories. ES resolves that at write time by
+    ``_id`` overwrite; a filesystem sink resolves it here: one shuffle by
+    id, ``row_number`` over ``ingest_wm DESC`` (a later increment always
+    wins), rewrite, swap. Compaction is idempotent and the compacted sink
+    remains a valid target for further increments (``-1`` sorts below
+    every real watermark, so the next re-document still wins).
+
+    Recency is the watermark lineage, not wall-clock: a REWOUND backfill
+    writes into a lower ``ingest_wm`` directory than later normal batches.
+    That is still correct — every id the rewound run re-documents either
+    has no newer coverage, or a newer batch documented it from the same
+    source state — but it means a backfill refreshes exactly the ids
+    at/after its rewind point; rewind to 0 to re-document everything (the
+    reference's full re-import, ES overwriting by ``_id``).
+
+    Returns the number of surviving documents."""
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(path)
+    w = Window.partitionBy(id_col).orderBy(F.col("ingest_wm").desc())
+    obs = Observation()
+    latest = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "ingest_wm")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    tmp = path.rstrip("/") + ".compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    latest.write.mode("overwrite").parquet(os.path.join(tmp, "ingest_wm=-1"))
+    n = int(obs.get["n"])
+    _swap_dataset_dir(path, tmp)
+    return n
 
 
 def document_json(df: DataFrame, id_col: str = "id") -> DataFrame:

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql.types import ArrayType, BinaryType, FloatType
 
 from tweets_elastic_spark.functions.multimodal import (
@@ -156,3 +157,17 @@ def test_stub_mimes_raise_clearly(spark):
     )
     with pt.raises(PythonException, match="requires PIL/ffmpeg"):
         decode_assets(df).collect()
+
+
+def test_unrecognized_mime_raises_not_fabricates():
+    """Real-world mimes outside the codec sets must fail loudly — fake
+    dimensions are reserved for the explicit synthetic mime."""
+    from tweets_elastic_spark.functions.multimodal import _decode_one
+
+    with pytest.raises(NotImplementedError, match="unrecognized mime"):
+        _decode_one(b"GIF89a....", "image", "image/gif")
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        _decode_one(b"\xff\xd8....", "image", "image/jpeg")
+    # the synthetic mime still gets deterministic pseudo-dims
+    w, h = _decode_one(b"ten bytes!", "image", "application/x-fake")
+    assert (w, h) == (1 + 10 % 640, 1 + 10 % 480)

@@ -417,3 +417,24 @@ def test_compact_sink_latest_increment_wins(spark, tmp_path):
     rows2 = {r["id"]: r["payload"] for r in
              spark.read.parquet(sink).drop("ingest_wm").collect()}
     assert rows2 == rows
+
+
+def test_json_string_ingest_parses_es_timestamps(spark, tmp_path):
+    """P5 at its real call site: a JSON-lines export carrying the
+    reference's ...ssZZZZZ timestamps round-trips through load_table_json
+    into exactly the typed rows the parquet path would produce."""
+    from tweets_elastic_spark.schemas import ES_TIMESTAMP_FORMAT, TWEETS_TABLES
+    from tweets_elastic_spark.sources.catalog import load_table_json
+    from tweets_elastic_spark.sources.fixtures import make_tweets_tables
+
+    conv = make_tweets_tables(spark, n_conversations=20)["conversations"]
+    path = str(tmp_path / "conversations.jsonl")
+    conv.write.option("timestampFormat", ES_TIMESTAMP_FORMAT).json(path)
+
+    back = load_table_json(spark, path, "conversations")
+    # nullability is reader-dependent; names and TYPES must match exactly
+    want = [(f.name, f.dataType) for f in TWEETS_TABLES["conversations"].fields]
+    assert [(f.name, f.dataType) for f in back.schema.fields] == want
+    a = sorted(map(tuple, conv.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

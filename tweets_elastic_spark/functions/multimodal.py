@@ -50,6 +50,9 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, byte_offset long, frame_sha strin
 # mimes with a real stdlib decode path
 MIME_PPM = "image/x-portable-pixmap"
 MIME_WAV = "audio/x-wav"
+# the synthetic fixture payloads (attach_payload) — the ONLY mime that gets
+# deterministic fake dimensions
+MIME_FAKE = "application/x-fake"
 # compressed formats that genuinely need PIL/ffmpeg — stubbed
 STUB_MIMES = {"image/jpeg", "image/png", "video/mp4", "audio/mpeg"}
 
@@ -115,20 +118,23 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def _decode_one(payload: bytes, modality: str, mime: str) -> tuple[int, int]:
     """Dispatch by mime: real decode for PPM/WAV, deterministic fake dims
-    for the synthetic payloads, explicit NotImplementedError for codecs
-    that require PIL/ffmpeg."""
+    ONLY for the explicit synthetic mime, explicit NotImplementedError for
+    everything else — an unrecognized real-world mime (image/gif,
+    audio/ogg, …) must fail loudly, never get fabricated dimensions."""
     if mime == MIME_PPM:
         img = decode_ppm(payload)
         return img.shape[1], img.shape[0]
     if mime == MIME_WAV:
         rate, frames = decode_wav_meta(payload)
         return rate, frames
+    if mime == MIME_FAKE:
+        n = len(payload)
+        return 1 + n % 640, 1 + n % 480
     if mime in STUB_MIMES:
         raise NotImplementedError(
             f"{mime} decode requires PIL/ffmpeg — not in this container"
         )
-    n = len(payload)
-    return 1 + n % 640, 1 + n % 480
+    raise NotImplementedError(f"unrecognized mime type: {mime!r}")
 
 
 def decode_assets(assets: DataFrame) -> DataFrame:

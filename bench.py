@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_lsh_topk_indexed",
     "ann_ivf_topk_indexed",
     "ann_lsh_multi_indexed",
+    "ann_ivf_multi_indexed",
     "multimodal_decode",
 ]
 

@@ -95,6 +95,7 @@ def test_term_dictionary_matches_aggregation_stats(spark, index_dir):
         "ann_lsh_topk_indexed",
         "ann_ivf_topk_indexed",
         "ann_lsh_multi_indexed",
+        "ann_ivf_multi_indexed",
     ],
 )
 def test_indexed_query_plans_have_no_python(spark, index_dir, qname):
@@ -158,6 +159,32 @@ def test_multi_query_matches_single_query_per_id(spark, index_dir):
         ]
         single = S.ann_lsh_topk_indexed(
             emb_idx, qvec, k=5, sig_cols=indexing.SIG_COLS
+        ).collect()
+        assert by_q[qid] == [(r["vec_id"], r["score"]) for r in single]
+
+
+def test_ivf_multi_matches_single_query_per_id(spark, index_dir):
+    """The in-plan probe-cell computation (array_sort over literal-centroid
+    distances) picks exactly the cells the driver-side argsort picks, so
+    the batched scan returns what the single-query variant would."""
+    emb_idx = indexing.read_indexed_embeddings(spark, index_dir)
+    centroids = np.asarray(
+        indexing.read_index_meta(index_dir)["centroids"], dtype=np.float64
+    )
+    queries = emb_idx.filter(F.col("vec_id") < 3)
+    multi = S.ann_ivf_topk_multi(
+        emb_idx, centroids, queries, k=5, nprobe=6
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in multi:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["score"]))
+    for qid in (0, 1, 2):
+        qvec = [
+            float(x)
+            for x in emb_idx.filter(f"vec_id = {qid}").head()["embedding"]
+        ]
+        single = S.ann_ivf_topk_indexed(
+            emb_idx, centroids, qvec, k=5, nprobe=6
         ).collect()
         assert by_q[qid] == [(r["vec_id"], r["score"]) for r in single]
 

@@ -235,6 +235,61 @@ def ann_ivf_topk_indexed(
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ann_ivf_topk_multi(
+    emb_indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Batched IVF ANN through the index: a query workload in ONE corpus
+    scan. Each query's probe set (its ``nprobe`` nearest cells) is computed
+    INSIDE the plan on the broadcast query side — distance to every
+    centroid as literal-vector expressions, ``array_sort`` over
+    (distance, cell) structs, slice nprobe — so no per-query driver
+    round-trip. The join condition is ``array_contains(probes, cell)``
+    against the STORED cell column, evaluated in a broadcast nested-loop;
+    candidates get exact-cosine scores and a per-query ranking window
+    takes the top k. The IVF sibling of ``ann_lsh_topk_multi``."""
+    from pyspark.sql.window import Window
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    qv = F.col("_qv")
+    # argmin ‖x−c‖² over cells = argmin ‖c‖² − 2·x·c (‖x‖² constant/query)
+    dist_structs = [
+        F.struct(
+            (F.lit(float(c_sq[j])) - 2.0 * dot(qv, lit_vector([float(x) for x in C[j]])))
+            .alias("d"),
+            F.lit(j).alias("i"),
+        )
+        for j in range(len(C))
+    ]
+    probes = F.transform(
+        F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe), lambda s: s["i"]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("q_id"), F.col(query_vec_col).alias("_qv")
+        ).withColumn("_probes", probes)
+    )
+    scored = (
+        emb_indexed.join(q, F.array_contains(F.col("_probes"), F.col(cell_col)))
+        .select("q_id", id_col, cosine(F.col(vec_col), qv).alias("_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col, F.round("_cos", 6).alias("score"))
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_bits, dim)

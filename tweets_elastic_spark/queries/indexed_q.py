@@ -231,3 +231,23 @@ def q_ann_lsh_multi_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk_multi(
         emb, queries, k=3, sig_cols=SIG_COLS, query_sig_cols=SIG_COLS
     )
+
+
+@register(
+    "ann_ivf_multi_indexed",
+    oracle=None,  # probe cells derive from sidecar centroids (not static SQL)
+    doc="Batched IVF ANN through the index: per-query probe cells computed "
+        "inside the plan (literal-centroid distances + array_sort on the "
+        "broadcast query side), array_contains(probes, stored_cell) "
+        "candidate join, one corpus scan, per-query ranking window. "
+        "Equivalence with the single-query indexed variant is pinned in "
+        "tests (same probes, same rerank).",
+)
+def q_ann_ivf_multi_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    idx = ensure_index(spark, sf_dir)
+    emb = read_indexed_embeddings(spark, idx)
+    centroids = np.asarray(read_index_meta(idx)["centroids"], dtype=np.float64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ann_ivf_topk_multi(emb, centroids, queries, k=3, nprobe=6)

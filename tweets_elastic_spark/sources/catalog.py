@@ -97,7 +97,12 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     so this returns the input unchanged (never repartitions DOWN).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # File-source DFs: the file count lower-bounds the split count without
+    # building the RDD lineage (df.rdd triggers a full plan analysis per
+    # call). Non-file DFs (empty inputFiles) fall back to the RDD check.
+    files = df.inputFiles()
+    n_parts = len(files) if files else df.rdd.getNumPartitions()
+    if n_parts >= target:
         return df
     return df.repartition(target)
 

@@ -195,3 +195,78 @@ def test_ivf_cell_filter_pushes_down(spark, index_dir):
     emb_idx = indexing.read_indexed_embeddings(spark, index_dir)
     plan = _executed_plan(emb_idx.filter(F.col("ivf_cell").isin([1, 2])))
     assert "PushedFilters" in plan and "ivf_cell" in plan.split("PushedFilters")[1][:200]
+
+
+def test_segmented_increment_equals_monolithic_index(spark, tmp_path):
+    """Lucene's segment story end-to-end: base build over half the corpus,
+    one appended increment segment for the rest — aggregated stats and
+    BM25 results are IDENTICAL to a monolithic full build; nothing in the
+    base segment was rewritten."""
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.plans.search import BM25Match, Bool, FunctionScore, Term, search
+    from tweets_elastic_spark.sources.incremental import WatermarkStore
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    src_half = str(tmp_path / "src_half")
+    src_full = str(tmp_path / "src_full")
+    for out, pred in ((src_half, "doc_id <= 250"), (src_full, "true")):
+        docs.filter(pred.replace("doc_id", "doc_id")).write.parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        emb.filter(pred.replace("doc_id", "vec_id")).write.parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
+
+    idx_mono = indexing.build_index(spark, src_full, str(tmp_path / "idx_mono"))
+    idx_seg = indexing.build_index(spark, src_half, str(tmp_path / "idx_seg"))
+    base_files = set()
+    for root, _, files in os.walk(os.path.join(idx_seg, "documents_indexed", "segment=base")):
+        base_files |= {os.path.join(root, f) for f in files}
+    base_mtimes = {f: os.path.getmtime(f) for f in base_files}
+
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.set("index.doc_id", 250)
+    store.set("index.vec_id", 250)
+    n_rest = docs.filter("doc_id > 250").count()
+    assert indexing.index_increment(spark, src_full, idx_seg, store) == n_rest
+    assert indexing.index_increment(spark, src_full, idx_seg, store) == 0  # caught up
+    # base segment untouched by the append
+    assert {f: os.path.getmtime(f) for f in base_files} == base_mtimes
+
+    qtokens = analyze_text(spark, "spark merge", "custom_shingles")
+    s_mono = indexing.bm25_stats_from_index(
+        spark, idx_mono, "text__custom_shingles", qtokens
+    )
+    s_seg = indexing.bm25_stats_from_index(
+        spark, idx_seg, "text__custom_shingles", qtokens
+    )
+    assert (s_mono.n_docs, s_mono.avgdl, s_mono.df) == (
+        s_seg.n_docs, s_seg.avgdl, s_seg.df,
+    )
+
+    def bm25_results(idx):
+        d = indexing.read_indexed_documents(spark, idx)
+        stats = indexing.bm25_stats_from_index(
+            spark, idx, "text__custom_shingles", qtokens
+        )
+        match = BM25Match(
+            "text", "spark merge", analyzer="custom_shingles",
+            tokens_col="text__custom_shingles", stats=stats,
+        )
+        q = FunctionScore(Bool(should=[(match, 1.0)], filter=[Term("lang", "en"), match]))
+        out = search(d, q, k=None).select("doc_id", F.round("score", 6).alias("s"))
+        return sorted((r["doc_id"], r["s"]) for r in out.collect())
+
+    assert bm25_results(idx_mono) == bm25_results(idx_seg)
+
+    # embeddings: all rows present; signatures (seed-fixed, centroid-free)
+    # agree across layouts for every id
+    e_mono = indexing.read_indexed_embeddings(spark, idx_mono)
+    e_seg = indexing.read_indexed_embeddings(spark, idx_seg)
+    a = {r["vec_id"]: tuple(r[c] for c in indexing.SIG_COLS)
+         for r in e_mono.select("vec_id", *indexing.SIG_COLS).collect()}
+    b = {r["vec_id"]: tuple(r[c] for c in indexing.SIG_COLS)
+         for r in e_seg.select("vec_id", *indexing.SIG_COLS).collect()}
+    assert a == b

@@ -10,9 +10,12 @@ Spark engine, demonstrated end-to-end rather than asserted in docstrings:
   analogue, ``materialize_tokens``);
 * ``enrich_embeddings`` — adds the L LSH signature columns and the IVF
   cell id (quantizer trained on a bounded sample, ``train_quantizer``);
-* ``build_index`` — writes both enriched datasets as id-keyed parquet via
-  the S7/S8 sink (``write_documents``) plus a JSON sidecar carrying the
-  quantizer centroids and index parameters;
+* ``build_index`` — writes both enriched datasets as id-keyed parquet
+  segments plus a JSON sidecar carrying the quantizer centroids and index
+  parameters;
+* ``index_increment`` — appends NEW documents/embeddings as a further
+  segment with its own statistics (Lucene's segment model): nothing
+  existing is rewritten, and stat lookups aggregate across segments;
 * ``ensure_index`` — build-once-per-fixture cache used by the registered
   ``*_indexed`` queries, so the driver's correctness gate exercises a real
   write → read-back cycle every round.
@@ -41,11 +44,10 @@ from tweets_elastic_spark.operators.similarity import (
     rh_signature_col,
     train_quantizer,
 )
-from tweets_elastic_spark.sinks import write_documents
 from tweets_elastic_spark.sources.catalog import fan_out, load_table
 
 # Bump to invalidate previously-built fixture indexes on disk.
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 
 # One parameter set shared by the ingest job, every *_indexed query, and
 # the DuckDB oracles (which inline the same fixed-seed hyperplanes).
@@ -93,51 +95,19 @@ def build_index(
     """The ingest job: scan the raw corpus tables, enrich, write back as
     id-keyed parquet datasets + a centroid/params sidecar. The sidecar is
     written LAST, so a half-built index (crash mid-write) is never treated
-    as valid by ``ensure_index``."""
+    as valid by ``ensure_index``.
+
+    Layout is SEGMENTED (Lucene's segment model): the base build writes
+    everything under ``segment=base``; ``index_increment`` appends further
+    segments without touching existing ones. Statistics are per-segment
+    and aggregated at lookup, so an increment never recomputes or rewrites
+    global stats."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_quantizer(
         emb, IVF_N_CELLS, LSH_SEED, train_limit=ivf_train_limit
     )
-    # dedup_ids=False: enrichment is a per-row projection over sources whose
-    # ids are already unique (the ETL sink enforced overwrite-by-id) — the
-    # id-dedup shuffle would be pure waste at ingest scale.
-    docs_enriched = enrich_documents(docs)
-    write_documents(
-        docs_enriched,
-        os.path.join(out_dir, "documents_indexed"),
-        id_col="doc_id",
-        dedup_ids=False,
-    )
-    # Term dictionary + corpus stats (Lucene's segment statistics, computed
-    # at index time): df per token and (n_docs, avgdl) per token column.
-    # BM25 query-time stats then become a pushdown-filtered lookup of the
-    # query's few tokens instead of a full corpus aggregation pass.
-    corpus_stats: dict[str, dict[str, float]] = {}
-    for col_name, analyzers_ in (DOC_TOKEN_SPEC).items():
-        for an in analyzers_:
-            tok_col = f"{col_name}__{an}"
-            indexed = spark.read.parquet(os.path.join(out_dir, "documents_indexed"))
-            row = indexed.agg(
-                F.count(F.lit(1)).cast("double").alias("n"),
-                F.avg(F.size(F.col(tok_col))).alias("avgdl"),
-            ).head()
-            corpus_stats[tok_col] = {"n_docs": float(row["n"]), "avgdl": float(row["avgdl"])}
-            (
-                indexed.select(
-                    F.explode(F.array_distinct(F.col(tok_col))).alias("token")
-                )
-                .groupBy("token")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .write.mode("overwrite")
-                .parquet(os.path.join(out_dir, f"token_stats__{tok_col}"))
-            )
-    write_documents(
-        enrich_embeddings(fan_out(emb), centroids),
-        os.path.join(out_dir, "embeddings_indexed"),
-        id_col="vec_id",
-        dedup_ids=False,
-    )
+    _write_segment(spark, out_dir, docs, emb, centroids, "base")
     meta = {
         "version": INDEX_FORMAT_VERSION,
         "sf_dir": os.path.abspath(sf_dir),
@@ -145,11 +115,105 @@ def build_index(
         "lsh": {"n_bits": LSH_N_BITS, "n_tables": LSH_N_TABLES, "seed": LSH_SEED},
         "ivf": {"n_cells": IVF_N_CELLS, "train_limit": ivf_train_limit},
         "centroids": [[float(x) for x in c] for c in centroids],
-        "corpus_stats": corpus_stats,
     }
     with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
         json.dump(meta, f)
     return out_dir
+
+
+def _write_segment(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame,
+    emb: DataFrame | None,
+    centroids: np.ndarray,
+    segment: str,
+) -> None:
+    """Write one index segment: enriched documents/embeddings plus the
+    segment's own term dictionary and corpus stats. Segments are disjoint
+    id ranges (watermark-gated); re-indexing existing ids means rebuild —
+    same contract as Lucene segments without tombstones.
+
+    dedup_ids is skipped throughout: enrichment is a per-row projection
+    over sources whose ids are already unique (the ETL sink enforced
+    overwrite-by-id) — an id-dedup shuffle would be pure waste."""
+    seg = f"segment={segment}"
+    docs_enriched = enrich_documents(docs)
+    docs_enriched.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents_indexed", seg)
+    )
+    # Term dictionary + corpus stats (Lucene's per-segment statistics,
+    # computed at index time from the JUST-WRITTEN segment — one re-read,
+    # not a re-analysis). BM25 query-time stats then become a pushdown-
+    # filtered lookup + tiny aggregation instead of a corpus scan.
+    indexed = spark.read.parquet(os.path.join(out_dir, "documents_indexed", seg))
+    for col_name, analyzers_ in DOC_TOKEN_SPEC.items():
+        for an in analyzers_:
+            tok_col = f"{col_name}__{an}"
+            (
+                indexed.select(
+                    F.explode(F.array_distinct(F.col(tok_col))).alias("token")
+                )
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"token_stats__{tok_col}", seg))
+            )
+            (
+                indexed.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size(F.col(tok_col))).alias("total_dl"),
+                )
+                .select(F.lit(tok_col).alias("tok_col"), "n_docs", "total_dl")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "corpus_stats", seg))
+            )
+    if emb is not None:
+        enrich_embeddings(fan_out(emb), centroids).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "embeddings_indexed", seg)
+        )
+
+
+def index_increment(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store,
+) -> int:
+    """Incremental index maintenance: enrich ONLY the documents/embeddings
+    past the watermark and append them as a new segment — existing
+    segments and their statistics are never touched; query-time stats
+    aggregate across segments (``bm25_stats_from_index``). The quantizer
+    and hyperplanes stay fixed from the base build (standard IVF/LSH
+    practice: assign new vectors to the existing structure; retrain is a
+    rebuild). Segment names are deterministic in the watermark, so a crash
+    replay overwrites its own half-written segment instead of duplicating
+    (the ingest_wm pattern, sources/incremental.py).
+
+    Returns documents indexed (0 = caught up)."""
+    from pyspark.sql import Observation
+
+    meta = read_index_meta(index_dir)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    doc_wm = store.get("index.doc_id")
+    vec_wm = store.get("index.vec_id")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") > doc_wm)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") > vec_wm)
+    if docs.isEmpty():
+        return 0
+    obs = Observation()
+    docs = docs.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+    )
+    _write_segment(
+        spark, index_dir, fan_out(docs), emb, centroids, f"wm_{doc_wm}"
+    )
+    metrics = obs.get
+    store.set("index.doc_id", int(metrics["mx"]))
+    mx_vec = emb.agg(F.max("vec_id")).head()[0]
+    if mx_vec is not None:
+        store.set("index.vec_id", int(mx_vec))
+    return int(metrics["n"])
 
 
 def index_dir_for(sf_dir: str, root: str | None = None) -> str:
@@ -188,22 +252,33 @@ def bm25_stats_from_index(
     tok_col: str,
     query_tokens: list[str],
 ):
-    """BM25 corpus statistics from the index, Lucene-style: (n_docs, avgdl)
-    from the sidecar, per-token df from a pushdown-filtered lookup of the
-    term dictionary — the query's handful of tokens, not a corpus scan.
-    Tokens absent from the dictionary get df=0 (same as the aggregation
-    path: nothing contains them)."""
+    """BM25 corpus statistics from the index, Lucene-style: per-SEGMENT
+    stats aggregated at lookup — (n_docs, avgdl) from the tiny corpus_stats
+    table, per-token df from a pushdown-filtered lookup of the term
+    dictionary summed across segments. The query's handful of tokens, not
+    a corpus scan; an appended segment is reflected immediately without
+    rewriting anything. Tokens absent from the dictionary get df=0 (same
+    as the aggregation path: nothing contains them)."""
     from tweets_elastic_spark.plans.search import Bm25Stats
 
-    cs = read_index_meta(index_dir)["corpus_stats"][tok_col]
+    cs = (
+        spark.read.parquet(os.path.join(index_dir, "corpus_stats"))
+        .filter(F.col("tok_col") == tok_col)
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl"))
+        .head()
+    )
+    n_docs = float(cs["n"])
+    avgdl = float(cs["dl"]) / n_docs
     rows = (
         spark.read.parquet(os.path.join(index_dir, f"token_stats__{tok_col}"))
         .filter(F.col("token").isin(list(query_tokens)))
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
         .collect()
     )
     df = {t: 0.0 for t in query_tokens}
     df.update({r["token"]: float(r["df"]) for r in rows})
-    return Bm25Stats(n_docs=cs["n_docs"], avgdl=cs["avgdl"], df=df)
+    return Bm25Stats(n_docs=n_docs, avgdl=avgdl, df=df)
 
 
 def read_indexed_documents(spark: SparkSession, index_dir: str) -> DataFrame:

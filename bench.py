@@ -50,6 +50,8 @@ HEADLINE = [
     "lang_id",
     # training-data ops
     "dedup_exact_survivors",
+    "dedup_near_survivors",
+    "corpus_split",
     "jaccard_near_dups",
     "minhash_lsh_near_dups",
     "simhash_near_dups",

@@ -63,6 +63,78 @@ def dedup_exact(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup CLUSTERING: pairs → connected components → one keeper per cluster
+# (the step a training-data pipeline actually ships: pairwise similarity is
+# an intermediate; dedup drops all-but-one per transitive duplicate group)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every id in ``pairs``; cluster_id = the MIN id
+    reachable through the pair graph (deterministic canonical label).
+
+    Min-label propagation as pure DataFrame ops: each round joins current
+    labels across edges and keeps the elementwise min — one shuffle per
+    round, converging in O(component diameter) rounds. Near-dup clusters
+    are dense and tiny (dup groups, not social graphs), so the diameter is
+    small and the driver-side loop runs a handful of rounds; every round
+    ``localCheckpoint``s to truncate the growing lineage (the classic
+    iterative-algorithm failure mode on Spark). The fixpoint check rides
+    the propagation join — no extra pass."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(edges["a"].alias("id"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        joined = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("label").alias("_old"),
+            F.least("label", F.coalesce("_nbr", "label")).alias("label"),
+        )
+        joined = joined.localCheckpoint()  # truncate lineage, one pass
+        changed = joined.filter(F.col("label") < F.col("_old")).limit(1).count()
+        labels = joined.drop("_old")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_near_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus minus non-canonical near-dup cluster members: every doc in a
+    cluster except its min-id representative is dropped (transitive — A~B,
+    B~C drops B AND C even if A~C was never scored). Docs outside any pair
+    pass through untouched. One anti-join against the (small) set of
+    dropped ids."""
+    comp = connected_components(pairs, id_a, id_b)
+    dropped = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Word-shingle machinery shared by Jaccard / MinHash
 # ---------------------------------------------------------------------------
 

@@ -65,10 +65,10 @@ def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_MAX_DF_SQL = "greatest(5, (SELECT count(*) FROM documents) // 100)"
 
 
-@register(
-    "jaccard_near_dups",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE body (toks → shingles → df-capped postings → sizes →
+# intersections): jaccard_near_dups appends the pair select; the
+# clustering/survivor oracles extend it with a recursive reachability CTE.
+_J_CTES = f"""toks AS (
         SELECT doc_id,
                list_transform(
                  list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
@@ -95,14 +95,21 @@ _JACCARD_MAX_DF_SQL = "greatest(5, (SELECT count(*) FROM documents) // 100)"
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    )"""
+
+_J_PAIRS_SELECT = """
     SELECT id_a, id_b,
            round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
     FROM inter
     JOIN sz sa ON id_a = sa.doc_id
     JOIN sz sb ON id_b = sb.doc_id
     WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
-    """,
+"""
+
+
+@register(
+    "jaccard_near_dups",
+    oracle="WITH " + _J_CTES + _J_PAIRS_SELECT,
     doc="Exact 3-word-shingle Jaccard near-dup pairs via inverted-index join "
         "with the document-frequency skew guard engaged (max_df = max(5, 1%) "
         "of corpus) — the 100 TB-safe configuration; oracle mirrors the cap.",
@@ -111,6 +118,62 @@ def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     return D.jaccard_pairs(docs, k=3, threshold=0.5, max_df=max(5, n_docs // 100))
+
+
+# Transitive reachability over the pair graph, recursively in SQL — the
+# oracle twin of connected_components' min-label propagation.
+_J_REACH_CTES = (
+    "WITH RECURSIVE " + _J_CTES + ",\n"
+    "    pairs AS (" + _J_PAIRS_SELECT + "),\n"
+    """    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        UNION
+        SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+    )"""
+)
+
+
+@register(
+    "dedup_near_clusters",
+    oracle=_J_REACH_CTES + """
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+    doc="Near-dup pairs promoted to CLUSTERS: connected components over the "
+        "jaccard>=0.5 pair graph via min-label propagation (one shuffle per "
+        "round, O(cluster diameter) rounds, lineage-checkpointed) — "
+        "cluster_id is the min reachable doc_id; the oracle recomputes the "
+        "same components with a recursive reachability CTE.",
+)
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.5, max_df=max(5, n_docs // 100))
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
+    "dedup_near_survivors",
+    oracle=_J_REACH_CTES + """
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING min(b) < a)
+    """,
+    doc="The dedup step a training pipeline ships: drop every near-dup "
+        "cluster member except the min-id representative (transitive — "
+        "A~B, B~C drops B and C even though A~C was never scored); "
+        "untouched docs pass through. One anti-join against the dropped set.",
+)
+def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.5, max_df=max(5, n_docs // 100))
+    return D.dedup_near_survivors(docs, pairs).select("doc_id")
 
 
 @register(

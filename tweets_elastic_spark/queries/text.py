@@ -159,3 +159,38 @@ def q_analyze_englando(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(A.analyze(F.col("text"), "englando"), " ").alias("tokens"),
     )
+
+
+# Deterministic train/val/test assignment: md5-bucketed id, thresholds
+# shared between the Spark operator and this oracle via split_thresholds.
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case_sql() -> str:
+    from tweets_elastic_spark.operators.sampling import split_thresholds
+
+    h = "substr(md5(doc_id::VARCHAR || ':split'), 1, 8)"
+    ths = split_thresholds(_SPLIT_FRACTIONS)
+    whens = " ".join(
+        f"WHEN {h} < '{bound}' THEN '{name}'" for name, bound in ths[:-1]
+    )
+    return f"CASE {whens} ELSE '{ths[-1][0]}' END"
+
+
+@register(
+    "corpus_split",
+    oracle=f"SELECT doc_id, {_split_case_sql()} AS split FROM documents",
+    doc="Deterministic train/val/test split (80/10/10): bucket by the "
+        "first 8 hex chars of md5(id:salt) against cumulative-fraction "
+        "thresholds - a pure codegen'd projection (no shuffle, no seed, no "
+        "partition dependence; a doc never migrates splits as the corpus "
+        "grows), unlike randomSplit. Same hex thresholds inlined in the "
+        "oracle.",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_split(docs, "doc_id", _SPLIT_FRACTIONS).select(
+        "doc_id", "split"
+    )

@@ -51,6 +51,7 @@ HEADLINE = [
     # training-data ops
     "dedup_exact_survivors",
     "dedup_near_survivors",
+    "corpus_clean",
     "corpus_split",
     "jaccard_near_dups",
     "minhash_lsh_near_dups",

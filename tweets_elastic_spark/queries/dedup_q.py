@@ -61,19 +61,21 @@ def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Document-frequency cap for the jaccard inverted-index join: shingles in
 # more than max(5, 1% of corpus) docs are dropped from BOTH sides before
 # pairing — the skew guard that bounds the hot-shingle fan-out (Σ df² would
-# otherwise be unbounded on a skewed corpus). Mirrored exactly in the oracle.
-_JACCARD_MAX_DF_SQL = "greatest(5, (SELECT count(*) FROM documents) // 100)"
-
+# otherwise be unbounded on a skewed corpus). Mirrored exactly in the oracle
+# (the greatest(5, count//100) expression inside _j_ctes).
 
 # Shared CTE body (toks → shingles → df-capped postings → sizes →
-# intersections): jaccard_near_dups appends the pair select; the
-# clustering/survivor oracles extend it with a recursive reachability CTE.
-_J_CTES = f"""toks AS (
+# intersections), parametrized by the source relation so the corpus_clean
+# pipeline can run it over a pre-filtered corpus: jaccard_near_dups appends
+# the pair select; the clustering/survivor oracles extend it with a
+# recursive reachability CTE.
+def _j_ctes(src: str = "documents") -> str:
+    return f"""toks AS (
         SELECT doc_id,
                list_transform(
                  list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
                  x -> lower(x)) AS t
-        FROM documents
+        FROM {src}
     ),
     sh AS (
         SELECT doc_id, unnest(list_distinct(
@@ -88,7 +90,7 @@ _J_CTES = f"""toks AS (
         SELECT s.doc_id, s.sh
         FROM sh s
         JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh) d ON s.sh = d.sh
-        WHERE d.df <= {_JACCARD_MAX_DF_SQL}
+        WHERE d.df <= greatest(5, (SELECT count(*) FROM {src}) // 100)
     ),
     sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
     inter AS (
@@ -96,6 +98,9 @@ _J_CTES = f"""toks AS (
         FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )"""
+
+
+_J_CTES = _j_ctes()
 
 _J_PAIRS_SELECT = """
     SELECT id_a, id_b,
@@ -122,10 +127,11 @@ def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Transitive reachability over the pair graph, recursively in SQL — the
 # oracle twin of connected_components' min-label propagation.
-_J_REACH_CTES = (
-    "WITH RECURSIVE " + _J_CTES + ",\n"
-    "    pairs AS (" + _J_PAIRS_SELECT + "),\n"
-    """    edges AS (
+def _j_reach(src: str = "documents") -> str:
+    return (
+        _j_ctes(src) + ",\n"
+        "    pairs AS (" + _J_PAIRS_SELECT + "),\n"
+        """    edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION ALL
         SELECT id_b AS a, id_a AS b FROM pairs
@@ -135,7 +141,10 @@ _J_REACH_CTES = (
         UNION
         SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
     )"""
-)
+    )
+
+
+_J_REACH_CTES = "WITH RECURSIVE " + _j_reach()
 
 
 @register(
@@ -375,3 +384,58 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     return S.ann_lsh_topk(emb, qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# The composed cleanup a training pipeline actually runs (C4-style):
+# lang filter → quality/length gates → exact dedup → near-dup clustering
+# survivors. Every stage is an operator with its own green oracle; this
+# entry proves the COMPOSITION stays engine-exact end-to-end.
+# ---------------------------------------------------------------------------
+
+def _corpus_clean_oracle() -> str:
+    from tweets_elastic_spark.functions import textstats as T
+
+    clean_ctes = f"""clean AS (
+        SELECT doc_id, text FROM documents
+        WHERE {T.lang_id_oracle_sql('text')} = 'en'
+          AND ({T.QUALITY_ORACLE_SQL}) >= 0.35
+          AND len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) >= 10
+    ),
+    keep AS (
+        SELECT min(doc_id) AS doc_id FROM clean
+        GROUP BY {T.FINGERPRINT_ORACLE_EXPR}
+    ),
+    cleanex AS (SELECT c.doc_id, c.text FROM clean c JOIN keep k USING (doc_id))"""
+    return (
+        "WITH RECURSIVE " + clean_ctes + ",\n    " + _j_reach("cleanex") + """
+    SELECT doc_id FROM cleanex
+    WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING min(b) < a)
+    """
+    )
+
+
+@register(
+    "corpus_clean",
+    oracle=_corpus_clean_oracle(),
+    doc="End-to-end corpus cleanup: English-only (stopword-profile lang id) "
+        "+ quality >= 0.35 + >= 10 tokens, exact dedup (min-id per "
+        "fingerprint), then transitive near-dup survivors over the cleaned "
+        "set — four oracle-proven operators composed into ONE plan, still "
+        "engine-exact. At 100 TB the scalar gates ride the scan (codegen, "
+        "pushdown-friendly), the dedups are the only shuffles.",
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions import textstats as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = (
+        docs.filter(T.lang_id(F.col("text")) == "en")
+        .filter(T.quality_score(F.col("text")) >= 0.35)
+        .filter(T.token_count(F.col("text")) >= 10)
+        .select("doc_id", "text")
+    )
+    cleanex = D.dedup_exact(clean)
+    n = cleanex.count()
+    pairs = D.jaccard_pairs(cleanex, k=3, threshold=0.5, max_df=max(5, n // 100))
+    return D.dedup_near_survivors(cleanex, pairs).select("doc_id")

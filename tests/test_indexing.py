@@ -197,6 +197,74 @@ def test_ivf_cell_filter_pushes_down(spark, index_dir):
     assert "PushedFilters" in plan and "ivf_cell" in plan.split("PushedFilters")[1][:200]
 
 
+def test_reference_flow_etl_index_search(spark, tmp_path):
+    """The reference's whole main() retold on one wire: star tables →
+    denormalized tweet documents (J1-J9) → index-time analysis of
+    ``content`` (Lucene multi-field) → the showcase query shape
+    (function_score: weighted nested-match should + range/exists filters,
+    elastic_queries.json:1-46) WITH BM25 relevance over the stored token
+    column — and the search plan touches no Python."""
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.operators.denormalize import build_tweet_documents
+    from tweets_elastic_spark.plans.search import (
+        BM25Match,
+        Bool,
+        Exists,
+        FunctionScore,
+        Match,
+        Nested,
+        Range,
+        search,
+    )
+    from tweets_elastic_spark.sources.fixtures import make_tweets_tables
+
+    tables = make_tweets_tables(spark, n_conversations=60)
+    docs = build_tweet_documents(tables)
+    idx = indexing.build_text_index(
+        spark, docs, str(tmp_path / "twidx"), {"content": ["custom_shingles"]}
+    )
+    d = indexing.read_indexed_documents(spark, idx)
+
+    qtokens = analyze_text(spark, "tweet number", "custom_shingles")
+    stats = indexing.bm25_stats_from_index(
+        spark, idx, "content__custom_shingles", qtokens
+    )
+    match = BM25Match(
+        "content", "tweet number", analyzer="custom_shingles",
+        tokens_col="content__custom_shingles", stats=stats,
+    )
+    query = FunctionScore(
+        Bool(
+            should=[
+                (match, 2.0),
+                (
+                    Nested(
+                        "context_annotations",
+                        Match("domain.name", "Person", analyzer=None),
+                    ),
+                    5.0,
+                ),
+            ],
+            filter=[
+                Range("author.following_count", gt=100),
+                Nested("links", Exists("url")),
+                match,
+            ],
+        )
+    )
+    hits = search(d, query, k=10, tiebreak="id")
+    plan = _executed_plan(hits)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+    rows = hits.collect()
+    assert rows, "the showcase query must match fixture documents"
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["author"]["following_count"] > 100
+        assert any(l["url"] is not None for l in r["links"])
+
+
 def test_segmented_increment_equals_monolithic_index(spark, tmp_path):
     """Lucene's segment story end-to-end: base build over half the corpus,
     one appended increment segment for the rest — aggregated stats and

@@ -126,8 +126,9 @@ def _write_segment(
     out_dir: str,
     docs: DataFrame,
     emb: DataFrame | None,
-    centroids: np.ndarray,
+    centroids: np.ndarray | None,
     segment: str,
+    spec: dict | None = None,
 ) -> None:
     """Write one index segment: enriched documents/embeddings plus the
     segment's own term dictionary and corpus stats. Segments are disjoint
@@ -138,7 +139,8 @@ def _write_segment(
     over sources whose ids are already unique (the ETL sink enforced
     overwrite-by-id) — an id-dedup shuffle would be pure waste."""
     seg = f"segment={segment}"
-    docs_enriched = enrich_documents(docs)
+    spec = spec or DOC_TOKEN_SPEC
+    docs_enriched = enrich_documents(docs, spec)
     docs_enriched.write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents_indexed", seg)
     )
@@ -147,7 +149,7 @@ def _write_segment(
     # not a re-analysis). BM25 query-time stats then become a pushdown-
     # filtered lookup + tiny aggregation instead of a corpus scan.
     indexed = spark.read.parquet(os.path.join(out_dir, "documents_indexed", seg))
-    for col_name, analyzers_ in DOC_TOKEN_SPEC.items():
+    for col_name, analyzers_ in spec.items():
         for an in analyzers_:
             tok_col = f"{col_name}__{an}"
             (
@@ -172,6 +174,22 @@ def _write_segment(
         enrich_embeddings(fan_out(emb), centroids).write.mode("overwrite").parquet(
             os.path.join(out_dir, "embeddings_indexed", seg)
         )
+
+
+def build_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    spec: dict | None = None,
+) -> str:
+    """Text-only index over an ARBITRARY document DataFrame — e.g. the
+    tweet documents the ETL sink produced (the reference's actual flow:
+    denormalize → index → search). Same segmented layout and statistics
+    as the fixture index, minus embeddings; query BM25 over it with
+    ``bm25_stats_from_index`` + a ``BM25Match`` on the stored token
+    column."""
+    _write_segment(spark, out_dir, docs, None, None, "base", spec)
+    return out_dir
 
 
 def index_increment(

@@ -435,7 +435,12 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(T.token_count(F.col("text")) >= 10)
         .select("doc_id", "text")
     )
-    cleanex = D.dedup_exact(clean)
+    # Materialize the cleaned corpus ONCE (eager localCheckpoint): three
+    # downstream consumers (the max_df count, the pair generator, the
+    # survivor anti-join) would otherwise each re-run the lang/quality
+    # filters and the dedup shuffle. Checkpoint, not persist: lineage is
+    # truncated too, and the blocks die with the DF reference.
+    cleanex = D.dedup_exact(clean).localCheckpoint()
     n = cleanex.count()
     pairs = D.jaccard_pairs(cleanex, k=3, threshold=0.5, max_df=max(5, n // 100))
     return D.dedup_near_survivors(cleanex, pairs).select("doc_id")

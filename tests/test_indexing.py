@@ -197,6 +197,72 @@ def test_ivf_cell_filter_pushes_down(spark, index_dir):
     assert "PushedFilters" in plan and "ivf_cell" in plan.split("PushedFilters")[1][:200]
 
 
+def test_multi_analyzer_spec_keeps_all_corpus_stats(spark, tmp_path):
+    """A spec with several (col, analyzer) pairings must keep corpus stats
+    for every token column (regression: per-tok_col overwrite into the
+    shared segment dir used to clobber siblings)."""
+    docs = load_table(spark, SF, "documents")
+    out = indexing.build_text_index(
+        spark, docs, str(tmp_path / "multi"),
+        {"text": ["custom_shingles", "keyword_lowercase"]},
+    )
+    for tok_col in ("text__custom_shingles", "text__keyword_lowercase"):
+        stats = indexing.bm25_stats_from_index(spark, out, tok_col, ["spark"])
+        assert stats.n_docs > 0 and stats.avgdl > 0
+    with pytest.raises(ValueError, match="no corpus stats"):
+        indexing.bm25_stats_from_index(spark, out, "text__typo", ["spark"])
+
+
+def test_embeddings_only_increment_advances(spark, tmp_path):
+    """An arrival with new embeddings but no new documents still indexes
+    the vectors and advances the vec watermark (streams are independent)."""
+    from tweets_elastic_spark.sources.incremental import WatermarkStore
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    src = str(tmp_path / "src")
+    docs.filter("doc_id <= 100").write.parquet(os.path.join(src, "documents.parquet"))
+    emb.write.parquet(os.path.join(src, "embeddings.parquet"))
+
+    idx = indexing.build_index(spark, src, str(tmp_path / "idx"))
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.set("index.doc_id", 100)
+    store.set("index.vec_id", 250)  # embeddings 251.. not yet indexed
+    # no new documents; embeddings must still land
+    assert indexing.index_increment(spark, src, idx, store) == 0
+    assert store.get("index.vec_id") == 499
+    total = indexing.read_indexed_embeddings(spark, idx).count()
+    assert total == emb.count() + emb.filter("vec_id > 250").count()
+
+
+def test_rebuild_clears_stale_increment_segments(spark, tmp_path):
+    """build_index into a directory that previously received increments
+    must not leave the old wm_* segments behind (readers scan the whole
+    parent dir)."""
+    from tweets_elastic_spark.sources.incremental import WatermarkStore
+
+    sf = "/root/testdata/sf0.01"
+    src = str(tmp_path / "src")
+    load_table(spark, sf, "documents").filter("doc_id <= 250").write.parquet(
+        os.path.join(src, "documents.parquet")
+    )
+    load_table(spark, sf, "embeddings").filter("vec_id <= 250").write.parquet(
+        os.path.join(src, "embeddings.parquet")
+    )
+    idx = indexing.build_index(spark, src, str(tmp_path / "idx"))
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.set("index.doc_id", 100)
+    store.set("index.vec_id", 100)
+    indexing.index_increment(spark, src, idx, store)  # creates wm_* segments
+    n_docs_with_dups = indexing.read_indexed_documents(spark, idx).count()
+    assert n_docs_with_dups > 251  # 101..250 duplicated across segments
+
+    indexing.build_index(spark, src, idx)  # full rebuild
+    assert indexing.read_indexed_documents(spark, idx).count() == 251
+    assert indexing.read_indexed_embeddings(spark, idx).count() == 251
+
+
 def test_reference_flow_etl_index_search(spark, tmp_path):
     """The reference's whole main() retold on one wire: star tables →
     denormalized tweet documents (J1-J9) → index-time analysis of

@@ -112,7 +112,7 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             (F.col(id_col) % 3 + 1).cast("int"),
         ).alias("modality"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.lit("application/x-fake").alias("mime_type"),
+        F.lit(MIME_FAKE).alias("mime_type"),
     )
 
 

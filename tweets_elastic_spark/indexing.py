@@ -102,12 +102,19 @@ def build_index(
     segments without touching existing ones. Statistics are per-segment
     and aggregated at lookup, so an increment never recomputes or rewrites
     global stats."""
+    import shutil
+
+    # A rebuild must not inherit stale increment segments from a previous
+    # life of this directory (older format version, or a different corpus
+    # that hashed here) — readers scan the whole parent dir.
+    shutil.rmtree(out_dir, ignore_errors=True)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_quantizer(
         emb, IVF_N_CELLS, LSH_SEED, train_limit=ivf_train_limit
     )
-    _write_segment(spark, out_dir, docs, emb, centroids, "base")
+    _write_doc_segment(spark, out_dir, docs, "base")
+    _write_emb_segment(spark, out_dir, emb, centroids, "base")
     meta = {
         "version": INDEX_FORMAT_VERSION,
         "sf_dir": os.path.abspath(sf_dir),
@@ -121,34 +128,33 @@ def build_index(
     return out_dir
 
 
-def _write_segment(
+def _write_doc_segment(
     spark: SparkSession,
     out_dir: str,
     docs: DataFrame,
-    emb: DataFrame | None,
-    centroids: np.ndarray | None,
     segment: str,
     spec: dict | None = None,
 ) -> None:
-    """Write one index segment: enriched documents/embeddings plus the
-    segment's own term dictionary and corpus stats. Segments are disjoint
-    id ranges (watermark-gated); re-indexing existing ids means rebuild —
-    same contract as Lucene segments without tombstones.
+    """Write one DOCUMENT index segment: enriched rows plus the segment's
+    own term dictionary and corpus stats. Segments are disjoint id ranges
+    (watermark-gated); re-indexing existing ids means rebuild — same
+    contract as Lucene segments without tombstones.
 
-    dedup_ids is skipped throughout: enrichment is a per-row projection
-    over sources whose ids are already unique (the ETL sink enforced
-    overwrite-by-id) — an id-dedup shuffle would be pure waste."""
+    No id-dedup shuffle: enrichment is a per-row projection over sources
+    whose ids are already unique (the ETL sink enforced overwrite-by-id)."""
     seg = f"segment={segment}"
     spec = spec or DOC_TOKEN_SPEC
-    docs_enriched = enrich_documents(docs, spec)
-    docs_enriched.write.mode("overwrite").parquet(
+    enrich_documents(docs, spec).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents_indexed", seg)
     )
     # Term dictionary + corpus stats (Lucene's per-segment statistics,
     # computed at index time from the JUST-WRITTEN segment — one re-read,
     # not a re-analysis). BM25 query-time stats then become a pushdown-
-    # filtered lookup + tiny aggregation instead of a corpus scan.
+    # filtered lookup + tiny aggregation instead of a corpus scan. The
+    # corpus_stats rows for EVERY tok_col land in one write (a per-tok_col
+    # overwrite into the shared segment dir would clobber its siblings).
     indexed = spark.read.parquet(os.path.join(out_dir, "documents_indexed", seg))
+    stats_rows: list[tuple[str, int, int]] = []
     for col_name, analyzers_ in spec.items():
         for an in analyzers_:
             tok_col = f"{col_name}__{an}"
@@ -161,19 +167,34 @@ def _write_segment(
                 .write.mode("overwrite")
                 .parquet(os.path.join(out_dir, f"token_stats__{tok_col}", seg))
             )
-            (
-                indexed.agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.size(F.col(tok_col))).alias("total_dl"),
-                )
-                .select(F.lit(tok_col).alias("tok_col"), "n_docs", "total_dl")
-                .write.mode("overwrite")
-                .parquet(os.path.join(out_dir, "corpus_stats", seg))
-            )
-    if emb is not None:
-        enrich_embeddings(fan_out(emb), centroids).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "embeddings_indexed", seg)
+            row = indexed.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.size(F.col(tok_col))).alias("dl"),
+            ).head()
+            stats_rows.append((tok_col, int(row["n"]), int(row["dl"] or 0)))
+    (
+        spark.createDataFrame(
+            stats_rows, "tok_col string, n_docs long, total_dl long"
         )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "corpus_stats", seg))
+    )
+
+
+def _write_emb_segment(
+    spark: SparkSession,
+    out_dir: str,
+    emb: DataFrame,
+    centroids: np.ndarray,
+    segment: str,
+) -> None:
+    """Write one EMBEDDING index segment: stored LSH signatures + IVF cell
+    assignments against the fixed base-build structure."""
+    seg = f"segment={segment}"
+    enrich_embeddings(fan_out(emb), centroids).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings_indexed", seg)
+    )
 
 
 def build_text_index(
@@ -188,7 +209,7 @@ def build_text_index(
     as the fixture index, minus embeddings; query BM25 over it with
     ``bm25_stats_from_index`` + a ``BM25Match`` on the stored token
     column."""
-    _write_segment(spark, out_dir, docs, None, None, "base", spec)
+    _write_doc_segment(spark, out_dir, docs, "base", spec)
     return out_dir
 
 
@@ -204,39 +225,52 @@ def index_increment(
     aggregate across segments (``bm25_stats_from_index``). The quantizer
     and hyperplanes stay fixed from the base build (standard IVF/LSH
     practice: assign new vectors to the existing structure; retrain is a
-    rebuild). Segment names are deterministic in the watermark, so a crash
-    replay overwrites its own half-written segment instead of duplicating
-    (the ingest_wm pattern, sources/incremental.py).
+    rebuild). The document and embedding streams advance INDEPENDENT
+    watermarks, each set right after its own segment lands — an
+    embeddings-only arrival is indexed even when no document arrived, and
+    a crash between the two writes replays only the stream that didn't
+    commit, into its own deterministic ``wm_*`` segment name (the
+    ingest_wm pattern, sources/incremental.py).
 
-    Returns documents indexed (0 = caught up)."""
+    Returns documents indexed; 0 means the DOCUMENT stream is caught up
+    (the embedding stream may still have advanced — check the store)."""
     from pyspark.sql import Observation
 
     meta = read_index_meta(index_dir)
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    n_docs = 0
+
     doc_wm = store.get("index.doc_id")
-    vec_wm = store.get("index.vec_id")
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") > doc_wm)
+    if not docs.isEmpty():
+        obs = Observation()
+        docs = docs.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+        )
+        _write_doc_segment(spark, index_dir, fan_out(docs), f"wm_{doc_wm}")
+        metrics = obs.get
+        store.set("index.doc_id", int(metrics["mx"]))
+        n_docs = int(metrics["n"])
+
+    vec_wm = store.get("index.vec_id")
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") > vec_wm)
-    if docs.isEmpty():
-        return 0
-    obs = Observation()
-    docs = docs.observe(
-        obs, F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
-    )
-    _write_segment(
-        spark, index_dir, fan_out(docs), emb, centroids, f"wm_{doc_wm}"
-    )
-    metrics = obs.get
-    store.set("index.doc_id", int(metrics["mx"]))
-    mx_vec = emb.agg(F.max("vec_id")).head()[0]
-    if mx_vec is not None:
-        store.set("index.vec_id", int(mx_vec))
-    return int(metrics["n"])
+    if not emb.isEmpty():
+        obs_e = Observation()
+        emb = emb.observe(obs_e, F.max("vec_id").alias("mx"))
+        _write_emb_segment(spark, index_dir, emb, centroids, f"wm_{vec_wm}")
+        store.set("index.vec_id", int(obs_e.get["mx"]))
+    return n_docs
 
 
 def index_dir_for(sf_dir: str, root: str | None = None) -> str:
-    base = os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
-    return os.path.join(root or DEFAULT_INDEX_ROOT, base)
+    """Cache directory for a fixture's index: basename for readability
+    plus an abspath hash so distinct roots with the same leaf name (two
+    'sf0.01' dirs) can never share — and thrash-rebuild — one cache."""
+    import hashlib
+
+    ap = os.path.abspath(sf_dir).rstrip("/")
+    tag = hashlib.md5(ap.encode()).hexdigest()[:8]
+    return os.path.join(root or DEFAULT_INDEX_ROOT, f"{os.path.basename(ap)}-{tag}")
 
 
 def ensure_index(spark: SparkSession, sf_dir: str, root: str | None = None) -> str:
@@ -285,6 +319,11 @@ def bm25_stats_from_index(
         .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl"))
         .head()
     )
+    if cs["n"] is None:
+        raise ValueError(
+            f"no corpus stats for token column {tok_col!r} in index "
+            f"{index_dir!r} — was it in the build's token spec?"
+        )
     n_docs = float(cs["n"])
     avgdl = float(cs["dl"]) / n_docs
     rows = (

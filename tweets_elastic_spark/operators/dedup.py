@@ -95,6 +95,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -110,8 +111,16 @@ def connected_components(
         changed = joined.filter(F.col("label") < F.col("_old")).limit(1).count()
         labels = joined.drop("_old")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silently returning intermediate labels would mislabel components
+        # (and fail the recursive-CTE oracle with no hint why)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "a component has a longer diameter than expected; raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

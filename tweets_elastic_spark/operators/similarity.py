@@ -364,6 +364,12 @@ def ann_lsh_topk(
     (``withColumn(f'sig{t}', rh_signature_col(...))`` + write); here they
     are computed inline so the operator is self-contained.
     """
+    if probe_bits > 2:
+        raise ValueError(
+            "ann_lsh_topk enumerates probes only up to 2-bit flips; for "
+            "deeper probing use ann_lsh_topk_indexed, whose bit_count "
+            "filter supports any probe_bits"
+        )
     tables = lsh_tables(len(query_vec), n_bits, n_tables, seed)
     q_sigs = query_lsh_signatures(query_vec, n_bits, n_tables, seed)
     cond = None
@@ -422,7 +428,7 @@ def ann_lsh_topk_multi(
     query_vec_col: str = "embedding",
     probe_bits: int = 2,
     sig_cols: tuple[str, ...] | None = ("sig0", "sig1", "sig2", "sig3"),
-    dim: int = 64,
+    dim: int | None = None,
     query_sig_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Batched ANN THROUGH the LSH index: a query workload served in one
@@ -445,9 +451,16 @@ def ann_lsh_topk_multi(
     from pyspark.sql.window import Window
 
     n_tables_eff = len(sig_cols) if sig_cols else 4
+
+    def planes_for_data() -> list[np.ndarray]:
+        # dim derived from the data unless given — a wrong default would
+        # silently truncate/extend the hyperplanes and corrupt signatures
+        d = dim or len(queries.select(query_vec_col).head()[0])
+        return lsh_tables(d, n_bits, n_tables_eff, seed)
+
     corpus = emb_indexed
     if sig_cols is None:
-        tables = lsh_tables(dim, n_bits, n_tables_eff, seed)
+        tables = planes_for_data()
         sig_cols = tuple(f"_sig{t}" for t in range(len(tables)))
         for sc, planes in zip(sig_cols, tables):
             corpus = corpus.withColumn(sc, rh_signature_col(F.col(vec_col), planes))
@@ -465,9 +478,7 @@ def ann_lsh_topk_multi(
         q = queries.select(
             F.col(query_id_col).alias("q_id"), F.col(query_vec_col).alias("_qv")
         )
-        for t, planes in enumerate(
-            lsh_tables(dim, n_bits, n_tables_eff, seed)[: len(sig_cols)]
-        ):
+        for t, planes in enumerate(planes_for_data()[: len(sig_cols)]):
             q = q.withColumn(f"_qsig{t}", rh_signature_col(F.col("_qv"), planes))
     q = F.broadcast(q)
 

@@ -97,12 +97,12 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     so this returns the input unchanged (never repartitions DOWN).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # File-source DFs: the file count lower-bounds the split count without
-    # building the RDD lineage (df.rdd triggers a full plan analysis per
-    # call). Non-file DFs (empty inputFiles) fall back to the RDD check.
-    files = df.inputFiles()
-    n_parts = len(files) if files else df.rdd.getNumPartitions()
-    if n_parts >= target:
+    # df.rdd builds the RDD lineage (a plan analysis per call) but is the
+    # only CORRECT split count: file count is neither a lower bound (bin-
+    # packing merges small files into one split) nor an upper bound (large
+    # files split by maxPartitionBytes), and for derived plans the leaf
+    # files say nothing about the post-shuffle partitioning.
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

@@ -34,7 +34,9 @@ HEADLINE = [
     "topk_orders",
     "latest_order_per_customer",
     "corpus_rollup",
-    # windows
+    # windows + time series
+    "events_asof_join",
+    "corpus_length_quantiles",
     "tumbling_window",
     "sliding_window",
     "session_window",

@@ -84,3 +84,75 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, event_id AS view_id, value AS view_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC
+            ) AS rn
+            FROM events WHERE event_type = 'view'
+        ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, v.view_id,
+           round(v.view_value, 6) AS view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    doc="As-of join: each click gains the user's latest view at or before "
+        "it (NULL when none precedes) — the time-series backfill operator "
+        "Spark lacks natively, expressed as union-tag + one key shuffle + "
+        "a per-key ts-ordered last() window (the sort-merge as-of plan). "
+        "The oracle is DuckDB's native ASOF LEFT JOIN; equal-ts view "
+        "collisions resolve to the max view_id on both sides.",
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    res = asof_join(
+        clicks, views, on=["user_id"],
+        payload_cols=["view_id", "view_value"], right_order="view_id",
+    )
+    return res.select(
+        "event_id", "user_id", "view_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+@register(
+    "corpus_length_quantiles",
+    oracle="""
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents GROUP BY lang
+    """,
+    doc="Exact per-language length percentiles (linear interpolation): "
+        "Spark's percentile() and DuckDB's quantile_cont compute the same "
+        "estimator, so the values hash-match; at 100 TB swap in "
+        "approx_percentile (t-digest) for one-pass bounded memory.",
+)
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+    )

@@ -36,6 +36,8 @@ HEADLINE = [
     "corpus_rollup",
     # windows + time series
     "events_asof_join",
+    "user_rolling_1h",
+    "funnel_conversion",
     "corpus_length_quantiles",
     "tumbling_window",
     "sliding_window",

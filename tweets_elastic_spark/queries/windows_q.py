@@ -156,3 +156,98 @@ def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
     )
+
+
+@register(
+    "user_rolling_1h",
+    oracle="""
+    SELECT event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_value
+    FROM events
+    """,
+    doc="Per-event rolling 1-hour sum of value within the user's stream: a "
+        "RANGE window frame over epoch seconds — one shuffle on user_id, "
+        "sorted once, frame slides in O(1) per row (no self-join range "
+        "explosion). DECIMAL summation keeps the hash bit-identical across "
+        "engines; value-based frames make equal-timestamp peers "
+        "order-independent.",
+)
+def q_user_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_value"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after,
+           (SELECT count(*) FROM p) AS n_purchased_after
+    """,
+    doc="Ordered funnel (view -> click -> purchase): stage k counts users "
+        "whose first stage-k event strictly follows their first stage-k-1 "
+        "event. ONE shuffle on user_id + a conditional-min aggregation per "
+        "stage (min ts per type per user, compared pairwise) - no "
+        "event-to-event self-joins.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts"),
+    )
+    # first click AFTER the first view, then first purchase AFTER that
+    # click: conditional mins need the prior stage's ts, so two narrow
+    # self-aggregations joined on user_id (each a map-side-combined agg of
+    # the same shuffled partitioning — AQE reuses the exchange).
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(per_user.filter(F.col("view_ts").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    viewed = per_user.filter(F.col("view_ts").isNotNull()).count()
+    return spark.createDataFrame(
+        [(viewed, clicks.count(), purchases.count())],
+        "n_viewed long, n_clicked_after long, n_purchased_after long",
+    )

@@ -36,6 +36,7 @@ HEADLINE = [
     "corpus_rollup",
     # windows + time series
     "events_asof_join",
+    "clicks_in_error_windows",
     "user_rolling_1h",
     "funnel_conversion",
     "corpus_length_quantiles",

@@ -70,3 +70,40 @@ def test_asof_plan_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_join_containment_and_guard(spark):
+    """Bounded range join: inclusive bounds, per-key scoping, and the
+    too-long-interval guard; plan stays a hash join (no nested loop)."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+    from py4j.protocol import Py4JJavaError
+
+    from tweets_elastic_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(30)), (3, "v", _ts(5))],
+        "pid long, user string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, "u", _ts(5), _ts(10)), (11, "u", _ts(25), _ts(59))],
+        "iid long, user string, s timestamp, e timestamp",
+    )
+    out = interval_join(
+        points, iv, on=["user"], ts="ts", start="s", end="e", max_duration_s=60
+    )
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    # pid 1 at the inclusive start bound; pid 3 is key 'v' (no intervals)
+    assert got == {(1, 10), (2, 11)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    too_long = spark.createDataFrame(
+        [(12, "u", datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 0, 2, 0))],
+        "iid long, user string, s timestamp, e timestamp",
+    )
+    with pytest.raises(Exception, match="max_duration_s"):
+        interval_join(
+            points, too_long, on=["user"], ts="ts", start="s", end="e",
+            max_duration_s=60,
+        ).collect()

@@ -251,3 +251,50 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(viewed, clicks.count(), purchases.count())],
         "n_viewed long, n_clicked_after long, n_purchased_after long",
     )
+
+
+@register(
+    "clicks_in_error_windows",
+    oracle="""
+    WITH errs AS (
+        SELECT event_id AS err_id, user_id, ts AS w_start,
+               ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT e.err_id, count(c.ts) AS n_clicks
+    FROM errs e LEFT JOIN clicks c
+      ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts <= e.w_end
+    GROUP BY e.err_id
+    """,
+    doc="Bounded range join: clicks inside each error's 30-minute incident "
+        "window, per user. The naive range join is a nested-loop cross "
+        "product; interval_join bucketizes time at the max interval width, "
+        "explodes each interval into <= 2 buckets, and equi-joins on "
+        "(user, bucket) before the exact containment filter - a plain hash "
+        "join at any scale (plan-pinned: no cartesian/nested-loop).",
+)
+def q_clicks_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(
+        clicks, errs, on=["user_id"], ts="ts",
+        start="w_start", end="w_end", max_duration_s=1800,
+    )
+    # LEFT semantics of the oracle: errors with zero clicks still appear
+    counts = joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (
+        errs.select("err_id")
+        .join(counts, "err_id", "left")
+        .select("err_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
+    )

@@ -60,6 +60,22 @@ def test_asof_equal_ts_right_ties_take_max_order(spark):
     assert (rows[0]["rid"], rows[0]["val"]) == (9, 2.0)
 
 
+def test_asof_null_right_ts_never_matches(spark):
+    """A NULL right timestamp means 'never happened' — it must not
+    backfill anything (regression: nulls-first ordering used to sort it
+    before every row and leak its payload everywhere)."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5))], "lid long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, "u", None, 9.0)], "rid long, user string, ts timestamp, val double"
+    )
+    rows = asof_join(
+        left, right, on=["user"], payload_cols=["rid", "val"]
+    ).collect()
+    assert (rows[0]["rid"], rows[0]["val"]) == (None, None)
+
+
 def test_asof_plan_single_exchange(spark):
     """The sort-merge as-of costs ONE shuffle of the unioned streams — no
     nested-loop/range join, no per-key collect."""
@@ -76,8 +92,6 @@ def test_interval_join_containment_and_guard(spark):
     """Bounded range join: inclusive bounds, per-key scoping, and the
     too-long-interval guard; plan stays a hash join (no nested loop)."""
     import pytest
-    from pyspark.sql.utils import AnalysisException
-    from py4j.protocol import Py4JJavaError
 
     from tweets_elastic_spark.operators.rangejoin import interval_join
 

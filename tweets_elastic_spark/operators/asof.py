@@ -43,16 +43,24 @@ def asof_join(
     payload_cols = payload_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
+    # left columns other than the key/ts ride in a struct; the key and ts
+    # already travel as the shuffle's top-level columns — duplicating them
+    # inside the struct would double key bytes through the one exchange
+    # this operator exists to minimize
+    left_extra = [c for c in left.columns if c not in set(on) | {left_ts}]
     order_tail = [F.col("_rord").asc_nulls_first()] if right_order else []
 
-    r_side = right.select(
+    # a NULL right timestamp means "never happened": it must not match any
+    # left row (DuckDB ASOF's comparison is false for NULL), but Spark's
+    # nulls-first ordering would sort it before everything and backfill it
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_ts"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("_pay"),
         F.lit(0).alias("_side"),
         *( [F.col(right_order).alias("_rord")] if right_order else [F.lit(0).alias("_rord")] ),
         F.lit(None).cast(
-            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+            left.select(F.struct(*left_extra).alias("s")).schema["s"].dataType
         ).alias("_lrow"),
     )
     l_side = left.select(
@@ -61,7 +69,7 @@ def asof_join(
         F.lit(None).cast(r_side.schema["_pay"].dataType).alias("_pay"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r_side.schema["_rord"].dataType).alias("_rord"),
-        F.struct(*left.columns).alias("_lrow"),
+        F.struct(*left_extra).alias("_lrow"),
     )
     w = (
         Window.partitionBy(*on)
@@ -73,7 +81,15 @@ def asof_join(
         .withColumn("_p", F.last("_pay", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+
+    def left_col(c: str):
+        if c in on:
+            return F.col(c)
+        if c == left_ts:
+            return F.col("_ts").alias(c)
+        return F.col(f"_lrow.{c}").alias(c)
+
     return filled.select(
-        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[left_col(c) for c in left.columns],
         *[F.col(f"_p.{c}").alias(c) for c in payload_cols],
     )

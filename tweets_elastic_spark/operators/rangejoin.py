@@ -32,8 +32,10 @@ def interval_join(
     ``on`` key) whose ``[start, end]`` contains ``ts`` (inclusive bounds).
     ``max_duration_s`` must upper-bound every interval's length in
     seconds; it sets the bucket width, so each interval explodes into at
-    most 2 bucket rows. Raises at runtime if an interval exceeds it (a
-    silent undercount otherwise). Returns all columns of both inputs."""
+    most 2 bucket rows. An over-long interval would still produce CORRECT
+    results (``sequence`` emits every bucket it spans), but with unbounded
+    explode fan-out — the runtime guard raises so the cost bound the
+    caller declared stays true. Returns all columns of both inputs."""
     bucket = F.lit(max_duration_s)
 
     def b(c: Column) -> Column:

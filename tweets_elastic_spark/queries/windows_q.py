@@ -219,37 +219,52 @@ def q_user_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Ordered funnel (view -> click -> purchase): stage k counts users "
         "whose first stage-k event strictly follows their first stage-k-1 "
-        "event. ONE shuffle on user_id + a conditional-min aggregation per "
-        "stage (min ts per type per user, compared pairwise) - no "
-        "event-to-event self-joins.",
+        "event. ONE lazy plan: conditional-min windows over the user "
+        "partition chain the stage dependency (each stage's window reads "
+        "the previous stage's column), then a per-user reduce and a global "
+        "count - one shuffle on user_id, no event self-joins, no driver "
+        "actions at plan time.",
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts"),
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    # first click AFTER the first view, then first purchase AFTER that
-    # click: conditional mins need the prior stage's ts, so two narrow
-    # self-aggregations joined on user_id (each a map-side-combined agg of
-    # the same shuffled partitioning — AQE reuses the exchange).
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(per_user.filter(F.col("view_ts").isNotNull()), "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("view_ts").alias("v"),
+        F.max("click_ts").alias("c"),
+        F.max("purchase_ts").alias("p"),
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
-    viewed = per_user.filter(F.col("view_ts").isNotNull()).count()
-    return spark.createDataFrame(
-        [(viewed, clicks.count(), purchases.count())],
-        "n_viewed long, n_clicked_after long, n_purchased_after long",
+    return per_user.agg(
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked_after"),
+        F.count("p").alias("n_purchased_after"),
     )
 
 

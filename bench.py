@@ -40,6 +40,7 @@ HEADLINE = [
     "user_rolling_1h",
     "funnel_conversion",
     "corpus_length_quantiles",
+    "events_daily_pivot",
     "tumbling_window",
     "sliding_window",
     "session_window",

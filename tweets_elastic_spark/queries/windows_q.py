@@ -313,3 +313,61 @@ def q_clicks_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "err_id", "left")
         .select("err_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
     )
+
+
+@register(
+    "events_daily_pivot",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot (long -> wide): daily counts per event type as columns. The "
+        "pivot values are DECLARED (not discovered), so the plan is a "
+        "single groupBy with conditional aggregates - no extra "
+        "distinct-values job, stable schema at any scale; the oracle is "
+        "the equivalent conditional aggregation.",
+)
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
+    )
+
+
+@register(
+    "events_daily_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click
+        FROM events GROUP BY 1
+    )
+    SELECT day, kind, n FROM wide
+    UNPIVOT (n FOR kind IN (view, click))
+    """,
+    doc="Unpivot (wide -> long): the inverse melt via Spark's native "
+        "unpivot (stack) against DuckDB's UNPIVOT - a pure projection "
+        "explode, no shuffle beyond the feeding aggregation.",
+)
+def q_events_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("view"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("click"),
+        )
+    )
+    return wide.unpivot("day", ["view", "click"], "kind", "n")

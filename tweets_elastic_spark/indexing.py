@@ -142,43 +142,53 @@ def _write_doc_segment(
 
     No id-dedup shuffle: enrichment is a per-row projection over sources
     whose ids are already unique (the ETL sink enforced overwrite-by-id)."""
+    from pyspark.sql import Observation
+
     seg = f"segment={segment}"
     spec = spec or DOC_TOKEN_SPEC
-    enrich_documents(docs, spec).write.mode("overwrite").parquet(
+    tok_cols = [f"{c}__{a}" for c, ans in spec.items() for a in ans]
+    # Corpus stats (n_docs, total token length per tok_col) RIDE the
+    # segment write via observe() — no separate aggregation scan.
+    obs = Observation()
+    enriched = enrich_documents(docs, spec).observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.size(F.col(tc))).alias(f"dl_{i}") for i, tc in enumerate(tok_cols)],
+    )
+    enriched.write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents_indexed", seg)
     )
-    # Term dictionary + corpus stats (Lucene's per-segment statistics,
-    # computed at index time from the JUST-WRITTEN segment — one re-read,
-    # not a re-analysis). BM25 query-time stats then become a pushdown-
-    # filtered lookup + tiny aggregation instead of a corpus scan. The
-    # corpus_stats rows for EVERY tok_col land in one write (a per-tok_col
-    # overwrite into the shared segment dir would clobber its siblings).
+    metrics = obs.get
+    # Term dictionary (Lucene's per-segment statistics, computed at index
+    # time from the JUST-WRITTEN segment — a cheap columnar re-read, not a
+    # re-analysis). BM25 query-time stats then become a pushdown-filtered
+    # lookup + tiny aggregation instead of a corpus scan. The corpus_stats
+    # rows for EVERY tok_col land in one write (a per-tok_col overwrite
+    # into the shared segment dir would clobber its siblings).
     indexed = spark.read.parquet(os.path.join(out_dir, "documents_indexed", seg))
-    stats_rows: list[tuple[str, int, int]] = []
-    for col_name, analyzers_ in spec.items():
-        for an in analyzers_:
-            tok_col = f"{col_name}__{an}"
-            (
-                indexed.select(
-                    F.explode(F.array_distinct(F.col(tok_col))).alias("token")
-                )
-                .groupBy("token")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .write.mode("overwrite")
-                .parquet(os.path.join(out_dir, f"token_stats__{tok_col}", seg))
+    for tok_col in tok_cols:
+        (
+            indexed.select(
+                F.explode(F.array_distinct(F.col(tok_col))).alias("token")
             )
-            row = indexed.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.size(F.col(tok_col))).alias("dl"),
-            ).head()
-            stats_rows.append((tok_col, int(row["n"]), int(row["dl"] or 0)))
-    (
-        spark.createDataFrame(
-            stats_rows, "tok_col string, n_docs long, total_dl long"
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"token_stats__{tok_col}", seg))
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "corpus_stats", seg))
+    # JVM-side literal rows, NOT createDataFrame: a Python-list DataFrame
+    # executes through a Python-RDD scan whose worker round-trip costs
+    # seconds per write — range(1).select(lit…) stays a LocalTableScan.
+    stats_df = None
+    for i, tc in enumerate(tok_cols):
+        row_df = spark.range(1).select(
+            F.lit(tc).alias("tok_col"),
+            F.lit(int(metrics["n"])).cast("long").alias("n_docs"),
+            F.lit(int(metrics[f"dl_{i}"] or 0)).cast("long").alias("total_dl"),
+        )
+        stats_df = row_df if stats_df is None else stats_df.unionAll(row_df)
+    stats_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "corpus_stats", seg)
     )
 
 

@@ -314,7 +314,10 @@ def _make_minhash_udf(num_hashes: int, seed: int):
 
 
 def minhash_signature(
-    shingles: Column, num_hashes: int = 64, seed: int = 42
+    shingles: Column,
+    num_hashes: int = 64,
+    seed: int = 42,
+    base_hash=None,
 ) -> Column:
     """array<long> of ``num_hashes`` min-hash values over the shingle set.
 
@@ -322,8 +325,13 @@ def minhash_signature(
     min-reduction runs as ONE vectorized Arrow batch op. A pure-SQL variant
     (64 array transforms per row) exploded Catalyst's expression tree —
     every downstream reference re-inlined all 64 transforms, turning the
-    banding join quadratic in expression size."""
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    banding join quadratic in expression size.
+
+    ``base_hash`` swaps the per-shingle hash (e.g. ``hashing.hash60`` for
+    the cross-engine portable variant whose DuckDB oracle reproduces the
+    signatures bit-for-bit); the default stays xxhash64."""
+    h = base_hash or F.xxhash64
+    base = F.transform(shingles, lambda s: h(s))
     return _make_minhash_udf(num_hashes, seed)(base)
 
 
@@ -335,6 +343,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    base_hash=None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band bucket.
 
@@ -347,7 +356,8 @@ def minhash_lsh_candidates(
     sig = _tokens_projection(df, text_col, id_col).select(
         "_id",
         minhash_signature(
-            word_shingles_from_tokens(F.col("_toks"), k), num_hashes, seed
+            word_shingles_from_tokens(F.col("_toks"), k), num_hashes, seed,
+            base_hash=base_hash,
         ).alias("_sig"),
     )
     # The signature table is referenced four times below (two band-join
@@ -439,12 +449,17 @@ def _simhash_from_hashes(hash_lists: "pd.Series") -> "pd.Series":
     return hash_lists.map(reduce_one)
 
 
-def simhash64(c: Column) -> Column:
+def simhash64(c: Column, base_hash=None) -> Column:
     """64-bit SimHash over lowercased tokens: bit j of the signature is the
     sign of Σ_token (±1 per token's hash bit j). Duplicate tokens vote
-    multiple times (multiset weighting)."""
+    multiple times (multiset weighting).
+
+    With ``base_hash=hashing.hash60`` the token hashes carry only 60
+    entropy bits, so signature bits 60-63 are always 0 (every token votes
+    −1 there) — a 60-bit SimHash that DuckDB reproduces exactly."""
+    h = base_hash or F.xxhash64
     toks = F.transform(simple_tokens(c), F.lower)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: h(t))
     return _simhash_from_hashes(hashes)
 
 
@@ -457,12 +472,14 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_distance: int = 3,
+    base_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: distance ≤ 3 over 4 chunks of 16
     bits ⇒ pigeonhole guarantees one identical chunk; join per chunk, then
     verify the exact Hamming distance."""
     sig = fan_out(df).select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
+        F.col(id_col).alias("_id"),
+        simhash64(F.col(text_col), base_hash=base_hash).alias("_sig"),
     )
     chunks = sig.select(
         "_id",

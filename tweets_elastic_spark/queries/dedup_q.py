@@ -187,7 +187,9 @@ def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_near_dups",
-    oracle=None,  # probabilistic candidate generation; recall pinned in tests
+    oracle=None,  # xxhash64 base hash exists only in Spark; the _portable
+    # twin below runs the identical algorithm on a cross-engine hash and
+    # carries the full oracle — this entry stays the production fast path.
     doc="MinHash(64)+LSH(16 bands) candidate pairs with estimated jaccard ≥ 0.4.",
 )
 def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,12 +199,172 @@ def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_dups",
-    oracle=None,  # 64-bit signature internals aren't SQL-expressible
+    oracle=None,  # xxhash64-based; see simhash_near_dups_portable
     doc="SimHash-64 near-dup pairs (Hamming ≤ 3) via 16-bit-chunk banding.",
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, max_distance=3)
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash twins: the SAME MinHash-LSH / SimHash banding algorithms,
+# base hash swapped from xxhash64 to the cross-engine 60-bit md5-prefix
+# hash (functions/hashing.py) — every signature bit is then reproducible in
+# DuckDB, so these carry REAL value-hash oracles (the literal-hyperplane
+# technique of embedding_near_dups applied to the last two rows-only dedup
+# families). Production keeps the xxhash64 entries (JVM codegen, ~3× the
+# hash throughput of md5); these twins are the correctness proof that the
+# banding/bucketing/verify machinery is engine-exact.
+# ---------------------------------------------------------------------------
+
+_TOK_SH_CTES = """toks AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                 ELSE [] END) AS shs
+        FROM toks
+    )"""
+
+
+def _minhash_portable_oracle(
+    num_hashes: int = 64, bands: int = 16, seed: int = 42, threshold: float = 0.4
+) -> str:
+    from tweets_elastic_spark.functions.hashing import hash60_sql
+
+    params = D._hash_params(num_hashes, seed)
+    p = D._MERSENNE
+    r = num_hashes // bands
+    slots = ",\n            ".join(
+        f"CASE WHEN len(hs) = 0 THEN {p} "
+        f"ELSE list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) END"
+        for a, b in params
+    )
+    band_keys = ",\n            ".join(
+        f"'{i}:' || " + " || ',' || ".join(
+            f"sig[{i * r + j + 1}]::VARCHAR" for j in range(r)
+        )
+        for i in range(bands)
+    )
+    return f"""
+    WITH {_TOK_SH_CTES},
+    hx AS (
+        SELECT doc_id,
+               list_transform(shs, s -> {hash60_sql('s')} % {p}) AS hs
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, [
+            {slots}
+        ] AS sig
+        FROM hx
+    ),
+    banded AS (
+        SELECT doc_id, unnest([
+            {band_keys}
+        ]) AS bk
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_filter(range(1, {num_hashes + 1}),
+                                 i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0,
+                 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON cand.id_a = sa.doc_id
+    JOIN sig sb ON cand.id_b = sb.doc_id
+    WHERE len(list_filter(range(1, {num_hashes + 1}),
+                          i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0 >= {threshold}
+    """
+
+
+@register(
+    "minhash_lsh_near_dups_portable",
+    oracle=_minhash_portable_oracle(),
+    doc="MinHash(64)+LSH(16 bands) on the portable 60-bit md5-prefix hash — "
+        "bit-identical in Spark and DuckDB, so the banding candidate join, "
+        "the (a·x+b) mod p signature math, and the slot-agreement jaccard "
+        "estimate are all value-hash verified (the xxhash64 entry is the "
+        "production fast path; this twin is its engine-exact proof).",
+)
+def q_minhash_lsh_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, base_hash=hash60).filter(
+        F.col("est_jaccard") >= 0.4
+    )
+
+
+def _simhash_portable_oracle(max_distance: int = 3) -> str:
+    from tweets_elastic_spark.functions.hashing import HASH60_BITS, hash60_sql
+
+    # bit j of the signature = sign of the multiset vote Σ ±1 over token
+    # hashes; bits 60-63 are structurally 0 (60-bit hash), matching the
+    # Spark UDF fed with hash60 values.
+    bit_terms = "\n          + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(HASH60_BITS)
+    )
+    chunk_structs = ", ".join(
+        f"{{'c': {i}, 'v': (sig >> {i * 16}) & 65535}}" for i in range(4)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    hx AS (
+        SELECT doc_id, list_transform(t, s -> {hash60_sql('s')}) AS hs
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+            ({bit_terms}) AS sig
+        FROM hx
+    ),
+    cx AS (
+        SELECT doc_id, sig, unnest([{chunk_structs}]) AS cc
+        FROM sig
+    ),
+    chunks AS (SELECT doc_id, sig, cc.c AS c, cc.v AS v FROM cx)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS distance
+    FROM chunks a JOIN chunks b
+      ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_distance}
+    """
+
+
+@register(
+    "simhash_near_dups_portable",
+    oracle=_simhash_portable_oracle(),
+    doc="SimHash near-dup pairs (Hamming ≤ 3, 16-bit-chunk pigeonhole "
+        "banding) on the portable 60-bit hash — the full signature "
+        "bit-vote, chunk join, and exact Hamming verify value-hash checked "
+        "against DuckDB (the xxhash64 entry is the production fast path).",
+)
+def q_simhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, max_distance=3, base_hash=hash60)
 
 
 def _rh_sig_sql(vec_expr: str, n_bits: int = 12, dim: int = 64, seed: int = 7) -> str:

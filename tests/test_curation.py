@@ -1,0 +1,153 @@
+"""Operator-level invariants for the curation block (decontamination,
+sharding, packing, mixing, PII, repetition) — semantics the oracle-parity
+hash check can't express (partition/complement laws, determinism, schedule
+conformance)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.functions import pii as P
+from tweets_elastic_spark.functions import textstats as T
+from tweets_elastic_spark.operators import curation as C
+from tweets_elastic_spark.sources.catalog import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_decontaminate_partitions_corpus(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    flagged = {
+        r["doc_id"] for r in C.contamination_report(corpus, bench, k=3).collect()
+    }
+    survivors = {r["doc_id"] for r in C.decontaminate(corpus, bench, k=3).collect()}
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert flagged and survivors, "fixture should produce both sides at k=3"
+    assert flagged | survivors == all_ids
+    assert flagged & survivors == set()
+
+
+def test_contamination_report_evidence_is_real(spark, sf_dir):
+    """Every reported sample_gram must actually occur in both the doc and
+    the benchmark (recomputed in plain Python on the collected rows)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    report = {r["doc_id"]: r["sample_gram"]
+              for r in C.contamination_report(corpus, bench, k=3).collect()}
+
+    def grams(text: str, k: int = 3) -> set[str]:
+        t = [w.lower() for w in __import__("re").split("[^a-zA-Z0-9]+", text) if w]
+        if len(t) < k:
+            return {" ".join(t)} if t else set()
+        return {" ".join(t[i:i + k]) for i in range(len(t) - k + 1)}
+
+    bench_grams = set()
+    for r in bench.collect():
+        bench_grams |= grams(r["text"])
+    by_id = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for doc_id, g in report.items():
+        assert g in bench_grams, (doc_id, g)
+        assert g in grams(by_id[doc_id]), (doc_id, g)
+
+
+def test_assign_shards_positions_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = C.assign_shards(docs, n_shards=4, seed=9).collect()
+    b = C.assign_shards(docs, n_shards=4, seed=9).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b)), "not deterministic"
+    per_shard = defaultdict(list)
+    for r in a:
+        per_shard[r["shard"]].append(r["pos"])
+    assert set(per_shard) <= set(range(4))
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} pos gap"
+
+
+def test_pack_sequences_prefix_sum_law(spark, sf_dir):
+    budget = 64
+    rows = C.pack_sequences(_docs(spark, sf_dir), budget=budget, n_shards=4,
+                            seed=0).collect()
+    assert all(0 <= r["offset"] < budget for r in rows)
+    # reconstruct each shard's layout: global token offset = seq_id*budget
+    # + offset must be the running sum of preceding docs' n_tokens
+    per_shard = defaultdict(list)
+    for r in rows:
+        per_shard[r["shard"]].append(r)
+    for shard, rs in per_shard.items():
+        rs.sort(key=lambda r: r["seq_id"] * budget + r["offset"])
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] * budget + r["offset"] == cum, (shard, r)
+            cum += r["n_tokens"]
+
+
+def test_domain_mix_rates_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    kept = C.domain_mix_sample(docs, {"src0": 1.0, "src1": 0.0},
+                               default_weight=0.5, seed=3).collect()
+    kept_again = C.domain_mix_sample(docs, {"src0": 1.0, "src1": 0.0},
+                                     default_weight=0.5, seed=3).collect()
+    assert sorted(map(str, kept)) == sorted(map(str, kept_again))
+    by_src = defaultdict(int)
+    for r in kept:
+        by_src[r["source"]] += 1
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert by_src["src0"] == n_src0, "weight 1.0 must keep every row"
+    assert by_src.get("src1", 0) == 0, "weight 0.0 must drop every row"
+
+
+def test_pii_redaction_schedule_and_completeness(spark, sf_dir):
+    from tweets_elastic_spark.registry import get
+
+    rows = get("pii_redact").fn(spark, sf_dir).collect()
+    import re
+
+    pats = {kind: re.compile(pat) for kind, pat, _ in P.PII_PATTERNS}
+    for r in rows:
+        assert r["n_email"] == (1 if r["doc_id"] % 3 == 0 else 0), r["doc_id"]
+        assert r["n_phone"] == (1 if r["doc_id"] % 5 == 0 else 0), r["doc_id"]
+        assert r["n_ipv4"] == (1 if r["doc_id"] % 7 == 0 else 0), r["doc_id"]
+        for kind, cre in pats.items():
+            assert not cre.search(r["clean_text"]), (r["doc_id"], kind)
+        if r["doc_id"] % 3 == 0:
+            assert "[EMAIL]" in r["clean_text"]
+        if r["doc_id"] % 5 == 0:
+            assert "[PHONE]" in r["clean_text"]
+        if r["doc_id"] % 7 == 0:
+            assert "[IP]" in r["clean_text"]
+
+
+def test_repetition_features_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "one two three four"), (3, ""), (4, "solo"),
+         (5, "x y x y x y")],
+        "id long, text string",
+    )
+    toks = df.select(
+        "id", F.transform(T.simple_tokens(F.col("text")), F.lower).alias("t")
+    )
+    f = T.repetition_features(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in toks.select(
+            "id",
+            f["n_tokens"].alias("n"),
+            f["dup_token_ratio"].alias("dt"),
+            f["dup_bigram_ratio"].alias("db"),
+            f["top_token_ratio"].alias("tt"),
+        ).collect()
+    }
+    assert got[1]["n"] == 4 and got[1]["dt"] == 0.75 and got[1]["tt"] == 1.0
+    assert got[1]["db"] == 2 / 3  # 'a a' ×3 → 1 distinct of 3
+    assert got[2]["dt"] == 0.0 and got[2]["db"] == 0.0 and got[2]["tt"] == 0.25
+    assert got[3]["n"] == 0 and got[3]["dt"] == 0.0 and got[3]["tt"] == 0.0
+    assert got[4]["n"] == 1 and got[4]["db"] == 0.0 and got[4]["tt"] == 1.0
+    assert got[5]["dt"] == 1 - 2 / 6  # x,y over 6 tokens
+    assert got[5]["db"] == 1 - 2 / 5  # 'x y','y x' distinct of 5 bigrams

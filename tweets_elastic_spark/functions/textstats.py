@@ -174,6 +174,80 @@ QUALITY_ORACLE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Repetition features (the Gopher-rules repetition block): how much of a
+# document is the same token/bigram repeated. High ratios flag boilerplate,
+# keyword-stuffing, and generation loops — standard pretraining filters.
+# ---------------------------------------------------------------------------
+
+def repetition_features(toks: Column) -> dict[str, Column]:
+    """Repetition ratios over a LOWERCASED TOKEN-ARRAY ATTRIBUTE.
+
+    ``toks`` must be a column reference from its own projection (not an
+    inline tokenization expression): ``top_token_ratio`` evaluates a filter
+    over ``toks`` inside a transform lambda, and Catalyst inlines outer
+    EXPRESSIONS into lambda bodies without CSE — an inline tokenizer would
+    re-run per distinct token (O(tokens²) per row); an attribute is free.
+
+    * dup_token_ratio  — 1 − distinct/total tokens (0 for empty docs)
+    * dup_bigram_ratio — 1 − distinct/total bigrams
+    * top_token_ratio  — occurrences of the most frequent token / total
+    """
+    n = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    n_big = F.size(bigrams).cast("long")
+    n_big_distinct = F.size(F.array_distinct(bigrams)).cast("long")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    ).cast("long")
+    return {
+        "n_tokens": n,
+        "dup_token_ratio": F.when(n > 0, (n - n_distinct) / n).otherwise(F.lit(0.0)),
+        "dup_bigram_ratio": F.when(n_big > 0, (n_big - n_big_distinct) / n_big)
+        .otherwise(F.lit(0.0)),
+        "top_token_ratio": F.when(n > 0, top_count / n).otherwise(F.lit(0.0)),
+    }
+
+
+def repetition_oracle_exprs(toks_expr: str = "t") -> dict[str, str]:
+    """DuckDB mirrors of ``repetition_features`` over a token-list column
+    expression (same operand order → bit-identical doubles)."""
+    n = f"len({toks_expr})"
+    nd = f"len(list_distinct({toks_expr}))"
+    big = (
+        f"list_transform(range(1, len({toks_expr})), "
+        f"i -> {toks_expr}[i] || ' ' || {toks_expr}[i+1])"
+    )
+    nb = f"len({big})"
+    nbd = f"len(list_distinct({big}))"
+    top = (
+        f"list_max(list_transform(list_distinct({toks_expr}), "
+        f"d -> len(list_filter({toks_expr}, t -> t = d))))"
+    )
+    return {
+        "n_tokens": f"{n}::BIGINT",
+        "dup_token_ratio":
+            f"CASE WHEN {n} > 0 THEN ({n} - {nd}) / CAST({n} AS DOUBLE) ELSE 0.0 END",
+        "dup_bigram_ratio":
+            f"CASE WHEN {nb} > 0 THEN ({nb} - {nbd}) / CAST({nb} AS DOUBLE) ELSE 0.0 END",
+        "top_token_ratio":
+            f"CASE WHEN {n} > 0 THEN {top} / CAST({n} AS DOUBLE) ELSE 0.0 END",
+    }
+
+
+# ---------------------------------------------------------------------------
 # Fingerprinting: md5 over whitespace-normalized lowercase text — the exact
 # dedup key (rolling-hash shingle fingerprints live in operators/dedup.py).
 # ---------------------------------------------------------------------------

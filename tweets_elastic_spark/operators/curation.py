@@ -1,0 +1,189 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, deterministic sharding/shuffling, sequence packing, and
+domain-mix sampling.
+
+These are the ship-stage ops a pretraining pipeline runs after cleaning and
+dedup (operators/dedup.py): strip eval-set contamination, rebalance the
+domain mixture, assign a reproducible global shuffle, and pack documents
+into fixed token-budget training sequences.
+
+100 TB design notes:
+* **Decontamination** joins the corpus posting list against the benchmark
+  gram set. Benchmarks are tiny relative to the corpus (a few thousand eval
+  documents vs billions of training docs), so the gram set is broadcast —
+  the corpus side never shuffles; cost is one scan + map-side semi-join.
+* **Sharding / packing** use the portable 60-bit hash for placement, so any
+  engine (or a resumed run) reproduces the exact same shards. Per-shard
+  windows parallelize across shards — there is no global sort; a window
+  over an unpartitioned ORDER BY would serialize on one reducer, which is
+  exactly what these operators avoid.
+* **Domain mixing** is a scan-local filter (hash-threshold Bernoulli per
+  row, weights broadcast as a literal CASE) — zero shuffle, pushes down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.functions.hashing import hash60
+from tweets_elastic_spark.functions.textstats import token_count
+from tweets_elastic_spark.operators.dedup import _shingle_posting_list
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (the GPT-3-style n-gram overlap filter: a
+# training document sharing any k-gram with an eval benchmark is flagged)
+# ---------------------------------------------------------------------------
+
+def benchmark_grams(
+    benchmark: DataFrame, k: int = 13, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct k-grams of the benchmark set — the (small) broadcast side."""
+    return (
+        _shingle_posting_list(benchmark, text_col, id_col, k, None)
+        .select(F.col("_sh").alias("_gram"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per contaminated corpus doc: how many of its distinct
+    k-grams appear in the benchmark, plus the lexicographically-first such
+    gram (deterministic evidence sample).
+
+    The corpus posting list is inner-joined against the broadcast benchmark
+    gram set and re-aggregated by doc — one corpus scan, one local
+    aggregation; no corpus-side shuffle beyond the per-doc groupBy."""
+    grams = F.broadcast(benchmark_grams(benchmark, k, text_col, id_col))
+    posts = _shingle_posting_list(corpus, text_col, id_col, k, None)
+    return (
+        posts.join(grams, posts["_sh"] == grams["_gram"])
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.min("_sh").alias("sample_gram"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus rows sharing NO k-gram with the benchmark (broadcast
+    anti-join against the contaminated-id set)."""
+    bad = contamination_report(corpus, benchmark, k, text_col, id_col).select(
+        id_col
+    )
+    return corpus.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle + sharding
+# ---------------------------------------------------------------------------
+
+def shuffle_key(id_col: Column, seed: int = 0) -> Column:
+    """Portable deterministic shuffle key: hash60 of ``seed:id``. Stable
+    across engines, runs, and partitionings — the reproducible 'random'
+    order every training run needs."""
+    return hash60(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 1024,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """+ (shard, pos): shard = shuffle-hash mod n_shards; pos = the doc's
+    0-based position in the shard's deterministic shuffle order.
+
+    The row_number window partitions BY SHARD — shards process in parallel
+    (one reducer per shard), never a global single-reducer sort. Ties are
+    impossible: the hash is keyed on the unique id, and id breaks any
+    residual tie deterministically."""
+    key = shuffle_key(F.col(id_col), seed)
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (
+        df.withColumn("_skey", key)
+        .withColumn("shard", (F.col("_skey") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .drop("_skey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate-and-chunk into fixed token budgets
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 1024,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every doc its place in fixed-``budget`` training sequences:
+    (shard, seq_id, offset, n_tokens) — the concatenate-then-chunk packing
+    pretraining uses (documents are laid out in the shard's deterministic
+    shuffle order; a doc starting at global token offset T goes to sequence
+    T // budget at offset T % budget, spilling into the next sequence when
+    it straddles the boundary).
+
+    Per-shard exclusive-prefix-sum window — parallel across shards; no
+    global ordering anywhere."""
+    key = shuffle_key(F.col(id_col), seed)
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    cum_excl = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("_skey"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("shard", (F.col("_skey") % n_shards).cast("int"))
+        .withColumn("seq_id", (cum_excl / budget).cast("long"))
+        .withColumn("offset", (cum_excl % budget).cast("long"))
+        .drop("_skey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix sampling
+# ---------------------------------------------------------------------------
+
+def domain_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    default_weight: float = 0.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli downsampling with a per-domain keep rate:
+    keep a row iff its hash fraction < weights[domain] (``default_weight``
+    for unlisted domains). hash fraction = shuffle-hash mod 1e6 / 1e6 —
+    uniform, reproducible, independent of partitioning; the same row is
+    kept or dropped in every engine and every run.
+
+    Pure scan-local filter (the weight table is a literal CASE expression,
+    not a join) — zero shuffle at any scale."""
+    frac = (shuffle_key(F.col(id_col), seed) % 1_000_000) / 1_000_000.0
+    rate: Column = F.lit(float(default_weight))
+    for dom, wgt in sorted(weights.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(float(wgt))).otherwise(rate)
+    return df.filter(frac < rate)

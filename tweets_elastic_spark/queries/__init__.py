@@ -1,6 +1,7 @@
 """Named query modules — importing this package registers every query."""
 
 from tweets_elastic_spark.queries import (  # noqa: F401
+    curation_q,
     dedup_q,
     indexed_q,
     multimodal_q,

@@ -1,0 +1,334 @@
+"""Ship-stage corpus-curation queries: benchmark decontamination, PII
+redaction, repetition filtering, deterministic sharding, sequence packing,
+and domain-mix sampling — the operations between "cleaned corpus" and
+"training shards on disk". Every entry carries a full DuckDB oracle (the
+placement/shuffle ops run on the portable 60-bit hash precisely so that an
+external engine can reproduce them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.functions import pii as P
+from tweets_elastic_spark.functions import textstats as T
+from tweets_elastic_spark.functions.hashing import hash60_sql
+from tweets_elastic_spark.operators import curation as C
+from tweets_elastic_spark.registry import register
+from tweets_elastic_spark.sources.catalog import fan_out, load_table
+
+# The fixture corpus has no separate eval set, so the benchmark is carved
+# deterministically: doc_id < 25 plays the benchmark, the rest the corpus.
+_BENCH_MAX_ID = 25
+_DECON_K = 4  # 4-word grams: ~9% of the sf0.01 corpus shares one — nontrivial
+
+_TOKS_SQL = (
+    "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),"
+    " x -> x <> ''), x -> lower(x))"
+)
+
+# distinct k-gram list from the token list `t` (mirrors
+# word_shingles_from_tokens: whole text as one gram for short docs)
+def _grams_sql(k: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return f"""list_distinct(
+        CASE WHEN len(t) >= {k}
+             THEN list_transform(range(1, len(t) - {k - 2}), i -> {gram})
+             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+             ELSE [] END)"""
+
+
+_DECON_CTES = f"""toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest({_grams_sql(_DECON_K)}) AS g FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_BENCH_MAX_ID}),
+    hits AS (
+        SELECT a.doc_id, count(*) AS n_shared_grams, min(a.g) AS sample_gram
+        FROM grams a JOIN bench b ON a.g = b.g
+        WHERE a.doc_id >= {_BENCH_MAX_ID}
+        GROUP BY a.doc_id
+    )"""
+
+
+def _split_corpus(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < _BENCH_MAX_ID)
+    corpus = docs.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    return corpus, bench
+
+
+@register(
+    "decontaminate_report",
+    oracle="WITH " + _DECON_CTES + "\n    SELECT doc_id, n_shared_grams, sample_gram FROM hits",
+    doc="Benchmark decontamination report: corpus docs sharing any 4-word "
+        "gram with the eval set (doc_id < 25), with the shared-gram count "
+        "and a deterministic evidence gram. Benchmark grams broadcast; the "
+        "corpus side never shuffles beyond its per-doc aggregation.",
+)
+def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, bench = _split_corpus(spark, sf_dir)
+    return C.contamination_report(corpus, bench, k=_DECON_K)
+
+
+@register(
+    "decontaminate_survivors",
+    oracle="WITH " + _DECON_CTES + f"""
+    SELECT doc_id FROM documents
+    WHERE doc_id >= {_BENCH_MAX_ID}
+      AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    doc="The decontaminated corpus: training docs with zero benchmark-gram "
+        "overlap (GPT-3-style eval-set leakage removal) — broadcast "
+        "anti-join, corpus scan stays pushdown-friendly.",
+)
+def q_decontaminate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, bench = _split_corpus(spark, sf_dir)
+    return C.decontaminate(corpus, bench, k=_DECON_K).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. The fixture corpus is synthetic word-salad with no real
+# PII, so the query PLANTS deterministic identifiers first (email/phone/IP
+# derived from doc_id on a doc_id-mod schedule) and then redacts them — both
+# engines build the identical augmented text, so the oracle verifies the
+# redaction regexes byte-for-byte, including the docs that get no PII.
+# ---------------------------------------------------------------------------
+
+def _planted_text_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0."), ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PLANTED_SQL = """text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || ((doc_id * 7) % 256)::VARCHAR
+            ELSE '' END"""
+
+_PII_COUNTS_SQL = P.pii_counts_sql("aug")
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, {_PLANTED_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           {P.redact_pii_sql('aug')} AS clean_text,
+           {_PII_COUNTS_SQL['n_email']} AS n_email,
+           {_PII_COUNTS_SQL['n_phone']} AS n_phone,
+           {_PII_COUNTS_SQL['n_ipv4']} AS n_ipv4
+    FROM a
+    """,
+    doc="PII redaction: plant deterministic emails/phones/IPv4s into the "
+        "synthetic corpus (doc_id-mod schedule), then scrub them with the "
+        "portable-dialect regex chain and count matches per kind. Pure "
+        "chained regexp_replace — scan-local codegen, zero shuffle.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = fan_out(docs.select("doc_id", _planted_text_col().alias("_aug")))
+    counts = P.pii_counts(F.col("_aug"))
+    return aug.select(
+        "doc_id",
+        P.redact_pii(F.col("_aug")).alias("clean_text"),
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats + the Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+
+_REP = T.repetition_oracle_exprs("t")
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {_REP['n_tokens']} AS n_tokens,
+           {_REP['dup_token_ratio']} AS dup_token_ratio,
+           {_REP['dup_bigram_ratio']} AS dup_bigram_ratio,
+           {_REP['top_token_ratio']} AS top_token_ratio
+    FROM toks
+    """,
+    doc="Per-doc repetition profile (Gopher-rules block): duplicate-token, "
+        "duplicate-bigram, and top-token-frequency ratios. Token array "
+        "built once in its own projection (HOF-lambda CSE trap), then pure "
+        "JVM array expressions — scan-local, zero shuffle.",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(
+        docs.select(
+            "doc_id",
+            F.transform(T.simple_tokens(F.col("text")), F.lower).alias("_toks"),
+        )
+    )
+    feats = T.repetition_features(F.col("_toks"))
+    return toks.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["dup_token_ratio"].alias("dup_token_ratio"),
+        feats["dup_bigram_ratio"].alias("dup_bigram_ratio"),
+        feats["top_token_ratio"].alias("top_token_ratio"),
+    )
+
+
+@register(
+    "gopher_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id FROM toks
+    WHERE {_REP['n_tokens']} >= 15
+      AND {_REP['dup_token_ratio']} <= 0.6
+      AND {_REP['dup_bigram_ratio']} <= 0.05
+      AND {_REP['top_token_ratio']} <= 0.12
+    """,
+    doc="The Gopher-style repetition gate: docs passing all repetition "
+        "thresholds (>= 15 tokens, dup-token <= 0.6, dup-bigram <= 0.05, "
+        "top-token <= 0.12 — tuned to a nontrivial split on this corpus). "
+        "Composes with quality_score/lang_id into corpus_clean-style "
+        "pipelines; scan-local filter at any scale.",
+)
+def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(
+        docs.select(
+            "doc_id",
+            F.transform(T.simple_tokens(F.col("text")), F.lower).alias("_toks"),
+        )
+    )
+    f = T.repetition_features(F.col("_toks"))
+    return (
+        toks.filter(
+            (f["n_tokens"] >= 15)
+            & (f["dup_token_ratio"] <= 0.6)
+            & (f["dup_bigram_ratio"] <= 0.05)
+            & (f["top_token_ratio"] <= 0.12)
+        ).select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sharding, packing, and domain mixing
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_SHARD_SEED = 1
+_SHARD_KEY_SQL = hash60_sql(f"'{_SHARD_SEED}:' || doc_id::VARCHAR")
+
+
+@register(
+    "training_shards",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_SHARD_KEY_SQL} AS k FROM documents)
+    SELECT doc_id, (k % {_N_SHARDS})::INT AS shard,
+           (row_number() OVER (PARTITION BY k % {_N_SHARDS} ORDER BY k, doc_id) - 1)::BIGINT AS pos
+    FROM s
+    """,
+    doc="Deterministic training shard assignment + within-shard shuffle "
+        "position (portable 60-bit hash of seed:id) — the reproducible "
+        "global shuffle every training run needs. The position window "
+        "partitions BY SHARD, so shards rank in parallel; no global sort.",
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.assign_shards(
+        fan_out(docs), n_shards=_N_SHARDS, seed=_SHARD_SEED
+    ).select("doc_id", "shard", "pos")
+
+
+_PACK_BUDGET = 128
+_PACK_KEY_SQL = hash60_sql("'0:' || doc_id::VARCHAR")
+_TOKCNT_SQL = (
+    "len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''))::BIGINT"
+)
+
+
+@register(
+    "sequence_pack",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_PACK_KEY_SQL} AS k, {_TOKCNT_SQL} AS n_tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, n_tokens, (k % 4)::INT AS shard,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY k % 4 ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+        FROM s
+    )
+    SELECT doc_id, n_tokens, shard,
+           (cum // {_PACK_BUDGET})::BIGINT AS seq_id,
+           (cum % {_PACK_BUDGET})::BIGINT AS offset
+    FROM w
+    """,
+    doc="Sequence packing (concatenate-then-chunk): each doc's place in "
+        "fixed-128-token training sequences — shard, sequence id, and token "
+        "offset, from a per-shard exclusive prefix sum over the "
+        "deterministic shuffle order. Parallel across shards; the window "
+        "never sees a global ordering.",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.pack_sequences(
+        fan_out(docs), budget=_PACK_BUDGET, n_shards=4, seed=0
+    ).select("doc_id", "n_tokens", "shard", "seq_id", "offset")
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25}
+_MIX_KEY_SQL = hash60_sql("'0:' || doc_id::VARCHAR")
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source, ({_MIX_KEY_SQL} % 1000000) / 1000000.0 AS f
+        FROM documents
+    )
+    WHERE f < CASE source
+        WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.8
+        WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+        ELSE 0.1 END
+    """,
+    doc="Domain-mix sampling: per-source Bernoulli keep rates (src0 100% … "
+        "src3 25%, everything else 10%) decided by the portable hash "
+        "fraction — deterministic, partitioning-independent, reproducible "
+        "in any engine. Scan-local filter; the weight table is a literal "
+        "CASE, zero shuffle.",
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.domain_mix_sample(
+        docs, _MIX_WEIGHTS, domain_col="source", default_weight=0.1, seed=0
+    ).select("doc_id", "source")

@@ -149,5 +149,7 @@ def test_repetition_features_edge_cases(spark):
     assert got[2]["dt"] == 0.0 and got[2]["db"] == 0.0 and got[2]["tt"] == 0.25
     assert got[3]["n"] == 0 and got[3]["dt"] == 0.0 and got[3]["tt"] == 0.0
     assert got[4]["n"] == 1 and got[4]["db"] == 0.0 and got[4]["tt"] == 1.0
-    assert got[5]["dt"] == 1 - 2 / 6  # x,y over 6 tokens
-    assert got[5]["db"] == 1 - 2 / 5  # 'x y','y x' distinct of 5 bigrams
+    # same association as the operator ((n - distinct) / n), so the
+    # comparison is exact in floating point: 4/6, not 1 - 2/6 (last-ulp apart)
+    assert got[5]["dt"] == 4 / 6  # x,y over 6 tokens
+    assert got[5]["db"] == 3 / 5  # 'x y','y x' distinct of 5 bigrams

@@ -47,7 +47,7 @@ from tweets_elastic_spark.operators.similarity import (
 from tweets_elastic_spark.sources.catalog import fan_out, load_table
 
 # Bump to invalidate previously-built fixture indexes on disk.
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4
 
 # One parameter set shared by the ingest job, every *_indexed query, and
 # the DuckDB oracles (which inline the same fixed-seed hyperplanes).
@@ -113,8 +113,10 @@ def build_index(
     centroids = train_quantizer(
         emb, IVF_N_CELLS, LSH_SEED, train_limit=ivf_train_limit
     )
-    _write_doc_segment(spark, out_dir, docs, "base")
-    _write_emb_segment(spark, out_dir, emb, centroids, "base")
+    max_doc_id = _write_doc_segment(spark, out_dir, docs, "base", id_col="doc_id")
+    max_vec_id = _write_emb_segment(
+        spark, out_dir, emb, centroids, "base", id_col="vec_id"
+    )
     meta = {
         "version": INDEX_FORMAT_VERSION,
         "sf_dir": os.path.abspath(sf_dir),
@@ -122,6 +124,13 @@ def build_index(
         "lsh": {"n_bits": LSH_N_BITS, "n_tables": LSH_N_TABLES, "seed": LSH_SEED},
         "ivf": {"n_cells": IVF_N_CELLS, "train_limit": ivf_train_limit},
         "centroids": [[float(x) for x in c] for c in centroids],
+        # Watermark seeds: what the base segment already covers. Riding the
+        # segment writes via observe(), they let index_increment against a
+        # FRESH store start from the right place instead of re-indexing the
+        # whole corpus into a duplicate wm_-1 segment (which would silently
+        # double every document and its term statistics).
+        "base_max_doc_id": max_doc_id,
+        "base_max_vec_id": max_vec_id,
     }
     with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -134,7 +143,8 @@ def _write_doc_segment(
     docs: DataFrame,
     segment: str,
     spec: dict | None = None,
-) -> None:
+    id_col: str | None = None,
+) -> int | None:
     """Write one DOCUMENT index segment: enriched rows plus the segment's
     own term dictionary and corpus stats. Segments are disjoint id ranges
     (watermark-gated); re-indexing existing ids means rebuild — same
@@ -154,6 +164,7 @@ def _write_doc_segment(
         obs,
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.size(F.col(tc))).alias(f"dl_{i}") for i, tc in enumerate(tok_cols)],
+        *([F.max(F.col(id_col)).alias("mx")] if id_col else []),
     )
     enriched.write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents_indexed", seg)
@@ -190,6 +201,8 @@ def _write_doc_segment(
     stats_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "corpus_stats", seg)
     )
+    mx = metrics.get("mx") if id_col else None
+    return int(mx) if mx is not None else None
 
 
 def _write_emb_segment(
@@ -198,13 +211,25 @@ def _write_emb_segment(
     emb: DataFrame,
     centroids: np.ndarray,
     segment: str,
-) -> None:
+    id_col: str | None = None,
+) -> int | None:
     """Write one EMBEDDING index segment: stored LSH signatures + IVF cell
     assignments against the fixed base-build structure."""
+    from pyspark.sql import Observation
+
     seg = f"segment={segment}"
-    enrich_embeddings(fan_out(emb), centroids).write.mode("overwrite").parquet(
+    enriched = enrich_embeddings(fan_out(emb), centroids)
+    obs = None
+    if id_col:
+        obs = Observation()
+        enriched = enriched.observe(obs, F.max(F.col(id_col)).alias("mx"))
+    enriched.write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings_indexed", seg)
     )
+    if obs is None:
+        return None
+    mx = obs.get["mx"]
+    return int(mx) if mx is not None else None
 
 
 def build_text_index(
@@ -250,7 +275,13 @@ def index_increment(
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
     n_docs = 0
 
+    # A fresh store (no watermark yet) starts from what the base build
+    # already covers — recorded in the sidecar — otherwise the whole corpus
+    # would be re-indexed into a duplicate wm_-1 segment on top of
+    # segment=base, doubling every document and its term statistics.
     doc_wm = store.get("index.doc_id")
+    if doc_wm < 0:
+        doc_wm = int(meta.get("base_max_doc_id") or -1)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") > doc_wm)
     if not docs.isEmpty():
         obs = Observation()
@@ -263,6 +294,8 @@ def index_increment(
         n_docs = int(metrics["n"])
 
     vec_wm = store.get("index.vec_id")
+    if vec_wm < 0:
+        vec_wm = int(meta.get("base_max_vec_id") or -1)
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") > vec_wm)
     if not emb.isEmpty():
         obs_e = Observation()

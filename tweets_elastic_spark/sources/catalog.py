@@ -13,6 +13,7 @@ re-runnable ingestion (S3).
 from __future__ import annotations
 
 import os
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,11 +23,29 @@ from tweets_elastic_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.parquet stores ts as TIMESTAMP(NANOS) which Spark rejects outright
-# (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy nanosAsLong) and
-# convert to TimestampType with exact integer µs truncation — `div` on
-# longs, never double division (ns epoch values exceed 2^53).
+# Some fixture generations store events.ts as TIMESTAMP(NANOS), which Spark
+# rejects outright (PARQUET_TYPE_ILLEGAL); others store TIMESTAMP(MICROS),
+# which Spark reads natively. Dispatch on the file's actual footer
+# annotation — hardcoding either choice silently corrupts the other
+# encoding (nanos path applied to micros data divides every instant by
+# 1000 and lands in January 1970). The footer peek is a driver-side
+# metadata read (kilobytes), cached per path.
 _NANOS_TS_TABLES = {"events": "ts"}
+
+
+@_lru_cache(maxsize=None)
+def _parquet_ts_is_nanos(path: str, col: str) -> bool:
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            p for p in os.listdir(path) if p.endswith(".parquet")
+        )
+        if not parts:
+            return False
+        path = os.path.join(path, parts[0])
+    field = pq.read_schema(path).field(col)
+    return getattr(field.type, "unit", None) == "ns"
 
 
 def events_raw_schema() -> StructType:
@@ -40,7 +59,9 @@ def events_raw_schema() -> StructType:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema (never inferred)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name in _NANOS_TS_TABLES:
+    if name in _NANOS_TS_TABLES and _parquet_ts_is_nanos(
+        path, _NANOS_TS_TABLES[name]
+    ):
         ts_col = _NANOS_TS_TABLES[name]
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(events_raw_schema()).parquet(path)

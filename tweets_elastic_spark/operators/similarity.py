@@ -290,6 +290,120 @@ def ann_ivf_topk_multi(
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable IVF: a seed-sampled coarse quantizer both engines can compute.
+#
+# The k-means quantizer above is the production path, but its centroids are
+# driver-side NumPy state no static SQL oracle can see — which is why the
+# ann_ivf_* entries register rows-only. This family swaps Lloyd iterations
+# for the zero-iteration special case: centroids ARE the first `n_seeds`
+# vectors in md5(id) order (a deterministic pseudo-random sample every
+# engine agrees on — the same portable-hash move as the minhash/simhash
+# twins). Cell assignment and probe selection are then pure argmin-distance
+# expressions, fully reproducible in DuckDB, so this variant carries a REAL
+# value-hash oracle. Recall is one Lloyd step behind k-means; the plan shape
+# (cell filter → exact rerank) is identical.
+# ---------------------------------------------------------------------------
+
+def portable_seed_centroids(
+    embeddings: DataFrame,
+    n_seeds: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The `n_seeds` vectors first in md5(id)-hex order (ties by id) — a
+    bounded deterministic sample: at most n_seeds·d floats reach the driver
+    via TakeOrderedAndProject, never the corpus."""
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(
+            F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        )
+        .limit(n_seeds)
+        .collect()
+    )
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+def portable_cell_col(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-seed cell id as a PURE JVM expression (no Python): per-seed
+    (distance, index) structs, array_sort (lexicographic: distance, then
+    index — the deterministic tiebreak), take slot 0. Distance uses the
+    translation-free form ‖c‖² − 2·x·c so the oracle can mirror it
+    term-for-term with list_dot_product."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    structs = [
+        F.struct(
+            (F.lit(float(c_sq[j])) - 2.0 * dot(vec_col, lit_vector([float(x) for x in C[j]])))
+            .alias("d"),
+            F.lit(j).alias("i"),
+        )
+        for j in range(len(C))
+    ]
+    return F.slice(F.array_sort(F.array(*structs)), 1, 1)[0]["i"]
+
+
+def ann_ivf_portable_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_seeds: int = 16,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with the portable seed quantizer: assign every vector to its
+    nearest seed cell (JVM argmin expressions), probe the `nprobe` cells
+    nearest the query, exact-cosine rerank. Same scale shape as
+    ann_ivf_topk (probed fraction ≈ nprobe/n_seeds, cell column
+    materializable at ingest) but every step is SQL-expressible, so the
+    registered query carries a full DuckDB oracle."""
+    centroids = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
+    probes = ivf_probe_cells(centroids, query_vec, nprobe)
+    candidates = embeddings.withColumn(
+        "_cell", portable_cell_col(F.col(vec_col), centroids)
+    ).filter(F.col("_cell").isin(probes))
+    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def semdedup_survivors(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_seeds: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    partition the corpus into quantizer cells, compare pairs only WITHIN a
+    cell, and drop every vector that has a smaller-id neighbor with cosine
+    ≥ threshold in its cell (min-id representative survives). Cross-cell
+    duplicates are missed by design — that is the approximation that makes
+    semantic dedup tractable: within-cell pairing costs Σ(n_c²) ≈ n²/k for
+    balanced cells, and growing n_seeds ∝ corpus keeps per-cell work
+    bounded. One equi-shuffle on the cell id; the portable seed quantizer
+    keeps every step (sampling, assignment, pairing, anti-join)
+    oracle-reproducible."""
+    centroids = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
+    cells = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        portable_cell_col(F.col(vec_col), centroids).alias("_cell"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col(f"a._cell") == F.col(f"b._cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return embeddings.select(id_col).join(dropped, id_col, "left_anti")
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_bits, dim)

@@ -502,6 +502,94 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, qvec, k=10, n_cells=16, nprobe=6)
 
 
+# ---------------------------------------------------------------------------
+# Portable IVF family: seed-sampled quantizer (centroids = first n_seeds
+# vectors in md5(id) order) instead of driver-side k-means — every step is
+# SQL-expressible, so unlike the ann_ivf_* entries these carry REAL oracles.
+# Shared CTE body: seeds (deterministic sample), q (query vector), assign
+# (argmin-distance cell per vector, tiebreak by seed rank).
+# ---------------------------------------------------------------------------
+
+_IVFP_SEEDS = 16
+
+_IVFP_CTES = f"""seeds AS (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS sid,
+               sv
+        FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS sv FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_IVFP_SEEDS}
+        )
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.sid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(s.sv, s.sv)
+                            - 2 * list_dot_product(e.embedding::DOUBLE[], s.sv),
+                            s.sid
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    cells AS (SELECT vec_id, v, sid AS cell FROM assign WHERE rn = 1)"""
+
+
+@register(
+    "ann_ivf_portable_topk",
+    oracle="WITH " + _IVFP_CTES + """,
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+        SELECT s.sid FROM seeds s, q
+        ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(q.qv, s.sv),
+                 s.sid
+        LIMIT 6
+    )
+    SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS score
+    FROM cells c, q
+    WHERE c.cell IN (SELECT sid FROM probes)
+    ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id ASC
+    LIMIT 10
+    """,
+    doc="IVF ANN with the PORTABLE seed quantizer: centroids are the first "
+        "16 vectors in md5(id) order (deterministic sample both engines "
+        "agree on), cell assignment is a pure JVM argmin-distance "
+        "expression, probe the 6 cells nearest the query, exact-cosine "
+        "rerank. Same plan shape as the k-means entry (ann_ivf_topk — the "
+        "production quantizer, rows-only because its centroids are trainer "
+        "state) but fully value-hash verified against DuckDB.",
+)
+def q_ann_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return S.ann_ivf_portable_topk(
+        emb, qvec, k=10, n_seeds=_IVFP_SEEDS, nprobe=6
+    )
+
+
+@register(
+    "semdedup_survivors",
+    oracle="WITH " + _IVFP_CTES + """,
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    doc="SemDeDup-style semantic dedup (arXiv:2303.09540): embeddings are "
+        "partitioned into quantizer cells, cosine pairs are scored only "
+        "WITHIN a cell (n²/k work instead of n², the paper's tractability "
+        "move — cross-cell dups are missed by design), and every vector "
+        "with a smaller-id in-cell neighbor at cosine >= 0.4 is dropped. "
+        "One equi-shuffle on the cell id; the portable seed quantizer "
+        "makes the whole pipeline oracle-reproducible.",
+)
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup_survivors(emb, threshold=0.4, n_seeds=_IVFP_SEEDS)
+
+
 # ann_lsh_topk is fully deterministic (fixed-seed hyperplanes, exhaustive
 # probe union), so it carries a REAL oracle: per-table signatures as
 # literal-plane SQL expressions on both the corpus and the query vector,

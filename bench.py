@@ -71,6 +71,8 @@ HEADLINE = [
     "ann_ivf_topk_indexed",
     "ann_lsh_multi_indexed",
     "ann_ivf_multi_indexed",
+    "ann_ivf_portable_topk",
+    "semdedup_survivors",
     "multimodal_decode",
 ]
 

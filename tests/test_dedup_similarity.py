@@ -215,3 +215,82 @@ def test_ivf_cell_assignment_partitions_corpus(spark):
     assert sum(counts.values()) == emb.count()
     assert set(counts) <= set(range(16))
     assert max(counts.values()) < emb.count() * 0.5  # no degenerate mega-cell
+
+
+# ---------------------------------------------------------------------------
+# Portable seed-quantizer family (ann_ivf_portable_topk / semdedup_survivors)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("qid", [7, 123, 250])
+def test_ann_ivf_portable_recall_vs_bruteforce(spark, qid):
+    """The zero-iteration seed quantizer is one Lloyd step behind k-means;
+    on the uniform fixture it still clears the same worst-case bar."""
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").head()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in S.ann_ivf_portable_topk(emb, qvec, k=10, n_seeds=16, nprobe=6).collect()
+    ]
+    assert approx[0] == qid
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, f"portable IVF recall@10 = {recall} for query {qid}"
+
+
+def test_portable_cell_matches_numpy_argmin(spark):
+    """The JVM argmin-distance expression (struct array_sort) agrees with
+    NumPy's argmin over the same centroids for every fixture vector —
+    including the (d, index) tiebreak order."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    C = S.portable_seed_centroids(emb, n_seeds=16)
+    got = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", S.portable_cell_col(F.col("embedding"), C).alias("c")
+        ).collect()
+    }
+    M = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    c_sq = (C * C).sum(axis=1)
+    for vid, v in M.items():
+        d = c_sq - 2.0 * (C @ v)
+        assert got[vid] == int(d.argmin()), vid
+
+
+def test_portable_seed_centroids_deterministic_and_bounded(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = S.portable_seed_centroids(emb, n_seeds=8)
+    b = S.portable_seed_centroids(emb, n_seeds=8)
+    assert a.shape == (8, len(a[0])) and (a == b).all()
+
+
+def test_semdedup_drops_planted_in_cell_duplicates(spark):
+    """Construct a corpus where vec 100 and 101 are near-identical (same
+    cell by construction — identical directions) and everything else is
+    far: SemDeDup must drop exactly the higher id of the planted pair."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    dup = base[20] + rng.randn(16) * 1e-3  # cosine ≈ 1 with row 20
+    rows.append((100, [float(x) for x in base[20]]))
+    rows.append((101, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    survivors = {
+        r["vec_id"]
+        for r in S.semdedup_survivors(df, threshold=0.95, n_seeds=4).collect()
+    }
+    # 20, 100, 101 are mutually near-identical: only the min id (20) survives
+    assert 20 in survivors
+    assert 100 not in survivors and 101 not in survivors
+    assert survivors | {100, 101} == {r[0] for r in rows}
+
+
+def test_semdedup_plan_has_no_cartesian(spark):
+    """Pairing is an equi-join on the cell id — never a cartesian product."""
+    emb = load_table(spark, SF, "embeddings")
+    df = S.semdedup_survivors(emb, threshold=0.4, n_seeds=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

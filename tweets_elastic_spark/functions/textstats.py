@@ -174,6 +174,70 @@ QUALITY_ORACLE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Model-based quality scoring: a logistic classifier over the heuristic
+# features — the shape of the fasttext/CCNet "quality classifier" stage
+# every large pretraining pipeline ships. The weights here are fixed
+# literals standing in for a trained model's coefficients (training is out
+# of engine scope; serving is not): at 100 TB the model rides the scan as
+# broadcast literals inside whole-stage codegen, exactly like these
+# expressions — no UDF, no shuffle, pushdown-unaffected.
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_WEIGHTS = {
+    "bias": -1.0,
+    "length_signal": 2.5,   # least(n_tokens/100, 1)
+    "stopword_ratio": 3.0,
+    "punct_ratio": -4.0,
+    "mean_len_signal": 1.5,  # least(mean_token_len/10, 1)
+}
+
+
+def classifier_quality_score(c: Column) -> Column:
+    """σ(w·x + b) over the heuristic features — deterministic, SQL-mirrorable
+    (same operand order as the oracle expression)."""
+    w = CLASSIFIER_WEIGHTS
+    f = quality_features(c)
+    length_signal = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    mean_len_signal = F.least(f["mean_token_len"] / F.lit(10.0), F.lit(1.0))
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["length_signal"]) * length_signal
+        + F.lit(w["stopword_ratio"]) * f["stopword_ratio"]
+        + F.lit(w["punct_ratio"]) * f["punct_ratio"]
+        + F.lit(w["mean_len_signal"]) * mean_len_signal
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
+def classifier_oracle_sql() -> str:
+    w = CLASSIFIER_WEIGHTS
+    toks = "list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')"
+    n = f"len({toks})"
+    stop = (
+        f"(CASE WHEN {n} > 0 THEN len(list_filter(list_transform({toks}, x -> lower(x)), "
+        "t -> t IN ('the','and','of','to','in','is','that','it','was','for','with','not','this','are','have')))"
+        f" / CAST({n} AS DOUBLE) ELSE 0.0 END)"
+    )
+    punct = (
+        "(CASE WHEN length(text) > 0 THEN (length(text) - "
+        "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE) "
+        "ELSE 0.0 END)"
+    )
+    mean_len = (
+        f"(CASE WHEN {n} > 0 THEN "
+        f"list_aggregate(list_transform({toks}, x -> length(x)), 'sum') / CAST({n} AS DOUBLE) "
+        "ELSE 0.0 END)"
+    )
+    logit = (
+        f"({w['bias']} + {w['length_signal']} * least({n} / 100.0, 1.0) "
+        f"+ {w['stopword_ratio']} * {stop} "
+        f"+ {w['punct_ratio']} * {punct} "
+        f"+ {w['mean_len_signal']} * least({mean_len} / 10.0, 1.0))"
+    )
+    return f"(1.0 / (1.0 + exp(-{logit})))"
+
+
+# ---------------------------------------------------------------------------
 # Repetition features (the Gopher-rules repetition block): how much of a
 # document is the same token/bigram repeated. High ratios flag boilerplate,
 # keyword-stuffing, and generation loops — standard pretraining filters.

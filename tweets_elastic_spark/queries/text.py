@@ -55,6 +55,28 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "model_quality_filter",
+    oracle=f"""
+    SELECT doc_id, round({T.classifier_oracle_sql()}, 6) AS model_quality
+    FROM documents
+    WHERE {T.classifier_oracle_sql()} >= 0.5
+    """,
+    doc="Model-based quality filtering (the fasttext/CCNet classifier "
+        "stage): logistic score over the heuristic features with literal "
+        "weights standing in for trained coefficients — at scale the model "
+        "is broadcast literals inside whole-stage codegen riding the scan; "
+        "docs below 0.5 are dropped.",
+)
+def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = T.classifier_quality_score(F.col("text"))
+    return (
+        docs.filter(score >= 0.5)
+        .select("doc_id", F.round(score, 6).alias("model_quality"))
+    )
+
+
+@register(
     "fingerprint",
     oracle=f"""
     SELECT doc_id, {T.FINGERPRINT_ORACLE_EXPR} AS fp

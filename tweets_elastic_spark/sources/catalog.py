@@ -34,7 +34,7 @@ _NANOS_TS_TABLES = {"events": "ts"}
 
 
 @_lru_cache(maxsize=None)
-def _parquet_ts_is_nanos(path: str, col: str) -> bool:
+def parquet_ts_is_nanos(path: str, col: str) -> bool:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -59,7 +59,7 @@ def events_raw_schema() -> StructType:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema (never inferred)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name in _NANOS_TS_TABLES and _parquet_ts_is_nanos(
+    if name in _NANOS_TS_TABLES and parquet_ts_is_nanos(
         path, _NANOS_TS_TABLES[name]
     ):
         ts_col = _NANOS_TS_TABLES[name]

@@ -16,22 +16,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from tweets_elastic_spark.sources.catalog import events_raw_schema
+from tweets_elastic_spark.schemas import TESTDATA_TABLES
+from tweets_elastic_spark.sources.catalog import (
+    events_raw_schema,
+    parquet_ts_is_nanos,
+)
 from tweets_elastic_spark.streaming.windows import tumbling_counts
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files (new
     files are discovered per micro-batch — the S3/keyset analogue where
-    arrival order, not an id column, defines the increment). The source
-    stores nanosecond timestamps, which Spark can only read as raw longs
-    (see sources/catalog.py); converted to TimestampType here."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    arrival order, not an id column, defines the increment). Fixture
+    generations that store ts as TIMESTAMP(NANOS) are read as raw longs
+    and converted (Spark rejects nanos outright — see sources/catalog.py);
+    micros generations stream with the declared schema directly."""
+    if parquet_ts_is_nanos(events_dir, "ts"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(events_raw_schema())
+            .option("maxFilesPerTrigger", 4)
+            .parquet(events_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return (
-        spark.readStream.schema(events_raw_schema())
+        spark.readStream.schema(TESTDATA_TABLES["events"])
         .option("maxFilesPerTrigger", 4)
         .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 

@@ -384,20 +384,37 @@ def semdedup_survivors(
     bounded. One equi-shuffle on the cell id; the portable seed quantizer
     keeps every step (sampling, assignment, pairing, anti-join)
     oracle-reproducible."""
+    from tweets_elastic_spark.functions.vectors import norm
+
     centroids = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
+    # Precompute each vector's norm ON ITS SIDE of the join: the pair
+    # predicate then evaluates ONE array-aggregate (the dot product) per
+    # pair instead of three — n norm computations instead of n²/k. The
+    # value is bit-identical to cosine(): dot / (sqrt(dot(a,a)) ·
+    # sqrt(dot(b,b))), same operand order.
+    # Materialize (id, vec, cell, norm) ONCE: both join sides would
+    # otherwise re-evaluate the 16-way argmin-distance expression per row.
+    # localCheckpoint (eager, lineage-truncating) is the test-scale stand-in
+    # for the production move — the cell column written at ingest next to
+    # the embeddings (indexing.build_index materializes exactly this for
+    # the k-means quantizer).
     cells = embeddings.select(
         F.col(id_col), F.col(vec_col),
         portable_cell_col(F.col(vec_col), centroids).alias("_cell"),
-    )
+        norm(F.col(vec_col)).alias("_nrm"),
+    ).localCheckpoint()
     a = cells.alias("a")
     b = cells.alias("b")
+    pair_cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._nrm") * F.col("b._nrm")
+    )
     dropped = (
         a.join(
             b,
-            (F.col(f"a._cell") == F.col(f"b._cell"))
+            (F.col("a._cell") == F.col("b._cell"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= threshold)
+        .filter(pair_cos >= threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )

@@ -153,3 +153,28 @@ def test_repetition_features_edge_cases(spark):
     # comparison is exact in floating point: 4/6, not 1 - 2/6 (last-ulp apart)
     assert got[5]["dt"] == 4 / 6  # x,y over 6 tokens
     assert got[5]["db"] == 3 / 5  # 'x y','y x' distinct of 5 bigrams
+
+
+def test_decontaminate_fuzzy_drops_paraphrase_overlap(spark):
+    """A corpus doc sharing most (but not all) shingles with a benchmark
+    doc — invisible to exact 13-gram overlap, caught at jaccard >= 0.5."""
+    from tweets_elastic_spark.operators.curation import decontaminate_fuzzy
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # same shingles except the tail — jaccard well above 0.5
+            (100, "alpha beta gamma delta epsilon zeta eta iota"),
+            # disjoint vocabulary
+            (101, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_fuzzy(corpus, bench, k=3, threshold=0.5).collect()
+    }
+    assert kept == {101}

@@ -294,3 +294,23 @@ def test_semdedup_plan_has_no_cartesian(spark):
     df = S.semdedup_survivors(emb, threshold=0.4, n_seeds=16)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ann_ivf_portable_multi_matches_single(spark):
+    """Each query's batched result == the single-query portable variant."""
+    emb = load_table(spark, SF, "embeddings")
+    multi = S.ann_ivf_portable_multi(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_seeds=16, nprobe=6
+    ).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qid in (0, 1, 2):
+        qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").head()["embedding"]]
+        single = [
+            r["vec_id"]
+            for r in S.ann_ivf_portable_topk(
+                emb, qvec, k=5, n_seeds=16, nprobe=6
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid

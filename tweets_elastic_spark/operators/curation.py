@@ -88,6 +88,48 @@ def decontaminate(
     return corpus.join(bad, id_col, "left_anti")
 
 
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-match decontamination: drop corpus docs whose k-word-shingle
+    Jaccard against ANY benchmark doc reaches ``threshold`` — the fuzzy
+    complement of ``decontaminate`` (exact long-gram overlap misses
+    lightly paraphrased eval leakage; GPT-4-report-style pipelines run
+    both). Same inverted-index shape as jaccard_pairs but asymmetric: the
+    (small) benchmark posting list is broadcast, candidate pairs exist
+    only where a shingle is shared, and only (corpus × benchmark) pairs
+    are scored — the corpus never self-joins, so cost is bounded by
+    benchmark size × shared-shingle fan-out, not corpus²."""
+    c_posts = _shingle_posting_list(corpus, text_col, id_col, k, None)
+    b_posts = _shingle_posting_list(benchmark, text_col, id_col, k, None)
+    c_sz = c_posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_csz"))
+    b_sz = b_posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_bsz"))
+    inter = (
+        c_posts.join(
+            F.broadcast(b_posts.select(F.col("_id").alias("_bid"), "_sh")),
+            "_sh",
+        )
+        .groupBy("_id", "_bid")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    contaminated = (
+        inter.join(c_sz, "_id")
+        .join(F.broadcast(b_sz.select(F.col("_id").alias("_bid"), "_bsz")), "_bid")
+        .filter(
+            F.col("_inter") / (F.col("_csz") + F.col("_bsz") - F.col("_inter"))
+            >= threshold
+        )
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic shuffle + sharding
 # ---------------------------------------------------------------------------

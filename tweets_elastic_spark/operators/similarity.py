@@ -367,6 +367,40 @@ def ann_ivf_portable_topk(
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ann_ivf_portable_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_seeds: int = 16,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched ANN through the portable seed quantizer: the corpus gets its
+    cell column (JVM argmin over seed literals), each broadcast query gets
+    its probe set in-plan, one corpus scan serves the whole batch — the
+    ann_ivf_topk_multi machinery with every step SQL-reproducible, so the
+    batched IVF shape finally carries a full oracle too."""
+    C = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
+    emb_cells = embeddings.withColumn(
+        "_pcell", portable_cell_col(F.col(vec_col), C)
+    )
+    return ann_ivf_topk_multi(
+        emb_cells,
+        C,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        cell_col="_pcell",
+    )
+
+
 def semdedup_survivors(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -90,6 +90,43 @@ def q_decontaminate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(corpus, bench, k=_DECON_K).select("doc_id")
 
 
+@register(
+    "decontaminate_fuzzy_survivors",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest({_grams_sql(3)}) AS g FROM toks
+    ),
+    csz AS (SELECT doc_id, count(*) AS sz FROM g WHERE doc_id >= {_BENCH_MAX_ID} GROUP BY doc_id),
+    bsz AS (SELECT doc_id, count(*) AS sz FROM g WHERE doc_id < {_BENCH_MAX_ID} GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS cid, b.doc_id AS bid, count(*) AS i
+        FROM g a JOIN g b ON a.g = b.g
+        WHERE a.doc_id >= {_BENCH_MAX_ID} AND b.doc_id < {_BENCH_MAX_ID}
+        GROUP BY 1, 2
+    ),
+    bad AS (
+        SELECT DISTINCT cid FROM inter
+        JOIN csz ON cid = csz.doc_id
+        JOIN bsz ON bid = bsz.doc_id
+        WHERE i / (csz.sz + bsz.sz - i) >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id >= {_BENCH_MAX_ID} AND doc_id NOT IN (SELECT cid FROM bad)
+    """,
+    doc="Fuzzy decontamination: corpus docs whose 3-word-shingle Jaccard "
+        "against ANY benchmark doc reaches 0.5 are dropped — catches the "
+        "paraphrased eval leakage exact long-gram overlap misses (pipelines "
+        "run both). Asymmetric inverted-index join: benchmark postings "
+        "broadcast, corpus never self-joins.",
+)
+def q_decontaminate_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, bench = _split_corpus(spark, sf_dir)
+    return C.decontaminate_fuzzy(corpus, bench, k=3, threshold=0.5).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # PII redaction. The fixture corpus is synthetic word-salad with no real
 # PII, so the query PLANTS deterministic identifiers first (email/phone/IP

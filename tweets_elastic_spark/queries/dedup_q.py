@@ -566,6 +566,53 @@ def q_ann_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_portable_multi",
+    oracle="WITH " + _IVFP_CTES + """,
+    q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT q_id, sid FROM (
+            SELECT q.q_id, s.sid,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(s.sv, s.sv)
+                                - 2 * list_dot_product(q.qv, s.sv),
+                                s.sid
+                   ) AS rn
+            FROM q CROSS JOIN seeds s
+        ) WHERE rn <= 6
+    ),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               list_cosine_similarity(c.v, q.qv) AS cos,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                            c.vec_id ASC
+               ) AS rn
+        FROM cells c
+        JOIN probes p ON c.cell = p.sid
+        JOIN q ON q.q_id = p.q_id
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS score FROM scored WHERE rn <= 3
+    """,
+    doc="Batched IVF ANN on the portable seed quantizer: 5 query vectors "
+        "served in ONE corpus scan — per-query probe sets computed in-plan "
+        "on the broadcast query side, candidates filtered on the cell "
+        "column, exact-cosine rerank per query. The batched-IVF plan shape "
+        "(ann_ivf_topk_multi) with a full value-hash oracle.",
+)
+def q_ann_ivf_portable_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ann_ivf_portable_multi(
+        emb, queries, k=3, n_seeds=_IVFP_SEEDS, nprobe=6
+    )
+
+
+@register(
     "semdedup_survivors",
     oracle="WITH " + _IVFP_CTES + """,
     dropped AS (

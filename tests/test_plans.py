@@ -113,3 +113,19 @@ def test_ann_topk_is_take_ordered(spark):
     p = plan_of(spark, "ann_cosine_topk")
     assert "TakeOrderedAndProject" in p
     assert "Exchange hashpartitioning" not in p  # single scan, no shuffle
+
+
+def test_decontaminate_fuzzy_broadcasts_benchmark(spark):
+    """The benchmark side (postings + sizes) broadcasts; the corpus is
+    never on the build side of a shuffle join against itself."""
+    p = plan_of(spark, "decontaminate_fuzzy_survivors")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ann_ivf_portable_single_scan_filter(spark):
+    """Cell assignment + probe filter + rerank: one corpus scan ending in
+    TakeOrderedAndProject, no join at all in the single-query plan."""
+    p = plan_of(spark, "ann_ivf_portable_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p

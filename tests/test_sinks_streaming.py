@@ -438,3 +438,22 @@ def test_json_string_ingest_parses_es_timestamps(spark, tmp_path):
     a = sorted(map(tuple, conv.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    """write_documents(partition_by=['lang']) + a lang filter on read-back:
+    the scan must prune to the one partition directory (PartitionFilters in
+    the plan, not a post-scan filter) — the layout move that turns a
+    full-corpus scan into a per-language scan at 100 TB."""
+    from tweets_elastic_spark.sinks import write_documents
+
+    docs = load_table(spark, SF, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_documents(docs, out, id_col="doc_id", partition_by=["lang"])
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    n_langs = docs.select("lang").distinct().count()
+    assert back.select("lang").distinct().count() == 1
+    assert n_langs > 1  # pruning actually excluded something

@@ -457,3 +457,40 @@ def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     n_langs = docs.select("lang").distinct().count()
     assert back.select("lang").distinct().count() == 1
     assert n_langs > 1  # pruning actually excluded something
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, events_dir):
+    """Stream-stream interval join (clicks × same-user error windows, both
+    sides watermarked) emits exactly the batch pairs: the same
+    click_error_pairs function runs on the batch DataFrames (watermarks
+    are no-ops there), so the twin is literal, not re-implemented."""
+    from tweets_elastic_spark.streaming.ingest import stream_events
+    from tweets_elastic_spark.streaming.joins import (
+        click_error_pairs,
+        run_click_error_join,
+    )
+
+    ev_c = stream_events(spark, events_dir)
+    ev_e = stream_events(spark, events_dir)
+    q = run_click_error_join(
+        ev_c.filter(F.col("event_type") == "click"),
+        ev_e.filter(F.col("event_type") == "error"),
+        str(tmp_path / "pairs_out"),
+        str(tmp_path / "pairs_ckpt"),
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["err_id"], r["click_ts"])
+        for r in spark.read.parquet(str(tmp_path / "pairs_out")).collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    batch = {
+        (r["err_id"], r["click_ts"])
+        for r in click_error_pairs(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "error"),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0

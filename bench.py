@@ -72,7 +72,10 @@ HEADLINE = [
     "ann_lsh_multi_indexed",
     "ann_ivf_multi_indexed",
     "ann_ivf_portable_topk",
+    "ann_ivf_portable_multi",
     "semdedup_survivors",
+    "decontaminate_fuzzy_survivors",
+    "model_quality_filter",
     "multimodal_decode",
 ]
 

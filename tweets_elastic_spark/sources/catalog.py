@@ -23,14 +23,17 @@ from tweets_elastic_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Some fixture generations store events.ts as TIMESTAMP(NANOS), which Spark
-# rejects outright (PARQUET_TYPE_ILLEGAL); others store TIMESTAMP(MICROS),
-# which Spark reads natively. Dispatch on the file's actual footer
-# annotation — hardcoding either choice silently corrupts the other
-# encoding (nanos path applied to micros data divides every instant by
-# 1000 and lands in January 1970). The footer peek is a driver-side
-# metadata read (kilobytes), cached per path.
-_NANOS_TS_TABLES = {"events": "ts"}
+# Fixture generations have flipped timestamp encodings between rounds
+# (events.ts shipped as TIMESTAMP(NANOS) in some generations and
+# TIMESTAMP(MICROS) in others). Spark rejects NANOS outright
+# (PARQUET_TYPE_ILLEGAL), and hardcoding either choice silently corrupts
+# the other encoding (a nanos workaround applied to micros data divides
+# every instant by 1000 and lands in January 1970). So the reader
+# dispatches on the file's actual footer annotation, for EVERY declared
+# timestamp column of every table: nanos columns are read as raw longs
+# (legacy nanosAsLong) and truncated to µs with exact integer division
+# (`div`, never double division — ns epoch values exceed 2^53). The
+# footer peek is a driver-side metadata read (kilobytes), cached per path.
 
 
 @_lru_cache(maxsize=None)
@@ -44,14 +47,25 @@ def parquet_ts_is_nanos(path: str, col: str) -> bool:
         if not parts:
             return False
         path = os.path.join(path, parts[0])
-    field = pq.read_schema(path).field(col)
-    return getattr(field.type, "unit", None) == "ns"
+    schema = pq.read_schema(path)
+    if col not in schema.names:
+        return False
+    return getattr(schema.field(col).type, "unit", None) == "ns"
+
+
+def _declared_ts_cols(schema: StructType) -> list[str]:
+    from pyspark.sql.types import TimestampType
+
+    return [f.name for f in schema.fields if isinstance(f.dataType, TimestampType)]
 
 
 def events_raw_schema() -> StructType:
-    base = TESTDATA_TABLES["events"]
+    return _raw_long_schema(TESTDATA_TABLES["events"], ["ts"])
+
+
+def _raw_long_schema(base: StructType, long_cols: list[str]) -> StructType:
     return StructType([
-        StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+        StructField(f.name, LongType(), f.nullable) if f.name in long_cols else f
         for f in base.fields
     ])
 
@@ -59,20 +73,20 @@ def events_raw_schema() -> StructType:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema (never inferred)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name in _NANOS_TS_TABLES and parquet_ts_is_nanos(
-        path, _NANOS_TS_TABLES[name]
-    ):
-        ts_col = _NANOS_TS_TABLES[name]
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(events_raw_schema()).parquet(path)
-        return df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
     schema = TESTDATA_TABLES.get(name)
-    reader = spark.read
     if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(path)
+        ns_cols = [
+            c for c in _declared_ts_cols(schema)
+            if parquet_ts_is_nanos(path, c)
+        ]
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.schema(_raw_long_schema(schema, ns_cols)).parquet(path)
+            for c in ns_cols:
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            return df
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def load_table_json(

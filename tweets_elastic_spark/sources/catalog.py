@@ -38,6 +38,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 @_lru_cache(maxsize=None)
 def parquet_ts_is_nanos(path: str, col: str) -> bool:
+    """True only for INT64 columns annotated TIMESTAMP(NANOS) — the one
+    encoding Spark rejects. Legacy INT96 timestamps ALSO surface as
+    timestamp[ns] in pyarrow's arrow-level schema, but Spark reads INT96
+    natively, so the check must inspect the parquet-level physical type,
+    not the arrow view."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -47,10 +52,15 @@ def parquet_ts_is_nanos(path: str, col: str) -> bool:
         if not parts:
             return False
         path = os.path.join(path, parts[0])
-    schema = pq.read_schema(path)
-    if col not in schema.names:
-        return False
-    return getattr(schema.field(col).type, "unit", None) == "ns"
+    meta = pq.ParquetFile(path).metadata.schema
+    for i in range(len(meta)):
+        c = meta.column(i)
+        if c.path == col:
+            return (
+                c.physical_type == "INT64"
+                and "nanoseconds" in str(c.logical_type).lower()
+            )
+    return False
 
 
 def _declared_ts_cols(schema: StructType) -> list[str]:

@@ -177,10 +177,17 @@ def train_quantizer(
 def ivf_probe_cells(
     centroids: np.ndarray, query_vec: list[float], nprobe: int
 ) -> list[int]:
-    """The ``nprobe`` cell ids nearest the query — k×d driver math."""
+    """The ``nprobe`` cell ids nearest the query — k×d driver math.
+
+    Distances use the translation-free form ‖c‖² − 2·q·c (NOT the expanded
+    Σ(c−q)²): the portable-IVF oracles compute exactly this form in SQL,
+    and the two expansions round differently — a near-tie at the nprobe
+    boundary could otherwise order differently per engine and flip the
+    probe set. Stable argsort breaks exact ties by cell id, matching the
+    oracles' ORDER BY (d, sid)."""
     q = np.asarray(query_vec, dtype=np.float64)
     C = np.asarray(centroids, dtype=np.float64)
-    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    d2 = (C * C).sum(axis=1) - 2.0 * (C @ q)
     return [int(c) for c in d2.argsort(kind="stable")[:nprobe]]
 
 
@@ -431,7 +438,11 @@ def semdedup_survivors(
     # localCheckpoint (eager, lineage-truncating) is the test-scale stand-in
     # for the production move — the cell column written at ingest next to
     # the embeddings (indexing.build_index materializes exactly this for
-    # the k-means quantizer).
+    # the k-means quantizer). The checkpoint blocks live until the returned
+    # DataFrame is garbage-collected (ContextCleaner frees them with the
+    # RDD); callers that invoke this repeatedly in one session drop their
+    # reference between calls, which is the lifecycle bench and the
+    # oracle sweep follow.
     cells = embeddings.select(
         F.col(id_col), F.col(vec_col),
         portable_cell_col(F.col(vec_col), centroids).alias("_cell"),

@@ -90,16 +90,12 @@ DRIVER_PRIORITY: list[str] = [
 
 def _emission_order() -> list[str]:
     """DRIVER_PRIORITY first, then remaining full-oracle entries in
-    registration order, then rows-only entries last."""
+    registration order, then rows-only entries last (sorted() is stable,
+    so equal keys keep registration order)."""
     prio = {n: i for i, n in enumerate(DRIVER_PRIORITY)}
-    names = list(_REGISTRY)
     return sorted(
-        names,
-        key=lambda n: (
-            prio.get(n, len(prio)),
-            _REGISTRY[n].oracle is None,
-            names.index(n),
-        ),
+        _REGISTRY,
+        key=lambda n: (prio.get(n, len(prio)), _REGISTRY[n].oracle is None),
     )
 
 

@@ -36,15 +36,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # footer peek is a driver-side metadata read (kilobytes), cached per path.
 
 
-@_lru_cache(maxsize=None)
 def parquet_ts_is_nanos(path: str, col: str) -> bool:
     """True only for INT64 columns annotated TIMESTAMP(NANOS) — the one
     encoding Spark rejects. Legacy INT96 timestamps ALSO surface as
     timestamp[ns] in pyarrow's arrow-level schema, but Spark reads INT96
     natively, so the check must inspect the parquet-level physical type,
-    not the arrow view."""
-    import pyarrow.parquet as pq
+    not the arrow view.
 
+    Directories are probed via their first part file (one generation per
+    directory is assumed — mixed-encoding directories would need per-file
+    dispatch, which Spark's one-schema-per-scan model can't express
+    anyway). An EMPTY directory returns False WITHOUT caching, so a
+    stream started before its first file arrives re-probes on the next
+    call instead of pinning a guess forever."""
     if os.path.isdir(path):
         parts = sorted(
             p for p in os.listdir(path) if p.endswith(".parquet")
@@ -52,6 +56,13 @@ def parquet_ts_is_nanos(path: str, col: str) -> bool:
         if not parts:
             return False
         path = os.path.join(path, parts[0])
+    return _file_ts_is_nanos(path, col)
+
+
+@_lru_cache(maxsize=None)
+def _file_ts_is_nanos(path: str, col: str) -> bool:
+    import pyarrow.parquet as pq
+
     meta = pq.ParquetFile(path).metadata.schema
     for i in range(len(meta)):
         c = meta.column(i)

@@ -73,6 +73,8 @@ HEADLINE = [
     "ann_ivf_multi_indexed",
     "ann_ivf_portable_topk",
     "ann_ivf_portable_multi",
+    "ann_pq_portable_topk",
+    "vocab_top_tokens",
     "semdedup_survivors",
     "decontaminate_fuzzy_survivors",
     "model_quality_filter",

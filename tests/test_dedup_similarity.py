@@ -314,3 +314,17 @@ def test_ann_ivf_portable_multi_matches_single(spark):
             ).collect()
         ]
         assert by_q[qid] == single, qid
+
+
+@pytest.mark.parametrize("qid", [7, 123, 250])
+def test_ann_pq_portable_recall_vs_bruteforce(spark, qid):
+    """PQ (8 subspaces × 16 codewords, ADC + rerank-50) on the uniform
+    worst-case corpus: measured recall@10 = 0.5-0.7; bar at 0.4 matches
+    the IVF uniform-fixture bar. Self is always the nearest neighbor."""
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").head()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in S.ann_pq_portable_topk(emb, qvec, k=10).collect()]
+    assert approx[0] == qid
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, f"PQ recall@10 = {recall} for query {qid}"

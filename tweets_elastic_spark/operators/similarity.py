@@ -374,6 +374,75 @@ def ann_ivf_portable_topk(
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def pq_code_col(vec_col: Column, codebook: np.ndarray, sub: int, dsub: int) -> Column:
+    """Per-subspace PQ code: argmin over the codebook of the translation-
+    free distance ‖c‖² − 2·x_s·c on the vector's slice [sub·dsub,
+    (sub+1)·dsub) — same struct-array_sort argmin (d, then index) as
+    portable_cell_col, so the oracle mirrors it term-for-term."""
+    sl = F.slice(vec_col, sub * dsub + 1, dsub)
+    c_sq = (codebook * codebook).sum(axis=1)
+    structs = [
+        F.struct(
+            (F.lit(float(c_sq[j]))
+             - 2.0 * dot(sl, lit_vector([float(x) for x in codebook[j]])))
+            .alias("d"),
+            F.lit(j).alias("i"),
+        )
+        for j in range(len(codebook))
+    ]
+    return F.slice(F.array_sort(F.array(*structs)), 1, 1)[0]["i"]
+
+
+def ann_pq_portable_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    n_seeds: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, TPAMI — the third
+    classic ANN index family next to LSH and IVF): split vectors into
+    ``m`` subspaces, encode each slice as its nearest codeword id, rank by
+    asymmetric distance (per-subspace lookup of the query-to-codeword
+    distance, summed), exact-cosine rerank of the top ``rerank``.
+
+    Portable flavor: the codebook of subspace s is the s-slice of the SAME
+    md5-ordered seed sample the portable IVF uses — deterministic and
+    SQL-reproducible, so the whole pipeline (encoding, ADC ranking,
+    rerank) carries a full DuckDB oracle. The ADC score drops the
+    constant Σ‖q_s‖² term: score = Σ_s (‖c‖² − 2·q_s·c) at the doc's
+    codewords, evaluated as a left-fold sum in subspace order on both
+    engines.
+
+    At scale: codes are m small ints per vector, materialized at ingest
+    (the 64-dim float vector becomes m bytes of index data — PQ's whole
+    point); query time is m table lookups per row riding the scan, no
+    vector arithmetic until the rerank of ``rerank`` candidates."""
+    dim = len(query_vec)
+    dsub = dim // m
+    seeds = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dist = None
+    for s in range(m):
+        book = seeds[:, s * dsub:(s + 1) * dsub]
+        code = pq_code_col(F.col(vec_col), book, s, dsub)
+        qs = q[s * dsub:(s + 1) * dsub]
+        qdtab = (book * book).sum(axis=1) - 2.0 * (book @ qs)
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in qdtab]), code + 1
+        )
+        dist = term if dist is None else dist + term
+    cand = (
+        embeddings.select(F.col(id_col), F.col(vec_col), dist.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ann_ivf_portable_multi(
     embeddings: DataFrame,
     queries: DataFrame,

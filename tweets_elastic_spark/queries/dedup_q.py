@@ -612,6 +612,76 @@ def q_ann_ivf_portable_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_DSUB = 8, 8  # 8 subspaces × 8 dims over the 64-dim fixtures
+
+
+@register(
+    "ann_pq_portable_topk",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS sid,
+               sv
+        FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS sv FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_IVFP_SEEDS}
+        )
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sub AS (FROM range({_PQ_M}) t(s)),
+    pairs AS (
+        SELECT e.vec_id, sub.s, sd.sid,
+               list_dot_product(
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}),
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}))
+             - 2 * list_dot_product(
+                   list_slice(e.embedding::DOUBLE[], sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}),
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB})) AS d
+        FROM embeddings e CROSS JOIN sub CROSS JOIN seeds sd
+    ),
+    codes AS (
+        SELECT vec_id, s, sid AS code FROM (
+            SELECT vec_id, s, sid,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d, sid) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT sub.s, sd.sid,
+               list_dot_product(
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}),
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}))
+             - 2 * list_dot_product(
+                   list_slice(q.qv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}),
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB})) AS qdist
+        FROM sub CROSS JOIN seeds sd CROSS JOIN q
+    ),
+    adc AS (
+        SELECT c.vec_id, sum(qd.qdist ORDER BY c.s) AS dist
+        FROM codes c JOIN qd ON c.s = qd.s AND c.code = qd.sid
+        GROUP BY c.vec_id
+    ),
+    cand AS (SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 50)
+    SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    doc="Product-quantization ANN (the third classic index family next to "
+        "LSH and IVF): vectors split into 8 subspaces, each slice encoded "
+        "as its nearest codeword (codebooks = slices of the portable "
+        "md5-ordered seed sample), candidates ranked by asymmetric "
+        "distance (per-subspace lookup, left-fold sum), exact-cosine "
+        "rerank of the top 50. At ingest the 64-dim vector becomes 8 "
+        "small ints of index data; fully value-hash verified.",
+)
+def q_ann_pq_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return S.ann_pq_portable_topk(
+        emb, qvec, k=10, rerank=50, n_seeds=_IVFP_SEEDS, m=_PQ_M
+    )
+
+
 @register(
     "semdedup_survivors",
     oracle="WITH " + _IVFP_CTES + """,

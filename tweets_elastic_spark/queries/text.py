@@ -77,6 +77,39 @@ def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_top_tokens",
+    oracle="""
+    SELECT t AS token, count(*) AS n
+    FROM (
+        SELECT unnest(list_transform(
+            list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
+            x -> lower(x))) AS t
+        FROM documents
+    )
+    GROUP BY t
+    ORDER BY n DESC, t ASC
+    LIMIT 500
+    """,
+    doc="Corpus vocabulary head: top-500 tokens by frequency — the input "
+        "statistic tokenizer/vocab training starts from. One explode + one "
+        "hash-shuffle count + TakeOrderedAndProject; map-side partial "
+        "aggregation makes the shuffle carry (token, partial_count), not "
+        "token instances, so at 100 TB the exchange is vocabulary-sized.",
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.transform(T.simple_tokens(F.col("text")), F.lower)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(500)
+    )
+
+
+@register(
     "fingerprint",
     oracle=f"""
     SELECT doc_id, {T.FINGERPRINT_ORACLE_EXPR} AS fp

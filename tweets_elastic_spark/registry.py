@@ -75,10 +75,11 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_near_survivors", "minhash_lsh_near_dups_portable",
     "simhash_near_dups_portable", "embedding_near_dups",
     "semdedup_survivors", "corpus_clean", "corpus_split",
-    # ANN families (ann_multi_query_topk deprioritized: the batched shape
-    # is represented by ann_ivf_portable_multi, which also exercises the
-    # quantizer index and in-plan probe selection)
-    "ann_cosine_topk", "ann_ivf_portable_topk", "ann_ivf_portable_multi",
+    # ANN families — one slot per index family: exact baseline, IVF, PQ,
+    # LSH-through-the-stored-index. The batched variants
+    # (ann_multi_query_topk, ann_ivf_portable_multi, ann_lsh_multi_indexed)
+    # emit post-prefix and stay oracle-parity-pytest-verified.
+    "ann_cosine_topk", "ann_ivf_portable_topk", "ann_pq_portable_topk",
     "ann_lsh_topk_indexed",
     # curation ship stage
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",

@@ -328,3 +328,30 @@ def test_ann_pq_portable_recall_vs_bruteforce(spark, qid):
     assert approx[0] == qid
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.4, f"PQ recall@10 = {recall} for query {qid}"
+
+
+def test_pq_arrow_encoder_matches_expression_encoder(spark):
+    """The Arrow-batched GEMM encoder and the expression encoder assign the
+    same code in every subspace for every fixture vector (their f64
+    rounding differs only ~1e-15, far below real codeword gaps)."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    seeds = S.portable_seed_centroids(emb, n_seeds=16)
+    m, dsub = 8, 8
+    books = np.stack([seeds[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    arrow = {
+        r["vec_id"]: list(r["c"])
+        for r in emb.select(
+            "vec_id", S.pq_codes_batched(F.col("embedding"), books).alias("c")
+        ).collect()
+    }
+    expr_cols = [
+        S.pq_code_col(F.col("embedding"), books[s], s, dsub).alias(f"c{s}")
+        for s in range(m)
+    ]
+    exprs = {
+        r["vec_id"]: [r[f"c{s}"] for s in range(m)]
+        for r in emb.select("vec_id", *expr_cols).collect()
+    }
+    assert arrow == exprs

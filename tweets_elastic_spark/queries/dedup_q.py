@@ -615,9 +615,7 @@ def q_ann_ivf_portable_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_DSUB = 8, 8  # 8 subspaces × 8 dims over the 64-dim fixtures
 
 
-@register(
-    "ann_pq_portable_topk",
-    oracle=f"""
+_PQ_ORACLE = f"""
     WITH seeds AS (
         SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS sid,
                sv
@@ -665,7 +663,12 @@ _PQ_M, _PQ_DSUB = 8, 8  # 8 subspaces × 8 dims over the 64-dim fixtures
     FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "ann_pq_portable_topk",
+    oracle=_PQ_ORACLE,
     doc="Product-quantization ANN (the third classic index family next to "
         "LSH and IVF): vectors split into 8 subspaces, each slice encoded "
         "as its nearest codeword (codebooks = slices of the portable "
@@ -678,6 +681,23 @@ def q_ann_pq_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     return S.ann_pq_portable_topk(
+        emb, qvec, k=10, rerank=50, n_seeds=_IVFP_SEEDS, m=_PQ_M
+    )
+
+
+@register(
+    "ann_pq_arrow_topk",
+    oracle=_PQ_ORACLE,
+    doc="PQ ANN with the PRODUCTION encoder: all 8 subspace codes from one "
+        "Arrow-batched GEMM UDF per batch (the expression encoder runs 128 "
+        "interpreted array-aggregates per row), ADC + rerank unchanged — "
+        "same codebooks, same results, same oracle as ann_pq_portable_topk "
+        "(the minhash fast-path/portable-twin pattern applied to PQ).",
+)
+def q_ann_pq_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return S.ann_pq_arrow_topk(
         emb, qvec, k=10, rerank=50, n_seeds=_IVFP_SEEDS, m=_PQ_M
     )
 

@@ -494,3 +494,15 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, events_dir):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_events_empty_dir_fails_fast(spark, tmp_path):
+    """An empty source directory can't be probed for the ts encoding;
+    guessing micros would crash the running query at runtime if nanos files
+    arrive, so stream definition must raise unless allow_empty=True."""
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError, match="allow_empty"):
+        stream_events(spark, str(d))
+    # escape hatch: explicit opt-in starts (micros assumption, documented)
+    assert stream_events(spark, str(d), allow_empty=True).isStreaming

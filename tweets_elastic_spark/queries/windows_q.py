@@ -319,11 +319,11 @@ def q_clicks_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_daily_pivot",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events GROUP BY 1
     """,
     doc="Pivot (long -> wide): daily counts per event type as columns. The "
@@ -349,8 +349,8 @@ def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click
         FROM events GROUP BY 1
     )
     SELECT day, kind, n FROM wide

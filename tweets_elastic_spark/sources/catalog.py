@@ -56,11 +56,20 @@ def parquet_ts_is_nanos(path: str, col: str) -> bool:
         if not parts:
             return False
         path = os.path.join(path, parts[0])
-    return _file_ts_is_nanos(path, col)
+    # Key the cache on the file's identity (mtime+size), not just its path:
+    # fixtures are regenerated in place between rounds with flipped timestamp
+    # encodings, and a stale path-keyed verdict would mis-decode the new file
+    # (a nanos workaround on micros data lands every instant in January 1970).
+    try:
+        st = os.stat(path)
+        ident = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = (0, 0)
+    return _file_ts_is_nanos(path, ident, col)
 
 
 @_lru_cache(maxsize=None)
-def _file_ts_is_nanos(path: str, col: str) -> bool:
+def _file_ts_is_nanos(path: str, _ident: tuple[int, int], col: str) -> bool:
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(path).metadata.schema

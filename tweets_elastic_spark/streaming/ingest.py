@@ -12,6 +12,8 @@ sink, with Spark's checkpoint replacing the hand-rolled ``last_id`` state
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -24,13 +26,34 @@ from tweets_elastic_spark.sources.catalog import (
 from tweets_elastic_spark.streaming.windows import tumbling_counts
 
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, events_dir: str, *, allow_empty: bool = False
+) -> DataFrame:
     """File-source stream over a directory of events parquet files (new
     files are discovered per micro-batch — the S3/keyset analogue where
     arrival order, not an id column, defines the increment). Fixture
     generations that store ts as TIMESTAMP(NANOS) are read as raw longs
     and converted (Spark rejects nanos outright — see sources/catalog.py);
-    micros generations stream with the declared schema directly."""
+    micros generations stream with the declared schema directly.
+
+    The ts encoding is probed ONCE, at stream-definition time, from the
+    first file present. An EMPTY directory can't be probed, and guessing
+    micros would make the running query fail at runtime
+    (PARQUET_TYPE_ILLEGAL) if nanos files later arrive — so by default this
+    raises instead of guessing. Pass ``allow_empty=True`` to accept the
+    micros guess, with the contract that the stream MUST be re-created
+    (this function re-called) after the first files land if they turn out
+    to be nanos-encoded; the encoding probe is identity-cached per file, so
+    the re-call re-probes."""
+    has_files = os.path.isdir(events_dir) and any(
+        p.endswith(".parquet") for p in os.listdir(events_dir)
+    )
+    if not has_files and not allow_empty:
+        raise FileNotFoundError(
+            f"stream_events: no parquet files in {events_dir!r} to probe the "
+            "ts encoding from; pass allow_empty=True to start anyway "
+            "(assumes micros; re-create the stream after first files land)"
+        )
     if parquet_ts_is_nanos(events_dir, "ts"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (

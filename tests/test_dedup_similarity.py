@@ -296,6 +296,42 @@ def test_semdedup_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_semdedup_derived_n_seeds_scales_with_corpus():
+    """n_seeds=None derives the cell count from the corpus: n/1024 with a
+    floor of 16, so Σn_c² stays ≈ n·1024 (linear) instead of n²/16 — the r5
+    'weak default' fixed at the API level."""
+    assert S.derived_n_seeds(1_000) == 16
+    assert S.derived_n_seeds(16_384) == 16
+    assert S.derived_n_seeds(1_048_576) == 1024
+    assert S.derived_n_seeds(104_857_600) == 102_400  # 100M vectors → 100k cells
+
+
+def test_semdedup_cell_cap_bounds_degenerate_cell(spark):
+    """Worst-case quantizer input — EVERY vector identical, so one cell
+    holds the whole corpus. With max_cell_size=8 only the 8 smallest ids
+    enter pairing (≤ 28 pairs, not 50·49/2): ids 1..7 are dropped as dups
+    of id 0, and ids 8..49 — beyond the cap — are all kept (bounded
+    under-dedup, never unbounded work). Uncapped, only id 0 survives."""
+    vec = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    capped = {
+        r["vec_id"]
+        for r in S.semdedup_survivors(
+            df, threshold=0.95, n_seeds=4, max_cell_size=8
+        ).collect()
+    }
+    assert capped == {0} | set(range(8, 50))
+    uncapped = {
+        r["vec_id"]
+        for r in S.semdedup_survivors(
+            df, threshold=0.95, n_seeds=4, max_cell_size=None
+        ).collect()
+    }
+    assert uncapped == {0}
+
+
 def test_ann_ivf_portable_multi_matches_single(spark):
     """Each query's batched result == the single-query portable variant."""
     emb = load_table(spark, SF, "embeddings")

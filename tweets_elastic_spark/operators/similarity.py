@@ -544,10 +544,19 @@ def ann_ivf_portable_multi(
     )
 
 
+def derived_n_seeds(n_rows: int, target_cell: int = 1024, floor: int = 16) -> int:
+    """Quantizer cell count ∝ corpus size: ``max(floor, n // target_cell)``
+    keeps the expected cell population ≈ target_cell as data grows, so the
+    within-cell pairing cost Σn_c² ≈ n·target_cell stays LINEAR in n instead
+    of quadratic at a fixed cell count (the r5 'weak default')."""
+    return max(floor, n_rows // target_cell)
+
+
 def semdedup_survivors(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_seeds: int = 16,
+    n_seeds: int | None = None,
+    max_cell_size: int | None = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -557,12 +566,31 @@ def semdedup_survivors(
     ≥ threshold in its cell (min-id representative survives). Cross-cell
     duplicates are missed by design — that is the approximation that makes
     semantic dedup tractable: within-cell pairing costs Σ(n_c²) ≈ n²/k for
-    balanced cells, and growing n_seeds ∝ corpus keeps per-cell work
-    bounded. One equi-shuffle on the cell id; the portable seed quantizer
-    keeps every step (sampling, assignment, pairing, anti-join)
-    oracle-reproducible."""
+    balanced cells. One equi-shuffle on the cell id; the portable seed
+    quantizer keeps every step (sampling, assignment, pairing, anti-join)
+    oracle-reproducible.
+
+    Two scale guards (both enforced, not advisory):
+
+    * ``n_seeds=None`` (the default) derives the cell count from the corpus:
+      ``max(16, n // 1024)``, so Σn_c² ≈ n·1024 grows linearly with the
+      corpus instead of quadratically at a fixed k. One bounded driver-side
+      ``count()`` — the same justified-scalar pattern as corpus_clean's
+      max_df cap. Pass an explicit ``n_seeds`` to pin the quantizer (the
+      oracle-backed registry query does, to keep the SQL mechanical).
+    * ``max_cell_size`` caps the members any one cell contributes to
+      pairing (rank by id within cell — deterministic and
+      oracle-expressible). A pathological cell — every vector identical,
+      a degenerate quantizer — now costs at most cap² pairs instead of
+      n_c². Vectors beyond the cap are kept as survivors (bounded
+      under-dedup on the tail of a skewed cell, never unbounded work);
+      ``None`` disables the cap."""
+    from pyspark.sql.window import Window
+
     from tweets_elastic_spark.functions.vectors import norm
 
+    if n_seeds is None:
+        n_seeds = derived_n_seeds(embeddings.count())
     centroids = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
     # Precompute each vector's norm ON ITS SIDE of the join: the pair
     # predicate then evaluates ONE array-aggregate (the dot product) per
@@ -584,6 +612,16 @@ def semdedup_survivors(
         portable_cell_col(F.col(vec_col), centroids).alias("_cell"),
         norm(F.col(vec_col)).alias("_nrm"),
     ).localCheckpoint()
+    if max_cell_size is not None:
+        # Rank within cell by id and pair only the first `cap` members: the
+        # window rides the same cell-key shuffle the join needs, so the cap
+        # costs a sort, not an extra exchange.
+        w = Window.partitionBy("_cell").orderBy(F.col(id_col))
+        cells = (
+            cells.withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") <= max_cell_size)
+            .drop("_crk")
+        )
     a = cells.alias("a")
     b = cells.alias("b")
     pair_cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (

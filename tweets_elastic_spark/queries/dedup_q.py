@@ -511,6 +511,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVFP_SEEDS = 16
+# Per-cell pairing cap for semdedup (cap² bounds a degenerate cell's work).
+# 4096 is a no-op at fixture scale (~100 vectors/cell) but pins the guard in
+# both engines so fixture growth can't silently diverge them.
+_SEMDEDUP_CELL_CAP = 4096
 
 _IVFP_CTES = f"""seeds AS (
         SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS sid,
@@ -704,10 +708,17 @@ def q_ann_pq_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_survivors",
-    oracle="WITH " + _IVFP_CTES + """,
+    oracle="WITH " + _IVFP_CTES + f""",
+    capped AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS crk
+            FROM cells
+        ) WHERE crk <= {_SEMDEDUP_CELL_CAP}
+    ),
     dropped AS (
         SELECT DISTINCT b.vec_id
-        FROM cells a JOIN cells b
+        FROM capped a JOIN capped b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
     )
@@ -720,11 +731,16 @@ def q_ann_pq_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "move — cross-cell dups are missed by design), and every vector "
         "with a smaller-id in-cell neighbor at cosine >= 0.4 is dropped. "
         "One equi-shuffle on the cell id; the portable seed quantizer "
-        "makes the whole pipeline oracle-reproducible.",
+        "makes the whole pipeline oracle-reproducible. Scale guards: cell "
+        "count derives from corpus size when unpinned (n/1024), and a "
+        "per-cell rank cap bounds a degenerate cell at cap² pairs — the "
+        "cap is mirrored in the oracle's ranked-cells CTE.",
 )
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semdedup_survivors(emb, threshold=0.4, n_seeds=_IVFP_SEEDS)
+    return S.semdedup_survivors(
+        emb, threshold=0.4, n_seeds=_IVFP_SEEDS, max_cell_size=_SEMDEDUP_CELL_CAP
+    )
 
 
 # ann_lsh_topk is fully deterministic (fixed-seed hyperplanes, exhaustive

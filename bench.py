@@ -120,14 +120,21 @@ def main() -> None:
     # Best-of-2 per query: the box carries exogenous background load, and a
     # single sample can be 2-5× off its steady-state (measured). The min of
     # two runs is the standard noise-robust estimator for compute+shuffle
-    # cost; both runs are full materializations at sf0.1.
+    # cost; both runs are full materializations at sf0.1. The FIRST run is
+    # also recorded separately (queries_first_run / first_run_total_sec) so
+    # round-over-round comparisons against pre-r5 single-sample numbers
+    # stay apples-to-apples and the warm-vs-first gap stays visible.
     times: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                first_run[name] = round(dt, 3)
+            best = min(best, dt)
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
@@ -136,9 +143,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_first_run": first_run,
+        "first_run_total_sec": round(sum(first_run.values()), 3),
         "index_build_sec": index_build_sec,
         "warmup": "per-query sf0.001 pass, then best-of-2 timed sf0.1 runs "
-                  "(steady-state, noise-robust)",
+                  "(steady-state, noise-robust); queries_first_run is the "
+                  "single-sample first sf0.1 run of each query",
         "sf": sf,
     }))
     spark.stop()

@@ -391,3 +391,12 @@ def test_pq_arrow_encoder_matches_expression_encoder(spark):
         for r in emb.select("vec_id", *expr_cols).collect()
     }
     assert arrow == exprs
+
+
+@pytest.mark.parametrize("fn", [S.ann_pq_portable_topk, S.ann_pq_arrow_topk])
+def test_pq_rejects_indivisible_dim(spark, fn):
+    """dim % m != 0 must raise, not silently drop trailing dimensions from
+    encoding and ADC ranking (latent on the 64-dim/m=8 fixtures)."""
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="divisible"):
+        fn(emb, [1.0] * 63, k=5, m=8)

@@ -437,6 +437,12 @@ def ann_pq_arrow_topk(
     batched GEMM UDF instead of per-codeword expressions, ADC + rerank
     unchanged. Identical results (shares the portable oracle)."""
     dim = len(query_vec)
+    if dim % m:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} would "
+            f"silently drop the trailing {dim % m} dimensions from "
+            "encoding and ADC ranking"
+        )
     dsub = dim // m
     seeds = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
     books = np.stack([seeds[:, s * dsub:(s + 1) * dsub] for s in range(m)])
@@ -489,6 +495,12 @@ def ann_pq_portable_topk(
     point); query time is m table lookups per row riding the scan, no
     vector arithmetic until the rerank of ``rerank`` candidates."""
     dim = len(query_vec)
+    if dim % m:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} would "
+            f"silently drop the trailing {dim % m} dimensions from "
+            "encoding and ADC ranking"
+        )
     dsub = dim // m
     seeds = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)

@@ -188,3 +188,87 @@ def test_nested_bool_should_multiplies_inner_score(spark):
     scores = {r["id"]: r["score"] for r in search(df, outer, k=None).collect()}
     # 3 * (5 if f1=a else 0 + 2 if f2=x else 0)
     assert scores == {1: 21.0, 2: 15.0, 3: 6.0}
+
+
+# -- from_es_json: the JSON-DSL front-end -------------------------------------
+
+def test_from_es_json_parses_reference_artifact_verbatim():
+    """The compiler run on the reference's OWN query file
+    (src/used_queries/elastic_queries.json:1-46) with nested paths taken
+    from its OWN mapping (src/config/mapping.json) yields a tree EQUAL to
+    the hand-built reference_query() — the DSL front-end and the Python
+    builder are the same query."""
+    import json
+
+    from tweets_elastic_spark.plans.search import (
+        from_es_json, nested_paths_from_mapping,
+    )
+
+    mapping = json.load(open("/root/reference/src/config/mapping.json"))
+    dsl = json.load(open("/root/reference/src/used_queries/elastic_queries.json"))
+    parsed = from_es_json(dsl, nested_paths=nested_paths_from_mapping(mapping))
+    assert parsed == reference_query()
+
+
+def test_from_es_json_artifact_executes_like_reference_query(spark, docs_df):
+    """Executing the parsed artifact returns exactly the hand-built query's
+    rows (id + score), on the tweet-documents corpus it targets."""
+    import json
+
+    from tweets_elastic_spark.plans.search import (
+        from_es_json, nested_paths_from_mapping,
+    )
+
+    mapping = json.load(open("/root/reference/src/config/mapping.json"))
+    dsl = json.load(open("/root/reference/src/used_queries/elastic_queries.json"))
+    parsed = from_es_json(dsl, nested_paths=nested_paths_from_mapping(mapping))
+    got = [
+        (r["id"], r["score"])
+        for r in search(docs_df, parsed, k=10, tiebreak="id").collect()
+    ]
+    want = [
+        (r["id"], r["score"])
+        for r in search(docs_df, reference_query(), k=10, tiebreak="id").collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_from_es_json_registry_twin_matches_builder(spark):
+    """search_from_json_dsl (compiled artifact) and search_function_score
+    (Python builder) must agree byte-for-byte at sf0.001."""
+    from tweets_elastic_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    a = registry.get("search_from_json_dsl").fn(spark, sf).collect()
+    b = registry.get("search_function_score").fn(spark, sf).collect()
+    assert a == b and len(a) > 0
+
+
+def test_from_es_json_unknown_clause_raises():
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    with pytest.raises(ValueError, match="unsupported query clause"):
+        from_es_json({"query": {"fuzzy_like_this": {"text": "x"}}})
+    with pytest.raises(ValueError, match="unsupported bool keys"):
+        from_es_json({"bool": {"boost_mode": "sum"}})
+
+
+def test_from_es_json_scalar_and_list_clauses_and_msm():
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    q = from_es_json({
+        "bool": {
+            "must": {"term": {"lang": "en"}},      # scalar form
+            "must_not": [{"exists": {"field": "x"}}],
+            "should": [{"match_all": {}}],          # unweighted -> weight 1.0
+            "minimum_should_match": 1,
+        }
+    })
+    assert q == Bool(
+        must=[Term("lang", "en")],
+        must_not=[Exists("x")],
+        should=[(MatchAll(), 1.0)],
+        minimum_should_match=1,
+    )
+    # single-must-only bool unwraps to its clause
+    assert from_es_json({"bool": {"must": {"term": {"lang": "en"}}}}) == Term("lang", "en")

@@ -372,6 +372,164 @@ def search(
     return out.orderBy(*order).limit(k)
 
 
+def nested_paths_from_mapping(mapping: dict) -> set[str]:
+    """Dotted paths of every ``"type": "nested"`` field in an ES index
+    mapping (the reference declares context_annotations, annotations, links
+    and conversation_references nested — src/config/mapping.json). The DSL
+    compiler uses these to auto-scope bare leaf queries on nested fields,
+    exactly as ES resolves them against the mapping at parse time."""
+    out: set[str] = set()
+
+    def walk(props: dict, prefix: str) -> None:
+        for name, spec in props.items():
+            if not isinstance(spec, dict):
+                continue
+            path = f"{prefix}{name}"
+            if spec.get("type") == "nested":
+                out.add(path)
+            sub = spec.get("properties")
+            if isinstance(sub, dict):
+                walk(sub, f"{path}.")
+
+    walk(mapping.get("properties", mapping), "")
+    return out
+
+
+def _scalar_or_list(v) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+def from_es_json(
+    dsl: dict,
+    *,
+    analyzers: dict[str, str] | None = None,
+    tokens_cols: dict[str, str] | None = None,
+    nested_paths: set[str] | frozenset[str] = frozenset(),
+) -> Query:
+    """Compile an Elasticsearch query-DSL JSON object into the Query tree —
+    the front-end that lets the reference's own query artifact
+    (src/used_queries/elastic_queries.json:1-46) run unmodified.
+
+    Supported surface = what the reference exercises plus the tree's other
+    nodes: ``function_score``, ``bool`` (must/filter/should/must_not/
+    minimum_should_match, scalar-or-list clauses, the reference's
+    ``{"query": ..., "weight": w}`` should shape), ``nested``, ``match``,
+    ``term``, ``range``, ``exists``, ``match_all``. Unknown clause types
+    raise (never silently drop a predicate).
+
+    Mapping-driven resolution, as in ES:
+
+    * ``analyzers``/``tokens_cols`` map a FULL field path to its analyzer /
+      materialized token column (query JSON never carries analyzers; the
+      index mapping does).
+    * ``nested_paths`` (see ``nested_paths_from_mapping``) auto-scopes a
+      bare leaf query on ``links.url`` into ``Nested("links",
+      Exists("url"))`` — the artifact's exists filter relies on this.
+    * Inside an explicit ``nested`` clause, the inner query's fields carry
+      the full path (ES convention); the compiler strips the scope prefix
+      so the element resolver sees element-relative paths.
+
+    A single-must-only ``bool`` unwraps to its clause (identity for
+    filtering AND more faithful for scoring: ES propagates the inner score,
+    while a Bool node scores only its should list)."""
+    analyzers = analyzers or {}
+    tokens_cols = tokens_cols or {}
+    nested_paths = set(nested_paths)
+
+    def leaf_field(field: str, scope: str | None) -> str:
+        if scope is not None and field.startswith(scope + "."):
+            return field[len(scope) + 1:]
+        return field
+
+    def auto_nest(field: str, make, scope: str | None) -> Query:
+        """Wrap a leaf on a nested-typed path in its Nested scope (row scope
+        only — inside an explicit nested clause ES forbids deeper implicit
+        scoping)."""
+        if scope is None:
+            for np in sorted(nested_paths, key=len, reverse=True):
+                if field.startswith(np + "."):
+                    return Nested(np, make(field[len(np) + 1:]))
+        return make(leaf_field(field, scope))
+
+    def compile_node(node: dict, scope: str | None) -> Query:
+        if not isinstance(node, dict) or len(node) != 1:
+            raise ValueError(
+                f"expected a single-key query object, got: {node!r}"
+            )
+        (kind, body), = node.items()
+        if kind == "query":  # the artifact's wrapper shape, and the top level
+            return compile_node(body, scope)
+        if kind == "function_score":
+            extra = set(body) - {"query"}
+            if extra:
+                raise ValueError(
+                    f"function_score supports only 'query' here, got {extra}"
+                )
+            return FunctionScore(compile_node(body["query"], scope))
+        if kind == "bool":
+            extra = set(body) - {
+                "must", "filter", "should", "must_not", "minimum_should_match"
+            }
+            if extra:
+                raise ValueError(f"unsupported bool keys: {extra}")
+            must = [compile_node(c, scope) for c in _scalar_or_list(body.get("must", []))]
+            filt = [compile_node(c, scope) for c in _scalar_or_list(body.get("filter", []))]
+            must_not = [
+                compile_node(c, scope) for c in _scalar_or_list(body.get("must_not", []))
+            ]
+            should = []
+            for c in _scalar_or_list(body.get("should", [])):
+                if isinstance(c, dict) and "weight" in c:
+                    inner = c.get("query")
+                    if inner is None or set(c) - {"query", "weight"}:
+                        raise ValueError(f"bad weighted should clause: {c!r}")
+                    should.append((compile_node(inner, scope), float(c["weight"])))
+                else:
+                    should.append((compile_node(c, scope), 1.0))
+            msm = int(body.get("minimum_should_match", 0))
+            if len(must) == 1 and not (filt or should or must_not or msm):
+                return must[0]
+            return Bool(
+                must=must, filter=filt, should=should, must_not=must_not,
+                minimum_should_match=msm,
+            )
+        if kind == "nested":
+            extra = set(body) - {"path", "query"}
+            if extra:
+                raise ValueError(f"unsupported nested keys: {extra}")
+            path = leaf_field(body["path"], scope)
+            return Nested(path, compile_node(body["query"], body["path"]))
+        if kind == "match":
+            (field, spec), = body.items()
+            text = spec["query"] if isinstance(spec, dict) else spec
+            return auto_nest(
+                field,
+                lambda f: Match(
+                    f, text,
+                    analyzer=analyzers.get(field),
+                    tokens_col=tokens_cols.get(field),
+                ),
+                scope,
+            )
+        if kind == "term":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            return auto_nest(field, lambda f: Term(f, value), scope)
+        if kind == "range":
+            (field, bounds), = body.items()
+            extra = set(bounds) - {"gt", "gte", "lt", "lte"}
+            if extra:
+                raise ValueError(f"unsupported range keys: {extra}")
+            return auto_nest(field, lambda f: Range(f, **bounds), scope)
+        if kind == "exists":
+            return auto_nest(body["field"], Exists, scope)
+        if kind == "match_all":
+            return MatchAll()
+        raise ValueError(f"unsupported query clause: {kind!r}")
+
+    return compile_node(dsl, None)
+
+
 def reference_query() -> Query:
     """The reference's showcase query, verbatim
     (src/used_queries/elastic_queries.json:1-46): function_score(bool(

@@ -8,7 +8,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tweets_elastic_spark.functions.analyzers import materialize_tokens
-from tweets_elastic_spark.plans.search import Bool, Match, Range, Term, FunctionScore, search
+from tweets_elastic_spark.plans.search import (
+    Bool,
+    FunctionScore,
+    Match,
+    Range,
+    Term,
+    from_es_json,
+    search,
+)
 from tweets_elastic_spark.registry import register
 from tweets_elastic_spark.sources.catalog import fan_out, load_table
 
@@ -62,6 +70,65 @@ def q_search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             filter=[Range("n_chars", gt=300), Term("lang", "en")],
         )
     )
+    return search(docs, query, k=25, tiebreak="doc_id").select(
+        "doc_id", "lang", "n_chars", "score"
+    )
+
+
+# The search_function_score query AS A JSON ARTIFACT — the wire format the
+# reference ships its query in (src/used_queries/elastic_queries.json uses
+# the same function_score/bool/weighted-should/filter shape). Executed
+# through the from_es_json compiler instead of the Python builder; the
+# analyzer binding comes from the (mapping-style) analyzers dict, never
+# from the query JSON — exactly ES's split.
+_DSL_ARTIFACT = {
+    "query": {
+        "function_score": {
+            "query": {
+                "bool": {
+                    "should": [
+                        {
+                            "query": {"match": {"text": {"query": "spark merge"}}},
+                            "weight": 5,
+                        },
+                        {"query": {"term": {"source": "src1"}}, "weight": 2},
+                    ],
+                    "filter": [
+                        {"range": {"n_chars": {"gt": 300}}},
+                        {"term": {"lang": "en"}},
+                    ],
+                }
+            }
+        }
+    }
+}
+
+
+@register(
+    "search_from_json_dsl",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id, lang, n_chars,
+           CAST(
+             CASE WHEN list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+                  THEN 5.0 ELSE 0.0 END
+           + CASE WHEN source = 'src1' THEN 2.0 ELSE 0.0 END
+           AS DOUBLE) AS score
+    FROM toks
+    WHERE n_chars > 300 AND lang = 'en'
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+    doc="The ES-DSL JSON front-end: the search_function_score query parsed "
+        "from its JSON artifact by from_es_json (the compiler that runs "
+        "the reference's own elastic_queries.json verbatim — tree equality "
+        "with the hand-built reference_query() is pytest-pinned) and "
+        "executed through the same filter → score → top-k plan. Same "
+        "oracle as the builder form: the two entries must agree row-for-"
+        "row or the compiler drifted.",
+)
+def q_search_from_json_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(_DSL_ARTIFACT, analyzers={"text": "custom_shingles"})
     return search(docs, query, k=25, tiebreak="doc_id").select(
         "doc_id", "lang", "n_chars", "score"
     )

@@ -67,9 +67,11 @@ DRIVER_PRIORITY: list[str] = [
     "range_filter_conj",
     # (match_all_count deprioritized: every prefix entry's row-count
     # comparison already exercises COUNT correctness)
-    # search / scoring
-    "search_function_score", "search_bm25", "search_exists_filter",
-    "search_bm25_indexed", "search_bm25_function_score",
+    # search / scoring (search_bm25_function_score — the composition of two
+    # already-verified families — yields its slot to the JSON-DSL compiler
+    # entry and stays parity-pytest-verified post-prefix)
+    "search_function_score", "search_from_json_dsl", "search_bm25",
+    "search_exists_filter", "search_bm25_indexed",
     # analyzers
     "analyze_shingles", "analyze_ngram",
     # windows + time series

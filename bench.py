@@ -46,6 +46,8 @@ HEADLINE = [
     "session_window",
     # search + text
     "search_function_score",
+    "search_from_json_dsl",
+    "search_dsl_extended",
     "search_materialized_tokens",
     "search_bm25",
     "search_bm25_indexed",

@@ -272,3 +272,67 @@ def test_from_es_json_scalar_and_list_clauses_and_msm():
     )
     # single-must-only bool unwraps to its clause
     assert from_es_json({"bool": {"must": {"term": {"lang": "en"}}}}) == Term("lang", "en")
+
+
+# -- extended DSL nodes: terms / prefix / wildcard / match_phrase -------------
+
+def test_match_phrase_requires_adjacency(spark):
+    """Phrase matches need CONSECUTIVE tokens in order — token presence or
+    reversed order must not match."""
+    from tweets_elastic_spark.plans.search import MatchPhrase
+
+    df = spark.createDataFrame(
+        [
+            (1, "big data processing wins"),       # phrase present
+            (2, "data is key to processing"),      # both tokens, not adjacent
+            (3, "processing data backwards"),      # adjacent, wrong order
+            (4, "Data Processing"),                # case-folds to a match
+            (5, "nothing here"),
+        ],
+        "id long, text string",
+    )
+    q = MatchPhrase("text", "data processing", analyzer="standard")
+    got = {r["id"] for r in search(df, q, k=None).collect()}
+    assert got == {1, 4}
+
+
+def test_wildcard_and_prefix_translation(spark):
+    from tweets_elastic_spark.plans.search import Prefix, Wildcard
+
+    df = spark.createDataFrame(
+        [(1, "src1"), (2, "src12"), (3, "source"), (4, "s%c1"), (5, "xsrc1")],
+        "id long, source string",
+    )
+    assert {r["id"] for r in search(df, Wildcard("source", "src?"), k=None).collect()} == {1}
+    assert {r["id"] for r in search(df, Wildcard("source", "s*1"), k=None).collect()} == {1, 4}
+    assert {r["id"] for r in search(df, Wildcard("source", "s%c1"), k=None).collect()} == {4}
+    assert {r["id"] for r in search(df, Prefix("source", "src"), k=None).collect()} == {1, 2}
+    assert {r["id"] for r in search(df, Prefix("source", "s%"), k=None).collect()} == {4}
+
+
+def test_terms_membership(spark):
+    from tweets_elastic_spark.plans.search import Terms
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "fr")], "id long, lang string"
+    )
+    got = {r["id"] for r in search(df, Terms("lang", ["en", "de"]), k=None).collect()}
+    assert got == {1, 2}
+
+
+def test_from_es_json_extended_clauses():
+    from tweets_elastic_spark.plans.search import (
+        MatchPhrase, Prefix, Terms, Wildcard, from_es_json,
+    )
+
+    assert from_es_json({"terms": {"lang": ["en", "de"]}}) == Terms("lang", ["en", "de"])
+    assert from_es_json({"prefix": {"source": "src"}}) == Prefix("source", "src")
+    assert from_es_json({"prefix": {"source": {"value": "src"}}}) == Prefix("source", "src")
+    assert from_es_json({"wildcard": {"source": "src?"}}) == Wildcard("source", "src?")
+    assert from_es_json(
+        {"match_phrase": {"text": {"query": "a b"}}}, analyzers={"text": "standard"}
+    ) == MatchPhrase("text", "a b", analyzer="standard")
+    with pytest.raises(ValueError, match="analyzer binding"):
+        from_es_json({"match_phrase": {"text": "a b"}})
+    with pytest.raises(ValueError, match="terms expects a list"):
+        from_es_json({"terms": {"lang": "en"}})

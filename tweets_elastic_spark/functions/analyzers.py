@@ -234,6 +234,15 @@ def analyzer_custom_shingles(c: Column) -> Column:
     return shingles(asciifold(toks))
 
 
+def analyzer_standard(c: Column) -> Column:
+    """ES's BUILT-IN ``standard`` analyzer (standard tokenizer + lowercase,
+    no char filters) — the default every text field gets when the mapping
+    names no custom analyzer. Added for the query-DSL front-end's
+    match_phrase support: phrase positions are defined over plain word
+    tokens, not shingled/ngrammed streams."""
+    return lowercase(standard_tokenize(c))
+
+
 def analyzer_keyword_lowercase(c: Column) -> Column:
     """keyword → lowercase (settings.json:40-44): hashtags match
     case-insensitively as a single unit (docs/protokol.md:304)."""
@@ -245,6 +254,7 @@ ANALYZERS = {
     "custom_ngram": analyzer_custom_ngram,
     "custom_shingles": analyzer_custom_shingles,
     "keyword_lowercase": analyzer_keyword_lowercase,
+    "standard": analyzer_standard,
 }
 
 

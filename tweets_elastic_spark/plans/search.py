@@ -131,6 +131,84 @@ class Match(Query):
 
 
 @dataclass
+class Terms(Query):
+    """ES ``terms``: keyword membership in a literal list (the multi-value
+    Term). Compiles to ``isin`` — an IN-list the scan can push down."""
+
+    field: str
+    values: list
+
+    def predicate(self, spark, resolve) -> Column:
+        return resolve(self.field).isin(list(self.values))
+
+
+def _like_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+
+@dataclass
+class Prefix(Query):
+    """ES ``prefix``: keyword starts-with. Compiles to ``LIKE 'p%'`` (the
+    form range-index pruning understands on both engines)."""
+
+    field: str
+    value: str
+
+    def predicate(self, spark, resolve) -> Column:
+        return resolve(self.field).like(_like_escape(self.value) + "%")
+
+
+@dataclass
+class Wildcard(Query):
+    """ES ``wildcard``: ``*`` = any run, ``?`` = any one char, translated to
+    SQL LIKE (``%``/``_``) with the target's own LIKE specials escaped —
+    identical semantics in Spark and DuckDB, so fully oracle-able."""
+
+    field: str
+    pattern: str
+
+    def predicate(self, spark, resolve) -> Column:
+        like = _like_escape(self.pattern).replace("*", "%").replace("?", "_")
+        return resolve(self.field).like(like)
+
+
+@dataclass
+class MatchPhrase(Query):
+    """ES ``match_phrase``: the query's analyzed tokens must appear
+    CONSECUTIVELY in the field's token sequence. Without positional
+    postings (Lucene's phrase machinery), the exact equivalent over a token
+    array is substring containment in the NUL-joined token stream:
+
+        instr(0x00 || join(tokens, 0x00) || 0x00,
+              0x00 || join(phrase, 0x00) || 0x00) > 0
+
+    — one codegen'd string op per row, no HOF loop, and DuckDB mirrors it
+    verbatim (array_to_string + position), so the node is oracle-able.
+    Analyzer tokens never contain NUL (the tokenizers split on it)."""
+
+    field: str
+    text: str
+    analyzer: str
+    tokens_col: str | None = None
+
+    def predicate(self, spark, resolve) -> Column:
+        phrase = analyze_text(spark, self.text, self.analyzer)
+        if not phrase:
+            return F.lit(False)
+        toks = (
+            resolve(self.tokens_col)
+            if self.tokens_col is not None
+            else analyze(resolve(self.field), self.analyzer)
+        )
+        nul = "\x00"
+        hay = F.concat(
+            F.lit(nul), F.array_join(toks, nul), F.lit(nul)
+        )
+        needle = nul + nul.join(phrase) + nul
+        return F.instr(hay, needle) > 0
+
+
+@dataclass
 class Bm25Stats:
     """Corpus statistics BM25 needs: doc count, mean doc length (in tokens),
     and document frequency per query token. Computed in ONE aggregation job
@@ -515,6 +593,39 @@ def from_es_json(
             (field, spec), = body.items()
             value = spec["value"] if isinstance(spec, dict) else spec
             return auto_nest(field, lambda f: Term(f, value), scope)
+        if kind == "terms":
+            (field, values), = body.items()
+            if not isinstance(values, list):
+                raise ValueError(f"terms expects a list, got: {values!r}")
+            return auto_nest(field, lambda f: Terms(f, values), scope)
+        if kind == "prefix":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            return auto_nest(field, lambda f: Prefix(f, value), scope)
+        if kind == "wildcard":
+            (field, spec), = body.items()
+            pattern = (
+                spec["value"] if isinstance(spec, dict) else spec
+            )
+            return auto_nest(field, lambda f: Wildcard(f, pattern), scope)
+        if kind == "match_phrase":
+            (field, spec), = body.items()
+            text = spec["query"] if isinstance(spec, dict) else spec
+            analyzer = analyzers.get(field)
+            if analyzer is None:
+                raise ValueError(
+                    f"match_phrase on {field!r} needs an analyzer binding "
+                    "(pass analyzers={...}: phrase semantics are defined "
+                    "over analyzed token sequences)"
+                )
+            return auto_nest(
+                field,
+                lambda f: MatchPhrase(
+                    f, text, analyzer=analyzer,
+                    tokens_col=tokens_cols.get(field),
+                ),
+                scope,
+            )
         if kind == "range":
             (field, bounds), = body.items()
             extra = set(bounds) - {"gt", "gte", "lt", "lte"}

@@ -255,3 +255,68 @@ def q_search_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     query = Bool(filter=[Exists("text"), Range("n_chars", gte=100, lte=400)])
     return search(docs, query, k=None).select("doc_id", "source")
+
+
+@register(
+    "search_dsl_extended",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(
+             CASE WHEN position(
+                    chr(1) || 'spark' || chr(1) || 'merge' || chr(1)
+                    IN chr(1) || array_to_string(t, chr(1)) || chr(1)) > 0
+                  THEN 3.0 ELSE 0.0 END
+           + CASE WHEN source LIKE 'src_' THEN 1.0 ELSE 0.0 END
+           AS DOUBLE) AS score
+    FROM toks
+    WHERE source LIKE 'src%' AND lang IN ('en', 'de')
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 30
+    """,
+    doc="The DSL surface beyond the reference artifact, in one compiled "
+        "JSON query: match_phrase (consecutive-token containment via the "
+        "sentinel-joined token stream — one codegen'd string op, no "
+        "positional postings needed), wildcard (?/* → LIKE), prefix, and "
+        "terms (IN-list), over the standard analyzer. ~32/500 fixture docs "
+        "contain the phrase vs 313 containing both tokens somewhere — the "
+        "oracle verifies real phrase semantics, not token overlap.",
+)
+def q_search_dsl_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {
+        "query": {
+            "function_score": {
+                "query": {
+                    "bool": {
+                        "should": [
+                            {
+                                "query": {
+                                    "match_phrase": {
+                                        "text": {"query": "spark merge"}
+                                    }
+                                },
+                                "weight": 3,
+                            },
+                            {"query": {"wildcard": {"source": "src?"}}, "weight": 1},
+                        ],
+                        "filter": [
+                            {"prefix": {"source": "src"}},
+                            {"terms": {"lang": ["en", "de"]}},
+                        ],
+                    }
+                }
+            }
+        }
+    }
+    query = from_es_json(dsl, analyzers={"text": "standard"})
+    return search(docs, query, k=30, tiebreak="doc_id").select(
+        "doc_id", "lang", "source", "score"
+    )

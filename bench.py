@@ -77,6 +77,7 @@ HEADLINE = [
     "ann_ivf_portable_multi",
     "ann_pq_portable_topk",
     "ann_pq_arrow_topk",
+    "ann_ivfpq_topk",
     "vocab_top_tokens",
     "semdedup_survivors",
     "decontaminate_fuzzy_survivors",

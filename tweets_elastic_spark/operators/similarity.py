@@ -556,6 +556,67 @@ def ann_ivf_portable_multi(
     )
 
 
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    n_seeds: int = 16,
+    nprobe: int = 6,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composition production ANN systems actually deploy
+    (FAISS's IVFPQ index; Jégou et al. 2011 §V): coarse cells prune the
+    corpus to ≈ nprobe/n_seeds of its rows, PQ asymmetric distance ranks
+    ONLY the survivors from their m-byte codes, and the exact-cosine
+    rerank touches just ``rerank`` full vectors.
+
+    Both pruning structures are ingest-materializable columns (cell id +
+    code array — exactly what indexing.build_index stores for IVF), so at
+    100 TB a query reads nprobe/n_seeds of the rows × m bytes each, plus
+    ``rerank`` full vectors: the only entry point where BOTH the row count
+    AND the bytes-per-row shrink. Same portable seed quantizer for cells
+    and codebooks (cells from whole seed vectors, codebook s = the s-th
+    subspace slice of the same seeds), so the full pipeline carries a
+    DuckDB oracle like its two parents."""
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} would "
+            f"silently drop the trailing {dim % m} dimensions from "
+            "encoding and ADC ranking"
+        )
+    dsub = dim // m
+    seeds = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
+    probes = ivf_probe_cells(seeds, query_vec, nprobe)
+    books = np.stack([seeds[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    q = np.asarray(query_vec, dtype=np.float64)
+    survivors = embeddings.withColumn(
+        "_cell", portable_cell_col(F.col(vec_col), seeds)
+    ).filter(F.col("_cell").isin(probes))
+    enc = survivors.select(
+        F.col(id_col), F.col(vec_col),
+        pq_codes_batched(F.col(vec_col), books).alias("_codes"),
+    )
+    dist = None
+    for s in range(m):
+        qs = q[s * dsub:(s + 1) * dsub]
+        qdtab = (books[s] * books[s]).sum(axis=1) - 2.0 * (books[s] @ qs)
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in qdtab]),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    cand = (
+        enc.select(F.col(id_col), F.col(vec_col), dist.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def derived_n_seeds(n_rows: int, target_cell: int = 1024, floor: int = 16) -> int:
     """Quantizer cell count ∝ corpus size: ``max(floor, n // target_cell)``
     keeps the expected cell population ≈ target_cell as data grows, so the

@@ -706,6 +706,78 @@ def q_ann_pq_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-PQ oracle: the portable-IVF cell/probe CTEs feeding the PQ
+# code/ADC/rerank CTEs — encoding restricted to vectors in probed cells.
+_IVFPQ_ORACLE = "WITH " + _IVFP_CTES + f""",
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+        SELECT s.sid FROM seeds s, q
+        ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(q.qv, s.sv),
+                 s.sid
+        LIMIT 6
+    ),
+    surv AS (
+        SELECT c.vec_id, c.v FROM cells c JOIN probes p ON c.cell = p.sid
+    ),
+    sub AS (FROM range({_PQ_M}) t(s)),
+    pairs AS (
+        SELECT e.vec_id, sub.s, sd.sid,
+               list_dot_product(
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}),
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}))
+             - 2 * list_dot_product(
+                   list_slice(e.v, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}),
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB})) AS d
+        FROM surv e CROSS JOIN sub CROSS JOIN seeds sd
+    ),
+    codes AS (
+        SELECT vec_id, s, sid AS code FROM (
+            SELECT vec_id, s, sid,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d, sid) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT sub.s, sd.sid,
+               list_dot_product(
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}),
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}))
+             - 2 * list_dot_product(
+                   list_slice(q.qv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB}),
+                   list_slice(sd.sv, sub.s*{_PQ_DSUB}+1, sub.s*{_PQ_DSUB}+{_PQ_DSUB})) AS qdist
+        FROM sub CROSS JOIN seeds sd CROSS JOIN q
+    ),
+    adc AS (
+        SELECT c.vec_id, sum(qd.qdist ORDER BY c.s) AS dist
+        FROM codes c JOIN qd ON c.s = qd.s AND c.code = qd.sid
+        GROUP BY c.vec_id
+    ),
+    cand AS (SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 50)
+    SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc="IVF-PQ (FAISS's production index; Jégou et al. 2011 §V): coarse "
+        "cells prune to ~nprobe/n_seeds of the rows, PQ ADC ranks only the "
+        "survivors from m-byte codes, exact rerank touches 50 vectors. The "
+        "one ANN entry where BOTH the row count AND bytes-per-row shrink — "
+        "the 100 TB shape. Cells and codebooks come from the same portable "
+        "seed sample, so the composed pipeline keeps a full oracle.",
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return S.ann_ivfpq_topk(
+        emb, qvec, k=10, rerank=50, n_seeds=_IVFP_SEEDS, nprobe=6, m=_PQ_M
+    )
+
+
 @register(
     "semdedup_survivors",
     oracle="WITH " + _IVFP_CTES + f""",

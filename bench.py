@@ -82,6 +82,7 @@ HEADLINE = [
     "semdedup_survivors",
     "decontaminate_fuzzy_survivors",
     "model_quality_filter",
+    "lm_perplexity_filter",
     "multimodal_decode",
 ]
 

@@ -249,3 +249,54 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(docs, "doc_id", _SPLIT_FRACTIONS).select(
         "doc_id", "split"
     )
+
+
+@register(
+    "lm_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    bw AS (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t), 1)),
+                                         i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+            FROM toks
+        )
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bw GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bw GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS v
+          FROM (SELECT unnest(t) AS u FROM toks)),
+    scored AS (
+        SELECT b.doc_id,
+               -ln((coalesce(c12.c12, 0) + 1.0)
+                   / (coalesce(c1.c1, 0) + 1.0 * v.v)) AS nll
+        FROM bw b LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        CROSS JOIN v
+    )
+    SELECT doc_id, round(avg(nll), 6) AS bigram_ce,
+           avg(nll) < 3.45 AS keep
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-style LM perplexity gate (Wenzek et al. 2020) as one "
+        "declarative plan: a Laplace-smoothed bigram model trained IN-PLAN "
+        "on the corpus, each doc scored by mean -ln P(w2|w1), keep = "
+        "cross-entropy below threshold (the out-of-distribution tail sits "
+        "high). Count tables are vocabulary-sized and broadcast to the "
+        "scoring joins — the doc stream is never shuffled except the "
+        "per-doc mean. Full-oracle twin of KenLM filtering with no opaque "
+        "model artifact (operators/lm.py).",
+)
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.lm import bigram_ce_filter
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return bigram_ce_filter(docs, threshold=3.45)

@@ -83,6 +83,7 @@ HEADLINE = [
     "decontaminate_fuzzy_survivors",
     "model_quality_filter",
     "lm_perplexity_filter",
+    "line_dedup",
     "multimodal_decode",
 ]
 

@@ -178,3 +178,71 @@ def test_decontaminate_fuzzy_drops_paraphrase_overlap(spark):
         for r in decontaminate_fuzzy(corpus, bench, k=3, threshold=0.5).collect()
     }
     assert kept == {101}
+
+
+# -- line-level dedup (RefinedWeb boilerplate removal) ------------------------
+
+def test_line_dedup_strips_cross_doc_boilerplate_preserving_order(spark):
+    from tweets_elastic_spark.operators.curation import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique first body\nfooter text"),
+            (2, "cookie  banner\nanother unique body\nFooter   Text"),
+            (3, "totally original document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df, max_df=1).collect()}
+    # banner + footer occur in 2 docs under normalization -> every copy goes
+    assert got[1]["text_kept"] == "unique first body"
+    assert got[2]["text_kept"] == "another unique body"
+    assert got[3]["text_kept"] == "totally original document"
+    assert got[1]["n_dropped"] == 2 and got[3]["n_dropped"] == 0
+
+
+def test_line_dedup_within_doc_repeats_survive(spark):
+    """A line repeated only WITHIN one doc is not boilerplate (df counts
+    distinct docs): both copies stay, in order."""
+    from tweets_elastic_spark.operators.curation import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "chorus line\nverse\nchorus line"), (2, "something else")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df, max_df=1).collect()}
+    assert got[1]["text_kept"] == "chorus line\nverse\nchorus line"
+    assert got[1]["n_dropped"] == 0
+
+
+def test_line_dedup_empty_lines_kept_and_all_dropped_doc(spark):
+    """Empty lines are structure, never boilerplate; a doc made entirely of
+    hot lines comes back with text_kept='' and a full drop count."""
+    from tweets_elastic_spark.operators.curation import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "hot line\n\nbody one"),
+            (2, "hot line\n\nbody two"),
+            (3, "hot line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df, max_df=1).collect()}
+    assert got[1]["text_kept"] == "\nbody one"
+    assert got[2]["text_kept"] == "\nbody two"
+    assert got[3]["text_kept"] == "" and got[3]["n_dropped"] == 1 and got[3]["n_kept"] == 0
+
+
+def test_line_dedup_max_df_threshold(spark):
+    """max_df=2 tolerates a line in two docs; three docs crosses it."""
+    from tweets_elastic_spark.operators.curation import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb"), (3, "shared\nc")],
+        "doc_id long, text string",
+    )
+    kept2 = {r["doc_id"]: r["text_kept"] for r in line_dedup(df, max_df=2).collect()}
+    assert kept2 == {1: "a", 2: "b", 3: "c"}
+    kept3 = {r["doc_id"]: r["text_kept"] for r in line_dedup(df, max_df=3).collect()}
+    assert kept3 == {1: "shared\na", 2: "shared\nb", 3: "shared\nc"}

@@ -229,3 +229,69 @@ def domain_mix_sample(
     for dom, wgt in sorted(weights.items()):
         rate = F.when(F.col(domain_col) == dom, F.lit(float(wgt))).otherwise(rate)
     return df.filter(frac < rate)
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (RefinedWeb / Falcon boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style line-wise deduplication (Penedo et al. 2023,
+    arXiv:2306.01116 §3.3): split each document into lines, drop EVERY copy
+    of any non-empty line that occurs in more than ``max_df`` distinct
+    documents (navigation chrome, cookie banners, repeated headers — the
+    within-page boilerplate document-level dedup can't see), and rebuild
+    each document from its surviving lines in original order. Lines match
+    under exact-dedup normalization (lowercase, whitespace collapsed) —
+    byte-different renderings of the same boilerplate still count.
+
+    Returns (id, text_kept, n_kept, n_dropped) for every input document
+    (text_kept = '' when nothing survives — the caller's min-length gate
+    owns the removal decision).
+
+    Scale shape: lines shuffle ONCE on their md5 (fixed-width key) for the
+    document-frequency count; the count table is boilerplate-sized (only
+    lines with df > max_df matter) and BROADCASTs back as an anti-join
+    predicate; reconstruction groups on the id the explode preserved. No
+    sort is global: line order rides the posexplode index through an
+    in-group array_sort."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "_lnorm",
+        F.lower(F.trim(F.regexp_replace(F.col("line"), r"\s+", " "))),
+    ).withColumn("_lkey", F.md5(F.col("_lnorm")))
+    hot = (
+        lines.filter(F.col("_lnorm") != "")
+        .groupBy("_lkey")
+        .agg(F.countDistinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("_lkey")
+    )
+    kept = lines.join(F.broadcast(hot), "_lkey", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_kept"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )

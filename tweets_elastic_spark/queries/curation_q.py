@@ -369,3 +369,86 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.domain_mix_sample(
         docs, _MIX_WEIGHTS, domain_col="source", default_weight=0.1, seed=0
     ).select("doc_id", "source")
+
+
+@register(
+    "line_dedup",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'Subscribe  to our newsletter' || chr(10) || text
+                         || chr(10) || 'all rights reserved'
+                    ELSE 'subscribe to our newsletter' || chr(10) || text
+               END AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, p['pos'] AS pos, p['line'] AS line
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(l) + 1),
+                                         i -> {'pos': i - 1, 'line': l[i]})) AS p
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)
+        )
+    ),
+    norm AS (
+        SELECT doc_id, pos, line,
+               lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) AS lnorm
+        FROM lines
+    ),
+    hot AS (
+        SELECT md5(lnorm) AS k
+        FROM norm WHERE lnorm <> ''
+        GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+        SELECT n.doc_id, n.pos, n.line FROM norm n
+        WHERE md5(n.lnorm) NOT IN (SELECT k FROM hot)
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_kept,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+            FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.text_kept, '') AS text_kept,
+           coalesce(r.n_kept, 0) AS n_kept,
+           t.n_total - coalesce(r.n_kept, 0) AS n_dropped
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="RefinedWeb-style line-wise dedup (arXiv:2306.01116 §3.3): every "
+        "copy of a line occurring in >1 distinct docs is dropped and docs "
+        "are rebuilt from surviving lines in order — the boilerplate "
+        "remover document-level dedup can't see. One fixed-width md5 "
+        "shuffle for the line-df count; the hot set broadcasts back as an "
+        "anti-join. The corpus has no native line structure, so the query "
+        "plants page chrome in-plan (header on every doc, case/whitespace-"
+        "varied on a third to exercise normalization, footer on that "
+        "third): the operator must strip exactly the chrome and return "
+        "every doc's unique body untouched. Order preservation, within-doc "
+        "repeats and empty-line structure are pinned in "
+        "tests/test_curation.py.",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Plant page chrome in-plan (the decontaminate-fixture pattern): a
+    # header on every doc — case/whitespace-varied on every third doc to
+    # exercise the normalization — plus a footer on that same third.
+    # line_dedup must strip exactly the chrome and return each doc's own
+    # (unique) body untouched.
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("Subscribe  to our newsletter\n"),
+                F.col("text"),
+                F.lit("\nall rights reserved"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("subscribe to our newsletter\n"), F.col("text")))
+        .alias("text"),
+    )
+    return C.line_dedup(aug, max_df=1)

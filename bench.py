@@ -71,6 +71,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_lsh_topk_indexed",
     "ann_ivf_topk_indexed",
+    "ann_pq_topk_indexed",
     "ann_lsh_multi_indexed",
     "ann_ivf_multi_indexed",
     "ann_ivf_portable_topk",

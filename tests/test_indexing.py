@@ -404,3 +404,47 @@ def test_segmented_increment_equals_monolithic_index(spark, tmp_path):
     b = {r["vec_id"]: tuple(r[c] for c in indexing.SIG_COLS)
          for r in e_seg.select("vec_id", *indexing.SIG_COLS).collect()}
     assert a == b
+
+
+def test_stored_pq_codes_round_trip_encoder(spark):
+    """The pq_codes column written at ingest equals a fresh Arrow-GEMM
+    encoding of the raw vectors under the sidecar codebooks — the stored
+    index faithfully round-trips the encoder (and an increment segment
+    carries codes too, via the same assertion over ALL segments)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.indexing import (
+        ensure_index, pq_books_from_seeds, read_index_meta,
+        read_indexed_embeddings,
+    )
+    from tweets_elastic_spark.operators.similarity import pq_codes_batched
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    idx = ensure_index(spark, sf)
+    meta = read_index_meta(idx)
+    books = pq_books_from_seeds(
+        np.asarray(meta["pq_seeds"], dtype=np.float64), int(meta["pq"]["m"])
+    )
+    stored = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in read_indexed_embeddings(spark, idx).select("vec_id", "pq_codes").collect()
+    }
+    fresh = {
+        r["vec_id"]: list(r["c"])
+        for r in load_table(spark, sf, "embeddings")
+        .select("vec_id", pq_codes_batched(F.col("embedding"), books).alias("c"))
+        .collect()
+    }
+    assert stored == fresh and len(stored) > 0
+
+
+def test_indexed_pq_query_plan_has_no_python(spark):
+    """The query-time plan over stored codes must contain no Python UDF
+    stage — encoding happened at ingest."""
+    from tweets_elastic_spark import registry
+
+    df = registry.get("ann_pq_topk_indexed").fn(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -41,13 +41,15 @@ from tweets_elastic_spark.functions.analyzers import materialize_tokens
 from tweets_elastic_spark.operators.similarity import (
     ivf_cell_col,
     lsh_tables,
+    portable_seed_centroids,
+    pq_codes_batched,
     rh_signature_col,
     train_quantizer,
 )
 from tweets_elastic_spark.sources.catalog import fan_out, load_table
 
 # Bump to invalidate previously-built fixture indexes on disk.
-INDEX_FORMAT_VERSION = 4
+INDEX_FORMAT_VERSION = 5
 
 # One parameter set shared by the ingest job, every *_indexed query, and
 # the DuckDB oracles (which inline the same fixed-seed hyperplanes).
@@ -58,6 +60,12 @@ LSH_SEED = 7
 SIG_COLS = tuple(f"sig{t}" for t in range(LSH_N_TABLES))
 IVF_N_CELLS = 16
 IVF_TRAIN_LIMIT = 4096
+# PQ index parameters: m subspaces, codebooks = subspace slices of the
+# portable (md5-ordered) seed sample — the same quantizer family the
+# portable-IVF/PQ queries use, so every stored code is SQL-reproducible
+# and the indexed PQ query keeps a full DuckDB oracle.
+PQ_M = 8
+PQ_N_SEEDS = 16
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_INDEX_ROOT = os.path.join(_REPO_ROOT, ".index_cache")
@@ -76,14 +84,34 @@ def enrich_embeddings(
     n_tables: int = LSH_N_TABLES,
     seed: int = LSH_SEED,
     vec_col: str = "embedding",
+    pq_books: np.ndarray | None = None,
 ) -> DataFrame:
-    """Adds sig0..sig{L-1} (per-table LSH signatures) and ivf_cell — all in
-    the same projection, one pass over the vectors."""
+    """Adds sig0..sig{L-1} (per-table LSH signatures), ivf_cell, and — when
+    codebooks are supplied — the m-byte ``pq_codes`` array, all in the same
+    projection, one pass over the vectors. PQ encoding runs the Arrow-GEMM
+    UDF HERE, at ingest — the one place the Python cost belongs; every
+    query afterwards reads the stored codes."""
     dim = len(np.asarray(centroids)[0])
     out = emb
     for t, planes in enumerate(lsh_tables(dim, n_bits, n_tables, seed)):
         out = out.withColumn(f"sig{t}", rh_signature_col(F.col(vec_col), planes))
-    return out.withColumn("ivf_cell", ivf_cell_col(F.col(vec_col), centroids))
+    out = out.withColumn("ivf_cell", ivf_cell_col(F.col(vec_col), centroids))
+    if pq_books is not None:
+        out = out.withColumn(
+            "pq_codes", pq_codes_batched(F.col(vec_col), pq_books)
+        )
+    return out
+
+
+def pq_books_from_seeds(seeds: np.ndarray, m: int = PQ_M) -> np.ndarray:
+    """Codebook s = the s-th of m subspace slices of the seed sample —
+    identical derivation in ann_pq_*_topk and the DuckDB oracles."""
+    seeds = np.asarray(seeds, dtype=np.float64)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ requires dim divisible by m: dim={dim}, m={m}")
+    dsub = dim // m
+    return np.stack([seeds[:, s * dsub:(s + 1) * dsub] for s in range(m)])
 
 
 def build_index(
@@ -113,9 +141,11 @@ def build_index(
     centroids = train_quantizer(
         emb, IVF_N_CELLS, LSH_SEED, train_limit=ivf_train_limit
     )
+    pq_seeds = portable_seed_centroids(emb, PQ_N_SEEDS)
+    pq_books = pq_books_from_seeds(pq_seeds, PQ_M)
     max_doc_id = _write_doc_segment(spark, out_dir, docs, "base", id_col="doc_id")
     max_vec_id = _write_emb_segment(
-        spark, out_dir, emb, centroids, "base", id_col="vec_id"
+        spark, out_dir, emb, centroids, "base", id_col="vec_id", pq_books=pq_books
     )
     meta = {
         "version": INDEX_FORMAT_VERSION,
@@ -124,6 +154,8 @@ def build_index(
         "lsh": {"n_bits": LSH_N_BITS, "n_tables": LSH_N_TABLES, "seed": LSH_SEED},
         "ivf": {"n_cells": IVF_N_CELLS, "train_limit": ivf_train_limit},
         "centroids": [[float(x) for x in c] for c in centroids],
+        "pq": {"m": PQ_M, "n_seeds": PQ_N_SEEDS},
+        "pq_seeds": [[float(x) for x in s] for s in pq_seeds],
         # Watermark seeds: what the base segment already covers. Riding the
         # segment writes via observe(), they let index_increment against a
         # FRESH store start from the right place instead of re-indexing the
@@ -212,13 +244,14 @@ def _write_emb_segment(
     centroids: np.ndarray,
     segment: str,
     id_col: str | None = None,
+    pq_books: np.ndarray | None = None,
 ) -> int | None:
     """Write one EMBEDDING index segment: stored LSH signatures + IVF cell
-    assignments against the fixed base-build structure."""
+    assignments + PQ codes against the fixed base-build structure."""
     from pyspark.sql import Observation
 
     seg = f"segment={segment}"
-    enriched = enrich_embeddings(fan_out(emb), centroids)
+    enriched = enrich_embeddings(fan_out(emb), centroids, pq_books=pq_books)
     obs = None
     if id_col:
         obs = Observation()
@@ -273,6 +306,15 @@ def index_increment(
 
     meta = read_index_meta(index_dir)
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    # PQ codebooks stay fixed from the base build, like the quantizer.
+    pq_books = (
+        pq_books_from_seeds(
+            np.asarray(meta["pq_seeds"], dtype=np.float64),
+            int(meta.get("pq", {}).get("m", PQ_M)),
+        )
+        if meta.get("pq_seeds")
+        else None
+    )
     n_docs = 0
 
     # A fresh store (no watermark yet) starts from what the base build
@@ -300,7 +342,9 @@ def index_increment(
     if not emb.isEmpty():
         obs_e = Observation()
         emb = emb.observe(obs_e, F.max("vec_id").alias("mx"))
-        _write_emb_segment(spark, index_dir, emb, centroids, f"wm_{vec_wm}")
+        _write_emb_segment(
+            spark, index_dir, emb, centroids, f"wm_{vec_wm}", pq_books=pq_books
+        )
         store.set("index.vec_id", int(obs_e.get["mx"]))
     return n_docs
 

@@ -556,6 +556,45 @@ def ann_ivf_portable_multi(
     )
 
 
+def ann_pq_topk_indexed(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """PQ ANN over the WRITTEN index: ranks stored m-byte codes with ADC
+    lookup tables built driver-side from the sidecar codebooks — zero
+    encoding work in the query plan (the Arrow-GEMM encoder ran once at
+    ingest, indexing.enrich_embeddings). The corpus scan reads id + codes
+    (+ vector only for the ``rerank`` survivors): per-query cost is m
+    array lookups per row, the PQ deployment shape at any scale."""
+    m, _, dsub = np.asarray(books).shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if len(q) != m * dsub:
+        raise ValueError(
+            f"query dim {len(q)} != m*dsub = {m}*{dsub} of the stored codebooks"
+        )
+    dist = None
+    for s in range(m):
+        qs = q[s * dsub:(s + 1) * dsub]
+        qdtab = (books[s] * books[s]).sum(axis=1) - 2.0 * (books[s] @ qs)
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in qdtab]),
+            F.element_at(F.col(codes_col), s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    cand = (
+        embeddings.select(F.col(id_col), F.col(vec_col), dist.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ann_ivfpq_topk(
     embeddings: DataFrame,
     query_vec: list[float],

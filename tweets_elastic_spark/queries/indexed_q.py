@@ -25,7 +25,7 @@ from tweets_elastic_spark.indexing import (
 )
 from tweets_elastic_spark.operators import similarity as S
 from tweets_elastic_spark.registry import register
-from tweets_elastic_spark.queries.dedup_q import _LSH_ORACLE, _rh_sig_sql
+from tweets_elastic_spark.queries.dedup_q import _LSH_ORACLE, _PQ_ORACLE, _rh_sig_sql
 from tweets_elastic_spark.queries.search_q import (
     _BM25_DF_SQL,
     _BM25_SCORE_SQL,
@@ -251,3 +251,29 @@ def q_ann_ivf_multi_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = np.asarray(read_index_meta(idx)["centroids"], dtype=np.float64)
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ann_ivf_topk_multi(emb, centroids, queries, k=3, nprobe=6)
+
+
+@register(
+    "ann_pq_topk_indexed",
+    oracle=_PQ_ORACLE,
+    doc="PQ ANN over the WRITTEN index: the Arrow-GEMM encoder ran once at "
+        "ingest (indexing.enrich_embeddings stores the m-byte pq_codes "
+        "column), and the query plan is m array lookups per row over the "
+        "stored codes + a 50-vector exact rerank — no encoding, no Python. "
+        "Codebooks come from the sidecar's portable seed sample, so the "
+        "oracle recomputes codes from the RAW tables and the driver's gate "
+        "proves the stored codes faithfully round-trip the encoder.",
+)
+def q_ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from tweets_elastic_spark.indexing import pq_books_from_seeds
+
+    idx = ensure_index(spark, sf_dir)
+    emb = read_indexed_embeddings(spark, idx)
+    meta = read_index_meta(idx)
+    books = pq_books_from_seeds(
+        np.asarray(meta["pq_seeds"], dtype=np.float64), int(meta["pq"]["m"])
+    )
+    qvec = _query_vec(emb)
+    return S.ann_pq_topk_indexed(emb, books, qvec, k=10, rerank=50)

@@ -67,11 +67,13 @@ DRIVER_PRIORITY: list[str] = [
     "range_filter_conj",
     # (match_all_count deprioritized: every prefix entry's row-count
     # comparison already exercises COUNT correctness)
-    # search / scoring (search_bm25_function_score — the composition of two
-    # already-verified families — yields its slot to the JSON-DSL compiler
-    # entry and stays parity-pytest-verified post-prefix)
+    # search / scoring (r6 swaps, each ousted twin parity-verified
+    # post-prefix: search_bm25_function_score -> the JSON-DSL compiler;
+    # search_exists_filter -> the LM perplexity gate, since exists and
+    # range each already hold their own prefix rows — exists_child_hof,
+    # range_filter_conj)
     "search_function_score", "search_from_json_dsl", "search_bm25",
-    "search_exists_filter", "search_bm25_indexed",
+    "lm_perplexity_filter", "search_bm25_indexed",
     # analyzers
     "analyze_shingles", "analyze_ngram",
     # windows + time series
@@ -80,8 +82,10 @@ DRIVER_PRIORITY: list[str] = [
     "events_daily_pivot",
     # text stats + model filter
     "lang_id", "quality_score", "model_quality_filter",
-    # dedup families
-    "dedup_exact_survivors", "jaccard_near_dups", "dedup_near_clusters",
+    # dedup families (r6: dedup_near_clusters yields to line_dedup — the
+    # survivors row exercises the same connected-components machinery
+    # transitively, while line-level boilerplate removal is a distinct op)
+    "dedup_exact_survivors", "jaccard_near_dups", "line_dedup",
     "dedup_near_survivors", "minhash_lsh_near_dups_portable",
     "simhash_near_dups_portable", "embedding_near_dups",
     "semdedup_survivors", "corpus_clean", "corpus_split",
@@ -91,8 +95,11 @@ DRIVER_PRIORITY: list[str] = [
     # emit post-prefix and stay oracle-parity-pytest-verified.
     # PQ slot carries the PRODUCTION Arrow-GEMM encoder (ann_pq_arrow_topk);
     # the expression-form twin (ann_pq_portable_topk) shares the same oracle
-    # and emits post-prefix with an equivalence pytest.
-    "ann_cosine_topk", "ann_ivf_portable_topk", "ann_pq_arrow_topk",
+    # and emits post-prefix with an equivalence pytest. The IVF slot (r6)
+    # carries the IVF-PQ composition — its probe/cell machinery IS the
+    # portable IVF's, so one row exercises both structures; ann_ivf_
+    # portable_topk stays parity-verified post-prefix.
+    "ann_cosine_topk", "ann_ivfpq_topk", "ann_pq_arrow_topk",
     "ann_lsh_topk_indexed",
     # curation ship stage
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",

@@ -48,6 +48,8 @@ HEADLINE = [
     "search_function_score",
     "search_from_json_dsl",
     "search_dsl_extended",
+    "es_aggs_date_histogram",
+    "es_aggs_terms_top",
     "search_materialized_tokens",
     "search_bm25",
     "search_bm25_indexed",

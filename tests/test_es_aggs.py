@@ -1,0 +1,127 @@
+"""ES aggregations-DSL front-end (plans/aggs.py): bucket/metric semantics,
+terms-size truncation, the envelope path, and refusal of ambiguous shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from tweets_elastic_spark.plans.aggs import es_aggregate, es_request
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    rows = [
+        # (id, region, product, amount)
+        (1, "eu", "a", 10.0), (2, "eu", "a", 20.0), (3, "eu", "b", 5.0),
+        (4, "us", "a", 7.0), (5, "us", "b", 9.0), (6, "us", "b", 11.0),
+        (7, "us", "b", 13.0), (8, "ap", "a", 1.0),
+    ]
+    return spark.createDataFrame(rows, "id long, region string, product string, amount double")
+
+
+def test_terms_with_metrics(spark, sales):
+    got = {
+        r["by_region"]: (r["doc_count"], r["total"], r["biggest"])
+        for r in es_aggregate(sales, {
+            "by_region": {
+                "terms": {"field": "region"},
+                "aggs": {
+                    "total": {"sum": {"field": "amount"}},
+                    "biggest": {"max": {"field": "amount"}},
+                },
+            }
+        }).collect()
+    }
+    assert got == {"eu": (3, 35.0, 20.0), "us": (4, 40.0, 13.0), "ap": (1, 1.0, 1.0)}
+
+
+def test_terms_size_truncates_by_count_then_key(spark, sales):
+    got = [
+        r["by_region"]
+        for r in es_aggregate(sales, {
+            "by_region": {"terms": {"field": "region", "size": 2}}
+        }).orderBy("doc_count", ascending=False).collect()
+    ]
+    assert got == ["us", "eu"]
+
+
+def test_nested_bucket_flattened_relation(spark, sales):
+    rows = {
+        (r["by_region"], r["by_product"]): (r["doc_count"], r["n_ids"])
+        for r in es_aggregate(sales, {
+            "by_region": {
+                "terms": {"field": "region"},
+                "aggs": {
+                    "by_product": {
+                        "terms": {"field": "product"},
+                        "aggs": {"n_ids": {"cardinality": {"field": "id"}}},
+                    }
+                },
+            }
+        }).collect()
+    }
+    assert rows[("us", "b")] == (3, 3) and rows[("eu", "a")] == (2, 2)
+    assert len(rows) == 5
+
+
+def test_terms_size_with_nested_bucket_counts_parent_level(spark, sales):
+    """size applies to PARENT buckets by their total doc_count (sum over
+    leaves), not to leaf rows."""
+    rows = {
+        (r["by_region"], r["by_product"])
+        for r in es_aggregate(sales, {
+            "by_region": {
+                "terms": {"field": "region", "size": 1},
+                "aggs": {"by_product": {"terms": {"field": "product"}}},
+            }
+        }).collect()
+    }
+    assert rows == {("us", "a"), ("us", "b")}
+
+
+def test_histogram_buckets(spark, sales):
+    got = {
+        r["by_amt"]: r["doc_count"]
+        for r in es_aggregate(sales, {
+            "by_amt": {"histogram": {"field": "amount", "interval": 10}}
+        }).collect()
+    }
+    # 1,5,7,9 -> bucket 0; 10,11,13 -> 10; 20 -> 20
+    assert got == {0.0: 4, 10.0: 3, 20.0: 1}
+
+
+def test_envelope_query_filters_before_aggregating(spark, sales):
+    got = {
+        r["by_region"]: r["doc_count"]
+        for r in es_request(sales, {
+            "query": {"range": {"amount": {"gte": 9}}},
+            "aggs": {"by_region": {"terms": {"field": "region"}}},
+        }).collect()
+    }
+    assert got == {"eu": 2, "us": 3}
+
+
+def test_ambiguous_and_unknown_shapes_raise(spark, sales):
+    with pytest.raises(ValueError, match="ambiguous"):
+        es_aggregate(sales, {
+            "b": {
+                "terms": {"field": "region"},
+                "aggs": {
+                    "m": {"sum": {"field": "amount"}},
+                    "nested": {"terms": {"field": "product"}},
+                },
+            }
+        })
+    with pytest.raises(ValueError, match="unsupported bucket aggregation"):
+        es_aggregate(sales, {"b": {"percentiles": {"field": "amount"}}})
+    with pytest.raises(ValueError, match="unsupported aggregation type"):
+        es_aggregate(sales, {
+            "b": {
+                "terms": {"field": "region"},
+                "aggs": {"m": {"percentiles": {"field": "amount"}}},
+            }
+        })
+    with pytest.raises(ValueError, match="unsupported date_histogram interval"):
+        es_aggregate(sales, {"b": {"date_histogram": {"field": "id", "calendar_interval": "fortnight"}}})
+    with pytest.raises(ValueError, match="neither 'query' nor 'aggs'"):
+        es_request(sales, {"size": 5})

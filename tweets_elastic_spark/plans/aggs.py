@@ -1,0 +1,187 @@
+"""ES aggregations-DSL front-end (SURVEY §2.5 extension): the ``aggs`` half
+of a search request compiled to one groupBy plan.
+
+The reference exercises the query DSL (plans/search.py compiles its
+artifact verbatim); a user of Elasticsearch runs *aggregation* requests
+against the same index — terms buckets, date histograms, metric sub-aggs.
+This module compiles that JSON shape to a single declarative
+``groupBy(...).agg(...)`` so Catalyst plans it as one partial+final
+aggregation over the (optionally query-filtered) scan.
+
+Supported surface:
+
+* bucket aggs: ``terms`` (keyword buckets, ``size`` top-N by doc_count
+  desc / key asc), ``date_histogram`` (``calendar_interval``: minute,
+  hour, day, month, year), ``histogram`` (numeric, fixed ``interval``);
+  one bucket agg may nest ONE further bucket agg under ``aggs``.
+* metric sub-aggs: ``sum``, ``avg``, ``min``, ``max``, ``value_count``,
+  ``cardinality``. ES's ``cardinality`` is an HLL approximation; this
+  engine evaluates it EXACTLY (countDistinct) so results stay
+  oracle-checkable — a documented, strictly-more-accurate divergence.
+
+Result shape: the flattened leaf-bucket relation — one row per innermost
+bucket combination, carrying every level's key column plus ``doc_count``
+and the metric columns (ES's nested JSON response is a tree rendering of
+exactly this relation). Unknown agg types raise — never a silently
+dropped aggregation.
+
+At scale nothing here is new machinery: buckets are groupBy keys (hash
+partial aggregation map-side), metrics are built-in JVM aggregates, and
+``terms`` size is a TakeOrderedAndProject over bucket counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CALENDAR_FMT = {
+    "minute": "yyyy-MM-dd HH:mm",
+    "hour": "yyyy-MM-dd HH",
+    "day": "yyyy-MM-dd",
+    "month": "yyyy-MM",
+    "year": "yyyy",
+}
+
+_METRICS = {
+    "sum": lambda c: F.sum(c),
+    "avg": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "value_count": lambda c: F.count(c),
+    "cardinality": lambda c: F.countDistinct(c),
+}
+
+
+def _bucket_key(kind: str, body: dict) -> Column:
+    field = body["field"]
+    if kind == "terms":
+        return F.col(field)
+    if kind == "date_histogram":
+        interval = body.get("calendar_interval", body.get("interval"))
+        if interval not in _CALENDAR_FMT:
+            raise ValueError(
+                f"unsupported date_histogram interval: {interval!r} "
+                f"(supported: {sorted(_CALENDAR_FMT)})"
+            )
+        return F.date_format(F.col(field), _CALENDAR_FMT[interval])
+    if kind == "histogram":
+        width = float(body["interval"])
+        return (F.floor(F.col(field) / F.lit(width)) * F.lit(width)).cast("double")
+    raise ValueError(f"unsupported bucket aggregation: {kind!r}")
+
+
+def _metric_cols(aggs: dict) -> list[Column]:
+    """Metric sub-aggs only (bucket sub-aggs are handled by recursion)."""
+    out = []
+    for name, spec in aggs.items():
+        spec = dict(spec)
+        spec.pop("aggs", None)  # a sibling bucket agg carries its own subtree
+        (kind, body), = spec.items()
+        if kind in _METRICS:
+            out.append(_METRICS[kind](F.col(body["field"])).alias(name))
+        elif kind in ("terms", "date_histogram", "histogram"):
+            continue  # nested bucket, handled by the caller
+        else:
+            raise ValueError(f"unsupported aggregation type: {kind!r}")
+    return out
+
+
+def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
+    """Compile one top-level named agg (ES ``"aggs": {name: {...}}``) to a
+    groupBy plan and return the flattened leaf-bucket relation."""
+    if len(aggs_dsl) != 1:
+        raise ValueError(
+            f"expected exactly one top-level aggregation, got {sorted(aggs_dsl)}"
+        )
+    (name, spec), = aggs_dsl.items()
+    spec = dict(spec)
+    sub = spec.pop("aggs", {})
+    (kind, body), = spec.items()
+
+    keys = [(_bucket_key(kind, body), name)]
+    size = body.get("size") if kind == "terms" else None
+
+    # one optional nested bucket level
+    nested_bucket = [
+        (n, s) for n, s in sub.items()
+        if next(iter(s)) in ("terms", "date_histogram", "histogram")
+    ]
+    if len(nested_bucket) > 1:
+        raise ValueError("at most one nested bucket aggregation is supported")
+    metrics = _metric_cols(sub)
+    if nested_bucket and metrics:
+        # ES attaches same-level metrics to the PARENT bucket; this engine
+        # returns the flattened leaf relation, where they would silently
+        # change granularity — refuse instead of reinterpreting.
+        raise ValueError(
+            "metric sub-aggs next to a nested bucket agg are ambiguous in "
+            "the flattened relation; put metrics under the innermost bucket"
+        )
+    if nested_bucket:
+        (sub_name, sub_spec), = nested_bucket
+        sub_spec = dict(sub_spec)
+        sub_sub = sub_spec.pop("aggs", {})
+        (sub_kind, sub_body), = sub_spec.items()
+        if any(next(iter(s)) in ("terms", "date_histogram", "histogram")
+               for s in sub_sub.values()):
+            raise ValueError("bucket nesting deeper than two levels is unsupported")
+        keys.append((_bucket_key(sub_kind, sub_body), sub_name))
+        metrics = metrics + _metric_cols(sub_sub)
+
+    out = (
+        df.groupBy(*[k.alias(n) for k, n in keys])
+        .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+    )
+    if size is not None:
+        # ES terms-agg truncation: top-N buckets by doc_count desc, key asc.
+        # With a nested level the bucket count is the SUM over its leaves.
+        if nested_bucket:
+            top = (
+                out.groupBy(name)
+                .agg(F.sum("doc_count").alias("_n"))
+                .orderBy(F.col("_n").desc(), F.col(name).asc())
+                .limit(int(size))
+                .select(name)
+            )
+            out = out.join(F.broadcast(top), name, "inner")
+        else:
+            out = out.orderBy(
+                F.col("doc_count").desc(), F.col(name).asc()
+            ).limit(int(size))
+    return out
+
+
+def es_request(
+    df: DataFrame,
+    request: dict,
+    *,
+    analyzers: dict[str, str] | None = None,
+    tokens_cols: dict[str, str] | None = None,
+    nested_paths=frozenset(),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Execute a full ES search-request envelope: optional ``query``
+    (compiled by plans.search.from_es_json) filters the scan; ``aggs``
+    returns the bucket relation; otherwise hits are returned, honoring
+    ``size`` (top-k by score) — the request-level twin of search()."""
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    body = dict(request)
+    q = body.get("query")
+    aggs = body.get("aggs", body.get("aggregations"))
+    if q is not None:
+        tree = from_es_json(
+            {"query": q}, analyzers=analyzers, tokens_cols=tokens_cols,
+            nested_paths=nested_paths,
+        )
+    else:
+        tree = None
+    if aggs is not None:
+        filtered = df if tree is None else df.filter(
+            tree.predicate(df.sparkSession, F.col)
+        )
+        return es_aggregate(filtered, aggs)
+    if tree is None:
+        raise ValueError("request has neither 'query' nor 'aggs'")
+    return search(df, tree, k=body.get("size", 10), tiebreak=tiebreak)

@@ -320,3 +320,89 @@ def q_search_dsl_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(docs, query, k=30, tiebreak="doc_id").select(
         "doc_id", "lang", "source", "score"
     )
+
+
+@register(
+    "es_aggs_date_histogram",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,
+           event_type AS by_type,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM events
+    WHERE value > 1
+    GROUP BY 1, 2
+    """,
+    doc="The ES aggregations DSL (the analytics half of a search request): "
+        "a full request envelope — range query filter + "
+        "date_histogram(day) with a nested terms(event_type) bucket "
+        "carrying cardinality/min/max metrics — compiled by "
+        "plans/aggs.es_request to ONE groupBy plan (partial+final hash "
+        "aggregation over the filtered scan; the nested-bucket JSON tree "
+        "is returned as its flattened leaf relation). cardinality is "
+        "evaluated exactly (countDistinct), a documented strictly-more-"
+        "accurate divergence from ES's HLL.",
+)
+def q_es_aggs_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    request = {
+        "query": {"range": {"value": {"gt": 1}}},
+        "aggs": {
+            "by_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "by_type": {
+                        "terms": {"field": "event_type"},
+                        "aggs": {
+                            "n_users": {"cardinality": {"field": "user_id"}},
+                            "v_min": {"min": {"field": "value"}},
+                            "v_max": {"max": {"field": "value"}},
+                        },
+                    }
+                },
+            }
+        },
+    }
+    return es_request(events, request)
+
+
+@register(
+    "es_aggs_terms_top",
+    oracle="""
+    SELECT lang AS by_lang,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           max(n_chars) AS max_chars
+    FROM documents
+    WHERE n_chars > 200
+    GROUP BY 1
+    ORDER BY doc_count DESC, by_lang ASC
+    LIMIT 3
+    """,
+    doc="ES terms aggregation with size truncation: top-3 language buckets "
+        "by doc_count (key-asc tiebreak, ES's bucket order) over a "
+        "query-filtered scan, with exact-cardinality and max metrics — "
+        "TakeOrderedAndProject over the bucket counts, the same top-k "
+        "plan shape every relevance query uses.",
+)
+def q_es_aggs_terms_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "query": {"range": {"n_chars": {"gt": 200}}},
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {
+                    "n_sources": {"cardinality": {"field": "source"}},
+                    "max_chars": {"max": {"field": "n_chars"}},
+                },
+            }
+        },
+    }
+    return es_request(docs, request)

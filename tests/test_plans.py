@@ -129,3 +129,39 @@ def test_ann_ivf_portable_single_scan_filter(spark):
     p = plan_of(spark, "ann_ivf_portable_topk")
     assert "TakeOrderedAndProject" in p
     assert "Join" not in p
+
+
+def test_ivfpq_single_scan_take_ordered(spark):
+    """IVF-PQ: cell filter + stored-shape ADC + rerank is one corpus scan
+    ending in TakeOrderedAndProject — no join anywhere in the plan."""
+    p = plan_of(spark, "ann_ivfpq_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_line_dedup_hot_set_broadcasts(spark):
+    """line_dedup: the boilerplate set joins back as a BROADCAST anti-join
+    (it is boilerplate-sized); the only sort-merge machinery allowed is
+    none — reconstruction is a hash aggregation on the preserved doc id."""
+    p = plan_of(spark, "line_dedup")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_es_aggs_single_aggregation_no_join(spark):
+    """The compiled aggs request is hash aggregation over the filtered scan
+    — no join. Exactly two key exchanges: (keys, user_id) then (keys), the
+    canonical exact-distinct plan the cardinality metric requires; every
+    other metric partially aggregates map-side in the same pass."""
+    p = plan_of(spark, "es_aggs_date_histogram")
+    assert "HashAggregate" in p and "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "partial_count(distinct" in p or "count(distinct" in p
+
+
+def test_indexed_pq_plan_reads_stored_codes_only(spark):
+    """ann_pq_topk_indexed: TakeOrderedAndProject over the stored-code scan;
+    no Python stage, no join (codes were encoded at ingest)."""
+    p = plan_of(spark, "ann_pq_topk_indexed")
+    assert "TakeOrderedAndProject" in p
+    assert "ArrowEvalPython" not in p and "Join" not in p

@@ -50,6 +50,7 @@ HEADLINE = [
     "search_dsl_extended",
     "es_aggs_date_histogram",
     "es_aggs_terms_top",
+    "es_request_sorted_hits",
     "search_materialized_tokens",
     "search_bm25",
     "search_bm25_indexed",

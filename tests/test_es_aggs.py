@@ -125,3 +125,32 @@ def test_ambiguous_and_unknown_shapes_raise(spark, sales):
         es_aggregate(sales, {"b": {"date_histogram": {"field": "id", "calendar_interval": "fortnight"}}})
     with pytest.raises(ValueError, match="neither 'query' nor 'aggs'"):
         es_request(sales, {"size": 5})
+
+
+def test_envelope_sorted_hits_with_source(spark, sales):
+    got = [
+        tuple(r) for r in es_request(sales, {
+            "query": {"term": {"region": "us"}},
+            "sort": [{"amount": {"order": "desc"}}],
+            "size": 2,
+            "_source": ["id", "amount"],
+        }, tiebreak="id").collect()
+    ]
+    assert got == [(7, 13.0), (6, 11.0)]
+
+
+def test_envelope_sort_shapes_and_errors(spark, sales):
+    # bare string field = asc; list of mixed shapes allowed
+    got = [
+        r["id"] for r in es_request(sales, {
+            "query": {"match_all": {}},
+            "sort": ["region", {"amount": "desc"}],
+            "size": 3,
+            "_source": ["id"],
+        }, tiebreak="id").collect()
+    ]
+    assert got == [8, 2, 1]  # ap first, then eu by amount desc
+    with pytest.raises(ValueError, match="bad sort direction"):
+        es_request(sales, {
+            "query": {"match_all": {}}, "sort": [{"amount": "down"}],
+        })

@@ -163,8 +163,12 @@ def es_request(
 ) -> DataFrame:
     """Execute a full ES search-request envelope: optional ``query``
     (compiled by plans.search.from_es_json) filters the scan; ``aggs``
-    returns the bucket relation; otherwise hits are returned, honoring
-    ``size`` (top-k by score) — the request-level twin of search()."""
+    returns the bucket relation; otherwise hits are returned — sorted by
+    ``sort`` (a list of field names or ``{field: "asc"|"desc"}`` entries,
+    ES's explicit-sort shape) or by score when no sort is given, truncated
+    to ``size``, projected to ``_source`` when present. Explicit sort +
+    size compiles to TakeOrderedAndProject, the same per-partition-top-k /
+    merge plan relevance queries get."""
     from tweets_elastic_spark.plans.search import from_es_json, search
 
     body = dict(request)
@@ -184,4 +188,27 @@ def es_request(
         return es_aggregate(filtered, aggs)
     if tree is None:
         raise ValueError("request has neither 'query' nor 'aggs'")
-    return search(df, tree, k=body.get("size", 10), tiebreak=tiebreak)
+    sort = body.get("sort")
+    source = body.get("_source")
+    if sort is not None:
+        out = df.filter(tree.predicate(df.sparkSession, F.col))
+        order = []
+        for entry in sort if isinstance(sort, list) else [sort]:
+            if isinstance(entry, str):
+                order.append(F.col(entry).asc())
+            else:
+                (field, direction), = entry.items()
+                if isinstance(direction, dict):  # {"field": {"order": "desc"}}
+                    direction = direction.get("order", "asc")
+                if direction not in ("asc", "desc"):
+                    raise ValueError(f"bad sort direction {direction!r} for {field!r}")
+                col = F.col(field)
+                order.append(col.desc() if direction == "desc" else col.asc())
+        if tiebreak is not None:
+            order.append(F.col(tiebreak).asc())
+        out = out.orderBy(*order).limit(int(body.get("size", 10)))
+    else:
+        out = search(df, tree, k=body.get("size", 10), tiebreak=tiebreak)
+    if source is not None:
+        out = out.select(*source)
+    return out

@@ -406,3 +406,37 @@ def q_es_aggs_terms_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     return es_request(docs, request)
+
+
+@register(
+    "es_request_sorted_hits",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars > 200
+    ORDER BY n_chars DESC, doc_id ASC
+    LIMIT 15
+    """,
+    doc="The hits path of a full ES request envelope: query filter + "
+        "explicit field sort + size + _source projection, compiled to the "
+        "TakeOrderedAndProject plan (per-partition top-k, driver merge — "
+        "the scatter-gather-merge every ES sorted search executes).",
+)
+def q_es_request_sorted_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "query": {
+            "bool": {
+                "filter": [
+                    {"term": {"lang": "en"}},
+                    {"range": {"n_chars": {"gt": 200}}},
+                ]
+            }
+        },
+        "sort": [{"n_chars": "desc"}],
+        "size": 15,
+        "_source": ["doc_id", "lang", "n_chars"],
+    }
+    return es_request(docs, request, tiebreak="doc_id")

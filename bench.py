@@ -51,6 +51,7 @@ HEADLINE = [
     "es_aggs_date_histogram",
     "es_aggs_terms_top",
     "es_request_sorted_hits",
+    "es_request_search_after",
     "search_materialized_tokens",
     "search_bm25",
     "search_bm25_indexed",

@@ -154,3 +154,51 @@ def test_envelope_sort_shapes_and_errors(spark, sales):
         es_request(sales, {
             "query": {"match_all": {}}, "sort": [{"amount": "down"}],
         })
+
+
+def test_search_after_paginates_exactly(spark, sales):
+    """Walking pages with search_after reproduces the full sorted stream
+    with no overlap and no gap — ES deep pagination as a keyset predicate."""
+    base = {
+        "query": {"match_all": {}},
+        "sort": [{"amount": "desc"}],
+        "size": 3,
+        "_source": ["id", "amount"],
+    }
+    page1 = [tuple(r) for r in es_request(sales, base, tiebreak="id").collect()]
+    assert [i for i, _ in page1] == [2, 7, 6]
+    cursor = [page1[-1][1], page1[-1][0]]  # (amount, id) of the last hit
+    page2 = [
+        tuple(r) for r in es_request(
+            sales, {**base, "search_after": cursor}, tiebreak="id"
+        ).collect()
+    ]
+    assert [i for i, _ in page2] == [1, 5, 4]
+    cursor2 = [page2[-1][1], page2[-1][0]]
+    page3 = [
+        tuple(r) for r in es_request(
+            sales, {**base, "search_after": cursor2}, tiebreak="id"
+        ).collect()
+    ]
+    assert [i for i, _ in page3] == [3, 8]
+
+
+def test_search_after_tie_handling_and_errors(spark, sales):
+    # equal sort values: the tiebreak key must disambiguate, not duplicate
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0)], "id long, amount double"
+    )
+    req = {"query": {"match_all": {}}, "sort": [{"amount": "desc"}],
+           "size": 2, "_source": ["id"]}
+    p1 = [r["id"] for r in es_request(df, req, tiebreak="id").collect()]
+    assert p1 == [1, 2]
+    p2 = [
+        r["id"] for r in es_request(
+            df, {**req, "search_after": [5.0, 2]}, tiebreak="id"
+        ).collect()
+    ]
+    assert p2 == [3]
+    with pytest.raises(ValueError, match="one value per sort key"):
+        es_request(sales, {**req, "search_after": [5.0]}, tiebreak="id")
+    with pytest.raises(ValueError, match="requires an explicit sort"):
+        es_request(sales, {"query": {"match_all": {}}, "search_after": [1]})

@@ -192,22 +192,44 @@ def es_request(
     source = body.get("_source")
     if sort is not None:
         out = df.filter(tree.predicate(df.sparkSession, F.col))
-        order = []
+        specs: list[tuple[str, bool]] = []  # (field, is_desc)
         for entry in sort if isinstance(sort, list) else [sort]:
             if isinstance(entry, str):
-                order.append(F.col(entry).asc())
+                specs.append((entry, False))
             else:
                 (field, direction), = entry.items()
                 if isinstance(direction, dict):  # {"field": {"order": "desc"}}
                     direction = direction.get("order", "asc")
                 if direction not in ("asc", "desc"):
                     raise ValueError(f"bad sort direction {direction!r} for {field!r}")
-                col = F.col(field)
-                order.append(col.desc() if direction == "desc" else col.asc())
+                specs.append((field, direction == "desc"))
         if tiebreak is not None:
-            order.append(F.col(tiebreak).asc())
+            specs.append((tiebreak, False))
+        after = body.get("search_after")
+        if after is not None:
+            # ES deep pagination: rows STRICTLY after the cursor in the
+            # total sort order — the keyset predicate, lexicographic over
+            # the sort keys (direction-aware), which pushes down to the
+            # scan instead of skipping `from` rows.
+            if len(after) != len(specs):
+                raise ValueError(
+                    f"search_after needs one value per sort key "
+                    f"(incl. tiebreak): got {len(after)}, sort has {len(specs)}"
+                )
+            pred = F.lit(False)
+            for i in range(len(specs) - 1, -1, -1):
+                field, is_desc = specs[i]
+                col, val = F.col(field), F.lit(after[i])
+                strict = col < val if is_desc else col > val
+                pred = strict | ((col == val) & pred)
+            out = out.filter(pred)
+        order = [
+            F.col(f).desc() if d else F.col(f).asc() for f, d in specs
+        ]
         out = out.orderBy(*order).limit(int(body.get("size", 10)))
     else:
+        if body.get("search_after") is not None:
+            raise ValueError("search_after requires an explicit sort")
         out = search(df, tree, k=body.get("size", 10), tiebreak=tiebreak)
     if source is not None:
         out = out.select(*source)

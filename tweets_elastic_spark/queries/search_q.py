@@ -440,3 +440,34 @@ def q_es_request_sorted_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_source": ["doc_id", "lang", "n_chars"],
     }
     return es_request(docs, request, tiebreak="doc_id")
+
+
+@register(
+    "es_request_search_after",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE lang = 'en'
+      AND (n_chars < 350 OR (n_chars = 350 AND doc_id > 120))
+    ORDER BY n_chars DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="ES deep pagination (search_after): the page cursor compiles to a "
+        "direction-aware lexicographic keyset predicate over the sort keys "
+        "— rows strictly after (n_chars=350, doc_id=120) in (n_chars desc, "
+        "doc_id asc) order — which pushes down to the scan instead of "
+        "skipping `from` rows, then the same TakeOrderedAndProject top-k. "
+        "The DSL twin of the relational keyset_page operator (S3/F1).",
+)
+def q_es_request_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "query": {"term": {"lang": "en"}},
+        "sort": [{"n_chars": "desc"}],
+        "search_after": [350, 120],
+        "size": 10,
+        "_source": ["doc_id", "n_chars"],
+    }
+    return es_request(docs, request, tiebreak="doc_id")

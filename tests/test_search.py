@@ -336,3 +336,32 @@ def test_from_es_json_extended_clauses():
         from_es_json({"match_phrase": {"text": "a b"}})
     with pytest.raises(ValueError, match="terms expects a list"):
         from_es_json({"terms": {"lang": "en"}})
+
+
+def test_match_phrase_differential_vs_python_reference(spark):
+    """Randomized differential: 200 docs over a 5-token alphabet (adjacency
+    collisions everywhere) vs an independent Python implementation of
+    'phrase tokens appear consecutively'. One Spark job for all docs."""
+    import random
+
+    from tweets_elastic_spark.plans.search import MatchPhrase
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    def py_phrase_match(text: str, phrase: list[str]) -> bool:
+        toks = [t.lower() for t in text.split() if t]
+        n = len(phrase)
+        return any(toks[i:i + n] == phrase for i in range(len(toks) - n + 1))
+
+    for phrase in (["alpha", "beta"], ["beta", "beta", "gamma"], ["eps"]):
+        q = MatchPhrase("text", " ".join(phrase), analyzer="standard")
+        got = {r["id"] for r in search(df, q, k=None).collect()}
+        want = {i for i, t in docs if py_phrase_match(t, phrase)}
+        assert got == want, f"phrase {phrase}: spark^py diff {got ^ want}"
+        assert want, f"degenerate fixture: phrase {phrase} matched nothing"

@@ -52,6 +52,7 @@ HEADLINE = [
     "es_aggs_terms_top",
     "es_request_sorted_hits",
     "es_request_search_after",
+    "es_aggs_top_hits",
     "search_materialized_tokens",
     "search_bm25",
     "search_bm25_indexed",

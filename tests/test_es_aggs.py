@@ -202,3 +202,39 @@ def test_search_after_tie_handling_and_errors(spark, sales):
         es_request(sales, {**req, "search_after": [5.0]}, tiebreak="id")
     with pytest.raises(ValueError, match="requires an explicit sort"):
         es_request(sales, {"query": {"match_all": {}}, "search_after": [1]})
+
+
+def test_top_hits_per_bucket(spark, sales):
+    got = {
+        (r["by_region"], r["id"])
+        for r in es_aggregate(sales, {
+            "by_region": {
+                "terms": {"field": "region"},
+                "aggs": {
+                    "best": {
+                        "top_hits": {
+                            "size": 2,
+                            "sort": [{"amount": "desc"}, "id"],
+                            "_source": ["id", "amount"],
+                        }
+                    }
+                },
+            }
+        }).collect()
+    }
+    # eu: 20, 10; us: 13, 11; ap: 1
+    assert got == {("eu", 2), ("eu", 1), ("us", 7), ("us", 6), ("ap", 8)}
+
+
+def test_top_hits_requires_sort_and_exclusivity(spark, sales):
+    with pytest.raises(ValueError, match="explicit sort"):
+        es_aggregate(sales, {
+            "b": {"terms": {"field": "region"},
+                  "aggs": {"h": {"top_hits": {"size": 1}}}}
+        })
+    with pytest.raises(ValueError, match="only sub-agg"):
+        es_aggregate(sales, {
+            "b": {"terms": {"field": "region"},
+                  "aggs": {"h": {"top_hits": {"size": 1, "sort": ["id"]}},
+                           "m": {"sum": {"field": "amount"}}}}
+        })

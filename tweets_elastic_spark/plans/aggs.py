@@ -87,6 +87,42 @@ def _metric_cols(aggs: dict) -> list[Column]:
     return out
 
 
+def _top_hits(
+    df: DataFrame, bucket_key: Column, bucket_name: str, body: dict
+) -> DataFrame:
+    """``top_hits`` sub-agg: the top ``size`` documents per bucket by the
+    given sort — a window rank over the bucket key, the per-group-top-k
+    plan (one exchange on the bucket key, no self-join). Returns one row
+    per (bucket, hit) with the bucket key + ``_source`` columns."""
+    from pyspark.sql.window import Window
+
+    size = int(body.get("size", 3))
+    order = []
+    for entry in body.get("sort", []):
+        if isinstance(entry, str):
+            order.append(F.col(entry).asc())
+        else:
+            (field, direction), = entry.items()
+            if isinstance(direction, dict):
+                direction = direction.get("order", "asc")
+            col = F.col(field)
+            order.append(col.desc() if direction == "desc" else col.asc())
+    if not order:
+        raise ValueError("top_hits needs an explicit sort (score is bucket-free here)")
+    w = Window.partitionBy("_bucket").orderBy(*order)
+    out = (
+        df.withColumn("_bucket", bucket_key)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= size)
+        .drop("_rk")
+        .withColumnRenamed("_bucket", bucket_name)
+    )
+    source = body.get("_source")
+    if source is not None:
+        out = out.select(bucket_name, *source)
+    return out
+
+
 def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
     """Compile one top-level named agg (ES ``"aggs": {name: {...}}``) to a
     groupBy plan and return the flattened leaf-bucket relation."""
@@ -98,6 +134,15 @@ def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
     spec = dict(spec)
     sub = spec.pop("aggs", {})
     (kind, body), = spec.items()
+
+    # top_hits: a different result shape (documents, not metrics) — it
+    # must be the bucket's only sub-agg.
+    th = [(n, s["top_hits"]) for n, s in sub.items() if "top_hits" in s]
+    if th:
+        if len(sub) != 1:
+            raise ValueError("top_hits must be the bucket's only sub-agg")
+        (_, th_body), = th
+        return _top_hits(df, _bucket_key(kind, body), name, th_body)
 
     keys = [(_bucket_key(kind, body), name)]
     size = body.get("size") if kind == "terms" else None

@@ -471,3 +471,44 @@ def q_es_request_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_source": ["doc_id", "n_chars"],
     }
     return es_request(docs, request, tiebreak="doc_id")
+
+
+@register(
+    "es_aggs_top_hits",
+    oracle="""
+    SELECT lang AS by_lang, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 2
+    """,
+    doc="ES top_hits aggregation: the 2 longest documents per language — "
+        "per-bucket top-k as a window rank over the bucket key (one "
+        "exchange, no self-join), returning (bucket, hit) rows with the "
+        "_source projection. The group-wise analogue of the relevance "
+        "top-k every search runs globally.",
+)
+def q_es_aggs_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang"},
+                "aggs": {
+                    "longest": {
+                        "top_hits": {
+                            "size": 2,
+                            "sort": [{"n_chars": "desc"}, "doc_id"],
+                            "_source": ["doc_id", "n_chars"],
+                        }
+                    }
+                },
+            }
+        }
+    }
+    return es_request(docs, request)

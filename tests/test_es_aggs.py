@@ -238,3 +238,42 @@ def test_top_hits_requires_sort_and_exclusivity(spark, sales):
                   "aggs": {"h": {"top_hits": {"size": 1, "sort": ["id"]}},
                            "m": {"sum": {"field": "amount"}}}}
         })
+
+
+def test_null_keys_dropped_unless_missing_param(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "de"), (4, None)], "id long, lang string"
+    )
+    got = {
+        r["by_lang"]: r["doc_count"]
+        for r in es_aggregate(df, {"by_lang": {"terms": {"field": "lang"}}}).collect()
+    }
+    assert got == {"en": 1, "de": 1}  # ES: missing-field docs leave the agg
+    with_missing = {
+        r["by_lang"]: r["doc_count"]
+        for r in es_aggregate(df, {
+            "by_lang": {"terms": {"field": "lang", "missing": "unknown"}}
+        }).collect()
+    }
+    assert with_missing == {"en": 1, "de": 1, "unknown": 2}
+
+
+def test_range_agg_buckets_and_labels(spark, sales):
+    got = {
+        r["by_amt"]: r["doc_count"]
+        for r in es_aggregate(sales, {
+            "by_amt": {"range": {"field": "amount", "ranges": [
+                {"to": 8},
+                {"from": 8, "to": 12, "key": "mid"},
+                {"from": 12},
+            ]}}
+        }).collect()
+    }
+    # <8: 1,5,7 | [8,12): 9,10,11 | >=12: 13,20
+    assert got == {"*-8": 3, "mid": 3, "12-*": 2}
+    with pytest.raises(ValueError, match="non-overlapping"):
+        es_aggregate(sales, {
+            "b": {"range": {"field": "amount", "ranges": [
+                {"to": 10}, {"from": 5, "to": 12},
+            ]}}
+        })

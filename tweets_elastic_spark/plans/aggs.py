@@ -12,12 +12,18 @@ Supported surface:
 
 * bucket aggs: ``terms`` (keyword buckets, ``size`` top-N by doc_count
   desc / key asc), ``date_histogram`` (``calendar_interval``: minute,
-  hour, day, month, year), ``histogram`` (numeric, fixed ``interval``);
-  one bucket agg may nest ONE further bucket agg under ``aggs``.
+  hour, day, month, year), ``histogram`` (numeric, fixed ``interval``),
+  ``range`` (sorted non-overlapping [from, to) buckets, ES key labels);
+  one bucket agg may nest ONE further bucket agg under ``aggs``. ES's
+  null contract holds: documents missing the bucket field leave the
+  aggregation unless ``missing`` supplies a substitute.
 * metric sub-aggs: ``sum``, ``avg``, ``min``, ``max``, ``value_count``,
   ``cardinality``. ES's ``cardinality`` is an HLL approximation; this
   engine evaluates it EXACTLY (countDistinct) so results stay
   oracle-checkable — a documented, strictly-more-accurate divergence.
+* ``top_hits`` (per-bucket top documents by an explicit sort — a window
+  rank, must be the bucket's only sub-agg since its result shape is
+  documents, not metrics).
 
 Result shape: the flattened leaf-bucket relation — one row per innermost
 bucket combination, carrying every level's key column plus ``doc_count``
@@ -54,9 +60,16 @@ _METRICS = {
 
 
 def _bucket_key(kind: str, body: dict) -> Column:
+    """Bucket-key expression. ES's null contract: documents missing the
+    field fall out of the aggregation unless ``missing`` supplies a
+    substitute — modeled here as a key that stays NULL (dropped by
+    es_aggregate) or coalesces to the ``missing`` value."""
     field = body["field"]
+    src: Column = F.col(field)
+    if "missing" in body:
+        src = F.coalesce(src, F.lit(body["missing"]))
     if kind == "terms":
-        return F.col(field)
+        return src
     if kind == "date_histogram":
         interval = body.get("calendar_interval", body.get("interval"))
         if interval not in _CALENDAR_FMT:
@@ -64,10 +77,38 @@ def _bucket_key(kind: str, body: dict) -> Column:
                 f"unsupported date_histogram interval: {interval!r} "
                 f"(supported: {sorted(_CALENDAR_FMT)})"
             )
-        return F.date_format(F.col(field), _CALENDAR_FMT[interval])
+        return F.date_format(src, _CALENDAR_FMT[interval])
     if kind == "histogram":
         width = float(body["interval"])
-        return (F.floor(F.col(field) / F.lit(width)) * F.lit(width)).cast("double")
+        return (F.floor(src / F.lit(width)) * F.lit(width)).cast("double")
+    if kind == "range":
+        # ES range agg: [from, to) buckets, keyed "from-to" ("*" open end);
+        # a doc lands in every bucket containing its value — but ranges in
+        # practice partition, and overlapping ranges would need an explode;
+        # refuse overlap instead of silently single-assigning.
+        ranges = body["ranges"]
+        for a, b in zip(ranges, ranges[1:]):
+            lo_b = b.get("from")
+            hi_a = a.get("to")
+            if hi_a is None or (lo_b is not None and lo_b < hi_a):
+                raise ValueError(
+                    "range agg buckets must be sorted and non-overlapping "
+                    f"(got {a} then {b})"
+                )
+        key: Column = F.lit(None).cast("string")
+        for r in reversed(ranges):
+            lo, hi = r.get("from"), r.get("to")
+            label = r.get(
+                "key",
+                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}",
+            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (src >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (src < F.lit(hi))
+            key = F.when(src.isNotNull() & cond, F.lit(label)).otherwise(key)
+        return key
     raise ValueError(f"unsupported bucket aggregation: {kind!r}")
 
 
@@ -80,7 +121,7 @@ def _metric_cols(aggs: dict) -> list[Column]:
         (kind, body), = spec.items()
         if kind in _METRICS:
             out.append(_METRICS[kind](F.col(body["field"])).alias(name))
-        elif kind in ("terms", "date_histogram", "histogram"):
+        elif kind in ("terms", "date_histogram", "histogram", "range"):
             continue  # nested bucket, handled by the caller
         else:
             raise ValueError(f"unsupported aggregation type: {kind!r}")
@@ -112,6 +153,7 @@ def _top_hits(
     w = Window.partitionBy("_bucket").orderBy(*order)
     out = (
         df.withColumn("_bucket", bucket_key)
+        .filter(F.col("_bucket").isNotNull())
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= size)
         .drop("_rk")
@@ -150,7 +192,7 @@ def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
     # one optional nested bucket level
     nested_bucket = [
         (n, s) for n, s in sub.items()
-        if next(iter(s)) in ("terms", "date_histogram", "histogram")
+        if next(iter(s)) in ("terms", "date_histogram", "histogram", "range")
     ]
     if len(nested_bucket) > 1:
         raise ValueError("at most one nested bucket aggregation is supported")
@@ -168,14 +210,19 @@ def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
         sub_spec = dict(sub_spec)
         sub_sub = sub_spec.pop("aggs", {})
         (sub_kind, sub_body), = sub_spec.items()
-        if any(next(iter(s)) in ("terms", "date_histogram", "histogram")
+        if any(next(iter(s)) in ("terms", "date_histogram", "histogram", "range")
                for s in sub_sub.values()):
             raise ValueError("bucket nesting deeper than two levels is unsupported")
         keys.append((_bucket_key(sub_kind, sub_body), sub_name))
         metrics = metrics + _metric_cols(sub_sub)
 
+    keyed = df
+    for k, _ in keys:
+        # ES null contract: a document with no value for the bucket field
+        # (and no `missing` substitute) belongs to no bucket.
+        keyed = keyed.filter(k.isNotNull())
     out = (
-        df.groupBy(*[k.alias(n) for k, n in keys])
+        keyed.groupBy(*[k.alias(n) for k, n in keys])
         .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
     )
     if size is not None:

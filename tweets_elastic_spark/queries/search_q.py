@@ -332,7 +332,7 @@ def q_search_dsl_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(value) AS v_min,
            max(value) AS v_max
     FROM events
-    WHERE value > 1
+    WHERE value > 1 AND ts IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="The ES aggregations DSL (the analytics half of a search request): "
@@ -378,7 +378,7 @@ def q_es_aggs_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            max(n_chars) AS max_chars
     FROM documents
-    WHERE n_chars > 200
+    WHERE n_chars > 200 AND lang IS NOT NULL
     GROUP BY 1
     ORDER BY doc_count DESC, by_lang ASC
     LIMIT 3
@@ -482,7 +482,7 @@ def q_es_request_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (
                    PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
                ) AS rk
-        FROM documents
+        FROM documents WHERE lang IS NOT NULL
     ) WHERE rk <= 2
     """,
     doc="ES top_hits aggregation: the 2 longest documents per language — "

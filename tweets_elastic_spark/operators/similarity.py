@@ -723,7 +723,7 @@ def semdedup_survivors(
         F.col(id_col), F.col(vec_col),
         portable_cell_col(F.col(vec_col), centroids).alias("_cell"),
         norm(F.col(vec_col)).alias("_nrm"),
-    ).localCheckpoint()
+    )
     if max_cell_size is not None:
         # Rank within cell by id and pair only the first `cap` members: the
         # window rides the same cell-key shuffle the join needs, so the cap
@@ -734,6 +734,10 @@ def semdedup_survivors(
             .filter(F.col("_crk") <= max_cell_size)
             .drop("_crk")
         )
+    # Checkpoint AFTER the cap so the 16-way argmin projection AND the rank
+    # window each execute exactly once — both join sides then read the
+    # materialized blocks instead of replaying the lineage per side.
+    cells = cells.localCheckpoint()
     a = cells.alias("a")
     b = cells.alias("b")
     pair_cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (

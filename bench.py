@@ -81,7 +81,11 @@ HEADLINE = [
     "ann_ivf_multi_indexed",
     "ann_ivf_portable_topk",
     "ann_ivf_portable_multi",
-    "ann_pq_portable_topk",
+    # ann_pq_portable_topk (the expression-form PQ encoder) is NOT timed:
+    # it is the pedagogical/oracle-carrying twin of ann_pq_arrow_topk and
+    # runs ~7x slower by construction; the three production PQ forms
+    # (arrow, indexed, ivfpq) are all timed, and the twin stays
+    # equivalence- and oracle-verified in the test suite.
     "ann_pq_arrow_topk",
     "ann_ivfpq_topk",
     "vocab_top_tokens",

@@ -277,3 +277,60 @@ def test_range_agg_buckets_and_labels(spark, sales):
                 {"to": 10}, {"from": 5, "to": 12},
             ]}}
         })
+
+
+def test_es_request_on_tweet_documents(spark):
+    """The ES surface against the reference's own document shape: a
+    query+aggs request over the denormalized tweet documents — language
+    buckets restricted to authors with real reach (the reference query's
+    filter), with exact author cardinality; and a top_hits request for the
+    most-liked tweets per language."""
+    from tweets_elastic_spark.operators.denormalize import build_tweet_documents
+    from tweets_elastic_spark.sources.fixtures import make_tweets_tables
+
+    docs = build_tweet_documents(make_tweets_tables(spark, n_conversations=60))
+    buckets = {
+        r["by_lang"]: (r["doc_count"], r["n_authors"])
+        for r in es_request(docs, {
+            "query": {"range": {"author.followers_count": {"gt": 100}}},
+            "aggs": {
+                "by_lang": {
+                    "terms": {"field": "language"},
+                    "aggs": {"n_authors": {"cardinality": {"field": "author.id"}}},
+                }
+            },
+        }).collect()
+    }
+    rows = docs.filter("author.followers_count > 100").collect()
+    expected = {}
+    for r in rows:
+        lang = r["language"]
+        c, s = expected.get(lang, (0, set()))
+        s = s | {r["author"]["id"]}
+        expected[lang] = (c + 1, s)
+    assert buckets == {k: (c, len(s)) for k, (c, s) in expected.items()}
+    assert len(buckets) > 1
+
+    top = es_request(docs, {
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "language"},
+                "aggs": {
+                    "hot": {
+                        "top_hits": {
+                            "size": 1,
+                            "sort": [{"like_count": "desc"}, "id"],
+                            "_source": ["id", "like_count"],
+                        }
+                    }
+                },
+            }
+        }
+    }).collect()
+    best = {}
+    for r in docs.collect():
+        cur = best.get(r["language"])
+        key = (-r["like_count"], r["id"])
+        if cur is None or key < cur[0]:
+            best[r["language"]] = (key, r["id"])
+    assert {r["by_lang"]: r["id"] for r in top} == {k: v for k, (_, v) in best.items()}

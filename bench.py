@@ -53,6 +53,7 @@ HEADLINE = [
     "es_request_sorted_hits",
     "es_request_search_after",
     "es_aggs_top_hits",
+    "es_aggs_filters",
     "search_materialized_tokens",
     "search_bm25",
     "search_bm25_indexed",

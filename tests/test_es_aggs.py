@@ -334,3 +334,38 @@ def test_es_request_on_tweet_documents(spark):
         if cur is None or key < cur[0]:
             best[r["language"]] = (key, r["id"])
     assert {r["by_lang"]: r["id"] for r in top} == {k: v for k, (_, v) in best.items()}
+
+
+def test_filters_agg_overlapping_buckets_one_scan(spark, sales):
+    got = {
+        (r["which"], r["doc_count"])
+        for r in es_aggregate(sales, {
+            "which": {"filters": {"filters": {
+                "big": {"range": {"amount": {"gte": 10}}},
+                "us_side": {"term": {"region": "us"}},
+                "both": {"bool": {"filter": [
+                    {"range": {"amount": {"gte": 10}}},
+                    {"term": {"region": "us"}},
+                ]}},
+            }}}
+        }).collect()
+    }
+    # big: 10,20,11,13 | us: 7,9,11,13 | both: 11,13 — overlap is fine
+    assert got == {("big", 4), ("us_side", 4), ("both", 2)}
+    with pytest.raises(ValueError, match="does not support sub-aggs"):
+        es_aggregate(sales, {
+            "w": {"filters": {"filters": {"a": {"match_all": {}}}},
+                  "aggs": {"m": {"sum": {"field": "amount"}}}}
+        })
+
+
+def test_stats_metric_expands_five_columns(spark, sales):
+    row = es_aggregate(sales, {
+        "by_region": {
+            "terms": {"field": "region"},
+            "aggs": {"amt": {"stats": {"field": "amount"}}},
+        }
+    }).filter("by_region = 'eu'").head()
+    assert (row["amt_count"], row["amt_min"], row["amt_max"]) == (3, 5.0, 20.0)
+    assert abs(row["amt_sum"] - 35.0) < 1e-12
+    assert abs(row["amt_avg"] - 35.0 / 3) < 1e-12

@@ -113,7 +113,9 @@ def _bucket_key(kind: str, body: dict) -> Column:
 
 
 def _metric_cols(aggs: dict) -> list[Column]:
-    """Metric sub-aggs only (bucket sub-aggs are handled by recursion)."""
+    """Metric sub-aggs only (bucket sub-aggs are handled by recursion).
+    ``stats`` expands to its five ES response keys as ``{name}_{stat}``
+    columns — the flattened rendering of the stats object."""
     out = []
     for name, spec in aggs.items():
         spec = dict(spec)
@@ -121,11 +123,44 @@ def _metric_cols(aggs: dict) -> list[Column]:
         (kind, body), = spec.items()
         if kind in _METRICS:
             out.append(_METRICS[kind](F.col(body["field"])).alias(name))
+        elif kind == "stats":
+            c = F.col(body["field"])
+            out += [
+                F.count(c).alias(f"{name}_count"),
+                F.min(c).alias(f"{name}_min"),
+                F.max(c).alias(f"{name}_max"),
+                F.avg(c).alias(f"{name}_avg"),
+                F.sum(c).alias(f"{name}_sum"),
+            ]
         elif kind in ("terms", "date_histogram", "histogram", "range"):
             continue  # nested bucket, handled by the caller
         else:
             raise ValueError(f"unsupported aggregation type: {kind!r}")
     return out
+
+
+def _filters_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """ES ``filters`` agg: one named bucket per predicate, each counting
+    the documents its query matches (buckets may overlap — a doc can land
+    in several). One conditional-aggregation scan (sum-of-CASE per
+    bucket), stacked to (name, doc_count) rows with the native unpivot —
+    no per-bucket pass, no join. Metric sub-aggs are not supported here;
+    run one request per bucket for those."""
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    named = body.get("filters")
+    if not isinstance(named, dict) or not named:
+        raise ValueError("filters agg needs {'filters': {name: query, ...}}")
+    counts = [
+        F.sum(
+            F.when(
+                from_es_json(q).predicate(df.sparkSession, F.col), 1
+            ).otherwise(0)
+        ).cast("long").alias(bucket)
+        for bucket, q in named.items()
+    ]
+    wide = df.agg(*counts)
+    return wide.unpivot([], list(named), name, "doc_count")
 
 
 def _top_hits(
@@ -176,6 +211,11 @@ def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
     spec = dict(spec)
     sub = spec.pop("aggs", {})
     (kind, body), = spec.items()
+
+    if kind == "filters":
+        if sub:
+            raise ValueError("filters agg does not support sub-aggs here")
+        return _filters_agg(df, name, body)
 
     # top_hits: a different result shape (documents, not metrics) — it
     # must be the bucket's only sub-agg.

@@ -512,3 +512,41 @@ def q_es_aggs_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     }
     return es_request(docs, request)
+
+
+@register(
+    "es_aggs_filters",
+    oracle="""
+    WITH wide AS (
+        SELECT
+            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+            CAST(sum(CASE WHEN value > 5 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+            CAST(sum(CASE WHEN event_type = 'error' AND value > 5 THEN 1 ELSE 0 END) AS BIGINT) AS high_errors
+        FROM events
+    )
+    SELECT which, doc_count FROM wide
+    UNPIVOT (doc_count FOR which IN (errors, high_value, high_errors))
+    """,
+    doc="ES filters aggregation: named predicate buckets (overlapping is "
+        "legal — a doc may land in several), each predicate compiled by "
+        "from_es_json, all counted in ONE conditional-aggregation scan "
+        "(sum-of-CASE per bucket) and stacked to rows with the native "
+        "unpivot — no per-bucket pass, no join.",
+)
+def q_es_aggs_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    request = {
+        "aggs": {
+            "which": {"filters": {"filters": {
+                "errors": {"term": {"event_type": "error"}},
+                "high_value": {"range": {"value": {"gt": 5}}},
+                "high_errors": {"bool": {"filter": [
+                    {"term": {"event_type": "error"}},
+                    {"range": {"value": {"gt": 5}}},
+                ]}},
+            }}}
+        }
+    }
+    return es_request(events, request)

@@ -369,3 +369,39 @@ def test_stats_metric_expands_five_columns(spark, sales):
     assert (row["amt_count"], row["amt_min"], row["amt_max"]) == (3, 5.0, 20.0)
     assert abs(row["amt_sum"] - 35.0) < 1e-12
     assert abs(row["amt_avg"] - 35.0 / 3) < 1e-12
+
+
+def test_fixed_interval_date_histogram(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 0, 10)), (2, dt.datetime(2026, 1, 1, 0, 40)),
+        (3, dt.datetime(2026, 1, 1, 0, 50)), (4, dt.datetime(2026, 1, 1, 1, 5)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {
+        r["b"]: r["doc_count"]
+        for r in es_aggregate(df, {
+            "b": {"date_histogram": {"field": "ts", "fixed_interval": "30m"}}
+        }).collect()
+    }
+    assert got == {
+        "2026-01-01 00:00:00": 1, "2026-01-01 00:30:00": 2, "2026-01-01 01:00:00": 1,
+    }
+    with pytest.raises(ValueError, match="bad fixed_interval"):
+        es_aggregate(df, {"b": {"date_histogram": {"field": "ts", "fixed_interval": "1w"}}})
+
+
+def test_min_doc_count_filters_buckets(spark, sales):
+    got = {
+        r["by_region"]
+        for r in es_aggregate(sales, {
+            "by_region": {"terms": {"field": "region", "min_doc_count": 2}}
+        }).collect()
+    }
+    assert got == {"eu", "us"}  # ap has 1 doc
+    with pytest.raises(ValueError, match="innermost bucket"):
+        es_aggregate(sales, {
+            "b": {"terms": {"field": "region", "min_doc_count": 2},
+                  "aggs": {"p": {"terms": {"field": "product"}}}}
+        })

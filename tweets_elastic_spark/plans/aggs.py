@@ -71,11 +71,28 @@ def _bucket_key(kind: str, body: dict) -> Column:
     if kind == "terms":
         return src
     if kind == "date_histogram":
+        fixed = body.get("fixed_interval")
+        if fixed is not None:
+            # "30s" / "15m" / "6h" / "2d" → UTC-epoch-aligned buckets of
+            # that exact width, keyed by the bucket-start timestamp string
+            # (ES's fixed_interval semantics).
+            import re
+
+            m = re.fullmatch(r"(\d+)(s|m|h|d)", str(fixed))
+            if not m:
+                raise ValueError(
+                    f"bad fixed_interval {fixed!r} (expected <n>[smhd])"
+                )
+            secs = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+            bucket_start = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(src) / F.lit(secs)) * F.lit(secs)
+            )
+            return F.date_format(bucket_start, "yyyy-MM-dd HH:mm:ss")
         interval = body.get("calendar_interval", body.get("interval"))
         if interval not in _CALENDAR_FMT:
             raise ValueError(
                 f"unsupported date_histogram interval: {interval!r} "
-                f"(supported: {sorted(_CALENDAR_FMT)})"
+                f"(supported: {sorted(_CALENDAR_FMT)}, or fixed_interval)"
             )
         return F.date_format(src, _CALENDAR_FMT[interval])
     if kind == "histogram":
@@ -265,6 +282,16 @@ def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
         keyed.groupBy(*[k.alias(n) for k, n in keys])
         .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
     )
+    if nested_bucket and body.get("min_doc_count") is not None:
+        raise ValueError(
+            "min_doc_count on a parent bucket above a nested bucket is "
+            "ambiguous in the flattened relation; apply it to the "
+            "innermost bucket"
+        )
+    leaf_body = sub_body if nested_bucket else body
+    mdc = leaf_body.get("min_doc_count")
+    if mdc is not None:
+        out = out.filter(F.col("doc_count") >= int(mdc))
     if size is not None:
         # ES terms-agg truncation: top-N buckets by doc_count desc, key asc.
         # With a nested level the bucket count is the SUM over its leaves.

@@ -113,12 +113,12 @@ def test_ambiguous_and_unknown_shapes_raise(spark, sales):
             }
         })
     with pytest.raises(ValueError, match="unsupported bucket aggregation"):
-        es_aggregate(sales, {"b": {"percentiles": {"field": "amount"}}})
+        es_aggregate(sales, {"b": {"geo_distance": {"field": "amount"}}})
     with pytest.raises(ValueError, match="unsupported aggregation type"):
         es_aggregate(sales, {
             "b": {
                 "terms": {"field": "region"},
-                "aggs": {"m": {"percentiles": {"field": "amount"}}},
+                "aggs": {"m": {"median_absolute_deviation": {"field": "amount"}}},
             }
         })
     with pytest.raises(ValueError, match="unsupported date_histogram interval"):
@@ -404,4 +404,167 @@ def test_min_doc_count_filters_buckets(spark, sales):
         es_aggregate(sales, {
             "b": {"terms": {"field": "region", "min_doc_count": 2},
                   "aggs": {"p": {"terms": {"field": "product"}}}}
+        })
+
+
+# ---------------------------------------------------------------- composite
+
+
+def test_composite_paginates_in_key_order(spark, sales):
+    req = {
+        "page": {
+            "composite": {
+                "size": 3,
+                "sources": [
+                    {"r": {"terms": {"field": "region"}}},
+                    {"p": {"terms": {"field": "product"}}},
+                ],
+            },
+            "aggs": {"total": {"sum": {"field": "amount"}}},
+        }
+    }
+    page1 = es_aggregate(sales, req).collect()
+    assert [(r["r"], r["p"]) for r in page1] == [
+        ("ap", "a"), ("eu", "a"), ("eu", "b")
+    ]
+    assert page1[1]["doc_count"] == 2 and page1[1]["total"] == 30.0
+    # resume from page 1's last key tuple: the next page continues exactly
+    req["page"]["composite"]["after"] = {"r": "eu", "p": "b"}
+    page2 = es_aggregate(sales, req).collect()
+    assert [(r["r"], r["p"]) for r in page2] == [("us", "a"), ("us", "b")]
+
+
+def test_composite_desc_source_and_errors(spark, sales):
+    got = es_aggregate(sales, {
+        "page": {"composite": {"size": 2, "sources": [
+            {"r": {"terms": {"field": "region", "order": "desc"}}},
+        ]}}
+    }).collect()
+    assert [r["r"] for r in got] == ["us", "eu"]
+    with pytest.raises(ValueError, match="missing source keys"):
+        es_aggregate(sales, {
+            "page": {"composite": {"sources": [
+                {"r": {"terms": {"field": "region"}}},
+            ], "after": {"wrong": "eu"}}}
+        })
+    with pytest.raises(ValueError, match="metrics, not buckets"):
+        es_aggregate(sales, {
+            "page": {
+                "composite": {"sources": [{"r": {"terms": {"field": "region"}}}]},
+                "aggs": {"sub": {"terms": {"field": "product"}}},
+            }
+        })
+    with pytest.raises(ValueError, match="missing_bucket"):
+        es_aggregate(sales, {
+            "page": {"composite": {"sources": [
+                {"r": {"terms": {"field": "region", "missing_bucket": True}}},
+            ]}}
+        })
+
+
+# -------------------------------------------------------------- percentiles
+
+
+def test_percentiles_exact_interpolation(spark, sales):
+    # us amounts: 7, 9, 11, 13 → p50 = 10 (midpoint), p25 = 8.5
+    got = {
+        r["by_region"]: (r["q_p25"], r["q_p50"])
+        for r in es_aggregate(sales, {
+            "by_region": {
+                "terms": {"field": "region"},
+                "aggs": {"q": {"percentiles": {
+                    "field": "amount", "percents": [25, 50]}}},
+            }
+        }).collect()
+    }
+    assert got["us"] == (8.5, 10.0)
+    assert got["eu"] == (7.5, 10.0)
+
+
+# -------------------------------------------------------- significant_terms
+
+
+def test_significant_terms_jlh_scoring(spark, sales):
+    # foreground: amount > 8 → {us: 3 of 4, eu: 2 of 3, ap: 0 of 1},
+    # fg_total = 5, bg_total = 8
+    got = es_request(sales, {
+        "query": {"range": {"amount": {"gt": 8}}},
+        "aggs": {"sig": {"significant_terms": {"field": "region", "size": 5}}},
+    }).collect()
+    rows = {r["sig"]: r for r in got}
+    assert set(rows) == {"us", "eu"}  # ap has fg=0 → dropped
+    us = rows["us"]
+    assert (us["doc_count"], us["bg_count"]) == (3, 4)
+    fg_pct, bg_pct = 3 / 5, 4 / 8
+    assert us["score"] == round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+    # eu: fg% = 0.4, bg% = 0.375 → lower JLH than us's 0.12
+    assert got[0]["sig"] == "us"
+
+
+def test_significant_terms_requires_query(spark, sales):
+    with pytest.raises(ValueError, match="foreground"):
+        es_aggregate(sales, {
+            "sig": {"significant_terms": {"field": "region"}}
+        })
+
+
+# ------------------------------------------------------------ pipeline aggs
+
+
+def test_pipeline_cumulative_sum_and_derivative(spark, sales):
+    got = es_aggregate(sales, {
+        "h": {
+            "histogram": {"field": "amount", "interval": 10.0},
+            "aggs": {
+                "total": {"sum": {"field": "amount"}},
+                "cum": {"cumulative_sum": {"buckets_path": "total"}},
+                "delta": {"derivative": {"buckets_path": "doc_count"}},
+            },
+        }
+    }).orderBy("h").collect()
+    # buckets: [0,10): 1,5,7,9 ; [10,20): 10,11,13 ; [20,30): 20
+    assert [r["h"] for r in got] == [0.0, 10.0, 20.0]
+    assert [r["cum"] for r in got] == [22.0, 56.0, 76.0]
+    assert [r["delta"] for r in got] == [None, -1, -2]
+
+
+def test_pipeline_requires_histogram_parent_and_valid_path(spark, sales):
+    with pytest.raises(ValueError, match="histogram-family parent"):
+        es_aggregate(sales, {
+            "t": {
+                "terms": {"field": "region"},
+                "aggs": {"cum": {"cumulative_sum": {"buckets_path": "doc_count"}}},
+            }
+        })
+    with pytest.raises(ValueError, match="not a sibling metric"):
+        es_aggregate(sales, {
+            "h": {
+                "histogram": {"field": "amount", "interval": 10.0},
+                "aggs": {"cum": {"cumulative_sum": {"buckets_path": "nope"}}},
+            }
+        })
+
+
+# ----------------------------------------------------------------- collapse
+
+
+def test_collapse_keeps_best_hit_per_group(spark, sales):
+    got = es_request(sales, {
+        "query": {"match_all": {}},
+        "collapse": {"field": "region"},
+        "sort": [{"amount": "desc"}],
+        "size": 3,
+        "_source": ["id", "region", "amount"],
+    }, tiebreak="id").collect()
+    # best per region: us→13, eu→20, ap→1; globally sorted desc
+    assert [(r["region"], r["amount"]) for r in got] == [
+        ("eu", 20.0), ("us", 13.0), ("ap", 1.0)
+    ]
+
+
+def test_collapse_requires_sort(spark, sales):
+    with pytest.raises(ValueError, match="collapse requires an explicit sort"):
+        es_request(sales, {
+            "query": {"match_all": {}},
+            "collapse": {"field": "region"},
         })

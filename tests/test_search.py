@@ -365,3 +365,112 @@ def test_match_phrase_differential_vs_python_reference(spark):
         want = {i for i, t in docs if py_phrase_match(t, phrase)}
         assert got == want, f"phrase {phrase}: spark^py diff {got ^ want}"
         assert want, f"degenerate fixture: phrase {phrase} matched nothing"
+
+
+# ------------------------------------------------- round-6 DSL nodes
+
+
+def test_fuzzy_auto_tiers_and_edit_bound(spark):
+    from tweets_elastic_spark.plans.search import Fuzzy
+
+    assert Fuzzy("f", "ab").max_edits() == 0
+    assert Fuzzy("f", "abc").max_edits() == 1
+    assert Fuzzy("f", "abcde").max_edits() == 1
+    assert Fuzzy("f", "abcdef").max_edits() == 2
+    assert Fuzzy("f", "abc", fuzziness=2).max_edits() == 2
+    with pytest.raises(ValueError, match="AUTO"):
+        Fuzzy("f", "abc", fuzziness="ONE").max_edits()
+
+    df = spark.createDataFrame(
+        [("click",), ("clack",), ("cluck",), ("flock",), ("quack",)],
+        "w string",
+    )
+    got = {r["w"] for r in search(df, Fuzzy("w", "click", fuzziness=1), k=None).collect()}
+    assert got == {"click", "clack", "cluck"}  # flock/quack are 2 edits away
+    got0 = {r["w"] for r in search(df, Fuzzy("w", "cl", fuzziness="AUTO"), k=None).collect()}
+    assert got0 == set()  # AUTO on a 2-char term = exact match only
+
+
+def test_ids_query_binds_to_id_field(spark):
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "pk long, v string")
+    q = from_es_json({"query": {"ids": {"values": [1, 3]}}}, id_field="pk")
+    assert {r["pk"] for r in search(df, q, k=None).collect()} == {1, 3}
+    with pytest.raises(ValueError, match="values"):
+        from_es_json({"query": {"ids": {"value": [1]}}})
+
+
+def test_match_operator_and_requires_all_tokens(spark):
+    from tweets_elastic_spark.plans.search import Match
+
+    df = spark.createDataFrame(
+        [(1, "spark merge fast"), (2, "spark only here"), (3, "merge alone"),
+         (4, "nothing relevant")],
+        "id long, text string",
+    )
+    q_or = Match("text", "spark merge", analyzer="standard")
+    q_and = Match("text", "spark merge", analyzer="standard", operator="and")
+    assert {r["id"] for r in search(df, q_or, k=None).collect()} == {1, 2, 3}
+    assert {r["id"] for r in search(df, q_and, k=None).collect()} == {1}
+    with pytest.raises(ValueError, match="operator"):
+        search(df, Match("text", "x", analyzer="standard", operator="xor"), k=None)
+
+
+def test_match_minimum_should_match_tokens(spark):
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    df = spark.createDataFrame(
+        [(1, "spark merge join"), (2, "spark merge"), (3, "spark alone"),
+         (4, "other words")],
+        "id long, text string",
+    )
+    q = from_es_json(
+        {"query": {"match": {"text": {
+            "query": "spark merge join", "minimum_should_match": 2}}}},
+        analyzers={"text": "standard"},
+    )
+    assert {r["id"] for r in search(df, q, k=None).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="unsupported match options"):
+        from_es_json({"query": {"match": {"text": {
+            "query": "x", "fuzziness": 1}}}})
+
+
+def test_multi_match_best_fields_takes_max_boosted_leg(spark):
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    df = spark.createDataFrame(
+        [(1, "merge is here", "other"), (2, "plain words", "src1"),
+         (3, "merge too", "src1"), (4, "nothing", "none")],
+        "id long, text string, source string",
+    )
+    q = from_es_json(
+        {"query": {"multi_match": {"query": "src1 merge",
+                                   "fields": ["text^2", "source"]}}},
+        analyzers={"text": "standard", "source": "standard"},
+    )
+    got = {r["id"]: r["score"] for r in search(df, q, k=None).collect()}
+    # text leg fires → 2.0; source-only → 1.0; both → max = 2.0
+    assert got == {1: 2.0, 2: 1.0, 3: 2.0}
+    with pytest.raises(ValueError, match="best_fields"):
+        from_es_json({"query": {"multi_match": {
+            "query": "x", "fields": ["a"], "type": "phrase"}}})
+    with pytest.raises(ValueError, match="at least one field"):
+        from_es_json({"query": {"multi_match": {"query": "x", "fields": []}}})
+
+
+def test_multi_match_keyword_leg_without_analyzer_is_equality(spark):
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    df = spark.createDataFrame(
+        [(1, "merge word soup", "en"), (2, "no match", "en"), (3, "merge", "de")],
+        "id long, text string, lang string",
+    )
+    # lang has no analyzer binding → keyword equality against the WHOLE
+    # query string (which never equals 'merge text'), so only text fires
+    q = from_es_json(
+        {"query": {"multi_match": {"query": "merge", "fields": ["text", "lang"]}}},
+        analyzers={"text": "standard"},
+    )
+    got = {r["id"] for r in search(df, q, k=None).collect()}
+    assert got == {1, 3}

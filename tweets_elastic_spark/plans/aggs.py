@@ -18,12 +18,25 @@ Supported surface:
   null contract holds: documents missing the bucket field leave the
   aggregation unless ``missing`` supplies a substitute.
 * metric sub-aggs: ``sum``, ``avg``, ``min``, ``max``, ``value_count``,
-  ``cardinality``. ES's ``cardinality`` is an HLL approximation; this
-  engine evaluates it EXACTLY (countDistinct) so results stay
-  oracle-checkable — a documented, strictly-more-accurate divergence.
+  ``cardinality``, ``percentiles``, ``stats``. ES's ``cardinality``/
+  ``percentiles`` are approximations (HLL / t-digest); this engine
+  evaluates them EXACTLY (countDistinct / interpolated percentile) so
+  results stay oracle-checkable — documented, strictly-more-accurate
+  divergences.
+* ``composite`` (cursor-paginated bucket enumeration in total key order —
+  the scale path; the ``after`` cursor compiles to a keyset row-filter
+  BELOW the aggregation).
+* ``significant_terms`` (foreground-vs-background term scoring, ES's JLH
+  heuristic, one conditional-aggregation scan).
+* pipeline aggs over a histogram parent: ``cumulative_sum``,
+  ``derivative`` (window functions over the reduced bucket relation —
+  the coordinator-side shape ES itself uses).
 * ``top_hits`` (per-bucket top documents by an explicit sort — a window
   rank, must be the bucket's only sub-agg since its result shape is
   documents, not metrics).
+
+The hits path (es_request) additionally supports ``collapse`` (field
+collapsing: best hit per group under the request sort — a window rank).
 
 Result shape: the flattened leaf-bucket relation — one row per innermost
 bucket combination, carrying every level's key column plus ``doc_count``
@@ -140,6 +153,20 @@ def _metric_cols(aggs: dict) -> list[Column]:
         (kind, body), = spec.items()
         if kind in _METRICS:
             out.append(_METRICS[kind](F.col(body["field"])).alias(name))
+        elif kind == "percentiles":
+            # ES estimates percentiles with t-digest; this engine evaluates
+            # them EXACTLY (built-in `percentile`, linear interpolation —
+            # the same definition as SQL's quantile_cont) so results stay
+            # oracle-checkable: a documented strictly-more-accurate
+            # divergence, like cardinality. Flattened one column per
+            # requested percent: {name}_p{percent}.
+            c = F.col(body["field"])
+            for p in body.get("percents", [25, 50, 75]):
+                label = str(p).replace(".", "_")
+                out.append(
+                    F.round(F.percentile(c, float(p) / 100.0), 6)
+                    .alias(f"{name}_p{label}")
+                )
         elif kind == "stats":
             c = F.col(body["field"])
             out += [
@@ -180,6 +207,155 @@ def _filters_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
     return wide.unpivot([], list(named), name, "doc_count")
 
 
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range")
+_PIPELINE_KINDS = ("cumulative_sum", "derivative")
+
+
+def _composite_agg(df: DataFrame, body: dict, sub: dict) -> DataFrame:
+    """ES ``composite`` agg: the SCALE path for bucket enumeration — instead
+    of one truncated top-N response, buckets stream out in total key order,
+    ``size`` per page, resumable via the ``after`` cursor (the last page's
+    final key tuple).
+
+    Compiled so each page is cheap at 100 TB: every source key is a
+    deterministic row-level expression, so the strictly-after cursor
+    condition is applied BELOW the aggregation as a row filter (the same
+    direction-aware lexicographic keyset predicate search_after uses) —
+    for leading terms sources it is a plain comparison the parquet scan
+    prunes on, and the groupBy then aggregates only the remaining rows.
+    ES's own composite agg does exactly this walk over the doc-values
+    index. Bucket order = source order (each ``asc`` by default, per-source
+    ``"order": "desc"`` honored); date_histogram keys are zero-padded
+    timestamp strings, so string order IS chronological order and the
+    cursor comparisons stay faithful. Docs missing any source value are
+    skipped (``missing_bucket`` is unsupported → raise, never silently
+    re-bucket). Metric sub-aggs ride the single groupBy."""
+    sources = body.get("sources")
+    if not isinstance(sources, list) or not sources:
+        raise ValueError("composite needs a non-empty 'sources' list")
+    keys: list[tuple[str, Column, bool]] = []
+    for entry in sources:
+        (sname, sspec), = entry.items()
+        (skind, sbody), = sspec.items()
+        if skind not in ("terms", "date_histogram", "histogram"):
+            raise ValueError(f"unsupported composite source type: {skind!r}")
+        if sbody.get("missing_bucket"):
+            raise ValueError("composite missing_bucket is not supported")
+        desc = sbody.get("order", "asc") == "desc"
+        keys.append((sname, _bucket_key(skind, sbody), desc))
+    if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+        raise ValueError("composite sub-aggs must be metrics, not buckets")
+    keyed = df
+    for _, k, _ in keys:
+        keyed = keyed.filter(k.isNotNull())
+    after = body.get("after")
+    if after is not None:
+        missing = [n for n, _, _ in keys if n not in after]
+        if missing:
+            raise ValueError(f"after cursor missing source keys: {missing}")
+        pred = F.lit(False)
+        for sname, k, desc in reversed(keys):
+            val = F.lit(after[sname])
+            strict = k < val if desc else k > val
+            pred = strict | ((k == val) & pred)
+        keyed = keyed.filter(pred)
+    out = (
+        keyed.groupBy(*[k.alias(n) for n, k, _ in keys])
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub))
+    )
+    order = [F.col(n).desc() if d else F.col(n).asc() for n, _, d in keys]
+    return out.orderBy(*order).limit(int(body.get("size", 10)))
+
+
+def _significant_terms(
+    df: DataFrame, fg_pred: Column | None, name: str, body: dict
+) -> DataFrame:
+    """ES ``significant_terms``: terms over-represented in the query's
+    foreground set relative to the whole index, scored with ES's default
+    JLH heuristic: (fg% − bg%) · (fg% / bg%), where fg% = bucket's share of
+    foreground docs and bg% = its share of the index (docs carrying the
+    field, both sets).
+
+    ONE conditional-aggregation scan builds both frequency columns per term
+    (fg = sum-of-CASE on the query predicate, bg = count), the two scalar
+    totals come from re-aggregating the tiny bucket relation, and the
+    broadcast cross-join attaches them — no second corpus pass, no shuffle
+    beyond the term groupBy. ES's shard-level ranking heuristics
+    (shard_size, shard_min_doc_count) are index-sharding workarounds this
+    engine doesn't need: the groupBy sees global counts."""
+    field = body["field"]
+    size = int(body.get("size", 10))
+    if fg_pred is None:
+        raise ValueError(
+            "significant_terms needs the request's query to define the "
+            "foreground set"
+        )
+    g = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias(name))
+        .agg(
+            F.sum(F.when(fg_pred, 1).otherwise(0)).cast("long").alias("doc_count"),
+            F.count(F.lit(1)).alias("bg_count"),
+        )
+    )
+    totals = g.agg(
+        F.sum("doc_count").cast("double").alias("_fg_total"),
+        F.sum("bg_count").cast("double").alias("_bg_total"),
+    )
+    fg_pct = F.col("doc_count") / F.col("_fg_total")
+    bg_pct = F.col("bg_count") / F.col("_bg_total")
+    return (
+        g.join(F.broadcast(totals))
+        .filter(F.col("doc_count") > 0)
+        .select(
+            name, "doc_count", "bg_count",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(name).asc())
+        .limit(size)
+    )
+
+
+def _apply_pipeline_aggs(
+    out: DataFrame, bucket_name: str, kind: str, pipes: dict
+) -> DataFrame:
+    """ES pipeline aggregations over a histogram-family parent:
+    ``cumulative_sum`` (running total) and ``derivative`` (bucket-over-
+    bucket delta, NULL for the first bucket — ES's contract) of a
+    ``buckets_path`` metric, as window functions ordered by the bucket key.
+
+    ES evaluates pipeline aggs coordinator-side over the REDUCED bucket
+    list; this is the same shape — the window runs on the post-aggregation
+    bucket relation (histogram cardinality, not corpus cardinality), so the
+    single-partition window is the semantics, not a scale bug."""
+    from pyspark.sql.window import Window
+
+    if kind not in ("date_histogram", "histogram"):
+        raise ValueError(
+            f"pipeline aggs need a histogram-family parent bucket "
+            f"(deterministic key order), got {kind!r}"
+        )
+    w = Window.orderBy(F.col(bucket_name).asc())
+    for pname, spec in pipes.items():
+        (pkind, pbody), = spec.items()
+        path = pbody["buckets_path"]
+        if path not in out.columns:
+            raise ValueError(
+                f"{pkind} buckets_path {path!r} is not a sibling metric "
+                f"(have: {out.columns})"
+            )
+        if pkind == "cumulative_sum":
+            out = out.withColumn(
+                pname,
+                F.sum(path).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+        else:
+            out = out.withColumn(pname, F.col(path) - F.lag(path).over(w))
+    return out
+
+
 def _top_hits(
     df: DataFrame, bucket_key: Column, bucket_name: str, body: dict
 ) -> DataFrame:
@@ -217,22 +393,38 @@ def _top_hits(
     return out
 
 
-def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
+def es_aggregate(
+    df: DataFrame, aggs_dsl: dict, fg_pred: Column | None = None
+) -> DataFrame:
     """Compile one top-level named agg (ES ``"aggs": {name: {...}}``) to a
-    groupBy plan and return the flattened leaf-bucket relation."""
+    groupBy plan and return the flattened leaf-bucket relation.
+    ``fg_pred`` (set by es_request) carries the request query's predicate
+    for aggs that need BOTH sides of the filter split (significant_terms
+    compares foreground vs background); for every other agg the caller
+    passes the already-filtered frame."""
     if len(aggs_dsl) != 1:
         raise ValueError(
             f"expected exactly one top-level aggregation, got {sorted(aggs_dsl)}"
         )
     (name, spec), = aggs_dsl.items()
     spec = dict(spec)
-    sub = spec.pop("aggs", {})
+    sub = dict(spec.pop("aggs", {}))
     (kind, body), = spec.items()
 
     if kind == "filters":
         if sub:
             raise ValueError("filters agg does not support sub-aggs here")
         return _filters_agg(df, name, body)
+    if kind == "composite":
+        return _composite_agg(df, body, sub)
+    if kind == "significant_terms":
+        if sub:
+            raise ValueError("significant_terms sub-aggs are not supported")
+        return _significant_terms(df, fg_pred, name, body)
+
+    pipes = {n: s for n, s in sub.items() if next(iter(s)) in _PIPELINE_KINDS}
+    for n in pipes:
+        sub.pop(n)
 
     # top_hits: a different result shape (documents, not metrics) — it
     # must be the bucket's only sub-agg.
@@ -292,6 +484,12 @@ def es_aggregate(df: DataFrame, aggs_dsl: dict) -> DataFrame:
     mdc = leaf_body.get("min_doc_count")
     if mdc is not None:
         out = out.filter(F.col("doc_count") >= int(mdc))
+    if pipes:
+        if nested_bucket:
+            raise ValueError(
+                "pipeline aggs with a nested bucket agg are unsupported"
+            )
+        out = _apply_pipeline_aggs(out, name, kind, pipes)
     if size is not None:
         # ES terms-agg truncation: top-N buckets by doc_count desc, key asc.
         # With a nested level the bucket count is the SUM over its leaves.
@@ -341,9 +539,14 @@ def es_request(
     else:
         tree = None
     if aggs is not None:
-        filtered = df if tree is None else df.filter(
-            tree.predicate(df.sparkSession, F.col)
-        )
+        pred = None if tree is None else tree.predicate(df.sparkSession, F.col)
+        if len(aggs) == 1:
+            (_, spec0), = aggs.items()
+            if [k for k in spec0 if k != "aggs"] == ["significant_terms"]:
+                # needs BOTH sides of the query split: the predicate marks
+                # the foreground, the unfiltered frame is the background
+                return es_aggregate(df, aggs, fg_pred=pred)
+        filtered = df if pred is None else df.filter(pred)
         return es_aggregate(filtered, aggs)
     if tree is None:
         raise ValueError("request has neither 'query' nor 'aggs'")
@@ -385,10 +588,29 @@ def es_request(
         order = [
             F.col(f).desc() if d else F.col(f).asc() for f, d in specs
         ]
+        collapse = body.get("collapse")
+        if collapse is not None:
+            # ES field collapsing: keep only the best hit per collapse-field
+            # group under the request sort, THEN rank globally — a window
+            # rank over the collapse key (one exchange on that key), the
+            # same per-group-top-1 plan top_hits uses, no self-join.
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(collapse["field"]).orderBy(*order)
+            out = (
+                out.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .drop("_rk")
+            )
         out = out.orderBy(*order).limit(int(body.get("size", 10)))
     else:
         if body.get("search_after") is not None:
             raise ValueError("search_after requires an explicit sort")
+        if body.get("collapse") is not None:
+            raise ValueError(
+                "collapse requires an explicit sort (deterministic "
+                "best-hit-per-group needs a total order)"
+            )
         out = search(df, tree, k=body.get("size", 10), tiebreak=tiebreak)
     if source is not None:
         out = out.select(*source)

@@ -106,15 +106,26 @@ class Match(Query):
     """Q5: analyzed full-text match. With ``analyzer=None`` the field is a
     keyword → equality (exactly what the reference query needs for
     ``context_annotations.domain.name`` = "Person"). With an analyzer, the
-    query text is analyzed at query time and matched by token overlap
-    against ``tokens_col`` (materialized) or an inline analysis."""
+    query text is analyzed at query time and matched against ``tokens_col``
+    (materialized) or an inline analysis. ES's match options:
+
+    * ``operator="or"`` (default): any query token present — arrays_overlap.
+    * ``operator="and"``: EVERY query token present — a conjunction of
+      array_contains (each a codegen'd expression; no HOF loop).
+    * ``minimum_should_match=n``: at least n query tokens present — the
+      middle ground, a sum of matched-token indicators.
+    """
 
     field: str
     text: str
     analyzer: str | None = None
     tokens_col: str | None = None
+    operator: str = "or"
+    minimum_should_match: int = 0
 
     def predicate(self, spark, resolve) -> Column:
+        if self.operator not in ("or", "and"):
+            raise ValueError(f"match operator must be 'or'/'and', got {self.operator!r}")
         if self.analyzer is None:
             return resolve(self.field) == F.lit(self.text)
         query_tokens = analyze_text(spark, self.text, self.analyzer)
@@ -125,6 +136,20 @@ class Match(Query):
             if self.tokens_col is not None
             else analyze(resolve(self.field), self.analyzer)
         )
+        if self.operator == "and":
+            out = F.array_contains(field_tokens, query_tokens[0])
+            for t in query_tokens[1:]:
+                out = out & F.array_contains(field_tokens, t)
+            return out
+        if self.minimum_should_match > 1:
+            matched = sum(
+                (
+                    F.array_contains(field_tokens, t).cast("int")
+                    for t in query_tokens
+                ),
+                start=F.lit(0),
+            )
+            return matched >= self.minimum_should_match
         return F.arrays_overlap(
             field_tokens, F.array(*[F.lit(t) for t in query_tokens])
         )
@@ -170,6 +195,96 @@ class Wildcard(Query):
     def predicate(self, spark, resolve) -> Column:
         like = _like_escape(self.pattern).replace("*", "%").replace("?", "_")
         return resolve(self.field).like(like)
+
+
+@dataclass
+class Fuzzy(Query):
+    """ES ``fuzzy``: keyword match within bounded Levenshtein edit distance.
+    ``fuzziness`` is an int or ``"AUTO"`` (ES's tiering: 0 edits for terms
+    of ≤2 chars, 1 for 3–5, 2 for ≥6). Compiles to the built-in
+    ``levenshtein(field, lit) <= d`` — a codegen'd JVM expression DuckDB
+    mirrors verbatim (``levenshtein``), so the node is fully oracle-able.
+    Lucene's fuzzy machinery is a Levenshtein AUTOMATON over the term
+    dictionary — an index-side optimization of the same predicate; at scale
+    the materialized term dictionary (indexing.build_term_dict) bounds the
+    distinct-value side exactly like Lucene's."""
+
+    field: str
+    value: str
+    fuzziness: object = "AUTO"
+
+    def max_edits(self) -> int:
+        if isinstance(self.fuzziness, str):
+            if self.fuzziness.upper() != "AUTO":
+                raise ValueError(
+                    f"fuzziness must be an int or 'AUTO', got {self.fuzziness!r}"
+                )
+            n = len(self.value)
+            return 0 if n <= 2 else (1 if n <= 5 else 2)
+        return int(self.fuzziness)
+
+    def predicate(self, spark, resolve) -> Column:
+        d = self.max_edits()
+        if d == 0:
+            return resolve(self.field) == F.lit(self.value)
+        return F.levenshtein(resolve(self.field), F.lit(self.value)) <= d
+
+
+@dataclass
+class Ids(Query):
+    """ES ``ids``: document-key membership. ES resolves ``_id`` metadata;
+    this engine binds it to the corpus id column (``from_es_json``'s
+    ``id_field``, default ``doc_id``) — an IN-list the scan pushes down."""
+
+    values: list
+    id_field: str = "doc_id"
+
+    def predicate(self, spark, resolve) -> Column:
+        return resolve(self.id_field).isin(list(self.values))
+
+
+@dataclass
+class MultiMatch(Query):
+    """ES ``multi_match`` (``best_fields``, the default type): the query
+    text runs against several fields, each analyzed by its OWN mapping
+    analyzer; a document matches if any field matches, and the score is the
+    best single field's score (per-field boost from the ``"field^boost"``
+    syntax, parsed by the compiler). Fields without an analyzer binding are
+    keywords → whole-string equality, exactly the per-field Match
+    semantics. Score = greatest(boost_i · matched_i): one codegen'd
+    expression, no per-field subquery."""
+
+    CONSTANT_SCORE = False
+
+    fields: list  # [(field, boost), ...]
+    text: str
+    analyzers: dict
+    tokens_cols: dict
+
+    def _legs(self, spark, resolve) -> list[tuple[Column, float]]:
+        legs = []
+        for field, boost in self.fields:
+            m = Match(
+                field, self.text,
+                analyzer=self.analyzers.get(field),
+                tokens_col=self.tokens_cols.get(field),
+            )
+            legs.append((m.predicate(spark, resolve), float(boost)))
+        return legs
+
+    def predicate(self, spark, resolve) -> Column:
+        legs = self._legs(spark, resolve)
+        out = legs[0][0]
+        for p, _ in legs[1:]:
+            out = out | p
+        return out
+
+    def score(self, spark, resolve) -> Column:
+        scored = [
+            F.when(p, F.lit(b)).otherwise(F.lit(0.0))
+            for p, b in self._legs(spark, resolve)
+        ]
+        return scored[0] if len(scored) == 1 else F.greatest(*scored)
 
 
 @dataclass
@@ -483,6 +598,7 @@ def from_es_json(
     analyzers: dict[str, str] | None = None,
     tokens_cols: dict[str, str] | None = None,
     nested_paths: set[str] | frozenset[str] = frozenset(),
+    id_field: str = "doc_id",
 ) -> Query:
     """Compile an Elasticsearch query-DSL JSON object into the Query tree —
     the front-end that lets the reference's own query artifact
@@ -491,9 +607,12 @@ def from_es_json(
     Supported surface = what the reference exercises plus the tree's other
     nodes: ``function_score``, ``bool`` (must/filter/should/must_not/
     minimum_should_match, scalar-or-list clauses, the reference's
-    ``{"query": ..., "weight": w}`` should shape), ``nested``, ``match``,
-    ``term``, ``range``, ``exists``, ``match_all``. Unknown clause types
-    raise (never silently drop a predicate).
+    ``{"query": ..., "weight": w}`` should shape), ``nested``, ``match``
+    (with ``operator``/``minimum_should_match``), ``multi_match``
+    (best_fields, ``field^boost`` syntax), ``match_phrase``, ``term``,
+    ``terms``, ``prefix``, ``wildcard``, ``fuzzy``, ``ids`` (bound to
+    ``id_field``), ``range``, ``exists``, ``match_all``. Unknown clause
+    types raise (never silently drop a predicate).
 
     Mapping-driven resolution, as in ES:
 
@@ -579,16 +698,62 @@ def from_es_json(
             return Nested(path, compile_node(body["query"], body["path"]))
         if kind == "match":
             (field, spec), = body.items()
-            text = spec["query"] if isinstance(spec, dict) else spec
+            if isinstance(spec, dict):
+                extra = set(spec) - {"query", "operator", "minimum_should_match"}
+                if extra:
+                    raise ValueError(f"unsupported match options: {extra}")
+                text = spec["query"]
+                operator = spec.get("operator", "or")
+                msm = int(spec.get("minimum_should_match", 0))
+            else:
+                text, operator, msm = spec, "or", 0
             return auto_nest(
                 field,
                 lambda f: Match(
                     f, text,
                     analyzer=analyzers.get(field),
                     tokens_col=tokens_cols.get(field),
+                    operator=operator,
+                    minimum_should_match=msm,
                 ),
                 scope,
             )
+        if kind == "multi_match":
+            extra = set(body) - {"query", "fields", "type"}
+            if extra:
+                raise ValueError(f"unsupported multi_match options: {extra}")
+            if body.get("type", "best_fields") != "best_fields":
+                raise ValueError(
+                    f"unsupported multi_match type: {body['type']!r} "
+                    "(best_fields only)"
+                )
+            fields = []
+            for spec in body["fields"]:
+                field, _, boost = spec.partition("^")
+                fields.append((field, float(boost) if boost else 1.0))
+            if not fields:
+                raise ValueError("multi_match needs at least one field")
+            return MultiMatch(
+                fields, body["query"], analyzers=analyzers,
+                tokens_cols=tokens_cols,
+            )
+        if kind == "fuzzy":
+            (field, spec), = body.items()
+            if isinstance(spec, dict):
+                extra = set(spec) - {"value", "fuzziness"}
+                if extra:
+                    raise ValueError(f"unsupported fuzzy options: {extra}")
+                value, fuzziness = spec["value"], spec.get("fuzziness", "AUTO")
+            else:
+                value, fuzziness = spec, "AUTO"
+            return auto_nest(
+                field, lambda f: Fuzzy(f, value, fuzziness=fuzziness), scope
+            )
+        if kind == "ids":
+            values = body.get("values")
+            if not isinstance(values, list):
+                raise ValueError(f"ids expects {{'values': [...]}}, got {body!r}")
+            return Ids(values, id_field=id_field)
         if kind == "term":
             (field, spec), = body.items()
             value = spec["value"] if isinstance(spec, dict) else spec

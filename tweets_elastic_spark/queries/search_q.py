@@ -550,3 +550,331 @@ def q_es_aggs_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     }
     return es_request(events, request)
+
+
+@register(
+    "search_dsl_fuzzy_ids",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    )
+    SELECT doc_id, lang, source FROM toks
+    WHERE list_contains(t, 'spark') AND list_contains(t, 'merge')
+      AND levenshtein(source, 'sr1') <= 1
+      AND doc_id NOT IN (7, 8, 9)
+    """,
+    doc="Three DSL nodes beyond the reference artifact in one compiled "
+        "query: match with operator=and (EVERY query token present — a "
+        "conjunction of array_contains, not overlap; ~313 docs contain "
+        "either token at sf0.01, far fewer contain both), fuzzy with "
+        "fuzziness=AUTO ('sr1' → 1 edit → only source 'src1' is within "
+        "distance; the built-in levenshtein both engines share), and ids "
+        "must_not (keyed exclusion, an anti-IN the scan prunes on).",
+)
+def q_search_dsl_fuzzy_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {
+        "query": {
+            "bool": {
+                "must": [
+                    {"match": {"text": {"query": "spark merge",
+                                        "operator": "and"}}}
+                ],
+                "filter": [
+                    {"fuzzy": {"source": {"value": "sr1",
+                                          "fuzziness": "AUTO"}}}
+                ],
+                "must_not": [{"ids": {"values": [7, 8, 9]}}],
+            }
+        }
+    }
+    query = from_es_json(dsl, analyzers={"text": "standard"})
+    return search(docs, query, k=None).select("doc_id", "lang", "source")
+
+
+@register(
+    "search_multi_match",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t,
+               list_transform(
+                 list_filter(regexp_split_to_array(source, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS st
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(greatest(
+             CASE WHEN list_has_any(t, ['src1', 'merge']) THEN 2.0 ELSE 0.0 END,
+             CASE WHEN list_has_any(st, ['src1', 'merge']) THEN 1.0 ELSE 0.0 END
+           ) AS DOUBLE) AS score
+    FROM toks
+    WHERE list_has_any(t, ['src1', 'merge']) OR list_has_any(st, ['src1', 'merge'])
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+    doc="ES multi_match (best_fields): one query string against several "
+        "fields, each analyzed by its own mapping analyzer, scored as the "
+        "best single field (field^boost syntax: text^2 vs source). Both "
+        "legs genuinely fire on the fixture — 'merge' hits text, 'src1' "
+        "hits source — and the score is greatest(2·text_hit, 1·source_hit),"
+        " one codegen'd expression, no per-field subquery or union.",
+)
+def q_search_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {
+        "query": {
+            "multi_match": {
+                "query": "src1 merge",
+                "fields": ["text^2", "source"],
+            }
+        }
+    }
+    query = from_es_json(
+        dsl, analyzers={"text": "standard", "source": "standard"}
+    )
+    return search(docs, query, k=25, tiebreak="doc_id").select(
+        "doc_id", "source", "score"
+    )
+
+
+@register(
+    "es_aggs_composite",
+    oracle="""
+    SELECT lang AS by_lang, source AS by_src,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           max(n_chars) AS max_chars
+    FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+      AND (lang > 'en' OR (lang = 'en' AND source > 'src12'))
+    GROUP BY 1, 2
+    ORDER BY by_lang ASC, by_src ASC
+    LIMIT 20
+    """,
+    doc="ES composite aggregation — the SCALE path for bucket enumeration: "
+        "buckets in total (by_lang, by_src) key order, one page of 20, "
+        "resumed from the after cursor (en, src12). The cursor compiles to "
+        "a strictly-after keyset predicate on the source key expressions "
+        "applied BELOW the aggregation (bucket key = row-level expression), "
+        "so each page scans only rows past the cursor — the same doc-values "
+        "walk ES's own composite agg does, and the groupBy shuffles only "
+        "the surviving rows. Metric sub-aggs ride the single groupBy.",
+)
+def q_es_aggs_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "aggs": {
+            "page": {
+                "composite": {
+                    "size": 20,
+                    "sources": [
+                        {"by_lang": {"terms": {"field": "lang"}}},
+                        {"by_src": {"terms": {"field": "source"}}},
+                    ],
+                    "after": {"by_lang": "en", "by_src": "src12"},
+                },
+                "aggs": {"max_chars": {"max": {"field": "n_chars"}}},
+            }
+        }
+    }
+    return es_request(docs, request)
+
+
+@register(
+    "es_aggs_percentiles",
+    oracle="""
+    SELECT lang AS by_lang,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(quantile_cont(n_chars, 0.25), 6) AS len_p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS len_p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS len_p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS len_p95,
+           round(avg(n_chars), 6) AS len_avg
+    FROM documents
+    WHERE n_chars > 100 AND lang IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES percentiles metric agg per terms bucket: document-length "
+        "quartiles + p95 by language over a query-filtered scan. ES "
+        "estimates percentiles with t-digest; this engine evaluates them "
+        "EXACTLY (built-in percentile, linear interpolation — the "
+        "quantile_cont definition, so DuckDB mirrors it bit-for-bit at 6 "
+        "dp) — a documented strictly-more-accurate divergence, same "
+        "contract as exact cardinality. One groupBy: percentile is a "
+        "built-in JVM aggregate riding the same partial/final plan.",
+)
+def q_es_aggs_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "query": {"range": {"n_chars": {"gt": 100}}},
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang"},
+                "aggs": {
+                    "len": {
+                        "percentiles": {
+                            "field": "n_chars",
+                            "percents": [25, 50, 75, 95],
+                        }
+                    },
+                    "len_avg": {"avg": {"field": "n_chars"}},
+                },
+            }
+        },
+    }
+    out = es_request(docs, request)
+    return out.select(
+        "by_lang", "doc_count", "len_p25", "len_p50", "len_p75", "len_p95",
+        F.round("len_avg", 6).alias("len_avg"),
+    )
+
+
+@register(
+    "es_aggs_significant_terms",
+    oracle="""
+    WITH g AS (
+        SELECT source AS sig_src,
+               CAST(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS doc_count,
+               CAST(count(*) AS BIGINT) AS bg_count
+        FROM documents
+        WHERE source IS NOT NULL
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(doc_count) AS DOUBLE) AS fg_total,
+               CAST(sum(bg_count) AS DOUBLE) AS bg_total
+        FROM g
+    )
+    SELECT sig_src, doc_count, bg_count,
+           round(((doc_count / fg_total) - (bg_count / bg_total))
+                 * ((doc_count / fg_total) / (bg_count / bg_total)), 6)
+               AS score
+    FROM g, t
+    WHERE doc_count > 0
+    ORDER BY score DESC, sig_src ASC
+    LIMIT 5
+    """,
+    doc="ES significant_terms: sources over-represented among long "
+        "documents (the request query marks the foreground n_chars > 400) "
+        "relative to the whole corpus, scored with ES's default JLH "
+        "heuristic (fg% − bg%)·(fg%/bg%). ONE conditional-aggregation scan "
+        "builds fg and bg frequencies per term together (sum-of-CASE + "
+        "count in the same groupBy — no second corpus pass); the two "
+        "totals re-aggregate the tiny bucket relation and broadcast back. "
+        "ES's shard_size/shard_min_doc_count knobs are sharding artifacts "
+        "this engine doesn't need: the groupBy sees global counts.",
+)
+def q_es_aggs_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "query": {"range": {"n_chars": {"gt": 400}}},
+        "aggs": {
+            "sig_src": {"significant_terms": {"field": "source", "size": 5}}
+        },
+    }
+    return es_request(docs, request)
+
+
+@register(
+    "es_aggs_pipeline",
+    oracle="""
+    WITH b AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS per_day,
+               CAST(count(*) AS BIGINT) AS doc_count,
+               sum(value) AS total_raw
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT per_day, doc_count,
+           round(total_raw, 4) AS total,
+           round(sum(total_raw) OVER (
+               ORDER BY per_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_total,
+           doc_count - lag(doc_count) OVER (ORDER BY per_day) AS delta
+    FROM b
+    """,
+    doc="ES pipeline aggregations over a date_histogram parent: "
+        "cumulative_sum of a sum metric and derivative of doc_count "
+        "(NULL first bucket, ES's contract), as window functions ordered "
+        "by the bucket key. ES evaluates pipeline aggs coordinator-side "
+        "over the REDUCED bucket list; the single-partition window here "
+        "runs on the same post-aggregation bucket relation (histogram "
+        "cardinality, not corpus cardinality) — the semantics, not a "
+        "scale bug. Sums rounded at 4 dp on both engines (double "
+        "accumulation order differs across partials).",
+)
+def q_es_aggs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    request = {
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "total": {"sum": {"field": "value"}},
+                    "cum_total": {"cumulative_sum": {"buckets_path": "total"}},
+                    "delta": {"derivative": {"buckets_path": "doc_count"}},
+                },
+            }
+        }
+    }
+    out = es_request(events, request)
+    return out.select(
+        "per_day", "doc_count",
+        F.round("total", 4).alias("total"),
+        F.round("cum_total", 4).alias("cum_total"),
+        "delta",
+    )
+
+
+@register(
+    "es_request_collapse",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+               ) AS rk
+        FROM documents WHERE n_chars > 100
+    ) WHERE rk = 1
+    ORDER BY n_chars DESC, doc_id ASC
+    LIMIT 5
+    """,
+    doc="ES field collapsing on the hits path: the single longest document "
+        "per language (collapse field = lang) under the request sort, then "
+        "ranked globally — a window rank over the collapse key (one "
+        "exchange, the per-group-top-1 plan top_hits uses) feeding the "
+        "usual TakeOrderedAndProject. The search-results analogue of "
+        "SELECT DISTINCT ON.",
+)
+def q_es_request_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "query": {"range": {"n_chars": {"gt": 100}}},
+        "collapse": {"field": "lang"},
+        "sort": [{"n_chars": "desc"}],
+        "size": 5,
+        "_source": ["doc_id", "lang", "n_chars"],
+    }
+    return es_request(docs, request, tiebreak="doc_id")

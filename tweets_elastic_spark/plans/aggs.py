@@ -277,12 +277,15 @@ def _significant_terms(
     field, both sets).
 
     ONE conditional-aggregation scan builds both frequency columns per term
-    (fg = sum-of-CASE on the query predicate, bg = count), the two scalar
-    totals come from re-aggregating the tiny bucket relation, and the
-    broadcast cross-join attaches them — no second corpus pass, no shuffle
-    beyond the term groupBy. ES's shard-level ranking heuristics
+    (fg = sum-of-CASE on the query predicate, bg = count); the two scalar
+    totals are a global-window sum over the already-reduced bucket relation
+    (term cardinality, not corpus cardinality — the same coordinator-scale
+    shape as pipeline aggs), so the corpus is scanned exactly once and the
+    only shuffle is the term groupBy. ES's shard-level ranking heuristics
     (shard_size, shard_min_doc_count) are index-sharding workarounds this
     engine doesn't need: the groupBy sees global counts."""
+    from pyspark.sql.window import Window
+
     field = body["field"]
     size = int(body.get("size", 10))
     if fg_pred is None:
@@ -298,15 +301,14 @@ def _significant_terms(
             F.count(F.lit(1)).alias("bg_count"),
         )
     )
-    totals = g.agg(
-        F.sum("doc_count").cast("double").alias("_fg_total"),
-        F.sum("bg_count").cast("double").alias("_bg_total"),
-    )
+    w = Window.partitionBy()
+    g = g.withColumn(
+        "_fg_total", F.sum("doc_count").over(w).cast("double")
+    ).withColumn("_bg_total", F.sum("bg_count").over(w).cast("double"))
     fg_pct = F.col("doc_count") / F.col("_fg_total")
     bg_pct = F.col("bg_count") / F.col("_bg_total")
     return (
-        g.join(F.broadcast(totals))
-        .filter(F.col("doc_count") > 0)
+        g.filter(F.col("doc_count") > 0)
         .select(
             name, "doc_count", "bg_count",
             F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),

@@ -71,14 +71,20 @@ DRIVER_PRIORITY: list[str] = [
     # post-prefix: search_bm25_function_score -> the JSON-DSL compiler;
     # search_exists_filter -> the LM perplexity gate, since exists and
     # range each already hold their own prefix rows — exists_child_hof,
-    # range_filter_conj)
+    # range_filter_conj; search_bm25_indexed -> es_aggs_date_histogram,
+    # giving the ES-aggregations family its first driver row while BM25
+    # keeps search_bm25 and the written-index read-back keeps
+    # ann_lsh_topk_indexed)
     "search_function_score", "search_from_json_dsl", "search_bm25",
-    "lm_perplexity_filter", "search_bm25_indexed",
+    "lm_perplexity_filter", "es_aggs_date_histogram",
     # analyzers
     "analyze_shingles", "analyze_ngram",
-    # windows + time series
+    # windows + time series (user_rolling_1h -> es_aggs_composite: the
+    # window family keeps six prefix rows and the rolling window stays
+    # parity-verified post-prefix, while composite pagination — the
+    # scale path for bucket enumeration — gets driver coverage)
     "tumbling_window", "session_window", "events_asof_join",
-    "user_rolling_1h", "funnel_conversion", "clicks_in_error_windows",
+    "es_aggs_composite", "funnel_conversion", "clicks_in_error_windows",
     "events_daily_pivot",
     # text stats + model filter
     "lang_id", "quality_score", "model_quality_filter",

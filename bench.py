@@ -58,6 +58,13 @@ HEADLINE = [
     "search_bm25",
     "search_bm25_indexed",
     "search_bm25_function_score",
+    "search_dsl_fuzzy_ids",
+    "search_multi_match",
+    "es_aggs_composite",
+    "es_aggs_percentiles",
+    "es_aggs_significant_terms",
+    "es_aggs_pipeline",
+    "es_request_collapse",
     "analyze_englando",
     "analyze_ngram",
     "quality_score",

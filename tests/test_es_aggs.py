@@ -568,3 +568,57 @@ def test_collapse_requires_sort(spark, sales):
             "query": {"match_all": {}},
             "collapse": {"field": "region"},
         })
+
+
+def test_terms_order_by_metric_key_and_errors(spark, sales):
+    by_metric = es_aggregate(sales, {
+        "b": {"terms": {"field": "region", "size": 2,
+                        "order": {"total": "asc"}},
+              "aggs": {"total": {"sum": {"field": "amount"}}}}
+    }).collect()
+    assert [(r["b"], r["total"]) for r in by_metric] == [("ap", 1.0), ("eu", 35.0)]
+    by_key = es_aggregate(sales, {
+        "b": {"terms": {"field": "region", "size": 2, "order": {"_key": "desc"}}}
+    }).collect()
+    assert [r["b"] for r in by_key] == ["us", "eu"]
+    by_count = es_aggregate(sales, {
+        "b": {"terms": {"field": "region", "size": 1, "order": {"_count": "desc"}}}
+    }).collect()
+    assert [r["b"] for r in by_count] == ["us"]
+    with pytest.raises(ValueError, match="not _key/_count or a sibling"):
+        es_aggregate(sales, {
+            "b": {"terms": {"field": "region", "size": 2, "order": {"nope": "desc"}}}
+        })
+    with pytest.raises(ValueError, match="ambiguous"):
+        es_aggregate(sales, {
+            "b": {"terms": {"field": "region", "size": 2, "order": {"_key": "asc"}},
+                  "aggs": {"sub": {"terms": {"field": "product"}}}}
+        })
+
+
+def test_composite_full_walk_equals_one_shot(spark, sales):
+    """Paginating composite to exhaustion reproduces the whole bucket
+    relation exactly once — no overlap, no gap, order preserved."""
+    base = {
+        "sources": [
+            {"r": {"terms": {"field": "region"}}},
+            {"p": {"terms": {"field": "product"}}},
+        ],
+        "size": 2,
+    }
+    walked = []
+    after = None
+    for _ in range(10):
+        body = dict(base)
+        if after is not None:
+            body["after"] = after
+        page = es_aggregate(sales, {"w": {"composite": body}}).collect()
+        if not page:
+            break
+        walked += [(r["r"], r["p"], r["doc_count"]) for r in page]
+        after = {"r": page[-1]["r"], "p": page[-1]["p"]}
+    one_shot = (
+        sales.groupBy("region", "product").count()
+        .orderBy("region", "product").collect()
+    )
+    assert walked == [(r["region"], r["product"], r["count"]) for r in one_shot]

@@ -493,9 +493,31 @@ def es_aggregate(
             )
         out = _apply_pipeline_aggs(out, name, kind, pipes)
     if size is not None:
-        # ES terms-agg truncation: top-N buckets by doc_count desc, key asc.
+        # ES terms-agg truncation: top-N buckets, default doc_count desc /
+        # key asc; ``"order": {target: dir}`` overrides with ``_count``,
+        # ``_key``, or a sibling metric name (ES's bucket-order contract).
         # With a nested level the bucket count is the SUM over its leaves.
-        if nested_bucket:
+        order_body = body.get("order")
+        if order_body is not None:
+            if nested_bucket:
+                raise ValueError(
+                    "terms order above a nested bucket agg is ambiguous in "
+                    "the flattened relation"
+                )
+            (target, direction), = order_body.items()
+            col_name = {"_count": "doc_count", "_key": name}.get(target, target)
+            if col_name not in out.columns:
+                raise ValueError(
+                    f"terms order target {target!r} is not _key/_count or a "
+                    f"sibling metric (have: {out.columns})"
+                )
+            lead = (
+                F.col(col_name).desc()
+                if direction == "desc"
+                else F.col(col_name).asc()
+            )
+            out = out.orderBy(lead, F.col(name).asc()).limit(int(size))
+        elif nested_bucket:
             top = (
                 out.groupBy(name)
                 .agg(F.sum("doc_count").alias("_n"))

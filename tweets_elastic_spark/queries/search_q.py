@@ -878,3 +878,40 @@ def q_es_request_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_source": ["doc_id", "lang", "n_chars"],
     }
     return es_request(docs, request, tiebreak="doc_id")
+
+
+@register(
+    "es_aggs_terms_order_metric",
+    oracle="""
+    SELECT source AS by_src,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source IS NOT NULL
+    GROUP BY 1
+    ORDER BY total_chars DESC, by_src ASC
+    LIMIT 5
+    """,
+    doc="ES terms aggregation ordered by a SUB-METRIC instead of doc_count "
+        "(the 'order': {metric: desc} bucket-order contract, with _key/"
+        "_count as the other targets): top-5 sources by total characters. "
+        "Still one groupBy + TakeOrderedAndProject — the order column is "
+        "already in the aggregated relation, so no extra pass. The metric "
+        "is an exact integer sum, so the truncation boundary is "
+        "deterministic across engines (ordering by a float metric would "
+        "make the top-N cut depend on accumulation order).",
+)
+def q_es_aggs_terms_order_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    request = {
+        "aggs": {
+            "by_src": {
+                "terms": {"field": "source", "size": 5,
+                          "order": {"total_chars": "desc"}},
+                "aggs": {"total_chars": {"sum": {"field": "n_chars"}}},
+            }
+        }
+    }
+    return es_request(docs, request)

@@ -474,3 +474,41 @@ def test_multi_match_keyword_leg_without_analyzer_is_equality(spark):
     )
     got = {r["id"] for r in search(df, q, k=None).collect()}
     assert got == {1, 3}
+
+
+def test_match_fuzziness_per_token(spark):
+    from tweets_elastic_spark.plans.search import Match
+
+    df = spark.createDataFrame(
+        [(1, "spark merge fast"), (2, "spork table"), (3, "nothing here")],
+        "id long, text string",
+    )
+    # 'sparc' is 1 edit from 'spark' (doc 1); 'spork' is 2 edits away
+    q = Match("text", "sparc", analyzer="standard", fuzziness=1)
+    assert {r["id"] for r in search(df, q, k=None).collect()} == {1}
+    q2 = Match("text", "sparc", analyzer="standard", fuzziness=2)
+    assert {r["id"] for r in search(df, q2, k=None).collect()} == {1, 2}
+    # fuzziness composes with operator=and: every term needs a fuzzy hit
+    q_and = Match("text", "sparc merg", analyzer="standard",
+                  fuzziness=1, operator="and")
+    assert {r["id"] for r in search(df, q_and, k=None).collect()} == {1}
+    # fuzziness=0 degrades to exact token match
+    q0 = Match("text", "sparc", analyzer="standard", fuzziness=0)
+    assert search(df, q0, k=None).count() == 0
+
+
+def test_fuzzy_expand_walks_term_dictionary(spark, tmp_path):
+    from tweets_elastic_spark.indexing import fuzzy_expand
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [("spark", 10), ("spork", 2), ("sparkle", 1), ("merge", 5),
+         ("table", 7)],
+        "token string, df long",
+    ).write.parquet(f"{idx}/token_stats__text__std")
+    got = fuzzy_expand(spark, idx, "text__std", "sparc", fuzziness=1)
+    assert got == ["spark"]  # spork is 2 edits; sparkle is length-pruned
+    got2 = fuzzy_expand(spark, idx, "text__std", "sparc", fuzziness=2)
+    assert got2 == ["spark", "spork"]  # sparkle is 3 edits (k->c, -l, -e)
+    # AUTO tiers: a 2-char term expands to itself only (0 edits)
+    assert fuzzy_expand(spark, idx, "text__std", "sp") == ["sp"]

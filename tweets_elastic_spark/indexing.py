@@ -431,3 +431,38 @@ def read_indexed_documents(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def read_indexed_embeddings(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "embeddings_indexed"))
+
+
+def fuzzy_expand(
+    spark: SparkSession,
+    index_dir: str,
+    tok_col: str,
+    term: str,
+    fuzziness: object = "AUTO",
+) -> list[str]:
+    """Expand a fuzzy query term against the stored term dictionary —
+    Lucene's fuzzy machinery re-expressed: instead of testing every FIELD
+    token per row (the inline ``Match(fuzziness=...)`` HOF), intersect the
+    Levenshtein ball with the BOUNDED vocabulary once, driver-side, and
+    match the expansion exactly. The dictionary scan is pruned first by
+    token length (|len(tok) − len(term)| ≤ d pushes down; edit distance
+    can't be smaller than the length gap), then filtered by the built-in
+    levenshtein. Returns the matching vocabulary terms (a handful), which
+    the caller turns into a plain arrays_overlap — at 100 TB the per-row
+    work is an exact token lookup, not an edit-distance loop."""
+    from tweets_elastic_spark.plans.search import Fuzzy
+
+    d = Fuzzy("_", term, fuzziness=fuzziness).max_edits()
+    if d == 0:
+        return [term]
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, f"token_stats__{tok_col}"))
+        .select("token")
+        .filter(
+            (F.abs(F.length("token") - F.lit(len(term))) <= d)
+            & (F.levenshtein(F.col("token"), F.lit(term)) <= d)
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["token"] for r in rows)

@@ -114,6 +114,14 @@ class Match(Query):
       array_contains (each a codegen'd expression; no HOF loop).
     * ``minimum_should_match=n``: at least n query tokens present — the
       middle ground, a sum of matched-token indicators.
+    * ``fuzziness`` (int or "AUTO", per-term tiering like the fuzzy query):
+      a query token matches any FIELD token within that edit distance — an
+      ``exists(tokens, levenshtein ≤ d)`` HOF per query term, scan-local
+      (no shuffle; O(tokens · terms) per row). At index scale the faster
+      route is the stored term dictionary: expand each fuzzy term against
+      the bounded vocabulary driver-side (Lucene's Levenshtein-automaton
+      walk re-expressed), then match exactly — see
+      queries/search_q.fuzzy_expand.
     """
 
     field: str
@@ -122,6 +130,17 @@ class Match(Query):
     tokens_col: str | None = None
     operator: str = "or"
     minimum_should_match: int = 0
+    fuzziness: object = None
+
+    def _token_pred(self, field_tokens: Column, t: str) -> Column:
+        if self.fuzziness is None:
+            return F.array_contains(field_tokens, t)
+        d = Fuzzy(self.field, t, fuzziness=self.fuzziness).max_edits()
+        if d == 0:
+            return F.array_contains(field_tokens, t)
+        return F.exists(
+            field_tokens, lambda x: F.levenshtein(x, F.lit(t)) <= d
+        )
 
     def predicate(self, spark, resolve) -> Column:
         if self.operator not in ("or", "and"):
@@ -137,22 +156,27 @@ class Match(Query):
             else analyze(resolve(self.field), self.analyzer)
         )
         if self.operator == "and":
-            out = F.array_contains(field_tokens, query_tokens[0])
+            out = self._token_pred(field_tokens, query_tokens[0])
             for t in query_tokens[1:]:
-                out = out & F.array_contains(field_tokens, t)
+                out = out & self._token_pred(field_tokens, t)
             return out
         if self.minimum_should_match > 1:
             matched = sum(
                 (
-                    F.array_contains(field_tokens, t).cast("int")
+                    self._token_pred(field_tokens, t).cast("int")
                     for t in query_tokens
                 ),
                 start=F.lit(0),
             )
             return matched >= self.minimum_should_match
-        return F.arrays_overlap(
-            field_tokens, F.array(*[F.lit(t) for t in query_tokens])
-        )
+        if self.fuzziness is None:
+            return F.arrays_overlap(
+                field_tokens, F.array(*[F.lit(t) for t in query_tokens])
+            )
+        out = self._token_pred(field_tokens, query_tokens[0])
+        for t in query_tokens[1:]:
+            out = out | self._token_pred(field_tokens, t)
+        return out
 
 
 @dataclass
@@ -699,14 +723,17 @@ def from_es_json(
         if kind == "match":
             (field, spec), = body.items()
             if isinstance(spec, dict):
-                extra = set(spec) - {"query", "operator", "minimum_should_match"}
+                extra = set(spec) - {
+                    "query", "operator", "minimum_should_match", "fuzziness"
+                }
                 if extra:
                     raise ValueError(f"unsupported match options: {extra}")
                 text = spec["query"]
                 operator = spec.get("operator", "or")
                 msm = int(spec.get("minimum_should_match", 0))
+                fuzziness = spec.get("fuzziness")
             else:
-                text, operator, msm = spec, "or", 0
+                text, operator, msm, fuzziness = spec, "or", 0, None
             return auto_nest(
                 field,
                 lambda f: Match(
@@ -715,6 +742,7 @@ def from_es_json(
                     tokens_col=tokens_cols.get(field),
                     operator=operator,
                     minimum_should_match=msm,
+                    fuzziness=fuzziness,
                 ),
                 scope,
             )

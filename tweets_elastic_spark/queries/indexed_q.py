@@ -277,3 +277,40 @@ def q_ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvec = _query_vec(emb)
     return S.ann_pq_topk_indexed(emb, books, qvec, k=10, rerank=50)
+
+
+@register(
+    "search_match_fuzzy_indexed",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id, lang FROM toks
+    WHERE len(list_filter(tokens, x -> levenshtein(x, 'sparc') <= 1)) > 0
+       OR len(list_filter(tokens, x -> levenshtein(x, 'merg') <= 1)) > 0
+    """,
+    doc="Fuzzy match over the WRITTEN index, Lucene's actual plan: each "
+        "typo'd query term ('sparc', 'merg') intersects its Levenshtein "
+        "ball with the BOUNDED stored term dictionary once driver-side "
+        "(length-pruned pushdown + built-in levenshtein — "
+        "indexing.fuzzy_expand), and the corpus scan then matches the "
+        "expansion EXACTLY via arrays_overlap on the stored token column: "
+        "no per-row edit-distance loop anywhere near the data. The oracle "
+        "recomputes true per-token fuzzy semantics from RAW text, so a "
+        "green row proves dictionary expansion is semantically identical "
+        "to the inline HOF form (search_match_fuzzy).",
+)
+def q_search_match_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.indexing import fuzzy_expand
+
+    idx = ensure_index(spark, sf_dir)
+    docs = read_indexed_documents(spark, idx)
+    expanded = sorted(
+        set(fuzzy_expand(spark, idx, "text__custom_shingles", "sparc"))
+        | set(fuzzy_expand(spark, idx, "text__custom_shingles", "merg"))
+    )
+    if not expanded:
+        return docs.select("doc_id", "lang").limit(0)
+    return docs.filter(
+        F.arrays_overlap(
+            F.col("text__custom_shingles"),
+            F.array(*[F.lit(t) for t in expanded]),
+        )
+    ).select("doc_id", "lang")

@@ -915,3 +915,37 @@ def q_es_aggs_terms_order_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     }
     return es_request(docs, request)
+
+
+_FUZZY_WHERE = """
+          len(list_filter(t, x -> levenshtein(x, 'sparc') <= 1)) > 0
+       OR len(list_filter(t, x -> levenshtein(x, 'merg') <= 1)) > 0"""
+
+
+@register(
+    "search_match_fuzzy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    )
+    SELECT doc_id, lang FROM toks
+    WHERE""" + _FUZZY_WHERE,
+    doc="ES match with fuzziness: the typo'd query 'sparc merg' (1 edit "
+        "from spark/merge, AUTO tier for 5- and 4-char terms) matches via "
+        "a per-query-term exists(tokens, levenshtein <= d) HOF — "
+        "scan-local, no shuffle, O(tokens x terms) per row. The INLINE "
+        "form; the term-dictionary expansion twin "
+        "(search_match_fuzzy_indexed) is the index-scale plan.",
+)
+def q_search_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {
+        "query": {"match": {"text": {"query": "sparc merg", "fuzziness": "AUTO"}}}
+    }
+    query = from_es_json(dsl, analyzers={"text": "standard"})
+    return search(docs, query, k=None).select("doc_id", "lang")

@@ -622,3 +622,30 @@ def test_composite_full_walk_equals_one_shot(spark, sales):
         .orderBy("region", "product").collect()
     )
     assert walked == [(r["region"], r["product"], r["count"]) for r in one_shot]
+
+
+def test_nested_agg_counts_elements_not_parents(spark):
+    rows = [
+        (1, [{"d": "x", "w": 1.0}, {"d": "x", "w": 2.0}, {"d": "y", "w": 3.0}]),
+        (2, [{"d": "x", "w": 4.0}]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, anns array<struct<d string, w double>>"
+    )
+    got = {
+        r["by_d"]: (r["doc_count"], r["top"])
+        for r in es_aggregate(df, {
+            "ca": {
+                "nested": {"path": "anns"},
+                "aggs": {"by_d": {
+                    "terms": {"field": "anns.d"},
+                    "aggs": {"top": {"max": {"field": "anns.w"}}},
+                }},
+            }
+        }).collect()
+    }
+    # 3 x elements (not 2 parent docs), scope prefix stripped, metric rides
+    assert got == {"x": (3, 4.0), "y": (1, 3.0)}
+    with pytest.raises(ValueError, match="exactly one sub-aggregation"):
+        es_aggregate(df, {"ca": {"nested": {"path": "anns"}}})

@@ -419,6 +419,34 @@ def es_aggregate(
         return _filters_agg(df, name, body)
     if kind == "composite":
         return _composite_agg(df, body, sub)
+    if kind == "nested":
+        # ES nested AGG (the agg-side counterpart of the nested query):
+        # buckets/metrics over the ELEMENTS of an array-of-structs field —
+        # doc_count counts nested docs, not parents. Compiles to
+        # explode(path) feeding the ordinary agg machinery; sub-agg field
+        # paths carry the scope prefix (ES convention), stripped here and
+        # resolved against the exploded element. The explode is a
+        # projection (no shuffle); the sub-agg's groupBy is the only
+        # exchange, exactly as for a top-level bucket agg.
+        path = body["path"]
+        if len(sub) != 1:
+            raise ValueError("nested agg needs exactly one sub-aggregation")
+        exploded = df.select(F.explode(F.col(path)).alias("__nested"))
+
+        def rewrite(spec: dict) -> dict:
+            out = {}
+            for k, v in spec.items():
+                if isinstance(v, dict):
+                    out[k] = rewrite(v)
+                elif k == "field" and isinstance(v, str):
+                    leaf = v[len(path) + 1:] if v.startswith(path + ".") else v
+                    out[k] = f"__nested.{leaf}"
+                else:
+                    out[k] = v
+            return out
+
+        (sname, sspec), = sub.items()
+        return es_aggregate(exploded, {sname: rewrite(sspec)})
     if kind == "significant_terms":
         if sub:
             raise ValueError("significant_terms sub-aggs are not supported")

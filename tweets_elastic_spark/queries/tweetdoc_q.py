@@ -328,3 +328,53 @@ def q_tweet_documents_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("refs_summary"),
     )
+
+
+@register(
+    "es_aggs_nested_terms",
+    oracle="""
+    SELECT n.n_name AS by_domain,
+           CAST(count(*) AS BIGINT) AS doc_count
+    FROM lineitem l
+    JOIN nation n ON (l.l_suppkey % 25) = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_linenumber <= 2
+    GROUP BY 1
+    ORDER BY doc_count DESC, by_domain ASC
+    LIMIT 5
+    """,
+    doc="ES nested AGGREGATION over the assembled tweet documents — the "
+        "agg-side counterpart of the nested query (Q4): top-5 "
+        "context-annotation domains by NESTED doc_count (array elements, "
+        "not parent documents — ES's nested-agg counting contract). "
+        "Compiles to explode(context_annotations) — a projection, no "
+        "shuffle — feeding the ordinary terms machinery; the sub-agg "
+        "field carries the full scope path (context_annotations.domain."
+        "name) exactly as ES writes it, stripped by the compiler. The "
+        "oracle recomputes the element counts from the BASE tables "
+        "(lineitem fan-out x nation domains through the star joins), so a "
+        "green row proves the whole denormalize -> nest -> explode -> "
+        "aggregate round-trip.",
+)
+def q_es_aggs_nested_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    tables = tweet_star_from_tpch(spark, sf_dir)
+    doc = build_tweet_documents(tables)
+    request = {
+        "aggs": {
+            "ca": {
+                "nested": {"path": "context_annotations"},
+                "aggs": {
+                    "by_domain": {
+                        "terms": {
+                            "field": "context_annotations.domain.name",
+                            "size": 5,
+                        }
+                    }
+                },
+            }
+        }
+    }
+    return es_request(doc, request)

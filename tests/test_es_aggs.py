@@ -649,3 +649,33 @@ def test_nested_agg_counts_elements_not_parents(spark):
     assert got == {"x": (3, 4.0), "y": (1, 3.0)}
     with pytest.raises(ValueError, match="exactly one sub-aggregation"):
         es_aggregate(df, {"ca": {"nested": {"path": "anns"}}})
+
+
+def test_missing_agg_counts_null_field_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, tag string"
+    )
+    got = es_aggregate(df, {"no_tag": {"missing": {"field": "tag"}}}).collect()
+    assert [r["doc_count"] for r in got] == [2]
+    with pytest.raises(ValueError, match="sub-aggs are not supported"):
+        es_aggregate(df, {"m": {"missing": {"field": "tag"},
+                                "aggs": {"x": {"terms": {"field": "id"}}}}})
+
+
+def test_global_agg_escapes_the_query_filter(spark, sales):
+    got = es_request(sales, {
+        "query": {"term": {"region": "us"}},
+        "aggs": {"all_docs": {
+            "global": {},
+            "aggs": {"by_region": {"terms": {"field": "region"}}},
+        }},
+    }).collect()
+    # the filter would leave only us; global sees every region
+    assert {r["by_region"]: r["doc_count"] for r in got} == {
+        "us": 4, "eu": 3, "ap": 1
+    }
+    with pytest.raises(ValueError, match="no parameters"):
+        es_aggregate(sales, {"g": {"global": {"field": "x"},
+                                   "aggs": {"b": {"terms": {"field": "region"}}}}})
+    with pytest.raises(ValueError, match="exactly one sub-aggregation"):
+        es_aggregate(sales, {"g": {"global": {}}})

@@ -466,3 +466,42 @@ def fuzzy_expand(
         .collect()
     )
     return sorted(r["token"] for r in rows)
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    tok_col: str,
+    term: str,
+    max_edits: int = 2,
+    size: int = 5,
+) -> DataFrame:
+    """ES term suggester (the ``suggest`` block of a search request):
+    spell-correction candidates for ``term`` from the stored term
+    dictionary, ranked the way ES ranks them — edit distance first, then
+    document frequency, then the term itself. The whole computation runs
+    on the BOUNDED vocabulary (segments aggregated, length-gap pruning
+    pushed below the edit distance), never on the corpus: the same
+    dictionary walk fuzzy_expand does, with df carried along for ranking.
+    Returns (suggestion, df, distance)."""
+    vocab = (
+        spark.read.parquet(os.path.join(index_dir, f"token_stats__{tok_col}"))
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+    )
+    return (
+        vocab.filter(
+            (F.abs(F.length("token") - F.lit(len(term))) <= max_edits)
+            & (F.levenshtein(F.col("token"), F.lit(term)) <= max_edits)
+        )
+        .select(
+            F.col("token").alias("suggestion"),
+            F.col("df"),
+            F.levenshtein(F.col("token"), F.lit(term)).cast("int").alias("distance"),
+        )
+        .orderBy(
+            F.col("distance").asc(), F.col("df").desc(),
+            F.col("suggestion").asc(),
+        )
+        .limit(size)
+    )

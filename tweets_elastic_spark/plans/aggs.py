@@ -451,6 +451,27 @@ def es_aggregate(
         if sub:
             raise ValueError("significant_terms sub-aggs are not supported")
         return _significant_terms(df, fg_pred, name, body)
+    if kind == "missing":
+        # ES missing agg: documents with NO value for the field — the
+        # inverse of the null contract every bucket agg applies. One
+        # conditional aggregate, no shuffle beyond the global agg.
+        if sub:
+            raise ValueError("missing agg sub-aggs are not supported here")
+        return df.agg(
+            F.sum(F.when(F.col(body["field"]).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("doc_count")
+        )
+    if kind == "global":
+        # ES global agg: escape the request query's filter and aggregate
+        # the WHOLE index. es_request routes the unfiltered frame here;
+        # the wrapper contributes nothing but scope, so compile the inner
+        # aggs directly.
+        if body:
+            raise ValueError("global agg takes no parameters")
+        if len(sub) != 1:
+            raise ValueError("global agg needs exactly one sub-aggregation")
+        return es_aggregate(df, sub)
 
     pipes = {n: s for n, s in sub.items() if next(iter(s)) in _PIPELINE_KINDS}
     for n in pipes:
@@ -594,10 +615,14 @@ def es_request(
         pred = None if tree is None else tree.predicate(df.sparkSession, F.col)
         if len(aggs) == 1:
             (_, spec0), = aggs.items()
-            if [k for k in spec0 if k != "aggs"] == ["significant_terms"]:
+            kinds = [k for k in spec0 if k != "aggs"]
+            if kinds == ["significant_terms"]:
                 # needs BOTH sides of the query split: the predicate marks
                 # the foreground, the unfiltered frame is the background
                 return es_aggregate(df, aggs, fg_pred=pred)
+            if kinds == ["global"]:
+                # global escapes the query filter: aggregate the whole index
+                return es_aggregate(df, aggs)
         filtered = df if pred is None else df.filter(pred)
         return es_aggregate(filtered, aggs)
     if tree is None:

@@ -314,3 +314,34 @@ def q_search_match_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(t) for t in expanded]),
         )
     ).select("doc_id", "lang")
+
+
+@register(
+    "es_suggest_terms",
+    oracle=_TOKENS_CTE + """,
+    vocab AS (
+        SELECT tok AS suggestion, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM toks)
+        GROUP BY 1
+    )
+    SELECT suggestion, df,
+           CAST(levenshtein(suggestion, 'sparc') AS INT) AS distance
+    FROM vocab
+    WHERE levenshtein(suggestion, 'sparc') <= 2
+    ORDER BY distance ASC, df DESC, suggestion ASC
+    LIMIT 5
+    """,
+    doc="ES term suggester (the suggest block): spell-correction "
+        "candidates for the typo 'sparc' from the WRITTEN term dictionary, "
+        "ranked edit-distance-first then document-frequency (ES's term-"
+        "suggester sort) — the whole computation runs on the bounded "
+        "vocabulary relation, never the corpus. The oracle rebuilds the "
+        "vocabulary + df from RAW text (distinct doc x token), so a green "
+        "row also re-proves the stored per-segment df statistics.",
+)
+def q_es_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.indexing import suggest_terms
+
+    idx = ensure_index(spark, sf_dir)
+    return suggest_terms(spark, idx, "text__custom_shingles", "sparc",
+                         max_edits=2, size=5)

@@ -679,3 +679,59 @@ def test_global_agg_escapes_the_query_filter(spark, sales):
                                    "aggs": {"b": {"terms": {"field": "region"}}}}})
     with pytest.raises(ValueError, match="exactly one sub-aggregation"):
         es_aggregate(sales, {"g": {"global": {}}})
+
+
+def test_highlight_tags_analyzed_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark and MERGE win", 10.0), (2, "nothing here", 5.0)],
+        "id long, text string, amount double",
+    )
+    req = {
+        "query": {"match": {"text": {"query": "spark merge"}}},
+        "sort": [{"amount": "desc"}],
+        "size": 5,
+        "highlight": {"fields": {"text": {"number_of_fragments": 0}}},
+    }
+    got = es_request(df, req, analyzers={"text": "standard"},
+                     tiebreak="id").collect()
+    assert [r["text_highlight"] for r in got] == [
+        "<em>Spark</em> and <em>MERGE</em> win"
+    ]
+    # custom tags honored
+    req2 = {**req, "highlight": {"pre_tags": ["["], "post_tags": ["]"],
+                                 "fields": {"text": {"number_of_fragments": 0}}}}
+    got2 = es_request(df, req2, analyzers={"text": "standard"},
+                      tiebreak="id").collect()
+    assert got2[0]["text_highlight"] == "[Spark] and [MERGE] win"
+    with pytest.raises(ValueError, match="full-field mode only"):
+        es_request(df, {**req, "highlight": {"fields": {"text": {
+            "number_of_fragments": 3}}}}, analyzers={"text": "standard"})
+    with pytest.raises(ValueError, match="no analyzed query terms"):
+        es_request(df, {
+            "query": {"term": {"id": 1}},
+            "sort": [{"amount": "desc"}],
+            "highlight": {"fields": {"text": {"number_of_fragments": 0}}},
+        })
+
+
+def test_match_terms_by_field_walks_all_node_types(spark):
+    from tweets_elastic_spark.plans.search import (
+        Bool, FunctionScore, Match, MatchPhrase, MultiMatch, Term,
+        match_terms_by_field,
+    )
+
+    tree = FunctionScore(Bool(
+        must=[Match("text", "spark merge", analyzer="standard")],
+        filter=[Term("lang", "en")],
+        should=[
+            (MatchPhrase("title", "fast join", analyzer="standard"), 2.0),
+            (MultiMatch([("body", 1.0), ("tag", 1.0)], "scan",
+                        analyzers={"body": "standard"}, tokens_cols={}), 1.0),
+        ],
+    ))
+    got = match_terms_by_field(tree, spark)
+    assert got == {
+        "text": ["spark", "merge"],
+        "title": ["fast", "join"],
+        "body": ["scan"],  # tag has no analyzer binding -> keyword, skipped
+    }

@@ -689,6 +689,40 @@ def es_request(
                 "best-hit-per-group needs a total order)"
             )
         out = search(df, tree, k=body.get("size", 10), tiebreak=tiebreak)
+    hl = body.get("highlight")
+    if hl is not None:
+        # ES highlighting, full-field mode (number_of_fragments: 0): tag
+        # every analyzed query term for the requested fields with the
+        # pre/post tags — ONE codegen'd regexp_replace per field riding the
+        # (already top-k-truncated) hit set, word-boundary + case-
+        # insensitive, the regex dialect both engines share. Fragmenting
+        # (the default snippet mode) is not supported — raise, never
+        # silently return untagged text.
+        import re as _re
+
+        from tweets_elastic_spark.plans.search import match_terms_by_field
+
+        terms = match_terms_by_field(tree, df.sparkSession)
+        pre = hl.get("pre_tags", ["<em>"])[0]
+        post = hl.get("post_tags", ["</em>"])[0]
+        for field, opts in hl["fields"].items():
+            if (opts or {}).get("number_of_fragments", 0) != 0:
+                raise ValueError(
+                    "highlight supports full-field mode only — pass "
+                    "number_of_fragments: 0 (fragment snippets are not "
+                    "implemented)"
+                )
+            toks = terms.get(field)
+            if not toks:
+                raise ValueError(
+                    f"highlight field {field!r} has no analyzed query "
+                    "terms to tag (only analyzed match clauses highlight)"
+                )
+            pattern = r"(?i)\b(" + "|".join(_re.escape(t) for t in toks) + r")\b"
+            out = out.withColumn(
+                f"{field}_highlight",
+                F.regexp_replace(F.col(field), pattern, f"{pre}$1{post}"),
+            )
     if source is not None:
         out = out.select(*source)
     return out

@@ -589,6 +589,40 @@ def search(
     return out.orderBy(*order).limit(k)
 
 
+def match_terms_by_field(query: Query, spark) -> dict[str, list[str]]:
+    """Walk a compiled query tree and collect the ANALYZED query terms per
+    field — what ES's highlighter extracts from the query to decide which
+    words to tag. Covers every analyzed-match node (Match, MatchPhrase,
+    BM25Match, MultiMatch legs with an analyzer binding); keyword-equality
+    legs contribute nothing (ES highlights analyzed text fields)."""
+    out: dict[str, list[str]] = {}
+
+    def add(field: str, tokens: list[str]) -> None:
+        seen = out.setdefault(field, [])
+        for t in tokens:
+            if t not in seen:
+                seen.append(t)
+
+    def walk(q: Query) -> None:
+        if isinstance(q, (Match, MatchPhrase, BM25Match)) and q.analyzer:
+            add(q.field, analyze_text(spark, q.text, q.analyzer))
+        elif isinstance(q, MultiMatch):
+            for field, _ in q.fields:
+                analyzer = q.analyzers.get(field)
+                if analyzer:
+                    add(field, analyze_text(spark, q.text, analyzer))
+        elif isinstance(q, Bool):
+            for child in q.must + q.filter + q.must_not:
+                walk(child)
+            for child, _ in q.should:
+                walk(child)
+        elif isinstance(q, (FunctionScore, Nested)):
+            walk(q.query)
+
+    walk(query)
+    return out
+
+
 def nested_paths_from_mapping(mapping: dict) -> set[str]:
     """Dotted paths of every ``"type": "nested"`` field in an ES index
     mapping (the reference declares context_annotations, annotations, links

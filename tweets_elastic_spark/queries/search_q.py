@@ -949,3 +949,52 @@ def q_search_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     query = from_es_json(dsl, analyzers={"text": "standard"})
     return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
+    "es_request_highlight",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, text,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(text, '(?i)\b(spark|merge)\b',
+                          '<em>\1</em>', 'g') AS text_highlight
+    FROM toks
+    WHERE lang = 'en' AND list_has_any(t, ['spark', 'merge'])
+    ORDER BY n_chars DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="ES highlighting (full-field mode, number_of_fragments: 0): the "
+        "analyzed query terms are extracted from the compiled query tree "
+        "(what ES's highlighter does) and tagged with <em> via ONE "
+        "codegen'd word-boundary case-insensitive regexp_replace riding "
+        "the already-top-k-truncated hit set — highlighting cost scales "
+        "with the page size, never the corpus. Both engines share the "
+        "regex dialect for this pattern, so the tagged text is "
+        "byte-compared by the oracle.",
+)
+def q_es_request_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    request = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": {"query": "spark merge"}}}],
+                "filter": [{"term": {"lang": "en"}}],
+            }
+        },
+        "sort": [{"n_chars": "desc"}],
+        "size": 10,
+        "highlight": {"fields": {"text": {"number_of_fragments": 0}}},
+        "_source": ["doc_id", "text_highlight"],
+    }
+    return es_request(
+        docs, request, analyzers={"text": "standard"}, tiebreak="doc_id"
+    )

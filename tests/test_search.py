@@ -512,3 +512,74 @@ def test_fuzzy_expand_walks_term_dictionary(spark, tmp_path):
     assert got2 == ["spark", "spork"]  # sparkle is 3 edits (k->c, -l, -e)
     # AUTO tiers: a 2-char term expands to itself only (0 edits)
     assert fuzzy_expand(spark, idx, "text__std", "sp") == ["sp"]
+
+
+def test_function_score_functions_modes(spark):
+    from tweets_elastic_spark.plans.search import (
+        FieldValueFactor, FunctionScore, MatchAll, Term, WeightFunction,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 100.0), (2, "b", 0.0), (3, "a", None)],
+        "id long, tag string, pop double",
+    )
+    # replace mode: score IS the function value; missing substitutes NULL
+    q = FunctionScore(
+        MatchAll(),
+        functions=[FieldValueFactor("pop", factor=0.01, modifier="sqrt",
+                                    missing=25.0)],
+        boost_mode="replace",
+    )
+    got = {r["id"]: r["score"] for r in search(df, q, k=None).collect()}
+    assert got == {1: 1.0, 2: 0.0, 3: 0.5}
+    # score_mode=sum over fvf + filtered weight; boost_mode=sum with base 0
+    q2 = FunctionScore(
+        MatchAll(),
+        functions=[
+            FieldValueFactor("pop", factor=1.0, missing=0.0),
+            WeightFunction(7.0, filter=Term("tag", "a")),
+        ],
+        score_mode="sum",
+        boost_mode="sum",
+    )
+    got2 = {r["id"]: r["score"] for r in search(df, q2, k=None).collect()}
+    # match_all base = 1.0 (ES), + (fvf + filtered weight; neutral = 1.0)
+    assert got2 == {1: 108.0, 2: 2.0, 3: 8.0}
+    with pytest.raises(ValueError, match="unsupported score_mode"):
+        search(df, FunctionScore(MatchAll(), functions=[WeightFunction(1.0)],
+                                 score_mode="median"), k=None)
+    with pytest.raises(ValueError, match="unsupported.*modifier"):
+        search(df, FunctionScore(
+            MatchAll(),
+            functions=[FieldValueFactor("pop", modifier="cbrt")],
+            boost_mode="replace"), k=None)
+
+
+def test_from_es_json_function_score_functions(spark):
+    from tweets_elastic_spark.plans.search import (
+        FieldValueFactor, FunctionScore, from_es_json,
+    )
+
+    q = from_es_json({"query": {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [
+            {"field_value_factor": {"field": "pop", "modifier": "log1p"}},
+            {"filter": {"term": {"tag": "a"}}, "weight": 2},
+        ],
+        "score_mode": "max",
+        "boost_mode": "replace",
+    }}})
+    assert isinstance(q, FunctionScore)
+    assert isinstance(q.functions[0], FieldValueFactor)
+    assert (q.score_mode, q.boost_mode) == ("max", "replace")
+    with pytest.raises(ValueError, match="unsupported scoring function"):
+        from_es_json({"query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"script_score": {"script": "x"}}],
+        }}})
+    with pytest.raises(ValueError, match="field_value_factor with a filter"):
+        from_es_json({"query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"filter": {"term": {"t": 1}},
+                           "field_value_factor": {"field": "pop"}}],
+        }}})

@@ -551,19 +551,101 @@ class Bool(Query):
         return total
 
 
+_FVF_MODIFIERS = {
+    "none": lambda c: c,
+    "log1p": lambda c: F.log1p(c),
+    "sqrt": lambda c: F.sqrt(c),
+    "square": lambda c: c * c,
+}
+
+
+@dataclass
+class FieldValueFactor:
+    """ES ``field_value_factor`` scoring function: ``modifier(factor ·
+    field)`` — rank by a document attribute (recency, popularity, length)
+    without a script. ``missing`` substitutes for NULL field values (ES
+    requires it to score docs lacking the field)."""
+
+    field: str
+    factor: float = 1.0
+    modifier: str = "none"
+    missing: float | None = None
+
+    def value(self, spark, resolve) -> Column:
+        if self.modifier not in _FVF_MODIFIERS:
+            raise ValueError(
+                f"unsupported field_value_factor modifier {self.modifier!r} "
+                f"(supported: {sorted(_FVF_MODIFIERS)})"
+            )
+        c = resolve(self.field).cast("double")
+        if self.missing is not None:
+            c = F.coalesce(c, F.lit(float(self.missing)))
+        return _FVF_MODIFIERS[self.modifier](c * F.lit(float(self.factor)))
+
+
+@dataclass
+class WeightFunction:
+    """ES filtered ``weight`` function: a constant that applies only to
+    documents matching its filter (1.0 — the neutral element under every
+    score_mode this engine supports — otherwise)."""
+
+    weight: float
+    filter: Query | None = None
+
+    def value(self, spark, resolve) -> Column:
+        w = F.lit(float(self.weight))
+        if self.filter is None:
+            return w
+        return F.when(self.filter.predicate(spark, resolve), w).otherwise(
+            F.lit(1.0)
+        )
+
+
 @dataclass
 class FunctionScore(Query):
-    """Q1 (elastic_queries.json:3): wraps a query, exposes its score."""
+    """Q1 (elastic_queries.json:3): wraps a query and exposes its score.
+    With ``functions``, the full ES contract: each function yields a
+    per-document value, ``score_mode`` combines them (sum/multiply/max/
+    min/avg), and ``boost_mode`` combines the result with the wrapped
+    query's score (multiply — the default — /sum/replace). Everything
+    compiles to one arithmetic Column expression over the scan."""
 
     CONSTANT_SCORE = False  # passes through the wrapped query's score
 
     query: Query
+    functions: list = dc_field(default_factory=list)
+    score_mode: str = "multiply"
+    boost_mode: str = "multiply"
 
     def predicate(self, spark, resolve) -> Column:
         return self.query.predicate(spark, resolve)
 
     def score(self, spark, resolve) -> Column:
-        return self.query.score(spark, resolve)
+        base = self.query.score(spark, resolve)
+        if not self.functions:
+            return base
+        vals = [fn.value(spark, resolve) for fn in self.functions]
+        if self.score_mode == "sum":
+            fscore = sum(vals[1:], start=vals[0])
+        elif self.score_mode == "multiply":
+            fscore = vals[0]
+            for v in vals[1:]:
+                fscore = fscore * v
+        elif self.score_mode == "max":
+            fscore = vals[0] if len(vals) == 1 else F.greatest(*vals)
+        elif self.score_mode == "min":
+            fscore = vals[0] if len(vals) == 1 else F.least(*vals)
+        elif self.score_mode == "avg":
+            fscore = sum(vals[1:], start=vals[0]) / F.lit(float(len(vals)))
+        else:
+            raise ValueError(f"unsupported score_mode: {self.score_mode!r}")
+        if self.boost_mode == "multiply":
+            return base * fscore
+        if self.boost_mode == "sum":
+            return base + fscore
+        if self.boost_mode == "replace":
+            return fscore
+        raise ValueError(f"unsupported boost_mode: {self.boost_mode!r}")
 
 
 def search(
@@ -715,12 +797,47 @@ def from_es_json(
         if kind == "query":  # the artifact's wrapper shape, and the top level
             return compile_node(body, scope)
         if kind == "function_score":
-            extra = set(body) - {"query"}
+            extra = set(body) - {"query", "functions", "score_mode", "boost_mode"}
             if extra:
                 raise ValueError(
-                    f"function_score supports only 'query' here, got {extra}"
+                    f"unsupported function_score keys: {extra}"
                 )
-            return FunctionScore(compile_node(body["query"], scope))
+            functions = []
+            for fspec in body.get("functions", []):
+                fkeys = set(fspec) - {"filter"}
+                if fkeys == {"field_value_factor"}:
+                    fvf = fspec["field_value_factor"]
+                    bad = set(fvf) - {"field", "factor", "modifier", "missing"}
+                    if bad:
+                        raise ValueError(
+                            f"unsupported field_value_factor keys: {bad}"
+                        )
+                    if "filter" in fspec:
+                        raise ValueError(
+                            "field_value_factor with a filter is unsupported"
+                        )
+                    functions.append(FieldValueFactor(
+                        fvf["field"],
+                        factor=float(fvf.get("factor", 1.0)),
+                        modifier=fvf.get("modifier", "none"),
+                        missing=fvf.get("missing"),
+                    ))
+                elif fkeys == {"weight"}:
+                    flt = fspec.get("filter")
+                    functions.append(WeightFunction(
+                        float(fspec["weight"]),
+                        filter=None if flt is None else compile_node(flt, scope),
+                    ))
+                else:
+                    raise ValueError(
+                        f"unsupported scoring function: {sorted(fkeys)}"
+                    )
+            return FunctionScore(
+                compile_node(body["query"], scope),
+                functions=functions,
+                score_mode=body.get("score_mode", "multiply"),
+                boost_mode=body.get("boost_mode", "multiply"),
+            )
         if kind == "bool":
             extra = set(body) - {
                 "must", "filter", "should", "must_not", "minimum_should_match"

@@ -998,3 +998,62 @@ def q_es_request_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_request(
         docs, request, analyzers={"text": "standard"}, tiebreak="doc_id"
     )
+
+
+@register(
+    "search_function_score_fvf",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id,
+           round(
+             (CASE WHEN list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+                   THEN 5.0 ELSE 0.0 END
+              + CASE WHEN source = 'src2' THEN 2.0 ELSE 0.0 END)
+             * (ln(1 + 0.01 * n_chars)
+                * CASE WHEN source = 'src1' THEN 1.5 ELSE 1.0 END),
+           6) AS score
+    FROM toks
+    WHERE lang = 'en' AND n_chars > 300
+    """,
+    doc="function_score with the FULL ES function surface the reference's "
+        "flagship node only hints at: a field_value_factor "
+        "(log1p(0.01 x n_chars) — rank by a document attribute without a "
+        "script) and a filtered weight function (1.5x for src1 docs, "
+        "neutral 1.0 otherwise), combined by score_mode=multiply and "
+        "applied to the weighted-should bool score by boost_mode=multiply. "
+        "Everything compiles to one arithmetic Column expression riding "
+        "the scan; the oracle recomputes the identical formula at 6 dp "
+        "(log1p vs ln(1+x) agree far above ULP at these magnitudes).",
+)
+def q_search_function_score_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {
+        "query": {
+            "function_score": {
+                "query": {
+                    "bool": {
+                        "should": [
+                            {"query": {"match": {"text": {"query": "spark merge"}}},
+                             "weight": 5},
+                            {"query": {"term": {"source": "src2"}}, "weight": 2},
+                        ],
+                        "filter": [
+                            {"term": {"lang": "en"}},
+                            {"range": {"n_chars": {"gt": 300}}},
+                        ],
+                    }
+                },
+                "functions": [
+                    {"field_value_factor": {
+                        "field": "n_chars", "factor": 0.01,
+                        "modifier": "log1p"}},
+                    {"filter": {"term": {"source": "src1"}}, "weight": 1.5},
+                ],
+                "score_mode": "multiply",
+                "boost_mode": "multiply",
+            }
+        }
+    }
+    query = from_es_json(dsl, analyzers={"text": "custom_shingles"})
+    return search(docs, query, k=None).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )

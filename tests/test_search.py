@@ -433,7 +433,7 @@ def test_match_minimum_should_match_tokens(spark):
     assert {r["id"] for r in search(df, q, k=None).collect()} == {1, 2}
     with pytest.raises(ValueError, match="unsupported match options"):
         from_es_json({"query": {"match": {"text": {
-            "query": "x", "fuzziness": 1}}}})
+            "query": "x", "zero_terms_query": "all"}}}})
 
 
 def test_multi_match_best_fields_takes_max_boosted_leg(spark):
@@ -582,4 +582,60 @@ def test_from_es_json_function_score_functions(spark):
             "query": {"match_all": {}},
             "functions": [{"filter": {"term": {"t": 1}},
                            "field_value_factor": {"field": "pop"}}],
+        }}})
+
+
+def test_decay_kernels(spark):
+    import math
+
+    from tweets_elastic_spark.plans.search import (
+        DecayFunction, FunctionScore, MatchAll,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, 150.0), (3, 210.0), (4, None), (5, 90.0)],
+        "id long, x double",
+    )
+
+    def score_with(fn):
+        q = FunctionScore(MatchAll(), functions=[fn], boost_mode="replace")
+        return {r["id"]: r["score"] for r in search(df, q, k=None).collect()}
+
+    # gauss: 1.0 inside the offset plateau; exactly `decay` at distance scale
+    g = score_with(DecayFunction("gauss", "x", origin=100, scale=50, offset=10))
+    assert g[1] == 1.0 and g[5] == 1.0  # |90-100| = 10 <= offset
+    # |210-100|-10 = 100 = 2*scale -> gauss(2s) = decay^4 = 0.0625
+    assert abs(g[3] - 0.5 ** 4) < 1e-12
+    assert abs(g[2] - 0.5 ** ((40 / 50) ** 2)) < 1e-12
+    assert g[4] == 1.0  # NULL field scores 1.0 (ES contract)
+    e = score_with(DecayFunction("exp", "x", origin=100, scale=50, offset=0))
+    assert abs(e[2] - 0.5) < 1e-12      # d = 50 = scale -> decay
+    assert abs(e[3] - 0.5 ** (110 / 50)) < 1e-12
+    lin = score_with(DecayFunction("linear", "x", origin=100, scale=50,
+                                   offset=0, decay=0.5))
+    assert abs(lin[2] - 0.5) < 1e-12    # d = scale -> decay
+    assert lin[3] == 0.0                # d = 110 > s = 100 -> floor at 0
+    with pytest.raises(ValueError, match="decay needs"):
+        score_with(DecayFunction("gauss", "x", origin=0, scale=-1))
+    with pytest.raises(ValueError, match="unsupported decay function"):
+        score_with(DecayFunction("triangular", "x", origin=0, scale=1))
+
+
+def test_from_es_json_decay_clause(spark):
+    from tweets_elastic_spark.plans.search import DecayFunction, from_es_json
+
+    q = from_es_json({"query": {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"exp": {"ts": {"origin": 0, "scale": 10,
+                                      "decay": 0.3}}}],
+        "boost_mode": "replace",
+    }}})
+    fn = q.functions[0]
+    assert isinstance(fn, DecayFunction)
+    assert (fn.kind, fn.origin, fn.scale, fn.decay) == ("exp", 0.0, 10.0, 0.3)
+    with pytest.raises(ValueError, match="unsupported decay keys"):
+        from_es_json({"query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"gauss": {"ts": {"origin": 0, "scale": 1,
+                                            "shape": "x"}}}],
         }}})

@@ -584,6 +584,55 @@ class FieldValueFactor:
 
 
 @dataclass
+class DecayFunction:
+    """ES decay scoring functions (``gauss``/``exp``/``linear``) on a
+    NUMERIC field: score 1.0 at ``origin`` (within ``offset``), decaying to
+    ``decay`` at distance ``scale`` — the recency/proximity ranking shape.
+    Per ES's documented formulas with d = max(0, |x − origin| − offset):
+
+        gauss:  exp(−d² / (2σ²)),  σ² = −scale² / (2·ln(decay))
+        exp:    exp(λ·d),          λ  = ln(decay) / scale
+        linear: max(0, (s − d)/s), s  = scale / (1 − decay)
+
+    Date fields decay the same way once expressed as a numeric distance
+    (epoch seconds / days); pass the numeric projection as ``field``.
+    Documents with a NULL field score 1.0, ES's contract."""
+
+    kind: str
+    field: str
+    origin: float
+    scale: float
+    offset: float = 0.0
+    decay: float = 0.5
+
+    def value(self, spark, resolve) -> Column:
+        import math
+
+        if self.kind not in ("gauss", "exp", "linear"):
+            raise ValueError(f"unsupported decay function: {self.kind!r}")
+        if not (0.0 < self.decay < 1.0) or self.scale <= 0:
+            raise ValueError(
+                f"decay needs 0 < decay < 1 and scale > 0, got "
+                f"decay={self.decay}, scale={self.scale}"
+            )
+        x = resolve(self.field).cast("double")
+        d = F.greatest(
+            F.lit(0.0),
+            F.abs(x - F.lit(float(self.origin))) - F.lit(float(self.offset)),
+        )
+        if self.kind == "gauss":
+            sigma2 = -self.scale * self.scale / (2.0 * math.log(self.decay))
+            val = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+        elif self.kind == "exp":
+            lam = math.log(self.decay) / self.scale
+            val = F.exp(F.lit(lam) * d)
+        else:
+            s = self.scale / (1.0 - self.decay)
+            val = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+        return F.when(x.isNull(), F.lit(1.0)).otherwise(val)
+
+
+@dataclass
 class WeightFunction:
     """ES filtered ``weight`` function: a constant that applies only to
     documents matching its filter (1.0 — the neutral element under every
@@ -827,6 +876,24 @@ def from_es_json(
                     functions.append(WeightFunction(
                         float(fspec["weight"]),
                         filter=None if flt is None else compile_node(flt, scope),
+                    ))
+                elif fkeys and next(iter(fkeys)) in ("gauss", "exp", "linear") \
+                        and len(fkeys) == 1:
+                    (dkind,) = fkeys
+                    if "filter" in fspec:
+                        raise ValueError(
+                            f"{dkind} decay with a filter is unsupported"
+                        )
+                    (dfield, dbody), = fspec[dkind].items()
+                    bad = set(dbody) - {"origin", "scale", "offset", "decay"}
+                    if bad:
+                        raise ValueError(f"unsupported decay keys: {bad}")
+                    functions.append(DecayFunction(
+                        dkind, dfield,
+                        origin=float(dbody["origin"]),
+                        scale=float(dbody["scale"]),
+                        offset=float(dbody.get("offset", 0.0)),
+                        decay=float(dbody.get("decay", 0.5)),
                     ))
                 else:
                     raise ValueError(

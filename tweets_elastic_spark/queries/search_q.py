@@ -1057,3 +1057,44 @@ def q_search_function_score_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(docs, query, k=None).select(
         "doc_id", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "search_decay_recency",
+    oracle="""
+    SELECT doc_id,
+           round(
+             exp(-(greatest(0.0, abs(n_chars - 300.0) - 10.0)
+                   * greatest(0.0, abs(n_chars - 300.0) - 10.0))
+                 / (2.0 * (-(100.0 * 100.0) / (2.0 * ln(0.5))))),
+           6) AS score
+    FROM documents
+    WHERE lang = 'en'
+    """,
+    doc="ES decay scoring (gauss): documents ranked by proximity to a "
+        "target attribute value (origin 300 chars, plateau offset 10, "
+        "half-score at scale 100) — the recency/proximity ranking shape, "
+        "per ES's documented formula sigma^2 = -scale^2/(2 ln decay). One "
+        "arithmetic expression riding the scan, boost_mode=replace so the "
+        "decay IS the score; exp/linear kernels are pinned by unit tests. "
+        "The oracle recomputes the identical kernel at 6 dp.",
+)
+def q_search_decay_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {
+        "query": {
+            "function_score": {
+                "query": {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+                "functions": [
+                    {"gauss": {"n_chars": {
+                        "origin": 300, "scale": 100,
+                        "offset": 10, "decay": 0.5}}}
+                ],
+                "boost_mode": "replace",
+            }
+        }
+    }
+    query = from_es_json(dsl)
+    return search(docs, query, k=None).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )

@@ -639,3 +639,142 @@ def test_from_es_json_decay_clause(spark):
             "functions": [{"gauss": {"ts": {"origin": 0, "scale": 1,
                                             "shape": "x"}}}],
         }}})
+
+
+def test_regexp_anchored_and_rejects_optional_operators(spark):
+    from tweets_elastic_spark.plans.search import Regexp
+
+    df = spark.createDataFrame(
+        [(1, "src1"), (2, "src12"), (3, "xsrc1"), (4, "src9")],
+        "id long, source string",
+    )
+    # anchored: matches the ENTIRE term, no substring hits (3 would match
+    # an unanchored engine)
+    got = {r["id"] for r in search(df, Regexp("source", "src1[0-9]"), k=None).collect()}
+    assert got == {2}
+    got = {r["id"] for r in search(df, Regexp("source", "src(1|9)"), k=None).collect()}
+    assert got == {1, 4}
+    for bad in ("a~b", "a&b", "<1-9>", "a@"):
+        with pytest.raises(ValueError, match="optional operator"):
+            Regexp("source", bad).predicate(spark, F.col)
+    # escaped specials pass validation
+    Regexp("source", r"a\~b").predicate(spark, F.col)
+
+
+def test_constant_score_scores_boost(spark):
+    from tweets_elastic_spark.plans.search import ConstantScore, Term
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de")], "id long, lang string"
+    )
+    hits = search(df, ConstantScore(Term("lang", "en"), boost=2.5), k=None).collect()
+    by_id = {r["id"]: r["score"] for r in hits}
+    assert by_id == {1: 2.5}
+
+
+def test_dis_max_best_clause_wins_with_tie_breaker(spark):
+    from tweets_elastic_spark.plans.search import ConstantScore, DisMax, Term
+
+    df = spark.createDataFrame(
+        [(1, "en", "src1"), (2, "de", "src1"), (3, "fr", "src2")],
+        "id long, lang string, source string",
+    )
+    q = DisMax(
+        [ConstantScore(Term("lang", "en"), boost=3.0),
+         ConstantScore(Term("source", "src1"), boost=2.0)],
+        tie_breaker=0.5,
+    )
+    by_id = {r["id"]: r["score"] for r in search(df, q, k=None).collect()}
+    # doc1 matches both: max(3,2) + 0.5*2 = 4.0; doc2 only the second leg
+    assert by_id == {1: 4.0, 2: 2.0}
+    with pytest.raises(ValueError, match="tie_breaker"):
+        DisMax([Term("lang", "en")], tie_breaker=1.5)
+    with pytest.raises(ValueError, match="at least one"):
+        DisMax([])
+
+
+def test_boosting_demotes_without_excluding(spark):
+    from tweets_elastic_spark.plans.search import Boosting, ConstantScore, Term
+
+    df = spark.createDataFrame(
+        [(1, "en", "src1"), (2, "en", "src2"), (3, "de", "src1")],
+        "id long, lang string, source string",
+    )
+    q = Boosting(
+        positive=ConstantScore(Term("lang", "en"), boost=4.0),
+        negative=Term("source", "src2"),
+        negative_boost=0.25,
+    )
+    by_id = {r["id"]: r["score"] for r in search(df, q, k=None).collect()}
+    # doc2 matches negative -> demoted, NOT excluded; doc3 fails positive
+    assert by_id == {1: 4.0, 2: 1.0}
+    with pytest.raises(ValueError, match="negative_boost"):
+        Boosting(Term("lang", "en"), Term("lang", "de"), negative_boost=-1)
+
+
+def test_script_score_arithmetic_and_score_binding(spark):
+    from tweets_elastic_spark.plans.search import (
+        Bool, ScriptScore, Term,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 10), (3, "de", 1000)],
+        "id long, lang string, rank long",
+    )
+    # _score binds to the wrapped query's score (weighted should)
+    inner = Bool(filter=[Term("lang", "en")],
+                 should=[(Term("rank", 100), 3.0)])
+    q = ScriptScore(inner, "Math.sqrt(doc['rank'].value) + _score * 2")
+    by_id = {r["id"]: r["score"] for r in search(df, q, k=None).collect()}
+    assert by_id == {1: 16.0, 2: pytest.approx(10 ** 0.5)}
+    # precedence, parens, unary minus, two-arg functions
+    q2 = ScriptScore(inner, "-(1 + 2) * 2 + Math.max(10, doc['rank'].value) / 2")
+    by_id2 = {r["id"]: r["score"] for r in search(df, q2, k=None).collect()}
+    assert by_id2 == {1: -6 + 50.0, 2: -6 + 5.0}
+
+
+def test_script_score_rejects_unknown_syntax(spark):
+    from tweets_elastic_spark.plans.search import MatchAll, ScriptScore
+
+    for bad, msg in [
+        ("params.x + 1", "cannot tokenize"),
+        ("Math.tan(1)", "unsupported function"),
+        ("Math.max(1)", "takes 2 args"),
+        ("1 + ", "unexpected"),
+        ("1 2", "trailing tokens"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            ScriptScore(MatchAll(), bad).score(spark, F.col)
+
+
+def test_from_es_json_compound_scoring_clauses():
+    from tweets_elastic_spark.plans.search import (
+        Boosting, ConstantScore, DisMax, Regexp, ScriptScore, Term,
+        from_es_json,
+    )
+
+    assert from_es_json(
+        {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 2}}
+    ) == ConstantScore(Term("lang", "en"), boost=2.0)
+    assert from_es_json(
+        {"dis_max": {"queries": [{"term": {"lang": "en"}}],
+                     "tie_breaker": 0.3}}
+    ) == DisMax([Term("lang", "en")], tie_breaker=0.3)
+    assert from_es_json(
+        {"boosting": {"positive": {"term": {"lang": "en"}},
+                      "negative": {"term": {"lang": "de"}},
+                      "negative_boost": 0.2}}
+    ) == Boosting(Term("lang", "en"), Term("lang", "de"), negative_boost=0.2)
+    assert from_es_json(
+        {"regexp": {"source": {"value": "src[0-9]+"}}}
+    ) == Regexp("source", "src[0-9]+")
+    assert from_es_json(
+        {"script_score": {"query": {"term": {"lang": "en"}},
+                          "script": {"source": "_score * 2"}}}
+    ) == ScriptScore(Term("lang", "en"), "_score * 2")
+    with pytest.raises(ValueError, match="params"):
+        from_es_json(
+            {"script_score": {"query": {"term": {"lang": "en"}},
+                              "script": {"source": "_score",
+                                         "params": {"x": 1}}}}
+        )

@@ -222,6 +222,40 @@ class Wildcard(Query):
 
 
 @dataclass
+class Regexp(Query):
+    """ES ``regexp``: anchored regular-expression match on a keyword field.
+    Lucene regexps implicitly match the ENTIRE term (no ^/$ anchors), so
+    the pattern compiles to ``rlike('^(?:pat)$')``. The supported surface
+    is Lucene's CORE operator set — ``. ? + * | ( ) [ ] { }`` plus
+    literals and escapes — which Java regex (Spark) and PCRE-ish RE2-style
+    engines (DuckDB ``regexp_full_match``) interpret identically, so the
+    node is fully oracle-able. Lucene's OPTIONAL operators (``~`` negation,
+    ``&`` intersection, ``<>`` numeric interval, ``@`` any-string) have no
+    Java-regex equivalent and are rejected loudly rather than silently
+    mis-matched."""
+
+    field: str
+    pattern: str
+
+    def predicate(self, spark, resolve) -> Column:
+        i, n = 0, len(self.pattern)
+        while i < n:
+            c = self.pattern[i]
+            if c == "\\":
+                i += 2
+                continue
+            if c in "~&@<>":
+                raise ValueError(
+                    f"regexp pattern {self.pattern!r} uses Lucene optional "
+                    f"operator {c!r} (negation/intersection/interval/"
+                    "any-string), which has no portable regex equivalent; "
+                    "rewrite with core operators"
+                )
+            i += 1
+        return resolve(self.field).rlike("^(?:" + self.pattern + ")$")
+
+
+@dataclass
 class Fuzzy(Query):
     """ES ``fuzzy``: keyword match within bounded Levenshtein edit distance.
     ``fuzziness`` is an int or ``"AUTO"`` (ES's tiering: 0 edits for terms
@@ -551,6 +585,97 @@ class Bool(Query):
         return total
 
 
+@dataclass
+class ConstantScore(Query):
+    """ES ``constant_score``: wrap a filter context; every matching
+    document scores exactly ``boost``. The filter's own scoring machinery
+    is never evaluated — the ES idiom for 'I want this clause's matches,
+    not its relevance'."""
+
+    CONSTANT_SCORE = False  # scores `boost`, not 1.0
+
+    filter: Query
+    boost: float = 1.0
+
+    def predicate(self, spark, resolve) -> Column:
+        return self.filter.predicate(spark, resolve)
+
+    def score(self, spark, resolve) -> Column:
+        p = self.filter.predicate(spark, resolve)
+        return F.when(p, F.lit(float(self.boost))).otherwise(F.lit(0.0))
+
+
+@dataclass
+class DisMax(Query):
+    """ES ``dis_max``: union of clauses where the BEST-matching clause
+    dominates the score instead of summing — ``max(scores) + tie_breaker ·
+    (sum(scores) − max(scores))``. The standard shape for 'same text
+    searched in several fields, don't double-count'. A document matches if
+    ANY clause matches; non-matching clauses contribute 0."""
+
+    CONSTANT_SCORE = False
+
+    queries: list[Query]
+    tie_breaker: float = 0.0
+
+    def __post_init__(self):
+        if not self.queries:
+            raise ValueError("dis_max needs at least one query")
+        if not (0.0 <= self.tie_breaker <= 1.0):
+            raise ValueError(
+                f"tie_breaker must be in [0, 1], got {self.tie_breaker}"
+            )
+
+    def predicate(self, spark, resolve) -> Column:
+        out = self.queries[0].predicate(spark, resolve)
+        for q in self.queries[1:]:
+            out = out | q.predicate(spark, resolve)
+        return out
+
+    def score(self, spark, resolve) -> Column:
+        scores = [q.score(spark, resolve) for q in self.queries]
+        if len(scores) == 1:
+            return scores[0]
+        best = F.greatest(*scores)
+        if self.tie_breaker == 0.0:
+            return best
+        total = scores[0]
+        for s in scores[1:]:
+            total = total + s
+        return best + F.lit(float(self.tie_breaker)) * (total - best)
+
+
+@dataclass
+class Boosting(Query):
+    """ES ``boosting``: demote-without-excluding. Documents must match
+    ``positive``; those ALSO matching ``negative`` keep their positive
+    score multiplied by ``negative_boost`` (0 ≤ nb < 1 demotes; ES allows
+    any non-negative value)."""
+
+    CONSTANT_SCORE = False
+
+    positive: Query
+    negative: Query
+    negative_boost: float = 0.5
+
+    def __post_init__(self):
+        if self.negative_boost < 0:
+            raise ValueError(
+                f"negative_boost must be >= 0, got {self.negative_boost}"
+            )
+
+    def predicate(self, spark, resolve) -> Column:
+        return self.positive.predicate(spark, resolve)
+
+    def score(self, spark, resolve) -> Column:
+        base = self.positive.score(spark, resolve)
+        demote = F.when(
+            self.negative.predicate(spark, resolve),
+            F.lit(float(self.negative_boost)),
+        ).otherwise(F.lit(1.0))
+        return base * demote
+
+
 _FVF_MODIFIERS = {
     "none": lambda c: c,
     "log1p": lambda c: F.log1p(c),
@@ -697,6 +822,162 @@ class FunctionScore(Query):
         raise ValueError(f"unsupported boost_mode: {self.boost_mode!r}")
 
 
+_PAINLESS_FUNCS = {
+    "Math.log": (1, F.log),       # natural log, as in Java
+    "Math.log10": (1, F.log10),
+    "Math.sqrt": (1, F.sqrt),
+    "Math.exp": (1, F.exp),
+    "Math.abs": (1, F.abs),
+    "Math.max": (2, F.greatest),
+    "Math.min": (2, F.least),
+    "Math.pow": (2, F.pow),
+}
+
+
+def _tokenize_painless(src: str) -> list[tuple[str, object]]:
+    import re as _re
+
+    token_re = _re.compile(
+        r"\s*(?:(?P<num>\d+\.\d+|\d+|\.\d+)"
+        r"|(?P<doc>doc\[\s*'(?P<field>[A-Za-z0-9_.]+)'\s*\]\s*\.\s*value)"
+        r"|(?P<score>_score)"
+        r"|(?P<func>Math\.[A-Za-z0-9]+)"
+        r"|(?P<op>[()+\-*/,]))"
+    )
+    out, pos = [], 0
+    while pos < len(src):
+        if src[pos:].isspace():
+            break
+        m = token_re.match(src, pos)
+        if m is None or m.end() == pos:
+            raise ValueError(
+                f"script_score: cannot tokenize {src[pos:pos+20]!r} "
+                f"(supported: numbers, _score, doc['field'].value, "
+                f"{sorted(_PAINLESS_FUNCS)}, + - * / parentheses)"
+            )
+        pos = m.end()
+        if m.group("num"):
+            out.append(("num", float(m.group("num"))))
+        elif m.group("doc"):
+            out.append(("doc", m.group("field")))
+        elif m.group("score"):
+            out.append(("score", None))
+        elif m.group("func"):
+            out.append(("func", m.group("func")))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+@dataclass
+class ScriptScore(Query):
+    """ES ``script_score``: replace the wrapped query's score with an
+    arithmetic expression over document fields and ``_score``. The script
+    ``source`` is the PAINLESS ARITHMETIC SUBSET — numbers, ``_score``,
+    ``doc['field'].value``, ``+ - * /`` with standard precedence, unary
+    minus, parentheses, and ``Math.log/log10/sqrt/exp/abs/max/min/pow`` —
+    compiled ONCE at plan time by a recursive-descent parser into a single
+    Catalyst Column expression riding the scan (never a per-row UDF:
+    Painless runs scripted, this engine runs codegen'd). Unknown syntax
+    raises at compile time, never silently mis-scores. Like ES, a script
+    returning a negative score is an error class left to the caller; NULL
+    fields propagate NULL → treated as 0.0 via the final coalesce."""
+
+    CONSTANT_SCORE = False
+
+    query: Query
+    source: str
+
+    def predicate(self, spark, resolve) -> Column:
+        return self.query.predicate(spark, resolve)
+
+    def score(self, spark, resolve) -> Column:
+        toks = _tokenize_painless(self.source)
+        base = self.query.score(spark, resolve)
+        pos = 0
+
+        def peek():
+            return toks[pos] if pos < len(toks) else ("end", None)
+
+        def eat(kind, val=None):
+            nonlocal pos
+            t = peek()
+            if t[0] != kind or (val is not None and t[1] != val):
+                raise ValueError(
+                    f"script_score: unexpected {t!r} at token {pos} "
+                    f"in {self.source!r}"
+                )
+            pos += 1
+            return t[1]
+
+        def primary() -> Column:
+            nonlocal pos
+            kind, val = peek()
+            if kind == "num":
+                eat("num")
+                return F.lit(float(val))
+            if kind == "score":
+                eat("score")
+                return base
+            if kind == "doc":
+                eat("doc")
+                return resolve(val).cast("double")
+            if kind == "func":
+                eat("func")
+                arity, fn = _PAINLESS_FUNCS.get(val, (None, None))
+                if fn is None:
+                    raise ValueError(
+                        f"script_score: unsupported function {val!r} "
+                        f"(supported: {sorted(_PAINLESS_FUNCS)})"
+                    )
+                eat("op", "(")
+                args = [expr()]
+                while peek() == ("op", ","):
+                    eat("op", ",")
+                    args.append(expr())
+                eat("op", ")")
+                if len(args) != arity:
+                    raise ValueError(
+                        f"script_score: {val} takes {arity} args, "
+                        f"got {len(args)}"
+                    )
+                return fn(*args)
+            if kind == "op" and val == "(":
+                eat("op", "(")
+                e = expr()
+                eat("op", ")")
+                return e
+            if kind == "op" and val == "-":
+                eat("op", "-")
+                return -primary()
+            raise ValueError(
+                f"script_score: unexpected {kind}:{val!r} in {self.source!r}"
+            )
+
+        def term() -> Column:
+            e = primary()
+            while peek()[0] == "op" and peek()[1] in "*/":
+                op = eat("op")
+                rhs = primary()
+                e = e * rhs if op == "*" else e / rhs
+            return e
+
+        def expr() -> Column:
+            e = term()
+            while peek()[0] == "op" and peek()[1] in "+-":
+                op = eat("op")
+                rhs = term()
+                e = e + rhs if op == "+" else e - rhs
+            return e
+
+        out = expr()
+        if peek()[0] != "end":
+            raise ValueError(
+                f"script_score: trailing tokens in {self.source!r}"
+            )
+        return F.coalesce(out, F.lit(0.0))
+
+
 def search(
     df: DataFrame,
     query: Query,
@@ -799,9 +1080,11 @@ def from_es_json(
     ``{"query": ..., "weight": w}`` should shape), ``nested``, ``match``
     (with ``operator``/``minimum_should_match``), ``multi_match``
     (best_fields, ``field^boost`` syntax), ``match_phrase``, ``term``,
-    ``terms``, ``prefix``, ``wildcard``, ``fuzzy``, ``ids`` (bound to
-    ``id_field``), ``range``, ``exists``, ``match_all``. Unknown clause
-    types raise (never silently drop a predicate).
+    ``terms``, ``prefix``, ``wildcard``, ``regexp`` (anchored, core
+    operator set), ``fuzzy``, ``ids`` (bound to ``id_field``), ``range``,
+    ``exists``, ``match_all``, ``constant_score``, ``dis_max``,
+    ``boosting``, and ``script_score`` (Painless arithmetic subset).
+    Unknown clause types raise (never silently drop a predicate).
 
     Mapping-driven resolution, as in ES:
 
@@ -932,6 +1215,58 @@ def from_es_json(
                 must=must, filter=filt, should=should, must_not=must_not,
                 minimum_should_match=msm,
             )
+        if kind == "constant_score":
+            extra = set(body) - {"filter", "boost"}
+            if extra:
+                raise ValueError(f"unsupported constant_score keys: {extra}")
+            return ConstantScore(
+                compile_node(body["filter"], scope),
+                boost=float(body.get("boost", 1.0)),
+            )
+        if kind == "dis_max":
+            extra = set(body) - {"queries", "tie_breaker"}
+            if extra:
+                raise ValueError(f"unsupported dis_max keys: {extra}")
+            return DisMax(
+                [compile_node(c, scope) for c in body["queries"]],
+                tie_breaker=float(body.get("tie_breaker", 0.0)),
+            )
+        if kind == "boosting":
+            extra = set(body) - {"positive", "negative", "negative_boost"}
+            if extra:
+                raise ValueError(f"unsupported boosting keys: {extra}")
+            return Boosting(
+                compile_node(body["positive"], scope),
+                compile_node(body["negative"], scope),
+                negative_boost=float(body.get("negative_boost", 0.5)),
+            )
+        if kind == "script_score":
+            extra = set(body) - {"query", "script"}
+            if extra:
+                raise ValueError(f"unsupported script_score keys: {extra}")
+            script = body["script"]
+            src = script["source"] if isinstance(script, dict) else script
+            if isinstance(script, dict) and set(script) - {"source"}:
+                raise ValueError(
+                    f"unsupported script keys: {set(script) - {'source'}} "
+                    "(params interpolation is not supported; inline the "
+                    "values into source)"
+                )
+            return ScriptScore(compile_node(body["query"], scope), src)
+        if kind == "regexp":
+            (field, spec), = body.items()
+            if isinstance(spec, dict):
+                extra = set(spec) - {"value"}
+                if extra:
+                    raise ValueError(
+                        f"unsupported regexp options: {extra} (flags "
+                        "enabling Lucene optional operators are rejected "
+                        "by the node itself)"
+                    )
+                pattern = spec["value"]
+            else:
+                pattern = spec
+            return auto_nest(field, lambda f: Regexp(f, pattern), scope)
         if kind == "nested":
             extra = set(body) - {"path", "query"}
             if extra:

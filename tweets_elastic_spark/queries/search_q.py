@@ -1098,3 +1098,134 @@ def q_search_decay_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(docs, query, k=None).select(
         "doc_id", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "search_dis_max_boosting",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ), legs AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN list_contains(t, 'spark') THEN 1.0 ELSE 0.0 END AS s1,
+               CASE WHEN list_contains(t, 'merge') THEN 1.0 ELSE 0.0 END AS s2,
+               CASE WHEN regexp_full_match(source, 'src1[0-9]')
+                    THEN 0.5 ELSE 0.0 END AS s3
+        FROM toks
+    )
+    SELECT doc_id, lang, source,
+           CAST(round(
+             (greatest(s1, s2, s3)
+              + 0.3 * (s1 + s2 + s3 - greatest(s1, s2, s3)))
+             * CASE WHEN lang = 'zh' THEN 0.2 ELSE 1.0 END, 6)
+           AS DOUBLE) AS score
+    FROM legs
+    WHERE s1 > 0 OR s2 > 0 OR s3 > 0
+    ORDER BY (greatest(s1, s2, s3)
+              + 0.3 * (s1 + s2 + s3 - greatest(s1, s2, s3)))
+             * CASE WHEN lang = 'zh' THEN 0.2 ELSE 1.0 END DESC,
+             doc_id ASC
+    LIMIT 40
+    """,
+    doc="Three compound-scoring DSL nodes in one compiled JSON query: "
+        "dis_max (best-clause-wins + tie_breaker, the don't-double-count "
+        "union) over two analyzed matches and a constant_score-wrapped "
+        "regexp (anchored Lucene-core pattern src1[0-9], boost 0.5), all "
+        "wrapped in boosting (lang=zh demoted to 0.2 of its score without "
+        "being excluded). The whole score is ONE arithmetic expression "
+        "riding the scan; the oracle replicates the exact double "
+        "arithmetic (greatest + tie_breaker * remainder, then the demote "
+        "multiplier).",
+)
+def q_search_dis_max_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {
+        "query": {
+            "boosting": {
+                "positive": {
+                    "dis_max": {
+                        "queries": [
+                            {"match": {"text": "spark"}},
+                            {"match": {"text": "merge"}},
+                            {"constant_score": {
+                                "filter": {"regexp": {"source": "src1[0-9]"}},
+                                "boost": 0.5,
+                            }},
+                        ],
+                        "tie_breaker": 0.3,
+                    }
+                },
+                "negative": {"term": {"lang": "zh"}},
+                "negative_boost": 0.2,
+            }
+        }
+    }
+    query = from_es_json(dsl, analyzers={"text": "standard"})
+    return search(docs, query, k=40, tiebreak="doc_id").select(
+        "doc_id", "lang", "source", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "search_script_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(round(
+             ln(1 + n_chars)
+             * (1 + CASE WHEN list_contains(t, 'spark')
+                         THEN 2.0 ELSE 0.0 END) / 2, 6)
+           AS DOUBLE) AS score
+    FROM toks
+    WHERE n_chars >= 100
+    ORDER BY ln(1 + n_chars)
+             * (1 + CASE WHEN list_contains(t, 'spark')
+                         THEN 2.0 ELSE 0.0 END) / 2 DESC,
+             doc_id ASC
+    LIMIT 25
+    """,
+    doc="ES script_score: the Painless arithmetic subset compiled by a "
+        "recursive-descent parser into ONE Catalyst expression (Math.log, "
+        "doc['n_chars'].value, _score, precedence, parentheses) — never a "
+        "per-row UDF, unlike ES where scripts are the slow path. _score "
+        "binds to the wrapped bool's weighted-should score (match 'spark' "
+        "-> 2.0); the oracle replicates ln(1+n)·(1+s)/2 exactly.",
+)
+def q_search_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {
+        "query": {
+            "script_score": {
+                "query": {
+                    "bool": {
+                        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+                        "should": [
+                            {"query": {"match": {"text": "spark"}},
+                             "weight": 2},
+                        ],
+                    }
+                },
+                "script": {
+                    "source":
+                        "Math.log(1 + doc['n_chars'].value)"
+                        " * (1 + _score) / 2"
+                },
+            }
+        }
+    }
+    query = from_es_json(dsl, analyzers={"text": "standard"})
+    return search(docs, query, k=25, tiebreak="doc_id").select(
+        "doc_id", "n_chars", F.round("score", 6).alias("score")
+    )

@@ -735,3 +735,155 @@ def test_match_terms_by_field_walks_all_node_types(spark):
         "title": ["fast", "join"],
         "body": ["scan"],  # tag has no analyzer binding -> keyword, skipped
     }
+
+
+def test_extended_stats_population_moments(spark, sales):
+    r = es_aggregate(sales, {
+        "all": {
+            "terms": {"field": "region"},
+            "aggs": {"a": {"extended_stats": {"field": "amount"}}},
+        }
+    }).filter("all = 'eu'").collect()[0]
+    # eu amounts: 10, 20, 5 -> mean 35/3, pop variance = E[x^2] - mean^2
+    vals = [10.0, 20.0, 5.0]
+    mean = sum(vals) / 3
+    var = sum(v * v for v in vals) / 3 - mean * mean
+    assert r["a_count"] == 3 and r["a_min"] == 5.0 and r["a_max"] == 20.0
+    assert r["a_sum"] == 35.0
+    assert r["a_sum_of_squares"] == pytest.approx(525.0)
+    assert r["a_variance"] == pytest.approx(var, abs=1e-6)
+    assert r["a_std_deviation"] == pytest.approx(var ** 0.5, abs=1e-6)
+
+
+def test_percentile_ranks_exact(spark, sales):
+    r = es_aggregate(sales, {
+        "all": {
+            "terms": {"field": "region"},
+            "aggs": {"p": {"percentile_ranks": {"field": "amount",
+                                                "values": [9.0, 100]}}},
+        }
+    }).filter("all = 'us'").collect()[0]
+    # us amounts: 7, 9, 11, 13 -> <=9 is 2/4, <=100 is 4/4
+    assert r["p_rank_9_0"] == 50.0
+    assert r["p_rank_100"] == 100.0
+    with pytest.raises(ValueError, match="non-empty 'values'"):
+        es_aggregate(sales, {
+            "all": {"terms": {"field": "region"},
+                    "aggs": {"p": {"percentile_ranks": {"field": "amount"}}}}
+        })
+
+
+@pytest.fixture(scope="module")
+def daily(spark):
+    # histogram parent for pipeline semantics: key 0..4, doc_counts 1..5
+    rows = []
+    i = 0
+    for day, n in [(0.0, 1), (1.0, 2), (2.0, 3), (3.0, 4), (4.0, 5)]:
+        for _ in range(n):
+            rows.append((i, day))
+            i += 1
+    return spark.createDataFrame(rows, "id long, day double")
+
+
+def _hist_pipes(daily, pipes):
+    return es_aggregate(daily, {
+        "d": {
+            "histogram": {"field": "day", "interval": 1.0},
+            "aggs": pipes,
+        }
+    })
+
+
+def test_moving_fn_window_and_shift(spark, daily):
+    rows = {r["d"]: r for r in _hist_pipes(daily, {
+        "excl": {"moving_fn": {
+            "buckets_path": "_count", "window": 2,
+            "script": "MovingFunctions.unweightedAvg(values)"}},
+        "incl": {"moving_fn": {
+            "buckets_path": "_count", "window": 2, "shift": 1,
+            "script": "MovingFunctions.max(values)"}},
+    }).collect()}
+    # shift=0: avg of the 2 buckets BEFORE each; first bucket -> NULL
+    assert rows[0.0]["excl"] is None
+    assert rows[1.0]["excl"] == 1.0
+    assert rows[2.0]["excl"] == 1.5
+    assert rows[4.0]["excl"] == 3.5
+    # shift=1: window includes the current bucket
+    assert rows[0.0]["incl"] == 1.0
+    assert rows[4.0]["incl"] == 5.0
+    with pytest.raises(ValueError, match="unsupported moving_fn script"):
+        _hist_pipes(daily, {"x": {"moving_fn": {
+            "buckets_path": "_count", "window": 2,
+            "script": "MovingFunctions.stdDev(values)"}}}).collect()
+    with pytest.raises(ValueError, match="shift"):
+        _hist_pipes(daily, {"x": {"moving_fn": {
+            "buckets_path": "_count", "window": 2, "shift": 3,
+            "script": "MovingFunctions.sum(values)"}}}).collect()
+
+
+def test_bucket_script_and_selector(spark, daily):
+    rows = {r["d"]: r["double_n"] for r in _hist_pipes(daily, {
+        "double_n": {"bucket_script": {
+            "buckets_path": {"n": "_count"},
+            "script": "params.n * 2"}},
+        "keep": {"bucket_selector": {
+            "buckets_path": {"n": "_count"},
+            "script": "params.n >= 3"}},
+    }).collect()}
+    # selector dropped buckets 0 and 1 (counts 1, 2); script ran first
+    assert rows == {2.0: 6.0, 3.0: 8.0, 4.0: 10.0}
+    with pytest.raises(ValueError, match="must be a dict"):
+        _hist_pipes(daily, {"x": {"bucket_script": {
+            "buckets_path": "_count", "script": "params.n"}}}).collect()
+    with pytest.raises(ValueError, match="unknown params"):
+        _hist_pipes(daily, {"x": {"bucket_script": {
+            "buckets_path": {"n": "_count"},
+            "script": "params.q * 2"}}}).collect()
+
+
+def test_bucket_sort_truncates_and_orders(spark, daily):
+    got = [r["d"] for r in _hist_pipes(daily, {
+        "top": {"bucket_sort": {"sort": [{"_count": "desc"}], "size": 2}},
+    }).collect()]
+    assert got == [4.0, 3.0]
+    # bucket_selector/bucket_script/bucket_sort work on a TERMS parent too
+    # (no sequential order needed)
+    out = es_aggregate(spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, k string"
+    ), {
+        "t": {"terms": {"field": "k"},
+              "aggs": {"top": {"bucket_sort": {
+                  "sort": [{"_count": "desc"}], "size": 1}}}}
+    })
+    assert [r["t"] for r in out.collect()] == ["a"]
+    # ...but moving_fn still requires a histogram-family parent
+    with pytest.raises(ValueError, match="histogram-family"):
+        es_aggregate(spark.createDataFrame(
+            [(1, "a")], "id long, k string"
+        ), {
+            "t": {"terms": {"field": "k"},
+                  "aggs": {"m": {"moving_fn": {
+                      "buckets_path": "_count", "window": 2,
+                      "script": "MovingFunctions.sum(values)"}}}}
+        }).collect()
+
+
+def test_sibling_bucket_aggs_annotate_scalar(spark, daily):
+    out = es_aggregate(daily, {
+        "d": {"histogram": {"field": "day", "interval": 1.0}},
+        "avg_n": {"avg_bucket": {"buckets_path": "d>_count"}},
+        "max_n": {"max_bucket": {"buckets_path": "d>_count"}},
+    })
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["avg_n"] == 3.0 and r["max_n"] == 5.0 for r in rows)
+    with pytest.raises(ValueError, match="buckets_path must be"):
+        es_aggregate(daily, {
+            "d": {"histogram": {"field": "day", "interval": 1.0}},
+            "avg_n": {"avg_bucket": {"buckets_path": "other>_count"}},
+        })
+    with pytest.raises(ValueError, match="not a column"):
+        es_aggregate(daily, {
+            "d": {"histogram": {"field": "day", "interval": 1.0}},
+            "avg_n": {"avg_bucket": {"buckets_path": "d>nope"}},
+        })

@@ -737,7 +737,8 @@ def test_script_score_rejects_unknown_syntax(spark):
     from tweets_elastic_spark.plans.search import MatchAll, ScriptScore
 
     for bad, msg in [
-        ("params.x + 1", "cannot tokenize"),
+        ("params.x + 1", "unknown params.x"),
+        ("doc @ 1", "cannot tokenize"),
         ("Math.tan(1)", "unsupported function"),
         ("Math.max(1)", "takes 2 args"),
         ("1 + ", "unexpected"),

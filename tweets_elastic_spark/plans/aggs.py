@@ -176,6 +176,42 @@ def _metric_cols(aggs: dict) -> list[Column]:
                 F.avg(c).alias(f"{name}_avg"),
                 F.sum(c).alias(f"{name}_sum"),
             ]
+        elif kind == "extended_stats":
+            # ES extended_stats = stats + sum_of_squares / variance /
+            # std_deviation, all POPULATION moments (ES's contract).
+            # Rounded to 6 dp: both engines compute the same moments but
+            # var_pop's summation order differs (Welford vs naive), so the
+            # last ulp is not portable.
+            c = F.col(body["field"]).cast("double")
+            out += [
+                F.count(c).alias(f"{name}_count"),
+                F.min(c).alias(f"{name}_min"),
+                F.max(c).alias(f"{name}_max"),
+                F.round(F.avg(c), 6).alias(f"{name}_avg"),
+                F.round(F.sum(c), 6).alias(f"{name}_sum"),
+                F.round(F.sum(c * c), 6).alias(f"{name}_sum_of_squares"),
+                F.round(F.var_pop(c), 6).alias(f"{name}_variance"),
+                F.round(F.stddev_pop(c), 6).alias(f"{name}_std_deviation"),
+            ]
+        elif kind == "percentile_ranks":
+            # ES percentile_ranks: for each requested value, the percentage
+            # of observed values <= value. ES estimates via t-digest; this
+            # engine evaluates exactly (one conditional avg per value) —
+            # the same documented strictly-more-accurate divergence as
+            # percentiles/cardinality. Flattened: {name}_rank_{value}.
+            c = F.col(body["field"])
+            values = body.get("values")
+            if not values:
+                raise ValueError("percentile_ranks needs non-empty 'values'")
+            for v in values:
+                label = str(v).replace(".", "_").replace("-", "m")
+                out.append(
+                    F.round(
+                        F.avg(F.when(c <= F.lit(v), 1.0).otherwise(0.0))
+                        * 100.0,
+                        6,
+                    ).alias(f"{name}_rank_{label}")
+                )
         elif kind in ("terms", "date_histogram", "histogram", "range"):
             continue  # nested bucket, handled by the caller
         else:
@@ -208,7 +244,16 @@ def _filters_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
 
 
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range")
-_PIPELINE_KINDS = ("cumulative_sum", "derivative")
+_PIPELINE_KINDS = (
+    "cumulative_sum", "derivative", "moving_fn",
+    "bucket_script", "bucket_selector", "bucket_sort",
+)
+# sibling pipelines: scalar over the parent agg's bucket list, requested
+# NEXT TO the parent at the top level (ES's sibling-agg shape)
+_SIBLING_KINDS = {
+    "avg_bucket": F.avg, "sum_bucket": F.sum,
+    "min_bucket": F.min, "max_bucket": F.max,
+}
 
 
 def _composite_agg(df: DataFrame, body: dict, sub: dict) -> DataFrame:
@@ -332,29 +377,131 @@ def _apply_pipeline_aggs(
     single-partition window is the semantics, not a scale bug."""
     from pyspark.sql.window import Window
 
-    if kind not in ("date_histogram", "histogram"):
+    from tweets_elastic_spark.plans.search import compile_painless
+
+    ordered_kinds = ("cumulative_sum", "derivative", "moving_fn")
+    if any(next(iter(s)) in ordered_kinds for s in pipes.values()) \
+            and kind not in ("date_histogram", "histogram"):
         raise ValueError(
-            f"pipeline aggs need a histogram-family parent bucket "
+            f"sequential pipeline aggs (cumulative_sum/derivative/"
+            f"moving_fn) need a histogram-family parent bucket "
             f"(deterministic key order), got {kind!r}"
         )
     w = Window.orderBy(F.col(bucket_name).asc())
-    for pname, spec in pipes.items():
-        (pkind, pbody), = spec.items()
-        path = pbody["buckets_path"]
-        if path not in out.columns:
+
+    def metric_path(pkind: str, path: str) -> str:
+        col = "doc_count" if path == "_count" else path
+        if col not in out.columns:
             raise ValueError(
                 f"{pkind} buckets_path {path!r} is not a sibling metric "
                 f"(have: {out.columns})"
             )
+        return col
+
+    def script_params(pkind: str, pbody: dict) -> dict:
+        paths = pbody["buckets_path"]
+        if not isinstance(paths, dict):
+            raise ValueError(
+                f"{pkind} buckets_path must be a dict of "
+                f"param-name -> metric, got {paths!r}"
+            )
+        return {
+            p: F.col(metric_path(pkind, m)).cast("double")
+            for p, m in paths.items()
+        }
+
+    # evaluated in request order, as ES does — a bucket_selector may
+    # reference a bucket_script column defined before it
+    for pname, spec in pipes.items():
+        (pkind, pbody), = spec.items()
         if pkind == "cumulative_sum":
+            path = metric_path(pkind, pbody["buckets_path"])
             out = out.withColumn(
                 pname,
                 F.sum(path).over(
                     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 ),
             )
-        else:
+        elif pkind == "derivative":
+            path = metric_path(pkind, pbody["buckets_path"])
             out = out.withColumn(pname, F.col(path) - F.lag(path).over(w))
+        elif pkind == "moving_fn":
+            # ES moving_fn: a sliding window over the ORDERED bucket list.
+            # With shift=0 (default) the window is the `window` buckets
+            # BEFORE the current one (exclusive); shift=1 slides the right
+            # edge to include the current bucket. An empty window yields
+            # NULL (ES's null), e.g. the first bucket at shift=0. The
+            # script names one of ES's MovingFunctions; the window frame +
+            # aggregate runs JVM-side, never a per-bucket script.
+            path = metric_path(pkind, pbody["buckets_path"])
+            window = int(pbody["window"])
+            if window <= 0:
+                raise ValueError(f"moving_fn window must be > 0, got {window}")
+            shift = int(pbody.get("shift", 0))
+            if shift not in (0, 1):
+                raise ValueError(
+                    f"moving_fn shift supports 0 (exclude current bucket) "
+                    f"or 1 (include it), got {shift}"
+                )
+            fns = {
+                "MovingFunctions.unweightedAvg(values)": F.avg,
+                "MovingFunctions.min(values)": F.min,
+                "MovingFunctions.max(values)": F.max,
+                "MovingFunctions.sum(values)": F.sum,
+            }
+            script = pbody.get("script")
+            if script not in fns:
+                raise ValueError(
+                    f"unsupported moving_fn script {script!r} "
+                    f"(supported: {sorted(fns)})"
+                )
+            hi = 0 if shift == 1 else -1
+            lo = hi - window + 1
+            out = out.withColumn(
+                pname,
+                fns[script](F.col(path).cast("double")).over(
+                    w.rowsBetween(lo, hi)
+                ),
+            )
+        elif pkind == "bucket_script":
+            out = out.withColumn(
+                pname,
+                compile_painless(
+                    pbody["script"],
+                    params=script_params(pkind, pbody),
+                ),
+            )
+        elif pkind == "bucket_selector":
+            out = out.filter(
+                compile_painless(
+                    pbody["script"],
+                    params=script_params(pkind, pbody),
+                    compare=True,
+                )
+            )
+        elif pkind == "bucket_sort":
+            order = []
+            for entry in pbody.get("sort", []):
+                if isinstance(entry, str):
+                    field, direction = entry, "asc"
+                else:
+                    (field, direction), = entry.items()
+                    if isinstance(direction, dict):
+                        direction = direction.get("order", "asc")
+                col = F.col(metric_path(pkind, field))
+                order.append(
+                    col.desc() if direction == "desc" else col.asc()
+                )
+            # bucket-key tiebreak keeps truncation deterministic
+            order.append(F.col(bucket_name).asc())
+            out = out.orderBy(*order)
+            frm = int(pbody.get("from", 0))
+            if frm:
+                out = out.offset(frm)
+            if "size" in pbody:
+                out = out.limit(int(pbody["size"]))
+        else:
+            raise ValueError(f"unsupported pipeline agg: {pkind!r}")
     return out
 
 
@@ -404,11 +551,48 @@ def es_aggregate(
     for aggs that need BOTH sides of the filter split (significant_terms
     compares foreground vs background); for every other agg the caller
     passes the already-filtered frame."""
-    if len(aggs_dsl) != 1:
+    siblings = {
+        n: s for n, s in aggs_dsl.items()
+        if isinstance(s, dict) and s and next(iter(s)) in _SIBLING_KINDS
+    }
+    primary = {n: s for n, s in aggs_dsl.items() if n not in siblings}
+    if len(primary) != 1:
         raise ValueError(
-            f"expected exactly one top-level aggregation, got {sorted(aggs_dsl)}"
+            f"expected exactly one top-level (non-sibling) aggregation, "
+            f"got {sorted(primary) or sorted(aggs_dsl)}"
         )
-    (name, spec), = aggs_dsl.items()
+    if siblings:
+        # ES sibling pipeline aggs (avg/sum/min/max_bucket): a scalar over
+        # the parent agg's bucket list, requested NEXT TO the parent. The
+        # flattened rendering annotates every bucket row with the scalar —
+        # a 1-row broadcast cross join, the coordinator-side reduction's
+        # distributed twin. buckets_path is "parent>metric" (_count →
+        # doc_count); NULL metric cells (derivative's first bucket) are
+        # skipped, ES's gap policy.
+        out = es_aggregate(df, primary, fg_pred)
+        (pname,) = primary
+        scalars = []
+        for sname, sspec in siblings.items():
+            (skind, sbody), = sspec.items()
+            parent, _, metric = sbody["buckets_path"].partition(">")
+            if parent != pname or not metric:
+                raise ValueError(
+                    f"{skind} buckets_path must be '{pname}>metric', "
+                    f"got {sbody['buckets_path']!r}"
+                )
+            col = "doc_count" if metric == "_count" else metric
+            if col not in out.columns:
+                raise ValueError(
+                    f"{skind} metric {metric!r} is not a column of the "
+                    f"parent bucket relation (have: {out.columns})"
+                )
+            scalars.append(
+                F.round(
+                    _SIBLING_KINDS[skind](F.col(col).cast("double")), 6
+                ).alias(sname)
+            )
+        return out.crossJoin(F.broadcast(out.agg(*scalars)))
+    (name, spec), = primary.items()
     spec = dict(spec)
     sub = dict(spec.pop("aggs", {}))
     (kind, body), = spec.items()

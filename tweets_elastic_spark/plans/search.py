@@ -840,8 +840,10 @@ def _tokenize_painless(src: str) -> list[tuple[str, object]]:
     token_re = _re.compile(
         r"\s*(?:(?P<num>\d+\.\d+|\d+|\.\d+)"
         r"|(?P<doc>doc\[\s*'(?P<field>[A-Za-z0-9_.]+)'\s*\]\s*\.\s*value)"
+        r"|(?P<param>params\.(?P<pname>[A-Za-z_][A-Za-z0-9_]*))"
         r"|(?P<score>_score)"
         r"|(?P<func>Math\.[A-Za-z0-9]+)"
+        r"|(?P<cmp>>=|<=|==|!=|>|<)"
         r"|(?P<op>[()+\-*/,]))"
     )
     out, pos = [], 0
@@ -853,19 +855,146 @@ def _tokenize_painless(src: str) -> list[tuple[str, object]]:
             raise ValueError(
                 f"script_score: cannot tokenize {src[pos:pos+20]!r} "
                 f"(supported: numbers, _score, doc['field'].value, "
-                f"{sorted(_PAINLESS_FUNCS)}, + - * / parentheses)"
+                f"params.name, {sorted(_PAINLESS_FUNCS)}, comparisons, "
+                f"+ - * / parentheses)"
             )
         pos = m.end()
         if m.group("num"):
             out.append(("num", float(m.group("num"))))
         elif m.group("doc"):
             out.append(("doc", m.group("field")))
+        elif m.group("param"):
+            out.append(("param", m.group("pname")))
         elif m.group("score"):
             out.append(("score", None))
         elif m.group("func"):
             out.append(("func", m.group("func")))
+        elif m.group("cmp"):
+            out.append(("cmp", m.group("cmp")))
         else:
             out.append(("op", m.group("op")))
+    return out
+
+
+def compile_painless(
+    source: str,
+    *,
+    score: Column | None = None,
+    resolve_doc=None,
+    params: dict | None = None,
+    compare: bool = False,
+) -> Column:
+    """Compile the Painless ARITHMETIC SUBSET to one Catalyst Column:
+    numbers, ``+ - * /`` with standard precedence, unary minus,
+    parentheses, ``Math.log/log10/sqrt/exp/abs/max/min/pow``, and the
+    variable forms each caller enables — ``_score`` (``score=``),
+    ``doc['field'].value`` (``resolve_doc=``), ``params.name`` (a Column
+    per name, the ``bucket_script``/``bucket_selector`` binding). With
+    ``compare=True`` one top-level comparison (``> >= < <= == !=``) is
+    allowed and the result is boolean — the bucket_selector contract.
+    Unknown syntax raises at compile time, never silently mis-scores."""
+    toks = _tokenize_painless(source)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else ("end", None)
+
+    def eat(kind, val=None):
+        nonlocal pos
+        t = peek()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise ValueError(
+                f"script_score: unexpected {t!r} at token {pos} "
+                f"in {source!r}"
+            )
+        pos += 1
+        return t[1]
+
+    def primary() -> Column:
+        kind, val = peek()
+        if kind == "num":
+            eat("num")
+            return F.lit(float(val))
+        if kind == "score":
+            eat("score")
+            if score is None:
+                raise ValueError(
+                    f"_score is not available in this context: {source!r}"
+                )
+            return score
+        if kind == "doc":
+            eat("doc")
+            if resolve_doc is None:
+                raise ValueError(
+                    f"doc[...] is not available in this context: {source!r}"
+                )
+            return resolve_doc(val)
+        if kind == "param":
+            eat("param")
+            if params is None or val not in params:
+                raise ValueError(
+                    f"unknown params.{val} (have: "
+                    f"{sorted(params) if params else []}) in {source!r}"
+                )
+            return params[val]
+        if kind == "func":
+            eat("func")
+            arity, fn = _PAINLESS_FUNCS.get(val, (None, None))
+            if fn is None:
+                raise ValueError(
+                    f"script_score: unsupported function {val!r} "
+                    f"(supported: {sorted(_PAINLESS_FUNCS)})"
+                )
+            eat("op", "(")
+            args = [expr()]
+            while peek() == ("op", ","):
+                eat("op", ",")
+                args.append(expr())
+            eat("op", ")")
+            if len(args) != arity:
+                raise ValueError(
+                    f"script_score: {val} takes {arity} args, got {len(args)}"
+                )
+            return fn(*args)
+        if kind == "op" and val == "(":
+            eat("op", "(")
+            e = expr()
+            eat("op", ")")
+            return e
+        if kind == "op" and val == "-":
+            eat("op", "-")
+            return -primary()
+        raise ValueError(
+            f"script_score: unexpected {kind}:{val!r} in {source!r}"
+        )
+
+    def term() -> Column:
+        e = primary()
+        while peek()[0] == "op" and peek()[1] in "*/":
+            op = eat("op")
+            rhs = primary()
+            e = e * rhs if op == "*" else e / rhs
+        return e
+
+    def expr() -> Column:
+        e = term()
+        while peek()[0] == "op" and peek()[1] in "+-":
+            op = eat("op")
+            rhs = term()
+            e = e + rhs if op == "+" else e - rhs
+        return e
+
+    out = expr()
+    if compare and peek()[0] == "cmp":
+        op = eat("cmp")
+        rhs = expr()
+        out = {
+            ">": out > rhs, ">=": out >= rhs,
+            "<": out < rhs, "<=": out <= rhs,
+            "==": out == rhs, "!=": out != rhs,
+        }[op]
+    if peek()[0] != "end":
+        raise ValueError(f"script_score: trailing tokens in {source!r}")
     return out
 
 
@@ -892,89 +1021,11 @@ class ScriptScore(Query):
         return self.query.predicate(spark, resolve)
 
     def score(self, spark, resolve) -> Column:
-        toks = _tokenize_painless(self.source)
-        base = self.query.score(spark, resolve)
-        pos = 0
-
-        def peek():
-            return toks[pos] if pos < len(toks) else ("end", None)
-
-        def eat(kind, val=None):
-            nonlocal pos
-            t = peek()
-            if t[0] != kind or (val is not None and t[1] != val):
-                raise ValueError(
-                    f"script_score: unexpected {t!r} at token {pos} "
-                    f"in {self.source!r}"
-                )
-            pos += 1
-            return t[1]
-
-        def primary() -> Column:
-            nonlocal pos
-            kind, val = peek()
-            if kind == "num":
-                eat("num")
-                return F.lit(float(val))
-            if kind == "score":
-                eat("score")
-                return base
-            if kind == "doc":
-                eat("doc")
-                return resolve(val).cast("double")
-            if kind == "func":
-                eat("func")
-                arity, fn = _PAINLESS_FUNCS.get(val, (None, None))
-                if fn is None:
-                    raise ValueError(
-                        f"script_score: unsupported function {val!r} "
-                        f"(supported: {sorted(_PAINLESS_FUNCS)})"
-                    )
-                eat("op", "(")
-                args = [expr()]
-                while peek() == ("op", ","):
-                    eat("op", ",")
-                    args.append(expr())
-                eat("op", ")")
-                if len(args) != arity:
-                    raise ValueError(
-                        f"script_score: {val} takes {arity} args, "
-                        f"got {len(args)}"
-                    )
-                return fn(*args)
-            if kind == "op" and val == "(":
-                eat("op", "(")
-                e = expr()
-                eat("op", ")")
-                return e
-            if kind == "op" and val == "-":
-                eat("op", "-")
-                return -primary()
-            raise ValueError(
-                f"script_score: unexpected {kind}:{val!r} in {self.source!r}"
-            )
-
-        def term() -> Column:
-            e = primary()
-            while peek()[0] == "op" and peek()[1] in "*/":
-                op = eat("op")
-                rhs = primary()
-                e = e * rhs if op == "*" else e / rhs
-            return e
-
-        def expr() -> Column:
-            e = term()
-            while peek()[0] == "op" and peek()[1] in "+-":
-                op = eat("op")
-                rhs = term()
-                e = e + rhs if op == "+" else e - rhs
-            return e
-
-        out = expr()
-        if peek()[0] != "end":
-            raise ValueError(
-                f"script_score: trailing tokens in {self.source!r}"
-            )
+        out = compile_painless(
+            self.source,
+            score=self.query.score(spark, resolve),
+            resolve_doc=lambda f: resolve(f).cast("double"),
+        )
         return F.coalesce(out, F.lit(0.0))
 
 

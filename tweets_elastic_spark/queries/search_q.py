@@ -1229,3 +1229,136 @@ def q_search_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(docs, query, k=25, tiebreak="doc_id").select(
         "doc_id", "n_chars", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "es_aggs_extended_stats",
+    oracle="""
+    SELECT event_type AS by_type,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(count(value) AS BIGINT) AS v_count,
+           CAST(min(value) AS DOUBLE) AS v_min,
+           CAST(max(value) AS DOUBLE) AS v_max,
+           round(avg(value), 6) AS v_avg,
+           round(sum(value), 6) AS v_sum,
+           round(sum(value * value), 6) AS v_sum_of_squares,
+           round(var_pop(value), 6) AS v_variance,
+           round(stddev_pop(value), 6) AS v_std_deviation,
+           round(100.0 * avg(CASE WHEN value <= 2.5 THEN 1.0 ELSE 0.0 END), 6)
+               AS vr_rank_2_5,
+           round(100.0 * avg(CASE WHEN value <= 7.5 THEN 1.0 ELSE 0.0 END), 6)
+               AS vr_rank_7_5
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES extended_stats (population variance / std-dev / sum-of-squares"
+        " on top of the five stats keys) and percentile_ranks (exact "
+        "percentage of values <= each threshold; ES estimates via t-digest"
+        " — the same documented strictly-more-accurate divergence as "
+        "percentiles) under one terms bucket: a single conditional-"
+        "aggregate groupBy scan, moments rounded at 6 dp (double "
+        "accumulation order differs across partials).",
+)
+def q_es_aggs_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    request = {
+        "aggs": {
+            "by_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "v": {"extended_stats": {"field": "value"}},
+                    "vr": {"percentile_ranks": {"field": "value",
+                                                "values": [2.5, 7.5]}},
+                },
+            }
+        }
+    }
+    out = es_request(events, request)
+    return out.select(
+        "by_type", "doc_count", "v_count",
+        F.col("v_min").cast("double").alias("v_min"),
+        F.col("v_max").cast("double").alias("v_max"),
+        "v_avg", "v_sum", "v_sum_of_squares", "v_variance",
+        "v_std_deviation", "vr_rank_2_5", "vr_rank_7_5",
+    )
+
+
+@register(
+    "es_aggs_moving_pipeline",
+    oracle="""
+    WITH b AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS per_day,
+               CAST(count(*) AS BIGINT) AS doc_count
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1
+    ), m AS (
+        SELECT per_day, doc_count,
+               avg(doc_count) OVER (
+                   ORDER BY per_day
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mv3_raw
+        FROM b
+    ), s AS (
+        SELECT per_day, doc_count, mv3_raw,
+               doc_count / mv3_raw AS ratio_raw
+        FROM m
+        WHERE doc_count > 5
+        ORDER BY doc_count DESC, per_day ASC
+        LIMIT 10
+    )
+    SELECT per_day, doc_count,
+           round(mv3_raw, 6) AS mv3,
+           round(ratio_raw, 6) AS ratio,
+           round((SELECT avg(doc_count) FROM s), 6) AS day_avg
+    FROM s
+    """,
+    doc="Four pipeline aggregations + a sibling pipeline in one request: "
+        "moving_fn (unweightedAvg over the 3 buckets before each, shift=0 "
+        "-> NULL first bucket), bucket_script (params.d / params.m over "
+        "sibling metrics, Painless subset compiled to one expression), "
+        "bucket_selector (drop buckets with doc_count <= 5), bucket_sort "
+        "(top-10 by doc_count), and avg_bucket (a sibling scalar over the "
+        "surviving bucket list, annotated onto every row via a 1-row "
+        "broadcast cross join — the coordinator-side reduction's "
+        "distributed twin). All windows run over the REDUCED bucket "
+        "relation, ES's own coordinator-side shape.",
+)
+def q_es_aggs_moving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    request = {
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "mv3": {"moving_fn": {
+                        "buckets_path": "_count", "window": 3,
+                        "script": "MovingFunctions.unweightedAvg(values)",
+                    }},
+                    "ratio": {"bucket_script": {
+                        "buckets_path": {"d": "_count", "m": "mv3"},
+                        "script": "params.d / params.m",
+                    }},
+                    "keep": {"bucket_selector": {
+                        "buckets_path": {"d": "_count"},
+                        "script": "params.d > 5",
+                    }},
+                    "top": {"bucket_sort": {
+                        "sort": [{"_count": "desc"}], "size": 10,
+                    }},
+                },
+            },
+            "day_avg": {"avg_bucket": {"buckets_path": "per_day>_count"}},
+        }
+    }
+    out = es_request(events, request)
+    return out.select(
+        "per_day", "doc_count",
+        F.round("mv3", 6).alias("mv3"),
+        F.round("ratio", 6).alias("ratio"),
+        F.col("day_avg"),
+    )

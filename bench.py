@@ -101,6 +101,11 @@ HEADLINE = [
     "decontaminate_fuzzy_survivors",
     "model_quality_filter",
     "lm_perplexity_filter",
+    "dsir_sample",
+    "search_dis_max_boosting",
+    "search_script_score",
+    "es_aggs_extended_stats",
+    "es_aggs_moving_pipeline",
     "line_dedup",
     "multimodal_decode",
 ]

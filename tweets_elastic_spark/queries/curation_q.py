@@ -452,3 +452,78 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return C.line_dedup(aug, max_df=1)
+
+
+@register(
+    "dsir_sample",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, f
+        FROM toks, UNNEST(list_concat(
+            list_transform(t, x -> 'u:' || x),
+            list_transform(range(1, len(t)),
+                           i -> 'b:' || t[i] || ' ' || t[i+1])
+        )) AS u(f)
+    ), feats AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS fid,
+               count(*) AS cnt
+        FROM grams GROUP BY 1, 2
+    ), tfeats AS (
+        SELECT f.fid, sum(f.cnt) AS tn
+        FROM feats f JOIN toks d USING (doc_id)
+        WHERE d.lang = 'en' AND d.source = 'src1'
+        GROUP BY 1
+    ), rawb AS (
+        SELECT fid, sum(cnt) AS rn FROM feats GROUP BY 1
+    ), rt AS (SELECT sum(rn) AS rtot FROM rawb),
+       tt AS (SELECT sum(tn) AS ttot FROM tfeats),
+    lw AS (
+        SELECT f.doc_id,
+               sum(f.cnt * (
+                   ln((coalesce(b2.tn, 0) + 1.0) / (tt.ttot + 512.0))
+                 - ln((b1.rn + 1.0) / (rt.rtot + 512.0)))) AS logw
+        FROM feats f
+        JOIN rawb b1 USING (fid)
+        LEFT JOIN tfeats b2 USING (fid), rt, tt
+        GROUP BY 1
+    ), keyed AS (
+        SELECT doc_id, logw,
+               logw + (-ln(-ln(
+                   (('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))
+                        ::BIGINT + 1.0)
+                   / 1152921504606846977.0))) AS key
+        FROM lw
+    )
+    SELECT k.doc_id, d.lang, d.source,
+           round(k.logw, 6) AS logw, round(k.key, 6) AS key
+    FROM keyed k JOIN documents d USING (doc_id)
+    ORDER BY k.key DESC, k.doc_id ASC
+    LIMIT 100
+    """,
+    doc="DSIR domain-targeted data selection (Xie et al. 2023): hashed "
+        "unigram+bigram features (portable 60-bit md5 hash, 512 buckets), "
+        "Laplace-smoothed target (lang=en ^ source=src1, the in-domain "
+        "proxy) vs raw bag-of-ngrams models, per-doc log importance "
+        "ratio, and Gumbel-top-k sampling WITHOUT replacement with "
+        "hash-derived reproducible noise — all one plan: scan-local "
+        "featurize, one (doc,fid) combine, two broadcast model tables, "
+        "TakeOrderedAndProject selection. The oracle replays every step "
+        "bit-for-bit including the Gumbel keys.",
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.dsir import dsir_sample
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    target = docs.filter((F.col("lang") == "en") & (F.col("source") == "src1"))
+    out = dsir_sample(docs, target, k=100, n_buckets=512, seed=42)
+    return out.select(
+        "doc_id", "lang", "source",
+        F.round("logw", 6).alias("logw"),
+        F.round("key", 6).alias("key"),
+    )

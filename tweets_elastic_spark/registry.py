@@ -107,9 +107,12 @@ DRIVER_PRIORITY: list[str] = [
     # portable_topk stays parity-verified post-prefix.
     "ann_cosine_topk", "ann_ivfpq_topk", "ann_pq_arrow_topk",
     "ann_lsh_topk_indexed",
-    # curation ship stage
+    # curation ship stage (r6: domain_mix_sample -> dsir_sample — both are
+    # the data-selection family; the DSIR entry additionally proves the
+    # hashed-feature models and reproducible Gumbel-top-k, while the
+    # temperature mixture stays oracle-parity-verified post-prefix)
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",
-    "training_shards", "sequence_pack", "domain_mix_sample",
+    "training_shards", "sequence_pack", "dsir_sample",
     # profiling + multimodal
     "corpus_profile", "multimodal_decode",
 ]

@@ -102,6 +102,7 @@ HEADLINE = [
     "model_quality_filter",
     "lm_perplexity_filter",
     "dsir_sample",
+    "bpe_token_stats",
     "search_dis_max_boosting",
     "search_script_score",
     "es_aggs_extended_stats",

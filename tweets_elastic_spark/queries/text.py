@@ -300,3 +300,43 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return bigram_ce_filter(docs, threshold=3.45)
+
+
+@register(
+    "bpe_token_stats",
+    oracle=None,  # the iterative merge recursion is not SQL-expressible;
+    # pinned by tests/test_bpe.py against an independent reference trainer
+    # (Sennrich example merges verbatim) + round-trip/monotonicity
+    # properties; the driver records the rows-only check.
+    doc="BPE subword tokenizer (Sennrich et al. 2016) trained on the "
+        "corpus and applied to it in one operator pair: the corpus "
+        "collapses to a (word, freq) relation (one map-side-combined "
+        "shuffle, vocabulary-sized), merges are learned driver-side over "
+        "that bounded table (TakeOrderedAndProject cap, like every "
+        "trainer does on aggregated counts), and encoding runs as an "
+        "Arrow-batched pandas UDF with a per-batch word memo — work "
+        "scales with unique words (Zipf), not tokens. Output: per-doc "
+        "word/subword counts + compression ratio.",
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, num_merges=80)
+    out = bpe_encode(docs, merges)
+    n_words = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    return out.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.round(
+            F.size("bpe_tokens").cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            6,
+        ).alias("subwords_per_word"),
+    )

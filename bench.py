@@ -103,6 +103,7 @@ HEADLINE = [
     "lm_perplexity_filter",
     "dsir_sample",
     "bpe_token_stats",
+    "dup_ngram_stats",
     "search_dis_max_boosting",
     "search_script_score",
     "es_aggs_extended_stats",

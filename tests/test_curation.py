@@ -246,3 +246,46 @@ def test_line_dedup_max_df_threshold(spark):
     assert kept2 == {1: "a", 2: "b", 3: "c"}
     kept3 = {r["doc_id"]: r["text_kept"] for r in line_dedup(df, max_df=3).collect()}
     assert kept3 == {1: "shared\na", 2: "shared\nb", 3: "shared\nc"}
+
+
+def test_dup_ngram_stats_counts_shared_grams(spark):
+    from tweets_elastic_spark.operators.curation import (
+        dup_ngram_filter, dup_ngram_stats,
+    )
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique alpha beta"),
+         (2, shared + " gamma delta"),
+         (3, "totally different words in this document")],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in dup_ngram_stats(docs, k=4).collect()}
+    # the 3 4-grams inside the shared prefix appear in docs 1 AND 2
+    assert stats[1]["n_dup"] == 3 and stats[2]["n_dup"] == 3
+    assert stats[3]["n_dup"] == 0 and stats[3]["dup_frac"] == 0.0
+    # doc1: 9 words -> 6 distinct 4-grams; 3 duplicated -> 0.5
+    assert stats[1]["n_grams"] == 6
+    assert stats[1]["dup_frac"] == 0.5
+    kept = {r["doc_id"]
+            for r in dup_ngram_filter(docs, k=4, max_dup_frac=0.4).collect()}
+    assert kept == {3}
+    kept2 = {r["doc_id"]
+             for r in dup_ngram_filter(docs, k=4, max_dup_frac=0.5).collect()}
+    assert 1 in kept2 and 3 in kept2
+
+
+def test_dup_ngram_stats_short_docs_and_within_doc_repeat(spark):
+    from tweets_elastic_spark.operators.curation import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"),  # short: whole text = one gram
+         (3, "a b c a b c a b c a b c")],   # repeats only within itself
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in dup_ngram_stats(docs, k=4).collect()}
+    # docs 1 and 2 share their single whole-text gram
+    assert stats[1]["n_grams"] == 1 and stats[1]["n_dup"] == 1
+    assert stats[2]["dup_frac"] == 1.0
+    # within-doc repetition does NOT count (df is DISTINCT docs)
+    assert stats[3]["n_dup"] == 0

@@ -295,3 +295,68 @@ def line_dedup(
             (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
         )
     )
+
+
+def dup_ngram_stats(
+    corpus: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-corpus duplicated-text measurement (the doc-level decision of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": text spans repeated across a corpus are memorization fuel):
+    for every document, the fraction of its DISTINCT k-grams whose
+    document frequency in the corpus is >= 2 — i.e. spans shared with at
+    least one other document.
+
+    One plan: the (id, gram) posting list (scan-local shingling), a gram-
+    keyed df aggregation (map-side combine; output is distinct-gram-
+    sized), a same-key join back (the aggregation's partitioning is
+    reusable — one logical shuffle on the gram key), and a per-doc
+    re-aggregation. No pairwise work anywhere: cost is linear in posting
+    count, unlike the O(df**2) pair generators — this is the operator to
+    run FIRST at 100 TB to size the dedup problem.
+
+    Returns (id, n_grams, n_dup, dup_frac). Docs shorter than k words
+    contribute their whole text as one gram (word_shingles_from_tokens's
+    short-doc contract), so every doc appears in the output.
+    """
+    from tweets_elastic_spark.operators.dedup import _shingle_posting_list
+
+    posts = _shingle_posting_list(corpus, text_col, id_col, k, None)
+    df_counts = posts.groupBy("_sh").agg(
+        F.countDistinct("_id").alias("_df")
+    )
+    return (
+        posts.join(df_counts, "_sh")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup") / F.col("n_grams").cast("double"), 6),
+        )
+    )
+
+
+def dup_ngram_filter(
+    corpus: DataFrame,
+    k: int = 13,
+    max_dup_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose duplicated-k-gram fraction is at most
+    ``max_dup_frac`` — the conservative span-dedup decision (drop
+    boilerplate-heavy docs wholesale rather than surgically cutting spans;
+    the surgical variant is line_dedup)."""
+    stats = dup_ngram_stats(corpus, k, text_col, id_col)
+    return corpus.join(
+        stats.filter(F.col("dup_frac") <= max_dup_frac).select(id_col),
+        id_col,
+    )

@@ -527,3 +527,33 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("logw", 6).alias("logw"),
         F.round("key", 6).alias("key"),
     )
+
+
+@register(
+    "dup_ngram_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest({_grams_sql(4)}) AS g FROM toks
+    ), dfs AS (
+        SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM grams JOIN dfs USING (g)
+    GROUP BY doc_id
+    """,
+    doc="Intra-corpus duplicated-span measurement (the doc-level decision "
+        "of Lee et al. 2022): per document, the fraction of its distinct "
+        "4-grams shared with at least one other document. Linear in "
+        "posting count (gram-df aggregation + same-key join back), no "
+        "pairwise work — the operator to run FIRST at scale to size the "
+        "dedup problem before any O(df^2) pair generator.",
+)
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return C.dup_ngram_stats(docs, k=4)

@@ -108,6 +108,7 @@ HEADLINE = [
     "search_script_score",
     "es_aggs_extended_stats",
     "es_aggs_moving_pipeline",
+    "es_request_rescore",
     "line_dedup",
     "multimodal_decode",
 ]

@@ -887,3 +887,84 @@ def test_sibling_bucket_aggs_annotate_scalar(spark, daily):
             "d": {"histogram": {"field": "day", "interval": 1.0}},
             "avg_n": {"avg_bucket": {"buckets_path": "d>nope"}},
         })
+
+
+def test_rescore_reranks_window_and_spares_nonmatches(spark):
+    df = spark.createDataFrame(
+        [(1, "spark text here", 500),   # orig 2.0, no boost
+         (2, "merge text here", 500),   # orig 1.0, no boost
+         (3, "merge note", 100),        # orig 1.0, rescore boost +3
+         (4, "nothing relevant", 100)],
+        "doc_id long, text string, n long",
+    )
+    request = {
+        "query": {"bool": {"should": [
+            {"query": {"match": {"text": "spark"}}, "weight": 2},
+            {"query": {"match": {"text": "merge"}}, "weight": 1},
+        ]}},
+        "rescore": {"window_size": 10, "query": {
+            "rescore_query": {"range": {"n": {"lte": 200}}},
+            "rescore_query_weight": 3.0,
+        }},
+        "size": 3,
+    }
+    out = es_request(df, request, analyzers={"text": "standard"},
+                     tiebreak="doc_id").collect()
+    got = [(r["doc_id"], r["score"]) for r in out]
+    # doc3: 1 + 3 = 4 overtakes doc1 (2.0); doc4 never matched the query
+    assert got == [(3, 4.0), (1, 2.0), (2, 1.0)]
+
+
+def test_rescore_multiply_skips_nonmatching_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "spark a", 100), (2, "spark b", 900)],
+        "doc_id long, text string, n long",
+    )
+    request = {
+        "query": {"match": {"text": "spark"}},
+        "rescore": {"window_size": 5, "query": {
+            "rescore_query": {"range": {"n": {"lte": 200}}},
+            "rescore_query_weight": 5.0,
+            "score_mode": "multiply",
+        }},
+        "size": 2,
+    }
+    out = es_request(df, request, analyzers={"text": "standard"},
+                     tiebreak="doc_id").collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    # doc1 matched: 1*1 * 5*1 = 5; doc2 unmatched keeps qw*orig = 1 (NOT 0)
+    assert got == {1: 5.0, 2: 1.0}
+
+
+def test_rescore_guards(spark, sales):
+    base = {"query": {"term": {"region": "eu"}}}
+    with pytest.raises(ValueError, match="ignores it under"):
+        es_request(sales, {**base, "sort": [{"id": "asc"}],
+                           "rescore": {"window_size": 5, "query": {
+                               "rescore_query": {"match_all": {}}}}})
+    with pytest.raises(ValueError, match="smaller than"):
+        es_request(sales, {**base, "size": 10, "rescore": {
+            "window_size": 5,
+            "query": {"rescore_query": {"match_all": {}}}}})
+    with pytest.raises(ValueError, match="unsupported rescore keys"):
+        es_request(sales, {**base, "rescore": {"window_size": 50, "query": {
+            "rescore_query": {"match_all": {}}, "rescore_mode": "x"}}})
+
+
+def test_from_offset_pagination(spark, sales):
+    # sorted path: rows [2, 4) of the id-ordered hits
+    got = [r["id"] for r in es_request(sales, {
+        "query": {"match_all": {}}, "sort": [{"id": "asc"}],
+        "from": 2, "size": 2,
+    }).collect()]
+    assert got == [3, 4]
+    # score path: offset applies to the relevance ranking
+    got2 = [r["id"] for r in es_request(sales, {
+        "query": {"term": {"region": "us"}}, "from": 1, "size": 2,
+    }, tiebreak="id").collect()]
+    assert got2 == [5, 6]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        es_request(sales, {
+            "query": {"match_all": {}}, "sort": [{"id": "asc"}],
+            "from": 2, "search_after": [4],
+        })

@@ -863,7 +863,25 @@ def es_request(
                 .filter(F.col("_rk") == 1)
                 .drop("_rk")
             )
-        out = out.orderBy(*order).limit(int(body.get("size", 10)))
+        if body.get("rescore") is not None:
+            raise ValueError(
+                "rescore applies to relevance ranking; ES ignores it under "
+                "an explicit sort — drop 'sort' or 'rescore'"
+            )
+        out = out.orderBy(*order)
+        frm = int(body.get("from", 0))
+        if frm:
+            if body.get("search_after") is not None:
+                raise ValueError(
+                    "'from' and 'search_after' are mutually exclusive "
+                    "(ES's contract: search_after replaces offset "
+                    "pagination)"
+                )
+            # ES offset pagination: rows [from, from+size). search_after is
+            # the scale path (keyset predicate, pushes down); `from` is the
+            # shallow-page convenience and pays the skip, as in ES.
+            out = out.offset(frm)
+        out = out.limit(int(body.get("size", 10)))
     else:
         if body.get("search_after") is not None:
             raise ValueError("search_after requires an explicit sort")
@@ -872,7 +890,73 @@ def es_request(
                 "collapse requires an explicit sort (deterministic "
                 "best-hit-per-group needs a total order)"
             )
-        out = search(df, tree, k=body.get("size", 10), tiebreak=tiebreak)
+        rescore = body.get("rescore")
+        frm = int(body.get("from", 0))
+        size = int(body.get("size", 10))
+        if rescore is not None:
+            # ES two-phase ranking: re-score only the top `window_size`
+            # hits of the first-pass ranking with a (costlier) secondary
+            # query, combine the two scores, re-rank, then page. The
+            # second pass runs on the WINDOW relation (window_size rows),
+            # never the corpus — exactly ES's shard-top-window contract.
+            rbody = rescore["query"]
+            extra = set(rescore) - {"window_size", "query"}
+            extra |= set(rbody) - {
+                "rescore_query", "query_weight", "rescore_query_weight",
+                "score_mode",
+            }
+            if extra:
+                raise ValueError(f"unsupported rescore keys: {sorted(extra)}")
+            window = int(rescore.get("window_size", 10))
+            if window < frm + size:
+                raise ValueError(
+                    f"rescore window_size {window} is smaller than "
+                    f"from+size {frm + size}: the page would mix rescored "
+                    "and first-pass scores nondeterministically"
+                )
+            qw = float(rbody.get("query_weight", 1.0))
+            rqw = float(rbody.get("rescore_query_weight", 1.0))
+            mode = rbody.get("score_mode", "total")
+            rtree = from_es_json(
+                rbody["rescore_query"], analyzers=analyzers,
+                tokens_cols=tokens_cols, nested_paths=nested_paths,
+            )
+            win = search(df, tree, k=window, tiebreak=tiebreak)
+            spark_ = df.sparkSession
+            orig = F.col("score") * F.lit(qw)
+            rs = rtree.score(spark_, F.col) * F.lit(rqw)
+            combined = {
+                "total": orig + rs,
+                "multiply": orig * rs,
+                "avg": (orig + rs) / F.lit(2.0),
+                "max": F.greatest(orig, rs),
+                "min": F.least(orig, rs),
+            }.get(mode)
+            if combined is None:
+                raise ValueError(f"unsupported rescore score_mode: {mode!r}")
+            # a doc the rescore query does NOT match keeps query_weight *
+            # original only (ES's contract — no zero-score poisoning under
+            # multiply/min)
+            out = win.withColumn(
+                "score",
+                F.when(rtree.predicate(spark_, F.col), combined)
+                .otherwise(orig),
+            )
+            order2 = [F.col("score").desc()]
+            if tiebreak is not None:
+                order2.append(F.col(tiebreak).asc())
+            out = out.orderBy(*order2)
+            if frm:
+                out = out.offset(frm)
+            out = out.limit(size)
+        elif frm:
+            scored = search(df, tree, k=None, tiebreak=tiebreak)
+            order2 = [F.col("score").desc()]
+            if tiebreak is not None:
+                order2.append(F.col(tiebreak).asc())
+            out = scored.orderBy(*order2).offset(frm).limit(size)
+        else:
+            out = search(df, tree, k=size, tiebreak=tiebreak)
     hl = body.get("highlight")
     if hl is not None:
         # ES highlighting, full-field mode (number_of_fragments: 0): tag

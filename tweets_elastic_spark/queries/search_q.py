@@ -1362,3 +1362,74 @@ def q_es_aggs_moving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ratio", 6).alias("ratio"),
         F.col("day_avg"),
     )
+
+
+@register(
+    "es_request_rescore",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN list_contains(t, 'spark') THEN 2.0 ELSE 0.0 END
+             + CASE WHEN list_contains(t, 'merge') THEN 1.0 ELSE 0.0 END AS s
+        FROM toks
+        WHERE lang IN ('en', 'de')
+          AND (list_contains(t, 'spark') OR list_contains(t, 'merge'))
+    ), win AS (
+        SELECT * FROM scored ORDER BY s DESC, doc_id ASC LIMIT 50
+    ), rescored AS (
+        SELECT doc_id, lang, n_chars,
+               s + CASE WHEN n_chars >= 300 THEN 0.5 ELSE 0.0 END AS s2
+        FROM win
+    )
+    SELECT doc_id, lang, CAST(s2 AS DOUBLE) AS score
+    FROM rescored
+    ORDER BY s2 DESC, doc_id ASC
+    OFFSET 5 LIMIT 20
+    """,
+    doc="ES two-phase ranking (rescore) + offset pagination in the "
+        "request envelope: first pass ranks by the weighted-should bool, "
+        "the top window_size=50 hits are re-scored with a secondary query "
+        "(n_chars range, rescore_query_weight 0.5, score_mode total — "
+        "docs the rescore query misses keep query_weight * original, "
+        "ES's contract), re-ranked, then paged with from=5/size=20. The "
+        "second pass touches ONLY the window relation, never the corpus — "
+        "ES's shard-top-window shape.",
+)
+def q_es_request_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    request = {
+        "query": {
+            "bool": {
+                "should": [
+                    {"query": {"match": {"text": "spark"}}, "weight": 2},
+                    {"query": {"match": {"text": "merge"}}, "weight": 1},
+                ],
+                "filter": [{"terms": {"lang": ["en", "de"]}}],
+            }
+        },
+        "rescore": {
+            "window_size": 50,
+            "query": {
+                "rescore_query": {"range": {"n_chars": {"gte": 300}}},
+                "rescore_query_weight": 0.5,
+                "score_mode": "total",
+            },
+        },
+        "from": 5,
+        "size": 20,
+    }
+    out = es_request(
+        docs, request, analyzers={"text": "standard"}, tiebreak="doc_id",
+    )
+    return out.select(
+        "doc_id", "lang", F.col("score").cast("double").alias("score")
+    )

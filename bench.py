@@ -104,6 +104,7 @@ HEADLINE = [
     "dsir_sample",
     "bpe_token_stats",
     "dup_ngram_stats",
+    "unimax_sample",
     "search_dis_max_boosting",
     "search_script_score",
     "es_aggs_extended_stats",

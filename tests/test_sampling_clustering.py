@@ -84,3 +84,55 @@ def test_stable_under_corpus_growth(spark):
     b = {r["doc_id"]: r["split"]
          for r in deterministic_split(full, "doc_id").collect()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def _alloc(spark, totals, budget, max_epochs):
+    from tweets_elastic_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame(totals, "lang string, n_tok long")
+    return {
+        r["lang"]: r["quota"]
+        for r in unimax_allocation(df, budget, max_epochs).collect()
+    }
+
+
+def test_unimax_waterfill_caps_small_languages(spark):
+    # caps at 2 epochs: a=4, b=20, c=20; budget 24 -> a capped at 4,
+    # b and c split the remaining 20 evenly
+    got = _alloc(spark, [("a", 2), ("b", 10), ("c", 10)], 24.0, 2.0)
+    assert got == {"a": 4.0, "b": 10.0, "c": 10.0}
+    # budget below every cap: pure uniform split
+    got = _alloc(spark, [("a", 2), ("b", 10), ("c", 10)], 6.0, 2.0)
+    assert got == {"a": 2.0, "b": 2.0, "c": 2.0}
+    # budget above the sum of caps: every language sits at its cap
+    got = _alloc(spark, [("a", 2), ("b", 10)], 1000.0, 2.0)
+    assert got == {"a": 4.0, "b": 20.0}
+    # cascade: two small languages cap, the big one absorbs the surplus
+    got = _alloc(spark, [("a", 1), ("b", 2), ("c", 100)], 30.0, 2.0)
+    assert got == {"a": 2.0, "b": 4.0, "c": 24.0}
+    with pytest.raises(ValueError, match="must be > 0"):
+        _alloc(spark, [("a", 1)], -1.0, 2.0)
+
+
+def test_unimax_sample_epochs_and_budget(spark):
+    from tweets_elastic_spark.operators.sampling import unimax_sample
+
+    rows = []
+    for i in range(4):
+        rows.append((i, "small", "three short words"))        # 3 tok each
+    for i in range(4, 44):
+        rows.append((i, "big", "one two three four five"))    # 5 tok each
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # totals: small=12, big=200; caps(2ep)=24,400; budget 74
+    # -> small capped at 24 (2 epochs of every doc), big gets 50 (partial)
+    out = unimax_sample(docs, budget=74.0, max_epochs=2.0).collect()
+    small = [r for r in out if r["lang"] == "small"]
+    big = [r for r in out if r["lang"] == "big"]
+    assert len(small) == 4 and all(r["epochs"] == 2 for r in small)
+    assert all(r["epochs"] == 1 for r in big)
+    big_tok = sum(r["n_tok"] for r in big)
+    assert big_tok == 50  # the greedy hash-order prefix fills the quota
+    # determinism across runs
+    out2 = unimax_sample(docs, budget=74.0, max_epochs=2.0).collect()
+    assert sorted((r["doc_id"], r["epochs"]) for r in out) == \
+        sorted((r["doc_id"], r["epochs"]) for r in out2)

@@ -557,3 +557,71 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return C.dup_ngram_stats(docs, k=4)
+
+
+@register(
+    "unimax_sample",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents WHERE lang IS NOT NULL
+    ), totals AS (
+        SELECT lang, sum(n_tok) AS lt FROM toks GROUP BY 1
+    ), capped AS (
+        SELECT lang, lt, lt * 2.0 AS cap FROM totals
+    ), lvl AS (
+        SELECT lang, cap,
+               row_number() OVER (ORDER BY cap, lang) AS i,
+               coalesce(sum(cap) OVER (
+                   ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev,
+               count(*) OVER () AS L
+        FROM capped
+    ), level AS (
+        SELECT max((40000.0 - cum_prev) / (L - i + 1)) AS lev
+        FROM lvl
+        WHERE (40000.0 - cum_prev) / (L - i + 1) <= cap
+    ), alloc AS (
+        SELECT c.lang, c.lt,
+               round(least(c.cap,
+                           coalesce(level.lev, 'infinity'::DOUBLE)), 6)
+                   AS quota
+        FROM capped c, level
+    ), sel AS (
+        SELECT t.doc_id, t.lang, t.n_tok, a.lt, a.quota,
+               sum(t.n_tok) OVER (
+                   PARTITION BY t.lang
+                   ORDER BY substr(md5('unimax:' || t.doc_id::VARCHAR),
+                                   1, 15),
+                            t.doc_id) AS cum
+        FROM toks t JOIN alloc a USING (lang)
+    )
+    SELECT * FROM (
+        SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(floor(quota / lt)
+                    + CASE WHEN cum <= quota - floor(quota / lt) * lt
+                           THEN 1 ELSE 0 END AS BIGINT) AS epochs
+        FROM sel
+    ) WHERE epochs >= 1
+    """,
+    doc="UniMax language sampling (Chung et al. 2023): spread a 40k-token "
+        "budget as uniformly as possible across languages with a "
+        "2-epoch-per-language cap, surplus redistributed (water-filling). "
+        "The allocation runs as a CLOSED-FORM window plan over the "
+        "language-count-sized totals relation (no iterative loop, no "
+        "driver math): λ = first prefix level with Σ min(cap, λ) = "
+        "budget. Per-doc epochs materialize via a portable-hash-ordered "
+        "cumulative sum per language. At sf0.01 the four small languages "
+        "cap at 2 epochs and en gets the remaining ~9.2k tokens as a "
+        "partial epoch — all three allocation regimes exercised across "
+        "the bench scales.",
+)
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.sampling import unimax_sample
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return unimax_sample(docs, budget=40000.0, max_epochs=2.0)

@@ -506,3 +506,89 @@ def test_stream_events_empty_dir_fails_fast(spark, tmp_path):
         stream_events(spark, str(d))
     # escape hatch: explicit opt-in starts (micros assumption, documented)
     assert stream_events(spark, str(d), allow_empty=True).isStreaming
+
+
+def test_streaming_index_maintenance_equals_monolithic(spark, tmp_path):
+    """The NRT-segment story: base index over half the corpus, then the
+    rest arrives as a document STREAM drained via availableNow — each
+    micro-batch one appended segment. Aggregated BM25 stats and results
+    equal a monolithic full build; base segment files untouched; replaying
+    the stream from the same checkpoint appends nothing twice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark import indexing
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.plans.search import BM25Match, search
+    from tweets_elastic_spark.sources.catalog import load_table
+    from tweets_elastic_spark.streaming.indexing import (
+        run_streaming_index_maintenance,
+        stream_documents,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    src_half = str(tmp_path / "src_half")
+    src_full = str(tmp_path / "src_full")
+    for out, dpred, epred in (
+        (src_half, "doc_id <= 250", "vec_id <= 250"),
+        (src_full, "true", "true"),
+    ):
+        docs.filter(dpred).write.parquet(os.path.join(out, "documents.parquet"))
+        emb.filter(epred).write.parquet(os.path.join(out, "embeddings.parquet"))
+
+    idx_mono = indexing.build_index(spark, src_full, str(tmp_path / "idx_mono"))
+    idx_seg = indexing.build_index(spark, src_half, str(tmp_path / "idx_seg"))
+    base_dir = os.path.join(idx_seg, "documents_indexed", "segment=base")
+    base_files = {
+        os.path.join(r, f) for r, _, fs in os.walk(base_dir) for f in fs
+    }
+    base_mtimes = {f: os.path.getmtime(f) for f in base_files}
+
+    # the "arriving" docs: several parquet files so several micro-batches
+    stream_src = str(tmp_path / "arrivals")
+    docs.filter("doc_id > 250").repartition(4).write.parquet(stream_src)
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_index_maintenance(
+        stream_documents(spark, stream_src), idx_seg, ckpt
+    )
+    q.awaitTermination(120)
+
+    # replay from the same checkpoint: nothing new arrives, nothing doubles
+    q2 = run_streaming_index_maintenance(
+        stream_documents(spark, stream_src), idx_seg, ckpt
+    )
+    q2.awaitTermination(120)
+
+    assert {f: os.path.getmtime(f) for f in base_files} == base_mtimes
+
+    qtokens = analyze_text(spark, "spark merge", "custom_shingles")
+
+    def bm25_results(idx):
+        d = indexing.read_indexed_documents(spark, idx)
+        stats = indexing.bm25_stats_from_index(
+            spark, idx, "text__custom_shingles", qtokens
+        )
+        match = BM25Match(
+            "text", "spark merge", analyzer="custom_shingles",
+            tokens_col="text__custom_shingles", stats=stats,
+        )
+        out = search(d, match, k=None).select(
+            "doc_id", F.round("score", 6).alias("s")
+        )
+        return sorted((r["doc_id"], r["s"]) for r in out.collect())
+
+    assert bm25_results(idx_seg) == bm25_results(idx_mono)
+
+
+def test_stream_documents_requires_files(spark, tmp_path):
+    import pytest as _pytest
+
+    from tweets_elastic_spark.streaming.indexing import stream_documents
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no parquet files"):
+        stream_documents(spark, str(empty))

@@ -779,3 +779,29 @@ def test_from_es_json_compound_scoring_clauses():
                               "script": {"source": "_score",
                                          "params": {"x": 1}}}}
         )
+
+
+def test_multi_match_most_fields_sums_legs(spark):
+    from tweets_elastic_spark.plans.search import MultiMatch, from_es_json
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "alpha"), (2, "alpha x", "zzz"), (3, "q", "alpha")],
+        "id long, text string, title string",
+    )
+    an = {"text": "standard", "title": "standard"}
+    q = MultiMatch([("text", 2.0), ("title", 1.0)], "alpha",
+                   analyzers=an, tokens_cols={}, type="most_fields")
+    by_id = {r["id"]: r["score"] for r in search(df, q, k=None).collect()}
+    # doc1 matches both legs: 2 + 1 = 3 (best_fields would give 2)
+    assert by_id == {1: 3.0, 2: 2.0, 3: 1.0}
+    parsed = from_es_json(
+        {"multi_match": {"query": "alpha", "type": "most_fields",
+                         "fields": ["text^2", "title"]}},
+        analyzers=an,
+    )
+    assert parsed == MultiMatch([("text", 2.0), ("title", 1.0)], "alpha",
+                                analyzers=an, tokens_cols={},
+                                type="most_fields")
+    with pytest.raises(ValueError, match="unsupported multi_match type"):
+        MultiMatch([("text", 1.0)], "x", analyzers=an, tokens_cols={},
+                   type="cross_fields")

@@ -303,14 +303,15 @@ class Ids(Query):
 
 @dataclass
 class MultiMatch(Query):
-    """ES ``multi_match`` (``best_fields``, the default type): the query
-    text runs against several fields, each analyzed by its OWN mapping
-    analyzer; a document matches if any field matches, and the score is the
-    best single field's score (per-field boost from the ``"field^boost"``
-    syntax, parsed by the compiler). Fields without an analyzer binding are
-    keywords → whole-string equality, exactly the per-field Match
-    semantics. Score = greatest(boost_i · matched_i): one codegen'd
-    expression, no per-field subquery."""
+    """ES ``multi_match``: the query text runs against several fields,
+    each analyzed by its OWN mapping analyzer; a document matches if any
+    field matches. ``type`` picks the score combination: ``best_fields``
+    (the default) takes the best single field — greatest(boost_i ·
+    matched_i); ``most_fields`` SUMS the per-field scores, ES's shape for
+    "the same text analyzed different ways, every matching variant adds
+    evidence". Fields without an analyzer binding are keywords →
+    whole-string equality, exactly the per-field Match semantics. Either
+    way the score is one codegen'd expression, no per-field subquery."""
 
     CONSTANT_SCORE = False
 
@@ -318,6 +319,14 @@ class MultiMatch(Query):
     text: str
     analyzers: dict
     tokens_cols: dict
+    type: str = "best_fields"
+
+    def __post_init__(self):
+        if self.type not in ("best_fields", "most_fields"):
+            raise ValueError(
+                f"unsupported multi_match type: {self.type!r} "
+                "(best_fields/most_fields)"
+            )
 
     def _legs(self, spark, resolve) -> list[tuple[Column, float]]:
         legs = []
@@ -342,7 +351,14 @@ class MultiMatch(Query):
             F.when(p, F.lit(b)).otherwise(F.lit(0.0))
             for p, b in self._legs(spark, resolve)
         ]
-        return scored[0] if len(scored) == 1 else F.greatest(*scored)
+        if len(scored) == 1:
+            return scored[0]
+        if self.type == "most_fields":
+            total = scored[0]
+            for s in scored[1:]:
+                total = total + s
+            return total
+        return F.greatest(*scored)
 
 
 @dataclass
@@ -1354,11 +1370,6 @@ def from_es_json(
             extra = set(body) - {"query", "fields", "type"}
             if extra:
                 raise ValueError(f"unsupported multi_match options: {extra}")
-            if body.get("type", "best_fields") != "best_fields":
-                raise ValueError(
-                    f"unsupported multi_match type: {body['type']!r} "
-                    "(best_fields only)"
-                )
             fields = []
             for spec in body["fields"]:
                 field, _, boost = spec.partition("^")
@@ -1368,6 +1379,7 @@ def from_es_json(
             return MultiMatch(
                 fields, body["query"], analyzers=analyzers,
                 tokens_cols=tokens_cols,
+                type=body.get("type", "best_fields"),
             )
         if kind == "fuzzy":
             (field, spec), = body.items()

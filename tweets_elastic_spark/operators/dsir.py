@@ -107,17 +107,32 @@ def dsir_log_weights(
     text_col: str = "text",
     n_buckets: int = 1024,
     alpha: float = 1.0,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """(id, logw): per-raw-document log importance weight
     ln p̂_target(x) − ln p̂_raw(x) under the two hashed-ngram models.
 
     Buckets absent from the target set get the smoothed-zero probability
     α/(T + α·B) — the Laplace prior, never −inf. The raw side is fitted on
-    ``raw`` itself, so every joined bucket exists there by construction."""
+    ``raw`` itself, so every joined bucket exists there by construction.
+
+    ``target_within_raw=True`` declares the target a SUBSET of ``raw``
+    (the in-domain-slice-of-the-pool deployment): the corpus is then
+    featurized ONCE — checkpointed, since three consumers read it — and
+    the target model derives from a semi-join on the target ids instead
+    of a second tokenize+hash pass over the target text. With a foreign
+    target corpus (the paper's Wikipedia/books case) leave it False."""
     kwargs = dict(id_col=id_col, text_col=text_col, n_buckets=n_buckets)
     feats = hashed_ngram_features(raw, **kwargs)
+    if target_within_raw:
+        feats = feats.localCheckpoint(eager=True)
+        tgt_feats = feats.join(
+            F.broadcast(target.select(F.col(id_col))), id_col, "leftsemi"
+        )
+    else:
+        tgt_feats = hashed_ngram_features(target, **kwargs)
     raw_b = _bucket_counts(feats, id_col)
-    tgt_b = _bucket_counts(hashed_ngram_features(target, **kwargs), id_col)
+    tgt_b = _bucket_counts(tgt_feats, id_col)
     raw_tot = raw_b.agg(F.sum("n").alias("_rt"))
     tgt_tot = tgt_b.agg(F.sum("n").alias("_tt"))
 
@@ -158,6 +173,7 @@ def dsir_sample(
     n_buckets: int = 1024,
     alpha: float = 1.0,
     seed: int = 42,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Select ``k`` documents from ``raw`` with probability ∝ importance
     weight, without replacement (Gumbel-top-k). Returns the selected rows
@@ -165,6 +181,7 @@ def dsir_sample(
     lw = dsir_log_weights(
         raw, target,
         id_col=id_col, text_col=text_col, n_buckets=n_buckets, alpha=alpha,
+        target_within_raw=target_within_raw,
     )
     keyed = lw.withColumn(
         "key", F.col("logw") + gumbel_noise(F.col(id_col), seed)

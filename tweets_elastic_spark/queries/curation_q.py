@@ -521,7 +521,8 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     target = docs.filter((F.col("lang") == "en") & (F.col("source") == "src1"))
-    out = dsir_sample(docs, target, k=100, n_buckets=512, seed=42)
+    out = dsir_sample(docs, target, k=100, n_buckets=512, seed=42,
+                      target_within_raw=True)
     return out.select(
         "doc_id", "lang", "source",
         F.round("logw", 6).alias("logw"),

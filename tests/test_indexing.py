@@ -448,3 +448,42 @@ def test_indexed_pq_query_plan_has_no_python(spark):
     df = registry.get("ann_pq_topk_indexed").fn(spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_suggest_phrase_corrects_multiword_typos(spark, tmp_path):
+    """Did-you-mean: per-token dictionary candidates ranked by the bigram
+    LM minus an edit prior — the corpus-frequent phrase wins over the
+    verbatim typo and over corrections that form no known bigram."""
+    import os
+
+    rows = [(i, "spark streaming merge pipeline runs nightly") for i in range(30)]
+    rows += [(100 + i, "sparks fly in the dark park") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7)] * 64) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(os.path.join(src, "documents.parquet"))
+    emb.write.parquet(os.path.join(src, "embeddings.parquet"))
+    idx = indexing.build_index(spark, src, str(tmp_path / "idx"))
+
+    out = indexing.suggest_phrase(
+        spark, idx, "text__custom_shingles", "spark stremaing",
+        docs, max_edits=2, per_term=4, size=3,
+    ).collect()
+    assert out[0]["suggestion"] == "spark streaming"
+    assert out[0]["n_edits"] >= 1
+    assert out[0]["score"] > out[-1]["score"] or len(out) == 1
+    # single-token input is the term suggester's job
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 2 tokens"):
+        indexing.suggest_phrase(
+            spark, idx, "text__custom_shingles", "spark", docs
+        )
+    # out-of-vocabulary token survives as its own candidate
+    out2 = indexing.suggest_phrase(
+        spark, idx, "text__custom_shingles", "zzzqqqxxx streaming",
+        docs, max_edits=1, per_term=3, size=5,
+    ).collect()
+    assert any(r["suggestion"].startswith("zzzqqqxxx ") for r in out2)

@@ -505,3 +505,95 @@ def suggest_terms(
         )
         .limit(size)
     )
+
+
+def suggest_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    tok_col: str,
+    text: str,
+    ref_docs: DataFrame,
+    *,
+    max_edits: int = 1,
+    per_term: int = 3,
+    size: int = 3,
+    edit_penalty: float = 0.5,
+    max_candidates: int = 64,
+) -> DataFrame:
+    """ES phrase suggester (did-you-mean over multi-word input): candidate
+    corrections per token from the STORED term dictionary (the term
+    suggester's dictionary walk), candidate phrases scored by a bigram
+    language model fitted on ``ref_docs`` (operators/lm.py — ES scores
+    candidates with a Lucene shingle-field LM; the Laplace bigram is the
+    portable twin) minus an edit-distance prior:
+
+        score(phrase) = Σ ln P̂(w_i | w_{i−1}) − edit_penalty · edits
+
+    Cost shape: the dictionary intersect runs per token on the BOUNDED
+    vocabulary; candidate enumeration is driver-side over ≤ per_term^len
+    (capped at ``max_candidates``) phrases; LM probabilities for the
+    candidates' bigrams come from ONE semi-joined lookup against the
+    vocabulary-sized count tables — the corpus is touched only to fit the
+    LM (which a production deployment trains once and persists).
+
+    Returns (suggestion, score, n_edits), best first, deterministic."""
+    import itertools
+    import math
+
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.operators.lm import fit_bigram_lm
+
+    tokens = analyze_text(spark, text, "standard")
+    if len(tokens) < 2:
+        raise ValueError(
+            f"phrase suggester needs >= 2 tokens, got {tokens!r} "
+            "(use suggest_terms for single terms)"
+        )
+    per_token: list[list[tuple[str, int]]] = []
+    for t in tokens:
+        cands = suggest_terms(
+            spark, index_dir, tok_col, t, max_edits=max_edits, size=per_term
+        ).collect()
+        opts = [(r["suggestion"], int(r["distance"])) for r in cands]
+        if not any(d == 0 for _, d in opts):
+            # keep the verbatim token as a candidate even when it's out of
+            # vocabulary (ES's confidence behavior: the input itself
+            # competes)
+            opts.append((t, 0))
+        per_token.append(opts)
+
+    phrases = list(itertools.islice(
+        itertools.product(*per_token), max_candidates
+    ))
+
+    c12, c1, vocab = fit_bigram_lm(ref_docs)
+    needed_pairs = {
+        (a[0], b[0]) for ph in phrases for a, b in zip(ph, ph[1:])
+    }
+    pair_rows = spark.createDataFrame(
+        sorted(needed_pairs), "w1 string, w2 string"
+    )
+    looked = (
+        pair_rows.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(vocab)
+        .collect()
+    )
+    v = float(looked[0]["v"]) if looked else 1.0
+    logp = {
+        (r["w1"], r["w2"]): math.log(
+            ((r["c12"] or 0) + 1.0) / ((r["c1"] or 0) + v)
+        )
+        for r in looked
+    }
+    scored = []
+    for ph in phrases:
+        words = [w for w, _ in ph]
+        edits = sum(d for _, d in ph)
+        s = sum(logp[(a, b)] for a, b in zip(words, words[1:]))
+        s -= edit_penalty * edits
+        scored.append((" ".join(words), round(s, 6), edits))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return spark.createDataFrame(
+        scored[:size], "suggestion string, score double, n_edits int"
+    )

@@ -105,6 +105,7 @@ HEADLINE = [
     "bpe_token_stats",
     "dup_ngram_stats",
     "unimax_sample",
+    "chunk_documents",
     "search_dis_max_boosting",
     "search_script_score",
     "es_aggs_extended_stats",

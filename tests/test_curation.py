@@ -289,3 +289,37 @@ def test_dup_ngram_stats_short_docs_and_within_doc_repeat(spark):
     assert stats[2]["dup_frac"] == 1.0
     # within-doc repetition does NOT count (df is DISTINCT docs)
     assert stats[3]["n_dup"] == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from tweets_elastic_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tok"])
+        )
+    # doc1: 10 tokens, stride 3 -> ceil(9/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert by_doc[1] == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+    ]
+    # every consecutive pair shares exactly `overlap` tokens
+    assert by_doc[1][0][1].split()[-1:] == by_doc[1][1][1].split()[:1]
+    # short doc: one chunk, no padding
+    assert by_doc[2] == [(0, "short doc", 2)]
+    # empty/null docs vanish
+    assert 3 not in by_doc and 4 not in by_doc
+    # every token of the doc appears in at least one chunk
+    covered = {t for _, txt, _ in by_doc[1] for t in txt.split()}
+    assert covered == {f"w{i}" for i in range(10)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_tokens=4, overlap=4)

@@ -360,3 +360,57 @@ def dup_ngram_filter(
         stats.filter(F.col("dup_frac") <= max_dup_frac).select(id_col),
         id_col,
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-bounded chunks with overlap — the
+    chunking stage of RAG / context-window-bounded training pipelines.
+    Chunk i covers tokens [i·stride, i·stride + max_tokens), stride =
+    max_tokens − overlap; the last chunk is the remainder (never empty,
+    never duplicated: a doc shorter than max_tokens is exactly one chunk).
+
+    Pure higher-order-function projection — tokenize once per row,
+    boundaries via ``sequence``, slices via ``slice`` — so chunking rides
+    the scan with zero shuffle and zero Python at any corpus size.
+
+    Returns (id, chunk_id, chunk_text, n_tok)."""
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got overlap={overlap}, "
+            f"max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    n = F.size("_t")
+    # number of chunks: ceil(max(n - overlap, 1) / stride) — the last
+    # window that still starts inside the doc
+    n_chunks = F.when(
+        n <= max_tokens, F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("_t"), i * stride + 1, max_tokens),
+    )
+    return (
+        base.filter(n > 0)
+        .select(
+            id_col,
+            F.posexplode(chunks).alias("chunk_id", "_c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join("_c", " ").alias("chunk_text"),
+            F.size("_c").alias("n_tok"),
+        )
+    )

@@ -626,3 +626,39 @@ def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return unimax_sample(docs, budget=40000.0, max_epochs=2.0)
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), c AS (
+        SELECT doc_id, len(t) AS n, t FROM toks WHERE len(t) > 0
+    ), ch AS (
+        SELECT doc_id, t,
+               unnest(range(0, CASE WHEN n <= 40 THEN 1
+                                    ELSE CAST(ceil((n - 8) / 32.0) AS INT)
+                               END)) AS chunk_id
+        FROM c
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(
+               list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 40),
+               ' ') AS chunk_text,
+           CAST(len(list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 40))
+                AS INT) AS n_tok
+    FROM ch
+    """,
+    doc="Token-windowed document chunking with overlap (the RAG / "
+        "context-bounded-training splitter): chunk i covers tokens "
+        "[i*stride, i*stride+40), stride = 40-8. Pure HOF projection "
+        "(sequence -> slice under posexplode) — tokenizes once per row, "
+        "rides the scan, zero shuffle, zero Python at any corpus size.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return C.chunk_documents(docs, max_tokens=40, overlap=8)

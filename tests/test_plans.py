@@ -165,3 +165,46 @@ def test_indexed_pq_plan_reads_stored_codes_only(spark):
     p = plan_of(spark, "ann_pq_topk_indexed")
     assert "TakeOrderedAndProject" in p
     assert "ArrowEvalPython" not in p and "Join" not in p
+
+
+def test_chunk_documents_no_exchange(spark):
+    """Chunking is a pure projection: one parquet scan, no KEYED shuffle
+    (the only Exchange is fan_out's round-robin parallelism spread for the
+    single-file fixture — data-independent, not a plan requirement)."""
+    p = plan_of(spark, "chunk_documents")
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert len(scans(p)) == 1
+
+
+def test_dup_ngram_stats_single_gram_shuffle(spark):
+    """The gram-df aggregation and the join back share the gram key: the
+    posting list shuffles ONCE on _sh (the join reuses / co-locates with
+    the aggregation's partitioning), never a cartesian."""
+    p = plan_of(spark, "dup_ngram_stats")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # hashpartitioning on the gram key appears; no repartition on anything
+    # wider than (_sh) before the join
+    assert "hashpartitioning(_sh" in p
+
+
+def test_unimax_alloc_broadcasts_and_single_doc_window(spark):
+    """The allocation table (language-count-sized) broadcasts to the doc
+    stream; the per-language cumulative sum is the only wide exchange."""
+    p = plan_of(spark, "unimax_sample")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_sample_take_ordered_selection(spark):
+    """Gumbel-top-k selection compiles to TakeOrderedAndProject — never a
+    global sort of the weighted corpus."""
+    p = plan_of(spark, "dsir_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rescore_take_ordered_first_pass(spark):
+    """The first-pass window is a top-k (TakeOrderedAndProject), so the
+    rescore phase provably runs on window_size rows, not the corpus."""
+    p = plan_of(spark, "es_request_rescore")
+    assert "TakeOrderedAndProject" in p

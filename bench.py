@@ -111,6 +111,7 @@ HEADLINE = [
     "es_aggs_extended_stats",
     "es_aggs_moving_pipeline",
     "es_request_rescore",
+    "es_aggs_significant_text",
     "line_dedup",
     "multimodal_decode",
 ]

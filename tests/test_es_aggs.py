@@ -968,3 +968,31 @@ def test_from_offset_pagination(spark, sales):
             "query": {"match_all": {}}, "sort": [{"id": "asc"}],
             "from": 2, "search_after": [4],
         })
+
+
+def test_significant_text_tokens_and_contracts(spark):
+    df = spark.createDataFrame(
+        [(1, "zh", "dragon noodle tea"), (2, "zh", "dragon tea"),
+         (3, "en", "tea biscuit"), (4, "en", "dragon dragon dragon")],
+        "id long, lang string, text string",
+    )
+    out = es_request(df, {
+        "query": {"term": {"lang": "zh"}},
+        "aggs": {"sig": {"significant_text": {"field": "text", "size": 10}}},
+    }, analyzers={"text": "standard"})
+    rows = {r["sig"]: r for r in out.collect()}
+    # dedup counting: doc 4's triple 'dragon' counts once -> bg_count 3
+    assert rows["dragon"]["bg_count"] == 3
+    assert rows["dragon"]["doc_count"] == 2
+    # foreground-only token ranks above an evenly spread one
+    assert rows["noodle"]["score"] > rows["tea"]["score"]
+    # tokens absent from the foreground don't appear
+    assert "biscuit" not in rows
+    with pytest.raises(ValueError, match="analyzer binding"):
+        es_request(df, {
+            "query": {"term": {"lang": "zh"}},
+            "aggs": {"sig": {"significant_text": {"field": "text"}}},
+        })
+    with pytest.raises(ValueError, match="foreground"):
+        es_aggregate(df, {"sig": {"significant_text": {"field": "text"}}},
+                     analyzers={"text": "standard"})

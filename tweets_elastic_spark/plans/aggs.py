@@ -329,8 +329,6 @@ def _significant_terms(
     only shuffle is the term groupBy. ES's shard-level ranking heuristics
     (shard_size, shard_min_doc_count) are index-sharding workarounds this
     engine doesn't need: the groupBy sees global counts."""
-    from pyspark.sql.window import Window
-
     field = body["field"]
     size = int(body.get("size", 10))
     if fg_pred is None:
@@ -346,6 +344,15 @@ def _significant_terms(
             F.count(F.lit(1)).alias("bg_count"),
         )
     )
+    return _jlh_rank(g, name, size)
+
+
+def _jlh_rank(g: DataFrame, name: str, size: int) -> DataFrame:
+    """Shared JLH ranking over a (bucket, doc_count, bg_count) relation —
+    the reduced-cardinality tail of both significant_terms and
+    significant_text."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy()
     g = g.withColumn(
         "_fg_total", F.sum("doc_count").over(w).cast("double")
@@ -361,6 +368,46 @@ def _significant_terms(
         .orderBy(F.col("score").desc(), F.col(name).asc())
         .limit(size)
     )
+
+
+def _significant_text(
+    df: DataFrame, fg_pred: Column | None, name: str, body: dict,
+    analyzer: str | None,
+) -> DataFrame:
+    """ES ``significant_text``: significant_terms over the ANALYZED tokens
+    of a text field — the free-text "what words characterize the matching
+    docs" form. A document contributes each DISTINCT token once (ES's
+    de-duplicated counting), so counts are document frequencies; the JLH
+    scoring and the coordinator-scale global-window totals are shared with
+    significant_terms. One scan: analyze → array_distinct → explode →
+    token groupBy (the only shuffle)."""
+    from tweets_elastic_spark.functions.analyzers import analyze
+
+    field = body["field"]
+    size = int(body.get("size", 10))
+    if fg_pred is None:
+        raise ValueError(
+            "significant_text needs the request's query to define the "
+            "foreground set"
+        )
+    if analyzer is None:
+        raise ValueError(
+            f"significant_text on {field!r} needs an analyzer binding "
+            "(pass analyzers={...}: token significance is defined over "
+            "analyzed token streams)"
+        )
+    toks = df.filter(F.col(field).isNotNull()).select(
+        fg_pred.alias("_fg"),
+        F.explode(
+            F.array_distinct(analyze(F.col(field), analyzer))
+        ).alias(name),
+    )
+    g = toks.groupBy(name).agg(
+        F.sum(F.when(F.col("_fg"), 1).otherwise(0)).cast("long")
+        .alias("doc_count"),
+        F.count(F.lit(1)).alias("bg_count"),
+    )
+    return _jlh_rank(g, name, size)
 
 
 def _apply_pipeline_aggs(
@@ -543,7 +590,8 @@ def _top_hits(
 
 
 def es_aggregate(
-    df: DataFrame, aggs_dsl: dict, fg_pred: Column | None = None
+    df: DataFrame, aggs_dsl: dict, fg_pred: Column | None = None,
+    analyzers: dict[str, str] | None = None,
 ) -> DataFrame:
     """Compile one top-level named agg (ES ``"aggs": {name: {...}}``) to a
     groupBy plan and return the flattened leaf-bucket relation.
@@ -569,7 +617,7 @@ def es_aggregate(
         # distributed twin. buckets_path is "parent>metric" (_count →
         # doc_count); NULL metric cells (derivative's first bucket) are
         # skipped, ES's gap policy.
-        out = es_aggregate(df, primary, fg_pred)
+        out = es_aggregate(df, primary, fg_pred, analyzers)
         (pname,) = primary
         scalars = []
         for sname, sspec in siblings.items():
@@ -635,6 +683,12 @@ def es_aggregate(
         if sub:
             raise ValueError("significant_terms sub-aggs are not supported")
         return _significant_terms(df, fg_pred, name, body)
+    if kind == "significant_text":
+        if sub:
+            raise ValueError("significant_text sub-aggs are not supported")
+        return _significant_text(
+            df, fg_pred, name, body, (analyzers or {}).get(body["field"])
+        )
     if kind == "missing":
         # ES missing agg: documents with NO value for the field — the
         # inverse of the null contract every bucket agg applies. One
@@ -800,15 +854,16 @@ def es_request(
         if len(aggs) == 1:
             (_, spec0), = aggs.items()
             kinds = [k for k in spec0 if k != "aggs"]
-            if kinds == ["significant_terms"]:
+            if kinds in (["significant_terms"], ["significant_text"]):
                 # needs BOTH sides of the query split: the predicate marks
                 # the foreground, the unfiltered frame is the background
-                return es_aggregate(df, aggs, fg_pred=pred)
+                return es_aggregate(df, aggs, fg_pred=pred,
+                                    analyzers=analyzers)
             if kinds == ["global"]:
                 # global escapes the query filter: aggregate the whole index
                 return es_aggregate(df, aggs)
         filtered = df if pred is None else df.filter(pred)
-        return es_aggregate(filtered, aggs)
+        return es_aggregate(filtered, aggs, analyzers=analyzers)
     if tree is None:
         raise ValueError("request has neither 'query' nor 'aggs'")
     sort = body.get("sort")

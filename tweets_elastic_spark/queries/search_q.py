@@ -1433,3 +1433,55 @@ def q_es_request_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.col("score").cast("double").alias("score")
     )
+
+
+@register(
+    "es_aggs_significant_text",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               list_distinct(list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x))) AS t
+        FROM documents WHERE text IS NOT NULL
+    ), ex AS (
+        SELECT lang, unnest(t) AS tok FROM toks
+    ), g AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS doc_count,
+               CAST(count(*) AS BIGINT) AS bg_count
+        FROM ex GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(doc_count) AS DOUBLE) AS fg,
+               CAST(sum(bg_count) AS DOUBLE) AS bg
+        FROM g
+    )
+    SELECT tok AS sig, doc_count, bg_count,
+           round((doc_count / tot.fg - bg_count / tot.bg)
+                 * ((doc_count / tot.fg) / (bg_count / tot.bg)), 6) AS score
+    FROM g, tot
+    WHERE doc_count > 0
+    ORDER BY round((doc_count / tot.fg - bg_count / tot.bg)
+                   * ((doc_count / tot.fg) / (bg_count / tot.bg)), 6) DESC,
+             sig ASC
+    LIMIT 15
+    """,
+    doc="ES significant_text: 'what words characterize the matching docs' "
+        "— significant_terms over the ANALYZED token stream (each doc "
+        "contributes a distinct token once, so counts are document "
+        "frequencies), JLH-scored against the whole index as background. "
+        "One scan: analyze -> array_distinct -> explode -> token groupBy "
+        "(the only shuffle); the totals are a global window over the "
+        "token-cardinality relation, ES's own coordinator shape.",
+)
+def q_es_aggs_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    request = {
+        "query": {"term": {"lang": "zh"}},
+        "aggs": {"sig": {"significant_text": {"field": "text", "size": 15}}},
+    }
+    return es_request(docs, request, analyzers={"text": "standard"})

@@ -487,3 +487,64 @@ def test_suggest_phrase_corrects_multiword_typos(spark, tmp_path):
         docs, max_edits=1, per_term=3, size=5,
     ).collect()
     assert any(r["suggestion"].startswith("zzzqqqxxx ") for r in out2)
+
+
+def test_compaction_merges_segments_without_reanalysis(spark, tmp_path):
+    """Base + increment + compaction == monolithic: one segment remains,
+    aggregated stats and BM25 results unchanged, the sidecar's watermark
+    seeds survive so a fresh store appends nothing, and re-compacting is
+    a no-op."""
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.plans.search import BM25Match, search
+    from tweets_elastic_spark.sources.incremental import WatermarkStore
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    src_half = str(tmp_path / "src_half")
+    src_full = str(tmp_path / "src_full")
+    for out, dpred, epred in (
+        (src_half, "doc_id <= 250", "vec_id <= 250"),
+        (src_full, "true", "true"),
+    ):
+        docs.filter(dpred).write.parquet(os.path.join(out, "documents.parquet"))
+        emb.filter(epred).write.parquet(os.path.join(out, "embeddings.parquet"))
+
+    idx_mono = indexing.build_index(spark, src_full, str(tmp_path / "im"))
+    idx = indexing.build_index(spark, src_half, str(tmp_path / "ic"))
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    indexing.index_increment(spark, src_full, idx, store)
+    seg_dir = os.path.join(idx, "documents_indexed")
+    assert len([d for d in os.listdir(seg_dir) if d.startswith("segment=")]) == 2
+
+    assert indexing.compact_index_segments(spark, idx) == 2
+    assert [d for d in os.listdir(seg_dir) if d.startswith("segment=")] == \
+        ["segment=base"]
+    assert indexing.compact_index_segments(spark, idx) == 1  # no-op
+
+    qtokens = analyze_text(spark, "spark merge", "custom_shingles")
+    s_a = indexing.bm25_stats_from_index(
+        spark, idx, "text__custom_shingles", qtokens
+    )
+    s_b = indexing.bm25_stats_from_index(
+        spark, idx_mono, "text__custom_shingles", qtokens
+    )
+    assert (s_a.n_docs, s_a.avgdl, s_a.df) == (s_b.n_docs, s_b.avgdl, s_b.df)
+
+    def results(i):
+        d = indexing.read_indexed_documents(spark, i)
+        stats = indexing.bm25_stats_from_index(
+            spark, i, "text__custom_shingles", qtokens
+        )
+        m = BM25Match("text", "spark merge", analyzer="custom_shingles",
+                      tokens_col="text__custom_shingles", stats=stats)
+        out = search(d, m, k=None).select(
+            "doc_id", F.round("score", 6).alias("s")
+        )
+        return sorted((r["doc_id"], r["s"]) for r in out.collect())
+
+    assert results(idx) == results(idx_mono)
+
+    # a FRESH watermark store resumes from the compacted sidecar seeds
+    store2 = WatermarkStore(str(tmp_path / "wm2.json"))
+    assert indexing.index_increment(spark, src_full, idx, store2) == 0

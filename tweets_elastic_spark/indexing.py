@@ -597,3 +597,81 @@ def suggest_phrase(
     return spark.createDataFrame(
         scored[:size], "suggestion string, score double, n_edits int"
     )
+
+
+def compact_index_segments(spark: SparkSession, index_dir: str) -> int:
+    """Merge every index segment into a single ``base`` segment — Lucene's
+    merge policy for this engine's segment model. Streaming maintenance
+    and frequent increments accumulate many small segments; each adds a
+    file-listing + per-segment-stats term to every query, so periodic
+    compaction is the standard hygiene.
+
+    No re-analysis anywhere: stored rows are rewritten as-is, the merged
+    TERM DICTIONARY is the sum of the per-segment dictionaries (segments
+    hold disjoint documents, so document frequencies add), and the merged
+    corpus stats are the per-segment sums — vocabulary-sized inputs, never
+    a corpus re-scan beyond the columnar rewrite itself.
+
+    Crash safety: every merged tree lands under ``<name>__compacting``
+    first; the old trees are swapped out only after every new tree is
+    fully written (the sinks' atomic-dir-swap pattern). A crash before
+    the swap leaves the live index untouched; a crash mid-swap is
+    recoverable by re-running (the rewrite is deterministic). The
+    sidecar's watermark seeds are recomputed from the merged data so a
+    fresh WatermarkStore resumes from the right place.
+
+    Returns the number of segments merged (1 = already compact, no-op)."""
+    import shutil
+
+    seg_parent = os.path.join(index_dir, "documents_indexed")
+    segments = [d for d in os.listdir(seg_parent) if d.startswith("segment=")]
+    trees = [
+        d for d in os.listdir(index_dir)
+        if d == "documents_indexed" or d == "embeddings_indexed"
+        or d == "corpus_stats" or d.startswith("token_stats__")
+    ]
+    if len(segments) <= 1:
+        return len(segments)
+
+    new_meta = dict(read_index_meta(index_dir))
+    tmp = {}
+    for name in trees:
+        src = os.path.join(index_dir, name)
+        dst = os.path.join(index_dir, name + "__compacting")
+        shutil.rmtree(dst, ignore_errors=True)
+        out = os.path.join(dst, "segment=base")
+        if name in ("documents_indexed", "embeddings_indexed"):
+            merged = spark.read.parquet(src).drop("segment")
+            merged.write.parquet(out)
+            id_col = "doc_id" if name == "documents_indexed" else "vec_id"
+            mx = spark.read.parquet(out).agg(F.max(id_col)).head()[0]
+            key = ("base_max_doc_id" if name == "documents_indexed"
+                   else "base_max_vec_id")
+            new_meta[key] = int(mx) if mx is not None else None
+        elif name == "corpus_stats":
+            (
+                spark.read.parquet(src)
+                .groupBy("tok_col")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_dl").cast("long").alias("total_dl"),
+                )
+                .coalesce(1)
+                .write.parquet(out)
+            )
+        else:  # token_stats__<col>: document frequencies add across segments
+            (
+                spark.read.parquet(src)
+                .groupBy("token")
+                .agg(F.sum("df").cast("long").alias("df"))
+                .write.parquet(out)
+            )
+        tmp[name] = dst
+
+    for name, dst in tmp.items():
+        live = os.path.join(index_dir, name)
+        shutil.rmtree(live)
+        os.rename(dst, live)
+    with open(os.path.join(index_dir, "index_meta.json"), "w") as f:
+        json.dump(new_meta, f)
+    return len(segments)

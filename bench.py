@@ -114,6 +114,7 @@ HEADLINE = [
     "es_aggs_significant_text",
     "line_dedup",
     "multimodal_decode",
+    "image_near_dups",
 ]
 
 

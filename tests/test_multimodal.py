@@ -171,3 +171,48 @@ def test_unrecognized_mime_raises_not_fabricates():
     # the synthetic mime still gets deterministic pseudo-dims
     w, h = _decode_one(b"ten bytes!", "image", "application/x-fake")
     assert (w, h) == (1 + 10 % 640, 1 + 10 % 480)
+
+
+def test_dhash_stable_under_noise_distinct_across_images():
+    import numpy as np
+
+    from tweets_elastic_spark.functions.multimodal import dhash64
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    noisy = base.astype(np.int16).copy()
+    noisy[::7, ::5] += rng.integers(-4, 5, noisy[::7, ::5].shape)
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+
+    h_base, h_noisy, h_other = dhash64(base), dhash64(noisy), dhash64(other)
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h_base, h_noisy) <= 3
+    assert ham(h_base, h_other) > 10
+    # brightness shift barely moves the hash (difference-based)
+    brighter = np.clip(base.astype(np.int16) + 30, 0, 255).astype(np.uint8)
+    assert ham(h_base, dhash64(brighter)) <= 3
+
+
+def test_image_near_dups_finds_planted_pairs(spark):
+    import numpy as np
+
+    from tweets_elastic_spark.functions.multimodal import (
+        encode_ppm, image_near_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(5):
+        base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        for j in range(2):  # two near-identical variants per group
+            img = base.copy()
+            img[0, j, 0] = (int(img[0, j, 0]) + 2) % 256
+            rows.append((g * 10 + j, bytearray(encode_ppm(img))))
+    rows.append((999, bytearray(b"not a ppm")))
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dups(assets, max_distance=3).collect()
+    }
+    assert pairs == {(g * 10, g * 10 + 1) for g in range(5)}

@@ -242,3 +242,71 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(sample, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-dup — multimodal x dedup crossover
+# ---------------------------------------------------------------------------
+
+def dhash64(pixels: np.ndarray) -> int:
+    """Difference hash of an (H, W, 3) uint8 image: grayscale →
+    nearest-neighbor resize to 9×8 → 64 left<right comparisons, row-major.
+    The standard perceptual hash: stable under small pixel noise, mild
+    recompression and uniform brightness shifts; near-duplicate images
+    land within a few bits of Hamming distance. Returned as a SIGNED
+    64-bit value (bit 63 wraps negative) so it stores in a Spark LongType
+    and XOR/bit_count Hamming works unchanged."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    grid = gray[np.ix_(rows, cols)]
+    bits = (grid[:, :-1] < grid[:, 1:]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """(_id, _sig): 64-bit perceptual hash per decodable P6 image.
+    Arrow-batched mapInPandas; undecodable payloads are dropped (the
+    quarantine channel owns them). The payload never shuffles — only the
+    8-byte sketch leaves the scan."""
+    out_schema = "_id long, _sig long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, sigs = [], []
+            for i, payload in zip(b[id_col], b[payload_col]):
+                try:
+                    sigs.append(dhash64(decode_ppm(bytes(payload))))
+                    ids.append(i)
+                except (ValueError, AssertionError):
+                    continue
+            yield pd.DataFrame({"_id": ids, "_sig": sigs})
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        hash_batch, out_schema
+    )
+
+
+def image_near_dups(
+    assets: DataFrame,
+    max_distance: int = 3,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash sketches + the SAME pigeonhole
+    Hamming banding the SimHash text dedup uses
+    (operators/dedup.hamming_band_pairs) — sketches band-join on 16-bit
+    chunks, exact Hamming verifies. Payload bytes never join anything."""
+    from tweets_elastic_spark.operators.dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        image_dhash(assets, payload_col, id_col), max_distance=max_distance
+    )

@@ -481,6 +481,17 @@ def simhash_near_pairs(
         F.col(id_col).alias("_id"),
         simhash64(F.col(text_col), base_hash=base_hash).alias("_sig"),
     )
+    return hamming_band_pairs(sig, max_distance=max_distance)
+
+
+def hamming_band_pairs(
+    sig: DataFrame, max_distance: int = 3
+) -> DataFrame:
+    """Near-dup pairs over ANY precomputed 64-bit sketch relation
+    (columns ``_id``, ``_sig``) by pigeonhole banding: distance <= 3 over
+    4 chunks of 16 bits guarantees one identical chunk; join per chunk,
+    verify exact Hamming. Shared by SimHash text dedup and the perceptual
+    image-hash dedup (functions/multimodal.image_dhash)."""
     chunks = sig.select(
         "_id",
         "_sig",

@@ -47,3 +47,134 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs), n_frames=4).select(
         "asset_id", "frame_idx", "byte_offset"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup with a FULL oracle: payloads are real P6 PPM bytes
+# built from a deterministic md5 pixel formula (groups of 4 near-identical
+# images, one noised pixel per variant), the Spark side goes through the
+# ACTUAL codec pipeline (encode -> decode -> grayscale -> 9x8 resize ->
+# dHash bits -> banding join), and the oracle recomputes the very same 64
+# bits ARITHMETICALLY from the pixel formula — agreeing hashes prove the
+# whole byte-level round trip, not just the join.
+# ---------------------------------------------------------------------------
+
+_IMG_H = _IMG_W = 12
+_IMG_ROWS = [(i * _IMG_H) // 8 for i in range(8)]
+_IMG_COLS = [(i * _IMG_W) // 9 for i in range(9)]
+
+
+def _planted_ppm_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): P6 images whose grid pixels (the only ones
+    dHash samples) come from hash60(gid:y:x:c) % 256 with gid = doc_id//4,
+    plus (doc_id % 4) noise on pixel (0,0,0) — four near-identical
+    variants per group, everything else deterministic."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tweets_elastic_spark.functions.multimodal import encode_ppm
+
+    rows_, cols_ = _IMG_ROWS, _IMG_COLS
+    h, w = _IMG_H, _IMG_W
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def build(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                gid = did // 4
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                for y in rows_:
+                    for x in cols_:
+                        for c in range(3):
+                            v = h60(f"{gid}:{y}:{x}:{c}") % 256
+                            if y == 0 and x == 0 and c == 0:
+                                v = (v + did % 4) % 256
+                            px[y, x, c] = v
+                ids.append(did)
+                payloads.append(bytearray(encode_ppm(px)))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, "asset_id long, payload binary"
+    )
+
+
+def _image_dedup_oracle() -> str:
+    from tweets_elastic_spark.functions.hashing import hash60_sql
+
+    def px(y: int, x: int, c: int) -> str:
+        feat = f"gid::VARCHAR || ':{y}:{x}:{c}'"
+        base = f"{hash60_sql(feat)} % 256"
+        if y == 0 and x == 0 and c == 0:
+            return f"(({base}) + doc_id % 4) % 256"
+        return base
+
+    grays = []
+    for r, y in enumerate(_IMG_ROWS):
+        for cc, x in enumerate(_IMG_COLS):
+            grays.append(
+                f"({px(y, x, 0)} + {px(y, x, 1)} + {px(y, x, 2)}) / 3.0"
+                f" AS g_{r}_{cc}"
+            )
+    bits = []
+    k = 0
+    for r in range(8):
+        for cc in range(8):
+            bits.append(
+                f"CASE WHEN g_{r}_{cc} < g_{r}_{cc + 1} THEN "
+                f"{1 << (63 - k)}::HUGEINT ELSE 0::HUGEINT END"
+            )
+            k += 1
+    vsum = " + ".join(bits)
+    chunk_eq = " OR ".join(
+        f"((a.s >> {i * 16}) & 65535) = ((b.s >> {i * 16}) & 65535)"
+        for i in range(4)
+    )
+    return f"""
+    WITH g AS (
+        SELECT doc_id, {', '.join(grays)}
+        FROM (SELECT doc_id, doc_id // 4 AS gid FROM documents)
+    ), sig AS (
+        SELECT doc_id,
+               CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                         THEN v - 18446744073709551616::HUGEINT
+                         ELSE v END AS BIGINT) AS s
+        FROM (SELECT doc_id, {vsum} AS v FROM g)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS distance
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id AND ({chunk_eq})
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
+
+
+@register(
+    "image_near_dups",
+    oracle=_image_dedup_oracle(),
+    doc="Perceptual image near-dup (multimodal x dedup crossover): dHash "
+        "sketches (grayscale -> 9x8 nearest-neighbor resize -> 64 "
+        "left<right bits) over REAL P6 PPM payloads, paired with the same "
+        "pigeonhole Hamming banding SimHash uses. Payload bytes never "
+        "shuffle — only the 8-byte sketch leaves the scan. The oracle "
+        "recomputes the 64 bits arithmetically from the deterministic "
+        "pixel formula, so a green row proves the encode -> decode -> "
+        "resize -> hash byte pipeline end-to-end.",
+)
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.multimodal import image_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _planted_ppm_assets(docs)
+    out = image_near_dups(assets, max_distance=3)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    )

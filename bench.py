@@ -112,6 +112,7 @@ HEADLINE = [
     "es_aggs_moving_pipeline",
     "es_request_rescore",
     "es_aggs_significant_text",
+    "es_aggs_date_range_weighted",
     "line_dedup",
     "multimodal_decode",
     "image_near_dups",

@@ -996,3 +996,35 @@ def test_significant_text_tokens_and_contracts(spark):
     with pytest.raises(ValueError, match="foreground"):
         es_aggregate(df, {"sig": {"significant_text": {"field": "text"}}},
                      analyzers={"text": "standard"})
+
+
+def test_weighted_avg_and_date_range(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 5), 10.0, 1.0),
+         (2, datetime(2024, 1, 5), 20.0, 3.0),
+         (3, datetime(2024, 1, 25), 5.0, None),   # missing weight drops
+         (4, None, 9.0, 1.0)],                    # null ts -> no bucket
+        "id long, ts timestamp, v double, w double",
+    )
+    out = es_aggregate(df, {
+        "p": {"date_range": {"field": "ts", "ranges": [
+            {"key": "a", "to": "2024-01-10 00:00:00"},
+            {"key": "b", "from": "2024-01-10 00:00:00"},
+        ]},
+            "aggs": {"wa": {"weighted_avg": {
+                "value": {"field": "v"}, "weight": {"field": "w"}}}},
+        }
+    })
+    rows = {r["p"]: r for r in out.collect()}
+    assert rows["a"]["doc_count"] == 2
+    assert rows["a"]["wa"] == pytest.approx((10 + 60) / 4.0)
+    # bucket b has only the weight-less doc -> weighted_avg NULL
+    assert rows["b"]["doc_count"] == 1 and rows["b"]["wa"] is None
+    assert None not in rows and len(rows) == 2
+    with pytest.raises(ValueError, match="non-overlapping"):
+        es_aggregate(df, {"p": {"date_range": {"field": "ts", "ranges": [
+            {"from": "2024-01-01", "to": "2024-01-20"},
+            {"from": "2024-01-10"},
+        ]}}})

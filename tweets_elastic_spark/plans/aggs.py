@@ -111,6 +111,41 @@ def _bucket_key(kind: str, body: dict) -> Column:
     if kind == "histogram":
         width = float(body["interval"])
         return (F.floor(src / F.lit(width)) * F.lit(width)).cast("double")
+    if kind == "date_range":
+        # ES date_range: the range agg over timestamps — [from, to) buckets
+        # with ISO date(-time) bounds, same key labels and non-overlap
+        # contract; bounds compile to timestamp literals so the comparison
+        # stays a codegen'd predicate the scan can push.
+        ranges = [
+            {
+                **({"key": r["key"]} if "key" in r else {}),
+                **({"from": r["from"]} if "from" in r else {}),
+                **({"to": r["to"]} if "to" in r else {}),
+            }
+            for r in body["ranges"]
+        ]
+        key: Column = F.lit(None).cast("string")
+        for a, b in zip(ranges, ranges[1:]):
+            if a.get("to") is None or (
+                b.get("from") is not None and b["from"] < a["to"]
+            ):
+                raise ValueError(
+                    "date_range buckets must be sorted and non-overlapping "
+                    f"(got {a} then {b})"
+                )
+        for r in reversed(ranges):
+            lo, hi = r.get("from"), r.get("to")
+            label = r.get(
+                "key",
+                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}",
+            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (src >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                cond = cond & (src < F.lit(hi).cast("timestamp"))
+            key = F.when(src.isNotNull() & cond, F.lit(label)).otherwise(key)
+        return key
     if kind == "range":
         # ES range agg: [from, to) buckets, keyed "from-to" ("*" open end);
         # a doc lands in every bucket containing its value — but ranges in
@@ -212,7 +247,19 @@ def _metric_cols(aggs: dict) -> list[Column]:
                         6,
                     ).alias(f"{name}_rank_{label}")
                 )
-        elif kind in ("terms", "date_histogram", "histogram", "range"):
+        elif kind == "weighted_avg":
+            # ES weighted_avg: sum(value*weight)/sum(weight); docs missing
+            # either side drop out (ES's contract without `missing`).
+            v = F.col(body["value"]["field"]).cast("double")
+            wt = F.col(body["weight"]["field"]).cast("double")
+            both = F.when(v.isNotNull() & wt.isNotNull(), True)
+            out.append(
+                F.round(
+                    F.sum(F.when(both, v * wt)) / F.sum(F.when(both, wt)), 6
+                ).alias(name)
+            )
+        elif kind in ("terms", "date_histogram", "histogram", "range",
+                      "date_range"):
             continue  # nested bucket, handled by the caller
         else:
             raise ValueError(f"unsupported aggregation type: {kind!r}")
@@ -730,7 +777,8 @@ def es_aggregate(
     # one optional nested bucket level
     nested_bucket = [
         (n, s) for n, s in sub.items()
-        if next(iter(s)) in ("terms", "date_histogram", "histogram", "range")
+        if next(iter(s)) in ("terms", "date_histogram", "histogram",
+                             "range", "date_range")
     ]
     if len(nested_bucket) > 1:
         raise ValueError("at most one nested bucket aggregation is supported")
@@ -748,7 +796,8 @@ def es_aggregate(
         sub_spec = dict(sub_spec)
         sub_sub = sub_spec.pop("aggs", {})
         (sub_kind, sub_body), = sub_spec.items()
-        if any(next(iter(s)) in ("terms", "date_histogram", "histogram", "range")
+        if any(next(iter(s)) in ("terms", "date_histogram", "histogram",
+                                 "range", "date_range")
                for s in sub_sub.values()):
             raise ValueError("bucket nesting deeper than two levels is unsupported")
         keys.append((_bucket_key(sub_kind, sub_body), sub_name))

@@ -1485,3 +1485,52 @@ def q_es_aggs_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggs": {"sig": {"significant_text": {"field": "text", "size": 15}}},
     }
     return es_request(docs, request, analyzers={"text": "standard"})
+
+
+@register(
+    "es_aggs_date_range_weighted",
+    oracle="""
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 'early'
+                WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'mid'
+                ELSE 'late' END AS period,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                          THEN value * user_id END)
+                 / sum(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                            THEN user_id END), 6) AS w_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES date_range buckets (ISO bounds compiled to timestamp "
+        "literals, [from, to) with ES key labels) + the weighted_avg "
+        "metric (sum(v*w)/sum(w), rows missing either side dropped — "
+        "ES's contract): one conditional-aggregate scan, bounds pushed "
+        "as codegen'd predicates.",
+)
+def q_es_aggs_date_range_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    request = {
+        "aggs": {
+            "period": {
+                "date_range": {
+                    "field": "ts",
+                    "ranges": [
+                        {"key": "early", "to": "2024-01-10 00:00:00"},
+                        {"key": "mid", "from": "2024-01-10 00:00:00",
+                         "to": "2024-01-20 00:00:00"},
+                        {"key": "late", "from": "2024-01-20 00:00:00"},
+                    ],
+                },
+                "aggs": {
+                    "w_value": {"weighted_avg": {
+                        "value": {"field": "value"},
+                        "weight": {"field": "user_id"},
+                    }},
+                },
+            }
+        }
+    }
+    return es_request(events, request)

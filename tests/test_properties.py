@@ -87,3 +87,81 @@ def test_normalized_text_whitespace_case_invariant(spark, words, case_flips):
     b = _eval(spark, normalized_text(F.lit(mangled)))
     assert a == b
     assert _eval(spark, normalized_text(F.lit(a))) == a
+
+
+# -- round-6 operators -------------------------------------------------------
+
+@PROP
+@given(
+    freqs=st.dictionaries(WORD, st.integers(1, 50), min_size=1, max_size=8),
+    n=st.integers(0, 30),
+)
+def test_bpe_roundtrip_and_merge_validity(freqs, n):
+    """For ANY word-frequency table: every merge pair was adjacent in some
+    word at its merge time, and encoding any trained-on word then joining
+    its tokens reconstructs word + end marker."""
+    from tweets_elastic_spark.operators.bpe import (
+        END, encode_word, train_bpe_from_freqs,
+    )
+
+    merges = train_bpe_from_freqs(list(freqs.items()), n)
+    assert len(merges) == len(set(merges))  # no pair learned twice
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in freqs:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + END
+
+
+@PROP
+@given(
+    counts=st.lists(st.integers(1, 1000), min_size=1, max_size=6),
+    budget=st.floats(1.0, 10000.0),
+    max_epochs=st.floats(0.5, 4.0),
+)
+def test_unimax_allocation_conserves_budget(spark, counts, budget, max_epochs):
+    """Σ quota == min(budget, Σ caps) up to float tolerance, and no
+    language ever exceeds its cap."""
+    from tweets_elastic_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [(f"l{i}", c) for i, c in enumerate(counts)], "lang string, n_tok long"
+    )
+    rows = unimax_allocation(df, budget, max_epochs).collect()
+    caps = {f"l{i}": c * max_epochs for i, c in enumerate(counts)}
+    total = sum(r["quota"] for r in rows)
+    expect = min(budget, sum(caps.values()))
+    assert abs(total - expect) < 1e-4 * max(1.0, expect)
+    for r in rows:
+        assert r["quota"] <= caps[r["lang"]] + 1e-6
+
+
+@PROP
+@given(
+    n_words=st.integers(0, 40),
+    max_tokens=st.integers(2, 12),
+    overlap=st.integers(0, 6),
+)
+def test_chunk_documents_cover_and_bound(spark, n_words, max_tokens, overlap):
+    """Every token appears in some chunk, no chunk exceeds max_tokens,
+    and consecutive chunks advance by exactly stride."""
+    from tweets_elastic_spark.operators.curation import chunk_documents
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    if n_words == 0:
+        assert rows == []
+        return
+    stride = max_tokens - overlap
+    covered = set()
+    for r in rows:
+        toks = r["chunk_text"].split()
+        assert len(toks) == r["n_tok"] <= max_tokens
+        assert toks[0] == f"w{r['chunk_id'] * stride}"
+        covered.update(toks)
+    assert covered == {f"w{i}" for i in range(n_words)}

@@ -216,3 +216,48 @@ def test_image_near_dups_finds_planted_pairs(spark):
         for r in image_near_dups(assets, max_distance=3).collect()
     }
     assert pairs == {(g * 10, g * 10 + 1) for g in range(5)}
+
+
+def test_audio_near_dups_fingerprint(spark):
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from tweets_elastic_spark.functions.multimodal import (
+        ahash64, audio_near_dups,
+    )
+
+    def make_wav(samples: np.ndarray) -> bytes:
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.default_rng(3)
+    t = np.arange(8000)
+    rows = []
+    for g, freq in enumerate([440.0, 880.0, 1320.0]):
+        # amplitude-modulated tone: a non-flat energy envelope
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * t / 2000 + g)
+        base = 8000 * env * np.sin(2 * np.pi * freq * t / 8000)
+        for j in range(2):
+            noisy = base + rng.normal(0, 40, base.shape)
+            rows.append((g * 10 + j, bytearray(make_wav(noisy))))
+    rows.append((999, bytearray(b"not audio")))
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dups(assets, max_distance=3).collect()
+    }
+    assert {(g * 10, g * 10 + 1) for g in range(3)} <= pairs
+    # gain change barely moves the hash (difference-based envelope)
+    a = make_wav(8000 * np.sin(2 * np.pi * 440 * t / 8000)
+                 * (0.5 + 0.5 * np.sin(2 * np.pi * t / 2000)))
+    b = make_wav(4000 * np.sin(2 * np.pi * 440 * t / 8000)
+                 * (0.5 + 0.5 * np.sin(2 * np.pi * t / 2000)))
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(ahash64(a), ahash64(b)) <= 2

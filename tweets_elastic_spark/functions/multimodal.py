@@ -310,3 +310,64 @@ def image_near_dups(
     return hamming_band_pairs(
         image_dhash(assets, payload_col, id_col), max_distance=max_distance
     )
+
+
+def ahash64(payload: bytes) -> int:
+    """Audio difference hash: stdlib WAV decode → mono int16 samples →
+    65-window RMS energy envelope → 64 envelope[i] < envelope[i+1] bits.
+    The acoustic analogue of the image dHash: stable under low-level
+    noise and uniform gain changes (difference-based), so re-encoded or
+    slightly-degraded copies of the same clip land within a few bits.
+    Signed 64-bit, same storage/Hamming contract as dhash64."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+    if width != 2:
+        raise ValueError(f"ahash64 supports 16-bit PCM, got width {width}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    if samples.size < 65:
+        raise ValueError(f"clip too short for 65 windows: {samples.size}")
+    bounds = (np.arange(66) * samples.size) // 65
+    rms = np.array([
+        np.sqrt(np.mean(samples[bounds[i]:bounds[i + 1]] ** 2))
+        for i in range(65)
+    ])
+    v = 0
+    for b in rms[:-1] < rms[1:]:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_near_dups(
+    assets: DataFrame,
+    max_distance: int = 3,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Near-duplicate audio pairs: ahash64 sketches + the shared pigeonhole
+    Hamming banding (operators/dedup.hamming_band_pairs). Undecodable or
+    too-short payloads drop (quarantine's job); payload bytes never
+    shuffle."""
+    from tweets_elastic_spark.operators.dedup import hamming_band_pairs
+
+    out_schema = "_id long, _sig long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, sigs = [], []
+            for i, payload in zip(b[id_col], b[payload_col]):
+                try:
+                    sigs.append(ahash64(bytes(payload)))
+                    ids.append(i)
+                except (ValueError, wave.Error, EOFError):
+                    continue
+            yield pd.DataFrame({"_id": ids, "_sig": sigs})
+
+    sig = assets.select(id_col, payload_col).mapInPandas(
+        hash_batch, out_schema
+    )
+    return hamming_band_pairs(sig, max_distance=max_distance)

@@ -41,6 +41,7 @@ HEADLINE = [
     "funnel_conversion",
     "corpus_length_quantiles",
     "events_daily_pivot",
+    "events_json_runtime_field",
     "tumbling_window",
     "sliding_window",
     "session_window",

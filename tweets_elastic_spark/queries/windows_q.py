@@ -371,3 +371,44 @@ def q_events_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wide.unpivot("day", ["view", "click"], "kind", "n")
+
+
+@register(
+    "events_json_runtime_field",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+               AS k_avg,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES runtime fields / schema-on-read: a value extracted from the "
+        "semi-structured JSON props column AT QUERY TIME (get_json_object "
+        "— a codegen'd JSON-path expression, the engine analogue of a "
+        "Painless runtime field over _source) and aggregated per event "
+        "type. Malformed or missing paths yield NULL and drop out of the "
+        "aggregates, ES's missing-field contract; no pre-parsed schema, "
+        "no UDF, one scan.",
+)
+def q_events_json_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(k).alias("n_with_k"),
+            F.sum(k).alias("k_sum"),
+            F.round(F.avg(k), 6).alias("k_avg"),
+            F.max(k).alias("k_max"),
+        )
+    )

@@ -527,7 +527,14 @@ def suggest_phrase(
     candidates with a Lucene shingle-field LM; the Laplace bigram is the
     portable twin) minus an edit-distance prior:
 
-        score(phrase) = Σ ln P̂(w_i | w_{i−1}) − edit_penalty · edits
+        score(phrase) =   Σ ln P̂(w_i | w_{i−1})      (bigram transitions)
+                        + Σ ln P̂(w_i)                (unigram likelihood)
+                        − edit_penalty · edits       (correction prior)
+
+    The unigram term is what makes an out-of-vocabulary verbatim input
+    LOSE to an in-vocabulary correction (both see the same smoothed-zero
+    transition, but the OOV token's own likelihood is the Laplace floor —
+    ES's candidate generator encodes the same signal as term frequency).
 
     Cost shape: the dictionary intersect runs per token on the BOUNDED
     vocabulary; candidate enumeration is driver-side over ≤ per_term^len
@@ -586,11 +593,22 @@ def suggest_phrase(
         )
         for r in looked
     }
+    needed_words = sorted({w for ph in phrases for w, _ in ph})
+    word_rows = spark.createDataFrame(
+        [(w,) for w in needed_words], "w1 string"
+    ).join(c1, ["w1"], "left").collect()
+    total_row = c1.agg(F.sum("c1").alias("t")).head()
+    t = float(total_row["t"] or 0)
+    uni = {
+        r["w1"]: math.log(((r["c1"] or 0) + 1.0) / (t + v))
+        for r in word_rows
+    }
     scored = []
     for ph in phrases:
         words = [w for w, _ in ph]
         edits = sum(d for _, d in ph)
         s = sum(logp[(a, b)] for a, b in zip(words, words[1:]))
+        s += sum(uni[w] for w in words)
         s -= edit_penalty * edits
         scored.append((" ".join(words), round(s, 6), edits))
     scored.sort(key=lambda x: (-x[1], x[0]))

@@ -345,3 +345,29 @@ def q_es_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
     return suggest_terms(spark, idx, "text__custom_shingles", "sparc",
                          max_edits=2, size=5)
+
+
+@register(
+    "es_suggest_phrase",
+    oracle=None,  # candidate enumeration + LM rescoring composes three
+    # driver-side bounded steps (dictionary collect, product, lookup);
+    # correctness is pinned by tests/test_indexing.py::
+    # test_suggest_phrase_corrects_multiword_typos against planted typos.
+    doc="ES phrase suggester (did-you-mean): per-token spell candidates "
+        "from the WRITTEN term dictionary, candidate phrases reranked by "
+        "the corpus bigram LM minus an edit prior — the portable twin of "
+        "ES's shingle-field LM rescoring. 'sparc mrege' corrects to the "
+        "corpus-frequent 'spark merge'; the whole computation touches the "
+        "bounded vocabulary + a capped candidate product, the corpus only "
+        "to fit the LM.",
+)
+def q_es_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.indexing import suggest_phrase
+    from tweets_elastic_spark.sources.catalog import load_table as _lt
+
+    idx = ensure_index(spark, sf_dir)
+    docs = _lt(spark, sf_dir, "documents")
+    return suggest_phrase(
+        spark, idx, "text__custom_shingles", "sparc mrege", docs,
+        max_edits=2, per_term=3, size=5,
+    )

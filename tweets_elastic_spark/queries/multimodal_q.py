@@ -83,19 +83,25 @@ def _planted_ppm_assets(docs: DataFrame) -> DataFrame:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     def build(batches):
-        for b in batches:
-            ids, payloads = [], []
-            for did in b["doc_id"]:
-                did = int(did)
-                gid = did // 4
+        base_cache: dict[int, np.ndarray] = {}
+
+        def base_pixels(gid: int) -> np.ndarray:
+            got = base_cache.get(gid)
+            if got is None:
                 px = np.zeros((h, w, 3), dtype=np.uint8)
                 for y in rows_:
                     for x in cols_:
                         for c in range(3):
-                            v = h60(f"{gid}:{y}:{x}:{c}") % 256
-                            if y == 0 and x == 0 and c == 0:
-                                v = (v + did % 4) % 256
-                            px[y, x, c] = v
+                            px[y, x, c] = h60(f"{gid}:{y}:{x}:{c}") % 256
+                got = base_cache[gid] = px
+            return got
+
+        for b in batches:
+            ids, payloads = [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                px = base_pixels(did // 4).copy()
+                px[0, 0, 0] = (int(px[0, 0, 0]) + did % 4) % 256
                 ids.append(did)
                 payloads.append(bytearray(encode_ppm(px)))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})

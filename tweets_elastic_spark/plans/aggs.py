@@ -11,32 +11,44 @@ aggregation over the (optionally query-filtered) scan.
 Supported surface:
 
 * bucket aggs: ``terms`` (keyword buckets, ``size`` top-N by doc_count
-  desc / key asc), ``date_histogram`` (``calendar_interval``: minute,
-  hour, day, month, year), ``histogram`` (numeric, fixed ``interval``),
-  ``range`` (sorted non-overlapping [from, to) buckets, ES key labels);
-  one bucket agg may nest ONE further bucket agg under ``aggs``. ES's
-  null contract holds: documents missing the bucket field leave the
-  aggregation unless ``missing`` supplies a substitute.
+  desc / key asc or an explicit ``order``), ``date_histogram``
+  (``calendar_interval``: minute, hour, day, month, year; or
+  ``fixed_interval``), ``histogram`` (numeric, fixed ``interval``),
+  ``range`` / ``date_range`` (sorted non-overlapping [from, to) buckets,
+  ES key labels); one bucket agg may nest ONE further bucket agg under
+  ``aggs``. ES's null contract holds: documents missing the bucket field
+  leave the aggregation unless ``missing`` supplies a substitute.
 * metric sub-aggs: ``sum``, ``avg``, ``min``, ``max``, ``value_count``,
-  ``cardinality``, ``percentiles``, ``stats``. ES's ``cardinality``/
-  ``percentiles`` are approximations (HLL / t-digest); this engine
-  evaluates them EXACTLY (countDistinct / interpolated percentile) so
-  results stay oracle-checkable — documented, strictly-more-accurate
-  divergences.
+  ``cardinality``, ``percentiles``, ``percentile_ranks``, ``stats``,
+  ``extended_stats``, ``weighted_avg``. ES's ``cardinality``/
+  ``percentiles``/``percentile_ranks`` are approximations (HLL /
+  t-digest); this engine evaluates them EXACTLY (countDistinct /
+  interpolated percentile / conditional avg) so results stay
+  oracle-checkable — documented, strictly-more-accurate divergences.
 * ``composite`` (cursor-paginated bucket enumeration in total key order —
   the scale path; the ``after`` cursor compiles to a keyset row-filter
   BELOW the aggregation).
-* ``significant_terms`` (foreground-vs-background term scoring, ES's JLH
-  heuristic, one conditional-aggregation scan).
-* pipeline aggs over a histogram parent: ``cumulative_sum``,
-  ``derivative`` (window functions over the reduced bucket relation —
-  the coordinator-side shape ES itself uses).
+* ``significant_terms`` / ``significant_text`` (foreground-vs-background
+  scoring over keyword values / analyzed tokens, ES's JLH heuristic,
+  one conditional-aggregation scan; shared ``_jlh_rank`` tail).
+* ``filters``, ``missing``, ``global``, ``nested`` (array-of-structs
+  explode feeding the ordinary machinery).
+* pipeline aggs: ``cumulative_sum``, ``derivative``, ``moving_fn``
+  (ordered, histogram-family parents), ``bucket_script`` /
+  ``bucket_selector`` (Painless-subset ``params`` bindings),
+  ``bucket_sort`` — all window/filter work over the reduced bucket
+  relation, the coordinator-side shape ES itself uses; SIBLING pipelines
+  ``avg/sum/min/max_bucket`` annotate the bucket rows via a 1-row
+  broadcast cross join.
 * ``top_hits`` (per-bucket top documents by an explicit sort — a window
   rank, must be the bucket's only sub-agg since its result shape is
   documents, not metrics).
 
 The hits path (es_request) additionally supports ``collapse`` (field
-collapsing: best hit per group under the request sort — a window rank).
+collapsing: best hit per group under the request sort — a window rank),
+``highlight`` (full-field tagging), ``search_after`` keyset pagination,
+``from`` offset pagination, and ``rescore`` (two-phase ranking over the
+top-window relation).
 
 Result shape: the flattened leaf-bucket relation — one row per innermost
 bucket combination, carrying every level's key column plus ``doc_count``

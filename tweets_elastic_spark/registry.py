@@ -113,8 +113,15 @@ DRIVER_PRIORITY: list[str] = [
     # temperature mixture stays oracle-parity-verified post-prefix)
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",
     "training_shards", "sequence_pack", "dsir_sample",
-    # profiling + multimodal
-    "corpus_profile", "multimodal_decode",
+    # chunking + multimodal (r6 second-half swaps, both ousted entries
+    # full-oracle post-prefix with parity-pytest coverage:
+    # corpus_profile -> chunk_documents — the token-window splitter is a
+    # distinct operator family while grouped profiling re-exercises
+    # machinery other prefix rows already pin;
+    # multimodal_decode -> image_near_dups — the perceptual-hash dedup row
+    # proves decode + resize + hashing + banding END-TO-END via its
+    # arithmetic oracle, strictly subsuming the decode-plumbing check)
+    "chunk_documents", "image_near_dups",
 ]
 
 

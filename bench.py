@@ -114,6 +114,7 @@ HEADLINE = [
     "es_request_rescore",
     "es_aggs_significant_text",
     "es_aggs_date_range_weighted",
+    "search_more_like_this",
     "line_dedup",
     "multimodal_decode",
     "image_near_dups",

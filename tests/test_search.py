@@ -805,3 +805,47 @@ def test_multi_match_most_fields_sums_legs(spark):
     with pytest.raises(ValueError, match="unsupported multi_match type"):
         MultiMatch([("text", 1.0)], "x", analyzers=an, tokens_cols={},
                    type="cross_fields")
+
+
+def test_more_like_this_selects_similar_docs(spark):
+    from tweets_elastic_spark.plans.search import more_like_this
+
+    common = "the and of to a"  # high-df chatter (stopword guard fodder)
+    rows = [
+        (1, f"quantum physics experiment lab {common}"),        # seed
+        (2, f"quantum experiment measurement {common}"),        # similar
+        (3, f"physics lab quantum notes {common}"),             # similar
+        (4, f"football season league match {common}"),          # unrelated
+        (5, f"cooking pasta recipe dinner {common}"),           # unrelated
+    ] + [(10 + i, f"filler words here now {common}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = more_like_this(
+        docs, 1, analyzer="standard", max_query_terms=8,
+        min_doc_freq=2, max_doc_freq_frac=0.5,
+        minimum_should_match=0.3, k=5,
+    ).collect()
+    got = [r["doc_id"] for r in out]
+    # the two quantum/physics docs rank, the seed itself never appears,
+    # unrelated and filler docs don't pass minimum_should_match
+    assert set(got) == {2, 3}
+    assert 1 not in got
+    # seed terms with df=1 (unique to the seed) can never be selected:
+    # doc 4/5 share zero selected terms
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert all(s > 0 for s in scores.values())
+
+
+def test_more_like_this_stopword_guard(spark):
+    from tweets_elastic_spark.plans.search import more_like_this
+
+    # 'shared' appears in EVERY doc -> df too high -> excluded, so no doc
+    # can match on it and nothing passes the msm gate
+    docs = spark.createDataFrame(
+        [(i, "shared unique%d" % i) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = more_like_this(
+        docs, 0, analyzer="standard", max_doc_freq_frac=0.25,
+        minimum_should_match=0.3, k=5,
+    ).collect()
+    assert out == []

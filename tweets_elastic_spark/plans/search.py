@@ -1474,3 +1474,92 @@ def reference_query() -> Query:
             ],
         )
     )
+
+
+def more_like_this(
+    docs: DataFrame,
+    seed_id,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+    max_query_terms: int = 12,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+    max_doc_freq_frac: float = 0.25,
+    minimum_should_match: float = 0.3,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``more_like_this``: find documents similar to a seed document.
+    ES's algorithm, declaratively: analyze the seed, keep its terms with
+    tf ≥ ``min_term_freq`` and corpus df in [``min_doc_freq``,
+    ``max_doc_freq_frac``·N] (the stopword guard), select the top
+    ``max_query_terms`` by tf·idf (idf = ln(N/df), ties by term), then
+    score every OTHER document by the sum of selected-term idfs it
+    matches, requiring ≥ ceil(``minimum_should_match`` · |terms|) matches
+    (ES's percent form).
+
+    Everything stays in-plan — no driver-side term collection: the
+    selected-terms relation is ≤ max_query_terms rows and BROADCASTS to
+    the candidate join; the per-doc distinct-token explode feeds one
+    aggregation keyed by the id the explode preserves. Cost: two token
+    aggregations + a broadcast join + TakeOrderedAndProject, each linear
+    in posting count — at index scale the df lookup is the stored term
+    dictionary instead of the first aggregation.
+
+    Returns (id, n_matched, score) for the top-k, score = Σ idf rounded
+    to 6 dp (summation-order portability)."""
+    from tweets_elastic_spark.functions.analyzers import analyze
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(analyze(F.col(text_col), analyzer))
+        ).alias("_t"),
+    )
+    # term frequency WITHIN the seed needs multiplicity — separate explode
+    seed_tf = (
+        docs.filter(F.col(id_col) == F.lit(seed_id))
+        .select(F.explode(analyze(F.col(text_col), analyzer)).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .filter(F.col("_tf") >= int(min_term_freq))
+    )
+    n_total = docs.select(F.count(F.lit(1)).alias("_n"))
+    dfs = (
+        toks.join(F.broadcast(seed_tf.select("_t")), "_t", "leftsemi")
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    sel = (
+        seed_tf.join(dfs, "_t")
+        .crossJoin(F.broadcast(n_total))
+        .filter(
+            (F.col("_df") >= int(min_doc_freq))
+            & (F.col("_df") <= F.col("_n") * F.lit(float(max_doc_freq_frac)))
+        )
+        .withColumn("_idf", F.log(F.col("_n") / F.col("_df")))
+        .orderBy((F.col("_tf") * F.col("_idf")).desc(), F.col("_t").asc())
+        .limit(int(max_query_terms))
+        .select("_t", "_idf")
+    )
+    n_sel = sel.agg(F.count(F.lit(1)).alias("_k"))
+    matched = (
+        toks.filter(F.col("_id") != F.lit(seed_id))
+        .join(F.broadcast(sel), "_t")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum("_idf"), 6).alias("score"),
+        )
+        .crossJoin(F.broadcast(n_sel))
+        .filter(
+            F.col("n_matched")
+            >= F.ceil(F.col("_k") * F.lit(float(minimum_should_match)))
+        )
+    )
+    return (
+        matched.select(F.col("_id").alias(id_col), "n_matched", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -1534,3 +1534,63 @@ def q_es_aggs_date_range_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         }
     }
     return es_request(events, request)
+
+
+@register(
+    "search_more_like_this",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ), dt AS (
+        SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks
+    ), seedtf AS (
+        SELECT tok AS term, count(*) AS tf
+        FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id = 42)
+        GROUP BY 1 HAVING count(*) >= 1
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    dfs AS (
+        SELECT tok AS term, count(*) AS df FROM dt
+        WHERE tok IN (SELECT term FROM seedtf) GROUP BY 1
+    ), sel AS (
+        SELECT s.term, ln(n.n / d.df) AS idf
+        FROM seedtf s JOIN dfs d USING (term), n
+        WHERE d.df >= 2 AND d.df <= n.n * 0.25
+        ORDER BY s.tf * ln(n.n / d.df) DESC, s.term ASC
+        LIMIT 12
+    ), kk AS (SELECT count(*) AS k FROM sel),
+    m AS (
+        SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+               round(sum(sel.idf), 6) AS score
+        FROM dt JOIN sel ON dt.tok = sel.term
+        WHERE dt.doc_id <> 42
+        GROUP BY 1
+    )
+    SELECT doc_id, n_matched, score
+    FROM m, kk
+    WHERE n_matched >= ceil(kk.k * 0.3)
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="ES more_like_this: documents similar to seed doc 42 — the seed's "
+        "terms filtered by tf/df bounds (df >= 2, df <= 25% of the corpus "
+        "— the stopword guard), top-12 by tf*idf, every other doc scored "
+        "by the sum of selected-term idfs it matches with a 30% "
+        "minimum_should_match. Fully in-plan: the selected-terms relation "
+        "(<= 12 rows) broadcasts, no driver-side term collection; two "
+        "token aggregations + TakeOrderedAndProject, linear in posting "
+        "count.",
+)
+def q_search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import more_like_this
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return more_like_this(
+        docs, 42, analyzer="standard", max_query_terms=12,
+        min_doc_freq=2, max_doc_freq_frac=0.25,
+        minimum_should_match=0.3, k=10,
+    )

@@ -1028,3 +1028,32 @@ def test_weighted_avg_and_date_range(spark):
             {"from": "2024-01-01", "to": "2024-01-20"},
             {"from": "2024-01-10"},
         ]}}})
+
+
+def test_script_fields_computed_per_hit(spark, sales):
+    out = es_request(sales, {
+        "query": {"term": {"region": "us"}},
+        "sort": [{"id": "asc"}],
+        "size": 2,
+        "_source": ["id", "amount"],
+        "script_fields": {
+            "doubled": {"script": {"source": "doc['amount'].value * 2"}},
+            "logged": {"script": "Math.log(doc['amount'].value)"},
+        },
+    }).collect()
+    import math
+    assert [(r["id"], r["doubled"]) for r in out] == [(4, 14.0), (5, 18.0)]
+    assert out[0]["logged"] == pytest.approx(math.log(7.0))
+    # _score binds on the relevance path
+    out2 = es_request(sales, {
+        "query": {"term": {"region": "us"}},
+        "size": 1,
+        "script_fields": {"s2": {"script": {"source": "_score * 3"}}},
+    }, tiebreak="id").collect()
+    assert out2[0]["s2"] == 3.0
+    # sorted path has no score column -> _score raises loudly
+    with pytest.raises(ValueError, match="_score is not available"):
+        es_request(sales, {
+            "query": {"match_all": {}}, "sort": [{"id": "asc"}],
+            "script_fields": {"x": {"script": {"source": "_score"}}},
+        }).collect()

@@ -1073,6 +1073,29 @@ def es_request(
             out = scored.orderBy(*order2).offset(frm).limit(size)
         else:
             out = search(df, tree, k=size, tiebreak=tiebreak)
+    sfields = body.get("script_fields")
+    if sfields is not None:
+        # ES script_fields: computed output columns per hit. Each script
+        # is the Painless arithmetic subset (doc['field'].value, numbers,
+        # Math.*) compiled ONCE into a Catalyst expression riding the
+        # ALREADY-TRUNCATED hit page — cost scales with page size, never
+        # the corpus, and unlike ES the evaluation is codegen'd, not
+        # scripted. _score is available when the hits carry a score
+        # column (the relevance path).
+        from tweets_elastic_spark.plans.search import compile_painless
+
+        score_col = F.col("score") if "score" in out.columns else None
+        for fname, spec in sfields.items():
+            script = spec["script"] if isinstance(spec, dict) else spec
+            src_txt = script["source"] if isinstance(script, dict) else script
+            out = out.withColumn(
+                fname,
+                compile_painless(
+                    src_txt,
+                    score=score_col,
+                    resolve_doc=lambda f: F.col(f).cast("double"),
+                ),
+            )
     hl = body.get("highlight")
     if hl is not None:
         # ES highlighting, full-field mode (number_of_fragments: 0): tag
@@ -1108,5 +1131,8 @@ def es_request(
                 F.regexp_replace(F.col(field), pattern, f"{pre}$1{post}"),
             )
     if source is not None:
-        out = out.select(*source)
+        # ES returns script_fields ALONGSIDE _source; keep their columns
+        # through the projection
+        extra = [n for n in (sfields or {}) if n not in source]
+        out = out.select(*source, *extra)
     return out

@@ -208,3 +208,50 @@ def test_rescore_take_ordered_first_pass(spark):
     rescore phase provably runs on window_size rows, not the corpus."""
     p = plan_of(spark, "es_request_rescore")
     assert "TakeOrderedAndProject" in p
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin: every
+# entry is a 1-ROW broadcast cross join (scalar totals / water level /
+# bucket-list scalars / model constants), never a data-x-data product.
+_ONE_ROW_CROSS_JOIN_OK = {
+    "dsir_sample",                 # raw/target totals (1 row each)
+    "unimax_sample",               # water level scalar
+    "es_aggs_moving_pipeline",     # sibling avg_bucket scalar
+    "lm_perplexity_filter",        # vocab-size scalar
+    "search_more_like_this",       # corpus count + selected-term count
+    "corpus_profile",              # global totals leg
+    "corpus_length_quantiles",     # global quantile leg
+    "decontaminate_fuzzy_survivors",  # benchmark-size scalar
+    "es_aggs_significant_terms",   # fg/bg totals
+    "es_aggs_significant_text",    # fg/bg totals
+    "vocab_top_tokens",            # corpus-total scalar
+    # bounded-broadcast designs (not 1-row, but the broadcast side is a
+    # small constant — the documented plan, not an accident):
+    "ann_multi_query_topk",        # 16-row query batch x one corpus scan
+    "ann_ivf_multi_indexed",       # same, through the stored index
+    "ann_lsh_multi_indexed",       # same
+    "ann_ivf_portable_multi",      # same, portable quantizer
+    "embedding_near_dups_exact",   # the INTENTIONAL all-pairs exact
+                                   # baseline twin (correctness anchor for
+                                   # the LSH variant; never the scale path)
+}
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Blanket guard: building EVERY registered query's physical plan at
+    sf0.01 must yield no CartesianProduct anywhere, and
+    BroadcastNestedLoopJoin only in the documented 1-row-scalar cross
+    joins. A new operator that accidentally joins without a key fails
+    here before it ever reaches the driver."""
+    offenders = []
+    for name in registry.all_queries():
+        try:
+            p = plan_of(spark, name)
+        except Exception as e:  # index-dependent queries build their index
+            offenders.append((name, f"plan build failed: {e!r}"))
+            continue
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in p and name not in _ONE_ROW_CROSS_JOIN_OK:
+            offenders.append((name, "undocumented BroadcastNestedLoopJoin"))
+    assert not offenders, offenders

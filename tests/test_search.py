@@ -849,3 +849,40 @@ def test_more_like_this_stopword_guard(spark):
         minimum_should_match=0.3, k=5,
     ).collect()
     assert out == []
+
+
+def test_match_phrase_slop_two_terms(spark):
+    from tweets_elastic_spark.plans.search import MatchPhrase, from_es_json
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"),              # adjacent
+         (2, "alpha gap beta"),          # 1 apart
+         (3, "alpha x y beta"),          # 2 apart
+         (4, "beta then alpha"),         # wrong order
+         (5, "alpha alone")],
+        "id long, text string",
+    )
+
+    def hits(slop):
+        q = MatchPhrase("text", "alpha beta", analyzer="standard", slop=slop)
+        return {r["id"] for r in search(df, q, k=None).collect()}
+
+    assert hits(0) == {1}          # slop=0 keeps exact-adjacency semantics
+    assert hits(1) == {1, 2}
+    assert hits(2) == {1, 2, 3}    # order still required: 4 never matches
+    # repeated occurrences: any pair within range matches
+    df2 = spark.createDataFrame(
+        [(1, "beta filler alpha filler beta")], "id long, text string"
+    )
+    q = MatchPhrase("text", "alpha beta", analyzer="standard", slop=1)
+    assert search(df2, q, k=None).count() == 1
+    with pytest.raises(ValueError, match="exactly 2 analyzed terms"):
+        MatchPhrase("text", "a b c", analyzer="standard", slop=1).predicate(
+            spark, F.col
+        )
+    parsed = from_es_json(
+        {"match_phrase": {"text": {"query": "alpha beta", "slop": 2}}},
+        analyzers={"text": "standard"},
+    )
+    assert parsed == MatchPhrase("text", "alpha beta", analyzer="standard",
+                                 slop=2)

@@ -379,6 +379,7 @@ class MatchPhrase(Query):
     text: str
     analyzer: str
     tokens_col: str | None = None
+    slop: int = 0
 
     def predicate(self, spark, resolve) -> Column:
         phrase = analyze_text(spark, self.text, self.analyzer)
@@ -389,6 +390,39 @@ class MatchPhrase(Query):
             if self.tokens_col is not None
             else analyze(resolve(self.field), self.analyzer)
         )
+        if self.slop:
+            # Sloppy phrase (ES match_phrase slop): the terms may sit up to
+            # `slop` positions apart, in order. Supported for TWO-term
+            # phrases, where Lucene's position-edit semantics reduce
+            # cleanly to 0 < pos(t2) − pos(t1) ≤ slop + 1 for SOME
+            # occurrence pair — two position projections + a nested exists,
+            # all scan-local HOFs. Longer sloppy phrases would need
+            # Lucene's full position-lattice machinery; raise rather than
+            # approximate silently.
+            if len(phrase) != 2:
+                raise ValueError(
+                    f"match_phrase slop supports exactly 2 analyzed terms, "
+                    f"got {len(phrase)}: {phrase!r}"
+                )
+            t1, t2 = phrase
+
+            def positions(term: str) -> Column:
+                return F.filter(
+                    F.transform(
+                        toks,
+                        lambda x, i: F.when(x == F.lit(term), i).otherwise(-1),
+                    ),
+                    lambda p: p >= 0,
+                )
+
+            p1, p2 = positions(t1), positions(t2)
+            bound = int(self.slop) + 1
+            return F.exists(
+                p1,
+                lambda i: F.exists(
+                    p2, lambda j: (j > i) & (j - i <= F.lit(bound))
+                ),
+            )
         nul = "\x00"
         hay = F.concat(
             F.lit(nul), F.array_join(toks, nul), F.lit(nul)
@@ -1419,7 +1453,16 @@ def from_es_json(
             return auto_nest(field, lambda f: Wildcard(f, pattern), scope)
         if kind == "match_phrase":
             (field, spec), = body.items()
-            text = spec["query"] if isinstance(spec, dict) else spec
+            if isinstance(spec, dict):
+                extra = set(spec) - {"query", "slop"}
+                if extra:
+                    raise ValueError(
+                        f"unsupported match_phrase options: {extra}"
+                    )
+                text = spec["query"]
+                slop = int(spec.get("slop", 0))
+            else:
+                text, slop = spec, 0
             analyzer = analyzers.get(field)
             if analyzer is None:
                 raise ValueError(
@@ -1431,7 +1474,7 @@ def from_es_json(
                 field,
                 lambda f: MatchPhrase(
                     f, text, analyzer=analyzer,
-                    tokens_col=tokens_cols.get(field),
+                    tokens_col=tokens_cols.get(field), slop=slop,
                 ),
                 scope,
             )

@@ -115,6 +115,7 @@ HEADLINE = [
     "es_aggs_significant_text",
     "es_aggs_date_range_weighted",
     "search_more_like_this",
+    "search_hybrid_rrf",
     "line_dedup",
     "multimodal_decode",
     "image_near_dups",

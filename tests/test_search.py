@@ -886,3 +886,27 @@ def test_match_phrase_slop_two_terms(spark):
     )
     assert parsed == MatchPhrase("text", "alpha beta", analyzer="standard",
                                  slop=2)
+
+
+def test_rrf_fuse_combines_ranks_without_scores(spark):
+    from tweets_elastic_spark.plans.search import rrf_fuse
+
+    # wildly different score scales: fusion must depend on RANKS only
+    lex = spark.createDataFrame(
+        [(1, 95.2), (2, 40.1), (3, 12.0)], "doc_id long, score double"
+    )
+    vec = spark.createDataFrame(
+        [(2, 0.99), (4, 0.98), (1, 0.20)], "doc_id long, score double"
+    )
+    out = rrf_fuse([lex, vec], k=10, rank_constant=60).collect()
+    got = {r["doc_id"]: (r["score"], r["n_legs"]) for r in out}
+    def rrf(*ranks): return round(sum(1.0 / (60 + r) for r in ranks), 6)
+    # doc1: rank1 lex + rank3 vec; doc2: rank2 lex + rank1 vec
+    assert got[1] == (rrf(1, 3), 2)
+    assert got[2] == (rrf(2, 1), 2)
+    assert got[3] == (rrf(3), 1)
+    assert got[4] == (rrf(2), 1)
+    # doc2 wins: two strong ranks beat one top rank
+    assert max(got, key=lambda d: got[d][0]) == 2
+    with pytest.raises(ValueError, match="at least one leg"):
+        rrf_fuse([])

@@ -1606,3 +1606,50 @@ def more_like_this(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    rank_constant: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (ES 8's ``rank: {rrf: ...}`` — the hybrid
+    lexical+vector retrieval combiner): each leg is an ALREADY-TRUNCATED
+    ranked result (id, score); a document's fused score is
+    Σ_legs 1/(rank_constant + rank_in_leg), documents absent from a leg
+    contribute nothing — ES's contract, scoreless by design so wildly
+    different score scales (BM25 vs cosine) fuse without calibration.
+
+    Scale shape: each leg arrives as a top-N (TakeOrderedAndProject —
+    never pass an untruncated corpus-sized relation here); the rank
+    window then runs over leg-sized rows (the coordinator-side shape, as
+    with pipeline aggs), and the fusion is a union + one tiny groupBy.
+
+    Returns (id, score, n_legs) — fused score rounded at 6 dp, top-k by
+    (score desc, id asc)."""
+    from pyspark.sql.window import Window
+
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    fused = None
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    for leg in legs:
+        r = leg.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(rank_constant)) + F.row_number().over(w))
+            ).alias("_rrf"),
+        )
+        fused = r if fused is None else fused.unionByName(r)
+    return (
+        fused.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_rrf"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_legs"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -1594,3 +1594,86 @@ def q_search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_doc_freq=2, max_doc_freq_frac=0.25,
         minimum_should_match=0.3, k=10,
     )
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_TOKENS_CTE + f""",
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               avg(CAST(len(tokens) AS DOUBLE)) AS avgdl
+        FROM toks
+    ),
+    dfs AS (SELECT {_BM25_DF_SQL} FROM toks),
+    bm AS (
+        SELECT doc_id, round({_BM25_SCORE_SQL}, 6) AS s
+        FROM toks, stats s, dfs d
+        WHERE lang = 'en'
+          AND list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+    ),
+    bleg AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+        FROM bm ORDER BY s DESC, doc_id ASC LIMIT 30
+    ),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(
+                   embedding::DOUBLE[],
+                   (SELECT embedding FROM embeddings
+                    WHERE vec_id = 0)::DOUBLE[]), 6) AS s
+        FROM embeddings
+    ),
+    vleg AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+        FROM vec ORDER BY s DESC, doc_id ASC LIMIT 30
+    ),
+    u AS (
+        SELECT doc_id, 1.0 / (60 + r) AS c FROM bleg
+        UNION ALL
+        SELECT doc_id, 1.0 / (60 + r) AS c FROM vleg
+    )
+    SELECT doc_id, round(sum(c), 6) AS score,
+           CAST(count(*) AS INT) AS n_legs
+    FROM u GROUP BY 1
+    ORDER BY round(sum(c), 6) DESC, doc_id ASC
+    LIMIT 15
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion (ES 8's rank/rrf): "
+        "a BM25 lexical leg (top-30 for 'spark merge') and an exact-"
+        "cosine vector leg (top-30 to the vec_id-0 embedding) fused as "
+        "sum of 1/(60+rank) — scoreless by design, so BM25 and cosine "
+        "scales combine without calibration; docs absent from a leg "
+        "contribute nothing. Each leg truncates via TakeOrderedAndProject "
+        "BEFORE the rank window, so the fusion runs on leg-sized "
+        "relations — the coordinator-side shape.",
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.operators.similarity import cosine_topk
+    from tweets_elastic_spark.plans.search import (
+        BM25Match, bm25_stats, rrf_fuse,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = materialize_tokens(docs, {"text": ["custom_shingles"]})
+    qtokens = analyze_text(spark, "spark merge", "custom_shingles")
+    stats = bm25_stats(docs, "text__custom_shingles", qtokens)
+    match = BM25Match(
+        "text", "spark merge", analyzer="custom_shingles",
+        tokens_col="text__custom_shingles", stats=stats,
+    )
+    query = FunctionScore(
+        Bool(should=[(match, 1.0)], filter=[Term("lang", "en"), match])
+    )
+    bm25_leg = (
+        search(docs, query, k=None)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    vec_leg = cosine_topk(emb, qvec, k=30).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse([bm25_leg, vec_leg], k=15, rank_constant=60)

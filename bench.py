@@ -116,6 +116,7 @@ HEADLINE = [
     "es_aggs_date_range_weighted",
     "search_more_like_this",
     "search_hybrid_rrf",
+    "es_request_knn",
     "line_dedup",
     "multimodal_decode",
     "image_near_dups",

@@ -1057,3 +1057,28 @@ def test_script_fields_computed_per_hit(spark, sales):
             "query": {"match_all": {}}, "sort": [{"id": "asc"}],
             "script_fields": {"x": {"script": {"source": "_score"}}},
         }).collect()
+
+
+def test_knn_request_prefilter_and_guards(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = es_request(emb, {
+        "knn": {"field": "embedding", "query_vector": [1.0, 0, 0, 0],
+                "k": 2, "filter": {"range": {"vec_id": {"gte": 1}}}},
+    }, tiebreak="vec_id").collect()
+    # vec 0 (the exact match) is excluded by the PRE-filter
+    assert [r["vec_id"] for r in out] == [1, 2]
+    with pytest.raises(ValueError, match="tiebreak"):
+        es_request(emb, {"knn": {"field": "embedding",
+                                 "query_vector": [1.0, 0, 0, 0]}})
+    with pytest.raises(ValueError, match="rrf_fuse"):
+        es_request(emb, {
+            "query": {"match_all": {}},
+            "knn": {"field": "embedding", "query_vector": [1.0, 0, 0, 0]},
+        }, tiebreak="vec_id")
+    with pytest.raises(ValueError, match="unsupported knn keys"):
+        es_request(emb, {"knn": {"field": "embedding",
+                                 "query_vector": [1.0], "boost": 2}},
+                   tiebreak="vec_id")

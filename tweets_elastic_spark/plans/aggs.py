@@ -910,6 +910,49 @@ def es_request(
         )
     else:
         tree = None
+    knn = body.get("knn")
+    if knn is not None:
+        # ES 8 knn search: top-k by vector similarity with an optional
+        # PRE-filter. ES runs HNSW with `num_candidates` per shard; this
+        # engine evaluates the similarity EXACTLY over the (filtered) scan
+        # — the documented strictly-more-accurate divergence, same as
+        # cardinality/percentiles; the *_indexed ANN entries are the
+        # demonstrated approximate scale path (stored LSH/IVF/PQ
+        # structures). `num_candidates` is accepted for request parity and
+        # noted as satisfied trivially (exact evaluation considers all).
+        extra = set(knn) - {"field", "query_vector", "k", "num_candidates",
+                            "filter"}
+        if extra:
+            raise ValueError(f"unsupported knn keys: {sorted(extra)}")
+        if tree is not None or aggs is not None:
+            raise ValueError(
+                "knn combines with neither 'query' nor 'aggs' here — "
+                "fuse retrievers explicitly with plans.search.rrf_fuse"
+            )
+        if tiebreak is None:
+            raise ValueError("knn needs a tiebreak id column for "
+                             "deterministic top-k")
+        from tweets_elastic_spark.functions.vectors import cosine, lit_vector
+
+        scan = df
+        flt = knn.get("filter")
+        if flt is not None:
+            ftree = from_es_json(
+                flt, analyzers=analyzers, tokens_cols=tokens_cols,
+                nested_paths=nested_paths,
+            )
+            scan = scan.filter(ftree.predicate(df.sparkSession, F.col))
+        qv = [float(x) for x in knn["query_vector"]]
+        sim = cosine(F.col(knn["field"]), lit_vector(qv))
+        out = (
+            scan.withColumn("score", F.round(sim, 6))
+            .orderBy(F.col("score").desc(), F.col(tiebreak).asc())
+            .limit(int(knn.get("k", 10)))
+        )
+        source = body.get("_source")
+        if source is not None:
+            out = out.select(*source)
+        return out
     if aggs is not None:
         pred = None if tree is None else tree.predicate(df.sparkSession, F.col)
         if len(aggs) == 1:

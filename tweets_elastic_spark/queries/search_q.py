@@ -1677,3 +1677,45 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "doc_id"
     )
     return rrf_fuse([bm25_leg, vec_leg], k=15, rank_constant=60)
+
+
+@register(
+    "es_request_knn",
+    oracle="""
+    SELECT vec_id,
+           round(list_cosine_similarity(
+               embedding::DOUBLE[],
+               (SELECT embedding FROM embeddings
+                WHERE vec_id = 3)::DOUBLE[]), 6) AS score
+    FROM embeddings
+    WHERE vec_id >= 100
+    ORDER BY round(list_cosine_similarity(
+        embedding::DOUBLE[],
+        (SELECT embedding FROM embeddings
+         WHERE vec_id = 3)::DOUBLE[]), 6) DESC,
+        vec_id ASC
+    LIMIT 12
+    """,
+    doc="ES 8 knn request clause: vector top-k with a PRE-filter (range "
+        "on the id) inside the search envelope. Similarity evaluates "
+        "EXACTLY over the filtered scan (the documented strictly-more-"
+        "accurate divergence from HNSW; the *_indexed ANN entries are "
+        "the approximate scale path). One scan ending in "
+        "TakeOrderedAndProject.",
+)
+def q_es_request_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 3").head()["embedding"]]
+    request = {
+        "knn": {
+            "field": "embedding",
+            "query_vector": qvec,
+            "k": 12,
+            "num_candidates": 50,
+            "filter": {"range": {"vec_id": {"gte": 100}}},
+        },
+        "_source": ["vec_id", "score"],
+    }
+    return es_request(emb, request, tiebreak="vec_id")

@@ -75,7 +75,11 @@ DRIVER_PRIORITY: list[str] = [
     # giving the ES-aggregations family its first driver row while BM25
     # keeps search_bm25 and the written-index read-back keeps
     # ann_lsh_topk_indexed)
-    "search_function_score", "search_from_json_dsl", "search_bm25",
+    # (r6 second half: search_function_score -> search_hybrid_rrf — the
+    # builder form shares an IDENTICAL oracle with search_from_json_dsl,
+    # which keeps the prefix slot for that query shape, so the freed row
+    # gives hybrid lexical+vector retrieval (RRF fusion) driver coverage)
+    "search_hybrid_rrf", "search_from_json_dsl", "search_bm25",
     "lm_perplexity_filter", "es_aggs_date_histogram",
     # analyzers
     "analyze_shingles", "analyze_ngram",

@@ -1082,3 +1082,40 @@ def test_knn_request_prefilter_and_guards(spark):
         es_request(emb, {"knn": {"field": "embedding",
                                  "query_vector": [1.0], "boost": 2}},
                    tiebreak="vec_id")
+
+
+def test_min_doc_count_zero_fills_empty_buckets(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, 0.0, datetime(2024, 1, 1)), (2, 0.5, datetime(2024, 1, 1)),
+         (3, 3.2, datetime(2024, 1, 4))],
+        "id long, v double, ts timestamp",
+    )
+    out = es_aggregate(df, {"h": {"histogram": {
+        "field": "v", "interval": 1.0, "min_doc_count": 0}}})
+    rows = sorted((r["h"], r["doc_count"]) for r in out.collect())
+    assert rows == [(0.0, 2), (1.0, 0), (2.0, 0), (3.0, 1)]
+
+    out2 = es_aggregate(df, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "min_doc_count": 0,
+        "extended_bounds": {"min": "2023-12-30", "max": "2024-01-05"}}}})
+    rows2 = sorted((r["d"], r["doc_count"]) for r in out2.collect())
+    assert len(rows2) == 7
+    assert rows2[0] == ("2023-12-30", 0) and rows2[-1] == ("2024-01-05", 0)
+    assert ("2024-01-02", 0) in rows2 and ("2024-01-01", 2) in rows2
+
+    # the point of gap filling: derivative sees the empty buckets
+    out3 = es_aggregate(df, {"h": {
+        "histogram": {"field": "v", "interval": 1.0, "min_doc_count": 0},
+        "aggs": {"delta": {"derivative": {"buckets_path": "_count"}}}}})
+    rows3 = {r["h"]: r["delta"] for r in out3.collect()}
+    assert rows3 == {0.0: None, 1.0: -2, 2.0: 0, 3.0: 1}
+
+    with pytest.raises(ValueError, match="histogram-family"):
+        es_aggregate(df, {"t": {"terms": {"field": "id",
+                                          "min_doc_count": 0}}})
+    with pytest.raises(ValueError, match="'day'"):
+        es_aggregate(df, {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month",
+            "min_doc_count": 0}}})

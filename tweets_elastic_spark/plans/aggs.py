@@ -469,6 +469,66 @@ def _significant_text(
     return _jlh_rank(g, name, size)
 
 
+def _fill_empty_buckets(
+    out: DataFrame, name: str, kind: str, body: dict
+) -> DataFrame:
+    """Materialize the full bucket grid for ``min_doc_count: 0``:
+    numeric ``histogram`` (fixed width — the grid walks bucket INDICES so
+    double stepping can't drift) and calendar-day ``date_histogram``.
+    ``extended_bounds`` {min, max} widens the observed range, ES's
+    contract (bounds are clamped onto the bucket lattice)."""
+    eb = body.get("extended_bounds") or {}
+    if kind == "histogram":
+        width = float(body["interval"])
+        bounds = out.agg(
+            F.min(name).alias("_lo"), F.max(name).alias("_hi")
+        )
+        lo = F.col("_lo")
+        hi = F.col("_hi")
+        if "min" in eb:
+            lo = F.least(lo, F.lit(float(eb["min"])))
+        if "max" in eb:
+            hi = F.greatest(hi, F.lit(float(eb["max"])))
+        grid = bounds.select(
+            F.explode(
+                F.sequence(
+                    F.floor(lo / width).cast("long"),
+                    F.floor(hi / width).cast("long"),
+                )
+            ).alias("_i")
+        ).select((F.col("_i") * F.lit(width)).cast("double").alias(name))
+    elif kind == "date_histogram":
+        interval = body.get("calendar_interval", body.get("interval"))
+        if interval != "day":
+            raise ValueError(
+                "min_doc_count=0 bucket filling supports the 'day' "
+                f"calendar_interval, got {interval!r}"
+            )
+        bounds = out.agg(
+            F.min(name).alias("_lo"), F.max(name).alias("_hi")
+        )
+        lo = F.to_date("_lo")
+        hi = F.to_date("_hi")
+        if "min" in eb:
+            lo = F.least(lo, F.to_date(F.lit(str(eb["min"]))))
+        if "max" in eb:
+            hi = F.greatest(hi, F.to_date(F.lit(str(eb["max"]))))
+        grid = bounds.select(
+            F.explode(
+                F.sequence(lo, hi, F.expr("interval 1 day"))
+            ).alias("_d")
+        ).select(F.date_format("_d", "yyyy-MM-dd").alias(name))
+    else:
+        raise ValueError(
+            "min_doc_count=0 bucket filling needs a histogram-family "
+            f"bucket, got {kind!r}"
+        )
+    return (
+        grid.join(out, name, "left")
+        .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+    )
+
+
 def _apply_pipeline_aggs(
     out: DataFrame, bucket_name: str, kind: str, pipes: dict
 ) -> DataFrame:
@@ -832,7 +892,21 @@ def es_aggregate(
         )
     leaf_body = sub_body if nested_bucket else body
     mdc = leaf_body.get("min_doc_count")
-    if mdc is not None:
+    if mdc is not None and int(mdc) == 0:
+        # ES empty-bucket generation: min_doc_count=0 materializes every
+        # bucket in the histogram's range (extended_bounds widens it) with
+        # doc_count 0 and NULL metrics — what makes derivative/moving_fn
+        # windows correct over gappy data. The grid is generated from the
+        # 1-row bounds aggregate (broadcast cross join + sequence explode:
+        # bucket-cardinality work, never corpus work) and left-joins the
+        # real buckets.
+        if nested_bucket:
+            raise ValueError(
+                "min_doc_count=0 under a nested bucket is ambiguous in "
+                "the flattened relation"
+            )
+        out = _fill_empty_buckets(out, name, kind, leaf_body)
+    elif mdc is not None:
         out = out.filter(F.col("doc_count") >= int(mdc))
     if pipes:
         if nested_bucket:

@@ -548,3 +548,64 @@ def test_compaction_merges_segments_without_reanalysis(spark, tmp_path):
     # a FRESH watermark store resumes from the compacted sidecar seeds
     store2 = WatermarkStore(str(tmp_path / "wm2.json"))
     assert indexing.index_increment(spark, src_full, idx, store2) == 0
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Simulated crashes in both windows of the compaction protocol:
+    before the READY marker (partial tmp trees are discarded, live index
+    untouched) and mid-swap after the marker (the re-run FINISHES the
+    swap, including the sidecar watermark seeds)."""
+    import json as _json
+    import shutil
+
+    from tweets_elastic_spark.sources.incremental import WatermarkStore
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    src = str(tmp_path / "src")
+    docs.write.parquet(os.path.join(src, "documents.parquet"))
+    emb.write.parquet(os.path.join(src, "embeddings.parquet"))
+    src_half = str(tmp_path / "src_half")
+    docs.filter("doc_id <= 250").write.parquet(
+        os.path.join(src_half, "documents.parquet"))
+    emb.filter("vec_id <= 250").write.parquet(
+        os.path.join(src_half, "embeddings.parquet"))
+
+    idx = indexing.build_index(spark, src_half, str(tmp_path / "idx"))
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    indexing.index_increment(spark, src, idx, store)
+
+    # crash window 1: a stray partial __compacting dir, no marker
+    junk = os.path.join(idx, "corpus_stats__compacting")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "partial"), "w") as f:
+        f.write("incomplete")
+    assert indexing.compact_index_segments(spark, idx) == 2  # merged fine
+    assert not os.path.exists(junk)
+
+    # rebuild a 2-segment index for crash window 2
+    idx2 = indexing.build_index(spark, src_half, str(tmp_path / "idx2"))
+    store2 = WatermarkStore(str(tmp_path / "wm2.json"))
+    indexing.index_increment(spark, src, idx2, store2)
+    # run compaction, then REWIND to a mid-swap state: restore one live
+    # tree's pre-swap content into __compacting, delete the live tree,
+    # and recreate the marker — exactly what a kill between rename calls
+    # leaves behind
+    meta_before = indexing.read_index_meta(idx2)
+    assert indexing.compact_index_segments(spark, idx2) == 2
+    live = os.path.join(idx2, "corpus_stats")
+    dst = live + "__compacting"
+    shutil.move(live, dst)
+    with open(os.path.join(idx2, "_COMPACTION_READY"), "w") as f:
+        _json.dump({"trees": ["corpus_stats"],
+                    "meta": indexing.read_index_meta(idx2)}, f)
+    # the index is now broken (live tree missing) — entry recovery heals it
+    assert indexing.compact_index_segments(spark, idx2) == 1
+    assert os.path.isdir(live) and not os.path.exists(dst)
+    assert not os.path.exists(os.path.join(idx2, "_COMPACTION_READY"))
+    # watermark seeds advanced past the merged stream (no re-indexing)
+    store3 = WatermarkStore(str(tmp_path / "wm3.json"))
+    assert indexing.index_increment(spark, src, idx2, store3) == 0
+    assert indexing.read_index_meta(idx2)["base_max_doc_id"] >= \
+        meta_before["base_max_doc_id"]

@@ -858,8 +858,9 @@ def test_match_phrase_slop_two_terms(spark):
         [(1, "alpha beta"),              # adjacent
          (2, "alpha gap beta"),          # 1 apart
          (3, "alpha x y beta"),          # 2 apart
-         (4, "beta then alpha"),         # wrong order
-         (5, "alpha alone")],
+         (4, "beta then alpha"),         # transposed with a gap (cost 3)
+         (5, "alpha alone"),
+         (6, "beta alpha")],             # adjacent transposition (cost 2)
         "id long, text string",
     )
 
@@ -869,7 +870,12 @@ def test_match_phrase_slop_two_terms(spark):
 
     assert hits(0) == {1}          # slop=0 keeps exact-adjacency semantics
     assert hits(1) == {1, 2}
-    assert hits(2) == {1, 2, 3}    # order still required: 4 never matches
+    # slop=2 admits one more gap AND the adjacent transposition (Lucene:
+    # moving a term past its neighbour costs 2 position edits); the
+    # gapped transposition costs 3
+    assert hits(2) == {1, 2, 3, 6}
+    assert hits(3) == {1, 2, 3, 4, 6}
+    assert 6 not in hits(1)        # transposition needs slop >= 2
     # repeated occurrences: any pair within range matches
     df2 = spark.createDataFrame(
         [(1, "beta filler alpha filler beta")], "id long, text string"
@@ -910,3 +916,21 @@ def test_rrf_fuse_combines_ranks_without_scores(spark):
     assert max(got, key=lambda d: got[d][0]) == 2
     with pytest.raises(ValueError, match="at least one leg"):
         rrf_fuse([])
+
+
+def test_regexp_lucene_literal_anchors(spark):
+    from tweets_elastic_spark.plans.search import Regexp
+
+    df = spark.createDataFrame(
+        [(1, "a^b"), (2, "ab"), (3, "c$"), (4, "c"), (5, "xy")],
+        "id long, source string",
+    )
+    # Lucene regexps have no anchors: ^ and $ are literal characters
+    assert {r["id"] for r in
+            search(df, Regexp("source", "a^b"), k=None).collect()} == {1}
+    assert {r["id"] for r in
+            search(df, Regexp("source", "c$"), k=None).collect()} == {3}
+    # ...but ^ right after [ is still class negation in both dialects
+    got = {r["id"] for r in
+           search(df, Regexp("source", "[^a]y"), k=None).collect()}
+    assert got == {5}

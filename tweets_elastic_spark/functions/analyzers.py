@@ -289,3 +289,17 @@ def materialize_tokens(df: DataFrame, spec: dict[str, list[str]]) -> DataFrame:
         for an in analyzers:
             df = df.withColumn(f"{col_name}__{an}", analyze(col_name, an))
     return df
+
+
+def lower_alnum_tokens(c: Column) -> Column:
+    """The lowercase-alnum pre-tokenization the training-pipeline
+    operators share (DSIR features, BPE word counts, chunking, UniMax
+    token counts): split lower(text) on ``[^a-z0-9]+``, drop empties.
+    ONE definition so the operators can never silently disagree; the
+    DuckDB oracle mirror is
+    ``list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '')``. (The ``standard`` analyzer differs: it keeps
+    apostrophes.)"""
+    return F.filter(
+        F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )

@@ -630,16 +630,45 @@ def compact_index_segments(spark: SparkSession, index_dir: str) -> int:
     corpus stats are the per-segment sums — vocabulary-sized inputs, never
     a corpus re-scan beyond the columnar rewrite itself.
 
-    Crash safety: every merged tree lands under ``<name>__compacting``
-    first; the old trees are swapped out only after every new tree is
-    fully written (the sinks' atomic-dir-swap pattern). A crash before
-    the swap leaves the live index untouched; a crash mid-swap is
-    recoverable by re-running (the rewrite is deterministic). The
+    Crash safety, a real protocol rather than a hope: every merged tree
+    lands under ``<name>__compacting`` first; when ALL trees are fully
+    written, a ``_COMPACTION_READY`` marker (listing the trees + the new
+    sidecar content) is written; only then do the swaps run, and the
+    marker is removed after the sidecar lands. Recovery on entry:
+    marker present → every ``__compacting`` tree is complete, so FINISH
+    the interrupted swaps and sidecar write; marker absent → any
+    ``__compacting`` leftovers are incomplete writes from a crash before
+    the marker and are deleted. A crash can therefore never leave a
+    missing live tree or a stale watermark seed past a re-run. The
     sidecar's watermark seeds are recomputed from the merged data so a
     fresh WatermarkStore resumes from the right place.
 
     Returns the number of segments merged (1 = already compact, no-op)."""
     import shutil
+
+    marker_path = os.path.join(index_dir, "_COMPACTION_READY")
+
+    def finish_swaps(tree_names: list[str], meta: dict) -> None:
+        for name in tree_names:
+            live = os.path.join(index_dir, name)
+            dst = os.path.join(index_dir, name + "__compacting")
+            if os.path.isdir(dst):
+                shutil.rmtree(live, ignore_errors=True)
+                os.rename(dst, live)
+        with open(os.path.join(index_dir, "index_meta.json"), "w") as f:
+            json.dump(meta, f)
+        os.remove(marker_path)
+
+    if os.path.exists(marker_path):
+        # interrupted AFTER all tmp trees were complete: finish the swap
+        with open(marker_path) as f:
+            marker = json.load(f)
+        finish_swaps(marker["trees"], marker["meta"])
+    else:
+        for d in os.listdir(index_dir):
+            if d.endswith("__compacting"):
+                # crash BEFORE the marker: the tmp tree may be partial
+                shutil.rmtree(os.path.join(index_dir, d))
 
     seg_parent = os.path.join(index_dir, "documents_indexed")
     segments = [d for d in os.listdir(seg_parent) if d.startswith("segment=")]
@@ -686,10 +715,7 @@ def compact_index_segments(spark: SparkSession, index_dir: str) -> int:
             )
         tmp[name] = dst
 
-    for name, dst in tmp.items():
-        live = os.path.join(index_dir, name)
-        shutil.rmtree(live)
-        os.rename(dst, live)
-    with open(os.path.join(index_dir, "index_meta.json"), "w") as f:
-        json.dump(new_meta, f)
+    with open(marker_path, "w") as f:
+        json.dump({"trees": sorted(tmp), "meta": new_meta}, f)
+    finish_swaps(sorted(tmp), new_meta)
     return len(segments)

@@ -46,13 +46,10 @@ def word_freqs(
     """(word, freq) over the lowercase alnum pre-tokenization — the
     aggregated relation BPE trains on. One shuffle; map-side combine does
     the heavy lifting (output is vocabulary-sized, Zipf-bounded)."""
+    from tweets_elastic_spark.functions.analyzers import lower_alnum_tokens
+
     toks = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                lambda x: x != F.lit(""),
-            )
-        ).alias("word")
+        F.explode(lower_alnum_tokens(F.col(text_col))).alias("word")
     )
     return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 

@@ -385,12 +385,12 @@ def chunk_documents(
             f"need 0 <= overlap < max_tokens, got overlap={overlap}, "
             f"max_tokens={max_tokens}"
         )
+    from tweets_elastic_spark.functions.analyzers import lower_alnum_tokens
+
     stride = max_tokens - overlap
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-        lambda x: x != F.lit(""),
+    base = docs.select(
+        F.col(id_col), lower_alnum_tokens(F.col(text_col)).alias("_t")
     )
-    base = docs.select(F.col(id_col), toks.alias("_t"))
     n = F.size("_t")
     # number of chunks: ceil(max(n - overlap, 1) / stride) — the last
     # window that still starts inside the doc

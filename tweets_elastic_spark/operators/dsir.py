@@ -52,9 +52,9 @@ _TWO60 = float(1 << HASH60_BITS)
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(
-        F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != F.lit("")
-    )
+    from tweets_elastic_spark.functions.analyzers import lower_alnum_tokens
+
+    return lower_alnum_tokens(text)
 
 
 def hashed_ngram_features(

@@ -167,15 +167,13 @@ def unimax_sample(
     Returns (id, lang, n_tok, epochs)."""
     from pyspark.sql.window import Window
 
+    from tweets_elastic_spark.functions.analyzers import lower_alnum_tokens
+
     toks = docs.select(
         F.col(id_col),
         F.col(lang_col),
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                lambda x: x != F.lit(""),
-            )
-        ).cast("long").alias("n_tok"),
+        F.size(lower_alnum_tokens(F.col(text_col)))
+        .cast("long").alias("n_tok"),
     ).filter(F.col(lang_col).isNotNull())
     totals = toks.groupBy(lang_col).agg(F.sum("n_tok").alias("n_tok"))
     alloc = unimax_allocation(

@@ -479,21 +479,33 @@ def _fill_empty_buckets(
     contract (bounds are clamped onto the bucket lattice)."""
     eb = body.get("extended_bounds") or {}
     if kind == "histogram":
+        import math
+
         width = float(body["interval"])
         bounds = out.agg(
             F.min(name).alias("_lo"), F.max(name).alias("_hi")
         )
         lo = F.col("_lo")
         hi = F.col("_hi")
+        # extended_bounds carries RAW values — snap them onto the bucket
+        # lattice at build time (floor, like _bucket_key does for data)
+        # so the column side only ever holds exact lattice keys
         if "min" in eb:
-            lo = F.least(lo, F.lit(float(eb["min"])))
+            lo = F.least(
+                lo, F.lit(math.floor(float(eb["min"]) / width) * width)
+            )
         if "max" in eb:
-            hi = F.greatest(hi, F.lit(float(eb["max"])))
+            hi = F.greatest(
+                hi, F.lit(math.floor(float(eb["max"]) / width) * width)
+            )
+        # bucket KEYS are exactly i·width, but key/width is not exactly i
+        # in floating point (e.g. 4.2/0.7 = 5.999…), so floor() would drop
+        # the edge bucket — round() recovers the index exactly
         grid = bounds.select(
             F.explode(
                 F.sequence(
-                    F.floor(lo / width).cast("long"),
-                    F.floor(hi / width).cast("long"),
+                    F.round(lo / width, 0).cast("long"),
+                    F.round(hi / width, 0).cast("long"),
                 )
             ).alias("_i")
         ).select((F.col("_i") * F.lit(width)).cast("double").alias(name))
@@ -908,17 +920,15 @@ def es_aggregate(
         out = _fill_empty_buckets(out, name, kind, leaf_body)
     elif mdc is not None:
         out = out.filter(F.col("doc_count") >= int(mdc))
-    if pipes:
-        if nested_bucket:
-            raise ValueError(
-                "pipeline aggs with a nested bucket agg are unsupported"
-            )
-        out = _apply_pipeline_aggs(out, name, kind, pipes)
     if size is not None:
         # ES terms-agg truncation: top-N buckets, default doc_count desc /
         # key asc; ``"order": {target: dir}`` overrides with ``_count``,
         # ``_key``, or a sibling metric name (ES's bucket-order contract).
         # With a nested level the bucket count is the SUM over its leaves.
+        # Truncation runs BEFORE pipeline aggs: ES evaluates pipelines
+        # over the RESPONSE buckets (the top-N), so a bucket_selector may
+        # shrink the page below N but never backfills from lower-ranked
+        # buckets, and a bucket_sort's order/size is final.
         order_body = body.get("order")
         if order_body is not None:
             if nested_bucket:
@@ -952,6 +962,12 @@ def es_aggregate(
             out = out.orderBy(
                 F.col("doc_count").desc(), F.col(name).asc()
             ).limit(int(size))
+    if pipes:
+        if nested_bucket:
+            raise ValueError(
+                "pipeline aggs with a nested bucket agg are unsupported"
+            )
+        out = _apply_pipeline_aggs(out, name, kind, pipes)
     return out
 
 
@@ -1002,6 +1018,18 @@ def es_request(
             raise ValueError(
                 "knn combines with neither 'query' nor 'aggs' here — "
                 "fuse retrievers explicitly with plans.search.rrf_fuse"
+            )
+        # the knn branch returns before the hits-envelope tail: reject
+        # envelope features it would otherwise silently drop
+        unsupported = set(body) & {
+            "sort", "collapse", "search_after", "from", "rescore",
+            "highlight", "script_fields", "size",
+        }
+        if unsupported:
+            raise ValueError(
+                f"knn does not support {sorted(unsupported)} in this "
+                "engine (k inside the knn body is the result size); "
+                "post-process the returned DataFrame instead"
             )
         if tiebreak is None:
             raise ValueError("knn needs a tiebreak id column for "

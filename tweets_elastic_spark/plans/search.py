@@ -237,22 +237,47 @@ class Regexp(Query):
     field: str
     pattern: str
 
-    def predicate(self, spark, resolve) -> Column:
+    def _translate(self) -> str:
+        """Validate against Lucene's optional operators and translate the
+        core syntax to Java/RE2 regex: ``^`` and ``$`` are LITERALS in
+        Lucene (its match is always whole-term), so they are escaped —
+        except ``^`` directly after ``[``, which both dialects read as
+        class negation."""
+        out = []
         i, n = 0, len(self.pattern)
+        in_class = False
         while i < n:
             c = self.pattern[i]
             if c == "\\":
+                out.append(self.pattern[i:i + 2])
                 i += 2
                 continue
-            if c in "~&@<>":
+            if not in_class and c in "~&@<>":
                 raise ValueError(
                     f"regexp pattern {self.pattern!r} uses Lucene optional "
                     f"operator {c!r} (negation/intersection/interval/"
                     "any-string), which has no portable regex equivalent; "
                     "rewrite with core operators"
                 )
+            if c == "[":
+                in_class = True
+                out.append(c)
+            elif c == "]" and in_class:
+                in_class = False
+                out.append(c)
+            elif c == "^" and not (
+                in_class and out and out[-1] == "["
+            ):
+                out.append("\\^")
+            elif c == "$":
+                out.append("\\$")
+            else:
+                out.append(c)
             i += 1
-        return resolve(self.field).rlike("^(?:" + self.pattern + ")$")
+        return "".join(out)
+
+    def predicate(self, spark, resolve) -> Column:
+        return resolve(self.field).rlike("^(?:" + self._translate() + ")$")
 
 
 @dataclass
@@ -391,13 +416,15 @@ class MatchPhrase(Query):
             else analyze(resolve(self.field), self.analyzer)
         )
         if self.slop:
-            # Sloppy phrase (ES match_phrase slop): the terms may sit up to
-            # `slop` positions apart, in order. Supported for TWO-term
-            # phrases, where Lucene's position-edit semantics reduce
-            # cleanly to 0 < pos(t2) − pos(t1) ≤ slop + 1 for SOME
-            # occurrence pair — two position projections + a nested exists,
-            # all scan-local HOFs. Longer sloppy phrases would need
-            # Lucene's full position-lattice machinery; raise rather than
+            # Sloppy phrase (ES match_phrase slop): the terms may sit up
+            # to `slop` total position-moves apart. Supported for TWO-term
+            # phrases, where Lucene's edit semantics reduce exactly to:
+            # in order, pos(t2) − pos(t1) − 1 ≤ slop; TRANSPOSED (t2
+            # before t1, which Lucene matches from slop ≥ 2 — moving t2
+            # past t1 costs the gap plus one), pos(t1) − pos(t2) + 1 ≤
+            # slop. Two position projections + a nested exists, all
+            # scan-local HOFs. Longer sloppy phrases would need Lucene's
+            # full position-lattice machinery; raise rather than
             # approximate silently.
             if len(phrase) != 2:
                 raise ValueError(
@@ -416,11 +443,13 @@ class MatchPhrase(Query):
                 )
 
             p1, p2 = positions(t1), positions(t2)
-            bound = int(self.slop) + 1
+            slop = int(self.slop)
             return F.exists(
                 p1,
                 lambda i: F.exists(
-                    p2, lambda j: (j > i) & (j - i <= F.lit(bound))
+                    p2,
+                    lambda j: ((j > i) & (j - i - 1 <= F.lit(slop)))
+                    | ((j < i) & (i - j + 1 <= F.lit(slop))),
                 ),
             )
         nul = "\x00"
@@ -1597,8 +1626,9 @@ def more_like_this(
         )
         .crossJoin(F.broadcast(n_sel))
         .filter(
+            # ES rounds a positive minimum_should_match percentage DOWN
             F.col("n_matched")
-            >= F.ceil(F.col("_k") * F.lit(float(minimum_should_match)))
+            >= F.floor(F.col("_k") * F.lit(float(minimum_should_match)))
         )
     )
     return (

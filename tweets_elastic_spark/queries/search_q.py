@@ -1572,7 +1572,7 @@ def q_es_aggs_date_range_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT doc_id, n_matched, score
     FROM m, kk
-    WHERE n_matched >= ceil(kk.k * 0.3)
+    WHERE n_matched >= floor(kk.k * 0.3)
     ORDER BY score DESC, doc_id ASC
     LIMIT 10
     """,

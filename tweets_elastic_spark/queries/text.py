@@ -324,12 +324,9 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     merges = bpe_train(docs, num_merges=80)
     out = bpe_encode(docs, merges)
-    n_words = F.size(
-        F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-            lambda x: x != F.lit(""),
-        )
-    )
+    from tweets_elastic_spark.functions.analyzers import lower_alnum_tokens
+
+    n_words = F.size(lower_alnum_tokens(F.col("text")))
     return out.select(
         "doc_id",
         n_words.alias("n_words"),

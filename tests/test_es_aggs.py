@@ -1119,3 +1119,39 @@ def test_min_doc_count_zero_fills_empty_buckets(spark):
         es_aggregate(df, {"d": {"date_histogram": {
             "field": "ts", "calendar_interval": "month",
             "min_doc_count": 0}}})
+
+
+def test_terms_include_exclude(spark, sales):
+    got = {r["r"] for r in es_aggregate(sales, {
+        "r": {"terms": {"field": "region", "include": "e.|u."}}
+    }).collect()}
+    assert got == {"eu", "us"}
+    got2 = {r["r"] for r in es_aggregate(sales, {
+        "r": {"terms": {"field": "region", "include": ["eu", "us", "xx"],
+                        "exclude": "u."}}
+    }).collect()}
+    assert got2 == {"eu"}
+    # include runs BEFORE size: the top-1 among included, not globally
+    got3 = [r["r"] for r in es_aggregate(sales, {
+        "r": {"terms": {"field": "region", "exclude": "us", "size": 1}}
+    }).collect()]
+    assert got3 == ["eu"]
+
+
+def test_adjacency_matrix_counts_intersections(spark, sales):
+    out = es_aggregate(sales, {
+        "m": {"adjacency_matrix": {"filters": {
+            "big": {"range": {"amount": {"gte": 9}}},
+            "us": {"term": {"region": "us"}},
+            "ap": {"term": {"region": "ap"}},
+        }}}
+    })
+    got = {r["m"]: r["doc_count"] for r in out.collect()}
+    # amounts >= 9: ids 1(10),2(20),5(9),6(11),7(13) -> 5 docs; us: 4; ap: 1
+    assert got["big"] == 5 and got["us"] == 4 and got["ap"] == 1
+    assert got["big&us"] == 3          # us amounts 9, 11, 13
+    assert "big&ap" not in got         # empty intersection dropped
+    assert "us&ap" not in got
+    with pytest.raises(ValueError, match=">= 2"):
+        es_aggregate(sales, {"m": {"adjacency_matrix": {
+            "filters": {"only": {"term": {"region": "us"}}}}}})

@@ -302,6 +302,40 @@ def _filters_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
     return wide.unpivot([], list(named), name, "doc_count")
 
 
+def _adjacency_matrix_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """ES ``adjacency_matrix``: named predicate buckets plus every PAIR
+    intersection ("a&b" keys, ES's separator) — the co-occurrence matrix
+    shape. Like the filters agg, ONE conditional-aggregation scan builds
+    every cell (singles + pairs), stacked with the native unpivot; empty
+    intersections are dropped, ES's contract."""
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    named = body.get("filters")
+    if not isinstance(named, dict) or len(named) < 2:
+        raise ValueError(
+            "adjacency_matrix needs {'filters': {name: query, ...}} with "
+            ">= 2 entries"
+        )
+    spark = df.sparkSession
+    preds = {
+        b: from_es_json(q).predicate(spark, F.col) for b, q in named.items()
+    }
+    keys = list(named)
+    cells: dict[str, Column] = {b: preds[b] for b in keys}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            cells[f"{a}&{b}"] = preds[a] & preds[b]
+    counts = [
+        F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(label)
+        for label, p in cells.items()
+    ]
+    wide = df.agg(*counts)
+    return (
+        wide.unpivot([], list(cells), name, "doc_count")
+        .filter(F.col("doc_count") > 0)
+    )
+
+
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range")
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "moving_fn",
@@ -780,6 +814,10 @@ def es_aggregate(
         if sub:
             raise ValueError("filters agg does not support sub-aggs here")
         return _filters_agg(df, name, body)
+    if kind == "adjacency_matrix":
+        if sub:
+            raise ValueError("adjacency_matrix sub-aggs are not supported")
+        return _adjacency_matrix_agg(df, name, body)
     if kind == "composite":
         return _composite_agg(df, body, sub)
     if kind == "nested":
@@ -896,6 +934,30 @@ def es_aggregate(
         keyed.groupBy(*[k.alias(n) for k, n in keys])
         .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
     )
+    if kind == "terms" and (
+        "include" in body or "exclude" in body
+    ):
+        # ES terms include/exclude: whole-term Lucene regex or an exact
+        # value list, applied while collecting (before size). The regex
+        # goes through the Regexp node's Lucene-core translation, so
+        # optional operators are rejected and ^/$ stay literals.
+        from tweets_elastic_spark.plans.search import Regexp
+
+        if nested_bucket:
+            raise ValueError(
+                "terms include/exclude above a nested bucket is ambiguous "
+                "in the flattened relation"
+            )
+
+        def term_pred(spec) -> Column:
+            if isinstance(spec, list):
+                return F.col(name).isin(list(spec))
+            return Regexp(name, str(spec)).predicate(None, F.col)
+
+        if "include" in body:
+            out = out.filter(term_pred(body["include"]))
+        if "exclude" in body:
+            out = out.filter(~term_pred(body["exclude"]))
     if nested_bucket and body.get("min_doc_count") is not None:
         raise ValueError(
             "min_doc_count on a parent bucket above a nested bucket is "

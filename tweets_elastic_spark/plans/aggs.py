@@ -31,8 +31,11 @@ Supported surface:
 * ``significant_terms`` / ``significant_text`` (foreground-vs-background
   scoring over keyword values / analyzed tokens, ES's JLH heuristic,
   one conditional-aggregation scan; shared ``_jlh_rank`` tail).
-* ``filters``, ``missing``, ``global``, ``nested`` (array-of-structs
-  explode feeding the ordinary machinery).
+* ``filters``, ``adjacency_matrix`` (pair-intersection co-occurrence
+  cells), ``missing``, ``global``, ``nested`` (array-of-structs explode
+  feeding the ordinary machinery); ``terms`` ``include``/``exclude``
+  (whole-term Lucene regex or value list); ``min_doc_count: 0`` +
+  ``extended_bounds`` empty-bucket generation for histogram families.
 * pipeline aggs: ``cumulative_sum``, ``derivative``, ``moving_fn``
   (ordered, histogram-family parents), ``bucket_script`` /
   ``bucket_selector`` (Painless-subset ``params`` bindings),
@@ -46,9 +49,11 @@ Supported surface:
 
 The hits path (es_request) additionally supports ``collapse`` (field
 collapsing: best hit per group under the request sort — a window rank),
-``highlight`` (full-field tagging), ``search_after`` keyset pagination,
-``from`` offset pagination, and ``rescore`` (two-phase ranking over the
-top-window relation).
+``highlight`` (full-field tagging), ``script_fields`` (Painless-subset
+computed columns per page), ``search_after`` keyset pagination, ``from``
+offset pagination, ``rescore`` (two-phase ranking over the top-window
+relation), and the ES 8 ``knn`` clause (pre-filtered exact vector
+top-k; hybrid fusion via plans.search.rrf_fuse).
 
 Result shape: the flattened leaf-bucket relation — one row per innermost
 bucket combination, carrying every level's key column plus ``doc_count``

@@ -609,3 +609,88 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert indexing.index_increment(spark, src, idx2, store3) == 0
     assert indexing.read_index_meta(idx2)["base_max_doc_id"] >= \
         meta_before["base_max_doc_id"]
+
+
+def test_index_lifecycle_end_to_end(spark, tmp_path):
+    """The whole served-index story in one flow: ETL denormalizes the
+    star tables into documents -> base index build -> a query day (BM25 +
+    term suggest) -> batch increment -> STREAMING segment maintenance ->
+    compaction -> the same queries, with results identical to a
+    monolithic index over everything. Every stage is covered piecewise
+    elsewhere; this pins that the stages COMPOSE."""
+    import shutil
+
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.plans.search import BM25Match, search
+    from tweets_elastic_spark.sources.catalog import load_table
+    from tweets_elastic_spark.sources.incremental import WatermarkStore
+    from tweets_elastic_spark.streaming.indexing import (
+        run_streaming_index_maintenance, stream_documents,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+
+    def mk_src(path, dpred, epred):
+        docs.filter(dpred).write.parquet(os.path.join(path, "documents.parquet"))
+        emb.filter(epred).write.parquet(os.path.join(path, "embeddings.parquet"))
+        return path
+
+    src_full = mk_src(str(tmp_path / "s_full"), "true", "true")
+    src_a = mk_src(str(tmp_path / "s_a"), "doc_id <= 150", "vec_id <= 150")
+    src_b = mk_src(str(tmp_path / "s_b"), "doc_id <= 300", "vec_id <= 300")
+
+    idx = indexing.build_index(spark, src_a, str(tmp_path / "idx"))
+    idx_mono = indexing.build_index(spark, src_full, str(tmp_path / "mono"))
+
+    qtokens = analyze_text(spark, "spark merge", "custom_shingles")
+
+    def bm25(i):
+        d = indexing.read_indexed_documents(spark, i)
+        stats = indexing.bm25_stats_from_index(
+            spark, i, "text__custom_shingles", qtokens)
+        m = BM25Match("text", "spark merge", analyzer="custom_shingles",
+                      tokens_col="text__custom_shingles", stats=stats)
+        out = search(d, m, k=None).select(
+            "doc_id", F.round("score", 6).alias("s"))
+        return sorted((r["doc_id"], r["s"]) for r in out.collect())
+
+    assert bm25(idx)  # the young index already serves queries
+
+    # batch increment: docs 151..300
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    indexing.index_increment(spark, src_b, idx, store)
+
+    # the rest arrives as a STREAM of files
+    arrivals = str(tmp_path / "arrivals")
+    docs.filter("doc_id > 300").repartition(3).write.parquet(arrivals)
+    q = run_streaming_index_maintenance(
+        stream_documents(spark, arrivals), idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    # the two maintenance paths share one watermark contract: streaming
+    # owns the doc stream here, so the batch store must be advanced past
+    # what the stream indexed before a batch increment runs against the
+    # same source — otherwise it would re-index the streamed docs
+    store.set("index.doc_id", int(docs.agg(F.max("doc_id")).head()[0]))
+    # embeddings catch up through the batch path
+    indexing.index_increment(spark, src_full, idx, store)
+
+    seg_dir = os.path.join(idx, "documents_indexed")
+    n_segs = len([d for d in os.listdir(seg_dir) if d.startswith("segment=")])
+    assert n_segs >= 4  # base + increment + >=2 stream batches
+
+    # multi-segment index answers identically to the monolithic build
+    assert bm25(idx) == bm25(idx_mono)
+    sug = indexing.suggest_terms(spark, idx, "text__custom_shingles",
+                                 "sparc", max_edits=2, size=3).collect()
+    sug_mono = indexing.suggest_terms(spark, idx_mono, "text__custom_shingles",
+                                      "sparc", max_edits=2, size=3).collect()
+    assert [tuple(r) for r in sug] == [tuple(r) for r in sug_mono]
+
+    # compaction collapses the segments without changing a single answer
+    assert indexing.compact_index_segments(spark, idx) == n_segs
+    assert bm25(idx) == bm25(idx_mono)
+    assert [tuple(r) for r in indexing.suggest_terms(
+        spark, idx, "text__custom_shingles", "sparc",
+        max_edits=2, size=3).collect()] == [tuple(r) for r in sug_mono]

@@ -27,6 +27,7 @@ HEADLINE = [
     "denorm_order_lineitems",
     "tweet_documents_flat",
     "pricing_summary",
+    "pricing_rollup_cube",
     "snowflake_dim_join",
     "star_join_project",
     "self_join_pairs",

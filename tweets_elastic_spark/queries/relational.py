@@ -364,3 +364,42 @@ def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_match_all_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "pricing_rollup_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS flag,
+           coalesce(l_linestatus, '<all>') AS status,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="OLAP rollup: subtotals at every prefix level of (returnflag, "
+        "linestatus) plus the grand total, with grouping-id "
+        "disambiguation (NULL keys rendered '<all>' so a NULL data value "
+        "could never collide with a subtotal row). Spark expands rollup "
+        "into grouping sets evaluated in ONE pass with partial "
+        "aggregation — no per-level re-scan; the oracle is the identical "
+        "ANSI ROLLUP.",
+)
+def q_pricing_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("long").alias("qty"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "gid", "n", "qty",
+        )
+    )

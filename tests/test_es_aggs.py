@@ -1150,8 +1150,32 @@ def test_adjacency_matrix_counts_intersections(spark, sales):
     # amounts >= 9: ids 1(10),2(20),5(9),6(11),7(13) -> 5 docs; us: 4; ap: 1
     assert got["big"] == 5 and got["us"] == 4 and got["ap"] == 1
     assert got["big&us"] == 3          # us amounts 9, 11, 13
-    assert "big&ap" not in got         # empty intersection dropped
-    assert "us&ap" not in got
+    assert "ap&big" not in got         # empty intersection dropped
+    assert "ap&us" not in got
+    # pair keys are NORMALIZED by sorted filter name (ES's contract),
+    # independent of request order
+    out2 = es_aggregate(sales, {
+        "m": {"adjacency_matrix": {"filters": {
+            "us": {"term": {"region": "us"}},
+            "big": {"range": {"amount": {"gte": 9}}},
+        }, "separator": "|"}}
+    })
+    got2 = {r["m"]: r["doc_count"] for r in out2.collect()}
+    assert got2["big|us"] == 3 and "us|big" not in got2
     with pytest.raises(ValueError, match=">= 2"):
         es_aggregate(sales, {"m": {"adjacency_matrix": {
             "filters": {"only": {"term": {"region": "us"}}}}}})
+    with pytest.raises(ValueError, match="separator"):
+        es_aggregate(sales, {"m": {"adjacency_matrix": {"filters": {
+            "a&b": {"term": {"region": "us"}},
+            "c": {"term": {"region": "eu"}},
+        }}}})
+    with pytest.raises(ValueError, match="partitioned form"):
+        es_aggregate(sales, {"r": {"terms": {
+            "field": "region",
+            "include": {"partition": 0, "num_partitions": 2}}}}).collect()
+    with pytest.raises(ValueError, match="nested sub-bucket"):
+        es_aggregate(sales, {"g": {"terms": {"field": "product"},
+                                   "aggs": {"r": {"terms": {
+                                       "field": "region",
+                                       "exclude": "us"}}}}})

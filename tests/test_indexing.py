@@ -618,8 +618,6 @@ def test_index_lifecycle_end_to_end(spark, tmp_path):
     compaction -> the same queries, with results identical to a
     monolithic index over everything. Every stage is covered piecewise
     elsewhere; this pins that the stages COMPOSE."""
-    import shutil
-
     from tweets_elastic_spark.functions.analyzers import analyze_text
     from tweets_elastic_spark.plans.search import BM25Match, search
     from tweets_elastic_spark.sources.catalog import load_table
@@ -667,7 +665,7 @@ def test_index_lifecycle_end_to_end(spark, tmp_path):
     docs.filter("doc_id > 300").repartition(3).write.parquet(arrivals)
     q = run_streaming_index_maintenance(
         stream_documents(spark, arrivals), idx, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in time"
     # the two maintenance paths share one watermark contract: streaming
     # owns the doc stream here, so the batch store must be advanced past
     # what the stream indexed before a batch increment runs against the

@@ -321,15 +321,27 @@ def _adjacency_matrix_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
             "adjacency_matrix needs {'filters': {name: query, ...}} with "
             ">= 2 entries"
         )
+    extra = set(body) - {"filters", "separator"}
+    if extra:
+        raise ValueError(f"unsupported adjacency_matrix keys: {sorted(extra)}")
+    sep = str(body.get("separator", "&"))
+    bad = [b for b in named if sep in b]
+    if bad:
+        raise ValueError(
+            f"adjacency_matrix filter names {bad} contain the separator "
+            f"{sep!r}; their buckets would collide with pair keys"
+        )
     spark = df.sparkSession
     preds = {
         b: from_es_json(q).predicate(spark, F.col) for b, q in named.items()
     }
-    keys = list(named)
+    # ES sorts filter keys before pairing, so pair keys are normalized
+    # (always "big&us", never "us&big") regardless of request order
+    keys = sorted(named)
     cells: dict[str, Column] = {b: preds[b] for b in keys}
     for i, a in enumerate(keys):
         for b in keys[i + 1:]:
-            cells[f"{a}&{b}"] = preds[a] & preds[b]
+            cells[f"{a}{sep}{b}"] = preds[a] & preds[b]
     counts = [
         F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(label)
         for label, p in cells.items()
@@ -927,6 +939,14 @@ def es_aggregate(
                                  "range", "date_range")
                for s in sub_sub.values()):
             raise ValueError("bucket nesting deeper than two levels is unsupported")
+        if sub_kind == "terms" and (
+            "include" in sub_body or "exclude" in sub_body
+        ):
+            raise ValueError(
+                "terms include/exclude on a nested sub-bucket is not "
+                "applied by the flattened relation; filter the leaf in a "
+                "separate request"
+            )
         keys.append((_bucket_key(sub_kind, sub_body), sub_name))
         metrics = metrics + _metric_cols(sub_sub)
 
@@ -957,7 +977,14 @@ def es_aggregate(
         def term_pred(spec) -> Column:
             if isinstance(spec, list):
                 return F.col(name).isin(list(spec))
-            return Regexp(name, str(spec)).predicate(None, F.col)
+            if not isinstance(spec, str):
+                raise ValueError(
+                    f"terms include/exclude must be a whole-term regex "
+                    f"string or a value list, got {spec!r} (the "
+                    "partitioned form {'partition': N, ...} is not "
+                    "supported)"
+                )
+            return Regexp(name, spec).predicate(None, F.col)
 
         if "include" in body:
             out = out.filter(term_pred(body["include"]))

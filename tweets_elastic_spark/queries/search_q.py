@@ -1719,3 +1719,85 @@ def q_es_request_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_source": ["vec_id", "score"],
     }
     return es_request(emb, request, tiebreak="vec_id")
+
+
+@register(
+    "search_query_string",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id, lang, source,
+           CAST(
+             CASE WHEN list_contains(tokens, 'spark')
+                   AND list_contains(tokens, 'merge')
+                  THEN 2.0 ELSE 0.0 END
+           + CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END
+           AS DOUBLE) AS score
+    FROM toks
+    WHERE (   (list_contains(tokens, 'spark')
+               AND list_contains(tokens, 'merge'))
+           OR source = 'src1')
+      AND NOT (lang = 'de')
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+    doc="Lucene query_string front-end: the Kibana-bar syntax "
+        "'text:(spark AND merge) OR source:src1 -lang:de' parsed "
+        "(plans/query_string.py) onto the same Query tree as the JSON "
+        "DSL — grouping, field scoping, AND/OR/NOT precedence, must_not. "
+        "Scoring is the engine's constant-weight sum (each matched "
+        "positive clause contributes its boost; the AND group sums its "
+        "two matches). Same filter -> score -> TakeOrderedAndProject "
+        "plan as every search query; the parse is driver-side string "
+        "work.",
+)
+def q_search_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.query_string import parse_query_string
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = parse_query_string(
+        "text:(spark AND merge) OR source:src1 -lang:de",
+        default_field="text",
+        analyzers={"text": "custom_shingles"},
+    )
+    return search(docs, query, k=25, tiebreak="doc_id").select(
+        "doc_id", "lang", "source", "score"
+    )
+
+
+@register(
+    "search_simple_query_string",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id, lang, source,
+           CAST(
+             CASE WHEN list_contains(tokens, 'spark')
+                   AND list_contains(tokens, 'merge')
+                  THEN 2.0 ELSE 0.0 END
+           + CASE WHEN list_contains(tokens, 'streaming')
+                  THEN 1.0 ELSE 0.0 END
+           AS DOUBLE) AS score
+    FROM toks
+    WHERE (list_contains(tokens, 'spark')
+           AND list_contains(tokens, 'merge'))
+       OR list_contains(tokens, 'streaming')
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+    doc="simple_query_string: the never-throws user-facing syntax "
+        "'spark + merge | streaming' — '+' AND, '|' OR, left-"
+        "associative equal precedence (Lucene SimpleQueryParser's "
+        "contract). Malformed input degrades to plain terms instead of "
+        "erroring, so the parser is safe on raw user text.",
+)
+def q_search_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.query_string import (
+        parse_simple_query_string,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = parse_simple_query_string(
+        "spark + merge | streaming",
+        default_field="text",
+        analyzers={"text": "custom_shingles"},
+    )
+    return search(docs, query, k=25, tiebreak="doc_id").select(
+        "doc_id", "lang", "source", "score"
+    )

@@ -87,8 +87,13 @@ DRIVER_PRIORITY: list[str] = [
     # window family keeps six prefix rows and the rolling window stays
     # parity-verified post-prefix, while composite pagination — the
     # scale path for bucket enumeration — gets driver coverage)
+    # (r6 third wave: clicks_in_error_windows -> search_query_string —
+    # the interval-join machinery keeps driver coverage via
+    # events_asof_join and funnel_conversion, while the Lucene
+    # query-string parser is an entirely new front-end family; the
+    # ousted query stays full-oracle post-prefix + parity-pytest)
     "tumbling_window", "session_window", "events_asof_join",
-    "es_aggs_composite", "funnel_conversion", "clicks_in_error_windows",
+    "es_aggs_composite", "funnel_conversion", "search_query_string",
     "events_daily_pivot",
     # text stats + model filter
     "lang_id", "quality_score", "model_quality_filter",

@@ -1801,3 +1801,49 @@ def q_search_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(docs, query, k=25, tiebreak="doc_id").select(
         "doc_id", "lang", "source", "score"
     )
+
+
+@register(
+    "percolate_matches",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id, 'alert_spark' AS query_id
+    FROM toks WHERE list_contains(tokens, 'spark')
+    UNION ALL
+    SELECT doc_id, 'alert_long_en' FROM documents
+    WHERE n_chars > 800 AND lang = 'en'
+    UNION ALL
+    SELECT doc_id, 'alert_src2_short' FROM documents
+    WHERE source = 'src2' AND n_chars < 200
+    UNION ALL
+    SELECT doc_id, 'alert_langs' FROM documents
+    WHERE lang IN ('de', 'fr')
+    UNION ALL
+    SELECT doc_id, 'alert_src1' FROM documents
+    WHERE source LIKE 'src1%'
+    """,
+    doc="Percolate (reverse search): five stored ES-JSON query artifacts "
+        "(match / filtered bool / terms / prefix) matched against every "
+        "document in ONE scan — boolean predicate columns folded into an "
+        "array_compact + explode, zero shuffle. The ES alerting/routing "
+        "primitive: which saved searches does each new document satisfy.",
+)
+def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.percolate import percolate_from_json
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    artifacts = {
+        "alert_spark": {"query": {"match": {"text": {"query": "spark"}}}},
+        "alert_long_en": {"query": {"bool": {"filter": [
+            {"range": {"n_chars": {"gt": 800}}},
+            {"term": {"lang": "en"}},
+        ]}}},
+        "alert_src2_short": {"query": {"bool": {
+            "must": [{"term": {"source": "src2"}}],
+            "filter": [{"range": {"n_chars": {"lt": 200}}}],
+        }}},
+        "alert_langs": {"query": {"terms": {"lang": ["de", "fr"]}}},
+        "alert_src1": {"query": {"prefix": {"source": "src1"}}},
+    }
+    return percolate_from_json(
+        docs, artifacts, analyzers={"text": "custom_shingles"}
+    )

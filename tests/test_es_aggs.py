@@ -118,7 +118,7 @@ def test_ambiguous_and_unknown_shapes_raise(spark, sales):
         es_aggregate(sales, {
             "b": {
                 "terms": {"field": "region"},
-                "aggs": {"m": {"median_absolute_deviation": {"field": "amount"}}},
+                "aggs": {"m": {"scripted_metric": {"field": "amount"}}},
             }
         })
     with pytest.raises(ValueError, match="unsupported date_histogram interval"):
@@ -1179,3 +1179,129 @@ def test_adjacency_matrix_counts_intersections(spark, sales):
                                    "aggs": {"r": {"terms": {
                                        "field": "region",
                                        "exclude": "us"}}}}})
+
+
+# ---------------------------------------------------------------- r6 wave 3
+
+
+def test_multi_terms_key_and_null_contract(spark):
+    rows = [(1, "eu", "a"), (2, "eu", "a"), (3, "us", None), (4, None, "b"),
+            (5, "us", "b")]
+    df = spark.createDataFrame(rows, "id long, region string, product string")
+    got = {
+        r["combo"]: r["doc_count"]
+        for r in es_aggregate(df, {"combo": {"multi_terms": {
+            "terms": [{"field": "region"}, {"field": "product"}]}}}).collect()
+    }
+    # a doc missing ANY source leaves the aggregation
+    assert got == {"eu|a": 2, "us|b": 1}
+
+
+def test_multi_terms_missing_substitute(spark):
+    rows = [(1, "eu", None), (2, "eu", "a")]
+    df = spark.createDataFrame(rows, "id long, region string, product string")
+    got = {
+        r["combo"]: r["doc_count"]
+        for r in es_aggregate(df, {"combo": {"multi_terms": {
+            "terms": [{"field": "region"},
+                      {"field": "product", "missing": "n/a"}]}}}).collect()
+    }
+    assert got == {"eu|n/a": 1, "eu|a": 1}
+
+
+def test_mad_odd_and_even_buckets(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 100.0),
+            ("b", 1.0), ("b", 5.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = {
+        r["k"]: r["m"]
+        for r in es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"m": {"median_absolute_deviation": {"field": "x"}}},
+        }}).collect()
+    }
+    # a: median 3, |devs| sorted [1,1,2,97] -> 1.5 ; b: median 5 -> devs [0,4,4] -> 4
+    assert got == {"a": 1.5, "b": 4.0}
+
+
+def test_string_stats_known_entropy(spark):
+    df = spark.createDataFrame([("k", "aab"), ("k", "b")], "k string, s string")
+    row = es_aggregate(df, {"k": {
+        "terms": {"field": "k"},
+        "aggs": {"s": {"string_stats": {"field": "s"}}},
+    }}).collect()[0]
+    # chars a,a,b,b -> entropy exactly 1 bit; lengths 3 and 1
+    assert (row["s_count"], row["s_min_length"], row["s_max_length"]) == (2, 1, 3)
+    assert row["s_avg_length"] == 2.0
+    assert row["s_entropy"] == 1.0
+
+
+def test_rate_requires_fixed_width_parent(spark, sales):
+    with pytest.raises(ValueError, match="date_histogram parent"):
+        es_aggregate(sales, {"k": {
+            "terms": {"field": "region"},
+            "aggs": {"r": {"rate": {"unit": "hour"}}},
+        }})
+
+
+def test_rate_rejects_variable_calendar(spark):
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "timestamp'2024-01-01 00:00:00' as ts")
+    with pytest.raises(ValueError, match="not fixed-width"):
+        es_aggregate(df, {"m": {
+            "date_histogram": {"field": "ts", "calendar_interval": "month"},
+            "aggs": {"r": {"rate": {"unit": "day"}}},
+        }})
+
+
+def test_rate_default_unit_is_bucket_width(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(48)], "h long"
+    ).selectExpr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,h) as ts")
+    got = {r["d"]: r["r"] for r in es_aggregate(df, {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"r": {"rate": {}}},
+    }}).collect()}
+    assert got == {"2024-01-01": 24.0, "2024-01-02": 24.0}
+
+
+def test_serial_diff_lag_and_validation(spark):
+    df = spark.createDataFrame(
+        [(i, i * i) for i in range(5)], "d long, v long"
+    ).selectExpr("timestamp'2024-01-01' + make_interval(0,0,0,d) as ts", "v")
+    out = es_aggregate(df, {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "vsum": {"sum": {"field": "v"}},
+            "sd": {"serial_diff": {"buckets_path": "vsum", "lag": 2}},
+        },
+    }}).orderBy("d").collect()
+    assert [r["sd"] for r in out] == [None, None, 4, 8, 12]
+    with pytest.raises(ValueError, match="lag must be"):
+        es_aggregate(df, {"d": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"sd": {"serial_diff": {"buckets_path": "_count",
+                                            "lag": 0}}},
+        }})
+
+
+def test_auto_date_histogram_picks_interval(spark):
+    # 100 events over ~50 hours; target 6 buckets -> 12h rung
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "i long"
+    ).selectExpr(
+        "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,i*30) as ts")
+    out = es_aggregate(df, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 6}}})
+    rows = out.collect()
+    assert {r["interval"] for r in rows} == {"43200s"}
+    assert 1 <= len(rows) <= 6
+    assert sum(r["doc_count"] for r in rows) == 100
+
+
+def test_stats_bucket_validates_path(spark, sales):
+    with pytest.raises(ValueError, match="buckets_path"):
+        es_aggregate(sales, {
+            "by_region": {"terms": {"field": "region"}},
+            "sb": {"stats_bucket": {"buckets_path": "wrong>_count"}},
+        })

@@ -18,13 +18,23 @@ Supported surface:
   ES key labels); one bucket agg may nest ONE further bucket agg under
   ``aggs``. ES's null contract holds: documents missing the bucket field
   leave the aggregation unless ``missing`` supplies a substitute.
+* bucket aggs also: ``multi_terms`` (distinct combinations of several
+  term sources, key rendered as the "|"-joined key_as_string) and
+  ``auto_date_histogram`` (engine-picked interval from a fixed-width
+  ladder targeting ``buckets``, span probed via a bounded 1-row driver
+  aggregate; chosen interval returned as the ``interval`` column).
 * metric sub-aggs: ``sum``, ``avg``, ``min``, ``max``, ``value_count``,
   ``cardinality``, ``percentiles``, ``percentile_ranks``, ``stats``,
-  ``extended_stats``, ``weighted_avg``. ES's ``cardinality``/
-  ``percentiles``/``percentile_ranks`` are approximations (HLL /
-  t-digest); this engine evaluates them EXACTLY (countDistinct /
-  interpolated percentile / conditional avg) so results stay
-  oracle-checkable — documented, strictly-more-accurate divergences.
+  ``extended_stats``, ``weighted_avg``, ``median_absolute_deviation``
+  (exact nested-median over a per-bucket sorted array), ``string_stats``
+  (length stats + exact char-level Shannon entropy), and ``rate``
+  (bucket-width-normalized count/sum under a fixed-width
+  date_histogram). ES's ``cardinality``/``percentiles``/
+  ``percentile_ranks``/``median_absolute_deviation`` are approximations
+  (HLL / t-digest); this engine evaluates them EXACTLY (countDistinct /
+  interpolated percentile / conditional avg / true nested median) so
+  results stay oracle-checkable — documented, strictly-more-accurate
+  divergences.
 * ``composite`` (cursor-paginated bucket enumeration in total key order —
   the scale path; the ``after`` cursor compiles to a keyset row-filter
   BELOW the aggregation).
@@ -36,13 +46,17 @@ Supported surface:
   feeding the ordinary machinery); ``terms`` ``include``/``exclude``
   (whole-term Lucene regex or value list); ``min_doc_count: 0`` +
   ``extended_bounds`` empty-bucket generation for histogram families.
-* pipeline aggs: ``cumulative_sum``, ``derivative``, ``moving_fn``
+* pipeline aggs: ``cumulative_sum``, ``derivative``, ``serial_diff``
+  (lagged difference, ES's deseasonalizer), ``moving_fn``
   (ordered, histogram-family parents), ``bucket_script`` /
   ``bucket_selector`` (Painless-subset ``params`` bindings),
   ``bucket_sort`` — all window/filter work over the reduced bucket
   relation, the coordinator-side shape ES itself uses; SIBLING pipelines
   ``avg/sum/min/max_bucket`` annotate the bucket rows via a 1-row
-  broadcast cross join.
+  broadcast cross join, as do ``stats_bucket`` (five flattened
+  ``{name}_{stat}`` scalars) and ``percentiles_bucket`` (exact
+  interpolated ``{name}_p{percent}`` scalars — ES is exact here too,
+  the bucket list is coordinator-side).
 * ``top_hits`` (per-bucket top documents by an explicit sort — a window
   rank, must be the bucket's only sub-agg since its result shape is
   documents, not metrics).
@@ -67,6 +81,8 @@ partial aggregation map-side), metrics are built-in JVM aggregates, and
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -94,6 +110,24 @@ def _bucket_key(kind: str, body: dict) -> Column:
     field fall out of the aggregation unless ``missing`` supplies a
     substitute — modeled here as a key that stays NULL (dropped by
     es_aggregate) or coalesces to the ``missing`` value."""
+    if kind == "multi_terms":
+        # ES multi_terms: one bucket per DISTINCT COMBINATION of several
+        # term sources. ES's response key is a value list; the flattened
+        # relation renders its key_as_string form (values joined with
+        # "|"). Null contract: a document missing ANY source leaves the
+        # aggregation (ES drops it unless that source has `missing`).
+        parts = []
+        for t in body["terms"]:
+            c: Column = F.col(t["field"])
+            if "missing" in t:
+                c = F.coalesce(c, F.lit(t["missing"]))
+            parts.append(c)
+        present = parts[0].isNotNull()
+        for c in parts[1:]:
+            present = present & c.isNotNull()
+        return F.when(
+            present, F.concat_ws("|", *[c.cast("string") for c in parts])
+        )
     field = body["field"]
     src: Column = F.col(field)
     if "missing" in body:
@@ -275,8 +309,61 @@ def _metric_cols(aggs: dict) -> list[Column]:
                     F.sum(F.when(both, v * wt)) / F.sum(F.when(both, wt)), 6
                 ).alias(name)
             )
-        elif kind in ("terms", "date_histogram", "histogram", "range",
-                      "date_range"):
+        elif kind == "median_absolute_deviation":
+            # ES estimates MAD with t-digest; this engine evaluates it
+            # EXACTLY: median(|x - median(x)|), both medians linearly
+            # interpolated (quantile_cont — DuckDB's mad() definition, so
+            # the metric is fully oracle-able). The nested median forces
+            # the bucket's values into one sorted array aggregate — the
+            # same per-bucket-state shape as ES's digest, exact instead of
+            # sketched; per-bucket memory is O(bucket size), the
+            # documented cost of exactness (use percentiles for sketch-
+            # sized state).
+            arr = F.array_sort(
+                F.collect_list(F.col(body["field"]).cast("double"))
+            )
+
+            def _arr_median(a: Column) -> Column:
+                n = F.size(a)
+                lo = F.element_at(a, ((n + 1) / 2).cast("int"))
+                hi = F.element_at(a, (n / 2 + 1).cast("int"))
+                return F.when(n > 0, (lo + hi) / 2.0)
+
+            med = _arr_median(arr)
+            devs = F.array_sort(
+                F.transform(arr, lambda x: F.abs(x - med))
+            )
+            out.append(F.round(_arr_median(devs), 6).alias(name))
+        elif kind == "string_stats":
+            # ES string_stats: count, min/max/avg term length, and the
+            # Shannon entropy (log2) of the CHARACTER distribution across
+            # all values in the bucket. Lengths are plain aggregates;
+            # entropy folds the bucket's characters into one array
+            # aggregate and evaluates -sum(p*log2(p)) over its distinct
+            # chars — exact, oracle-able via DuckDB's entropy() over
+            # exploded chars. Per-bucket memory is O(total chars): the
+            # exactness trade documented for median_absolute_deviation.
+            c = F.col(body["field"])
+            out += [
+                F.count(c).alias(f"{name}_count"),
+                F.min(F.length(c)).alias(f"{name}_min_length"),
+                F.max(F.length(c)).alias(f"{name}_max_length"),
+                F.round(F.avg(F.length(c)), 6).alias(f"{name}_avg_length"),
+            ]
+            chars = F.flatten(F.collect_list(F.split(c, "")))
+            total = F.size(chars).cast("double")
+            entropy = F.aggregate(
+                F.array_distinct(chars),
+                F.lit(0.0),
+                lambda acc, ch: acc - (
+                    F.size(F.filter(chars, lambda x: x == ch)) / total
+                ) * F.log2(
+                    F.size(F.filter(chars, lambda x: x == ch)) / total
+                ),
+            )
+            out.append(F.round(entropy, 6).alias(f"{name}_entropy"))
+        elif kind in ("terms", "multi_terms", "date_histogram", "histogram",
+                      "range", "date_range"):
             continue  # nested bucket, handled by the caller
         else:
             raise ValueError(f"unsupported aggregation type: {kind!r}")
@@ -353,16 +440,20 @@ def _adjacency_matrix_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
     )
 
 
-_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range")
+_BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
+                 "range")
 _PIPELINE_KINDS = (
-    "cumulative_sum", "derivative", "moving_fn",
+    "cumulative_sum", "derivative", "serial_diff", "moving_fn",
     "bucket_script", "bucket_selector", "bucket_sort",
 )
 # sibling pipelines: scalar over the parent agg's bucket list, requested
-# NEXT TO the parent at the top level (ES's sibling-agg shape)
+# NEXT TO the parent at the top level (ES's sibling-agg shape).
+# stats_bucket/percentiles_bucket expand to several scalar columns — see
+# the siblings block in es_aggregate.
 _SIBLING_KINDS = {
     "avg_bucket": F.avg, "sum_bucket": F.sum,
     "min_bucket": F.min, "max_bucket": F.max,
+    "stats_bucket": None, "percentiles_bucket": None,
 }
 
 
@@ -608,7 +699,8 @@ def _apply_pipeline_aggs(
 
     from tweets_elastic_spark.plans.search import compile_painless
 
-    ordered_kinds = ("cumulative_sum", "derivative", "moving_fn")
+    ordered_kinds = ("cumulative_sum", "derivative", "moving_fn",
+                     "serial_diff")
     if any(next(iter(s)) in ordered_kinds for s in pipes.values()) \
             and kind not in ("date_histogram", "histogram"):
         raise ValueError(
@@ -654,6 +746,17 @@ def _apply_pipeline_aggs(
         elif pkind == "derivative":
             path = metric_path(pkind, pbody["buckets_path"])
             out = out.withColumn(pname, F.col(path) - F.lag(path).over(w))
+        elif pkind == "serial_diff":
+            # ES serial_diff: x_t - x_(t-lag) over the ordered bucket list
+            # (lag=1 == derivative; larger lags deseasonalize). NULL for
+            # the first `lag` buckets, ES's gap contract.
+            path = metric_path(pkind, pbody["buckets_path"])
+            lag = int(pbody.get("lag", 1))
+            if lag <= 0:
+                raise ValueError(f"serial_diff lag must be > 0, got {lag}")
+            out = out.withColumn(
+                pname, F.col(path) - F.lag(path, lag).over(w)
+            )
         elif pkind == "moving_fn":
             # ES moving_fn: a sliding window over the ORDERED bucket list.
             # With shift=0 (default) the window is the `window` buckets
@@ -816,17 +919,69 @@ def es_aggregate(
                     f"{skind} metric {metric!r} is not a column of the "
                     f"parent bucket relation (have: {out.columns})"
                 )
-            scalars.append(
-                F.round(
-                    _SIBLING_KINDS[skind](F.col(col).cast("double")), 6
-                ).alias(sname)
-            )
+            c = F.col(col).cast("double")
+            if skind == "stats_bucket":
+                # ES stats_bucket: the five-stat object over the parent's
+                # metric list, flattened to {name}_{stat} scalar columns.
+                scalars += [
+                    F.count(c).alias(f"{sname}_count"),
+                    F.round(F.min(c), 6).alias(f"{sname}_min"),
+                    F.round(F.max(c), 6).alias(f"{sname}_max"),
+                    F.round(F.avg(c), 6).alias(f"{sname}_avg"),
+                    F.round(F.sum(c), 6).alias(f"{sname}_sum"),
+                ]
+            elif skind == "percentiles_bucket":
+                # ES percentiles_bucket: exact interpolated percentiles of
+                # the parent's metric list (ES itself is exact here — the
+                # bucket list is coordinator-side), {name}_p{percent}.
+                for p in sbody.get("percents", [25, 50, 75]):
+                    label = str(p).replace(".", "_")
+                    scalars.append(
+                        F.round(F.percentile(c, float(p) / 100.0), 6)
+                        .alias(f"{sname}_p{label}")
+                    )
+            else:
+                scalars.append(
+                    F.round(_SIBLING_KINDS[skind](c), 6).alias(sname)
+                )
         return out.crossJoin(F.broadcast(out.agg(*scalars)))
     (name, spec), = primary.items()
     spec = dict(spec)
     sub = dict(spec.pop("aggs", {}))
     (kind, body), = spec.items()
 
+    if kind == "auto_date_histogram":
+        # ES auto_date_histogram: the engine PICKS the interval so the
+        # bucket count stays <= `buckets`. The span probe is a bounded
+        # driver-side 1-row aggregate (the justified-scalar pattern —
+        # quantizer sampling, max_df caps); the pick walks a fixed-width
+        # ladder (seconds..90d — ES's calendar-aware month/year rungs are
+        # replaced by 30d/90d fixed widths, a documented divergence that
+        # keeps the bucket key a portable epoch-floor expression). The
+        # chosen interval is returned as a constant `interval` column,
+        # ES's response metadata field.
+        field = body["field"]
+        target = int(body.get("buckets", 10))
+        if target <= 0:
+            raise ValueError(f"auto_date_histogram buckets must be > 0")
+        lo, hi = df.agg(F.min(field), F.max(field)).first()
+        ladder = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600,
+                  12 * 3600, 86400, 7 * 86400, 30 * 86400, 90 * 86400]
+        if lo is None:
+            secs = ladder[0]
+        else:
+            span = (hi - lo).total_seconds()
+            secs = next(
+                (s for s in ladder if span / s + 1 <= target), ladder[-1]
+            )
+        spec2: dict = {"date_histogram": {
+            "field": field, "fixed_interval": f"{secs}s",
+            **({"missing": body["missing"]} if "missing" in body else {}),
+        }}
+        if sub:
+            spec2["aggs"] = sub
+        return es_aggregate(df, {name: spec2}, fg_pred, analyzers) \
+            .withColumn("interval", F.lit(f"{secs}s"))
     if kind == "filters":
         if sub:
             raise ValueError("filters agg does not support sub-aggs here")
@@ -901,6 +1056,47 @@ def es_aggregate(
     for n in pipes:
         sub.pop(n)
 
+    # rate sub-agg: doc_count (or sum(field)) per bucket normalized to
+    # `unit` — pure arithmetic on the bucket width, so it must sit under a
+    # FIXED-WIDTH date_histogram (calendar month/year buckets vary in
+    # length; ES handles them with per-bucket day counts — unsupported
+    # here, raise rather than approximate).
+    rates = {n: s for n, s in sub.items() if next(iter(s)) == "rate"}
+    for n in rates:
+        sub.pop(n)
+    rate_cols: list[Column] = []
+    if rates:
+        if kind != "date_histogram":
+            raise ValueError(
+                f"rate needs a date_histogram parent, got {kind!r}"
+            )
+        unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                  "week": 604800}
+        fixed = body.get("fixed_interval")
+        if fixed is not None:
+            m = re.fullmatch(r"(\d+)(s|m|h|d)", str(fixed))
+            bucket_s = int(m.group(1)) * {
+                "s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+        else:
+            cal = body.get("calendar_interval", body.get("interval"))
+            if cal not in unit_s or cal == "week":
+                raise ValueError(
+                    f"rate under calendar_interval {cal!r} is not fixed-"
+                    "width; use minute/hour/day or fixed_interval"
+                )
+            bucket_s = unit_s[cal]
+        for rname, rspec in rates.items():
+            rbody = rspec["rate"]
+            unit = rbody.get("unit")
+            factor = 1.0 if unit is None else bucket_s / unit_s[unit]
+            c = (
+                F.sum(F.col(rbody["field"]).cast("double"))
+                if "field" in rbody else F.count(F.lit(1))
+            )
+            rate_cols.append(
+                F.round(c / F.lit(float(factor)), 6).alias(rname)
+            )
+
     # top_hits: a different result shape (documents, not metrics) — it
     # must be the bucket's only sub-agg.
     th = [(n, s["top_hits"]) for n, s in sub.items() if "top_hits" in s]
@@ -911,17 +1107,17 @@ def es_aggregate(
         return _top_hits(df, _bucket_key(kind, body), name, th_body)
 
     keys = [(_bucket_key(kind, body), name)]
-    size = body.get("size") if kind == "terms" else None
+    size = body.get("size") if kind in ("terms", "multi_terms") else None
 
     # one optional nested bucket level
     nested_bucket = [
         (n, s) for n, s in sub.items()
-        if next(iter(s)) in ("terms", "date_histogram", "histogram",
-                             "range", "date_range")
+        if next(iter(s)) in ("terms", "multi_terms", "date_histogram",
+                             "histogram", "range", "date_range")
     ]
     if len(nested_bucket) > 1:
         raise ValueError("at most one nested bucket aggregation is supported")
-    metrics = _metric_cols(sub)
+    metrics = _metric_cols(sub) + rate_cols
     if nested_bucket and metrics:
         # ES attaches same-level metrics to the PARENT bucket; this engine
         # returns the flattened leaf relation, where they would silently
@@ -935,8 +1131,8 @@ def es_aggregate(
         sub_spec = dict(sub_spec)
         sub_sub = sub_spec.pop("aggs", {})
         (sub_kind, sub_body), = sub_spec.items()
-        if any(next(iter(s)) in ("terms", "date_histogram", "histogram",
-                                 "range", "date_range")
+        if any(next(iter(s)) in ("terms", "multi_terms", "date_histogram",
+                                 "histogram", "range", "date_range")
                for s in sub_sub.values()):
             raise ValueError("bucket nesting deeper than two levels is unsupported")
         if sub_kind == "terms" and (

@@ -1847,3 +1847,192 @@ def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate_from_json(
         docs, artifacts, analyzers={"text": "custom_shingles"}
     )
+
+
+@register(
+    "es_aggs_multi_terms_mad",
+    oracle="""
+    SELECT lang || '|' || source AS by_ls,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(mad(n_chars::DOUBLE), 6) AS mad_chars
+    FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+    GROUP BY lang, source
+    ORDER BY doc_count DESC, by_ls ASC
+    LIMIT 10
+    """,
+    doc="ES multi_terms bucket agg (distinct lang x source combinations, "
+        "key rendered as the |-joined key_as_string, terms-order size "
+        "truncation) carrying a median_absolute_deviation metric — "
+        "evaluated EXACTLY as median(|x - median(x)|) with interpolated "
+        "medians over a per-bucket sorted array (DuckDB's mad() "
+        "definition), vs ES's t-digest estimate: the documented strictly-"
+        "more-accurate divergence. One groupBy; the nested median is "
+        "expression-level array math, no second shuffle.",
+)
+def q_es_aggs_multi_terms_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return es_aggregate(docs, {"by_ls": {
+        "multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source"}],
+            "size": 10,
+        },
+        "aggs": {"mad_chars": {
+            "median_absolute_deviation": {"field": "n_chars"}}},
+    }})
+
+
+@register(
+    "es_aggs_string_stats",
+    oracle="""
+    WITH chars AS (
+        SELECT lang, unnest(string_split(source, '')) AS ch
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+    ), ent AS (
+        SELECT lang, round(entropy(ch), 6) AS src_entropy
+        FROM chars GROUP BY lang
+    ), base AS (
+        SELECT lang AS by_lang,
+               CAST(count(*) AS BIGINT) AS doc_count,
+               CAST(count(source) AS BIGINT) AS src_count,
+               CAST(min(length(source)) AS INTEGER) AS src_min_length,
+               CAST(max(length(source)) AS INTEGER) AS src_max_length,
+               round(avg(length(source)), 6) AS src_avg_length
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    )
+    SELECT base.*, ent.src_entropy
+    FROM base JOIN ent ON base.by_lang = ent.lang
+    """,
+    doc="ES string_stats metric under a terms bucket: count, min/max/avg "
+        "term length, and the char-level Shannon entropy (log2) — exact, "
+        "via one per-bucket char-array aggregate (ES computes the same "
+        "quantity from its own char histogram). Oracle cross-checks "
+        "entropy against DuckDB's entropy() over exploded chars.",
+)
+def q_es_aggs_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return es_aggregate(docs, {"by_lang": {
+        "terms": {"field": "lang"},
+        "aggs": {"src": {"string_stats": {"field": "source"}}},
+    }})
+
+
+@register(
+    "es_aggs_rate_serial_diff",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS daily,
+               CAST(count(*) AS BIGINT) AS doc_count,
+               round(count(*) / 24.0, 6) AS per_hour,
+               round(sum(value) / 24.0, 6) AS value_per_hour
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT daily, doc_count, per_hour, value_per_hour,
+           doc_count - lag(doc_count, 7) OVER (ORDER BY daily ASC) AS wow
+    FROM daily
+    """,
+    doc="ES rate metric (bucket-width-normalized doc_count and sum(value) "
+        "to per-hour under a daily date_histogram — pure arithmetic on "
+        "the fixed bucket width) + serial_diff pipeline (lag-7 "
+        "difference, the week-over-week deseasonalizer; NULL for the "
+        "first 7 buckets, ES's gap contract). The window runs over the "
+        "REDUCED bucket relation — coordinator-side shape, not corpus "
+        "work.",
+)
+def q_es_aggs_rate_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return es_aggregate(events, {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "per_hour": {"rate": {"unit": "hour"}},
+            "value_per_hour": {"rate": {"field": "value", "unit": "hour"}},
+            "wow": {"serial_diff": {"buckets_path": "_count", "lag": 7}},
+        },
+    }})
+
+
+@register(
+    "es_aggs_auto_date_histogram",
+    oracle="""
+    WITH span AS (
+        SELECT epoch(max(ts)) - epoch(min(ts)) AS s FROM events
+    ), rung AS (
+        SELECT min(r) AS secs
+        FROM (VALUES (1),(5),(10),(30),(60),(300),(600),(1800),(3600),
+                     (10800),(43200),(86400),(604800),(2592000),(7776000)
+             ) t(r), span
+        WHERE span.s / r + 1 <= 8
+    ), pick AS (
+        SELECT COALESCE(secs, 7776000) AS secs FROM rung
+    )
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / pick.secs) AS BIGINT)
+                                 * pick.secs),
+                    '%Y-%m-%d %H:%M:%S') AS auto,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           pick.secs::VARCHAR || 's' AS interval
+    FROM events, pick
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 3
+    """,
+    doc="ES auto_date_histogram: the engine picks the interval so the "
+        "bucket count fits the target (8) — span probed via a bounded "
+        "1-row driver aggregate, then the smallest fixed-width ladder "
+        "rung that covers it (ES's calendar month/year rungs replaced by "
+        "30d/90d fixed widths — documented divergence keeping the key a "
+        "portable epoch-floor). The ORACLE replays the same ladder pick "
+        "in SQL, so the entry stays correct under fixture regeneration "
+        "with a different time span.",
+)
+def q_es_aggs_auto_date_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return es_aggregate(events, {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 8},
+    }})
+
+
+@register(
+    "es_aggs_sibling_stats",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS daily,
+               CAST(count(*) AS BIGINT) AS doc_count
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), sib AS (
+        SELECT CAST(count(doc_count) AS BIGINT) AS sb_count,
+               round(min(doc_count::DOUBLE), 6) AS sb_min,
+               round(max(doc_count::DOUBLE), 6) AS sb_max,
+               round(avg(doc_count::DOUBLE), 6) AS sb_avg,
+               round(sum(doc_count::DOUBLE), 6) AS sb_sum,
+               round(quantile_cont(doc_count::DOUBLE, 0.5), 6) AS pb_p50,
+               round(quantile_cont(doc_count::DOUBLE, 0.9), 6) AS pb_p90
+        FROM daily
+    )
+    SELECT daily.*, sib.* FROM daily, sib
+    """,
+    doc="ES sibling pipeline aggs stats_bucket (five flattened "
+        "{name}_{stat} scalars) + percentiles_bucket (exact interpolated "
+        "percentiles — ES itself is exact here, the bucket list is "
+        "coordinator-side) over a daily histogram's doc_counts, "
+        "annotating every bucket row via the 1-row broadcast cross join.",
+)
+def q_es_aggs_sibling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return es_aggregate(events, {
+        "daily": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day"}},
+        "sb": {"stats_bucket": {"buckets_path": "daily>_count"}},
+        "pb": {"percentiles_bucket": {"buckets_path": "daily>_count",
+                                      "percents": [50, 90]}},
+    })

@@ -692,3 +692,30 @@ def test_index_lifecycle_end_to_end(spark, tmp_path):
     assert [tuple(r) for r in indexing.suggest_terms(
         spark, idx, "text__custom_shingles", "sparc",
         max_edits=2, size=3).collect()] == [tuple(r) for r in sug_mono]
+
+
+def test_suggest_completion_fuzzy_prefix(spark, sf_dir=None):
+    """Fuzzy completion: a typo'd PREFIX still completes; exact mode is
+    sargable and returns weight-ranked candidates."""
+    from tweets_elastic_spark.indexing import (
+        ensure_index,
+        suggest_completion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = ensure_index(spark, sf)
+    exact = suggest_completion(spark, idx, "text__custom_shingles", "spark",
+                               size=10).collect()
+    assert exact and all(r["suggestion"].startswith("spark") for r in exact)
+    # weights descend (ties broken by suggestion asc)
+    ws = [r["weight"] for r in exact]
+    assert ws == sorted(ws, reverse=True)
+    # 'spqrk' is 1 edit from the 'spark' prefix
+    fuzzy = {r["suggestion"]
+             for r in suggest_completion(spark, idx, "text__custom_shingles",
+                                         "spqrk", size=10,
+                                         fuzzy_edits=1).collect()}
+    assert any(s.startswith("spark") for s in fuzzy)
+    none = suggest_completion(spark, idx, "text__custom_shingles", "spqrk",
+                              size=10).collect()
+    assert none == []

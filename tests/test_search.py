@@ -934,3 +934,48 @@ def test_regexp_lucene_literal_anchors(spark):
     got = {r["id"] for r in
            search(df, Regexp("source", "[^a]y"), k=None).collect()}
     assert got == {5}
+
+
+# ------------------------------------------------------------- terms_set
+
+
+def test_terms_set_per_document_bound(spark):
+    from tweets_elastic_spark.plans.search import TermsSet
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, ["a", "b", "c"], 2),  # 3 matched >= 2 -> hit
+        (2, ["a", "x", "y"], 2),  # 1 matched < 2  -> miss
+        (3, ["a", "x", "y"], 1),  # 1 matched >= 1 -> hit
+        (4, None, 1),             # null array     -> miss (null contract)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, tags array<string>, required int")
+    q = TermsSet("tags", ["a", "b", "c"],
+                 minimum_should_match_field="required")
+    got = sorted(r["id"] for r in df.filter(q.predicate(spark, F.col)).collect())
+    assert got == [1, 3]
+
+
+def test_terms_set_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.plans.search import TermsSet
+
+    with pytest.raises(ValueError, match="exactly one"):
+        TermsSet("tags", ["a"]).predicate(spark, F.col)
+    with pytest.raises(ValueError, match="exactly one"):
+        TermsSet("tags", ["a"], minimum_should_match=1,
+                 minimum_should_match_field="r").predicate(spark, F.col)
+    with pytest.raises(ValueError, match="non-empty"):
+        TermsSet("tags", [], minimum_should_match=1).predicate(spark, F.col)
+
+
+def test_terms_set_from_es_json(spark):
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.plans.search import TermsSet, from_es_json
+
+    q = from_es_json({"query": {"terms_set": {"tags": {
+        "terms": ["a", "b"], "minimum_should_match_field": "required"}}}})
+    assert q == TermsSet("tags", ["a", "b"],
+                         minimum_should_match_field="required")

@@ -507,6 +507,50 @@ def suggest_terms(
     )
 
 
+def suggest_completion(
+    spark: SparkSession,
+    index_dir: str,
+    tok_col: str,
+    prefix: str,
+    *,
+    size: int = 5,
+    fuzzy_edits: int = 0,
+) -> DataFrame:
+    """ES completion suggester: search-as-you-type — prefix-matched
+    suggestions ranked by weight. ES serves this from an in-memory FST
+    built at index time with per-entry weights; the analogue here is the
+    WRITTEN term dictionary (the bounded vocabulary relation, segments
+    aggregated) with document frequency as the weight — exactly the
+    popularity signal an FST built from the corpus would carry. The
+    prefix predicate compiles to a sargable ``LIKE 'p%'`` the dictionary
+    scan prunes on; with ``fuzzy_edits`` (ES's fuzzy completion) the
+    PREFIX of each candidate — not the whole term — may sit within that
+    edit distance of the typed input, so 'spqr' still completes to
+    'spark...'. Cost shape: vocabulary-bounded, never corpus-bounded.
+    Returns (suggestion, weight), weight desc / suggestion asc."""
+    from tweets_elastic_spark.plans.search import _like_escape
+
+    vocab = (
+        spark.read.parquet(os.path.join(index_dir, f"token_stats__{tok_col}"))
+        .groupBy("token")
+        .agg(F.sum("df").alias("weight"))
+    )
+    if fuzzy_edits == 0:
+        pred = F.col("token").like(_like_escape(prefix) + "%")
+    else:
+        pred = (F.length("token") >= len(prefix) - fuzzy_edits) & (
+            F.levenshtein(
+                F.substring(F.col("token"), 1, len(prefix)), F.lit(prefix)
+            ) <= fuzzy_edits
+        )
+    return (
+        vocab.filter(pred)
+        .select(F.col("token").alias("suggestion"), "weight")
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(size)
+    )
+
+
 def suggest_phrase(
     spark: SparkSession,
     index_dir: str,

@@ -191,6 +191,44 @@ class Terms(Query):
         return resolve(self.field).isin(list(self.values))
 
 
+@dataclass
+class TermsSet(Query):
+    """ES ``terms_set``: like ``terms`` over a multi-valued field, but a
+    document matches only when at least N of the supplied terms are
+    present — N being either a constant (``minimum_should_match``) or a
+    PER-DOCUMENT numeric field (``minimum_should_match_field``, ES's
+    required_matches pattern: each doc declares how many of its terms are
+    mandatory). Compiles to a sum of array_contains indicators compared
+    against the bound — codegen'd conjunction arithmetic riding the scan,
+    no HOF loop, fully oracle-able (sum of list_contains CASEs)."""
+
+    field: str
+    terms: list
+    minimum_should_match: int | None = None
+    minimum_should_match_field: str | None = None
+
+    def predicate(self, spark, resolve) -> Column:
+        if not self.terms:
+            raise ValueError("terms_set needs a non-empty terms list")
+        if (self.minimum_should_match is None) == (
+            self.minimum_should_match_field is None
+        ):
+            raise ValueError(
+                "terms_set needs exactly one of minimum_should_match / "
+                "minimum_should_match_field"
+            )
+        arr = resolve(self.field)
+        matched = sum(
+            (F.array_contains(arr, t).cast("int") for t in self.terms),
+            start=F.lit(0),
+        )
+        if self.minimum_should_match_field is not None:
+            bound = resolve(self.minimum_should_match_field)
+        else:
+            bound = F.lit(int(self.minimum_should_match))
+        return matched >= bound
+
+
 def _like_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
 
@@ -1210,7 +1248,7 @@ def from_es_json(
     ``{"query": ..., "weight": w}`` should shape), ``nested``, ``match``
     (with ``operator``/``minimum_should_match``), ``multi_match``
     (best_fields, ``field^boost`` syntax), ``match_phrase``, ``term``,
-    ``terms``, ``prefix``, ``wildcard``, ``regexp`` (anchored, core
+    ``terms``, ``terms_set``, ``prefix``, ``wildcard``, ``regexp`` (anchored, core
     operator set), ``fuzzy``, ``ids`` (bound to ``id_field``), ``range``,
     ``exists``, ``match_all``, ``constant_score``, ``dis_max``,
     ``boosting``, and ``script_score`` (Painless arithmetic subset).
@@ -1470,6 +1508,18 @@ def from_es_json(
             if not isinstance(values, list):
                 raise ValueError(f"terms expects a list, got: {values!r}")
             return auto_nest(field, lambda f: Terms(f, values), scope)
+        if kind == "terms_set":
+            (field, spec), = body.items()
+            extra = set(spec) - {"terms", "minimum_should_match",
+                                 "minimum_should_match_field"}
+            if extra:
+                raise ValueError(f"unsupported terms_set keys: {extra}")
+            return auto_nest(field, lambda f: TermsSet(
+                f, spec["terms"],
+                minimum_should_match=spec.get("minimum_should_match"),
+                minimum_should_match_field=spec.get(
+                    "minimum_should_match_field"),
+            ), scope)
         if kind == "prefix":
             (field, spec), = body.items()
             value = spec["value"] if isinstance(spec, dict) else spec

@@ -371,3 +371,33 @@ def q_es_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, "text__custom_shingles", "sparc mrege", docs,
         max_edits=2, per_term=3, size=5,
     )
+
+
+@register(
+    "es_suggest_completion",
+    oracle=_TOKENS_CTE + """,
+    vocab AS (
+        SELECT tok AS suggestion, CAST(count(*) AS BIGINT) AS weight
+        FROM (SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM toks)
+        GROUP BY 1
+    )
+    SELECT suggestion, weight
+    FROM vocab
+    WHERE suggestion LIKE 'sp%'
+    ORDER BY weight DESC, suggestion ASC
+    LIMIT 5
+    """,
+    doc="ES completion suggester (search-as-you-type): prefix candidates "
+        "from the WRITTEN term dictionary ranked by document-frequency "
+        "weight — the popularity signal ES's index-time FST carries; the "
+        "prefix compiles to a sargable LIKE the dictionary scan prunes "
+        "on. Vocabulary-bounded, never corpus-bounded; the oracle "
+        "rebuilds vocabulary + df from raw text, re-proving the stored "
+        "term stats.",
+)
+def q_es_suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.indexing import suggest_completion
+
+    idx = ensure_index(spark, sf_dir)
+    return suggest_completion(spark, idx, "text__custom_shingles", "sp",
+                              size=5)

@@ -2036,3 +2036,42 @@ def q_es_aggs_sibling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pb": {"percentiles_bucket": {"buckets_path": "daily>_count",
                                       "percents": [50, 90]}},
     })
+
+
+@register(
+    "search_terms_set",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id, lang,
+           CAST(  CASE WHEN list_contains(tokens, 'spark') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'merge') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'stream') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'data') THEN 1 ELSE 0 END
+             AS INT) AS n_matched
+    FROM toks
+    WHERE   CASE WHEN list_contains(tokens, 'spark') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tokens, 'merge') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tokens, 'stream') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(tokens, 'data') THEN 1 ELSE 0 END >= 2
+    """,
+    doc="ES terms_set query: a document matches when at least N of the "
+        "supplied terms appear in its token array (N constant here; the "
+        "per-document minimum_should_match_field variant is unit-tested) "
+        "— a sum of array_contains indicators compared against the "
+        "bound, codegen'd arithmetic riding the scan.",
+)
+def q_search_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import analyze
+    from tweets_elastic_spark.plans.search import TermsSet
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    terms = ["spark", "merge", "stream", "data"]
+    toked = docs.withColumn("toks", analyze(F.col("text"), "custom_shingles"))
+    q = TermsSet("toks", terms, minimum_should_match=2)
+    matched = sum(
+        (F.array_contains("toks", t).cast("int") for t in terms),
+        start=F.lit(0),
+    )
+    return (
+        toked.filter(q.predicate(spark, F.col))
+        .select("doc_id", "lang", matched.alias("n_matched"))
+    )

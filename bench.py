@@ -121,6 +121,13 @@ HEADLINE = [
     "line_dedup",
     "multimodal_decode",
     "image_near_dups",
+    # r6 wave 3
+    "search_query_string",
+    "search_terms_set",
+    "percolate_matches",
+    "es_aggs_multi_terms_mad",
+    "es_aggs_string_stats",
+    "es_aggs_rate_serial_diff",
 ]
 
 

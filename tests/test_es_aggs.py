@@ -1305,3 +1305,39 @@ def test_stats_bucket_validates_path(spark, sales):
             "by_region": {"terms": {"field": "region"}},
             "sb": {"stats_bucket": {"buckets_path": "wrong>_count"}},
         })
+
+
+def test_sampler_requires_sort_and_subaggs(spark, sales):
+    with pytest.raises(ValueError, match="sort_field"):
+        es_aggregate(sales, {"s": {"sampler": {"shard_size": 3},
+                                   "aggs": {"m": {"sum": {"field": "amount"}}}}})
+    with pytest.raises(ValueError, match="sub-agg"):
+        es_aggregate(sales, {"s": {"sampler": {
+            "shard_size": 3, "sort_field": "amount"}}})
+
+
+def test_sampler_top_n_only(spark, sales):
+    # top-3 amounts: 20, 13, 11 -> all 'a'/'b' products mixed
+    row = es_aggregate(sales, {"s": {
+        "sampler": {"shard_size": 3, "sort_field": "amount",
+                    "tiebreak_field": "id"},
+        "aggs": {"m": {"sum": {"field": "amount"}}},
+    }}).collect()
+    # sampler wraps a metric-only sub-agg -> expect a single global row
+    assert len(row) == 1
+    assert row[0]["m"] == 20.0 + 13.0 + 11.0
+
+
+def test_diversified_sampler_caps_per_value(spark, sales):
+    # cap 1 per region, top-3 by amount: eu->20, us->13, ap->1
+    got = {r["by_product"]: r["doc_count"] for r in es_aggregate(sales, {
+        "s": {
+            "diversified_sampler": {
+                "field": "region", "max_docs_per_value": 1,
+                "shard_size": 3, "sort_field": "amount",
+                "tiebreak_field": "id",
+            },
+            "aggs": {"by_product": {"terms": {"field": "product"}}},
+        }
+    }).collect()}
+    assert got == {"a": 2, "b": 1}

@@ -217,6 +217,7 @@ _ONE_ROW_CROSS_JOIN_OK = {
     "dsir_sample",                 # raw/target totals (1 row each)
     "unimax_sample",               # water level scalar
     "es_aggs_moving_pipeline",     # sibling avg_bucket scalar
+    "es_aggs_sibling_stats",       # sibling stats/percentiles_bucket scalars
     "lm_perplexity_filter",        # vocab-size scalar
     "search_more_like_this",       # corpus count + selected-term count
     "corpus_profile",              # global totals leg
@@ -255,3 +256,46 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         elif "BroadcastNestedLoopJoin" in p and name not in _ONE_ROW_CROSS_JOIN_OK:
             offenders.append((name, "undocumented BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_percolate_is_one_scan_no_exchange(spark):
+    """Percolation is scan-shaped: all stored-query predicates ride one
+    document scan — no shuffle, no join, matches explode out of the
+    projection."""
+    p = plan_of(spark, "percolate_matches")
+    # no data-motion exchange: the only allowed Exchange is fan_out's
+    # round-robin repartition (small-scale parallelism helper, not a
+    # key shuffle)
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Join" not in p
+    assert len(scans(p)) == 1
+    assert "Generate explode" in p
+
+
+def test_query_string_filter_reaches_scan(spark):
+    """The parsed query_string's keyword predicates push to the scan like
+    the builder form's."""
+    p = plan_of(spark, "search_query_string")
+    assert "TakeOrderedAndProject" in p
+    scan = scans(p)[0]
+    # column pruning: the documents scan reads only what the query needs
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert "text" in cols and len(cols.split(",")) <= 5
+
+
+def test_diversified_sampler_single_diversity_exchange(spark):
+    """The per-value cap is a window rank riding ONE exchange on the
+    diversity key; the sample truncation is a TakeOrdered, not a global
+    sort of the corpus."""
+    p = plan_of(spark, "es_aggs_diversified_sampler")
+    assert p.count("Exchange hashpartitioning(source") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_terms_set_rides_scan(spark):
+    """terms_set is a codegen'd indicator sum over the analyzed tokens —
+    no join, no extra exchange below the final projection."""
+    p = plan_of(spark, "search_terms_set")
+    assert "Join" not in p
+    assert len(scans(p)) == 1

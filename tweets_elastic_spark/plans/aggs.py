@@ -18,6 +18,13 @@ Supported surface:
   ES key labels); one bucket agg may nest ONE further bucket agg under
   ``aggs``. ES's null contract holds: documents missing the bucket field
   leave the aggregation unless ``missing`` supplies a substitute.
+* ``sampler`` / ``diversified_sampler``: sub-aggs over the top
+  ``shard_size`` documents (diversified additionally caps docs per
+  ``field`` value — de-biasing a dominant source); this engine requires
+  an explicit ``sort_field`` (+ optional ``tiebreak_field``) instead of
+  ES's internal relevance order — determinism over score-order, a
+  documented divergence. Window-rank + TakeOrdered, then sub-aggs over
+  sample-cardinality rows.
 * bucket aggs also: ``multi_terms`` (distinct combinations of several
   term sources, key rendered as the "|"-joined key_as_string) and
   ``auto_date_histogram`` (engine-picked interval from a fixed-width
@@ -982,6 +989,61 @@ def es_aggregate(
             spec2["aggs"] = sub
         return es_aggregate(df, {name: spec2}, fg_pred, analyzers) \
             .withColumn("interval", F.lit(f"{secs}s"))
+    if kind in ("sampler", "diversified_sampler"):
+        # ES sampler/diversified_sampler: run the sub-aggs over a SAMPLE —
+        # the top `shard_size` documents, with diversified_sampler
+        # additionally capping documents per `field` value (de-biasing a
+        # dominant source before aggregating). ES orders the sample by
+        # relevance score; a distributed engine needs an EXPLICIT,
+        # reproducible order, so this engine requires `sort_field`
+        # (desc, id-free ties broken by the field itself) — a documented
+        # determinism-over-internal-score divergence. Plan shape: one
+        # window rank per diversity key (riding a single exchange on that
+        # key) + TakeOrderedAndProject for the sample, then the ordinary
+        # sub-agg machinery over sample-cardinality rows.
+        from pyspark.sql.window import Window
+
+        sort_field = body.get("sort_field")
+        if sort_field is None:
+            raise ValueError(
+                f"{kind} needs an explicit 'sort_field' (ES samples by "
+                "internal relevance order, which is not reproducible "
+                "across engines)"
+            )
+        if not sub:
+            raise ValueError(f"{kind} needs sub-aggregations to run over "
+                             "the sample")
+        shard_size = int(body.get("shard_size", 100))
+        # a unique tiebreak makes the sample boundary reproducible — ties
+        # in sort_field would otherwise select engine-dependently
+        order = [F.col(sort_field).desc()]
+        tb = body.get("tiebreak_field")
+        if tb is not None:
+            order.append(F.col(tb).asc())
+        sample = df
+        if kind == "diversified_sampler":
+            cap = int(body.get("max_docs_per_value", 1))
+            dfield = body["field"]
+            w = Window.partitionBy(dfield).orderBy(*order)
+            sample = (
+                sample.filter(F.col(dfield).isNotNull())
+                .withColumn("_srk", F.row_number().over(w))
+                .filter(F.col("_srk") <= cap)
+                .drop("_srk")
+            )
+        sample = sample.orderBy(*order).limit(shard_size)
+        # metric-only sub-aggs aggregate the sample globally (one row,
+        # doc_count = sample size — ES's sampler response shape); a
+        # bucket sub-agg routes through the ordinary machinery
+        if not any(
+            next(iter(s)) in _BUCKET_KINDS + ("date_range",
+                                              "auto_date_histogram")
+            for s in sub.values() if isinstance(s, dict) and s
+        ):
+            return sample.agg(
+                F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub)
+            )
+        return es_aggregate(sample, sub, fg_pred, analyzers)
     if kind == "filters":
         if sub:
             raise ValueError("filters agg does not support sub-aggs here")

@@ -2075,3 +2075,47 @@ def q_search_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         toked.filter(q.predicate(spark, F.col))
         .select("doc_id", "lang", matched.alias("n_matched"))
     )
+
+
+@register(
+    "es_aggs_diversified_sampler",
+    oracle="""
+    WITH capped AS (
+        SELECT doc_id, lang, n_chars, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM documents WHERE source IS NOT NULL
+    ), sample AS (
+        SELECT * FROM capped WHERE rk <= 2
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 50
+    )
+    SELECT lang AS by_lang,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(n_chars), 6) AS mean_chars
+    FROM sample WHERE lang IS NOT NULL GROUP BY lang
+    """,
+    doc="ES diversified_sampler: sub-aggs over the top-50 longest docs "
+        "with AT MOST 2 per source — the de-biasing sampler (a dominant "
+        "source cannot swamp the sample). Engine divergence, documented: "
+        "an explicit sort_field+tiebreak replaces ES's internal "
+        "relevance order, making the sample reproducible across engines. "
+        "Plan: window rank riding one exchange on the diversity key, "
+        "TakeOrdered sample, then ordinary agg machinery over 50 rows.",
+)
+def q_es_aggs_diversified_sampler(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return es_aggregate(docs, {"sample": {
+        "diversified_sampler": {
+            "field": "source", "max_docs_per_value": 2,
+            "shard_size": 50, "sort_field": "n_chars",
+            "tiebreak_field": "doc_id",
+        },
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang"},
+            "aggs": {"mean_chars": {"avg": {"field": "n_chars"}}},
+        }},
+    }}).withColumn("mean_chars", F.round("mean_chars", 6))

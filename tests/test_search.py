@@ -979,3 +979,117 @@ def test_terms_set_from_es_json(spark):
         "terms": ["a", "b"], "minimum_should_match_field": "required"}}}})
     assert q == TermsSet("tags", ["a", "b"],
                          minimum_should_match_field="required")
+
+
+# -------------------------------------------- type-ahead + rank_feature
+
+
+@pytest.fixture(scope="module")
+def typeahead_docs(spark):
+    rows = [
+        (1, "spark merge conflict", 100),
+        (2, "spark mergers acquired", 200),
+        (3, "merge spark later", 300),       # wrong order for the phrase
+        (4, "spark alone", 400),
+        (5, "sparkling merchandise", 0),     # 'spark' only as a prefix
+    ]
+    return spark.createDataFrame(rows, "id long, text string, feat long")
+
+
+def test_match_phrase_prefix_semantics(spark, typeahead_docs):
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.plans.search import MatchPhrasePrefix
+
+    q = MatchPhrasePrefix("text", "spark mer", analyzer="standard")
+    got = sorted(r["id"] for r in
+                 typeahead_docs.filter(q.predicate(spark, F.col)).collect())
+    # 1: spark+merge consecutive; 2: spark+mergers; 3 is out of order;
+    # 5's 'sparkling' is not the token 'spark'
+    assert got == [1, 2]
+    # single term -> bare token prefix
+    q1 = MatchPhrasePrefix("text", "sparkl", analyzer="standard")
+    got1 = sorted(r["id"] for r in
+                  typeahead_docs.filter(q1.predicate(spark, F.col)).collect())
+    assert got1 == [5]
+    # full last token also matches (prefix includes equality)
+    q2 = MatchPhrasePrefix("text", "spark merge", analyzer="standard")
+    got2 = sorted(r["id"] for r in
+                  typeahead_docs.filter(q2.predicate(spark, F.col)).collect())
+    assert got2 == [1, 2]  # 'merge' prefixes 'mergers' too
+
+
+def test_match_bool_prefix_or_vs_and(spark, typeahead_docs):
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.plans.search import MatchBoolPrefix
+
+    q_and = MatchBoolPrefix("text", "spark mer", analyzer="standard",
+                            operator="and")
+    got = sorted(r["id"] for r in
+                 typeahead_docs.filter(q_and.predicate(spark, F.col)).collect())
+    assert got == [1, 2, 3]  # order-free, but needs BOTH
+    q_or = MatchBoolPrefix("text", "spark mer", analyzer="standard")
+    got = sorted(r["id"] for r in
+                 typeahead_docs.filter(q_or.predicate(spark, F.col)).collect())
+    assert got == [1, 2, 3, 4, 5]  # 5: 'merchandise' matches 'mer' prefix
+
+
+def test_rank_feature_functions(spark, typeahead_docs):
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.plans.search import RankFeature, search
+
+    sat = search(typeahead_docs, RankFeature("feat", pivot=100.0), k=None)
+    got = {r["id"]: r["score"] for r in sat.collect()}
+    # feat=0 is excluded (non-positive feature never matches)
+    assert 5 not in got
+    assert got[1] == pytest.approx(100 / 200)
+    assert got[4] == pytest.approx(400 / 500)
+    import math
+    log = search(
+        typeahead_docs,
+        RankFeature("feat", function="log", scaling_factor=1.0, boost=2.0),
+        k=None,
+    )
+    got = {r["id"]: r["score"] for r in log.collect()}
+    assert got[1] == pytest.approx(2.0 * math.log(101))
+    sig = search(
+        typeahead_docs,
+        RankFeature("feat", function="sigmoid", pivot=200.0, exponent=2.0),
+        k=None,
+    )
+    got = {r["id"]: r["score"] for r in sig.collect()}
+    assert got[2] == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="saturation/log/sigmoid"):
+        search(typeahead_docs, RankFeature("feat", function="tanh"), k=None)
+
+
+def test_rank_feature_and_prefix_from_json(spark):
+    from tweets_elastic_spark.plans.search import (
+        MatchBoolPrefix,
+        MatchPhrasePrefix,
+        RankFeature,
+        from_es_json,
+    )
+
+    q = from_es_json(
+        {"query": {"match_phrase_prefix": {"text": {"query": "a b"}}}},
+        analyzers={"text": "standard"},
+    )
+    assert q == MatchPhrasePrefix("text", "a b", analyzer="standard")
+    q = from_es_json(
+        {"query": {"match_bool_prefix": {"text": {
+            "query": "a b", "operator": "and"}}}},
+        analyzers={"text": "standard"},
+    )
+    assert q == MatchBoolPrefix("text", "a b", analyzer="standard",
+                                operator="and")
+    q = from_es_json({"query": {"rank_feature": {
+        "field": "pagerank", "sigmoid": {"pivot": 8, "exponent": 0.6},
+        "boost": 3,
+    }}})
+    assert q == RankFeature("pagerank", function="sigmoid", pivot=8.0,
+                            exponent=0.6, boost=3.0)
+    with pytest.raises(ValueError, match="at most one function"):
+        from_es_json({"query": {"rank_feature": {
+            "field": "f", "log": {}, "sigmoid": {}}}})
+    with pytest.raises(ValueError, match="needs an analyzer"):
+        from_es_json({"query": {"match_phrase_prefix": {"text": "x"}}})

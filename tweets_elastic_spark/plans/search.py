@@ -499,6 +499,121 @@ class MatchPhrase(Query):
 
 
 @dataclass
+class MatchPhrasePrefix(Query):
+    """ES ``match_phrase_prefix`` (search-as-you-type): the analyzed terms
+    must appear consecutively, with the LAST term matching as a PREFIX of
+    a field token. Same NUL-joined containment as MatchPhrase, with the
+    needle's trailing NUL dropped after the last term's prefix — so
+    '\\0spark\\0mer' finds 'spark' followed by any token starting 'mer'.
+    One codegen'd string op per row; DuckDB mirrors it (position over
+    array_to_string), so the node is fully oracle-able. A single-term
+    query degrades to a token-prefix exists (the startswith HOF)."""
+
+    field: str
+    text: str
+    analyzer: str
+    tokens_col: str | None = None
+
+    def predicate(self, spark, resolve) -> Column:
+        phrase = analyze_text(spark, self.text, self.analyzer)
+        if not phrase:
+            return F.lit(False)
+        toks = (
+            resolve(self.tokens_col)
+            if self.tokens_col is not None
+            else analyze(resolve(self.field), self.analyzer)
+        )
+        nul = "\x00"
+        if len(phrase) == 1:
+            return F.exists(toks, lambda t: t.startswith(phrase[0]))
+        hay = F.concat(F.lit(nul), F.array_join(toks, nul), F.lit(nul))
+        needle = nul + nul.join(phrase)  # no trailing NUL: prefix match
+        return F.instr(hay, needle) > 0
+
+
+@dataclass
+class MatchBoolPrefix(Query):
+    """ES ``match_bool_prefix``: every analyzed term must be present
+    (operator='and' here — ES defaults to 'or'; both supported), except
+    the LAST, which matches as a token prefix ANYWHERE in the field (the
+    position-free sibling of match_phrase_prefix — the type-ahead query
+    for bag-of-words boxes)."""
+
+    field: str
+    text: str
+    analyzer: str
+    tokens_col: str | None = None
+    operator: str = "or"
+
+    def predicate(self, spark, resolve) -> Column:
+        if self.operator not in ("or", "and"):
+            raise ValueError(
+                f"operator must be 'or'/'and', got {self.operator!r}"
+            )
+        phrase = analyze_text(spark, self.text, self.analyzer)
+        if not phrase:
+            return F.lit(False)
+        toks = (
+            resolve(self.tokens_col)
+            if self.tokens_col is not None
+            else analyze(resolve(self.field), self.analyzer)
+        )
+        last = phrase[-1]
+        prefix_pred = F.exists(toks, lambda t: t.startswith(last))
+        full_preds = [F.array_contains(toks, t) for t in phrase[:-1]]
+        preds = full_preds + [prefix_pred]
+        out = preds[0]
+        for p in preds[1:]:
+            out = (out & p) if self.operator == "and" else (out | p)
+        return out
+
+
+@dataclass
+class RankFeature(Query):
+    """ES ``rank_feature``: score a document by a numeric feature field
+    through a saturating function — the query that folds popularity /
+    pagerank / freshness features into relevance. Matches when the
+    feature is present and positive (ES's contract); scores:
+
+    * ``saturation``: boost * x / (x + pivot)      (default)
+    * ``log``: boost * ln(scaling_factor + x)
+    * ``sigmoid``: boost * x^exp / (x^exp + pivot^exp)
+
+    All pure Column arithmetic riding the scan, oracle-able verbatim."""
+
+    CONSTANT_SCORE = False
+
+    field: str
+    function: str = "saturation"
+    pivot: float = 1.0
+    scaling_factor: float = 1.0
+    exponent: float = 1.0
+    boost: float = 1.0
+
+    def predicate(self, spark, resolve) -> Column:
+        c = resolve(self.field)
+        return c.isNotNull() & (c > 0)
+
+    def score(self, spark, resolve) -> Column:
+        x = resolve(self.field).cast("double")
+        if self.function == "saturation":
+            s = x / (x + F.lit(float(self.pivot)))
+        elif self.function == "log":
+            s = F.log(F.lit(float(self.scaling_factor)) + x)
+        elif self.function == "sigmoid":
+            e = float(self.exponent)
+            s = F.pow(x, e) / (F.pow(x, e) + F.lit(float(self.pivot) ** e))
+        else:
+            raise ValueError(
+                f"rank_feature function must be saturation/log/sigmoid, "
+                f"got {self.function!r}"
+            )
+        return F.when(
+            self.predicate(spark, resolve), F.lit(float(self.boost)) * s
+        ).otherwise(F.lit(0.0))
+
+
+@dataclass
 class Bm25Stats:
     """Corpus statistics BM25 needs: doc count, mean doc length (in tokens),
     and document frequency per query token. Computed in ONE aggregation job
@@ -1247,7 +1362,9 @@ def from_es_json(
     minimum_should_match, scalar-or-list clauses, the reference's
     ``{"query": ..., "weight": w}`` should shape), ``nested``, ``match``
     (with ``operator``/``minimum_should_match``), ``multi_match``
-    (best_fields, ``field^boost`` syntax), ``match_phrase``, ``term``,
+    (best_fields, ``field^boost`` syntax), ``match_phrase``,
+    ``match_phrase_prefix``, ``match_bool_prefix``, ``rank_feature``,
+    ``term``,
     ``terms``, ``terms_set``, ``prefix``, ``wildcard``, ``regexp`` (anchored, core
     operator set), ``fuzzy``, ``ids`` (bound to ``id_field``), ``range``,
     ``exists``, ``match_all``, ``constant_score``, ``dis_max``,
@@ -1556,6 +1673,59 @@ def from_es_json(
                     tokens_col=tokens_cols.get(field), slop=slop,
                 ),
                 scope,
+            )
+        if kind in ("match_phrase_prefix", "match_bool_prefix"):
+            (field, spec), = body.items()
+            if isinstance(spec, dict):
+                extra = set(spec) - ({"query", "operator"}
+                                     if kind == "match_bool_prefix"
+                                     else {"query"})
+                if extra:
+                    raise ValueError(f"unsupported {kind} options: {extra}")
+                text = spec["query"]
+                operator = spec.get("operator", "or")
+            else:
+                text, operator = spec, "or"
+            analyzer = analyzers.get(field)
+            if analyzer is None:
+                raise ValueError(
+                    f"{kind} on {field!r} needs an analyzer binding "
+                    "(prefix semantics are defined over analyzed tokens)"
+                )
+            if kind == "match_phrase_prefix":
+                return auto_nest(field, lambda f: MatchPhrasePrefix(
+                    f, text, analyzer=analyzer,
+                    tokens_col=tokens_cols.get(field),
+                ), scope)
+            return auto_nest(field, lambda f: MatchBoolPrefix(
+                f, text, analyzer=analyzer,
+                tokens_col=tokens_cols.get(field), operator=operator,
+            ), scope)
+        if kind == "rank_feature":
+            spec = dict(body)
+            if "field" not in spec:
+                raise ValueError(
+                    f"rank_feature expects {{'field': ...}}, got {body!r}"
+                )
+            field = spec.pop("field")
+            boost = float(spec.pop("boost", 1.0))
+            unknown = set(spec) - {"saturation", "log", "sigmoid"}
+            if unknown:
+                raise ValueError(f"unsupported rank_feature keys: {unknown}")
+            if len(spec) > 1:
+                raise ValueError(
+                    f"rank_feature takes at most one function, got "
+                    f"{sorted(spec)}"
+                )
+            if not spec:
+                return RankFeature(field, boost=boost)
+            (fn, fb), = spec.items()
+            fb = fb or {}
+            return RankFeature(
+                field, function=fn, boost=boost,
+                pivot=float(fb.get("pivot", 1.0)),
+                scaling_factor=float(fb.get("scaling_factor", 1.0)),
+                exponent=float(fb.get("exponent", 1.0)),
             )
         if kind == "range":
             (field, bounds), = body.items()

@@ -2119,3 +2119,80 @@ def q_es_aggs_diversified_sampler(
             "aggs": {"mean_chars": {"avg": {"field": "n_chars"}}},
         }},
     }}).withColumn("mean_chars", F.round("mean_chars", 6))
+
+
+_WORDS_CTE = """
+    WITH toks AS (
+        SELECT doc_id, lang, source, n_chars,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    )
+"""
+
+
+@register(
+    "search_rank_feature_prefix",
+    oracle=_WORDS_CTE + """
+    SELECT doc_id, n_chars,
+           round(2.0 * (n_chars / (n_chars + 500.0)), 6) AS score
+    FROM toks
+    WHERE position(chr(1) || 'spark' || chr(1) || 'mer'
+                   IN chr(1) || array_to_string(t, chr(1)) || chr(1)) > 0
+      AND n_chars > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+    doc="ES match_phrase_prefix (search-as-you-type: 'spark mer' matches "
+        "'spark' followed by any token starting 'mer' — the NUL-joined "
+        "containment with the trailing sentinel dropped) filtered, scored "
+        "by rank_feature saturation (boost * x/(x+pivot) over n_chars — "
+        "the popularity/freshness feature fold). Both compiled from the "
+        "JSON artifact; pure scan arithmetic + TakeOrderedAndProject.",
+)
+def q_search_rank_feature_prefix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dsl = {"query": {"bool": {
+        "should": [{
+            "query": {"rank_feature": {
+                "field": "n_chars",
+                "saturation": {"pivot": 500},
+                "boost": 2.0,
+            }},
+            "weight": 1,
+        }],
+        "filter": [
+            {"match_phrase_prefix": {"text": {"query": "spark mer"}}},
+        ],
+    }}}
+    query = from_es_json(dsl, analyzers={"text": "standard"})
+    return (
+        search(docs, query, k=20, tiebreak="doc_id")
+        .select("doc_id", "n_chars", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "search_match_bool_prefix",
+    oracle=_WORDS_CTE + """
+    SELECT doc_id, lang
+    FROM toks
+    WHERE list_contains(t, 'spark')
+      AND len(list_filter(t, x -> x LIKE 'mer%')) > 0
+    """,
+    doc="ES match_bool_prefix (operator=and): every analyzed term present "
+        "except the last, which matches as a token PREFIX anywhere — the "
+        "position-free type-ahead. An exists(startswith) HOF + "
+        "array_contains conjunction riding the scan.",
+)
+def q_search_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import MatchBoolPrefix
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    q = MatchBoolPrefix("text", "spark mer", analyzer="standard",
+                        operator="and")
+    return docs.filter(q.predicate(spark, F.col)).select("doc_id", "lang")

@@ -1341,3 +1341,28 @@ def test_diversified_sampler_caps_per_value(spark, sales):
         }
     }).collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_tdigest_percentiles_within_rank_error(spark):
+    """The sketch path (tdigest -> percentile_approx) must land within the
+    GK rank-error bound of the exact percentiles on real data."""
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    spec = {"field": "value", "percents": [50, 90, 99]}
+    exact = es_aggregate(ev, {"t": {"terms": {"field": "event_type"},
+                                    "aggs": {"p": {"percentiles": spec}}}})
+    approx = es_aggregate(ev, {"t": {
+        "terms": {"field": "event_type"},
+        "aggs": {"p": {"percentiles": {**spec,
+                                       "tdigest": {"compression": 100}}}}}})
+    e = {r["t"]: r for r in exact.collect()}
+    a = {r["t"]: r for r in approx.collect()}
+    assert set(e) == set(a) and e
+    # rank error 1/accuracy = 1e-4; on these distributions that means the
+    # sketch value sits within a tight neighborhood of the exact one
+    for k in e:
+        for col in ("p_p50", "p_p90", "p_p99"):
+            lo, hi = sorted((e[k][col], a[k][col]))
+            spread = abs(e[k]["p_p99"] - e[k]["p_p50"]) + 1e-9
+            assert hi - lo <= 0.05 * spread + 1e-6, (k, col, e[k][col], a[k][col])

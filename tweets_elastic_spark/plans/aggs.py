@@ -247,19 +247,36 @@ def _metric_cols(aggs: dict) -> list[Column]:
         if kind in _METRICS:
             out.append(_METRICS[kind](F.col(body["field"])).alias(name))
         elif kind == "percentiles":
-            # ES estimates percentiles with t-digest; this engine evaluates
-            # them EXACTLY (built-in `percentile`, linear interpolation —
-            # the same definition as SQL's quantile_cont) so results stay
-            # oracle-checkable: a documented strictly-more-accurate
-            # divergence, like cardinality. Flattened one column per
-            # requested percent: {name}_p{percent}.
+            # ES estimates percentiles with t-digest; by default this
+            # engine evaluates them EXACTLY (built-in `percentile`, linear
+            # interpolation — the same definition as SQL's quantile_cont)
+            # so results stay oracle-checkable: a documented strictly-
+            # more-accurate divergence, like cardinality. Flattened one
+            # column per requested percent: {name}_p{percent}.
+            #
+            # Passing ES's ``tdigest`` option opts into the SKETCH path:
+            # percentile_approx (Greenwald-Khanna summaries — like ES's
+            # t-digest a bounded-memory, executor-mergeable sketch, the
+            # shape that matters at 100 TB where the exact form's
+            # per-group value buffer is the scale limit). ``compression``
+            # maps to the accuracy knob (ES default 100 ≈ accuracy 10000;
+            # error ≤ 1/accuracy of rank). Sketch results are
+            # approximate by contract -> pytest-bounded, not hash-oracled.
             c = F.col(body["field"])
+            td = body.get("tdigest")
             for p in body.get("percents", [25, 50, 75]):
                 label = str(p).replace(".", "_")
-                out.append(
-                    F.round(F.percentile(c, float(p) / 100.0), 6)
-                    .alias(f"{name}_p{label}")
-                )
+                if td is not None:
+                    acc = int(float(td.get("compression", 100)) * 100)
+                    out.append(
+                        F.percentile_approx(c, float(p) / 100.0, acc)
+                        .cast("double").alias(f"{name}_p{label}")
+                    )
+                else:
+                    out.append(
+                        F.round(F.percentile(c, float(p) / 100.0), 6)
+                        .alias(f"{name}_p{label}")
+                    )
         elif kind == "stats":
             c = F.col(body["field"])
             out += [
@@ -970,7 +987,7 @@ def es_aggregate(
         field = body["field"]
         target = int(body.get("buckets", 10))
         if target <= 0:
-            raise ValueError(f"auto_date_histogram buckets must be > 0")
+            raise ValueError("auto_date_histogram buckets must be > 0")
         lo, hi = df.agg(F.min(field), F.max(field)).first()
         ladder = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600,
                   12 * 3600, 86400, 7 * 86400, 30 * 86400, 90 * 86400]
@@ -1137,6 +1154,10 @@ def es_aggregate(
         fixed = body.get("fixed_interval")
         if fixed is not None:
             m = re.fullmatch(r"(\d+)(s|m|h|d)", str(fixed))
+            if not m:
+                raise ValueError(
+                    f"bad fixed_interval {fixed!r} (expected <n>[smhd])"
+                )
             bucket_s = int(m.group(1)) * {
                 "s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
         else:

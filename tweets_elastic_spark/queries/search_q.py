@@ -2196,3 +2196,31 @@ def q_search_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = MatchBoolPrefix("text", "spark mer", analyzer="standard",
                         operator="and")
     return docs.filter(q.predicate(spark, F.col)).select("doc_id", "lang")
+
+
+@register(
+    "es_aggs_percentiles_tdigest",
+    # rows-only: sketch results are approximate by contract — the exact
+    # twin es_aggs_percentiles carries the hash oracle for this shape, and
+    # tests/test_es_aggs.py::test_tdigest_percentiles_within_rank_error
+    # pins the sketch against the exact values with the GK error bound.
+    doc="Percentiles via the SKETCH path (ES tdigest option -> "
+        "percentile_approx, a Greenwald-Khanna summary): bounded-memory, "
+        "executor-MERGEABLE per-group state — the 100 TB shape, where the "
+        "exact form's per-group value buffer is the scale limit. "
+        "Approximate by contract, so pytest-bounded instead of "
+        "hash-oracled; the exact twin keeps the oracle.",
+)
+def q_es_aggs_percentiles_tdigest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"lat": {"percentiles": {
+            "field": "value", "percents": [50, 90, 99],
+            "tdigest": {"compression": 100},
+        }}},
+    }})

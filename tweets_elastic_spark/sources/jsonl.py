@@ -47,24 +47,37 @@ def read_jsonl(
     A line is quarantined if it is not valid JSON or if a declared
     column's value cannot be coerced to its type (Spark's PERMISSIVE
     semantics). Missing fields are NOT corruption — they parse as NULL,
-    the same semi-structured null contract the ES layer uses."""
+    the same semi-structured null contract the ES layer uses.
+
+    Plan shape: the TEXT source + a ``from_json`` expression, NOT the
+    json file source — deliberately. The json source forbids queries
+    that reference only its internal corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), which would
+    force caching/checkpointing the parsed corpus to split it; the
+    expression form has no such restriction, so BOTH legs stay pure
+    scan-shaped projections (each leg is one text scan + per-line parse;
+    nothing materializes, nothing shuffles)."""
     if CORRUPT_COL in schema.fieldNames():
         raise ValueError(f"schema must not declare {CORRUPT_COL!r}")
     with_corrupt = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
     )
-    raw = (
-        spark.read.schema(with_corrupt)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        # Spark forbids (and would mis-plan) queries touching ONLY the
-        # corrupt column of an unreferenced parse; materializing the full
-        # relation once keeps both legs reading the same parse results.
-        .localCheckpoint()
+    raw = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value", with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_parsed"),
     )
-    valid = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    quarantine = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    valid = (
+        raw.filter(F.col(f"_parsed.{CORRUPT_COL}").isNull())
+        .select("_parsed.*")
+        .drop(CORRUPT_COL)
+    )
+    quarantine = (
+        raw.filter(F.col(f"_parsed.{CORRUPT_COL}").isNotNull())
+        .select(F.col("value").alias(CORRUPT_COL))
+    )
     return valid, quarantine
 
 

@@ -61,8 +61,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # between driver-verified and locally-verified rows moves.
 DRIVER_PRIORITY: list[str] = [
     # flagship + relational reference surface
+    # (r6 third wave: star_join_project -> percolate_matches — the
+    # broadcast-dim star join stays driver-covered transitively via
+    # snowflake_dim_join and the flagship's dim joins (both plan-pinned),
+    # while percolation (reverse search) is a new capability family; the
+    # ousted query stays full-oracle post-prefix + parity-pytest)
     "tweet_documents_flat", "denorm_order_lineitems", "keyset_page",
-    "point_lookup", "snowflake_dim_join", "star_join_project",
+    "point_lookup", "snowflake_dim_join", "percolate_matches",
     "self_join_pairs", "exists_child_hof", "topk_orders", "pricing_summary",
     "range_filter_conj",
     # (match_all_count deprioritized: every prefix entry's row-count

@@ -719,3 +719,11 @@ def test_suggest_completion_fuzzy_prefix(spark, sf_dir=None):
     none = suggest_completion(spark, idx, "text__custom_shingles", "spqrk",
                               size=10).collect()
     assert none == []
+    # deletion typo: 'sprk' omits a letter — the matching candidate
+    # prefix ('spark', 5 chars) is LONGER than the typed text
+    fuzzy_del = {r["suggestion"]
+                 for r in suggest_completion(spark, idx,
+                                             "text__custom_shingles",
+                                             "sprk", size=10,
+                                             fuzzy_edits=1).collect()}
+    assert any(s.startswith("spark") for s in fuzzy_del)

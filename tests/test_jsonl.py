@@ -147,3 +147,53 @@ def test_tsv_and_short_rows_quarantined(spark, tmp_path):
     assert [r[0] for r in quar.collect()] == ["8"]
     assert sorted((r["id"], r["name"]) for r in valid.collect()) == \
         [(7, "x"), (9, None)]
+
+
+# -------------------------------------------- review-pass regressions (r6)
+
+
+def test_blank_lines_quarantined_not_null_filled(spark, tmp_path):
+    """from_json('') yields a NULL struct with no corrupt flag — blank
+    lines must still quarantine, never become silent all-NULL rows."""
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        f.write('{"id": 1, "name": "a"}\n\n   \n{"id": 2, "name": "b"}\n')
+    valid, quar = read_jsonl(
+        spark, str(src), StructType.fromDDL("id long, name string"))
+    assert sorted(r["id"] for r in valid.collect()) == [1, 2]
+    assert quar.count() == 2  # the blank and the whitespace-only line
+
+
+def test_blank_csv_lines_quarantined(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from tweets_elastic_spark.sources.delimited import read_delimited
+
+    src = tmp_path / "csv"
+    src.mkdir()
+    with open(src / "a.csv", "w") as f:
+        f.write("1,alpha\n\n2,beta\n")
+    valid, quar = read_delimited(
+        spark, str(src), StructType.fromDDL("id long, name string"))
+    assert sorted(r["id"] for r in valid.collect()) == [1, 2]
+    assert quar.count() == 1
+
+
+def test_subsecond_timestamps_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00.123"), (2, "2024-01-01 10:00:00")],
+        "id long, raw string",
+    ).selectExpr("id", "cast(raw as timestamp) as ts")
+    path = str(tmp_path / "ms")
+    write_jsonl(df, path)
+    from pyspark.sql.types import StructType
+
+    valid, quar = read_jsonl(
+        spark, str(path), StructType.fromDDL("id long, ts timestamp"))
+    assert quar.count() == 0
+    got = {r["id"]: r["ts"] for r in valid.collect()}
+    assert got[1].microsecond == 123000
+    assert got[2].microsecond == 0

@@ -92,3 +92,14 @@ def test_streaming_percolate_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from perc_out").collect()
     )
     assert got == _pairs(percolate(docs, STORED))
+
+
+def test_multi_batch_still_single_scan(spark):
+    """batch_size smaller than the query count must NOT multiply corpus
+    scans (arrays concat into one projection; no per-batch union)."""
+    docs = load_table(spark, SF, "documents")
+    df = percolate(docs, STORED, batch_size=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+    assert _pairs(df) == _pairs(percolate(docs, STORED, batch_size=64))

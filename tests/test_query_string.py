@@ -20,6 +20,7 @@ from tweets_elastic_spark.plans.search import (
     Match,
     MatchAll,
     MatchPhrase,
+    MatchPhrasePrefix,
     Prefix,
     Range,
     Term,
@@ -228,3 +229,85 @@ def test_query_string_equals_hand_built_tree(spark, sf_dir):
     b = search(docs, built, k=50, tiebreak="doc_id") \
         .select("doc_id", "score").collect()
     assert a == b and len(a) > 0
+
+
+# -------------------------------------------- review-pass regressions (r6)
+
+
+def test_group_boost_and_range_boost():
+    q = P("(lang:a OR lang:b)^4 lang:c")
+    assert (Term("lang", "c"), 1.0) in q.should
+    grp = [w for c, w in q.should if isinstance(c, Bool)]
+    assert grp == [4.0]
+    q = P("n_chars:>5^2")
+    assert q == Range("n_chars", gt=5) or q.should == [
+        (Range("n_chars", gt=5), 2.0)]
+
+
+def test_group_fuzziness_rejected():
+    with pytest.raises(QueryStringSyntaxError, match="groups"):
+        P("(lang:a OR lang:b)~2")
+
+
+def test_simple_pipe_inside_quotes_is_literal():
+    q = SP('"foo|bar"', analyzers={})
+    assert q == Term("text", "foo|bar")
+
+
+def test_simple_escaped_pipe_is_literal():
+    q = SP(r"a\|b", analyzers={})
+    assert q == Term("text", "a|b")
+
+
+def _flat_terms(q):
+    """Flatten psq's left-assoc OR nest into the ordered Term list."""
+    if isinstance(q, Term):
+        return [q]
+    out = []
+    for c, _ in q.should:
+        out += _flat_terms(c)
+    return out
+
+
+def test_simple_boolean_words_are_plain_terms():
+    q = SP("Fish AND Chips", analyzers={}, default_field="t")
+    assert _flat_terms(q) == [
+        Term("t", "Fish"), Term("t", "AND"), Term("t", "Chips")]
+    q = SP("Wham!", analyzers={}, default_field="t")
+    assert q == Term("t", "Wham!")
+    q = SP("a && b ! c", analyzers={}, default_field="t")
+    assert _flat_terms(q) == [
+        Term("t", "a"), Term("t", "&&"), Term("t", "b"),
+        Term("t", "!"), Term("t", "c")]
+
+
+def test_simple_inner_wildcards_are_literal():
+    q = SP("a*b", analyzers={}, default_field="t")
+    assert q == Term("t", "a*b")
+    q = SP("te?t", analyzers={}, default_field="t")
+    assert q == Term("t", "te?t")
+
+
+def test_simple_trailing_star_on_analyzed_field_is_token_prefix(spark, sf_dir):
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = SP("spar*", analyzers={"text": "standard"})
+    assert isinstance(q, MatchPhrasePrefix)
+    hits = docs.filter(
+        q.predicate(spark, __import__("pyspark").sql.functions.col)
+    ).count()
+    assert hits > 0
+
+
+def test_query_string_analyzed_inner_wildcard_raises():
+    with pytest.raises(QueryStringSyntaxError, match="term dictionary"):
+        P("sp?rk")
+    # trailing star on the analyzed default field = token prefix
+    q = P("spar*")
+    assert isinstance(q, MatchPhrasePrefix)
+
+
+def test_simple_phrase_slop_parses():
+    q = SP('"a b"~1', analyzers={"text": "standard"})
+    assert isinstance(q, MatchPhrase) and q.slop == 1

@@ -538,11 +538,22 @@ def suggest_completion(
     if fuzzy_edits == 0:
         pred = F.col("token").like(_like_escape(prefix) + "%")
     else:
-        pred = (F.length("token") >= len(prefix) - fuzzy_edits) & (
+        # "some PREFIX of the candidate is within fuzzy_edits of the
+        # input": a matching candidate prefix can be SHORTER or LONGER
+        # than the typed text (deletion/insertion typos — 'sprk' is one
+        # edit from the 5-char prefix 'spark'), so test every slice
+        # length in len(prefix) ± fuzzy_edits and take the best. 2e+1
+        # cheap expressions on the bounded vocabulary, not a scan cost.
+        lo = max(1, len(prefix) - fuzzy_edits)
+        hi = len(prefix) + fuzzy_edits
+        dists = [
             F.levenshtein(
-                F.substring(F.col("token"), 1, len(prefix)), F.lit(prefix)
-            ) <= fuzzy_edits
-        )
+                F.substring(F.col("token"), 1, L), F.lit(prefix)
+            )
+            for L in range(lo, hi + 1)
+        ]
+        best = dists[0] if len(dists) == 1 else F.least(*dists)
+        pred = (F.length("token") >= lo) & (best <= fuzzy_edits)
     return (
         vocab.filter(pred)
         .select(F.col("token").alias("suggestion"), "weight")

@@ -23,11 +23,13 @@ separate implementation.
 
 Scale design (100 TB corpus, thousands of stored queries):
 
-* Work is (docs x queries) predicate evaluations riding one scan —
-  embarrassingly parallel, linear in both factors, no data motion. The
-  wide projection is chunked into ``batch_size``-column select blocks so
-  whole-stage codegen never sees a single method over the JIT limit
-  (the blocks compose into one stage; Spark splits codegen per block).
+* Work is (docs x queries) predicate evaluations riding ONE scan —
+  embarrassingly parallel, linear in both factors, no data motion, for
+  ANY number of stored queries (the match arrays concatenate into a
+  single projection; there is no per-batch union, which would re-scan
+  the corpus once per batch). ``batch_size`` only bounds each array
+  expression's width; an over-wide total projection degrades to Spark's
+  interpreted projection, still one scan.
 * ES's percolator prunes candidates with a term PRE-index over the stored
   queries (a query matching "spark" can only fire on docs containing
   "spark"). The expression-level analogue available here: wrap a stored
@@ -75,18 +77,24 @@ def percolate(
         raise ValueError(f"duplicate stored-query ids: {dupes}")
     spark = docs.sparkSession
 
-    out = None
+    # One matched-ids array per batch_size stored queries, all arrays
+    # concatenated and exploded in a SINGLE projection over a SINGLE scan
+    # — never a union of per-batch re-scans (Spark does not dedupe file
+    # scans across union branches; 1000 queries must not cost 16 reads of
+    # a 100 TB corpus). batch_size only bounds each array expression's
+    # width, keeping individual expression trees shallow; if the total
+    # projection outgrows whole-stage codegen's method limit Spark falls
+    # back to interpreted projection for the operator, which is still one
+    # scan.
+    arrays = []
     for i in range(0, len(stored), batch_size):
         batch = stored[i:i + batch_size]
-        hits = F.array_compact(F.array(*[
+        arrays.append(F.array_compact(F.array(*[
             F.when(q.predicate(spark, _col_resolver), F.lit(qid))
             for qid, q in batch
-        ]))
-        part = (
-            docs.select(F.col(id_col), F.explode(hits).alias(out_col))
-        )
-        out = part if out is None else out.unionAll(part)
-    return out
+        ])))
+    hits = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    return docs.select(F.col(id_col), F.explode(hits).alias(out_col))
 
 
 def percolate_from_json(

@@ -376,14 +376,16 @@ def _metric_cols(aggs: dict) -> list[Column]:
             ]
             chars = F.flatten(F.collect_list(F.split(c, "")))
             total = F.size(chars).cast("double")
-            entropy = F.aggregate(
+            # count each distinct char ONCE (D array scans, not 2D): the
+            # transform binds the count so the -p*log2(p) term reuses it
+            counts = F.transform(
                 F.array_distinct(chars),
+                lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+            )
+            entropy = F.aggregate(
+                counts,
                 F.lit(0.0),
-                lambda acc, ch: acc - (
-                    F.size(F.filter(chars, lambda x: x == ch)) / total
-                ) * F.log2(
-                    F.size(F.filter(chars, lambda x: x == ch)) / total
-                ),
+                lambda acc, n: acc - (n / total) * F.log2(n / total),
             )
             out.append(F.round(entropy, 6).alias(f"{name}_entropy"))
         elif kind in ("terms", "multi_terms", "date_histogram", "histogram",

@@ -57,6 +57,7 @@ from tweets_elastic_spark.plans.search import (
     Match,
     MatchAll,
     MatchPhrase,
+    MatchPhrasePrefix,
     Prefix,
     Query,
     Range,
@@ -119,8 +120,11 @@ def _tokenize(s: str) -> list[_Tok]:
             i += 1
             continue
         if c == ")":
-            toks.append(_Tok("RPAREN"))
-            i += 1
+            # Lucene supports group boosts — '(a OR b)^2' — so the
+            # suffix reader runs after a closing paren too
+            tok = _Tok("RPAREN")
+            i = _read_suffix(s, i + 1, tok)
+            toks.append(tok)
             continue
         if c == "+":
             toks.append(_Tok("PLUS"))
@@ -193,7 +197,9 @@ def _tokenize(s: str) -> list[_Tok]:
                     (">", False): "gt", (">", True): "gte",
                     ("<", False): "lt", ("<", True): "lte",
                 }[(op, eq)]
-                toks.append(_Tok("RANGE", f"{kind}\x00{val}", field=field))
+                tok = _Tok("RANGE", f"{kind}\x00{val}", field=field)
+                i = _read_suffix(s, i, tok)
+                toks.append(tok)
                 continue
             # mark the next token with the field scope
             pending_field = field
@@ -274,11 +280,11 @@ def _read_suffix(s: str, i: int, tok: _Tok) -> int:
 # leaf compilation (shared by both parsers)
 
 
-def _split_wild(text: str) -> tuple[str, list[str]]:
+def _split_wild(text: str) -> tuple[str, list[tuple[int, str]]]:
     """Unescape a term while recording which ``*``/``?`` are OPERATORS
-    (unescaped). Returns (plain_text, operator_wildcards)."""
+    (unescaped). Returns (plain_text, [(position_in_plain, wildcard)])."""
     out: list[str] = []
-    wilds: list[str] = []
+    wilds: list[tuple[int, str]] = []
     i, n = 0, len(text)
     while i < n:
         c = text[i]
@@ -287,10 +293,77 @@ def _split_wild(text: str) -> tuple[str, list[str]]:
             i += 2
             continue
         if c in "*?":
-            wilds.append(c)
+            wilds.append((len(out), c))
         out.append(c)
         i += 1
     return "".join(out), wilds
+
+
+def _tokenize_simple(s: str) -> list[_Tok]:
+    """SimpleQueryParser tokenizer: ONLY ``+ | - " ( ) ~N`` (and trailing
+    ``*``, handled at leaf level) are syntax; every other character —
+    including AND/OR/NOT, ``&&``, ``!``, ``:``, ``^``, brackets — is term
+    text. Never raises: an unbalanced quote turns the rest of the input
+    into one phrase."""
+    toks: list[_Tok] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "(":
+            toks.append(_Tok("LPAREN"))
+            i += 1
+            continue
+        if c == ")":
+            toks.append(_Tok("RPAREN"))
+            i += 1
+            continue
+        if c == "+":
+            toks.append(_Tok("PLUS"))
+            i += 1
+            continue
+        if c == "-":
+            toks.append(_Tok("MINUS"))
+            i += 1
+            continue
+        if c == "|":
+            toks.append(_Tok("OR"))
+            while i < n and s[i] == "|":
+                i += 1
+            continue
+        if c == '"':
+            text, j = _read_escaped(s, i + 1, lambda ch: ch == '"')
+            tok = _Tok("PHRASE", text)
+            if j < n:  # balanced quote: consume it + optional ~N slop
+                j += 1
+                m = re.match(r"~(\d+)", s[j:])
+                if m:
+                    tok.fuzzy = int(m.group(1))
+                    j += len(m.group())
+            toks.append(tok)  # unbalanced: rest of input is the phrase
+            i = j
+            continue
+        text, j = _read_escaped(
+            s, i, lambda ch: ch.isspace() or ch in '()+-|"~',
+            keep_escapes=True,
+        )
+        if not text:  # lone '~' with nothing before it: drop
+            i += 1
+            continue
+        tok = _Tok("TERM", text)
+        if j < n and s[j] == "~":
+            j += 1
+            m = re.match(r"\d+", s[j:])
+            if m:
+                tok.fuzzy = int(m.group())
+                j += len(m.group())
+            else:
+                tok.fuzzy = -1
+        toks.append(tok)
+        i = j
+    return toks
 
 
 def _num_or_str(v: str):
@@ -352,8 +425,22 @@ def _leaf(
                 "escaped-literal ones; the Wildcard node cannot express "
                 "that — escape all or none"
             )
-        if plain.endswith("*") and len(wilds) == 1:
+        if wilds == [(len(plain) - 1, "*")]:
+            if analyzer is not None:
+                # Lucene wildcards match TERMS: on an analyzed field a
+                # prefix expands against the token stream, not the raw
+                # column — the 1-term MatchPhrasePrefix is that exists
+                return MatchPhrasePrefix(
+                    field, plain[:-1], analyzer, tokens_col=tokens_col
+                )
             return Prefix(field, plain[:-1])
+        if analyzer is not None:
+            raise QueryStringSyntaxError(
+                f"non-trailing wildcards on the analyzed field {field!r} "
+                "are unsupported (term-level wildcard expansion needs the "
+                "stored term dictionary — see indexing.fuzzy_expand for "
+                "the dictionary route); only trailing * (prefix) compiles"
+            )
         return Wildcard(field, plain)
     if tok.fuzzy is not None:
         fz = "AUTO" if tok.fuzzy < 0 else tok.fuzzy
@@ -502,7 +589,12 @@ class _Parser:
             if closing is None or closing.kind != "RPAREN":
                 raise QueryStringSyntaxError("unbalanced parenthesis")
             self.next()
-            return q, 1.0
+            if closing.fuzzy is not None:
+                raise QueryStringSyntaxError(
+                    "~ fuzziness/slop applies to terms and phrases, not "
+                    "to groups"
+                )
+            return q, closing.boost  # Lucene group boost: (a OR b)^2
         if tok.kind in ("TERM", "PHRASE", "RANGE"):
             if tok.field is None and scope_field != "":
                 tok = _Tok(tok.kind, tok.text, field=scope_field,
@@ -552,41 +644,56 @@ def parse_simple_query_string(
     default_operator: str = "or",
 ) -> Query:
     """Lucene SimpleQueryParser semantics: ``|`` OR, ``+`` AND, ``-`` NOT,
-    quotes, trailing-``*`` prefix, ``~N`` fuzzy, parens; ``+``/``|`` bind
-    left-to-right at equal precedence. NEVER raises: malformed syntax
-    degrades (unbalanced quote → the rest is one phrase; unbalanced paren
-    → treated as if closed at end; dangling operator → dropped)."""
+    quotes (with ``"..."~N`` slop), trailing-``*`` prefix, ``~N`` fuzzy,
+    parens; ``+``/``|`` bind left-to-right at equal precedence. ONLY those
+    characters are syntax — ``AND``/``OR``/``NOT``, ``&&``, ``!``, ``:``,
+    ``^``, brackets, and NON-trailing ``*``/``?`` are literal text (the
+    SimpleQueryParser contract, so 'Fish AND Chips' searches the word
+    'and' and 'Wham!' keeps its bang), which is why this parser has its
+    OWN tokenizer instead of sharing query_string's. NEVER raises:
+    malformed syntax degrades (unbalanced quote → the rest is one phrase;
+    unbalanced paren → treated as if closed at end; dangling operator →
+    dropped)."""
     analyzers = analyzers or {}
     tokens_cols = tokens_cols or {}
 
-    # SimpleQueryParser reads any run of '|' as OR (the shared tokenizer
-    # only knows the query_string spelling '||')
-    query = re.sub(r"\|+", " || ", query)
-    try:
-        toks = _tokenize(query)
-    except QueryStringSyntaxError:
-        # degrade: strip the syntax characters and match the plain terms
-        plain = re.sub(r'["(){}\[\]+\-|&~^\\]', " ", query)
-        toks = [_Tok("TERM", t) for t in plain.split()]
+    toks = _tokenize_simple(query)
     if not toks:
         return MatchAll()
 
     def leaf(tok: _Tok) -> Query:
-        # simple syntax has no field: scoping — a stray colon glued a
-        # field on; fold it back into a literal term
-        if tok.field is not None and tok.kind == "TERM":
-            tok = _Tok("TERM", f"{tok.field}:{tok.text}", fuzzy=tok.fuzzy)
-        elif tok.field is not None:
-            tok = _Tok(tok.kind, tok.text, fuzzy=tok.fuzzy)
-        try:
-            return _leaf(tok, default_field, analyzers, tokens_cols)
-        except ValueError:
-            # never-throws: an inexpressible leaf (mixed escaped/operator
-            # wildcards, malformed range) degrades to its plain text
-            plain = re.sub(r"[\\*?]", "", tok.text)
-            return _leaf(
-                _Tok("TERM", plain), default_field, analyzers, tokens_cols
+        analyzer = analyzers.get(default_field)
+        tokens_col = tokens_cols.get(default_field)
+        if tok.kind == "PHRASE":
+            if analyzer is None:
+                return Term(default_field, tok.text)
+            return MatchPhrase(
+                default_field, tok.text, analyzer, tokens_col=tokens_col,
+                slop=max(tok.fuzzy or 0, 0),
             )
+        # TERM: only a TRAILING unescaped '*' is syntax (prefix); every
+        # other '*'/'?' is literal text in simple mode
+        plain, wilds = _split_wild(tok.text)
+        if wilds and wilds[-1] == (len(plain) - 1, "*"):
+            if analyzer is not None:
+                # analyzed field: prefix means TOKEN prefix (Lucene
+                # expands against the term dictionary) — the 1-term
+                # MatchPhrasePrefix is exactly exists(startswith)
+                return MatchPhrasePrefix(
+                    default_field, plain[:-1], analyzer,
+                    tokens_col=tokens_col,
+                )
+            return Prefix(default_field, plain[:-1])
+        if tok.fuzzy is not None:
+            fz = "AUTO" if tok.fuzzy < 0 else tok.fuzzy
+            if analyzer is None:
+                return Fuzzy(default_field, plain, fuzziness=fz)
+            return Match(default_field, plain, analyzer=analyzer,
+                         tokens_col=tokens_col, fuzziness=fz)
+        if analyzer is None:
+            return Term(default_field, plain)
+        return Match(default_field, plain, analyzer=analyzer,
+                     tokens_col=tokens_col)
 
     pos = 0
 

@@ -62,13 +62,8 @@ def read_delimited(
              "sep": sep},
         ).alias("_parsed"),
     )
-    valid = (
-        raw.filter(F.col(f"_parsed.{CORRUPT_COL}").isNull())
-        .select("_parsed.*")
-        .drop(CORRUPT_COL)
-    )
-    quarantine = (
-        raw.filter(F.col(f"_parsed.{CORRUPT_COL}").isNotNull())
-        .select(F.col("value").alias(CORRUPT_COL))
-    )
-    return valid, quarantine
+    # shared split: corrupt rows AND blank lines (NULL parse struct — the
+    # 0-token ultimate short row) both quarantine
+    from tweets_elastic_spark.sources.jsonl import split_parsed
+
+    return split_parsed(raw)

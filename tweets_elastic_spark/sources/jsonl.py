@@ -69,15 +69,26 @@ def read_jsonl(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("_parsed"),
     )
-    valid = (
-        raw.filter(F.col(f"_parsed.{CORRUPT_COL}").isNull())
-        .select("_parsed.*")
-        .drop(CORRUPT_COL)
+    return split_parsed(raw)
+
+
+def split_parsed(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a (value, _parsed) relation into (valid, quarantine) — the
+    shared tail of read_jsonl and sources/delimited.read_delimited. A row
+    is quarantined when the parse flagged it corrupt, when the parse
+    expression returned a NULL struct, or when the line is blank:
+    ``from_json('')`` yields a NULL struct and ``from_csv('')`` an
+    all-NULL struct, each WITHOUT setting the corrupt column — silently
+    admitting either would inject all-NULL rows into the valid leg, the
+    exact failure the quarantine channel exists to surface."""
+    corrupt = F.col(f"_parsed.{CORRUPT_COL}")
+    bad = (
+        F.col("_parsed").isNull()
+        | corrupt.isNotNull()
+        | (F.trim(F.col("value")) == "")
     )
-    quarantine = (
-        raw.filter(F.col(f"_parsed.{CORRUPT_COL}").isNotNull())
-        .select(F.col("value").alias(CORRUPT_COL))
-    )
+    valid = raw.filter(~bad).select("_parsed.*").drop(CORRUPT_COL)
+    quarantine = raw.filter(bad).select(F.col("value").alias(CORRUPT_COL))
     return valid, quarantine
 
 
@@ -96,7 +107,9 @@ def write_jsonl(
     out = df.select(
         F.to_json(
             F.struct(*[F.col(c) for c in df.columns]),
-            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ssXXX"},
+            # fractional seconds INCLUDED: ...HH:mm:ssXXX would silently
+            # truncate sub-second precision on round-trip
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"},
         ).alias("value")
     )
     if target_file_partitions is not None:

@@ -1093,3 +1093,89 @@ def test_rank_feature_and_prefix_from_json(spark):
             "field": "f", "log": {}, "sigmoid": {}}}})
     with pytest.raises(ValueError, match="needs an analyzer"):
         from_es_json({"query": {"match_phrase_prefix": {"text": "x"}}})
+
+
+# ----------------------------------------------------- explain + api trio
+
+
+def test_explain_parts_sum_to_score(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.plans.search import (
+        Bool, Match, Term, explain_score,
+    )
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = Bool(
+        should=[
+            (Match("text", "spark", analyzer="custom_shingles"), 5.0),
+            (Term("source", "src1"), 2.0),
+        ],
+        filter=[Term("lang", "en")],
+    )
+    out = explain_score(docs, q).limit(200).collect()
+    assert out
+    for r in out:
+        assert abs(sum(r["score_parts"].values()) - r["score"]) < 1e-9
+        assert set(r["score_parts"]) == {"should[0]:Match", "should[1]:Term"}
+
+
+def test_explain_function_score_sum_mode(spark, sf_dir):
+    from tweets_elastic_spark.plans.search import (
+        Bool, FunctionScore, FieldValueFactor, Term, explain_score,
+    )
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = FunctionScore(
+        Bool(should=[(Term("lang", "en"), 3.0)]),
+        functions=[FieldValueFactor("n_chars", factor=0.01)],
+        boost_mode="sum",
+    )
+    out = explain_score(docs, q).limit(50).collect()
+    assert out
+    for r in out:
+        assert abs(sum(r["score_parts"].values()) - r["score"]) < 1e-6
+        assert "functions" in r["score_parts"]
+
+
+def test_es_count_and_field_caps_and_msearch(spark, sf_dir):
+    from tweets_elastic_spark.plans.api import (
+        es_count, es_field_caps, es_msearch,
+    )
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    assert es_count(docs).collect()[0]["count"] == total
+    en = es_count(docs, {"query": {"term": {"lang": "en"}}}) \
+        .collect()[0]["count"]
+    assert 0 < en < total
+    caps = {r["field"]: r["type"] for r in es_field_caps(docs).collect()}
+    assert caps["doc_id"] == "bigint" and caps["text"] == "string"
+    a, b = es_msearch(docs, [
+        {"query": {"term": {"lang": "en"}}, "_source": ["doc_id"],
+         "sort": [{"doc_id": "asc"}], "size": 3},
+        {"query": {"term": {"lang": "de"}}, "_source": ["doc_id"],
+         "sort": [{"doc_id": "asc"}], "size": 3},
+    ])
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == 3 and len(rb) == 3 and ra != rb
+    import pytest
+    with pytest.raises(ValueError, match="non-empty"):
+        es_msearch(docs, [])
+
+
+def test_field_caps_nested_paths(spark):
+    from tweets_elastic_spark.plans.api import es_field_caps
+
+    df = spark.createDataFrame(
+        [(1, ("u", 3), [("t", 2)])],
+        "id long, author struct<name string, followers int>, "
+        "tags array<struct<tag string, n int>>",
+    )
+    caps = {r["field"]: r["type"] for r in es_field_caps(df).collect()}
+    assert caps == {
+        "id": "bigint", "author.name": "string",
+        "author.followers": "int", "tags.tag": "string", "tags.n": "int",
+    }

@@ -1261,6 +1261,62 @@ class ScriptScore(Query):
         return F.coalesce(out, F.lit(0.0))
 
 
+def score_parts(
+    query: Query, spark, resolve
+) -> list[tuple[str, Column]]:
+    """ES ``_explain`` analogue: the labeled additive components of a
+    query's score — one (label, contribution) pair per scoring clause,
+    guaranteed to SUM to ``query.score(...)``. Walks the same tree the
+    score compiles from, so the explanation can never drift from the
+    actual scoring expression. Non-composite queries explain as a single
+    component."""
+    if isinstance(query, Bool):
+        parts = []
+        for i, (q, w) in enumerate(query.should):
+            p = q.predicate(spark, resolve)
+            if q.CONSTANT_SCORE:
+                c = F.when(p, F.lit(float(w))).otherwise(F.lit(0.0))
+            else:
+                c = F.when(p, F.lit(w) * q.score(spark, resolve)).otherwise(
+                    F.lit(0.0)
+                )
+            parts.append((f"should[{i}]:{type(q).__name__}", c))
+        return parts or [("no_scoring_clauses", F.lit(0.0))]
+    if isinstance(query, FunctionScore) and query.boost_mode == "sum":
+        # boost_mode=sum is the one FunctionScore combination that
+        # decomposes additively: base query score + the functions term
+        # (query.score minus the base reproduces it exactly)
+        base = score_parts(query.query, spark, resolve)
+        base_total: Column = F.lit(0.0)
+        for _, c in base:
+            base_total = base_total + c
+        return base + [
+            ("functions", query.score(spark, resolve) - base_total)
+        ]
+    return [(type(query).__name__, query.score(spark, resolve))]
+
+
+def explain_score(
+    df: DataFrame,
+    query: Query,
+    *,
+    score_col: str = "score",
+    parts_col: str = "score_parts",
+) -> DataFrame:
+    """Attach the score AND its labeled breakdown (map<label,double>) to
+    every matching row — the relevance-debugging surface of ES's
+    ``_explain``/``explain=true``. Pure expression work riding the same
+    scan as search(); no extra pass."""
+    spark = df.sparkSession
+    parts = score_parts(query, spark, _col_resolver)
+    out = df.filter(query.predicate(spark, _col_resolver))
+    labels = F.array(*[F.lit(lbl) for lbl, _ in parts])
+    values = F.array(*[c.cast("double") for _, c in parts])
+    return out.withColumn(
+        score_col, query.score(spark, _col_resolver)
+    ).withColumn(parts_col, F.map_from_arrays(labels, values))
+
+
 def search(
     df: DataFrame,
     query: Query,

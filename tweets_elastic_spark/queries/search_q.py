@@ -2224,3 +2224,45 @@ def q_es_aggs_percentiles_tdigest(
             "tdigest": {"compression": 100},
         }}},
     }})
+
+
+@register(
+    "search_explain_parts",
+    oracle=_TOKENS_CTE + """
+    SELECT doc_id,
+           CAST(CASE WHEN list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+                     THEN 5.0 ELSE 0.0 END AS DOUBLE) AS part_match,
+           CAST(CASE WHEN source = 'src1' THEN 2.0 ELSE 0.0 END
+                AS DOUBLE) AS part_term,
+           CAST(CASE WHEN list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
+                     THEN 5.0 ELSE 0.0 END
+              + CASE WHEN source = 'src1' THEN 2.0 ELSE 0.0 END
+                AS DOUBLE) AS score
+    FROM toks
+    WHERE lang = 'en'
+    """,
+    doc="ES _explain analogue: the reference query's score returned WITH "
+        "its labeled per-clause breakdown (score_parts walks the same "
+        "tree the score compiles from, so components always sum to the "
+        "score — pinned here by the oracle re-deriving both components "
+        "AND the total independently). Pure expression work on the same "
+        "scan as search().",
+)
+def q_search_explain_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import Bool, explain_score
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    q = Bool(
+        should=[
+            (Match("text", "spark merge", analyzer="custom_shingles"), 5.0),
+            (Term("source", "src1"), 2.0),
+        ],
+        filter=[Term("lang", "en")],
+    )
+    out = explain_score(docs, q)
+    return out.select(
+        "doc_id",
+        F.col("score_parts")["should[0]:Match"].alias("part_match"),
+        F.col("score_parts")["should[1]:Term"].alias("part_term"),
+        "score",
+    )

@@ -662,3 +662,46 @@ def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return C.chunk_documents(docs, max_tokens=40, overlap=8)
+
+
+@register(
+    "tfidf_hashed_sparse",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ), toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS t
+        FROM sel
+    ), tf AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(t), 1, 15))::BIGINT) % 256 AS fid,
+               count(*) AS tf
+        FROM toks GROUP BY 1, 2
+    ), dfq AS (
+        SELECT fid, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM sel
+    )
+    SELECT tf.doc_id, tf.fid,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df_t + 1.0)) + 1.0),
+                 6) AS w
+    FROM tf JOIN dfq USING (fid), n
+    """,
+    doc="Hashed TF-IDF (feature hashing, Weinberger et al. 2009 / "
+        "MLlib HashingTF): text -> fixed-dim vectors with NO external "
+        "model, closing the raw-text -> ANN/semdedup loop. The sparse "
+        "(id, fid, w) relation carries the oracle — portable 60-bit md5 "
+        "hashing, dim-bounded IDF table (never vocabulary-sized), one "
+        "word-count shuffle. The dense/ANN composition is "
+        "equivalence-pytest-pinned (test_vectorize.py).",
+)
+def q_tfidf_hashed_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.vectorize import hashed_tfidf_sparse
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 97 == 0
+    )
+    return hashed_tfidf_sparse(docs, dim=256)

@@ -128,6 +128,10 @@ HEADLINE = [
     "es_aggs_multi_terms_mad",
     "es_aggs_string_stats",
     "es_aggs_rate_serial_diff",
+    "es_aggs_diversified_sampler",
+    "search_rank_feature_prefix",
+    "search_explain_parts",
+    "tfidf_hashed_sparse",
 ]
 
 

@@ -727,3 +727,17 @@ def test_suggest_completion_fuzzy_prefix(spark, sf_dir=None):
                                              "sprk", size=10,
                                              fuzzy_edits=1).collect()}
     assert any(s.startswith("spark") for s in fuzzy_del)
+
+
+def test_index_stats_reports_counts_and_segments(spark):
+    from tweets_elastic_spark.indexing import ensure_index, index_stats
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = ensure_index(spark, sf)
+    stats = index_stats(spark, idx)
+    n_docs = load_table(spark, sf, "documents").count()
+    assert stats["datasets"]["documents_indexed"]["rows"] == n_docs
+    for name, d in stats["datasets"].items():
+        assert d["segments"] >= 1 and d["bytes"] > 0, name
+    assert "token_stats__text__custom_shingles" in stats["datasets"]

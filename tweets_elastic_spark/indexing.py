@@ -385,6 +385,42 @@ def read_index_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """ES ``_stats`` / ``_cat/indices`` analogue: operational metadata for
+    a written index — document/embedding counts, per-dataset segment
+    counts and on-disk bytes, term-dictionary sizes, and the meta
+    version. Counts come from parquet FOOTERS (metadata-only, no data
+    scan); bytes from the file system. The operational read an operator
+    runs before deciding to compact (compact_index_segments) or reindex."""
+    import pyarrow.parquet as pq
+
+    meta = read_index_meta(index_dir)
+    out: dict = {
+        "version": meta.get("version"),
+        "sf_dir": meta.get("sf_dir"),
+        "datasets": {},
+    }
+    for name in sorted(os.listdir(index_dir)):
+        path = os.path.join(index_dir, name)
+        if not os.path.isdir(path):
+            continue
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        rows = 0
+        for f in files:
+            rows += pq.ParquetFile(f).metadata.num_rows
+        out["datasets"][name] = {
+            "rows": rows,
+            "segments": len(files),
+            "bytes": sum(os.path.getsize(f) for f in files),
+        }
+    return out
+
+
 def bm25_stats_from_index(
     spark: SparkSession,
     index_dir: str,

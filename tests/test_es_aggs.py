@@ -1366,3 +1366,37 @@ def test_tdigest_percentiles_within_rank_error(spark):
             lo, hi = sorted((e[k][col], a[k][col]))
             spread = abs(e[k]["p_p99"] - e[k]["p_p50"]) + 1e-9
             assert hi - lo <= 0.05 * spread + 1e-6, (k, col, e[k][col], a[k][col])
+
+
+def test_significance_heuristics(spark):
+    """MI is ~0 when term and foreground are independent, positive when
+    associated; chi_square agrees on the ranking; bad heuristics raise."""
+    # term 'a' strongly associated with fg (value>=10); 'b' independent;
+    # 'c' background noise (with only TWO terms, each term's contingency
+    # table is the other's complement and MI ties by symmetry)
+    rows = [("a", 20.0)] * 8 + [("a", 1.0)] * 2 + \
+           [("b", 20.0)] * 5 + [("b", 1.0)] * 5 + \
+           [("c", 20.0)] * 10 + [("c", 1.0)] * 10
+    df = spark.createDataFrame(
+        [(i, t, v) for i, (t, v) in enumerate(rows)],
+        "id long, term string, amount double")
+    req = {"query": {"range": {"amount": {"gte": 10}}}}
+
+    def scores(heur):
+        return {
+            r["s"]: r["score"] for r in es_request(df, {
+                **req, "aggs": {"s": {"significant_terms": {
+                    "field": "term", "size": 10, **({heur: {}} if heur else {}),
+                }}},
+            }).collect()
+        }
+
+    mi = scores("mutual_information")
+    assert mi["a"] > mi["b"]
+    chi = scores("chi_square")
+    assert chi["a"] > chi["b"]
+    jlh = scores(None)
+    assert jlh["a"] > jlh["b"]
+    with pytest.raises(ValueError, match="choose one"):
+        es_request(df, {**req, "aggs": {"s": {"significant_terms": {
+            "field": "term", "chi_square": {}, "jlh": {}}}}})

@@ -571,13 +571,26 @@ def _significant_terms(
             F.count(F.lit(1)).alias("bg_count"),
         )
     )
-    return _jlh_rank(g, name, size)
+    return _jlh_rank(g, name, size, _sig_heuristic(body))
 
 
-def _jlh_rank(g: DataFrame, name: str, size: int) -> DataFrame:
-    """Shared JLH ranking over a (bucket, doc_count, bg_count) relation —
-    the reduced-cardinality tail of both significant_terms and
-    significant_text."""
+def _jlh_rank(
+    g: DataFrame, name: str, size: int, heuristic: str = "jlh"
+) -> DataFrame:
+    """Shared significance ranking over a (bucket, doc_count, bg_count)
+    relation — the reduced-cardinality tail of both significant_terms and
+    significant_text. ``heuristic`` selects ES's scoring function:
+
+    * ``jlh`` (ES default): (fg% − bg%) · (fg% / bg%).
+    * ``mutual_information``: pointwise-summed MI (log2) over the 2×2
+      term-presence × in-foreground contingency table, ES's
+      background-is-superset convention (bg counts INCLUDE the fg docs);
+      empty cells contribute 0.
+    * ``chi_square``: the χ² statistic over the same table.
+
+    All three are pure arithmetic over the four cell counts, evaluated on
+    the already-reduced bucket relation — term-cardinality work, fully
+    SQL-oracle-able."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy()
@@ -586,15 +599,61 @@ def _jlh_rank(g: DataFrame, name: str, size: int) -> DataFrame:
     ).withColumn("_bg_total", F.sum("bg_count").over(w).cast("double"))
     fg_pct = F.col("doc_count") / F.col("_fg_total")
     bg_pct = F.col("bg_count") / F.col("_bg_total")
+    if heuristic == "jlh":
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    elif heuristic in ("mutual_information", "chi_square"):
+        # 2x2 contingency, ES's background-is-superset convention:
+        #   n11 term & fg          n01 term & not-fg
+        #   n10 no-term & fg       n00 no-term & not-fg
+        n = F.col("_bg_total")
+        n11 = F.col("doc_count").cast("double")
+        n01 = (F.col("bg_count") - F.col("doc_count")).cast("double")
+        n10 = F.col("_fg_total") - n11
+        n00 = n - F.col("bg_count") - n10
+        if heuristic == "chi_square":
+            score = (
+                n * F.pow(n11 * n00 - n01 * n10, 2)
+                / ((n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00))
+            )
+        else:
+            def mi_cell(nij: Column, ni: Column, nj: Column) -> Column:
+                return F.when(
+                    nij > 0,
+                    (nij / n) * F.log2((n * nij) / (ni * nj)),
+                ).otherwise(F.lit(0.0))
+
+            score = (
+                mi_cell(n11, n11 + n01, n11 + n10)
+                + mi_cell(n01, n11 + n01, n01 + n00)
+                + mi_cell(n10, n10 + n00, n11 + n10)
+                + mi_cell(n00, n10 + n00, n01 + n00)
+            )
+    else:
+        raise ValueError(
+            f"unsupported significance heuristic {heuristic!r} "
+            "(supported: jlh, mutual_information, chi_square)"
+        )
     return (
         g.filter(F.col("doc_count") > 0)
         .select(
             name, "doc_count", "bg_count",
-            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+            F.round(score, 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col(name).asc())
         .limit(size)
     )
+
+
+_SIG_HEURISTICS = ("jlh", "mutual_information", "chi_square")
+
+
+def _sig_heuristic(body: dict) -> str:
+    """ES spells the heuristic as a sibling key inside the agg body:
+    {"field": ..., "chi_square": {}}. Exactly one may appear."""
+    found = [h for h in _SIG_HEURISTICS if h in body]
+    if len(found) > 1:
+        raise ValueError(f"choose one significance heuristic, got {found}")
+    return found[0] if found else "jlh"
 
 
 def _significant_text(
@@ -634,7 +693,7 @@ def _significant_text(
         .alias("doc_count"),
         F.count(F.lit(1)).alias("bg_count"),
     )
-    return _jlh_rank(g, name, size)
+    return _jlh_rank(g, name, size, _sig_heuristic(body))
 
 
 def _fill_empty_buckets(

@@ -2266,3 +2266,55 @@ def q_search_explain_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_parts")["should[1]:Term"].alias("part_term"),
         "score",
     )
+
+
+@register(
+    "es_aggs_significant_chi2",
+    oracle="""
+    WITH g AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS doc_count,
+               CAST(count(*) AS BIGINT) AS bg_count
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ), t AS (
+        SELECT *,
+               CAST(sum(doc_count) OVER () AS DOUBLE) AS fg_total,
+               CAST(sum(bg_count) OVER () AS DOUBLE) AS bg_total
+        FROM g
+    )
+    SELECT lang AS by_lang, doc_count, bg_count,
+           round(
+             bg_total
+             * ((doc_count * (bg_total - bg_count - (fg_total - doc_count))
+                 - (bg_count - doc_count) * (fg_total - doc_count)) ^ 2)
+             / ((doc_count + (bg_count - doc_count))
+                * (doc_count + (fg_total - doc_count))
+                * ((bg_count - doc_count)
+                   + (bg_total - bg_count - (fg_total - doc_count)))
+                * ((fg_total - doc_count)
+                   + (bg_total - bg_count - (fg_total - doc_count)))),
+             6) AS score
+    FROM t
+    WHERE doc_count > 0
+    ORDER BY score DESC, by_lang ASC
+    LIMIT 5
+    """,
+    doc="significant_terms with the chi_square heuristic (ES's selectable "
+        "significance scoring — jlh/mutual_information/chi_square share "
+        "one ranking tail): which languages are over-represented among "
+        "long documents, scored by the chi-squared statistic over the 2x2 "
+        "contingency table. Same one-scan conditional aggregation as the "
+        "JLH form; the oracle re-derives the full chi-squared arithmetic "
+        "independently.",
+)
+def q_es_aggs_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return es_request(docs, {
+        "query": {"range": {"n_chars": {"gt": 800}}},
+        "aggs": {"by_lang": {"significant_terms": {
+            "field": "lang", "size": 5, "chi_square": {},
+        }}},
+    })

@@ -1400,3 +1400,32 @@ def test_significance_heuristics(spark):
     with pytest.raises(ValueError, match="choose one"):
         es_request(df, {**req, "aggs": {"s": {"significant_terms": {
             "field": "term", "chi_square": {}, "jlh": {}}}}})
+
+
+def test_runtime_mappings_visible_to_query_sort_and_aggs(spark, sales):
+    out = es_request(sales, {
+        "runtime_mappings": {
+            "amount_eur": {"type": "double",
+                           "script": "doc['amount'].value * 0.9"},
+        },
+        "query": {"range": {"amount_eur": {"gte": 9.0}}},
+        "sort": [{"amount_eur": "desc"}],
+        "size": 3,
+        "_source": ["id", "amount_eur"],
+    }, tiebreak="id").collect()
+    assert [(r["id"], round(r["amount_eur"], 6)) for r in out] == [
+        (2, 18.0), (7, 11.7), (6, 9.9)]
+    agg = es_request(sales, {
+        "runtime_mappings": {
+            "amount_l": {"type": "long",
+                         "script": "doc['amount'].value * 10"},
+        },
+        "aggs": {"m": {"global": {}, "aggs": {
+            "s": {"sum": {"field": "amount_l"}}}}},
+    }).collect()
+    assert agg[0]["s"] == 760
+    with pytest.raises(ValueError, match="double/long"):
+        es_request(sales, {
+            "runtime_mappings": {"x": {"type": "keyword", "script": "1"}},
+            "query": {"match_all": {}},
+        })

@@ -1190,6 +1190,14 @@ def es_aggregate(
             raise ValueError("global agg takes no parameters")
         if len(sub) != 1:
             raise ValueError("global agg needs exactly one sub-aggregation")
+        (_, sspec), = sub.items()
+        if next(iter(sspec)) not in _BUCKET_KINDS + (
+            "date_range", "auto_date_histogram"
+        ):
+            # metric-only sub: one global row, like the sampler shape
+            return df.agg(
+                F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub)
+            )
         return es_aggregate(df, sub)
 
     pipes = {n: s for n, s in sub.items() if next(iter(s)) in _PIPELINE_KINDS}
@@ -1425,6 +1433,34 @@ def es_request(
     from tweets_elastic_spark.plans.search import from_es_json, search
 
     body = dict(request)
+    rt = body.get("runtime_mappings")
+    if rt is not None:
+        # ES runtime fields (7.11+): schema-on-read columns DEFINED IN THE
+        # REQUEST, visible to query/sort/aggs exactly like mapped fields.
+        # Each script is the Painless arithmetic subset compiled once to a
+        # Catalyst expression and attached BEFORE query compilation, so a
+        # filter on a runtime field pushes into the same scan predicate
+        # pipeline as any column (Catalyst inlines the expression) — vs
+        # ES, where runtime fields are evaluated per-doc at query time
+        # with no index support.
+        from tweets_elastic_spark.plans.search import compile_painless
+
+        for fname, spec in rt.items():
+            ftype = spec.get("type")
+            if ftype not in ("double", "long"):
+                raise ValueError(
+                    f"runtime field {fname!r}: type must be double/long "
+                    f"(the Painless arithmetic subset), got {ftype!r}"
+                )
+            script = spec["script"]
+            src_txt = script["source"] if isinstance(script, dict) else script
+            df = df.withColumn(
+                fname,
+                compile_painless(
+                    src_txt,
+                    resolve_doc=lambda f: F.col(f).cast("double"),
+                ).cast(ftype),
+            )
     q = body.get("query")
     aggs = body.get("aggs", body.get("aggregations"))
     if q is not None:

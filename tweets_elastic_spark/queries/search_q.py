@@ -2318,3 +2318,42 @@ def q_es_aggs_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "field": "lang", "size": 5, "chi_square": {},
         }}},
     })
+
+
+@register(
+    "es_request_runtime_field",
+    oracle="""
+    WITH rt AS (
+        SELECT event_type, value * value AS value_sq
+        FROM events
+    )
+    SELECT event_type AS by_type,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value_sq), 6) AS mean_sq
+    FROM rt
+    WHERE value_sq > 900 AND event_type IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES runtime fields (runtime_mappings in the request): a "
+        "schema-on-read column defined by a Painless-subset script, "
+        "visible to the query filter AND the aggregation like any mapped "
+        "field — compiled ONCE to a Catalyst expression attached before "
+        "query compilation, so the filter rides the scan predicate "
+        "pipeline (vs ES's per-doc script evaluation).",
+)
+def q_es_request_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    out = es_request(events, {
+        "runtime_mappings": {
+            "value_sq": {"type": "double",
+                         "script": "doc['value'].value * doc['value'].value"},
+        },
+        "query": {"range": {"value_sq": {"gt": 900}}},
+        "aggs": {"by_type": {
+            "terms": {"field": "event_type"},
+            "aggs": {"mean_sq": {"avg": {"field": "value_sq"}}},
+        }},
+    })
+    return out.withColumn("mean_sq", F.round("mean_sq", 6))

@@ -79,3 +79,35 @@ def es_field_caps(df: DataFrame) -> DataFrame:
         rows, "field string, type string, searchable boolean, "
               "aggregatable boolean",
     )
+
+
+def es_termvectors(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "standard",
+    tokens_col: str | None = None,
+    with_positions: bool = True,
+) -> DataFrame:
+    """ES ``_termvectors``: per-document term statistics — term frequency
+    and (optionally) the positions list — the API behind keyword
+    extraction and relevance debugging. One explode+groupBy over the
+    analyzed tokens (or the MATERIALIZED token column when the index
+    already carries it — then the analyzer never re-runs); positions
+    aggregate as a sorted int list, ES's response shape flattened to one
+    row per (doc, term)."""
+    from tweets_elastic_spark.functions.analyzers import analyze
+
+    toks = (
+        F.col(tokens_col) if tokens_col is not None
+        else analyze(F.col(text_col), analyzer)
+    )
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("position", "term"),
+    )
+    aggs = [F.count(F.lit(1)).alias("term_freq")]
+    if with_positions:
+        aggs.append(F.array_sort(F.collect_list("position")).alias("positions"))
+    return pos.groupBy(id_col, "term").agg(*aggs)

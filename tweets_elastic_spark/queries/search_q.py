@@ -2357,3 +2357,36 @@ def q_es_request_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         }},
     })
     return out.withColumn("mean_sq", F.round("mean_sq", 6))
+
+
+@register(
+    "es_termvectors",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents WHERE doc_id % 151 = 0
+    ), pos AS (
+        SELECT doc_id, t[i] AS term, CAST(i - 1 AS INT) AS position
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    )
+    SELECT doc_id, term,
+           CAST(count(*) AS BIGINT) AS term_freq,
+           list_sort(list(position)) AS positions
+    FROM pos GROUP BY doc_id, term
+    """,
+    doc="ES _termvectors: per-document term frequency + positions from "
+        "the analyzed token stream — one posexplode + groupBy, the "
+        "keyword-extraction/relevance-debugging API. The oracle rebuilds "
+        "positions independently via an unnest-with-ordinality walk.",
+)
+def q_es_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.api import es_termvectors
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 151 == 0
+    )
+    return es_termvectors(docs, analyzer="standard")

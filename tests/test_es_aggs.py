@@ -1429,3 +1429,85 @@ def test_runtime_mappings_visible_to_query_sort_and_aggs(spark, sales):
             "runtime_mappings": {"x": {"type": "keyword", "script": "1"}},
             "query": {"match_all": {}},
         })
+
+
+# ------------------------------------------- second-review regressions
+
+
+def test_global_bucket_subagg_still_recurses(spark, sales):
+    """global with a filters (or any non-metric) sub must recurse, and an
+    'aggs'-first key order must not silently drop the bucket agg."""
+    got = {r["f"]: r["doc_count"] for r in es_aggregate(sales, {
+        "g": {"global": {}, "aggs": {"f": {"filters": {"filters": {
+            "big": {"range": {"amount": {"gte": 10}}},
+            "small": {"range": {"amount": {"lt": 10}}},
+        }}}}},
+    }).collect()}
+    assert got == {"big": 4, "small": 4}
+    # aggs listed BEFORE the kind inside the sub spec
+    rows = es_aggregate(sales, {"g": {"global": {}, "aggs": {
+        "t": {"aggs": {"m": {"sum": {"field": "amount"}}},
+              "terms": {"field": "region"}},
+    }}}).collect()
+    assert {r["t"] for r in rows} == {"eu", "us", "ap"}
+
+
+def test_chi_square_degenerate_tables_score_zero_not_null(spark, sales):
+    # query matches EVERY doc -> fg == bg -> empty not-fg marginal
+    rows = es_request(sales, {
+        "query": {"range": {"amount": {"gte": 0}}},
+        "aggs": {"s": {"significant_terms": {
+            "field": "region", "chi_square": {}}}},
+    }).collect()
+    assert rows and all(r["score"] == 0.0 for r in rows)
+
+
+def test_mi_is_signed_for_underrepresented_terms(spark, sales):
+    # fg = amount>=11 -> {20(a), 11(b), 13(b)}: 'a' is 1/3 of fg but 1/2
+    # of the index -> negative; 'b' 2/3 vs 1/2 -> positive
+    got = {r["s"]: r["score"] for r in es_request(sales, {
+        "query": {"range": {"amount": {"gte": 11}}},
+        "aggs": {"s": {"significant_terms": {
+            "field": "product", "mutual_information": {}}}},
+    }).collect()}
+    assert got["a"] < 0 < got["b"]
+
+
+def test_unknown_heuristics_and_params_raise(spark, sales):
+    req = {"query": {"range": {"amount": {"gte": 10}}}}
+    with pytest.raises(ValueError, match="unsupported significance"):
+        es_request(sales, {**req, "aggs": {"s": {"significant_terms": {
+            "field": "region", "gnd": {}}}}})
+    with pytest.raises(ValueError, match="include_negatives=true"):
+        es_request(sales, {**req, "aggs": {"s": {"significant_terms": {
+            "field": "region",
+            "mutual_information": {"include_negatives": False}}}}})
+    with pytest.raises(ValueError, match="parameters"):
+        es_request(sales, {**req, "aggs": {"s": {"significant_terms": {
+            "field": "region", "chi_square": {"shard_size": 10}}}}})
+
+
+def test_significant_text_mi_uses_document_totals(spark):
+    """MI under significant_text must build its 2x2 from DOC counts, not
+    token-incidence sums: a token present in every fg doc and no bg-only
+    doc must score positive."""
+    rows = [
+        (1, "alpha beta gamma delta", 20.0),
+        (2, "alpha beta mixed", 20.0),
+        (3, "mixed words only", 1.0),
+        (4, "mixed words again here", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, amount double")
+    got = {r["s"]: r["score"] for r in es_request(df, {
+        "query": {"range": {"amount": {"gte": 10}}},
+        "aggs": {"s": {"significant_text": {
+            "field": "text", "size": 20, "mutual_information": {}}}},
+    }, analyzers={"text": "standard"}).collect()}
+    # 'alpha': every fg doc, no bg doc -> strongly positive
+    assert got["alpha"] > 0
+    # 'mixed': 1/2 of fg docs but 3/4 of the index -> under-represented;
+    # under the broken token-incidence totals this came out POSITIVE
+    # (incidence fg share 1/6 vs doc share 1/2 distorts every cell)
+    assert got["mixed"] < 0
+    # bg-only tokens don't appear (doc_count=0 filter, ES's contract)
+    assert "words" not in got

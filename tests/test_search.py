@@ -1179,3 +1179,26 @@ def test_field_caps_nested_paths(spark):
         "id": "bigint", "author.name": "string",
         "author.followers": "int", "tags.tag": "string", "tags.n": "int",
     }
+
+
+def test_explain_duplicate_labels_deduped(spark, sf_dir):
+    """Two FunctionScore clauses in one should list both want the label
+    'FunctionScore' — assembly must suffix duplicates, not crash on
+    Spark's DUPLICATED_MAP_KEY policy."""
+    from tweets_elastic_spark.plans.search import (
+        Bool, FieldValueFactor, FunctionScore, Term, explain_score,
+    )
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fs1 = FunctionScore(Bool(should=[(Term("lang", "en"), 1.0)]),
+                        functions=[FieldValueFactor("n_chars", factor=0.001)])
+    fs2 = FunctionScore(Bool(should=[(Term("source", "src1"), 1.0)]),
+                        functions=[FieldValueFactor("n_chars", factor=0.002)])
+    q = Bool(should=[(fs1, 1.0), (fs2, 1.0)])
+    out = explain_score(docs, q).limit(20).collect()
+    assert out
+    for r in out:
+        assert set(r["score_parts"]) == {
+            "should[0]:FunctionScore", "should[1]:FunctionScore"}
+        assert abs(sum(r["score_parts"].values()) - r["score"]) < 1e-9

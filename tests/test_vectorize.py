@@ -62,3 +62,14 @@ def test_text_to_ann_composition(spark, docs):
 def test_dim_guard(spark, docs):
     with pytest.raises(ValueError, match="dim"):
         hashed_tfidf_sparse(docs, dim=0)
+
+
+def test_zero_token_docs_become_zero_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "!!! ???"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["vector"]
+           for r in hashed_tfidf_vectors(df, dim=16).collect()}
+    assert set(out) == {1, 2, 3}  # no doc silently dropped
+    assert all(v == 0.0 for v in out[2]) and all(v == 0.0 for v in out[3])
+    assert any(v != 0.0 for v in out[1])

@@ -105,15 +105,29 @@ def hashed_tfidf_vectors(
             ).alias("vector"),
         )
     )
+    # a doc whose text analyzes to NO tokens produces no sparse rows —
+    # keep it as a ZERO vector rather than silently dropping the id from
+    # the corpus (downstream ANN/semdedup must see every document)
+    zero = F.array(*[F.lit(0.0)] * dim)
+    vec = (
+        df.select(id_col).distinct()
+        .join(vec, id_col, "left")
+        .select(id_col, F.coalesce("vector", zero).alias("vector"))
+    )
     if l2_normalize:
         from tweets_elastic_spark.functions.vectors import norm
 
-        nrm = norm(F.col("vector"))
-        vec = vec.select(
-            id_col,
-            F.when(
-                nrm > 0,
-                F.transform(F.col("vector"), lambda x: x / nrm),
-            ).otherwise(F.col("vector")).alias("vector"),
+        # materialize the norm ONCE per row: inlining the O(dim)
+        # aggregate into the transform lambda would re-evaluate it per
+        # element (O(dim^2) per row — HOFs don't CSE captured subtrees)
+        vec = (
+            vec.withColumn("_n", norm(F.col("vector")))
+            .select(
+                id_col,
+                F.when(
+                    F.col("_n") > 0,
+                    F.transform(F.col("vector"), lambda x: x / F.col("_n")),
+                ).otherwise(F.col("vector")).alias("vector"),
+            )
         )
     return vec

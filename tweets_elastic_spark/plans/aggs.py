@@ -468,6 +468,25 @@ def _adjacency_matrix_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
 
 _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
                  "range")
+# every kind _metric_cols can evaluate — the metric-only fast-path test
+# for global/sampler sub-aggs (anything else must recurse)
+_METRIC_KINDS = (
+    "sum", "avg", "min", "max", "value_count", "cardinality",
+    "percentiles", "percentile_ranks", "stats", "extended_stats",
+    "weighted_avg", "median_absolute_deviation", "string_stats",
+)
+
+
+def _agg_kind(spec: dict) -> str:
+    """The agg KIND of a named-agg spec — the non-'aggs' key (dict order
+    comes from user JSON, so next(iter(...)) is not safe: {'aggs': ...,
+    'terms': ...} must still read as a terms agg)."""
+    kinds = [k for k in spec if k != "aggs"]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"expected exactly one aggregation kind, got {sorted(kinds)}"
+        )
+    return kinds[0]
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "serial_diff", "moving_fn",
     "bucket_script", "bucket_selector", "bucket_sort",
@@ -575,7 +594,11 @@ def _significant_terms(
 
 
 def _jlh_rank(
-    g: DataFrame, name: str, size: int, heuristic: str = "jlh"
+    g: DataFrame,
+    name: str,
+    size: int,
+    heuristic: str = "jlh",
+    doc_totals: DataFrame | None = None,
 ) -> DataFrame:
     """Shared significance ranking over a (bucket, doc_count, bg_count)
     relation — the reduced-cardinality tail of both significant_terms and
@@ -585,18 +608,27 @@ def _jlh_rank(
     * ``mutual_information``: pointwise-summed MI (log2) over the 2×2
       term-presence × in-foreground contingency table, ES's
       background-is-superset convention (bg counts INCLUDE the fg docs);
-      empty cells contribute 0.
-    * ``chi_square``: the χ² statistic over the same table.
+      empty cells contribute 0; ES's include_negatives default applies —
+      a term UNDER-represented in the foreground scores negative.
+    * ``chi_square``: the χ² statistic over the same table, signed the
+      same way; degenerate tables (an empty marginal) score 0 instead of
+      NULL.
 
-    All three are pure arithmetic over the four cell counts, evaluated on
-    the already-reduced bucket relation — term-cardinality work, fully
-    SQL-oracle-able."""
+    The 2×2 cells need DOCUMENT totals. For significant_terms the bucket
+    relation's own sums are document counts (one bucket per doc); for
+    significant_text they are token-incidence sums, so the caller passes
+    ``doc_totals`` — a 1-row (_fg_total, _bg_total) relation counting
+    DOCS — which broadcast-cross-joins here (coordinator-scale, like the
+    window-sum it replaces)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy()
-    g = g.withColumn(
-        "_fg_total", F.sum("doc_count").over(w).cast("double")
-    ).withColumn("_bg_total", F.sum("bg_count").over(w).cast("double"))
+    if doc_totals is not None:
+        g = g.crossJoin(F.broadcast(doc_totals))
+    else:
+        w = Window.partitionBy()
+        g = g.withColumn(
+            "_fg_total", F.sum("doc_count").over(w).cast("double")
+        ).withColumn("_bg_total", F.sum("bg_count").over(w).cast("double"))
     fg_pct = F.col("doc_count") / F.col("_fg_total")
     bg_pct = F.col("bg_count") / F.col("_bg_total")
     if heuristic == "jlh":
@@ -610,11 +642,13 @@ def _jlh_rank(
         n01 = (F.col("bg_count") - F.col("doc_count")).cast("double")
         n10 = F.col("_fg_total") - n11
         n00 = n - F.col("bg_count") - n10
+        sign = F.when(fg_pct < bg_pct, F.lit(-1.0)).otherwise(F.lit(1.0))
         if heuristic == "chi_square":
-            score = (
-                n * F.pow(n11 * n00 - n01 * n10, 2)
-                / ((n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00))
-            )
+            denom = (n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)
+            score = sign * F.when(
+                denom > 0,
+                n * F.pow(n11 * n00 - n01 * n10, 2) / denom,
+            ).otherwise(F.lit(0.0))
         else:
             def mi_cell(nij: Column, ni: Column, nj: Column) -> Column:
                 return F.when(
@@ -622,7 +656,7 @@ def _jlh_rank(
                     (nij / n) * F.log2((n * nij) / (ni * nj)),
                 ).otherwise(F.lit(0.0))
 
-            score = (
+            score = sign * (
                 mi_cell(n11, n11 + n01, n11 + n10)
                 + mi_cell(n01, n11 + n01, n01 + n00)
                 + mi_cell(n10, n10 + n00, n11 + n10)
@@ -645,15 +679,46 @@ def _jlh_rank(
 
 
 _SIG_HEURISTICS = ("jlh", "mutual_information", "chi_square")
+# ES heuristics this engine does NOT implement — named so the reject is
+# loud instead of a silent JLH fallback
+_SIG_UNSUPPORTED = ("gnd", "percentage", "script_heuristic")
 
 
 def _sig_heuristic(body: dict) -> str:
     """ES spells the heuristic as a sibling key inside the agg body:
-    {"field": ..., "chi_square": {}}. Exactly one may appear."""
+    {"field": ..., "chi_square": {}}. Exactly one may appear; unsupported
+    heuristic names and unsupported parameters raise (never a silent
+    fallback to JLH)."""
+    bad = [h for h in _SIG_UNSUPPORTED if h in body]
+    if bad:
+        raise ValueError(
+            f"unsupported significance heuristic(s) {bad} "
+            f"(supported: {list(_SIG_HEURISTICS)})"
+        )
     found = [h for h in _SIG_HEURISTICS if h in body]
     if len(found) > 1:
         raise ValueError(f"choose one significance heuristic, got {found}")
-    return found[0] if found else "jlh"
+    if not found:
+        return "jlh"
+    params = body[found[0]] or {}
+    ok_params = {
+        "jlh": set(),
+        # include_negatives=True and background_is_superset=True are THE
+        # implemented semantics; other values would silently mis-score
+        "mutual_information": {"include_negatives", "background_is_superset"},
+        "chi_square": {"include_negatives", "background_is_superset"},
+    }[found[0]]
+    extra = set(params) - ok_params
+    if extra:
+        raise ValueError(
+            f"unsupported {found[0]} parameters: {sorted(extra)}"
+        )
+    for p in ("include_negatives", "background_is_superset"):
+        if p in params and params[p] is not True:
+            raise ValueError(
+                f"{found[0]}: only {p}=true is implemented"
+            )
+    return found[0]
 
 
 def _significant_text(
@@ -693,7 +758,19 @@ def _significant_text(
         .alias("doc_count"),
         F.count(F.lit(1)).alias("bg_count"),
     )
-    return _jlh_rank(g, name, size, _sig_heuristic(body))
+    heuristic = _sig_heuristic(body)
+    doc_totals = None
+    if heuristic in ("mutual_information", "chi_square"):
+        # the 2x2 contingency needs DOCUMENT totals; the bucket relation's
+        # sums here are token-INCIDENCE sums (a doc with 100 distinct
+        # tokens contributes 100), which would corrupt every cell —
+        # count docs in a separate bounded 1-row aggregate instead
+        doc_totals = df.filter(F.col(field).isNotNull()).agg(
+            F.sum(F.when(fg_pred, 1).otherwise(0)).cast("double")
+            .alias("_fg_total"),
+            F.count(F.lit(1)).cast("double").alias("_bg_total"),
+        )
+    return _jlh_rank(g, name, size, heuristic, doc_totals)
 
 
 def _fill_empty_buckets(
@@ -1111,11 +1188,10 @@ def es_aggregate(
             )
         sample = sample.orderBy(*order).limit(shard_size)
         # metric-only sub-aggs aggregate the sample globally (one row,
-        # doc_count = sample size — ES's sampler response shape); a
-        # bucket sub-agg routes through the ordinary machinery
-        if not any(
-            next(iter(s)) in _BUCKET_KINDS + ("date_range",
-                                              "auto_date_histogram")
+        # doc_count = sample size — ES's sampler response shape); any
+        # other sub shape routes through the ordinary dispatch
+        if all(
+            _agg_kind(s) in _METRIC_KINDS
             for s in sub.values() if isinstance(s, dict) and s
         ):
             return sample.agg(
@@ -1191,13 +1267,14 @@ def es_aggregate(
         if len(sub) != 1:
             raise ValueError("global agg needs exactly one sub-aggregation")
         (_, sspec), = sub.items()
-        if next(iter(sspec)) not in _BUCKET_KINDS + (
-            "date_range", "auto_date_histogram"
-        ):
+        if _agg_kind(sspec) in _METRIC_KINDS:
             # metric-only sub: one global row, like the sampler shape
             return df.agg(
                 F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub)
             )
+        # anything else (terms/histogram families, filters, missing,
+        # composite, nested, sampler, ...) recurses through the ordinary
+        # dispatch
         return es_aggregate(df, sub)
 
     pipes = {n: s for n, s in sub.items() if next(iter(s)) in _PIPELINE_KINDS}

@@ -798,7 +798,11 @@ class Bool(Query):
             out = out & (matched >= msm)
         return out
 
-    def score(self, spark, resolve) -> Column:
+    def should_contributions(self, spark, resolve) -> list[Column]:
+        """One score-contribution Column per should clause — the SINGLE
+        definition both Bool.score and the _explain breakdown
+        (score_parts) compile from, so the explanation can never drift
+        from the actual scoring expression."""
         contributions = []
         for q, w in self.should:
             p = q.predicate(spark, resolve)
@@ -809,6 +813,10 @@ class Bool(Query):
                     F.lit(0.0)
                 )
             contributions.append(c)
+        return contributions
+
+    def score(self, spark, resolve) -> Column:
+        contributions = self.should_contributions(spark, resolve)
         if not contributions:
             return F.lit(0.0)
         total = contributions[0]
@@ -1271,16 +1279,11 @@ def score_parts(
     actual scoring expression. Non-composite queries explain as a single
     component."""
     if isinstance(query, Bool):
-        parts = []
-        for i, (q, w) in enumerate(query.should):
-            p = q.predicate(spark, resolve)
-            if q.CONSTANT_SCORE:
-                c = F.when(p, F.lit(float(w))).otherwise(F.lit(0.0))
-            else:
-                c = F.when(p, F.lit(w) * q.score(spark, resolve)).otherwise(
-                    F.lit(0.0)
-                )
-            parts.append((f"should[{i}]:{type(q).__name__}", c))
+        contribs = query.should_contributions(spark, resolve)
+        parts = [
+            (f"should[{i}]:{type(q).__name__}", c)
+            for (i, (q, _)), c in zip(enumerate(query.should), contribs)
+        ]
         return parts or [("no_scoring_clauses", F.lit(0.0))]
     if isinstance(query, FunctionScore) and query.boost_mode == "sum":
         # boost_mode=sum is the one FunctionScore combination that
@@ -1309,6 +1312,16 @@ def explain_score(
     scan as search(); no extra pass."""
     spark = df.sparkSession
     parts = score_parts(query, spark, _col_resolver)
+    # map keys must be unique (Spark's mapKeyDedupPolicy=EXCEPTION): a
+    # tree can legitimately repeat a label (two FunctionScores in one
+    # should list both contribute "functions") — suffix duplicates
+    seen: dict[str, int] = {}
+    uniq = []
+    for lbl, c in parts:
+        n = seen.get(lbl, 0)
+        seen[lbl] = n + 1
+        uniq.append((f"{lbl}#{n + 1}" if n else lbl, c))
+    parts = uniq
     out = df.filter(query.predicate(spark, _col_resolver))
     labels = F.array(*[F.lit(lbl) for lbl, _ in parts])
     values = F.array(*[c.cast("double") for _, c in parts])

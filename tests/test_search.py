@@ -1202,3 +1202,29 @@ def test_explain_duplicate_labels_deduped(spark, sf_dir):
         assert set(r["score_parts"]) == {
             "should[0]:FunctionScore", "should[1]:FunctionScore"}
         assert abs(sum(r["score_parts"].values()) - r["score"]) < 1e-9
+
+
+def test_pinned_order_and_distance_feature(spark):
+    from tweets_elastic_spark.plans.search import (
+        DistanceFeature, Pinned, Term, search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 50.0), (3, "x", 90.0), (4, "x", 55.0)],
+        "id long, k string, v double")
+    # organic: proximity to v=50 over k='x' docs... pinned id 3 first,
+    # then 2 (pin order), then organic x-matches by closeness to 50
+    q = Pinned(ids=[3, 2], organic=DistanceFeature("v", origin=50.0,
+                                                   pivot=10.0),
+               id_field="id")
+    got = [r["id"] for r in search(df, q, k=10, tiebreak="id").collect()]
+    assert got[:2] == [3, 2]
+    assert got[2:] == [4, 1]  # 55 closer to 50 than 10
+    # distance_feature halves at pivot distance
+    out = {r["id"]: r["score"]
+           for r in search(df, DistanceFeature("v", origin=50.0, pivot=5.0),
+                           k=None).collect()}
+    assert out[4] == pytest.approx(5.0 / 10.0)
+    with pytest.raises(ValueError, match="pivot"):
+        search(df, DistanceFeature("v", origin=0.0, pivot=0.0), k=None) \
+            .collect()

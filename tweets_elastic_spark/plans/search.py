@@ -614,6 +614,74 @@ class RankFeature(Query):
 
 
 @dataclass
+class Pinned(Query):
+    """ES ``pinned``: promote specific document ids to the top of the
+    result list, organic matches ranked below by their own score. The
+    promoted scores are a descending constant ladder ABOVE any organic
+    score (ES pins with float-max-adjacent constants; here pin i of k
+    scores ``pin_base + (k - i)`` so earlier ids in the list rank
+    higher), implemented as pure CASE arithmetic on the id column."""
+
+    CONSTANT_SCORE = False
+
+    ids: list
+    organic: Query
+    id_field: str = "doc_id"
+    pin_base: float = 1e9
+
+    def predicate(self, spark, resolve) -> Column:
+        return resolve(self.id_field).isin(list(self.ids)) | \
+            self.organic.predicate(spark, resolve)
+
+    def score(self, spark, resolve) -> Column:
+        idc = resolve(self.id_field)
+        out = self.organic.score(spark, resolve)
+        k = len(self.ids)
+        for i, pid in enumerate(self.ids):
+            out = F.when(
+                idc == F.lit(pid), F.lit(self.pin_base + (k - i))
+            ).otherwise(out)
+        return out
+
+
+@dataclass
+class DistanceFeature(Query):
+    """ES ``distance_feature``: score by PROXIMITY to an origin — the
+    recency/nearness boost (newer documents rank higher). For numeric and
+    timestamp fields: ``boost * pivot / (pivot + |value - origin|)``,
+    where pivot is the distance at which the score halves. Timestamp
+    origins/pivots are given in seconds (callers convert ES's date-math
+    strings); matches when the field is present — pure scan arithmetic,
+    oracle-able verbatim."""
+
+    CONSTANT_SCORE = False
+
+    field: str
+    origin: float
+    pivot: float
+    boost: float = 1.0
+
+    def predicate(self, spark, resolve) -> Column:
+        return resolve(self.field).isNotNull()
+
+    def score(self, spark, resolve) -> Column:
+        c = resolve(self.field)
+        # cast-to-double works for numerics AND timestamps (epoch seconds
+        # WITH fraction — unix_timestamp would truncate and drift from
+        # engines that keep sub-second precision)
+        v = c.cast("double")
+        if self.pivot <= 0:
+            raise ValueError(f"pivot must be > 0, got {self.pivot}")
+        dist = F.abs(v - F.lit(float(self.origin)))
+        s = F.lit(float(self.boost)) * F.lit(float(self.pivot)) / (
+            F.lit(float(self.pivot)) + dist
+        )
+        return F.when(self.predicate(spark, resolve), s).otherwise(
+            F.lit(0.0)
+        )
+
+
+@dataclass
 class Bm25Stats:
     """Corpus statistics BM25 needs: doc count, mean doc length (in tokens),
     and document frequency per query token. Computed in ONE aggregation job

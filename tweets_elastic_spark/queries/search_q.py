@@ -2390,3 +2390,53 @@ def q_es_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 151 == 0
     )
     return es_termvectors(docs, analyzer="standard")
+
+
+@register(
+    "search_pinned_distance",
+    oracle="""
+    WITH scored AS (
+        SELECT event_id, user_id,
+               CASE
+                 WHEN event_id = 77 THEN 1000000002.0
+                 WHEN event_id = 3  THEN 1000000001.0
+                 ELSE round(
+                   1.5 * 86400.0
+                   / (86400.0
+                      + abs(epoch(ts) - epoch(TIMESTAMP '2024-01-15 00:00:00'))),
+                   6)
+               END AS score
+        FROM events
+        WHERE event_id IN (77, 3) OR ts IS NOT NULL
+    )
+    SELECT event_id, user_id, score FROM scored
+    ORDER BY score DESC, event_id ASC
+    LIMIT 20
+    """,
+    doc="ES pinned + distance_feature: ids 77 and 3 promoted to the top "
+        "(descending constant ladder above any organic score), organic "
+        "results ranked by timestamp PROXIMITY to Jan 15 (the recency "
+        "boost: boost * pivot/(pivot + |ts - origin|), pivot = 1 day). "
+        "Pure CASE/abs arithmetic riding the scan; "
+        "TakeOrderedAndProject.",
+)
+def q_search_pinned_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import (
+        DistanceFeature,
+        Pinned,
+    )
+    import datetime as _dt
+
+    events = load_table(spark, sf_dir, "events")
+    origin = _dt.datetime(2024, 1, 15, tzinfo=_dt.timezone.utc).timestamp()
+    q = Pinned(
+        ids=[77, 3],
+        organic=DistanceFeature(
+            "ts", origin=origin, pivot=86400.0, boost=1.5,
+        ),
+        id_field="event_id",
+    )
+    return (
+        search(events, q, k=20, tiebreak="event_id")
+        .select("event_id", "user_id", F.round("score", 6).alias("score"))
+    )

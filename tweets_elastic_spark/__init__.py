@@ -11,11 +11,23 @@ multimodal plumbing) such an engine needs at 100 TB.
 Layout:
     session.py            SparkSession factory with scale-aware defaults
     schemas.py            declared StructTypes (strict schemas, SURVEY §1.2)
-    sources/              table catalog, fixture synthesis, incremental scans
-    operators/            denormalize, dedup, similarity
-    functions/            analyzers, text stats, vector math, multimodal
-    plans/                search-query layer (ES-DSL analogue → DataFrame plan)
-    streaming/            windowed aggs + foreachBatch incremental ingest
+    sources/              table catalog, fixture synthesis, incremental
+                          scans, JSONL/CSV interchange with quarantine
+    operators/            denormalize, dedup, similarity/ANN, curation,
+                          DSIR/BPE/sampling, percolate, vectorize, layout
+    functions/            analyzers, text stats, hashing, vector math,
+                          PII, multimodal
+    plans/                search-query layer (JSON DSL + Lucene
+                          query-string front-ends → DataFrame plans),
+                          aggregations DSL + request envelope, REST-API
+                          surface (_count/_msearch/_field_caps/
+                          _termvectors)
+    streaming/            windowed aggs, stateful ops, stream joins,
+                          dedup, foreachBatch ingest, NRT index segments
+    indexing.py           analyze-once index build/increment/compact,
+                          suggesters, stats
+    queries/ registry.py  the named-query corpus + DuckDB oracles the
+                          driver and tests/test_oracle_parity.py verify
     sinks.py              id-keyed writer with quarantine channel
 """
 

@@ -311,3 +311,76 @@ def test_query_string_analyzed_inner_wildcard_raises():
 def test_simple_phrase_slop_parses():
     q = SP('"a b"~1', analyzers={"text": "standard"})
     assert isinstance(q, MatchPhrase) and q.slop == 1
+
+
+# ------------------------------------------------ round-trip property
+
+
+def _render(q, top=False) -> str:
+    """Render a Term/Bool tree back to query_string syntax (the test-only
+    inverse of the parser, for the round-trip property)."""
+    if isinstance(q, Term):
+        return f"{q.field}:{q.value}"
+    parts = []
+
+    def wrap(c):
+        r = _render(c)
+        return f"({r})" if isinstance(c, Bool) else r
+
+    for c in q.must:
+        parts.append("+" + wrap(c))
+    for sub, w in q.should:
+        if (sub, w) in [(m, 1.0) for m in q.must]:
+            continue  # must clauses re-listed in should by _group
+        r = wrap(sub)
+        parts.append(r if w == 1.0 else f"{r}^{w:g}")
+    for c in q.must_not:
+        parts.append("-" + wrap(c))
+    return " ".join(parts)
+
+
+@st.composite
+def term_trees(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        field = draw(st.sampled_from(["lang", "source"]))
+        # unique leaf values: duplicate clauses make the rendered form
+        # ambiguous (the must re-listing in should can't be told apart)
+        value = "v" + str(draw(st.uuids(version=4)))[:13]
+        return Term(field, value)
+    n = draw(st.integers(min_value=2, max_value=3))
+    clauses = [draw(term_trees(depth=depth + 1)) for _ in range(n)]
+    occs = draw(st.lists(st.sampled_from(["should", "must", "must_not"]),
+                         min_size=n, max_size=n))
+    if all(o == "must_not" for o in occs):
+        occs[0] = "should"  # pure negation renders ambiguously; skip
+    must = [c for c, o in zip(clauses, occs) if o == "must"]
+    must_not = [c for c, o in zip(clauses, occs) if o == "must_not"]
+    should = [(c, float(draw(st.sampled_from([1, 2, 3]))))
+              for c, o in zip(clauses, occs) if o == "should"]
+    return Bool(must=must, must_not=must_not,
+                should=[(m, 1.0) for m in must] + should)
+
+
+@settings(max_examples=150, deadline=None)
+@given(term_trees())
+def test_query_string_round_trips_term_trees(tree):
+    """render(tree) parsed back yields a tree with IDENTICAL match
+    semantics: same must/must_not sets and same should weights (modulo
+    the single-clause unwrap)."""
+    rendered = _render(tree, top=True)
+    parsed = parse_query_string(rendered, default_field="lang")
+
+    def canon(q):
+        if isinstance(q, Term):
+            return ("t", q.field, q.value)
+        return (
+            "b",
+            frozenset(canon(c) for c in q.must),
+            frozenset(canon(c) for c in q.must_not),
+            frozenset((canon(c), w) for c, w in q.should),
+        )
+
+    if isinstance(tree, Bool) and not tree.must and not tree.must_not \
+            and len(tree.should) == 1 and tree.should[0][1] == 1.0:
+        tree = tree.should[0][0]  # parser unwraps the trivial group
+    assert canon(parsed) == canon(tree), rendered

@@ -428,3 +428,55 @@ def test_ann_ivfpq_recall_and_pruning(spark, qid):
         .collect()
     }
     assert cells <= probes
+
+
+# --------------------------------------------------- incremental dedup
+
+
+def test_fingerprint_store_roundtrip_and_append(spark, tmp_path):
+    from tweets_elastic_spark.operators.dedup import (
+        dedup_increment_exact, write_fingerprints,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha  text"), (2, "beta text")], "doc_id long, text string")
+    path = str(tmp_path / "fps")
+    write_fingerprints(corpus, path)
+    inc = spark.createDataFrame(
+        [
+            (10, "ALPHA TEXT"),      # whitespace/case dup of corpus 1
+            (11, "gamma text"),      # fresh
+            (12, "gamma  text"),     # within-increment dup of 11
+            (13, "delta text"),      # fresh
+        ],
+        "doc_id long, text string")
+    fps = spark.read.parquet(path)
+    got = sorted(r["doc_id"]
+                 for r in dedup_increment_exact(inc, fps).collect())
+    assert got == [11, 13]
+    # accept the batch: append its fingerprints; a replay now drops all
+    write_fingerprints(inc, path, mode="append")
+    fps2 = spark.read.parquet(path)
+    assert dedup_increment_exact(inc, fps2).count() == 0
+
+
+def test_dedup_increment_near_drops_corpus_neighbors(spark):
+    from tweets_elastic_spark.operators.dedup import dedup_increment_near
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark "
+                        "streaming joins and watermarks at scale")],
+        "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [
+            (10, base.replace("tonight", "today")),   # near-dup of 1
+            (11, "entirely novel increment document about parquet row "
+                 "group statistics pruning and layouts"),
+        ],
+        "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in
+                 dedup_increment_near(inc, corpus,
+                                      est_threshold=0.35).collect())
+    assert got == [11]

@@ -657,3 +657,109 @@ def embedding_near_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a STORED corpus — the continuous-ingest shape:
+# a new batch must not re-add documents the corpus already holds. At 100 TB
+# the corpus is never re-scanned per batch; its FINGERPRINTS (40-byte rows)
+# are materialized once at ingest (the same analyze-once story as the token
+# /signature columns indexing.build_index stores) and each increment
+# anti-joins that slim store.
+# ---------------------------------------------------------------------------
+
+def write_fingerprints(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's exact-dup fingerprint store: one (fp,
+    keeper_id) row per DISTINCT normalized text. ``mode='append'`` adds an
+    increment's fingerprints after it is accepted (appends may duplicate
+    a fp across files; dedup_increment_exact's left_anti join is
+    membership-only, so duplicates cost bytes, never correctness)."""
+    from tweets_elastic_spark.functions.textstats import fingerprint_md5
+
+    (
+        df.select(
+            fingerprint_md5(F.col(text_col)).alias("fp"),
+            F.col(id_col).alias("keeper_id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def dedup_increment_exact(
+    new_df: DataFrame,
+    fingerprints: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of a new batch against the stored fingerprint relation:
+    first exact-dedup WITHIN the increment (min-id keeper — a batch can
+    carry internal dups), then drop everything whose fingerprint the
+    corpus already holds (left_anti on the slim fp store — one shuffle on
+    the 128-bit key, the corpus data itself is never touched)."""
+    from tweets_elastic_spark.functions.textstats import fingerprint_md5
+
+    fresh = dedup_exact(new_df, text_col=text_col, id_col=id_col)
+    fp = fingerprint_md5(F.col(text_col)).alias("fp")
+    return (
+        fresh.withColumn("fp", fp)
+        .join(fingerprints.select("fp"), "fp", "left_anti")
+        .drop("fp")
+    )
+
+
+def dedup_increment_near(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    est_threshold: float = 0.7,
+    base_hash=None,
+) -> DataFrame:
+    """NEAR-dup survivors of an increment vs the corpus: MinHash-LSH
+    banding across the union, keeping only increment docs with no
+    estimated-Jaccard >= threshold neighbor ON THE CORPUS SIDE
+    (within-increment near-dups are a separate, composable step —
+    dedup_near_survivors). Ids must be globally unique across both
+    inputs. At production scale the corpus side of the band join reads
+    the signatures materialized at ingest (indexing.build_index's
+    analyze-once story) rather than recomputing them."""
+    tagged = corpus_df.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("_corpus")
+    ).unionByName(new_df.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_corpus")
+    ))
+    sides = tagged.select(F.col(id_col).alias("_sid"), "_corpus")
+    pairs = minhash_lsh_candidates(
+        tagged, text_col=text_col, id_col=id_col, k=k,
+        num_hashes=num_hashes, bands=bands, seed=seed, base_hash=base_hash,
+    ).filter(F.col("est_jaccard") >= est_threshold)
+    # cross-side hits: the increment member of each (corpus, new) pair
+    hit_ids = (
+        pairs.join(sides.withColumnRenamed("_sid", "id_a")
+                   .withColumnRenamed("_corpus", "_ca"), "id_a")
+        .join(sides.withColumnRenamed("_sid", "id_b")
+              .withColumnRenamed("_corpus", "_cb"), "id_b")
+        .filter(F.col("_ca") != F.col("_cb"))
+        .select(
+            F.when(F.col("_ca"), F.col("id_b")).otherwise(F.col("id_a"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return new_df.join(hit_ids, id_col, "left_anti")

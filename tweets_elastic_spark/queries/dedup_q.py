@@ -919,3 +919,43 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = cleanex.count()
     pairs = D.jaccard_pairs(cleanex, k=3, threshold=0.5, max_df=max(5, n // 100))
     return D.dedup_near_survivors(cleanex, pairs).select("doc_id")
+
+
+@register(
+    "dedup_increment_survivors",
+    oracle="""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 3 <> 0
+    ), inc AS (
+        SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fp
+        FROM documents WHERE doc_id % 3 = 0
+    ), inc_dedup AS (
+        SELECT * FROM inc
+        WHERE doc_id = (SELECT min(i2.doc_id) FROM inc i2
+                        WHERE i2.fp = inc.fp)
+    )
+    SELECT doc_id, lang FROM inc_dedup
+    WHERE fp NOT IN (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        FROM corpus
+    )
+    """,
+    doc="Incremental exact dedup — the continuous-ingest shape: a new "
+        "batch (doc_id%3=0) dedups within itself (min-id keeper) then "
+        "anti-joins the STORED corpus fingerprint relation (40-byte "
+        "rows; the corpus data is never re-scanned per batch — the "
+        "analyze-once story applied to dedup). One shuffle on the "
+        "128-bit fingerprint key.",
+)
+def q_dedup_increment_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.functions.textstats import fingerprint_md5
+    from tweets_elastic_spark.operators.dedup import dedup_increment_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    fps = corpus.select(fingerprint_md5(F.col("text")).alias("fp")).distinct()
+    return dedup_increment_exact(inc, fps).select("doc_id", "lang")

@@ -132,6 +132,11 @@ HEADLINE = [
     "search_rank_feature_prefix",
     "search_explain_parts",
     "tfidf_hashed_sparse",
+    "search_pinned_distance",
+    "es_aggs_significant_chi2",
+    "es_request_runtime_field",
+    "es_termvectors",
+    "dedup_increment_survivors",
 ]
 
 

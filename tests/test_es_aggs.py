@@ -1511,3 +1511,13 @@ def test_significant_text_mi_uses_document_totals(spark):
     assert got["mixed"] < 0
     # bg-only tokens don't appear (doc_count=0 filter, ES's contract)
     assert "words" not in got
+
+
+def test_percentage_heuristic(spark, sales):
+    got = {r["s"]: r["score"] for r in es_request(sales, {
+        "query": {"range": {"amount": {"gte": 11}}},
+        "aggs": {"s": {"significant_terms": {
+            "field": "product", "percentage": {}}}},
+    }).collect()}
+    # a: 1 of 4 occurrences in fg; b: 2 of 4
+    assert got == {"a": 0.25, "b": 0.5}

@@ -633,6 +633,10 @@ def _jlh_rank(
     bg_pct = F.col("bg_count") / F.col("_bg_total")
     if heuristic == "jlh":
         score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    elif heuristic == "percentage":
+        # ES percentage heuristic: the share of the term's occurrences
+        # that are in the foreground — subsetFreq / supersetFreq
+        score = F.col("doc_count") / F.col("bg_count")
     elif heuristic in ("mutual_information", "chi_square"):
         # 2x2 contingency, ES's background-is-superset convention:
         #   n11 term & fg          n01 term & not-fg
@@ -678,10 +682,10 @@ def _jlh_rank(
     )
 
 
-_SIG_HEURISTICS = ("jlh", "mutual_information", "chi_square")
+_SIG_HEURISTICS = ("jlh", "mutual_information", "chi_square", "percentage")
 # ES heuristics this engine does NOT implement — named so the reject is
 # loud instead of a silent JLH fallback
-_SIG_UNSUPPORTED = ("gnd", "percentage", "script_heuristic")
+_SIG_UNSUPPORTED = ("gnd", "script_heuristic")
 
 
 def _sig_heuristic(body: dict) -> str:
@@ -703,6 +707,7 @@ def _sig_heuristic(body: dict) -> str:
     params = body[found[0]] or {}
     ok_params = {
         "jlh": set(),
+        "percentage": set(),
         # include_negatives=True and background_is_superset=True are THE
         # implemented semantics; other values would silently mis-score
         "mutual_information": {"include_negatives", "background_is_superset"},

@@ -1521,3 +1521,28 @@ def test_percentage_heuristic(spark, sales):
     }).collect()}
     # a: 1 of 4 occurrences in fg; b: 2 of 4
     assert got == {"a": 0.25, "b": 0.5}
+
+
+def test_collapse_inner_hits(spark, sales):
+    out = es_request(sales, {
+        "query": {"match_all": {}},
+        "sort": [{"amount": "desc"}],
+        "collapse": {"field": "region", "inner_hits": {
+            "name": "top_sales", "size": 2,
+            "sort": [{"amount": "desc"}],
+            "_source": ["id", "amount"],
+        }},
+        "size": 10,
+        "_source": ["id", "region", "amount", "top_sales"],
+    }, tiebreak="id").collect()
+    got = {r["region"]: (r["id"], [(h["id"], h["amount"])
+                                   for h in r["top_sales"]]) for r in out}
+    # best hit per region + that region's top-2 by amount
+    assert got["eu"] == (2, [(2, 20.0), (1, 10.0)])
+    assert got["us"] == (7, [(7, 13.0), (6, 11.0)])
+    assert got["ap"] == (8, [(8, 1.0)])
+    with pytest.raises(ValueError, match="_source"):
+        es_request(sales, {
+            "query": {"match_all": {}}, "sort": [{"amount": "desc"}],
+            "collapse": {"field": "region", "inner_hits": {"size": 2}},
+        }, tiebreak="id")

@@ -1670,12 +1670,60 @@ def es_request(
             # same per-group-top-1 plan top_hits uses, no self-join.
             from pyspark.sql.window import Window
 
-            w = Window.partitionBy(collapse["field"]).orderBy(*order)
+            cfield = collapse["field"]
+            base = out
+            w = Window.partitionBy(cfield).orderBy(*order)
             out = (
                 out.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") == 1)
                 .drop("_rk")
             )
+            ih = collapse.get("inner_hits")
+            if ih is not None:
+                # ES collapse.inner_hits: each collapsed row also carries
+                # its group's top-N hits (by the inner sort) as an array
+                # of structs. The inner rank window rides the SAME
+                # collapse-key exchange; _source is required so the
+                # nested payload is explicit, never a whole-row copy.
+                isrc = ih.get("_source")
+                if not isrc:
+                    raise ValueError(
+                        "collapse.inner_hits needs an explicit _source "
+                        "column list (the nested payload must be bounded)"
+                    )
+                iorder = []
+                for entry in ih.get("sort", []):
+                    if isinstance(entry, str):
+                        iorder.append(F.col(entry).asc())
+                    else:
+                        (fld, direction), = entry.items()
+                        if isinstance(direction, dict):
+                            direction = direction.get("order", "asc")
+                        c = F.col(fld)
+                        iorder.append(
+                            c.desc() if direction == "desc" else c.asc()
+                        )
+                if not iorder:
+                    iorder = list(order)  # default: the request sort
+                isize = int(ih.get("size", 3))
+                w2 = Window.partitionBy(cfield).orderBy(*iorder)
+                inner = (
+                    base.withColumn("_irk", F.row_number().over(w2))
+                    .filter(F.col("_irk") <= isize)
+                    .groupBy(cfield)
+                    .agg(
+                        F.array_sort(
+                            F.collect_list(F.struct("_irk", *isrc))
+                        ).alias("_ihits")
+                    )
+                    .select(
+                        cfield,
+                        F.transform(
+                            F.col("_ihits"), lambda s: s.dropFields("_irk")
+                        ).alias(ih.get("name", "inner_hits")),
+                    )
+                )
+                out = out.join(inner, cfield, "left")
         if body.get("rescore") is not None:
             raise ValueError(
                 "rescore applies to relevance ranking; ES ignores it under "

@@ -300,3 +300,18 @@ def test_terms_set_rides_scan(spark):
     p = plan_of(spark, "search_terms_set")
     assert "Join" not in p
     assert len(scans(p)) == 1
+
+
+def test_pinned_distance_take_ordered(spark):
+    p = plan_of(spark, "search_pinned_distance")
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p  # pure CASE arithmetic riding the scan
+
+
+def test_increment_dedup_is_anti_join_on_fingerprints(spark):
+    """The corpus side enters the plan only as the slim fingerprint
+    relation via a LeftAnti join — never a full-corpus rescan per batch
+    beyond computing those fingerprints."""
+    p = plan_of(spark, "dedup_increment_survivors")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p

@@ -1546,3 +1546,39 @@ def test_collapse_inner_hits(spark, sales):
             "query": {"match_all": {}}, "sort": [{"amount": "desc"}],
             "collapse": {"field": "region", "inner_hits": {"size": 2}},
         }, tiebreak="id")
+
+
+def test_inner_hits_ties_bad_direction_null_group_and_pages(spark):
+    rows = [
+        (1, "eu", 10.0), (2, "eu", 10.0), (3, "eu", 5.0),
+        (4, None, 9.0), (5, None, 1.0),
+        (6, "us", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, region string, amount double")
+    base = {
+        "query": {"match_all": {}},
+        "sort": [{"amount": "desc"}],
+        "collapse": {"field": "region", "inner_hits": {
+            "name": "h", "size": 2, "sort": [{"amount": "desc"}],
+            "_source": ["id"],
+        }},
+        "size": 10,
+        "_source": ["id", "region", "h"],
+    }
+    out = {r["region"]: [h["id"] for h in r["h"]]
+           for r in es_request(df, base, tiebreak="id").collect()}
+    # tie at amount=10 in eu: tiebreak id asc makes the inner order [1, 2]
+    assert out["eu"] == [1, 2]
+    # NULL collapse group still carries its inner hits (null-safe join)
+    assert out[None] == [4, 5]
+    # bad inner direction raises instead of silently sorting ascending
+    with pytest.raises(ValueError, match="inner_hits sort"):
+        es_request(df, {**base, "collapse": {"field": "region",
+                   "inner_hits": {"sort": [{"amount": "DESC"}],
+                                  "_source": ["id"]}}}, tiebreak="id")
+    # page 2 via search_after: group representatives change, but each
+    # group's inner hits stay the INDEX-wide top-N, not the page suffix
+    page2 = es_request(df, {**base, "search_after": [20.0, 6]},
+                       tiebreak="id").collect()
+    got = {r["region"]: [h["id"] for h in r["h"]] for r in page2}
+    assert got["eu"] == [1, 2]  # unchanged despite the cursor

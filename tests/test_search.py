@@ -1228,3 +1228,24 @@ def test_pinned_order_and_distance_feature(spark):
     with pytest.raises(ValueError, match="pivot"):
         search(df, DistanceFeature("v", origin=0.0, pivot=0.0), k=None) \
             .collect()
+
+
+def test_pinned_and_distance_feature_from_json(spark):
+    from tweets_elastic_spark.plans.search import (
+        DistanceFeature, Pinned, Term, from_es_json,
+    )
+
+    q = from_es_json({"query": {"pinned": {
+        "ids": [7, 3], "organic": {"term": {"lang": "en"}}}}})
+    assert q == Pinned(ids=[7, 3], organic=Term("lang", "en"),
+                       id_field="doc_id")
+    q = from_es_json({"query": {"distance_feature": {
+        "field": "ts", "origin": 1700000000, "pivot": 86400,
+        "boost": 2}}})
+    assert q == DistanceFeature("ts", origin=1700000000.0, pivot=86400.0,
+                                boost=2.0)
+    with pytest.raises(ValueError, match="date-math"):
+        from_es_json({"query": {"distance_feature": {
+            "field": "ts", "origin": "now-1d", "pivot": "7d"}}})
+    with pytest.raises(ValueError, match="pinned expects"):
+        from_es_json({"query": {"pinned": {"ids": [1]}}})

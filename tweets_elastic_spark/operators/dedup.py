@@ -709,10 +709,13 @@ def dedup_increment_exact(
     the 128-bit key, the corpus data itself is never touched)."""
     from tweets_elastic_spark.functions.textstats import fingerprint_md5
 
-    fresh = dedup_exact(new_df, text_col=text_col, id_col=id_col)
-    fp = fingerprint_md5(F.col(text_col)).alias("fp")
+    # compute the fingerprint ONCE and reuse it for both steps (the
+    # within-batch keeper selection and the corpus anti-join) — not
+    # dedup_exact + a second fingerprint projection
+    fped = new_df.withColumn("fp", fingerprint_md5(F.col(text_col)))
+    keepers = fped.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return (
-        fresh.withColumn("fp", fp)
+        fped.join(keepers, [id_col, "fp"], "left_semi")
         .join(fingerprints.select("fp"), "fp", "left_anti")
         .drop("fp")
     )

@@ -669,7 +669,7 @@ def _jlh_rank(
     else:
         raise ValueError(
             f"unsupported significance heuristic {heuristic!r} "
-            "(supported: jlh, mutual_information, chi_square)"
+            f"(supported: {', '.join(_SIG_HEURISTICS)})"
         )
     return (
         g.filter(F.col("doc_count") > 0)
@@ -1628,6 +1628,10 @@ def es_request(
     source = body.get("_source")
     if sort is not None:
         out = df.filter(tree.predicate(df.sparkSession, F.col))
+        # the FULL hit relation, captured before any keyset cursor filter:
+        # collapse.inner_hits must report each group's top-N over the
+        # whole index (ES semantics), not over the current page's suffix
+        all_hits = out
         specs: list[tuple[str, bool]] = []  # (field, is_desc)
         for entry in sort if isinstance(sort, list) else [sort]:
             if isinstance(entry, str):
@@ -1671,7 +1675,6 @@ def es_request(
             from pyspark.sql.window import Window
 
             cfield = collapse["field"]
-            base = out
             w = Window.partitionBy(cfield).orderBy(*order)
             out = (
                 out.withColumn("_rk", F.row_number().over(w))
@@ -1682,9 +1685,12 @@ def es_request(
             if ih is not None:
                 # ES collapse.inner_hits: each collapsed row also carries
                 # its group's top-N hits (by the inner sort) as an array
-                # of structs. The inner rank window rides the SAME
-                # collapse-key exchange; _source is required so the
-                # nested payload is explicit, never a whole-row copy.
+                # of structs — computed over the FULL hit relation
+                # (all_hits, pre-search_after: a group's top-N is a
+                # property of the index, not of the page). The inner rank
+                # window rides the SAME collapse-key exchange; _source is
+                # required so the nested payload is explicit, never a
+                # whole-row copy.
                 isrc = ih.get("_source")
                 if not isrc:
                     raise ValueError(
@@ -1699,16 +1705,26 @@ def es_request(
                         (fld, direction), = entry.items()
                         if isinstance(direction, dict):
                             direction = direction.get("order", "asc")
+                        if direction not in ("asc", "desc"):
+                            raise ValueError(
+                                f"bad sort direction {direction!r} for "
+                                f"inner_hits sort on {fld!r}"
+                            )
                         c = F.col(fld)
                         iorder.append(
                             c.desc() if direction == "desc" else c.asc()
                         )
-                if not iorder:
+                if iorder:
+                    # the tiebreak makes the inner top-N deterministic
+                    # under sort-key ties, same as the outer sort
+                    if tiebreak is not None:
+                        iorder.append(F.col(tiebreak).asc())
+                else:
                     iorder = list(order)  # default: the request sort
                 isize = int(ih.get("size", 3))
                 w2 = Window.partitionBy(cfield).orderBy(*iorder)
                 inner = (
-                    base.withColumn("_irk", F.row_number().over(w2))
+                    all_hits.withColumn("_irk", F.row_number().over(w2))
                     .filter(F.col("_irk") <= isize)
                     .groupBy(cfield)
                     .agg(
@@ -1717,13 +1733,16 @@ def es_request(
                         ).alias("_ihits")
                     )
                     .select(
-                        cfield,
+                        F.col(cfield).alias("_ckey"),
                         F.transform(
                             F.col("_ihits"), lambda s: s.dropFields("_irk")
                         ).alias(ih.get("name", "inner_hits")),
                     )
                 )
-                out = out.join(inner, cfield, "left")
+                # null-safe: the NULL collapse group still gets its hits
+                out = out.join(
+                    inner, F.col(cfield).eqNullSafe(F.col("_ckey")), "left"
+                ).drop("_ckey")
         if body.get("rescore") is not None:
             raise ValueError(
                 "rescore applies to relevance ranking; ES ignores it under "

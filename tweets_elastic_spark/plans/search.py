@@ -1505,7 +1505,9 @@ def from_es_json(
     ``terms``, ``terms_set``, ``prefix``, ``wildcard``, ``regexp`` (anchored, core
     operator set), ``fuzzy``, ``ids`` (bound to ``id_field``), ``range``,
     ``exists``, ``match_all``, ``constant_score``, ``dis_max``,
-    ``boosting``, and ``script_score`` (Painless arithmetic subset).
+    ``boosting``, ``pinned``, ``distance_feature`` (numeric origin/pivot —
+    date-math strings convert before compiling), and ``script_score``
+    (Painless arithmetic subset).
     Unknown clause types raise (never silently drop a predicate).
 
     Mapping-driven resolution, as in ES:
@@ -1838,6 +1840,38 @@ def from_es_json(
                 f, text, analyzer=analyzer,
                 tokens_col=tokens_cols.get(field), operator=operator,
             ), scope)
+        if kind == "pinned":
+            extra = set(body) - {"ids", "organic"}
+            if extra:
+                raise ValueError(f"unsupported pinned keys: {sorted(extra)}")
+            if "ids" not in body or "organic" not in body:
+                raise ValueError(
+                    "pinned expects {'ids': [...], 'organic': {...}}"
+                )
+            return Pinned(
+                ids=list(body["ids"]),
+                organic=compile_node(body["organic"], scope),
+                id_field=id_field,
+            )
+        if kind == "distance_feature":
+            extra = set(body) - {"field", "origin", "pivot", "boost"}
+            if extra:
+                raise ValueError(
+                    f"unsupported distance_feature keys: {sorted(extra)}"
+                )
+            origin, pivot = body["origin"], body["pivot"]
+            if not isinstance(origin, (int, float)) or \
+                    not isinstance(pivot, (int, float)):
+                raise ValueError(
+                    "distance_feature origin/pivot must be NUMERIC here "
+                    "(epoch seconds for timestamp fields); ES date-math "
+                    "strings ('now-1d', '7d') are not parsed — convert "
+                    "before compiling"
+                )
+            return DistanceFeature(
+                body["field"], origin=float(origin), pivot=float(pivot),
+                boost=float(body.get("boost", 1.0)),
+            )
         if kind == "rank_feature":
             spec = dict(body)
             if "field" not in spec:

@@ -923,30 +923,43 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_increment_survivors",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
-        SELECT * FROM documents WHERE doc_id % 3 <> 0
+        SELECT {_FP} AS fp FROM documents
     ), inc AS (
-        SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-               AS fp
+        -- re-keyed EXACT copies of corpus docs (all must drop) ...
+        SELECT doc_id + 1000000 AS doc_id, lang, {_FP} AS fp
         FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        -- ... fresh texts (suffix changes the fingerprint; survive) ...
+        SELECT doc_id + 2000000 AS doc_id, lang,
+               md5(lower(trim(regexp_replace(text || ' fresh', '\\s+', ' ',
+                                             'g')))) AS fp
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        -- ... and a second copy of each fresh text under a HIGHER id
+        -- (within-batch dup: the min-id keeper must win)
+        SELECT doc_id + 3000000 AS doc_id, lang,
+               md5(lower(trim(regexp_replace(text || ' fresh', '\\s+', ' ',
+                                             'g')))) AS fp
+        FROM documents WHERE doc_id % 3 = 1
     ), inc_dedup AS (
         SELECT * FROM inc
         WHERE doc_id = (SELECT min(i2.doc_id) FROM inc i2
                         WHERE i2.fp = inc.fp)
     )
     SELECT doc_id, lang FROM inc_dedup
-    WHERE fp NOT IN (
-        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-        FROM corpus
-    )
+    WHERE fp NOT IN (SELECT fp FROM corpus)
     """,
     doc="Incremental exact dedup — the continuous-ingest shape: a new "
-        "batch (doc_id%3=0) dedups within itself (min-id keeper) then "
-        "anti-joins the STORED corpus fingerprint relation (40-byte "
-        "rows; the corpus data is never re-scanned per batch — the "
-        "analyze-once story applied to dedup). One shuffle on the "
-        "128-bit fingerprint key.",
+        "batch dedups within itself (min-id keeper) then anti-joins the "
+        "STORED corpus fingerprint relation (40-byte rows; the corpus "
+        "data is never re-scanned per batch — the analyze-once story "
+        "applied to dedup). The increment is constructed to exercise "
+        "EVERY path: re-keyed corpus copies (all drop at the anti-join), "
+        "fresh texts (survive), and doubled fresh texts (the within-"
+        "batch keeper drops the higher id). One shuffle on the 128-bit "
+        "fingerprint key.",
 )
 def q_dedup_increment_survivors(
     spark: SparkSession, sf_dir: str
@@ -955,7 +968,17 @@ def q_dedup_increment_survivors(
     from tweets_elastic_spark.operators.dedup import dedup_increment_exact
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 3 != 0)
-    inc = docs.filter(F.col("doc_id") % 3 == 0)
-    fps = corpus.select(fingerprint_md5(F.col("text")).alias("fp")).distinct()
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+    )
+    fresh = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "lang",
+        F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
+    )
+    doubled = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "lang",
+        F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
+    )
+    inc = copies.unionByName(fresh).unionByName(doubled)
+    fps = docs.select(fingerprint_md5(F.col("text")).alias("fp")).distinct()
     return dedup_increment_exact(inc, fps).select("doc_id", "lang")

@@ -2396,22 +2396,24 @@ def q_es_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_pinned_distance",
     oracle="""
     WITH scored AS (
+        -- rank by the UNROUNDED score (the engine's order), round only
+        -- the output: rounding before ORDER BY could flip ties at the
+        -- top-k boundary
         SELECT event_id, user_id,
                CASE
                  WHEN event_id = 77 THEN 1000000002.0
                  WHEN event_id = 3  THEN 1000000001.0
-                 ELSE round(
-                   1.5 * 86400.0
-                   / (86400.0
-                      + abs(epoch(ts) - epoch(TIMESTAMP '2024-01-15 00:00:00'))),
-                   6)
-               END AS score
+                 ELSE 1.5 * 86400.0
+                      / (86400.0
+                         + abs(epoch(ts)
+                               - epoch(TIMESTAMP '2024-01-15 00:00:00')))
+               END AS raw_score
         FROM events
         WHERE event_id IN (77, 3) OR ts IS NOT NULL
+        ORDER BY raw_score DESC, event_id ASC
+        LIMIT 20
     )
-    SELECT event_id, user_id, score FROM scored
-    ORDER BY score DESC, event_id ASC
-    LIMIT 20
+    SELECT event_id, user_id, round(raw_score, 6) AS score FROM scored
     """,
     doc="ES pinned + distance_feature: ids 77 and 3 promoted to the top "
         "(descending constant ladder above any organic score), organic "

@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-    {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+Prints TWO JSON lines — a verbose record first (every headline query's
+best-of-2 and first-run time; also written to bench_full.json), then a
+COMPACT final line sized to survive the driver's 2000-char tail capture
+(BENCH_r06 lost its per-query dict to that truncation — r6 verdict item 3):
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec", ...,
+     "queries": {name: sec, ...}}   # the round-over-round comparable subset
 
 Each query is materialized fully via the noop sink (measures compute +
 shuffle, not Python collection). Session config mirrors production defaults
@@ -137,6 +141,40 @@ HEADLINE = [
     "es_request_runtime_field",
     "es_termvectors",
     "dedup_increment_survivors",
+    # r7
+    "search_dsl_bm25",
+]
+
+# The final compact JSON line must fit the driver's 2000-char tail capture;
+# 105 queries don't. This subset is what lands in that line's "queries"
+# dict: the r5/r6 round-over-round comparable set plus one representative
+# per family added since. EVERYTHING in HEADLINE is still timed — the full
+# per-query dict goes to bench_full.json and the verbose first stdout line.
+COMPARE_SUBSET = [
+    # the r5-comparable core (52 names, unchanged since BENCH_r05)
+    "denorm_order_lineitems", "tweet_documents_flat", "pricing_summary",
+    "snowflake_dim_join", "star_join_project", "self_join_pairs",
+    "exists_child_hof", "topk_orders", "latest_order_per_customer",
+    "corpus_rollup", "events_asof_join", "clicks_in_error_windows",
+    "user_rolling_1h", "funnel_conversion", "corpus_length_quantiles",
+    "events_daily_pivot", "tumbling_window", "sliding_window",
+    "session_window", "search_function_score", "search_materialized_tokens",
+    "search_bm25", "search_bm25_indexed", "search_bm25_function_score",
+    "analyze_englando", "analyze_ngram", "quality_score", "lang_id",
+    "dedup_exact_survivors", "dedup_near_survivors", "corpus_clean",
+    "corpus_split", "jaccard_near_dups", "minhash_lsh_near_dups",
+    "simhash_near_dups", "embedding_near_dups", "ann_cosine_topk",
+    "ann_multi_query_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_lsh_topk_indexed", "ann_ivf_topk_indexed", "ann_lsh_multi_indexed",
+    "ann_ivf_multi_indexed", "ann_ivf_portable_topk",
+    "ann_ivf_portable_multi", "ann_pq_arrow_topk", "vocab_top_tokens",
+    "semdedup_survivors", "decontaminate_fuzzy_survivors",
+    "model_quality_filter", "multimodal_decode",
+    # post-r5 family representatives
+    "search_dsl_bm25", "lm_perplexity_filter", "dsir_sample",
+    "dup_ngram_stats", "line_dedup", "image_near_dups",
+    "search_query_string", "es_aggs_multi_terms_mad",
+    "dedup_increment_survivors",
 ]
 
 
@@ -195,7 +233,7 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
@@ -207,7 +245,36 @@ def main() -> None:
                   "(steady-state, noise-robust); queries_first_run is the "
                   "single-sample first sf0.1 run of each query",
         "sf": sf,
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    # Final line LAST and compact: the driver keeps only the trailing
+    # ~2000 chars of stdout, so this is the line BENCH_r{N}.json parses.
+    subset = [n for n in COMPARE_SUBSET if n in times]
+    compact = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "first_run_total_sec": full["first_run_total_sec"],
+        "index_build_sec": index_build_sec,
+        "full": "bench_full.json",
+        "queries_other_total_sec": round(
+            sum(v for n, v in times.items() if n not in subset), 3),
+        "queries": {n: times[n] for n in subset},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1950 and compact["queries"]:
+        # defensive: never emit an unparseable (truncated) final line —
+        # drop trailing subset entries into the "other" bucket instead
+        dropped = subset.pop()
+        compact["queries_other_total_sec"] = round(
+            compact["queries_other_total_sec"] + compact["queries"].pop(dropped), 3)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -244,6 +244,174 @@ def test_from_es_json_registry_twin_matches_builder(spark):
     assert a == b and len(a) > 0
 
 
+# -- from_es_json: BM25 wiring (VERDICT r6 item 1) ----------------------------
+
+def _fixed_stats(n=10.0, avgdl=4.0, df=None):
+    from tweets_elastic_spark.plans.search import Bm25Stats
+
+    return Bm25Stats(n_docs=n, avgdl=avgdl, df=df or {})
+
+
+def _raising_provider(field, tokens_col, analyzer, text):
+    raise AssertionError(
+        "bm25_stats_for must not be consulted for this query shape"
+    )
+
+
+def test_from_es_json_reference_artifact_identical_with_bm25_provider():
+    """The reference's own query (keyword match inside a nested scope,
+    constant weight 5) must compile to the BYTE-IDENTICAL tree whether or
+    not a BM25 provider is supplied — the provider may not even be
+    consulted (its match has no analyzer/tokens binding)."""
+    import json
+
+    from tweets_elastic_spark.plans.search import (
+        from_es_json, nested_paths_from_mapping,
+    )
+
+    mapping = json.load(open("/root/reference/src/config/mapping.json"))
+    dsl = json.load(open("/root/reference/src/used_queries/elastic_queries.json"))
+    nested = nested_paths_from_mapping(mapping)
+    assert from_es_json(
+        dsl, nested_paths=nested, bm25_stats_for=_raising_provider
+    ) == from_es_json(dsl, nested_paths=nested) == reference_query()
+
+
+def test_from_es_json_match_compiles_to_bm25_with_provider():
+    from tweets_elastic_spark.plans.search import BM25Match, from_es_json
+
+    stats = _fixed_stats(df={"spark": 3.0})
+    seen = []
+
+    def provider(field, tokens_col, analyzer, text):
+        seen.append((field, tokens_col, analyzer, text))
+        return stats
+
+    q = from_es_json(
+        {"match": {"text": {"query": "spark", "operator": "and",
+                            "minimum_should_match": 1}}},
+        analyzers={"text": "standard"},
+        tokens_cols={"text": "text__standard"},
+        bm25_stats_for=provider,
+    )
+    assert q == BM25Match(
+        "text", "spark", analyzer="standard", tokens_col="text__standard",
+        stats=stats, operator="and", minimum_should_match=1,
+    )
+    assert seen == [("text", "text__standard", "standard", "spark")]
+
+
+def test_from_es_json_bm25_fallbacks_keep_overlap_match():
+    """Documented fallbacks: fuzziness, missing tokens_col binding, and
+    nested-path fields stay on the overlap-scoring Match path."""
+    from tweets_elastic_spark.plans.search import (
+        BM25Match, Match, Nested, from_es_json,
+    )
+
+    kw = dict(analyzers={"text": "standard", "links.title": "standard"},
+              tokens_cols={"text": "text__standard",
+                           "links.title": "links.title__standard"},
+              bm25_stats_for=lambda *a: _fixed_stats())
+    fz = from_es_json({"match": {"text": {"query": "spark",
+                                          "fuzziness": 1}}}, **kw)
+    assert isinstance(fz, Match) and fz.fuzziness == 1
+    no_tok = from_es_json(
+        {"match": {"other": "spark"}},
+        analyzers={"other": "standard"},
+        bm25_stats_for=lambda *a: _fixed_stats(),
+    )
+    assert isinstance(no_tok, Match)
+    nested = from_es_json({"match": {"links.title": "spark"}},
+                          nested_paths={"links"}, **kw)
+    assert isinstance(nested, Nested) and isinstance(nested.query, Match)
+    assert not isinstance(nested.query, BM25Match)
+
+
+def test_from_es_json_multi_match_bm25_tree_shapes():
+    """All-fields-bound multi_match compiles to per-field BM25 legs:
+    best_fields → DisMax, most_fields → score-summing Bool; field^boost
+    lands on the leg."""
+    from tweets_elastic_spark.plans.search import (
+        BM25Match, Bool, DisMax, MultiMatch, from_es_json,
+    )
+
+    stats = _fixed_stats(df={"spark": 2.0})
+    kw = dict(
+        analyzers={"a": "standard", "b": "standard"},
+        tokens_cols={"a": "a__t", "b": "b__t"},
+        bm25_stats_for=lambda f, tc, an, tx: stats,
+    )
+    legs = [
+        BM25Match("a", "spark", analyzer="standard", tokens_col="a__t",
+                  stats=stats, boost=2.0),
+        BM25Match("b", "spark", analyzer="standard", tokens_col="b__t",
+                  stats=stats),
+    ]
+    best = from_es_json(
+        {"multi_match": {"query": "spark", "fields": ["a^2", "b"]}}, **kw)
+    assert best == DisMax(legs)
+    most = from_es_json(
+        {"multi_match": {"query": "spark", "fields": ["a^2", "b"],
+                         "type": "most_fields"}}, **kw)
+    assert most == Bool(should=[(legs[0], 1.0), (legs[1], 1.0)])
+    # one field unbound → the whole clause falls back to MultiMatch
+    partial = from_es_json(
+        {"multi_match": {"query": "spark", "fields": ["a", "c"]}}, **kw)
+    assert isinstance(partial, MultiMatch)
+
+
+def test_bm25_match_operator_msm_boost_execution(spark):
+    """BM25Match candidate gating (operator='and', msm) and boost
+    multiplication, executed on an inline corpus against hand-computed
+    Okapi values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.plans.search import BM25Match, search
+
+    rows = [
+        ("d1", ["spark", "merge", "spark"]),
+        ("d2", ["spark", "other"]),
+        ("d3", ["merge"]),
+        ("d4", ["nothing"]),
+    ]
+    df = spark.createDataFrame(rows, "id string, toks array<string>")
+    stats = _fixed_stats(n=4.0, avgdl=2.0,
+                         df={"spark": 2.0, "merge": 2.0})
+
+    def okapi(tf, dl, dfreq, boost=1.0):
+        idf = math.log(1.0 + (4.0 - dfreq + 0.5) / (dfreq + 0.5))
+        return boost * idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+
+    base = dict(analyzer="standard", tokens_col="toks", stats=stats)
+    m_and = BM25Match("toks", "spark merge", **base, operator="and")
+    got = {r["id"]: r["score"]
+           for r in search(df, m_and, k=None).collect()}
+    assert set(got) == {"d1"}
+    want = okapi(2, 3, 2.0) + okapi(1, 3, 2.0)
+    assert abs(got["d1"] - want) < 1e-9
+    m_msm = BM25Match("toks", "spark merge", **base, minimum_should_match=2)
+    assert {r["id"] for r in search(df, m_msm, k=None).collect()} == {"d1"}
+    m_boost = BM25Match("toks", "spark merge", **base, boost=3.0)
+    got_b = {r["id"]: r["score"]
+             for r in search(df, m_boost, k=None).collect()}
+    assert set(got_b) == {"d1", "d2", "d3"}
+    assert abs(got_b["d2"] - okapi(1, 2, 2.0, boost=3.0)) < 1e-9
+
+
+def test_search_dsl_bm25_registry_twin_matches_builder(spark):
+    """search_dsl_bm25 (JSON front-end + provider) and search_bm25 (builder
+    + explicit stats) must agree byte-for-byte at sf0.001."""
+    from tweets_elastic_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(registry.get("search_dsl_bm25").fn(spark, sf).collect(), key=key)
+    b = sorted(registry.get("search_bm25").fn(spark, sf).collect(), key=key)
+    assert a == b and len(a) > 0
+
+
 def test_from_es_json_unknown_clause_raises():
     from tweets_elastic_spark.plans.search import from_es_json
 

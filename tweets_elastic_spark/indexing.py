@@ -461,6 +461,30 @@ def bm25_stats_from_index(
     return Bm25Stats(n_docs=n_docs, avgdl=avgdl, df=df)
 
 
+def index_bm25_provider(spark: SparkSession, index_dir: str):
+    """A ``bm25_stats_for`` provider for ``plans.search.from_es_json``
+    backed by the materialized index: (n_docs, avgdl) from the tiny
+    per-segment corpus_stats table, per-token df from a pushdown-filtered
+    term-dictionary lookup — no corpus scan, the 100 TB path (a served
+    query touches segments' metadata, never the documents, to price its
+    terms). Memoized per (tokens_col, analyzer, text) so a tree reusing
+    the same match clause in scoring and filter context looks up once."""
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+
+    cache: dict[tuple, object] = {}
+
+    def provider(field: str, tokens_col: str, analyzer: str, text: str):
+        key = (tokens_col, analyzer, text)
+        if key not in cache:
+            cache[key] = bm25_stats_from_index(
+                spark, index_dir, tokens_col,
+                analyze_text(spark, text, analyzer),
+            )
+        return cache[key]
+
+    return provider
+
+
 def read_indexed_documents(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "documents_indexed"))
 

@@ -197,9 +197,10 @@ _BM25_DF_SQL = ", ".join(
 )
 
 
-@register(
-    "search_bm25",
-    oracle=_TOKENS_CTE + f""",
+# Shared by search_bm25 (builder form) and search_dsl_bm25 (JSON front-end):
+# the two entries must agree row-for-row or the DSL's BM25 wiring drifted
+# from the scoring node.
+_BM25_ORACLE = _TOKENS_CTE + f""",
     stats AS (
         SELECT CAST(count(*) AS DOUBLE) AS n,
                avg(CAST(len(tokens) AS DOUBLE)) AS avgdl
@@ -211,7 +212,12 @@ _BM25_DF_SQL = ", ".join(
     FROM toks, stats s, dfs d
     WHERE lang = 'en'
       AND list_has_any(tokens, ['spark', 'merge', 'sparkmerge'])
-    """,
+    """
+
+
+@register(
+    "search_bm25",
+    oracle=_BM25_ORACLE,
     doc="Okapi BM25 relevance over the custom_shingles token column "
         "(ES match scoring, SURVEY §7 risk 4 — the v2 item): corpus stats "
         "from one aggregation job, per-doc tf/dl math as JVM expressions; "
@@ -234,6 +240,55 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query = FunctionScore(
         Bool(should=[(match, 1.0)], filter=[Term("lang", "en"), match])
+    )
+    return search(docs, query, k=None).select(
+        "doc_id", "lang", F.round("score", 6).alias("score")
+    )
+
+
+# The BM25 query AS A JSON ARTIFACT (VERDICT r6 item 1): what a generic ES
+# user sends — a bare `match` they expect relevance-ranked. The analyzer +
+# token-column bindings come from the mapping side as always; the stats
+# provider is the only new input.
+_BM25_DSL = {
+    "query": {
+        "function_score": {
+            "query": {
+                "bool": {
+                    "should": [{"match": {"text": {"query": "spark merge"}}}],
+                    "filter": [
+                        {"term": {"lang": "en"}},
+                        {"match": {"text": "spark merge"}},
+                    ],
+                }
+            }
+        }
+    }
+}
+
+
+@register(
+    "search_dsl_bm25",
+    oracle=_BM25_ORACLE,
+    doc="BM25 through the JSON-DSL front-end: from_es_json compiles the "
+        "match clauses to BM25Match when the field has analyzer + token-"
+        "column bindings and a bm25_stats_for provider is supplied "
+        "(corpus_bm25_provider here; index_bm25_provider against a "
+        "materialized index). Shares search_bm25's oracle verbatim — the "
+        "DSL and builder forms must agree row-for-row. The reference "
+        "artifact's own tree stays byte-identical with a provider present "
+        "(keyword match, constant weight — pytest-pinned).",
+)
+def q_search_dsl_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import corpus_bm25_provider
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = materialize_tokens(docs, {"text": ["custom_shingles"]})
+    query = from_es_json(
+        _BM25_DSL,
+        analyzers={"text": "custom_shingles"},
+        tokens_cols={"text": "text__custom_shingles"},
+        bm25_stats_for=corpus_bm25_provider(spark, docs),
     )
     return search(docs, query, k=None).select(
         "doc_id", "lang", F.round("score", 6).alias("score")

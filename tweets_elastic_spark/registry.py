@@ -66,10 +66,18 @@ DRIVER_PRIORITY: list[str] = [
     # snowflake_dim_join and the flagship's dim joins (both plan-pinned),
     # while percolation (reverse search) is a new capability family; the
     # ousted query stays full-oracle post-prefix + parity-pytest)
+    # (r7 rotation per the r6 verdict: point_lookup -> es_aggs_auto_date_
+    # histogram and range_filter_conj -> search_simple_query_string — the
+    # two relational filter twins are exercised transitively by every
+    # prefix row's scan filters (keyset_page's key range, the flagship's
+    # dim equality joins, search_from_json_dsl's range+term conjunction)
+    # and stay full-oracle post-prefix + parity-pytest, while the engine-
+    # picked-interval histogram and the never-throws query parser are
+    # distinct operator families that had no driver row)
     "tweet_documents_flat", "denorm_order_lineitems", "keyset_page",
-    "point_lookup", "snowflake_dim_join", "percolate_matches",
+    "es_aggs_auto_date_histogram", "snowflake_dim_join", "percolate_matches",
     "self_join_pairs", "exists_child_hof", "topk_orders", "pricing_summary",
-    "range_filter_conj",
+    "search_simple_query_string",
     # (match_all_count deprioritized: every prefix entry's row-count
     # comparison already exercises COUNT correctness)
     # search / scoring (r6 swaps, each ousted twin parity-verified
@@ -84,7 +92,11 @@ DRIVER_PRIORITY: list[str] = [
     # builder form shares an IDENTICAL oracle with search_from_json_dsl,
     # which keeps the prefix slot for that query shape, so the freed row
     # gives hybrid lexical+vector retrieval (RRF fusion) driver coverage)
-    "search_hybrid_rrf", "search_from_json_dsl", "search_bm25",
+    # (r7: search_bm25 -> search_dsl_bm25 — IDENTICAL oracle, and the DSL
+    # form exercises strictly more: the from_es_json compiler's BM25 wiring
+    # plus the scoring node; the builder twin stays post-prefix with a
+    # byte-equality pytest)
+    "search_hybrid_rrf", "search_from_json_dsl", "search_dsl_bm25",
     "lm_perplexity_filter", "es_aggs_date_histogram",
     # analyzers
     "analyze_shingles", "analyze_ngram",

@@ -143,6 +143,7 @@ HEADLINE = [
     "dedup_increment_survivors",
     # r7
     "search_dsl_bm25",
+    "search_phrase_slop",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1050,8 +1050,10 @@ def test_match_phrase_slop_two_terms(spark):
     )
     q = MatchPhrase("text", "alpha beta", analyzer="standard", slop=1)
     assert search(df2, q, k=None).count() == 1
-    with pytest.raises(ValueError, match="exactly 2 analyzed terms"):
-        MatchPhrase("text", "a b c", analyzer="standard", slop=1).predicate(
+    # repeated terms in a >2-term sloppy phrase still raise loudly
+    # (Lucene's repeat machinery); distinct n-term phrases are supported
+    with pytest.raises(ValueError, match="repeated term"):
+        MatchPhrase("text", "a b a", analyzer="standard", slop=1).predicate(
             spark, F.col
         )
     parsed = from_es_json(
@@ -1060,6 +1062,59 @@ def test_match_phrase_slop_two_terms(spark):
     )
     assert parsed == MatchPhrase("text", "alpha beta", analyzer="standard",
                                  slop=2)
+
+
+def test_match_phrase_slop_n_terms(spark):
+    """Lucene sloppy-phrase semantics for 3-term phrases: matchLength =
+    max − min over offset-adjusted positions, hand-computed ladder."""
+    from tweets_elastic_spark.plans.search import MatchPhrase
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"),             # exact → 0
+         (2, "alpha x beta gamma"),           # one gap → 1
+         (3, "alpha beta x gamma"),           # one gap → 1
+         (4, "alpha x beta y gamma"),         # two gaps → 2
+         (5, "alpha gamma beta"),             # adjacent transposition → 2
+         (6, "beta alpha gamma"),             # adjacent transposition → 2
+         (7, "gamma beta alpha"),             # full reversal → 4
+         (8, "alpha beta something beta gamma"),  # best beta wins → 2
+         (9, "alpha beta"),                   # gamma absent → never
+         (10, "gamma x x x alpha beta")],     # a@4,b@5,g@0: adj 4,4,-2 → 6
+        "id long, text string",
+    )
+
+    def hits(slop):
+        q = MatchPhrase("text", "alpha beta gamma", analyzer="standard",
+                        slop=slop)
+        return {r["id"] for r in search(df, q, k=None).collect()}
+
+    assert hits(0) == {1}
+    assert hits(1) == {1, 2, 3}
+    assert hits(2) == {1, 2, 3, 4, 5, 6, 8}
+    assert hits(3) == {1, 2, 3, 4, 5, 6, 8}
+    assert hits(4) == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert hits(6) == {1, 2, 3, 4, 5, 6, 7, 8, 10}
+    # the n-term window path agrees with the pairwise 2-term path
+    two_pair = MatchPhrase("text", "alpha beta", analyzer="standard", slop=2)
+    got = {r["id"] for r in search(df, two_pair, k=None).collect()}
+    assert {1, 2, 3, 4, 5, 8, 9} <= got  # in-order/gapped/transposed pairs
+
+
+def test_search_phrase_slop_registry_matches_oracle(spark):
+    """The registered 3-term sloppy-phrase query hash-matches its DuckDB
+    positional-window oracle at sf0.001 (full parity also re-checked by
+    test_oracle_parity at sf0.01)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_harness import compare
+
+    from tweets_elastic_spark import registry
+
+    q = registry.get("search_phrase_slop")
+    ok, msg = compare(q.fn(spark, "/root/testdata/sf0.001"), q.oracle,
+                      "/root/testdata/sf0.001")
+    assert ok, msg
 
 
 def test_rrf_fuse_combines_ranks_without_scores(spark):

@@ -454,22 +454,24 @@ class MatchPhrase(Query):
             else analyze(resolve(self.field), self.analyzer)
         )
         if self.slop:
-            # Sloppy phrase (ES match_phrase slop): the terms may sit up
-            # to `slop` total position-moves apart. Supported for TWO-term
-            # phrases, where Lucene's edit semantics reduce exactly to:
-            # in order, pos(t2) − pos(t1) − 1 ≤ slop; TRANSPOSED (t2
-            # before t1, which Lucene matches from slop ≥ 2 — moving t2
-            # past t1 costs the gap plus one), pos(t1) − pos(t2) + 1 ≤
-            # slop. Two position projections + a nested exists, all
-            # scan-local HOFs. Longer sloppy phrases would need Lucene's
-            # full position-lattice machinery; raise rather than
+            # Sloppy phrase (ES match_phrase slop), Lucene's semantics
+            # (SloppyPhraseMatcher): each query term's document positions
+            # are ADJUSTED by its phrase offset (p − i); the phrase matches
+            # iff some assignment of one adjusted position per term has
+            #     max(adjusted) − min(adjusted) ≤ slop
+            # — the "matchLength" Lucene sweeps for, equal to the number of
+            # position-moves to edit the document arrangement into the
+            # query's (a transposition of adjacent terms costs 2: gap + 1).
+            # Expressed scan-locally: the optimal window starts AT one of
+            # the adjusted positions, so
+            #     ∃ a ∈ ∪ adjusted_i: ∀ i: ∃ p ∈ adjusted_i: a ≤ p ≤ a+slop
+            # — one flatten + nested HOFs, O(Σ|pos| · n · max|pos|) per row,
+            # no shuffle. n = 2 with a REPEATED term keeps the pairwise
+            # distinct-occurrence path (Lucene demands distinct positions
+            # for phrase repeats); repeats in longer sloppy phrases would
+            # need Lucene's full repeat machinery — raise rather than
             # approximate silently.
-            if len(phrase) != 2:
-                raise ValueError(
-                    f"match_phrase slop supports exactly 2 analyzed terms, "
-                    f"got {len(phrase)}: {phrase!r}"
-                )
-            t1, t2 = phrase
+            slop = int(self.slop)
 
             def positions(term: str) -> Column:
                 return F.filter(
@@ -480,16 +482,45 @@ class MatchPhrase(Query):
                     lambda p: p >= 0,
                 )
 
-            p1, p2 = positions(t1), positions(t2)
-            slop = int(self.slop)
-            return F.exists(
-                p1,
-                lambda i: F.exists(
-                    p2,
-                    lambda j: ((j > i) & (j - i - 1 <= F.lit(slop)))
-                    | ((j < i) & (i - j + 1 <= F.lit(slop))),
-                ),
-            )
+            if len(set(phrase)) != len(phrase):
+                if len(phrase) != 2:
+                    raise ValueError(
+                        "match_phrase slop with a repeated term supports "
+                        f"exactly 2 analyzed terms, got {len(phrase)}: "
+                        f"{phrase!r}"
+                    )
+                # both offsets index the same position list; i ≠ j enforces
+                # Lucene's distinct-occurrence rule, and the two branches
+                # ARE max−min over (i−0, j−1): in order j−i−1, else i−j+1
+                t1, t2 = phrase
+                p1, p2 = positions(t1), positions(t2)
+                return F.exists(
+                    p1,
+                    lambda i: F.exists(
+                        p2,
+                        lambda j: ((j > i) & (j - i - 1 <= F.lit(slop)))
+                        | ((j < i) & (i - j + 1 <= F.lit(slop))),
+                    ),
+                )
+            def adjust(term: str, offset: int) -> Column:
+                # bind offset eagerly: PySpark HOF lambdas must stay
+                # single-parameter (arity drives (x) vs (x, i) dispatch)
+                off = F.lit(offset)
+                return F.transform(positions(term), lambda p: p - off)
+
+            adjusted = [adjust(t, q) for q, t in enumerate(phrase)]
+            starts = F.flatten(F.array(*adjusted))
+
+            def window_covers(a: Column) -> Column:
+                cond = None
+                for adj in adjusted:
+                    h = F.exists(
+                        adj, lambda p: (p >= a) & (p <= a + F.lit(slop))
+                    )
+                    cond = h if cond is None else cond & h
+                return cond
+
+            return F.exists(starts, window_covers)
         nul = "\x00"
         hay = F.concat(
             F.lit(nul), F.array_join(toks, nul), F.lit(nul)

@@ -378,6 +378,55 @@ def q_search_dsl_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_phrase_slop",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'vector'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS a0,
+          list_transform(list_filter(list_transform(t, (x,i) ->
+                      CASE WHEN x = 'merge' THEN i-1 ELSE -1 END),
+                      p -> p >= 0), p -> p - 1) AS a1,
+          list_transform(list_filter(list_transform(t, (x,i) ->
+                      CASE WHEN x = 'order' THEN i-1 ELSE -1 END),
+                      p -> p >= 0), p -> p - 2) AS a2
+        FROM toks
+    )
+    SELECT doc_id, lang
+    FROM pos
+    WHERE len(list_filter(list_concat(a0, list_concat(a1, a2)), a ->
+            len(list_filter(a0, p -> p >= a AND p <= a + 3)) > 0
+        AND len(list_filter(a1, p -> p >= a AND p <= a + 3)) > 0
+        AND len(list_filter(a2, p -> p >= a AND p <= a + 3)) > 0)) > 0
+    """,
+    doc="N-term sloppy phrase (Lucene match_phrase slop semantics, "
+        "generalized past the former 2-term guard — r6 verdict item 5): "
+        "'vector merge order' with slop=3 matches when some assignment of "
+        "one document position per term has max-min of offset-adjusted "
+        "positions <= slop (Lucene's matchLength). Compiled through "
+        "from_es_json; scan-local HOFs over position arrays, no shuffle. "
+        "The oracle recomputes the identical window check in SQL with "
+        "DuckDB's indexed list_transform as the positional unnest.",
+)
+def q_search_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(
+        {"query": {"match_phrase": {
+            "text": {"query": "vector merge order", "slop": 3}}}},
+        analyzers={"text": "standard"},
+    )
+    return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
     "es_aggs_date_histogram",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,

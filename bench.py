@@ -144,6 +144,7 @@ HEADLINE = [
     # r7
     "search_dsl_bm25",
     "search_phrase_slop",
+    "es_aggs_composite_missing",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -454,12 +454,112 @@ def test_composite_desc_source_and_errors(spark, sales):
                 "aggs": {"sub": {"terms": {"field": "product"}}},
             }
         })
-    with pytest.raises(ValueError, match="missing_bucket"):
+    # a null cursor key is only legal when the source declares
+    # missing_bucket (otherwise null buckets cannot exist)
+    with pytest.raises(ValueError, match="no missing_bucket"):
         es_aggregate(sales, {
             "page": {"composite": {"sources": [
-                {"r": {"terms": {"field": "region", "missing_bucket": True}}},
+                {"r": {"terms": {"field": "region"}}},
+            ], "after": {"r": None}}}
+        })
+    with pytest.raises(ValueError, match="missing_order"):
+        es_aggregate(sales, {
+            "page": {"composite": {"sources": [
+                {"r": {"terms": {"field": "region", "missing_bucket": True,
+                                 "missing_order": "sideways"}}},
             ]}}
         })
+
+
+@pytest.fixture(scope="module")
+def sales_nullable(spark):
+    """sales with region missing on two docs — the missing_bucket corpus."""
+    rows = [
+        (1, "eu", "a", 10.0), (2, "eu", "a", 20.0), (3, None, "b", 5.0),
+        (4, "us", "a", 7.0), (5, None, "a", 9.0), (6, "us", "b", 11.0),
+        (7, "ap", "b", 13.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, region string, product string, amount double"
+    )
+
+
+def test_composite_missing_bucket_positions_and_cursor(spark, sales_nullable):
+    """ES missing_order contract: null first when asc (default), last when
+    desc (default), overridable; the after cursor accepts/crosses the null
+    key in every position."""
+    def page(sources, after=None, size=10):
+        body = {"sources": sources, "size": size}
+        if after is not None:
+            body["after"] = after
+        return [
+            (r["r"], r["doc_count"])
+            for r in es_aggregate(
+                sales_nullable, {"w": {"composite": body}}).collect()
+        ]
+
+    asc = [{"r": {"terms": {"field": "region", "missing_bucket": True}}}]
+    assert page(asc) == [(None, 2), ("ap", 1), ("eu", 2), ("us", 2)]
+    # resume FROM the null bucket: strictly-after-null = all non-null
+    assert page(asc, after={"r": None}) == [("ap", 1), ("eu", 2), ("us", 2)]
+    desc = [{"r": {"terms": {"field": "region", "order": "desc",
+                             "missing_bucket": True}}}]
+    assert page(desc) == [("us", 2), ("eu", 2), ("ap", 1), (None, 2)]
+    # null trails: a non-null cursor must still reach it...
+    assert page(desc, after={"r": "ap"}) == [(None, 2)]
+    # ...and after-null is the end of the walk
+    assert page(desc, after={"r": None}) == []
+    asc_last = [{"r": {"terms": {"field": "region", "missing_bucket": True,
+                                 "missing_order": "last"}}}]
+    assert page(asc_last) == [("ap", 1), ("eu", 2), ("us", 2), (None, 2)]
+    assert page(asc_last, after={"r": "us"}) == [(None, 2)]
+    desc_first = [{"r": {"terms": {"field": "region", "order": "desc",
+                                   "missing_bucket": True,
+                                   "missing_order": "first"}}}]
+    assert page(desc_first) == [(None, 2), ("us", 2), ("eu", 2), ("ap", 1)]
+    assert page(desc_first, after={"r": None}) == [
+        ("us", 2), ("eu", 2), ("ap", 1)]
+    # without missing_bucket the null docs are skipped (ES contract)
+    plain = [{"r": {"terms": {"field": "region"}}}]
+    assert page(plain) == [("ap", 1), ("eu", 2), ("us", 2)]
+
+
+def test_composite_missing_bucket_full_walk(spark, sales_nullable):
+    """Page-walking size=2 across the null/non-null boundary reproduces
+    the one-shot bucket relation exactly — no gap, overlap, or NULL-
+    propagation hole at the boundary; metrics ride along."""
+    base = {
+        "sources": [
+            {"r": {"terms": {"field": "region", "missing_bucket": True}}},
+            {"p": {"terms": {"field": "product"}}},
+        ],
+        "size": 2,
+    }
+    walked, after = [], None
+    for _ in range(10):
+        body = dict(base)
+        if after is not None:
+            body["after"] = after
+        page = es_aggregate(sales_nullable, {
+            "w": {"composite": body,
+                  "aggs": {"total": {"sum": {"field": "amount"}}}}
+        }).collect()
+        if not page:
+            break
+        walked += [(r["r"], r["p"], r["doc_count"], r["total"]) for r in page]
+        after = {"r": page[-1]["r"], "p": page[-1]["p"]}
+    import pyspark.sql.functions as F
+
+    one_shot = (
+        sales_nullable.groupBy("region", "product")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("t"))
+        .orderBy(F.col("region").asc_nulls_first(), F.col("product").asc())
+        .collect()
+    )
+    assert walked == [
+        (r["region"], r["product"], r["n"], r["t"]) for r in one_shot
+    ]
+    assert walked[0][0] is None and walked[0][1] == "a"
 
 
 # -------------------------------------------------------------- percentiles

@@ -518,43 +518,89 @@ def _composite_agg(df: DataFrame, body: dict, sub: dict) -> DataFrame:
     index. Bucket order = source order (each ``asc`` by default, per-source
     ``"order": "desc"`` honored); date_histogram keys are zero-padded
     timestamp strings, so string order IS chronological order and the
-    cursor comparisons stay faithful. Docs missing any source value are
-    skipped (``missing_bucket`` is unsupported → raise, never silently
-    re-bucket). Metric sub-aggs ride the single groupBy."""
+    cursor comparisons stay faithful.
+
+    ``missing_bucket: true`` on a source includes docs missing that value
+    as a null-keyed bucket, positioned per ``missing_order`` ("first",
+    "last", or ES's "default": first when asc, last when desc); the
+    ``after`` cursor accepts null for such sources and the keyset
+    predicate's comparators are null-aware (null compares per its
+    configured position, never SQL-NULL-propagates a row away). Without
+    missing_bucket, docs missing the source value are skipped — ES's
+    contract. Metric sub-aggs ride the single groupBy."""
     sources = body.get("sources")
     if not isinstance(sources, list) or not sources:
         raise ValueError("composite needs a non-empty 'sources' list")
-    keys: list[tuple[str, Column, bool]] = []
+    # (name, key expr, desc, missing_bucket, nulls_first | None)
+    keys: list[tuple[str, Column, bool, bool, bool]] = []
     for entry in sources:
         (sname, sspec), = entry.items()
         (skind, sbody), = sspec.items()
         if skind not in ("terms", "date_histogram", "histogram"):
             raise ValueError(f"unsupported composite source type: {skind!r}")
-        if sbody.get("missing_bucket"):
-            raise ValueError("composite missing_bucket is not supported")
         desc = sbody.get("order", "asc") == "desc"
-        keys.append((sname, _bucket_key(skind, sbody), desc))
+        missing = bool(sbody.get("missing_bucket", False))
+        morder = sbody.get("missing_order", "default")
+        if morder not in ("default", "first", "last"):
+            raise ValueError(
+                f"unsupported missing_order: {morder!r} (default/first/last)"
+            )
+        if morder == "default":
+            nulls_first = not desc
+        else:
+            nulls_first = morder == "first"
+        keys.append((sname, _bucket_key(skind, sbody), desc, missing,
+                     nulls_first))
     if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
         raise ValueError("composite sub-aggs must be metrics, not buckets")
     keyed = df
-    for _, k, _ in keys:
-        keyed = keyed.filter(k.isNotNull())
+    for _, k, _, missing, _ in keys:
+        if not missing:
+            keyed = keyed.filter(k.isNotNull())
     after = body.get("after")
     if after is not None:
-        missing = [n for n, _, _ in keys if n not in after]
-        if missing:
-            raise ValueError(f"after cursor missing source keys: {missing}")
+        missing_keys = [n for n, _, _, _, _ in keys if n not in after]
+        if missing_keys:
+            raise ValueError(
+                f"after cursor missing source keys: {missing_keys}"
+            )
         pred = F.lit(False)
-        for sname, k, desc in reversed(keys):
-            val = F.lit(after[sname])
-            strict = k < val if desc else k > val
-            pred = strict | ((k == val) & pred)
+        for sname, k, desc, missing, nulls_first in reversed(keys):
+            val = after[sname]
+            if val is None:
+                if not missing:
+                    raise ValueError(
+                        f"after[{sname!r}] is null but the source has no "
+                        "missing_bucket"
+                    )
+                eq = k.isNull()
+                # strictly after the null bucket: everything non-null when
+                # null leads, nothing when null trails
+                strict = k.isNotNull() if nulls_first else F.lit(False)
+            else:
+                eq = k.eqNullSafe(F.lit(val))
+                cmp = (k < F.lit(val)) if desc else (k > F.lit(val))
+                # a null key must compare by its POSITION, not SQL-NULL:
+                # false when null leads (it precedes every value), true
+                # when null trails (it follows every value)
+                strict = F.coalesce(cmp, F.lit(False))
+                if missing and not nulls_first:
+                    strict = strict | k.isNull()
+            pred = strict | (eq & pred)
         keyed = keyed.filter(pred)
     out = (
-        keyed.groupBy(*[k.alias(n) for n, k, _ in keys])
+        keyed.groupBy(*[k.alias(n) for n, k, _, _, _ in keys])
         .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub))
     )
-    order = [F.col(n).desc() if d else F.col(n).asc() for n, _, d in keys]
+    order = []
+    for n, _, d, _, nulls_first in keys:
+        c = F.col(n)
+        if d:
+            order.append(c.desc_nulls_first() if nulls_first
+                         else c.desc_nulls_last())
+        else:
+            order.append(c.asc_nulls_first() if nulls_first
+                         else c.asc_nulls_last())
     return out.orderBy(*order).limit(int(body.get("size", 10)))
 
 

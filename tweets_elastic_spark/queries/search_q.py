@@ -796,6 +796,63 @@ def q_es_aggs_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_aggs_composite_missing",
+    oracle="""
+    WITH src AS (
+        SELECT nullif(event_type, 'view') AS etype,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+               value
+        FROM events
+    )
+    SELECT etype AS by_type, d AS by_day,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value), 6) AS mean_value
+    FROM src
+    WHERE (etype IS NULL AND d > '2024-01-10') OR etype IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY by_type ASC NULLS FIRST, by_day ASC
+    LIMIT 25
+    """,
+    doc="Composite missing_bucket (r6 verdict item 6): docs lacking the "
+        "source value form a null-keyed bucket positioned per ES's "
+        "missing_order default (first when asc), and the after cursor "
+        "accepts a null key — the keyset predicate's comparators are "
+        "null-aware (strictly-after-null = everything non-null when null "
+        "leads; a null key on a trailing-null source compares as "
+        "greatest, never NULL-propagates). The page here resumes INSIDE "
+        "the null bucket (after={null, 2024-01-10}) and crosses into the "
+        "first non-null term within one 25-bucket page. The fixture has "
+        "no genuinely-absent values, so the query derives one "
+        "(nullif(event_type,'view')) — same shape as an unmapped field.",
+)
+def q_es_aggs_composite_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "etype", F.nullif(F.col("event_type"), F.lit("view"))
+    )
+    request = {
+        "aggs": {
+            "page": {
+                "composite": {
+                    "size": 25,
+                    "sources": [
+                        {"by_type": {"terms": {"field": "etype",
+                                               "missing_bucket": True}}},
+                        {"by_day": {"date_histogram": {
+                            "field": "ts", "calendar_interval": "day"}}},
+                    ],
+                    "after": {"by_type": None, "by_day": "2024-01-10"},
+                },
+                "aggs": {"mean_value": {"avg": {"field": "value"}}},
+            }
+        }
+    }
+    out = es_request(events, request)
+    return out.withColumn("mean_value", F.round("mean_value", 6))
+
+
+@register(
     "es_aggs_percentiles",
     oracle="""
     SELECT lang AS by_lang,

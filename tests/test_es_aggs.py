@@ -1324,6 +1324,110 @@ def test_mad_odd_and_even_buckets(spark):
     assert got == {"a": 1.5, "b": 4.0}
 
 
+def test_mad_sketch_path_small_buckets_exact(spark):
+    """At tiny bucket sizes the GK summary holds every value, so the
+    sketch path must agree with the exact path's hand-computed values
+    up to the interpolation convention (GK returns an OBSERVED value;
+    exact interpolates even-count medians)."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 4.0),
+            ("b", 1.0), ("b", 5.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = {
+        r["k"]: r["m"]
+        for r in es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"m": {"median_absolute_deviation": {
+                "field": "x", "execution_hint": "sketch"}}},
+        }}).collect()
+    }
+    # a: median 2, devs [1,0,2] -> 1 ; b: median 5, devs [4,0,4] -> 4
+    assert got == {"a": 1.0, "b": 4.0}
+    # execution_hint "exact" is accepted and stripped
+    exact = {
+        r["k"]: r["m"]
+        for r in es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"m": {"median_absolute_deviation": {
+                "field": "x", "execution_hint": "exact"}}},
+        }}).collect()
+    }
+    assert exact == {"a": 1.0, "b": 4.0}
+    with pytest.raises(ValueError, match="execution_hint"):
+        es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"m": {"median_absolute_deviation": {
+                "field": "x", "execution_hint": "sideways"}}},
+        }})
+    # the sketch path needs the terms/histogram groupBy site: under
+    # composite it reaches _metric_cols and refuses loudly
+    with pytest.raises(ValueError, match="sketch path"):
+        es_aggregate(df, {"page": {
+            "composite": {"sources": [{"k": {"terms": {"field": "k"}}}]},
+            "aggs": {"m": {"median_absolute_deviation": {
+                "field": "x", "compression": 100}}},
+        }}).collect()
+
+
+def test_mad_zipf_skew_exact_vs_sketch(spark):
+    """Zipf-skewed bucket key (one bucket holds ~87% of rows — the shape
+    that OOMs the exact path's per-bucket value buffer at 100 TB): the
+    exact path still answers exactly (vs a NumPy-computed MAD) and the
+    sketch path lands within the GK rank-error bound of it on EVERY
+    bucket, including the giant one."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    # Zipf(2.0) over 8 bucket ids: bucket k1 holds ~61% of rows
+    ranks = np.minimum(rng.zipf(2.0, n), 8)
+    vals = rng.lognormal(mean=5.0, sigma=1.0, size=n)
+    df = spark.createDataFrame(
+        [(f"k{int(r)}", float(v)) for r, v in zip(ranks, vals)],
+        "k string, x double",
+    )
+    share = float((ranks == 1).mean())
+    assert share > 0.55  # the skew premise: one bucket dominates
+
+    def run(spec):
+        return {
+            r["k"]: (r["doc_count"], r["m"])
+            for r in es_aggregate(df, {"k": {
+                "terms": {"field": "k", "size": 8},
+                "aggs": {"m": {"median_absolute_deviation": spec}},
+            }}).collect()
+        }
+
+    exact = run({"field": "x"})
+    sketch = run({"field": "x", "compression": 200})  # accuracy 20000
+    by_bucket: dict[str, list[float]] = {}
+    for r, v in zip(ranks, vals):
+        by_bucket.setdefault(f"k{int(r)}", []).append(float(v))
+    assert set(exact) == set(sketch) == set(by_bucket)
+    for k, xs in by_bucket.items():
+        xs = np.array(xs)
+        med = np.median(xs)
+        want = float(np.median(np.abs(xs - med)))
+        assert abs(exact[k][1] - round(want, 6)) < 1e-6, k
+        # GK error: the sketch returns a value whose RANK is within
+        # eps*n of the target; bound the VALUE error via the deviations'
+        # order statistics at that rank distance (double eps: median and
+        # deviation are both sketched)
+        devs = np.sort(np.abs(xs - med))
+        eps = 2.0 / 20000
+        ndev = len(devs)
+        lo = devs[max(0, int(np.floor(0.5 * ndev - 3 * eps * ndev)) - 2)]
+        hi = devs[min(ndev - 1, int(np.ceil(0.5 * ndev + 3 * eps * ndev)) + 2)]
+        # the sketched median can itself be off by eps in rank, shifting
+        # every deviation; allow that shift on top of the rank window
+        med_lo = np.sort(xs)[max(0, int(0.5 * ndev - 3 * eps * ndev) - 2)]
+        med_hi = np.sort(xs)[min(ndev - 1, int(0.5 * ndev + 3 * eps * ndev) + 2)]
+        slack = float(med_hi - med_lo)
+        got = sketch[k][1]
+        assert lo - slack - 1e-9 <= got <= hi + slack + 1e-9, (
+            k, got, lo, hi, slack)
+        assert exact[k][0] == sketch[k][0] == ndev
+
+
 def test_string_stats_known_entropy(spark):
     df = spark.createDataFrame([("k", "aab"), ("k", "b")], "k string, s string")
     row = es_aggregate(df, {"k": {

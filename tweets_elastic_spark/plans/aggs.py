@@ -341,8 +341,18 @@ def _metric_cols(aggs: dict) -> list[Column]:
             # the bucket's values into one sorted array aggregate — the
             # same per-bucket-state shape as ES's digest, exact instead of
             # sketched; per-bucket memory is O(bucket size), the
-            # documented cost of exactness (use percentiles for sketch-
-            # sized state).
+            # documented cost of exactness. The SKETCH path (ES's
+            # ``compression`` knob / ``execution_hint: "sketch"``) is the
+            # skew-safe alternative — bounded per-bucket state at any
+            # bucket population — handled by the bucket groupBy site
+            # (_pop_sketch_mads: a two-pass mergeable-summary plan);
+            # it cannot ride a single agg expression, so reject here.
+            if "compression" in body or "execution_hint" in body:
+                raise ValueError(
+                    "median_absolute_deviation's sketch path (compression/"
+                    "execution_hint) is supported under the terms/"
+                    "multi_terms/date_histogram/histogram bucket families"
+                )
             arr = F.array_sort(
                 F.collect_list(F.col(body["field"]).cast("double"))
             )
@@ -353,11 +363,19 @@ def _metric_cols(aggs: dict) -> list[Column]:
                 hi = F.element_at(a, (n / 2 + 1).cast("int"))
                 return F.when(n > 0, (lo + hi) / 2.0)
 
-            med = _arr_median(arr)
-            devs = F.array_sort(
-                F.transform(arr, lambda x: F.abs(x - med))
-            )
-            out.append(F.round(_arr_median(devs), 6).alias(name))
+            def _mad_of(xs: Column) -> Column:
+                # xs is a BOUND lambda variable: every reference is an O(1)
+                # attribute lookup. Embedding `arr` directly would nest the
+                # sort inside the per-element deviation lambda (Catalyst
+                # does not CSE across lambda bodies) → O(n²·log n) on a
+                # populous bucket; binding once keeps the whole metric
+                # O(n·log n).
+                med = _arr_median(xs)
+                devs = F.array_sort(F.transform(xs, lambda x: F.abs(x - med)))
+                return _arr_median(devs)
+
+            bound = F.element_at(F.transform(F.array(arr), _mad_of), 1)
+            out.append(F.round(bound, 6).alias(name))
         elif kind == "string_stats":
             # ES string_stats: count, min/max/avg term length, and the
             # Shannon entropy (log2) of the CHARACTER distribution across
@@ -393,6 +411,74 @@ def _metric_cols(aggs: dict) -> list[Column]:
             continue  # nested bucket, handled by the caller
         else:
             raise ValueError(f"unsupported aggregation type: {kind!r}")
+    return out
+
+
+def _pop_sketch_mads(sub: dict) -> dict[str, tuple[str, int]]:
+    """Remove ``median_absolute_deviation`` metrics opting into the SKETCH
+    path from ``sub`` (mutated) and return ``{name: (field, accuracy)}``.
+
+    Opt-in = ES's ``compression`` knob or ``execution_hint: "sketch"``;
+    the default stays the exact nested-median (fully oracle-able,
+    O(bucket) state). The sketch path is the skew-safe shape at 100 TB —
+    per-bucket state is two mergeable quantile summaries (percentile_
+    approx / Greenwald-Khanna, like ES's t-digest) REGARDLESS of bucket
+    population, at the cost of rank-bounded error and a second pass over
+    the bucketed rows (ES queries its value digest's CDF for the same
+    reason: MAD needs the median before deviations exist). ``compression``
+    maps to accuracy exactly as the percentiles sketch path does
+    (ES default 100 → accuracy 10000; error ≤ 1/accuracy of rank)."""
+    out: dict[str, tuple[str, int]] = {}
+    for n, s in list(sub.items()):
+        if next(iter(s)) != "median_absolute_deviation":
+            continue
+        body = dict(s["median_absolute_deviation"])
+        hint = body.pop("execution_hint", None)
+        if hint not in (None, "exact", "sketch"):
+            raise ValueError(
+                f"unsupported execution_hint {hint!r} (exact/sketch)"
+            )
+        comp = body.pop("compression", None)
+        if hint == "sketch" or comp is not None:
+            out[n] = (body["field"],
+                      int(float(comp if comp is not None else 100) * 100))
+            sub.pop(n)
+        elif hint == "exact":
+            sub[n] = {"median_absolute_deviation": body}
+    return out
+
+
+def _sketch_mad_join(
+    out: DataFrame,
+    keyed: DataFrame,
+    keys: list,
+    sketch_mads: dict[str, tuple[str, int]],
+) -> DataFrame:
+    """Attach sketch-MAD columns to the bucket relation: per bucket,
+    approx-median the values, join the medians back (hash join
+    co-partitioned with the groupBys on the same key), approx-median the
+    absolute deviations, left-join onto the buckets. Every stage's state
+    is sketch-sized; buckets whose field is all-null get NULL, matching
+    the exact path."""
+    names = [n for _, n in keys]
+    fields = sorted({f for f, _ in sketch_mads.values()})
+    rows = keyed.select(*[k.alias(n) for k, n in keys], *fields)
+    for mname, (mfield, acc) in sketch_mads.items():
+        med = rows.groupBy(*names).agg(
+            F.percentile_approx(F.col(mfield).cast("double"), 0.5, acc)
+            .alias("__mad_med")
+        )
+        dev = (
+            rows.join(med, names)
+            .groupBy(*names)
+            .agg(
+                F.percentile_approx(
+                    F.abs(F.col(mfield).cast("double") - F.col("__mad_med")),
+                    0.5, acc,
+                ).cast("double").alias(mname)
+            )
+        )
+        out = out.join(dev, names, "left")
     return out
 
 
@@ -1397,8 +1483,9 @@ def es_aggregate(
     ]
     if len(nested_bucket) > 1:
         raise ValueError("at most one nested bucket aggregation is supported")
+    sketch_mads = _pop_sketch_mads(sub)
     metrics = _metric_cols(sub) + rate_cols
-    if nested_bucket and metrics:
+    if nested_bucket and (metrics or sketch_mads):
         # ES attaches same-level metrics to the PARENT bucket; this engine
         # returns the flattened leaf relation, where they would silently
         # change granularity — refuse instead of reinterpreting.
@@ -1424,6 +1511,7 @@ def es_aggregate(
                 "separate request"
             )
         keys.append((_bucket_key(sub_kind, sub_body), sub_name))
+        sketch_mads.update(_pop_sketch_mads(sub_sub))
         metrics = metrics + _metric_cols(sub_sub)
 
     keyed = df
@@ -1435,6 +1523,8 @@ def es_aggregate(
         keyed.groupBy(*[k.alias(n) for k, n in keys])
         .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
     )
+    if sketch_mads:
+        out = _sketch_mad_join(out, keyed, keys, sketch_mads)
     if kind == "terms" and (
         "include" in body or "exclude" in body
     ):

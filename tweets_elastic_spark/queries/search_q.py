@@ -2046,6 +2046,38 @@ def q_es_aggs_multi_terms_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_aggs_multi_terms_mad_sketch",
+    oracle=None,  # sketch output is approximate by contract: rank-error-
+    # bounded vs the exact twin by pytest (test_es_aggs), not hash-oracled
+    doc="The SKEW-SAFE twin of es_aggs_multi_terms_mad (r6 verdict item "
+        "2): median_absolute_deviation with ES's compression knob opts "
+        "into the sketch path — per-bucket state is two mergeable "
+        "quantile summaries (percentile_approx) REGARDLESS of bucket "
+        "population, vs the exact path's O(bucket) value buffer (the one "
+        "entry that could OOM an executor on a Zipf-skewed bucket key at "
+        "100x). Plan: bucket medians via one sketch agg, medians hash-"
+        "joined back co-partitioned, deviations sketch-agged, left-joined "
+        "onto the bucket relation — three same-key exchanges, all "
+        "sketch-sized state.",
+)
+def q_es_aggs_multi_terms_mad_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return es_aggregate(docs, {"by_ls": {
+        "multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source"}],
+            "size": 10,
+        },
+        "aggs": {"mad_chars": {
+            "median_absolute_deviation": {"field": "n_chars",
+                                          "compression": 200}}},
+    }})
+
+
+@register(
     "es_aggs_string_stats",
     oracle="""
     WITH chars AS (

@@ -25,6 +25,19 @@ def simple_tokens(c: Column) -> Column:
     return F.filter(F.split(c, _TOKEN_SPLIT), lambda t: t != F.lit(""))
 
 
+def _bind(col: Column, build) -> Column:
+    """Evaluate ``build(v)`` with ``col`` bound ONCE as a lambda variable.
+
+    Catalyst inlines rather than CSEs repeated subtrees: referencing an
+    expensive expression (a tokenization, a struct of aggregates) N times
+    re-evaluates it N times — the quality/lang expressions here reference
+    theirs 6–10×, which at scan scale multiplies both CPU and allocation
+    pressure (the per-row garbage serializes parallel scans in one JVM).
+    Binding through a singleton-array transform turns every reference into
+    an O(1) attribute lookup; same trick as the MAD aggregate."""
+    return F.element_at(F.transform(F.array(col), build), 1)
+
+
 def token_count(c: Column) -> Column:
     """Whitespace/punctuation token count (BPE-ish proxy: alnum runs)."""
     return F.size(simple_tokens(c)).cast("long")
@@ -79,15 +92,16 @@ def lang_scores(c: Column) -> Column:
 
 
 def lang_id(c: Column) -> Column:
-    s = lang_scores(c)
-    return (
+    # the argmax CASE references the scores struct ~10×; bind it once so
+    # the one-pass aggregate in lang_scores actually runs once
+    return _bind(lang_scores(c), lambda s: (
         F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"])
                & (s["en"] > 0), F.lit("en"))
         .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] > 0), F.lit("de"))
         .when((s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
         .when(s["fr"] > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
-    )
+    ))
 
 
 def lang_id_oracle_sql(text_expr: str = "text") -> str:
@@ -118,8 +132,8 @@ def lang_id_oracle_sql(text_expr: str = "text") -> str:
 # deterministic [0,1] score (the usual pre-training heuristic filters).
 # ---------------------------------------------------------------------------
 
-def quality_features(c: Column) -> dict[str, Column]:
-    toks = simple_tokens(c)
+def _features_from(toks: Column, c: Column) -> dict[str, Column]:
+    """Feature expressions over an (ideally bound) token array."""
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(c).cast("long")
     alnum_chars = F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", "")).cast("long")
@@ -141,19 +155,45 @@ def quality_features(c: Column) -> dict[str, Column]:
     }
 
 
+def quality_features(c: Column) -> dict[str, Column]:
+    return _features_from(simple_tokens(c), c)
+
+
+def _combined_quality(c: Column, combine) -> Column:
+    """``combine(features)`` with the tokenization AND the feature scalars
+    each bound once (two _bind levels): one regexp split + one pass per
+    feature per row, however many times the combiner references them. The
+    unbound form costs ~6 tokenizations per row — measurably allocation-
+    bound on parallel scans (SCALING.md quality_score row, r7)."""
+    def build(ts: Column) -> Column:
+        f = _features_from(ts, c)
+        feats = F.struct(
+            f["n_tokens"].alias("n_tokens"),
+            f["punct_ratio"].alias("punct_ratio"),
+            f["stopword_ratio"].alias("stopword_ratio"),
+            f["mean_token_len"].alias("mean_token_len"),
+        )
+        return _bind(feats, combine)
+
+    return _bind(simple_tokens(c), build)
+
+
 def quality_score(c: Column) -> Column:
     """0.35·length-signal + 0.25·stopword + 0.25·(1-punct) + 0.15·word-shape."""
-    f = quality_features(c)
-    length_signal = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
-    shape_signal = F.when(
-        (f["mean_token_len"] >= 3.0) & (f["mean_token_len"] <= 10.0), F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    return (
-        F.lit(0.35) * length_signal
-        + F.lit(0.25) * f["stopword_ratio"]
-        + F.lit(0.25) * (F.lit(1.0) - f["punct_ratio"])
-        + F.lit(0.15) * shape_signal
-    )
+    def combine(f: Column) -> Column:
+        length_signal = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+        shape_signal = F.when(
+            (f["mean_token_len"] >= 3.0) & (f["mean_token_len"] <= 10.0),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+        return (
+            F.lit(0.35) * length_signal
+            + F.lit(0.25) * f["stopword_ratio"]
+            + F.lit(0.25) * (F.lit(1.0) - f["punct_ratio"])
+            + F.lit(0.15) * shape_signal
+        )
+
+    return _combined_quality(c, combine)
 
 
 QUALITY_ORACLE_SQL = """
@@ -196,17 +236,20 @@ def classifier_quality_score(c: Column) -> Column:
     """σ(w·x + b) over the heuristic features — deterministic, SQL-mirrorable
     (same operand order as the oracle expression)."""
     w = CLASSIFIER_WEIGHTS
-    f = quality_features(c)
-    length_signal = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
-    mean_len_signal = F.least(f["mean_token_len"] / F.lit(10.0), F.lit(1.0))
-    logit = (
-        F.lit(w["bias"])
-        + F.lit(w["length_signal"]) * length_signal
-        + F.lit(w["stopword_ratio"]) * f["stopword_ratio"]
-        + F.lit(w["punct_ratio"]) * f["punct_ratio"]
-        + F.lit(w["mean_len_signal"]) * mean_len_signal
-    )
-    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+    def combine(f: Column) -> Column:
+        length_signal = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+        mean_len_signal = F.least(f["mean_token_len"] / F.lit(10.0), F.lit(1.0))
+        logit = (
+            F.lit(w["bias"])
+            + F.lit(w["length_signal"]) * length_signal
+            + F.lit(w["stopword_ratio"]) * f["stopword_ratio"]
+            + F.lit(w["punct_ratio"]) * f["punct_ratio"]
+            + F.lit(w["mean_len_signal"]) * mean_len_signal
+        )
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+    return _combined_quality(c, combine)
 
 
 def classifier_oracle_sql() -> str:

@@ -14,12 +14,16 @@ Scatter-gather-merge over shards (SURVEY §3.3) maps to Spark's
 ``TakeOrderedAndProject``: per-partition top-k, then a merge on the driver —
 the same plan shape Lucene executes, for free, at any partition count.
 
-Scoring fidelity (SURVEY §7 risk 4): v1 implements exactly what the
-reference exercises — constant ``weight`` per should-clause
+Scoring fidelity (SURVEY §7 risk 4): the default implements exactly what
+the reference exercises — constant ``weight`` per should-clause
 (elastic_queries.json:20), keyword equality inside ``nested`` scopes
 (domain.name is a keyword field, mapping.json:77), analyzed token-overlap
-for text fields. BM25 is additive later; the tree already isolates
-per-clause scores.
+for text fields. Real relevance is ``BM25Match`` (Okapi BM25 over
+materialized token columns, corpus- or index-backed stats), reachable
+from the JSON DSL too: ``from_es_json(..., bm25_stats_for=...)`` compiles
+bound ``match``/``multi_match`` clauses to BM25 — what ES does implicitly
+for text fields — while the reference artifact's tree stays
+byte-identical.
 
 Match semantics for text fields mirror ES's two-sided analysis: the query
 string is analyzed with the target field's analyzer at query time

@@ -145,6 +145,8 @@ HEADLINE = [
     "search_dsl_bm25",
     "search_phrase_slop",
     "es_aggs_composite_missing",
+    "es_aggs_significant_gnd",
+    "es_aggs_significant_script",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1677,11 +1677,58 @@ def test_mi_is_signed_for_underrepresented_terms(spark, sales):
     assert got["a"] < 0 < got["b"]
 
 
+def test_gnd_heuristic_hand_computed(spark, sales):
+    """gnd = exp(-NGD) with fx=term bg df, fy=fg size, fxy=term fg df,
+    N=bg size (Cilibrasi & Vitányi's formula), hand-computed on sales."""
+    import math
+
+    got = {r["s"]: r["score"] for r in es_request(sales, {
+        "query": {"range": {"amount": {"gte": 11}}},
+        "aggs": {"s": {"significant_terms": {
+            "field": "region", "gnd": {}}}},
+    }).collect()}
+    # fg = amount>=11 -> docs 2(eu), 6(us), 7(us): fg_total=3, bg_total=8
+    # eu: fxy=1, fx=3; us: fxy=2, fx=4; ap: fxy=0 (filtered by doc_count>0)
+
+    def ngd(fxy, fx, fy=3.0, n=8.0):
+        num = max(math.log(fx), math.log(fy)) - math.log(fxy)
+        den = math.log(n) - min(math.log(fx), math.log(fy))
+        return round(math.exp(-num / den), 6)
+
+    assert got == {"eu": ngd(1, 3), "us": ngd(2, 4)}
+    assert got["us"] > got["eu"]  # smaller distance ranks higher
+
+
+def test_script_heuristic_reproduces_percentage(spark, sales):
+    """A script of subset_freq/superset_freq must equal the built-in
+    percentage heuristic bucket-for-bucket — pins the params binding."""
+    req = {"query": {"range": {"amount": {"gte": 11}}}}
+    script = {**req, "aggs": {"s": {"significant_terms": {
+        "field": "region",
+        "script_heuristic": {"script":
+                             "params._subset_freq / params._superset_freq"},
+    }}}}
+    pct = {**req, "aggs": {"s": {"significant_terms": {
+        "field": "region", "percentage": {}}}}}
+    a = sorted((r["s"], r["score"]) for r in es_request(sales, script).collect())
+    b = sorted((r["s"], r["score"]) for r in es_request(sales, pct).collect())
+    assert a == b and len(a) == 2
+    # unknown variables stay loud
+    with pytest.raises(ValueError, match="unknown params"):
+        es_request(sales, {**req, "aggs": {"s": {"significant_terms": {
+            "field": "region",
+            "script_heuristic": {"script": "params._shard_freq"}}}}}
+        ).collect()
+
+
 def test_unknown_heuristics_and_params_raise(spark, sales):
     req = {"query": {"range": {"amount": {"gte": 10}}}}
-    with pytest.raises(ValueError, match="unsupported significance"):
+    with pytest.raises(ValueError, match="unsupported gnd parameters"):
         es_request(sales, {**req, "aggs": {"s": {"significant_terms": {
-            "field": "region", "gnd": {}}}}})
+            "field": "region", "gnd": {"shard_size": 5}}}}})
+    with pytest.raises(ValueError, match="needs a 'script'"):
+        es_request(sales, {**req, "aggs": {"s": {"significant_terms": {
+            "field": "region", "script_heuristic": {}}}}})
     with pytest.raises(ValueError, match="include_negatives=true"):
         es_request(sales, {**req, "aggs": {"s": {"significant_terms": {
             "field": "region",

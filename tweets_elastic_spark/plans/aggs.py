@@ -722,7 +722,8 @@ def _significant_terms(
             F.count(F.lit(1)).alias("bg_count"),
         )
     )
-    return _jlh_rank(g, name, size, _sig_heuristic(body))
+    heuristic, script = _sig_heuristic(body)
+    return _jlh_rank(g, name, size, heuristic, script=script)
 
 
 def _jlh_rank(
@@ -731,6 +732,7 @@ def _jlh_rank(
     size: int,
     heuristic: str = "jlh",
     doc_totals: DataFrame | None = None,
+    script: str | None = None,
 ) -> DataFrame:
     """Shared significance ranking over a (bucket, doc_count, bg_count)
     relation — the reduced-cardinality tail of both significant_terms and
@@ -745,6 +747,20 @@ def _jlh_rank(
     * ``chi_square``: the χ² statistic over the same table, signed the
       same way; degenerate tables (an empty marginal) score 0 instead of
       NULL.
+    * ``gnd``: Google Normalized Distance (Cilibrasi & Vitányi 2007,
+      "The Google Similarity Distance" — the public formula ES's gnd
+      heuristic implements) between the term and the foreground:
+      NGD = (max(ln fx, ln fy) − ln fxy) / (ln N − min(ln fx, ln fy))
+      with fx = term's background df, fy = foreground size, fxy = term's
+      foreground df, N = background size; scored as exp(−NGD) so smaller
+      distance ranks higher on the same desc sort, degenerate inputs
+      (fxy = 0, or a zero log argument, or a 0 denominator) score 0.
+    * ``script_heuristic``: the user supplies the scoring formula as a
+      Painless(-subset) script over ES's four frequency variables —
+      ``params._subset_freq`` (term∩fg), ``params._superset_freq``
+      (term∩bg), ``params._subset_size`` (fg), ``params._superset_size``
+      (bg) — compiled ONCE to a Catalyst expression (``compile_painless``
+      with a params binding), evaluated over the reduced bucket relation.
 
     The 2×2 cells need DOCUMENT totals. For significant_terms the bucket
     relation's own sums are document counts (one bucket per doc); for
@@ -798,6 +814,26 @@ def _jlh_rank(
                 + mi_cell(n10, n10 + n00, n11 + n10)
                 + mi_cell(n00, n10 + n00, n01 + n00)
             )
+    elif heuristic == "gnd":
+        fx = F.col("bg_count").cast("double")
+        fy = F.col("_fg_total")
+        fxy = F.col("doc_count").cast("double")
+        n = F.col("_bg_total")
+        num = F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)
+        den = F.log(n) - F.least(F.log(fx), F.log(fy))
+        score = F.when(
+            (fxy > 0) & (fx > 0) & (fy > 0) & (n > 0) & (den > 0),
+            F.exp(-num / den),
+        ).otherwise(F.lit(0.0))
+    elif heuristic == "script_heuristic":
+        from tweets_elastic_spark.plans.search import compile_painless
+
+        score = compile_painless(script, params={
+            "_subset_freq": F.col("doc_count").cast("double"),
+            "_superset_freq": F.col("bg_count").cast("double"),
+            "_subset_size": F.col("_fg_total"),
+            "_superset_size": F.col("_bg_total"),
+        })
     else:
         raise ValueError(
             f"unsupported significance heuristic {heuristic!r} "
@@ -814,29 +850,40 @@ def _jlh_rank(
     )
 
 
-_SIG_HEURISTICS = ("jlh", "mutual_information", "chi_square", "percentage")
-# ES heuristics this engine does NOT implement — named so the reject is
-# loud instead of a silent JLH fallback
-_SIG_UNSUPPORTED = ("gnd", "script_heuristic")
+_SIG_HEURISTICS = ("jlh", "mutual_information", "chi_square", "percentage",
+                   "gnd", "script_heuristic")
 
 
-def _sig_heuristic(body: dict) -> str:
+def _sig_heuristic(body: dict) -> tuple[str, str | None]:
     """ES spells the heuristic as a sibling key inside the agg body:
     {"field": ..., "chi_square": {}}. Exactly one may appear; unsupported
     heuristic names and unsupported parameters raise (never a silent
-    fallback to JLH)."""
-    bad = [h for h in _SIG_UNSUPPORTED if h in body]
-    if bad:
-        raise ValueError(
-            f"unsupported significance heuristic(s) {bad} "
-            f"(supported: {list(_SIG_HEURISTICS)})"
-        )
+    fallback to JLH). Returns (heuristic, script) — script is the
+    Painless(-subset) source for ``script_heuristic``, None otherwise."""
     found = [h for h in _SIG_HEURISTICS if h in body]
     if len(found) > 1:
         raise ValueError(f"choose one significance heuristic, got {found}")
     if not found:
-        return "jlh"
+        return "jlh", None
     params = body[found[0]] or {}
+    if found[0] == "script_heuristic":
+        spec = params.get("script")
+        if spec is None:
+            raise ValueError("script_heuristic needs a 'script'")
+        src = spec["source"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and set(spec) - {"source"}:
+            raise ValueError(
+                f"unsupported script keys: {set(spec) - {'source'}} "
+                "(inline values into source; the four frequency variables "
+                "arrive as params._subset_freq/_superset_freq/"
+                "_subset_size/_superset_size)"
+            )
+        if set(params) - {"script"}:
+            raise ValueError(
+                f"unsupported script_heuristic parameters: "
+                f"{sorted(set(params) - {'script'})}"
+            )
+        return "script_heuristic", src
     ok_params = {
         "jlh": set(),
         "percentage": set(),
@@ -844,6 +891,7 @@ def _sig_heuristic(body: dict) -> str:
         # implemented semantics; other values would silently mis-score
         "mutual_information": {"include_negatives", "background_is_superset"},
         "chi_square": {"include_negatives", "background_is_superset"},
+        "gnd": {"background_is_superset"},
     }[found[0]]
     extra = set(params) - ok_params
     if extra:
@@ -855,7 +903,7 @@ def _sig_heuristic(body: dict) -> str:
             raise ValueError(
                 f"{found[0]}: only {p}=true is implemented"
             )
-    return found[0]
+    return found[0], None
 
 
 def _significant_text(
@@ -895,9 +943,10 @@ def _significant_text(
         .alias("doc_count"),
         F.count(F.lit(1)).alias("bg_count"),
     )
-    heuristic = _sig_heuristic(body)
+    heuristic, script = _sig_heuristic(body)
     doc_totals = None
-    if heuristic in ("mutual_information", "chi_square"):
+    if heuristic in ("mutual_information", "chi_square", "gnd",
+                     "script_heuristic"):
         # the 2x2 contingency needs DOCUMENT totals; the bucket relation's
         # sums here are token-INCIDENCE sums (a doc with 100 distinct
         # tokens contributes 100), which would corrupt every cell —
@@ -907,7 +956,7 @@ def _significant_text(
             .alias("_fg_total"),
             F.count(F.lit(1)).cast("double").alias("_bg_total"),
         )
-    return _jlh_rank(g, name, size, heuristic, doc_totals)
+    return _jlh_rank(g, name, size, heuristic, doc_totals, script=script)
 
 
 def _fill_empty_buckets(

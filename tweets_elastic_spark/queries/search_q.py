@@ -2514,6 +2514,111 @@ def q_es_aggs_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_aggs_significant_gnd",
+    oracle="""
+    WITH g AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS doc_count,
+               CAST(count(*) AS BIGINT) AS bg_count
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ), t AS (
+        SELECT *,
+               CAST(sum(doc_count) OVER () AS DOUBLE) AS fg_total,
+               CAST(sum(bg_count) OVER () AS DOUBLE) AS bg_total
+        FROM g
+    )
+    SELECT lang AS by_lang, doc_count, bg_count,
+           round(
+             CASE WHEN doc_count > 0 AND bg_count > 0 AND fg_total > 0
+                       AND bg_total > 0
+                       AND (ln(bg_total)
+                            - least(ln(CAST(bg_count AS DOUBLE)),
+                                    ln(fg_total))) > 0
+             THEN exp(-(
+                    (greatest(ln(CAST(bg_count AS DOUBLE)), ln(fg_total))
+                     - ln(CAST(doc_count AS DOUBLE)))
+                    / (ln(bg_total)
+                       - least(ln(CAST(bg_count AS DOUBLE)), ln(fg_total)))))
+             ELSE 0.0 END,
+             6) AS score
+    FROM t
+    WHERE doc_count > 0
+    ORDER BY score DESC, by_lang ASC
+    LIMIT 5
+    """,
+    doc="significant_terms with the gnd heuristic (r7 — the last named "
+        "significance heuristic): Google Normalized Distance (Cilibrasi & "
+        "Vitányi 2007) between the term and the foreground, scored as "
+        "exp(-NGD) so smaller distance ranks first. Same one-scan "
+        "conditional aggregation; the oracle re-derives the full NGD "
+        "arithmetic independently.",
+)
+def q_es_aggs_significant_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return es_request(docs, {
+        "query": {"range": {"n_chars": {"gt": 800}}},
+        "aggs": {"by_lang": {"significant_terms": {
+            "field": "lang", "size": 5, "gnd": {},
+        }}},
+    })
+
+
+@register(
+    "es_aggs_significant_script",
+    oracle="""
+    WITH g AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS doc_count,
+               CAST(count(*) AS BIGINT) AS bg_count
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ), t AS (
+        SELECT *,
+               CAST(sum(doc_count) OVER () AS DOUBLE) AS fg_total,
+               CAST(sum(bg_count) OVER () AS DOUBLE) AS bg_total
+        FROM g
+    )
+    SELECT lang AS by_lang, doc_count, bg_count,
+           round(
+             (CAST(doc_count AS DOUBLE) / CAST(bg_count AS DOUBLE))
+             * (CAST(doc_count AS DOUBLE) / fg_total),
+             6) AS score
+    FROM t
+    WHERE doc_count > 0
+    ORDER BY score DESC, by_lang ASC
+    LIMIT 5
+    """,
+    doc="significant_terms with a USER-SUPPLIED script_heuristic (ES's "
+        "escape hatch for custom significance formulas): the script sees "
+        "ES's four frequency variables (params._subset_freq/"
+        "_superset_freq/_subset_size/_superset_size) and compiles ONCE "
+        "through the Painless-subset compiler to a Catalyst expression "
+        "over the reduced bucket relation — codegen'd bucket arithmetic, "
+        "vs ES's per-bucket script interpreter. The formula here "
+        "(precision x foreground-recall) is re-derived by the oracle.",
+)
+def q_es_aggs_significant_script(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return es_request(docs, {
+        "query": {"range": {"n_chars": {"gt": 800}}},
+        "aggs": {"by_lang": {"significant_terms": {
+            "field": "lang", "size": 5,
+            "script_heuristic": {"script": {
+                "source": "(params._subset_freq / params._superset_freq)"
+                          " * (params._subset_freq / params._subset_size)",
+            }},
+        }}},
+    })
+
+
+@register(
     "es_request_runtime_field",
     oracle="""
     WITH rt AS (

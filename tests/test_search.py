@@ -627,6 +627,48 @@ def test_multi_match_best_fields_takes_max_boosted_leg(spark):
         from_es_json({"query": {"multi_match": {"query": "x", "fields": []}}})
 
 
+def test_multi_match_tie_breaker(spark):
+    """ES best_fields tie_breaker: best + tb·(sum − best), on both the
+    overlap path and the BM25 path (where it lands on DisMax)."""
+    from tweets_elastic_spark.plans.search import (
+        BM25Match, DisMax, from_es_json,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "merge is here", "src1 stuff"), (2, "plain words", "src1"),
+         (3, "merge too", "nothing")],
+        "id long, text string, source string",
+    )
+    q = from_es_json(
+        {"query": {"multi_match": {"query": "src1 merge",
+                                   "fields": ["text^2", "source"],
+                                   "tie_breaker": 0.3}}},
+        analyzers={"text": "standard", "source": "standard"},
+    )
+    got = {r["id"]: r["score"] for r in search(df, q, k=None).collect()}
+    # doc 1 fires both legs: 2.0 + 0.3·(3.0 − 2.0) = 2.3; single-leg docs
+    # keep their best
+    assert got == {1: 2.3, 2: 1.0, 3: 2.0}
+    with pytest.raises(ValueError, match="best_fields"):
+        from_es_json({"query": {"multi_match": {
+            "query": "x", "fields": ["a"], "type": "most_fields",
+            "tie_breaker": 0.5}}})
+    # BM25 path: tie_breaker lands on the DisMax combiner
+    stats = _fixed_stats(df={"spark": 2.0})
+    parsed = from_es_json(
+        {"multi_match": {"query": "spark", "fields": ["a", "b"],
+                         "tie_breaker": 0.4}},
+        analyzers={"a": "standard", "b": "standard"},
+        tokens_cols={"a": "a__t", "b": "b__t"},
+        bm25_stats_for=lambda f, tc, an, tx: stats,
+    )
+    legs = [BM25Match("a", "spark", analyzer="standard", tokens_col="a__t",
+                      stats=stats),
+            BM25Match("b", "spark", analyzer="standard", tokens_col="b__t",
+                      stats=stats)]
+    assert parsed == DisMax(legs, tie_breaker=0.4)
+
+
 def test_multi_match_keyword_leg_without_analyzer_is_equality(spark):
     from tweets_elastic_spark.plans.search import from_es_json
 

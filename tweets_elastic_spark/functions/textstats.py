@@ -136,7 +136,9 @@ def _features_from(toks: Column, c: Column) -> dict[str, Column]:
     """Feature expressions over an (ideally bound) token array."""
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(c).cast("long")
-    alnum_chars = F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", "")).cast("long")
+    # count, don't rebuild: regexp_count avoids materializing a stripped
+    # copy of every document (same integer as length(c) - length(replace))
+    n_punct = F.regexp_count(c, F.lit("[^a-zA-Z0-9 ]")).cast("long")
     lower_toks = F.transform(toks, F.lower)
     n_stop = F.size(
         F.filter(lower_toks, lambda t: t.isin(LANG_PROFILES["en"]))
@@ -148,7 +150,7 @@ def _features_from(toks: Column, c: Column) -> dict[str, Column]:
         "n_tokens": n_tok,
         "n_chars": n_chars,
         "punct_ratio": F.when(
-            n_chars > 0, (n_chars - alnum_chars) / n_chars
+            n_chars > 0, n_punct / n_chars
         ).otherwise(F.lit(0.0)),
         "stopword_ratio": F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)),
         "mean_token_len": F.when(n_tok > 0, total_tok_chars / n_tok).otherwise(F.lit(0.0)),

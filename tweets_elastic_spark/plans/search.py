@@ -387,12 +387,22 @@ class MultiMatch(Query):
     analyzers: dict
     tokens_cols: dict
     type: str = "best_fields"
+    tie_breaker: float = 0.0
 
     def __post_init__(self):
         if self.type not in ("best_fields", "most_fields"):
             raise ValueError(
                 f"unsupported multi_match type: {self.type!r} "
                 "(best_fields/most_fields)"
+            )
+        if not (0.0 <= self.tie_breaker <= 1.0):
+            raise ValueError(
+                f"tie_breaker must be in [0, 1], got {self.tie_breaker}"
+            )
+        if self.tie_breaker and self.type != "best_fields":
+            raise ValueError(
+                "tie_breaker applies to best_fields (most_fields already "
+                "sums every matching leg)"
             )
 
     def _legs(self, spark, resolve) -> list[tuple[Column, float]]:
@@ -425,7 +435,15 @@ class MultiMatch(Query):
             for s in scored[1:]:
                 total = total + s
             return total
-        return F.greatest(*scored)
+        best = F.greatest(*scored)
+        if self.tie_breaker == 0.0:
+            return best
+        # ES best_fields tie_breaker: best + tb · (sum − best), DisMax's
+        # combination over the per-field legs
+        total = scored[0]
+        for s in scored[1:]:
+            total = total + s
+        return best + F.lit(float(self.tie_breaker)) * (total - best)
 
 
 @dataclass
@@ -1848,7 +1866,7 @@ def from_es_json(
                 scope,
             )
         if kind == "multi_match":
-            extra = set(body) - {"query", "fields", "type"}
+            extra = set(body) - {"query", "fields", "type", "tie_breaker"}
             if extra:
                 raise ValueError(f"unsupported multi_match options: {extra}")
             fields = []
@@ -1863,21 +1881,28 @@ def from_es_json(
                     f"unsupported multi_match type: {mm_type!r} "
                     "(best_fields/most_fields)"
                 )
+            tb = float(body.get("tie_breaker", 0.0))
+            if tb and mm_type != "best_fields":
+                raise ValueError(
+                    "tie_breaker applies to best_fields (most_fields "
+                    "already sums every matching leg)"
+                )
             legs = [
                 bm25_or_none(f, body["query"], "or", 0, None, scope, boost=b)
                 for f, b in fields
             ]
             if all(leg is not None for leg in legs):
                 # all fields BM25-scorable → per-field legs combined per
-                # ES's type semantics; tie_breaker stays 0 (the compiler's
-                # multi_match surface doesn't accept one)
+                # ES's type semantics
                 if mm_type == "most_fields":
                     return Bool(should=[(leg, 1.0) for leg in legs])
-                return DisMax(legs) if len(legs) > 1 else legs[0]
+                if len(legs) == 1:
+                    return legs[0]
+                return DisMax(legs, tie_breaker=tb)
             return MultiMatch(
                 fields, body["query"], analyzers=analyzers,
                 tokens_cols=tokens_cols,
-                type=mm_type,
+                type=mm_type, tie_breaker=tb,
             )
         if kind == "fuzzy":
             (field, spec), = body.items()

@@ -462,6 +462,12 @@ def _sketch_mad_join(
     the exact path."""
     names = [n for _, n in keys]
     fields = sorted({f for f, _ in sketch_mads.values()})
+    clash = set(fields) & set(names)
+    if clash:
+        raise ValueError(
+            f"sketch median_absolute_deviation field(s) {sorted(clash)} "
+            "collide with a bucket name — alias the bucket"
+        )
     rows = keyed.select(*[k.alias(n) for k, n in keys], *fields)
     for mname, (mfield, acc) in sketch_mads.items():
         med = rows.groupBy(*names).agg(
@@ -630,6 +636,12 @@ def _composite_agg(df: DataFrame, body: dict, sub: dict) -> DataFrame:
         if morder not in ("default", "first", "last"):
             raise ValueError(
                 f"unsupported missing_order: {morder!r} (default/first/last)"
+            )
+        if "missing_order" in sbody and not missing:
+            raise ValueError(
+                f"missing_order on source {sname!r} needs "
+                "missing_bucket: true (ES's contract; without it there is "
+                "no null bucket to position)"
             )
         if morder == "default":
             nulls_first = not desc
@@ -1545,7 +1557,9 @@ def es_aggregate(
     if nested_bucket:
         (sub_name, sub_spec), = nested_bucket
         sub_spec = dict(sub_spec)
-        sub_sub = sub_spec.pop("aggs", {})
+        # copy: _pop_sketch_mads mutates, and this dict is the CALLER's
+        # nested aggs object — a reused request must not lose entries
+        sub_sub = dict(sub_spec.pop("aggs", {}))
         (sub_kind, sub_body), = sub_spec.items()
         if any(next(iter(s)) in ("terms", "multi_terms", "date_histogram",
                                  "histogram", "range", "date_range")

@@ -315,3 +315,43 @@ def test_increment_dedup_is_anti_join_on_fingerprints(spark):
     p = plan_of(spark, "dedup_increment_survivors")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_phrase_slop_scan_local_no_join(spark):
+    """The n-term sloppy-phrase window check is pure scan-local HOF
+    arithmetic: one parquet scan, no join, no keyed shuffle (the only
+    Exchange is fan_out's data-independent round-robin spread)."""
+    p = plan_of(spark, "search_phrase_slop")
+    assert "Join" not in p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert len(scans(p)) == 1
+
+
+def test_composite_missing_single_groupby_take_ordered(spark):
+    """missing_bucket composite keeps the one-shuffle shape: the null-aware
+    cursor is a row filter below a single groupBy, and the size truncation
+    is a TakeOrderedAndProject."""
+    p = plan_of(spark, "es_aggs_composite_missing")
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_sketch_mad_copartitioned_no_cartesian(spark):
+    """The two-pass sketch MAD joins medians back on the bucket key: hash
+    joins co-partitioned with the groupBys, never a cartesian/nested-loop
+    pairing; every aggregate is the partial+final percentile_approx
+    summary (objHashAggregate), not a value-buffer collect."""
+    p = plan_of(spark, "es_aggs_multi_terms_mad_sketch")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "percentile_approx" in p
+    assert "collect_list" not in p
+
+
+def test_dsl_bm25_scoring_rides_single_scan(spark):
+    """search_dsl_bm25's scoring query is one scan with the BM25 arithmetic
+    as projection expressions — no join; corpus stats arrive as literals
+    (computed by separate bounded agg jobs at compile time)."""
+    p = plan_of(spark, "search_dsl_bm25")
+    assert "Join" not in p
+    assert len(scans(p)) == 1

@@ -1092,12 +1092,6 @@ def test_match_phrase_slop_two_terms(spark):
     )
     q = MatchPhrase("text", "alpha beta", analyzer="standard", slop=1)
     assert search(df2, q, k=None).count() == 1
-    # repeated terms in a >2-term sloppy phrase still raise loudly
-    # (Lucene's repeat machinery); distinct n-term phrases are supported
-    with pytest.raises(ValueError, match="repeated term"):
-        MatchPhrase("text", "a b a", analyzer="standard", slop=1).predicate(
-            spark, F.col
-        )
     parsed = from_es_json(
         {"match_phrase": {"text": {"query": "alpha beta", "slop": 2}}},
         analyzers={"text": "standard"},
@@ -1140,6 +1134,50 @@ def test_match_phrase_slop_n_terms(spark):
     two_pair = MatchPhrase("text", "alpha beta", analyzer="standard", slop=2)
     got = {r["id"] for r in search(df, two_pair, k=None).collect()}
     assert {1, 2, 3, 4, 5, 8, 9} <= got  # in-order/gapped/transposed pairs
+
+
+def test_match_phrase_slop_repeated_terms(spark):
+    """Sloppy phrases with REPEATED terms: Lucene demands distinct
+    document positions per slot (a single occurrence can't satisfy two
+    slots); costs follow the same max−min window over offset-adjusted
+    positions, with the assignment's existence decided by Hall's
+    condition over the per-token candidate intervals."""
+    from tweets_elastic_spark.plans.search import MatchPhrase
+
+    df = spark.createDataFrame(
+        [(1, "buy buy"),                 # exact repeat → 0
+         (2, "buy now buy"),             # one gap → 1
+         (3, "buy"),                     # ONE occurrence: never matches
+         (4, "now buy buy then"),        # exact inside → 0
+         (5, "buy x y buy")],            # two gaps → 2
+        "id long, text string",
+    )
+
+    def hits(slop, phrase="buy buy"):
+        q = MatchPhrase("text", phrase, analyzer="standard", slop=slop)
+        return {r["id"] for r in search(df, q, k=None).collect()}
+
+    assert hits(1) == {1, 2, 4}
+    assert hits(2) == {1, 2, 4, 5}
+    assert 3 not in hits(9)              # distinct-occurrence rule
+    # 3-term phrase with a repeat: "a b a"
+    df2 = spark.createDataFrame(
+        [(1, "a b a"),                   # exact → 0
+         (2, "a b x a"),                 # last slot one move → 1
+         (3, "b a a"),                   # swap first two → 2
+         (4, "a b"),                     # only one 'a' → never
+         (5, "a a b")],                  # 'b' and 2nd 'a' swap → 2
+        "id long, text string",
+    )
+
+    def hits3(slop):
+        q = MatchPhrase("text", "a b a", analyzer="standard", slop=slop)
+        return {r["id"] for r in search(df2, q, k=None).collect()}
+
+    assert hits3(0) == {1}
+    assert hits3(1) == {1, 2}
+    assert hits3(2) == {1, 2, 3, 5}
+    assert 4 not in hits3(9)
 
 
 def test_search_phrase_slop_registry_matches_oracle(spark):

@@ -159,28 +159,41 @@ class Match(Query):
             if self.tokens_col is not None
             else analyze(resolve(self.field), self.analyzer)
         )
-        if self.operator == "and":
-            out = self._token_pred(field_tokens, query_tokens[0])
+
+        def pred_over(ft: Column) -> Column:
+            if self.operator == "and":
+                out = self._token_pred(ft, query_tokens[0])
+                for t in query_tokens[1:]:
+                    out = out & self._token_pred(ft, t)
+                return out
+            if self.minimum_should_match > 1:
+                matched = sum(
+                    (
+                        self._token_pred(ft, t).cast("int")
+                        for t in query_tokens
+                    ),
+                    start=F.lit(0),
+                )
+                return matched >= self.minimum_should_match
+            if self.fuzziness is None:
+                return F.arrays_overlap(
+                    ft, F.array(*[F.lit(t) for t in query_tokens])
+                )
+            out = self._token_pred(ft, query_tokens[0])
             for t in query_tokens[1:]:
-                out = out & self._token_pred(field_tokens, t)
+                out = out | self._token_pred(ft, t)
             return out
-        if self.minimum_should_match > 1:
-            matched = sum(
-                (
-                    self._token_pred(field_tokens, t).cast("int")
-                    for t in query_tokens
-                ),
-                start=F.lit(0),
+
+        if self.tokens_col is None and len(query_tokens) > 1:
+            # inline analysis referenced once per query token on the
+            # and/msm/fuzzy paths — bind it once (Catalyst does not CSE
+            # repeated subtrees, so each reference would re-run the
+            # analyzer); a materialized column is already an O(1)
+            # attribute read and needs no binding
+            return F.element_at(
+                F.transform(F.array(field_tokens), pred_over), 1
             )
-            return matched >= self.minimum_should_match
-        if self.fuzziness is None:
-            return F.arrays_overlap(
-                field_tokens, F.array(*[F.lit(t) for t in query_tokens])
-            )
-        out = self._token_pred(field_tokens, query_tokens[0])
-        for t in query_tokens[1:]:
-            out = out | self._token_pred(field_tokens, t)
-        return out
+        return pred_over(field_tokens)
 
 
 @dataclass
@@ -477,72 +490,115 @@ class MatchPhrase(Query):
         )
         if self.slop:
             # Sloppy phrase (ES match_phrase slop), Lucene's semantics
-            # (SloppyPhraseMatcher): each query term's document positions
-            # are ADJUSTED by its phrase offset (p − i); the phrase matches
-            # iff some assignment of one adjusted position per term has
-            #     max(adjusted) − min(adjusted) ≤ slop
-            # — the "matchLength" Lucene sweeps for, equal to the number of
+            # (SloppyPhraseMatcher): each phrase slot's document positions
+            # are ADJUSTED by its phrase offset (p - q); the phrase matches
+            # iff some assignment of DISTINCT document positions (Lucene's
+            # rule for repeated terms) - one per slot - has
+            #     max(adjusted) - min(adjusted) <= slop
+            # - the "matchLength" Lucene sweeps for, equal to the number of
             # position-moves to edit the document arrangement into the
             # query's (a transposition of adjacent terms costs 2: gap + 1).
             # Expressed scan-locally: the optimal window starts AT one of
-            # the adjusted positions, so
-            #     ∃ a ∈ ∪ adjusted_i: ∀ i: ∃ p ∈ adjusted_i: a ≤ p ≤ a+slop
-            # — one flatten + nested HOFs, O(Σ|pos| · n · max|pos|) per row,
-            # no shuffle. n = 2 with a REPEATED term keeps the pairwise
-            # distinct-occurrence path (Lucene demands distinct positions
-            # for phrase repeats); repeats in longer sloppy phrases would
-            # need Lucene's full repeat machinery — raise rather than
-            # approximate silently.
+            # the adjusted positions (anchor a); slot (t, q) may then use
+            # any p in P(t) ∩ [a+q, a+q+slop]. Distinctness across
+            # DISTINCT tokens is automatic (one token per position); within
+            # a token repeated at offsets q_1<...<q_m, a system of distinct
+            # representatives for the equal-length candidate intervals
+            # exists iff Hall's condition holds on every CONTIGUOUS offset
+            # range (sufficient for equal-length sorted intervals: any
+            # overlap-connected subset of slots is bounded by the count
+            # over its hull range):
+            #     |P(t) ∩ ∪_{k in [i,j]} [a+q_k, a+q_k+slop]| >= j-i+1
+            # - sum of m_t(m_t+1)/2 size(filter(...)) checks, all
+            # scan-local HOFs over position arrays, no shuffle. For
+            # all-distinct phrases (every m_t = 1) this reduces to one
+            # window-membership exists per term.
             slop = int(self.slop)
 
-            def positions(term: str) -> Column:
-                return F.filter(
-                    F.transform(
-                        toks,
-                        lambda x, i: F.when(x == F.lit(term), i).otherwise(-1),
-                    ),
-                    lambda p: p >= 0,
+            offsets: dict[str, list[int]] = {}
+            for q, t in enumerate(phrase):
+                offsets.setdefault(t, []).append(q)
+            terms = list(offsets)
+
+            def check(ts: Column) -> Column:
+                # ts = the token array, BOUND once (Catalyst does not CSE
+                # repeated subtrees — an unbound `toks` would re-run the
+                # whole analyzer per position-array reference). The
+                # per-term position arrays are likewise bound once as a
+                # struct before the anchor sweep references them
+                # n + Σ m_t(m_t+1)/2 times each.
+                def positions(term: str) -> Column:
+                    return F.filter(
+                        F.transform(
+                            ts,
+                            lambda x, i: F.when(
+                                x == F.lit(term), i
+                            ).otherwise(-1),
+                        ),
+                        lambda p: p >= 0,
+                    )
+
+                pos_struct = F.struct(*[
+                    positions(t).alias(f"p{i}") for i, t in enumerate(terms)
+                ])
+
+                def sweep(ps: Column) -> Column:
+                    pos_by_term = {
+                        t: ps[f"p{i}"] for i, t in enumerate(terms)
+                    }
+
+                    def adjust(term: str, offset: int) -> Column:
+                        # bind offset eagerly: PySpark HOF lambdas must
+                        # stay single-parameter (arity drives (x) vs
+                        # (x, i) dispatch)
+                        off = F.lit(offset)
+                        return F.transform(
+                            pos_by_term[term], lambda p: p - off
+                        )
+
+                    starts = F.flatten(F.array(*[
+                        adjust(t, q)
+                        for t, qs in offsets.items() for q in qs
+                    ]))
+
+                    def window_covers(a: Column) -> Column:
+                        cond = None
+                        for t, qs in offsets.items():
+                            pt = pos_by_term[t]
+                            for i in range(len(qs)):
+                                for j in range(i, len(qs)):
+                                    need = j - i + 1
+                                    ks = tuple(qs[i:j + 1])
+
+                                    # single-parameter on purpose (HOF
+                                    # arity dispatch); `ks` is a closure,
+                                    # safe because F.exists/F.filter
+                                    # invoke it eagerly this iteration
+                                    def member(p) -> Column:
+                                        m = None
+                                        for q in ks:
+                                            rng = (p >= a + F.lit(q)) & (
+                                                p <= a + F.lit(q + slop)
+                                            )
+                                            m = rng if m is None else m | rng
+                                        return m
+
+                                    c = (
+                                        F.exists(pt, member)
+                                        if need == 1
+                                        else F.size(F.filter(pt, member))
+                                        >= need
+                                    )
+                                    cond = c if cond is None else cond & c
+                        return cond
+
+                    return F.exists(starts, window_covers)
+
+                return F.element_at(
+                    F.transform(F.array(pos_struct), sweep), 1
                 )
 
-            if len(set(phrase)) != len(phrase):
-                if len(phrase) != 2:
-                    raise ValueError(
-                        "match_phrase slop with a repeated term supports "
-                        f"exactly 2 analyzed terms, got {len(phrase)}: "
-                        f"{phrase!r}"
-                    )
-                # both offsets index the same position list; i ≠ j enforces
-                # Lucene's distinct-occurrence rule, and the two branches
-                # ARE max−min over (i−0, j−1): in order j−i−1, else i−j+1
-                t1, t2 = phrase
-                p1, p2 = positions(t1), positions(t2)
-                return F.exists(
-                    p1,
-                    lambda i: F.exists(
-                        p2,
-                        lambda j: ((j > i) & (j - i - 1 <= F.lit(slop)))
-                        | ((j < i) & (i - j + 1 <= F.lit(slop))),
-                    ),
-                )
-            def adjust(term: str, offset: int) -> Column:
-                # bind offset eagerly: PySpark HOF lambdas must stay
-                # single-parameter (arity drives (x) vs (x, i) dispatch)
-                off = F.lit(offset)
-                return F.transform(positions(term), lambda p: p - off)
-
-            adjusted = [adjust(t, q) for q, t in enumerate(phrase)]
-            starts = F.flatten(F.array(*adjusted))
-
-            def window_covers(a: Column) -> Column:
-                cond = None
-                for adj in adjusted:
-                    h = F.exists(
-                        adj, lambda p: (p >= a) & (p <= a + F.lit(slop))
-                    )
-                    cond = h if cond is None else cond & h
-                return cond
-
-            return F.exists(starts, window_covers)
+            return F.element_at(F.transform(F.array(toks), check), 1)
         nul = "\x00"
         hay = F.concat(
             F.lit(nul), F.array_join(toks, nul), F.lit(nul)

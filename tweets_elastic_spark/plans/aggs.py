@@ -392,18 +392,30 @@ def _metric_cols(aggs: dict) -> list[Column]:
                 F.max(F.length(c)).alias(f"{name}_max_length"),
                 F.round(F.avg(F.length(c)), 6).alias(f"{name}_avg_length"),
             ]
-            chars = F.flatten(F.collect_list(F.split(c, "")))
-            total = F.size(chars).cast("double")
-            # count each distinct char ONCE (D array scans, not 2D): the
-            # transform binds the count so the -p*log2(p) term reuses it
-            counts = F.transform(
-                F.array_distinct(chars),
-                lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
-            )
-            entropy = F.aggregate(
-                counts,
-                F.lit(0.0),
-                lambda acc, n: acc - (n / total) * F.log2(n / total),
+            def _entropy_of(chars: Column) -> Column:
+                # chars is BOUND once (a lambda variable): the flatten of
+                # the collected char arrays would otherwise re-run per
+                # reference — once for the total, once for the distinct
+                # set, and once per distinct char's count filter
+                total = F.size(chars).cast("double")
+                # count each distinct char ONCE (D array scans, not 2D):
+                # the transform binds the count so -p*log2(p) reuses it
+                counts = F.transform(
+                    F.array_distinct(chars),
+                    lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+                )
+                return F.aggregate(
+                    counts,
+                    F.lit(0.0),
+                    lambda acc, n: acc - (n / total) * F.log2(n / total),
+                )
+
+            entropy = F.element_at(
+                F.transform(
+                    F.array(F.flatten(F.collect_list(F.split(c, "")))),
+                    _entropy_of,
+                ),
+                1,
             )
             out.append(F.round(entropy, 6).alias(f"{name}_entropy"))
         elif kind in ("terms", "multi_terms", "date_histogram", "histogram",

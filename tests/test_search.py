@@ -1180,6 +1180,50 @@ def test_match_phrase_slop_repeated_terms(spark):
     assert 4 not in hits3(9)
 
 
+def test_match_phrase_slop_differential_brute_force(spark):
+    """The Hall-condition window construction vs an exhaustive oracle:
+    over ~200 random small docs and phrases WITH repeats, the Spark
+    predicate must equal the brute-force minimum over all injective
+    position assignments of max−min offset-adjusted positions ≤ slop."""
+    import itertools
+    import random
+
+    from tweets_elastic_spark.plans.search import MatchPhrase
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(1, 9))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    def brute(doc_tokens, phrase, slop):
+        cands = []
+        for q, t in enumerate(phrase):
+            cands.append([p for p, x in enumerate(doc_tokens) if x == t])
+        if any(not c for c in cands):
+            return False
+        for combo in itertools.product(*cands):
+            if len(set(combo)) != len(combo):
+                continue  # Lucene: distinct doc positions per slot
+            adj = [p - q for q, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    cases = [("a b a", 0), ("a b a", 1), ("a b a", 2), ("a b a", 3),
+             ("a a", 1), ("a a b", 2), ("a b a b", 2), ("a a a", 2),
+             ("b a c a", 3)]
+    for phrase, slop in cases:
+        q = MatchPhrase("text", phrase, analyzer="standard", slop=slop)
+        got = {r["id"] for r in search(df, q, k=None).collect()}
+        want = {i for i, text in docs
+                if brute(text.split(), phrase.split(), slop)}
+        assert got == want, (phrase, slop, got ^ want)
+
+
 def test_search_phrase_slop_registry_matches_oracle(spark):
     """The registered 3-term sloppy-phrase query hash-matches its DuckDB
     positional-window oracle at sf0.001 (full parity also re-checked by

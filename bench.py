@@ -147,6 +147,8 @@ HEADLINE = [
     "es_aggs_composite_missing",
     "es_aggs_significant_gnd",
     "es_aggs_significant_script",
+    "es_aggs_boxplot",
+    "es_aggs_top_metrics",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1428,6 +1428,56 @@ def test_mad_zipf_skew_exact_vs_sketch(spark):
         assert exact[k][0] == sketch[k][0] == ndev
 
 
+def test_boxplot_exact_quartiles(spark, sales):
+    # us amounts: 7, 9, 11, 13 → interpolated (quantile_cont) quartiles:
+    # q1 @ rank 0.75 → 8.5, q2 @ 1.5 → 10, q3 @ 2.25 → 11.5
+    row = {r["k"]: r for r in es_aggregate(sales.withColumnRenamed(
+        "region", "k"), {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"b": {"boxplot": {"field": "amount"}}},
+        }}).collect()}["us"]
+    assert (row["b_min"], row["b_max"]) == (7.0, 13.0)
+    assert (row["b_q1"], row["b_q2"], row["b_q3"]) == (8.5, 10.0, 11.5)
+    with pytest.raises(ValueError, match="boxplot parameters"):
+        es_aggregate(sales, {"k": {
+            "terms": {"field": "region"},
+            "aggs": {"b": {"boxplot": {"field": "amount",
+                                       "compression": 50}}},
+        }})
+
+
+def test_top_metrics_value_at_top_sorted_doc(spark):
+    rows = [("a", 1, 10.0), ("a", 3, 30.0), ("a", 2, 20.0),
+            ("b", 5, 50.0), ("b", 4, 40.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        r["k"]: (r["latest_v"], r["first_v"])
+        for r in es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {
+                "latest": {"top_metrics": {"metrics": {"field": "v"},
+                                           "sort": {"t": "desc"}}},
+                "first": {"top_metrics": {"metrics": {"field": "v"},
+                                          "sort": {"t": "asc"}}},
+            },
+        }}).collect()
+    }
+    assert got == {"a": (30.0, 10.0), "b": (50.0, 40.0)}
+    with pytest.raises(ValueError, match="size > 1"):
+        es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"m": {"top_metrics": {"metrics": {"field": "v"},
+                                           "sort": {"t": "desc"},
+                                           "size": 3}}},
+        }})
+    with pytest.raises(ValueError, match="asc/desc"):
+        es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"m": {"top_metrics": {"metrics": {"field": "v"},
+                                           "sort": {"t": "down"}}}},
+        }})
+
+
 def test_string_stats_known_entropy(spark):
     df = spark.createDataFrame([("k", "aab"), ("k", "b")], "k string, s string")
     row = es_aggregate(df, {"k": {

@@ -376,6 +376,62 @@ def _metric_cols(aggs: dict) -> list[Column]:
 
             bound = F.element_at(F.transform(F.array(arr), _mad_of), 1)
             out.append(F.round(bound, 6).alias(name))
+        elif kind == "boxplot":
+            # ES ``boxplot``: min/max and the three quartiles. ES
+            # estimates the quartiles with t-digest; this engine evaluates
+            # them EXACTLY (built-in percentile, linear interpolation —
+            # quantile_cont's definition, fully oracle-able), the same
+            # documented strictly-more-accurate divergence as
+            # percentiles/cardinality. Flattened: {name}_min/_max/_q1/
+            # _q2/_q3; min/max are plain aggregates, the quartiles one
+            # sorted-buffer aggregate each.
+            extra = set(body) - {"field"}
+            if extra:
+                raise ValueError(
+                    f"unsupported boxplot parameters: {sorted(extra)} "
+                    "(compression tunes ES's sketch; quartiles here are "
+                    "exact)"
+                )
+            c = F.col(body["field"]).cast("double")
+            out += [
+                F.min(c).alias(f"{name}_min"),
+                F.max(c).alias(f"{name}_max"),
+                F.round(F.percentile(c, 0.25), 6).alias(f"{name}_q1"),
+                F.round(F.percentile(c, 0.50), 6).alias(f"{name}_q2"),
+                F.round(F.percentile(c, 0.75), 6).alias(f"{name}_q3"),
+            ]
+        elif kind == "top_metrics":
+            # ES ``top_metrics``: the metric field's value AT the bucket's
+            # top document by the sort field — "what was the price at the
+            # latest timestamp" without a top_hits payload. size=1 (ES's
+            # default) compiles to max_by/min_by, a single JVM aggregate
+            # riding the same partial/final plan; size>1 would need a
+            # per-bucket value buffer — raise toward top_hits rather than
+            # buffer silently. Flattened: {name}_{metric_field}.
+            extra = set(body) - {"metrics", "sort", "size"}
+            if extra:
+                raise ValueError(
+                    f"unsupported top_metrics keys: {sorted(extra)}"
+                )
+            if int(body.get("size", 1)) != 1:
+                raise ValueError(
+                    "top_metrics size > 1 needs a per-bucket buffer — "
+                    "use top_hits for document payloads"
+                )
+            (sfield, sdir), = body["sort"].items() \
+                if isinstance(body["sort"], dict) else ((body["sort"], "asc"),)
+            if sdir not in ("asc", "desc"):
+                raise ValueError(f"top_metrics sort must be asc/desc, got {sdir!r}")
+            metrics_spec = body["metrics"]
+            if isinstance(metrics_spec, dict):
+                metrics_spec = [metrics_spec]
+            pick = F.max_by if sdir == "desc" else F.min_by
+            for m in metrics_spec:
+                mfield = m["field"]
+                out.append(
+                    pick(F.col(mfield), F.col(sfield))
+                    .alias(f"{name}_{mfield}")
+                )
         elif kind == "string_stats":
             # ES string_stats: count, min/max/avg term length, and the
             # Shannon entropy (log2) of the CHARACTER distribution across
@@ -578,6 +634,7 @@ _METRIC_KINDS = (
     "sum", "avg", "min", "max", "value_count", "cardinality",
     "percentiles", "percentile_ranks", "stats", "extended_stats",
     "weighted_avg", "median_absolute_deviation", "string_stats",
+    "boxplot", "top_metrics",
 )
 
 

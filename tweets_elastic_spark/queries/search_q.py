@@ -2078,6 +2078,80 @@ def q_es_aggs_multi_terms_mad_sketch(
 
 
 @register(
+    "es_aggs_boxplot",
+    oracle="""
+    SELECT lang AS by_lang,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(min(n_chars) AS DOUBLE) AS len_min,
+           CAST(max(n_chars) AS DOUBLE) AS len_max,
+           round(quantile_cont(n_chars, 0.25), 6) AS len_q1,
+           round(quantile_cont(n_chars, 0.50), 6) AS len_q2,
+           round(quantile_cont(n_chars, 0.75), 6) AS len_q3
+    FROM documents
+    WHERE lang IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES boxplot metric agg per terms bucket (r7): min/max + exact "
+        "interpolated quartiles of document length by language — ES "
+        "estimates the quartiles with t-digest, this engine evaluates "
+        "them exactly (quantile_cont definition, oracle bit-for-bit at "
+        "6 dp), the same documented strictly-more-accurate divergence as "
+        "percentiles. One groupBy, built-in JVM aggregates.",
+)
+def q_es_aggs_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = es_aggregate(docs, {"by_lang": {
+        "terms": {"field": "lang"},
+        "aggs": {"len": {"boxplot": {"field": "n_chars"}}},
+    }})
+    return out.select(
+        "by_lang", "doc_count", "len_min", "len_max",
+        "len_q1", "len_q2", "len_q3",
+    )
+
+
+@register(
+    "es_aggs_top_metrics",
+    oracle="""
+    SELECT event_type AS by_type,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(arg_max(value, ts), 6) AS latest_value,
+           round(arg_min(value, ts), 6) AS first_value
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES top_metrics agg (r7): the metric's value AT the bucket's "
+        "top-sorted document — 'the value at the latest timestamp' "
+        "without a top_hits payload. size=1 compiles to max_by/min_by, "
+        "a single JVM aggregate in the same partial/final hash plan (ES "
+        "keeps a per-shard top-1 buffer; same state, engine-native). "
+        "Deterministic here: ts is unique in the fixture; DuckDB mirrors "
+        "via arg_max/arg_min.",
+)
+def q_es_aggs_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {
+            "latest": {"top_metrics": {"metrics": {"field": "value"},
+                                       "sort": {"ts": "desc"}}},
+            "first": {"top_metrics": {"metrics": {"field": "value"},
+                                      "sort": {"ts": "asc"}}},
+        },
+    }})
+    return out.select(
+        "by_type", "doc_count",
+        F.round("latest_value", 6).alias("latest_value"),
+        F.round("first_value", 6).alias("first_value"),
+    )
+
+
+@register(
     "es_aggs_string_stats",
     oracle="""
     WITH chars AS (

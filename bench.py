@@ -149,6 +149,7 @@ HEADLINE = [
     "es_aggs_significant_script",
     "es_aggs_boxplot",
     "es_aggs_top_metrics",
+    "es_aggs_rare_terms",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1428,6 +1428,51 @@ def test_mad_zipf_skew_exact_vs_sketch(spark):
         assert exact[k][0] == sketch[k][0] == ndev
 
 
+def test_rare_terms_tail_and_guards(spark, sales):
+    # region counts: eu 3, us 4, ap 1 → max_doc_count=3 keeps ap, eu;
+    # rarest first
+    got = [(r["k"], r["doc_count"]) for r in es_aggregate(sales, {"k": {
+        "rare_terms": {"field": "region", "max_doc_count": 3},
+    }}).collect()]
+    assert got == [("ap", 1), ("eu", 3)]
+    # metric sub-agg rides the groupBy
+    row = es_aggregate(sales, {"k": {
+        "rare_terms": {"field": "region"},
+        "aggs": {"m": {"max": {"field": "amount"}}},
+    }}).collect()
+    assert [(r["k"], r["doc_count"], r["m"]) for r in row] == [("ap", 1, 1.0)]
+    with pytest.raises(ValueError, match="max_doc_count"):
+        es_aggregate(sales, {"k": {
+            "rare_terms": {"field": "region", "max_doc_count": 0}}})
+    with pytest.raises(ValueError, match="must be metrics"):
+        es_aggregate(sales, {"k": {
+            "rare_terms": {"field": "region"},
+            "aggs": {"p": {"terms": {"field": "product"}}},
+        }})
+
+
+def test_simple_metric_missing_and_unknown_params(spark):
+    rows = [("k", 1.0), ("k", None), ("k", 3.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = es_aggregate(df, {"k": {
+        "terms": {"field": "k"},
+        "aggs": {
+            "a": {"avg": {"field": "x", "missing": 5.0}},
+            "n": {"value_count": {"field": "x"}},
+            "c": {"cardinality": {"field": "x",
+                                  "precision_threshold": 100}},
+        },
+    }}).collect()[0]
+    assert got["a"] == 3.0      # (1 + 5 + 3) / 3: missing substitutes
+    assert got["n"] == 2        # without missing, nulls drop
+    assert got["c"] == 2        # exact despite the (satisfied) threshold
+    with pytest.raises(ValueError, match="unsupported avg parameters"):
+        es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"a": {"avg": {"field": "x", "script": "bad"}}},
+        }})
+
+
 def test_boxplot_exact_quartiles(spark, sales):
     # us amounts: 7, 9, 11, 13 → interpolated (quantile_cont) quartiles:
     # q1 @ rank 0.75 → 8.5, q2 @ 1.5 → 10, q3 @ 2.25 → 11.5

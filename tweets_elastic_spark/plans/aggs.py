@@ -245,7 +245,25 @@ def _metric_cols(aggs: dict) -> list[Column]:
         spec.pop("aggs", None)  # a sibling bucket agg carries its own subtree
         (kind, body), = spec.items()
         if kind in _METRICS:
-            out.append(_METRICS[kind](F.col(body["field"])).alias(name))
+            # ES simple-metric options: ``missing`` substitutes for null
+            # values; cardinality's ``precision_threshold`` (the count
+            # below which ES's HLL is near-exact) is accepted and
+            # trivially satisfied — counting is EXACT here at every
+            # cardinality, the documented strictly-more-accurate
+            # divergence. Anything else raises (never silently ignore an
+            # option that would change the result).
+            allowed = {"field", "missing"} | (
+                {"precision_threshold"} if kind == "cardinality" else set()
+            )
+            extra = set(body) - allowed
+            if extra:
+                raise ValueError(
+                    f"unsupported {kind} parameters: {sorted(extra)}"
+                )
+            c = F.col(body["field"])
+            if "missing" in body:
+                c = F.coalesce(c, F.lit(body["missing"]))
+            out.append(_METRICS[kind](c).alias(name))
         elif kind == "percentiles":
             # ES estimates percentiles with t-digest; by default this
             # engine evaluates them EXACTLY (built-in `percentile`, linear
@@ -1465,6 +1483,38 @@ def es_aggregate(
                 F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub)
             )
         return es_aggregate(sample, sub, fg_pred, analyzers)
+    if kind == "rare_terms":
+        # ES rare_terms: the LONG TAIL — buckets whose doc_count is at
+        # most max_doc_count, ordered rarest-first (_count asc, key asc).
+        # ES bounds memory with a CuckooFilter and documents false
+        # negatives; this engine evaluates the tail EXACTLY from the same
+        # one-groupBy relation terms uses (global counts, no per-shard
+        # approximation) — the documented strictly-more-accurate
+        # divergence. Metric sub-aggs ride the groupBy; there is no
+        # ``size`` in ES's surface (the tail is the result).
+        extra = set(body) - {"field", "max_doc_count", "missing"}
+        if extra:
+            raise ValueError(
+                f"unsupported rare_terms parameters: {sorted(extra)}"
+            )
+        mdc = int(body.get("max_doc_count", 1))
+        if not (1 <= mdc <= 100):
+            raise ValueError(
+                f"rare_terms max_doc_count must be in [1, 100] (ES's "
+                f"bound), got {mdc}"
+            )
+        if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+            raise ValueError("rare_terms sub-aggs must be metrics")
+        key = F.col(body["field"])
+        if "missing" in body:
+            key = F.coalesce(key, F.lit(body["missing"]))
+        return (
+            df.filter(key.isNotNull())
+            .groupBy(key.alias(name))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub))
+            .filter(F.col("doc_count") <= mdc)
+            .orderBy(F.col("doc_count").asc(), F.col(name).asc())
+        )
     if kind == "filters":
         if sub:
             raise ValueError("filters agg does not support sub-aggs here")

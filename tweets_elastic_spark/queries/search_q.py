@@ -2078,6 +2078,37 @@ def q_es_aggs_multi_terms_mad_sketch(
 
 
 @register(
+    "es_aggs_rare_terms",
+    oracle="""
+    SELECT o_custkey AS by_cust,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(max(o_totalprice), 6) AS top_order
+    FROM orders
+    GROUP BY 1
+    HAVING count(*) <= 3
+    ORDER BY doc_count ASC, by_cust ASC
+    """,
+    doc="ES rare_terms bucket agg (r7): the LONG TAIL — customers with at "
+        "most 3 orders, rarest first, carrying a metric. ES bounds memory "
+        "with a CuckooFilter and documents false negatives; this engine "
+        "evaluates the tail EXACTLY from the same one-groupBy relation "
+        "terms uses (global counts, no per-shard approximation) — the "
+        "documented strictly-more-accurate divergence.",
+)
+def q_es_aggs_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = es_aggregate(orders, {"by_cust": {
+        "rare_terms": {"field": "o_custkey", "max_doc_count": 3},
+        "aggs": {"top_order": {"max": {"field": "o_totalprice"}}},
+    }})
+    return out.select(
+        "by_cust", "doc_count", F.round("top_order", 6).alias("top_order")
+    )
+
+
+@register(
     "es_aggs_boxplot",
     oracle="""
     SELECT lang AS by_lang,

@@ -150,6 +150,7 @@ HEADLINE = [
     "es_aggs_boxplot",
     "es_aggs_top_metrics",
     "es_aggs_rare_terms",
+    "es_rank_eval_ndcg",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

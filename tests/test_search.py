@@ -1513,6 +1513,59 @@ def test_es_count_and_field_caps_and_msearch(spark, sf_dir):
         es_msearch(docs, [])
 
 
+def test_rank_eval_metrics_hand_computed(spark):
+    """ES _rank_eval on a 5-doc corpus: precision/recall/MRR/NDCG against
+    hand-computed values (constant-score matches rank by the doc-id
+    tiebreak, so every rank is known)."""
+    from tweets_elastic_spark.plans.api import es_rank_eval
+
+    docs = spark.createDataFrame(
+        [(1, "spark merge fast"), (2, "spark slow"), (3, "merge only"),
+         (4, "nothing here"), (5, "spark merge spark")],
+        "doc_id long, text string",
+    )
+    body = {
+        "requests": [
+            {"id": "q1", "request": {"query": {"match": {"text": "spark"}}},
+             "ratings": [{"_id": 1, "rating": 2}, {"_id": 5, "rating": 1},
+                         {"_id": 2, "rating": 0}]},
+            {"id": "q2", "request": {"query": {"match": {"text": "merge"}}},
+             "ratings": [{"_id": 3, "rating": 1}]},
+        ],
+        "metric": {"precision": {"k": 10, "relevant_rating_threshold": 1}},
+    }
+    an = {"analyzers": {"text": "standard"}}
+
+    def scores(metric):
+        body["metric"] = metric
+        return {r["request_id"]: r["metric_score"]
+                for r in es_rank_eval(docs, body, **an).collect()}
+
+    # q1 retrieves 1,2,5 (ranks 1,2,3); q2 retrieves 1,3,5
+    assert scores({"precision": {"k": 10}}) == {
+        "q1": 0.666667, "q2": 0.333333}
+    assert scores({"mean_reciprocal_rank": {}}) == {"q1": 1.0, "q2": 0.5}
+    # q1 dcg = 3/1 + 0 + 1/2 = 3.5; ideal = 3 + 1/log2(3) = 3.63093
+    assert scores({"dcg": {"normalize": True}}) == {
+        "q1": 0.96394, "q2": 0.63093}
+    assert scores({"recall": {"k": 1}}) == {"q1": 0.5, "q2": 0.0}
+    # un-normalized dcg + unjudged request scores 0
+    body["requests"].append(
+        {"id": "q3", "request": {"query": {"match": {"text": "nothing"}}},
+         "ratings": []})
+    got = scores({"dcg": {}})
+    assert got["q1"] == 3.5 and got["q3"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported rank_eval metric"):
+        es_rank_eval(docs, {"requests": [body["requests"][0]],
+                            "metric": {"err": {}}}, **an)
+    with _pytest.raises(ValueError, match="parameters"):
+        es_rank_eval(docs, {"requests": [body["requests"][0]],
+                            "metric": {"precision": {"ignore_unlabeled":
+                                                     True}}}, **an)
+
+
 def test_field_caps_nested_paths(spark):
     from tweets_elastic_spark.plans.api import es_field_caps
 

@@ -1,8 +1,8 @@
 """Small ES REST-API surface beyond `_search`: `_count`, `_msearch`,
-`_field_caps` — the operational endpoints a reference user calls around
-their queries. Each is a thin, declarative wrapper over the existing
-query/aggs machinery (nothing new executes; these exist so the MIGRATION
-map covers the whole client surface).
+`_field_caps`, `_termvectors`, `_rank_eval` — the operational endpoints a
+reference user calls around their queries. Each is a thin, declarative
+wrapper over the existing query/aggs machinery (nothing new executes;
+these exist so the MIGRATION map covers the whole client surface).
 """
 
 from __future__ import annotations
@@ -111,3 +111,154 @@ def es_termvectors(
     if with_positions:
         aggs.append(F.array_sort(F.collect_list("position")).alias("positions"))
     return pos.groupBy(id_col, "term").agg(*aggs)
+
+
+def es_rank_eval(
+    df: DataFrame,
+    body: dict,
+    *,
+    id_col: str = "doc_id",
+    **compile_opts,
+) -> DataFrame:
+    """ES ``_rank_eval``: evaluate ranked search quality against human
+    relevance judgments — the API behind search-tuning and (here) the
+    retrieval-evaluation stage of a training-data pipeline.
+
+    ``body`` follows ES's request shape::
+
+        {"requests": [{"id": "q1",
+                       "request": {"query": {...}},   # any DSL query
+                       "ratings": [{"_id": 7, "rating": 2}, ...]}, ...],
+         "metric": {"precision": {"k": 10, "relevant_rating_threshold": 1}}}
+
+    Metrics (one per request row, ES's definitions):
+
+    * ``precision``: relevant-retrieved / retrieved within top-k
+      (unrated documents count as irrelevant, ES's default).
+    * ``recall``: relevant-retrieved / total-relevant-judged.
+    * ``mean_reciprocal_rank``: 1/rank of the first relevant hit in
+      top-k, 0.0 when none.
+    * ``dcg``: Σ (2^rating − 1)/log2(rank+1) over rated hits in top-k;
+      ``normalize: true`` divides by the ideal DCG from the judgment
+      list (NDCG), 0.0 when no judged document has positive gain.
+
+    Scale shape: each request's leg is an already-truncated top-k
+    (TakeOrderedAndProject through the same ``search`` plan every query
+    uses — never an untruncated corpus relation), the rank window then
+    runs over k-sized legs, and the judgment list (human-sized by
+    construction) broadcasts into the join. Returns one row per request
+    (``request_id``, ``metric_score`` rounded at 6 dp) ordered by id;
+    the overall ES ``metric_score`` is the caller's avg over the
+    relation."""
+    from pyspark.sql.window import Window
+
+    from tweets_elastic_spark.plans.search import search
+
+    requests = body.get("requests")
+    if not isinstance(requests, list) or not requests:
+        raise ValueError("_rank_eval needs a non-empty 'requests' list")
+    (mkind, mbody), = (body.get("metric") or {"precision": {}}).items()
+    mbody = mbody or {}
+    known = {
+        "precision": {"k", "relevant_rating_threshold"},
+        "recall": {"k", "relevant_rating_threshold"},
+        "mean_reciprocal_rank": {"k", "relevant_rating_threshold"},
+        "dcg": {"k", "normalize"},
+    }
+    if mkind not in known:
+        raise ValueError(
+            f"unsupported rank_eval metric {mkind!r} "
+            f"(supported: {sorted(known)})"
+        )
+    extra = set(mbody) - known[mkind]
+    if extra:
+        raise ValueError(f"unsupported {mkind} parameters: {sorted(extra)}")
+    k = int(mbody.get("k", 10))
+    threshold = int(mbody.get("relevant_rating_threshold", 1))
+    spark = df.sparkSession
+
+    legs = []
+    rating_rows = []
+    for req in requests:
+        rid = req["id"]
+        ratings = req.get("ratings", [])
+        for r in ratings:
+            rating_rows.append((rid, r["_id"], int(r["rating"])))
+        q = from_es_json(req["request"], **compile_opts)
+        leg = search(df, q, k=k, tiebreak=id_col).select(
+            F.lit(rid).alias("request_id"),
+            F.col(id_col).alias("_doc"),
+            F.col("score"),
+        )
+        legs.append(leg)
+    hits = legs[0]
+    for leg in legs[1:]:
+        hits = hits.unionByName(leg)
+    w = Window.partitionBy("request_id").orderBy(
+        F.col("score").desc(), F.col("_doc").asc()
+    )
+    hits = hits.withColumn("rank", F.row_number().over(w))
+    judged = spark.createDataFrame(
+        rating_rows or [(None, None, None)],
+        "request_id string, _doc long, rating int",
+    ).filter(F.col("request_id").isNotNull())
+    rated_hits = hits.join(
+        F.broadcast(judged), ["request_id", "_doc"], "left"
+    )
+    ids = spark.createDataFrame(
+        [(r["id"],) for r in requests], "request_id string"
+    )
+    if mkind in ("precision", "recall", "mean_reciprocal_rank"):
+        rel = F.col("rating") >= threshold
+        per = rated_hits.groupBy("request_id").agg(
+            F.sum(F.when(rel, 1).otherwise(0)).alias("_rel_ret"),
+            F.count(F.lit(1)).alias("_ret"),
+            F.min(F.when(rel, F.col("rank"))).alias("_first_rel"),
+        )
+        if mkind == "precision":
+            score = F.col("_rel_ret") / F.col("_ret")
+        elif mkind == "recall":
+            totals = judged.filter(F.col("rating") >= threshold) \
+                .groupBy("request_id") \
+                .agg(F.count(F.lit(1)).alias("_rel_total"))
+            per = per.join(F.broadcast(totals), "request_id", "left")
+            score = F.when(
+                F.col("_rel_total") > 0,
+                F.col("_rel_ret") / F.col("_rel_total"),
+            ).otherwise(F.lit(0.0))
+        else:
+            score = F.coalesce(1.0 / F.col("_first_rel"), F.lit(0.0))
+    else:
+        gain = (F.pow(F.lit(2.0), F.col("rating")) - 1.0) / F.log2(
+            F.col("rank") + 1.0
+        )
+        per = rated_hits.groupBy("request_id").agg(
+            F.sum(F.when(F.col("rating").isNotNull(), gain)).alias("_dcg")
+        )
+        score = F.coalesce(F.col("_dcg"), F.lit(0.0))
+        if mbody.get("normalize"):
+            iw = Window.partitionBy("request_id").orderBy(
+                F.col("rating").desc(), F.col("_doc").asc()
+            )
+            ideal = (
+                judged.withColumn("rank", F.row_number().over(iw))
+                .filter(F.col("rank") <= k)
+                .groupBy("request_id")
+                .agg(F.sum(
+                    (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
+                    / F.log2(F.col("rank") + 1.0)
+                ).alias("_idcg"))
+            )
+            per = per.join(F.broadcast(ideal), "request_id", "left")
+            score = F.when(
+                F.col("_idcg") > 0,
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"),
+            ).otherwise(F.lit(0.0))
+    return (
+        ids.join(per, "request_id", "left")
+        .select(
+            "request_id",
+            F.round(F.coalesce(score, F.lit(0.0)), 6).alias("metric_score"),
+        )
+        .orderBy("request_id")
+    )

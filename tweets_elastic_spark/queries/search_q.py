@@ -2078,6 +2078,93 @@ def q_es_aggs_multi_terms_mad_sketch(
 
 
 @register(
+    "es_rank_eval_ndcg",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    ratings(request_id, doc_id, rating) AS (VALUES
+        ('q_spark', 1, 3), ('q_spark', 2, 1), ('q_spark', 7, 2),
+        ('q_spark', 12, 0), ('q_spark', 400, 2),
+        ('q_src1', 3, 2), ('q_src1', 5, 1), ('q_src1', 9, 1),
+        ('q_src1', 401, 3)
+    ),
+    h1 AS (
+        SELECT 'q_spark' AS request_id, doc_id,
+               row_number() OVER (ORDER BY doc_id ASC) AS rank
+        FROM toks WHERE list_contains(t, 'spark')
+        QUALIFY rank <= 10
+    ),
+    h2 AS (
+        SELECT 'q_src1' AS request_id, doc_id,
+               row_number() OVER (ORDER BY doc_id ASC) AS rank
+        FROM toks WHERE source = 'src1'
+        QUALIFY rank <= 10
+    ),
+    hits AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+    dcg AS (
+        SELECT h.request_id,
+               sum((pow(2.0, r.rating) - 1.0) / log2(h.rank + 1.0)) AS d
+        FROM hits h JOIN ratings r
+          ON h.request_id = r.request_id AND h.doc_id = r.doc_id
+        GROUP BY 1
+    ),
+    ideal AS (
+        SELECT request_id,
+               sum((pow(2.0, rating) - 1.0) / log2(rn + 1.0)) AS i
+        FROM (
+            SELECT request_id, rating, doc_id,
+                   row_number() OVER (
+                     PARTITION BY request_id
+                     ORDER BY rating DESC, doc_id ASC) AS rn
+            FROM ratings
+        ) WHERE rn <= 10
+        GROUP BY 1
+    )
+    SELECT q.request_id,
+           round(coalesce(d, 0.0) / i, 6) AS metric_score
+    FROM (VALUES ('q_spark'), ('q_src1')) q(request_id)
+    LEFT JOIN dcg ON q.request_id = dcg.request_id
+    LEFT JOIN ideal ON q.request_id = ideal.request_id
+    ORDER BY q.request_id
+    """,
+    doc="ES _rank_eval (r7): NDCG@10 of two DSL queries against literal "
+        "relevance judgments — the search-quality/retrieval-evaluation "
+        "API. Each request's leg is an already-truncated top-k "
+        "(TakeOrderedAndProject through the shared search plan), the "
+        "rank window runs over k-sized legs, the judgment list "
+        "broadcasts. Constant-score matches rank by the doc_id tiebreak, "
+        "so the oracle reproduces the exact ranking and the full "
+        "(2^rating−1)/log2(rank+1) arithmetic, ideal-DCG normalization "
+        "included.",
+)
+def q_es_rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.api import es_rank_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = {
+        "requests": [
+            {"id": "q_spark",
+             "request": {"query": {"match": {"text": "spark"}}},
+             "ratings": [{"_id": 1, "rating": 3}, {"_id": 2, "rating": 1},
+                         {"_id": 7, "rating": 2}, {"_id": 12, "rating": 0},
+                         {"_id": 400, "rating": 2}]},
+            {"id": "q_src1",
+             "request": {"query": {"term": {"source": "src1"}}},
+             "ratings": [{"_id": 3, "rating": 2}, {"_id": 5, "rating": 1},
+                         {"_id": 9, "rating": 1}, {"_id": 401, "rating": 3}]},
+        ],
+        "metric": {"dcg": {"k": 10, "normalize": True}},
+    }
+    return es_rank_eval(docs, body, analyzers={"text": "standard"})
+
+
+@register(
     "es_aggs_rare_terms",
     oracle="""
     SELECT o_custkey AS by_cust,

@@ -151,6 +151,7 @@ HEADLINE = [
     "es_aggs_top_metrics",
     "es_aggs_rare_terms",
     "es_rank_eval_ndcg",
+    "es_aggs_filters_metrics",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -352,10 +352,31 @@ def test_filters_agg_overlapping_buckets_one_scan(spark, sales):
     }
     # big: 10,20,11,13 | us: 7,9,11,13 | both: 11,13 — overlap is fine
     assert got == {("big", 4), ("us_side", 4), ("both", 2)}
-    with pytest.raises(ValueError, match="does not support sub-aggs"):
+
+
+def test_filters_agg_metric_sub_aggs_and_empty_buckets(spark, sales):
+    """Metric sub-aggs per filter bucket (r7): a doc feeds EVERY bucket
+    it matches (overlap preserved), and a bucket matched by nothing keeps
+    its zero-count row with NULL metrics — ES's contract."""
+    rows = {
+        r["w"]: (r["doc_count"], r["total"], r["hi"])
+        for r in es_aggregate(sales, {
+            "w": {"filters": {"filters": {
+                "big": {"range": {"amount": {"gte": 10}}},
+                "us_side": {"term": {"region": "us"}},
+                "nothing": {"term": {"region": "zz"}},
+            }},
+                "aggs": {"total": {"sum": {"field": "amount"}},
+                         "hi": {"max": {"field": "amount"}}}}
+        }).collect()
+    }
+    assert rows["big"] == (4, 54.0, 20.0)       # 10+20+11+13
+    assert rows["us_side"] == (4, 40.0, 13.0)   # 7+9+11+13
+    assert rows["nothing"] == (0, None, None)
+    with pytest.raises(ValueError, match="must be metrics"):
         es_aggregate(sales, {
             "w": {"filters": {"filters": {"a": {"match_all": {}}}},
-                  "aggs": {"m": {"sum": {"field": "amount"}}}}
+                  "aggs": {"b": {"terms": {"field": "region"}}}}
         })
 
 

@@ -574,28 +574,57 @@ def _sketch_mad_join(
     return out
 
 
-def _filters_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
+def _filters_agg(
+    df: DataFrame, name: str, body: dict, sub: dict | None = None
+) -> DataFrame:
     """ES ``filters`` agg: one named bucket per predicate, each counting
     the documents its query matches (buckets may overlap — a doc can land
-    in several). One conditional-aggregation scan (sum-of-CASE per
-    bucket), stacked to (name, doc_count) rows with the native unpivot —
-    no per-bucket pass, no join. Metric sub-aggs are not supported here;
-    run one request per bucket for those."""
+    in several). Without sub-aggs: ONE conditional-aggregation scan
+    (sum-of-CASE per bucket), stacked to (name, doc_count) rows with the
+    native unpivot — no shuffle, no join. With metric sub-aggs (r7): each
+    row tags itself with the array of bucket names it matches, ONE
+    explode + groupBy evaluates every metric per bucket (any metric kind,
+    overlap preserved — a doc feeds every bucket it matches), and the
+    literal bucket-name list left-joins back so empty buckets keep their
+    zero-count row, ES's contract. Still one scan; the only shuffle is
+    keyed by the B bucket names."""
     from tweets_elastic_spark.plans.search import from_es_json
 
     named = body.get("filters")
     if not isinstance(named, dict) or not named:
         raise ValueError("filters agg needs {'filters': {name: query, ...}}")
-    counts = [
-        F.sum(
-            F.when(
-                from_es_json(q).predicate(df.sparkSession, F.col), 1
-            ).otherwise(0)
-        ).cast("long").alias(bucket)
+    spark = df.sparkSession
+    if not sub:
+        counts = [
+            F.sum(
+                F.when(
+                    from_es_json(q).predicate(spark, F.col), 1
+                ).otherwise(0)
+            ).cast("long").alias(bucket)
+            for bucket, q in named.items()
+        ]
+        wide = df.agg(*counts)
+        return wide.unpivot([], list(named), name, "doc_count")
+    if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+        raise ValueError("filters sub-aggs must be metrics, not buckets")
+    tags = F.array_compact(F.array(*[
+        F.when(
+            from_es_json(q).predicate(spark, F.col), F.lit(bucket)
+        )
         for bucket, q in named.items()
-    ]
-    wide = df.agg(*counts)
-    return wide.unpivot([], list(named), name, "doc_count")
+    ]))
+    got = (
+        df.withColumn("__bucket", F.explode(tags))
+        .groupBy(F.col("__bucket").alias(name))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub))
+    )
+    names_df = spark.createDataFrame(
+        [(b,) for b in named], f"{name} string"
+    )
+    return (
+        names_df.join(got, name, "left")
+        .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+    )
 
 
 def _adjacency_matrix_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
@@ -1516,9 +1545,7 @@ def es_aggregate(
             .orderBy(F.col("doc_count").asc(), F.col(name).asc())
         )
     if kind == "filters":
-        if sub:
-            raise ValueError("filters agg does not support sub-aggs here")
-        return _filters_agg(df, name, body)
+        return _filters_agg(df, name, body, sub)
     if kind == "adjacency_matrix":
         if sub:
             raise ValueError("adjacency_matrix sub-aggs are not supported")

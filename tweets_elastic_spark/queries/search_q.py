@@ -2078,6 +2078,53 @@ def q_es_aggs_multi_terms_mad_sketch(
 
 
 @register(
+    "es_aggs_filters_metrics",
+    oracle="""
+    SELECT 'big_clicks' AS which,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(value), 6) AS total,
+           round(max(value), 6) AS hi
+    FROM events WHERE event_type = 'click' AND value > 50
+    UNION ALL
+    SELECT 'errors', CAST(count(*) AS BIGINT),
+           round(sum(value), 6), round(max(value), 6)
+    FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'impossible', CAST(count(*) AS BIGINT),
+           round(sum(value), 6), round(max(value), 6)
+    FROM events WHERE event_type = 'no_such_type'
+    """,
+    doc="ES filters agg with metric sub-aggs (r7): named DSL-predicate "
+        "buckets each carrying sum/max metrics — rows tag themselves with "
+        "the matching bucket names, one explode + groupBy evaluates every "
+        "metric (overlap preserved), and the literal name list left-joins "
+        "back so the empty bucket keeps its zero-count row with NULL "
+        "metrics. One scan; the only shuffle keys on the 3 bucket names.",
+)
+def q_es_aggs_filters_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = es_aggregate(events, {"which": {
+        "filters": {"filters": {
+            "big_clicks": {"bool": {"filter": [
+                {"term": {"event_type": "click"}},
+                {"range": {"value": {"gt": 50}}},
+            ]}},
+            "errors": {"term": {"event_type": "error"}},
+            "impossible": {"term": {"event_type": "no_such_type"}},
+        }},
+        "aggs": {"total": {"sum": {"field": "value"}},
+                 "hi": {"max": {"field": "value"}}},
+    }})
+    return out.select(
+        "which", "doc_count",
+        F.round("total", 6).alias("total"),
+        F.round("hi", 6).alias("hi"),
+    )
+
+
+@register(
     "es_rank_eval_ndcg",
     oracle="""
     WITH toks AS (

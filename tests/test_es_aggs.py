@@ -1793,6 +1793,29 @@ def test_mi_is_signed_for_underrepresented_terms(spark, sales):
     assert got["a"] < 0 < got["b"]
 
 
+def test_significant_terms_metric_sub_aggs_over_foreground(spark, sales):
+    """Metric sub-aggs under significant_terms aggregate the bucket's
+    FOREGROUND docs only (ES: the bucket IS its matching docs; background
+    prices significance), riding the same single groupBy."""
+    out = {
+        r["s"]: (r["doc_count"], r["bg_count"], r["fg_total"], r["fg_max"])
+        for r in es_request(sales, {
+            "query": {"range": {"amount": {"gte": 10}}},
+            "aggs": {"s": {"significant_terms": {"field": "region"},
+                           "aggs": {"fg_total": {"sum": {"field": "amount"}},
+                                    "fg_max": {"max": {"field": "amount"}}}}},
+        }).collect()
+    }
+    # fg: eu {10, 20}, us {11, 13}; bg: eu 3, us 4 docs
+    assert out == {"eu": (2, 3, 30.0, 20.0), "us": (2, 4, 24.0, 13.0)}
+    with pytest.raises(ValueError, match="must be metrics"):
+        es_request(sales, {
+            "query": {"range": {"amount": {"gte": 10}}},
+            "aggs": {"s": {"significant_terms": {"field": "region"},
+                           "aggs": {"b": {"terms": {"field": "product"}}}}},
+        })
+
+
 def test_gnd_heuristic_hand_computed(spark, sales):
     """gnd = exp(-NGD) with fx=term bg df, fy=fg size, fxy=term fg df,
     N=bg size (Cilibrasi & Vitányi's formula), hand-computed on sales."""

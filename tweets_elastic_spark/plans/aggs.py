@@ -819,7 +819,8 @@ def _composite_agg(df: DataFrame, body: dict, sub: dict) -> DataFrame:
 
 
 def _significant_terms(
-    df: DataFrame, fg_pred: Column | None, name: str, body: dict
+    df: DataFrame, fg_pred: Column | None, name: str, body: dict,
+    sub: dict | None = None,
 ) -> DataFrame:
     """ES ``significant_terms``: terms over-represented in the query's
     foreground set relative to the whole index, scored with ES's default
@@ -834,7 +835,13 @@ def _significant_terms(
     shape as pipeline aggs), so the corpus is scanned exactly once and the
     only shuffle is the term groupBy. ES's shard-level ranking heuristics
     (shard_size, shard_min_doc_count) are index-sharding workarounds this
-    engine doesn't need: the groupBy sees global counts."""
+    engine doesn't need: the groupBy sees global counts.
+
+    Metric sub-aggs (r7) aggregate the bucket's FOREGROUND documents —
+    ES's semantics (a significant bucket IS its matching docs; the
+    background set only prices significance). Each metric field is
+    masked to NULL outside the foreground before the same single groupBy
+    (null-ignoring aggregates ride along); bucket sub-aggs raise."""
     field = body["field"]
     size = int(body.get("size", 10))
     if fg_pred is None:
@@ -842,16 +849,38 @@ def _significant_terms(
             "significant_terms needs the request's query to define the "
             "foreground set"
         )
+    metrics, mcols = [], []
+    if sub:
+        if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+            raise ValueError(
+                "significant_terms sub-aggs must be metrics, not buckets"
+            )
+        masked_sub = {}
+        masks = {}
+        for mname, mspec in sub.items():
+            mspec = dict(mspec)
+            mspec.pop("aggs", None)
+            (mkind, mbody), = mspec.items()
+            mfield = mbody["field"]
+            alias = f"__fg__{mfield}"
+            masks[alias] = F.when(fg_pred, F.col(mfield))
+            masked_sub[mname] = {mkind: {**mbody, "field": alias}}
+        df = df.withColumns(masks)
+        metrics = _metric_cols(masked_sub)
+        probe = df.limit(0).agg(*metrics)  # column names for the tail
+        mcols = probe.columns
     g = (
         df.filter(F.col(field).isNotNull())
         .groupBy(F.col(field).alias(name))
         .agg(
             F.sum(F.when(fg_pred, 1).otherwise(0)).cast("long").alias("doc_count"),
             F.count(F.lit(1)).alias("bg_count"),
+            *metrics,
         )
     )
     heuristic, script = _sig_heuristic(body)
-    return _jlh_rank(g, name, size, heuristic, script=script)
+    return _jlh_rank(g, name, size, heuristic, script=script,
+                     extra_cols=mcols)
 
 
 def _jlh_rank(
@@ -861,6 +890,7 @@ def _jlh_rank(
     heuristic: str = "jlh",
     doc_totals: DataFrame | None = None,
     script: str | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Shared significance ranking over a (bucket, doc_count, bg_count)
     relation — the reduced-cardinality tail of both significant_terms and
@@ -972,6 +1002,7 @@ def _jlh_rank(
         .select(
             name, "doc_count", "bg_count",
             F.round(score, 6).alias("score"),
+            *(extra_cols or []),
         )
         .orderBy(F.col("score").desc(), F.col(name).asc())
         .limit(size)
@@ -1581,9 +1612,7 @@ def es_aggregate(
         (sname, sspec), = sub.items()
         return es_aggregate(exploded, {sname: rewrite(sspec)})
     if kind == "significant_terms":
-        if sub:
-            raise ValueError("significant_terms sub-aggs are not supported")
-        return _significant_terms(df, fg_pred, name, body)
+        return _significant_terms(df, fg_pred, name, body, sub)
     if kind == "significant_text":
         if sub:
             raise ValueError("significant_text sub-aggs are not supported")

@@ -198,9 +198,12 @@ def es_rank_eval(
         F.col("score").desc(), F.col("_doc").asc()
     )
     hits = hits.withColumn("rank", F.row_number().over(w))
+    # the judged-doc column must join against whatever type id_col is
+    # (long doc_ids here; string _ids in ES) — derive it from the corpus
+    id_type = dict(df.dtypes)[id_col]
     judged = spark.createDataFrame(
         rating_rows or [(None, None, None)],
-        "request_id string, _doc long, rating int",
+        f"request_id string, _doc {id_type}, rating int",
     ).filter(F.col("request_id").isNotNull())
     rated_hits = hits.join(
         F.broadcast(judged), ["request_id", "_doc"], "left"

@@ -1816,6 +1816,34 @@ def test_significant_terms_metric_sub_aggs_over_foreground(spark, sales):
         })
 
 
+def test_significant_text_metric_sub_aggs_over_foreground(spark):
+    """Metric sub-aggs under significant_text aggregate the token's
+    FOREGROUND docs (once per distinct token per doc, the doc-frequency
+    convention the counts use)."""
+    rows = [
+        (1, "alpha beta", 10.0), (2, "alpha", 20.0),
+        (3, "beta", 5.0), (4, "alpha gamma", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, amount double")
+    out = {
+        r["t"]: (r["doc_count"], r["bg_count"], r["fg_sum"])
+        for r in es_request(df, {
+            "query": {"range": {"amount": {"gte": 10}}},
+            "aggs": {"t": {"significant_text": {"field": "text"},
+                           "aggs": {"fg_sum": {"sum": {"field": "amount"}}}}},
+        }, analyzers={"text": "standard"}).collect()
+    }
+    # fg docs (amount >= 10): 1, 2 → alpha fg {10, 20}, beta fg {10}
+    assert out["alpha"] == (2, 3, 30.0)
+    assert out["beta"] == (1, 2, 10.0)
+    with pytest.raises(ValueError, match="must be metrics"):
+        es_request(df, {
+            "query": {"range": {"amount": {"gte": 10}}},
+            "aggs": {"t": {"significant_text": {"field": "text"},
+                           "aggs": {"b": {"terms": {"field": "id"}}}}},
+        }, analyzers={"text": "standard"})
+
+
 def test_gnd_heuristic_hand_computed(spark, sales):
     """gnd = exp(-NGD) with fx=term bg df, fy=fg size, fxy=term fg df,
     N=bg size (Cilibrasi & Vitányi's formula), hand-computed on sales."""

@@ -1067,7 +1067,7 @@ def _sig_heuristic(body: dict) -> tuple[str, str | None]:
 
 def _significant_text(
     df: DataFrame, fg_pred: Column | None, name: str, body: dict,
-    analyzer: str | None,
+    analyzer: str | None, sub: dict | None = None,
 ) -> DataFrame:
     """ES ``significant_text``: significant_terms over the ANALYZED tokens
     of a text field — the free-text "what words characterize the matching
@@ -1075,7 +1075,11 @@ def _significant_text(
     de-duplicated counting), so counts are document frequencies; the JLH
     scoring and the coordinator-scale global-window totals are shared with
     significant_terms. One scan: analyze → array_distinct → explode →
-    token groupBy (the only shuffle)."""
+    token groupBy (the only shuffle). Metric sub-aggs (r7) aggregate the
+    token's FOREGROUND documents, like significant_terms — metric fields
+    ride the explode masked to NULL outside the foreground (a doc
+    contributes once per distinct token it carries, the same doc-frequency
+    convention as the counts)."""
     from tweets_elastic_spark.functions.analyzers import analyze
 
     field = body["field"]
@@ -1091,16 +1095,38 @@ def _significant_text(
             "(pass analyzers={...}: token significance is defined over "
             "analyzed token streams)"
         )
+    metrics, mcols, mask_cols = [], [], []
+    if sub:
+        if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+            raise ValueError(
+                "significant_text sub-aggs must be metrics, not buckets"
+            )
+        masked_sub = {}
+        seen = {}
+        for mname, mspec in sub.items():
+            mspec = dict(mspec)
+            mspec.pop("aggs", None)
+            (mkind, mbody), = mspec.items()
+            mfield = mbody["field"]
+            alias = f"__fg__{mfield}"
+            if alias not in seen:
+                seen[alias] = F.when(fg_pred, F.col(mfield)).alias(alias)
+            masked_sub[mname] = {mkind: {**mbody, "field": alias}}
+        mask_cols = list(seen.values())
+        metrics = _metric_cols(masked_sub)
+        mcols = df.limit(0).select(*mask_cols).agg(*metrics).columns
     toks = df.filter(F.col(field).isNotNull()).select(
         fg_pred.alias("_fg"),
         F.explode(
             F.array_distinct(analyze(F.col(field), analyzer))
         ).alias(name),
+        *mask_cols,
     )
     g = toks.groupBy(name).agg(
         F.sum(F.when(F.col("_fg"), 1).otherwise(0)).cast("long")
         .alias("doc_count"),
         F.count(F.lit(1)).alias("bg_count"),
+        *metrics,
     )
     heuristic, script = _sig_heuristic(body)
     doc_totals = None
@@ -1115,7 +1141,8 @@ def _significant_text(
             .alias("_fg_total"),
             F.count(F.lit(1)).cast("double").alias("_bg_total"),
         )
-    return _jlh_rank(g, name, size, heuristic, doc_totals, script=script)
+    return _jlh_rank(g, name, size, heuristic, doc_totals, script=script,
+                     extra_cols=mcols)
 
 
 def _fill_empty_buckets(
@@ -1614,10 +1641,9 @@ def es_aggregate(
     if kind == "significant_terms":
         return _significant_terms(df, fg_pred, name, body, sub)
     if kind == "significant_text":
-        if sub:
-            raise ValueError("significant_text sub-aggs are not supported")
         return _significant_text(
-            df, fg_pred, name, body, (analyzers or {}).get(body["field"])
+            df, fg_pred, name, body, (analyzers or {}).get(body["field"]),
+            sub,
         )
     if kind == "missing":
         # ES missing agg: documents with NO value for the field — the

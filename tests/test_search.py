@@ -1513,6 +1513,27 @@ def test_es_count_and_field_caps_and_msearch(spark, sf_dir):
         es_msearch(docs, [])
 
 
+def test_script_score_params_bind_as_literals(spark):
+    """ES script params (r7): numeric params bind as literal Columns in
+    the one compiled expression — the reusable-script convention."""
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    df = spark.createDataFrame([(1, 5.0), (2, 10.0)], "id long, x double")
+    q = from_es_json({"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": "params.w * doc['x'].value + params.b",
+                   "params": {"w": 2, "b": 1}},
+    }})
+    got = sorted((r["id"], r["score"])
+                 for r in search(df, q, k=None).collect())
+    assert got == [(1, 11.0), (2, 21.0)]
+    with pytest.raises(ValueError, match="NUMERIC"):
+        from_es_json({"script_score": {
+            "query": {"match_all": {}},
+            "script": {"source": "params.w", "params": {"w": "high"}},
+        }})
+
+
 def test_rank_eval_metrics_hand_computed(spark):
     """ES _rank_eval on a 5-doc corpus: precision/recall/MRR/NDCG against
     hand-computed values (constant-score matches rank by the doc-id

@@ -1477,15 +1477,23 @@ class ScriptScore(Query):
 
     query: Query
     source: str
+    params: dict | None = None
 
     def predicate(self, spark, resolve) -> Column:
         return self.query.predicate(spark, resolve)
 
     def score(self, spark, resolve) -> Column:
+        # ES script params (``params.name`` in the source): numeric
+        # constants shipped separately so the script text is reusable —
+        # bound here as literal Columns, still one codegen'd expression
+        params = {
+            k: F.lit(float(v)) for k, v in (self.params or {}).items()
+        }
         out = compile_painless(
             self.source,
             score=self.query.score(spark, resolve),
             resolve_doc=lambda f: resolve(f).cast("double"),
+            params=params or None,
         )
         return F.coalesce(out, F.lit(0.0))
 
@@ -1865,13 +1873,23 @@ def from_es_json(
                 raise ValueError(f"unsupported script_score keys: {extra}")
             script = body["script"]
             src = script["source"] if isinstance(script, dict) else script
-            if isinstance(script, dict) and set(script) - {"source"}:
-                raise ValueError(
-                    f"unsupported script keys: {set(script) - {'source'}} "
-                    "(params interpolation is not supported; inline the "
-                    "values into source)"
-                )
-            return ScriptScore(compile_node(body["query"], scope), src)
+            params = None
+            if isinstance(script, dict):
+                bad = set(script) - {"source", "params"}
+                if bad:
+                    raise ValueError(f"unsupported script keys: {bad}")
+                params = script.get("params")
+                if params is not None and not all(
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in params.values()
+                ):
+                    raise ValueError(
+                        "script params must be NUMERIC (they bind as "
+                        "literal Columns in the compiled expression)"
+                    )
+            return ScriptScore(
+                compile_node(body["query"], scope), src, params=params
+            )
         if kind == "regexp":
             (field, spec), = body.items()
             if isinstance(spec, dict):

@@ -983,11 +983,18 @@ def test_from_es_json_compound_scoring_clauses():
         {"script_score": {"query": {"term": {"lang": "en"}},
                           "script": {"source": "_score * 2"}}}
     ) == ScriptScore(Term("lang", "en"), "_score * 2")
-    with pytest.raises(ValueError, match="params"):
+    # numeric params bind as literals (r7); unknown script keys still raise
+    assert from_es_json(
+        {"script_score": {"query": {"term": {"lang": "en"}},
+                          "script": {"source": "_score * params.x",
+                                     "params": {"x": 1}}}}
+    ) == ScriptScore(Term("lang", "en"), "_score * params.x",
+                     params={"x": 1})
+    with pytest.raises(ValueError, match="unsupported script keys"):
         from_es_json(
             {"script_score": {"query": {"term": {"lang": "en"}},
-                              "script": {"source": "_score",
-                                         "params": {"x": 1}}}}
+                              "script": {"source": "_score", "lang":
+                                         "painless"}}}
         )
 
 

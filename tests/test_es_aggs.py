@@ -778,7 +778,12 @@ def test_missing_agg_counts_null_field_docs(spark):
     )
     got = es_aggregate(df, {"no_tag": {"missing": {"field": "tag"}}}).collect()
     assert [r["doc_count"] for r in got] == [2]
-    with pytest.raises(ValueError, match="sub-aggs are not supported"):
+    # metric sub-aggs aggregate the MISSING docs (r7)
+    row = es_aggregate(df, {"m": {"missing": {"field": "tag"},
+                                  "aggs": {"hi": {"max": {"field": "id"}}}}}
+                       ).collect()[0]
+    assert (row["doc_count"], row["hi"]) == (2, 3)
+    with pytest.raises(ValueError, match="must be metrics"):
         es_aggregate(df, {"m": {"missing": {"field": "tag"},
                                 "aggs": {"x": {"terms": {"field": "id"}}}}})
 

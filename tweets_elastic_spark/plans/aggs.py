@@ -1647,14 +1647,14 @@ def es_aggregate(
         )
     if kind == "missing":
         # ES missing agg: documents with NO value for the field — the
-        # inverse of the null contract every bucket agg applies. One
-        # conditional aggregate, no shuffle beyond the global agg.
-        if sub:
-            raise ValueError("missing agg sub-aggs are not supported here")
-        return df.agg(
-            F.sum(F.when(F.col(body["field"]).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("doc_count")
+        # inverse of the null contract every bucket agg applies. The
+        # is-null predicate filters the scan (pushdown-eligible) and one
+        # global aggregate evaluates the count plus any metric sub-aggs
+        # over the missing docs (r7) — no shuffle beyond the agg.
+        if any(next(iter(s)) in _BUCKET_KINDS for s in (sub or {}).values()):
+            raise ValueError("missing agg sub-aggs must be metrics")
+        return df.filter(F.col(body["field"]).isNull()).agg(
+            F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {})
         )
     if kind == "global":
         # ES global agg: escape the request query's filter and aggregate

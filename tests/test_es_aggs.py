@@ -1288,6 +1288,19 @@ def test_adjacency_matrix_counts_intersections(spark, sales):
     })
     got2 = {r["m"]: r["doc_count"] for r in out2.collect()}
     assert got2["big|us"] == 3 and "us|big" not in got2
+    # metric sub-aggs (r7): tag-explode path, pair cells carry metrics too
+    got3 = {
+        r["m"]: (r["doc_count"], r["total"])
+        for r in es_aggregate(sales, {"m": {
+            "adjacency_matrix": {"filters": {
+                "us": {"term": {"region": "us"}},
+                "big": {"range": {"amount": {"gte": 9}}},
+            }},
+            "aggs": {"total": {"sum": {"field": "amount"}}},
+        }}).collect()
+    }
+    # us: 7+9+11+13=40; big: 10,20,9,11,13=63; big&us: 9+11+13=33
+    assert got3 == {"us": (4, 40.0), "big": (5, 63.0), "big&us": (3, 33.0)}
     with pytest.raises(ValueError, match=">= 2"):
         es_aggregate(sales, {"m": {"adjacency_matrix": {
             "filters": {"only": {"term": {"region": "us"}}}}}})

@@ -627,12 +627,17 @@ def _filters_agg(
     )
 
 
-def _adjacency_matrix_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
+def _adjacency_matrix_agg(
+    df: DataFrame, name: str, body: dict, sub: dict | None = None
+) -> DataFrame:
     """ES ``adjacency_matrix``: named predicate buckets plus every PAIR
     intersection ("a&b" keys, ES's separator) — the co-occurrence matrix
     shape. Like the filters agg, ONE conditional-aggregation scan builds
     every cell (singles + pairs), stacked with the native unpivot; empty
-    intersections are dropped, ES's contract."""
+    intersections are dropped, ES's contract. Metric sub-aggs (r7) take
+    the filters agg's tag-explode path instead — each row tags itself
+    with every cell it lands in (including pair cells) and one
+    explode + groupBy evaluates the metrics; empty cells stay dropped."""
     from tweets_elastic_spark.plans.search import from_es_json
 
     named = body.get("filters")
@@ -662,6 +667,19 @@ def _adjacency_matrix_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
     for i, a in enumerate(keys):
         for b in keys[i + 1:]:
             cells[f"{a}{sep}{b}"] = preds[a] & preds[b]
+    if sub:
+        if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+            raise ValueError(
+                "adjacency_matrix sub-aggs must be metrics, not buckets"
+            )
+        tags = F.array_compact(F.array(*[
+            F.when(p, F.lit(label)) for label, p in cells.items()
+        ]))
+        return (
+            df.withColumn("__cell", F.explode(tags))
+            .groupBy(F.col("__cell").alias(name))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub))
+        )
     counts = [
         F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(label)
         for label, p in cells.items()
@@ -1605,9 +1623,7 @@ def es_aggregate(
     if kind == "filters":
         return _filters_agg(df, name, body, sub)
     if kind == "adjacency_matrix":
-        if sub:
-            raise ValueError("adjacency_matrix sub-aggs are not supported")
-        return _adjacency_matrix_agg(df, name, body)
+        return _adjacency_matrix_agg(df, name, body, sub)
     if kind == "composite":
         return _composite_agg(df, body, sub)
     if kind == "nested":

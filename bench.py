@@ -152,6 +152,8 @@ HEADLINE = [
     "es_aggs_rare_terms",
     "es_rank_eval_ndcg",
     "es_aggs_filters_metrics",
+    "search_geo_distance",
+    "es_aggs_geo_distance",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

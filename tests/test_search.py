@@ -1520,6 +1520,74 @@ def test_es_count_and_field_caps_and_msearch(spark, sf_dir):
         es_msearch(docs, [])
 
 
+def test_geo_distance_query_known_distances(spark):
+    """Haversine sanity: 1° of latitude ≈ 111.195 km with ES's mean earth
+    radius; the filter keeps exactly the points inside the radius."""
+    import math
+
+    from tweets_elastic_spark.plans.search import (
+        EARTH_RADIUS_M, GeoDistance, from_es_json, parse_distance_meters,
+        search,
+    )
+
+    one_deg = math.pi / 180.0 * EARTH_RADIUS_M  # ≈ 111194.93 m
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 2.0), (4, 45.0, 45.0)],
+        "id long, lat double, lon double",
+    )
+
+    def hits(dist_m):
+        q = GeoDistance("lat", "lon", lat=0.0, lon=0.0, distance_m=dist_m)
+        return {r["id"] for r in search(df, q, k=None).collect()}
+
+    assert hits(1.0) == {1}
+    assert hits(one_deg * 1.001) == {1, 2}
+    assert hits(one_deg * 2.001) == {1, 2, 3}
+    # DSL wiring + ES distance strings
+    q = from_es_json({"geo_distance": {
+        "distance": "112km", "field": {"lat": "lat", "lon": "lon"},
+        "origin": {"lat": 0, "lon": 0}}})
+    assert {r["id"] for r in search(df, q, k=None).collect()} == {1, 2}
+    assert parse_distance_meters("2km") == 2000.0
+    assert parse_distance_meters("1mi") == 1609.344
+    assert parse_distance_meters(500) == 500.0
+    with pytest.raises(ValueError, match="bad distance"):
+        parse_distance_meters("2parsecs")
+    with pytest.raises(ValueError, match="origin out of range"):
+        GeoDistance("lat", "lon", lat=95.0, lon=0.0, distance_m=1.0)
+    with pytest.raises(ValueError, match="lat.*lon|numeric degree"):
+        from_es_json({"geo_distance": {"distance": "1km",
+                                       "field": "location",
+                                       "origin": {"lat": 0, "lon": 0}}})
+
+
+def test_geo_distance_agg_rings(spark):
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 3.0), (4, 40.0, 40.0)],
+        "id long, lat double, lon double",
+    )
+    got = {
+        r["ring"]: r["doc_count"]
+        for r in es_aggregate(df, {"ring": {"geo_distance": {
+            "field": {"lat": "lat", "lon": "lon"},
+            "origin": {"lat": 0, "lon": 0},
+            "ranges": [{"to": "200km"},
+                       {"from": "200km", "to": "1000km", "key": "mid"},
+                       {"from": "1000km"}],
+        }}}).collect()
+    }
+    # 0 and ~111 km in ring 1; ~334 km in 'mid'; the far point beyond
+    assert got == {"*-200000.0": 2, "mid": 1, "1000000.0-*": 1}
+    with pytest.raises(ValueError, match="sorted and non-overlapping"):
+        es_aggregate(df, {"r": {"geo_distance": {
+            "field": {"lat": "lat", "lon": "lon"},
+            "origin": {"lat": 0, "lon": 0},
+            "ranges": [{"to": "500km"}, {"from": "100km"}],
+        }}})
+
+
 def test_script_score_params_bind_as_literals(spark):
     """ES script params (r7): numeric params bind as literal Columns in
     the one compiled expression — the reusable-script convention."""

@@ -135,6 +135,60 @@ def _bucket_key(kind: str, body: dict) -> Column:
         return F.when(
             present, F.concat_ws("|", *[c.cast("string") for c in parts])
         )
+    if kind == "geo_distance":
+        # ES geo_distance agg: concentric distance rings around an origin,
+        # [from, to) in meters, keyed like the range agg. The location is
+        # a numeric degree column PAIR (no geo_point type here; documented
+        # divergence shared with the geo_distance query); the haversine
+        # distance is one scan-local expression the ring CASE ladder
+        # branches on — bind it once (no CSE across branches).
+        from tweets_elastic_spark.plans.search import (
+            haversine_meters, parse_distance_meters,
+        )
+
+        fld, origin = body.get("field"), body.get("origin")
+        if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+            raise ValueError(
+                "geo_distance agg needs 'field': {'lat': col, 'lon': col}"
+            )
+        if not (isinstance(origin, dict) and {"lat", "lon"} <= set(origin)):
+            raise ValueError(
+                "geo_distance agg needs 'origin': {'lat': deg, 'lon': deg}"
+            )
+        ranges = body["ranges"]
+        for a, b in zip(ranges, ranges[1:]):
+            if a.get("to") is None or (
+                b.get("from") is not None and b["from"] < a["to"]
+            ):
+                raise ValueError(
+                    "geo_distance rings must be sorted and non-overlapping "
+                    f"(got {a} then {b})"
+                )
+        dist = haversine_meters(
+            F.col(fld["lat"]).cast("double"),
+            F.col(fld["lon"]).cast("double"),
+            F.lit(float(origin["lat"])), F.lit(float(origin["lon"])),
+        )
+
+        def ring_key(d: Column) -> Column:
+            key: Column = F.lit(None).cast("string")
+            for r in reversed(ranges):
+                lo = parse_distance_meters(r["from"]) if "from" in r else None
+                hi = parse_distance_meters(r["to"]) if "to" in r else None
+                label = r.get(
+                    "key",
+                    f"{lo if lo is not None else '*'}"
+                    f"-{hi if hi is not None else '*'}",
+                )
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (d >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (d < F.lit(hi))
+                key = F.when(d.isNotNull() & cond, F.lit(label)).otherwise(key)
+            return key
+
+        return F.element_at(F.transform(F.array(dist), ring_key), 1)
     field = body["field"]
     src: Column = F.col(field)
     if "missing" in body:
@@ -692,7 +746,7 @@ def _adjacency_matrix_agg(
 
 
 _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
-                 "range")
+                 "range", "geo_distance")
 # every kind _metric_cols can evaluate — the metric-only fast-path test
 # for global/sampler sub-aggs (anything else must recurse)
 _METRIC_KINDS = (

@@ -952,6 +952,74 @@ class Range(Query):
         return out
 
 
+#: ES's mean earth radius (GeoUtils.EARTH_MEAN_RADIUS), meters.
+EARTH_RADIUS_M = 6371008.7714
+
+
+def haversine_meters(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in meters between two (lat, lon) degree
+    pairs — the haversine formula with ES's mean earth radius, as pure
+    JVM math (radians/sin/cos/asin/sqrt), so it rides whole-stage codegen
+    and mirrors verbatim into a SQL oracle."""
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def parse_distance_meters(v) -> float:
+    """ES distance strings ('200km', '500m', '3mi') or a bare number of
+    meters."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    s = str(v).strip().lower()
+    for suffix, mult in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * mult
+    raise ValueError(
+        f"bad distance {v!r} (expected meters, or '<n>m'/'<n>km'/'<n>mi')"
+    )
+
+
+@dataclass
+class GeoDistance(Query):
+    """ES ``geo_distance`` query: documents within ``distance_m`` meters
+    of an origin point. This engine has no geo_point type — a location is
+    a PAIR of numeric degree columns (``lat_field``, ``lon_field``),
+    which is also how a columnar store holds points at scale — so the
+    clause names both columns explicitly instead of one mapped field
+    (documented divergence). The haversine predicate is scan-local JVM
+    math; like every ES geo filter it is non-scoring (constant score)."""
+
+    lat_field: str
+    lon_field: str
+    lat: float
+    lon: float
+    distance_m: float
+
+    def __post_init__(self):
+        if not (-90.0 <= self.lat <= 90.0) or not (-180.0 <= self.lon <= 180.0):
+            raise ValueError(
+                f"origin out of range: lat={self.lat}, lon={self.lon}"
+            )
+        if self.distance_m <= 0:
+            raise ValueError(f"distance must be > 0, got {self.distance_m}")
+
+    def predicate(self, spark, resolve) -> Column:
+        d = haversine_meters(
+            resolve(self.lat_field).cast("double"),
+            resolve(self.lon_field).cast("double"),
+            F.lit(float(self.lat)), F.lit(float(self.lon)),
+        )
+        return d <= F.lit(float(self.distance_m))
+
+
 @dataclass
 class Exists(Query):
     """Q6 (elastic_queries.json:33-36): field present and non-null."""
@@ -2137,6 +2205,28 @@ def from_es_json(
                 pivot=float(fb.get("pivot", 1.0)),
                 scaling_factor=float(fb.get("scaling_factor", 1.0)),
                 exponent=float(fb.get("exponent", 1.0)),
+            )
+        if kind == "geo_distance":
+            extra = set(body) - {"distance", "field", "origin"}
+            if extra:
+                raise ValueError(
+                    f"unsupported geo_distance keys: {sorted(extra)}"
+                )
+            fld, origin = body.get("field"), body.get("origin")
+            if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+                raise ValueError(
+                    "geo_distance needs 'field': {'lat': col, 'lon': col} "
+                    "(no geo_point type here — a location is a numeric "
+                    "degree column pair)"
+                )
+            if not (isinstance(origin, dict) and {"lat", "lon"} <= set(origin)):
+                raise ValueError(
+                    "geo_distance needs 'origin': {'lat': deg, 'lon': deg}"
+                )
+            return GeoDistance(
+                fld["lat"], fld["lon"],
+                lat=float(origin["lat"]), lon=float(origin["lon"]),
+                distance_m=parse_distance_meters(body["distance"]),
             )
         if kind == "range":
             (field, bounds), = body.items()

@@ -2077,6 +2077,100 @@ def q_es_aggs_multi_terms_mad_sketch(
     }})
 
 
+# Shared haversine-in-SQL (ES's mean earth radius; operand order mirrors
+# plans/search.haversine_meters exactly). The fixtures carry no geographic
+# columns, so the geo queries derive a deterministic (lat, lon) pair from
+# events — the operator is agnostic to where the degrees came from.
+_GEO_CTE = """
+    WITH pts AS (
+        SELECT event_id, user_id, value,
+               (value % 140) - 70 AS lat,
+               (user_id * 2.4) - 180 AS lon
+        FROM events
+    ), d AS (
+        SELECT *,
+               (2.0 * 6371008.7714) * asin(sqrt(
+                   sin(radians(0.0 - lat) / 2) * sin(radians(0.0 - lat) / 2)
+                 + cos(radians(lat)) * cos(radians(0.0))
+                   * sin(radians(0.0 - lon) / 2) * sin(radians(0.0 - lon) / 2)
+               )) AS dist_m
+        FROM pts
+    )
+"""
+
+
+@register(
+    "search_geo_distance",
+    oracle=_GEO_CTE + """
+    SELECT event_id, user_id
+    FROM d
+    WHERE dist_m <= 3000000.0
+    """,
+    doc="ES geo_distance query (r7 — the geo family): events within "
+        "3000 km of the origin, haversine with ES's mean earth radius as "
+        "scan-local JVM math over a numeric degree column pair (no "
+        "geo_point type — a pair of doubles IS columnar point storage; "
+        "documented divergence). Compiled through from_es_json; the "
+        "oracle recomputes the identical formula.",
+)
+def q_search_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import search
+
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": (F.col("user_id") * 2.4) - 180,
+    })
+    q = from_es_json({"query": {"geo_distance": {
+        "distance": "3000km",
+        "field": {"lat": "lat", "lon": "lon"},
+        "origin": {"lat": 0.0, "lon": 0.0},
+    }}})
+    return search(events, q, k=None).select("event_id", "user_id")
+
+
+@register(
+    "es_aggs_geo_distance",
+    oracle=_GEO_CTE + """
+    SELECT CASE WHEN dist_m < 2000000.0 THEN '*-2000000.0'
+                WHEN dist_m < 6000000.0 THEN '2000000.0-6000000.0'
+                WHEN dist_m < 12000000.0 THEN '6000000.0-12000000.0'
+                ELSE 'far' END AS ring,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value), 6) AS mean_value
+    FROM d
+    GROUP BY 1
+    """,
+    doc="ES geo_distance aggregation (r7): concentric distance rings "
+        "around an origin, [from, to) meters with range-agg key labels, "
+        "carrying a metric. The haversine distance is bound once and the "
+        "ring CASE ladder branches on it; one groupBy. ES distance-string "
+        "units ('2000km') parse on both the query and agg surfaces.",
+)
+def q_es_aggs_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": (F.col("user_id") * 2.4) - 180,
+    })
+    out = es_aggregate(events, {"ring": {
+        "geo_distance": {
+            "field": {"lat": "lat", "lon": "lon"},
+            "origin": {"lat": 0.0, "lon": 0.0},
+            "ranges": [
+                {"to": "2000km"},
+                {"from": "2000km", "to": "6000km"},
+                {"from": "6000km", "to": "12000km"},
+                {"from": "12000km", "key": "far"},
+            ],
+        },
+        "aggs": {"mean_value": {"avg": {"field": "value"}}},
+    }})
+    return out.select(
+        "ring", "doc_count", F.round("mean_value", 6).alias("mean_value")
+    )
+
+
 @register(
     "es_aggs_filters_metrics",
     oracle="""

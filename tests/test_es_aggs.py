@@ -360,7 +360,8 @@ def test_filters_agg_overlapping_buckets_one_scan(spark, sales):
 def test_filters_agg_metric_sub_aggs_and_empty_buckets(spark, sales):
     """Metric sub-aggs per filter bucket (r7): a doc feeds EVERY bucket
     it matches (overlap preserved), and a bucket matched by nothing keeps
-    its zero-count row with NULL metrics — ES's contract."""
+    its zero-count row with ES's empty-bucket metric shape — sum/
+    value_count/cardinality are 0, min/max/avg are NULL (r8 fix)."""
     rows = {
         r["w"]: (r["doc_count"], r["total"], r["hi"])
         for r in es_aggregate(sales, {
@@ -375,7 +376,7 @@ def test_filters_agg_metric_sub_aggs_and_empty_buckets(spark, sales):
     }
     assert rows["big"] == (4, 54.0, 20.0)       # 10+20+11+13
     assert rows["us_side"] == (4, 40.0, 13.0)   # 7+9+11+13
-    assert rows["nothing"] == (0, None, None)
+    assert rows["nothing"] == (0, 0.0, None)    # sum zero-fills, max NULL
     with pytest.raises(ValueError, match="must be metrics"):
         es_aggregate(sales, {
             "w": {"filters": {"filters": {"a": {"match_all": {}}}},

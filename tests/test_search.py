@@ -1588,6 +1588,48 @@ def test_geo_distance_agg_rings(spark):
         }}})
 
 
+def test_geo_distance_agg_ring_validation_parses_distances(spark):
+    """Ring validation compares PARSED meters, not raw strings (r8 fix):
+    '900km' < '1000km' numerically but sorts after it lexicographically,
+    so string comparison both rejected valid gapped rings and accepted
+    genuine overlaps. Mixed numeric/string bounds must also validate."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        # ~0 km, ~956 km (inside the gap), ~1112 km
+        [(1, 0.0, 0.0), (2, 0.0, 8.6), (3, 0.0, 10.0)],
+        "id long, lat double, lon double",
+    )
+    geo = {"field": {"lat": "lat", "lon": "lon"},
+           "origin": {"lat": 0, "lon": 0}}
+    # valid gapped rings whose raw strings compare 'backwards'
+    got = {
+        r["ring"]: r["doc_count"]
+        for r in es_aggregate(df, {"ring": {"geo_distance": {
+            **geo, "ranges": [{"to": "900km", "key": "near"},
+                              {"from": "1000km", "key": "far"}],
+        }}}).collect()
+    }
+    # the ~956 km point sits in the gap -> counted by neither ring
+    assert got == {"near": 1, "far": 1}
+    # genuine overlap that string comparison let through
+    with pytest.raises(ValueError, match="sorted and non-overlapping"):
+        es_aggregate(df, {"r": {"geo_distance": {
+            **geo, "ranges": [{"to": "1000km"}, {"from": "900km"}],
+        }}})
+    # mixed numeric/string bounds: ValueError (not TypeError) on overlap,
+    # clean pass when actually sorted
+    with pytest.raises(ValueError, match="sorted and non-overlapping"):
+        es_aggregate(df, {"r": {"geo_distance": {
+            **geo, "ranges": [{"to": 1_000_000}, {"from": "900km"}],
+        }}})
+    ok = es_aggregate(df, {"r": {"geo_distance": {
+        **geo, "ranges": [{"to": 900_000, "key": "a"},
+                          {"from": "1000km", "key": "b"}],
+    }}})
+    assert {r["r"] for r in ok.collect()} == {"a", "b"}
+
+
 def test_script_score_params_bind_as_literals(spark):
     """ES script params (r7): numeric params bind as literal Columns in
     the one compiled expression — the reusable-script convention."""
@@ -1660,6 +1702,13 @@ def test_rank_eval_metrics_hand_computed(spark):
         es_rank_eval(docs, {"requests": [body["requests"][0]],
                             "metric": {"precision": {"ignore_unlabeled":
                                                      True}}}, **an)
+    # duplicate (request, _id) ratings would fan out the hit join and
+    # double-count every metric — rejected loudly (r8 fix)
+    with _pytest.raises(ValueError, match="duplicate rating"):
+        es_rank_eval(docs, {"requests": [
+            {"id": "qd", "request": {"query": {"match": {"text": "spark"}}},
+             "ratings": [{"_id": 1, "rating": 2}, {"_id": 1, "rating": 1}]},
+        ], "metric": {"precision": {}}}, **an)
 
 
 def test_field_caps_nested_paths(spark):

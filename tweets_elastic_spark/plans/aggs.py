@@ -156,10 +156,15 @@ def _bucket_key(kind: str, body: dict) -> Column:
                 "geo_distance agg needs 'origin': {'lat': deg, 'lon': deg}"
             )
         ranges = body["ranges"]
+        # Compare PARSED meters, not raw bounds: distance strings ("900km",
+        # "1000km") sort lexicographically, not numerically, so comparing
+        # the raw values both rejects valid gapped rings and lets genuine
+        # overlaps through (unlike the date_range twin, where ISO strings
+        # do sort correctly).
         for a, b in zip(ranges, ranges[1:]):
-            if a.get("to") is None or (
-                b.get("from") is not None and b["from"] < a["to"]
-            ):
+            a_to = parse_distance_meters(a["to"]) if "to" in a else None
+            b_from = parse_distance_meters(b["from"]) if "from" in b else None
+            if a_to is None or (b_from is not None and b_from < a_to):
                 raise ValueError(
                     "geo_distance rings must be sorted and non-overlapping "
                     f"(got {a} then {b})"
@@ -640,8 +645,11 @@ def _filters_agg(
     explode + groupBy evaluates every metric per bucket (any metric kind,
     overlap preserved — a doc feeds every bucket it matches), and the
     literal bucket-name list left-joins back so empty buckets keep their
-    zero-count row, ES's contract. Still one scan; the only shuffle is
-    keyed by the B bucket names."""
+    zero-count row, ES's contract — including the metric shape: ES
+    returns 0 for sum/value_count/cardinality (and stats' count/sum) in
+    an empty bucket, NULL only for min/max/avg, so those kinds coalesce
+    to 0 on the join tail. Still one scan; the only shuffle is keyed by
+    the B bucket names."""
     from tweets_elastic_spark.plans.search import from_es_json
 
     named = body.get("filters")
@@ -675,10 +683,31 @@ def _filters_agg(
     names_df = spark.createDataFrame(
         [(b,) for b in named], f"{name} string"
     )
-    return (
+    out = (
         names_df.join(got, name, "left")
         .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
     )
+    for zname in _zero_on_empty(sub):
+        out = out.withColumn(zname, F.coalesce(zname, F.lit(0)))
+    return out
+
+
+def _zero_on_empty(sub: dict) -> list[str]:
+    """Metric output columns that are 0 (not NULL) in an ES empty bucket:
+    sum/value_count/cardinality, and the count/sum legs of stats /
+    extended_stats (plus sum_of_squares). min/max/avg stay NULL."""
+    names: list[str] = []
+    for mname, spec in sub.items():
+        spec = dict(spec)
+        spec.pop("aggs", None)
+        (kind, _), = spec.items()
+        if kind in ("sum", "value_count", "cardinality"):
+            names.append(mname)
+        elif kind in ("stats", "extended_stats"):
+            names += [f"{mname}_count", f"{mname}_sum"]
+            if kind == "extended_stats":
+                names.append(f"{mname}_sum_of_squares")
+    return names
 
 
 def _adjacency_matrix_agg(

@@ -182,7 +182,17 @@ def es_rank_eval(
     for req in requests:
         rid = req["id"]
         ratings = req.get("ratings", [])
+        seen_rated = set()
         for r in ratings:
+            # A duplicate (request, _id) rating would fan out the hit join
+            # below and double-count DCG gains / relevant-retrieved counts;
+            # ES treats the ratings list as a set keyed by _id.
+            if r["_id"] in seen_rated:
+                raise ValueError(
+                    f"duplicate rating for _id {r['_id']!r} in request "
+                    f"{rid!r}"
+                )
+            seen_rated.add(r["_id"])
             rating_rows.append((rid, r["_id"], int(r["rating"])))
         q = from_es_json(req["request"], **compile_opts)
         leg = search(df, q, k=k, tiebreak=id_col).select(

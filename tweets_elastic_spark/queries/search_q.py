@@ -2185,15 +2185,16 @@ def q_es_aggs_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE event_type = 'error'
     UNION ALL
     SELECT 'impossible', CAST(count(*) AS BIGINT),
-           round(sum(value), 6), round(max(value), 6)
+           round(coalesce(sum(value), 0), 6), round(max(value), 6)
     FROM events WHERE event_type = 'no_such_type'
     """,
     doc="ES filters agg with metric sub-aggs (r7): named DSL-predicate "
         "buckets each carrying sum/max metrics — rows tag themselves with "
         "the matching bucket names, one explode + groupBy evaluates every "
         "metric (overlap preserved), and the literal name list left-joins "
-        "back so the empty bucket keeps its zero-count row with NULL "
-        "metrics. One scan; the only shuffle keys on the 3 bucket names.",
+        "back so the empty bucket keeps its zero-count row with ES's "
+        "empty-bucket metric shape (sum coalesced to 0, max stays NULL). "
+        "One scan; the only shuffle keys on the 3 bucket names.",
 )
 def q_es_aggs_filters_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate

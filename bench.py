@@ -12,10 +12,18 @@ COMPACT final line sized to survive the driver's 2000-char tail capture
 Each query is materialized fully via the noop sink (measures compute +
 shuffle, not Python collection). Session config mirrors production defaults
 (AQE on, Arrow on); parallelism comes from SPARK_GRAFT_CPUS.
+
+``--sf 1`` (r7 verdict item 6: one entry point, one JSON format) runs the
+scaling decade instead: builds/reuses the derived ``.scaling_sf1`` fixture
+(10× sf0.1 — see ensure_sf1) and times SF1_HEADLINE — the headline queries
+whose tables exist in that fixture — emitting the same two JSON lines with
+``"sf": 1.0``. ``--sf 0.001/0.01/0.1`` select the driver fixtures.
+scripts/scaling_bench.py reuses these pieces for the per-decade table.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -189,15 +197,133 @@ COMPARE_SUBSET = [
 ]
 
 
+# The sf1 fixture holds documents / lineitem / embeddings only (ensure_sf1
+# derives them from sf0.1); these are the headline queries that read
+# nothing else. The near-dup family — the four slowest bench rows, r7
+# verdict item 1 — is all here.
+SF1_HEADLINE = [
+    "pricing_summary", "quality_score", "lang_id", "dup_ngram_stats",
+    "search_bm25", "search_query_string", "es_aggs_multi_terms_mad",
+    "percolate_matches", "tfidf_hashed_sparse", "chunk_documents",
+    "dsir_sample", "dedup_exact_survivors", "minhash_lsh_near_dups",
+    "jaccard_near_dups", "dedup_near_survivors", "corpus_clean",
+    "semdedup_survivors", "ann_cosine_topk",
+]
+
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".scaling_sf1")
+
+
+def ensure_sf1(spark) -> str:
+    """Build (once) the derived sf1 fixture: 10× sf0.1, gitignored.
+
+    Shape-preserving growth — each copy is structurally identical to the
+    sf0.1 corpus but DISJOINT from the other copies, so per-item statistics
+    (shingle document frequency, near-dup cluster sizes, cell populations)
+    stay fixture-sized while totals grow 10×. That is what a 10× real
+    corpus does; naive identical copies would instead multiply every
+    document frequency by 10 and grow pair-generator work 100×/decade
+    (a dup-density artifact, not corpus growth — the v1 fixture had this
+    for the near-dup family, which is why it only carried scan-local rows).
+
+    * documents: copy 0 raw; copies 1-9 append an alphanumeric copy tag to
+      every token (bijective per-copy vocabulary rename — within-copy
+      shingle/Jaccard structure is EXACTLY preserved, cross-copy shingle
+      sets are disjoint), doc_id shifted, n_chars recomputed.
+    * embeddings: copy 0 raw; copies 1-9 circularly rotate each vector by
+      i positions (an orthogonal transform — within-copy geometry exactly
+      preserved, cross-copy cosines scrambled), vec_id shifted.
+    * lineitem: plain id-shifted copies (its queries aggregate; no
+      pair generation to distort).
+    """
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SF1_DIR, "_READY_v2")
+    if os.path.exists(marker):
+        return SF1_DIR
+    src = "/root/testdata/sf0.1"
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    span = docs.agg(F.max("doc_id")).head()[0] + 1
+    parts = [docs]
+    for i in range(1, 10):
+        renamed = F.regexp_replace(F.col("text"), "([a-zA-Z0-9]+)",
+                                   f"$1zz{i}")
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * span))
+            .withColumn("text", renamed)
+            .withColumn("n_chars", F.length("text"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (out.repartition(32).write.mode("overwrite")
+        .parquet(os.path.join(SF1_DIR, "documents.parquet")))
+
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    vspan = emb.agg(F.max("vec_id")).head()[0] + 1
+    dim = len(emb.head()["embedding"])
+    parts = [emb]
+    for i in range(1, 10):
+        rotated = F.concat(
+            F.slice(F.col("embedding"), i + 1, dim - i),
+            F.slice(F.col("embedding"), 1, i),
+        )
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vspan))
+            .withColumn("embedding", rotated)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (out.repartition(32).write.mode("overwrite")
+        .parquet(os.path.join(SF1_DIR, "embeddings.parquet")))
+
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    lspan = li.agg(F.max("l_orderkey")).head()[0] + 1
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * lspan))
+        for i in range(10)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (out.repartition(32).write.mode("overwrite")
+        .parquet(os.path.join(SF1_DIR, "lineitem.parquet")))
+
+    open(marker, "w").close()
+    return SF1_DIR
+
+
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf", type=float, default=None,
+                    help="fixture scale: 0.001/0.01/0.1 (driver fixtures) "
+                         "or 1 (derived .scaling_sf1). Default: "
+                         "$SPARK_GRAFT_SF_DIR or sf0.1.")
+    args = ap.parse_args()
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.sf is not None and args.sf >= 1:
+        sf_dir, sf = ensure_sf1(spark), 1.0
+        headline = SF1_HEADLINE
+        build_index = False  # no *_indexed entries in SF1_HEADLINE
+    elif args.sf is not None:
+        sf_dir, sf = f"/root/testdata/sf{args.sf:g}", args.sf
+        headline = HEADLINE
+        build_index = True
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        sf = float(
+            os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+        headline = HEADLINE
+        build_index = True
 
     queries = registry.all_queries()
     # Warm EVERY headline query once at sf0.001 before its timed sf0.1 run
@@ -210,18 +336,20 @@ def main() -> None:
     # dominate the biggest plans (the flagship pays ~9 s of driver-side
     # plan build + codegen compile against ~3 s of actual compute).
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in headline:
         materialize(queries[name](spark, warm_dir))
     # Build the materialized index up front: ingest-time cost, amortized
     # across the query workload (the *_indexed entries then measure pure
     # query-time scans — the number that matters for a served index). The
     # build itself is timed and reported separately as index_build_sec.
-    from tweets_elastic_spark.indexing import ensure_index, index_dir_for
-    import shutil
-    shutil.rmtree(index_dir_for(sf_dir), ignore_errors=True)
-    t0 = time.perf_counter()
-    ensure_index(spark, sf_dir)
-    index_build_sec = round(time.perf_counter() - t0, 3)
+    index_build_sec = 0.0
+    if build_index:
+        from tweets_elastic_spark.indexing import ensure_index, index_dir_for
+        import shutil
+        shutil.rmtree(index_dir_for(sf_dir), ignore_errors=True)
+        t0 = time.perf_counter()
+        ensure_index(spark, sf_dir)
+        index_build_sec = round(time.perf_counter() - t0, 3)
 
     # Best-of-2 per query: the box carries exogenous background load, and a
     # single sample can be 2-5× off its steady-state (measured). The min of
@@ -232,7 +360,7 @@ def main() -> None:
     # stay apples-to-apples and the warm-vs-first gap stays visible.
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         for i in range(2):
             t0 = time.perf_counter()
@@ -257,8 +385,12 @@ def main() -> None:
                   "single-sample first sf0.1 run of each query",
         "sf": sf,
     }
+    # the driver records the default sf0.1 run as bench_full.json; other
+    # scales (e.g. --sf 1) write their own file so they never clobber it
+    full_name = ("bench_full.json" if sf == 0.1
+                 else f"bench_full_sf{sf:g}.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as f:
+                           full_name), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
     # Final line LAST and compact: the driver keeps only the trailing
@@ -272,7 +404,7 @@ def main() -> None:
         "n_queries": len(times),
         "first_run_total_sec": full["first_run_total_sec"],
         "index_build_sec": index_build_sec,
-        "full": "bench_full.json",
+        "full": full_name,
         "queries_other_total_sec": round(
             sum(v for n, v in times.items() if n not in subset), 3),
         "queries": {n: times[n] for n in subset},

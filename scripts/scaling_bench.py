@@ -1,18 +1,14 @@
 #!/usr/bin/env python
-"""SCALING.md measurement harness (r6 verdict item 7).
+"""SCALING.md measurement harness (r6 verdict item 7; r8: thin wrapper).
 
-Times the sixteen family-representative registry queries warm, best-of-2,
-noop-sink materialized at sf0.001/sf0.01/sf0.1, and pushes the five
-steepest rows ONE MORE DECADE to a locally-derived sf1 fixture — so the
-"constants amortize, slopes flatten" claim is demonstrated across 1000×
-rather than asserted.
-
-The sf1 fixture (gitignored, ~10× sf0.1) is derived deterministically from
-the driver-provided sf0.1 parquet: ten id-shifted copies of the tables the
-measured queries read (documents, lineitem). Shape-preserving for the
-measured work: term/bucket cardinalities stay fixture-sized while posting
-counts, bucket populations, and scan bytes grow 10× — exactly the growth a
-bigger corpus brings to these queries.
+One entry point owns the machinery now — bench.py (r7 verdict item 6):
+the sf1 fixture builder (bench.ensure_sf1) and the sf1-capable query list
+(bench.SF1_HEADLINE) live there, and ``python bench.py --sf 1`` runs the
+full headline harness at sf1 with the same JSON output format. This
+script remains for the per-decade TABLE: it times each family-
+representative query at sf0.001/sf0.01/sf0.1 and pushes the sf1-capable
+rows one more decade, printing one JSON row per query — the source of
+SCALING.md's table.
 
 Usage: python scripts/scaling_bench.py  → one JSON line per query row.
 """
@@ -26,10 +22,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
-from tweets_elastic_spark import registry
-from tweets_elastic_spark.session import get_spark
+from bench import SF1_HEADLINE, ensure_sf1  # noqa: E402
+from tweets_elastic_spark import registry  # noqa: E402
+from tweets_elastic_spark.session import get_spark  # noqa: E402
 
 ROWS = [
     "tweet_documents_flat", "pricing_summary", "search_bm25",
@@ -38,36 +33,13 @@ ROWS = [
     "dsir_sample", "quality_score", "chunk_documents", "dup_ngram_stats",
     "percolate_matches", "search_query_string", "tfidf_hashed_sparse",
     "es_aggs_multi_terms_mad",
+    # r8: the near-dup family — the four slowest bench rows (r7 verdict
+    # item 1) — joins the table, with sf1 rows via the v2 fixture
+    "jaccard_near_dups", "dedup_near_survivors", "corpus_clean",
+    "semdedup_survivors",
 ]
-# the r6 table's five steepest marginal slopes → measured at sf1 too
-SF1_ROWS = [
-    "es_aggs_multi_terms_mad", "quality_score", "pricing_summary",
-    "dup_ngram_stats", "search_query_string",
-]
-SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".scaling_sf1")
-
-
-def ensure_sf1(spark) -> str:
-    marker = os.path.join(SF1_DIR, "_READY")
-    if os.path.exists(marker):
-        return SF1_DIR
-    src = "/root/testdata/sf0.1"
-    for table, key in [("documents", "doc_id"), ("lineitem", "l_orderkey")]:
-        df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
-        span = df.agg(F.max(key)).head()[0] + 1
-        copies = [
-            df.withColumn(key, F.col(key) + F.lit(i * span))
-            for i in range(10)
-        ]
-        out = copies[0]
-        for c in copies[1:]:
-            out = out.unionByName(c)
-        (out.repartition(32)
-            .write.mode("overwrite")
-            .parquet(os.path.join(SF1_DIR, f"{table}.parquet")))
-    open(marker, "w").close()
-    return SF1_DIR
+# every ROW whose tables exist in the sf1 fixture gets the fourth decade
+SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]
 
 
 def timed(fn, spark, sf_dir: str) -> float:

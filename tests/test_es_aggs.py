@@ -1551,18 +1551,48 @@ def test_top_metrics_value_at_top_sorted_doc(spark):
         }}).collect()
     }
     assert got == {"a": (30.0, 10.0), "b": (50.0, 40.0)}
-    with pytest.raises(ValueError, match="size > 1"):
-        es_aggregate(df, {"k": {
-            "terms": {"field": "k"},
-            "aggs": {"m": {"top_metrics": {"metrics": {"field": "v"},
-                                           "sort": {"t": "desc"},
-                                           "size": 3}}},
-        }})
     with pytest.raises(ValueError, match="asc/desc"):
         es_aggregate(df, {"k": {
             "terms": {"field": "k"},
             "aggs": {"m": {"top_metrics": {"metrics": {"field": "v"},
                                            "sort": {"t": "down"}}}},
+        }})
+
+
+def test_top_metrics_size_gt_1_arrays_in_sort_order(spark):
+    """size>1 (r8, formerly a refusal): each metric renders as an array of
+    the values at the bucket's top `size` docs, in sort order; a bucket
+    smaller than size yields its whole membership; NULL sort drops the
+    doc; multiple metrics share one collect buffer; size>10 (ES's cap)
+    still raises."""
+    rows = [("a", 1, 10.0, 1.5), ("a", 3, 30.0, 3.5), ("a", 2, 20.0, 2.5),
+            ("a", None, 99.0, 9.5), ("b", 5, 50.0, 5.5)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, w double")
+    got = {
+        r["k"]: (r["m_v"], r["m_w"])
+        for r in es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"m": {"top_metrics": {
+                "metrics": [{"field": "v"}, {"field": "w"}],
+                "sort": {"t": "desc"}, "size": 2,
+            }}},
+        }}).collect()
+    }
+    assert got["a"] == ([30.0, 20.0], [3.5, 2.5])  # t=None doc dropped
+    assert got["b"] == ([50.0], [5.5])             # bucket smaller than size
+    # asc sort direction
+    asc = {r["k"]: r["m_v"] for r in es_aggregate(df, {"k": {
+        "terms": {"field": "k"},
+        "aggs": {"m": {"top_metrics": {"metrics": {"field": "v"},
+                                       "sort": {"t": "asc"}, "size": 3}}},
+    }}).collect()}
+    assert asc["a"] == [10.0, 20.0, 30.0]
+    with pytest.raises(ValueError, match=r"size must be in \[1, 10\]"):
+        es_aggregate(df, {"k": {
+            "terms": {"field": "k"},
+            "aggs": {"m": {"top_metrics": {"metrics": {"field": "v"},
+                                           "sort": {"t": "desc"},
+                                           "size": 11}}},
         }})
 
 

@@ -239,20 +239,57 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via the inverted-index join.
+    """Exact n-gram-Jaccard near-dup pairs via the grouped inverted index.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     Cost: Σ_shingle df² instead of |docs|² — sub-quadratic on real corpora;
     cap pathological shingles with ``max_df`` at scale.
     """
-    posts = _shingle_posting_list(df, text_col, id_col, k, max_df)
-    sizes = posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    from tweets_elastic_spark.functions.hashing import hash60
 
-    a = posts.alias("a")
-    b = posts.alias("b")
+    # Postings carry the PORTABLE 60-bit hash of the shingle, not the
+    # string (r8): every downstream shuffle/group key is then 8 bytes
+    # instead of a ~25-char phrase — measured 13.8 s → ~8 s at the sf1
+    # scaling fixture. The oracle hashes identically (hash60_sql), so a
+    # hash collision — ~2⁻⁶⁰ per distinct-shingle pair — would merge the
+    # same postings in BOTH engines and the value-hash gate stays exact.
+    # Materialize postings once (localCheckpoint, bounded: two longs per
+    # posting): three consumers (grouped index, sizes, pair explode) would
+    # otherwise each replay the tokenize→shingle lineage, the dominant
+    # scan cost.
+    posts = _tokens_projection(df, text_col, id_col).select(
+        "_id",
+        F.explode(word_shingles_from_tokens(F.col("_toks"), k)).alias("_shs"),
+    ).select("_id", hash60(F.col("_shs")).alias("_sh")).localCheckpoint()
+    # ONE aggregation builds the inverted index AND applies the df cap
+    # (size filter on the grouped posting list — no separate hot-shingle
+    # aggregation + anti-join pass). Sorting the ids makes pair order
+    # (id_a < id_b) a property of the array, not a join condition.
+    groups = posts.groupBy("_sh").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
+    if max_df is not None:
+        groups = groups.filter(F.size("_ids") <= max_df)
+    # per-doc posting counts AFTER the cap (the jaccard denominator
+    # counts only sub-cap shingles — both engines agree)
+    sizes = (
+        groups.select(F.explode("_ids").alias("_id"))
+        .groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    )
+    # pair generation as an array HOF over each posting list — C(df, 2)
+    # structs in place of the former self-join's shuffle+merge machinery
+    ids = F.col("_ids")
+    n = F.size(ids)
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.greatest(n - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
     inter = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        groups.select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))

@@ -671,6 +671,7 @@ def semdedup_survivors(
     max_cell_size: int | None = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     partition the corpus into quantizer cells, compare pairs only WITHIN a
@@ -685,11 +686,12 @@ def semdedup_survivors(
     Two scale guards (both enforced, not advisory):
 
     * ``n_seeds=None`` (the default) derives the cell count from the corpus:
-      ``max(16, n // 1024)``, so Σn_c² ≈ n·1024 grows linearly with the
-      corpus instead of quadratically at a fixed k. One bounded driver-side
-      ``count()`` — the same justified-scalar pattern as corpus_clean's
-      max_df cap. Pass an explicit ``n_seeds`` to pin the quantizer (the
-      oracle-backed registry query does, to keep the SQL mechanical).
+      ``max(16, n // target_cell)``, so Σn_c² ≈ n·target_cell grows linearly
+      with the corpus instead of quadratically at a fixed k. One bounded
+      driver-side ``count()`` — the same justified-scalar pattern as
+      corpus_clean's max_df cap. The oracle-backed registry query mirrors
+      the derivation with a scalar-subquery LIMIT, so the SQL stays
+      mechanical without pinning the quantizer.
     * ``max_cell_size`` caps the members any one cell contributes to
       pairing (rank by id within cell — deterministic and
       oracle-expressible). A pathological cell — every vector identical,
@@ -702,8 +704,22 @@ def semdedup_survivors(
     from tweets_elastic_spark.functions.vectors import norm
 
     if n_seeds is None:
-        n_seeds = derived_n_seeds(embeddings.count())
+        n_seeds = derived_n_seeds(embeddings.count(), target_cell)
     centroids = portable_seed_centroids(embeddings, n_seeds, id_col, vec_col)
+    # Cell assignment: the pure-JVM per-seed expression is oracle-exact
+    # (term-for-term mirrorable in SQL) but its size grows with n_seeds —
+    # at a corpus-derived seed count the expression tree (k structs × d-dim
+    # dot products) outgrows what codegen evaluates efficiently. Above 32
+    # seeds switch to the Arrow-GEMM assignment (one (batch×d)·(d×k) matmul
+    # per Arrow batch, same ‖c‖²−2x·c distance and first-min-index
+    # tiebreak); f64 GEMM vs the expression's left-fold sum differ only
+    # ~1e-15, far below any real centroid gap (the same argument — and
+    # pytest pinning — as pq_codes_batched vs pq_code_col). Gate/oracle
+    # scales stay on the exact expression path: 16 seeds at every test sf.
+    if n_seeds > 32:
+        assign_col = ivf_cell_col(F.col(vec_col), centroids)
+    else:
+        assign_col = portable_cell_col(F.col(vec_col), centroids)
     # Precompute each vector's norm ON ITS SIDE of the join: the pair
     # predicate then evaluates ONE array-aggregate (the dot product) per
     # pair instead of three — n norm computations instead of n²/k. The
@@ -721,7 +737,7 @@ def semdedup_survivors(
     # oracle sweep follow.
     cells = embeddings.select(
         F.col(id_col), F.col(vec_col),
-        portable_cell_col(F.col(vec_col), centroids).alias("_cell"),
+        assign_col.alias("_cell"),
         norm(F.col(vec_col)).alias("_nrm"),
     )
     if max_cell_size is not None:

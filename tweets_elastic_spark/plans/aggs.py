@@ -478,22 +478,34 @@ def _metric_cols(aggs: dict) -> list[Column]:
                 F.round(F.percentile(c, 0.75), 6).alias(f"{name}_q3"),
             ]
         elif kind == "top_metrics":
-            # ES ``top_metrics``: the metric field's value AT the bucket's
-            # top document by the sort field — "what was the price at the
-            # latest timestamp" without a top_hits payload. size=1 (ES's
-            # default) compiles to max_by/min_by, a single JVM aggregate
-            # riding the same partial/final plan; size>1 would need a
-            # per-bucket value buffer — raise toward top_hits rather than
-            # buffer silently. Flattened: {name}_{metric_field}.
+            # ES ``top_metrics``: the metric field's value(s) AT the
+            # bucket's top ``size`` documents by the sort field — "what was
+            # the price at the latest timestamps" without a top_hits
+            # payload. size=1 (ES's default) compiles to max_by/min_by, a
+            # single JVM aggregate riding the same partial/final plan and
+            # emitting a SCALAR {name}_{metric_field} column. size>1 (r8,
+            # ES caps it at 10) collects (sort, metrics...) structs,
+            # sorts, and slices the top `size` — each metric column then
+            # renders as an ARRAY of up to `size` values in sort order.
+            # Spark deduplicates semantically-equal aggregate functions,
+            # so the m metric columns share ONE collect buffer; the
+            # per-bucket memory is O(bucket) before the slice — the same
+            # documented exactness trade as string_stats/exact-MAD, with
+            # the sketch-free path acceptable because ES bounds size ≤ 10.
+            # Docs with a NULL sort value drop out (ES's contract); ties
+            # on the sort value break by the metric values themselves
+            # (deterministic, oracle-mirrorable), where ES leaves shard
+            # order unspecified.
             extra = set(body) - {"metrics", "sort", "size"}
             if extra:
                 raise ValueError(
                     f"unsupported top_metrics keys: {sorted(extra)}"
                 )
-            if int(body.get("size", 1)) != 1:
+            size = int(body.get("size", 1))
+            if not 1 <= size <= 10:
                 raise ValueError(
-                    "top_metrics size > 1 needs a per-bucket buffer — "
-                    "use top_hits for document payloads"
+                    f"top_metrics size must be in [1, 10] (ES's cap), "
+                    f"got {size}"
                 )
             (sfield, sdir), = body["sort"].items() \
                 if isinstance(body["sort"], dict) else ((body["sort"], "asc"),)
@@ -502,13 +514,36 @@ def _metric_cols(aggs: dict) -> list[Column]:
             metrics_spec = body["metrics"]
             if isinstance(metrics_spec, dict):
                 metrics_spec = [metrics_spec]
-            pick = F.max_by if sdir == "desc" else F.min_by
-            for m in metrics_spec:
-                mfield = m["field"]
-                out.append(
-                    pick(F.col(mfield), F.col(sfield))
-                    .alias(f"{name}_{mfield}")
+            if size == 1:
+                pick = F.max_by if sdir == "desc" else F.min_by
+                for m in metrics_spec:
+                    mfield = m["field"]
+                    out.append(
+                        pick(F.col(mfield), F.col(sfield))
+                        .alias(f"{name}_{mfield}")
+                    )
+            else:
+                mfields = [m["field"] for m in metrics_spec]
+                row = F.struct(
+                    F.col(sfield).alias("_s"),
+                    *[F.col(mf).alias(mf) for mf in mfields],
                 )
+                top = F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col(sfield).isNotNull(), row)
+                        ),
+                        asc=(sdir == "asc"),
+                    ),
+                    1, size,
+                )
+                def _metric_array(mf: str) -> Column:
+                    # closure, not a default arg: HOF lambdas must stay
+                    # single-parameter (arity selects (x) vs (x, i))
+                    return F.transform(top, lambda r: r[mf])
+
+                for mf in mfields:
+                    out.append(_metric_array(mf).alias(f"{name}_{mf}"))
         elif kind == "string_stats":
             # ES string_stats: count, min/max/avg term length, and the
             # Shannon entropy (log2) of the CHARACTER distribution across

@@ -70,6 +70,10 @@ def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pair select; the clustering/survivor oracles extend it with a
 # recursive reachability CTE.
 def _j_ctes(src: str = "documents") -> str:
+    # postings key on hash60(shingle), mirroring the engine (r8): the
+    # Spark side shuffles 8-byte hashed keys instead of phrase strings,
+    # and because both engines hash identically, even a collision (2⁻⁶⁰
+    # per shingle pair) would merge the same postings on both sides.
     return f"""toks AS (
         SELECT doc_id,
                list_transform(
@@ -78,13 +82,16 @@ def _j_ctes(src: str = "documents") -> str:
         FROM {src}
     ),
     sh AS (
-        SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
-                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                 WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
-                 ELSE [] END)) AS sh
-        FROM toks
+        SELECT doc_id, ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sh
+        FROM (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                     ELSE [] END)) AS shs
+            FROM toks
+        )
     ),
     shf AS (
         SELECT s.doc_id, s.sh
@@ -778,9 +785,24 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# semdedup's quantizer derives its cell count from the corpus
+# (max(16, n // target_cell), target_cell=128 — fixture-sized expected
+# cell population, so Σn_c² stays linear as the corpus grows) instead of
+# pinning n_seeds: the oracle mirrors the derivation with a scalar-
+# subquery LIMIT. At every driver/test sf the derivation floors at 16,
+# so results are identical to the formerly pinned quantizer; the
+# difference only engages at scaling-fixture sizes (>16·128 vectors).
+_SEMDEDUP_TARGET_CELL = 128
+_SEMDEDUP_CTES = _IVFP_CTES.replace(
+    f"LIMIT {_IVFP_SEEDS}",
+    f"LIMIT (SELECT greatest({_IVFP_SEEDS}, "
+    f"count(*)//{_SEMDEDUP_TARGET_CELL}) FROM embeddings)",
+)
+
+
 @register(
     "semdedup_survivors",
-    oracle="WITH " + _IVFP_CTES + f""",
+    oracle="WITH " + _SEMDEDUP_CTES + f""",
     capped AS (
         SELECT vec_id, v, cell FROM (
             SELECT vec_id, v, cell,
@@ -803,15 +825,17 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "move — cross-cell dups are missed by design), and every vector "
         "with a smaller-id in-cell neighbor at cosine >= 0.4 is dropped. "
         "One equi-shuffle on the cell id; the portable seed quantizer "
-        "makes the whole pipeline oracle-reproducible. Scale guards: cell "
-        "count derives from corpus size when unpinned (n/1024), and a "
-        "per-cell rank cap bounds a degenerate cell at cap² pairs — the "
+        "makes the whole pipeline oracle-reproducible. Scale guards: the "
+        "cell count DERIVES from the corpus (max(16, n/128), mirrored in "
+        "the oracle's scalar-subquery LIMIT) so Σn_c² grows linearly, and "
+        "a per-cell rank cap bounds a degenerate cell at cap² pairs — the "
         "cap is mirrored in the oracle's ranked-cells CTE.",
 )
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup_survivors(
-        emb, threshold=0.4, n_seeds=_IVFP_SEEDS, max_cell_size=_SEMDEDUP_CELL_CAP
+        emb, threshold=0.4, n_seeds=None, max_cell_size=_SEMDEDUP_CELL_CAP,
+        target_cell=_SEMDEDUP_TARGET_CELL,
     )
 
 

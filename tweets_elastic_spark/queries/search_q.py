@@ -2412,6 +2412,52 @@ def q_es_aggs_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_aggs_top_metrics_multi",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value, ts,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ts DESC, value DESC
+               ) AS rn
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_type AS by_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e
+            WHERE e.event_type = ranked.event_type) AS doc_count,
+           list(round(value, 6) ORDER BY rn) AS recent_value
+    FROM ranked WHERE rn <= 3
+    GROUP BY event_type
+    """,
+    doc="ES top_metrics with size>1 (r8, formerly a loud refusal routing "
+        "to top_hits): the metric's values at the bucket's top-3 "
+        "documents by sort field, rendered as an ARRAY column in sort "
+        "order. One shared collect buffer per bucket (Spark dedups equal "
+        "aggregate functions), sorted and sliced to size — per-bucket "
+        "memory O(bucket) before the slice, acceptable because ES caps "
+        "size at 10. Sort ties break by the metric values themselves "
+        "(deterministic, mirrored in the oracle's window ORDER BY).",
+)
+def q_es_aggs_top_metrics_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"recent": {"top_metrics": {
+            "metrics": {"field": "value"},
+            "sort": {"ts": "desc"},
+            "size": 3,
+        }}},
+    }})
+    return out.select(
+        "by_type", "doc_count",
+        F.transform("recent_value", lambda v: F.round(v, 6))
+        .alias("recent_value"),
+    )
+
+
+@register(
     "es_aggs_string_stats",
     oracle="""
     WITH chars AS (

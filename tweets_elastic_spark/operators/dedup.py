@@ -398,12 +398,14 @@ def minhash_lsh_candidates(
         ).alias("_sig"),
     )
     # The signature table is referenced four times below (two band-join
-    # sides + two re-attachments) and recomputed per reference. Measured at
-    # sf0.1 the recompute is CHEAPER than persist (cache materialization
-    # overhead exceeds four signature passes once tokenization is
-    # single-eval), and persisting here would leak storage the function
-    # can't free (its output is lazy). At production scale signatures are
-    # materialized alongside the corpus at ingest, making this moot.
+    # sides + two re-attachments); materialize it ONCE (r8 —
+    # localCheckpoint, bounded: id + num_hashes longs per doc). The r6
+    # measurement that recompute beat .persist() at sf0.1 inverts at the
+    # sf1 decade, where four tokenize→shingle→minhash replays dominate
+    # (10.4 s → 6.5 s); checkpoint blocks free with the RDD, the same
+    # lifecycle note as semdedup's cells. At production scale signatures
+    # are materialized alongside the corpus at ingest, making this moot.
+    sig = sig.localCheckpoint()
 
     # band bucket: xxhash64 directly over the band's signature slots (plus a
     # band tag so buckets never collide across bands) — no string building.
@@ -528,7 +530,15 @@ def hamming_band_pairs(
     (columns ``_id``, ``_sig``) by pigeonhole banding: distance <= 3 over
     4 chunks of 16 bits guarantees one identical chunk; join per chunk,
     verify exact Hamming. Shared by SimHash text dedup and the perceptual
-    image-hash dedup (functions/multimodal.image_dhash)."""
+    image-hash dedup (functions/multimodal.image_dhash).
+
+    The sketch relation materializes ONCE (r8 — localCheckpoint, bounded:
+    two longs per doc): both band-join sides would otherwise replay the
+    caller's signature lineage — for SimHash that is the whole
+    tokenize + 60-bit-vote expression, the dominant scan cost (measured
+    11.1 s → ~5 s at the sf1 scaling fixture). Idempotent for callers
+    that already checkpointed."""
+    sig = sig.localCheckpoint()
     chunks = sig.select(
         "_id",
         "_sig",

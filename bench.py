@@ -162,6 +162,9 @@ HEADLINE = [
     "es_aggs_filters_metrics",
     "search_geo_distance",
     "es_aggs_geo_distance",
+    # r8
+    "search_intervals",
+    "es_aggs_top_metrics_multi",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1107,6 +1107,73 @@ def test_match_phrase_slop_two_terms(spark):
                                  slop=2)
 
 
+def test_intervals_match_hand_computed(spark):
+    """ES intervals.match (r8): hand-computed gap/order ladder. gaps =
+    interval width − term count; ordered requires strictly increasing
+    positions in query order."""
+    from tweets_elastic_spark.plans.search import Intervals, from_es_json
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"),   # quick..fox, 1 gap
+         (2, "fox quick"),             # adjacent, reversed
+         (3, "quick fox"),             # adjacent, in order
+         (4, "quick x y z fox"),       # 3 gaps, in order
+         (5, "quick brown")],          # fox missing
+        "id long, text string",
+    )
+
+    def hits(rule):
+        q = Intervals("text", rule, analyzer="standard")
+        return {r["id"] for r in search(df, q, k=None).collect()}
+
+    m = lambda **kw: {"match": {"query": "quick fox", **kw}}
+    assert hits(m()) == {1, 2, 3, 4}                      # unlimited gaps
+    assert hits(m(max_gaps=0)) == {2, 3}
+    assert hits(m(max_gaps=1)) == {1, 2, 3}
+    assert hits(m(max_gaps=0, ordered=True)) == {3}
+    assert hits(m(max_gaps=3, ordered=True)) == {1, 3, 4}
+    assert hits(m(ordered=True)) == {1, 3, 4}             # order, any width
+    # any_of = OR over sub-rules
+    assert hits({"any_of": {"intervals": [
+        m(max_gaps=0, ordered=True), {"match": {"query": "brown"}},
+    ]}}) == {1, 3, 5}
+    # repeated query terms need DISTINCT positions
+    df2 = spark.createDataFrame([(1, "fox a fox"), (2, "fox alone")],
+                                "id long, text string")
+
+    def hits2(rule):
+        q = Intervals("text", rule, analyzer="standard")
+        return {r["id"] for r in search(df2, q, k=None).collect()}
+
+    ff = lambda **kw: {"match": {"query": "fox fox", **kw}}
+    assert hits2(ff()) == {1}            # two distinct positions required
+    assert hits2(ff(max_gaps=0)) == set()  # width-2 window holds only one
+    assert hits2(ff(max_gaps=1)) == {1}
+    assert hits2(ff(max_gaps=1, ordered=True)) == {1}
+    # from_es_json wiring + analyzer-binding contract
+    parsed = from_es_json(
+        {"intervals": {"text": {"match": {"query": "quick fox",
+                                          "max_gaps": 1}}}},
+        analyzers={"text": "standard"},
+    )
+    assert parsed == Intervals(
+        "text", {"match": {"query": "quick fox", "max_gaps": 1}},
+        analyzer="standard",
+    )
+    with pytest.raises(ValueError, match="analyzer binding"):
+        from_es_json({"intervals": {"text": {"match": {"query": "x"}}}})
+    # malformed rule shapes raise at compile time
+    for bad in [
+        {"all_of": {"intervals": [ff()]}},            # unsupported rule
+        {"match": {"query": "x", "filter": {}}},      # unknown option
+        {"match": {"max_gaps": 1}},                   # query missing
+        {"match": {"query": "x", "max_gaps": -2}},    # bad gap bound
+        {"any_of": {"intervals": []}},                # empty any_of
+    ]:
+        with pytest.raises(ValueError):
+            Intervals("text", bad, analyzer="standard")
+
+
 def test_match_phrase_slop_n_terms(spark):
     """Lucene sloppy-phrase semantics for 3-term phrases: matchLength =
     max − min over offset-adjusted positions, hand-computed ladder."""

@@ -608,6 +608,176 @@ class MatchPhrase(Query):
 
 
 @dataclass
+class Intervals(Query):
+    """ES ``intervals`` query (r8 — the general positional front-end the
+    sloppy-phrase machinery specializes): the field's analyzed token
+    stream must contain an interval satisfying the rule tree.
+
+    Supported rules (the ones ES's docs lead with; the rest raise):
+
+    * ``match``: the rule's analyzed terms all occur within one interval.
+      ``max_gaps`` (default -1 = unlimited) bounds the number of
+      non-matching positions INSIDE the interval: an interval of width w
+      containing the n terms has w - n gaps. ``ordered`` (default false)
+      additionally requires the terms at strictly increasing positions in
+      query order (Lucene's non-overlapping ordered-interval rule).
+    * ``any_of``: OR over sub-rules.
+
+    Evaluation is scan-local HOFs over per-term position arrays — no
+    shuffle, no UDF — reusing the bind-once discipline of the sloppy
+    phrase (plans/search.py MatchPhrase.slop):
+
+    * unordered: a valid assignment of distinct positions with
+      max-min+1-n <= max_gaps exists iff SOME window [a, a+n+max_gaps-1]
+      anchored at a term position contains every term with multiplicity
+      (|P(t) ∩ W| >= m_t — Hall's condition is this simple here because
+      all of a repeated term's slots share one candidate window).
+    * ordered: anchor at each position of the first query term, then
+      greedily take the smallest next position of each following term
+      (earliest-next minimizes the interval end for a fixed start, so
+      greedy is exact); check width at the end.
+    """
+
+    field: str
+    rule: dict
+    analyzer: str
+    tokens_col: str | None = None
+
+    _RULE_KINDS = ("match", "any_of")
+
+    def __post_init__(self):
+        self._validate(self.rule)
+
+    @classmethod
+    def _validate(cls, rule) -> None:
+        if not isinstance(rule, dict) or len(rule) != 1:
+            raise ValueError(
+                "intervals rule must be a single-key object, got "
+                f"{rule!r}"
+            )
+        (kind, body), = rule.items()
+        if kind == "match":
+            if not isinstance(body, dict) or "query" not in body:
+                raise ValueError("intervals match needs {'query': ...}")
+            extra = set(body) - {"query", "max_gaps", "ordered", "analyzer"}
+            if extra:
+                raise ValueError(
+                    f"unsupported intervals match options: {sorted(extra)}"
+                )
+            if int(body.get("max_gaps", -1)) < -1:
+                raise ValueError("intervals max_gaps must be >= -1")
+        elif kind == "any_of":
+            if (not isinstance(body, dict) or set(body) != {"intervals"}
+                    or not isinstance(body["intervals"], list)
+                    or not body["intervals"]):
+                raise ValueError(
+                    "intervals any_of needs {'intervals': [rule, ...]}"
+                )
+            for sub in body["intervals"]:
+                cls._validate(sub)
+        else:
+            raise ValueError(
+                f"unsupported intervals rule {kind!r} "
+                f"(supported: {list(cls._RULE_KINDS)})"
+            )
+
+    def predicate(self, spark, resolve) -> Column:
+        toks = (
+            resolve(self.tokens_col)
+            if self.tokens_col is not None
+            else analyze(resolve(self.field), self.analyzer)
+        )
+
+        def check(ts: Column) -> Column:
+            return self._compile(spark, ts, self.rule)
+
+        # bind the analyzed token array ONCE (Catalyst does not CSE)
+        return F.element_at(F.transform(F.array(toks), check), 1)
+
+    def _compile(self, spark, ts: Column, rule: dict) -> Column:
+        (kind, body), = rule.items()
+        if kind == "any_of":
+            cond = None
+            for sub in body["intervals"]:
+                c = self._compile(spark, ts, sub)
+                cond = c if cond is None else cond | c
+            return cond
+        # match
+        tokens = analyze_text(
+            spark, body["query"], body.get("analyzer", self.analyzer)
+        )
+        if not tokens:
+            return F.lit(False)
+        n = len(tokens)
+        max_gaps = int(body.get("max_gaps", -1))
+        ordered = bool(body.get("ordered", False))
+        terms = list(dict.fromkeys(tokens))
+        mult = {t: tokens.count(t) for t in terms}
+
+        def positions(term: str) -> Column:
+            tl = F.lit(term)
+            return F.filter(
+                F.transform(
+                    ts,
+                    lambda x, i: F.when(x == tl, i).otherwise(-1),
+                ),
+                lambda p: p >= 0,
+            )
+
+        pos_struct = F.struct(*[
+            positions(t).alias(f"p{i}") for i, t in enumerate(terms)
+        ])
+
+        def sweep(ps: Column) -> Column:
+            pos_by_term = {t: ps[f"p{i}"] for i, t in enumerate(terms)}
+            if ordered:
+                first = pos_by_term[tokens[0]]
+
+                def chain_ok(a: Column) -> Column:
+                    p = a
+                    for t in tokens[1:]:
+                        prev = p
+                        p = F.array_min(
+                            F.filter(pos_by_term[t], lambda x: x > prev)
+                        )
+
+                    def fin(pn: Column) -> Column:
+                        ok = pn.isNotNull()
+                        if max_gaps >= 0:
+                            ok = ok & (pn - a + 1 - n <= max_gaps)
+                        return ok
+
+                    # bind the chain's end once (it is referenced twice)
+                    return F.element_at(
+                        F.transform(F.array(p), fin), 1
+                    )
+
+                return F.coalesce(F.exists(first, chain_ok), F.lit(False))
+            if max_gaps < 0:
+                cond = None
+                for t in terms:
+                    c = F.size(pos_by_term[t]) >= mult[t]
+                    cond = c if cond is None else cond & c
+                return cond
+            width = n + max_gaps
+            starts = F.flatten(F.array(*[pos_by_term[t] for t in terms]))
+
+            def window_ok(a: Column) -> Column:
+                cond = None
+                for t in terms:
+                    c = F.size(F.filter(
+                        pos_by_term[t],
+                        lambda p: (p >= a) & (p <= a + F.lit(width - 1)),
+                    )) >= mult[t]
+                    cond = c if cond is None else cond & c
+                return cond
+
+            return F.coalesce(F.exists(starts, window_ok), F.lit(False))
+
+        return F.element_at(F.transform(F.array(pos_struct), sweep), 1)
+
+
+@dataclass
 class MatchPhrasePrefix(Query):
     """ES ``match_phrase_prefix`` (search-as-you-type): the analyzed terms
     must appear consecutively, with the LAST term matching as a PREFIX of
@@ -1730,8 +1900,9 @@ def from_es_json(
     ``{"query": ..., "weight": w}`` should shape), ``nested``, ``match``
     (with ``operator``/``minimum_should_match``), ``multi_match``
     (best_fields, ``field^boost`` syntax), ``match_phrase``,
-    ``match_phrase_prefix``, ``match_bool_prefix``, ``rank_feature``,
-    ``term``,
+    ``match_phrase_prefix``, ``match_bool_prefix``, ``intervals``
+    (``match`` with ``max_gaps``/``ordered``, ``any_of``),
+    ``rank_feature``, ``term``,
     ``terms``, ``terms_set``, ``prefix``, ``wildcard``, ``regexp`` (anchored, core
     operator set), ``fuzzy``, ``ids`` (bound to ``id_field``), ``range``,
     ``exists``, ``match_all``, ``constant_score``, ``dis_max``,
@@ -2118,6 +2289,23 @@ def from_es_json(
                 lambda f: MatchPhrase(
                     f, text, analyzer=analyzer,
                     tokens_col=tokens_cols.get(field), slop=slop,
+                ),
+                scope,
+            )
+        if kind == "intervals":
+            (field, rule), = body.items()
+            analyzer = analyzers.get(field)
+            if analyzer is None:
+                raise ValueError(
+                    f"intervals on {field!r} needs an analyzer binding "
+                    "(pass analyzers={...}: interval semantics are defined "
+                    "over analyzed token sequences)"
+                )
+            return auto_nest(
+                field,
+                lambda f: Intervals(
+                    f, rule, analyzer=analyzer,
+                    tokens_col=tokens_cols.get(field),
                 ),
                 scope,
             )

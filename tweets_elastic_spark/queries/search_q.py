@@ -427,6 +427,55 @@ def q_search_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_intervals",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'vector'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS p0,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'merge'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS p1,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'order'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS p2
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(p0, a ->
+        list_min(list_filter(p2, y ->
+            y > list_min(list_filter(p1, x -> x > a)))) IS NOT NULL
+        AND list_min(list_filter(p2, y ->
+            y > list_min(list_filter(p1, x -> x > a)))) - a - 2 <= 4
+    )) > 0
+    """,
+    doc="ES intervals query (r8 — the general positional front-end): "
+        "'vector merge order' with ordered=true, max_gaps=4 matches when "
+        "the three terms occur at strictly increasing positions spanning "
+        "at most 3+4 positions. Compiled through from_es_json; the "
+        "ordered rule anchors at each first-term position and greedily "
+        "takes the earliest next position per following term (exact for "
+        "fixed start) — scan-local HOFs, no shuffle. The oracle replays "
+        "the identical greedy chain with DuckDB's nested list lambdas.",
+)
+def q_search_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(
+        {"query": {"intervals": {"text": {"match": {
+            "query": "vector merge order", "ordered": True,
+            "max_gaps": 4}}}}},
+        analyzers={"text": "standard"},
+    )
+    return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
     "es_aggs_date_histogram",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,

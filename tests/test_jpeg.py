@@ -1,0 +1,104 @@
+"""Baseline JPEG codec (functions/jpeg) — pure stdlib+NumPy, no PIL.
+
+The encoder exists to make the decoder testable without external
+libraries: round trips bound the quantization error, the q=100
+constant-gray-block case is bit-exact (the property the oracle-gated
+image_near_dups_jpeg query builds on), and the perceptual-hash pipeline
+is stable across a JPEG round trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tweets_elastic_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dimensions,
+)
+
+
+def _test_image(h=37, w=53, seed=0):
+    rng = np.random.RandomState(seed)
+    base = np.zeros((h, w, 3))
+    base[:, :, 0] = np.linspace(0, 255, w)[None, :]
+    base[:, :, 1] = np.linspace(255, 0, h)[:, None]
+    base[:, :, 2] = 128
+    return np.clip(base + rng.randn(h, w, 3) * 4, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("quality", [70, 90, 100])
+def test_round_trip_error_bounded(subsample, quality):
+    """Decode(encode(img)) stays within quantization error; error shrinks
+    as quality rises; dimensions (non-multiples of 8/16) survive."""
+    img = _test_image()
+    enc = encode_jpeg(img, quality=quality, subsample=subsample)
+    assert enc[:2] == b"\xFF\xD8" and enc[-2:] == b"\xFF\xD9"
+    assert jpeg_dimensions(enc) == (53, 37)
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    mae = np.abs(dec.astype(float) - img.astype(float)).mean()
+    assert mae < (6.0 if quality < 100 else 3.5)
+
+
+def test_quality_monotone_and_smaller():
+    img = _test_image()
+    e50 = encode_jpeg(img, quality=50)
+    e95 = encode_jpeg(img, quality=95)
+    assert len(e50) < len(e95)
+    mae = lambda e: np.abs(
+        decode_jpeg(e).astype(float) - img.astype(float)).mean()
+    assert mae(e95) < mae(e50)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_gray_constant_blocks_exact_at_q100(subsample):
+    """Constant 8×8 gray blocks at quality=100 round-trip BIT-EXACTLY:
+    gray → YCbCr is exact (weights sum to 1, Cb=Cr=128), a constant block
+    is DC-only, and q=100 scales every quant entry to 1. This is the
+    invariant the arithmetic oracle of image_near_dups_jpeg relies on."""
+    rng = np.random.RandomState(3)
+    blocks = (rng.randint(0, 32, (8, 9)) * 7 + 16).astype(np.uint8)
+    px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    img = np.stack([px, px, px], axis=2)
+    dec = decode_jpeg(encode_jpeg(img, quality=100, subsample=subsample))
+    assert np.array_equal(dec, img)
+
+
+def test_dhash_stable_across_jpeg_round_trip():
+    from tweets_elastic_spark.functions.multimodal import dhash64
+
+    img = _test_image(h=40, w=72, seed=5)
+    h0 = dhash64(img)
+    h1 = dhash64(decode_jpeg(encode_jpeg(img, quality=90)))
+    assert bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") <= 6
+
+
+def test_malformed_and_unsupported_raise():
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    img = _test_image(16, 16)
+    enc = bytearray(encode_jpeg(img))
+    # flip SOF0 (FFC0) into SOF2 (FFC2): progressive must raise loudly
+    i = enc.find(b"\xFF\xC0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(NotImplementedError, match="baseline"):
+        jpeg_dimensions(bytes(enc))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), dtype=np.uint8))  # not (H, W, 3)
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(img, quality=0)
+
+
+def test_byte_stuffing_survives():
+    """An image whose entropy stream contains 0xFF bytes must unstuff
+    cleanly — exercised by encoding many distinct random images and
+    requiring every decode to succeed with bounded error."""
+    rng = np.random.RandomState(11)
+    for seed in range(4):
+        img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape

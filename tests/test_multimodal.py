@@ -152,7 +152,7 @@ def test_stub_mimes_raise_clearly(spark):
     from tweets_elastic_spark.functions.multimodal import decode_assets
 
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"\xff\xd8\xff"), "image/jpeg")],
+        [(1, "video", bytearray(b"\x00\x00\x00\x18ftyp"), "video/mp4")],
         "asset_id long, modality string, payload binary, mime_type string",
     )
     with pt.raises(PythonException, match="requires PIL/ffmpeg"):
@@ -167,7 +167,15 @@ def test_unrecognized_mime_raises_not_fabricates():
     with pytest.raises(NotImplementedError, match="unrecognized mime"):
         _decode_one(b"GIF89a....", "image", "image/gif")
     with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
-        _decode_one(b"\xff\xd8....", "image", "image/jpeg")
+        _decode_one(b"\x00\x00\x00\x18ftyp", "video", "video/mp4")
+    # image/jpeg decodes for real since r8
+    import numpy as np
+
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg
+
+    img = np.full((24, 40, 3), 77, dtype=np.uint8)
+    w, h = _decode_one(encode_jpeg(img), "image", "image/jpeg")
+    assert (w, h) == (40, 24)
     # the synthetic mime still gets deterministic pseudo-dims
     w, h = _decode_one(b"ten bytes!", "image", "application/x-fake")
     assert (w, h) == (1 + 10 % 640, 1 + 10 % 480)

@@ -1,0 +1,578 @@
+"""Baseline JFIF (ITU T.81) codec — pure stdlib + NumPy, no PIL/libjpeg.
+
+Closes the r7 verdict's loudest stub (functions/multimodal.py routed
+``image/jpeg`` to NotImplementedError): real multimodal corpora are JPEG,
+and the dHash/banding dedup machinery downstream was ready. Scope is the
+baseline sequential process — SOF0, 8-bit samples, Huffman entropy coding,
+1 or 3 components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
+intervals. Progressive (SOF2), arithmetic coding, 12-bit and hierarchical
+modes raise ``NotImplementedError`` loudly.
+
+The encoder exists so the decoder is testable without external
+libraries: round-trip tests (encode → decode ≈ original within
+quantization error) and the oracle-gated dedup query (constant 8×8 gray
+blocks at quality=100 round-trip EXACTLY — DC-only blocks, unit quant
+step — so DuckDB can recompute the decoded pixels arithmetically). The
+encoder always embeds its quant + Huffman tables in the stream, so any
+standard decoder reads its output.
+
+Everything here is per-payload CPU work invoked from Arrow-batched
+``mapInPandas`` (functions/multimodal.py) — scan-local, never shuffled.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants: zigzag order, Annex-K quantization + Huffman tables (public)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+STD_LUMA_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+STD_CHROMA_QT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# (bits[1..16], symbol values) — Annex K "typical" Huffman tables
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+# orthonormal DCT-II basis: spatial = C.T @ coef @ C, coef = C @ spatial @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 → per-entry scale, clamped to [1, 255].
+    quality=100 yields all-ones tables (lossless for DC-only blocks)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O over the entropy-coded segment (0xFF byte stuffing)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-padding per T.81
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: unstuffs 0xFF00, stops AT any
+    other marker (the caller handles RST/EOI)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerReached(0xFF00 | nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Discard bits to the byte boundary and consume one marker."""
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF:
+            self.pos += 1
+        while self.data[self.pos] == 0xFF:
+            self.pos += 1
+        marker = 0xFF00 | self.data[self.pos]
+        self.pos += 1
+        return marker
+
+
+class _MarkerReached(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) → symbol, canonical code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, length)."""
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+def _read_huff_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: a `size`-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value → (size, size-bit code) for DC/AC encoding."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF header — no entropy decode."""
+    for marker, seg, _ in _segments(payload):
+        if marker in (0xFFC0, 0xFFC1):
+            _, h, w = struct.unpack(">BHH", seg[:5])
+            return w, h
+        if marker in (0xFFC2, 0xFFC3) or 0xFFC5 <= marker <= 0xFFCF and \
+                marker not in (0xFFC8, 0xFFCC):
+            raise NotImplementedError(
+                f"only baseline JPEG (SOF0/1) is supported, got SOF marker "
+                f"{marker:#x}"
+            )
+    raise ValueError("no SOF marker found — not a JPEG?")
+
+
+def _segments(payload: bytes):
+    """Yield (marker, segment bytes, scan_start) for headers up to SOS."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("missing SOI — not a JPEG")
+    i = 2
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        marker = 0xFF00 | payload[i + 1]
+        i += 2
+        if marker == 0xFFD9:  # EOI
+            return
+        if 0xFFD0 <= marker <= 0xFFD7:  # RSTn — bare
+            continue
+        ln = struct.unpack(">H", payload[i:i + 2])[0]
+        seg = payload[i + 2:i + ln]
+        yield marker, seg, i + ln
+        if marker == 0xFFDA:  # SOS: entropy data follows
+            return
+        i += ln
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF → (H, W, 3) uint8 RGB (grayscale replicates)."""
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    scan_comps: list[dict] = []
+    scan_start = -1
+
+    for marker, seg, after in _segments(payload):
+        if marker == 0xFFDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(
+                    seg[j + 1:j + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qts[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker in (0xFFC0, 0xFFC1):  # SOF0/1 (baseline / ext. seq.)
+            prec, h, w = struct.unpack(">BHH", seg[:5])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit samples")
+            n = seg[5]
+            for c in range(n):
+                cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker == 0xFFC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
+                        0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG process (SOF marker {marker:#x})"
+            )
+        elif marker == 0xFFC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = \
+                    _huff_decode_table(bits, vals)
+                j += 17 + nv
+        elif marker == 0xFFDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xFFDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tabs = seg[1 + c * 2], seg[2 + c * 2]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comps.append({**comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
+            scan_start = after
+        # APPn / COM / others: skipped
+
+    if not comps or scan_start < 0:
+        raise ValueError("truncated JPEG: missing SOF or SOS")
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for c in scan_comps
+    }
+
+    reader = _BitReader(payload, scan_start)
+    preds = {c["id"]: 0 for c in scan_comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                m = reader.align_to_marker()
+                if not 0xFFD0 <= m <= 0xFFD7:
+                    raise ValueError(f"expected RST marker, got {m:#x}")
+                preds = {c["id"]: 0 for c in scan_comps}
+            for c in scan_comps:
+                qt = qts[c["tq"]]
+                dct, act = dc_tabs[c["dc"]], ac_tabs[c["ac"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _read_huff_symbol(reader, dct)
+                        diff = _extend(reader.read_bits(s), s)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff_symbol(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        # zz is zigzag-ordered; qt is natural-ordered —
+                        # scatter first, then dequantize element-wise
+                        nat = np.zeros(64)
+                        nat[ZIGZAG] = zz
+                        nat = nat.reshape(8, 8) * qt
+                        spatial = _C.T @ nat @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_count += 1
+
+    # upsample each component to full resolution and crop
+    full = []
+    for c in scan_comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _encode_blocks(writer, plane, qt, dc_enc, ac_enc, pred):
+    """FDCT + quantize + Huffman-encode every 8×8 block of a padded plane
+    row-major; returns the updated DC predictor."""
+    hh, ww = plane.shape
+    for y0 in range(0, hh, 8):
+        for x0 in range(0, ww, 8):
+            blk = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+            coef = _C @ blk @ _C.T
+            q = np.round(coef / qt).astype(np.int64)
+            zz = q.reshape(-1)[ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size, mag = _magnitude(diff)
+            code, ln = dc_enc[size]
+            writer.write(code, ln)
+            if size:
+                writer.write(mag, size)
+            last = 63
+            while last > 0 and zz[last] == 0:
+                last -= 1
+            k = 1
+            while k <= last:
+                run = 0
+                while zz[k] == 0:
+                    run += 1
+                    k += 1
+                while run > 15:
+                    code, ln = ac_enc[0xF0]  # ZRL
+                    writer.write(code, ln)
+                    run -= 16
+                size, mag = _magnitude(int(zz[k]))
+                code, ln = ac_enc[(run << 4) | size]
+                writer.write(code, ln)
+                writer.write(mag, size)
+                k += 1
+            if last < 63:
+                code, ln = ac_enc[0x00]  # EOB
+                writer.write(code, ln)
+    return pred
+
+
+def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult_y
+    pw = (-w) % mult_x
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF bytes.
+
+    ``subsample=True`` encodes chroma at 4:2:0 (2×2 box mean), exercising
+    the decoder's upsampling path; False keeps 4:4:4. Tables (scaled
+    Annex-K quant, standard Huffman) are embedded in the stream."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (H, W, 3) uint8")
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    yy = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    lq = _scaled_qt(STD_LUMA_QT, quality)
+    cq = _scaled_qt(STD_CHROMA_QT, quality)
+
+    if subsample:
+        yp = _pad_to(yy, 16, 16)
+        cbp = _pad_to(np.round(_box2(_pad_to(cb, 2, 2))), 8, 8)
+        crp = _pad_to(np.round(_box2(_pad_to(cr, 2, 2))), 8, 8)
+        hv = [(2, 2), (1, 1), (1, 1)]
+    else:
+        yp = _pad_to(yy, 8, 8)
+        cbp = _pad_to(cb, 8, 8)
+        crp = _pad_to(cr, 8, 8)
+        hv = [(1, 1), (1, 1), (1, 1)]
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    # APP0 JFIF
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tq, tbl in ((0, lq), (1, cq)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tq) \
+            + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG])
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, (hs, vs), tq in ((1, hv[0], 0), (2, hv[1], 1), (3, hv[2], 1)):
+        out += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    for tc, th, (bits, vals) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+        (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
+    ):
+        out += b"\xFF\xC4" + struct.pack(
+            ">HB", 19 + len(vals), (tc << 4) | th
+        ) + bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack(">BB", cid, tabs)
+    out += b"\x00\x3F\x00"  # Ss=0 Se=63 Ah/Al=0
+
+    dc_l = _huff_encode_table(*_DC_LUMA)
+    ac_l = _huff_encode_table(*_AC_LUMA)
+    dc_c = _huff_encode_table(*_DC_CHROMA)
+    ac_c = _huff_encode_table(*_AC_CHROMA)
+    wtr = _BitWriter()
+    if subsample:
+        preds = [0, 0, 0]
+        mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                        preds[0] = _encode_blocks(
+                            wtr, yp[y0:y0 + 8, x0:x0 + 8], lq, dc_l, ac_l,
+                            preds[0])
+                c0, c1 = my * 8, mx * 8
+                preds[1] = _encode_blocks(
+                    wtr, cbp[c0:c0 + 8, c1:c1 + 8], cq, dc_c, ac_c, preds[1])
+                preds[2] = _encode_blocks(
+                    wtr, crp[c0:c0 + 8, c1:c1 + 8], cq, dc_c, ac_c, preds[2])
+    else:
+        # interleave per MCU (one block per component at 4:4:4)
+        preds = [0, 0, 0]
+        mcux, mcuy = yp.shape[1] // 8, yp.shape[0] // 8
+        for my in range(mcuy):
+            for mx in range(mcux):
+                y0, x0 = my * 8, mx * 8
+                for ci, (plane, qt, de, ae) in enumerate((
+                    (yp, lq, dc_l, ac_l), (cbp, cq, dc_c, ac_c),
+                    (crp, cq, dc_c, ac_c),
+                )):
+                    preds[ci] = _encode_blocks(
+                        wtr, plane[y0:y0 + 8, x0:x0 + 8], qt, de, ae,
+                        preds[ci])
+    wtr.flush()
+    out += wtr.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+def _box2(p: np.ndarray) -> np.ndarray:
+    """2×2 box mean (chroma subsampling)."""
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) \
+        / 4.0

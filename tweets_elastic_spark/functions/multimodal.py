@@ -7,14 +7,16 @@ are Arrow-batched ``mapInPandas`` transforms with REAL codecs for the
 formats the Python stdlib can handle and clearly-marked stubs for the rest:
 
 * **Real**: binary netpbm P6 (PPM) images — header parse, pixel access,
-  nearest-neighbor resize (``resize_images``), channel-mean features — and
-  RIFF/WAV audio via the stdlib ``wave`` module (sample-rate/frame counts).
-  No external library involved; these paths are exact and tested.
-* **Stub**: compressed codecs (JPEG/PNG/MP4/…) need PIL/ffmpeg, which this
-  container doesn't ship — ``_decode_one`` raises ``NotImplementedError``
-  for those mimes so the boundary is unmistakable; the deterministic fake
-  (``application/x-fake``, byte-length pseudo-dims) keeps the plumbing
-  testable at scale.
+  nearest-neighbor resize (``resize_images``), channel-mean features —
+  baseline JPEG (r8: full SOF0/Huffman decoder + encoder in
+  ``functions/jpeg``, pure stdlib+NumPy), and RIFF/WAV audio via the
+  stdlib ``wave`` module (sample-rate/frame counts). No external library
+  involved; these paths are exact and tested.
+* **Stub**: the remaining compressed codecs (PNG/MP4/MP3) need
+  PIL/ffmpeg, which this container doesn't ship — ``_decode_one`` raises
+  ``NotImplementedError`` for those mimes so the boundary is
+  unmistakable; the deterministic fake (``application/x-fake``,
+  byte-length pseudo-dims) keeps the plumbing testable at scale.
 
 ``extract_features`` yields a fixed-dim float vector per asset (channel
 statistics for PPM, hash-fold elsewhere) — the contract the similarity
@@ -50,11 +52,12 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, byte_offset long, frame_sha strin
 # mimes with a real stdlib decode path
 MIME_PPM = "image/x-portable-pixmap"
 MIME_WAV = "audio/x-wav"
+MIME_JPEG = "image/jpeg"  # real baseline decoder since r8 (functions/jpeg)
 # the synthetic fixture payloads (attach_payload) — the ONLY mime that gets
 # deterministic fake dimensions
 MIME_FAKE = "application/x-fake"
 # compressed formats that genuinely need PIL/ffmpeg — stubbed
-STUB_MIMES = {"image/jpeg", "image/png", "video/mp4", "audio/mpeg"}
+STUB_MIMES = {"image/png", "video/mp4", "audio/mpeg"}
 
 
 # ---------------------------------------------------------------------------
@@ -124,6 +127,10 @@ def _decode_one(payload: bytes, modality: str, mime: str) -> tuple[int, int]:
     if mime == MIME_PPM:
         img = decode_ppm(payload)
         return img.shape[1], img.shape[0]
+    if mime == MIME_JPEG:
+        from tweets_elastic_spark.functions.jpeg import jpeg_dimensions
+
+        return jpeg_dimensions(payload)
     if mime == MIME_WAV:
         rate, frames = decode_wav_meta(payload)
         return rate, frames
@@ -164,23 +171,31 @@ RESIZED_SCHEMA = "asset_id long, payload binary, width int, height int"
 
 
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL nearest-neighbor resize for PPM images (pure NumPy index
-    sampling), re-encoded to PPM — the canonical payload-transforming
-    multimodal op: binary in, binary out, narrow (no shuffle), payload
-    never leaves the executor. Non-PPM mimes raise (resize of compressed
-    formats needs a real decoder first)."""
+    """REAL nearest-neighbor resize for PPM and baseline-JPEG images (pure
+    NumPy index sampling), re-encoded in the input's format — the
+    canonical payload-transforming multimodal op: binary in, binary out,
+    narrow (no shuffle), payload never leaves the executor. Other mimes
+    raise (resize of PNG/MP4 needs a real decoder first)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tweets_elastic_spark.functions.jpeg import (
+            decode_jpeg, encode_jpeg,
+        )
+
         for pdf in batches:
             out_payload = []
             for p, t in zip(pdf["payload"], pdf["mime_type"]):
-                if t != MIME_PPM:
+                if t == MIME_PPM:
+                    img, enc = decode_ppm(p), encode_ppm
+                elif t == MIME_JPEG:
+                    img = decode_jpeg(bytes(p))
+                    enc = lambda px: encode_jpeg(px, quality=90)
+                else:
                     raise NotImplementedError(f"resize for {t} requires PIL")
-                img = decode_ppm(p)
                 h, w = img.shape[:2]
                 rows = (np.arange(height) * h) // height
                 cols = (np.arange(width) * w) // width
-                out_payload.append(encode_ppm(img[rows][:, cols]))
+                out_payload.append(enc(img[rows][:, cols]))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -199,12 +214,15 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     downstream ANN results are reproducible in tests."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tweets_elastic_spark.functions.jpeg import decode_jpeg
+
         for pdf in batches:
             feats = []
             for p, t in zip(pdf["payload"], pdf["mime_type"]):
-                if t == MIME_PPM:
+                if t in (MIME_PPM, MIME_JPEG):
                     # real image features: per-channel mean/std, tiled to dim
-                    img = decode_ppm(p).astype(np.float32)
+                    img = (decode_jpeg(bytes(p)) if t == MIME_JPEG
+                           else decode_ppm(p)).astype(np.float32)
                     stats = np.concatenate(
                         [img.mean(axis=(0, 1)) / 255.0, img.std(axis=(0, 1)) / 255.0]
                     )
@@ -273,20 +291,27 @@ def image_dhash(
     payload_col: str = "payload",
     id_col: str = "asset_id",
 ) -> DataFrame:
-    """(_id, _sig): 64-bit perceptual hash per decodable P6 image.
+    """(_id, _sig): 64-bit perceptual hash per decodable image — P6 PPM or
+    baseline JPEG (r8), dispatched by payload magic (``P6`` / ``FF D8``).
     Arrow-batched mapInPandas; undecodable payloads are dropped (the
     quarantine channel owns them). The payload never shuffles — only the
     8-byte sketch leaves the scan."""
     out_schema = "_id long, _sig long"
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tweets_elastic_spark.functions.jpeg import decode_jpeg
+
         for b in batches:
             ids, sigs = [], []
             for i, payload in zip(b[id_col], b[payload_col]):
+                p = bytes(payload)
                 try:
-                    sigs.append(dhash64(decode_ppm(bytes(payload))))
+                    if p[:2] == b"\xFF\xD8":
+                        sigs.append(dhash64(decode_jpeg(p)))
+                    else:
+                        sigs.append(dhash64(decode_ppm(p)))
                     ids.append(i)
-                except (ValueError, AssertionError):
+                except (ValueError, AssertionError, IndexError):
                     continue
             yield pd.DataFrame({"_id": ids, "_sig": sigs})
 

@@ -161,6 +161,142 @@ def _image_dedup_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# The JPEG twin (r8): payloads are REAL baseline-JFIF bytes (4:2:0,
+# quality=100) produced by the pure-stdlib encoder, decoded by the r8
+# decoder inside image_dhash. The fixture is 8×9 constant 8×8 gray blocks:
+# gray→YCbCr is exact, constant blocks are DC-only, and q=100 quant tables
+# are all ones — so decode(encode(img)) is BIT-EXACT and the oracle can
+# recompute the decoded pixels (hence the full dHash) arithmetically. A
+# green row proves the entire encode → Huffman/DCT decode → grayscale →
+# 9×8 resample → dHash → banding pipeline byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_JPEG_BLOCK_ROWS = 8   # image is 64×72: one 8×8 block per dHash grid cell
+_JPEG_BLOCK_COLS = 9
+
+
+def _planted_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): baseline JPEGs whose 8×9 constant gray blocks
+    come from hash60('j:gid:r:c') % 200 + 20 with gid = doc_id//4, plus
+    (doc_id % 4) noise on block (0,0) — four near-identical variants per
+    group (the noised cell feeds exactly one dHash bit)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg
+
+    rows_, cols_ = _JPEG_BLOCK_ROWS, _JPEG_BLOCK_COLS
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def build(batches):
+        base_cache: dict[int, np.ndarray] = {}
+
+        def base_blocks(gid: int) -> np.ndarray:
+            got = base_cache.get(gid)
+            if got is None:
+                blk = np.zeros((rows_, cols_), dtype=np.uint8)
+                for r in range(rows_):
+                    for c in range(cols_):
+                        blk[r, c] = h60(f"j:{gid}:{r}:{c}") % 200 + 20
+                got = base_cache[gid] = blk
+            return got
+
+        for b in batches:
+            ids, payloads = [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                blk = base_blocks(did // 4).copy()
+                blk[0, 0] = int(blk[0, 0]) + did % 4   # stays <= 222
+                px = np.repeat(np.repeat(blk, 8, 0), 8, 1)
+                img = np.stack([px, px, px], axis=2)
+                ids.append(did)
+                payloads.append(bytearray(
+                    encode_jpeg(img, quality=100, subsample=True)
+                ))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, "asset_id long, payload binary"
+    )
+
+
+def _image_jpeg_dedup_oracle() -> str:
+    from tweets_elastic_spark.functions.hashing import hash60_sql
+
+    def g(r: int, c: int) -> str:
+        feat = f"'j:' || gid::VARCHAR || ':{r}:{c}'"
+        base = f"{hash60_sql(feat)} % 200 + 20"
+        if r == 0 and c == 0:
+            return f"({base}) + doc_id % 4"
+        return base
+
+    grays = [
+        f"{g(r, c)} AS g_{r}_{c}"
+        for r in range(_JPEG_BLOCK_ROWS) for c in range(_JPEG_BLOCK_COLS)
+    ]
+    bits = []
+    k = 0
+    for r in range(8):
+        for c in range(8):
+            bits.append(
+                f"CASE WHEN g_{r}_{c} < g_{r}_{c + 1} THEN "
+                f"{1 << (63 - k)}::HUGEINT ELSE 0::HUGEINT END"
+            )
+            k += 1
+    vsum = " + ".join(bits)
+    chunk_eq = " OR ".join(
+        f"((a.s >> {i * 16}) & 65535) = ((b.s >> {i * 16}) & 65535)"
+        for i in range(4)
+    )
+    return f"""
+    WITH g AS (
+        SELECT doc_id, {', '.join(grays)}
+        FROM (SELECT doc_id, doc_id // 4 AS gid FROM documents)
+    ), sig AS (
+        SELECT doc_id,
+               CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                         THEN v - 18446744073709551616::HUGEINT
+                         ELSE v END AS BIGINT) AS s
+        FROM (SELECT doc_id, {vsum} AS v FROM g)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS distance
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id AND ({chunk_eq})
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
+
+
+@register(
+    "image_near_dups_jpeg",
+    oracle=_image_jpeg_dedup_oracle(),
+    doc="Perceptual near-dup over REAL baseline-JFIF payloads (r8): the "
+        "pure-stdlib JPEG codec (SOF0, Huffman, 4:2:0) encodes constant "
+        "8x8 gray blocks at quality=100 — a configuration the decoder "
+        "reconstructs BIT-EXACTLY (DC-only blocks, unit quant step, exact "
+        "gray YCbCr round trip) — and the dHash/banding path runs over "
+        "the decoded pixels. The oracle recomputes the decoded grid "
+        "arithmetically, so a green row pins the whole marker-parse -> "
+        "Huffman -> dequant -> IDCT -> upsample -> hash pipeline.",
+)
+def q_image_near_dups_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.functions.multimodal import image_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _planted_jpeg_assets(docs)
+    out = image_near_dups(assets, max_distance=3)
+    return out.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    )
+
+
 @register(
     "image_near_dups",
     oracle=_image_dedup_oracle(),

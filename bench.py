@@ -210,7 +210,8 @@ SF1_HEADLINE = [
     "percolate_matches", "tfidf_hashed_sparse", "chunk_documents",
     "dsir_sample", "dedup_exact_survivors", "minhash_lsh_near_dups",
     "jaccard_near_dups", "dedup_near_survivors", "corpus_clean",
-    "semdedup_survivors", "ann_cosine_topk",
+    "semdedup_survivors", "ann_cosine_topk", "ann_ivfpq_topk",
+    "simhash_near_dups", "embedding_near_dups",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -322,9 +322,18 @@ def dup_ngram_stats(
     contribute their whole text as one gram (word_shingles_from_tokens's
     short-doc contract), so every doc appears in the output.
     """
+    from tweets_elastic_spark.functions.hashing import hash60
     from tweets_elastic_spark.operators.dedup import _shingle_posting_list
 
-    posts = _shingle_posting_list(corpus, text_col, id_col, k, None)
+    # Postings key on the portable 60-bit gram hash and materialize once
+    # (r8, the jaccard_pairs treatment): a 13-gram is a ~90-char string,
+    # so hashing shrinks both shuffles ~10×, and the df aggregation + the
+    # join-back would otherwise each replay the tokenize→shingle lineage.
+    # The oracle hashes identically (hash60_sql), so a 2⁻⁶⁰ collision
+    # would merge the same grams in both engines.
+    posts = _shingle_posting_list(corpus, text_col, id_col, k, None).select(
+        "_id", hash60(F.col("_sh")).alias("_sh")
+    ).localCheckpoint()
     df_counts = posts.groupBy("_sh").agg(
         F.countDistinct("_id").alias("_df")
     )

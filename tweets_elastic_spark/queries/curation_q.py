@@ -536,7 +536,8 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, {_TOKS_SQL} AS t FROM documents
     ), grams AS (
-        SELECT doc_id, unnest({_grams_sql(4)}) AS g FROM toks
+        SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g
+        FROM (SELECT doc_id, unnest({_grams_sql(4)}) AS gs FROM toks)
     ), dfs AS (
         SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1
     )

@@ -165,6 +165,7 @@ HEADLINE = [
     # r8
     "search_intervals",
     "es_aggs_top_metrics_multi",
+    "span_dedup_rebuild",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -211,7 +212,7 @@ SF1_HEADLINE = [
     "dsir_sample", "dedup_exact_survivors", "minhash_lsh_near_dups",
     "jaccard_near_dups", "dedup_near_survivors", "corpus_clean",
     "semdedup_survivors", "ann_cosine_topk", "ann_ivfpq_topk",
-    "simhash_near_dups", "embedding_near_dups",
+    "simhash_near_dups", "embedding_near_dups", "span_dedup_rebuild",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -248,6 +248,39 @@ def test_line_dedup_max_df_threshold(spark):
     assert kept3 == {1: "shared\na", 2: "shared\nb", 3: "shared\nc"}
 
 
+def test_span_dedup_hand_planted(spark):
+    """Exact duplicated-span removal (r8): the lexicographically-first
+    occurrence keeps its tokens, every other occurrence's range is cut,
+    overlapping marks union, short/clean docs pass through."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),            # keeper of the shared span
+         (2, "x y A b C d q"),          # case-insensitive copy, loses it
+         (3, "p q r s p q r s t"),      # within-doc repeat: 2nd cut
+         (4, "clean doc nothing here"),
+         (5, "so")],                    # shorter than k: no windows
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.span_dedup(docs, k=4).collect()}
+    assert len(out) == 5
+    assert (out[1]["n_dup_tokens"], out[1]["clean_text"]) == \
+        (0, "a b c d e f")
+    assert (out[2]["n_tokens"], out[2]["n_dup_tokens"],
+            out[2]["clean_text"]) == (7, 4, "x y q")
+    assert (out[3]["n_tokens"], out[3]["n_dup_tokens"],
+            out[3]["clean_text"]) == (9, 4, "p q r s t")
+    assert out[4]["n_dup_tokens"] == 0
+    assert (out[5]["n_tokens"], out[5]["clean_text"]) == (1, "so")
+    # a duplicated run LONGER than k: all its windows mark, marks union,
+    # the whole run is cut from the non-keeper
+    docs2 = spark.createDataFrame(
+        [(1, "u v w x y z end1"), (2, "pre u v w x y z")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in C.span_dedup(docs2, k=4).collect()}
+    assert out2[1]["n_dup_tokens"] == 0
+    assert (out2[2]["n_dup_tokens"], out2[2]["clean_text"]) == (6, "pre")
+
+
 def test_dup_ngram_stats_counts_shared_grams(spark):
     from tweets_elastic_spark.operators.curation import (
         dup_ngram_filter, dup_ngram_stats,

@@ -371,6 +371,101 @@ def dup_ngram_filter(
     )
 
 
+def span_dedup(
+    corpus: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (r8) — the substring-level member of
+    the dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove every repeated substring of ≥ k
+    tokens, keeping one occurrence), expressed over rolling k-token
+    windows instead of a suffix array:
+
+    * every k-token window hashes portably (hash60 of the space-joined
+      lowercased tokens); a window value occurring ≥ 2 times anywhere in
+      the corpus (other docs OR a repeat within the same doc) is a
+      duplicated span;
+    * the globally-minimal occurrence — lexicographic (doc_id, start) —
+      is the KEEPER and keeps its tokens; every other occurrence marks
+      its token range [start, start+k) for removal (overlapping marks
+      union, so a duplicated run longer than k is removed wholesale);
+    * each doc rebuilds from its surviving tokens.
+
+    Returns (id, n_tokens, n_dup_tokens, clean_text) with clean_text the
+    space-joined surviving lowercased tokens — every doc appears, clean
+    docs with n_dup_tokens = 0. Fully deterministic and SQL-expressible,
+    so the registry query carries a REAL oracle.
+
+    100 TB shape: windows ≈ one posting per token position, keyed by the
+    8-byte hash (one shuffle); the duplicate-occurrence table shuffles
+    back by doc id (second shuffle, ids only); the rebuild is scan-local
+    HOFs. Linear in corpus tokens — the same cost class as
+    dup_ngram_stats, not the pair generators. The token projection
+    materializes once (localCheckpoint), shared by window generation and
+    rebuild."""
+    from tweets_elastic_spark.operators.dedup import _tokens_projection
+
+    toks = _tokens_projection(corpus, text_col, id_col).localCheckpoint()
+    n = F.size("_toks")
+    win_structs = F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda s: F.struct(
+            s.alias("s"),
+            hash60(
+                F.array_join(F.slice(F.col("_toks"), s + 1, k), " ")
+            ).alias("h"),
+        ),
+    )).otherwise(F.array().cast("array<struct<s:int,h:long>>"))
+    windows = toks.select(
+        "_id", F.explode(win_structs).alias("w")
+    ).select("_id", F.col("w.s").alias("_s"), F.col("w.h").alias("_h"))
+    agg = windows.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col("_id").alias("d"), F.col("_s").alias("s")))
+        .alias("_keep"),
+    ).filter(F.col("_cnt") >= 2)
+    dup_starts = (
+        windows.join(agg, "_h")
+        .filter(
+            ~((F.col("_id") == F.col("_keep.d"))
+              & (F.col("_s") == F.col("_keep.s")))
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_s")).alias("_dup"))
+    )
+    rebuilt = toks.join(dup_starts, "_id", "left").withColumn(
+        "_dup", F.coalesce("_dup", F.array().cast("array<int>"))
+    )
+
+    def kept(ts: Column) -> Column:
+        dup = F.col("_dup")
+        return F.array_compact(F.transform(
+            ts,
+            lambda x, i: F.when(
+                ~F.exists(dup, lambda s: (s <= i) & (i < s + F.lit(k))),
+                x,
+            ),
+        ))
+
+    # the kept array lands in its OWN projection so the two consumers
+    # below don't each replay the per-token coverage scan (Catalyst
+    # inlines rather than CSEs; CollapseProject keeps a multiply-
+    # referenced expensive expression in place)
+    kept_once = rebuilt.select(
+        "_id", F.size("_toks").cast("long").alias("n_tokens"),
+        kept(F.col("_toks")).alias("_kept"),
+    )
+    return kept_once.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.size("_kept")).cast("long")
+        .alias("n_dup_tokens"),
+        F.array_join("_kept", " ").alias("clean_text"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int = 128,

@@ -561,6 +561,70 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dup_ngram_stats(docs, k=4)
 
 
+_SPAN_K = 8
+
+
+@register(
+    "span_dedup_rebuild",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    win AS (
+        SELECT doc_id, s,
+               ('0x' || substr(md5(array_to_string(
+                   t[s+1:s+{_SPAN_K}], ' ')), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, len(t) - {_SPAN_K} + 1)) AS s
+              FROM toks WHERE len(t) >= {_SPAN_K})
+    ),
+    marked AS (
+        SELECT doc_id, s,
+               count(*) OVER (PARTITION BY h) AS cnt,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, s) AS rn
+        FROM win
+    ),
+    starts AS (
+        SELECT doc_id, list_sort(list(s)) AS ss
+        FROM marked WHERE cnt >= 2 AND rn > 1
+        GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT t.doc_id, len(t.t) AS n_tokens,
+               list_filter(
+                   list_transform(t.t, (x, i) ->
+                       CASE WHEN len(list_filter(coalesce(st.ss, []),
+                                s -> s <= i - 1
+                                     AND i - 1 < s + {_SPAN_K})) = 0
+                            THEN x END),
+                   x -> x IS NOT NULL) AS kt
+        FROM toks t LEFT JOIN starts st USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(kt) AS BIGINT) AS n_dup_tokens,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+           coalesce(array_to_string(kt, ' '), '') AS clean_text
+    FROM kept
+    """,
+    doc="Exact duplicated-SPAN removal (Lee et al. 2022 ExactSubstr, "
+        "expressed over rolling hashed k-token windows instead of a "
+        "suffix array): any 8-token window occurring twice anywhere in "
+        "the corpus marks its non-keeper occurrences' token ranges for "
+        "removal (keeper = lexicographically-first (doc, start)); "
+        "overlapping marks union, so duplicated runs longer than k are "
+        "removed wholesale; docs rebuild from surviving tokens. Linear "
+        "in corpus tokens: one 8-byte-hash shuffle for the window "
+        "occurrence counts, one ids-only shuffle back, scan-local HOF "
+        "rebuild. The oracle replays the identical keeper rule and "
+        "coverage union with DuckDB window functions + list lambdas.",
+)
+def q_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return C.span_dedup(docs, k=_SPAN_K)
+
+
 @register(
     "unimax_sample",
     oracle="""

@@ -166,6 +166,7 @@ HEADLINE = [
     "search_intervals",
     "es_aggs_top_metrics_multi",
     "span_dedup_rebuild",
+    "es_rank_eval_err",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

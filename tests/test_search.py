@@ -1769,6 +1769,18 @@ def test_rank_eval_metrics_hand_computed(spark):
         es_rank_eval(docs, {"requests": [body["requests"][0]],
                             "metric": {"precision": {"ignore_unlabeled":
                                                      True}}}, **an)
+    # expected_reciprocal_rank (r8), hand-computed with max_relevance=2:
+    # q1 hits (1,2,5) at ranks (1,2,3), R = (2^g-1)/4 -> (3/4, 0, 1/4):
+    #   ERR = 3/4 + 0 + (1/3)(1/4)(1/4) = 0.770833
+    # q2 hits (1,3,5), only doc 3 rated (rank 2, R=1/4): ERR = 1/8
+    # q3 has no rated hits -> 0.0
+    got = scores({"expected_reciprocal_rank": {"maximum_relevance": 2,
+                                               "k": 10}})
+    assert got == {"q1": 0.770833, "q2": 0.125, "q3": 0.0}
+    with _pytest.raises(ValueError, match="maximum_relevance"):
+        es_rank_eval(docs, {"requests": [body["requests"][0]],
+                            "metric": {"expected_reciprocal_rank": {}}},
+                     **an)
     # duplicate (request, _id) ratings would fan out the hit join and
     # double-count every metric — rejected loudly (r8 fix)
     with _pytest.raises(ValueError, match="duplicate rating"):

@@ -141,6 +141,10 @@ def es_rank_eval(
     * ``dcg``: Σ (2^rating − 1)/log2(rank+1) over rated hits in top-k;
       ``normalize: true`` divides by the ideal DCG from the judgment
       list (NDCG), 0.0 when no judged document has positive gain.
+    * ``expected_reciprocal_rank`` (r8): the cascade-model ERR —
+      Σ (1/r)·R_r·Π_{i<r}(1−R_i) with R = (2^rating−1)/2^max_relevance;
+      unrated hits have R=0 (contribute nothing, survive the cascade),
+      so only rated hits fold, in rank order, per request.
 
     Scale shape: each request's leg is an already-truncated top-k
     (TakeOrderedAndProject through the same ``search`` plan every query
@@ -164,6 +168,7 @@ def es_rank_eval(
         "recall": {"k", "relevant_rating_threshold"},
         "mean_reciprocal_rank": {"k", "relevant_rating_threshold"},
         "dcg": {"k", "normalize"},
+        "expected_reciprocal_rank": {"k", "maximum_relevance"},
     }
     if mkind not in known:
         raise ValueError(
@@ -241,6 +246,36 @@ def es_rank_eval(
             ).otherwise(F.lit(0.0))
         else:
             score = F.coalesce(1.0 / F.col("_first_rel"), F.lit(0.0))
+    elif mkind == "expected_reciprocal_rank":
+        # ES ERR (Chapelle et al. 2009 cascade model):
+        #   ERR = Σ_r (1/r) · R_r · Π_{i<r}(1 − R_i),
+        #   R = (2^rating − 1) / 2^maximum_relevance, unrated R = 0.
+        # Unrated ranks contribute 0 and multiply the survival product by
+        # 1, so only RATED hits matter — fold them in rank order with one
+        # bounded array aggregate per request (legs are k-sized).
+        if "maximum_relevance" not in mbody:
+            raise ValueError(
+                "expected_reciprocal_rank needs 'maximum_relevance'"
+            )
+        gmax = int(mbody["maximum_relevance"])
+        rr = (F.pow(F.lit(2.0), F.col("rating")) - 1.0) / float(2 ** gmax)
+        rated = (
+            rated_hits.filter(F.col("rating").isNotNull())
+            .groupBy("request_id")
+            .agg(F.sort_array(F.collect_list(
+                F.struct(F.col("rank").alias("rank"), rr.alias("r"))
+            )).alias("_steps"))
+        )
+        fold = F.aggregate(
+            F.col("_steps"),
+            F.struct(F.lit(0.0).alias("err"), F.lit(1.0).alias("prod")),
+            lambda acc, s: F.struct(
+                (acc["err"] + s["r"] / s["rank"] * acc["prod"]).alias("err"),
+                (acc["prod"] * (1.0 - s["r"])).alias("prod"),
+            ),
+        )["err"]
+        per = rated.select("request_id", fold.alias("_err"))
+        score = F.coalesce(F.col("_err"), F.lit(0.0))
     else:
         gain = (F.pow(F.lit(2.0), F.col("rating")) - 1.0) / F.log2(
             F.col("rank") + 1.0

@@ -2356,6 +2356,91 @@ def q_es_rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_rank_eval_err",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    ratings(request_id, doc_id, rating) AS (VALUES
+        ('q_spark', 1, 3), ('q_spark', 2, 1), ('q_spark', 7, 2),
+        ('q_spark', 12, 0), ('q_spark', 400, 2),
+        ('q_src1', 3, 2), ('q_src1', 5, 1), ('q_src1', 9, 1),
+        ('q_src1', 401, 3)
+    ),
+    h1 AS (
+        SELECT 'q_spark' AS request_id, doc_id,
+               row_number() OVER (ORDER BY doc_id ASC) AS rank
+        FROM toks WHERE list_contains(t, 'spark')
+        QUALIFY rank <= 10
+    ),
+    h2 AS (
+        SELECT 'q_src1' AS request_id, doc_id,
+               row_number() OVER (ORDER BY doc_id ASC) AS rank
+        FROM toks WHERE source = 'src1'
+        QUALIFY rank <= 10
+    ),
+    hits AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+    rated AS (
+        SELECT h.request_id, h.rank,
+               (pow(2.0, r.rating) - 1.0) / 8.0 AS rr
+        FROM hits h JOIN ratings r
+          ON h.request_id = r.request_id AND h.doc_id = r.doc_id
+    ),
+    surv AS (
+        SELECT request_id, rank, rr,
+               coalesce(product(1.0 - rr) OVER (
+                   PARTITION BY request_id ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 1.0) AS p
+        FROM rated
+    ),
+    err AS (
+        SELECT request_id, sum(rr / rank * p) AS e
+        FROM surv GROUP BY request_id
+    )
+    SELECT q.request_id, round(coalesce(e, 0.0), 6) AS metric_score
+    FROM (VALUES ('q_spark'), ('q_src1')) q(request_id)
+    LEFT JOIN err ON q.request_id = err.request_id
+    ORDER BY q.request_id
+    """,
+    doc="ES _rank_eval expected_reciprocal_rank (r8, completing the "
+        "metric set): the Chapelle cascade model — "
+        "sum (1/r)*R_r*prod(1-R_i) over rated hits in rank order, "
+        "R = (2^rating-1)/2^max_relevance (=3 here). Unrated hits have "
+        "R=0 and survive the cascade untouched, so only rated hits fold "
+        "— one bounded array aggregate per k-sized request leg. The "
+        "oracle replays the identical cascade with DuckDB's product() "
+        "window over the same ascending rank order (bit-identical "
+        "multiply sequence).",
+)
+def q_es_rank_eval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.api import es_rank_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = {
+        "requests": [
+            {"id": "q_spark",
+             "request": {"query": {"match": {"text": "spark"}}},
+             "ratings": [{"_id": 1, "rating": 3}, {"_id": 2, "rating": 1},
+                         {"_id": 7, "rating": 2}, {"_id": 12, "rating": 0},
+                         {"_id": 400, "rating": 2}]},
+            {"id": "q_src1",
+             "request": {"query": {"term": {"source": "src1"}}},
+             "ratings": [{"_id": 3, "rating": 2}, {"_id": 5, "rating": 1},
+                         {"_id": 9, "rating": 1}, {"_id": 401, "rating": 3}]},
+        ],
+        "metric": {"expected_reciprocal_rank": {"k": 10,
+                                                "maximum_relevance": 3}},
+    }
+    return es_rank_eval(docs, body, analyzers={"text": "standard"})
+
+
+@register(
     "es_aggs_rare_terms",
     oracle="""
     SELECT o_custkey AS by_cust,

@@ -73,10 +73,11 @@ DRIVER_PRIORITY: list[str] = [
     "es_aggs_composite", "funnel_conversion", "events_daily_pivot",
     # text stats + model filter
     "lang_id", "quality_score", "model_quality_filter",
-    # dedup families
-    "dedup_exact_survivors", "line_dedup",
+    # dedup families — the granularity ladder: document (exact, minhash,
+    # simhash, semdedup), line, span, composed pipeline
+    "dedup_exact_survivors", "line_dedup", "span_dedup_rebuild",
     "dedup_near_survivors", "minhash_lsh_near_dups_portable",
-    "simhash_near_dups_portable", "embedding_near_dups",
+    "simhash_near_dups_portable",
     "semdedup_survivors", "corpus_clean",
     # ANN families — one slot per index family: exact baseline, IVF(-PQ),
     # PQ Arrow-GEMM encoder, LSH-through-the-stored-index

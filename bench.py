@@ -167,6 +167,7 @@ HEADLINE = [
     "es_aggs_top_metrics_multi",
     "span_dedup_rebuild",
     "es_rank_eval_err",
+    "search_intervals_all_of",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

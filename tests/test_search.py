@@ -1174,6 +1174,55 @@ def test_intervals_match_hand_computed(spark):
             Intervals("text", bad, analyzer="standard")
 
 
+def test_intervals_all_of_ordered_phrases(spark):
+    """all_of (r8 documented subset): ordered contiguous children — one
+    occurrence per child, strictly after the previous child's end, gaps
+    (span width − Σ child widths) bounded by max_gaps."""
+    from tweets_elastic_spark.plans.search import Intervals, from_es_json
+
+    df = spark.createDataFrame(
+        [(1, "vector merge x y order end"),   # gaps 2
+         (2, "vector merge order"),           # gaps 0
+         (3, "order vector merge"),           # wrong order
+         (4, "vector x merge order"),         # phrase broken
+         (5, "vector merge a b c d order")],  # gaps 4
+        "id long, text string",
+    )
+
+    def rule(**kw):
+        return {"all_of": {
+            "ordered": True,
+            "intervals": [
+                {"match": {"query": "vector merge", "max_gaps": 0}},
+                {"match": {"query": "order"}},
+            ], **kw,
+        }}
+
+    def hits(r):
+        q = Intervals("text", r, analyzer="standard")
+        return {x["id"] for x in search(df, q, k=None).collect()}
+
+    assert hits(rule()) == {1, 2, 5}             # unlimited gaps
+    assert hits(rule(max_gaps=2)) == {1, 2}
+    assert hits(rule(max_gaps=0)) == {2}
+    # from_es_json wiring
+    q = from_es_json({"intervals": {"text": rule(max_gaps=2)}},
+                     analyzers={"text": "standard"})
+    assert {x["id"] for x in search(df, q, k=None).collect()} == {1, 2}
+    # refusals: unordered composition, gappy multi-term child, non-match
+    with pytest.raises(ValueError, match="ordered: true only"):
+        Intervals("text", {"all_of": {"intervals": [
+            {"match": {"query": "a"}}]}}, analyzer="standard")
+    with pytest.raises(ValueError, match="contiguous"):
+        hits({"all_of": {"ordered": True, "intervals": [
+            {"match": {"query": "vector merge"}},   # multi-term, gappy
+            {"match": {"query": "order"}}]}})
+    with pytest.raises(ValueError, match="must be match rules"):
+        Intervals("text", {"all_of": {"ordered": True, "intervals": [
+            {"any_of": {"intervals": [{"match": {"query": "a"}}]}}]}},
+            analyzer="standard")
+
+
 def test_match_phrase_slop_n_terms(spark):
     """Lucene sloppy-phrase semantics for 3-term phrases: matchLength =
     max − min over offset-adjusted positions, hand-computed ladder."""

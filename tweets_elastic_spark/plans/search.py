@@ -622,6 +622,17 @@ class Intervals(Query):
       additionally requires the terms at strictly increasing positions in
       query order (Lucene's non-overlapping ordered-interval rule).
     * ``any_of``: OR over sub-rules.
+    * ``all_of`` (r8, documented subset): ORDERED composition of
+      CONTIGUOUS children — each child a ``match`` that is a single term
+      or carries ``max_gaps: 0`` (a phrase). One occurrence per child,
+      strictly after the previous child's end, with the composed
+      interval's gaps — span width minus the children's combined width,
+      Lucene's ``gaps()`` — bounded by ``max_gaps``. This is the
+      multi-phrase proximity query ("'vector merge' … then 'order',
+      near"). Unordered all_of and gappy children raise loudly: their
+      interval-algebra enumeration (choose one variable-width interval
+      per child, any order, non-overlapping) has no bounded scan-local
+      form here.
 
     Evaluation is scan-local HOFs over per-term position arrays — no
     shuffle, no UDF — reusing the bind-once discipline of the sloppy
@@ -643,7 +654,7 @@ class Intervals(Query):
     analyzer: str
     tokens_col: str | None = None
 
-    _RULE_KINDS = ("match", "any_of")
+    _RULE_KINDS = ("match", "any_of", "all_of")
 
     def __post_init__(self):
         self._validate(self.rule)
@@ -675,6 +686,32 @@ class Intervals(Query):
                 )
             for sub in body["intervals"]:
                 cls._validate(sub)
+        elif kind == "all_of":
+            extra = set(body) - {"intervals", "max_gaps", "ordered"}
+            if extra:
+                raise ValueError(
+                    f"unsupported all_of options: {sorted(extra)}"
+                )
+            subs = body.get("intervals")
+            if not isinstance(subs, list) or not subs:
+                raise ValueError(
+                    "intervals all_of needs {'intervals': [rule, ...]}"
+                )
+            if not body.get("ordered"):
+                raise ValueError(
+                    "all_of supports ordered: true only (unordered "
+                    "variable-width interval composition is out of scope)"
+                )
+            if int(body.get("max_gaps", -1)) < -1:
+                raise ValueError("intervals max_gaps must be >= -1")
+            for sub in subs:
+                if not (isinstance(sub, dict) and len(sub) == 1
+                        and next(iter(sub)) == "match"):
+                    raise ValueError(
+                        "all_of children must be match rules "
+                        f"(got {sub!r})"
+                    )
+                cls._validate(sub)
         else:
             raise ValueError(
                 f"unsupported intervals rule {kind!r} "
@@ -702,6 +739,8 @@ class Intervals(Query):
                 c = self._compile(spark, ts, sub)
                 cond = c if cond is None else cond | c
             return cond
+        if kind == "all_of":
+            return self._compile_all_of(spark, ts, body)
         # match
         tokens = analyze_text(
             spark, body["query"], body.get("analyzer", self.analyzer)
@@ -775,6 +814,83 @@ class Intervals(Query):
             return F.coalesce(F.exists(starts, window_ok), F.lit(False))
 
         return F.element_at(F.transform(F.array(pos_struct), sweep), 1)
+
+    def _compile_all_of(self, spark, ts: Column, body: dict) -> Column:
+        """Ordered all_of over contiguous children: each child's
+        occurrence-start array is one scan-local expression (positions s
+        where slice(ts, s+1, n_c) equals the child's token literal); the
+        anchor sweep greedily takes each following child's earliest start
+        strictly after the previous child's end (earliest-next minimizes
+        the composed end for a fixed anchor ⇒ exact), then bounds
+        gaps = span width − Σ child widths."""
+        max_gaps = int(body.get("max_gaps", -1))
+        children = []
+        for sub in body["intervals"]:
+            mbody = sub["match"]
+            toks = analyze_text(
+                spark, mbody["query"], mbody.get("analyzer", self.analyzer)
+            )
+            if not toks:
+                return F.lit(False)
+            if len(toks) > 1 and int(mbody.get("max_gaps", -1)) != 0:
+                raise ValueError(
+                    "all_of children must be contiguous: a multi-term "
+                    f"child needs max_gaps: 0 (got {mbody!r})"
+                )
+            if mbody.get("ordered") not in (None, True) and len(toks) > 1:
+                # a contiguous (max_gaps=0) match is inherently ordered
+                raise ValueError(
+                    "all_of children with max_gaps: 0 are ordered by "
+                    "construction; ordered: false is contradictory"
+                )
+            children.append(toks)
+        widths = [len(c) for c in children]
+        total_w = sum(widths)
+        n_doc = F.size(ts)
+
+        def starts_of(ctoks: list[str]) -> Column:
+            lit = F.array(*[F.lit(t) for t in ctoks])
+            nc = len(ctoks)
+            return F.when(
+                n_doc >= nc,
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), n_doc - nc),
+                        lambda s: F.when(
+                            F.slice(ts, s + 1, nc) == lit, s
+                        ).otherwise(-1),
+                    ),
+                    lambda p: p >= 0,
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+
+        starts_struct = F.struct(*[
+            starts_of(c).alias(f"c{i}") for i, c in enumerate(children)
+        ])
+
+        def sweep(ss: Column) -> Column:
+            first = ss["c0"]
+
+            def chain_ok(a: Column) -> Column:
+                end = a + F.lit(widths[0] - 1)
+                for i in range(1, len(children)):
+                    prev_end = end
+                    s_i = F.array_min(
+                        F.filter(ss[f"c{i}"], lambda x: x > prev_end)
+                    )
+                    end = s_i + F.lit(widths[i] - 1)
+
+                def fin(e: Column) -> Column:
+                    ok = e.isNotNull()
+                    if max_gaps >= 0:
+                        ok = ok & (e - a + 1 - total_w <= max_gaps)
+                    return ok
+
+                return F.element_at(F.transform(F.array(end), fin), 1)
+
+            return F.coalesce(F.exists(first, chain_ok), F.lit(False))
+
+        return F.element_at(F.transform(F.array(starts_struct), sweep), 1)
 
 
 @dataclass

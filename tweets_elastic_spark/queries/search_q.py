@@ -476,6 +476,59 @@ def q_search_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_intervals_all_of",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang,
+          list_filter(list_transform(range(0, greatest(len(t)-1, 0)),
+              s -> CASE WHEN t[s+1] = 'vector' AND t[s+2] = 'merge'
+                   THEN s ELSE -1 END), p -> p >= 0) AS s1,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'order'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS s2
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(s1, a ->
+        list_min(list_filter(s2, x -> x > a + 1)) IS NOT NULL
+        AND list_min(list_filter(s2, x -> x > a + 1)) - a + 1 - 3 <= 5
+    )) > 0
+    """,
+    doc="ES intervals all_of (r8, the ordered contiguous-children "
+        "subset): the phrase 'vector merge' followed — strictly after, "
+        "in order — by 'order', with at most 5 uncovered positions "
+        "inside the composed span (Lucene's gaps() = span width minus "
+        "the children's combined width). The multi-phrase proximity "
+        "query. Child occurrence-start arrays are scan-local slice "
+        "comparisons; the anchor sweep greedily takes each next child's "
+        "earliest start after the previous end (exact for a fixed "
+        "anchor). The oracle replays the same greedy chain on the same "
+        "start arrays.",
+)
+def q_search_intervals_all_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(
+        {"query": {"intervals": {"text": {"all_of": {
+            "ordered": True,
+            "max_gaps": 5,
+            "intervals": [
+                {"match": {"query": "vector merge", "max_gaps": 0}},
+                {"match": {"query": "order"}},
+            ],
+        }}}}},
+        analyzers={"text": "standard"},
+    )
+    return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
     "es_aggs_date_histogram",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,

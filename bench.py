@@ -168,6 +168,8 @@ HEADLINE = [
     "span_dedup_rebuild",
     "es_rank_eval_err",
     "search_intervals_all_of",
+    "search_geo_bounding_box",
+    "es_aggs_geotile_grid",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

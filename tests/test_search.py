@@ -1704,6 +1704,40 @@ def test_geo_distance_agg_rings(spark):
         }}})
 
 
+def test_geo_bounding_box_and_geotile_grid(spark):
+    """r8 geo surface: bounding box (incl. antimeridian wrap) and
+    Web-Mercator geotile buckets with hand-computed tiles."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 50.0, -100.0), (3, -20.0, 170.0),
+         (4, 10.0, -175.0), (5, 88.0, 10.0)],
+        "id long, lat double, lon double",
+    )
+    geo = {"field": {"lat": "lat", "lon": "lon"}}
+    q = from_es_json({"geo_bounding_box": {
+        **geo, "top_left": {"lat": 60, "lon": -120},
+        "bottom_right": {"lat": -10, "lon": 20}}})
+    assert {r["id"] for r in search(df, q, k=None).collect()} == {1, 2}
+    # left > right crosses the antimeridian: wrapped longitude range
+    q2 = from_es_json({"geo_bounding_box": {
+        **geo, "top_left": {"lat": 60, "lon": 160},
+        "bottom_right": {"lat": -60, "lon": -170}}})
+    assert {r["id"] for r in search(df, q2, k=None).collect()} == {3, 4}
+    with pytest.raises(ValueError, match="latitude bounds"):
+        from_es_json({"geo_bounding_box": {
+            **geo, "top_left": {"lat": -10, "lon": 0},
+            "bottom_right": {"lat": 10, "lon": 20}}})
+    # geotile z=2 (n=4): (0,0)->2/2/2; lat 88 clamps to the Mercator
+    # limit -> y=0; lon -100 -> x=0
+    tiles = {r["tile"]: r["doc_count"] for r in es_aggregate(df, {
+        "tile": {"geotile_grid": {**geo, "precision": 2}}}).collect()}
+    assert tiles == {"2/0/1": 2, "2/2/0": 1, "2/2/2": 1, "2/3/2": 1}
+    with pytest.raises(ValueError, match="precision"):
+        es_aggregate(df, {"t": {"geotile_grid": {**geo, "precision": 30}}})
+
+
 def test_geo_distance_agg_ring_validation_parses_distances(spark):
     """Ring validation compares PARSED meters, not raw strings (r8 fix):
     '900km' < '1000km' numerically but sorts after it lexicographically,

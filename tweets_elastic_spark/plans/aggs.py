@@ -194,6 +194,47 @@ def _bucket_key(kind: str, body: dict) -> Column:
             return key
 
         return F.element_at(F.transform(F.array(dist), ring_key), 1)
+    if kind == "geotile_grid":
+        # ES geotile_grid: Web-Mercator map tiles, keys "z/x/y" (the
+        # slippy-map scheme every tile server uses). Same degree-column-
+        # pair location convention as the geo_distance family. Latitude
+        # clamps to ±85.05112878 (the Mercator limit, ES's contract);
+        # x/y clamp to [0, 2^z − 1] so the lon=180 / clamped-pole edges
+        # land in the last tile. The y formula is written with the exact
+        # operation sequence the oracle mirrors (ln(tan+1/cos), literal
+        # π), so tile-boundary floors agree bit-for-bit.
+        import math
+
+        fld = body.get("field")
+        if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+            raise ValueError(
+                "geotile_grid needs 'field': {'lat': col, 'lon': col}"
+            )
+        z = int(body.get("precision", 7))
+        if not 0 <= z <= 29:
+            raise ValueError(f"geotile_grid precision must be 0..29, got {z}")
+        extra = set(body) - {"field", "precision"}
+        if extra:
+            raise ValueError(f"unsupported geotile_grid keys: {sorted(extra)}")
+        n = float(1 << z)
+        lat = F.col(fld["lat"]).cast("double")
+        lon = F.col(fld["lon"]).cast("double")
+        lat_c = F.greatest(
+            F.least(lat, F.lit(85.05112878)), F.lit(-85.05112878)
+        )
+        r = F.radians(lat_c)
+        x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+        x = F.greatest(F.least(x, F.lit(int(n) - 1)), F.lit(0))
+        y = F.floor(
+            (F.lit(1.0) - F.log(F.tan(r) + F.lit(1.0) / F.cos(r))
+             / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)
+        )
+        y = F.greatest(F.least(y, F.lit(int(n) - 1)), F.lit(0))
+        return F.when(
+            lat.isNotNull() & lon.isNotNull(),
+            F.concat_ws("/", F.lit(str(z)), x.cast("string"),
+                        y.cast("string")),
+        )
     field = body["field"]
     src: Column = F.col(field)
     if "missing" in body:
@@ -810,7 +851,7 @@ def _adjacency_matrix_agg(
 
 
 _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
-                 "range", "geo_distance")
+                 "range", "geo_distance", "geotile_grid")
 # every kind _metric_cols can evaluate — the metric-only fast-path test
 # for global/sampler sub-aggs (anything else must recurse)
 _METRIC_KINDS = (

@@ -1307,6 +1307,42 @@ class GeoDistance(Query):
 
 
 @dataclass
+class GeoBoundingBox(Query):
+    """ES ``geo_bounding_box`` query (r8): documents whose point lies
+    inside the [bottom, top] × [left, right] degree box. Same numeric
+    degree-column-pair location convention as GeoDistance. A box whose
+    ``left > right`` crosses the antimeridian and matches the WRAPPED
+    longitude range (lon ≥ left OR lon ≤ right), ES's contract. Pure
+    scan-local comparisons — pushdown-eligible, non-scoring."""
+
+    lat_field: str
+    lon_field: str
+    top: float
+    left: float
+    bottom: float
+    right: float
+
+    def __post_init__(self):
+        if not (-90.0 <= self.bottom <= self.top <= 90.0):
+            raise ValueError(
+                f"bad latitude bounds: top={self.top}, bottom={self.bottom}"
+            )
+        for name, v in (("left", self.left), ("right", self.right)):
+            if not -180.0 <= v <= 180.0:
+                raise ValueError(f"bad longitude bound {name}={v}")
+
+    def predicate(self, spark, resolve) -> Column:
+        lat = resolve(self.lat_field).cast("double")
+        lon = resolve(self.lon_field).cast("double")
+        lat_ok = (lat >= F.lit(self.bottom)) & (lat <= F.lit(self.top))
+        if self.left <= self.right:
+            lon_ok = (lon >= F.lit(self.left)) & (lon <= F.lit(self.right))
+        else:  # antimeridian crossing: wrapped range
+            lon_ok = (lon >= F.lit(self.left)) | (lon <= F.lit(self.right))
+        return lat_ok & lon_ok
+
+
+@dataclass
 class Exists(Query):
     """Q6 (elastic_queries.json:33-36): field present and non-null."""
 
@@ -2023,7 +2059,8 @@ def from_es_json(
     operator set), ``fuzzy``, ``ids`` (bound to ``id_field``), ``range``,
     ``exists``, ``match_all``, ``constant_score``, ``dis_max``,
     ``boosting``, ``pinned``, ``distance_feature`` (numeric origin/pivot —
-    date-math strings convert before compiling), and ``script_score``
+    date-math strings convert before compiling), ``geo_distance``,
+    ``geo_bounding_box`` (antimeridian-aware), and ``script_score``
     (Painless arithmetic subset).
     Unknown clause types raise (never silently drop a predicate).
 
@@ -2531,6 +2568,32 @@ def from_es_json(
                 fld["lat"], fld["lon"],
                 lat=float(origin["lat"]), lon=float(origin["lon"]),
                 distance_m=parse_distance_meters(body["distance"]),
+            )
+        if kind == "geo_bounding_box":
+            extra = set(body) - {"field", "top_left", "bottom_right"}
+            if extra:
+                raise ValueError(
+                    f"unsupported geo_bounding_box keys: {sorted(extra)}"
+                )
+            fld = body.get("field")
+            if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+                raise ValueError(
+                    "geo_bounding_box needs 'field': {'lat': col, "
+                    "'lon': col} (a location is a numeric degree column "
+                    "pair)"
+                )
+            tl, br = body.get("top_left"), body.get("bottom_right")
+            for name, corner in (("top_left", tl), ("bottom_right", br)):
+                if not (isinstance(corner, dict)
+                        and {"lat", "lon"} <= set(corner)):
+                    raise ValueError(
+                        f"geo_bounding_box needs '{name}': "
+                        "{'lat': deg, 'lon': deg}"
+                    )
+            return GeoBoundingBox(
+                fld["lat"], fld["lon"],
+                top=float(tl["lat"]), left=float(tl["lon"]),
+                bottom=float(br["lat"]), right=float(br["lon"]),
             )
         if kind == "range":
             (field, bounds), = body.items()

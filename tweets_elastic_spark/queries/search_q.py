@@ -2274,6 +2274,94 @@ def q_es_aggs_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_geo_bounding_box",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id, user_id,
+               (value % 140) - 70 AS lat,
+               (user_id * 2.4) - 180 AS lon
+        FROM events
+    )
+    SELECT event_id, user_id
+    FROM pts
+    WHERE lat >= -10.0 AND lat <= 40.0
+      AND (lon >= 150.0 OR lon <= -120.0)
+    """,
+    doc="ES geo_bounding_box query (r8): documents inside a degree box "
+        "over the numeric degree column pair — and this box CROSSES the "
+        "antimeridian (left 150 > right -120), exercising the wrapped "
+        "longitude contract (lon >= left OR lon <= right). Pure "
+        "scan-local comparisons, pushdown-eligible, compiled through "
+        "from_es_json.",
+)
+def q_search_geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import search
+
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": (F.col("user_id") * 2.4) - 180,
+    })
+    q = from_es_json({"query": {"geo_bounding_box": {
+        "field": {"lat": "lat", "lon": "lon"},
+        "top_left": {"lat": 40.0, "lon": 150.0},
+        "bottom_right": {"lat": -10.0, "lon": -120.0},
+    }}})
+    return search(events, q, k=None).select("event_id", "user_id")
+
+
+@register(
+    "es_aggs_geotile_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT value,
+               (value % 140) - 70 AS lat,
+               (user_id * 2.4) - 180 AS lon
+        FROM events
+    ), t AS (
+        SELECT value,
+               greatest(least(floor((lon + 180.0) / 360.0 * 16.0), 15), 0)
+                   AS x,
+               greatest(least(floor(
+                   (1.0 - ln(tan(radians(
+                        greatest(least(lat, 85.05112878), -85.05112878)))
+                      + 1.0 / cos(radians(
+                        greatest(least(lat, 85.05112878), -85.05112878))))
+                    / pi()) / 2.0 * 16.0), 15), 0) AS y
+        FROM pts
+    )
+    SELECT '4/' || CAST(CAST(x AS BIGINT) AS VARCHAR) || '/'
+               || CAST(CAST(y AS BIGINT) AS VARCHAR) AS tile,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value), 6) AS mean_value
+    FROM t
+    GROUP BY 1
+    """,
+    doc="ES geotile_grid bucket agg (r8): Web-Mercator slippy-map tiles "
+        "at precision 4, keys 'z/x/y', carrying an avg metric. Latitude "
+        "clamps to the Mercator limit (±85.05112878) and x/y clamp to "
+        "[0, 2^z−1] — ES's contract for the lon=180/pole edges. The y "
+        "formula is written with the exact operation sequence the oracle "
+        "mirrors (ln(tan+1/cos), literal π), so tile-boundary floors "
+        "agree bit-for-bit. One groupBy on the computed key.",
+)
+def q_es_aggs_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": (F.col("user_id") * 2.4) - 180,
+    })
+    out = es_aggregate(events, {"tile": {
+        "geotile_grid": {"field": {"lat": "lat", "lon": "lon"},
+                         "precision": 4},
+        "aggs": {"mean_value": {"avg": {"field": "value"}}},
+    }})
+    return out.select(
+        "tile", "doc_count", F.round("mean_value", 6).alias("mean_value")
+    )
+
+
+@register(
     "es_aggs_filters_metrics",
     oracle="""
     SELECT 'big_clicks' AS which,

@@ -170,6 +170,7 @@ HEADLINE = [
     "search_intervals_all_of",
     "search_geo_bounding_box",
     "es_aggs_geotile_grid",
+    "es_aggs_geohash_grid",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1738,6 +1738,28 @@ def test_geo_bounding_box_and_geotile_grid(spark):
         es_aggregate(df, {"t": {"geotile_grid": {**geo, "precision": 30}}})
 
 
+def test_geohash_grid_classic_vectors(spark):
+    """geohash_grid (r8) against the canonical test vectors: Jutland
+    (57.64911, 10.40744) → u4pruyd…, León (42.605, −5.603) → ezs42…"""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744), (2, 42.605, -5.603)],
+        "id long, lat double, lon double",
+    )
+    geo = {"field": {"lat": "lat", "lon": "lon"}}
+
+    def cells(p):
+        return {r["g"] for r in es_aggregate(df, {
+            "g": {"geohash_grid": {**geo, "precision": p}}}).collect()}
+
+    assert cells(1) == {"u", "e"}
+    assert cells(5) == {"u4pru", "ezs42"}
+    assert cells(7) == {"u4pruyd", "ezs42s0"}
+    with pytest.raises(ValueError, match="precision must be 1..12"):
+        es_aggregate(df, {"g": {"geohash_grid": {**geo, "precision": 13}}})
+
+
 def test_geo_distance_agg_ring_validation_parses_distances(spark):
     """Ring validation compares PARSED meters, not raw strings (r8 fix):
     '900km' < '1000km' numerically but sorts after it lexicographically,

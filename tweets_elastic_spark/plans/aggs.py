@@ -194,6 +194,74 @@ def _bucket_key(kind: str, body: dict) -> Column:
             return key
 
         return F.element_at(F.transform(F.array(dist), ring_key), 1)
+    if kind == "geohash_grid":
+        # ES geohash_grid: the classic base32 geohash cell per point.
+        # A precision-p geohash is 5p bits of alternating lon/lat
+        # bisections; equivalently quantize lon to ceil(5p/2) bits and
+        # lat to floor(5p/2) bits, INTERLEAVE (lon bit first), and
+        # base32-encode 5 bits per character — closed-form bit math, no
+        # iteration, so the whole key is one codegen'd JVM expression
+        # and the oracle mirrors it operator-for-operator.
+        fld = body.get("field")
+        if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+            raise ValueError(
+                "geohash_grid needs 'field': {'lat': col, 'lon': col}"
+            )
+        p = int(body.get("precision", 5))
+        if not 1 <= p <= 12:
+            raise ValueError(
+                f"geohash_grid precision must be 1..12, got {p}"
+            )
+        extra = set(body) - {"field", "precision"}
+        if extra:
+            raise ValueError(
+                f"unsupported geohash_grid keys: {sorted(extra)}"
+            )
+        total = 5 * p
+        n_lon = (total + 1) // 2
+        n_lat = total // 2
+        lat = F.col(fld["lat"]).cast("double")
+        lon = F.col(fld["lon"]).cast("double")
+
+        def quant(v: Column, lo: float, span: float, nbits: int) -> Column:
+            q = F.floor((v - F.lit(lo)) / F.lit(span) * F.lit(float(1 << nbits)))
+            return F.greatest(
+                F.least(q, F.lit((1 << nbits) - 1)), F.lit(0)
+            ).cast("long")
+
+        lon_q = quant(lon, -180.0, 360.0, n_lon)
+        lat_q = quant(lat, -90.0, 180.0, n_lat)
+        # interleave: lon bit i (from the top) lands at interleaved
+        # position 2i, lat bit i at 2i+1 (bit 0 = most significant)
+        v: Column = F.lit(0).cast("long")
+        for i in range(n_lon):
+            v = v + F.shiftleft(
+                F.shiftright(lon_q, n_lon - 1 - i).bitwiseAND(F.lit(1)),
+                total - 1 - 2 * i,
+            )
+        for i in range(n_lat):
+            v = v + F.shiftleft(
+                F.shiftright(lat_q, n_lat - 1 - i).bitwiseAND(F.lit(1)),
+                total - 2 - 2 * i,
+            )
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+        def encode(vv: Column) -> Column:
+            # vv is BOUND once (a lambda variable): the p character
+            # extractions would otherwise each re-evaluate the ~5p-term
+            # interleave sum (Catalyst does not CSE)
+            return F.concat(*[
+                F.substring(
+                    F.lit(b32),
+                    (F.shiftright(vv, 5 * (p - 1 - g))
+                     .bitwiseAND(F.lit(31)) + 1).cast("int"),
+                    1,
+                )
+                for g in range(p)
+            ])
+
+        key = F.element_at(F.transform(F.array(v), encode), 1)
+        return F.when(lat.isNotNull() & lon.isNotNull(), key)
     if kind == "geotile_grid":
         # ES geotile_grid: Web-Mercator map tiles, keys "z/x/y" (the
         # slippy-map scheme every tile server uses). Same degree-column-
@@ -851,7 +919,7 @@ def _adjacency_matrix_agg(
 
 
 _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
-                 "range", "geo_distance", "geotile_grid")
+                 "range", "geo_distance", "geotile_grid", "geohash_grid")
 # every kind _metric_cols can evaluate — the metric-only fast-path test
 # for global/sampler sub-aggs (anything else must recurse)
 _METRIC_KINDS = (

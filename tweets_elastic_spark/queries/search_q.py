@@ -2361,6 +2361,83 @@ def q_es_aggs_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geohash_oracle(p: int) -> str:
+    """The geohash interleave arithmetic, mirrored operator-for-operator
+    in SQL (like the dHash oracle): quantize, interleave lon-first,
+    base32 per 5 bits."""
+    total = 5 * p
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    terms = []
+    for i in range(n_lon):
+        terms.append(f"((lonq >> {n_lon - 1 - i}) & 1) "
+                     f"* {1 << (total - 1 - 2 * i)}")
+    for i in range(n_lat):
+        terms.append(f"((latq >> {n_lat - 1 - i}) & 1) "
+                     f"* {1 << (total - 2 - 2 * i)}")
+    vsum = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((v >> {5 * (p - 1 - g)}) & 31) + 1 AS INT), 1)"
+        for g in range(p)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT value,
+               (value % 140) - 70 AS lat,
+               (user_id * 2.4) - 180 AS lon
+        FROM events
+    ), q AS (
+        SELECT value,
+               CAST(greatest(least(floor((lon + 180.0) / 360.0 *
+                    {float(1 << n_lon)}), {(1 << n_lon) - 1}), 0)
+                    AS BIGINT) AS lonq,
+               CAST(greatest(least(floor((lat + 90.0) / 180.0 *
+                    {float(1 << n_lat)}), {(1 << n_lat) - 1}), 0)
+                    AS BIGINT) AS latq
+        FROM pts
+    ), iv AS (
+        SELECT value, {vsum} AS v FROM q
+    )
+    SELECT {chars} AS cell,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value), 6) AS mean_value
+    FROM iv
+    GROUP BY 1
+    """
+
+
+@register(
+    "es_aggs_geohash_grid",
+    oracle=_geohash_oracle(3),
+    doc="ES geohash_grid bucket agg (r8): the classic base32 geohash "
+        "cell per point at precision 3, carrying an avg metric. A "
+        "precision-p hash is 5p bits of alternating lon/lat bisections "
+        "— computed CLOSED-FORM (quantize lon to ceil(5p/2) bits, lat "
+        "to floor(5p/2), interleave lon-first, base32 per 5 bits), so "
+        "the key is one codegen'd JVM bit-math expression with the "
+        "interleave bound once; verified against the classic test "
+        "vectors (u4pruyd / ezs42) in pytest, and the oracle mirrors "
+        "the arithmetic operator-for-operator. One groupBy on the "
+        "computed key.",
+)
+def q_es_aggs_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": (F.col("user_id") * 2.4) - 180,
+    })
+    out = es_aggregate(events, {"cell": {
+        "geohash_grid": {"field": {"lat": "lat", "lon": "lon"},
+                         "precision": 3},
+        "aggs": {"mean_value": {"avg": {"field": "value"}}},
+    }})
+    return out.select(
+        "cell", "doc_count", F.round("mean_value", 6).alias("mean_value")
+    )
+
+
 @register(
     "es_aggs_filters_metrics",
     oracle="""

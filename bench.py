@@ -171,6 +171,7 @@ HEADLINE = [
     "search_geo_bounding_box",
     "es_aggs_geotile_grid",
     "es_aggs_geohash_grid",
+    "es_aggs_geo_centroid",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

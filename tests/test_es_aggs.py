@@ -113,10 +113,14 @@ def test_ambiguous_and_unknown_shapes_raise(spark, sales):
             }
         })
     with pytest.raises(ValueError, match="unsupported bucket aggregation"):
-        es_aggregate(sales, {"b": {"geohash_grid": {"field": "amount"}}})
-    # geo_distance is supported since r7 but validates its field shape
+        es_aggregate(sales, {"b": {"variable_width_histogram":
+                                   {"field": "amount"}}})
+    # the geo bucket kinds are supported since r7/r8 but validate their
+    # degree-column-pair field shape
     with pytest.raises(ValueError, match="lat.*lon"):
         es_aggregate(sales, {"b": {"geo_distance": {"field": "amount"}}})
+    with pytest.raises(ValueError, match="lat.*lon"):
+        es_aggregate(sales, {"b": {"geohash_grid": {"field": "amount"}}})
     with pytest.raises(ValueError, match="unsupported aggregation type"):
         es_aggregate(sales, {
             "b": {

@@ -1738,6 +1738,31 @@ def test_geo_bounding_box_and_geotile_grid(spark):
         es_aggregate(df, {"t": {"geotile_grid": {**geo, "precision": 30}}})
 
 
+def test_geo_centroid_metric(spark):
+    """geo_centroid (r8): per-bucket coordinate means + point count;
+    docs missing either coordinate drop out of the centroid."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 20.0), ("a", 30.0, -40.0), ("a", None, 7.0),
+         ("b", -5.0, 5.0)],
+        "k string, lat double, lon double",
+    )
+    rows = {r["k"]: r for r in es_aggregate(df, {"k": {
+        "terms": {"field": "k"},
+        "aggs": {"c": {"geo_centroid": {
+            "field": {"lat": "lat", "lon": "lon"}}}},
+    }}).collect()}
+    assert (rows["a"]["c_lat"], rows["a"]["c_lon"], rows["a"]["c_count"]) \
+        == (20.0, -10.0, 2)     # the null-lat point is excluded
+    assert rows["a"]["doc_count"] == 3
+    assert (rows["b"]["c_lat"], rows["b"]["c_lon"]) == (-5.0, 5.0)
+    with pytest.raises(ValueError, match="geo_centroid needs"):
+        es_aggregate(df, {"k": {"terms": {"field": "k"},
+                                "aggs": {"c": {"geo_centroid": {
+                                    "field": "lat"}}}}})
+
+
 def test_geohash_grid_classic_vectors(spark):
     """geohash_grid (r8) against the canonical test vectors: Jutland
     (57.64911, 10.40744) → u4pruyd…, León (42.605, −5.603) → ezs42…"""

@@ -463,6 +463,24 @@ def _metric_cols(aggs: dict) -> list[Column]:
                         F.round(F.percentile(c, float(p) / 100.0), 6)
                         .alias(f"{name}_p{label}")
                     )
+        elif kind == "geo_centroid":
+            # ES geo_centroid: the arithmetic mean of the bucket's
+            # coordinates (ES's documented computation) plus the point
+            # count, over the degree column pair. Docs missing EITHER
+            # coordinate drop out (ES's contract for incomplete points).
+            fld = body.get("field")
+            if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+                raise ValueError(
+                    "geo_centroid needs 'field': {'lat': col, 'lon': col}"
+                )
+            lat = F.col(fld["lat"]).cast("double")
+            lon = F.col(fld["lon"]).cast("double")
+            both = lat.isNotNull() & lon.isNotNull()
+            out += [
+                F.round(F.avg(F.when(both, lat)), 6).alias(f"{name}_lat"),
+                F.round(F.avg(F.when(both, lon)), 6).alias(f"{name}_lon"),
+                F.count(F.when(both, 1)).alias(f"{name}_count"),
+            ]
         elif kind == "stats":
             c = F.col(body["field"])
             out += [
@@ -926,7 +944,7 @@ _METRIC_KINDS = (
     "sum", "avg", "min", "max", "value_count", "cardinality",
     "percentiles", "percentile_ranks", "stats", "extended_stats",
     "weighted_avg", "median_absolute_deviation", "string_stats",
-    "boxplot", "top_metrics",
+    "boxplot", "top_metrics", "geo_centroid",
 )
 
 

@@ -2439,6 +2439,47 @@ def q_es_aggs_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_aggs_geo_centroid",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               (value % 140) - 70 AS lat,
+               (user_id * 2.4) - 180 AS lon
+        FROM events
+        WHERE event_type IS NOT NULL
+    )
+    SELECT event_type AS by_type,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(lat), 6) AS c_lat,
+           round(avg(lon), 6) AS c_lon,
+           CAST(count(*) AS BIGINT) AS c_count
+    FROM pts
+    GROUP BY 1
+    """,
+    doc="ES geo_centroid metric agg (r8) under a terms bucket: the "
+        "arithmetic mean of each bucket's coordinates (ES's documented "
+        "computation) plus the point count, over the degree column "
+        "pair; docs missing either coordinate drop out. One groupBy, "
+        "three plain aggregates riding the same partial/final plan.",
+)
+def q_es_aggs_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": (F.col("user_id") * 2.4) - 180,
+    })
+    return es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"c": {"geo_centroid": {
+            "field": {"lat": "lat", "lon": "lon"}}}},
+    }}).select(
+        "by_type", "doc_count",
+        F.col("c_lat"), F.col("c_lon"), F.col("c_count"),
+    )
+
+
+@register(
     "es_aggs_filters_metrics",
     oracle="""
     SELECT 'big_clicks' AS which,

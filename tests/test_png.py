@@ -1,0 +1,154 @@
+"""PNG codec (functions/png) — pure stdlib zlib + NumPy, no PIL.
+
+PNG is lossless, so every round trip must be bit-exact — across all five
+scanline filters, every supported color type, sub-byte depths and Adam7
+interlace. Error paths (bad signature, chunk CRC, 16-bit, unknown
+filter) must be loud. The Spark-side tests drive the codec through the
+same mapInPandas seams the PPM/JPEG paths use."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tweets_elastic_spark.functions.png import (
+    PNG_SIGNATURE,
+    _chunk,
+    decode_png,
+    encode_png,
+    png_dimensions,
+)
+
+
+def _rand_img(h=23, w=17, seed=7):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _raw_png(w, h, depth, ctype, raw_rows, palette=None, interlace=0):
+    """Hand-assemble a PNG from already-filtered scanline bytes."""
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(raw_rows)) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_every_filter(filter_type):
+    img = _rand_img()
+    payload = encode_png(img, filter_type=filter_type)
+    assert np.array_equal(decode_png(payload), img)
+    assert png_dimensions(payload) == (17, 23)
+
+
+def test_gray8_and_alpha_variants():
+    rng = np.random.RandomState(1)
+    g = rng.randint(0, 256, (5, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(5))
+    assert np.array_equal(
+        decode_png(_raw_png(7, 5, 8, 0, raw)), np.stack([g, g, g], axis=2)
+    )
+    rgba = rng.randint(0, 256, (4, 6, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    assert np.array_equal(decode_png(_raw_png(6, 4, 8, 6, raw)), rgba[:, :, :3])
+    ga = rng.randint(0, 256, (3, 5, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(3))
+    out = decode_png(_raw_png(5, 3, 8, 4, raw))
+    assert np.array_equal(out[:, :, 0], ga[:, :, 0])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
+def test_subbyte_gray_scaling():
+    # depth 1: 0/1 -> 0/255; depth 2: x*85; depth 4: x*17
+    bits = np.array([1, 0, 1, 1, 0, 1, 0, 0, 1, 1], dtype=np.uint8)
+    payload = _raw_png(10, 1, 1, 0, b"\x00" + np.packbits(bits).tobytes())
+    assert np.array_equal(decode_png(payload)[0, :, 0], bits * 255)
+    vals2 = [3, 0, 2, 1, 3]  # width 5, depth 2 -> 2 bytes packed
+    packed = bytes([0b11_00_10_01, 0b11_00_00_00])
+    payload = _raw_png(5, 1, 2, 0, b"\x00" + packed)
+    assert decode_png(payload)[0, :, 0].tolist() == [v * 85 for v in vals2]
+
+
+def test_palette_4bit_lookup():
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    packed = bytes([3 << 4 | 15, 7 << 4])  # indices 3, 15, 7 at width 3
+    out = decode_png(_raw_png(3, 1, 4, 3, b"\x00" + packed, palette=pal))
+    assert np.array_equal(out[0], pal[[3, 15, 7]])
+    with pytest.raises(ValueError, match="palette index out of range"):
+        small = np.arange(9, dtype=np.uint8).reshape(3, 3)
+        decode_png(_raw_png(3, 1, 4, 3, b"\x00" + packed, palette=small))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_raw_png(3, 1, 4, 3, b"\x00" + packed))
+
+
+def test_adam7_interlace_roundtrip():
+    img = _rand_img(h=9, w=11, seed=3)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    out = decode_png(_raw_png(11, 9, 8, 2, bytes(raw), interlace=1))
+    assert np.array_equal(out, img)
+
+
+def test_error_paths_are_loud():
+    img = _rand_img(h=4, w=4)
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"JFIF" + good[4:])
+    corrupt = bytearray(good)
+    corrupt[20] ^= 1
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(_raw_png(1, 1, 16, 0, b"\x00\x00\x00"))
+    with pytest.raises(ValueError, match="unknown PNG filter type"):
+        decode_png(_raw_png(2, 1, 8, 0, b"\x07\x01\x02"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(_raw_png(4, 4, 8, 2, b"\x00" + b"\x01" * 5))
+    with pytest.raises(NotImplementedError, match="sub-byte Adam7"):
+        decode_png(_raw_png(2, 2, 4, 0, b"\x00\x11", interlace=1))
+    with pytest.raises(ValueError, match="expects"):
+        encode_png(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="invalid PNG filter"):
+        encode_png(img, filter_type=9)
+
+
+def test_spark_decode_resize_dhash(spark):
+    """PNG through the three mapInPandas seams: metadata decode, resize
+    (re-encoded as PNG, still lossless), and the dHash near-dup sketch
+    (magic-dispatched next to PPM/JPEG)."""
+    from tweets_elastic_spark.functions.multimodal import (
+        decode_assets, image_dhash, resize_images,
+    )
+
+    imgs = [_rand_img(h=16, w=12, seed=s) for s in range(3)]
+    rows = [
+        (i, "image", bytearray(encode_png(img, filter_type=i % 5)), "image/png")
+        for i, img in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary, mime_type string"
+    )
+    meta = {r["asset_id"]: r for r in decode_assets(df).collect()}
+    assert meta[0]["width"] == 12 and meta[0]["height"] == 16
+
+    resized = {r["asset_id"]: r for r in resize_images(df, 6, 8).collect()}
+    # nearest-neighbor: output pixel (y, x) samples input ((y*16)//8, (x*12)//6)
+    out = decode_png(bytes(resized[1]["payload"]))
+    rows_idx = (np.arange(8) * 16) // 8
+    cols_idx = (np.arange(6) * 12) // 6
+    assert np.array_equal(out, imgs[1][rows_idx][:, cols_idx])
+
+    from tweets_elastic_spark.functions.multimodal import dhash64
+
+    sigs = {r["_id"]: r["_sig"] for r in image_dhash(df).collect()}
+    assert sigs == {i: dhash64(img) for i, img in enumerate(imgs)}

@@ -9,11 +9,13 @@ formats the Python stdlib can handle and clearly-marked stubs for the rest:
 * **Real**: binary netpbm P6 (PPM) images — header parse, pixel access,
   nearest-neighbor resize (``resize_images``), channel-mean features —
   baseline JPEG (r8: full SOF0/Huffman decoder + encoder in
-  ``functions/jpeg``, pure stdlib+NumPy), and RIFF/WAV audio via the
-  stdlib ``wave`` module (sample-rate/frame counts). No external library
-  involved; these paths are exact and tested.
-* **Stub**: the remaining compressed codecs (PNG/MP4/MP3) need
-  PIL/ffmpeg, which this container doesn't ship — ``_decode_one`` raises
+  ``functions/jpeg``, pure stdlib+NumPy), PNG (r8: full zlib-inflate +
+  unfilter decoder incl. palette/sub-byte/Adam7 in ``functions/png``),
+  and RIFF/WAV audio via the stdlib ``wave`` module (sample-rate/frame
+  counts). No external library involved; these paths are exact and
+  tested.
+* **Stub**: the remaining compressed codecs (MP4/MP3) need ffmpeg,
+  which this container doesn't ship — ``_decode_one`` raises
   ``NotImplementedError`` for those mimes so the boundary is
   unmistakable; the deterministic fake (``application/x-fake``,
   byte-length pseudo-dims) keeps the plumbing testable at scale.
@@ -53,11 +55,12 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, byte_offset long, frame_sha strin
 MIME_PPM = "image/x-portable-pixmap"
 MIME_WAV = "audio/x-wav"
 MIME_JPEG = "image/jpeg"  # real baseline decoder since r8 (functions/jpeg)
+MIME_PNG = "image/png"    # real zlib+unfilter decoder since r8 (functions/png)
 # the synthetic fixture payloads (attach_payload) — the ONLY mime that gets
 # deterministic fake dimensions
 MIME_FAKE = "application/x-fake"
-# compressed formats that genuinely need PIL/ffmpeg — stubbed
-STUB_MIMES = {"image/png", "video/mp4", "audio/mpeg"}
+# compressed formats that genuinely need ffmpeg — stubbed
+STUB_MIMES = {"video/mp4", "audio/mpeg"}
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +134,10 @@ def _decode_one(payload: bytes, modality: str, mime: str) -> tuple[int, int]:
         from tweets_elastic_spark.functions.jpeg import jpeg_dimensions
 
         return jpeg_dimensions(payload)
+    if mime == MIME_PNG:
+        from tweets_elastic_spark.functions.png import png_dimensions
+
+        return png_dimensions(payload)
     if mime == MIME_WAV:
         rate, frames = decode_wav_meta(payload)
         return rate, frames
@@ -171,16 +178,17 @@ RESIZED_SCHEMA = "asset_id long, payload binary, width int, height int"
 
 
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL nearest-neighbor resize for PPM and baseline-JPEG images (pure
-    NumPy index sampling), re-encoded in the input's format — the
+    """REAL nearest-neighbor resize for PPM, baseline-JPEG and PNG images
+    (pure NumPy index sampling), re-encoded in the input's format — the
     canonical payload-transforming multimodal op: binary in, binary out,
     narrow (no shuffle), payload never leaves the executor. Other mimes
-    raise (resize of PNG/MP4 needs a real decoder first)."""
+    raise (resize of MP4 needs a real decoder first)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tweets_elastic_spark.functions.jpeg import (
             decode_jpeg, encode_jpeg,
         )
+        from tweets_elastic_spark.functions.png import decode_png, encode_png
 
         for pdf in batches:
             out_payload = []
@@ -190,8 +198,10 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
                 elif t == MIME_JPEG:
                     img = decode_jpeg(bytes(p))
                     enc = lambda px: encode_jpeg(px, quality=90)
+                elif t == MIME_PNG:
+                    img, enc = decode_png(bytes(p)), encode_png
                 else:
-                    raise NotImplementedError(f"resize for {t} requires PIL")
+                    raise NotImplementedError(f"resize for {t} requires ffmpeg")
                 h, w = img.shape[:2]
                 rows = (np.arange(height) * h) // height
                 cols = (np.arange(width) * w) // width
@@ -215,13 +225,15 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tweets_elastic_spark.functions.jpeg import decode_jpeg
+        from tweets_elastic_spark.functions.png import decode_png
 
         for pdf in batches:
             feats = []
             for p, t in zip(pdf["payload"], pdf["mime_type"]):
-                if t in (MIME_PPM, MIME_JPEG):
+                if t in (MIME_PPM, MIME_JPEG, MIME_PNG):
                     # real image features: per-channel mean/std, tiled to dim
-                    img = (decode_jpeg(bytes(p)) if t == MIME_JPEG
+                    decoders = {MIME_JPEG: decode_jpeg, MIME_PNG: decode_png}
+                    img = (decoders[t](bytes(p)) if t in decoders
                            else decode_ppm(p)).astype(np.float32)
                     stats = np.concatenate(
                         [img.mean(axis=(0, 1)) / 255.0, img.std(axis=(0, 1)) / 255.0]
@@ -291,15 +303,17 @@ def image_dhash(
     payload_col: str = "payload",
     id_col: str = "asset_id",
 ) -> DataFrame:
-    """(_id, _sig): 64-bit perceptual hash per decodable image — P6 PPM or
-    baseline JPEG (r8), dispatched by payload magic (``P6`` / ``FF D8``).
-    Arrow-batched mapInPandas; undecodable payloads are dropped (the
-    quarantine channel owns them). The payload never shuffles — only the
-    8-byte sketch leaves the scan."""
+    """(_id, _sig): 64-bit perceptual hash per decodable image — P6 PPM,
+    baseline JPEG (r8) or PNG (r8), dispatched by payload magic
+    (``P6`` / ``FF D8`` / ``\\x89PNG``). Arrow-batched mapInPandas;
+    undecodable payloads are dropped (the quarantine channel owns them).
+    The payload never shuffles — only the 8-byte sketch leaves the
+    scan."""
     out_schema = "_id long, _sig long"
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tweets_elastic_spark.functions.jpeg import decode_jpeg
+        from tweets_elastic_spark.functions.png import PNG_SIGNATURE, decode_png
 
         for b in batches:
             ids, sigs = [], []
@@ -308,6 +322,8 @@ def image_dhash(
                 try:
                     if p[:2] == b"\xFF\xD8":
                         sigs.append(dhash64(decode_jpeg(p)))
+                    elif p[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+                        sigs.append(dhash64(decode_png(p)))
                     else:
                         sigs.append(dhash64(decode_ppm(p)))
                     ids.append(i)

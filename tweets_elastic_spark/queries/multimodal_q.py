@@ -64,17 +64,21 @@ _IMG_ROWS = [(i * _IMG_H) // 8 for i in range(8)]
 _IMG_COLS = [(i * _IMG_W) // 9 for i in range(9)]
 
 
-def _planted_ppm_assets(docs: DataFrame) -> DataFrame:
-    """(asset_id, payload): P6 images whose grid pixels (the only ones
-    dHash samples) come from hash60(gid:y:x:c) % 256 with gid = doc_id//4,
-    plus (doc_id % 4) noise on pixel (0,0,0) — four near-identical
-    variants per group, everything else deterministic."""
+def _planted_grid_assets(docs: DataFrame, salt: str = "", codec: str = "ppm") -> DataFrame:
+    """(asset_id, payload): images whose grid pixels (the only ones
+    dHash samples) come from hash60(salt + gid:y:x:c) % 256 with
+    gid = doc_id//4, plus (doc_id % 4) noise on pixel (0,0,0) — four
+    near-identical variants per group, everything else deterministic.
+    ``codec='ppm'`` emits P6 bytes; ``codec='png'`` emits real PNG bytes
+    with the scanline filter cycled per image (doc_id % 5) so the
+    oracle-gated row drives every decoder unfilter path."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
     from tweets_elastic_spark.functions.multimodal import encode_ppm
+    from tweets_elastic_spark.functions.png import encode_png
 
     rows_, cols_ = _IMG_ROWS, _IMG_COLS
     h, w = _IMG_H, _IMG_W
@@ -92,7 +96,7 @@ def _planted_ppm_assets(docs: DataFrame) -> DataFrame:
                 for y in rows_:
                     for x in cols_:
                         for c in range(3):
-                            px[y, x, c] = h60(f"{gid}:{y}:{x}:{c}") % 256
+                            px[y, x, c] = h60(f"{salt}{gid}:{y}:{x}:{c}") % 256
                 got = base_cache[gid] = px
             return got
 
@@ -103,7 +107,10 @@ def _planted_ppm_assets(docs: DataFrame) -> DataFrame:
                 px = base_pixels(did // 4).copy()
                 px[0, 0, 0] = (int(px[0, 0, 0]) + did % 4) % 256
                 ids.append(did)
-                payloads.append(bytearray(encode_ppm(px)))
+                if codec == "png":
+                    payloads.append(bytearray(encode_png(px, filter_type=did % 5)))
+                else:
+                    payloads.append(bytearray(encode_ppm(px)))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(
@@ -111,11 +118,15 @@ def _planted_ppm_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _image_dedup_oracle() -> str:
+def _planted_ppm_assets(docs: DataFrame) -> DataFrame:
+    return _planted_grid_assets(docs, salt="", codec="ppm")
+
+
+def _image_dedup_oracle(salt: str = "") -> str:
     from tweets_elastic_spark.functions.hashing import hash60_sql
 
     def px(y: int, x: int, c: int) -> str:
-        feat = f"gid::VARCHAR || ':{y}:{x}:{c}'"
+        feat = f"'{salt}' || gid::VARCHAR || ':{y}:{x}:{c}'"
         base = f"{hash60_sql(feat)} % 256"
         if y == 0 and x == 0 and c == 0:
             return f"(({base}) + doc_id % 4) % 256"
@@ -317,6 +328,31 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = image_near_dups(assets, max_distance=3)
     from pyspark.sql import functions as F
 
+    return out.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    )
+
+
+@register(
+    "image_near_dups_png",
+    oracle=_image_dedup_oracle(salt="n:"),
+    doc="Perceptual near-dup over REAL PNG payloads (r8): the pure-stdlib "
+        "zlib+unfilter PNG codec encodes the deterministic pixel grid with "
+        "the scanline filter cycled per image (None/Sub/Up/Average/Paeth by "
+        "doc_id % 5) — PNG is lossless, so decode(encode(px)) is exact for "
+        "every filter and the oracle recomputes the dHash bits "
+        "arithmetically from the same pixel formula. A green row pins "
+        "signature/chunk/CRC parse -> inflate -> all five unfilter paths -> "
+        "grayscale -> 9x8 resample -> dHash -> banding end-to-end.",
+)
+def q_image_near_dups_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.functions.multimodal import image_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _planted_grid_assets(docs, salt="n:", codec="png")
+    out = image_near_dups(assets, max_distance=3)
     return out.select(
         "id_a", "id_b", F.col("distance").cast("int").alias("distance")
     )

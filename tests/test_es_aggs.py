@@ -2056,3 +2056,135 @@ def test_inner_hits_ties_bad_direction_null_group_and_pages(spark):
                        tiebreak="id").collect()
     got = {r["region"]: [h["id"] for h in r["h"]] for r in page2}
     assert got["eu"] == [1, 2]  # unchanged despite the cursor
+
+
+def test_normalize_methods_rescale100_mean_and_guards(spark):
+    """The two normalize methods the oracle-gated query doesn't cover
+    (rescale_0_100, mean), hand-computed, plus the loud guard surface."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 2.0), (2.0, 5.0)], "h double, v double"
+    )
+    out = es_aggregate(df, {"b": {
+        "histogram": {"field": "h", "interval": 1},
+        "aggs": {
+            "m": {"max": {"field": "v"}},
+            "r100": {"normalize": {"buckets_path": "m",
+                                   "method": "rescale_0_100"}},
+            "mn": {"normalize": {"buckets_path": "m", "method": "mean"}},
+        },
+    }}).orderBy("b").collect()
+    # values 1,2,5: min 1, max 5, mean 8/3
+    assert [round(r["r100"], 6) for r in out] == [0.0, 25.0, 100.0]
+    assert [round(r["mn"], 6) for r in out] == [
+        round((v - 8 / 3) / 4, 6) for v in (1.0, 2.0, 5.0)
+    ]
+    with pytest.raises(ValueError, match="unsupported normalize method"):
+        es_aggregate(df, {"b": {
+            "histogram": {"field": "h", "interval": 1},
+            "aggs": {"m": {"max": {"field": "v"}},
+                     "n": {"normalize": {"buckets_path": "m",
+                                         "method": "median"}}},
+        }})
+    with pytest.raises(ValueError, match="unsupported normalize keys"):
+        es_aggregate(df, {"b": {
+            "histogram": {"field": "h", "interval": 1},
+            "aggs": {"m": {"max": {"field": "v"}},
+                     "n": {"normalize": {"buckets_path": "m",
+                                         "method": "mean", "window": 3}}},
+        }})
+
+
+def test_matrix_stats_missing_contract_and_guards(spark):
+    """Docs missing ANY field drop entirely (ES's contract); ``missing``
+    substitutes per field before the validity check; <2 fields and
+    unknown params raise."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, None),
+         ("a", 4.0, 40.0)],
+        "k string, x double, y double",
+    )
+    row = es_aggregate(df, {"g": {
+        "terms": {"field": "k"},
+        "aggs": {"ms": {"matrix_stats": {"fields": ["x", "y"]}}},
+    }}).head()
+    assert row["ms_count"] == 3  # the (3.0, NULL) doc is excluded
+    assert row["ms_x_mean"] == round((1 + 2 + 4) / 3, 6)
+    # missing substitution revives the dropped doc
+    row = es_aggregate(df, {"g": {
+        "terms": {"field": "k"},
+        "aggs": {"ms": {"matrix_stats": {"fields": ["x", "y"],
+                                         "missing": {"y": 30.0}}}},
+    }}).head()
+    assert row["ms_count"] == 4
+    assert row["ms_y_mean"] == 25.0
+    with pytest.raises(ValueError, match="LIST of >= 2 fields"):
+        es_aggregate(df, {"g": {"terms": {"field": "k"},
+                                "aggs": {"ms": {"matrix_stats": {
+                                    "fields": ["x"]}}}}})
+    with pytest.raises(ValueError, match="unsupported matrix_stats"):
+        es_aggregate(df, {"g": {"terms": {"field": "k"},
+                                "aggs": {"ms": {"matrix_stats": {
+                                    "fields": ["x", "y"], "mode": "u"}}}}})
+
+
+def test_t_test_paired_homoscedastic_and_p_anchors(spark):
+    """paired and homoscedastic variants vs an independent numpy
+    computation; the attached p value vs the Student-CDF anchors; the
+    guard surface (paired+filter, unknown type, bad leg keys)."""
+    import numpy as np
+
+    from tweets_elastic_spark.functions.studentt import student_t_two_sided_p
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    a = [3.1, 4.2, 2.8, 5.0, 3.9, 4.4]
+    b = [2.0, 3.1, 2.2, 4.1, 2.9, 3.0]
+    df = spark.createDataFrame(
+        [("k", x, y) for x, y in zip(a, b)], "k string, a double, b double"
+    )
+    row = es_aggregate(df, {"g": {
+        "terms": {"field": "k"},
+        "aggs": {"tt": {"t_test": {"a": {"field": "a"}, "b": {"field": "b"},
+                                   "type": "paired"}}},
+    }}).head()
+    d = np.array(a) - np.array(b)
+    t_exp = d.mean() / np.sqrt(d.var(ddof=1) / len(d))
+    assert row["tt_t"] == round(float(t_exp), 6)
+    assert row["tt_df"] == 5.0
+    assert row["tt"] == round(student_t_two_sided_p(round(float(t_exp), 6), 5.0), 6)
+
+    row = es_aggregate(df, {"g": {
+        "terms": {"field": "k"},
+        "aggs": {"tt": {"t_test": {"a": {"field": "a"}, "b": {"field": "b"},
+                                   "type": "homoscedastic"}}},
+    }}).head()
+    na = nb = len(a)
+    sp2 = ((np.array(a).var(ddof=1) * (na - 1))
+           + (np.array(b).var(ddof=1) * (nb - 1))) / (na + nb - 2)
+    t_exp = (np.mean(a) - np.mean(b)) / np.sqrt(sp2 * (1 / na + 1 / nb))
+    assert row["tt_t"] == round(float(t_exp), 6)
+    assert row["tt_df"] == float(na + nb - 2)
+
+    # CDF anchors (published table values)
+    assert round(student_t_two_sided_p(2.0, 10), 6) == 0.073388
+    assert round(student_t_two_sided_p(12.7062047, 1), 6) == 0.05
+    assert student_t_two_sided_p(0.0, 7) == 1.0
+    assert (student_t_two_sided_p(-1.5, 9)
+            == student_t_two_sided_p(1.5, 9))
+
+    with pytest.raises(ValueError, match="paired t_test cannot"):
+        es_aggregate(df, {"g": {"terms": {"field": "k"}, "aggs": {
+            "tt": {"t_test": {
+                "a": {"field": "a", "filter": {"term": {"k": "k"}}},
+                "b": {"field": "b"}, "type": "paired"}}}}})
+    with pytest.raises(ValueError, match="unsupported t_test type"):
+        es_aggregate(df, {"g": {"terms": {"field": "k"}, "aggs": {
+            "tt": {"t_test": {"a": {"field": "a"}, "b": {"field": "b"},
+                              "type": "welch"}}}}})
+    with pytest.raises(ValueError, match="unsupported t_test.a keys"):
+        es_aggregate(df, {"g": {"terms": {"field": "k"}, "aggs": {
+            "tt": {"t_test": {"a": {"field": "a", "script": "x"},
+                              "b": {"field": "b"}}}}}})

@@ -2003,3 +2003,38 @@ def test_pinned_and_distance_feature_from_json(spark):
             "field": "ts", "origin": "now-1d", "pivot": "7d"}}})
     with pytest.raises(ValueError, match="pinned expects"):
         from_es_json({"query": {"pinned": {"ids": [1]}}})
+
+
+def test_script_query_filter_and_null_contract(spark):
+    """The script query compiles the Painless comparison to a codegen'd
+    boolean predicate; a NULL doc value makes the comparison NULL → no
+    match (safer than ES's missing-doc-value exception, documented)."""
+    from tweets_elastic_spark.plans.search import ScriptQuery, from_es_json, search
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 50.0), (3, None), (4, 30.0)], "id long, v double"
+    )
+    q = from_es_json({"query": {"script": {"script": {
+        "source": "doc['v'].value * params.m >= params.t",
+        "params": {"m": 2, "t": 60},
+    }}}})
+    assert q == ScriptQuery("doc['v'].value * params.m >= params.t",
+                            params={"m": 2, "t": 60})
+    got = sorted(r["id"] for r in search(df, q, k=None).collect())
+    assert got == [2, 4]  # 50*2>=60, 30*2>=60; NULL row 3 excluded
+
+
+def test_wrapper_query_decodes_and_compiles(spark):
+    import base64
+    import json
+
+    from tweets_elastic_spark.plans.search import Range, from_es_json
+
+    inner = {"range": {"v": {"gte": 20}}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    q = from_es_json({"query": {"wrapper": {"query": b64}}})
+    assert q == from_es_json({"query": inner}) == Range("v", gte=20)
+    with pytest.raises(ValueError, match="not base64 JSON"):
+        from_es_json({"query": {"wrapper": {"query": "@@@@"}}})
+    with pytest.raises(ValueError, match="unsupported wrapper keys"):
+        from_es_json({"query": {"wrapper": {"query": b64, "x": 1}}})

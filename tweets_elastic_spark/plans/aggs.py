@@ -34,9 +34,12 @@ Supported surface:
   ``cardinality``, ``percentiles``, ``percentile_ranks``, ``stats``,
   ``extended_stats``, ``weighted_avg``, ``median_absolute_deviation``
   (exact nested-median over a per-bucket sorted array), ``string_stats``
-  (length stats + exact char-level Shannon entropy), and ``rate``
+  (length stats + exact char-level Shannon entropy), ``rate``
   (bucket-width-normalized count/sum under a fixed-width
-  date_histogram). ES's ``cardinality``/``percentiles``/
+  date_histogram), ``matrix_stats`` (multivariate moments +
+  covariance/correlation matrix from one conditional power-sum pass),
+  and ``t_test`` (paired/pooled/Welch; p value attached over the
+  reduced bucket relation via functions/studentt). ES's ``cardinality``/``percentiles``/
   ``percentile_ranks``/``median_absolute_deviation`` are approximations
   (HLL / t-digest); this engine evaluates them EXACTLY (countDistinct /
   interpolated percentile / conditional avg / true nested median) so
@@ -55,7 +58,8 @@ Supported surface:
   ``extended_bounds`` empty-bucket generation for histogram families.
 * pipeline aggs: ``cumulative_sum``, ``derivative``, ``serial_diff``
   (lagged difference, ES's deseasonalizer), ``moving_fn``
-  (ordered, histogram-family parents), ``bucket_script`` /
+  (ordered, histogram-family parents), ``normalize`` (six rescaling
+  methods, unbounded windows over the bucket list), ``bucket_script`` /
   ``bucket_selector`` (Painless-subset ``params`` bindings),
   ``bucket_sort`` — all window/filter work over the reduced bucket
   relation, the coordinator-side shape ES itself uses; SIBLING pipelines
@@ -713,6 +717,161 @@ def _metric_cols(aggs: dict) -> list[Column]:
                 1,
             )
             out.append(F.round(entropy, 6).alias(f"{name}_entropy"))
+        elif kind == "matrix_stats":
+            # ES matrix_stats: multivariate moments over a field SET —
+            # per-field mean/variance/skewness/kurtosis plus the pairwise
+            # covariance/correlation matrix, computed from power sums in
+            # ONE conditional-aggregation pass (ES streams the same
+            # moments shard-side and merges). Docs missing ANY field are
+            # excluded entirely (ES's contract; ``missing`` substitutes
+            # per field first). Formulas follow ES's RunningStats merge:
+            # variance/covariance use the SAMPLE (n-1) denominator,
+            # skewness = sqrt(n)*M3/M2^1.5, kurtosis = n*M4/M2^2 with Mk
+            # the central power sums. Flattened response rendering:
+            # {name}_count, {name}_{field}_{stat}, and
+            # {name}_{fi}_{fj}_covariance/_correlation for i<j in the
+            # request's field order. Degenerate guards: n<=1 -> NULL
+            # variance legs; M2=0 -> NULL skewness/kurtosis/correlation.
+            extra = set(body) - {"fields", "missing"}
+            if extra:
+                raise ValueError(
+                    f"unsupported matrix_stats parameters: {sorted(extra)}"
+                )
+            fields = body["fields"]
+            if not isinstance(fields, list) or len(fields) < 2:
+                raise ValueError(
+                    "matrix_stats needs a LIST of >= 2 fields "
+                    f"(got {fields!r})"
+                )
+            miss = body.get("missing", {})
+            raw = {
+                f: F.coalesce(F.col(f).cast("double"),
+                              F.lit(float(miss[f])) if f in miss else F.lit(None))
+                for f in fields
+            }
+            valid = F.lit(True)
+            for c in raw.values():
+                valid = valid & c.isNotNull()
+            x = {f: F.when(valid, c) for f, c in raw.items()}
+            n = F.sum(F.when(valid, F.lit(1.0)))
+            nm1 = F.when(n > 1, n - 1)          # NULL guard for n<=1
+            mean = {f: F.sum(x[f]) / n for f in fields}
+            m2 = {f: F.sum(x[f] * x[f]) - n * mean[f] * mean[f]
+                  for f in fields}
+            pos_m2 = {f: F.when(m2[f] > 0, m2[f]) for f in fields}
+            out.append(n.cast("long").alias(f"{name}_count"))
+            for f in fields:
+                m3 = (F.sum(x[f] * x[f] * x[f])
+                      - 3.0 * mean[f] * F.sum(x[f] * x[f])
+                      + 2.0 * n * mean[f] * mean[f] * mean[f])
+                m4 = (F.sum(x[f] * x[f] * x[f] * x[f])
+                      - 4.0 * mean[f] * F.sum(x[f] * x[f] * x[f])
+                      + 6.0 * mean[f] * mean[f] * F.sum(x[f] * x[f])
+                      - 3.0 * n * mean[f] * mean[f] * mean[f] * mean[f])
+                # + 0.0 collapses IEEE -0.0 (a tiny negative rounded to
+                # zero) to +0.0 so both engines render the same bits
+                out += [
+                    F.round(mean[f], 6).alias(f"{name}_{f}_mean"),
+                    F.round(m2[f] / nm1, 6).alias(f"{name}_{f}_variance"),
+                    (F.round(F.sqrt(n) * m3 / F.pow(pos_m2[f], 1.5), 6) + 0.0)
+                     .alias(f"{name}_{f}_skewness"),
+                    F.round(n * m4 / (pos_m2[f] * pos_m2[f]), 6)
+                     .alias(f"{name}_{f}_kurtosis"),
+                ]
+            for i, fi in enumerate(fields):
+                for fj in fields[i + 1:]:
+                    cov = (F.sum(x[fi] * x[fj]) - n * mean[fi] * mean[fj]) / nm1
+                    corr = cov / F.sqrt(
+                        (pos_m2[fi] / nm1) * (pos_m2[fj] / nm1)
+                    )
+                    out += [
+                        (F.round(cov, 6) + 0.0)
+                         .alias(f"{name}_{fi}_{fj}_covariance"),
+                        (F.round(corr, 6) + 0.0)
+                         .alias(f"{name}_{fi}_{fj}_correlation"),
+                    ]
+        elif kind == "t_test":
+            # ES t_test: Student's t over two samples (per-leg field +
+            # optional filter). Counts/means/variances/t/df are ONE
+            # conditional-aggregation pass (sample n-1 variances, like
+            # ES); the final CDF lookup (the response's p ``value``) is
+            # attached post-agg over the reduced bucket relation
+            # (functions/studentt via es_aggregate). Flattened rendering:
+            # {name}_t, {name}_df (exact, oracle-able), {name} = p.
+            # paired: per-document differences, so per-leg filters are
+            # rejected (ES: same docs on both sides); NULL on either
+            # side drops the pair. heteroscedastic (default): Welch t
+            # with the Welch–Satterthwaite df. homoscedastic: pooled
+            # variance, df = na + nb - 2.
+            extra = set(body) - {"a", "b", "type"}
+            if extra:
+                raise ValueError(
+                    f"unsupported t_test parameters: {sorted(extra)}"
+                )
+            ttype = body.get("type", "heteroscedastic")
+            if ttype not in ("paired", "homoscedastic", "heteroscedastic"):
+                raise ValueError(
+                    f"unsupported t_test type {ttype!r} "
+                    "(paired/homoscedastic/heteroscedastic)"
+                )
+
+            def _leg(l: str) -> Column:
+                sp = body[l]
+                bad = set(sp) - {"field", "filter"}
+                if bad:
+                    raise ValueError(
+                        f"unsupported t_test.{l} keys: {sorted(bad)}"
+                    )
+                c = F.col(sp["field"]).cast("double")
+                if "filter" in sp:
+                    from pyspark.sql import SparkSession
+
+                    from tweets_elastic_spark.plans.search import from_es_json
+
+                    pred = from_es_json(sp["filter"]).predicate(
+                        SparkSession.getActiveSession(), F.col
+                    )
+                    c = F.when(pred, c)
+                return c
+
+            a, b = _leg("a"), _leg("b")
+            if ttype == "paired":
+                if "filter" in body["a"] or "filter" in body["b"]:
+                    raise ValueError(
+                        "paired t_test cannot take per-leg filters "
+                        "(pairs are per-document, ES's contract)"
+                    )
+                d = F.when(a.isNotNull() & b.isNotNull(), a - b)
+                n = F.sum(F.when(d.isNotNull(), F.lit(1.0)))
+                meand = F.sum(d) / n
+                m2 = F.sum(d * d) - n * meand * meand
+                var = m2 / F.when(n > 1, n - 1)
+                t = meand / F.sqrt(var / n)
+                dof = n - 1
+            else:
+                na = F.sum(F.when(a.isNotNull(), F.lit(1.0)))
+                nb = F.sum(F.when(b.isNotNull(), F.lit(1.0)))
+                ma = F.sum(a) / na
+                mb = F.sum(b) / nb
+                m2a = F.sum(a * a) - na * ma * ma
+                m2b = F.sum(b * b) - nb * mb * mb
+                va = m2a / F.when(na > 1, na - 1)
+                vb = m2b / F.when(nb > 1, nb - 1)
+                if ttype == "homoscedastic":
+                    sp2 = (m2a + m2b) / F.when(na + nb > 2, na + nb - 2)
+                    t = (ma - mb) / F.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+                    dof = na + nb - 2
+                else:
+                    se2a, se2b = va / na, vb / nb
+                    t = (ma - mb) / F.sqrt(se2a + se2b)
+                    dof = (
+                        (se2a + se2b) * (se2a + se2b)
+                        / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1))
+                    )
+            out += [
+                (F.round(t, 6) + 0.0).alias(f"{name}_t"),
+                F.round(dof, 6).alias(f"{name}_df"),
+            ]
         elif kind in ("terms", "multi_terms", "date_histogram", "histogram",
                       "range", "date_range"):
             continue  # nested bucket, handled by the caller
@@ -944,7 +1103,7 @@ _METRIC_KINDS = (
     "sum", "avg", "min", "max", "value_count", "cardinality",
     "percentiles", "percentile_ranks", "stats", "extended_stats",
     "weighted_avg", "median_absolute_deviation", "string_stats",
-    "boxplot", "top_metrics", "geo_centroid",
+    "boxplot", "top_metrics", "geo_centroid", "matrix_stats", "t_test",
 )
 
 
@@ -960,7 +1119,7 @@ def _agg_kind(spec: dict) -> str:
     return kinds[0]
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "serial_diff", "moving_fn",
-    "bucket_script", "bucket_selector", "bucket_sort",
+    "normalize", "bucket_script", "bucket_selector", "bucket_sort",
 )
 # sibling pipelines: scalar over the parent agg's bucket list, requested
 # NEXT TO the parent at the top level (ES's sibling-agg shape).
@@ -1592,6 +1751,47 @@ def _apply_pipeline_aggs(
                     w.rowsBetween(lo, hi)
                 ),
             )
+        elif pkind == "normalize":
+            # ES normalize: rescale a sibling metric across the WHOLE
+            # bucket list (order-independent — any multi-bucket parent).
+            # The window spans all buckets of the reduced relation, so
+            # the aggregates are bucket-cardinality work. NULL metrics
+            # stay NULL and are ignored by the window aggregates (ES
+            # skips empty buckets the same way).
+            extra = set(pbody) - {"buckets_path", "method", "format"}
+            if extra:
+                raise ValueError(f"unsupported normalize keys: {sorted(extra)}")
+            path = metric_path(pkind, pbody["buckets_path"])
+            x = F.col(path).cast("double")
+            wa = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            method = pbody.get("method")
+            if method == "rescale_0_1":
+                expr = (x - F.min(x).over(wa)) / (
+                    F.max(x).over(wa) - F.min(x).over(wa)
+                )
+            elif method == "rescale_0_100":
+                expr = (x - F.min(x).over(wa)) * 100.0 / (
+                    F.max(x).over(wa) - F.min(x).over(wa)
+                )
+            elif method == "percent_of_sum":
+                expr = x / F.sum(x).over(wa)
+            elif method == "mean":
+                expr = (x - F.avg(x).over(wa)) / (
+                    F.max(x).over(wa) - F.min(x).over(wa)
+                )
+            elif method == "z-score":
+                expr = (x - F.avg(x).over(wa)) / F.stddev_pop(x).over(wa)
+            elif method == "softmax":
+                expr = F.exp(x) / F.sum(F.exp(x)).over(wa)
+            else:
+                raise ValueError(
+                    f"unsupported normalize method {method!r} (supported: "
+                    "rescale_0_1, rescale_0_100, percent_of_sum, mean, "
+                    "z-score, softmax)"
+                )
+            out = out.withColumn(pname, expr)
         elif pkind == "bucket_script":
             out = out.withColumn(
                 pname,
@@ -1671,6 +1871,57 @@ def _top_hits(
     return out
 
 
+def _t_test_names(aggs_dsl: dict) -> list[str]:
+    """Names of every ``t_test`` agg anywhere in the request subtree."""
+    names: list[str] = []
+    for n, s in aggs_dsl.items():
+        if not isinstance(s, dict):
+            continue
+        if [k for k in s if k != "aggs"] == ["t_test"]:
+            names.append(n)
+        if isinstance(s.get("aggs"), dict):
+            names += _t_test_names(s["aggs"])
+    return names
+
+
+def _attach_t_test_p(out: DataFrame, aggs_dsl: dict) -> DataFrame:
+    """Attach each t_test's response ``value`` (the two-tailed p) next to
+    its oracle-able ``{name}_t``/``{name}_df`` columns. The CDF lookup is
+    the one non-aggregate step, evaluated by an Arrow pandas_udf over the
+    REDUCED bucket relation (bucket-cardinality rows, never the corpus).
+    Idempotent (skips names already attached) so the recursive
+    sibling/sampler/global paths through es_aggregate stay safe."""
+    names = [
+        n for n in _t_test_names(aggs_dsl)
+        if f"{n}_t" in out.columns and f"{n}_df" in out.columns
+        and n not in out.columns
+    ]
+    if not names:
+        return out
+    from pyspark.sql.functions import pandas_udf
+
+    def _p_batch(t, df_):
+        import pandas as pd
+
+        from tweets_elastic_spark.functions.studentt import (
+            student_t_two_sided_p,
+        )
+
+        return pd.Series([
+            None if tv is None or dv is None or pd.isna(tv) or pd.isna(dv)
+            else student_t_two_sided_p(float(tv), float(dv))
+            for tv, dv in zip(t, df_)
+        ], dtype="float64")
+
+    _p = pandas_udf(_p_batch, "double")
+
+    for n in names:
+        out = out.withColumn(
+            n, F.round(_p(F.col(f"{n}_t"), F.col(f"{n}_df")), 6)
+        )
+    return out
+
+
 def es_aggregate(
     df: DataFrame, aggs_dsl: dict, fg_pred: Column | None = None,
     analyzers: dict[str, str] | None = None,
@@ -1680,7 +1931,18 @@ def es_aggregate(
     ``fg_pred`` (set by es_request) carries the request query's predicate
     for aggs that need BOTH sides of the filter split (significant_terms
     compares foreground vs background); for every other agg the caller
-    passes the already-filtered frame."""
+    passes the already-filtered frame. t_test sub-aggs get their p
+    ``value`` attached here, over the reduced bucket relation
+    (_attach_t_test_p)."""
+    return _attach_t_test_p(
+        _es_aggregate_impl(df, aggs_dsl, fg_pred, analyzers), aggs_dsl
+    )
+
+
+def _es_aggregate_impl(
+    df: DataFrame, aggs_dsl: dict, fg_pred: Column | None = None,
+    analyzers: dict[str, str] | None = None,
+) -> DataFrame:
     siblings = {
         n: s for n, s in aggs_dsl.items()
         if isinstance(s, dict) and s and next(iter(s)) in _SIBLING_KINDS

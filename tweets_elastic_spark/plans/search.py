@@ -1888,6 +1888,42 @@ class ScriptScore(Query):
         return F.coalesce(out, F.lit(0.0))
 
 
+@dataclass
+class ScriptQuery(Query):
+    """ES ``script`` query: a Painless boolean predicate in filter
+    context (``{"script": {"script": {"source": "doc['f'].value > 3"}}}``).
+    The source is the Painless ARITHMETIC SUBSET with exactly one
+    top-level comparison (the same contract as ``bucket_selector``),
+    compiled once into a codegen'd boolean Column riding the scan —
+    vs ES, where the script query is the per-doc interpreted slow path
+    that cannot use the index at all. Numeric ``params`` bind as literal
+    Columns. A source with no comparison raises at plan time (an
+    arithmetic result is not a predicate); NULL fields make the
+    comparison NULL → the doc does not match (ES: missing doc values
+    throw unless guarded — our NULL-contract divergence is the safer
+    one and is pinned in the tests)."""
+
+    source: str
+    params: dict | None = None
+
+    def predicate(self, spark, resolve) -> Column:
+        if not any(k == "cmp" for k, _ in _tokenize_painless(self.source)):
+            raise ValueError(
+                "script query source must be a boolean comparison "
+                f"(> >= < <= == !=): {self.source!r}"
+            )
+        params = {
+            k: F.lit(float(v)) for k, v in (self.params or {}).items()
+        }
+        out = compile_painless(
+            self.source,
+            resolve_doc=lambda f: resolve(f).cast("double"),
+            params=params or None,
+            compare=True,
+        )
+        return F.coalesce(out, F.lit(False))
+
+
 def score_parts(
     query: Query, spark, resolve
 ) -> list[tuple[str, Column]]:
@@ -2282,6 +2318,48 @@ def from_es_json(
             return ScriptScore(
                 compile_node(body["query"], scope), src, params=params
             )
+        if kind == "script":
+            # filter-context Painless predicate: {"script": {"script":
+            # {"source": ..., "params": ...}}}
+            extra = set(body) - {"script", "boost"}
+            if extra:
+                raise ValueError(f"unsupported script query keys: {extra}")
+            script = body["script"]
+            src = script["source"] if isinstance(script, dict) else script
+            params = None
+            if isinstance(script, dict):
+                bad = set(script) - {"source", "params", "lang"}
+                if bad:
+                    raise ValueError(f"unsupported script keys: {bad}")
+                if script.get("lang", "painless") != "painless":
+                    raise ValueError(
+                        f"unsupported script lang: {script['lang']!r}"
+                    )
+                params = script.get("params")
+                if params is not None and not all(
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in params.values()
+                ):
+                    raise ValueError(
+                        "script params must be NUMERIC (they bind as "
+                        "literal Columns in the compiled expression)"
+                    )
+            return ScriptQuery(src, params=params)
+        if kind == "wrapper":
+            # {"wrapper": {"query": "<base64 of a JSON query>"}} — ES's
+            # escape hatch for embedding a query through systems that
+            # mangle JSON; decodes and compiles like any inline clause
+            import base64
+            import json as _json
+
+            extra = set(body) - {"query"}
+            if extra:
+                raise ValueError(f"unsupported wrapper keys: {extra}")
+            try:
+                inner = _json.loads(base64.b64decode(body["query"]))
+            except Exception as e:
+                raise ValueError(f"wrapper query is not base64 JSON: {e}")
+            return compile_node(inner, scope)
         if kind == "regexp":
             (field, spec), = body.items()
             if isinstance(spec, dict):

@@ -1084,6 +1084,67 @@ def q_es_aggs_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale bug. Sums rounded at 4 dp on both engines (double "
         "accumulation order differs across partials).",
 )
+@register(
+    "es_aggs_normalize",
+    oracle="""
+    WITH b AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS per_day,
+               CAST(count(*) AS BIGINT) AS doc_count,
+               avg(value) AS m_raw
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT per_day, doc_count,
+           round(m_raw, 6) AS m,
+           round(m_raw / sum(m_raw) OVER (), 6) AS pct,
+           round((m_raw - min(m_raw) OVER ())
+                 / (max(m_raw) OVER () - min(m_raw) OVER ()), 6) AS r01,
+           round((m_raw - avg(m_raw) OVER ()) / stddev_pop(m_raw) OVER (), 6)
+               + 0.0 AS z,
+           round(exp(m_raw) / sum(exp(m_raw)) OVER (), 6) AS soft
+    FROM b
+    """,
+    doc="ES normalize pipeline agg: rescale a sibling metric across the "
+        "whole bucket list — percent_of_sum, rescale_0_1, z-score and "
+        "softmax in one request, each an unbounded window over the "
+        "REDUCED bucket relation (bucket-cardinality work, ES's own "
+        "coordinator-side shape). The oracle replays each method's "
+        "formula as SQL window functions.",
+)
+def q_es_aggs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    request = {
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "m": {"avg": {"field": "value"}},
+                    "pct": {"normalize": {"buckets_path": "m",
+                                          "method": "percent_of_sum"}},
+                    "r01": {"normalize": {"buckets_path": "m",
+                                          "method": "rescale_0_1"}},
+                    "z": {"normalize": {"buckets_path": "m",
+                                        "method": "z-score"}},
+                    "soft": {"normalize": {"buckets_path": "m",
+                                           "method": "softmax"}},
+                },
+            }
+        }
+    }
+    out = es_request(events, request)
+    return out.select(
+        "per_day", "doc_count",
+        F.round("m", 6).alias("m"),
+        F.round("pct", 6).alias("pct"),
+        F.round("r01", 6).alias("r01"),
+        (F.round("z", 6) + 0.0).alias("z"),
+        F.round("soft", 6).alias("soft"),
+    )
+
+
 def q_es_aggs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_request
 
@@ -1492,6 +1553,186 @@ def q_search_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(docs, query, k=25, tiebreak="doc_id").select(
         "doc_id", "n_chars", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "search_wrapper_script",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM toks
+    WHERE list_contains(t, 'data') AND n_chars * 2.0 > 399.0
+    ORDER BY doc_id
+    LIMIT 50
+    """,
+    doc="ES wrapper query (base64-embedded JSON, the escape hatch for "
+        "JSON-mangling transports) decoded into a bool whose filter leg "
+        "is a `script` query — the Painless predicate compiled ONCE to a "
+        "codegen'd boolean riding the scan with numeric params bound as "
+        "literals, vs ES's per-doc interpreted script filter. The oracle "
+        "replays the analyzer match and the n_chars*f > t arithmetic.",
+)
+def q_search_wrapper_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+    import json
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    inner = {
+        "bool": {
+            "filter": [
+                {"match": {"text": "data"}},
+                {"script": {"script": {
+                    "source": "doc['n_chars'].value * params.f > params.t",
+                    "params": {"f": 2, "t": 399},
+                }}},
+            ]
+        }
+    }
+    dsl = {"query": {"wrapper": {
+        "query": base64.b64encode(json.dumps(inner).encode()).decode()
+    }}}
+    query = from_es_json(dsl, analyzers={"text": "standard"})
+    matched = search(docs, query, k=None, tiebreak="doc_id")
+    return (
+        matched.select("doc_id", "n_chars").orderBy("doc_id").limit(50)
+    )
+
+
+def _matrix_stats_oracle() -> str:
+    """Mirror of the matrix_stats power-sum arithmetic, operator for
+    operator (plans/aggs.py matrix_stats branch), over lineitem grouped
+    by l_returnflag with fields [l_quantity, l_discount, l_tax]."""
+    fields = ["l_quantity", "l_discount", "l_tax"]
+    valid = " AND ".join(f"{f} IS NOT NULL" for f in fields)
+    x = {f: f"(CASE WHEN {valid} THEN {f}::DOUBLE END)" for f in fields}
+    n = "sum(CASE WHEN " + valid + " THEN 1.0 END)"
+    nm1 = f"(CASE WHEN {n} > 1 THEN {n} - 1 END)"
+    mean = {f: f"(sum({x[f]}) / {n})" for f in fields}
+    m2 = {f: f"(sum({x[f]} * {x[f]}) - {n} * {mean[f]} * {mean[f]})"
+          for f in fields}
+    pm2 = {f: f"(CASE WHEN {m2[f]} > 0 THEN {m2[f]} END)" for f in fields}
+    cols = [f"CAST({n} AS BIGINT) AS ms_count"]
+    for f in fields:
+        m3 = (f"(sum({x[f]} * {x[f]} * {x[f]}) - 3.0 * {mean[f]} * "
+              f"sum({x[f]} * {x[f]}) + 2.0 * {n} * {mean[f]} * {mean[f]} * "
+              f"{mean[f]})")
+        m4 = (f"(sum({x[f]} * {x[f]} * {x[f]} * {x[f]}) - 4.0 * {mean[f]} * "
+              f"sum({x[f]} * {x[f]} * {x[f]}) + 6.0 * {mean[f]} * {mean[f]} * "
+              f"sum({x[f]} * {x[f]}) - 3.0 * {n} * {mean[f]} * {mean[f]} * "
+              f"{mean[f]} * {mean[f]})")
+        cols += [
+            f"round({mean[f]}, 6) AS ms_{f}_mean",
+            f"round({m2[f]} / {nm1}, 6) AS ms_{f}_variance",
+            f"round(sqrt({n}) * {m3} / pow({pm2[f]}, 1.5), 6) + 0.0"
+            f" AS ms_{f}_skewness",
+            f"round({n} * {m4} / ({pm2[f]} * {pm2[f]}), 6)"
+            f" AS ms_{f}_kurtosis",
+        ]
+    for i, fi in enumerate(fields):
+        for fj in fields[i + 1:]:
+            cov = (f"((sum({x[fi]} * {x[fj]}) - {n} * {mean[fi]} * "
+                   f"{mean[fj]}) / {nm1})")
+            corr = (f"({cov} / sqrt(({pm2[fi]} / {nm1}) * "
+                    f"({pm2[fj]} / {nm1})))")
+            cols += [
+                f"round({cov}, 6) + 0.0 AS ms_{fi}_{fj}_covariance",
+                f"round({corr}, 6) + 0.0 AS ms_{fi}_{fj}_correlation",
+            ]
+    return (
+        "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS doc_count, "
+        + ", ".join(cols)
+        + " FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+@register(
+    "es_aggs_matrix_stats",
+    oracle=_matrix_stats_oracle(),
+    doc="ES matrix_stats metric agg: multivariate moments over a field "
+        "set — per-field mean/variance/skewness/kurtosis plus the "
+        "pairwise covariance/correlation matrix, all from power sums in "
+        "ONE conditional-aggregation pass (the same moment merge ES "
+        "streams shard-side; sample n-1 denominators, sqrt(n)*M3/M2^1.5 "
+        "skewness, n*M4/M2^2 kurtosis). Docs missing any field drop "
+        "entirely, ES's contract. The oracle replays every power-sum "
+        "formula operator for operator.",
+)
+def q_es_aggs_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = es_aggregate(li, {"flag": {
+        "terms": {"field": "l_returnflag", "size": 10},
+        "aggs": {"ms": {"matrix_stats": {
+            "fields": ["l_quantity", "l_discount", "l_tax"]}}},
+    }})
+    return out.withColumnRenamed("flag", "flag")
+
+
+@register(
+    "es_aggs_t_test",
+    oracle="""
+    WITH legs AS (
+        SELECT user_id % 3 AS ug,
+               CASE WHEN event_type = 'click' THEN value END AS a,
+               CASE WHEN event_type = 'view' THEN value END AS b
+        FROM events
+    )
+    SELECT ug,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(
+             (sum(a) / sum(CASE WHEN a IS NOT NULL THEN 1.0 END)
+              - sum(b) / sum(CASE WHEN b IS NOT NULL THEN 1.0 END))
+             / sqrt(
+                 ((sum(a * a) - sum(CASE WHEN a IS NOT NULL THEN 1.0 END)
+                     * (sum(a) / sum(CASE WHEN a IS NOT NULL THEN 1.0 END))
+                     * (sum(a) / sum(CASE WHEN a IS NOT NULL THEN 1.0 END)))
+                  / (CASE WHEN sum(CASE WHEN a IS NOT NULL THEN 1.0 END) > 1
+                          THEN sum(CASE WHEN a IS NOT NULL THEN 1.0 END) - 1 END))
+                 / sum(CASE WHEN a IS NOT NULL THEN 1.0 END)
+                 +
+                 ((sum(b * b) - sum(CASE WHEN b IS NOT NULL THEN 1.0 END)
+                     * (sum(b) / sum(CASE WHEN b IS NOT NULL THEN 1.0 END))
+                     * (sum(b) / sum(CASE WHEN b IS NOT NULL THEN 1.0 END)))
+                  / (CASE WHEN sum(CASE WHEN b IS NOT NULL THEN 1.0 END) > 1
+                          THEN sum(CASE WHEN b IS NOT NULL THEN 1.0 END) - 1 END))
+                 / sum(CASE WHEN b IS NOT NULL THEN 1.0 END)
+               ), 6) + 0.0 AS tt_t
+    FROM legs
+    GROUP BY ug
+    """,
+    doc="ES t_test metric agg (Welch/heteroscedastic): per-leg field + "
+        "filter, counts/means/sample-variances/t computed in ONE "
+        "conditional-aggregation pass. The response p value rides the "
+        "reduced bucket relation through an Arrow UDF (Student CDF via "
+        "the regularized incomplete beta, functions/studentt) — pinned "
+        "by pytest anchors; this driver row oracles the distributed "
+        "part (the t statistic) exactly.",
+)
+def q_es_aggs_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ug", F.col("user_id") % 3
+    )
+    out = es_aggregate(ev, {"ug": {
+        "terms": {"field": "ug", "size": 10},
+        "aggs": {"tt": {"t_test": {
+            "a": {"field": "value",
+                  "filter": {"term": {"event_type": "click"}}},
+            "b": {"field": "value",
+                  "filter": {"term": {"event_type": "view"}}},
+            "type": "heteroscedastic",
+        }}},
+    }})
+    return out.select("ug", "doc_count", "tt_t")
 
 
 @register(

@@ -1217,7 +1217,7 @@ def test_intervals_all_of_ordered_phrases(spark):
         hits({"all_of": {"ordered": True, "intervals": [
             {"match": {"query": "vector merge"}},   # multi-term, gappy
             {"match": {"query": "order"}}]}})
-    with pytest.raises(ValueError, match="must be match rules"):
+    with pytest.raises(ValueError, match="must be match.prefix.wildcard rules"):
         Intervals("text", {"all_of": {"ordered": True, "intervals": [
             {"any_of": {"intervals": [{"match": {"query": "a"}}]}}]}},
             analyzer="standard")
@@ -2038,3 +2038,74 @@ def test_wrapper_query_decodes_and_compiles(spark):
         from_es_json({"query": {"wrapper": {"query": "@@@@"}}})
     with pytest.raises(ValueError, match="unsupported wrapper keys"):
         from_es_json({"query": {"wrapper": {"query": b64, "x": 1}}})
+
+
+def test_intervals_prefix_wildcard_rules(spark):
+    """Unit-width intervals rules, hand-computed: standalone prefix /
+    wildcard, any_of composition, ordered all_of chaining a wildcard
+    child to a prefix child, and the guard surface (use_field, empty
+    prefix, unknown rule)."""
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    df = spark.createDataFrame(
+        [
+            (1, "data quality program"),       # d?ta* then pro* at gap 1
+            (2, "database systems prosper"),   # data* prefix; gap 1
+            (3, "delta lake is a product"),    # product: pro*; delta no d?ta*
+            (4, "program data"),               # pro before data: unordered only
+            (5, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def ids(dsl):
+        q = from_es_json({"query": {"intervals": {"text": dsl}}},
+                         analyzers={"text": "standard"})
+        return sorted(r["doc_id"] for r in search(df, q, k=None).collect())
+
+    assert ids({"prefix": {"prefix": "PRO"}}) == [1, 2, 3, 4]
+    assert ids({"wildcard": {"pattern": "d?ta*"}}) == [1, 2, 4]
+    assert ids({"wildcard": {"pattern": "d?ta"}}) == [1, 4]  # no suffix
+    assert ids({"any_of": {"intervals": [
+        {"prefix": {"prefix": "delta"}}, {"prefix": {"prefix": "quality"}},
+    ]}}) == [1, 3]
+    # ordered all_of: wildcard then prefix, within 1 gap
+    assert ids({"all_of": {"ordered": True, "max_gaps": 1, "intervals": [
+        {"wildcard": {"pattern": "d?ta*"}}, {"prefix": {"prefix": "pro"}},
+    ]}}) == [1, 2]
+    # doc 4 has pro BEFORE data — ordered rejects it
+    assert ids({"all_of": {"ordered": True, "max_gaps": 0, "intervals": [
+        {"prefix": {"prefix": "pro"}}, {"wildcard": {"pattern": "d?ta"}},
+    ]}}) == [4]
+
+    with pytest.raises(ValueError, match="use_field is out of scope"):
+        ids({"prefix": {"prefix": "x", "use_field": "other"}})
+    with pytest.raises(ValueError, match="non-empty string"):
+        ids({"prefix": {"prefix": ""}})
+    with pytest.raises(ValueError, match="unsupported intervals rule"):
+        ids({"fuzzy": {"term": "x"}})
+
+
+def test_es_mget_contract_and_broadcast_plan(spark):
+    """_mget: request order, duplicates, found=false with NULL source,
+    _source filtering, guards — and the hot path is a BROADCAST join
+    (the id batch never shuffles the corpus)."""
+    from tweets_elastic_spark.plans.api import es_mget
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "doc_id long, lang string, n bigint",
+    )
+    out = es_mget(df, [2, 99, 2], source=["lang"])
+    rows = out.collect()
+    assert [(r["ord"], r["_id"], r["found"], r["lang"]) for r in rows] == [
+        (0, 2, True, "b"), (1, 99, False, None), (2, 2, True, "b"),
+    ]
+    assert "n" not in out.columns  # _source filtering
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    with pytest.raises(ValueError, match="non-empty ids"):
+        es_mget(df, [])
+    with pytest.raises(ValueError, match="not in index"):
+        es_mget(df, [1], source=["nope"])

@@ -1,8 +1,9 @@
 """Small ES REST-API surface beyond `_search`: `_count`, `_msearch`,
-`_field_caps`, `_termvectors`, `_rank_eval` — the operational endpoints a
-reference user calls around their queries. Each is a thin, declarative
-wrapper over the existing query/aggs machinery (nothing new executes;
-these exist so the MIGRATION map covers the whole client surface).
+`_field_caps`, `_termvectors`, `_rank_eval`, `_mget` — the operational
+endpoints a reference user calls around their queries. Each is a thin,
+declarative wrapper over the existing query/aggs machinery (nothing new
+executes; these exist so the MIGRATION map covers the whole client
+surface).
 """
 
 from __future__ import annotations
@@ -111,6 +112,56 @@ def es_termvectors(
     if with_positions:
         aggs.append(F.array_sort(F.collect_list("position")).alias("positions"))
     return pos.groupBy(id_col, "term").agg(*aggs)
+
+
+def es_mget(
+    df: DataFrame,
+    ids: list,
+    *,
+    id_col: str = "doc_id",
+    source: list[str] | None = None,
+) -> DataFrame:
+    """ES ``_mget``: point lookups for a batch of ids. Response contract
+    matches ES: one row per REQUESTED id in request order (``ord``),
+    duplicates allowed, missing ids kept with ``found = false`` and NULL
+    source fields. ``source`` filters the returned columns (``_source``
+    includes).
+
+    Scale shape: the id batch is a tiny literal relation, so the hot
+    path (found docs) is one BROADCAST hash join against the corpus —
+    the predicate pushes into the scan, never N point queries. The
+    found-flag tail needs the ids NOT in the corpus, which no outer
+    join can produce with the tiny side preserved and broadcast; it is
+    derived from the found rows' own id set (bucket-cardinality), so
+    the corpus is scanned once."""
+    if not ids:
+        raise ValueError("_mget needs a non-empty ids list")
+    spark = df.sparkSession
+    req = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ids)], "ord long, _id long"
+    )
+    cols = source if source is not None else [
+        c for c in df.columns if c != id_col
+    ]
+    missing_in_df = [c for c in cols if c not in df.columns]
+    if missing_in_df:
+        raise ValueError(f"_mget _source fields not in index: {missing_in_df}")
+    right = df.select(F.col(id_col).cast("long").alias("_id"), *cols)
+    found = F.broadcast(req).join(right, "_id")
+    found_ids = found.select("_id").distinct()
+    missing = F.broadcast(req).join(
+        F.broadcast(found_ids), "_id", "left_anti"
+    )
+    out = found.select(
+        "ord", "_id", F.lit(True).alias("found"), *cols
+    ).unionByName(
+        missing.select(
+            "ord", "_id", F.lit(False).alias("found"),
+            *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+              for c in cols],
+        )
+    )
+    return out.orderBy("ord")
 
 
 def es_rank_eval(

@@ -654,7 +654,7 @@ class Intervals(Query):
     analyzer: str
     tokens_col: str | None = None
 
-    _RULE_KINDS = ("match", "any_of", "all_of")
+    _RULE_KINDS = ("match", "any_of", "all_of", "prefix", "wildcard")
 
     def __post_init__(self):
         self._validate(self.rule)
@@ -667,6 +667,30 @@ class Intervals(Query):
                 f"{rule!r}"
             )
         (kind, body), = rule.items()
+        if kind in ("prefix", "wildcard"):
+            # unit-width rules: one token position per match. The
+            # prefix/pattern is lowercased to meet the lowercase-bearing
+            # analyzers' token stream (ES normalizes through the
+            # analyzer chain); ``use_field`` (a DIFFERENT field's token
+            # stream) is out of scope and rejected loudly.
+            want = "prefix" if kind == "prefix" else "pattern"
+            if not isinstance(body, dict) or want not in body:
+                raise ValueError(
+                    f"intervals {kind} needs {{'{want}': ...}}"
+                )
+            extra = set(body) - {want, "analyzer"}
+            if extra:
+                raise ValueError(
+                    f"unsupported intervals {kind} options: "
+                    f"{sorted(extra)}"
+                    + (" (use_field is out of scope)"
+                       if "use_field" in extra else "")
+                )
+            if not isinstance(body[want], str) or not body[want]:
+                raise ValueError(
+                    f"intervals {kind}.{want} must be a non-empty string"
+                )
+            return
         if kind == "match":
             if not isinstance(body, dict) or "query" not in body:
                 raise ValueError("intervals match needs {'query': ...}")
@@ -706,10 +730,11 @@ class Intervals(Query):
                 raise ValueError("intervals max_gaps must be >= -1")
             for sub in subs:
                 if not (isinstance(sub, dict) and len(sub) == 1
-                        and next(iter(sub)) == "match"):
+                        and next(iter(sub)) in ("match", "prefix",
+                                                "wildcard")):
                     raise ValueError(
-                        "all_of children must be match rules "
-                        f"(got {sub!r})"
+                        "all_of children must be match/prefix/wildcard "
+                        f"rules (got {sub!r})"
                     )
                 cls._validate(sub)
         else:
@@ -741,6 +766,8 @@ class Intervals(Query):
             return cond
         if kind == "all_of":
             return self._compile_all_of(spark, ts, body)
+        if kind in ("prefix", "wildcard"):
+            return F.size(self._unit_positions(ts, kind, body)) > 0
         # match
         tokens = analyze_text(
             spark, body["query"], body.get("analyzer", self.analyzer)
@@ -815,18 +842,46 @@ class Intervals(Query):
 
         return F.element_at(F.transform(F.array(pos_struct), sweep), 1)
 
+    def _unit_positions(self, ts: Column, kind: str, body: dict) -> Column:
+        """Token positions matching a unit-width (single-position) rule:
+        ``prefix`` = tokens starting with the (lowercased) prefix,
+        ``wildcard`` = tokens matching the (lowercased) ``*``/``?``
+        pattern as an anchored regex — one scan-local HOF, no UDF."""
+        if kind == "prefix":
+            lit = F.lit(body["prefix"].lower())
+            pred = lambda x: x.startswith(lit)
+        else:
+            import re as _re
+
+            rx = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in body["pattern"].lower()
+            )
+            pred = lambda x: x.rlike("^" + rx + "$")
+        return F.filter(
+            F.transform(
+                ts, lambda x, i: F.when(pred(x), i).otherwise(-1)
+            ),
+            lambda p: p >= 0,
+        )
+
     def _compile_all_of(self, spark, ts: Column, body: dict) -> Column:
         """Ordered all_of over contiguous children: each child's
         occurrence-start array is one scan-local expression (positions s
-        where slice(ts, s+1, n_c) equals the child's token literal); the
+        where slice(ts, s+1, n_c) equals the child's token literal;
+        prefix/wildcard children are unit-width position filters); the
         anchor sweep greedily takes each following child's earliest start
         strictly after the previous child's end (earliest-next minimizes
         the composed end for a fixed anchor ⇒ exact), then bounds
         gaps = span width − Σ child widths."""
         max_gaps = int(body.get("max_gaps", -1))
-        children = []
+        children: list[tuple[str, object]] = []
         for sub in body["intervals"]:
-            mbody = sub["match"]
+            (ckind, cbody), = sub.items()
+            if ckind in ("prefix", "wildcard"):
+                children.append((ckind, cbody))
+                continue
+            mbody = cbody
             toks = analyze_text(
                 spark, mbody["query"], mbody.get("analyzer", self.analyzer)
             )
@@ -843,8 +898,8 @@ class Intervals(Query):
                     "all_of children with max_gaps: 0 are ordered by "
                     "construction; ordered: false is contradictory"
                 )
-            children.append(toks)
-        widths = [len(c) for c in children]
+            children.append(("match", toks))
+        widths = [1 if k != "match" else len(p) for k, p in children]
         total_w = sum(widths)
         n_doc = F.size(ts)
 
@@ -865,7 +920,9 @@ class Intervals(Query):
             ).otherwise(F.array().cast("array<int>"))
 
         starts_struct = F.struct(*[
-            starts_of(c).alias(f"c{i}") for i, c in enumerate(children)
+            (starts_of(p) if k == "match"
+             else self._unit_positions(ts, k, p)).alias(f"c{i}")
+            for i, (k, p) in enumerate(children)
         ])
 
         def sweep(ss: Column) -> Column:

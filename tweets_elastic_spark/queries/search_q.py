@@ -476,6 +476,55 @@ def q_search_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_intervals_prefix",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN
+                      regexp_matches(x, '^d.ta.*$')
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS p0,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN
+                      starts_with(x, 'quer')
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS p1
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(p0, a ->
+        list_min(list_filter(p1, x -> x > a)) IS NOT NULL
+        AND list_min(list_filter(p1, x -> x > a)) - a - 1 <= 4
+    )) > 0
+    """,
+    doc="ES intervals prefix/wildcard rules (late r8): unit-width "
+        "position filters — wildcard 'd?ta*' (anchored regex over the "
+        "token stream) followed within 4 gaps by a token with prefix "
+        "'quer', composed through ordered all_of. The oracle replays the "
+        "same position filters (regexp_matches / starts_with) and the "
+        "greedy earliest-next chain with DuckDB list lambdas.",
+)
+def q_search_intervals_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(
+        {"query": {"intervals": {"text": {"all_of": {
+            "ordered": True, "max_gaps": 4,
+            "intervals": [
+                {"wildcard": {"pattern": "d?ta*"}},
+                {"prefix": {"prefix": "QUER"}},
+            ],
+        }}}}},
+        analyzers={"text": "standard"},
+    )
+    return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
     "search_intervals_all_of",
     oracle="""
     WITH toks AS (
@@ -3702,6 +3751,34 @@ def q_es_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 151 == 0
     )
     return es_termvectors(docs, analyzer="standard")
+
+
+@register(
+    "es_mget",
+    oracle="""
+    WITH req(ord, _id) AS (
+        VALUES (0, 3), (1, 987654321), (2, 7), (3, 3), (4, 42)
+    )
+    SELECT CAST(req.ord AS BIGINT) AS ord,
+           CAST(req._id AS BIGINT) AS _id,
+           d.doc_id IS NOT NULL AS found,
+           d.lang, d.n_chars
+    FROM req LEFT JOIN documents d ON d.doc_id = req._id
+    """,
+    doc="ES _mget: batched point lookups — one BROADCAST hash join of "
+        "the tiny literal id relation against the corpus (pushdown-"
+        "eligible, never N point queries), request order preserved, "
+        "duplicate ids allowed, missing ids kept with found=false and "
+        "NULL _source fields (ES's response contract). _source "
+        "filtering selects lang/n_chars only.",
+)
+def q_es_mget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.api import es_mget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return es_mget(
+        docs, [3, 987654321, 7, 3, 42], source=["lang", "n_chars"]
+    )
 
 
 @register(

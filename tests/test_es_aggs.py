@@ -113,8 +113,8 @@ def test_ambiguous_and_unknown_shapes_raise(spark, sales):
             }
         })
     with pytest.raises(ValueError, match="unsupported bucket aggregation"):
-        es_aggregate(sales, {"b": {"variable_width_histogram":
-                                   {"field": "amount"}}})
+        es_aggregate(sales, {"b": {"ip_range":
+                                   {"field": "amount", "ranges": []}}})
     # the geo bucket kinds are supported since r7/r8 but validate their
     # degree-column-pair field shape
     with pytest.raises(ValueError, match="lat.*lon"):
@@ -2188,3 +2188,119 @@ def test_t_test_paired_homoscedastic_and_p_anchors(spark):
         es_aggregate(df, {"g": {"terms": {"field": "k"}, "aggs": {
             "tt": {"t_test": {"a": {"field": "a", "script": "x"},
                               "b": {"field": "b"}}}}}})
+
+
+def test_geo_line_order_truncation_and_guards(spark):
+    """geo_line hand-computed: sort order (asc/desc), size truncation +
+    complete flag, incomplete points dropped, include_sort, guards."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 3.0, 30.0, 13.0), ("a", 1.0, 10.0, 11.0),
+         ("a", 2.0, 20.0, 12.0), ("a", 4.0, None, 14.0)],
+        "k string, s double, lon double, lat double",
+    )
+
+    def run(body):
+        return es_aggregate(df, {"g": {
+            "terms": {"field": "k"},
+            "aggs": {"t": {"geo_line": dict(
+                {"point": {"field": {"lat": "lat", "lon": "lon"}},
+                 "sort": {"field": "s"}}, **body)}},
+        }}).head()
+
+    r = run({"include_sort": True})
+    assert r["t_line"] == [[10.0, 11.0], [20.0, 12.0], [30.0, 13.0]]
+    assert r["t_sort_values"] == [1.0, 2.0, 3.0]
+    assert r["t_complete"] is True  # the NULL-lon point dropped, 3 <= 10000
+    r = run({"sort_order": "desc", "size": 2})
+    assert r["t_line"] == [[30.0, 13.0], [20.0, 12.0]]
+    assert r["t_complete"] is False  # 3 valid points > size 2
+
+    with pytest.raises(ValueError, match="geo_line needs 'point'"):
+        es_aggregate(df, {"g": {"terms": {"field": "k"}, "aggs": {
+            "t": {"geo_line": {"point": {"field": "lon"},
+                               "sort": {"field": "s"}}}}}})
+    with pytest.raises(ValueError, match="geo_line needs 'sort'"):
+        run.__wrapped__ if False else es_aggregate(df, {"g": {
+            "terms": {"field": "k"}, "aggs": {"t": {"geo_line": {
+                "point": {"field": {"lat": "lat", "lon": "lon"}}}}}}})
+    with pytest.raises(ValueError, match="size must be in"):
+        run({"size": 20000})
+    with pytest.raises(ValueError, match="unsupported sort_order"):
+        run({"sort_order": "up"})
+
+
+def test_variable_width_histogram_equal_height_and_guards(spark):
+    """The deterministic equal-height placement: quantile boundaries,
+    ties never split, response shape key/min/max/doc_count ascending."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 2, 3, 4, 5, 6, 7, 8, 100]],
+        "v double",
+    )
+    rows = es_aggregate(df, {"vw": {
+        "variable_width_histogram": {"field": "v", "buckets": 2},
+    }}).collect()
+    # boundary = interpolated median = (4+5)/2 = 4.5
+    assert [(r["vw"], r["doc_count"], r["min"], r["max"]) for r in rows] == [
+        (0, 5, 1.0, 4.0), (1, 5, 5.0, 100.0),
+    ]
+    assert rows[0]["key"] == round((1 + 1 + 2 + 3 + 4) / 5, 6)
+
+    with pytest.raises(ValueError, match="unsupported variable_width"):
+        es_aggregate(df, {"vw": {"variable_width_histogram": {
+            "field": "v", "buckets": 2, "initial_buffer": 100}}})
+    with pytest.raises(ValueError, match="buckets must be in"):
+        es_aggregate(df, {"vw": {"variable_width_histogram": {
+            "field": "v", "buckets": 0}}})
+    with pytest.raises(ValueError, match="sub-aggs must be metrics"):
+        es_aggregate(df, {"vw": {
+            "variable_width_histogram": {"field": "v", "buckets": 2},
+            "aggs": {"t": {"terms": {"field": "v"}}}}})
+
+
+def test_moving_percentiles_hand_computed_and_guards(spark):
+    """Exact windowed percentiles over hand data; shift=1 includes the
+    current bucket; guards (bad buckets_path, window, parent kind)."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    rows = [(0.0, v) for v in (1.0, 3.0)] \
+         + [(1.0, v) for v in (5.0, 7.0)] \
+         + [(2.0, v) for v in (9.0, 11.0)]
+    df = spark.createDataFrame(rows, "h double, v double")
+
+    def run(window, shift=0):
+        return es_aggregate(df, {"b": {
+            "histogram": {"field": "h", "interval": 1},
+            "aggs": {
+                "p": {"percentiles": {"field": "v", "percents": [50]}},
+                "mp": {"moving_percentiles": {
+                    "buckets_path": "p", "window": window,
+                    **({"shift": shift} if shift else {})}},
+            },
+        }}).orderBy("b").collect()
+
+    out = run(2)
+    # shift=0: window is the 2 buckets BEFORE current
+    assert [r["mp_p50"] for r in out] == [None, 2.0, 4.0]
+    out = run(2, shift=1)
+    # shift=1: current + previous; median of [1,3,5,7] = 4
+    assert [r["mp_p50"] for r in out] == [2.0, 4.0, 8.0]
+    assert "__mp_p" not in {c for r in out for c in r.asDict()}
+
+    with pytest.raises(ValueError, match="must name a sibling"):
+        es_aggregate(df, {"b": {
+            "histogram": {"field": "h", "interval": 1},
+            "aggs": {"s": {"sum": {"field": "v"}},
+                     "mp": {"moving_percentiles": {
+                         "buckets_path": "s", "window": 2}}}}})
+    with pytest.raises(ValueError, match="window must be > 0"):
+        run(0)
+    with pytest.raises(ValueError, match="histogram-family parent"):
+        es_aggregate(df, {"b": {
+            "terms": {"field": "h"},
+            "aggs": {"p": {"percentiles": {"field": "v"}},
+                     "mp": {"moving_percentiles": {
+                         "buckets_path": "p", "window": 2}}}}})

@@ -355,3 +355,18 @@ def test_dsl_bm25_scoring_rides_single_scan(spark):
     p = plan_of(spark, "search_dsl_bm25")
     assert "Join" not in p
     assert len(scans(p)) == 1
+
+
+def test_registry_decorators_bind_their_own_function():
+    """A @register decorator separated from its def (e.g. by a later
+    insertion between decorator and function) silently binds the NEXT
+    function — the registered name then runs the wrong query. Every
+    registered entry's function name must embed its registry name."""
+    from tweets_elastic_spark import registry
+
+    registry._ensure_loaded()
+    mismatches = [
+        (n, r.fn.__name__) for n, r in registry._REGISTRY.items()
+        if r.fn.__name__.startswith("q_") and n not in r.fn.__name__
+    ]
+    assert mismatches == []

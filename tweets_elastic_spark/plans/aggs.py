@@ -485,6 +485,67 @@ def _metric_cols(aggs: dict) -> list[Column]:
                 F.round(F.avg(F.when(both, lon)), 6).alias(f"{name}_lon"),
                 F.count(F.when(both, 1)).alias(f"{name}_count"),
             ]
+        elif kind == "geo_line":
+            # ES geo_line: the bucket's points joined into a LineString
+            # in sort order — the track-reconstruction agg (points of a
+            # vehicle/vessel ordered by timestamp). Flattened rendering:
+            # {name}_line = array of [lon, lat] pairs (ES's GeoJSON
+            # coordinate order), {name}_complete = whether the bucket
+            # held <= size points, optional {name}_sort_values. Docs
+            # missing point or sort values drop out (ES's contract).
+            # Ties on the sort value order by (lon, lat) so both engines
+            # produce one total order. Per-bucket state is the collected
+            # point list (ES caps it the same way: size <= 10000, the
+            # bucket's points are coordinator-side) — the exactness
+            # trade documented for MAD/string_stats.
+            extra = set(body) - {"point", "sort", "include_sort",
+                                 "sort_order", "size"}
+            if extra:
+                raise ValueError(
+                    f"unsupported geo_line parameters: {sorted(extra)}"
+                )
+            fld = body.get("point", {}).get("field")
+            if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+                raise ValueError(
+                    "geo_line needs 'point': {'field': {'lat': col, "
+                    "'lon': col}}"
+                )
+            sfield = body.get("sort", {}).get("field")
+            if not sfield:
+                raise ValueError("geo_line needs 'sort': {'field': col}")
+            order = body.get("sort_order", "asc")
+            if order not in ("asc", "desc"):
+                raise ValueError(f"unsupported sort_order {order!r}")
+            size = int(body.get("size", 10000))
+            if not 0 < size <= 10000:
+                raise ValueError(
+                    f"geo_line size must be in (0, 10000], got {size}"
+                )
+            lat = F.col(fld["lat"]).cast("double")
+            lon = F.col(fld["lon"]).cast("double")
+            s = F.col(sfield).cast("double")
+            valid = lat.isNotNull() & lon.isNotNull() & s.isNotNull()
+            pt = F.when(valid, F.struct(
+                s.alias("s"), lon.alias("lon"), lat.alias("lat")
+            ))
+            arr = F.slice(
+                F.sort_array(F.collect_list(pt), asc=(order == "asc")),
+                1, size,
+            )
+            out += [
+                F.transform(
+                    arr,
+                    lambda p: F.array(F.round(p["lon"], 6),
+                                      F.round(p["lat"], 6)),
+                ).alias(f"{name}_line"),
+                (F.count(F.when(valid, 1)) <= size)
+                .alias(f"{name}_complete"),
+            ]
+            if body.get("include_sort"):
+                out.append(
+                    F.transform(arr, lambda p: F.round(p["s"], 6))
+                    .alias(f"{name}_sort_values")
+                )
         elif kind == "stats":
             c = F.col(body["field"])
             out += [
@@ -1119,7 +1180,8 @@ def _agg_kind(spec: dict) -> str:
     return kinds[0]
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "serial_diff", "moving_fn",
-    "normalize", "bucket_script", "bucket_selector", "bucket_sort",
+    "moving_percentiles", "normalize", "bucket_script", "bucket_selector",
+    "bucket_sort",
 )
 # sibling pipelines: scalar over the parent agg's bucket list, requested
 # NEXT TO the parent at the top level (ES's sibling-agg shape).
@@ -1640,7 +1702,8 @@ def _fill_empty_buckets(
 
 
 def _apply_pipeline_aggs(
-    out: DataFrame, bucket_name: str, kind: str, pipes: dict
+    out: DataFrame, bucket_name: str, kind: str, pipes: dict,
+    sub_specs: dict | None = None,
 ) -> DataFrame:
     """ES pipeline aggregations over a histogram-family parent:
     ``cumulative_sum`` (running total) and ``derivative`` (bucket-over-
@@ -1656,7 +1719,7 @@ def _apply_pipeline_aggs(
     from tweets_elastic_spark.plans.search import compile_painless
 
     ordered_kinds = ("cumulative_sum", "derivative", "moving_fn",
-                     "serial_diff")
+                     "serial_diff", "moving_percentiles")
     if any(next(iter(s)) in ordered_kinds for s in pipes.values()) \
             and kind not in ("date_histogram", "histogram"):
         raise ValueError(
@@ -1751,6 +1814,70 @@ def _apply_pipeline_aggs(
                     w.rowsBetween(lo, hi)
                 ),
             )
+        elif pkind == "moving_percentiles":
+            # ES moving_percentiles: the referenced percentiles agg's
+            # percents, recomputed over the VALUES of the sliding window
+            # of buckets (ES merges the buckets' t-digests; this engine
+            # is exact — it flattens the hidden per-bucket sorted value
+            # arrays staged by the dispatch and interpolates, the
+            # strictly-more-accurate divergence percentiles already
+            # documents). Window/shift semantics shared with moving_fn;
+            # an empty window yields NULLs (the first bucket at
+            # shift=0). Output: {name}_p{percent} per requested percent.
+            extra = set(pbody) - {"buckets_path", "window", "shift"}
+            if extra:
+                raise ValueError(
+                    f"unsupported moving_percentiles keys: {sorted(extra)}"
+                )
+            path = pbody["buckets_path"]
+            ref = (sub_specs or {}).get(path, {})
+            if "percentiles" not in ref:
+                raise ValueError(
+                    "moving_percentiles buckets_path must name a sibling "
+                    f"percentiles agg, got {path!r}"
+                )
+            percents = ref["percentiles"].get("percents", [25, 50, 75])
+            window = int(pbody["window"])
+            if window <= 0:
+                raise ValueError(
+                    f"moving_percentiles window must be > 0, got {window}"
+                )
+            shift = int(pbody.get("shift", 0))
+            if shift not in (0, 1):
+                raise ValueError(
+                    f"moving_percentiles shift supports 0 or 1, got {shift}"
+                )
+            hi = 0 if shift == 1 else -1
+            lo = hi - window + 1
+            tmp = f"__mpw_{pname}"
+            out = out.withColumn(
+                tmp,
+                F.array_sort(F.flatten(
+                    F.collect_list(F.col(f"__mp_{path}")).over(
+                        w.rowsBetween(lo, hi)
+                    )
+                )),
+            )
+            a = F.col(tmp)
+            n = F.size(a)
+            for p in percents:
+                label = str(p).replace(".", "_")
+                q = float(p) / 100.0
+                idx = (n.cast("double") - 1.0) * F.lit(q)
+                li = F.floor(idx).cast("int")
+                base = F.element_at(a, li + 1)
+                nxt = F.element_at(a, F.least(li + 2, n))
+                out = out.withColumn(
+                    f"{pname}_p{label}",
+                    F.when(
+                        n > 0,
+                        F.round(
+                            base + (nxt - base) * (idx - li.cast("double")),
+                            6,
+                        ),
+                    ),
+                )
+            out = out.drop(tmp)
         elif pkind == "normalize":
             # ES normalize: rescale a sibling metric across the WHOLE
             # bucket list (order-independent — any multi-bucket parent).
@@ -1831,7 +1958,8 @@ def _apply_pipeline_aggs(
                 out = out.limit(int(pbody["size"]))
         else:
             raise ValueError(f"unsupported pipeline agg: {pkind!r}")
-    return out
+    hidden = [c for c in out.columns if c.startswith("__mp_")]
+    return out.drop(*hidden) if hidden else out
 
 
 def _top_hits(
@@ -2041,6 +2169,59 @@ def _es_aggregate_impl(
             spec2["aggs"] = sub
         return es_aggregate(df, {name: spec2}, fg_pred, analyzers) \
             .withColumn("interval", F.lit(f"{secs}s"))
+    if kind == "variable_width_histogram":
+        # ES variable_width_histogram: `buckets` data-adaptive buckets,
+        # each reporting key (centroid), min, max, doc_count. ES places
+        # buckets with ONLINE clustering — approximate and shard-order-
+        # dependent, so not reproducible across engines. This engine
+        # replaces the placement rule with a DETERMINISTIC equal-height
+        # one: boundaries are the exact interpolated (j/k)-quantiles
+        # (the same bounded 1-row probe auto_date_histogram uses), and a
+        # value v lands in bucket Σ_j [v > B_j] — ties can never split
+        # across buckets, both engines agree bit-for-bit. Documented
+        # divergence: identical response SHAPE, reproducible (not ES's
+        # cluster-seeded) bucket placement. Sub-aggs must be metrics
+        # (they ride the same groupBy).
+        extra = set(body) - {"field", "buckets"}
+        if extra:
+            # initial_buffer/shard_size tune ES's online clusterer,
+            # which this deterministic rule replaces — reject loudly
+            raise ValueError(
+                f"unsupported variable_width_histogram parameters: "
+                f"{sorted(extra)} (initial_buffer/shard_size tune ES's "
+                "online clusterer, replaced here by exact quantile "
+                "placement)"
+            )
+        k = int(body.get("buckets", 10))
+        if not 1 <= k <= 1024:
+            raise ValueError(
+                f"variable_width_histogram buckets must be in [1, 1024], "
+                f"got {k}"
+            )
+        if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+            raise ValueError(
+                "variable_width_histogram sub-aggs must be metrics"
+            )
+        v = F.col(body["field"]).cast("double")
+        bounds = df.agg(
+            *[F.percentile(v, j / k) for j in range(1, k)]
+        ).first() if k > 1 else []
+        idx: Column = F.lit(0)
+        for b in bounds:
+            if b is not None:
+                idx = idx + F.when(v > F.lit(float(b)), 1).otherwise(0)
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(idx.alias(name))
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.round(F.avg(v), 6).alias("key"),
+                F.round(F.min(v), 6).alias("min"),
+                F.round(F.max(v), 6).alias("max"),
+                *_metric_cols(sub),
+            )
+            .orderBy(F.col(name).asc())
+        )
     if kind in ("sampler", "diversified_sampler"):
         # ES sampler/diversified_sampler: run the sub-aggs over a SAMPLE —
         # the top `shard_size` documents, with diversified_sampler
@@ -2203,6 +2384,33 @@ def _es_aggregate_impl(
     for n in pipes:
         sub.pop(n)
 
+    # moving_percentiles needs the WINDOW'S VALUES, not the sibling
+    # percentiles agg's per-bucket results (percentiles don't merge):
+    # stage each referenced field's sorted value array as a hidden
+    # per-bucket column; _apply_pipeline_aggs flattens it across the
+    # window frame and drops it. Per-bucket state is O(bucket) — the
+    # exactness trade documented for MAD/string_stats (ES merges
+    # t-digest sketches instead; the sketch twin is percentile_approx).
+    mp_hidden: list[Column] = []
+    mp_seen: set[str] = set()
+    for ps in pipes.values():
+        if next(iter(ps)) != "moving_percentiles":
+            continue
+        path = ps["moving_percentiles"].get("buckets_path")
+        ref = sub.get(path)
+        if not (isinstance(ref, dict) and "percentiles" in ref):
+            raise ValueError(
+                "moving_percentiles buckets_path must name a sibling "
+                f"percentiles agg, got {path!r}"
+            )
+        if path not in mp_seen:
+            mp_seen.add(path)
+            mp_hidden.append(
+                F.sort_array(F.collect_list(
+                    F.col(ref["percentiles"]["field"]).cast("double")
+                )).alias(f"__mp_{path}")
+            )
+
     # rate sub-agg: doc_count (or sum(field)) per bucket normalized to
     # `unit` — pure arithmetic on the bucket width, so it must sit under a
     # FIXED-WIDTH date_histogram (calendar month/year buckets vary in
@@ -2269,7 +2477,7 @@ def _es_aggregate_impl(
     if len(nested_bucket) > 1:
         raise ValueError("at most one nested bucket aggregation is supported")
     sketch_mads = _pop_sketch_mads(sub)
-    metrics = _metric_cols(sub) + rate_cols
+    metrics = _metric_cols(sub) + rate_cols + mp_hidden
     if nested_bucket and (metrics or sketch_mads):
         # ES attaches same-level metrics to the PARENT bucket; this engine
         # returns the flattened leaf relation, where they would silently
@@ -2414,7 +2622,7 @@ def _es_aggregate_impl(
             raise ValueError(
                 "pipeline aggs with a nested bucket agg are unsupported"
             )
-        out = _apply_pipeline_aggs(out, name, kind, pipes)
+        out = _apply_pipeline_aggs(out, name, kind, pipes, sub)
     return out
 
 

@@ -1104,35 +1104,116 @@ def q_es_aggs_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "es_aggs_pipeline",
+    "es_aggs_moving_percentiles",
     oracle="""
     WITH b AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS per_day,
                CAST(count(*) AS BIGINT) AS doc_count,
-               sum(value) AS total_raw
-        FROM events
-        WHERE ts IS NOT NULL
+               quantile_cont(value, 0.5) AS p50_raw,
+               quantile_cont(value, 0.9) AS p90_raw,
+               list_sort(list(value)) AS vals
+        FROM events WHERE ts IS NOT NULL
         GROUP BY 1
+    ), wnd AS (
+        SELECT per_day, doc_count, p50_raw, p90_raw,
+               list_sort(flatten(list(vals) OVER (
+                   ORDER BY per_day
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))) AS wv
+        FROM b
     )
     SELECT per_day, doc_count,
-           round(total_raw, 4) AS total,
-           round(sum(total_raw) OVER (
-               ORDER BY per_day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-               AS cum_total,
-           doc_count - lag(doc_count) OVER (ORDER BY per_day) AS delta
-    FROM b
+           round(p50_raw, 6) AS p_p50,
+           round(p90_raw, 6) AS p_p90,
+           CASE WHEN len(wv) > 0 THEN round(
+             wv[CAST(floor((len(wv) - 1) * 0.5) AS INT) + 1]
+             + (wv[least(CAST(floor((len(wv) - 1) * 0.5) AS INT) + 2, len(wv))]
+                - wv[CAST(floor((len(wv) - 1) * 0.5) AS INT) + 1])
+               * ((len(wv) - 1) * 0.5 - floor((len(wv) - 1) * 0.5)), 6)
+           END AS mp_p50,
+           CASE WHEN len(wv) > 0 THEN round(
+             wv[CAST(floor((len(wv) - 1) * 0.9) AS INT) + 1]
+             + (wv[least(CAST(floor((len(wv) - 1) * 0.9) AS INT) + 2, len(wv))]
+                - wv[CAST(floor((len(wv) - 1) * 0.9) AS INT) + 1])
+               * ((len(wv) - 1) * 0.9 - floor((len(wv) - 1) * 0.9)), 6)
+           END AS mp_p90
+    FROM wnd
     """,
-    doc="ES pipeline aggregations over a date_histogram parent: "
-        "cumulative_sum of a sum metric and derivative of doc_count "
-        "(NULL first bucket, ES's contract), as window functions ordered "
-        "by the bucket key. ES evaluates pipeline aggs coordinator-side "
-        "over the REDUCED bucket list; the single-partition window here "
-        "runs on the same post-aggregation bucket relation (histogram "
-        "cardinality, not corpus cardinality) — the semantics, not a "
-        "scale bug. Sums rounded at 4 dp on both engines (double "
-        "accumulation order differs across partials).",
+    doc="ES moving_percentiles pipeline agg: the sibling percentiles "
+        "agg's percents recomputed over the sliding window of buckets. "
+        "ES merges per-bucket t-digests; this engine is EXACT — hidden "
+        "per-bucket sorted value arrays flatten across the window frame "
+        "and interpolate (the strictly-more-accurate divergence "
+        "percentiles documents). Window 3, shift 0 (exclusive current, "
+        "moving_fn's frame contract); NULL for the empty first window. "
+        "The oracle replays flatten + the interpolation formula with "
+        "DuckDB list lambdas.",
 )
+def q_es_aggs_moving_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    events = load_table(spark, sf_dir, "events")
+    out = es_request(events, {"aggs": {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "p": {"percentiles": {"field": "value", "percents": [50, 90]}},
+            "mp": {"moving_percentiles": {"buckets_path": "p",
+                                          "window": 3}},
+        },
+    }}})
+    return out.select(
+        "per_day", "doc_count",
+        F.round("p_p50", 6).alias("p_p50"),
+        F.round("p_p90", 6).alias("p_p90"),
+        "mp_p50", "mp_p90",
+    )
+
+
+@register(
+    "es_aggs_variable_width_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(value, 0.2) AS b1,
+               quantile_cont(value, 0.4) AS b2,
+               quantile_cont(value, 0.6) AS b3,
+               quantile_cont(value, 0.8) AS b4
+        FROM events
+    )
+    SELECT (CASE WHEN value > b1 THEN 1 ELSE 0 END
+          + CASE WHEN value > b2 THEN 1 ELSE 0 END
+          + CASE WHEN value > b3 THEN 1 ELSE 0 END
+          + CASE WHEN value > b4 THEN 1 ELSE 0 END) AS vw,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value), 6) AS key,
+           round(min(value), 6) AS min,
+           round(max(value), 6) AS max,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS kinds
+    FROM events, b
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES variable_width_histogram: data-adaptive buckets with "
+        "key (centroid) / min / max / doc_count. ES places buckets by "
+        "ONLINE clustering (approximate, shard-order-dependent); this "
+        "engine substitutes a DETERMINISTIC equal-height rule — "
+        "boundaries at the exact interpolated j/k quantiles (bounded "
+        "1-row probe), membership by value comparison so ties never "
+        "split. Same response shape, reproducible placement (documented "
+        "divergence). A cardinality sub-metric rides the same groupBy.",
+)
+def q_es_aggs_variable_width_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return es_aggregate(events, {"vw": {
+        "variable_width_histogram": {"field": "value", "buckets": 5},
+        "aggs": {"kinds": {"cardinality": {"field": "event_type"}}},
+    }})
+
+
 @register(
     "es_aggs_normalize",
     oracle="""
@@ -1194,6 +1275,36 @@ def q_es_aggs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "es_aggs_pipeline",
+    oracle="""
+    WITH b AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS per_day,
+               CAST(count(*) AS BIGINT) AS doc_count,
+               sum(value) AS total_raw
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT per_day, doc_count,
+           round(total_raw, 4) AS total,
+           round(sum(total_raw) OVER (
+               ORDER BY per_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_total,
+           doc_count - lag(doc_count) OVER (ORDER BY per_day) AS delta
+    FROM b
+    """,
+    doc="ES pipeline aggregations over a date_histogram parent: "
+        "cumulative_sum of a sum metric and derivative of doc_count "
+        "(NULL first bucket, ES's contract), as window functions ordered "
+        "by the bucket key. ES evaluates pipeline aggs coordinator-side "
+        "over the REDUCED bucket list; the single-partition window here "
+        "runs on the same post-aggregation bucket relation (histogram "
+        "cardinality, not corpus cardinality) — the semantics, not a "
+        "scale bug. Sums rounded at 4 dp on both engines (double "
+        "accumulation order differs across partials).",
+)
 def q_es_aggs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_request
 
@@ -2726,6 +2837,59 @@ def q_es_aggs_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "cell", "doc_count", F.round("mean_value", 6).alias("mean_value")
     )
+
+
+@register(
+    "es_aggs_geo_line",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               (value % 140) - 70 AS lat,
+               (user_id * 2.4) - 180 AS lon,
+               epoch(ts) AS s
+        FROM events
+        WHERE event_type IS NOT NULL
+    )
+    SELECT event_type AS by_type,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           list_transform(
+             (list(struct_pack(s := s, lon := lon, lat := lat)
+                   ORDER BY s, lon, lat))[1:20],
+             p -> [round(p.lon, 6), round(p.lat, 6)]) AS track_line,
+           count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                      AND s IS NOT NULL THEN 1 END) <= 20 AS track_complete,
+           list_transform(
+             (list(struct_pack(s := s, lon := lon, lat := lat)
+                   ORDER BY s, lon, lat))[1:20],
+             p -> round(p.s, 6)) AS track_sort_values
+    FROM pts
+    GROUP BY 1
+    """,
+    doc="ES geo_line agg (late r8): each bucket's points joined into a "
+        "LineString in timestamp order — the track-reconstruction agg. "
+        "size=20 truncates after the sort (complete=false when the "
+        "bucket holds more); include_sort returns the sort values; "
+        "[lon, lat] GeoJSON coordinate order; ties on the sort value "
+        "break by (lon, lat) so both engines share one total order. The "
+        "oracle replays the ordered-list slice with DuckDB list "
+        "aggregates.",
+)
+def q_es_aggs_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": (F.col("user_id") * 2.4) - 180,
+        "ts_s": F.col("ts").cast("double"),
+    })
+    return es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"track": {"geo_line": {
+            "point": {"field": {"lat": "lat", "lon": "lon"}},
+            "sort": {"field": "ts_s"},
+            "include_sort": True, "size": 20,
+        }}},
+    }})
 
 
 @register(

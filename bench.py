@@ -172,6 +172,17 @@ HEADLINE = [
     "es_aggs_geotile_grid",
     "es_aggs_geohash_grid",
     "es_aggs_geo_centroid",
+    # r8 late waves: PNG codec, DSL/agg round-out, API surface
+    "image_near_dups_png",
+    "search_wrapper_script",
+    "es_aggs_matrix_stats",
+    "es_aggs_t_test",
+    "es_aggs_normalize",
+    "es_aggs_moving_percentiles",
+    "es_aggs_variable_width_histogram",
+    "es_aggs_geo_line",
+    "search_intervals_prefix",
+    "es_mget",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -2109,3 +2109,39 @@ def test_es_mget_contract_and_broadcast_plan(spark):
         es_mget(df, [])
     with pytest.raises(ValueError, match="not in index"):
         es_mget(df, [1], source=["nope"])
+
+
+def test_es_request_min_score_floor(spark):
+    """min_score drops hits below the floor BEFORE the page is taken;
+    it composes with `from`, and explicit-sort / rescore mixing raises."""
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    df = spark.createDataFrame(
+        [(i, "spark " * i + "data") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    req = {"query": {"bool": {"should": [
+        {"query": {"match": {"text": "spark"}}, "weight": 2},
+        {"query": {"match": {"text": "data"}}, "weight": 1},
+    ]}}}
+    out = es_request(df, dict(req, min_score=3.0, size=10),
+                     analyzers={"text": "standard"}, tiebreak="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4, 5]
+    out = es_request(df, dict(req, min_score=3.5, size=10),
+                     analyzers={"text": "standard"}, tiebreak="doc_id")
+    assert out.count() == 0  # every doc scores exactly 3.0
+    with pytest.raises(ValueError, match="min_score applies to relevance"):
+        es_request(df, dict(req, min_score=1.0, sort=[{"doc_id": "asc"}]),
+                   analyzers={"text": "standard"})
+
+
+def test_es_analyze_endpoint(spark):
+    from tweets_elastic_spark.plans.api import es_analyze
+
+    rows = es_analyze(spark, "The Quick <b>Brown</b>", analyzer="standard"
+                      ).collect()
+    assert [(r["token"], r["position"]) for r in rows] == [
+        ("the", 0), ("quick", 1), ("b", 2), ("brown", 3), ("b", 4),
+    ]
+    rows = es_analyze(spark, "Running runs", analyzer="englando").collect()
+    assert [r["token"] for r in rows] == ["run", "run"]

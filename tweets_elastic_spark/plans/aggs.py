@@ -2757,6 +2757,17 @@ def es_request(
         raise ValueError("request has neither 'query' nor 'aggs'")
     sort = body.get("sort")
     source = body.get("_source")
+    min_score = body.get("min_score")
+    if min_score is not None and (
+        sort is not None or body.get("rescore") is not None
+    ):
+        # ES under an explicit sort only honors min_score with
+        # track_scores, and rescore re-orders after the cut — both
+        # compositions are ambiguous here; refuse rather than guess
+        raise ValueError(
+            "min_score applies to relevance ranking only (not under an "
+            "explicit sort or rescore) in this engine"
+        )
     if sort is not None:
         out = df.filter(tree.predicate(df.sparkSession, F.col))
         # the FULL hit relation, captured before any keyset cursor filter:
@@ -2960,12 +2971,23 @@ def es_request(
             if frm:
                 out = out.offset(frm)
             out = out.limit(size)
-        elif frm:
+        elif frm or min_score is not None:
+            # ES min_score: drop hits scoring below the floor BEFORE the
+            # page is taken (the page never backfills in ES either) —
+            # the filter rides the scored scan, then the ordinary
+            # TakeOrdered page
             scored = search(df, tree, k=None, tiebreak=tiebreak)
+            if min_score is not None:
+                scored = scored.filter(
+                    F.col("score") >= float(min_score)
+                )
             order2 = [F.col("score").desc()]
             if tiebreak is not None:
                 order2.append(F.col(tiebreak).asc())
-            out = scored.orderBy(*order2).offset(frm).limit(size)
+            out = scored.orderBy(*order2)
+            if frm:
+                out = out.offset(frm)
+            out = out.limit(size)
         else:
             out = search(df, tree, k=size, tiebreak=tiebreak)
     sfields = body.get("script_fields")

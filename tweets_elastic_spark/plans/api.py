@@ -114,6 +114,22 @@ def es_termvectors(
     return pos.groupBy(id_col, "term").agg(*aggs)
 
 
+def es_analyze(spark, text: str, *, analyzer: str = "standard") -> DataFrame:
+    """ES ``_analyze``: run a named analyzer chain over one text and
+    return the token stream — the debugging endpoint behind every
+    mapping decision. Response rows are (token, position); character
+    start/end offsets are not reported (the composed chains here
+    transform the token stream — folding/stemming — without tracking
+    source offsets; a documented divergence from ES's response)."""
+    from tweets_elastic_spark.functions.analyzers import analyze
+
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        F.posexplode(analyze(F.col("text"), analyzer))
+        .alias("position", "token")
+    ).select("token", F.col("position").cast("int").alias("position"))
+
+
 def es_mget(
     df: DataFrame,
     ids: list,

@@ -61,23 +61,26 @@ DRIVER_PRIORITY: list[str] = [
     "es_aggs_auto_date_histogram", "snowflake_dim_join", "percolate_matches",
     "self_join_pairs", "exists_child_hof", "topk_orders", "pricing_summary",
     "search_simple_query_string",
-    # search / scoring / search-quality evaluation
+    # search / scoring / search-quality evaluation (search_wrapper_script
+    # pins the late-r8 wrapper + script query nodes)
     "es_rank_eval_ndcg", "search_from_json_dsl", "search_dsl_bm25",
+    "search_wrapper_script",
     "lm_perplexity_filter", "es_aggs_date_histogram",
-    # ES agg families new in r7: geo rings, long-tail terms, significance
+    # ES agg families new in r7/r8: geo rings, long-tail terms,
+    # significance, multivariate moments, exact windowed percentiles
     "es_aggs_geo_distance", "es_aggs_rare_terms", "es_aggs_significant_gnd",
+    "es_aggs_matrix_stats", "es_aggs_moving_percentiles",
     # analyzers
-    "analyze_shingles", "analyze_ngram",
+    "analyze_shingles",
     # windows + time series
     "tumbling_window", "session_window", "events_asof_join",
-    "es_aggs_composite", "funnel_conversion", "events_daily_pivot",
+    "es_aggs_composite", "funnel_conversion",
     # text stats + model filter
     "lang_id", "quality_score", "model_quality_filter",
     # dedup families — the granularity ladder: document (exact, minhash,
     # simhash, semdedup), line, span, composed pipeline
     "dedup_exact_survivors", "line_dedup", "span_dedup_rebuild",
     "dedup_near_survivors", "minhash_lsh_near_dups_portable",
-    "simhash_near_dups_portable",
     "semdedup_survivors", "corpus_clean",
     # ANN families — one slot per index family: exact baseline, IVF(-PQ),
     # PQ Arrow-GEMM encoder, LSH-through-the-stored-index
@@ -85,9 +88,10 @@ DRIVER_PRIORITY: list[str] = [
     "ann_lsh_topk_indexed",
     # curation ship stage
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",
-    "training_shards", "sequence_pack", "dsir_sample",
-    # chunking + multimodal
-    "chunk_documents", "image_near_dups",
+    "training_shards", "dsir_sample",
+    # chunking + multimodal (PNG = the late-r8 codec, all five unfilter
+    # paths pinned through one oracle row; PPM keeps the parity pytest)
+    "chunk_documents", "image_near_dups", "image_near_dups_png",
 ]
 
 

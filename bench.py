@@ -183,6 +183,7 @@ HEADLINE = [
     "es_aggs_geo_line",
     "search_intervals_prefix",
     "es_mget",
+    "search_sparse_vector",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -2145,3 +2145,34 @@ def test_es_analyze_endpoint(spark):
     ]
     rows = es_analyze(spark, "Running runs", analyzer="englando").collect()
     assert [r["token"] for r in rows] == ["run", "run"]
+
+
+def test_sparse_vector_query_dot_product_and_guards(spark):
+    """sparse_vector: dot product over the token intersection, any-token
+    match contract, numeric-weight and inference_id guards."""
+    from tweets_elastic_spark.plans.search import (
+        SparseVectorQuery, from_es_json, search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {"ml": 2.0, "data": 1.0}), (2, {"data": 3.0}),
+         (3, {"other": 5.0}), (4, None)],
+        "doc_id long, w map<string,double>",
+    )
+    q = from_es_json({"query": {"sparse_vector": {
+        "field": "w", "query_vector": {"ml": 1.5, "data": 0.5}}}})
+    assert isinstance(q, SparseVectorQuery)
+    got = {r["doc_id"]: r["score"]
+           for r in search(df, q, k=None).collect()}
+    assert got == {1: 2.0 * 1.5 + 1.0 * 0.5, 2: 3.0 * 0.5}  # 3, 4 no match
+
+    with pytest.raises(ValueError, match="non-empty query_vector"):
+        from_es_json({"query": {"sparse_vector": {
+            "field": "w", "query_vector": {}}}})
+    with pytest.raises(ValueError, match="weights must be numeric"):
+        from_es_json({"query": {"sparse_vector": {
+            "field": "w", "query_vector": {"a": "hi"}}}})
+    with pytest.raises(ValueError, match="inference_id needs a model"):
+        from_es_json({"query": {"sparse_vector": {
+            "field": "w", "query_vector": {"a": 1},
+            "inference_id": "elser"}}})

@@ -1946,6 +1946,61 @@ class ScriptScore(Query):
 
 
 @dataclass
+class SparseVectorQuery(Query):
+    """ES ``sparse_vector`` query (8.15+, the ELSER/learned-sparse
+    retrieval shape): the document field is a token→weight MAP column,
+    the query carries its own token weights, and the score is the dot
+    product over the token intersection — Σ q_w(t) · doc_w(t). A doc
+    matches when it contains ANY query token (ES's contract).
+
+    The query vocabulary is small (a few dozen expanded tokens), so the
+    whole score compiles to a fixed-size sum of map lookups — one
+    codegen'd expression riding the scan, no UDF, no explode, no
+    shuffle. At index scale the map column is stored at ingest exactly
+    like the token columns (indexing.build_index's pattern), so the
+    scan stays columnar. ES's ``inference_id`` variant (server-side
+    text→vector expansion) requires a model runtime and is rejected
+    loudly; callers pass the expanded ``query_vector`` directly."""
+
+    CONSTANT_SCORE = False
+
+    field: str
+    query_vector: dict  # token -> weight
+
+    def __post_init__(self):
+        if not isinstance(self.query_vector, dict) or not self.query_vector:
+            raise ValueError(
+                "sparse_vector needs a non-empty query_vector "
+                "{token: weight, ...}"
+            )
+        bad = {
+            t: w for t, w in self.query_vector.items()
+            if not isinstance(w, (int, float)) or isinstance(w, bool)
+        }
+        if bad:
+            raise ValueError(
+                f"sparse_vector weights must be numeric: {bad!r}"
+            )
+
+    def predicate(self, spark, resolve) -> Column:
+        m = resolve(self.field)
+        cond = None
+        for t in self.query_vector:
+            c = m.getItem(t).isNotNull()
+            cond = c if cond is None else cond | c
+        return cond
+
+    def score(self, spark, resolve) -> Column:
+        m = resolve(self.field)
+        total: Column = F.lit(0.0)
+        for t, w in self.query_vector.items():
+            total = total + F.coalesce(
+                m.getItem(t).cast("double"), F.lit(0.0)
+            ) * F.lit(float(w))
+        return total
+
+
+@dataclass
 class ScriptQuery(Query):
     """ES ``script`` query: a Painless boolean predicate in filter
     context (``{"script": {"script": {"source": "doc['f'].value > 3"}}}``).
@@ -2402,6 +2457,16 @@ def from_es_json(
                         "literal Columns in the compiled expression)"
                     )
             return ScriptQuery(src, params=params)
+        if kind == "sparse_vector":
+            extra = set(body) - {"field", "query_vector"}
+            if extra:
+                raise ValueError(
+                    f"unsupported sparse_vector keys: {sorted(extra)}"
+                    + (" (inference_id needs a model runtime — pass the "
+                       "expanded query_vector directly)"
+                       if "inference_id" in extra else "")
+                )
+            return SparseVectorQuery(body["field"], body["query_vector"])
         if kind == "wrapper":
             # {"wrapper": {"query": "<base64 of a JSON query>"}} — ES's
             # escape hatch for embedding a query through systems that

@@ -1716,6 +1716,64 @@ def q_search_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_sparse_vector",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               0.0 + len(list_filter(t, x -> x = 'spark')) * 2.0
+                   + len(list_filter(t, x -> x = 'data')) * 1.0
+                   + len(list_filter(t, x -> x = 'vector')) * 1.5 AS s
+        FROM toks
+        WHERE len(list_filter(t, x -> x = 'spark')) > 0
+           OR len(list_filter(t, x -> x = 'data')) > 0
+           OR len(list_filter(t, x -> x = 'vector')) > 0
+    )
+    SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS score
+    FROM scored ORDER BY s DESC, doc_id ASC LIMIT 25
+    """,
+    doc="ES sparse_vector query (8.15+, the ELSER/learned-sparse "
+        "retrieval shape): doc field = token->weight map (term "
+        "frequencies built scan-local with the token stream bound "
+        "once), query carries its own weights, score = the dot product "
+        "over the token intersection — one fixed-size codegen'd sum of "
+        "map lookups, no UDF/explode/shuffle. The oracle replays the "
+        "per-token counts and the weighted sum.",
+)
+def q_search_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import analyze
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = analyze(F.col("text"), "standard")
+
+    def tf_map_of(ts):
+        return F.map_from_entries(F.transform(
+            F.array_distinct(ts),
+            lambda t: F.struct(
+                t, F.size(F.filter(ts, lambda x: x == t)).cast("double")
+            ),
+        ))
+
+    # bind the analyzed token array ONCE (Catalyst does not CSE)
+    docs = docs.withColumn(
+        "tf_map", F.element_at(F.transform(F.array(toks), tf_map_of), 1)
+    )
+    query = from_es_json({"query": {"sparse_vector": {
+        "field": "tf_map",
+        "query_vector": {"spark": 2.0, "data": 1.0, "vector": 1.5},
+    }}})
+    return search(docs, query, k=25, tiebreak="doc_id").select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+@register(
     "search_wrapper_script",
     oracle="""
     WITH toks AS (

@@ -184,6 +184,7 @@ HEADLINE = [
     "search_intervals_prefix",
     "es_mget",
     "search_sparse_vector",
+    "search_geo_polygon",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -231,6 +232,7 @@ SF1_HEADLINE = [
     "jaccard_near_dups", "dedup_near_survivors", "corpus_clean",
     "semdedup_survivors", "ann_cosine_topk", "ann_ivfpq_topk",
     "simhash_near_dups", "embedding_near_dups", "span_dedup_rebuild",
+    "es_aggs_matrix_stats",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

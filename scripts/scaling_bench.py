@@ -37,6 +37,8 @@ ROWS = [
     # item 1) — joins the table, with sf1 rows via the v2 fixture
     "jaccard_near_dups", "dedup_near_survivors", "corpus_clean",
     "semdedup_survivors",
+    # r8 late: the new multivariate-moments metric (one power-sum pass)
+    "es_aggs_matrix_stats",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

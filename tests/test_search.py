@@ -2176,3 +2176,51 @@ def test_sparse_vector_query_dot_product_and_guards(spark):
         from_es_json({"query": {"sparse_vector": {
             "field": "w", "query_vector": {"a": 1},
             "inference_id": "elser"}}})
+
+
+def test_geo_polygon_ray_casting_hand_computed(spark):
+    """Even-odd containment against a non-convex polygon (a downward
+    notch): points inside the wings match, the notch interior does not;
+    NULL coordinates never match; guards (too few vertices, range)."""
+    from tweets_elastic_spark.plans.search import GeoPolygon, from_es_json, search
+
+    # square with a notch cut into the top: (lat, lon)
+    poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (2.0, 5.0),
+            (10.0, 6.0), (10.0, 10.0), (0.0, 10.0)]
+    df = spark.createDataFrame(
+        [(1, 5.0, 2.0),    # left wing: inside
+         (2, 5.0, 8.0),    # right wing: inside
+         (3, 8.0, 5.0),    # inside the notch: outside the polygon
+         (4, 1.0, 5.0),    # below the notch tip: inside
+         (5, -1.0, 5.0),   # below the square: outside
+         (6, None, 5.0)],  # NULL lat: no match
+        "id long, lat double, lon double",
+    )
+    q = from_es_json({"query": {"geo_polygon": {
+        "field": {"lat": "lat", "lon": "lon"},
+        "points": [{"lat": a, "lon": o} for a, o in poly],
+    }}})
+    assert isinstance(q, GeoPolygon)
+    got = sorted(r["id"] for r in search(df, q, k=None).collect())
+    assert got == [1, 2, 4]
+
+    # explicit closing vertex is accepted (implicit closure)
+    q2 = from_es_json({"query": {"geo_polygon": {
+        "field": {"lat": "lat", "lon": "lon"},
+        "points": [{"lat": a, "lon": o} for a, o in poly + [poly[0]]],
+    }}})
+    assert sorted(r["id"] for r in search(df, q2, k=None).collect()) == [1, 2, 4]
+
+    with pytest.raises(ValueError, match=">= 3 vertices"):
+        from_es_json({"query": {"geo_polygon": {
+            "field": {"lat": "lat", "lon": "lon"},
+            "points": [{"lat": 0, "lon": 0}, {"lat": 1, "lon": 1}]}}})
+    with pytest.raises(ValueError, match="longitude out of range"):
+        from_es_json({"query": {"geo_polygon": {
+            "field": {"lat": "lat", "lon": "lon"},
+            "points": [{"lat": 0, "lon": 0}, {"lat": 1, "lon": 200},
+                       {"lat": 1, "lon": 0}]}}})
+    with pytest.raises(ValueError, match="needs 'field'"):
+        from_es_json({"query": {"geo_polygon": {
+            "field": "location",
+            "points": [{"lat": 0, "lon": 0}] * 3}}})

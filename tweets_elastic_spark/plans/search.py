@@ -1400,6 +1400,62 @@ class GeoBoundingBox(Query):
 
 
 @dataclass
+class GeoPolygon(Query):
+    """ES ``geo_polygon`` query (late r8): documents whose point lies
+    inside the closed polygon given as a (lat, lon) vertex list. Same
+    numeric degree-column-pair location convention as GeoDistance.
+    Containment is the EVEN-ODD (ray casting) rule over planar degree
+    coordinates — exactly how ES's legacy geo_polygon evaluates
+    (LegacyGeoPointShapeQueryProcessor's planar crossing count), one
+    indicator per edge summed into a parity test: a fixed-size
+    codegen'd expression, no UDF, non-scoring. Points ON an edge follow
+    the half-open crossing convention (deterministic, engine-portable).
+    Polygons crossing the antimeridian are out of scope and cannot be
+    expressed (vertex longitudes are clamped to [-180, 180]); split
+    such polygons into two clauses under a bool should."""
+
+    lat_field: str
+    lon_field: str
+    points: list  # [(lat, lon), ...] — >= 3 vertices, implicit closure
+
+    def __post_init__(self):
+        if not isinstance(self.points, list) or len(self.points) < 3:
+            raise ValueError(
+                f"geo_polygon needs >= 3 vertices, got {self.points!r}"
+            )
+        for p in self.points:
+            lat, lon = p
+            if not (-90.0 <= float(lat) <= 90.0):
+                raise ValueError(f"vertex latitude out of range: {lat}")
+            if not (-180.0 <= float(lon) <= 180.0):
+                raise ValueError(f"vertex longitude out of range: {lon}")
+
+    def predicate(self, spark, resolve) -> Column:
+        lat = resolve(self.lat_field).cast("double")
+        lon = resolve(self.lon_field).cast("double")
+        verts = [(float(a), float(o)) for a, o in self.points]
+        # drop an explicitly repeated closing vertex; closure is implicit
+        if verts[0] == verts[-1] and len(verts) > 3:
+            verts = verts[:-1]
+        crossings: Column = F.lit(0)
+        n = len(verts)
+        for i in range(n):
+            y1, x1 = verts[i]
+            y2, x2 = verts[(i + 1) % n]
+            if y1 == y2:
+                continue  # horizontal edge never crosses the ray
+            cond = (
+                ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+                & (lon < (F.lit(x2 - x1) * (lat - F.lit(y1))
+                          / F.lit(y2 - y1) + F.lit(x1)))
+            )
+            crossings = crossings + F.when(cond, 1).otherwise(0)
+        return (
+            lat.isNotNull() & lon.isNotNull() & (crossings % 2 == 1)
+        )
+
+
+@dataclass
 class Exists(Query):
     """Q6 (elastic_queries.json:33-36): field present and non-null."""
 
@@ -2769,6 +2825,25 @@ def from_es_json(
                 lat=float(origin["lat"]), lon=float(origin["lon"]),
                 distance_m=parse_distance_meters(body["distance"]),
             )
+        if kind == "geo_polygon":
+            extra = set(body) - {"field", "points"}
+            if extra:
+                raise ValueError(
+                    f"unsupported geo_polygon keys: {sorted(extra)}"
+                )
+            fld = body.get("field")
+            if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+                raise ValueError(
+                    "geo_polygon needs 'field': {'lat': col, 'lon': col} "
+                    "(no geo_point type here — a location is a numeric "
+                    "degree column pair)"
+                )
+            pts = [
+                (float(p["lat"]), float(p["lon"]))
+                if isinstance(p, dict) else (float(p[0]), float(p[1]))
+                for p in body.get("points", [])
+            ]
+            return GeoPolygon(fld["lat"], fld["lon"], pts)
         if kind == "geo_bounding_box":
             extra = set(body) - {"field", "top_left", "bottom_right"}
             if extra:

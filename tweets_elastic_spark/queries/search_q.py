@@ -2897,6 +2897,62 @@ def q_es_aggs_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEO_POLY = [(-60.0, -150.0), (60.0, -150.0), (60.0, 0.0),
+             (0.0, -60.0), (60.0, 120.0), (-60.0, 120.0)]
+
+
+def _geo_polygon_oracle() -> str:
+    """Mirror of GeoPolygon's ray-casting parity, edge for edge (same
+    literal differences, same division), over the derived degree pair."""
+    terms = []
+    n = len(_GEO_POLY)
+    for i in range(n):
+        y1, x1 = _GEO_POLY[i]
+        y2, x2 = _GEO_POLY[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"CASE WHEN (({y1} > lat) <> ({y2} > lat)) AND "
+            f"(lon < ({x2 - x1} * (lat - {y1}) / {y2 - y1} + {x1})) "
+            f"THEN 1 ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"""
+    WITH pts AS (
+        SELECT event_id,
+               (value % 140) - 70 AS lat,
+               (user_id * 2.4) - 180 AS lon
+        FROM events
+    )
+    SELECT event_id FROM pts
+    WHERE lat IS NOT NULL AND lon IS NOT NULL
+      AND ({total}) % 2 = 1
+    """
+
+
+@register(
+    "search_geo_polygon",
+    oracle=_geo_polygon_oracle(),
+    doc="ES geo_polygon query (late r8): even-odd ray-casting "
+        "containment over planar degree coordinates — how ES's legacy "
+        "geo_polygon evaluates — against a NON-CONVEX hexagon (a notch "
+        "exercises the parity logic). One indicator per edge summed "
+        "into a parity test: fixed-size codegen'd scan arithmetic, no "
+        "UDF. The oracle replays every edge's crossing formula with "
+        "identical literal differences.",
+)
+def q_search_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": (F.col("user_id") * 2.4) - 180,
+    })
+    query = from_es_json({"query": {"geo_polygon": {
+        "field": {"lat": "lat", "lon": "lon"},
+        "points": [{"lat": a, "lon": o} for a, o in _GEO_POLY],
+    }}})
+    return search(events, query, k=None).select("event_id")
+
+
 @register(
     "es_aggs_geo_line",
     oracle="""

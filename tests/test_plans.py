@@ -370,3 +370,28 @@ def test_registry_decorators_bind_their_own_function():
         if r.fn.__name__.startswith("q_") and n not in r.fn.__name__
     ]
     assert mismatches == []
+
+
+def test_late_r8_operator_plan_shapes(spark):
+    """Plan pins for the late-r8 operators: matrix_stats/geo_line are
+    one-exchange groupBy plans, geo_polygon is a pure scan-local filter
+    (zero exchanges, IsNotNull pushed to parquet), and none of them
+    runs Python in the hot path (the only sanctioned Python is the
+    t_test p-value UDF over the reduced bucket relation)."""
+    from tweets_elastic_spark import registry
+
+    registry._ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        df = registry._REGISTRY[name].fn(spark, sf)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for name, max_exchanges in [("es_aggs_matrix_stats", 1),
+                                ("es_aggs_geo_line", 1),
+                                ("search_geo_polygon", 0)]:
+        plan = plan_of(name)
+        assert plan.count("Exchange") <= max_exchanges, (name, plan)
+        assert "Python" not in plan and "ArrowEval" not in plan, name
+    plan = plan_of("search_geo_polygon")
+    assert "PushedFilters: [IsNotNull" in plan

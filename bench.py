@@ -185,6 +185,7 @@ HEADLINE = [
     "es_mget",
     "search_sparse_vector",
     "search_geo_polygon",
+    "es_aggs_random_sampler",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -2304,3 +2304,39 @@ def test_moving_percentiles_hand_computed_and_guards(spark):
             "aggs": {"p": {"percentiles": {"field": "v"}},
                      "mp": {"moving_percentiles": {
                          "buckets_path": "p", "window": 2}}}}})
+
+
+def test_random_sampler_deterministic_and_guards(spark):
+    """random_sampler: the hash-threshold sample is deterministic
+    (same seed -> same sample; different seed -> different sample),
+    sub-aggs run over the sample only, and the guard surface is loud."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "id long, v double"
+    )
+
+    def run(seed):
+        return es_aggregate(df, {"s": {
+            "random_sampler": {"probability": 0.3, "seed": seed,
+                               "id_field": "id"},
+            "aggs": {"n": {"value_count": {"field": "v"}}},
+        }}).head()
+
+    a, b = run(1), run(1)
+    assert a["n"] == b["n"] and a["doc_count"] == b["doc_count"]
+    assert a["sampling_probability"] == 0.3
+    assert 0 < a["doc_count"] < 200  # a real, proper subset
+    assert run(2)["n"] != a["n"] or run(3)["n"] != a["n"]
+
+    with pytest.raises(ValueError, match="probability must be in"):
+        es_aggregate(df, {"s": {
+            "random_sampler": {"probability": 0.7, "id_field": "id"},
+            "aggs": {"n": {"value_count": {"field": "v"}}}}})
+    with pytest.raises(ValueError, match="explicit 'id_field'"):
+        es_aggregate(df, {"s": {
+            "random_sampler": {"probability": 0.3},
+            "aggs": {"n": {"value_count": {"field": "v"}}}}})
+    with pytest.raises(ValueError, match="needs sub-aggregations"):
+        es_aggregate(df, {"s": {
+            "random_sampler": {"probability": 0.3, "id_field": "id"}}})

@@ -2222,6 +2222,60 @@ def _es_aggregate_impl(
             )
             .orderBy(F.col(name).asc())
         )
+    if kind == "random_sampler":
+        # ES random_sampler (8.2+): run the sub-aggs over a random
+        # `probability` fraction of the docs. ES samples with geometric
+        # skipping over its internal doc ids — not reproducible across
+        # engines — so this engine samples DETERMINISTICALLY by portable
+        # hash: a doc is in iff hash60(id ':' seed) < p·2^60, which makes
+        # the sample a pure scan predicate (pushdown-composable, stable
+        # across partitioning/engines; the documented determinism
+        # divergence, same trade as sampler's sort_field). `id_field` is
+        # therefore required. Results are SAMPLE statistics — doc_count
+        # is the sampled count and metrics are unscaled (ES's background
+        # rescaling of doc_count-like values is the caller's 1/p
+        # multiply here); the emitted `sampling_probability` column
+        # carries p for that rescale.
+        extra = set(body) - {"probability", "seed", "id_field"}
+        if extra:
+            raise ValueError(
+                f"unsupported random_sampler parameters: {sorted(extra)}"
+            )
+        p = float(body["probability"])
+        if not (0.0 < p < 0.5 or p == 1.0):
+            raise ValueError(
+                f"random_sampler probability must be in (0, 0.5) or "
+                f"exactly 1 (ES's bound), got {p}"
+            )
+        idf = body.get("id_field")
+        if idf is None:
+            raise ValueError(
+                "random_sampler needs an explicit 'id_field' (ES samples "
+                "over internal doc ids, which are not reproducible "
+                "across engines)"
+            )
+        if not sub:
+            raise ValueError(
+                "random_sampler needs sub-aggregations to run over the "
+                "sample"
+            )
+        from tweets_elastic_spark.functions.hashing import hash60
+
+        seed = int(body.get("seed", 0))
+        threshold = int(p * (1 << 60))
+        sample = df.filter(
+            hash60(F.concat(F.col(idf).cast("string"), F.lit(f":{seed}")))
+            < F.lit(threshold)
+        )
+        if all(
+            _agg_kind(s) in _METRIC_KINDS
+            for s in sub.values() if isinstance(s, dict) and s
+        ):
+            return sample.agg(
+                F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub)
+            ).withColumn("sampling_probability", F.lit(p))
+        return es_aggregate(sample, sub, fg_pred, analyzers) \
+            .withColumn("sampling_probability", F.lit(p))
     if kind in ("sampler", "diversified_sampler"):
         # ES sampler/diversified_sampler: run the sub-aggs over a SAMPLE —
         # the top `shard_size` documents, with diversified_sampler

@@ -1171,6 +1171,45 @@ def q_es_aggs_moving_percentiles(
 
 
 @register(
+    "es_aggs_random_sampler",
+    oracle=f"""
+    SELECT event_type AS by_type,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value), 6) AS mean_v,
+           CAST(0.25 AS DOUBLE) AS sampling_probability
+    FROM events
+    WHERE ('0x' || substr(md5(event_id::VARCHAR || ':7'), 1, 15))::BIGINT
+          < {int(0.25 * (1 << 60))}
+      AND event_type IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES random_sampler agg (8.2+): sub-aggs over a probability "
+        "fraction of the docs. ES's geometric skipping over internal "
+        "doc ids is not reproducible across engines, so the sample is "
+        "DETERMINISTIC by portable hash — doc in iff "
+        "hash60(id:seed) < p*2^60, a pure scan predicate (documented "
+        "determinism divergence). doc_count/metrics are sample "
+        "statistics; sampling_probability carries p for the 1/p "
+        "rescale. The oracle replays the identical hash threshold.",
+)
+def q_es_aggs_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return es_aggregate(events, {"s": {
+        "random_sampler": {"probability": 0.25, "seed": 7,
+                           "id_field": "event_id"},
+        "aggs": {"by_type": {
+            "terms": {"field": "event_type"},
+            "aggs": {"mean_v": {"avg": {"field": "value"}}},
+        }},
+    }}).select(
+        "by_type", "doc_count",
+        F.round("mean_v", 6).alias("mean_v"), "sampling_probability",
+    )
+
+
+@register(
     "es_aggs_variable_width_histogram",
     oracle="""
     WITH b AS (

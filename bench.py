@@ -186,6 +186,7 @@ HEADLINE = [
     "search_sparse_vector",
     "search_geo_polygon",
     "es_aggs_random_sampler",
+    "es_aggs_scripted_metric",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -2340,3 +2340,46 @@ def test_random_sampler_deterministic_and_guards(spark):
     with pytest.raises(ValueError, match="needs sub-aggregations"):
         es_aggregate(df, {"s": {
             "random_sampler": {"probability": 0.3, "id_field": "id"}}})
+
+
+def test_scripted_metric_custom_sum_and_guards(spark):
+    """scripted_metric's supported custom-sum shape vs a hand sum, and
+    the loud guard surface for every script slot."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 3.0), ("b", 10.0), ("a", None)],
+        "k string, v double",
+    )
+
+    def run(**over):
+        body = {
+            "init_script": "state.t = 0",
+            "map_script": "state.t += doc['v'].value * params.m",
+            "combine_script": "return state.t",
+            "reduce_script":
+                "double t = 0; for (s in states) { t += s } return t",
+            "params": {"m": 3},
+        }
+        body.update(over)
+        return es_aggregate(df, {"g": {
+            "terms": {"field": "k"},
+            "aggs": {"sm": {"scripted_metric": body}},
+        }}).orderBy("g").collect()
+
+    rows = run()
+    # NULL v drops out of the sum (documented divergence from ES's throw)
+    assert [(r["g"], r["sm"]) for r in rows] == [("a", 15.0), ("b", 30.0)]
+
+    with pytest.raises(ValueError, match="init_script must be"):
+        run(init_script="state.t = []")
+    with pytest.raises(ValueError, match="init value must be 0"):
+        run(init_script="state.t = 5")
+    with pytest.raises(ValueError, match="map_script must be"):
+        run(map_script="state.other += doc['v'].value")
+    with pytest.raises(ValueError, match="combine_script must be"):
+        run(combine_script="return state.t * 2")
+    with pytest.raises(ValueError, match="canonical sum-over-states"):
+        run(reduce_script="return states.stream().max()")
+    with pytest.raises(ValueError, match="unsupported scripted_metric"):
+        run(weird=1)

@@ -485,6 +485,103 @@ def _metric_cols(aggs: dict) -> list[Column]:
                 F.round(F.avg(F.when(both, lon)), 6).alias(f"{name}_lon"),
                 F.count(F.when(both, 1)).alias(f"{name}_count"),
             ]
+        elif kind == "scripted_metric":
+            # ES scripted_metric: the user-script escape hatch
+            # (init/map/combine/reduce Painless). Arbitrary scripted
+            # state cannot be a distributed aggregate, but the shape
+            # virtually every production scripted_metric takes — a
+            # CUSTOM SUM (init `state.x = 0`, map `state.x += <arith>`,
+            # combine `return state.x`, the canonical sum-over-states
+            # reduce loop) — compiles exactly to sum(<arith>) with the
+            # map expression going through the same Painless-arithmetic
+            # compiler script_score uses: one codegen'd aggregate, vs
+            # ES's per-doc interpreter. Anything outside that shape
+            # raises loudly (never a silently-wrong fold). A nonzero
+            # init is rejected too: ES runs init PER SHARD, so the
+            # result would depend on shard count. NULL doc values drop
+            # out of the sum (ES throws on missing doc values; the
+            # NULL contract here is the documented safer divergence).
+            import re as _re
+
+            from tweets_elastic_spark.plans.search import compile_painless
+
+            extra = set(body) - {"init_script", "map_script",
+                                 "combine_script", "reduce_script",
+                                 "params"}
+            if extra:
+                raise ValueError(
+                    f"unsupported scripted_metric keys: {sorted(extra)}"
+                )
+
+            def _src(key: str) -> str:
+                v = body.get(key)
+                if isinstance(v, dict):
+                    v = v.get("source")
+                if not isinstance(v, str):
+                    raise ValueError(f"scripted_metric needs {key}")
+                return v
+
+            mi = _re.fullmatch(
+                r"\s*state\.(\w+)\s*=\s*(\d+(?:\.\d+)?)\s*;?\s*",
+                _src("init_script"),
+            )
+            if mi is None:
+                raise ValueError(
+                    "scripted_metric init_script must be "
+                    "'state.<var> = 0' (the supported custom-sum shape)"
+                )
+            var, init_val = mi.group(1), float(mi.group(2))
+            if init_val != 0.0:
+                raise ValueError(
+                    "scripted_metric init value must be 0: ES runs "
+                    "init_script PER SHARD, so a nonzero seed makes the "
+                    "result shard-count-dependent"
+                )
+            mm = _re.fullmatch(
+                rf"\s*state\.{var}\s*\+=\s*(.+?)\s*;?\s*",
+                _src("map_script"), _re.DOTALL,
+            )
+            if mm is None:
+                raise ValueError(
+                    f"scripted_metric map_script must be "
+                    f"'state.{var} += <arithmetic>' (the supported "
+                    "custom-sum shape)"
+                )
+            mc = _re.fullmatch(
+                rf"\s*return\s+state\.{var}\s*;?\s*",
+                _src("combine_script"),
+            )
+            if mc is None:
+                raise ValueError(
+                    f"scripted_metric combine_script must be "
+                    f"'return state.{var}'"
+                )
+            mr = _re.fullmatch(
+                r"\s*(?:double\s+)?(\w+)\s*=\s*0(?:\.0)?\s*;\s*"
+                r"for\s*\(\s*(\w+)\s+in\s+states\s*\)\s*"
+                r"\{\s*\1\s*\+=\s*\2\s*;?\s*\}\s*"
+                r"return\s+\1\s*;?\s*",
+                _src("reduce_script"),
+            )
+            if mr is None:
+                raise ValueError(
+                    "scripted_metric reduce_script must be the canonical "
+                    "sum-over-states loop "
+                    "('double t = 0; for (s in states) { t += s } "
+                    "return t')"
+                )
+            params = {
+                k: F.lit(float(v))
+                for k, v in (body.get("params") or {}).items()
+            }
+            expr = compile_painless(
+                mm.group(1),
+                resolve_doc=lambda f: F.col(f).cast("double"),
+                params=params or None,
+            )
+            # 3 dp: double summation order differs across partials;
+            # 3 decimals holds to ~1e6-scale sums (n·eps·Σ|x| bound)
+            out.append(F.round(F.sum(expr), 3).alias(name))
         elif kind == "geo_line":
             # ES geo_line: the bucket's points joined into a LineString
             # in sort order — the track-reconstruction agg (points of a
@@ -1165,6 +1262,7 @@ _METRIC_KINDS = (
     "percentiles", "percentile_ranks", "stats", "extended_stats",
     "weighted_avg", "median_absolute_deviation", "string_stats",
     "boxplot", "top_metrics", "geo_centroid", "matrix_stats", "t_test",
+    "scripted_metric", "geo_line",
 )
 
 

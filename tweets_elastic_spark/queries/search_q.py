@@ -1171,6 +1171,45 @@ def q_es_aggs_moving_percentiles(
 
 
 @register(
+    "es_aggs_scripted_metric",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(l_quantity * (1 - l_discount) * 2.0), 3)
+               AS effective_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="ES scripted_metric agg, the custom-sum shape (init 'state.x=0', "
+        "map 'state.x += <arith>', combine 'return state.x', the "
+        "canonical sum-over-states reduce): compiles exactly to "
+        "sum(<arith>) through the shared Painless-arithmetic compiler — "
+        "one codegen'd aggregate with numeric params as literals, vs "
+        "ES's per-doc interpreted scripts. Any other scripted state "
+        "shape raises loudly; nonzero init rejected (ES runs init per "
+        "shard — shard-count-dependent). 3 dp both engines (summation "
+        "order).",
+)
+def q_es_aggs_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return es_aggregate(li, {"flag": {
+        "terms": {"field": "l_returnflag", "size": 10},
+        "aggs": {"effective_qty": {"scripted_metric": {
+            "init_script": "state.v = 0",
+            "map_script":
+                "state.v += doc['l_quantity'].value * "
+                "(1 - doc['l_discount'].value) * params.f",
+            "combine_script": "return state.v",
+            "reduce_script":
+                "double t = 0; for (s in states) { t += s } return t",
+            "params": {"f": 2},
+        }}},
+    }})
+
+
+@register(
     "es_aggs_random_sampler",
     oracle=f"""
     SELECT event_type AS by_type,

@@ -2224,3 +2224,60 @@ def test_geo_polygon_ray_casting_hand_computed(spark):
         from_es_json({"query": {"geo_polygon": {
             "field": "location",
             "points": [{"lat": 0, "lon": 0}] * 3}}})
+
+
+def test_span_queries_translate_to_intervals(spark):
+    """Lucene span compat: span_term/span_or/span_near compile onto the
+    intervals machinery with equivalent trees; unsupported span kinds
+    point at intervals."""
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    an = {"text": "standard"}
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "fox quick"), (3, "quick slow fox"),
+         (4, "nothing here")],
+        "id long, text string",
+    )
+
+    def ids(q):
+        return sorted(r["id"] for r in
+                      search(df, from_es_json({"query": q}, analyzers=an),
+                             k=None).collect())
+
+    assert from_es_json(
+        {"query": {"span_term": {"text": "fox"}}}, analyzers=an
+    ) == from_es_json(
+        {"query": {"intervals": {"text": {"match": {"query": "fox"}}}}},
+        analyzers=an,
+    )
+    assert ids({"span_term": {"text": {"value": "fox"}}}) == [1, 2, 3]
+    assert ids({"span_or": {"clauses": [
+        {"span_term": {"text": "brown"}}, {"span_term": {"text": "slow"}},
+    ]}}) == [1, 3]
+    # in_order: quick then fox with slop 0 -> adjacent only... slop 1
+    # admits one gap ("quick slow fox"); doc 2 has them reversed
+    assert ids({"span_near": {"clauses": [
+        {"span_term": {"text": "quick"}}, {"span_term": {"text": "fox"}},
+    ], "slop": 0, "in_order": True}}) == []
+    assert ids({"span_near": {"clauses": [
+        {"span_term": {"text": "brown"}}, {"span_term": {"text": "fox"}},
+    ], "slop": 0, "in_order": True}}) == [1]
+    assert ids({"span_near": {"clauses": [
+        {"span_term": {"text": "quick"}}, {"span_term": {"text": "fox"}},
+    ], "slop": 1, "in_order": True}}) == [1, 3]
+    # unordered: doc 2's reversed pair matches too
+    assert ids({"span_near": {"clauses": [
+        {"span_term": {"text": "quick"}}, {"span_term": {"text": "fox"}},
+    ], "slop": 1, "in_order": False}}) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="must be span_term"):
+        from_es_json({"query": {"span_near": {"clauses": [
+            {"span_or": {"clauses": []}}], "slop": 1}}}, analyzers=an)
+    with pytest.raises(ValueError, match="share one field"):
+        from_es_json({"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"lang": "b"}},
+        ], "slop": 1}}}, analyzers=an)
+    with pytest.raises(ValueError, match="intervals query"):
+        from_es_json({"query": {"span_first": {
+            "match": {"span_term": {"text": "a"}}, "end": 3}}},
+            analyzers=an)

@@ -2701,6 +2701,84 @@ def from_es_json(
                 ),
                 scope,
             )
+        if kind in ("span_term", "span_or", "span_near"):
+            # Lucene span queries, translated onto the intervals
+            # machinery (ES itself recommends intervals over spans —
+            # intervals are the modern positional surface and strictly
+            # generalize these three):
+            #   span_term {f: v}            -> intervals f: match v
+            #   span_or   {clauses: [...]}  -> intervals any_of
+            #   span_near {clauses, slop, in_order}
+            #     in_order=true  -> all_of(ordered, max_gaps=slop)
+            #     in_order=false -> match(joined terms, max_gaps=slop)
+            # Only span_term leaves (and span_or OF span_terms under
+            # span_near via any_of at the top) are expressible this way;
+            # span_first/span_not/span_containing/field_masking_span
+            # raise with a pointer to intervals.
+            def span_leaf(node: dict) -> tuple[str, str]:
+                (nk, nb), = node.items()
+                if nk != "span_term":
+                    raise ValueError(
+                        f"span_near clauses must be span_term here "
+                        f"(got {nk!r}); express richer compositions "
+                        "with the intervals query directly"
+                    )
+                (f, v), = nb.items()
+                if isinstance(v, dict):
+                    v = v["value"]
+                return f, str(v)
+
+            if kind == "span_term":
+                field, value = span_leaf({kind: body})
+                rule = {"match": {"query": value}}
+            elif kind == "span_or":
+                leaves = [span_leaf(c) for c in body["clauses"]]
+                fields = {f for f, _ in leaves}
+                if len(fields) != 1:
+                    raise ValueError(
+                        f"span_or clauses must share one field, got "
+                        f"{sorted(fields)}"
+                    )
+                (field,) = fields
+                rule = {"any_of": {"intervals": [
+                    {"match": {"query": v}} for _, v in leaves
+                ]}}
+            else:
+                extra = set(body) - {"clauses", "slop", "in_order"}
+                if extra:
+                    raise ValueError(
+                        f"unsupported span_near keys: {sorted(extra)}"
+                    )
+                leaves = [span_leaf(c) for c in body["clauses"]]
+                if not leaves:
+                    raise ValueError("span_near needs clauses")
+                fields = {f for f, _ in leaves}
+                if len(fields) != 1:
+                    raise ValueError(
+                        f"span_near clauses must share one field, got "
+                        f"{sorted(fields)}"
+                    )
+                (field,) = fields
+                slop = int(body.get("slop", 0))
+                if body.get("in_order", False):
+                    rule = {"all_of": {
+                        "ordered": True, "max_gaps": slop,
+                        "intervals": [{"match": {"query": v}}
+                                      for _, v in leaves],
+                    }}
+                else:
+                    rule = {"match": {
+                        "query": " ".join(v for _, v in leaves),
+                        "max_gaps": slop, "ordered": False,
+                    }}
+            return compile_node({"intervals": {field: rule}}, scope)
+        if kind in ("span_first", "span_not", "span_containing",
+                    "span_within", "field_masking_span", "span_multi"):
+            raise ValueError(
+                f"{kind} is not supported — use the intervals query "
+                "(match/any_of/all_of/prefix/wildcard), the modern "
+                "positional surface ES itself recommends over spans"
+            )
         if kind == "intervals":
             (field, rule), = body.items()
             analyzer = analyzers.get(field)

@@ -2383,3 +2383,33 @@ def test_scripted_metric_custom_sum_and_guards(spark):
         run(reduce_script="return states.stream().max()")
     with pytest.raises(ValueError, match="unsupported scripted_metric"):
         run(weird=1)
+
+
+def test_percentiles_hdr_option_routes_to_sketch(spark):
+    """The hdr option (significant value digits) routes to the same
+    mergeable sketch path as tdigest; results stay within rank-error of
+    the exact percentile; tdigest+hdr together raise."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "v double"
+    )
+    rows = es_aggregate(df, {"g": {
+        "histogram": {"field": "v", "interval": 1000},
+        "aggs": {"p": {"percentiles": {
+            "field": "v", "percents": [50],
+            "hdr": {"number_of_significant_value_digits": 3}}}},
+    }}).head()
+    assert abs(rows["p_p50"] - 499.5) <= 1.0  # rank error << 1e-3
+
+    with pytest.raises(ValueError, match="tdigest OR hdr"):
+        es_aggregate(df, {"g": {
+            "histogram": {"field": "v", "interval": 1000},
+            "aggs": {"p": {"percentiles": {
+                "field": "v", "tdigest": {}, "hdr": {}}}}}})
+    with pytest.raises(ValueError, match="significant_value_digits"):
+        es_aggregate(df, {"g": {
+            "histogram": {"field": "v", "interval": 1000},
+            "aggs": {"p": {"percentiles": {
+                "field": "v",
+                "hdr": {"number_of_significant_value_digits": 9}}}}}})

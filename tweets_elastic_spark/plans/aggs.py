@@ -454,6 +454,25 @@ def _metric_cols(aggs: dict) -> list[Column]:
             # approximate by contract -> pytest-bounded, not hash-oracled.
             c = F.col(body["field"])
             td = body.get("tdigest")
+            hdr = body.get("hdr")
+            if td is not None and hdr is not None:
+                raise ValueError(
+                    "percentiles accepts tdigest OR hdr, not both "
+                    "(ES's contract)"
+                )
+            if hdr is not None:
+                # ES's HDR histogram option: n significant value digits
+                # ≈ 10^-n relative error. Routed to the same mergeable
+                # GK sketch as tdigest with accuracy 10^(n+2) (rank
+                # error ≤ 10^-(n+2)) — approximate by contract, like the
+                # tdigest path; the exact default keeps the hash oracle.
+                n = int(hdr.get("number_of_significant_value_digits", 3))
+                if not 1 <= n <= 5:
+                    raise ValueError(
+                        f"hdr number_of_significant_value_digits must "
+                        f"be in [1, 5] (ES's bound), got {n}"
+                    )
+                td = {"compression": 10 ** n}
             for p in body.get("percents", [25, 50, 75]):
                 label = str(p).replace(".", "_")
                 if td is not None:

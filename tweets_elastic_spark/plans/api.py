@@ -143,13 +143,11 @@ def es_mget(
     source fields. ``source`` filters the returned columns (``_source``
     includes).
 
-    Scale shape: the id batch is a tiny literal relation, so the hot
-    path (found docs) is one BROADCAST hash join against the corpus —
-    the predicate pushes into the scan, never N point queries. The
-    found-flag tail needs the ids NOT in the corpus, which no outer
-    join can produce with the tiny side preserved and broadcast; it is
-    derived from the found rows' own id set (bucket-cardinality), so
-    the corpus is scanned once."""
+    Scale shape: ONE corpus scan and two broadcast joins. The hits
+    relation (corpus ⋈ broadcast id batch) is at most ids-sized, so it
+    broadcasts back as the RIGHT side of the left join that preserves
+    every requested id — the build side Spark allows for a left-outer
+    join. No anti join, no second scan, no shuffle of corpus rows."""
     if not ids:
         raise ValueError("_mget needs a non-empty ids list")
     spark = df.sparkSession
@@ -163,21 +161,15 @@ def es_mget(
     if missing_in_df:
         raise ValueError(f"_mget _source fields not in index: {missing_in_df}")
     right = df.select(F.col(id_col).cast("long").alias("_id"), *cols)
-    found = F.broadcast(req).join(right, "_id")
-    found_ids = found.select("_id").distinct()
-    missing = F.broadcast(req).join(
-        F.broadcast(found_ids), "_id", "left_anti"
-    )
-    out = found.select(
-        "ord", "_id", F.lit(True).alias("found"), *cols
-    ).unionByName(
-        missing.select(
-            "ord", "_id", F.lit(False).alias("found"),
-            *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-              for c in cols],
-        )
-    )
-    return out.orderBy("ord")
+    hits = right.join(
+        F.broadcast(req.select("_id").distinct()), "_id"
+    ).withColumn("__found", F.lit(True))
+    out = req.join(F.broadcast(hits), "_id", "left")
+    return out.select(
+        "ord", "_id",
+        F.coalesce(F.col("__found"), F.lit(False)).alias("found"),
+        *cols,
+    ).orderBy("ord")
 
 
 def es_rank_eval(

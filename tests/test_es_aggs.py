@@ -125,7 +125,7 @@ def test_ambiguous_and_unknown_shapes_raise(spark, sales):
         es_aggregate(sales, {
             "b": {
                 "terms": {"field": "region"},
-                "aggs": {"m": {"scripted_metric": {"field": "amount"}}},
+                "aggs": {"m": {"no_such_metric": {"field": "amount"}}},
             }
         })
     with pytest.raises(ValueError, match="unsupported date_histogram interval"):

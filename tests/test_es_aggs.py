@@ -2413,3 +2413,47 @@ def test_percentiles_hdr_option_routes_to_sketch(spark):
             "aggs": {"p": {"percentiles": {
                 "field": "v",
                 "hdr": {"number_of_significant_value_digits": 9}}}}}})
+
+
+def test_geo_bounds_wrap_and_regular(spark):
+    pts = spark.createDataFrame(
+        [(1, "wrap", 10.0, 179.0), (2, "wrap", -5.0, -179.0),
+         (3, "wrap", 2.0, 175.0),
+         (4, "reg", 40.0, -10.0), (5, "reg", 50.0, 30.0)],
+        "id long, grp string, lat double, lon double",
+    )
+    dsl = {"g": {"terms": {"field": "grp"},
+                 "aggs": {"b": {"geo_bounds": {
+                     "field": {"lat": "lat", "lon": "lon"}}}}}}
+    got = {r["g"]: r.asDict() for r in es_aggregate(pts, dsl).collect()}
+    # wrap group spans [175, 179] ∪ [-179]: the antimeridian box
+    # (width 6) beats the regular box (width 358) → left > right
+    assert got["wrap"]["b_left"] == 175.0
+    assert got["wrap"]["b_right"] == -179.0
+    assert got["wrap"]["b_top"] == 10.0 and got["wrap"]["b_bottom"] == -5.0
+    # regular group never wraps
+    assert got["reg"]["b_left"] == -10.0 and got["reg"]["b_right"] == 30.0
+
+    # wrap_longitude=False forces the regular box even across the seam
+    dsl_nw = {"g": {"terms": {"field": "grp"},
+                    "aggs": {"b": {"geo_bounds": {
+                        "field": {"lat": "lat", "lon": "lon"},
+                        "wrap_longitude": False}}}}}
+    got_nw = {r["g"]: r.asDict() for r in es_aggregate(pts, dsl_nw).collect()}
+    assert got_nw["wrap"]["b_left"] == -179.0
+    assert got_nw["wrap"]["b_right"] == 179.0
+
+    # null in either coordinate drops the point; field-shape guard raises
+    with_null = spark.createDataFrame(
+        [(1, "g", 1.0, None), (2, "g", 3.0, 7.0)],
+        "id long, grp string, lat double, lon double",
+    )
+    row = es_aggregate(with_null, {"g": {
+        "terms": {"field": "grp"},
+        "aggs": {"b": {"geo_bounds": {
+            "field": {"lat": "lat", "lon": "lon"}}}}}}).collect()[0]
+    assert row["b_left"] == 7.0 and row["b_top"] == 3.0
+    with pytest.raises(ValueError, match="lat.*lon"):
+        es_aggregate(pts, {"g": {"terms": {"field": "grp"},
+                                 "aggs": {"b": {"geo_bounds":
+                                                {"field": "lon"}}}}})

@@ -504,6 +504,57 @@ def _metric_cols(aggs: dict) -> list[Column]:
                 F.round(F.avg(F.when(both, lon)), 6).alias(f"{name}_lon"),
                 F.count(F.when(both, 1)).alias(f"{name}_count"),
             ]
+        elif kind == "geo_bounds":
+            # ES geo_bounds: the bucket's smallest enclosing lat/lon box,
+            # flattened to {name}_top/bottom/left/right (top_left +
+            # bottom_right corners). wrap_longitude=True (ES's default)
+            # also considers the box that crosses the antimeridian: both
+            # candidate widths come from the same min/max aggregates over
+            # the raw and the [0,360)-normalized longitude, the narrower
+            # wins, and a crossing box reports left > right exactly like
+            # ES. Docs missing either coordinate drop out. Four extra
+            # min/max aggregates on the shared partial/final plan — no
+            # second pass for the wrapped candidate.
+            extra = set(body) - {"field", "wrap_longitude"}
+            if extra:
+                raise ValueError(
+                    f"unsupported geo_bounds parameters: {sorted(extra)}"
+                )
+            fld = body.get("field")
+            if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+                raise ValueError(
+                    "geo_bounds needs 'field': {'lat': col, 'lon': col}"
+                )
+            wrap = bool(body.get("wrap_longitude", True))
+            lat = F.col(fld["lat"]).cast("double")
+            lon = F.col(fld["lon"]).cast("double")
+            both = lat.isNotNull() & lon.isNotNull()
+            lat_v = F.when(both, lat)
+            lon_v = F.when(both, lon)
+            out += [
+                F.round(F.max(lat_v), 6).alias(f"{name}_top"),
+                F.round(F.min(lat_v), 6).alias(f"{name}_bottom"),
+            ]
+            if not wrap:
+                out += [
+                    F.round(F.min(lon_v), 6).alias(f"{name}_left"),
+                    F.round(F.max(lon_v), 6).alias(f"{name}_right"),
+                ]
+            else:
+                # normalized candidate: lon mapped to [0, 360)
+                pos = F.when(both, F.when(lon < 0, lon + 360).otherwise(lon))
+                reg_w = F.max(lon_v) - F.min(lon_v)
+                wrp_w = F.max(pos) - F.min(pos)
+                use_wrap = wrp_w < reg_w
+                unnorm = lambda c: F.when(c > 180, c - 360).otherwise(c)
+                out += [
+                    F.round(F.when(use_wrap, unnorm(F.min(pos)))
+                             .otherwise(F.min(lon_v)), 6)
+                     .alias(f"{name}_left"),
+                    F.round(F.when(use_wrap, unnorm(F.max(pos)))
+                             .otherwise(F.max(lon_v)), 6)
+                     .alias(f"{name}_right"),
+                ]
         elif kind == "scripted_metric":
             # ES scripted_metric: the user-script escape hatch
             # (init/map/combine/reduce Painless). Arbitrary scripted
@@ -1280,8 +1331,8 @@ _METRIC_KINDS = (
     "sum", "avg", "min", "max", "value_count", "cardinality",
     "percentiles", "percentile_ranks", "stats", "extended_stats",
     "weighted_avg", "median_absolute_deviation", "string_stats",
-    "boxplot", "top_metrics", "geo_centroid", "matrix_stats", "t_test",
-    "scripted_metric", "geo_line",
+    "boxplot", "top_metrics", "geo_centroid", "geo_bounds", "matrix_stats",
+    "t_test", "scripted_metric", "geo_line",
 )
 
 

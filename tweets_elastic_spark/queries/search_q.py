@@ -3126,6 +3126,68 @@ def q_es_aggs_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_aggs_geo_bounds",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               (value % 140) - 70 AS lat,
+               CASE WHEN event_type = 'error'
+                    THEN CASE WHEN 170 + (value % 20) > 180
+                              THEN 170 + (value % 20) - 360
+                              ELSE 170 + (value % 20) END
+                    ELSE (user_id * 2.4) - 120 END AS lon
+        FROM events
+        WHERE event_type IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type AS by_type,
+               CAST(count(*) AS BIGINT) AS doc_count,
+               max(lat) AS top_r, min(lat) AS bottom_r,
+               min(lon) AS lmin, max(lon) AS lmax,
+               min(CASE WHEN lon < 0 THEN lon + 360 ELSE lon END) AS pmin,
+               max(CASE WHEN lon < 0 THEN lon + 360 ELSE lon END) AS pmax
+        FROM pts GROUP BY 1
+    )
+    SELECT by_type, doc_count,
+           round(top_r, 6) AS box_top,
+           round(bottom_r, 6) AS box_bottom,
+           round(CASE WHEN (pmax - pmin) < (lmax - lmin)
+                      THEN CASE WHEN pmin > 180 THEN pmin - 360 ELSE pmin END
+                      ELSE lmin END, 6) AS box_left,
+           round(CASE WHEN (pmax - pmin) < (lmax - lmin)
+                      THEN CASE WHEN pmax > 180 THEN pmax - 360 ELSE pmax END
+                      ELSE lmax END, 6) AS box_right
+    FROM agg
+    """,
+    doc="ES geo_bounds metric agg (r8 s4) under a terms bucket: each "
+        "bucket's smallest enclosing lat/lon box with ES's default "
+        "wrap_longitude=true — the 'error' bucket's longitudes cluster "
+        "across the antimeridian so its box crosses (left > right), the "
+        "other buckets take the regular box; both candidates come from "
+        "min/max aggregates on one shared partial/final plan. The oracle "
+        "replays the narrower-width selection arithmetically.",
+)
+def q_es_aggs_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    wrap_lon = F.lit(170) + (F.col("value") % 20)
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": F.when(
+            F.col("event_type") == "error",
+            F.when(wrap_lon > 180, wrap_lon - 360).otherwise(wrap_lon),
+        ).otherwise((F.col("user_id") * 2.4) - 120),
+    })
+    return es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"box": {"geo_bounds": {
+            "field": {"lat": "lat", "lon": "lon"},
+            "wrap_longitude": True,
+        }}},
+    }})
+
+
+@register(
     "es_aggs_filters_metrics",
     oracle="""
     SELECT 'big_clicks' AS which,

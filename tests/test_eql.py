@@ -1,0 +1,140 @@
+"""EQL front-end: parser subset, sequence-automaton semantics on
+hand-computed vectors, and the no-Python / single-shuffle plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from tweets_elastic_spark.plans.eql import eql_search, parse_eql
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts double, user_id long, event_type string, "
+              "value double"
+    )
+
+
+SEQ = """sequence by user_id with maxspan=100s
+  [ a where true ]
+  [ b where true ]
+  [ c where true ]"""
+
+
+def _run(spark, rows, q=SEQ):
+    return sorted(
+        (r["user_id"], r["id1"], r["id2"], r["id3"])
+        for r in eql_search(_df(spark, rows), q).collect()
+    )
+
+
+def test_parse_rejects_unsupported():
+    with pytest.raises(ValueError, match="maxspan"):
+        parse_eql("sequence by u with maxspan=10fortnights [a where true] [b where true]")
+    with pytest.raises(ValueError, match=">= 2 stages"):
+        parse_eql("sequence by u [ a where true ]")
+    with pytest.raises(ValueError, match="only 'true' and"):
+        parse_eql("a where x == 1 or y == 2")
+    with pytest.raises(ValueError, match="comparison"):
+        parse_eql("a where startsWith(x)")
+    q = parse_eql('sequence by u with maxspan=2h [a where v >= 3] [any where true]')
+    assert q.maxspan_s == 7200.0
+    assert q.stages[0].conditions[0].op == ">="
+    assert q.stages[1].category == "any"
+
+
+def test_basic_match_and_order(spark):
+    rows = [
+        (1, 10.0, 7, "a", 0.0), (2, 20.0, 7, "b", 0.0), (3, 30.0, 7, "c", 0.0),
+    ]
+    assert _run(spark, rows) == [(7, 1, 2, 3)]
+    # out of order never matches
+    rows_rev = [
+        (1, 30.0, 7, "a", 0.0), (2, 20.0, 7, "b", 0.0), (3, 10.0, 7, "c", 0.0),
+    ]
+    assert _run(spark, rows_rev) == []
+
+
+def test_maxspan_bounds_first_to_last(spark):
+    # a..c span 101s > maxspan: the c event cannot complete
+    rows = [
+        (1, 0.0, 7, "a", 0.0), (2, 50.0, 7, "b", 0.0), (3, 101.0, 7, "c", 0.0),
+    ]
+    assert _run(spark, rows) == []
+    # exactly at the bound matches (<=)
+    rows_edge = [
+        (1, 0.0, 7, "a", 0.0), (2, 50.0, 7, "b", 0.0), (3, 100.0, 7, "c", 0.0),
+    ]
+    assert _run(spark, rows_edge) == [(7, 1, 2, 3)]
+
+
+def test_most_recent_start_wins(spark):
+    # a second 'a' replaces the pending length-1 prefix
+    rows = [
+        (1, 0.0, 7, "a", 0.0), (2, 10.0, 7, "a", 0.0),
+        (3, 20.0, 7, "b", 0.0), (4, 30.0, 7, "c", 0.0),
+    ]
+    assert _run(spark, rows) == [(7, 2, 3, 4)]
+
+
+def test_completion_consumes_no_overlap(spark):
+    # after a completed sequence, later c events need a fresh prefix
+    rows = [
+        (1, 0.0, 7, "a", 0.0), (2, 10.0, 7, "b", 0.0), (3, 20.0, 7, "c", 0.0),
+        (4, 30.0, 7, "c", 0.0),
+    ]
+    assert _run(spark, rows) == [(7, 1, 2, 3)]
+    # ...but a surviving shorter prefix may still complete later: the
+    # second 'a' (started before completion) survives the emit
+    rows2 = [
+        (1, 0.0, 7, "a", 0.0), (2, 5.0, 7, "b", 0.0),
+        (3, 8.0, 7, "a", 0.0),  # new length-1 prefix
+        (4, 10.0, 7, "c", 0.0),  # completes 1-2-4
+        (5, 12.0, 7, "b", 0.0), (6, 15.0, 7, "c", 0.0),  # completes 3-5-6
+    ]
+    assert _run(spark, rows2) == [(7, 1, 2, 4), (7, 3, 5, 6)]
+
+
+def test_keys_isolated_and_conditions(spark):
+    rows = [
+        (1, 0.0, 1, "a", 5.0), (2, 10.0, 2, "b", 5.0), (3, 20.0, 1, "c", 5.0),
+        (4, 1.0, 2, "a", 99.0), (5, 2.0, 2, "b", 5.0), (6, 3.0, 2, "c", 5.0),
+    ]
+    # key 1 never sees a 'b'; key 2 completes
+    assert _run(spark, rows) == [(2, 4, 5, 6)]
+    # stage condition filters: require value > 50 on stage 1
+    cond = """sequence by user_id with maxspan=100s
+      [ a where value > 50 ] [ b where true ] [ c where true ]"""
+    assert _run(spark, rows, cond) == [(2, 4, 5, 6)]
+    cond_none = """sequence by user_id with maxspan=100s
+      [ a where value > 500 ] [ b where true ] [ c where true ]"""
+    assert _run(spark, rows, cond_none) == []
+
+
+def test_two_stage_and_any_category(spark):
+    rows = [
+        (1, 0.0, 7, "a", 1.0), (2, 5.0, 7, "x", 2.0), (3, 9.0, 7, "b", 3.0),
+    ]
+    q = """sequence by user_id with maxspan=50s
+      [ a where true ] [ any where value > 1 ]"""
+    got = sorted((r["user_id"], r["id1"], r["id2"])
+                 for r in eql_search(_df(spark, rows), q).collect())
+    # the 'x' event (value 2 > 1) extends immediately — most-recent automaton
+    assert got == [(7, 1, 2)]
+
+
+def test_event_query_order_and_filter(spark):
+    rows = [
+        (2, 20.0, 7, "err", 95.0), (1, 10.0, 7, "err", 99.0),
+        (3, 30.0, 7, "ok", 99.0), (4, 40.0, 7, "err", 5.0),
+    ]
+    got = [r["event_id"]
+           for r in eql_search(_df(spark, rows), "err where value > 90").collect()]
+    assert got == [1, 2]
+
+
+def test_sequence_plan_no_python_one_exchange(spark):
+    rows = [(1, 0.0, 7, "a", 0.0), (2, 1.0, 7, "b", 0.0), (3, 2.0, 7, "c", 0.0)]
+    plan = eql_search(_df(spark, rows), SEQ)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # groupBy key (+AQE read)

@@ -1,0 +1,322 @@
+"""EQL (Event Query Language) front-end: event queries and ``sequence``
+correlation over an event stream, the `_eql/search` surface ES layers over
+event indices (reference scope: the engine's events table plays the role of
+an ES event index; the reference repo itself stops at search DSL, so this is
+part of the beyond-reference analytics mandate).
+
+Supported subset
+----------------
+* simple event queries: ``<category> where <condition>`` — a filtered scan
+  ordered by (timestamp, tiebreaker), ES's EQL hit order.
+* sequences::
+
+      sequence by <field> [with maxspan=<n><unit>]
+        [ <category> where <condition> ]
+        [ <category> where <condition> ]
+        ...
+
+  ``<category>`` matches the event-category field (``any`` matches every
+  event); conditions are conjunctions of ``field OP literal`` comparisons
+  (``== != > >= < <=``) or the literal ``true``.
+
+Sequence semantics (deterministic single-slot automaton)
+--------------------------------------------------------
+Per join key, events are scanned in (timestamp, id) order through a state
+machine holding ONE pending prefix per length. An event plays the DEEPEST
+stage it can extend (its prefix's first event within ``maxspan``);
+otherwise, if it matches stage 1, it starts/replaces the pending length-1
+prefix. Completing a sequence emits it and consumes its events (the spent
+prefix clears; shorter prefixes survive). This is ES's most-recent-wins
+sequencer restricted to one in-flight prefix per length — a documented
+divergence: ES's state machine can track several concurrent prefixes per
+stage and so can emit overlapping matches; this engine never emits
+overlapping sequences for a key. The upside is the semantics are exactly
+replayable in ANSI SQL (a recursive CTE stepping the same automaton), so
+sequence results stay hash-oracle-checkable.
+
+Scale design
+------------
+The automaton is a single ``F.aggregate`` HOF over each key's time-sorted
+event array: one shuffle (groupBy key), JVM-side evaluation, no Python in
+the plan. Stage predicates are evaluated BEFORE the shuffle, so only events
+matching some stage move, and the per-stage boolean array (L bits) plus
+(ts, id) is all that shuffles — not the event payload. State per key is
+O(L · sequence length) and emits are bounded by matches. The per-key memory
+bound is the collected per-key relevant-event list; keys are independent so
+1000 executors scale by key count. A hot key's list is the same linear
+scan ES's sequencer performs, minus the payloads.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_eql", "eql_search"]
+
+_DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d)$")
+_DUR_SECONDS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+_CMP_OPS = ("==", "!=", ">=", "<=", ">", "<")
+
+
+@dataclass
+class Comparison:
+    field: str
+    op: str
+    value: object  # str | float | int | bool
+
+
+@dataclass
+class StageFilter:
+    category: str  # "any" or a category literal
+    conditions: list[Comparison] = field(default_factory=list)  # AND-joined
+
+
+@dataclass
+class EqlQuery:
+    kind: str                      # "event" | "sequence"
+    stages: list[StageFilter]
+    by: str | None = None          # sequence join-key field
+    maxspan_s: float | None = None
+
+
+def _parse_duration(tok: str) -> float:
+    m = _DURATION_RE.match(tok)
+    if not m:
+        raise ValueError(
+            f"unsupported EQL maxspan {tok!r} (expected <int><ms|s|m|h|d>)"
+        )
+    return int(m.group(1)) * _DUR_SECONDS[m.group(2)]
+
+
+def _parse_literal(tok: str):
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "\"'":
+        return tok[1:-1]
+    if tok in ("true", "false"):
+        return tok == "true"
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        raise ValueError(f"unsupported EQL literal {tok!r}") from None
+
+
+def _parse_condition(text: str) -> list[Comparison]:
+    """``true`` or ``cmp (and cmp)*`` — the conjunctive subset. ``or`` /
+    parentheses / functions raise loudly rather than silently narrowing."""
+    text = text.strip()
+    if text == "true":
+        return []
+    lowered = f" {text.lower()} "
+    for bad in (" or ", "(", ")"):
+        if bad in lowered:
+            raise ValueError(
+                f"unsupported EQL condition {text!r}: only 'true' and "
+                "AND-joined field-vs-literal comparisons are supported"
+            )
+    out = []
+    for part in re.split(r"\s+and\s+", text, flags=re.IGNORECASE):
+        for op in _CMP_OPS:  # two-char ops first
+            if op in part:
+                lhs, rhs = part.split(op, 1)
+                lhs, rhs = lhs.strip(), rhs.strip()
+                if not _IDENT_RE.match(lhs):
+                    raise ValueError(f"bad EQL field name {lhs!r}")
+                out.append(Comparison(lhs, op, _parse_literal(rhs)))
+                break
+        else:
+            raise ValueError(f"unsupported EQL comparison {part!r}")
+    return out
+
+
+def parse_eql(query: str) -> EqlQuery:
+    """Parse the supported EQL subset into an :class:`EqlQuery`."""
+    q = " ".join(query.split())  # normalize whitespace
+    if not q:
+        raise ValueError("empty EQL query")
+    if not q.lower().startswith("sequence"):
+        # simple event query: `<category> where <cond>`
+        m = re.match(r"^(\S+)\s+where\s+(.*)$", q, flags=re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported EQL query {query!r}")
+        return EqlQuery("event",
+                        [StageFilter(m.group(1), _parse_condition(m.group(2)))])
+    head, _, rest = q.partition("[")
+    if not rest:
+        raise ValueError("EQL sequence needs at least one [ ... ] stage")
+    m = re.match(
+        r"^sequence\s+by\s+(\S+)(?:\s+with\s+maxspan\s*=\s*(\S+))?\s*$",
+        head, flags=re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"unsupported EQL sequence head {head.strip()!r} "
+            "(expected: sequence by <field> [with maxspan=<dur>])"
+        )
+    by = m.group(1)
+    maxspan = _parse_duration(m.group(2)) if m.group(2) else None
+    stages = []
+    for stage_src in ("[" + rest).split("]"):
+        stage_src = stage_src.strip()
+        if not stage_src:
+            continue
+        if not stage_src.startswith("["):
+            raise ValueError(f"malformed EQL stage near {stage_src!r}")
+        sm = re.match(r"^\[\s*(\S+)\s+where\s+(.*)$", stage_src,
+                      flags=re.IGNORECASE)
+        if not sm:
+            raise ValueError(f"unsupported EQL stage {stage_src!r}")
+        stages.append(StageFilter(sm.group(1), _parse_condition(sm.group(2))))
+    if len(stages) < 2:
+        raise ValueError("EQL sequence needs >= 2 stages")
+    return EqlQuery("sequence", stages, by=by, maxspan_s=maxspan)
+
+
+def _cmp_col(c: Comparison) -> Column:
+    col = F.col(c.field)
+    lit = F.lit(c.value)
+    return {
+        "==": col == lit, "!=": col != lit, ">": col > lit,
+        ">=": col >= lit, "<": col < lit, "<=": col <= lit,
+    }[c.op]
+
+
+def _stage_pred(stage: StageFilter, category_field: str) -> Column:
+    pred = F.lit(True) if stage.category == "any" else (
+        F.col(category_field) == F.lit(stage.category)
+    )
+    for c in stage.conditions:
+        pred = pred & _cmp_col(c)
+    return pred
+
+
+def eql_search(
+    df: DataFrame,
+    query: str | EqlQuery,
+    *,
+    timestamp_field: str = "ts",
+    event_category_field: str = "event_type",
+    id_field: str = "event_id",
+) -> DataFrame:
+    """Run an EQL query over ``df``.
+
+    Event queries return the matching events ordered by (timestamp, id).
+    Sequences return one row per matched sequence:
+    ``(<by>, first_ts, last_ts, id1..idL)`` with timestamps as epoch-second
+    doubles (``ts.cast('double')`` — the engine's oracle-stable rendering).
+    """
+    eq = parse_eql(query) if isinstance(query, str) else query
+    if eq.kind == "event":
+        return (
+            df.filter(_stage_pred(eq.stages[0], event_category_field))
+            .orderBy(timestamp_field, id_field)
+        )
+
+    L = len(eq.stages)
+    preds = [_stage_pred(s, event_category_field) for s in eq.stages]
+    any_stage = preds[0]
+    for p in preds[1:]:
+        any_stage = any_stage | p
+
+    # epoch-second double: timestamp cols go via TIMESTAMP (covers
+    # TIMESTAMP_NTZ parquet, which cannot cast to double directly);
+    # numeric cols pass through
+    ts_type = df.schema[timestamp_field].dataType.simpleString()
+    tscol = F.col(timestamp_field)
+    if ts_type.startswith("timestamp"):
+        tscol = tscol.cast("timestamp")
+    # shuffle only (key, ts, id, L match bits) — never the event payload
+    ev = (
+        df.filter(any_stage)
+        .select(
+            F.col(eq.by).alias("k"),
+            tscol.cast("double").alias("tsd"),
+            F.col(id_field).cast("bigint").alias("eid"),
+            F.array(*preds).alias("m"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+    slot_t = "struct<fts:double,ids:array<bigint>>"
+    emit_t = "struct<fts:double,lts:double,ids:array<bigint>>"
+    init = F.struct(
+        F.array(*([F.lit(None).cast(slot_t)] * (L - 1))).alias("slots"),
+        F.array().cast(f"array<{emit_t}>").alias("emits"),
+    )
+
+    def merge(acc: Column, e: Column) -> Column:
+        slots, emits = acc["slots"], acc["emits"]
+        # ext = the DEEPEST stage this event can play: j extends the pending
+        # length-j prefix (slot j-1) to length j+1; 0 starts a new prefix;
+        # -1 leaves the state untouched.
+        ext = F.lit(-1)
+        conds = []
+        for j in range(1, L):
+            prev = slots[j - 1]
+            c = e["m"][j] & prev.isNotNull()
+            if eq.maxspan_s is not None:
+                c = c & ((e["tsd"] - prev["fts"]) <= F.lit(eq.maxspan_s))
+            conds.append((j, c))
+        chain = F.when(conds[-1][1], F.lit(conds[-1][0]))
+        for j, c in reversed(conds[:-1]):
+            chain = chain.when(c, F.lit(j))
+        ext = chain.when(e["m"][0], F.lit(0)).otherwise(F.lit(-1))
+
+        new_slots = []
+        for sidx in range(L - 1):
+            if sidx == 0:
+                receive = F.struct(
+                    e["tsd"].alias("fts"), F.array(e["eid"]).alias("ids")
+                )
+            else:
+                prev = slots[sidx - 1]
+                receive = F.struct(
+                    prev["fts"].alias("fts"),
+                    F.concat(prev["ids"], F.array(e["eid"])).alias("ids"),
+                )
+            new_slots.append(
+                F.when(ext == sidx, receive)
+                .when(ext == sidx + 1, F.lit(None).cast(slot_t))
+                .otherwise(slots[sidx])
+            )
+        last = slots[L - 2]
+        emitted = F.struct(
+            last["fts"].alias("fts"),
+            e["tsd"].alias("lts"),
+            F.concat(last["ids"], F.array(e["eid"])).alias("ids"),
+        )
+        new_emits = F.when(
+            ext == L - 1, F.concat(emits, F.array(emitted))
+        ).otherwise(emits)
+        return F.struct(
+            F.array(*new_slots).alias("slots"), new_emits.alias("emits")
+        )
+
+    runs = (
+        ev.groupBy("k")
+        .agg(F.sort_array(F.collect_list(F.struct("tsd", "eid", "m")))
+             .alias("evs"))
+        .select(
+            "k",
+            F.aggregate(F.col("evs"), init, merge, lambda a: a["emits"])
+            .alias("emits"),
+        )
+        .select("k", F.explode("emits").alias("s"))
+    )
+    id_cols = [
+        F.element_at(F.col("s.ids"), i + 1).alias(f"id{i + 1}")
+        for i in range(L)
+    ]
+    return runs.select(
+        F.col("k").alias(eq.by),
+        F.col("s.fts").alias("first_ts"),
+        F.col("s.lts").alias("last_ts"),
+        *id_cols,
+    )

@@ -4249,3 +4249,63 @@ def q_search_pinned_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         search(events, q, k=20, tiebreak="event_id")
         .select("event_id", "user_id", F.round("score", 6).alias("score"))
     )
+
+
+@register(
+    "search_has_child",
+    oracle="""
+    WITH kids AS (
+        SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_quantity > 45
+        GROUP BY 1 HAVING count(*) >= 3
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, CAST(k.n AS DOUBLE) AS score
+    FROM orders o JOIN kids k ON o.o_orderkey = k.k
+    """,
+    doc="ES has_child query (r8 s4, plans/joinfield.py): orders having "
+        ">= 3 lineitems matching a child range query, score_mode=sum "
+        "folding the constant-score children (= matching-child count). "
+        "The child side aggregates BEFORE the join — map-side partial "
+        "count, one shuffle on the key, one row per qualifying parent — "
+        "never the child fan-out; ES runs the same join per shard "
+        "against the join-field doc values.",
+)
+def q_search_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.joinfield import has_child
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return has_child(
+        orders, lineitem,
+        parent_key="o_orderkey", child_key="l_orderkey",
+        query={"range": {"l_quantity": {"gt": 45}}},
+        score_mode="sum", min_children=3,
+    ).select("o_orderkey", "o_orderstatus", "score")
+
+
+@register(
+    "search_has_parent",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 49
+      AND l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'F')
+    """,
+    doc="ES has_parent query (r8 s4, plans/joinfield.py): lineitems whose "
+        "parent order matches a term query, score=false — a LEFT SEMI "
+        "join (only child columns move; the parent side carries just its "
+        "key). The child-side quantity filter rides the parquet scan.",
+)
+def q_search_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.joinfield import has_parent
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 49
+    )
+    return has_parent(
+        lineitem, orders,
+        parent_key="o_orderkey", child_key="l_orderkey",
+        query={"term": {"o_orderstatus": "F"}},
+    ).select("l_orderkey", "l_linenumber", "l_quantity")

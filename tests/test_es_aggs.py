@@ -2457,3 +2457,38 @@ def test_geo_bounds_wrap_and_regular(spark):
         es_aggregate(pts, {"g": {"terms": {"field": "grp"},
                                  "aggs": {"b": {"geo_bounds":
                                                 {"field": "lon"}}}}})
+
+
+def test_cumulative_cardinality(spark):
+    rows = [
+        # (day-bucket via ts double histogram) — entity u first-seen days:
+        # u1@d0, u2@d0, u1@d1 (not new), u3@d2
+        (1, 0.0, "u1"), (2, 10.0, "u2"),
+        (3, 100.0, "u1"),
+        (4, 200.0, "u3"), (5, 210.0, None),  # null entity never counts
+    ]
+    df = spark.createDataFrame(rows, "id long, t double, u string")
+    out = es_aggregate(df, {"b": {
+        "histogram": {"field": "t", "interval": 100},
+        "aggs": {
+            "du": {"cardinality": {"field": "u"}},
+            "cc": {"cumulative_cardinality": {"buckets_path": "du"}},
+        },
+    }}).orderBy("b").collect()
+    assert [(r["b"], r["du"], r["cc"]) for r in out] == [
+        (0.0, 2, 2), (100.0, 1, 2), (200.0, 1, 3),
+    ]
+    with pytest.raises(ValueError, match="cardinality agg"):
+        es_aggregate(df, {"b": {
+            "histogram": {"field": "t", "interval": 100},
+            "aggs": {"cc": {"cumulative_cardinality":
+                            {"buckets_path": "nope"}}},
+        }})
+    with pytest.raises(ValueError, match="histogram-family"):
+        es_aggregate(df, {"b": {
+            "terms": {"field": "u"},
+            "aggs": {
+                "du": {"cardinality": {"field": "u"}},
+                "cc": {"cumulative_cardinality": {"buckets_path": "du"}},
+            },
+        }})

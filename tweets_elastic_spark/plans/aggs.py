@@ -1349,7 +1349,7 @@ def _agg_kind(spec: dict) -> str:
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "serial_diff", "moving_fn",
     "moving_percentiles", "normalize", "bucket_script", "bucket_selector",
-    "bucket_sort",
+    "bucket_sort", "cumulative_cardinality",
 )
 # sibling pipelines: scalar over the parent agg's bucket list, requested
 # NEXT TO the parent at the top level (ES's sibling-agg shape).
@@ -2606,6 +2606,17 @@ def _es_aggregate_impl(
     for n in pipes:
         sub.pop(n)
 
+    # cumulative_cardinality cannot be derived from per-bucket
+    # cardinalities (distinct counts don't sum); it splits off here and is
+    # evaluated from the RAW relation after the bucket relation is built
+    # — see the cc block near the end of this function.
+    cc_pipes = {
+        n: s for n, s in pipes.items()
+        if next(iter(s)) == "cumulative_cardinality"
+    }
+    for n in cc_pipes:
+        pipes.pop(n)
+
     # moving_percentiles needs the WINDOW'S VALUES, not the sibling
     # percentiles agg's per-bucket results (percentiles don't merge):
     # stage each referenced field's sorted value array as a hidden
@@ -2839,6 +2850,59 @@ def _es_aggregate_impl(
             out = out.orderBy(
                 F.col("doc_count").desc(), F.col(name).asc()
             ).limit(int(size))
+    if cc_pipes:
+        # ES cumulative_cardinality: distinct entities seen in buckets
+        # <= b. Per-bucket cardinalities don't merge, but the FIRST-SEEN
+        # decomposition is exact and distributed: cc(b) = Σ_{b'<=b}
+        # #entities whose earliest bucket is b'. One extra
+        # groupBy(entity) → min(bucket) aggregation over the same keyed
+        # scan (map-side partial min), a bucket-sized join, and a
+        # running sum over the ordered bucket relation — never a
+        # per-bucket distinct-set union. This is strictly cheaper than
+        # ES's HLL-merge pipeline and exact.
+        if nested_bucket:
+            raise ValueError(
+                "cumulative_cardinality with a nested bucket agg is "
+                "unsupported"
+            )
+        if kind not in ("date_histogram", "histogram"):
+            raise ValueError(
+                "cumulative_cardinality needs a histogram-family parent "
+                f"bucket (deterministic key order), got {kind!r}"
+            )
+        from pyspark.sql.window import Window
+
+        w_cc = (
+            Window.orderBy(F.col(name).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for pname, pspec in cc_pipes.items():
+            pbody = pspec["cumulative_cardinality"]
+            path = pbody.get("buckets_path")
+            ref = sub.get(path)
+            if not (isinstance(ref, dict) and "cardinality" in ref):
+                raise ValueError(
+                    "cumulative_cardinality buckets_path must name a "
+                    f"sibling cardinality agg, got {path!r}"
+                )
+            ent = F.col(ref["cardinality"]["field"])
+            news = (
+                keyed.filter(ent.isNotNull())
+                .groupBy(ent.alias("__e"))
+                .agg(F.min(keys[0][0]).alias(name))
+                .groupBy(name)
+                .agg(F.count(F.lit(1)).alias(f"__new_{pname}"))
+            )
+            out = (
+                out.join(news, name, "left")
+                .withColumn(
+                    pname,
+                    F.sum(
+                        F.coalesce(F.col(f"__new_{pname}"), F.lit(0))
+                    ).over(w_cc),
+                )
+                .drop(f"__new_{pname}")
+            )
     if pipes:
         if nested_bucket:
             raise ValueError(

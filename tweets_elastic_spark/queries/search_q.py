@@ -4309,3 +4309,49 @@ def q_search_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent_key="o_orderkey", child_key="l_orderkey",
         query={"term": {"o_orderstatus": "F"}},
     ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "es_aggs_cumulative_cardinality",
+    oracle="""
+    WITH b AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,
+               user_id
+        FROM events WHERE ts IS NOT NULL
+    ),
+    per AS (
+        SELECT by_day, CAST(count(*) AS BIGINT) AS doc_count,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS day_users
+        FROM b GROUP BY 1
+    ),
+    firsts AS (
+        SELECT user_id, min(by_day) AS by_day
+        FROM b WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    news AS (SELECT by_day, count(*) AS n FROM firsts GROUP BY 1)
+    SELECT p.by_day, p.doc_count, p.day_users,
+           CAST(sum(coalesce(n.n, 0)) OVER (
+               ORDER BY p.by_day ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS total_users
+    FROM per p LEFT JOIN news n USING (by_day)
+    """,
+    doc="ES cumulative_cardinality pipeline agg (r8 s4): distinct users "
+        "seen up to each day bucket. Distinct counts don't sum, so the "
+        "engine uses the exact first-seen decomposition — one extra "
+        "groupBy(user) -> min(bucket) over the same scan, a bucket-sized "
+        "join, and a running sum over the ordered bucket relation — "
+        "instead of ES's per-bucket HLL-sketch merge (documented "
+        "strictly-more-accurate divergence, same as cardinality).",
+)
+def q_es_aggs_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return es_aggregate(events, {"by_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "day_users": {"cardinality": {"field": "user_id"}},
+            "total_users": {"cumulative_cardinality":
+                            {"buckets_path": "day_users"}},
+        },
+    }})

@@ -2281,3 +2281,69 @@ def test_span_queries_translate_to_intervals(spark):
         from_es_json({"query": {"span_first": {
             "match": {"span_term": {"text": "a"}}, "end": 3}}},
             analyzers=an)
+
+
+def test_combined_fields_bm25f(spark):
+    from tweets_elastic_spark.functions.analyzers import materialize_tokens
+    from tweets_elastic_spark.plans.search import (
+        CombinedFields,
+        combined_bm25_stats,
+        corpus_combined_provider,
+        from_es_json,
+        search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "alpha gamma delta"),
+         (2, "beta", "beta beta epsilon"),
+         (3, "zeta", "eta theta")],
+        "doc_id long, head string, body string",
+    )
+    docs = materialize_tokens(docs, {"head": ["standard"],
+                                     "body": ["standard"]})
+    fields = [("head__standard", 2.0), ("body__standard", 1.0)]
+    stats = combined_bm25_stats(docs, fields, ["alpha", "beta"])
+    # union df: alpha in doc1 (both fields -> counted once) = 1;
+    # beta in doc1(head) + doc2(both) = 2
+    assert stats.df == {"alpha": 1.0, "beta": 2.0}
+    # avgdl: weighted lengths 2*2+3=7, 2*1+3=5, 2*1+2=4 -> 16/3
+    assert abs(stats.avgdl - 16.0 / 3.0) < 1e-12
+
+    q = CombinedFields(fields, "alpha beta", analyzer="standard",
+                       stats=stats)
+    out = {r["doc_id"]: r["score"]
+           for r in search(docs, q, k=None).collect()}
+    assert set(out) == {1, 2}
+    # doc1: tf_alpha = 2*1 + 1 = 3 (head hit weighted), doc2 has no alpha
+    import math
+    idf_a = math.log(1 + (3 - 1 + 0.5) / 1.5)
+    idf_b = math.log(1 + (3 - 2 + 0.5) / 2.5)
+    dl1 = 7.0
+    sat = lambda tf, dl: tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+    want1 = idf_a * sat(3.0, dl1) + idf_b * sat(2.0, dl1)
+    assert abs(out[1] - want1) < 1e-9
+
+    # operator=and requires every term in SOME field
+    q_and = CombinedFields(fields, "alpha beta", analyzer="standard",
+                           stats=stats, operator="and")
+    assert [r["doc_id"] for r in search(docs, q_and, k=None).collect()] == [1]
+
+    # DSL wiring: provider required, analyzers must agree
+    dsl = {"combined_fields": {"query": "alpha beta",
+                               "fields": ["head^2", "body"]}}
+    bindings = dict(
+        analyzers={"head": "standard", "body": "standard"},
+        tokens_cols={"head": "head__standard", "body": "body__standard"},
+    )
+    with pytest.raises(ValueError, match="combined_stats_for"):
+        from_es_json(dsl, **bindings)
+    provider = corpus_combined_provider(spark, docs)
+    qj = from_es_json(dsl, **bindings, combined_stats_for=provider)
+    outj = {r["doc_id"]: r["score"]
+            for r in search(docs, qj, k=None).collect()}
+    assert outj == out
+    with pytest.raises(ValueError, match="share one"):
+        from_es_json(dsl, analyzers={"head": "standard",
+                                     "body": "englando"},
+                     tokens_cols=bindings["tokens_cols"],
+                     combined_stats_for=provider)

@@ -1264,6 +1264,152 @@ class BM25Match(Query):
         return total
 
 
+def combined_bm25_stats(
+    df: DataFrame, fields: list[tuple[str, float]], query_tokens: list[str]
+) -> Bm25Stats:
+    """Corpus statistics for the ``combined_fields`` pseudo-field: doc
+    length = Σ_f weight_f·len_f, and per-token df = docs containing the
+    token in ANY field. One aggregation job, like ``bm25_stats``. The
+    union-df is EXACT — Lucene's CombinedFieldQuery approximates the
+    pseudo-df by merging per-field term stats because the inverted index
+    can't see the union; a scan-side engine can, a documented
+    strictly-more-principled divergence."""
+    dl = None
+    for col_name, w in fields:
+        term = F.size(F.col(col_name)).cast("double") * F.lit(float(w))
+        dl = term if dl is None else dl + term
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(dl).alias("_avgdl"),
+    ]
+    for i, t in enumerate(query_tokens):
+        any_f = None
+        for col_name, _ in fields:
+            c = F.array_contains(F.col(col_name), t)
+            any_f = c if any_f is None else (any_f | c)
+        aggs.append(
+            F.sum(any_f.cast("long")).cast("double").alias(f"_df_{i}")
+        )
+    row = df.agg(*aggs).head()
+    return Bm25Stats(
+        n_docs=float(row["_n"]),
+        avgdl=float(row["_avgdl"]),
+        df={t: float(row[f"_df_{i}"]) for i, t in enumerate(query_tokens)},
+    )
+
+
+def corpus_combined_provider(spark: SparkSession, docs: DataFrame):
+    """A ``combined_stats_for`` provider for ``from_es_json`` computing
+    combined-pseudo-field statistics with one aggregation over ``docs``
+    (memoized per (fields, analyzer, text), like ``corpus_bm25_provider``).
+    At index scale the union-df belongs with the segment stats, same as
+    the per-field term dictionary."""
+    cache: dict[tuple, Bm25Stats] = {}
+
+    def provider(tok_fields, analyzer: str, text: str) -> Bm25Stats:
+        key = (tuple(tok_fields), analyzer, text)
+        if key not in cache:
+            cache[key] = combined_bm25_stats(
+                docs, list(tok_fields), analyze_text(spark, text, analyzer)
+            )
+        return cache[key]
+
+    return provider
+
+
+@dataclass
+class CombinedFields(Query):
+    """ES ``combined_fields``: BM25F-style scoring that treats several
+    text fields as ONE combined field (the principled multi-field query —
+    vs multi_match's per-field score combination):
+
+        tf_c(t)  = Σ_f weight_f · tf_f(t)
+        dl_c     = Σ_f weight_f · dl_f
+        score    = Σ_t idf(union_df) · tf_c·(k1+1) /
+                   (tf_c + k1·(1 - b + b·dl_c/avgdl_c))
+
+    ES requires all fields to share one analyzer; enforced at compile.
+    Per-doc math is JVM Column expressions over the token arrays; corpus
+    stats arrive as literals from ``combined_bm25_stats``. operator /
+    minimum_should_match gate candidates on presence in ANY field."""
+
+    CONSTANT_SCORE = False
+
+    fields: list[tuple[str, float]]  # (tokens_col, weight)
+    text: str
+    analyzer: str
+    stats: Bm25Stats
+    k1: float = 1.2
+    b: float = 0.75
+    operator: str = "or"
+    minimum_should_match: int = 0
+    boost: float = 1.0
+
+    def _query_tokens(self, spark) -> list[str]:
+        return analyze_text(spark, self.text, self.analyzer)
+
+    def _contains(self, resolve, t: str) -> Column:
+        out = None
+        for col_name, _ in self.fields:
+            c = F.array_contains(resolve(col_name), t)
+            out = c if out is None else (out | c)
+        return out
+
+    def predicate(self, spark, resolve) -> Column:
+        if self.operator not in ("or", "and"):
+            raise ValueError(
+                f"combined_fields operator must be 'or'/'and', "
+                f"got {self.operator!r}"
+            )
+        qt = self._query_tokens(spark)
+        if not qt:
+            return F.lit(False)
+        per_tok = [self._contains(resolve, t) for t in qt]
+        if self.operator == "and":
+            out = per_tok[0]
+            for c in per_tok[1:]:
+                out = out & c
+            return out
+        if self.minimum_should_match > 1:
+            matched = sum((c.cast("int") for c in per_tok), start=F.lit(0))
+            return matched >= self.minimum_should_match
+        out = per_tok[0]
+        for c in per_tok[1:]:
+            out = out | c
+        return out
+
+    def score(self, spark, resolve) -> Column:
+        import math
+
+        dl = None
+        for col_name, w in self.fields:
+            term = F.size(resolve(col_name)).cast("double") * F.lit(float(w))
+            dl = term if dl is None else dl + term
+        total = F.lit(0.0)
+        for t in self._query_tokens(spark):
+            df_t = self.stats.df.get(t, 0.0)
+            idf = math.log(
+                1.0 + (self.stats.n_docs - df_t + 0.5) / (df_t + 0.5)
+            )
+            tf = None
+            for col_name, w in self.fields:
+                c = (
+                    F.size(F.filter(resolve(col_name), lambda x: x == F.lit(t)))
+                    .cast("double") * F.lit(float(w))
+                )
+                tf = c if tf is None else tf + c
+            sat = (tf * F.lit(self.k1 + 1.0)) / (
+                tf
+                + F.lit(self.k1)
+                * (F.lit(1.0 - self.b)
+                   + F.lit(self.b) * dl / F.lit(self.stats.avgdl))
+            )
+            total = total + F.lit(idf) * sat
+        if self.boost != 1.0:
+            total = total * F.lit(float(self.boost))
+        return total
+
+
 @dataclass
 class Range(Query):
     """Q7 (elastic_queries.json:25,28): numeric/temporal comparisons."""
@@ -2245,6 +2391,7 @@ def from_es_json(
     nested_paths: set[str] | frozenset[str] = frozenset(),
     id_field: str = "doc_id",
     bm25_stats_for=None,
+    combined_stats_for=None,
 ) -> Query:
     """Compile an Elasticsearch query-DSL JSON object into the Query tree —
     the front-end that lets the reference's own query artifact
@@ -2625,6 +2772,57 @@ def from_es_json(
                 fields, body["query"], analyzers=analyzers,
                 tokens_cols=tokens_cols,
                 type=mm_type, tie_breaker=tb,
+            )
+        if kind == "combined_fields":
+            # BM25F: fields fused into one pseudo-field before scoring.
+            # Needs corpus stats over the COMBINED field (union df,
+            # weighted length), so a combined_stats_for provider is
+            # required — there is no constant-score fallback that would
+            # preserve the query's meaning, refuse instead.
+            extra = set(body) - {"query", "fields", "operator",
+                                 "minimum_should_match", "boost"}
+            if extra:
+                raise ValueError(
+                    f"unsupported combined_fields options: {sorted(extra)}"
+                )
+            if combined_stats_for is None:
+                raise ValueError(
+                    "combined_fields needs a combined_stats_for provider "
+                    "(corpus_combined_provider / an index-backed one) — "
+                    "its BM25F scoring has no constant-score fallback"
+                )
+            cf_fields = []
+            for spec in body["fields"]:
+                field, _, w = spec.partition("^")
+                cf_fields.append((field, float(w) if w else 1.0))
+            if not cf_fields:
+                raise ValueError("combined_fields needs at least one field")
+            cf_analyzers = {analyzers.get(f) for f, _ in cf_fields}
+            if len(cf_analyzers) != 1 or None in cf_analyzers:
+                raise ValueError(
+                    "combined_fields requires every field to share one "
+                    f"analyzer binding (ES's contract); got "
+                    f"{ {f: analyzers.get(f) for f, _ in cf_fields} }"
+                )
+            (cf_analyzer,) = cf_analyzers
+            tok_fields = []
+            for f, w in cf_fields:
+                tc = tokens_cols.get(f)
+                if tc is None:
+                    raise ValueError(
+                        f"combined_fields field {f!r} has no token-column "
+                        "binding"
+                    )
+                tok_fields.append((tc, w))
+            msm = int(body.get("minimum_should_match", 0))
+            return CombinedFields(
+                tok_fields, body["query"], analyzer=cf_analyzer,
+                stats=combined_stats_for(
+                    tuple(tok_fields), cf_analyzer, body["query"]
+                ),
+                operator=body.get("operator", "or"),
+                minimum_should_match=msm,
+                boost=float(body.get("boost", 1.0)),
             )
         if kind == "fuzzy":
             (field, spec), = body.items()

@@ -4355,3 +4355,86 @@ def q_es_aggs_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFr
                             {"buckets_path": "day_users"}},
         },
     }})
+
+
+# combined_fields oracle: the BM25F formula recomputed entirely in SQL from
+# the same standard tokens of the two fields (head = first 80 chars ^2,
+# text ^1): tf/dl are weighted sums across fields, df is the exact
+# union-df, k1=1.2, b=0.75.
+_CF_TF = {
+    t: (f"(CAST(len(list_filter(ht, x -> x = '{t}')) AS DOUBLE) * 2.0 + "
+        f"CAST(len(list_filter(tt, x -> x = '{t}')) AS DOUBLE) * 1.0)")
+    for t in ("spark", "merge")
+}
+_CF_DL = ("(CAST(len(ht) AS DOUBLE) * 2.0 + "
+          "CAST(len(tt) AS DOUBLE) * 1.0)")
+_CF_SCORE = " + ".join(
+    f"""ln(1.0 + (s.n - d.df_{t} + 0.5)/(d.df_{t} + 0.5))
+        * ({_CF_TF[t]} * 2.2)
+        / ({_CF_TF[t]} + 1.2 * (0.25 + 0.75 * {_CF_DL} / s.avgdl))"""
+    for t in ("spark", "merge")
+)
+
+
+@register(
+    "search_combined_fields",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(list_filter(
+                   regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                   x -> x <> ''), x -> lower(x)) AS tt,
+               list_transform(list_filter(
+                   regexp_split_to_array(substr(text, 1, 80),
+                                         '[^a-zA-Z0-9'']+'),
+                   x -> x <> ''), x -> lower(x)) AS ht
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg({_CF_DL}) AS avgdl
+        FROM toks
+    ),
+    dfs AS (
+        SELECT
+          CAST(sum(CASE WHEN list_contains(ht, 'spark')
+                          OR list_contains(tt, 'spark')
+                   THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+          CAST(sum(CASE WHEN list_contains(ht, 'merge')
+                          OR list_contains(tt, 'merge')
+                   THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge
+        FROM toks
+    )
+    SELECT doc_id, round({_CF_SCORE}, 6) AS score
+    FROM toks, stats s, dfs d
+    WHERE list_contains(ht, 'spark') OR list_contains(tt, 'spark')
+       OR list_contains(ht, 'merge') OR list_contains(tt, 'merge')
+    """,
+    doc="ES combined_fields query (r8 s4): BM25F — the fields fused into "
+        "ONE pseudo-field before scoring (tf and doc length are weighted "
+        "sums across fields, idf uses the exact union document frequency "
+        "— Lucene's CombinedFieldQuery approximates that df from merged "
+        "per-field term stats; the scan-side union is exact, documented). "
+        "Through the JSON front-end with a corpus_combined_provider; "
+        "per-doc math is JVM expressions, stats one aggregation job.",
+)
+def q_search_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import corpus_combined_provider
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "head", F.substring("text", 1, 80)
+    )
+    docs = materialize_tokens(
+        docs, {"text": ["standard"], "head": ["standard"]}
+    )
+    query = from_es_json(
+        {"combined_fields": {
+            "query": "spark merge",
+            "fields": ["head^2", "text"],
+        }},
+        analyzers={"text": "standard", "head": "standard"},
+        tokens_cols={"text": "text__standard", "head": "head__standard"},
+        combined_stats_for=corpus_combined_provider(spark, docs),
+    )
+    return search(docs, query, k=None).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )

@@ -2347,3 +2347,37 @@ def test_combined_fields_bm25f(spark):
                                      "body": "englando"},
                      tokens_cols=bindings["tokens_cols"],
                      combined_stats_for=provider)
+
+
+def test_render_search_template():
+    from tweets_elastic_spark.plans.templates import (
+        render_search_template,
+        render_template,
+    )
+
+    # scalar + toJson + truthy/inverted sections (the default-size idiom)
+    src = ('{"query": {"match": {"t": "{{q}}"}}, '
+           '"size": {{size}}{{^size}}10{{/size}}, '
+           '"ids": {{#toJson}}ids{{/toJson}}}')
+    got = render_search_template(src, {"q": 'he said "hi"', "ids": [1, 2]})
+    assert got == {"query": {"match": {"t": 'he said "hi"'}},
+                   "size": 10, "ids": [1, 2]}
+    got = render_search_template(src, {"q": "x", "ids": [], "size": 3})
+    assert got["size"] == 3 and got["ids"] == []
+
+    # sections splice optional clauses; nested sections resolve
+    src2 = '[1{{#a}}, 2{{#b}}, 3{{/b}}{{/a}}]'
+    assert render_search_template(src2, {"a": True, "b": True}) == [1, 2, 3]
+    assert render_search_template(src2, {"a": True}) == [1, 2]
+    assert render_search_template(src2, {}) == [1]
+
+    # guards: list section, missing toJson param, non-JSON result,
+    # leftover syntax
+    with pytest.raises(ValueError, match="list iteration"):
+        render_template("{{#xs}}x{{/xs}}", {"xs": [1]})
+    with pytest.raises(ValueError, match="missing"):
+        render_search_template("{{#toJson}}nope{{/toJson}}", {})
+    with pytest.raises(ValueError, match="not valid JSON"):
+        render_search_template('{"a": {{v}}}', {})
+    with pytest.raises(ValueError, match="needs"):
+        render_template("{{v}}", {"v": [1, 2]})

@@ -4438,3 +4438,42 @@ def q_search_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(docs, query, k=None).select(
         "doc_id", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "search_template",
+    oracle="""
+    SELECT event_type AS by_type, CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(value), 6) AS total
+    FROM events
+    WHERE event_type IN ('click', 'error') AND value >= 10
+    GROUP BY 1
+    """,
+    doc="ES search templates (r8 s4, plans/templates.py): a mustache "
+        "source rendered against params — {{#toJson}} injects the terms "
+        "list, a truthy section splices the optional range clause, scalar "
+        "{{min_value}} interpolates — then parsed and executed through "
+        "the ordinary es_request front-end (render is driver-side string "
+        "work; the plan is identical to writing the JSON by hand).",
+)
+def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+    from tweets_elastic_spark.plans.templates import render_search_template
+
+    source = """
+    {
+      "query": {"bool": {"filter": [
+        {"terms": {"event_type": {{#toJson}}types{{/toJson}}}}
+        {{#min_value}}, {"range": {"value": {"gte": {{min_value}}}}}{{/min_value}}
+      ]}},
+      "aggs": {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"total": {"sum": {"field": "value"}}}
+      }}
+    }
+    """
+    request = render_search_template(
+        source, {"types": ["click", "error"], "min_value": 10}
+    )
+    events = load_table(spark, sf_dir, "events")
+    return es_request(events, request)

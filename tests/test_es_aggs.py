@@ -113,7 +113,7 @@ def test_ambiguous_and_unknown_shapes_raise(spark, sales):
             }
         })
     with pytest.raises(ValueError, match="unsupported bucket aggregation"):
-        es_aggregate(sales, {"b": {"ip_range":
+        es_aggregate(sales, {"b": {"no_such_bucket":
                                    {"field": "amount", "ranges": []}}})
     # the geo bucket kinds are supported since r7/r8 but validate their
     # degree-column-pair field shape
@@ -2492,3 +2492,31 @@ def test_cumulative_cardinality(spark):
                 "cc": {"cumulative_cardinality": {"buckets_path": "du"}},
             },
         }})
+
+
+def test_ip_range_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.0.128"), (3, "10.0.1.0"),
+         (4, "not-an-ip"), (5, "10.0.0.300"), (6, None)],
+        "id long, ip string",
+    )
+    dsl = {"b": {"ip_range": {"field": "ip", "ranges": [
+        {"to": "10.0.0.128"},
+        {"mask": "10.0.0.128/25"},  # 10.0.0.128 - 10.0.1.0
+        {"from": "10.0.1.0"},
+    ]}}}
+    got = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl).collect()}
+    # to is exclusive; malformed / out-of-range octet / NULL land nowhere
+    assert got == {"*-10.0.0.128": 1, "10.0.0.128/25": 1, "10.0.1.0-*": 1}
+    # mask normalizes to the network start
+    dsl_m = {"b": {"ip_range": {"field": "ip", "ranges": [
+        {"mask": "10.0.0.77/25"}]}}}  # host bits stripped -> 10.0.0.0/25
+    got = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl_m).collect()}
+    assert got == {"10.0.0.77/25": 1}
+    # overlap and bad addresses refuse
+    with pytest.raises(ValueError, match="non-overlapping"):
+        es_aggregate(df, {"b": {"ip_range": {"field": "ip", "ranges": [
+            {"to": "10.0.1.0"}, {"from": "10.0.0.128"}]}}})
+    with pytest.raises(ValueError, match="bad IPv4"):
+        es_aggregate(df, {"b": {"ip_range": {"field": "ip", "ranges": [
+            {"from": "::1"}]}}})

@@ -404,6 +404,68 @@ def _bucket_key(kind: str, body: dict) -> Column:
                 cond = cond & (src < F.lit(hi))
             key = F.when(src.isNotNull() & cond, F.lit(label)).otherwise(key)
         return key
+    if kind == "ip_range":
+        # ES ip_range agg over an IPv4 string column: [from, to) buckets
+        # (to exclusive, like range), specified as from/to addresses or a
+        # CIDR ``mask``. Addresses compile to integer bounds at PLAN time
+        # (Python); the per-row work is one validate-regex + 4-octet
+        # arithmetic expression — scan-local, codegen'd, no UDF. Malformed
+        # strings / octets > 255 fall in no bucket (ES rejects them at
+        # index time via the ip field type; the scan-side engine filters
+        # instead, documented). IPv6 raises loudly. Overlapping ranges
+        # would need an explode — refuse, same policy as range.
+        def ip_int(s: str) -> int:
+            parts = s.split(".")
+            if len(parts) != 4 or not all(
+                p.isdigit() and 0 <= int(p) <= 255 for p in parts
+            ):
+                raise ValueError(f"bad IPv4 address {s!r}")
+            a, b, c, d = (int(p) for p in parts)
+            return (a << 24) | (b << 16) | (c << 8) | d
+
+        bounds = []
+        for r in body["ranges"]:
+            if "mask" in r:
+                net, _, bits_s = r["mask"].partition("/")
+                bits = int(bits_s)
+                if not 0 <= bits <= 32:
+                    raise ValueError(f"bad CIDR mask {r['mask']!r}")
+                width = 1 << (32 - bits)
+                start = ip_int(net) & ~(width - 1) & 0xFFFFFFFF
+                bounds.append((start, start + width,
+                               r.get("key", r["mask"])))
+            else:
+                lo = ip_int(r["from"]) if "from" in r else None
+                hi = ip_int(r["to"]) if "to" in r else None
+                label = r.get(
+                    "key",
+                    f"{r.get('from', '*')}-{r.get('to', '*')}",
+                )
+                bounds.append((lo, hi, label))
+        for (lo_a, hi_a, la), (lo_b, hi_b, lb) in zip(bounds, bounds[1:]):
+            if hi_a is None or (lo_b is not None and lo_b < hi_a):
+                raise ValueError(
+                    "ip_range buckets must be sorted and non-overlapping "
+                    f"(got {la!r} then {lb!r})"
+                )
+        octet = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+        p = F.split(src, r"\.")
+        ip = (
+            p.getItem(0).cast("long") * 16777216
+            + p.getItem(1).cast("long") * 65536
+            + p.getItem(2).cast("long") * 256
+            + p.getItem(3).cast("long")
+        )
+        ip = F.when(src.rlike(f"^({octet}\\.){{3}}{octet}$"), ip)
+        key = F.lit(None).cast("string")
+        for lo, hi, label in reversed(bounds):
+            cond = ip.isNotNull()
+            if lo is not None:
+                cond = cond & (ip >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (ip < F.lit(hi))
+            key = F.when(cond, F.lit(label)).otherwise(key)
+        return key
     raise ValueError(f"unsupported bucket aggregation: {kind!r}")
 
 
@@ -1324,7 +1386,8 @@ def _adjacency_matrix_agg(
 
 
 _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
-                 "range", "geo_distance", "geotile_grid", "geohash_grid")
+                 "range", "ip_range", "geo_distance", "geotile_grid",
+                 "geohash_grid")
 # every kind _metric_cols can evaluate — the metric-only fast-path test
 # for global/sampler sub-aggs (anything else must recurse)
 _METRIC_KINDS = (

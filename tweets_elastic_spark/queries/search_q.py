@@ -4477,3 +4477,63 @@ def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events = load_table(spark, sf_dir, "events")
     return es_request(events, request)
+
+
+@register(
+    "es_aggs_ip_range",
+    oracle="""
+    WITH ips AS (
+        SELECT '10.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(user_id % 256 AS VARCHAR) || '.' ||
+               CAST((user_id * 7) % 256 AS VARCHAR) AS ip,
+               value
+        FROM events
+    ),
+    parsed AS (
+        SELECT CASE WHEN regexp_matches(ip,
+                   '^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$')
+               THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                  + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                  + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                  + CAST(string_split(ip, '.')[4] AS BIGINT)
+               END AS ipn, value
+        FROM ips
+    )
+    SELECT CASE WHEN ipn < 167903232 THEN '*-10.2.0.0'
+                WHEN ipn < 168034304 THEN '10.2.0.0-10.4.0.0'
+                ELSE '10.4.0.0/15' END AS by_ip,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(value), 6) AS total
+    FROM parsed
+    WHERE ipn IS NOT NULL AND ipn < 168165376
+    GROUP BY 1
+    """,
+    doc="ES ip_range agg (r8 s4): [from, to) IPv4 buckets (from/to "
+        "addresses + a CIDR mask). Addresses compile to integer bounds "
+        "at plan time; per-row work is one validating regex + 4-octet "
+        "arithmetic, scan-local and codegen'd. The oracle re-parses the "
+        "same derived address strings with mirrored arithmetic "
+        "(167903232 = 10.2.0.0, 168034304 = 10.4.0.0, /15 width "
+        "131072).",
+)
+def q_es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.expr("user_id DIV 256") % 256).cast("string"),
+            (F.col("user_id") % 256).cast("string"),
+            ((F.col("user_id") * 7) % 256).cast("string"),
+        ),
+    )
+    return es_aggregate(events, {"by_ip": {
+        "ip_range": {"field": "ip", "ranges": [
+            {"to": "10.2.0.0"},
+            {"from": "10.2.0.0", "to": "10.4.0.0"},
+            {"mask": "10.4.0.0/15"},
+        ]},
+        "aggs": {"total": {"sum": {"field": "value"}}},
+    }})

@@ -2520,3 +2520,24 @@ def test_ip_range_semantics(spark):
     with pytest.raises(ValueError, match="bad IPv4"):
         es_aggregate(df, {"b": {"ip_range": {"field": "ip", "ranges": [
             {"from": "::1"}]}}})
+
+
+def test_categorize_text_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "Node 3 shutting down"), (2, "Node 7 shutting down"),
+         (3, "User admin logged in"), (4, "12345 67"), (5, None)],
+        "id long, msg string",
+    )
+    dsl = {"cat": {"categorize_text": {"field": "msg"}}}
+    got = {r["cat"]: r["doc_count"] for r in es_aggregate(df, dsl).collect()}
+    # digit-bearing tokens are variables; all-variable messages and NULLs
+    # land in no bucket
+    assert got == {"Node shutting down": 2, "User admin logged in": 1}
+    # max_matched_tokens truncates the key
+    dsl2 = {"cat": {"categorize_text": {"field": "msg",
+                                        "max_matched_tokens": 2}}}
+    got = {r["cat"]: r["doc_count"] for r in es_aggregate(df, dsl2).collect()}
+    assert got == {"Node shutting": 2, "User admin": 1}
+    with pytest.raises(ValueError, match="similarity_threshold"):
+        es_aggregate(df, {"cat": {"categorize_text": {
+            "field": "msg", "similarity_threshold": 70}}})

@@ -404,6 +404,41 @@ def _bucket_key(kind: str, body: dict) -> Column:
                 cond = cond & (src < F.lit(hi))
             key = F.when(src.isNotNull() & cond, F.lit(label)).otherwise(key)
         return key
+    if kind == "categorize_text":
+        # ES categorize_text: semi-structured (log) messages grouped by
+        # their invariant token pattern. ES's categorizer is an ML
+        # pipeline (dictionary-weighted tokens + similarity merging);
+        # this engine implements its deterministic first pass EXACTLY —
+        # whitespace tokens, number-bearing tokens dropped as variables,
+        # the surviving sequence (optionally truncated to
+        # max_matched_tokens) IS the category key — and REFUSES the
+        # similarity-merging knob (similarity_threshold) rather than
+        # approximating it: merged categories depend on ML state that
+        # isn't reproducible scan-side. Messages with no invariant token
+        # land in no bucket. One scan-local HOF chain, groupBy on the
+        # derived key.
+        extra = set(body) - {"field", "max_matched_tokens", "size"}
+        if "similarity_threshold" in body:
+            raise ValueError(
+                "categorize_text similarity_threshold (ML category "
+                "merging) is not reproducible scan-side — unsupported; "
+                "the deterministic token-pattern pass is what runs"
+            )
+        if extra:
+            raise ValueError(
+                f"unsupported categorize_text parameters: {sorted(extra)}"
+            )
+        toks = F.filter(
+            F.split(src, r"\s+"),
+            lambda t: (t != F.lit("")) & ~t.rlike(r"\d"),
+        )
+        mmt = body.get("max_matched_tokens")
+        if mmt is not None:
+            if int(mmt) <= 0:
+                raise ValueError("max_matched_tokens must be > 0")
+            toks = F.slice(toks, 1, int(mmt))
+        key = F.array_join(toks, " ")
+        return F.when(key != F.lit(""), key)
     if kind == "ip_range":
         # ES ip_range agg over an IPv4 string column: [from, to) buckets
         # (to exclusive, like range), specified as from/to addresses or a
@@ -1386,8 +1421,8 @@ def _adjacency_matrix_agg(
 
 
 _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
-                 "range", "ip_range", "geo_distance", "geotile_grid",
-                 "geohash_grid")
+                 "range", "ip_range", "categorize_text", "geo_distance",
+                 "geotile_grid", "geohash_grid")
 # every kind _metric_cols can evaluate — the metric-only fast-path test
 # for global/sampler sub-aggs (anything else must recurse)
 _METRIC_KINDS = (

@@ -4537,3 +4537,55 @@ def q_es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]},
         "aggs": {"total": {"sum": {"field": "value"}}},
     }})
+
+
+@register(
+    "es_aggs_categorize_text",
+    oracle="""
+    WITH msgs AS (
+        SELECT 'job ' || event_type || ' attempt ' ||
+               CAST(CAST(value AS BIGINT) AS VARCHAR) ||
+               CASE WHEN value > 50 THEN ' failed with retryable error'
+                    ELSE ' completed' END AS message,
+               value
+        FROM events
+    ),
+    keyed AS (
+        SELECT array_to_string(
+                   list_filter(string_split_regex(message, '\\s+'),
+                               t -> t <> '' AND NOT regexp_matches(t, '\\d')),
+                   ' ') AS pattern,
+               value
+        FROM msgs
+    )
+    SELECT pattern, CAST(count(*) AS BIGINT) AS doc_count,
+           round(max(value), 6) AS worst
+    FROM keyed
+    WHERE pattern <> ''
+    GROUP BY 1
+    """,
+    doc="ES categorize_text agg (r8 s4): log messages grouped by their "
+        "invariant token pattern — whitespace tokens, number-bearing "
+        "tokens dropped as variables, the surviving sequence is the "
+        "category key (ES's deterministic first pass; its ML "
+        "similarity-merging knob refuses loudly, documented). Derived "
+        "log-like messages from events; one scan-local HOF chain, "
+        "groupBy on the pattern.",
+)
+def q_es_aggs_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "message",
+        F.concat(
+            F.lit("job "), F.col("event_type"), F.lit(" attempt "),
+            F.col("value").cast("bigint").cast("string"),
+            F.when(F.col("value") > 50,
+                   F.lit(" failed with retryable error"))
+            .otherwise(F.lit(" completed")),
+        ),
+    )
+    return es_aggregate(events, {"pattern": {
+        "categorize_text": {"field": "message"},
+        "aggs": {"worst": {"max": {"field": "value"}}},
+    }})

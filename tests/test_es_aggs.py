@@ -2541,3 +2541,26 @@ def test_categorize_text_semantics(spark):
     with pytest.raises(ValueError, match="similarity_threshold"):
         es_aggregate(df, {"cat": {"categorize_text": {
             "field": "msg", "similarity_threshold": 70}}})
+
+
+def test_change_point_sibling(spark):
+    df = spark.createDataFrame(
+        [(i, float(b) * 100, v) for i, (b, v) in enumerate(
+            [(0, 1.0), (1, 1.0), (2, 1.0), (3, 9.0), (4, 9.0)])],
+        "id long, t double, v double",
+    )
+    out = es_aggregate(df, {
+        "b": {"histogram": {"field": "t", "interval": 100},
+              "aggs": {"m": {"sum": {"field": "v"}}}},
+        "cp": {"change_point": {"buckets_path": "b>m"}},
+    }).collect()
+    import math
+    want = round(math.sqrt(3 * 2 / 5) * 8.0, 6)
+    assert all(r["cp_key"] == 200.0 and r["cp_stat"] == want for r in out)
+    assert len(out) == 5
+    with pytest.raises(ValueError, match="histogram-family"):
+        es_aggregate(df, {
+            "b": {"terms": {"field": "t"},
+                  "aggs": {"m": {"sum": {"field": "v"}}}},
+            "cp": {"change_point": {"buckets_path": "b>m"}},
+        })

@@ -1457,6 +1457,7 @@ _SIBLING_KINDS = {
     "avg_bucket": F.avg, "sum_bucket": F.sum,
     "min_bucket": F.min, "max_bucket": F.max,
     "stats_bucket": None, "percentiles_bucket": None,
+    "change_point": None,
 }
 
 
@@ -2358,6 +2359,7 @@ def _es_aggregate_impl(
         out = es_aggregate(df, primary, fg_pred, analyzers)
         (pname,) = primary
         scalars = []
+        cp_joins = []
         for sname, sspec in siblings.items():
             (skind, sbody), = sspec.items()
             parent, _, metric = sbody["buckets_path"].partition(">")
@@ -2373,6 +2375,67 @@ def _es_aggregate_impl(
                     f"parent bucket relation (have: {out.columns})"
                 )
             c = F.col(col).cast("double")
+            if skind == "change_point":
+                # ES change_point (sibling pipeline): locate the split of
+                # the ORDERED bucket metric series that maximizes the
+                # CUSUM mean-shift statistic T(k) = sqrt(n_l·n_r/n)·
+                # |mean_left − mean_right| — the deterministic step-change
+                # detector (ES additionally classifies spikes/trends via
+                # ML-adjacent heuristics; this engine reports the
+                # maximizing bucket key and T, ties to the earliest key —
+                # documented). Window math over the bucket relation
+                # (bucket-cardinality, the coordinator-side shape), one
+                # 1-row broadcast back onto the buckets as
+                # {name}_key / {name}_stat.
+                if _agg_kind(primary[pname]) not in (
+                    "date_histogram", "histogram", "auto_date_histogram"
+                ):
+                    raise ValueError(
+                        "change_point needs a histogram-family parent "
+                        "(an ordered metric series)"
+                    )
+                from pyspark.sql.window import Window
+
+                w_all = Window.orderBy(F.col(pname).asc())
+                w_cum = w_all.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                w_tot = Window.orderBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+                stat = (
+                    out.select(
+                        F.col(pname),
+                        F.row_number().over(w_all).alias("__i"),
+                        F.sum(c).over(w_cum).alias("__cum"),
+                        F.sum(c).over(w_tot).alias("__tot"),
+                        F.count(F.lit(1)).over(w_tot).alias("__n"),
+                    )
+                    .filter(F.col("__i") < F.col("__n"))
+                    .select(
+                        F.col(pname).alias(f"{sname}_key"),
+                        F.round(
+                            F.sqrt(
+                                F.col("__i").cast("double")
+                                * (F.col("__n") - F.col("__i"))
+                                / F.col("__n")
+                            )
+                            * F.abs(
+                                F.col("__cum") / F.col("__i")
+                                - (F.col("__tot") - F.col("__cum"))
+                                / (F.col("__n") - F.col("__i"))
+                            ),
+                            6,
+                        ).alias(f"{sname}_stat"),
+                    )
+                    .orderBy(
+                        F.col(f"{sname}_stat").desc(),
+                        F.col(f"{sname}_key").asc(),
+                    )
+                    .limit(1)
+                )
+                cp_joins.append(stat)
+                continue
             if skind == "stats_bucket":
                 # ES stats_bucket: the five-stat object over the parent's
                 # metric list, flattened to {name}_{stat} scalar columns.
@@ -2397,7 +2460,11 @@ def _es_aggregate_impl(
                 scalars.append(
                     F.round(_SIBLING_KINDS[skind](c), 6).alias(sname)
                 )
-        return out.crossJoin(F.broadcast(out.agg(*scalars)))
+        if scalars:
+            out = out.crossJoin(F.broadcast(out.agg(*scalars)))
+        for stat in cp_joins:
+            out = out.crossJoin(F.broadcast(stat))
+        return out
     (name, spec), = primary.items()
     spec = dict(spec)
     sub = dict(spec.pop("aggs", {}))

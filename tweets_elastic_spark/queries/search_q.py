@@ -4589,3 +4589,56 @@ def q_es_aggs_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "categorize_text": {"field": "message"},
         "aggs": {"worst": {"max": {"field": "value"}}},
     }})
+
+
+@register(
+    "es_aggs_change_point",
+    oracle="""
+    WITH per AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,
+               CAST(count(*) AS BIGINT) AS doc_count,
+               sum(value) AS total_raw
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+        SELECT by_day, total_raw,
+               row_number() OVER (ORDER BY by_day) AS i,
+               sum(total_raw) OVER (ORDER BY by_day
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(total_raw) OVER () AS tot,
+               count(*) OVER () AS n
+        FROM per
+    ),
+    cp AS (
+        SELECT by_day AS cp_key,
+               round(sqrt(CAST(i AS DOUBLE) * (n - i) / n)
+                     * abs(cum / i - (tot - cum) / (n - i)), 6) AS cp_stat
+        FROM w WHERE i < n
+        ORDER BY cp_stat DESC, cp_key ASC LIMIT 1
+    )
+    SELECT p.by_day, p.doc_count, round(p.total_raw, 6) AS total,
+           cp.cp_key, cp.cp_stat
+    FROM per p, cp
+    """,
+    doc="ES change_point sibling agg (r8 s4): the split of the ordered "
+        "bucket metric series maximizing the CUSUM mean-shift statistic "
+        "sqrt(nl*nr/n)*|mean_l - mean_r| — the deterministic step-change "
+        "detector (ES's ML spike/trend classification is replaced by the "
+        "reproducible statistic; ties break to the earliest key, "
+        "documented). Window math over the bucket relation, one 1-row "
+        "broadcast back onto the buckets as cp_key/cp_stat.",
+)
+def q_es_aggs_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = es_aggregate(events, {
+        "by_day": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"},
+                   "aggs": {"total": {"sum": {"field": "value"}}}},
+        "cp": {"change_point": {"buckets_path": "by_day>total"}},
+    })
+    return out.select(
+        "by_day", "doc_count", F.round("total", 6).alias("total"),
+        "cp_key", "cp_stat",
+    )

@@ -2564,3 +2564,34 @@ def test_change_point_sibling(spark):
                   "aggs": {"m": {"sum": {"field": "v"}}}},
             "cp": {"change_point": {"buckets_path": "b>m"}},
         })
+
+
+def test_frequent_item_sets(spark):
+    df = spark.createDataFrame(
+        [(1, ["milk", "bread", "beer"]),
+         (2, ["milk", "bread"]),
+         (3, ["milk", "eggs"]),
+         (4, ["bread", "milk", "milk"]),  # dup item counts once per doc
+         (5, [])],
+        "id long, tags array<string>",
+    )
+    got = {tuple(r["sets"]): (r["doc_count"], r["support"])
+           for r in es_aggregate(df, {"sets": {"frequent_item_sets": {
+               "fields": [{"field": "tags"}],
+               "minimum_support": 0.5,
+           }}}).collect()}
+    # n = 5 docs; milk 4/5, bread 3/5, (bread, milk) 3/5 — sorted keys
+    assert got == {("milk",): (4, 0.8), ("bread",): (3, 0.6),
+                   ("bread", "milk"): (3, 0.6)}
+    # minimum_set_size=2 drops singles
+    got2 = {tuple(r["sets"]) for r in es_aggregate(df, {"sets": {
+        "frequent_item_sets": {"fields": [{"field": "tags"}],
+                               "minimum_support": 0.5,
+                               "minimum_set_size": 2}}}).collect()}
+    assert got2 == {("bread", "milk")}
+    with pytest.raises(ValueError, match="unsupported"):
+        es_aggregate(df, {"s": {"frequent_item_sets": {
+            "fields": [{"field": "tags"}], "maximum_set_size": 3}}})
+    with pytest.raises(ValueError, match="exactly one"):
+        es_aggregate(df, {"s": {"frequent_item_sets": {
+            "fields": [{"field": "a"}, {"field": "b"}]}}})

@@ -1434,6 +1434,102 @@ _METRIC_KINDS = (
 )
 
 
+def _frequent_item_sets(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """ES ``frequent_item_sets``: itemsets co-occurring in at least
+    ``minimum_support`` of documents. ES's miner is explicitly
+    approximate (sampled ECLAT); this engine mines set sizes 1 and 2
+    EXACTLY — the sizes that carry virtually all analytical use — and
+    refuses larger ``maximum_set_size`` rather than approximating.
+    One field of array type (multi-field item tuples unsupported,
+    documented).
+
+    Shape: singles are one explode + groupBy; pairs are generated
+    per-document from the sorted distinct item array with a HOF
+    (C(d,2) per doc, no join, no driver state) and counted in a second
+    groupBy. Documents with more than ``max_items_per_doc`` (default 64,
+    ≤ 2016 pairs) raise rather than silently exploding the pair space —
+    at that point Apriori pruning (semi join against frequent singles
+    before pair generation) is the scale path, not brute force.
+    Support's denominator is the total document count, attached as a
+    1-row broadcast."""
+    extra = set(body) - {"fields", "minimum_support", "minimum_set_size",
+                         "maximum_set_size", "max_items_per_doc"}
+    if extra:
+        raise ValueError(
+            f"unsupported frequent_item_sets parameters: {sorted(extra)}"
+        )
+    fields = body.get("fields")
+    if not (isinstance(fields, list) and len(fields) == 1
+            and isinstance(fields[0], dict) and "field" in fields[0]):
+        raise ValueError(
+            "frequent_item_sets needs fields: [{'field': <array col>}] "
+            "(exactly one; multi-field item tuples unsupported)"
+        )
+    field = fields[0]["field"]
+    min_sup = float(body.get("minimum_support", 0.1))
+    if not 0.0 < min_sup <= 1.0:
+        raise ValueError(f"minimum_support must be in (0, 1], got {min_sup}")
+    min_size = int(body.get("minimum_set_size", 1))
+    max_size = int(body.get("maximum_set_size", 2))
+    if max_size > 2:
+        raise ValueError(
+            "maximum_set_size > 2 is unsupported (sizes 1-2 are mined "
+            "exactly; ES approximates larger sizes by sampling)"
+        )
+    if not 1 <= min_size <= max_size:
+        raise ValueError(
+            f"need 1 <= minimum_set_size <= maximum_set_size, got "
+            f"{min_size}..{max_size}"
+        )
+    cap = int(body.get("max_items_per_doc", 64))
+
+    arr = F.array_sort(F.array_distinct(F.col(field)))
+    arr = F.when(
+        F.size(arr) <= cap, arr
+    ).otherwise(
+        F.raise_error(F.format_string(
+            "frequent_item_sets: document has more than %d distinct "
+            "items; raise max_items_per_doc or pre-prune", F.lit(cap)))
+    )
+    src = df.select(arr.alias("__items")).filter(F.size("__items") > 0)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+
+    parts = []
+    if min_size <= 1:
+        parts.append(
+            src.select(F.explode("__items").alias("__i"))
+            .groupBy("__i")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .select(F.array("__i").alias(name), "doc_count")
+        )
+    if max_size >= 2:
+        pair_arr = F.flatten(F.transform(
+            F.col("__items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__items"), i + 2,
+                        F.size(F.col("__items")) - i - 1),
+                lambda y: F.array(x, y),
+            ),
+        ))
+        parts.append(
+            src.select(F.explode(pair_arr).alias("__p"))
+            .groupBy("__p")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .select(F.col("__p").alias(name), "doc_count")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_count") >= F.col("__n") * F.lit(min_sup))
+        .select(
+            name, "doc_count",
+            F.round(F.col("doc_count") / F.col("__n"), 6).alias("support"),
+        )
+    )
+
+
 def _agg_kind(spec: dict) -> str:
     """The agg KIND of a named-agg spec — the non-'aggs' key (dict order
     comes from user JSON, so next(iter(...)) is not safe: {'aggs': ...,
@@ -2469,6 +2565,11 @@ def _es_aggregate_impl(
     spec = dict(spec)
     sub = dict(spec.pop("aggs", {}))
     (kind, body), = spec.items()
+
+    if kind == "frequent_item_sets":
+        if sub:
+            raise ValueError("frequent_item_sets does not take sub-aggs")
+        return _frequent_item_sets(df, name, body)
 
     if kind == "auto_date_histogram":
         # ES auto_date_histogram: the engine PICKS the interval so the

@@ -4649,7 +4649,7 @@ def q_es_aggs_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH basket AS (
         SELECT l_orderkey AS k,
-               'c' || CAST(l_partkey % 25 AS VARCHAR) AS item
+               'c' || CAST(l_partkey % 12 AS VARCHAR) AS item
         FROM lineitem GROUP BY 1, 2
     ),
     nn AS (SELECT CAST(count(DISTINCT k) AS DOUBLE) AS n FROM basket),
@@ -4665,11 +4665,11 @@ def q_es_aggs_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
     SELECT sets, doc_count, round(doc_count / n, 6) AS support
-    FROM u, nn WHERE doc_count >= n * 0.04
+    FROM u, nn WHERE doc_count >= n * 0.05
     """,
     doc="ES frequent_item_sets agg (r8 s4): market-basket mining over "
         "order baskets (items = part categories) — itemsets of size 1-2 "
-        "with support >= 4%, mined EXACTLY (ES's miner is sampled ECLAT, "
+        "with support >= 5%, mined EXACTLY (ES's miner is sampled ECLAT, "
         "approximate by contract; sizes > 2 refuse loudly). Pairs come "
         "from a per-document HOF over the sorted distinct item array "
         "(C(d,2) per doc, no join, doc-size capped), one groupBy each "
@@ -4682,10 +4682,10 @@ def q_es_aggs_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.collect_set(
-            F.concat(F.lit("c"), (F.col("l_partkey") % 25).cast("string"))
+            F.concat(F.lit("c"), (F.col("l_partkey") % 12).cast("string"))
         ).alias("cats"))
     )
     return es_aggregate(baskets, {"sets": {"frequent_item_sets": {
         "fields": [{"field": "cats"}],
-        "minimum_support": 0.04,
+        "minimum_support": 0.05,
     }}})

@@ -1,0 +1,79 @@
+"""ES SQL endpoint: parser coverage, guards, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from tweets_elastic_spark.plans.essql import es_sql
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, "x"), (2, "a", 20.0, None), (3, "b", 30.0, "xy"),
+         (4, "b", None, "zz"), (5, None, 50.0, "xyz")],
+        "id long, g string, v double, s string",
+    )
+    return {"t": df}
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_plain_select_where(spark, t):
+    got = _rows(es_sql(
+        "SELECT id, v FROM t WHERE v > 10 AND g = 'b' ORDER BY id", t))
+    assert got == [(3, 30.0)]
+    got = _rows(es_sql(
+        "SELECT id FROM t WHERE s IS NULL OR v >= 50 ORDER BY id", t))
+    assert got == [(2,), (5,)]
+    got = _rows(es_sql(
+        "SELECT id FROM t WHERE s LIKE 'x%' AND NOT (id = 1) ORDER BY id", t))
+    assert got == [(3,), (5,)]
+    got = _rows(es_sql(
+        "SELECT id FROM t WHERE id NOT IN (1, 2, 3) ORDER BY id", t))
+    assert got == [(4,), (5,)]
+    got = _rows(es_sql(
+        "SELECT id AS doc, v FROM t WHERE v BETWEEN 20 AND 30 ORDER BY doc", t))
+    assert got == [(2, 20.0), (3, 30.0)]
+
+
+def test_group_having_order_limit(spark, t):
+    got = _rows(es_sql(
+        "SELECT g, COUNT(*) AS n, ROUND(AVG(v), 6) AS m FROM t "
+        "WHERE g IS NOT NULL GROUP BY g HAVING n >= 2 ORDER BY g", t))
+    assert got == [("a", 2, 15.0), ("b", 2, 30.0)]  # AVG skips NULL
+    got = _rows(es_sql(
+        "SELECT COUNT(v) AS nv, MIN(v) AS lo FROM t", t))
+    assert got == [(4, 10.0)]
+    got = _rows(es_sql(
+        "SELECT id FROM t ORDER BY v DESC LIMIT 2", t))
+    assert got == [(5,), (3,)]
+
+
+def test_guards(spark, t):
+    for bad, msg in [
+        ("SELECT id, COUNT(*) AS n FROM t", "needs GROUP BY"),
+        ("SELECT COUNT(*) FROM t", "aliased"),
+        ("SELECT v FROM t GROUP BY g", "not in GROUP BY"),
+        ("SELECT id FROM t HAVING id > 1", "HAVING needs GROUP BY"),
+        ("SELECT id FROM nope", "unknown index"),
+        ("SELECT id FROM t LIMIT -1", "LIMIT"),
+        ("SELECT id FROM t WHERE id ~ 3", "tokenize"),
+        ("SELECT id FROM t trailing", "trailing"),
+        ("SELECT UPPER(g) AS u FROM t", "unsupported function"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            es_sql(bad, t)
+
+
+def test_plan_pushdown_and_topk(spark, t):
+    plan = es_sql(
+        "SELECT id FROM t WHERE v > 10 ORDER BY id LIMIT 3", t
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    plan2 = es_sql(
+        "SELECT g, SUM(v) AS s FROM t GROUP BY g", t
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan2 or "HashAggregate" in plan2

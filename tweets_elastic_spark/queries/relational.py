@@ -403,3 +403,52 @@ def q_pricing_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid", "n", "qty",
         )
     )
+
+
+_ESSQL_GROUP = """SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders
+WHERE o_orderstatus <> 'P' AND o_totalprice BETWEEN 1000 AND 200000
+GROUP BY o_orderpriority
+HAVING n > 10
+ORDER BY o_orderpriority
+LIMIT 10"""
+
+_ESSQL_FILTER = """SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity >= 49 AND l_returnflag IN ('A', 'R')
+  AND l_shipdate IS NOT NULL
+ORDER BY l_orderkey, l_linenumber
+LIMIT 100"""
+
+
+@register(
+    "essql_group_query",
+    oracle=_ESSQL_GROUP,
+    doc="ES SQL endpoint (r8 s4, plans/essql.py): the grouped shape — "
+        "WHERE/GROUP BY/HAVING-on-alias/ORDER/LIMIT translated to "
+        "DataFrame ops (filter rides the scan with pushed predicates, "
+        "one partial/final hash aggregation, TakeOrderedAndProject). "
+        "The oracle is the SAME SQL string run by DuckDB — the subset "
+        "is ANSI-compatible by construction, so the translation is "
+        "checked against a real SQL engine verbatim.",
+)
+def q_essql_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.essql import es_sql
+
+    return es_sql(_ESSQL_GROUP,
+                  {"orders": load_table(spark, sf_dir, "orders")})
+
+
+@register(
+    "essql_filter_query",
+    oracle=_ESSQL_FILTER,
+    doc="ES SQL endpoint, the row-returning shape: comparison/IN/IS NOT "
+        "NULL predicates + deterministic ORDER BY + LIMIT (top-k). Same "
+        "verbatim-string oracle as essql_group_query.",
+)
+def q_essql_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.essql import es_sql
+
+    return es_sql(_ESSQL_FILTER,
+                  {"lineitem": load_table(spark, sf_dir, "lineitem")})

@@ -187,6 +187,22 @@ HEADLINE = [
     "search_geo_polygon",
     "es_aggs_random_sampler",
     "es_aggs_scripted_metric",
+    # r8 session-4 wave: EQL, parent-join, BM25F, templates, ES SQL,
+    # ip_range/geo_bounds/categorize_text/change_point/frequent_item_sets
+    "eql_sequence_funnel",
+    "eql_event_query",
+    "search_has_child",
+    "search_has_parent",
+    "search_combined_fields",
+    "search_template",
+    "es_aggs_geo_bounds",
+    "es_aggs_cumulative_cardinality",
+    "es_aggs_ip_range",
+    "es_aggs_categorize_text",
+    "es_aggs_change_point",
+    "es_aggs_frequent_item_sets",
+    "essql_group_query",
+    "essql_filter_query",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

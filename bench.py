@@ -250,7 +250,7 @@ SF1_HEADLINE = [
     "jaccard_near_dups", "dedup_near_survivors", "corpus_clean",
     "semdedup_survivors", "ann_cosine_topk", "ann_ivfpq_topk",
     "simhash_near_dups", "embedding_near_dups", "span_dedup_rebuild",
-    "es_aggs_matrix_stats",
+    "es_aggs_matrix_stats", "eql_sequence_funnel",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -281,7 +281,7 @@ def ensure_sf1(spark) -> str:
     """
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SF1_DIR, "_READY_v2")
+    marker = os.path.join(SF1_DIR, "_READY_v3")  # v3: + events table
     if os.path.exists(marker):
         return SF1_DIR
     src = "/root/testdata/sf0.1"
@@ -333,6 +333,24 @@ def ensure_sf1(spark) -> str:
         out = out.unionByName(p)
     (out.repartition(32).write.mode("overwrite")
         .parquet(os.path.join(SF1_DIR, "lineitem.parquet")))
+
+    # events: copies with user_id AND event_id shifted per copy — keys
+    # stay disjoint, so per-key event density (what bounds EQL sequence
+    # state and the recursive-oracle depth) is exactly preserved while
+    # totals grow 10×, the same shape-preserving rule as documents.
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    uspan = ev.agg(F.max("user_id")).head()[0] + 1
+    espan = ev.agg(F.max("event_id")).head()[0] + 1
+    parts = [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(i * uspan))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * espan))
+        for i in range(10)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (out.repartition(32).write.mode("overwrite")
+        .parquet(os.path.join(SF1_DIR, "events.parquet")))
 
     open(marker, "w").close()
     return SF1_DIR

@@ -70,11 +70,13 @@ DRIVER_PRIORITY: list[str] = [
     # significance, multivariate moments, exact windowed percentiles
     "es_aggs_geo_distance", "es_aggs_rare_terms", "es_aggs_significant_gnd",
     "es_aggs_matrix_stats", "es_aggs_moving_percentiles",
-    # analyzers
-    "analyze_shingles",
-    # windows + time series
-    "tumbling_window", "session_window", "events_asof_join",
-    "es_aggs_composite", "funnel_conversion",
+    # search front-ends new in r8 s4: BM25F fused-field scoring and the
+    # tabular SQL endpoint (verbatim-string oracle)
+    "search_combined_fields", "essql_group_query",
+    # windows + time series + sequence correlation (EQL replaces the
+    # funnel row: sequence matching subsumes stage-funnel counting)
+    "tumbling_window", "events_asof_join",
+    "es_aggs_composite", "eql_sequence_funnel",
     # text stats + model filter
     "lang_id", "quality_score", "model_quality_filter",
     # dedup families — the granularity ladder: document (exact, minhash,
@@ -82,9 +84,11 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_survivors", "line_dedup", "span_dedup_rebuild",
     "dedup_near_survivors", "minhash_lsh_near_dups_portable",
     "semdedup_survivors", "corpus_clean",
-    # ANN families — one slot per index family: exact baseline, IVF(-PQ),
-    # PQ Arrow-GEMM encoder, LSH-through-the-stored-index
-    "ann_cosine_topk", "ann_ivfpq_topk", "ann_pq_arrow_topk",
+    # parent-join (r8 s4)
+    "search_has_child",
+    # ANN families — one slot per index family: exact baseline, IVF(-PQ)
+    # (which transitively times the PQ encoder), LSH-through-the-index
+    "ann_cosine_topk", "ann_ivfpq_topk",
     "ann_lsh_topk_indexed",
     # curation ship stage
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",

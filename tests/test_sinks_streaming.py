@@ -657,3 +657,30 @@ def test_stream_documents_requires_files(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(FileNotFoundError, match="no parquet files"):
         stream_documents(spark, str(empty))
+
+
+def test_delete_and_update_by_query(spark):
+    from tweets_elastic_spark.sinks import delete_by_query, update_by_query
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, None, 5.0)],
+        "id long, g string, v double",
+    )
+    # delete: NULL-predicate docs survive (coalesce false), matches drop
+    got = sorted(r["id"] for r in delete_by_query(
+        df, {"term": {"g": "a"}}).collect())
+    assert got == [2, 4]
+    # update: only matches change; target type preserved; params bind
+    out = {r["id"]: r["v"] for r in update_by_query(
+        df, {"range": {"v": {"gte": 20}}},
+        "ctx._source.v = ctx._source.v * params.f + 1", params={"f": 2},
+    ).collect()}
+    assert out == {1: 10.0, 2: 41.0, 3: 61.0, 4: 5.0}
+    # unsupported script shapes and unknown targets refuse
+    import pytest as _pt
+    with _pt.raises(ValueError, match="arithmetic"):
+        update_by_query(df, {"term": {"g": "a"}},
+                        "ctx._source.tags.add('x')")
+    with _pt.raises(ValueError, match="not a column"):
+        update_by_query(df, {"term": {"g": "a"}},
+                        "ctx._source.nope = 1")

@@ -4689,3 +4689,49 @@ def q_es_aggs_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fields": [{"field": "cats"}],
         "minimum_support": 0.05,
     }}})
+
+
+@register(
+    "delete_by_query",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE NOT coalesce((n_chars < 100 OR lang = 'de'), false)
+    """,
+    doc="ES _delete_by_query (r8 s4, sinks.py): the survivor relation — "
+        "one negated-predicate filter riding the scan (vs ES's "
+        "scroll-then-bulk-delete round trips); write-back goes through "
+        "write_documents(mode=overwrite) / a transactional DELETE.",
+)
+def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.sinks import delete_by_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    return delete_by_query(docs, {"bool": {"should": [
+        {"range": {"n_chars": {"lt": 100}}},
+        {"term": {"lang": "de"}},
+    ], "minimum_should_match": 1}}).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "update_by_query",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_type = 'error' THEN value * 2 + 1
+                ELSE value END AS value
+    FROM events
+    """,
+    doc="ES _update_by_query (r8 s4, sinks.py): the Painless assignment "
+        "`ctx._source.value = ctx._source.value * params.f + 1` over "
+        "matching documents, compiled to ONE conditional codegen'd "
+        "projection (non-matching rows pass through bit-unchanged) — vs "
+        "ES's per-document interpreter + reindex.",
+)
+def q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.sinks import update_by_query
+
+    events = load_table(spark, sf_dir, "events")
+    return update_by_query(
+        events, {"term": {"event_type": "error"}},
+        "ctx._source.value = ctx._source.value * params.f + 1",
+        params={"f": 2},
+    ).select("event_id", "event_type", "value")

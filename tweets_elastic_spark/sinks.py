@@ -282,3 +282,86 @@ def write_elasticsearch(
                 "spark.jars.packages or use write_documents (parquet sink)"
             ) from e
         raise
+
+
+def _compile_dsl(query, id_field: str = "doc_id"):
+    from tweets_elastic_spark.plans.search import Query, from_es_json
+
+    if isinstance(query, Query):
+        return query
+    return from_es_json(query, id_field=id_field)
+
+
+def delete_by_query(df: DataFrame, query) -> DataFrame:
+    """ES ``_delete_by_query``: remove every document the query matches.
+
+    The relational form is the SURVIVOR relation — one negated-predicate
+    filter riding the scan (vs ES's scroll-then-bulk-delete round trips);
+    write it back through ``write_documents(mode='overwrite')`` or a
+    transactional DELETE at deploy scale. ``query`` is ES query-DSL JSON
+    or a compiled Query node."""
+    from tweets_elastic_spark.plans.search import _col_resolver
+
+    q = _compile_dsl(query)
+    spark = df.sparkSession
+    return df.filter(~F.coalesce(
+        q.predicate(spark, _col_resolver), F.lit(False)
+    ))
+
+
+_CTX_RE = None
+
+
+def update_by_query(df: DataFrame, query, script: str,
+                    params: dict | None = None) -> DataFrame:
+    """ES ``_update_by_query``: apply a Painless assignment to every
+    matching document. Supported script shape — the one virtually every
+    production update_by_query takes:
+
+        ctx._source.<target> = <arithmetic over ctx._source.* and params.*>
+
+    The rhs goes through the same Painless-arithmetic compiler as
+    script_score/scripted_metric, so the whole update is ONE conditional
+    codegen'd projection over the scan (non-matching documents pass
+    through bit-unchanged) — vs ES's per-document script interpreter +
+    reindex. Anything outside that shape raises loudly."""
+    import re
+
+    from tweets_elastic_spark.plans.search import (
+        _col_resolver,
+        compile_painless,
+    )
+
+    m = re.match(
+        r"^\s*ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*;?\s*$",
+        script, flags=re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "update_by_query supports `ctx._source.<field> = <arithmetic>` "
+            f"scripts only, got {script!r}"
+        )
+    target, rhs = m.group(1), m.group(2)
+    if target not in df.columns:
+        raise ValueError(
+            f"update_by_query target {target!r} is not a column "
+            f"(have {df.columns}) — ES would dynamically add it; a typed "
+            "engine refuses"
+        )
+    # the rhs reads fields as ctx._source.X — rewrite to the compiler's
+    # doc['X'].value form
+    rhs_doc = re.sub(r"ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)",
+                     r"doc['\1'].value", rhs)
+    expr = compile_painless(
+        rhs_doc,
+        resolve_doc=F.col,
+        params={k: F.lit(v) for k, v in (params or {}).items()},
+    )
+    q = _compile_dsl(query)
+    spark = df.sparkSession
+    pred = F.coalesce(q.predicate(spark, _col_resolver), F.lit(False))
+    old = F.col(target)
+    return df.withColumn(
+        target,
+        F.when(pred, expr.cast(dict(df.dtypes)[target])).otherwise(old),
+    )

@@ -2381,3 +2381,38 @@ def test_render_search_template():
         render_search_template('{"a": {{v}}}', {})
     with pytest.raises(ValueError, match="needs"):
         render_template("{{v}}", {"v": [1, 2]})
+
+
+def test_terms_lookup_and_cross_fields_routing(spark):
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "a")], "doc_id long, g string"
+    )
+    lookup = spark.createDataFrame(
+        [(10, ["a", "c"]), (11, ["b"])], "lid long, allowed array<string>"
+    )
+    q = from_es_json(
+        {"terms": {"g": {"index": "lk", "id": 10, "path": "allowed"}}},
+        lookup_indices={"lk": (lookup, "lid")},
+    )
+    assert sorted(r["doc_id"] for r in search(df, q, k=None).collect()) \
+        == [1, 3, 4]
+    # guards: unbound index, missing doc, dup doc
+    with pytest.raises(ValueError, match="lookup_indices"):
+        from_es_json({"terms": {"g": {"index": "nope", "id": 1,
+                                      "path": "allowed"}}})
+    with pytest.raises(ValueError, match="exactly one"):
+        from_es_json({"terms": {"g": {"index": "lk", "id": 99,
+                                      "path": "allowed"}}},
+                     lookup_indices={"lk": (lookup, "lid")})
+    # cross_fields without a provider refuses via the combined_fields path
+    with pytest.raises(ValueError, match="combined_stats_for"):
+        from_es_json({"multi_match": {"query": "x", "fields": ["g"],
+                                      "type": "cross_fields"}},
+                     analyzers={"g": "standard"},
+                     tokens_cols={"g": "g__standard"})
+    # operator stays cross_fields-only
+    with pytest.raises(ValueError, match="cross_fields only"):
+        from_es_json({"multi_match": {"query": "x", "fields": ["g"],
+                                      "operator": "and"}})

@@ -2392,6 +2392,7 @@ def from_es_json(
     id_field: str = "doc_id",
     bm25_stats_for=None,
     combined_stats_for=None,
+    lookup_indices: dict[str, tuple[DataFrame, str]] | None = None,
 ) -> Query:
     """Compile an Elasticsearch query-DSL JSON object into the Query tree —
     the front-end that lets the reference's own query artifact
@@ -2735,9 +2736,31 @@ def from_es_json(
                 scope,
             )
         if kind == "multi_match":
-            extra = set(body) - {"query", "fields", "type", "tie_breaker"}
+            extra = set(body) - {"query", "fields", "type", "tie_breaker",
+                                 "operator"}
             if extra:
                 raise ValueError(f"unsupported multi_match options: {extra}")
+            if body.get("type") == "cross_fields":
+                # ES cross_fields blends per-field term statistics into a
+                # term-centric score; combined_fields is ES's own
+                # documented successor with principled BM25F semantics —
+                # cross_fields routes there (documented mapping; needs
+                # the combined_stats_for provider like combined_fields).
+                if body.get("tie_breaker"):
+                    raise ValueError(
+                        "tie_breaker does not apply to cross_fields "
+                        "(term-centric scoring has no per-field legs)"
+                    )
+                return compile_node({"combined_fields": {
+                    "query": body["query"],
+                    "fields": body["fields"],
+                    "operator": body.get("operator", "or"),
+                }}, scope)
+            if "operator" in body:
+                raise ValueError(
+                    "multi_match operator is supported for type "
+                    "cross_fields only in this engine"
+                )
             fields = []
             for spec in body["fields"]:
                 field, _, boost = spec.partition("^")
@@ -2847,6 +2870,43 @@ def from_es_json(
             return auto_nest(field, lambda f: Term(f, value), scope)
         if kind == "terms":
             (field, values), = body.items()
+            if isinstance(values, dict):
+                # ES terms LOOKUP: {"index", "id", "path"} — ES's
+                # coordinator GETs that one document and expands its
+                # array into a regular terms query (capped by
+                # index.max_terms_count = 65536); the compile-time fetch
+                # here is the same bounded 1-document read, through the
+                # lookup_indices binding.
+                extra = set(values) - {"index", "id", "path", "routing"}
+                if extra:
+                    raise ValueError(
+                        f"unsupported terms-lookup keys: {sorted(extra)}"
+                    )
+                if lookup_indices is None or values["index"] not in lookup_indices:
+                    raise ValueError(
+                        f"terms lookup needs lookup_indices[{values['index']!r}] "
+                        "bound to a DataFrame"
+                    )
+                lk_df, lk_id = lookup_indices[values["index"]]
+                rows = (
+                    lk_df.filter(F.col(lk_id) == F.lit(values["id"]))
+                    .select(F.col(values["path"]).alias("__terms"))
+                    .limit(2)
+                    .collect()
+                )
+                if len(rows) != 1:
+                    raise ValueError(
+                        f"terms lookup expects exactly one document with "
+                        f"{lk_id} == {values['id']!r} in "
+                        f"{values['index']!r}, found {len(rows)}"
+                    )
+                terms = list(rows[0]["__terms"] or [])
+                if len(terms) > 65536:
+                    raise ValueError(
+                        "terms lookup document expands to more than "
+                        "65536 terms (ES's index.max_terms_count)"
+                    )
+                return auto_nest(field, lambda f: Terms(f, terms), scope)
             if not isinstance(values, list):
                 raise ValueError(f"terms expects a list, got: {values!r}")
             return auto_nest(field, lambda f: Terms(f, values), scope)

@@ -4376,9 +4376,7 @@ _CF_SCORE = " + ".join(
 )
 
 
-@register(
-    "search_combined_fields",
-    oracle=f"""
+_CF_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id,
                list_transform(list_filter(
@@ -4408,7 +4406,12 @@ _CF_SCORE = " + ".join(
     FROM toks, stats s, dfs d
     WHERE list_contains(ht, 'spark') OR list_contains(tt, 'spark')
        OR list_contains(ht, 'merge') OR list_contains(tt, 'merge')
-    """,
+    """
+
+
+@register(
+    "search_combined_fields",
+    oracle=_CF_ORACLE,
     doc="ES combined_fields query (r8 s4): BM25F — the fields fused into "
         "ONE pseudo-field before scoring (tf and doc length are weighted "
         "sums across fields, idf uses the exact union document frequency "
@@ -4735,3 +4738,66 @@ def q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ctx._source.value = ctx._source.value * params.f + 1",
         params={"f": 2},
     ).select("event_id", "event_type", "value")
+
+
+@register(
+    "search_cross_fields",
+    oracle=_CF_ORACLE,
+    doc="multi_match type=cross_fields routed through the BM25F "
+        "combined-field node (ES documents combined_fields as "
+        "cross_fields' principled successor; the mapping is the "
+        "documented divergence). Shares search_combined_fields' oracle "
+        "VERBATIM — the two front-ends must agree row-for-row.",
+)
+def q_search_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import corpus_combined_provider
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "head", F.substring("text", 1, 80)
+    )
+    docs = materialize_tokens(
+        docs, {"text": ["standard"], "head": ["standard"]}
+    )
+    query = from_es_json(
+        {"multi_match": {
+            "query": "spark merge",
+            "fields": ["head^2", "text"],
+            "type": "cross_fields",
+        }},
+        analyzers={"text": "standard", "head": "standard"},
+        tokens_cols={"text": "text__standard", "head": "head__standard"},
+        combined_stats_for=corpus_combined_provider(spark, docs),
+    )
+    return search(docs, query, k=None).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "search_terms_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_type IN (SELECT DISTINCT event_type FROM events
+                         WHERE user_id = 7)
+    """,
+    doc="ES terms LOOKUP query (r8 s4): the terms list lives in another "
+        "document ({'index','id','path'}) — ES's coordinator GETs that "
+        "one doc and expands it to a regular terms query (capped at "
+        "index.max_terms_count=65536); here the same bounded 1-document "
+        "fetch happens at compile time through the lookup_indices "
+        "binding, and the expanded IN-list pushes down to the scan.",
+)
+def q_search_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_types = (
+        events.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+    )
+    query = from_es_json(
+        {"terms": {"event_type": {
+            "index": "user_types", "id": 7, "path": "types"}}},
+        lookup_indices={"user_types": (user_types, "user_id")},
+    )
+    return search(events, query, k=None).select(
+        "event_id", "user_id", "event_type"
+    )

@@ -138,3 +138,26 @@ def test_sequence_plan_no_python_one_exchange(spark):
     plan = eql_search(_df(spark, rows), SEQ)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # groupBy key (+AQE read)
+
+
+def test_until_clears_pending(spark):
+    q = """sequence by user_id with maxspan=100s
+      [ a where true ] [ b where true ] [ c where true ] until [ x where true ]"""
+    # x between a and b kills the prefix; later full run matches
+    rows = [
+        (1, 0.0, 7, "a", 0.0), (2, 5.0, 7, "x", 0.0),
+        (3, 10.0, 7, "b", 0.0), (4, 15.0, 7, "c", 0.0),
+        (5, 20.0, 7, "a", 0.0), (6, 25.0, 7, "b", 0.0), (7, 30.0, 7, "c", 0.0),
+    ]
+    assert _run(spark, rows, q) == [(7, 5, 6, 7)]
+    # no until event -> behaves like the plain sequence
+    rows2 = [(1, 0.0, 7, "a", 0.0), (2, 5.0, 7, "b", 0.0), (3, 9.0, 7, "c", 0.0)]
+    assert _run(spark, rows2, q) == [(7, 1, 2, 3)]
+    # parser guards
+    with pytest.raises(ValueError, match="at most one until"):
+        parse_eql("sequence by u [a where true] [b where true] "
+                  "until [x where true] until [y where true]")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_eql("sequence by u [a where true] garbage [b where true]")
+    pq = parse_eql(q)
+    assert pq.until.category == "x" and len(pq.stages) == 3

@@ -82,6 +82,7 @@ class EqlQuery:
     stages: list[StageFilter]
     by: str | None = None          # sequence join-key field
     maxspan_s: float | None = None
+    until: StageFilter | None = None  # terminates in-progress sequences
 
 
 def _parse_duration(tok: str) -> float:
@@ -162,21 +163,41 @@ def parse_eql(query: str) -> EqlQuery:
         )
     by = m.group(1)
     maxspan = _parse_duration(m.group(2)) if m.group(2) else None
-    stages = []
-    for stage_src in ("[" + rest).split("]"):
-        stage_src = stage_src.strip()
-        if not stage_src:
+    stages: list[StageFilter] = []
+    until: StageFilter | None = None
+    in_until = False
+    pos = 0
+    body_src = "[" + rest
+    for tok in re.finditer(r"\[\s*(\S+)\s+where\s+([^\]]*)\]|(\S+)",
+                           body_src):
+        if tok.start() < pos:
             continue
-        if not stage_src.startswith("["):
-            raise ValueError(f"malformed EQL stage near {stage_src!r}")
-        sm = re.match(r"^\[\s*(\S+)\s+where\s+(.*)$", stage_src,
-                      flags=re.IGNORECASE)
-        if not sm:
-            raise ValueError(f"unsupported EQL stage {stage_src!r}")
-        stages.append(StageFilter(sm.group(1), _parse_condition(sm.group(2))))
+        pos = tok.end()
+        if tok.group(3) is not None:
+            if tok.group(3).lower() == "until":
+                if in_until:
+                    raise ValueError(
+                        "EQL sequence takes at most one until"
+                    )
+                in_until = True
+                continue
+            raise ValueError(
+                f"malformed EQL sequence near {tok.group(3)!r}"
+            )
+        sf = StageFilter(tok.group(1),
+                         _parse_condition(tok.group(2).strip()))
+        if in_until:
+            if until is not None:
+                raise ValueError("EQL sequence takes at most one until")
+            until = sf
+        else:
+            stages.append(sf)
+    if in_until and until is None:
+        raise ValueError("EQL until needs a [ ... ] stage")
     if len(stages) < 2:
         raise ValueError("EQL sequence needs >= 2 stages")
-    return EqlQuery("sequence", stages, by=by, maxspan_s=maxspan)
+    return EqlQuery("sequence", stages, by=by, maxspan_s=maxspan,
+                    until=until)
 
 
 def _cmp_col(c: Comparison) -> Column:
@@ -221,6 +242,11 @@ def eql_search(
 
     L = len(eq.stages)
     preds = [_stage_pred(s, event_category_field) for s in eq.stages]
+    if eq.until is not None:
+        # until events terminate in-progress sequences (ES's contract);
+        # when an event matches both until and a stage, until wins —
+        # documented tie-break.
+        preds.append(_stage_pred(eq.until, event_category_field))
     any_stage = preds[0]
     for p in preds[1:]:
         any_stage = any_stage | p
@@ -295,6 +321,13 @@ def eql_search(
         new_emits = F.when(
             ext == L - 1, F.concat(emits, F.array(emitted))
         ).otherwise(emits)
+        if eq.until is not None:
+            u = e["m"][L]  # trailing until flag
+            new_slots = [
+                F.when(u, F.lit(None).cast(slot_t)).otherwise(ns)
+                for ns in new_slots
+            ]
+            new_emits = F.when(u, emits).otherwise(new_emits)
         return F.struct(
             F.array(*new_slots).alias("slots"), new_emits.alias("emits")
         )

@@ -511,3 +511,81 @@ def q_eql_event_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "value",
         )
     )
+
+
+@register(
+    "eql_sequence_until",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch(ts) AS tsd, event_id AS eid,
+               event_type AS cat,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch(ts), event_id) AS rn
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase', 'signup')
+          AND user_id IS NOT NULL
+    ),
+    run AS (
+        SELECT k, 0 AS rn,
+               CAST(NULL AS DOUBLE) AS s1_ts, CAST(NULL AS BIGINT) AS s1_id,
+               CAST(NULL AS DOUBLE) AS s2_ts, CAST(NULL AS BIGINT) AS s2_id1,
+               CAST(NULL AS BIGINT) AS s2_id2,
+               CAST(NULL AS DOUBLE) AS m_first, CAST(NULL AS DOUBLE) AS m_last,
+               CAST(NULL AS BIGINT) AS m_id1, CAST(NULL AS BIGINT) AS m_id2,
+               CAST(NULL AS BIGINT) AS m_id3
+        FROM (SELECT DISTINCT k FROM ev)
+        UNION ALL
+        SELECT e.k, e.rn,
+               CASE WHEN u THEN NULL
+                    WHEN (NOT c3 AND c2) THEN NULL
+                    WHEN (NOT c3 AND NOT c2 AND c1) THEN e.tsd
+                    ELSE r.s1_ts END,
+               CASE WHEN u THEN NULL
+                    WHEN (NOT c3 AND c2) THEN NULL
+                    WHEN (NOT c3 AND NOT c2 AND c1) THEN e.eid
+                    ELSE r.s1_id END,
+               CASE WHEN u THEN NULL WHEN c3 THEN NULL
+                    WHEN c2 THEN r.s1_ts ELSE r.s2_ts END,
+               CASE WHEN u THEN NULL WHEN c3 THEN NULL
+                    WHEN c2 THEN r.s1_id ELSE r.s2_id1 END,
+               CASE WHEN u THEN NULL WHEN c3 THEN NULL
+                    WHEN c2 THEN e.eid ELSE r.s2_id2 END,
+               CASE WHEN c3 AND NOT u THEN r.s2_ts END,
+               CASE WHEN c3 AND NOT u THEN e.tsd END,
+               CASE WHEN c3 AND NOT u THEN r.s2_id1 END,
+               CASE WHEN c3 AND NOT u THEN r.s2_id2 END,
+               CASE WHEN c3 AND NOT u THEN e.eid END
+        FROM run r
+        JOIN ev e ON e.k = r.k AND e.rn = r.rn + 1,
+        LATERAL (SELECT
+            (e.cat = 'signup') AS u,
+            (e.cat = 'purchase' AND r.s2_ts IS NOT NULL
+             AND e.tsd - r.s2_ts <= 172800.0) AS c3,
+            (e.cat = 'click' AND r.s1_ts IS NOT NULL
+             AND e.tsd - r.s1_ts <= 172800.0
+             AND NOT (e.cat = 'purchase' AND r.s2_ts IS NOT NULL
+                      AND e.tsd - r.s2_ts <= 172800.0)) AS c2,
+            (e.cat = 'view') AS c1) f
+    )
+    SELECT k AS user_id, m_first AS first_ts, m_last AS last_ts,
+           m_id1 AS id1, m_id2 AS id2, m_id3 AS id3
+    FROM run WHERE m_id3 IS NOT NULL
+    """,
+    doc="EQL sequence with `until` (r8 s4): signup events terminate "
+        "in-progress view->click->purchase funnels (ES's until contract; "
+        "an event matching both until and a stage resolves to until — "
+        "documented tie-break). Same single-slot automaton with one "
+        "extra clear flag in the per-event bit array; the recursive-CTE "
+        "oracle replays it exactly.",
+)
+def q_eql_sequence_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    events = load_table(spark, sf_dir, "events")
+    return eql_search(events, """
+        sequence by user_id with maxspan=2d
+          [ view where true ]
+          [ click where true ]
+          [ purchase where true ]
+        until [ signup where true ]
+    """)

@@ -77,3 +77,51 @@ def test_plan_pushdown_and_topk(spark, t):
         "SELECT g, SUM(v) AS s FROM t GROUP BY g", t
     )._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan2 or "HashAggregate" in plan2
+
+
+def test_essql_differential_vs_duckdb(spark):
+    """Property-style differential: randomly composed queries from the
+    supported subset must return identical rows from es_sql and from
+    DuckDB executing the SAME string (the subset is ANSI-compatible by
+    construction). Deterministic seed — reproducible, no flaky CI."""
+    import random
+
+    import duckdb
+
+    rnd = random.Random(20260815)
+    rows = [
+        (i, rnd.choice(["a", "b", "c", None]),
+         round(rnd.uniform(0, 100), 2),
+         rnd.choice(["xx", "xy", "yz", "zz1", None]))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double, s string")
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+
+    preds = [
+        "v > 50", "v <= 25.5", "id <> 7", "g = 'a'", "g IS NOT NULL",
+        "s LIKE 'x%'", "s NOT LIKE '%z'", "id IN (1, 2, 3, 40, 99)",
+        "v BETWEEN 10 AND 60", "s IS NULL", "NOT (g = 'b')",
+    ]
+
+    def rand_where():
+        n = rnd.randint(1, 3)
+        parts = [rnd.choice(preds) for _ in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"({out} {rnd.choice(['AND', 'OR'])} {p})"
+        return out
+
+    for _ in range(25):
+        if rnd.random() < 0.5:
+            q = (f"SELECT g, COUNT(*) AS n, ROUND(SUM(v), 6) AS sv "
+                 f"FROM t WHERE {rand_where()} GROUP BY g")
+        else:
+            q = (f"SELECT id, g, v FROM t WHERE {rand_where()} "
+                 f"ORDER BY id LIMIT {rnd.randint(1, 50)}")
+        key = lambda t: tuple((x is None, x) for x in t)
+        got = sorted((tuple(r) for r in es_sql(q, {"t": df}).collect()),
+                     key=key)
+        want = sorted((tuple(r) for r in con.sql(q).fetchall()), key=key)
+        assert got == want, q

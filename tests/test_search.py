@@ -2416,3 +2416,43 @@ def test_terms_lookup_and_cross_fields_routing(spark):
     with pytest.raises(ValueError, match="cross_fields only"):
         from_es_json({"multi_match": {"query": "x", "fields": ["g"],
                                       "operator": "and"}})
+
+
+def test_geo_shape_relations_and_guards(spark):
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 50.0, 170.0), (3, -5.0, -175.0),
+         (4, 20.0, 100.0)],
+        "doc_id long, lat double, lon double",
+    )
+    fld = {"lat": "lat", "lon": "lon"}
+    env_wrap = {"type": "envelope",
+                "coordinates": [[160.0, 60.0], [-170.0, -10.0]]}
+
+    def run(shape, relation):
+        q = from_es_json({"geo_shape": {
+            "field": fld, "shape": shape, "relation": relation}})
+        return sorted(r["doc_id"] for r in search(df, q, k=None).collect())
+
+    assert run(env_wrap, "intersects") == [2, 3]
+    assert run(env_wrap, "within") == [2, 3]  # point docs: same set
+    assert run(env_wrap, "disjoint") == [1, 4]
+    poly = {"type": "polygon", "coordinates":
+            [[[0.0, 0.0], [30.0, 0.0], [30.0, 30.0], [0.0, 30.0],
+              [0.0, 0.0]]]}
+    assert run(poly, "intersects") == [1]
+    for bad, msg in [
+        (({"geo_shape": {"field": fld, "shape": env_wrap,
+                         "relation": "contains"}}), "relation"),
+        (({"geo_shape": {"field": fld,
+                         "shape": {"type": "multipolygon",
+                                   "coordinates": []}}}), "unsupported geo_shape type"),
+        (({"geo_shape": {"field": fld, "indexed_shape": {}}}),
+         "unsupported geo_shape keys"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            from_es_json(bad)
+    with pytest.raises(ValueError, match="holes"):
+        from_es_json({"geo_shape": {"field": fld, "shape": {
+            "type": "polygon", "coordinates": [[[0, 0]], [[1, 1]]]}}})

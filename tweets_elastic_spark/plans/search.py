@@ -3206,6 +3206,64 @@ def from_es_json(
                 top=float(tl["lat"]), left=float(tl["lon"]),
                 bottom=float(br["lat"]), right=float(br["lon"]),
             )
+        if kind == "geo_shape":
+            # ES geo_shape against POINT documents (the degree-column-pair
+            # convention): inline envelope / polygon shapes, GeoJSON
+            # [lon, lat] coordinate order. For point docs `intersects`
+            # and `within` coincide (point-in-shape) and `disjoint` is
+            # the negation; `contains` (a point containing a shape) is
+            # degenerate and refuses. Envelope boxes delegate to the
+            # bounding-box node (antimeridian wrap included), polygons to
+            # the even-odd ray-casting node; indexed-shape references and
+            # multi-ring polygons refuse loudly.
+            extra = set(body) - {"field", "shape", "relation"}
+            if extra:
+                raise ValueError(
+                    f"unsupported geo_shape keys: {sorted(extra)}"
+                )
+            fld = body.get("field")
+            if not (isinstance(fld, dict) and {"lat", "lon"} <= set(fld)):
+                raise ValueError(
+                    "geo_shape needs 'field': {'lat': col, 'lon': col} "
+                    "(a location is a numeric degree column pair)"
+                )
+            shape = body.get("shape")
+            if not (isinstance(shape, dict) and "type" in shape):
+                raise ValueError(
+                    "geo_shape needs an inline 'shape' object "
+                    "(indexed_shape references are unsupported)"
+                )
+            relation = body.get("relation", "intersects")
+            if relation not in ("intersects", "within", "disjoint"):
+                raise ValueError(
+                    f"unsupported geo_shape relation {relation!r} for "
+                    "point documents (intersects/within/disjoint)"
+                )
+            stype = str(shape["type"]).lower()
+            if stype == "envelope":
+                (l_lon, t_lat), (r_lon, b_lat) = shape["coordinates"]
+                inner: Query = GeoBoundingBox(
+                    fld["lat"], fld["lon"],
+                    top=float(t_lat), left=float(l_lon),
+                    bottom=float(b_lat), right=float(r_lon),
+                )
+            elif stype == "polygon":
+                rings = shape["coordinates"]
+                if len(rings) != 1:
+                    raise ValueError(
+                        "geo_shape polygon holes (multiple rings) are "
+                        "unsupported"
+                    )
+                pts = [(float(lat), float(lon)) for lon, lat in rings[0]]
+                inner = GeoPolygon(fld["lat"], fld["lon"], pts)
+            else:
+                raise ValueError(
+                    f"unsupported geo_shape type {stype!r} "
+                    "(envelope/polygon)"
+                )
+            if relation == "disjoint":
+                return Bool(must_not=[inner])
+            return inner
         if kind == "range":
             (field, bounds), = body.items()
             extra = set(bounds) - {"gt", "gte", "lt", "lte"}

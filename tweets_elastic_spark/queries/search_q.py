@@ -4801,3 +4801,40 @@ def q_search_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(events, query, k=None).select(
         "event_id", "user_id", "event_type"
     )
+
+
+@register(
+    "search_geo_shape",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id,
+               (value % 140) - 70 AS lat,
+               ((user_id * CAST(7.3 AS DOUBLE)) % 360) - 180 AS lon
+        FROM events
+    )
+    SELECT event_id, round(lat, 6) AS lat, round(lon, 6) AS lon
+    FROM pts
+    WHERE lat >= -10 AND lat <= 60 AND (lon >= 160 OR lon <= -170)
+    """,
+    doc="ES geo_shape query (r8 s4) against point documents: an inline "
+        "envelope crossing the antimeridian (GeoJSON [lon, lat] corner "
+        "order), relation=intersects — for point docs intersects/within "
+        "coincide and disjoint negates; contains and indexed_shape "
+        "refuse. Delegates to the bounding-box node's wrapped-longitude "
+        "comparison: scan-local, pushdown-eligible, non-scoring.",
+)
+def q_search_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumns({
+        "lat": (F.col("value") % 140) - 70,
+        "lon": ((F.col("user_id") * 7.3) % 360) - 180,
+    })
+    query = from_es_json({"geo_shape": {
+        "field": {"lat": "lat", "lon": "lon"},
+        "shape": {"type": "envelope",
+                  "coordinates": [[160.0, 60.0], [-170.0, -10.0]]},
+        "relation": "intersects",
+    }})
+    return search(events, query, k=None).select(
+        "event_id", F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+    )

@@ -1,0 +1,138 @@
+"""Streaming EQL: the sequence automaton over a live event stream.
+
+ES runs EQL against indices as data arrives; the Structured-Streaming
+twin keeps ONE automaton state per join key in the state store
+(``applyInPandasWithState`` — RocksDB/HDFS-backed on a cluster, so state
+cardinality scales with distinct keys, not event volume) and emits each
+completed sequence as an append-mode row.
+
+The automaton is the SAME deterministic single-slot machine as the batch
+front-end (plans/eql.py — one pending prefix per length, deepest
+extension wins, ``until`` clears, completion consumes), applied to each
+micro-batch's events in (ts, id) order, resuming from the persisted
+state. A single ``availableNow`` batch therefore reproduces the batch
+result exactly (pinned by test); across micro-batches, events are
+processed in ARRIVAL order per batch — an event arriving later than a
+younger already-processed event is seen late, the same caveat as any
+at-arrival stream processor (pair with a watermarked, ordered source
+when the input can reorder).
+
+State is a JSON blob (one small list per pending prefix) — schema-stable
+across sequence lengths, checkpoint-recoverable, and tiny: O(L · ids).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from tweets_elastic_spark.plans.eql import EqlQuery, _stage_pred, parse_eql
+
+__all__ = ["streaming_eql_sequence"]
+
+
+def streaming_eql_sequence(
+    events_stream: DataFrame,
+    query: str | EqlQuery,
+    *,
+    timestamp_field: str = "ts",
+    event_category_field: str = "event_type",
+    id_field: str = "event_id",
+) -> DataFrame:
+    eq = parse_eql(query) if isinstance(query, str) else query
+    if eq.kind != "sequence":
+        raise ValueError(
+            "streaming_eql_sequence needs a sequence query; run plain "
+            "event queries as an ordinary streaming filter"
+        )
+    L = len(eq.stages)
+    preds = [_stage_pred(s, event_category_field) for s in eq.stages]
+    if eq.until is not None:
+        preds.append(_stage_pred(eq.until, event_category_field))
+    any_stage = preds[0]
+    for p in preds[1:]:
+        any_stage = any_stage | p
+
+    ts_type = events_stream.schema[timestamp_field].dataType.simpleString()
+    tscol: Column = F.col(timestamp_field)
+    if ts_type.startswith("timestamp"):
+        tscol = tscol.cast("timestamp")
+
+    ev = (
+        events_stream.filter(any_stage)
+        .select(
+            F.col(eq.by).alias("k"),
+            tscol.cast("double").alias("tsd"),
+            F.col(id_field).cast("bigint").alias("eid"),
+            *[p.alias(f"m{i}") for i, p in enumerate(preds)],
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+    maxspan = eq.maxspan_s
+    has_until = eq.until is not None
+    n_m = len(preds)  # plain int — the closure must not capture Columns
+    out_schema = (
+        "k long, first_ts double, last_ts double, "
+        + ", ".join(f"id{i + 1} long" for i in range(L))
+    )
+
+    def step(key: tuple, pdfs: Iterable[pd.DataFrame],
+             state: GroupState) -> Iterable[pd.DataFrame]:
+        # slots[j] = [first_ts, [ids...]] for the pending prefix of
+        # length j+1, or None — the exact batch-automaton state
+        slots = (
+            json.loads(state.get[0]) if state.exists else [None] * (L - 1)
+        )
+        emits: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["tsd", "eid"])
+            m_cols = [pdf[f"m{i}"].to_numpy() for i in range(n_m)]
+            tsds = pdf["tsd"].to_numpy()
+            eids = pdf["eid"].to_numpy()
+            for r in range(len(pdf)):
+                tsd, eid = float(tsds[r]), int(eids[r])
+                if has_until and bool(m_cols[L][r]):
+                    slots = [None] * (L - 1)
+                    continue
+                ext = -1
+                for j in range(L - 1, 0, -1):  # deepest extension wins
+                    prev = slots[j - 1]
+                    if (bool(m_cols[j][r]) and prev is not None
+                            and (maxspan is None
+                                 or tsd - prev[0] <= maxspan)):
+                        ext = j
+                        break
+                if ext == -1 and bool(m_cols[0][r]):
+                    ext = 0
+                if ext == -1:
+                    continue
+                if ext == 0:
+                    slots[0] = [tsd, [eid]]
+                elif ext == L - 1:
+                    fts, ids = slots[L - 2]
+                    emits.append((key[0], fts, tsd, *ids, eid))
+                    slots[L - 2] = None
+                else:
+                    fts, ids = slots[ext - 1]
+                    slots[ext] = [fts, ids + [eid]]
+                    slots[ext - 1] = None
+        state.update((json.dumps(slots),))
+        cols = ["k", "first_ts", "last_ts"] + [
+            f"id{i + 1}" for i in range(L)
+        ]
+        yield pd.DataFrame(emits, columns=cols)
+
+    matched = ev.groupBy("k").applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType="js string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return matched.withColumnRenamed("k", eq.by)

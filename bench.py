@@ -250,7 +250,8 @@ SF1_HEADLINE = [
     "jaccard_near_dups", "dedup_near_survivors", "corpus_clean",
     "semdedup_survivors", "ann_cosine_topk", "ann_ivfpq_topk",
     "simhash_near_dups", "embedding_near_dups", "span_dedup_rebuild",
-    "es_aggs_matrix_stats", "eql_sequence_funnel",
+    "es_aggs_matrix_stats", "eql_sequence_funnel", "es_aggs_ip_range",
+    "es_aggs_frequent_item_sets", "es_aggs_cumulative_cardinality",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

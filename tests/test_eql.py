@@ -216,3 +216,28 @@ def test_streaming_eql_matches_batch(spark, tmp_path):
     # the 40-days-later drop re-runs the funnel from the persisted state:
     # at least one new completed sequence per prior match cohort
     assert n2 > len(got)
+
+
+def test_composite_by_keys(spark):
+    """`sequence by a, b` — sequences never cross a composite-key boundary."""
+    df = spark.createDataFrame(
+        [  # (id, ts, user, session, type)
+            (1, 0.0, 7, "s1", "a"), (2, 1.0, 7, "s2", "b"),
+            (3, 2.0, 7, "s1", "b"),
+            (4, 0.0, 8, "s1", "a"), (5, 1.0, 8, "s1", "b"),
+        ],
+        "event_id long, ts double, user_id long, session string, "
+        "event_type string",
+    )
+    q = """sequence by user_id, session with maxspan=50s
+      [ a where true ] [ b where true ]"""
+    got = sorted(
+        (r["user_id"], r["session"], r["id1"], r["id2"])
+        for r in eql_search(df, q).collect()
+    )
+    # user 7: the 'b' in s2 must NOT pair with the 'a' in s1
+    assert got == [(7, "s1", 1, 3), (8, "s1", 4, 5)]
+    pq = parse_eql(q)
+    assert pq.by == ["user_id", "session"]
+    with pytest.raises(ValueError, match="join-key"):
+        parse_eql("sequence by u, [a where true] [b where true]")

@@ -80,7 +80,7 @@ class StageFilter:
 class EqlQuery:
     kind: str                      # "event" | "sequence"
     stages: list[StageFilter]
-    by: str | None = None          # sequence join-key field
+    by: list[str] | None = None    # sequence join-key fields (composite ok)
     maxspan_s: float | None = None
     until: StageFilter | None = None  # terminates in-progress sequences
 
@@ -153,15 +153,19 @@ def parse_eql(query: str) -> EqlQuery:
     if not rest:
         raise ValueError("EQL sequence needs at least one [ ... ] stage")
     m = re.match(
-        r"^sequence\s+by\s+(\S+)(?:\s+with\s+maxspan\s*=\s*(\S+))?\s*$",
+        r"^sequence\s+by\s+(.+?)(?:\s+with\s+maxspan\s*=\s*(\S+))?\s*$",
         head, flags=re.IGNORECASE,
     )
     if not m:
         raise ValueError(
             f"unsupported EQL sequence head {head.strip()!r} "
-            "(expected: sequence by <field> [with maxspan=<dur>])"
+            "(expected: sequence by <field>[, <field>...] "
+            "[with maxspan=<dur>])"
         )
-    by = m.group(1)
+    by = [f.strip() for f in m.group(1).split(",")]
+    for f in by:
+        if not _IDENT_RE.match(f):
+            raise ValueError(f"bad EQL join-key field {f!r}")
     maxspan = _parse_duration(m.group(2)) if m.group(2) else None
     stages: list[StageFilter] = []
     until: StageFilter | None = None
@@ -259,16 +263,16 @@ def eql_search(
     if ts_type.startswith("timestamp"):
         tscol = tscol.cast("timestamp")
     # shuffle only (key, ts, id, L match bits) — never the event payload
-    ev = (
-        df.filter(any_stage)
-        .select(
-            F.col(eq.by).alias("k"),
-            tscol.cast("double").alias("tsd"),
-            F.col(id_field).cast("bigint").alias("eid"),
-            F.array(*preds).alias("m"),
-        )
-        .filter(F.col("k").isNotNull())
+    kcols = [F.col(kf).alias(f"__k{i}") for i, kf in enumerate(eq.by)]
+    knames = [f"__k{i}" for i in range(len(eq.by))]
+    ev = df.filter(any_stage).select(
+        *kcols,
+        tscol.cast("double").alias("tsd"),
+        F.col(id_field).cast("bigint").alias("eid"),
+        F.array(*preds).alias("m"),
     )
+    for kn in knames:
+        ev = ev.filter(F.col(kn).isNotNull())
 
     slot_t = "struct<fts:double,ids:array<bigint>>"
     emit_t = "struct<fts:double,lts:double,ids:array<bigint>>"
@@ -333,22 +337,22 @@ def eql_search(
         )
 
     runs = (
-        ev.groupBy("k")
+        ev.groupBy(*knames)
         .agg(F.sort_array(F.collect_list(F.struct("tsd", "eid", "m")))
              .alias("evs"))
         .select(
-            "k",
+            *knames,
             F.aggregate(F.col("evs"), init, merge, lambda a: a["emits"])
             .alias("emits"),
         )
-        .select("k", F.explode("emits").alias("s"))
+        .select(*knames, F.explode("emits").alias("s"))
     )
     id_cols = [
         F.element_at(F.col("s.ids"), i + 1).alias(f"id{i + 1}")
         for i in range(L)
     ]
     return runs.select(
-        F.col("k").alias(eq.by),
+        *[F.col(kn).alias(kf) for kn, kf in zip(knames, eq.by)],
         F.col("s.fts").alias("first_ts"),
         F.col("s.lts").alias("last_ts"),
         *id_cols,

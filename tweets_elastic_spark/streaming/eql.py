@@ -63,24 +63,29 @@ def streaming_eql_sequence(
     if ts_type.startswith("timestamp"):
         tscol = tscol.cast("timestamp")
 
-    ev = (
-        events_stream.filter(any_stage)
-        .select(
-            F.col(eq.by).alias("k"),
-            tscol.cast("double").alias("tsd"),
-            F.col(id_field).cast("bigint").alias("eid"),
-            *[p.alias(f"m{i}") for i, p in enumerate(preds)],
-        )
-        .filter(F.col("k").isNotNull())
+    knames = [f"__k{i}" for i in range(len(eq.by))]
+    ev = events_stream.filter(any_stage).select(
+        *[F.col(kf).alias(kn) for kf, kn in zip(eq.by, knames)],
+        tscol.cast("double").alias("tsd"),
+        F.col(id_field).cast("bigint").alias("eid"),
+        *[p.alias(f"m{i}") for i, p in enumerate(preds)],
     )
+    for kn in knames:
+        ev = ev.filter(F.col(kn).isNotNull())
 
     maxspan = eq.maxspan_s
     has_until = eq.until is not None
     n_m = len(preds)  # plain int — the closure must not capture Columns
+    key_types = {
+        f.name: f.dataType.simpleString()
+        for f in events_stream.schema.fields
+    }
     out_schema = (
-        "k long, first_ts double, last_ts double, "
+        ", ".join(f"{kf} {key_types[kf]}" for kf in eq.by)
+        + ", first_ts double, last_ts double, "
         + ", ".join(f"id{i + 1} long" for i in range(L))
     )
+    by_fields = list(eq.by)
 
     def step(key: tuple, pdfs: Iterable[pd.DataFrame],
              state: GroupState) -> Iterable[pd.DataFrame]:
@@ -116,23 +121,23 @@ def streaming_eql_sequence(
                     slots[0] = [tsd, [eid]]
                 elif ext == L - 1:
                     fts, ids = slots[L - 2]
-                    emits.append((key[0], fts, tsd, *ids, eid))
+                    emits.append((*key, fts, tsd, *ids, eid))
                     slots[L - 2] = None
                 else:
                     fts, ids = slots[ext - 1]
                     slots[ext] = [fts, ids + [eid]]
                     slots[ext - 1] = None
         state.update((json.dumps(slots),))
-        cols = ["k", "first_ts", "last_ts"] + [
+        cols = by_fields + ["first_ts", "last_ts"] + [
             f"id{i + 1}" for i in range(L)
         ]
         yield pd.DataFrame(emits, columns=cols)
 
-    matched = ev.groupBy("k").applyInPandasWithState(
+    matched = ev.groupBy(*knames).applyInPandasWithState(
         step,
         outputStructType=out_schema,
         stateStructType="js string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return matched.withColumnRenamed("k", eq.by)
+    return matched

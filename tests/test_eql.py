@@ -241,3 +241,26 @@ def test_composite_by_keys(spark):
     assert pq.by == ["user_id", "session"]
     with pytest.raises(ValueError, match="join-key"):
         parse_eql("sequence by u, [a where true] [b where true]")
+
+
+def test_event_pipes(spark):
+    rows = [
+        (1, 10.0, 7, "e", 1.0), (2, 20.0, 7, "e", 2.0),
+        (3, 30.0, 8, "e", 3.0), (4, 40.0, 8, "e", 4.0),
+        (5, 50.0, 9, "x", 5.0),
+    ]
+    ids = lambda df: [r["event_id"] for r in df.collect()]
+    assert ids(eql_search(_df(spark, rows), "e where true | head 2")) == [1, 2]
+    assert ids(eql_search(_df(spark, rows), "e where true | tail 2")) == [3, 4]
+    assert eql_search(_df(spark, rows),
+                      "e where true | count").collect()[0]["count"] == 4
+    # unique keeps the FIRST event per user in hit order
+    assert ids(eql_search(_df(spark, rows),
+                          "e where true | unique user_id")) == [1, 3]
+    # pipes compose left-to-right
+    assert ids(eql_search(_df(spark, rows),
+                          "e where true | unique user_id | head 1")) == [1]
+    with pytest.raises(ValueError, match="unsupported EQL pipe"):
+        parse_eql("e where true | sort value")
+    with pytest.raises(ValueError, match="event queries only"):
+        parse_eql("sequence by u [a where true] [b where true] | head 3")

@@ -83,6 +83,7 @@ class EqlQuery:
     by: list[str] | None = None    # sequence join-key fields (composite ok)
     maxspan_s: float | None = None
     until: StageFilter | None = None  # terminates in-progress sequences
+    pipes: list[tuple] = field(default_factory=list)  # head/tail/count/unique
 
 
 def _parse_duration(tok: str) -> float:
@@ -143,12 +144,45 @@ def parse_eql(query: str) -> EqlQuery:
     if not q:
         raise ValueError("empty EQL query")
     if not q.lower().startswith("sequence"):
-        # simple event query: `<category> where <cond>`
-        m = re.match(r"^(\S+)\s+where\s+(.*)$", q, flags=re.IGNORECASE)
+        # simple event query: `<category> where <cond> [| pipe ...]`
+        main, *pipe_srcs = q.split("|")
+        m = re.match(r"^(\S+)\s+where\s+(.*)$", main.strip(),
+                     flags=re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported EQL query {query!r}")
-        return EqlQuery("event",
-                        [StageFilter(m.group(1), _parse_condition(m.group(2)))])
+        pipes: list[tuple] = []
+        for ps in pipe_srcs:
+            parts = ps.split()
+            if not parts:
+                raise ValueError("empty EQL pipe")
+            name = parts[0].lower()
+            if name in ("head", "tail"):
+                if len(parts) != 2 or not parts[1].isdigit():
+                    raise ValueError(f"EQL {name} needs a count: {ps!r}")
+                pipes.append((name, int(parts[1])))
+            elif name == "count":
+                if len(parts) != 1:
+                    raise ValueError(f"EQL count takes no args: {ps!r}")
+                pipes.append(("count",))
+            elif name == "unique":
+                if len(parts) != 2 or not _IDENT_RE.match(parts[1]):
+                    raise ValueError(f"EQL unique needs a field: {ps!r}")
+                pipes.append(("unique", parts[1]))
+            else:
+                raise ValueError(
+                    f"unsupported EQL pipe {name!r} "
+                    "(head/tail/count/unique)"
+                )
+        return EqlQuery(
+            "event",
+            [StageFilter(m.group(1), _parse_condition(m.group(2)))],
+            pipes=pipes,
+        )
+    if "|" in q:
+        raise ValueError(
+            "EQL pipes are supported on event queries only (a sequence's "
+            "result is already one row per match)"
+        )
     head, _, rest = q.partition("[")
     if not rest:
         raise ValueError("EQL sequence needs at least one [ ... ] stage")
@@ -239,10 +273,36 @@ def eql_search(
     """
     eq = parse_eql(query) if isinstance(query, str) else query
     if eq.kind == "event":
-        return (
+        out = (
             df.filter(_stage_pred(eq.stages[0], event_category_field))
             .orderBy(timestamp_field, id_field)
         )
+        for pipe in eq.pipes:
+            if pipe[0] == "head":
+                # TakeOrderedAndProject — the first N in EQL hit order
+                out = out.orderBy(timestamp_field, id_field).limit(pipe[1])
+            elif pipe[0] == "tail":
+                from pyspark.sql import functions as _F
+                out = (
+                    out.orderBy(_F.col(timestamp_field).desc(),
+                                _F.col(id_field).desc())
+                    .limit(pipe[1])
+                    .orderBy(timestamp_field, id_field)
+                )
+            elif pipe[0] == "count":
+                return out.agg(F.count(F.lit(1)).alias("count"))
+            elif pipe[0] == "unique":
+                # EQL unique: the FIRST event per distinct value, hit order
+                from pyspark.sql.window import Window
+                w = Window.partitionBy(pipe[1]).orderBy(
+                    F.col(timestamp_field).asc(), F.col(id_field).asc()
+                )
+                out = (
+                    out.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn")
+                    .orderBy(timestamp_field, id_field)
+                )
+        return out
 
     L = len(eq.stages)
     preds = [_stage_pred(s, event_category_field) for s in eq.stages]

@@ -589,3 +589,32 @@ def q_eql_sequence_until(spark: SparkSession, sf_dir: str) -> DataFrame:
           [ purchase where true ]
         until [ signup where true ]
     """)
+
+
+@register(
+    "eql_event_pipes",
+    oracle="""
+    WITH hits AS (
+        SELECT event_id, epoch(ts) AS tsd, user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch(ts), event_id) AS rn
+        FROM events WHERE event_type = 'error'
+    ),
+    uniq AS (SELECT * FROM hits WHERE rn = 1)
+    SELECT event_id, tsd, user_id, value
+    FROM uniq ORDER BY tsd, event_id LIMIT 20
+    """,
+    doc="EQL pipes (r8 s4): `error where true | unique user_id | head 20` "
+        "— unique keeps each key's FIRST hit in EQL hit order (one window "
+        "rank), head is TakeOrderedAndProject. Pipes compose left-to-"
+        "right; sequences refuse pipes (one row per match already).",
+)
+def q_eql_event_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        eql_search(events, "error where true | unique user_id | head 20")
+        .select("event_id", F.col("ts").cast("double").alias("tsd"),
+                "user_id", "value")
+    )

@@ -264,3 +264,63 @@ def test_event_pipes(spark):
         parse_eql("e where true | sort value")
     with pytest.raises(ValueError, match="event queries only"):
         parse_eql("sequence by u [a where true] [b where true] | head 3")
+
+
+def test_watermarked_streaming_eql_reorders_late_events(spark, tmp_path):
+    """A stage-2 event arriving AFTER the stage-3 event (out of order
+    across micro-batches) still completes the sequence: the watermarked
+    variant buffers events and runs the automaton in event-time order
+    once the watermark passes them. The at-arrival variant cannot match
+    this input."""
+    import os
+    import time as _time
+
+    from tweets_elastic_spark.streaming.eql import (
+        streaming_eql_sequence_watermarked,
+    )
+    from tweets_elastic_spark.streaming.ingest import stream_events
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        tmp = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = str(tmp_path / "in" / name)
+                os.replace(os.path.join(tmp, f), dst)
+        _time.sleep(1.1)  # distinct mtimes → file-source batch order
+
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    # batch 1: a@1, c@3 arrive; plus a watermark pusher far in the
+    # future (it must MATCH a stage filter: Catalyst pushes the stage
+    # filter below the watermark collector, so filtered-out rows never
+    # advance the watermark — user 99 keys its own automaton, harmless)
+    write_file([(1, t(1), 7, "a", 0.0), (3, t(3), 7, "c", 0.0),
+                (99, dt.datetime(2024, 1, 2), 99, "a", 0.0)], "part-0.parquet")
+    # batch 2: the missing b@2 arrives late (but within the delay) —
+    # NO further pusher: the flush must come from the event-time
+    # TIMEOUT wakeup (watermark from batch 1 already covers t1..t3)
+    write_file([(2, t(2), 7, "b", 0.0)], "part-1.parquet")
+
+    q = """sequence by user_id with maxspan=1h
+      [ a where true ] [ b where true ] [ c where true ]"""
+    stream = stream_events(spark, str(tmp_path / "in")) \
+        .sparkSession.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "in"))
+    out = (
+        streaming_eql_sequence_watermarked(stream, q, delay="1 minute")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .format("parquet").option("path", str(tmp_path / "wm_out"))
+        .start()
+    )
+    out.awaitTermination(180)
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(str(tmp_path / "wm_out")).collect())
+    assert got == [(7, t(1).timestamp(), t(3).timestamp(), 1, 2, 3)]

@@ -141,3 +141,139 @@ def streaming_eql_sequence(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return matched
+
+
+def streaming_eql_sequence_watermarked(
+    events_stream: DataFrame,
+    query: str | EqlQuery,
+    *,
+    delay: str = "10 minutes",
+    timestamp_field: str = "ts",
+    event_category_field: str = "event_type",
+    id_field: str = "event_id",
+) -> DataFrame:
+    """Event-time-correct streaming EQL: out-of-order events are buffered
+    in the per-key state and the automaton only consumes events whose
+    timestamp the WATERMARK has passed — consumed in (ts, id) order, so a
+    late-but-within-`delay` event lands in its true position (the
+    at-arrival variant above would have missed sequences it completes
+    retroactively). The trade: matches emit with up to `delay` latency,
+    and per-key state additionally holds the <= delay-window buffer
+    (bounded by the key's event rate × delay — the standard watermark
+    state bound). Same single-slot automaton, same append-mode output.
+    """
+    eq = parse_eql(query) if isinstance(query, str) else query
+    if eq.kind != "sequence":
+        raise ValueError("streaming_eql_sequence_watermarked needs a "
+                         "sequence query")
+    ts_type = events_stream.schema[timestamp_field].dataType.simpleString()
+    if not ts_type.startswith("timestamp"):
+        raise ValueError(
+            "watermarked EQL needs a timestamp-typed event-time column "
+            f"(got {ts_type!r} for {timestamp_field!r})"
+        )
+    stream = events_stream.withWatermark(timestamp_field, delay)
+
+    L = len(eq.stages)
+    preds = [_stage_pred(s, event_category_field) for s in eq.stages]
+    if eq.until is not None:
+        preds.append(_stage_pred(eq.until, event_category_field))
+    any_stage = preds[0]
+    for p in preds[1:]:
+        any_stage = any_stage | p
+
+    knames = [f"__k{i}" for i in range(len(eq.by))]
+    ev = stream.filter(any_stage).select(
+        *[F.col(kf).alias(kn) for kf, kn in zip(eq.by, knames)],
+        # the watermarked column itself must reach the stateful operator
+        # (the event-time attribute is what makes getCurrentWatermarkMs
+        # available); tsd is its double rendering for the automaton
+        F.col(timestamp_field).alias("__et"),
+        F.col(timestamp_field).cast("timestamp").cast("double")
+        .alias("tsd"),
+        F.col(id_field).cast("bigint").alias("eid"),
+        *[p.alias(f"m{i}") for i, p in enumerate(preds)],
+    )
+    for kn in knames:
+        ev = ev.filter(F.col(kn).isNotNull())
+
+    maxspan = eq.maxspan_s
+    has_until = eq.until is not None
+    n_m = len(preds)
+    key_types = {
+        f.name: f.dataType.simpleString()
+        for f in events_stream.schema.fields
+    }
+    out_schema = (
+        ", ".join(f"{kf} {key_types[kf]}" for kf in eq.by)
+        + ", first_ts double, last_ts double, "
+        + ", ".join(f"id{i + 1} long" for i in range(L))
+    )
+    by_fields = list(eq.by)
+
+    def step(key: tuple, pdfs: Iterable[pd.DataFrame],
+             state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            slots, buffered = json.loads(state.get[0])
+        else:
+            slots, buffered = [None] * (L - 1), []
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                buffered.append(
+                    [float(row.tsd), int(row.eid)]
+                    + [bool(getattr(row, f"m{i}")) for i in range(n_m)]
+                )
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        buffered.sort(key=lambda r: (r[0], r[1]))
+        ready = [r for r in buffered if r[0] <= wm_s]
+        buffered = [r for r in buffered if r[0] > wm_s]
+        emits: list[tuple] = []
+        for r in ready:
+            tsd, eid = r[0], r[1]
+            m = r[2:]
+            if has_until and m[L]:
+                slots = [None] * (L - 1)
+                continue
+            ext = -1
+            for j in range(L - 1, 0, -1):
+                prev = slots[j - 1]
+                if (m[j] and prev is not None
+                        and (maxspan is None or tsd - prev[0] <= maxspan)):
+                    ext = j
+                    break
+            if ext == -1 and m[0]:
+                ext = 0
+            if ext == -1:
+                continue
+            if ext == 0:
+                slots[0] = [tsd, [eid]]
+            elif ext == L - 1:
+                fts, ids = slots[L - 2]
+                emits.append((*key, fts, tsd, *ids, eid))
+                slots[L - 2] = None
+            else:
+                fts, ids = slots[ext - 1]
+                slots[ext] = [fts, ids + [eid]]
+                slots[ext - 1] = None
+        state.update((json.dumps([slots, buffered]),))
+        if buffered:
+            # wake this key when the watermark passes its earliest
+            # buffered event — without this, buffered events would only
+            # flush when the key happens to receive MORE data (a
+            # liveness bug for idle keys)
+            want_ms = int(buffered[0][0] * 1000) + 1
+            state.setTimeoutTimestamp(
+                max(want_ms, int(wm_s * 1000) + 1)
+            )
+        cols = by_fields + ["first_ts", "last_ts"] + [
+            f"id{i + 1}" for i in range(L)
+        ]
+        yield pd.DataFrame(emits, columns=cols)
+
+    return ev.groupBy(*knames).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType="js string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

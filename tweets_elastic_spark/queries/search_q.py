@@ -4838,3 +4838,70 @@ def q_search_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.round("lat", 6).alias("lat"),
         F.round("lon", 6).alias("lon"),
     )
+
+
+@register(
+    "ingest_pipeline",
+    oracle="""
+    WITH msgs AS (
+        SELECT event_id,
+               'level=' || CASE WHEN value > 50 THEN 'ERROR'
+                                ELSE 'INFO' END ||
+               ' code ' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) ||
+               ' host 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS line,
+               value
+        FROM events
+    )
+    SELECT event_id,
+           CASE WHEN regexp_matches(line,
+                '^level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) code (-?\\d+) host (\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})$')
+                THEN lower(regexp_extract(line,
+                '^level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) code (-?\\d+) host (\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})$', 1))
+           END AS level,
+           CASE WHEN regexp_matches(line,
+                '^level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) code (-?\\d+) host (\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})$')
+                THEN CAST(regexp_extract(line,
+                '^level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) code (-?\\d+) host (\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})$', 2) AS BIGINT)
+           END AS code,
+           CASE WHEN regexp_matches(line,
+                '^level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) code (-?\\d+) host (\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})$')
+                THEN regexp_extract(line,
+                '^level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) code (-?\\d+) host (\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})$', 3)
+           END AS host,
+           round(value * 2 + 1, 6) AS boosted,
+           'etl-v1' AS tag
+    FROM msgs
+    """,
+    doc="ES ingest pipeline (r8 s4, plans/ingest.py): a processor chain "
+        "— grok (%{LOGLEVEL}/%{INT}/%{IP} subset compiled to one "
+        "regexp_extract per captured field, no-match -> NULL), lowercase, "
+        "script (Painless arithmetic through the shared compiler), set — "
+        "compiled to ONE codegen'd projection over the scan instead of "
+        "ES's per-document ingest-node interpreter. The oracle replays "
+        "the generated regex verbatim.",
+)
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.ingest import apply_ingest_pipeline
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "line",
+        F.concat(
+            F.lit("level="),
+            F.when(F.col("value") > 50, F.lit("ERROR")).otherwise(F.lit("INFO")),
+            F.lit(" code "), F.col("value").cast("bigint").cast("string"),
+            F.lit(" host 10.0."), (F.col("user_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    )
+    out = apply_ingest_pipeline(events, {"processors": [
+        {"grok": {"field": "line", "patterns": [
+            "level=%{LOGLEVEL:level} code %{INT:code:int} "
+            "host %{IP:host}"]}},
+        {"lowercase": {"field": "level"}},
+        {"script": {"source": "ctx.boosted = ctx.value * 2 + 1"}},
+        {"set": {"field": "tag", "value": "etl-v1"}},
+    ]})
+    return out.select(
+        "event_id", "level", "code", "host",
+        F.round("boosted", 6).alias("boosted"), "tag",
+    )

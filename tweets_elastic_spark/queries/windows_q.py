@@ -618,3 +618,42 @@ def q_eql_event_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.col("ts").cast("double").alias("tsd"),
                 "user_id", "value")
     )
+
+
+@register(
+    "rollup_search_month",
+    oracle="""
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(value), 6) AS value_sum,
+           round(sum(value) / count(value), 6) AS value_avg,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           CAST(count(value) AS BIGINT) AS value_value_count
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="ES rollup (r8 s4, rollup.py): a day-grain rollup job stores "
+        "algebraic partials (sum/count/min/max per metric), and "
+        "rollup_search answers the MONTH grain from the rollup alone — "
+        "coarser buckets are prefixes of the zero-padded day key "
+        "(substring, no timestamp parsing), metrics merge exactly "
+        "(sum of sums, avg = totals ratio, min of mins). The oracle "
+        "aggregates the RAW corpus directly at month grain, proving the "
+        "rollup answer exact end-to-end.",
+)
+def q_rollup_search_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.rollup import rollup_job, rollup_search
+
+    events = load_table(spark, sf_dir, "events")
+    rolled = rollup_job(
+        events, date_field="ts", interval="day",
+        terms=["event_type"], metrics=["value"],
+    )
+    return rollup_search(
+        rolled, job_interval="day", interval="month",
+        terms=["event_type"],
+        metrics={"value": ["sum", "avg", "min", "max", "value_count"]},
+    )

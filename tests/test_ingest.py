@@ -92,3 +92,29 @@ def test_guards(spark, docs):
     ]:
         with pytest.raises(ValueError, match=msg):
             apply_ingest_pipeline(docs, pipe)
+
+
+def test_enrich_processor(spark):
+    docs = spark.createDataFrame(
+        [(1, "u7"), (2, "u9"), (3, None)], "id long, uid string"
+    )
+    users = spark.createDataFrame(
+        [("u7", "Sam", "fr"), ("u8", "Kim", "de")],
+        "uid string, name string, country string",
+    )
+    out = apply_ingest_pipeline(
+        docs,
+        {"processors": [{"enrich": {
+            "policy_name": "users", "field": "uid",
+            "target_field": "user"}}]},
+        enrich_policies={"users": (users, "uid", ["name", "country"])},
+    )
+    got = {r["id"]: r["user"] for r in out.collect()}
+    assert got[1]["name"] == "Sam" and got[1]["country"] == "fr"
+    assert got[2] is None and got[3] is None  # no match / NULL key unset
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dimension-sized policy broadcasts
+    with pytest.raises(ValueError, match="not bound"):
+        apply_ingest_pipeline(docs, {"processors": [{"enrich": {
+            "policy_name": "nope", "field": "uid",
+            "target_field": "u"}}]})

@@ -31,8 +31,11 @@ Supported processors (the common core of ES's set):
 * ``date`` — {"field", "target_field"?, "formats": [java pattern]}
   parsed with to_timestamp (first format only; several raise).
 
-Anything else — enrich (needs a lookup cluster), inference, geoip —
-raises loudly with the processor name.
+* ``enrich`` — the lookup-join processor, bound through
+  ``enrich_policies`` (see ``apply_ingest_pipeline``).
+
+Anything else — inference, geoip (external services) — raises loudly
+with the processor name.
 """
 
 from __future__ import annotations
@@ -91,8 +94,21 @@ def _string_proc(df: DataFrame, body: dict, fn) -> DataFrame:
     return df.withColumn(target, fn(F.col(field)))
 
 
-def apply_ingest_pipeline(df: DataFrame, pipeline: dict) -> DataFrame:
-    """Apply an ES ingest-pipeline definition ``{"processors": [...]}``."""
+def apply_ingest_pipeline(
+    df: DataFrame,
+    pipeline: dict,
+    *,
+    enrich_policies: dict | None = None,
+) -> DataFrame:
+    """Apply an ES ingest-pipeline definition ``{"processors": [...]}``.
+
+    ``enrich_policies`` binds ES enrich policies for the ``enrich``
+    processor: name → (lookup_df, match_field, [enrich_fields]). An
+    enrich IS a lookup join — the policy's "enrich index" is a keyed
+    dimension, and the processor compiles to a left join (broadcast by
+    AQE when the policy is dimension-sized, which is the design point)
+    packing the enrich fields into the target struct, NULL when no
+    match (ES leaves the field unset)."""
     processors = pipeline.get("processors")
     if not isinstance(processors, list) or not processors:
         raise ValueError("ingest pipeline needs a non-empty processors list")
@@ -198,9 +214,25 @@ def apply_ingest_pipeline(df: DataFrame, pipeline: dict) -> DataFrame:
             df = df.withColumn(
                 target, F.to_timestamp(F.col(body["field"]), formats[0])
             )
+        elif kind == "enrich":
+            name = body["policy_name"]
+            if not enrich_policies or name not in enrich_policies:
+                raise ValueError(
+                    f"enrich policy {name!r} is not bound — pass "
+                    "enrich_policies={name: (df, match_field, fields)}"
+                )
+            lk_df, match_field, enrich_fields = enrich_policies[name]
+            target = body["target_field"]
+            keyed = lk_df.select(
+                F.col(match_field).alias("__enrich_key"),
+                F.struct(*[F.col(c) for c in enrich_fields]).alias(target),
+            )
+            df = df.join(
+                keyed, df[body["field"]] == F.col("__enrich_key"), "left"
+            ).drop("__enrich_key")
         else:
             raise ValueError(
-                f"unsupported ingest processor {kind!r} (enrich/inference/"
-                "geoip need external services this engine does not fake)"
+                f"unsupported ingest processor {kind!r} (inference/geoip "
+                "need external services this engine does not fake)"
             )
     return df

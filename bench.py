@@ -203,6 +203,15 @@ HEADLINE = [
     "es_aggs_frequent_item_sets",
     "essql_group_query",
     "essql_filter_query",
+    "eql_sequence_until",
+    "eql_event_pipes",
+    "search_geo_shape",
+    "search_terms_lookup",
+    "search_cross_fields",
+    "delete_by_query",
+    "update_by_query",
+    "ingest_pipeline",
+    "rollup_search_month",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -2456,3 +2456,39 @@ def test_geo_shape_relations_and_guards(spark):
     with pytest.raises(ValueError, match="holes"):
         from_es_json({"geo_shape": {"field": fld, "shape": {
             "type": "polygon", "coordinates": [[[0, 0]], [[1, 1]]]}}})
+
+
+def test_span_first(spark):
+    from tweets_elastic_spark.functions.analyzers import materialize_tokens
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    docs = materialize_tokens(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta alpha gamma"),
+             (3, "gamma delta alpha")],
+            "doc_id long, text string",
+        ),
+        {"text": ["standard"]},
+    )
+    bind = dict(analyzers={"text": "standard"},
+                tokens_cols={"text": "text__standard"})
+
+    def run(dsl):
+        return sorted(r["doc_id"]
+                      for r in search(docs, from_es_json(dsl, **bind),
+                                      k=None).collect())
+
+    # alpha within the first 2 positions: docs 1 and 2, not 3
+    assert run({"span_first": {
+        "match": {"span_term": {"text": "alpha"}}, "end": 2}}) == [1, 2]
+    # span_or inner: alpha OR delta in the first 2
+    assert run({"span_first": {
+        "match": {"span_or": {"clauses": [
+            {"span_term": {"text": "alpha"}},
+            {"span_term": {"text": "delta"}}]}}, "end": 2}}) == [1, 2, 3]
+    with pytest.raises(ValueError, match="end > 0"):
+        from_es_json({"span_first": {
+            "match": {"span_term": {"text": "a"}}, "end": 0}}, **bind)
+    with pytest.raises(ValueError, match="span_term/span_or"):
+        from_es_json({"span_first": {
+            "match": {"span_near": {"clauses": []}}, "end": 2}}, **bind)

@@ -2959,6 +2959,68 @@ def from_es_json(
                 ),
                 scope,
             )
+        if kind == "span_first":
+            # Lucene span_first: the inner span must end within the
+            # first `end` token positions. For span_term (and span_or of
+            # span_terms — the expressible inner shapes here, as with
+            # span_near) that is simply "the analyzed value occurs among
+            # the first `end` tokens": one slice + overlap expression,
+            # scan-local. Richer inner spans route to intervals.
+            end_pos = int(body.get("end", 0))
+            if end_pos <= 0:
+                raise ValueError("span_first needs end > 0")
+            inner = body.get("match")
+            if not isinstance(inner, dict):
+                raise ValueError("span_first needs a 'match' span")
+            (ik, ib), = inner.items()
+
+            def term_of(node_body) -> tuple[str, str]:
+                (f, v), = node_body.items()
+                if isinstance(v, dict):
+                    v = v["value"]
+                return f, str(v)
+
+            if ik == "span_term":
+                leaves = [term_of(ib)]
+            elif ik == "span_or":
+                leaves = [term_of(c["span_term"]) for c in ib["clauses"]]
+            else:
+                raise ValueError(
+                    f"span_first match must be span_term/span_or here "
+                    f"(got {ik!r}); richer spans via intervals"
+                )
+            sf_fields = {f for f, _ in leaves}
+            if len(sf_fields) != 1:
+                raise ValueError("span_first terms must share one field")
+            (field,) = sf_fields
+            analyzer = analyzers.get(field)
+            tok_col = tokens_cols.get(field)
+            if analyzer is None or tok_col is None:
+                raise ValueError(
+                    f"span_first on {field!r} needs analyzer + token-"
+                    "column bindings (positional semantics are over "
+                    "analyzed token sequences)"
+                )
+            class _SpanFirst(Query):
+                # query-term analysis happens at predicate time (like
+                # Intervals) — compile has no SparkSession
+                def predicate(self, spark_, resolve) -> Column:
+                    values = []
+                    for _, v in leaves:
+                        toks = analyze_text(spark_, v, analyzer)
+                        if len(toks) != 1:
+                            raise ValueError(
+                                f"span_first term {v!r} analyzes to "
+                                f"{len(toks)} tokens; span terms are "
+                                "single-token"
+                            )
+                        values.append(toks[0])
+                    head = F.slice(resolve(tok_col), 1, end_pos)
+                    return F.arrays_overlap(
+                        head, F.array(*[F.lit(t) for t in values])
+                    )
+
+            return _SpanFirst()
         if kind in ("span_term", "span_or", "span_near"):
             # Lucene span queries, translated onto the intervals
             # machinery (ES itself recommends intervals over spans —

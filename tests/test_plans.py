@@ -397,3 +397,45 @@ def test_late_r8_operator_plan_shapes(spark):
         assert "Python" not in plan and "ArrowEval" not in plan, name
     plan = plan_of("search_geo_polygon")
     assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_r8_s4_operator_plan_shapes(spark):
+    """Plan pins for the session-4 wave: the scan-shaped queries stay
+    zero/one-exchange, the ES SQL grouped query is one partial/final
+    aggregation + TakeOrderedAndProject, has_child aggregates the child
+    side BEFORE the join, and nothing runs Python."""
+    from tweets_elastic_spark import registry
+
+    registry._ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        df = registry._REGISTRY[name].fn(spark, sf)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for name, max_exchanges in [
+        ("search_geo_shape", 0),       # scan-local envelope compare
+        ("es_aggs_geo_bounds", 1),     # one groupBy
+        ("es_aggs_ip_range", 1),
+        ("es_aggs_categorize_text", 1),
+        ("delete_by_query", 0),        # negated filter rides the scan
+        ("update_by_query", 0),        # one conditional projection
+        ("ingest_pipeline", 0),        # processor chain = projection
+        ("eql_event_query", 1),        # global sort only
+        ("essql_filter_query", 1),     # TakeOrdered
+    ]:
+        plan = plan_of(name)
+        assert plan.count("Exchange") <= max_exchanges, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+
+    plan = plan_of("essql_group_query")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+    plan = plan_of("search_has_child")
+    # the child-side partial aggregation appears before the parent join
+    assert plan.index("HashAggregate") < plan.index("SortMergeJoin") \
+        if "SortMergeJoin" in plan else "HashAggregate" in plan
+
+    plan = plan_of("eql_sequence_funnel")
+    assert "Python" not in plan  # JVM aggregate HOF automaton

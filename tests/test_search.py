@@ -2492,3 +2492,24 @@ def test_span_first(spark):
     with pytest.raises(ValueError, match="span_term/span_or"):
         from_es_json({"span_first": {
             "match": {"span_near": {"clauses": []}}, "end": 2}}, **bind)
+
+
+def test_msearch_template(spark, sf_dir):
+    from tweets_elastic_spark.plans.api import es_msearch, es_msearch_template
+    from tweets_elastic_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = ('{"query": {"term": {"lang": "{{lang}}"}}, '
+           '"_source": ["doc_id"], "sort": [{"doc_id": "asc"}], '
+           '"size": {{size}}{{^size}}3{{/size}}}')
+    a, b = es_msearch_template(docs, [(src, {"lang": "en"}),
+                                      (src, {"lang": "de", "size": 2})])
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == 3 and len(rb) == 2
+    # rendered entries agree with hand-written msearch bodies
+    a2, = es_msearch(docs, [{"query": {"term": {"lang": "en"}},
+                             "_source": ["doc_id"],
+                             "sort": [{"doc_id": "asc"}], "size": 3}])
+    assert [r["doc_id"] for r in ra] == [r["doc_id"] for r in a2.collect()]
+    with pytest.raises(ValueError, match="non-empty"):
+        es_msearch_template(docs, [])

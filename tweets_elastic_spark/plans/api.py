@@ -55,6 +55,26 @@ def es_msearch(
     ]
 
 
+def es_msearch_template(
+    df: DataFrame,
+    entries: list[tuple],
+    *,
+    tiebreak: str | None = None,
+    **compile_opts,
+) -> list[DataFrame]:
+    """ES ``_msearch/template``: a batch of (template source, params)
+    pairs — each rendered through the mustache subset and executed as an
+    ordinary msearch entry. Declarative like es_msearch."""
+    from tweets_elastic_spark.plans.templates import render_search_template
+
+    if not isinstance(entries, list) or not entries:
+        raise ValueError("_msearch/template needs a non-empty list of "
+                         "(source, params) pairs")
+    rendered = [render_search_template(src, params)
+                for src, params in entries]
+    return es_msearch(df, rendered, tiebreak=tiebreak, **compile_opts)
+
+
 def es_field_caps(df: DataFrame) -> DataFrame:
     """ES ``_field_caps``: per-field capability metadata. Here the index
     schema IS the DataFrame schema, so capabilities derive from the Spark

@@ -38,7 +38,7 @@ from tweets_elastic_spark.plans.search import (
     from_es_json,
 )
 
-__all__ = ["has_child", "has_parent", "parent_id"]
+__all__ = ["has_child", "has_parent", "parent_id", "children_agg"]
 
 _SCORE_MODES = {
     "none": None, "sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg,
@@ -138,3 +138,33 @@ def parent_id(
     """ES ``parent_id`` query: the children of one parent — a key
     point-lookup that rides the scan (parquet pushdown)."""
     return children.filter(F.col(child_key) == F.lit(parent))
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    group_by: str,
+    aggs: dict,
+) -> DataFrame:
+    """ES ``children`` aggregation: bucket PARENTS by one of their fields,
+    evaluate metric sub-aggs over each bucket's CHILDREN. In the join-field
+    index ES hops parent→child per shard; relationally it is one projection
+    join — the parent's (key, bucket attribute) pair joins onto the
+    children (broadcast when the parent projection is dimension-sized) and
+    one groupBy evaluates every metric. ``aggs`` uses the ordinary metric
+    DSL ({name: {kind: {field: ...}}}); doc_count counts CHILDREN, ES's
+    contract for the children agg."""
+    from tweets_elastic_spark.plans.aggs import _metric_cols
+
+    keyed_parents = parents.select(
+        F.col(parent_key).alias("__pk"), F.col(group_by)
+    ).filter(F.col(group_by).isNotNull())
+    joined = children.join(
+        keyed_parents, children[child_key] == F.col("__pk"), "inner"
+    )
+    return joined.groupBy(group_by).agg(
+        F.count(F.lit(1)).alias("doc_count"), *_metric_cols(aggs)
+    )

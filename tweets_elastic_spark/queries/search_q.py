@@ -4905,3 +4905,38 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "level", "code", "host",
         F.round("boosted", 6).alias("boosted"), "tag",
     )
+
+
+@register(
+    "es_aggs_children",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(l.l_extendedprice), 6) AS revenue,
+           round(avg(l.l_quantity), 6) AS avg_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="ES children agg (r8 s4, plans/joinfield.py): parents bucketed "
+        "by a parent field, metrics over each bucket's CHILDREN "
+        "(doc_count counts children, ES's contract). One projection "
+        "join — the parent's (key, bucket) pair onto the children, "
+        "broadcast at dimension size — and one groupBy for every "
+        "metric.",
+)
+def q_es_aggs_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.joinfield import children_agg
+
+    return children_agg(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        parent_key="o_orderkey", child_key="l_orderkey",
+        group_by="o_orderpriority",
+        aggs={"revenue": {"sum": {"field": "l_extendedprice"}},
+              "avg_qty": {"avg": {"field": "l_quantity"}}},
+    ).select(
+        "o_orderpriority", "doc_count",
+        F.round("revenue", 6).alias("revenue"),
+        F.round("avg_qty", 6).alias("avg_qty"),
+    )

@@ -212,6 +212,7 @@ HEADLINE = [
     "update_by_query",
     "ingest_pipeline",
     "rollup_search_month",
+    "es_aggs_children",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -143,6 +143,40 @@ def dedup_near_survivors(
     return docs.join(dropped, id_col, "left_anti")
 
 
+def dedup_near_best_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware keeper policy: per near-dup cluster keep the member
+    with the HIGHEST ``quality_col`` (ties break to the min id), drop the
+    rest — the curation refinement real pipelines ship (keep the longest /
+    best-scored variant of a duplicated page rather than an arbitrary
+    min-id). Same connected components as ``dedup_near_survivors``; the
+    keeper pick is one window rank over the cluster-membership relation
+    (cluster-sized, never corpus-sized — only docs that appear in a pair
+    enter the window). Untouched docs pass through."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, id_a, id_b)
+    members = comp.join(
+        docs.select(F.col(id_col).alias("id"), F.col(quality_col)),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col("id").asc()
+    )
+    dropped = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(dropped, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Word-shingle machinery shared by Jaccard / MinHash
 # ---------------------------------------------------------------------------

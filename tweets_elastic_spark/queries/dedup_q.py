@@ -1006,3 +1006,65 @@ def q_dedup_increment_survivors(
     inc = copies.unionByName(fresh).unionByName(doubled)
     fps = docs.select(fingerprint_md5(F.col("text")).alias("fp")).distinct()
     return dedup_increment_exact(inc, fps).select("doc_id", "lang")
+
+
+@register(
+    "dedup_near_best_survivors",
+    oracle=_J_REACH_CTES + """,
+    comp AS (SELECT a AS doc_id, min(b) AS cid FROM reach GROUP BY a),
+    ranked AS (
+        SELECT d.doc_id,
+               row_number() OVER (PARTITION BY c.cid
+                                  ORDER BY d.n_chars DESC, d.doc_id ASC)
+                   AS rn
+        FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """,
+    doc="Quality-aware near-dup keeper (r8 s4): per cluster keep the "
+        "LONGEST member (n_chars, ties to min id) instead of the "
+        "arbitrary min-id — the curation refinement real pipelines ship. "
+        "Same connected components; the keeper pick is one window rank "
+        "over the cluster-membership relation (cluster-sized, never "
+        "corpus-sized). The oracle replays the rank over the recursive "
+        "reachability CTE's components.",
+)
+def q_dedup_near_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.5,
+                            max_df=max(5, n_docs // 100))
+    return D.dedup_near_best_survivors(docs, pairs, "n_chars").select("doc_id")
+
+
+@register(
+    "ann_cosine_topk_mrl",
+    oracle="""
+    SELECT vec_id,
+           round(list_cosine_similarity(
+               (embedding[1:16])::DOUBLE[],
+               (SELECT embedding[1:16] FROM embeddings
+                WHERE vec_id = 0)::DOUBLE[]), 6) AS score
+    FROM embeddings
+    ORDER BY list_cosine_similarity(
+        (embedding[1:16])::DOUBLE[],
+        (SELECT embedding[1:16] FROM embeddings
+         WHERE vec_id = 0)::DOUBLE[]) DESC,
+        vec_id ASC
+    LIMIT 10
+    """,
+    doc="Matryoshka-truncated retrieval (r8 s4): cosine top-k over the "
+        "FIRST 16 dimensions only — the MRL cheap first stage (1/d of "
+        "the dot-product work and bytes; cosine renormalizes the "
+        "truncation implicitly). Same TakeOrderedAndProject scan shape "
+        "as the exact baseline; production reranks the shortlist with "
+        "full vectors, exactly the IVF/PQ rerank seam.",
+)
+def q_ann_cosine_topk_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb16 = emb.select("vec_id",
+                       F.slice("embedding", 1, 16).alias("embedding"))
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").head()["embedding"][:16]]
+    return S.cosine_topk(emb16, qvec, k=10)

@@ -1068,3 +1068,61 @@ def q_ann_cosine_topk_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in
             emb.filter("vec_id = 0").head()["embedding"][:16]]
     return S.cosine_topk(emb16, qvec, k=10)
+
+
+@register(
+    "ann_mrl_rerank_topk",
+    oracle="""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS full_v,
+               (embedding[1:16])::DOUBLE[] AS trunc_v
+        FROM embeddings WHERE vec_id = 0
+    ),
+    shortlist AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e, q
+        ORDER BY list_cosine_similarity((e.embedding[1:16])::DOUBLE[],
+                                        q.trunc_v) DESC,
+                 e.vec_id ASC
+        LIMIT 40
+    )
+    SELECT s.vec_id,
+           round(list_cosine_similarity(s.embedding::DOUBLE[], q.full_v),
+                 6) AS score
+    FROM shortlist s, q
+    ORDER BY list_cosine_similarity(s.embedding::DOUBLE[], q.full_v) DESC,
+             s.vec_id ASC
+    LIMIT 10
+    """,
+    doc="The MRL retrieval funnel (r8 s4): a 16-dim truncated first "
+        "stage shortlists 4k candidates (TakeOrdered over 1/d-cost "
+        "scores), then the FULL vectors rerank the shortlist to top-k — "
+        "the two-stage shape every production vector store runs (same "
+        "seam as IVF/PQ rerank; shortlist size is the recall knob). The "
+        "rerank touches 40 vectors, not the corpus.",
+)
+def q_ann_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.operators.similarity import cosine, lit_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter("vec_id = 0").head()["embedding"]
+    q_full = [float(x) for x in qrow]
+    q_trunc = q_full[:16]
+    shortlist = (
+        emb.select(
+            "vec_id", "embedding",
+            cosine(F.slice("embedding", 1, 16),
+                   lit_vector(q_trunc)).alias("__s1"),
+        )
+        .orderBy(F.col("__s1").desc(), F.col("vec_id").asc())
+        .limit(40)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            cosine(F.col("embedding"), lit_vector(q_full)).alias("__s2"),
+        )
+        .orderBy(F.col("__s2").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__s2", 6).alias("score"))
+    )

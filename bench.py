@@ -213,6 +213,9 @@ HEADLINE = [
     "ingest_pipeline",
     "rollup_search_month",
     "es_aggs_children",
+    "dedup_near_best_survivors",
+    "ann_cosine_topk_mrl",
+    "ann_mrl_rerank_topk",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

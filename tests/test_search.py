@@ -2513,3 +2513,15 @@ def test_msearch_template(spark, sf_dir):
     assert [r["doc_id"] for r in ra] == [r["doc_id"] for r in a2.collect()]
     with pytest.raises(ValueError, match="non-empty"):
         es_msearch_template(docs, [])
+
+
+def test_validate_query():
+    from tweets_elastic_spark.plans.api import es_validate_query
+
+    ok, expl = es_validate_query({"term": {"lang": "en"}})
+    assert ok and "Term" in expl
+    ok, expl = es_validate_query({"no_such_query": {}})
+    assert not ok and "no_such_query" in expl
+    ok, expl = es_validate_query(
+        {"combined_fields": {"query": "x", "fields": ["a"]}})
+    assert not ok and "combined_stats_for" in expl

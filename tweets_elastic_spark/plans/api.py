@@ -75,6 +75,21 @@ def es_msearch_template(
     return es_msearch(df, rendered, tiebreak=tiebreak, **compile_opts)
 
 
+def es_validate_query(query_dsl: dict, **compile_opts) -> tuple[bool, str]:
+    """ES ``_validate/query``: compile-only check. Returns (valid,
+    explanation) — the explanation is the compiled Query tree's repr on
+    success (ES's rewritten-query explanation analogue) or the compile
+    error. Nothing executes; compilation IS the validation in a
+    plan-compiled engine."""
+    from tweets_elastic_spark.plans.search import from_es_json
+
+    try:
+        tree = from_es_json(query_dsl, **compile_opts)
+    except (ValueError, KeyError, TypeError) as e:
+        return False, str(e)
+    return True, repr(tree)
+
+
 def es_field_caps(df: DataFrame) -> DataFrame:
     """ES ``_field_caps``: per-field capability metadata. Here the index
     schema IS the DataFrame schema, so capabilities derive from the Spark

@@ -265,6 +265,7 @@ SF1_HEADLINE = [
     "simhash_near_dups", "embedding_near_dups", "span_dedup_rebuild",
     "es_aggs_matrix_stats", "eql_sequence_funnel", "es_aggs_ip_range",
     "es_aggs_frequent_item_sets", "es_aggs_cumulative_cardinality",
+    "rollup_search_month", "ingest_pipeline", "eql_event_pipes",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -2277,7 +2277,9 @@ def test_span_queries_translate_to_intervals(spark):
         from_es_json({"query": {"span_near": {"clauses": [
             {"span_term": {"text": "a"}}, {"span_term": {"lang": "b"}},
         ], "slop": 1}}}, analyzers=an)
-    with pytest.raises(ValueError, match="intervals query"):
+    # span_first is supported since r8 s4 but still requires the
+    # positional bindings (analyzer + token column)
+    with pytest.raises(ValueError, match="token-column bindings"):
         from_es_json({"query": {"span_first": {
             "match": {"span_term": {"text": "a"}}, "end": 3}}},
             analyzers=an)

@@ -266,6 +266,8 @@ SF1_HEADLINE = [
     "es_aggs_matrix_stats", "eql_sequence_funnel", "es_aggs_ip_range",
     "es_aggs_frequent_item_sets", "es_aggs_cumulative_cardinality",
     "rollup_search_month", "ingest_pipeline", "eql_event_pipes",
+    "search_has_child", "es_aggs_children", "essql_group_query",
+    "es_aggs_frequent_item_sets",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -296,7 +298,7 @@ def ensure_sf1(spark) -> str:
     """
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SF1_DIR, "_READY_v3")  # v3: + events table
+    marker = os.path.join(SF1_DIR, "_READY_v4")  # v3: + events; v4: + orders
     if os.path.exists(marker):
         return SF1_DIR
     src = "/root/testdata/sf0.1"
@@ -348,6 +350,20 @@ def ensure_sf1(spark) -> str:
         out = out.unionByName(p)
     (out.repartition(32).write.mode("overwrite")
         .parquet(os.path.join(SF1_DIR, "lineitem.parquet")))
+
+    # orders: id-shifted copies in LOCKSTEP with lineitem (same lspan so
+    # the parent/child key relation is preserved copy-by-copy — a child's
+    # shifted l_orderkey finds its shifted parent and only that parent)
+    od = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    parts = [
+        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * lspan))
+        for i in range(10)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (out.repartition(32).write.mode("overwrite")
+        .parquet(os.path.join(SF1_DIR, "orders.parquet")))
 
     # events: copies with user_id AND event_id shifted per copy — keys
     # stay disjoint, so per-key event density (what bounds EQL sequence

@@ -216,6 +216,7 @@ HEADLINE = [
     "dedup_near_best_survivors",
     "ann_cosine_topk_mrl",
     "ann_mrl_rerank_topk",
+    "ml_anomaly_score",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

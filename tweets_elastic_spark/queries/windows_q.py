@@ -657,3 +657,66 @@ def q_rollup_search_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms=["event_type"],
         metrics={"value": ["sum", "avg", "min", "max", "value_count"]},
     )
+
+
+@register(
+    "ml_anomaly_score",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, event_type, value,
+               CAST(strftime(ts, '%H') AS BIGINT) AS hod
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    stats AS (
+        SELECT event_type, hod,
+               median(value) AS med
+        FROM b GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT b.event_type, b.hod, b.event_id, b.value, s.med,
+               abs(b.value - s.med) AS ad
+        FROM b JOIN stats s USING (event_type, hod)
+    ),
+    mads AS (
+        SELECT event_type, hod, median(ad) AS mad
+        FROM dev GROUP BY 1, 2
+    )
+    SELECT d.event_id,
+           round(abs(d.value - d.med) / (m.mad * 1.4826 + 1e-9), 6)
+               AS anomaly_score
+    FROM dev d JOIN mads m USING (event_type, hod)
+    WHERE abs(d.value - d.med) / (m.mad * 1.4826 + 1e-9) > 3.0
+    """,
+    doc="ES anomaly-detection analogue (r8 s4): the deterministic core "
+        "of a seasonal single-metric job — per (event_type, hour-of-day) "
+        "bucket compute the median and the MAD, score each event as the "
+        "robust z-score |x - med| / (1.4826*MAD + eps), flag > 3. ES's "
+        "anomaly severity is a learned monotone transform of this "
+        "quantity; the deterministic robust z keeps the result "
+        "hash-oracle-checkable. Two exact-median aggregations (the "
+        "documented exactness trade) + two co-keyed broadcast-or-hash "
+        "joins; per-bucket state is bucket-sized.",
+)
+def q_ml_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .withColumn("hod", F.hour("ts").cast("bigint"))
+    )
+    stats = events.groupBy("event_type", "hod").agg(
+        F.percentile(F.col("value"), 0.5).alias("med")
+    )
+    dev = events.join(stats, ["event_type", "hod"]).withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mads = dev.groupBy("event_type", "hod").agg(
+        F.percentile(F.col("ad"), 0.5).alias("mad")
+    )
+    scored = dev.join(mads, ["event_type", "hod"]).withColumn(
+        "__score",
+        F.abs(F.col("value") - F.col("med"))
+        / (F.col("mad") * F.lit(1.4826) + F.lit(1e-9)),
+    )
+    return scored.filter(F.col("__score") > 3.0).select(
+        "event_id", F.round("__score", 6).alias("anomaly_score")
+    )

@@ -324,3 +324,27 @@ def test_watermarked_streaming_eql_reorders_late_events(spark, tmp_path):
     got = sorted(tuple(r) for r in
                  spark.read.parquet(str(tmp_path / "wm_out")).collect())
     assert got == [(7, t(1).timestamp(), t(3).timestamp(), 1, 2, 3)]
+
+
+def test_runs_qualifier(spark):
+    # [a] with runs=2 [b] == [a][a][b]
+    q = """sequence by user_id with maxspan=100s
+      [ a where true ] with runs=2 [ b where true ]"""
+    pq = parse_eql(q)
+    assert [s.category for s in pq.stages] == ["a", "a", "b"]
+    rows = [
+        (1, 0.0, 7, "a", 0.0), (2, 5.0, 7, "a", 0.0), (3, 9.0, 7, "b", 0.0),
+        (4, 0.0, 8, "a", 0.0), (5, 5.0, 8, "b", 0.0),  # only one a: no match
+    ]
+    got = sorted((r["user_id"], r["id1"], r["id2"], r["id3"])
+                 for r in eql_search(_df(spark, rows), q).collect())
+    assert got == [(7, 1, 2, 3)]
+    # runs before any stage is caught by the head parser (join-key guard)
+    with pytest.raises(ValueError, match="join-key"):
+        parse_eql("sequence by u with runs=2 [a where true] [b where true]")
+    # runs after until is caught by the placement guard
+    with pytest.raises(ValueError, match="directly follow"):
+        parse_eql("sequence by u [a where true] [b where true] "
+                  "until [x where true] with runs=2")
+    with pytest.raises(ValueError, match=r"runs must be in"):
+        parse_eql("sequence by u [a where true] with runs=99 [b where true]")

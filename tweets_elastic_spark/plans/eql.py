@@ -206,21 +206,41 @@ def parse_eql(query: str) -> EqlQuery:
     in_until = False
     pos = 0
     body_src = "[" + rest
-    for tok in re.finditer(r"\[\s*(\S+)\s+where\s+([^\]]*)\]|(\S+)",
-                           body_src):
+    pending_runs_ok = False
+    for tok in re.finditer(
+        r"\[\s*(\S+)\s+where\s+([^\]]*)\]"
+        r"|with\s+runs\s*=\s*(\d+)|(\S+)",
+        body_src, flags=re.IGNORECASE,
+    ):
         if tok.start() < pos:
             continue
         pos = tok.end()
         if tok.group(3) is not None:
-            if tok.group(3).lower() == "until":
+            # EQL `[stage] with runs=N`: the stage repeated N times —
+            # pure expansion sugar (the automaton/oracle see N stages)
+            if not pending_runs_ok or in_until:
+                raise ValueError(
+                    "`with runs=N` must directly follow a sequence stage"
+                )
+            n = int(tok.group(3))
+            if not 1 <= n <= 10:
+                raise ValueError(f"runs must be in [1, 10], got {n}")
+            stages.extend(StageFilter(stages[-1].category,
+                                      list(stages[-1].conditions))
+                          for _ in range(n - 1))
+            pending_runs_ok = False
+            continue
+        if tok.group(4) is not None:
+            if tok.group(4).lower() == "until":
                 if in_until:
                     raise ValueError(
                         "EQL sequence takes at most one until"
                     )
                 in_until = True
+                pending_runs_ok = False
                 continue
             raise ValueError(
-                f"malformed EQL sequence near {tok.group(3)!r}"
+                f"malformed EQL sequence near {tok.group(4)!r}"
             )
         sf = StageFilter(tok.group(1),
                          _parse_condition(tok.group(2).strip()))
@@ -228,8 +248,10 @@ def parse_eql(query: str) -> EqlQuery:
             if until is not None:
                 raise ValueError("EQL sequence takes at most one until")
             until = sf
+            pending_runs_ok = False
         else:
             stages.append(sf)
+            pending_runs_ok = True
     if in_until and until is None:
         raise ValueError("EQL until needs a [ ... ] stage")
     if len(stages) < 2:

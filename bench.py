@@ -268,7 +268,6 @@ SF1_HEADLINE = [
     "es_aggs_frequent_item_sets", "es_aggs_cumulative_cardinality",
     "rollup_search_month", "ingest_pipeline", "eql_event_pipes",
     "search_has_child", "es_aggs_children", "essql_group_query",
-    "es_aggs_frequent_item_sets",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -44,6 +44,31 @@ def test_parse_rejects_unsupported():
     assert q.stages[1].category == "any"
 
 
+def test_parse_count_must_be_final_pipe():
+    # `count` collapses to one aggregate row; trailing pipes would be
+    # silently dropped — parse must refuse (raise-loudly policy)
+    with pytest.raises(ValueError, match="final pipe"):
+        parse_eql("error where true | count | head 5")
+    # count as the last pipe stays legal
+    q = parse_eql("error where true | head 5 | count")
+    assert q.pipes == [("head", 5), ("count",)]
+
+
+def test_parse_operators_inside_string_literals():
+    # operator / keyword characters inside a quoted literal must not
+    # mis-split the comparison around them
+    q = parse_eql("a where path > 'a==b'")
+    (c,) = q.stages[0].conditions
+    assert (c.field, c.op, c.value) == ("path", ">", "a==b")
+    q = parse_eql("a where msg == 'x and y' and v >= 2")
+    c0, c1 = q.stages[0].conditions
+    assert (c0.field, c0.op, c0.value) == ("msg", "==", "x and y")
+    assert (c1.field, c1.op, c1.value) == ("v", ">=", 2)
+    q = parse_eql('a where note == "see (docs) or else"')
+    (c,) = q.stages[0].conditions
+    assert c.value == "see (docs) or else"
+
+
 def test_basic_match_and_order(spark):
     rows = [
         (1, 10.0, 7, "a", 0.0), (2, 20.0, 7, "b", 0.0), (3, 30.0, 7, "c", 0.0),
@@ -216,6 +241,42 @@ def test_streaming_eql_matches_batch(spark, tmp_path):
     # the 40-days-later drop re-runs the funnel from the persisted state:
     # at least one new completed sequence per prior match cohort
     assert n2 > len(got)
+
+
+def test_streaming_state_evicts_idle_keys(spark, tmp_path):
+    """Keys with no pending prefix must hold NO state-store row: a key
+    whose sequence completed, and a key that only ever saw non-initial
+    stages, are evicted; only a genuinely pending prefix keeps a row.
+    Without eviction the store grows with every distinct key ever seen."""
+    from tweets_elastic_spark.streaming.eql import streaming_eql_sequence
+
+    schema = ("event_id long, ts double, user_id long, event_type string, "
+              "value double")
+    rows = [
+        # key 1: full a->b->c run (completes; slots cleared)
+        (1, 0.0, 1, "a", 0.0), (2, 1.0, 1, "b", 0.0), (3, 2.0, 1, "c", 0.0),
+        # key 2: stage-2/3 events only (never starts a prefix)
+        (4, 0.0, 2, "b", 0.0), (5, 1.0, 2, "c", 0.0),
+        # key 3: dangling stage-1 (the one legitimate state row)
+        (6, 0.0, 3, "a", 0.0),
+    ]
+    src = str(tmp_path / "ev_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_eql_sequence(stream, SEQ)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet").option("path", str(tmp_path / "out")).start()
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progress, "no stateful progress recorded"
+    assert progress[-1]["stateOperators"][0]["numRowsTotal"] == 1
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == [(1, 0.0, 2.0, 1, 2, 3)]
 
 
 def test_composite_by_keys(spark):

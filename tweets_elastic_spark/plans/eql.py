@@ -110,13 +110,38 @@ def _parse_literal(tok: str):
         raise ValueError(f"unsupported EQL literal {tok!r}") from None
 
 
+def _quote_mask(text: str) -> str:
+    """Copy of ``text`` with every quoted-region character replaced by
+    ``\\x00`` (quotes included) — searching the mask finds operators /
+    keywords only OUTSIDE string literals, while indexes still line up
+    with the original text."""
+    out = []
+    in_q: str | None = None
+    for c in text:
+        if in_q:
+            out.append("\x00")
+            if c == in_q:
+                in_q = None
+        elif c in ("'", '"'):
+            in_q = c
+            out.append("\x00")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def _parse_condition(text: str) -> list[Comparison]:
     """``true`` or ``cmp (and cmp)*`` — the conjunctive subset. ``or`` /
-    parentheses / functions raise loudly rather than silently narrowing."""
+    parentheses / functions raise loudly rather than silently narrowing.
+
+    Operator and ``and`` detection run on a quote-masked copy of the text,
+    so a string literal containing ``==`` / `` and `` / ``(`` does not
+    mis-split the comparison around it."""
     text = text.strip()
     if text == "true":
         return []
-    lowered = f" {text.lower()} "
+    mask = _quote_mask(text)
+    lowered = f" {mask.lower()} "
     for bad in (" or ", "(", ")"):
         if bad in lowered:
             raise ValueError(
@@ -124,17 +149,28 @@ def _parse_condition(text: str) -> list[Comparison]:
                 "AND-joined field-vs-literal comparisons are supported"
             )
     out = []
-    for part in re.split(r"\s+and\s+", text, flags=re.IGNORECASE):
-        for op in _CMP_OPS:  # two-char ops first
-            if op in part:
-                lhs, rhs = part.split(op, 1)
-                lhs, rhs = lhs.strip(), rhs.strip()
-                if not _IDENT_RE.match(lhs):
-                    raise ValueError(f"bad EQL field name {lhs!r}")
-                out.append(Comparison(lhs, op, _parse_literal(rhs)))
-                break
-        else:
+    # split on `and` occurrences found in the mask, slice the original
+    starts, prev = [], 0
+    for m in re.finditer(r"\s+and\s+", mask, flags=re.IGNORECASE):
+        starts.append((prev, m.start()))
+        prev = m.end()
+    starts.append((prev, len(text)))
+    for lo, hi in starts:
+        part, pmask = text[lo:hi], mask[lo:hi]
+        # leftmost operator occurrence outside quotes; two-char ops win
+        # at equal position (== before =, >= before >)
+        best = None
+        for op in _CMP_OPS:
+            i = pmask.find(op)
+            if i != -1 and (best is None or i < best[0]):
+                best = (i, op)
+        if best is None:
             raise ValueError(f"unsupported EQL comparison {part!r}")
+        i, op = best
+        lhs, rhs = part[:i].strip(), part[i + len(op):].strip()
+        if not _IDENT_RE.match(lhs):
+            raise ValueError(f"bad EQL field name {lhs!r}")
+        out.append(Comparison(lhs, op, _parse_literal(rhs)))
     return out
 
 
@@ -172,6 +208,13 @@ def parse_eql(query: str) -> EqlQuery:
                 raise ValueError(
                     f"unsupported EQL pipe {name!r} "
                     "(head/tail/count/unique)"
+                )
+        for i, p in enumerate(pipes):
+            if p[0] == "count" and i != len(pipes) - 1:
+                raise ValueError(
+                    "EQL `count` must be the final pipe: its output is a "
+                    "single aggregate row, so pipes after it would be "
+                    "silently dropped"
                 )
         return EqlQuery(
             "event",

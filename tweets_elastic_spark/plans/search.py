@@ -3033,8 +3033,8 @@ def from_es_json(
             #     in_order=false -> match(joined terms, max_gaps=slop)
             # Only span_term leaves (and span_or OF span_terms under
             # span_near via any_of at the top) are expressible this way;
-            # span_first/span_not/span_containing/field_masking_span
-            # raise with a pointer to intervals.
+            # span_not/span_containing/field_masking_span raise with a
+            # pointer to intervals (span_first IS supported, below).
             def span_leaf(node: dict) -> tuple[str, str]:
                 (nk, nb), = node.items()
                 if nk != "span_term":
@@ -3092,7 +3092,7 @@ def from_es_json(
                         "max_gaps": slop, "ordered": False,
                     }}
             return compile_node({"intervals": {field: rule}}, scope)
-        if kind in ("span_first", "span_not", "span_containing",
+        if kind in ("span_not", "span_containing",
                     "span_within", "field_masking_span", "span_multi"):
             raise ValueError(
                 f"{kind} is not supported — use the intervals query "

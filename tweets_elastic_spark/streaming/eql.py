@@ -127,7 +127,15 @@ def streaming_eql_sequence(
                     fts, ids = slots[ext - 1]
                     slots[ext] = [fts, ids + [eid]]
                     slots[ext - 1] = None
-        state.update((json.dumps(slots),))
+        if all(s is None for s in slots):
+            # no pending prefix: evict rather than store a tombstone, so
+            # the state store does not grow with the number of distinct
+            # keys ever seen (the slots rebuild from scratch on the key's
+            # next stage-1 event — exactly the fresh-key path)
+            if state.exists:
+                state.remove()
+        else:
+            state.update((json.dumps(slots),))
         cols = by_fields + ["first_ts", "last_ts"] + [
             f"id{i + 1}" for i in range(L)
         ]
@@ -255,7 +263,13 @@ def streaming_eql_sequence_watermarked(
                 fts, ids = slots[ext - 1]
                 slots[ext] = [fts, ids + [eid]]
                 slots[ext - 1] = None
-        state.update((json.dumps([slots, buffered]),))
+        if all(s is None for s in slots) and not buffered:
+            # idle key (no pending prefix, nothing awaiting the
+            # watermark): evict its state row entirely
+            if state.exists:
+                state.remove()
+        else:
+            state.update((json.dumps([slots, buffered]),))
         if buffered:
             # wake this key when the watermark passes its earliest
             # buffered event — without this, buffered events would only

@@ -326,7 +326,14 @@ def ensure_sf1(spark) -> str:
     li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
     pt = spark.read.parquet(os.path.join(src, "part.parquet"))
     cu = spark.read.parquet(os.path.join(src, "customer.parquet"))
-    lspan = li.agg(F.max("l_orderkey")).head()[0] + 1
+    od_keys = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    # span over BOTH key domains: an order with no lineitems (legal, even
+    # if TPC-H never generates one) must not make shifted o_orderkey
+    # copies collide and silently break the lockstep-star invariant
+    lspan = max(
+        li.agg(F.max("l_orderkey")).head()[0],
+        od_keys.agg(F.max("o_orderkey")).head()[0],
+    ) + 1
     pspan = pt.agg(F.max("p_partkey")).head()[0] + 1
     cspan = cu.agg(F.max("c_custkey")).head()[0] + 1
     parts = [

@@ -69,6 +69,57 @@ def test_parse_operators_inside_string_literals():
     assert c.value == "see (docs) or else"
 
 
+def test_parse_pipe_char_inside_string_literal():
+    # `|` inside a quoted literal is not a pipe boundary
+    q = parse_eql("error where msg == 'a|b'")
+    (c,) = q.stages[0].conditions
+    assert (c.field, c.op, c.value) == ("msg", "==", "a|b")
+    assert q.pipes == []
+    # and a real pipe after a literal containing `|` still parses
+    q = parse_eql("error where msg == 'a|b' | head 3")
+    assert q.pipes == [("head", 3)]
+    assert q.stages[0].conditions[0].value == "a|b"
+
+
+def test_parse_whitespace_preserved_inside_string_literal():
+    # whitespace normalization must not rewrite the compared value
+    q = parse_eql("a  where  msg == 'two  spaces'")
+    (c,) = q.stages[0].conditions
+    assert c.value == "two  spaces"
+    q = parse_eql("a where msg == 'x   and   y'")
+    (c,) = q.stages[0].conditions
+    assert c.value == "x   and   y"
+    q = parse_eql("a where msg == '\ttab  run'")
+    (c,) = q.stages[0].conditions
+    assert c.value == "\ttab  run"
+
+
+def test_parse_brackets_inside_sequence_stage_literal():
+    # `]` / `[` inside a quoted literal must not truncate or split a stage
+    q = parse_eql(
+        "sequence by u [a where msg == 'x]y'] [b where tag == '[hi]']"
+    )
+    assert q.stages[0].conditions[0].value == "x]y"
+    assert q.stages[1].conditions[0].value == "[hi]"
+
+
+def test_parse_backslash_escape_rejected_loudly():
+    import pytest
+    with pytest.raises(ValueError, match="escapes"):
+        parse_eql("a where msg == 'it\\'s'")
+    with pytest.raises(ValueError, match="escapes"):
+        parse_eql('a where msg == "a\\"b"')
+    # other-quote-style embedding works
+    q = parse_eql("a where msg == \"it's\"")
+    assert q.stages[0].conditions[0].value == "it's"
+
+
+def test_parse_unterminated_literal_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_eql("a where msg == 'oops")
+
+
 def test_basic_match_and_order(spark):
     rows = [
         (1, 10.0, 7, "a", 0.0), (2, 20.0, 7, "b", 0.0), (3, 30.0, 7, "c", 0.0),
@@ -385,6 +436,55 @@ def test_watermarked_streaming_eql_reorders_late_events(spark, tmp_path):
     got = sorted(tuple(r) for r in
                  spark.read.parquet(str(tmp_path / "wm_out")).collect())
     assert got == [(7, t(1).timestamp(), t(3).timestamp(), 1, 2, 3)]
+
+
+def test_watermarked_streaming_evicts_expired_prefixes(spark, tmp_path):
+    """A key holding a dangling prefix whose maxspan has expired relative
+    to the watermark must NOT keep a state row forever: the prefix can
+    never be extended (future-consumed events all sit above the
+    watermark), so it is pruned and the key evicted via its registered
+    event-time timeout — without this, state grows with every key that
+    ever starts-but-never-finishes a sequence."""
+    import datetime as dt
+    import os
+
+    from tweets_elastic_spark.streaming.eql import (
+        streaming_eql_sequence_watermarked,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    far = dt.datetime(2024, 1, 2)  # watermark pusher, ~24h later
+    # user 7 starts a sequence (stage-1 'a') and never finishes; the
+    # pusher (user 99, its own key) drives the watermark far past
+    # t(1) + maxspan(1h), so 7's prefix is provably dead
+    rows = [(1, t(1), 7, "a", 0.0), (99, far, 99, "a", 0.0)]
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(tmp_path / "stage"))
+    for f in os.listdir(str(tmp_path / "stage")):
+        if f.endswith(".parquet"):
+            os.replace(os.path.join(str(tmp_path / "stage"), f),
+                       os.path.join(src, "part-0.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = """sequence by user_id with maxspan=1h
+      [ a where true ] [ b where true ]"""
+    out = (
+        streaming_eql_sequence_watermarked(stream, q, delay="1 minute")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet").option("path", str(tmp_path / "out")).start()
+    )
+    out.awaitTermination(180)
+    progress = [p for p in out.recentProgress if p["stateOperators"]]
+    assert progress, "no stateful progress recorded"
+    # only the pusher's own (un-expired, still-buffered) key keeps a row;
+    # user 7's expired prefix is evicted
+    assert progress[-1]["stateOperators"][0]["numRowsTotal"] == 1
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 0
 
 
 def test_runs_qualifier(spark):

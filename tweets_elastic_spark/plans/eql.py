@@ -114,11 +114,22 @@ def _quote_mask(text: str) -> str:
     """Copy of ``text`` with every quoted-region character replaced by
     ``\\x00`` (quotes included) — searching the mask finds operators /
     keywords only OUTSIDE string literals, while indexes still line up
-    with the original text."""
+    with the original text.
+
+    Backslash escapes inside literals are rejected loudly: silently
+    treating ``\\'`` as a terminator would end the masked region early and
+    re-scan literal text as syntax (the silent-wrong-parse class this
+    module bans)."""
     out = []
     in_q: str | None = None
     for c in text:
         if in_q:
+            if c == "\\":
+                raise ValueError(
+                    "backslash escapes in EQL string literals are "
+                    "unsupported (use the other quote style to embed "
+                    "quotes)"
+                )
             out.append("\x00")
             if c == in_q:
                 in_q = None
@@ -127,7 +138,41 @@ def _quote_mask(text: str) -> str:
             out.append("\x00")
         else:
             out.append(c)
+    if in_q:
+        raise ValueError("unterminated string literal in EQL query")
     return "".join(out)
+
+
+def _normalize_ws(text: str) -> str:
+    """Collapse whitespace runs to single spaces and strip the ends —
+    but only OUTSIDE string literals. ``msg == 'two  spaces'`` keeps its
+    double space; a bare ``" ".join(text.split())`` would silently
+    rewrite the compared value."""
+    mask = _quote_mask(text)
+    out: list[str] = []
+    pending_space = False
+    for ch, mc in zip(text, mask):
+        if mc != "\x00" and ch.isspace():
+            pending_space = True
+            continue
+        if pending_space and out:
+            out.append(" ")
+        pending_space = False
+        out.append(ch)
+    return "".join(out)
+
+
+def _split_unquoted(text: str, sep: str) -> list[str]:
+    """Split ``text`` on every occurrence of single-char ``sep`` found
+    OUTSIDE string literals (positions located on the quote mask)."""
+    mask = _quote_mask(text)
+    parts, prev = [], 0
+    for i, c in enumerate(mask):
+        if c == sep:
+            parts.append(text[prev:i])
+            prev = i + 1
+    parts.append(text[prev:])
+    return parts
 
 
 def _parse_condition(text: str) -> list[Comparison]:
@@ -176,12 +221,14 @@ def _parse_condition(text: str) -> list[Comparison]:
 
 def parse_eql(query: str) -> EqlQuery:
     """Parse the supported EQL subset into an :class:`EqlQuery`."""
-    q = " ".join(query.split())  # normalize whitespace
+    q = _normalize_ws(query)  # quote-aware: literals kept byte-for-byte
     if not q:
         raise ValueError("empty EQL query")
     if not q.lower().startswith("sequence"):
-        # simple event query: `<category> where <cond> [| pipe ...]`
-        main, *pipe_srcs = q.split("|")
+        # simple event query: `<category> where <cond> [| pipe ...]`;
+        # pipe boundaries located on the quote mask so `msg == 'a|b'`
+        # keeps its literal intact
+        main, *pipe_srcs = _split_unquoted(q, "|")
         m = re.match(r"^(\S+)\s+where\s+(.*)$", main.strip(),
                      flags=re.IGNORECASE)
         if not m:
@@ -221,14 +268,16 @@ def parse_eql(query: str) -> EqlQuery:
             [StageFilter(m.group(1), _parse_condition(m.group(2)))],
             pipes=pipes,
         )
-    if "|" in q:
+    q_mask = _quote_mask(q)
+    if "|" in q_mask:
         raise ValueError(
             "EQL pipes are supported on event queries only (a sequence's "
             "result is already one row per match)"
         )
-    head, _, rest = q.partition("[")
-    if not rest:
+    bracket_at = q_mask.find("[")
+    if bracket_at == -1:
         raise ValueError("EQL sequence needs at least one [ ... ] stage")
+    head, rest = q[:bracket_at], q[bracket_at + 1:]
     m = re.match(
         r"^sequence\s+by\s+(.+?)(?:\s+with\s+maxspan\s*=\s*(\S+))?\s*$",
         head, flags=re.IGNORECASE,
@@ -249,11 +298,14 @@ def parse_eql(query: str) -> EqlQuery:
     in_until = False
     pos = 0
     body_src = "[" + rest
+    # tokenize on the quote mask (indexes line up with body_src) so `]`
+    # or `[` inside a string literal can't truncate / split a stage
+    body_mask = _quote_mask(body_src)
     pending_runs_ok = False
     for tok in re.finditer(
         r"\[\s*(\S+)\s+where\s+([^\]]*)\]"
         r"|with\s+runs\s*=\s*(\d+)|(\S+)",
-        body_src, flags=re.IGNORECASE,
+        body_mask, flags=re.IGNORECASE,
     ):
         if tok.start() < pos:
             continue
@@ -274,7 +326,8 @@ def parse_eql(query: str) -> EqlQuery:
             pending_runs_ok = False
             continue
         if tok.group(4) is not None:
-            if tok.group(4).lower() == "until":
+            word = body_src[tok.start(4):tok.end(4)]
+            if word.lower() == "until":
                 if in_until:
                     raise ValueError(
                         "EQL sequence takes at most one until"
@@ -283,10 +336,11 @@ def parse_eql(query: str) -> EqlQuery:
                 pending_runs_ok = False
                 continue
             raise ValueError(
-                f"malformed EQL sequence near {tok.group(4)!r}"
+                f"malformed EQL sequence near {word!r}"
             )
-        sf = StageFilter(tok.group(1),
-                         _parse_condition(tok.group(2).strip()))
+        sf = StageFilter(body_src[tok.start(1):tok.end(1)],
+                         _parse_condition(
+                             body_src[tok.start(2):tok.end(2)].strip()))
         if in_until:
             if until is not None:
                 raise ValueError("EQL sequence takes at most one until")

@@ -263,6 +263,17 @@ def streaming_eql_sequence_watermarked(
                 fts, ids = slots[ext - 1]
                 slots[ext] = [fts, ids + [eid]]
                 slots[ext - 1] = None
+        if maxspan is not None:
+            # prune prefixes the watermark has expired: every event a
+            # future trigger consumes has tsd > wm_s, so a prefix with
+            # fts + maxspan < wm_s can never be extended again —
+            # batch-semantics-safe eviction. Without this, a key that
+            # starts-but-never-finishes a sequence holds its state row
+            # forever.
+            slots = [
+                s if s is not None and wm_s - s[0] <= maxspan else None
+                for s in slots
+            ]
         if all(s is None for s in slots) and not buffered:
             # idle key (no pending prefix, nothing awaiting the
             # watermark): evict its state row entirely
@@ -270,15 +281,22 @@ def streaming_eql_sequence_watermarked(
                 state.remove()
         else:
             state.update((json.dumps([slots, buffered]),))
-        if buffered:
             # wake this key when the watermark passes its earliest
-            # buffered event — without this, buffered events would only
-            # flush when the key happens to receive MORE data (a
-            # liveness bug for idle keys)
-            want_ms = int(buffered[0][0] * 1000) + 1
-            state.setTimeoutTimestamp(
-                max(want_ms, int(wm_s * 1000) + 1)
-            )
+            # buffered event, or when its oldest pending prefix expires
+            # — without a timeout, buffered events would only flush (and
+            # expired prefixes only evict) when the key happens to
+            # receive MORE data: a liveness/state-growth bug for idle keys
+            want_ms = int(buffered[0][0] * 1000) + 1 if buffered else None
+            if maxspan is not None:
+                live = [s[0] for s in slots if s is not None]
+                if live:
+                    exp_ms = int((min(live) + maxspan) * 1000) + 1
+                    want_ms = (exp_ms if want_ms is None
+                               else min(want_ms, exp_ms))
+            if want_ms is not None:
+                state.setTimeoutTimestamp(
+                    max(want_ms, int(wm_s * 1000) + 1)
+                )
         cols = by_fields + ["first_ts", "last_ts"] + [
             f"id{i + 1}" for i in range(L)
         ]

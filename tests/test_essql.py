@@ -79,6 +79,118 @@ def test_plan_pushdown_and_topk(spark, t):
     assert "partial_sum" in plan2 or "HashAggregate" in plan2
 
 
+@pytest.fixture(scope="module")
+def docs(spark):
+    """A tiny corpus with materialized custom_shingles tokens (words +
+    glued bigrams) — 'spark merge' analyzes to three query tokens, so
+    operator=or/and genuinely differ."""
+    from tweets_elastic_spark.functions.analyzers import materialize_tokens
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark", "en"),
+         (2, "spark merge", "en"),
+         (3, "merge only here", "en"),
+         (4, "nothing relevant", "en"),
+         (5, "spark merge", "de")],
+        "doc_id long, text string, lang string",
+    )
+    return materialize_tokens(df, {"text": ["custom_shingles"]})
+
+
+def _bindings(spark, d):
+    from tweets_elastic_spark.plans.search import corpus_bm25_provider
+
+    return dict(
+        analyzers={"text": "custom_shingles"},
+        tokens_cols={"text": "text__custom_shingles"},
+        bm25_stats_for=corpus_bm25_provider(spark, d),
+    )
+
+
+def test_match_keyword_fallback_without_bindings(spark, docs):
+    # no analyzer binding → MATCH is keyword equality, SCORE constant 1.0
+    got = _rows(es_sql(
+        "SELECT doc_id, SCORE() AS s FROM docs "
+        "WHERE MATCH(lang, 'de') ORDER BY doc_id", {"docs": docs}))
+    assert got == [(5, 1.0)]
+
+
+def test_match_bm25_score_and_order(spark, docs):
+    """MATCH('spark merge') hits every doc sharing a token (1, 2, 3, 5);
+    the exact-phrase docs 2 and 5 carry all three query tokens and tie
+    for the top BM25 score."""
+    q = ("SELECT doc_id, ROUND(SCORE(), 6) AS s FROM docs "
+         "WHERE MATCH(text, 'spark merge') ORDER BY SCORE() DESC, doc_id")
+    got = _rows(es_sql(q, {"docs": docs}, **_bindings(spark, docs)))
+    assert {r[0] for r in got} == {1, 2, 3, 5}
+    assert [r[0] for r in got[:2]] == [2, 5] and got[0][1] == got[1][1]
+    scores = [r[1] for r in got]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+    # hidden __score must not leak into the output schema
+    out = es_sql(q, {"docs": docs}, **_bindings(spark, docs))
+    assert out.columns == ["doc_id", "s"]
+
+
+def test_match_options_and_score_guards(spark, docs):
+    b = _bindings(spark, docs)
+    # operator=and: ALL three query tokens required → exact-phrase docs only
+    got = _rows(es_sql(
+        "SELECT doc_id FROM docs "
+        "WHERE MATCH(text, 'spark merge', 'operator=and') ORDER BY doc_id",
+        {"docs": docs}, **b))
+    assert got == [(2,), (5,)]
+    # minimum_should_match=3 is the same gate here
+    got = _rows(es_sql(
+        "SELECT doc_id FROM docs WHERE "
+        "MATCH(text, 'spark merge', 'minimum_should_match=3') "
+        "ORDER BY doc_id", {"docs": docs}, **b))
+    assert got == [(2,), (5,)]
+    with pytest.raises(ValueError, match="needs at least one MATCH"):
+        es_sql("SELECT doc_id, SCORE() AS s FROM docs", {"docs": docs}, **b)
+    with pytest.raises(ValueError, match="per-document"):
+        es_sql("SELECT lang, SCORE() AS s, COUNT(*) AS n FROM docs "
+               "WHERE MATCH(text, 'spark merge') GROUP BY lang",
+               {"docs": docs}, **b)
+    with pytest.raises(ValueError, match="ORDER BY SCORE"):
+        es_sql("SELECT doc_id FROM docs ORDER BY SCORE() DESC",
+               {"docs": docs}, **b)
+    with pytest.raises(ValueError, match="aliased"):
+        es_sql("SELECT SCORE() FROM docs WHERE MATCH(lang, 'en')",
+               {"docs": docs}, **b)
+    with pytest.raises(ValueError, match="unsupported MATCH options"):
+        es_sql("SELECT doc_id FROM docs "
+               "WHERE MATCH(text, 'spark', 'fuzziness=2')",
+               {"docs": docs}, **b)
+    with pytest.raises(ValueError, match="not a predicate"):
+        es_sql("SELECT doc_id FROM docs WHERE SCORE() > 1", {"docs": docs},
+               **b)
+
+
+def test_match_agrees_with_dsl_bm25_nodes(spark, docs):
+    """The SQL front-end and the DSL nodes it compiles to must give the
+    same scores: compare against a hand-built BM25Match over the same
+    corpus stats."""
+    from tweets_elastic_spark.functions.analyzers import analyze_text
+    from tweets_elastic_spark.plans.search import BM25Match, bm25_stats
+    from pyspark.sql import functions as F
+
+    qtok = analyze_text(spark, "spark merge", "custom_shingles")
+    stats = bm25_stats(docs, "text__custom_shingles", qtok)
+    node = BM25Match("text", "spark merge", analyzer="custom_shingles",
+                     tokens_col="text__custom_shingles", stats=stats)
+    want = sorted(
+        tuple(r) for r in docs
+        .filter(node.predicate(spark, F.col))
+        .select("doc_id", F.round(node.score(spark, F.col), 6).alias("s"))
+        .collect()
+    )
+    got = sorted(_rows(es_sql(
+        "SELECT doc_id, ROUND(SCORE(), 6) AS s FROM docs "
+        "WHERE MATCH(text, 'spark merge')",
+        {"docs": docs}, **_bindings(spark, docs))))
+    assert got == want and len(got) == 4
+
+
 def test_essql_differential_vs_duckdb(spark):
     """Property-style differential: randomly composed queries from the
     supported subset must return identical rows from es_sql and from

@@ -17,12 +17,21 @@ verbatim on DuckDB/Postgres, which is exactly how the oracle checks it):
   ``[NOT] IN (...)``, ``[NOT] LIKE``, ``[NOT] BETWEEN a AND b``
   (inclusive), ``IS [NOT] NULL``.
 * ``GROUP BY`` on plain columns; ``HAVING`` over select-list ALIASES.
-* ``ORDER BY col|alias [ASC|DESC], ...`` and ``LIMIT n``.
+* ``ORDER BY col|alias|SCORE() [ASC|DESC], ...`` and ``LIMIT n``.
+* ES's full-text extensions: ``MATCH(field, 'text' [, 'options'])`` as a
+  WHERE predicate (options = ``;``-separated ``operator=and`` /
+  ``minimum_should_match=n``) and ``SCORE()`` in the select list (alias
+  required) / ORDER BY. A MATCH compiles to the SAME nodes the query DSL
+  uses (plans/search.py): ``BM25Match`` when the field has analyzer +
+  token-column bindings and a ``bm25_stats_for`` provider, else the
+  overlap/keyword ``Match`` (constant score 1.0 — ES's non-scored
+  semantics). ``SCORE()`` is the sum of the per-MATCH clause scores, each
+  0 when that clause doesn't match the row (ES bool scoring). MATCH
+  without bindings on an analyzed query, or SCORE() with no MATCH in
+  WHERE, raises loudly.
 
 Anything else — subqueries, JOINs (one index, like ES), expressions in
-SELECT, ES's MATCH()/SCORE() full-text extensions — raises loudly with
-the offending token. The full-text path is the query DSL / EQL surface;
-this endpoint is the tabular one.
+SELECT — raises loudly with the offending token.
 """
 
 from __future__ import annotations
@@ -44,11 +53,17 @@ _TOKEN_RE = re.compile(
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "IS",
-             "NULL", "AS", "ASC", "DESC", "ROUND", "TRUE", "FALSE"}
+             "NULL", "AS", "ASC", "DESC", "ROUND", "TRUE", "FALSE",
+             "MATCH", "SCORE"}
 
 
-def _tokenize(sql: str) -> list[tuple[str, object]]:
-    out, pos = [], 0
+def _tokenize(sql: str) -> tuple[list[tuple[str, object]], list[str | None]]:
+    """→ (tokens, raws): raws[i] is the original spelling of a keyword
+    token (so `AS score` can still alias a column 'score' even though
+    SCORE is a keyword), None for non-keyword tokens."""
+    out: list[tuple[str, object]] = []
+    raws: list[str | None] = []
+    pos = 0
     while pos < len(sql):
         m = _TOKEN_RE.match(sql, pos)
         if not m:
@@ -59,25 +74,36 @@ def _tokenize(sql: str) -> list[tuple[str, object]]:
         if m.group("num") is not None:
             t = m.group("num")
             out.append(("num", float(t) if "." in t else int(t)))
+            raws.append(None)
         elif m.group("str") is not None:
             out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+            raws.append(None)
         elif m.group("ident") is not None:
             word = m.group("ident")
             up = word.upper()
             if up in _KEYWORDS or up in _AGG_FNS:
                 out.append(("kw", up))
+                raws.append(word)
             else:
                 out.append(("ident", word))
+                raws.append(None)
         else:
             out.append(("op", m.group("op")))
+            raws.append(None)
     out.append(("end", None))
-    return out
+    raws.append(None)
+    return out, raws
 
 
 class _Parser:
     def __init__(self, sql: str):
-        self.toks = _tokenize(sql)
+        self.toks, self.raws = _tokenize(sql)
         self.i = 0
+        # full-text state: es_sql installs make_match once the FROM table
+        # (and so the SparkSession / bindings) is known; every MATCH
+        # parsed in WHERE lands in match_nodes so SCORE() can sum them
+        self.make_match = None  # (field, text, opts) -> (pred, score)
+        self.match_nodes: list[tuple] = []  # (pred_col, score_col)
 
     def peek(self):
         return self.toks[self.i]
@@ -111,9 +137,17 @@ class _Parser:
         """-> (kind, payload, alias) with kind col|agg; agg payload =
         (fn, arg_col|None for *, round_digits|None)."""
         k, v = self.peek()
+        if k == "kw" and v == "SCORE":
+            self.next()
+            if not (self.accept_op("(") and self.accept_op(")")):
+                raise ValueError("ES SQL: SCORE takes no arguments: SCORE()")
+            alias = self._alias(required=True)
+            return ("score", None, alias)
         if k == "kw" and v in (_AGG_FNS | {"ROUND"}):
             item = self._agg_call()
             alias = self._alias(required=True)
+            if item[0] == "SCORE":  # ROUND(SCORE(), n)
+                return ("score", item[2], alias)
             return ("agg", item, alias)
         if k == "ident":
             self.next()
@@ -133,7 +167,14 @@ class _Parser:
         if fn == "ROUND":
             if not self.accept_op("("):
                 raise ValueError("ES SQL: ROUND needs (")
-            inner = self._agg_call()
+            pk, pv = self.peek()
+            if pk == "kw" and pv == "SCORE":
+                self.next()
+                if not (self.accept_op("(") and self.accept_op(")")):
+                    raise ValueError("ES SQL: SCORE takes no arguments")
+                inner = ("SCORE", None, None)
+            else:
+                inner = self._agg_call()
             if not self.accept_op(","):
                 raise ValueError("ES SQL: ROUND(agg, digits)")
             dk, dv = self.next()
@@ -162,7 +203,10 @@ class _Parser:
 
     def _alias(self, required: bool):
         if self.accept_kw("AS"):
+            raw = self.raws[self.i]  # keyword-spelled aliases keep their case
             k, v = self.next()
+            if k == "kw" and raw is not None:
+                return raw
             if k != "ident":
                 raise ValueError(f"ES SQL: bad alias {v!r}")
             return v
@@ -208,8 +252,53 @@ class _Parser:
             return v == "TRUE"
         raise ValueError(f"ES SQL: expected a literal, got {v!r}")
 
+    def _match_call(self) -> Column:
+        """``MATCH(field, 'text' [, 'opts'])`` — compile via the installed
+        builder, record the (pred, score) pair for SCORE(), return pred."""
+        if self.make_match is None:
+            raise ValueError(
+                "ES SQL: MATCH() needs full-text bindings — pass "
+                "analyzers/tokens_cols (and bm25_stats_for for relevance) "
+                "to es_sql()"
+            )
+        if not self.accept_op("("):
+            raise ValueError("ES SQL: MATCH needs (")
+        fk, fv = self.next()
+        if fk != "ident":
+            raise ValueError(f"ES SQL: MATCH field must be a column, got {fv!r}")
+        if not self.accept_op(","):
+            raise ValueError("ES SQL: MATCH(field, 'text')")
+        tk, tv = self.next()
+        if tk != "str":
+            raise ValueError("ES SQL: MATCH query text must be a string")
+        opts: dict[str, str] = {}
+        if self.accept_op(","):
+            ok_, ov = self.next()
+            if ok_ != "str":
+                raise ValueError("ES SQL: MATCH options must be a string")
+            for kv in ov.split(";"):
+                kv = kv.strip()
+                if not kv:
+                    continue
+                if "=" not in kv:
+                    raise ValueError(f"ES SQL: bad MATCH option {kv!r}")
+                key, _, val = kv.partition("=")
+                opts[key.strip()] = val.strip()
+        if not self.accept_op(")"):
+            raise ValueError("ES SQL: MATCH missing )")
+        pred, score = self.make_match(fv, tv, opts)
+        self.match_nodes.append((pred, score))
+        return pred
+
     def predicate(self, cols) -> Column:
         k, v = self.next()
+        if k == "kw" and v == "MATCH":
+            return self._match_call()
+        if k == "kw" and v == "SCORE":
+            raise ValueError(
+                "ES SQL: SCORE() is not a predicate — select it (aliased) "
+                "or ORDER BY it"
+            )
         if k != "ident":
             raise ValueError(f"ES SQL: expected a column, got {v!r}")
         c = cols(v)
@@ -266,8 +355,68 @@ def _agg_col(fn: str, arg: str | None, digits: int | None, alias: str) -> Column
     return out.alias(alias)
 
 
-def es_sql(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
-    """Run an ES-SQL query against ``tables`` (index name → DataFrame)."""
+def _match_builder(df: DataFrame, analyzers, tokens_cols, bm25_stats_for):
+    """(field, text, opts) → (predicate Column, score Column), compiled
+    through the query-DSL nodes so ES-SQL MATCH and DSL match can never
+    drift: BM25Match when the field has analyzer + tokens_col bindings and
+    a stats provider, else the overlap/keyword Match (constant score)."""
+    from tweets_elastic_spark.plans.search import BM25Match, Match
+
+    spark = df.sparkSession
+    analyzers = analyzers or {}
+    tokens_cols = tokens_cols or {}
+
+    def make(field: str, text: str, opts: dict[str, str]):
+        bad = set(opts) - {"operator", "minimum_should_match"}
+        if bad:
+            raise ValueError(
+                f"ES SQL: unsupported MATCH options {sorted(bad)} "
+                "(operator / minimum_should_match)"
+            )
+        operator = opts.get("operator", "or")
+        msm = int(opts.get("minimum_should_match", 0))
+        analyzer = analyzers.get(field)
+        tok_col = tokens_cols.get(field)
+        if (analyzer is not None and tok_col is not None
+                and bm25_stats_for is not None):
+            node = BM25Match(
+                field, text, analyzer=analyzer, tokens_col=tok_col,
+                stats=bm25_stats_for(field, tok_col, analyzer, text),
+                operator=operator, minimum_should_match=msm,
+            )
+        else:
+            # keyword equality (no analyzer binding) or overlap matching —
+            # ES's non-relevance semantics; score is the constant 1.0
+            node = Match(
+                field, text, analyzer=analyzer, tokens_col=tok_col,
+                operator=operator, minimum_should_match=msm,
+            )
+        pred = node.predicate(spark, F.col)
+        score = node.score(spark, F.col)
+        if not node.CONSTANT_SCORE:
+            # a clause only contributes when IT matches (ES bool scoring);
+            # constant-score nodes already gate inside Query.score
+            score = F.when(pred, score).otherwise(F.lit(0.0))
+        return pred, score
+
+    return make
+
+
+def es_sql(
+    sql: str,
+    tables: dict[str, DataFrame],
+    *,
+    analyzers: dict[str, str] | None = None,
+    tokens_cols: dict[str, str] | None = None,
+    bm25_stats_for=None,
+) -> DataFrame:
+    """Run an ES-SQL query against ``tables`` (index name → DataFrame).
+
+    ``analyzers`` / ``tokens_cols`` / ``bm25_stats_for`` are the same
+    full-text bindings ``from_es_json`` takes (field → analyzer name,
+    field → materialized token column, stats provider) — they activate
+    MATCH()/SCORE() compilation; without them MATCH falls back to keyword
+    equality and SCORE() is constant."""
     p = _Parser(sql)
     p.expect_kw("SELECT")
     items = [p.select_item()]
@@ -280,9 +429,23 @@ def es_sql(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
             f"ES SQL: unknown index {tname!r} (have {sorted(tables)})"
         )
     df = tables[tname]
+    p.make_match = _match_builder(df, analyzers, tokens_cols, bm25_stats_for)
 
     if p.accept_kw("WHERE"):
         df = df.filter(p.expr(F.col))
+
+    score_aliases = [alias for kind, _, alias in items if kind == "score"]
+    if score_aliases and not p.match_nodes:
+        raise ValueError("ES SQL: SCORE() needs at least one MATCH() in WHERE")
+    have_score = bool(p.match_nodes)
+    if have_score:
+        # SCORE() = Σ per-clause scores (each 0 for rows the clause does
+        # not match) — computed pre-projection so ORDER BY SCORE() can
+        # reference it; dropped at the end unless selected
+        total = p.match_nodes[0][1]
+        for _, s in p.match_nodes[1:]:
+            total = total + s
+        df = df.withColumn("__score", total)
 
     group_cols: list[str] = []
     if p.accept_kw("GROUP"):
@@ -299,6 +462,11 @@ def es_sql(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
 
     aggs = [(pay, alias) for kind, pay, alias in items if kind == "agg"]
     plain = [(pay, alias) for kind, pay, alias in items if kind == "col"]
+    if score_aliases and (group_cols or aggs):
+        raise ValueError(
+            "ES SQL: SCORE() is per-document — it cannot be selected "
+            "alongside GROUP BY / aggregates"
+        )
     if group_cols:
         bad = [c for c, _ in plain if c not in group_cols]
         if bad:
@@ -313,6 +481,7 @@ def es_sql(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
             out = out.withColumnRenamed(c, a)
         keep = [a for _, _, a in items]
         out = out.select(*keep)
+        have_score = False  # __score cannot survive an aggregation
     elif aggs:
         if plain:
             raise ValueError(
@@ -321,8 +490,20 @@ def es_sql(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
         out = df.agg(
             *[_agg_col(fn, arg, d, alias) for (fn, arg, d), alias in aggs]
         )
+        have_score = False
     else:
-        out = df.select(*[F.col(c).alias(a) for c, a in plain])
+        proj = []
+        for kind, pay, alias in items:
+            if kind == "col":
+                proj.append(F.col(pay).alias(alias))
+            else:  # score; pay = ROUND digits or None (raw)
+                c = F.col("__score")
+                if pay is not None:
+                    c = F.round(c, pay)
+                proj.append(c.alias(alias))
+        if have_score:
+            proj.append(F.col("__score"))  # hidden, for ORDER BY SCORE()
+        out = df.select(*proj)
 
     if p.accept_kw("HAVING"):
         if not group_cols:
@@ -334,9 +515,19 @@ def es_sql(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
         p.expect_kw("BY")
         while True:
             ok_, ov = p.next()
-            if ok_ != "ident":
+            if ok_ == "kw" and ov == "SCORE":
+                if not (p.accept_op("(") and p.accept_op(")")):
+                    raise ValueError("ES SQL: SCORE takes no arguments")
+                if not have_score:
+                    raise ValueError(
+                        "ES SQL: ORDER BY SCORE() needs a MATCH() in WHERE "
+                        "(and no GROUP BY / aggregates)"
+                    )
+                c = F.col("__score")
+            elif ok_ != "ident":
                 raise ValueError("ES SQL: ORDER BY needs columns/aliases")
-            c = F.col(ov)
+            else:
+                c = F.col(ov)
             if p.accept_kw("DESC"):
                 c = c.desc()
             else:
@@ -356,4 +547,6 @@ def es_sql(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
     k, v = p.next()
     if k != "end":
         raise ValueError(f"ES SQL: trailing input at {v!r}")
+    if have_score:
+        out = out.drop("__score")  # the hidden sort key, never emitted
     return out

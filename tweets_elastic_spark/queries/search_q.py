@@ -295,6 +295,45 @@ def q_search_dsl_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES SQL's signature full-text feature (the `_sql` endpoint's
+# MATCH()/SCORE() extensions) driven end-to-end: the SQL string compiles
+# MATCH through the SAME BM25Match node the DSL uses, SCORE() surfaces its
+# relevance. Shares the BM25 oracle verbatim with search_bm25 /
+# search_dsl_bm25 — three front-ends (builder, JSON DSL, SQL), one scoring
+# truth.
+_ESSQL_MATCH = """SELECT doc_id, lang, ROUND(SCORE(), 6) AS score
+FROM documents
+WHERE MATCH(text, 'spark merge') AND lang = 'en'
+ORDER BY SCORE() DESC, doc_id ASC"""
+
+
+@register(
+    "essql_match_query",
+    oracle=_BM25_ORACLE,
+    doc="ES-SQL MATCH()/SCORE() (plans/essql.py): the full-text extension "
+        "compiled onto the query-DSL nodes — MATCH(text, 'spark merge') "
+        "becomes BM25Match over the materialized shingle tokens (stats "
+        "from corpus_bm25_provider), SCORE() its Okapi BM25 relevance, "
+        "ORDER BY SCORE() a sort on the hidden pre-projection score "
+        "column. Oracle = the same DuckDB BM25 recompute search_bm25 "
+        "uses; the SQL, DSL, and builder front-ends must agree "
+        "row-for-row.",
+)
+def q_essql_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.essql import es_sql
+    from tweets_elastic_spark.plans.search import corpus_bm25_provider
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = materialize_tokens(docs, {"text": ["custom_shingles"]})
+    return es_sql(
+        _ESSQL_MATCH,
+        {"documents": docs},
+        analyzers={"text": "custom_shingles"},
+        tokens_cols={"text": "text__custom_shingles"},
+        bm25_stats_for=corpus_bm25_provider(spark, docs),
+    )
+
+
 @register(
     "search_exists_filter",
     oracle="""

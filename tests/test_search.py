@@ -2373,16 +2373,45 @@ def test_render_search_template():
     assert render_search_template(src2, {"a": True}) == [1, 2]
     assert render_search_template(src2, {}) == [1]
 
-    # guards: list section, missing toJson param, non-JSON result,
-    # leftover syntax
-    with pytest.raises(ValueError, match="list iteration"):
-        render_template("{{#xs}}x{{/xs}}", {"xs": [1]})
+    # list iteration: body repeats per element, {{.}} is the element
+    assert render_template("{{#xs}}<{{.}}>{{/xs}}", {"xs": [1, 2, 3]}) \
+        == "<1><2><3>"
+    # dict elements push a context frame; outer names still resolve
+    got = render_template(
+        '{{#clauses}}{"match": {"{{f}}": "{{q}}"}},{{/clauses}}',
+        {"clauses": [{"f": "title", "q": "a"}, {"f": "body"}], "q": "z"},
+    )
+    assert got == '{"match": {"title": "a"}},{"match": {"body": "z"}},'
+    # the ES list-param idiom end-to-end: build a should array (trailing
+    # element carries no comma via an inverted-last marker-free shape —
+    # here the template wraps with match_all so commas stay simple)
+    src3 = ('{"query": {"bool": {"should": ['
+            '{{#langs}}{"term": {"lang": "{{.}}"}},{{/langs}}'
+            '{"match_all": {}}]}}}')
+    got = render_search_template(src3, {"langs": ["en", "de"]})
+    assert got["query"]["bool"]["should"] == [
+        {"term": {"lang": "en"}}, {"term": {"lang": "de"}},
+        {"match_all": {}},
+    ]
+    # empty list: iteration renders nothing, inverted section fires
+    assert render_template(
+        "[{{#xs}}{{.}}{{/xs}}{{^xs}}0{{/xs}}]", {"xs": []}) == "[0]"
+    # dict section scopes its fields
+    assert render_template(
+        "{{#u}}{{name}}{{/u}}", {"u": {"name": "kay"}}) == "kay"
+
+    # guards: missing toJson param, non-JSON result, scalar-slot list,
+    # same-name nesting, leftover syntax
     with pytest.raises(ValueError, match="missing"):
         render_search_template("{{#toJson}}nope{{/toJson}}", {})
     with pytest.raises(ValueError, match="not valid JSON"):
         render_search_template('{"a": {{v}}}', {})
     with pytest.raises(ValueError, match="needs"):
         render_template("{{v}}", {"v": [1, 2]})
+    with pytest.raises(ValueError, match="same-name"):
+        render_template("{{#a}}{{#a}}x{{/a}}{{/a}}", {"a": [1]})
+    with pytest.raises(ValueError, match="unrendered"):
+        render_template("{{#a}}{{#b}}x{{/a}}{{/b}}", {"a": 1, "b": 1})
 
 
 def test_terms_lookup_and_cross_fields_routing(spark):

@@ -8,14 +8,18 @@ Supported mustache subset (the parts ES documents for search templates):
 * ``{{var}}`` — scalar substitution. Strings are JSON-escaped into place;
   numbers/booleans render bare. A missing param renders as the empty
   string (mustache's contract — pair with an inverted section for
-  defaults).
+  defaults). Dotted names resolve through nested dicts; ``{{.}}`` is the
+  current list element inside an iteration section.
 * ``{{#toJson}}var{{/toJson}}`` — the whole value JSON-encoded (ES's
   idiom for arrays/objects, e.g. a terms list).
-* ``{{#var}}...{{/var}}`` — section included iff ``var`` is truthy;
-  ``{{^var}}...{{/var}}`` inverted (the default-value idiom
-  ``{{size}}{{^size}}10{{/size}}``). Mustache's LIST-iteration sections
-  are NOT supported — a list-valued section param raises loudly rather
-  than silently rendering once.
+* ``{{#var}}...{{/var}}`` — mustache sections with full semantics:
+  a LIST value repeats the body once per element (the element becomes
+  the innermost context frame, so ``{{.}}`` / element fields resolve
+  inside); a dict pushes a context frame; any other truthy value renders
+  the body once; falsy skips it. ``{{^var}}...{{/var}}`` inverted —
+  rendered for falsy values and EMPTY lists (the default-value idiom
+  ``{{size}}{{^size}}10{{/size}}``). Same-name nested sections raise
+  loudly (the section scanner pairs open/close tags by name).
 
 Rendering happens on the SOURCE STRING and the result must parse as JSON
 (ES's model: templates are stored strings, not JSON trees). Purely
@@ -36,9 +40,31 @@ _SECTION_RE = re.compile(
 )
 _VAR_RE = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
 
+_MISSING = object()
+
+
+def _lookup(name: str, stack: list):
+    """Mustache name resolution: ``.`` is the innermost frame; dotted
+    names walk nested dicts; frames are searched innermost-out."""
+    if name == ".":
+        return stack[-1]
+    parts = name.split(".")
+    for frame in reversed(stack):
+        cur = frame
+        ok = True
+        for p in parts:
+            if isinstance(cur, dict) and p in cur:
+                cur = cur[p]
+            else:
+                ok = False
+                break
+        if ok:
+            return cur
+    return _MISSING
+
 
 def _scalar(value) -> str:
-    if value is None:
+    if value is _MISSING or value is None:
         return ""
     if isinstance(value, bool):
         return "true" if value else "false"
@@ -52,35 +78,63 @@ def _scalar(value) -> str:
     )
 
 
+def _subst_vars(text: str, stack: list) -> str:
+    return _VAR_RE.sub(lambda m: _scalar(_lookup(m.group(1), stack)), text)
+
+
+def _render_section(m: re.Match, stack: list) -> str:
+    neg, name, body = m.group(1) == "^", m.group(2), m.group(3)
+    if name == "toJson":
+        if neg:
+            raise ValueError("{{^toJson}} is not a thing")
+        key = body.strip()
+        v = _lookup(key, stack)
+        if v is _MISSING:
+            raise ValueError(f"toJson param {key!r} missing")
+        return json.dumps(v, separators=(",", ":"))
+    if re.search(r"\{\{[#^]\s*" + re.escape(name) + r"\s*\}\}", body):
+        raise ValueError(
+            f"same-name nested section {name!r} is unsupported (the "
+            "non-greedy scanner would mis-pair its close tag)"
+        )
+    v = _lookup(name, stack)
+    if isinstance(v, list):
+        if neg:  # inverted section renders for an EMPTY list
+            return _render(body, stack) if not v else ""
+        out = []
+        for item in v:
+            stack.append(item)
+            out.append(_render(body, stack))
+            stack.pop()
+        return "".join(out)
+    if isinstance(v, dict):
+        if neg:
+            return ""
+        stack.append(v)
+        try:
+            return _render(body, stack)
+        finally:
+            stack.pop()
+    truthy = v is not _MISSING and bool(v)
+    return _render(body, stack) if truthy != neg else ""
+
+
+def _render(text: str, stack: list) -> str:
+    """Segment-wise: section bodies render recursively under their scope;
+    variable substitution touches only the text OUTSIDE sections, so a
+    substituted value can never be re-scanned as template syntax."""
+    out, pos = [], 0
+    for m in _SECTION_RE.finditer(text):
+        out.append(_subst_vars(text[pos:m.start()], stack))
+        out.append(_render_section(m, stack))
+        pos = m.end()
+    out.append(_subst_vars(text[pos:], stack))
+    return "".join(out)
+
+
 def render_template(source: str, params: dict | None = None) -> str:
     """Render the mustache subset against ``params``; returns the string."""
-    params = params or {}
-
-    def do_sections(text: str) -> str:
-        def repl(m: re.Match) -> str:
-            neg, name, body = m.group(1) == "^", m.group(2), m.group(3)
-            if name == "toJson":
-                if neg:
-                    raise ValueError("{{^toJson}} is not a thing")
-                key = body.strip()
-                if key not in params:
-                    raise ValueError(f"toJson param {key!r} missing")
-                return json.dumps(params[key], separators=(",", ":"))
-            v = params.get(name)
-            if isinstance(v, (list, dict)):
-                raise ValueError(
-                    f"section {name!r} got a {type(v).__name__}: mustache "
-                    "list iteration is unsupported — use {{#toJson}}"
-                )
-            return do_sections(body) if bool(v) != neg else ""
-
-        out, prev = _SECTION_RE.sub(repl, text), text
-        while out != prev:  # nested sections resolve outside-in
-            prev, out = out, _SECTION_RE.sub(repl, out)
-        return out
-
-    rendered = do_sections(source)
-    rendered = _VAR_RE.sub(lambda m: _scalar(params.get(m.group(1))), rendered)
+    rendered = _render(source, [params or {}])
     if "{{" in rendered:
         raise ValueError(
             f"unrendered template syntax remains: {rendered!r}"

@@ -4521,6 +4521,49 @@ def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_request(events, request)
 
 
+# Mustache LIST ITERATION through the `_msearch/template` surface: one
+# template, two param sets; {{#langs}} repeats a term clause per element
+# ({{.}} = the element), the never-matching sentinel term keeps the JSON
+# array comma-valid (a bool.should ignores a clause that matches nothing).
+_MST_LIST_SRC = (
+    '{"query": {"bool": {"should": ['
+    '{{#langs}}{"term": {"lang": "{{.}}"}},{{/langs}}'
+    '{"term": {"lang": "__none__"}}]}}, '
+    '"sort": [{"doc_id": "asc"}], "size": {{size}}{{^size}}100000{{/size}}, '
+    '"_source": ["doc_id", "lang"]}'
+)
+
+
+@register(
+    "msearch_template_list",
+    oracle="""
+    SELECT 0 AS req, doc_id, lang FROM documents WHERE lang IN ('en', 'de')
+    UNION ALL
+    SELECT 1 AS req, doc_id, lang FROM documents WHERE lang = 'fr'
+    """,
+    doc="ES _msearch/template with a LIST param (plans/templates.py "
+        "mustache iteration, r10): {{#langs}}...{{.}}...{{/langs}} "
+        "expands one term clause per element into a bool.should "
+        "(implicit minimum_should_match=1), rendered per batch entry and "
+        "executed through the ordinary msearch/es_request path; results "
+        "union with their request ordinal — the gather half of ES's "
+        "msearch envelope as one DataFrame.",
+)
+def q_msearch_template_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.api import es_msearch_template
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = es_msearch_template(docs, [
+        (_MST_LIST_SRC, {"langs": ["en", "de"]}),
+        (_MST_LIST_SRC, {"langs": ["fr"]}),
+    ])
+    out = None
+    for i, f in enumerate(frames):
+        g = f.select(F.lit(i).alias("req"), "doc_id", "lang")
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
 @register(
     "es_aggs_ip_range",
     oracle="""

@@ -487,6 +487,31 @@ def test_watermarked_streaming_evicts_expired_prefixes(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 0
 
 
+def test_hot_key_guard(spark):
+    """max_events_per_key fails LOUDLY on a planted hot key (naming it),
+    passes untouched when every key is within bound, and rejects bounds
+    below the sequence length at plan time."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    hot = [(i, float(i), 7, "a" if i % 2 else "b", 0.0) for i in range(40)]
+    cold = [(100, 0.0, 8, "a", 0.0), (101, 1.0, 8, "b", 0.0),
+            (102, 2.0, 8, "c", 0.0)]
+    df = _df(spark, hot + cold)
+    q = "sequence by user_id [a where true] [b where true] [c where true]"
+    # within bound: identical results to the unguarded run
+    want = sorted(tuple(r) for r in eql_search(df, q).collect())
+    got = sorted(tuple(r) for r in
+                 eql_search(df, q, max_events_per_key=64).collect())
+    assert got == want
+    # over bound: the job fails naming the hot key and its count
+    with pytest.raises(SparkRuntimeException,
+                       match=r"EQL hot key \(7\) has 40"):
+        eql_search(df, q, max_events_per_key=16).collect()
+    # bound below sequence length: rejected at plan time
+    with pytest.raises(ValueError, match="below the sequence length"):
+        eql_search(df, q, max_events_per_key=2)
+
+
 def test_runs_qualifier(spark):
     # [a] with runs=2 [b] == [a][a][b]
     q = """sequence by user_id with maxspan=100s

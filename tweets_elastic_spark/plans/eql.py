@@ -382,6 +382,7 @@ def eql_search(
     timestamp_field: str = "ts",
     event_category_field: str = "event_type",
     id_field: str = "event_id",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Run an EQL query over ``df``.
 
@@ -389,6 +390,15 @@ def eql_search(
     Sequences return one row per matched sequence:
     ``(<by>, first_ts, last_ts, id1..idL)`` with timestamps as epoch-second
     doubles (``ts.cast('double')`` — the engine's oracle-stable rendering).
+
+    ``max_events_per_key`` bounds the per-key collected event list the
+    sequence automaton scans (the one data-dependent memory term — a hot
+    key at 100 TB would otherwise build an executor-sized array). When
+    set, a key whose stage-matching event count exceeds the bound FAILS
+    THE JOB LOUDLY with the offending key and count in the message —
+    truncation would silently drop matches, the failure mode this engine
+    bans. Unset (default) keeps ES's semantics: the full linear scan ES's
+    own sequencer performs per key.
     """
     eq = parse_eql(query) if isinstance(query, str) else query
     if eq.kind == "event":
@@ -515,10 +525,34 @@ def eql_search(
             F.array(*new_slots).alias("slots"), new_emits.alias("emits")
         )
 
+    grouped = ev.groupBy(*knames).agg(
+        F.sort_array(F.collect_list(F.struct("tsd", "eid", "m")))
+        .alias("evs")
+    )
+    if max_events_per_key is not None:
+        if max_events_per_key < L:
+            raise ValueError(
+                f"max_events_per_key={max_events_per_key} is below the "
+                f"sequence length {L}: no sequence could ever complete"
+            )
+        # executor-side guard: assert_true fails the task with the hot
+        # key in the message; F.when forces evaluation before the
+        # automaton consumes the (possibly oversized) array
+        msg = F.concat(
+            F.lit("EQL hot key ("),
+            F.concat_ws(", ", *[F.col(kn).cast("string") for kn in knames]),
+            F.lit(") has "), F.size("evs").cast("string"),
+            F.lit(f" stage-matching events > max_events_per_key="
+                  f"{max_events_per_key}"),
+        )
+        ok = F.assert_true(
+            F.size("evs") <= F.lit(max_events_per_key), msg
+        )
+        grouped = grouped.withColumn(
+            "evs", F.when(ok.isNull(), F.col("evs"))
+        )
     runs = (
-        ev.groupBy(*knames)
-        .agg(F.sort_array(F.collect_list(F.struct("tsd", "eid", "m")))
-             .alias("evs"))
+        grouped
         .select(
             *knames,
             F.aggregate(F.col("evs"), init, merge, lambda a: a["emits"])

@@ -172,8 +172,17 @@ HEADLINE = [
     "es_aggs_geotile_grid",
     "es_aggs_geohash_grid",
     "es_aggs_geo_centroid",
-    # r8 late waves: PNG codec, DSL/agg round-out, API surface
-    "image_near_dups_png",
+    # r8 late waves: DSL/agg round-out, API surface.
+    # image_near_dups_png is EXCLUDED from the headline for the same
+    # reason image_near_dups_jpeg always was: the pure-Python zlib+
+    # unfilter codec is correctness-grade (both stay oracle-gated in
+    # CORRECTNESS/parity runs), and at headline scale the Python decode
+    # dominates the timing, drowning the Spark-plan signal the headline
+    # exists to track. Production swaps libpng/PIL behind the same
+    # mapInPandas seam (functions/png.decode_png_auto, gated + equality-
+    # pytested); the PPM-based image_near_dups stays IN the headline as
+    # the representative multimodal row (its decode is a NumPy
+    # reinterpret, so it times the plan, not the codec).
     "search_wrapper_script",
     "es_aggs_matrix_stats",
     "es_aggs_t_test",

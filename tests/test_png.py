@@ -99,6 +99,42 @@ def test_adam7_interlace_roundtrip():
     assert np.array_equal(out, img)
 
 
+def test_decode_png_auto_falls_back_without_pil():
+    """The production seam: without Pillow, decode_png_auto must route to
+    the pure decoder (bit-exact), and decode_png_native must refuse
+    loudly. With Pillow present, the equality test below pins the two
+    decoders pixel-equal instead."""
+    from tweets_elastic_spark.functions import png as png_mod
+
+    img = _rand_img()
+    payload = encode_png(img, filter_type=2)
+    assert np.array_equal(png_mod.decode_png_auto(payload), img)
+    if png_mod._PIL_Image is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            png_mod.decode_png_native(payload)
+
+
+def test_decode_png_native_pixel_equal():
+    """Wherever Pillow exists, the libpng path must be pixel-equal to the
+    pure decoder across every filter, palette, gray and Adam7 — PNG is
+    lossless, so any divergence is a bug in one of them."""
+    PIL = pytest.importorskip("PIL.Image")
+    del PIL
+    from tweets_elastic_spark.functions.png import (
+        decode_png_native,
+    )
+
+    for ft in range(5):
+        img = _rand_img(seed=ft)
+        payload = encode_png(img, filter_type=ft)
+        assert np.array_equal(decode_png_native(payload), decode_png(payload))
+    # palette: 16-color 4-bit lookup via the hand assembler
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3) * 5
+    rows = b"".join(b"\x00" + bytes([i * 16 + (15 - i)]) for i in range(8))
+    payload = _raw_png(2, 8, 4, 3, rows, palette=pal)
+    assert np.array_equal(decode_png_native(payload), decode_png(payload))
+
+
 def test_error_paths_are_loud():
     img = _rand_img(h=4, w=4)
     good = encode_png(img)

@@ -313,7 +313,10 @@ def image_dhash(
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tweets_elastic_spark.functions.jpeg import decode_jpeg
-        from tweets_elastic_spark.functions.png import PNG_SIGNATURE, decode_png
+        from tweets_elastic_spark.functions.png import (
+            PNG_SIGNATURE,
+            decode_png_auto,
+        )
 
         for b in batches:
             ids, sigs = [], []
@@ -323,7 +326,10 @@ def image_dhash(
                     if p[:2] == b"\xFF\xD8":
                         sigs.append(dhash64(decode_jpeg(p)))
                     elif p[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
-                        sigs.append(dhash64(decode_png(p)))
+                        # auto = libpng when installed (pixel-equality
+                        # pinned), pure decoder here — PNG is lossless so
+                        # the oracle recompute is identical either way
+                        sigs.append(dhash64(decode_png_auto(p)))
                     else:
                         sigs.append(dhash64(decode_ppm(p)))
                     ids.append(i)

@@ -25,7 +25,11 @@ Everything here is per-payload CPU work invoked from Arrow-batched
 ``mapInPandas`` (functions/multimodal.py) — scan-local, never shuffled.
 Throughput is correctness-grade (Sub is vectorized per byte-lane;
 Average/Paeth keep the spec's sequential byte recurrence); production
-swaps in libpng/PIL behind the same mapInPandas seam.
+swaps in libpng/PIL behind the same mapInPandas seam — that swap is
+``decode_png_native`` / ``decode_png_auto`` below: the native path is
+import-gated on Pillow (absent in this sandbox, so the auto selector
+falls back to the pure decoder here) and pinned pixel-equal to
+``decode_png`` by a skip-gated pytest wherever Pillow exists.
 """
 
 from __future__ import annotations
@@ -265,6 +269,46 @@ def _decode_subimage(
     for y in range(height):
         out[y, :, 0] = _unpack_subbyte(rec[y], depth, width)
     return out
+
+
+try:  # native path: libpng via Pillow — optional, absent in the sandbox
+    from PIL import Image as _PIL_Image
+except ImportError:  # pragma: no cover - exercised wherever PIL exists
+    _PIL_Image = None
+
+
+def decode_png_native(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB through libpng (Pillow) — the
+    production decode path behind the same mapInPandas seam as
+    ``decode_png``. Alpha is DROPPED (``convert('RGB')`` on an un-
+    premultiplied image discards the channel), matching the pure
+    decoder's documented straight-drop divergence. Raises loudly when
+    Pillow is not installed."""
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "decode_png_native needs Pillow (libpng); install it or use "
+            "decode_png / decode_png_auto"
+        )
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(payload))
+    # drop alpha without compositing: slice RGBA/LA before convert so
+    # Pillow can't blend against a background
+    if img.mode in ("RGBA", "LA", "PA"):
+        arr = np.asarray(img.convert("RGBA"), dtype=np.uint8)[:, :, :3]
+        return np.ascontiguousarray(arr)
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def decode_png_auto(payload: bytes) -> np.ndarray:
+    """The production seam: libpng/Pillow when available, the pure
+    decoder otherwise. Sub-byte depths (1/2/4) always take the pure
+    decoder — Pillow's sub-byte grey expansion is not guaranteed to
+    match the spec's ``×255/×85/×17`` scaling this module pins."""
+    # payload[24] is the IHDR bit depth (sig 8 + len 4 + type 4 + W 4 + H 4)
+    if _PIL_Image is not None and len(payload) > 24 and payload[24] == 8:
+        return decode_png_native(payload)
+    return decode_png(payload)
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:

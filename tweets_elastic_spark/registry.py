@@ -58,9 +58,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 DRIVER_PRIORITY: list[str] = [
     # flagship + relational reference surface
     "tweet_documents_flat", "denorm_order_lineitems", "keyset_page",
-    "es_aggs_auto_date_histogram", "snowflake_dim_join", "percolate_matches",
-    "self_join_pairs", "exists_child_hof", "topk_orders", "pricing_summary",
-    "search_simple_query_string",
+    "snowflake_dim_join", "percolate_matches",
+    "self_join_pairs", "exists_child_hof", "pricing_summary",
     # search / scoring / search-quality evaluation (search_wrapper_script
     # pins the late-r8 wrapper + script query nodes)
     "es_rank_eval_ndcg", "search_from_json_dsl", "search_dsl_bm25",
@@ -70,18 +69,26 @@ DRIVER_PRIORITY: list[str] = [
     # significance, multivariate moments, exact windowed percentiles
     "es_aggs_geo_distance", "es_aggs_rare_terms", "es_aggs_significant_gnd",
     "es_aggs_matrix_stats", "es_aggs_moving_percentiles",
-    # search front-ends new in r8 s4: BM25F fused-field scoring and the
-    # tabular SQL endpoint (verbatim-string oracle)
-    "search_combined_fields", "essql_group_query",
+    # r8-s4/r10 families rotated IN round 10: basket mining, rollup
+    # re-bucketing, the ingest-processor chain, ordered multi-phrase
+    # proximity (displacing prefix twins — rotation notes in COVERAGE.md)
+    "es_aggs_frequent_item_sets", "rollup_search_month",
+    "ingest_pipeline", "search_intervals_all_of",
+    # search front-ends: BM25F fused-field scoring, the tabular SQL
+    # endpoint (verbatim-string oracle), its r10 MATCH()/SCORE()
+    # full-text extension, and mustache LIST iteration through
+    # _msearch/template (r10)
+    "search_combined_fields", "essql_group_query", "essql_match_query",
+    "msearch_template_list",
     # windows + time series + sequence correlation (EQL replaces the
     # funnel row: sequence matching subsumes stage-funnel counting)
     "tumbling_window", "events_asof_join",
     "es_aggs_composite", "eql_sequence_funnel",
-    # text stats + model filter
-    "lang_id", "quality_score", "model_quality_filter",
+    # text stats
+    "lang_id", "quality_score",
     # dedup families — the granularity ladder: document (exact, minhash,
-    # simhash, semdedup), line, span, composed pipeline
-    "dedup_exact_survivors", "line_dedup", "span_dedup_rebuild",
+    # simhash, semdedup), span, composed pipeline
+    "dedup_exact_survivors", "span_dedup_rebuild",
     "dedup_near_survivors", "minhash_lsh_near_dups_portable",
     "semdedup_survivors", "corpus_clean",
     # parent-join (r8 s4)
@@ -94,8 +101,9 @@ DRIVER_PRIORITY: list[str] = [
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",
     "training_shards", "dsir_sample",
     # chunking + multimodal (PNG = the late-r8 codec, all five unfilter
-    # paths pinned through one oracle row; PPM keeps the parity pytest)
-    "chunk_documents", "image_near_dups", "image_near_dups_png",
+    # paths pinned through one oracle row; the PPM twin shares the sketch
+    # path and yields its slot — pinned by local parity instead)
+    "chunk_documents", "image_near_dups_png",
 ]
 
 

@@ -133,6 +133,7 @@ HEADLINE = [
     "line_dedup",
     "multimodal_decode",
     "image_near_dups",
+    "video_frame_dups",  # r10: real MP4 sample-table frame addressing
     # r6 wave 3
     "search_query_string",
     "search_terms_set",

@@ -146,17 +146,97 @@ def test_ppm_real_features_channel_stats(spark):
     assert f == [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # means then stds, /255
 
 
-def test_stub_mimes_raise_clearly(spark):
+def test_mp4_mp3_metadata_decode(spark):
+    """r10: MP4/MP3 container metadata is REAL (pure-stdlib parse); only
+    the pixel/PCM codec step stays stubbed. Malformed payloads raise
+    loudly through the Spark seam."""
     import pytest as pt
     from pyspark.sql.utils import PythonException
+    from tweets_elastic_spark.functions.mp3 import build_mp3
+    from tweets_elastic_spark.functions.mp4 import build_mp4
     from tweets_elastic_spark.functions.multimodal import decode_assets
 
+    mp4 = build_mp4([b"frame-%d" % i for i in range(6)], width=64, height=48)
+    mp3 = build_mp3(38, bitrate_kbps=128, sample_rate=44100)
     df = spark.createDataFrame(
+        [(1, "video", bytearray(mp4), "video/mp4"),
+         (2, "audio", bytearray(mp3), "audio/mpeg")],
+        "asset_id long, modality string, payload binary, mime_type string",
+    )
+    meta = {r["asset_id"]: r for r in decode_assets(df).collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (64, 48)
+    # audio convention (same as WAV): (sample_rate, n_frames)
+    assert (meta[2]["width"], meta[2]["height"]) == (44100, 38)
+
+    bad = spark.createDataFrame(
         [(1, "video", bytearray(b"\x00\x00\x00\x18ftyp"), "video/mp4")],
         "asset_id long, modality string, payload binary, mime_type string",
     )
-    with pt.raises(PythonException, match="requires PIL/ffmpeg"):
-        decode_assets(df).collect()
+    with pt.raises(PythonException, match="malformed MP4 box"):
+        decode_assets(bad).collect()
+
+
+def test_mp4_sample_table_frame_addressing():
+    """The sample table addresses real access units: every (offset, size)
+    range slices the exact frame bytes back out of mdat."""
+    from tweets_elastic_spark.functions.mp4 import (
+        build_mp4, mp4_metadata, mp4_sample_ranges,
+    )
+
+    frames = [b"f%d" % i * (i + 3) for i in range(7)]
+    p = build_mp4(frames, width=32, height=24, frame_duration=40)
+    assert [p[o:o + s] for o, s in mp4_sample_ranges(p)] == frames
+    md = mp4_metadata(p)
+    (t,) = md.tracks
+    assert (t.handler, t.codec, t.n_samples) == ("vide", "avc1", 7)
+    assert abs(md.duration_s - 7 * 0.040) < 1e-9
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        mp4_metadata(b"\x00\x00\x00\x08moof")
+    with pytest.raises(ValueError, match="no moov"):
+        mp4_metadata(b"\x00\x00\x00\x08mdat")
+
+
+def test_mp3_frame_walk_and_guards():
+    from tweets_elastic_spark.functions.mp3 import (
+        build_mp3, mp3_frames, mp3_metadata,
+    )
+
+    a = build_mp3(19, bitrate_kbps=160, sample_rate=32000)
+    m = mp3_metadata(a)
+    assert (m.n_frames, m.sample_rate, m.bitrate_kbps_avg) == (19, 32000, 160.0)
+    assert abs(m.duration_s - 19 * 1152 / 32000) < 1e-9
+    # ID3v2 prefix + ID3v1 trailer are skipped, frames still parse
+    wrapped = (b"ID3\x03\x00\x00" + bytes([0, 0, 0, 10]) + b"x" * 10
+               + a + b"TAG" + b"\x00" * 125)
+    m2 = mp3_metadata(wrapped)
+    assert m2.n_frames == 19 and m2.has_id3v2
+    with pytest.raises(ValueError, match="sync"):
+        mp3_frames(b"\x00\x00\x00\x00" + a)
+    with pytest.raises(ValueError, match="truncated"):
+        mp3_frames(a[:-10])
+
+
+def test_mp4_sample_frames_real_access_units(spark):
+    """sample_frames on an MP4 hashes the container's REAL frames (mdat
+    byte ranges from the sample table), not arbitrary byte windows."""
+    import hashlib
+
+    from tweets_elastic_spark.functions.mp4 import build_mp4, mp4_sample_ranges
+    from tweets_elastic_spark.functions.multimodal import sample_frames
+
+    frames = [b"payload-%02d" % i * 3 for i in range(8)]
+    p = build_mp4(frames)
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(p), "video/mp4")],
+        "asset_id long, modality string, payload binary, mime_type string",
+    )
+    got = {r["frame_idx"]: (r["byte_offset"], r["frame_sha"])
+           for r in sample_frames(df, n_frames=4).collect()}
+    ranges = mp4_sample_ranges(p)
+    assert len(got) == 4
+    for i in range(4):
+        off, size = ranges[(len(ranges) * i) // 4]
+        assert got[i] == (off, hashlib.sha256(p[off:off + size]).hexdigest())
 
 
 def test_unrecognized_mime_raises_not_fabricates():
@@ -166,8 +246,6 @@ def test_unrecognized_mime_raises_not_fabricates():
 
     with pytest.raises(NotImplementedError, match="unrecognized mime"):
         _decode_one(b"GIF89a....", "image", "image/gif")
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
-        _decode_one(b"\x00\x00\x00\x18ftyp", "video", "video/mp4")
     # image/jpeg decodes for real since r8
     import numpy as np
 

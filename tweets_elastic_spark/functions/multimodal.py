@@ -14,11 +14,17 @@ formats the Python stdlib can handle and clearly-marked stubs for the rest:
   and RIFF/WAV audio via the stdlib ``wave`` module (sample-rate/frame
   counts). No external library involved; these paths are exact and
   tested.
-* **Stub**: the remaining compressed codecs (MP4/MP3) need ffmpeg,
-  which this container doesn't ship — ``_decode_one`` raises
-  ``NotImplementedError`` for those mimes so the boundary is
-  unmistakable; the deterministic fake (``application/x-fake``,
-  byte-length pseudo-dims) keeps the plumbing testable at scale.
+* **Real since r10, container level**: MP4 (ISO-BMFF box walk, moov
+  metadata, and the stbl sample table — per-frame ``mdat`` byte ranges,
+  so ``sample_frames`` addresses REAL access units; ``functions/mp4``)
+  and MP3 (frame-header walk: duration / sample rate / bitrate;
+  ``functions/mp3``).
+* **Stub**: decoding those containers' SAMPLES — H.264 pixels, Layer-III
+  PCM — genuinely needs ffmpeg, which this container doesn't ship;
+  ``resize_images`` and any pixel path raise ``NotImplementedError`` for
+  them so the boundary is unmistakable. The deterministic fake
+  (``application/x-fake``, byte-length pseudo-dims) keeps the plumbing
+  testable at scale.
 
 ``extract_features`` yields a fixed-dim float vector per asset (channel
 statistics for PPM, hash-fold elsewhere) — the contract the similarity
@@ -59,8 +65,12 @@ MIME_PNG = "image/png"    # real zlib+unfilter decoder since r8 (functions/png)
 # the synthetic fixture payloads (attach_payload) — the ONLY mime that gets
 # deterministic fake dimensions
 MIME_FAKE = "application/x-fake"
-# compressed formats that genuinely need ffmpeg — stubbed
-STUB_MIMES = {"video/mp4", "audio/mpeg"}
+MIME_MP4 = "video/mp4"    # real ISO-BMFF container parse since r10
+MIME_MP3 = "audio/mpeg"   # real frame-header parse since r10 (functions/mp3)
+# formats whose SAMPLE decode (pixels / PCM) genuinely needs ffmpeg —
+# container/frame METADATA and MP4 sample-table frame addressing are real
+# (functions/mp4, functions/mp3); only the codec step stays stubbed
+STUB_MIMES = {MIME_MP4, MIME_MP3}
 
 
 # ---------------------------------------------------------------------------
@@ -141,13 +151,24 @@ def _decode_one(payload: bytes, modality: str, mime: str) -> tuple[int, int]:
     if mime == MIME_WAV:
         rate, frames = decode_wav_meta(payload)
         return rate, frames
+    if mime == MIME_MP4:
+        from tweets_elastic_spark.functions.mp4 import mp4_metadata
+
+        md = mp4_metadata(bytes(payload))
+        for t in md.tracks:
+            if t.handler == "vide":
+                return t.width, t.height
+        raise ValueError("MP4 without a video track (audio-only: route "
+                         "by its real modality)")
+    if mime == MIME_MP3:
+        # (sample_rate, n_frames) — the same convention as WAV
+        from tweets_elastic_spark.functions.mp3 import mp3_metadata
+
+        md = mp3_metadata(bytes(payload))
+        return md.sample_rate, md.n_frames
     if mime == MIME_FAKE:
         n = len(payload)
         return 1 + n % 640, 1 + n % 480
-    if mime in STUB_MIMES:
-        raise NotImplementedError(
-            f"{mime} decode requires PIL/ffmpeg — not in this container"
-        )
     raise NotImplementedError(f"unrecognized mime type: {mime!r}")
 
 
@@ -251,24 +272,42 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
-    """1→N frame sampling for video assets: n evenly spaced byte offsets,
-    one output row per frame (the explode-shaped batch contract)."""
+    """1→N frame sampling for video assets, one output row per sampled
+    frame (the explode-shaped batch contract). MP4 payloads sample REAL
+    access units: n evenly spaced entries of the container's sample
+    table (functions/mp4.mp4_sample_ranges), each row hashing that
+    frame's exact ``mdat`` byte range — the codec-free frame addressing
+    a video-dedup sketch needs. Non-container video payloads fall back
+    to evenly spaced raw byte offsets (the synthetic-fixture path)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tweets_elastic_spark.functions.mp4 import mp4_sample_ranges
+
         for pdf in batches:
             out = {"asset_id": [], "frame_idx": [], "byte_offset": [], "frame_sha": []}
+
+            def emit(aid, idx, off, chunk):
+                out["asset_id"].append(aid)
+                out["frame_idx"].append(idx)
+                out["byte_offset"].append(off)
+                out["frame_sha"].append(hashlib.sha256(chunk).hexdigest())
+
             for aid, modality, payload in zip(
                 pdf["asset_id"], pdf["modality"], pdf["payload"]
             ):
                 if modality != "video" or len(payload) == 0:
                     continue
+                p = bytes(payload)
+                if p[4:8] == b"ftyp":  # ISO BMFF: sample the real frames
+                    ranges = mp4_sample_ranges(p)
+                    take = min(n_frames, len(ranges))
+                    for i in range(take):
+                        off, size = ranges[(len(ranges) * i) // take]
+                        emit(aid, i, off, p[off:off + size])
+                    continue
                 for i in range(n_frames):
-                    off = (len(payload) * i) // n_frames
-                    chunk = payload[off : off + 16]
-                    out["asset_id"].append(aid)
-                    out["frame_idx"].append(i)
-                    out["byte_offset"].append(off)
-                    out["frame_sha"].append(hashlib.sha256(chunk).hexdigest())
+                    off = (len(p) * i) // n_frames
+                    emit(aid, i, off, p[off:off + 16])
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(sample, FRAMES_SCHEMA)

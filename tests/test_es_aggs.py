@@ -2595,3 +2595,79 @@ def test_frequent_item_sets(spark):
     with pytest.raises(ValueError, match="exactly one"):
         es_aggregate(df, {"s": {"frequent_item_sets": {
             "fields": [{"field": "a"}, {"field": "b"}]}}})
+
+
+def test_ip_prefix_semantics(spark):
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.0.200"), (3, "10.0.1.7"),
+         (4, "192.168.3.9"), (5, "not-an-ip"), (6, "10.0.0.300"), (7, None)],
+        "id long, ip string",
+    )
+    dsl = {"b": {"ip_prefix": {"field": "ip", "prefix_length": 24}}}
+    got = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl).collect()}
+    # /24 networks; malformed / out-of-range / NULL land nowhere
+    assert got == {"10.0.0.0": 2, "10.0.1.0": 1, "192.168.3.0": 1}
+    dsl2 = {"b": {"ip_prefix": {"field": "ip", "prefix_length": 16,
+                                "append_prefix_length": True}}}
+    got = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl2).collect()}
+    assert got == {"10.0.0.0/16": 3, "192.168.0.0/16": 1}
+    with pytest.raises(NotImplementedError, match="IPv4-only"):
+        es_aggregate(df, {"b": {"ip_prefix": {
+            "field": "ip", "prefix_length": 64, "is_ipv6": True}}})
+    with pytest.raises(ValueError, match="prefix_length"):
+        es_aggregate(df, {"b": {"ip_prefix": {
+            "field": "ip", "prefix_length": 33}}})
+
+
+def test_extended_stats_bucket_sibling(spark):
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], "id long, g string"
+    )
+    out = es_aggregate(df, {
+        "t": {"terms": {"field": "g"}},
+        "xb": {"extended_stats_bucket": {"buckets_path": "t>_count"}},
+    }).collect()
+    row = {r["t"]: r for r in out}
+    # bucket counts [3, 1]: avg 2, pop variance 1, std 1, bounds 2±2
+    r = row["a"]
+    assert (r["xb_count"], r["xb_avg"], r["xb_sum"]) == (2, 2.0, 4.0)
+    assert (r["xb_sum_of_squares"], r["xb_variance"]) == (10.0, 1.0)
+    assert (r["xb_std_deviation"], r["xb_std_upper"], r["xb_std_lower"]) \
+        == (1.0, 4.0, 0.0)
+    # custom sigma
+    out2 = es_aggregate(df, {
+        "t": {"terms": {"field": "g"}},
+        "xb": {"extended_stats_bucket": {"buckets_path": "t>_count",
+                                         "sigma": 1.0}},
+    }).collect()[0]
+    assert (out2["xb_std_upper"], out2["xb_std_lower"]) == (3.0, 1.0)
+
+
+def test_reverse_nested_counts_parents(spark):
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [
+            (1, [{"tag": "x"}, {"tag": "x"}, {"tag": "y"}]),
+            (2, [{"tag": "x"}]),
+            (3, [{"tag": "y"}]),
+        ],
+        "id long, anns array<struct<tag:string>>",
+    )
+    dsl = {"ca": {"nested": {"path": "anns"}, "aggs": {
+        "by_tag": {"terms": {"field": "anns.tag"},
+                   "aggs": {"parents": {"reverse_nested": {}}}},
+    }}}
+    got = {r["by_tag"]: (r["doc_count"], r["parents"])
+           for r in es_aggregate(df, dsl).collect()}
+    # x: 3 elements across 2 parents; y: 2 elements across 2 parents
+    assert got == {"x": (3, 2), "y": (2, 2)}
+    with pytest.raises(ValueError, match="root document"):
+        es_aggregate(df, {"ca": {"nested": {"path": "anns"}, "aggs": {
+            "by_tag": {"terms": {"field": "anns.tag"},
+                       "aggs": {"p": {"reverse_nested": {"path": "anns"}}}},
+        }}})

@@ -218,6 +218,7 @@ _ONE_ROW_CROSS_JOIN_OK = {
     "unimax_sample",               # water level scalar
     "es_aggs_moving_pipeline",     # sibling avg_bucket scalar
     "es_aggs_sibling_stats",       # sibling stats/percentiles_bucket scalars
+    "es_aggs_extended_stats_bucket",  # sibling extended-stats scalars
     "tfidf_hashed_sparse",         # corpus doc-count scalar (IDF N)
     "lm_perplexity_filter",        # vocab-size scalar
     "search_more_like_this",       # corpus count + selected-term count

@@ -516,6 +516,51 @@ def _bucket_key(kind: str, body: dict) -> Column:
             return key
 
         return F.element_at(F.transform(F.array(ip), keyer), 1)
+    if kind == "ip_prefix":
+        # ES ip_prefix agg: bucket by the /N network prefix of an IPv4
+        # string column — the unbounded-cardinality sibling of ip_range
+        # (buckets come from the data, one hash aggregation; same
+        # validate-regex + octet arithmetic, no UDF). The bucket key is
+        # the network address, "/N"-suffixed when append_prefix_length —
+        # ES's response key shape. IPv6 raises loudly (needs 128-bit
+        # ints); malformed addresses fall in no bucket, same documented
+        # policy as ip_range. Arithmetic is //-and-% (not bitwise) so the
+        # DuckDB oracle mirrors it operator for operator.
+        if body.get("is_ipv6"):
+            raise NotImplementedError(
+                "ip_prefix is IPv4-only in this engine (IPv6 prefixes "
+                "need 128-bit integers)"
+            )
+        bits = int(body["prefix_length"])
+        if not 0 <= bits <= 32:
+            raise ValueError(f"bad ip_prefix prefix_length {bits}")
+        width = 1 << (32 - bits)
+        suffix = f"/{bits}" if body.get("append_prefix_length") else ""
+        octet = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+        p = F.split(src, r"\.")
+        ip = (
+            p.getItem(0).cast("long") * 16777216
+            + p.getItem(1).cast("long") * 65536
+            + p.getItem(2).cast("long") * 256
+            + p.getItem(3).cast("long")
+        )
+        ip = F.when(src.rlike(f"^({octet}\\.){{3}}{octet}$"), ip)
+
+        def prefix_key(ip_b: Column) -> Column:
+            net = (ip_b / F.lit(width)).cast("long") * F.lit(width)
+            return F.concat(
+                (net / F.lit(16777216)).cast("long").cast("string"),
+                F.lit("."),
+                ((net / F.lit(65536)).cast("long") % 256).cast("string"),
+                F.lit("."),
+                ((net / F.lit(256)).cast("long") % 256).cast("string"),
+                F.lit("."),
+                (net % 256).cast("string"),
+                F.lit(suffix),
+            )
+
+        # bind the parsed integer once (no-CSE), same as ip_range
+        return F.element_at(F.transform(F.array(ip), prefix_key), 1)
     raise ValueError(f"unsupported bucket aggregation: {kind!r}")
 
 
@@ -1436,8 +1481,8 @@ def _adjacency_matrix_agg(
 
 
 _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
-                 "range", "ip_range", "categorize_text", "geo_distance",
-                 "geotile_grid", "geohash_grid")
+                 "range", "ip_range", "ip_prefix", "categorize_text",
+                 "geo_distance", "geotile_grid", "geohash_grid")
 # every kind _metric_cols can evaluate — the metric-only fast-path test
 # for global/sampler sub-aggs (anything else must recurse)
 _METRIC_KINDS = (
@@ -1568,6 +1613,7 @@ _SIBLING_KINDS = {
     "avg_bucket": F.avg, "sum_bucket": F.sum,
     "min_bucket": F.min, "max_bucket": F.max,
     "stats_bucket": None, "percentiles_bucket": None,
+    "extended_stats_bucket": None,
     "change_point": None,
 }
 
@@ -2557,6 +2603,29 @@ def _es_aggregate_impl(
                     F.round(F.avg(c), 6).alias(f"{sname}_avg"),
                     F.round(F.sum(c), 6).alias(f"{sname}_sum"),
                 ]
+            elif skind == "extended_stats_bucket":
+                # ES extended_stats_bucket: the stats_bucket set plus
+                # sum_of_squares / POPULATION variance & std-deviation /
+                # avg ± sigma·std bounds (ES's extended_stats math,
+                # coordinator-side over the bucket list), flattened to
+                # {name}_{stat} scalars.
+                sigma = float(sbody.get("sigma", 2.0))
+                scalars += [
+                    F.count(c).alias(f"{sname}_count"),
+                    F.round(F.min(c), 6).alias(f"{sname}_min"),
+                    F.round(F.max(c), 6).alias(f"{sname}_max"),
+                    F.round(F.avg(c), 6).alias(f"{sname}_avg"),
+                    F.round(F.sum(c), 6).alias(f"{sname}_sum"),
+                    F.round(F.sum(c * c), 6)
+                    .alias(f"{sname}_sum_of_squares"),
+                    F.round(F.var_pop(c), 6).alias(f"{sname}_variance"),
+                    F.round(F.stddev_pop(c), 6)
+                    .alias(f"{sname}_std_deviation"),
+                    F.round(F.avg(c) + F.lit(sigma) * F.stddev_pop(c), 6)
+                    .alias(f"{sname}_std_upper"),
+                    F.round(F.avg(c) - F.lit(sigma) * F.stddev_pop(c), 6)
+                    .alias(f"{sname}_std_lower"),
+                ]
             elif skind == "percentiles_bucket":
                 # ES percentiles_bucket: exact interpolated percentiles of
                 # the parent's metric list (ES itself is exact here — the
@@ -2826,10 +2895,41 @@ def _es_aggregate_impl(
         # resolved against the exploded element. The explode is a
         # projection (no shuffle); the sub-agg's groupBy is the only
         # exchange, exactly as for a top-level bucket agg.
+        #
+        # reverse_nested sub-aggs (ES: step back to the ROOT document and
+        # count parents per bucket) compile to an exact count-distinct
+        # over a synthetic parent id attached BEFORE the explode
+        # (monotonically_increasing_id — unique per parent row within the
+        # plan; only its distinct count reaches the output, so the
+        # arbitrary values never leak). Stepping back to an intermediate
+        # nested path (multi-level nesting) raises loudly.
         path = body["path"]
         if len(sub) != 1:
             raise ValueError("nested agg needs exactly one sub-aggregation")
-        exploded = df.select(F.explode(F.col(path)).alias("__nested"))
+        (sname, sspec), = sub.items()
+
+        def replace_rn(obj):
+            if isinstance(obj, dict):
+                if set(obj) == {"reverse_nested"}:
+                    if obj["reverse_nested"]:
+                        raise ValueError(
+                            "reverse_nested supports only {} (back to the "
+                            "root document; intermediate-path step-back "
+                            "needs multi-level nesting, unsupported)"
+                        )
+                    return {"cardinality": {"field": "__parent"}}
+                return {k: replace_rn(v) for k, v in obj.items()}
+            return obj
+
+        rewritten = replace_rn(sspec)
+        has_rn = rewritten != sspec
+        sspec = rewritten
+        if has_rn:
+            exploded = df.withColumn(
+                "__parent", F.monotonically_increasing_id()
+            ).select("__parent", F.explode(F.col(path)).alias("__nested"))
+        else:
+            exploded = df.select(F.explode(F.col(path)).alias("__nested"))
 
         def rewrite(spec: dict) -> dict:
             out = {}
@@ -2837,13 +2937,15 @@ def _es_aggregate_impl(
                 if isinstance(v, dict):
                     out[k] = rewrite(v)
                 elif k == "field" and isinstance(v, str):
+                    if v.startswith("__"):  # synthetic (reverse_nested)
+                        out[k] = v
+                        continue
                     leaf = v[len(path) + 1:] if v.startswith(path + ".") else v
                     out[k] = f"__nested.{leaf}"
                 else:
                     out[k] = v
             return out
 
-        (sname, sspec), = sub.items()
         return es_aggregate(exploded, {sname: rewrite(sspec)})
     if kind == "significant_terms":
         return _significant_terms(df, fg_pred, name, body, sub)

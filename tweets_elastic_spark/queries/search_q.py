@@ -3752,6 +3752,114 @@ def q_es_aggs_sibling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_aggs_extended_stats_bucket",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS daily,
+               CAST(count(*) AS BIGINT) AS doc_count
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), sib AS (
+        SELECT CAST(count(doc_count) AS BIGINT) AS xb_count,
+               round(min(doc_count::DOUBLE), 6) AS xb_min,
+               round(max(doc_count::DOUBLE), 6) AS xb_max,
+               round(avg(doc_count::DOUBLE), 6) AS xb_avg,
+               round(sum(doc_count::DOUBLE), 6) AS xb_sum,
+               round(sum(doc_count::DOUBLE * doc_count::DOUBLE), 6)
+                   AS xb_sum_of_squares,
+               round(var_pop(doc_count::DOUBLE), 6) AS xb_variance,
+               round(stddev_pop(doc_count::DOUBLE), 6) AS xb_std_deviation,
+               round(avg(doc_count::DOUBLE)
+                     + 2.0 * stddev_pop(doc_count::DOUBLE), 6)
+                   AS xb_std_upper,
+               round(avg(doc_count::DOUBLE)
+                     - 2.0 * stddev_pop(doc_count::DOUBLE), 6)
+                   AS xb_std_lower
+        FROM daily
+    )
+    SELECT daily.*, sib.* FROM daily, sib
+    """,
+    doc="ES extended_stats_bucket sibling pipeline (r10): the "
+        "stats_bucket set plus sum_of_squares, POPULATION variance and "
+        "std-deviation, and avg ± sigma·std bounds (sigma=2 default) "
+        "over a daily histogram's doc_counts — flattened {name}_{stat} "
+        "scalars annotated onto every bucket via the 1-row broadcast "
+        "cross join (the coordinator-side reduction's distributed twin).",
+)
+def q_es_aggs_extended_stats_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return es_aggregate(events, {
+        "daily": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day"}},
+        "xb": {"extended_stats_bucket": {"buckets_path": "daily>_count"}},
+    })
+
+
+@register(
+    "es_aggs_ip_prefix",
+    oracle="""
+    WITH ips AS (
+        SELECT '10.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(user_id % 256 AS VARCHAR) || '.' ||
+               CAST((user_id * 7) % 256 AS VARCHAR) AS ip,
+               value
+        FROM events
+    ),
+    parsed AS (
+        SELECT CASE WHEN regexp_matches(ip,
+                   '^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$')
+               THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                  + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                  + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                  + CAST(string_split(ip, '.')[4] AS BIGINT)
+               END AS ipn, value
+        FROM ips
+    ),
+    nets AS (
+        SELECT (ipn // 4096) * 4096 AS net, value
+        FROM parsed WHERE ipn IS NOT NULL
+    )
+    SELECT CAST(net // 16777216 AS VARCHAR) || '.' ||
+           CAST((net // 65536) % 256 AS VARCHAR) || '.' ||
+           CAST((net // 256) % 256 AS VARCHAR) || '.' ||
+           CAST(net % 256 AS VARCHAR) || '/20' AS by_prefix,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(value), 6) AS total
+    FROM nets
+    GROUP BY 1
+    """,
+    doc="ES ip_prefix agg (r10): bucket by the /N IPv4 network prefix — "
+        "the unbounded-cardinality sibling of ip_range (buckets come "
+        "from the data; one hash aggregation, validate-regex + integer "
+        "//-and-% octet arithmetic bound once, no UDF; the oracle "
+        "mirrors the arithmetic operator for operator, /20 width 4096). "
+        "append_prefix_length renders ES's '/N'-suffixed response keys; "
+        "IPv6 raises loudly.",
+)
+def q_es_aggs_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.expr("user_id DIV 256") % 256).cast("string"),
+            (F.col("user_id") % 256).cast("string"),
+            ((F.col("user_id") * 7) % 256).cast("string"),
+        ),
+    )
+    return es_aggregate(events, {"by_prefix": {
+        "ip_prefix": {"field": "ip", "prefix_length": 20,
+                      "append_prefix_length": True},
+        "aggs": {"total": {"sum": {"field": "value"}}},
+    }})
+
+
+@register(
     "search_terms_set",
     oracle=_TOKENS_CTE + """
     SELECT doc_id, lang,

@@ -378,3 +378,51 @@ def q_es_aggs_nested_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     }
     return es_request(doc, request)
+
+
+@register(
+    "es_aggs_reverse_nested",
+    oracle="""
+    SELECT n.n_name AS by_domain,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS parents
+    FROM lineitem l
+    JOIN nation n ON (l.l_suppkey % 25) = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_linenumber <= 2
+    GROUP BY 1
+    ORDER BY doc_count DESC, by_domain ASC
+    LIMIT 5
+    """,
+    doc="ES reverse_nested agg (r10): inside a nested terms agg, step "
+        "back to the ROOT document — per domain bucket, doc_count counts "
+        "nested elements while `parents` counts DISTINCT parent tweets "
+        "(ES's reverse_nested doc_count). Compiles to an exact "
+        "count-distinct over a synthetic parent id attached before the "
+        "explode (only its distinct count reaches the output). The "
+        "oracle recomputes both counts from the base star: elements = "
+        "fanned-out lineitem rows, parents = distinct orderkeys.",
+)
+def q_es_aggs_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    tables = tweet_star_from_tpch(spark, sf_dir)
+    doc = build_tweet_documents(tables)
+    request = {
+        "aggs": {
+            "ca": {
+                "nested": {"path": "context_annotations"},
+                "aggs": {
+                    "by_domain": {
+                        "terms": {
+                            "field": "context_annotations.domain.name",
+                            "size": 5,
+                        },
+                        "aggs": {"parents": {"reverse_nested": {}}},
+                    }
+                },
+            }
+        }
+    }
+    return es_request(doc, request)

@@ -374,8 +374,32 @@ def test_event_pipes(spark):
                           "e where true | unique user_id | head 1")) == [1]
     with pytest.raises(ValueError, match="unsupported EQL pipe"):
         parse_eql("e where true | sort value")
-    with pytest.raises(ValueError, match="event queries only"):
-        parse_eql("sequence by u [a where true] [b where true] | head 3")
+
+
+def test_sequence_pipes(spark):
+    """Pipes over sequence MATCHES in last-event hit order (ES orders
+    sequence results by their final event's timestamp)."""
+    rows = [
+        # three completed a->b sequences for three users, finishing at
+        # t=11, 21, 31; user 7 completes a second sequence at t=41
+        (1, 10.0, 7, "a", 0.0), (2, 11.0, 7, "b", 0.0),
+        (3, 20.0, 8, "a", 0.0), (4, 21.0, 8, "b", 0.0),
+        (5, 30.0, 9, "a", 0.0), (6, 31.0, 9, "b", 0.0),
+        (7, 40.0, 7, "a", 0.0), (8, 41.0, 7, "b", 0.0),
+    ]
+    df = _df(spark, rows)
+    q = "sequence by user_id [a where true] [b where true]"
+    lasts = lambda res: [r["id2"] for r in res.collect()]
+    assert lasts(eql_search(df, q + " | head 2")) == [2, 4]
+    assert lasts(eql_search(df, q + " | tail 2")) == [6, 8]
+    assert eql_search(df, q + " | count").collect()[0]["count"] == 4
+    # unique: the FIRST completed sequence per user, hit order
+    assert lasts(eql_search(df, q + " | unique user_id")) == [2, 4, 6]
+    assert lasts(eql_search(df, q + " | unique user_id | head 1")) == [2]
+    pq = parse_eql(q + " | head 3")
+    assert pq.kind == "sequence" and pq.pipes == [("head", 3)]
+    with pytest.raises(ValueError, match="not a sequence output column"):
+        eql_search(df, q + " | unique nope").collect()
 
 
 def test_watermarked_streaming_eql_reorders_late_events(spark, tmp_path):

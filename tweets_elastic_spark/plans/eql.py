@@ -8,6 +8,10 @@ Supported subset
 ----------------
 * simple event queries: ``<category> where <condition>`` — a filtered scan
   ordered by (timestamp, tiebreaker), ES's EQL hit order.
+* pipes ``head/tail/count/unique`` on BOTH query kinds: over hits for
+  event queries, over sequence MATCHES in last-event hit order (ES
+  orders sequence results by their final event's timestamp; ties break
+  on the final event id).
 * sequences::
 
       sequence by <field> [with maxspan=<n><unit>]
@@ -219,61 +223,65 @@ def _parse_condition(text: str) -> list[Comparison]:
     return out
 
 
+def _parse_pipes(pipe_srcs: list[str]) -> list[tuple]:
+    """head/tail/count/unique — shared by event and sequence queries."""
+    pipes: list[tuple] = []
+    for ps in pipe_srcs:
+        parts = ps.split()
+        if not parts:
+            raise ValueError("empty EQL pipe")
+        name = parts[0].lower()
+        if name in ("head", "tail"):
+            if len(parts) != 2 or not parts[1].isdigit():
+                raise ValueError(f"EQL {name} needs a count: {ps!r}")
+            pipes.append((name, int(parts[1])))
+        elif name == "count":
+            if len(parts) != 1:
+                raise ValueError(f"EQL count takes no args: {ps!r}")
+            pipes.append(("count",))
+        elif name == "unique":
+            if len(parts) != 2 or not _IDENT_RE.match(parts[1]):
+                raise ValueError(f"EQL unique needs a field: {ps!r}")
+            pipes.append(("unique", parts[1]))
+        else:
+            raise ValueError(
+                f"unsupported EQL pipe {name!r} "
+                "(head/tail/count/unique)"
+            )
+    for i, p in enumerate(pipes):
+        if p[0] == "count" and i != len(pipes) - 1:
+            raise ValueError(
+                "EQL `count` must be the final pipe: its output is a "
+                "single aggregate row, so pipes after it would be "
+                "silently dropped"
+            )
+    return pipes
+
+
 def parse_eql(query: str) -> EqlQuery:
     """Parse the supported EQL subset into an :class:`EqlQuery`."""
     q = _normalize_ws(query)  # quote-aware: literals kept byte-for-byte
     if not q:
         raise ValueError("empty EQL query")
-    if not q.lower().startswith("sequence"):
-        # simple event query: `<category> where <cond> [| pipe ...]`;
-        # pipe boundaries located on the quote mask so `msg == 'a|b'`
-        # keeps its literal intact
-        main, *pipe_srcs = _split_unquoted(q, "|")
-        m = re.match(r"^(\S+)\s+where\s+(.*)$", main.strip(),
+    # pipe boundaries located on the quote mask so `msg == 'a|b'` keeps
+    # its literal intact; pipes apply to event queries (over hits) AND
+    # sequences (over matches in last-event hit order, ES's contract)
+    main, *pipe_srcs = _split_unquoted(q, "|")
+    main = main.strip()
+    pipes = _parse_pipes(pipe_srcs)
+    if not main.lower().startswith("sequence"):
+        # simple event query: `<category> where <cond> [| pipe ...]`
+        m = re.match(r"^(\S+)\s+where\s+(.*)$", main,
                      flags=re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported EQL query {query!r}")
-        pipes: list[tuple] = []
-        for ps in pipe_srcs:
-            parts = ps.split()
-            if not parts:
-                raise ValueError("empty EQL pipe")
-            name = parts[0].lower()
-            if name in ("head", "tail"):
-                if len(parts) != 2 or not parts[1].isdigit():
-                    raise ValueError(f"EQL {name} needs a count: {ps!r}")
-                pipes.append((name, int(parts[1])))
-            elif name == "count":
-                if len(parts) != 1:
-                    raise ValueError(f"EQL count takes no args: {ps!r}")
-                pipes.append(("count",))
-            elif name == "unique":
-                if len(parts) != 2 or not _IDENT_RE.match(parts[1]):
-                    raise ValueError(f"EQL unique needs a field: {ps!r}")
-                pipes.append(("unique", parts[1]))
-            else:
-                raise ValueError(
-                    f"unsupported EQL pipe {name!r} "
-                    "(head/tail/count/unique)"
-                )
-        for i, p in enumerate(pipes):
-            if p[0] == "count" and i != len(pipes) - 1:
-                raise ValueError(
-                    "EQL `count` must be the final pipe: its output is a "
-                    "single aggregate row, so pipes after it would be "
-                    "silently dropped"
-                )
         return EqlQuery(
             "event",
             [StageFilter(m.group(1), _parse_condition(m.group(2)))],
             pipes=pipes,
         )
+    q = main
     q_mask = _quote_mask(q)
-    if "|" in q_mask:
-        raise ValueError(
-            "EQL pipes are supported on event queries only (a sequence's "
-            "result is already one row per match)"
-        )
     bracket_at = q_mask.find("[")
     if bracket_at == -1:
         raise ValueError("EQL sequence needs at least one [ ... ] stage")
@@ -354,7 +362,7 @@ def parse_eql(query: str) -> EqlQuery:
     if len(stages) < 2:
         raise ValueError("EQL sequence needs >= 2 stages")
     return EqlQuery("sequence", stages, by=by, maxspan_s=maxspan,
-                    until=until)
+                    until=until, pipes=pipes)
 
 
 def _cmp_col(c: Comparison) -> Column:
@@ -564,9 +572,37 @@ def eql_search(
         F.element_at(F.col("s.ids"), i + 1).alias(f"id{i + 1}")
         for i in range(L)
     ]
-    return runs.select(
+    out = runs.select(
         *[F.col(kn).alias(kf) for kn, kf in zip(knames, eq.by)],
         F.col("s.fts").alias("first_ts"),
         F.col("s.lts").alias("last_ts"),
         *id_cols,
     )
+    if not eq.pipes:
+        return out
+    # sequence hit order: by the final event (last_ts, then its id as the
+    # deterministic tiebreak) — ES orders sequence matches by the
+    # timestamp of their last event
+    asc = [F.col("last_ts").asc(), F.col(f"id{L}").asc()]
+    desc = [F.col("last_ts").desc(), F.col(f"id{L}").desc()]
+    for pipe in eq.pipes:
+        if pipe[0] == "head":
+            out = out.orderBy(*asc).limit(pipe[1])
+        elif pipe[0] == "tail":
+            out = out.orderBy(*desc).limit(pipe[1]).orderBy(*asc)
+        elif pipe[0] == "count":
+            return out.agg(F.count(F.lit(1)).alias("count"))
+        elif pipe[0] == "unique":
+            if pipe[1] not in out.columns:
+                raise ValueError(
+                    f"EQL unique field {pipe[1]!r} is not a sequence "
+                    f"output column (have: {out.columns})"
+                )
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(pipe[1]).orderBy(*asc)
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn")
+            )
+    return out.orderBy(*asc)

@@ -414,9 +414,9 @@ def q_events_json_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "eql_sequence_funnel",
-    oracle="""
+# the recursive-CTE automaton replay shared by the funnel row and the
+# sequence-pipes row (same sequence; the pipes row post-processes matches)
+_EQL_FUNNEL_BODY = """
     WITH RECURSIVE ev AS (
         SELECT user_id AS k, epoch(ts) AS tsd, event_id AS eid,
                event_type AS cat,
@@ -461,10 +461,19 @@ def q_events_json_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND NOT (e.cat = 'purchase' AND r.s2_ts IS NOT NULL
                       AND e.tsd - r.s2_ts <= 172800.0)) AS c2,
             (e.cat = 'view') AS c1) f
+    ),
+    seqs AS (
+        SELECT k AS user_id, m_first AS first_ts, m_last AS last_ts,
+               m_id1 AS id1, m_id2 AS id2, m_id3 AS id3
+        FROM run WHERE m_id3 IS NOT NULL
     )
-    SELECT k AS user_id, m_first AS first_ts, m_last AS last_ts,
-           m_id1 AS id1, m_id2 AS id2, m_id3 AS id3
-    FROM run WHERE m_id3 IS NOT NULL
+"""
+
+
+@register(
+    "eql_sequence_funnel",
+    oracle=_EQL_FUNNEL_BODY + """
+    SELECT user_id, first_ts, last_ts, id1, id2, id3 FROM seqs
     """,
     doc="EQL sequence correlation (r8 s4, plans/eql.py): `sequence by "
         "user_id with maxspan=2d [view][click][purchase]` through the "
@@ -484,6 +493,40 @@ def q_eql_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           [ view where true ]
           [ click where true ]
           [ purchase where true ]
+    """)
+
+
+@register(
+    "eql_sequence_pipes",
+    oracle=_EQL_FUNNEL_BODY + """
+    , u AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY last_ts, id3) AS rn
+        FROM seqs
+    )
+    SELECT user_id, first_ts, last_ts, id1, id2, id3
+    FROM u WHERE rn = 1
+    ORDER BY last_ts, id3
+    LIMIT 25
+    """,
+    doc="EQL pipes over sequence MATCHES (r10): `... | unique user_id | "
+        "head 25` — matches ordered by their FINAL event (last_ts, then "
+        "its id — ES's sequence hit order), first match per user, top "
+        "25. unique compiles to one row_number window over the match "
+        "relation; head to TakeOrderedAndProject. Shares the funnel's "
+        "recursive-CTE automaton oracle body; the pipe layer is replayed "
+        "as a window + ORDER/LIMIT over the same matches.",
+)
+def q_eql_sequence_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    events = load_table(spark, sf_dir, "events")
+    return eql_search(events, """
+        sequence by user_id with maxspan=2d
+          [ view where true ]
+          [ click where true ]
+          [ purchase where true ]
+        | unique user_id | head 25
     """)
 
 

@@ -101,3 +101,32 @@ def test_has_child_aggregates_before_join(rel):
     # predicate, so the aggregate keys on fk alone)
     assert "HashAggregate" in plan
     assert "Join" in plan or "join" in plan.lower()
+
+
+def test_parent_agg_counts_each_parent_once(spark):
+    """ES parent agg: a parent with many children in the same bucket
+    counts ONCE (doc_count counts parents; metrics see the deduped
+    parent rows)."""
+    from tweets_elastic_spark.plans.joinfield import parent_agg
+
+    parents = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 10.0)], "pid long, price double"
+    )
+    children = spark.createDataFrame(
+        [  # parent 1 has THREE 'x' children; parent 2 one 'x', one 'y'
+            (10, 1, "x"), (11, 1, "x"), (12, 1, "x"),
+            (20, 2, "x"), (21, 2, "y"), (30, 3, "y"), (31, 4, "x"),
+        ],
+        "cid long, pfk long, tag string",
+    )
+    got = {
+        r["tag"]: (r["doc_count"], r["total"])
+        for r in parent_agg(
+            parents, children, parent_key="pid", child_key="pfk",
+            group_by="tag",
+            aggs={"total": {"sum": {"field": "price"}}},
+        ).collect()
+    }
+    # x: parents {1, 2} (child 31's parent 4 doesn't exist -> inner join
+    # drops it); y: parents {2, 3}
+    assert got == {"x": (2, 150.0), "y": (2, 60.0)}

@@ -38,7 +38,8 @@ from tweets_elastic_spark.plans.search import (
     from_es_json,
 )
 
-__all__ = ["has_child", "has_parent", "parent_id", "children_agg"]
+__all__ = ["has_child", "has_parent", "parent_id", "children_agg",
+           "parent_agg"]
 
 _SCORE_MODES = {
     "none": None, "sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg,
@@ -164,6 +165,42 @@ def children_agg(
     ).filter(F.col(group_by).isNotNull())
     joined = children.join(
         keyed_parents, children[child_key] == F.col("__pk"), "inner"
+    )
+    return joined.groupBy(group_by).agg(
+        F.count(F.lit(1)).alias("doc_count"), *_metric_cols(aggs)
+    )
+
+
+def parent_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    group_by: str,
+    aggs: dict,
+) -> DataFrame:
+    """ES ``parent`` aggregation — the children agg's inverse: bucket
+    CHILDREN by one of their fields, evaluate metric sub-aggs over each
+    bucket's PARENTS. ES's contract counts each parent ONCE per bucket
+    no matter how many of its children land there (the per-shard
+    child→parent hop dedups on the join field), so the plan dedups the
+    (bucket, parent key) pairs BEFORE joining the parent payload: one
+    child-side projection + distinct, a join that moves only qualifying
+    parent keys (broadcast when dimension-sized), one groupBy.
+    ``doc_count`` counts PARENTS; ``aggs`` metrics evaluate over the
+    deduped parent rows."""
+    from tweets_elastic_spark.plans.aggs import _metric_cols
+
+    pairs = (
+        children.select(
+            F.col(group_by), F.col(child_key).alias("__pk")
+        )
+        .filter(F.col(group_by).isNotNull() & F.col("__pk").isNotNull())
+        .distinct()
+    )
+    joined = pairs.join(
+        parents, pairs["__pk"] == parents[parent_key], "inner"
     )
     return joined.groupBy(group_by).agg(
         F.count(F.lit(1)).alias("doc_count"), *_metric_cols(aggs)

@@ -5130,3 +5130,44 @@ def q_es_aggs_children(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 6).alias("revenue"),
         F.round("avg_qty", 6).alias("avg_qty"),
     )
+
+
+@register(
+    "es_aggs_parent",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l.l_returnflag, l.l_orderkey
+        FROM lineitem l
+        WHERE l.l_returnflag IS NOT NULL
+    )
+    SELECT p.l_returnflag,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(o.o_totalprice), 6) AS revenue,
+           round(avg(o.o_totalprice), 6) AS avg_price
+    FROM pairs p JOIN orders o ON p.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="ES parent agg (r10, plans/joinfield.py — the children agg's "
+        "inverse): children bucketed by a child field, metrics over each "
+        "bucket's PARENTS with every parent counted ONCE per bucket no "
+        "matter how many children land there (ES's per-shard "
+        "child->parent hop dedups on the join field). The plan dedups "
+        "(bucket, parent key) pairs child-side BEFORE the join, so only "
+        "qualifying keys move; the oracle mirrors with SELECT DISTINCT "
+        "then the parent join.",
+)
+def q_es_aggs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.joinfield import parent_agg
+
+    return parent_agg(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        parent_key="o_orderkey", child_key="l_orderkey",
+        group_by="l_returnflag",
+        aggs={"revenue": {"sum": {"field": "o_totalprice"}},
+              "avg_price": {"avg": {"field": "o_totalprice"}}},
+    ).select(
+        "l_returnflag", "doc_count",
+        F.round("revenue", 6).alias("revenue"),
+        F.round("avg_price", 6).alias("avg_price"),
+    )

@@ -191,6 +191,35 @@ def test_match_agrees_with_dsl_bm25_nodes(spark, docs):
     assert got == want and len(got) == 4
 
 
+def test_date_part_functions(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 15, 9, 30, 5)),
+         (2, dt.datetime(2024, 1, 20, 10, 0, 0)),
+         (3, dt.datetime(2024, 3, 2, 23, 59, 59)),
+         (4, dt.datetime(2025, 3, 2, 0, 0, 1))],
+        "id long, ts timestamp",
+    )
+    got = _rows(es_sql(
+        "SELECT YEAR(ts) AS y, MONTH(ts) AS m, COUNT(*) AS n FROM t "
+        "GROUP BY y, m ORDER BY y, m", {"t": df}))
+    assert got == [(2024, 1, 2), (2024, 3, 1), (2025, 3, 1)]
+    # plain (ungrouped) select + HAVING over the alias
+    got = _rows(es_sql(
+        "SELECT id, HOUR(ts) AS h FROM t ORDER BY id LIMIT 2", {"t": df}))
+    assert got == [(1, 9), (2, 10)]
+    got = _rows(es_sql(
+        "SELECT YEAR(ts) AS y, COUNT(*) AS n FROM t GROUP BY y "
+        "HAVING n >= 3 ORDER BY y", {"t": df}))
+    assert got == [(2024, 3)]
+    # results are BIGINT (DuckDB's year() width)
+    out = es_sql("SELECT YEAR(ts) AS y FROM t", {"t": df})
+    assert dict(out.dtypes)["y"] == "bigint"
+    with pytest.raises(ValueError, match="argument must be a column"):
+        es_sql("SELECT YEAR(1) AS y FROM t", {"t": df})
+
+
 def test_essql_differential_vs_duckdb(spark):
     """Property-style differential: randomly composed queries from the
     supported subset must return identical rows from es_sql and from

@@ -10,9 +10,13 @@ Spark, never an interpreter.
 Supported subset (ANSI-compatible on purpose — a query accepted here runs
 verbatim on DuckDB/Postgres, which is exactly how the oracle checks it):
 
-* ``SELECT col | agg | ROUND(agg, n) [AS alias], ... FROM <table>``
-  with aggs ``COUNT(*) | COUNT(col) | SUM | AVG | MIN | MAX``; aggregates
-  MUST be aliased (engines disagree on default names).
+* ``SELECT col | agg | ROUND(agg, n) | datefn(col) [AS alias], ...
+  FROM <table>`` with aggs ``COUNT(*) | COUNT(col) | SUM | AVG | MIN |
+  MAX`` and date parts ``YEAR/MONTH/DAY/HOUR/MINUTE/SECOND/DAYOFWEEK/
+  DAYOFYEAR`` (ES SQL's scalar date functions; same names in DuckDB, so
+  the string stays verbatim-oracle-able — results are BIGINT, DuckDB's
+  width, alias required and usable in GROUP BY/HAVING/ORDER BY);
+  aggregates MUST be aliased (engines disagree on default names).
 * ``WHERE`` with ``= <> != < <= > >=``, ``AND/OR/NOT`` + parentheses,
   ``[NOT] IN (...)``, ``[NOT] LIKE``, ``[NOT] BETWEEN a AND b``
   (inclusive), ``IS [NOT] NULL``.
@@ -51,10 +55,18 @@ _TOKEN_RE = re.compile(
 )
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+# ES SQL's date-part scalar functions, ANSI-portable (DuckDB has the same
+# names). All return BIGINT — DuckDB's year() is 64-bit and the engines
+# must agree on the wire type, so the Spark side casts (documented).
+_DATE_FNS = {
+    "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+    "HOUR": F.hour, "MINUTE": F.minute, "SECOND": F.second,
+    "DAYOFWEEK": F.dayofweek, "DAYOFYEAR": F.dayofyear,
+}
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "IS",
              "NULL", "AS", "ASC", "DESC", "ROUND", "TRUE", "FALSE",
-             "MATCH", "SCORE"}
+             "MATCH", "SCORE"} | set(_DATE_FNS)
 
 
 def _tokenize(sql: str) -> tuple[list[tuple[str, object]], list[str | None]]:
@@ -143,6 +155,17 @@ class _Parser:
                 raise ValueError("ES SQL: SCORE takes no arguments: SCORE()")
             alias = self._alias(required=True)
             return ("score", None, alias)
+        if k == "kw" and v in _DATE_FNS:
+            self.next()
+            if not self.accept_op("("):
+                raise ValueError(f"ES SQL: {v} needs (")
+            ck, cv = self.next()
+            if ck != "ident":
+                raise ValueError(f"ES SQL: {v} argument must be a column")
+            if not self.accept_op(")"):
+                raise ValueError(f"ES SQL: {v} missing )")
+            alias = self._alias(required=True)
+            return ("expr", (v, cv), alias)
         if k == "kw" and v in (_AGG_FNS | {"ROUND"}):
             item = self._agg_call()
             alias = self._alias(required=True)
@@ -433,6 +456,18 @@ def es_sql(
 
     if p.accept_kw("WHERE"):
         df = df.filter(p.expr(F.col))
+
+    # date-part select items (YEAR(ts) AS y, ...) materialize as named
+    # columns before aggregation, so GROUP BY / HAVING / ORDER BY can
+    # reference the alias — exactly how DuckDB resolves the same string
+    for kind, pay, alias in items:
+        if kind == "expr":
+            fn, col = pay
+            df = df.withColumn(
+                alias, _DATE_FNS[fn](F.col(col)).cast("bigint")
+            )
+    items = [("col", alias, alias) if kind == "expr" else (kind, pay, alias)
+             for kind, pay, alias in items]
 
     score_aliases = [alias for kind, _, alias in items if kind == "score"]
     if score_aliases and not p.match_nodes:

@@ -440,6 +440,32 @@ def q_essql_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                   {"orders": load_table(spark, sf_dir, "orders")})
 
 
+_ESSQL_DATE = """SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS total
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY y, m
+HAVING n > 5
+ORDER BY y, m
+LIMIT 50"""
+
+
+@register(
+    "essql_date_parts",
+    oracle=_ESSQL_DATE,
+    doc="ES SQL date-part scalar functions (r10): YEAR()/MONTH() in the "
+        "select list and GROUP BY-by-alias — the endpoint's monthly-"
+        "rollup idiom. Date parts compile to the matching Catalyst "
+        "datetime expressions cast to BIGINT (DuckDB's width, so the "
+        "SAME string is the oracle verbatim, like every essql row).",
+)
+def q_essql_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.essql import es_sql
+
+    return es_sql(_ESSQL_DATE,
+                  {"orders": load_table(spark, sf_dir, "orders")})
+
+
 @register(
     "essql_filter_query",
     oracle=_ESSQL_FILTER,

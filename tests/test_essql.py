@@ -191,6 +191,18 @@ def test_match_agrees_with_dsl_bm25_nodes(spark, docs):
     assert got == want and len(got) == 4
 
 
+def test_count_distinct(spark, t):
+    got = _rows(es_sql(
+        "SELECT COUNT(DISTINCT g) AS ng, COUNT(g) AS n FROM t", t))
+    assert got == [(2, 4)]  # NULL g excluded from both
+    got = _rows(es_sql(
+        "SELECT g, COUNT(DISTINCT s) AS ns FROM t "
+        "WHERE g IS NOT NULL GROUP BY g ORDER BY g", t))
+    assert got == [("a", 1), ("b", 2)]
+    with pytest.raises(ValueError, match="COUNT only"):
+        es_sql("SELECT SUM(DISTINCT v) AS s FROM t", t)
+
+
 def test_date_part_functions(spark):
     import datetime as dt
 
@@ -256,7 +268,8 @@ def test_essql_differential_vs_duckdb(spark):
 
     for _ in range(25):
         if rnd.random() < 0.5:
-            q = (f"SELECT g, COUNT(*) AS n, ROUND(SUM(v), 6) AS sv "
+            q = (f"SELECT g, COUNT(*) AS n, ROUND(SUM(v), 6) AS sv, "
+                 f"COUNT(DISTINCT s) AS ns "
                  f"FROM t WHERE {rand_where()} GROUP BY g")
         else:
             q = (f"SELECT id, g, v FROM t WHERE {rand_where()} "

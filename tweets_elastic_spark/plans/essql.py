@@ -11,8 +11,8 @@ Supported subset (ANSI-compatible on purpose — a query accepted here runs
 verbatim on DuckDB/Postgres, which is exactly how the oracle checks it):
 
 * ``SELECT col | agg | ROUND(agg, n) | datefn(col) [AS alias], ...
-  FROM <table>`` with aggs ``COUNT(*) | COUNT(col) | SUM | AVG | MIN |
-  MAX`` and date parts ``YEAR/MONTH/DAY/HOUR/MINUTE/SECOND/DAYOFWEEK/
+  FROM <table>`` with aggs ``COUNT(*) | COUNT(col) | COUNT(DISTINCT
+  col) | SUM | AVG | MIN | MAX`` and date parts ``YEAR/MONTH/DAY/HOUR/MINUTE/SECOND/DAYOFWEEK/
   DAYOFYEAR`` (ES SQL's scalar date functions; same names in DuckDB, so
   the string stays verbatim-oracle-able — results are BIGINT, DuckDB's
   width, alias required and usable in GROUP BY/HAVING/ORDER BY);
@@ -66,7 +66,7 @@ _DATE_FNS = {
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "IS",
              "NULL", "AS", "ASC", "DESC", "ROUND", "TRUE", "FALSE",
-             "MATCH", "SCORE"} | set(_DATE_FNS)
+             "MATCH", "SCORE", "DISTINCT"} | set(_DATE_FNS)
 
 
 def _tokenize(sql: str) -> tuple[list[tuple[str, object]], list[str | None]]:
@@ -216,10 +216,16 @@ class _Parser:
                 raise ValueError(f"ES SQL: {fn}(*) is not a thing")
             arg = None
         else:
+            distinct = self.accept_kw("DISTINCT")
+            if distinct and fn != "COUNT":
+                raise ValueError(
+                    f"ES SQL: DISTINCT is supported in COUNT only, "
+                    f"not {fn}"
+                )
             ak, av = self.next()
             if ak != "ident":
                 raise ValueError(f"ES SQL: {fn} argument must be a column")
-            arg = av
+            arg = ("DISTINCT", av) if distinct else av
         if not self.accept_op(")"):
             raise ValueError(f"ES SQL: {fn} missing )")
         return (fn, arg, digits)
@@ -366,9 +372,14 @@ class _Parser:
         }[ov]
 
 
-def _agg_col(fn: str, arg: str | None, digits: int | None, alias: str) -> Column:
+def _agg_col(fn: str, arg, digits: int | None, alias: str) -> Column:
     if fn == "COUNT":
-        out = F.count(F.lit(1)) if arg is None else F.count(F.col(arg))
+        if arg is None:
+            out = F.count(F.lit(1))
+        elif isinstance(arg, tuple):  # ("DISTINCT", col)
+            out = F.countDistinct(F.col(arg[1]))
+        else:
+            out = F.count(F.col(arg))
     else:
         out = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[fn](
             F.col(arg)

@@ -230,6 +230,15 @@ def test_date_part_functions(spark):
     assert dict(out.dtypes)["y"] == "bigint"
     with pytest.raises(ValueError, match="argument must be a column"):
         es_sql("SELECT YEAR(1) AS y FROM t", {"t": df})
+    # date parts as WHERE predicates (with IN/BETWEEN/comparison forms)
+    got = _rows(es_sql(
+        "SELECT id FROM t WHERE YEAR(ts) = 2024 AND MONTH(ts) IN (1, 2) "
+        "ORDER BY id", {"t": df}))
+    assert got == [(1,), (2,)]
+    got = _rows(es_sql(
+        "SELECT id FROM t WHERE HOUR(ts) BETWEEN 9 AND 11 ORDER BY id",
+        {"t": df}))
+    assert got == [(1,), (2,)]
 
 
 def test_essql_differential_vs_duckdb(spark):

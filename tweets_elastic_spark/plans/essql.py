@@ -328,9 +328,21 @@ class _Parser:
                 "ES SQL: SCORE() is not a predicate — select it (aliased) "
                 "or ORDER BY it"
             )
-        if k != "ident":
+        if k == "kw" and v in _DATE_FNS:
+            # WHERE YEAR(ts) = 2024 — the date-part call as a comparison
+            # LHS, same BIGINT rendering as the select-list form
+            if not self.accept_op("("):
+                raise ValueError(f"ES SQL: {v} needs (")
+            ck, cv = self.next()
+            if ck != "ident":
+                raise ValueError(f"ES SQL: {v} argument must be a column")
+            if not self.accept_op(")"):
+                raise ValueError(f"ES SQL: {v} missing )")
+            c = _DATE_FNS[v](cols(cv)).cast("bigint")
+        elif k != "ident":
             raise ValueError(f"ES SQL: expected a column, got {v!r}")
-        c = cols(v)
+        else:
+            c = cols(v)
         neg = self.accept_kw("NOT")
         if self.accept_kw("IS"):
             if neg:

@@ -2556,3 +2556,28 @@ def test_validate_query():
     ok, expl = es_validate_query(
         {"combined_fields": {"query": "x", "fields": ["a"]}})
     assert not ok and "combined_stats_for" in expl
+
+
+def test_terms_enum_pagination_and_case(spark):
+    from tweets_elastic_spark.plans.api import es_terms_enum
+
+    df = spark.createDataFrame(
+        [("Apple",), ("apricot",), ("Avocado",), ("banana",), ("APPLE",),
+         (None,), ("apple",)],
+        "w string",
+    )
+    terms = lambda **kw: [r["term"] for r in
+                          es_terms_enum(df, "w", **kw).collect()]
+    # case-sensitive prefix, stored terms, ascending, distinct
+    assert terms(string="ap", size=10) == ["apple", "apricot"]
+    # case-insensitive matches both cases but returns STORED terms
+    assert terms(string="ap", size=10, case_insensitive=True) == \
+        ["APPLE", "Apple", "apple", "apricot"]
+    # keyset pagination resumes after the last term of the prior page
+    page1 = terms(string="", size=3)
+    page2 = terms(string="", size=3, search_after=page1[-1])
+    assert page1 + page2 == \
+        ["APPLE", "Apple", "Avocado", "apple", "apricot", "banana"]
+    import pytest as pt
+    with pt.raises(ValueError, match="size"):
+        es_terms_enum(df, "w", size=0)

@@ -165,6 +165,42 @@ def es_analyze(spark, text: str, *, analyzer: str = "standard") -> DataFrame:
     ).select("token", F.col("position").cast("int").alias("position"))
 
 
+def es_terms_enum(
+    df: DataFrame,
+    field: str,
+    *,
+    string: str = "",
+    size: int = 10,
+    case_insensitive: bool = False,
+    search_after: str | None = None,
+) -> DataFrame:
+    """ES ``_terms_enum``: the first ``size`` distinct values of a keyword
+    field that start with ``string``, in ascending order — the index
+    autocomplete surface. ``search_after`` resumes AFTER a previous
+    page's last term (keyset pagination, the same contract as search's
+    search_after). Compiles to prefix-filter → distinct → TakeOrdered:
+    the filter rides the scan (startswith pushes down), the distinct is
+    one hash aggregation over qualifying terms only, and at index scale
+    the stored term dictionary answers it without touching documents.
+    ``case_insensitive`` lowercases both sides for matching but returns
+    the STORED term (ES's behavior)."""
+    if size <= 0:
+        raise ValueError("_terms_enum size must be > 0")
+    c = F.col(field)
+    out = df.filter(c.isNotNull())
+    if string:
+        matchee = F.lower(c) if case_insensitive else c
+        needle = string.lower() if case_insensitive else string
+        out = out.filter(matchee.startswith(F.lit(needle)))
+    if search_after is not None:
+        out = out.filter(c > F.lit(search_after))
+    return (
+        out.select(c.alias("term")).distinct()
+        .orderBy(F.col("term").asc())
+        .limit(size)
+    )
+
+
 def es_mget(
     df: DataFrame,
     ids: list,

@@ -5171,3 +5171,28 @@ def q_es_aggs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 6).alias("revenue"),
         F.round("avg_price", 6).alias("avg_price"),
     )
+
+
+@register(
+    "es_terms_enum",
+    oracle="""
+    SELECT DISTINCT p_type AS term
+    FROM part
+    WHERE p_type IS NOT NULL AND p_type LIKE 'STANDARD%'
+    ORDER BY term
+    LIMIT 10
+    """,
+    doc="ES _terms_enum (r10, plans/api.py): the first N distinct "
+        "keyword-field values with a given prefix, ascending — the index "
+        "autocomplete endpoint. Prefix filter rides the scan (startswith "
+        "pushes down), one distinct hash aggregation over qualifying "
+        "terms, TakeOrdered for the page; search_after keyset pagination "
+        "and case_insensitive matching are pytest-pinned.",
+)
+def q_es_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.api import es_terms_enum
+
+    return es_terms_enum(
+        load_table(spark, sf_dir, "part"), "p_type",
+        string="STANDARD", size=10,
+    )

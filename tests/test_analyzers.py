@@ -171,3 +171,32 @@ def test_char_ngrams_min_gram_above_one_no_fabricated_grams(spark):
         char_ngrams(F.array(F.lit("a")), 2, 10).alias("g")
     ).head()
     assert list(row2["g"]) == []
+
+
+def test_trim_truncate_unique_fingerprint_filters(spark):
+    from tweets_elastic_spark.functions.analyzers import (
+        analyze, fingerprint_filter, trim_tokens, truncate_tokens,
+        unique_tokens,
+    )
+
+    df = spark.createDataFrame([(" b ", ["  a ", "b"], ["b", "a", "b"])],
+                               "s string, t array<string>, u array<string>")
+    row = df.select(
+        trim_tokens("t").alias("trim"),
+        truncate_tokens(F.col("u"), 1).alias("trunc"),
+        unique_tokens("u").alias("uniq"),
+        fingerprint_filter("u").alias("fp"),
+    ).head()
+    assert list(row["trim"]) == ["a", "b"]
+    assert list(row["trunc"]) == ["b", "a", "b"]
+    assert list(row["uniq"]) == ["b", "a"]       # first occurrence kept
+    assert list(row["fp"]) == ["a b"]            # sorted, deduped, joined
+    with pytest.raises(ValueError, match=">= 1"):
+        df.select(truncate_tokens(F.col("u"), 0))
+    # the full fingerprint analyzer: tokenize, lower, fold, normalize
+    out = spark.createDataFrame(
+        [("The quick  brown the QUICK fox",), ("",), ("  ",)],
+        "text string",
+    ).select(analyze(F.col("text"), "fingerprint").alias("fp")).collect()
+    assert list(out[0]["fp"]) == ["brown fox quick the"]
+    assert list(out[1]["fp"]) == [] and list(out[2]["fp"]) == []

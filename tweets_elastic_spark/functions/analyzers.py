@@ -234,6 +234,51 @@ def analyzer_custom_shingles(c: Column) -> Column:
     return shingles(asciifold(toks))
 
 
+def trim_tokens(toks: Column) -> Column:
+    """ES ``trim`` token filter: strip leading/trailing whitespace from
+    each token (tokens that become empty stay — ES's behavior; chain
+    with a length/stop filter to drop them). The lambda is single-arg on
+    purpose: HOF callables are arity-dispatched, and a bare ``F.trim``
+    (which has an optional second parameter) would receive the element
+    INDEX as its trim-character set."""
+    return F.transform(toks, lambda t: F.trim(t))
+
+
+def truncate_tokens(toks: Column, length: int = 10) -> Column:
+    """ES ``truncate`` token filter: cut every token to ``length``
+    characters (default 10, ES's default)."""
+    if length < 1:
+        raise ValueError("truncate length must be >= 1")
+    return F.transform(toks, lambda t: F.substring(t, 1, length))
+
+
+def unique_tokens(toks: Column) -> Column:
+    """ES ``unique`` token filter: drop duplicate tokens, keeping each
+    first occurrence in stream order (``only_on_same_position`` is not
+    supported — positions aren't tracked here)."""
+    return F.array_distinct(toks)
+
+
+def fingerprint_filter(toks: Column) -> Column:
+    """ES ``fingerprint`` token filter: sort, dedupe and concatenate the
+    stream into ONE output token (the OpenRefine-style clustering
+    normalizer behind the fingerprint analyzer). An empty stream stays
+    empty, ES's contract."""
+    joined = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return F.when(
+        joined == F.lit(""), F.array().cast("array<string>")
+    ).otherwise(F.array(joined))
+
+
+def analyzer_fingerprint(c: Column) -> Column:
+    """ES's BUILT-IN ``fingerprint`` analyzer: standard tokenizer →
+    lowercase → asciifolding → fingerprint filter (no stopwords by
+    default). One token out: the sorted-deduped-space-joined normal
+    form — equal fingerprints mean same word multiset, the classic
+    near-dup clustering key."""
+    return fingerprint_filter(asciifold(lowercase(standard_tokenize(c))))
+
+
 def analyzer_standard(c: Column) -> Column:
     """ES's BUILT-IN ``standard`` analyzer (standard tokenizer + lowercase,
     no char filters) — the default every text field gets when the mapping
@@ -255,6 +300,7 @@ ANALYZERS = {
     "custom_shingles": analyzer_custom_shingles,
     "keyword_lowercase": analyzer_keyword_lowercase,
     "standard": analyzer_standard,
+    "fingerprint": analyzer_fingerprint,
 }
 
 

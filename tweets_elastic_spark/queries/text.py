@@ -337,3 +337,33 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("subwords_per_word"),
     )
+
+
+@register(
+    "analyze_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(
+             list_sort(list_distinct(
+               list_filter(
+                 list_transform(
+                   regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}''’]+'),
+                   x -> regexp_replace(x, '^[''’]+|[''’]+$', '')),
+                 x -> x <> ''))), ' ') AS fingerprint
+    FROM documents
+    """,
+    doc="ES's built-in fingerprint ANALYZER (r10, analyzers.py): "
+        "standard tokenize -> lowercase -> asciifold -> sort + dedupe + "
+        "space-join into one normal-form token (equal fingerprints = "
+        "same word multiset, the classic clustering key). ASCII corpus "
+        "=> asciifold is identity, so the oracle mirrors the chain "
+        "exactly; all work is scan-local expressions (the asciifold leg "
+        "is the one Arrow-batched UDF, shared with T5).",
+)
+def q_analyze_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.array_join(A.analyze(F.col("text"), "fingerprint"), " ")
+        .alias("fingerprint"),
+    )

@@ -356,3 +356,44 @@ def test_chunk_documents_windows_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_c4_line_filter_rules(spark):
+    from tweets_elastic_spark.operators.curation import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> survives with exactly those lines
+            (1, 'one two three four five.\n'
+                'does it end with a question mark here?\n'
+                'short no.\n'
+                'this line simply never terminates properly\n'
+                'quoted line with five good words."'),
+            # javascript line dropped -> only 2 kept -> page dropped
+            (2, 'one two three four five.\n'
+                'please enable JavaScript to continue browsing now.\n'
+                'another proper sentence with enough words.'),
+            # lorem ipsum anywhere -> page dropped
+            (3, 'a perfectly fine sentence with words.\n'
+                'b perfectly fine sentence with words.\n'
+                'Lorem ipsum dolor sit amet consectetur!'),
+            # curly brace -> page dropped
+            (4, 'a perfectly fine sentence with words.\n'
+                'b perfectly fine sentence with words.\n'
+                'c fine sentence mentioning code() { today.'),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["n_lines_kept"])
+           for r in c4_line_filter(docs).collect()}
+    assert list(got) == [1]
+    text, n = got[1]
+    assert n == 3 and text.split("\n") == [
+        "one two three four five.",
+        "does it end with a question mark here?",
+        'quoted line with five good words."',
+    ]
+    # min_lines / min_words knobs: doc 2 keeps 2 non-javascript lines
+    assert c4_line_filter(docs, min_lines=2).count() == 2
+    assert c4_line_filter(docs, min_words=9, min_lines=1).count() == 0

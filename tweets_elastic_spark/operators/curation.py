@@ -297,6 +297,59 @@ def line_dedup(
     )
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 — the classic pretraining line filter):
+
+    * keep only lines that end in terminal punctuation (``. ! ? "``),
+      carry at least ``min_words`` whitespace words, and do not contain
+      the word "javascript" (case-insensitive) — the cookie-banner rule;
+    * drop the whole page when it contains "lorem ipsum" (any case) or a
+      curly brace ``{`` (code), or when fewer than ``min_lines`` lines
+      survive (C4 counts sentences; this engine counts kept lines — a
+      documented approximation, no sentence splitter in the chain).
+      C4's bad-words page rule is NOT implemented (the list is a
+      licensing/俗-content artifact, out of scope) — documented omission.
+
+    Returns (id, text, n_lines_kept) for surviving pages, text rebuilt
+    from the kept lines in order.
+
+    Scale shape: every rule is a scan-local JVM expression over the
+    line array (split → filter HOF → array_join) — NO shuffle, the
+    filter literally rides the scan; at 100 TB this is the cheapest
+    possible pass (one read, one write). The kept-lines expression is
+    referenced by both the gate and the projection; the optimizer may
+    evaluate it twice per row (no CSE) — both evaluations are linear
+    string work on the same scan, accepted and documented."""
+    line_ok = lambda l: (
+        F.size(
+            F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != F.lit(""))
+        ) >= min_words
+    ) & F.trim(l).rlike(r'[.!?"]$') & ~F.lower(l).contains("javascript")
+    kept = F.filter(F.split(F.col(text_col), "\n"), line_ok)
+    page_ok = (
+        F.col(text_col).isNotNull()
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return (
+        docs.filter(page_ok)
+        .select(
+            F.col(id_col),
+            F.array_join(kept, "\n").alias(text_col),
+            F.size(kept).alias("n_lines_kept"),
+        )
+        .filter(F.col("n_lines_kept") >= min_lines)
+    )
+
+
 def dup_ngram_stats(
     corpus: DataFrame,
     k: int = 13,

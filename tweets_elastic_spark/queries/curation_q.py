@@ -770,3 +770,70 @@ def q_tfidf_hashed_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 97 == 0
     )
     return hashed_tfidf_sparse(docs, dim=256)
+
+
+@register(
+    "c4_line_filter",
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               text || '.' || chr(10) ||
+               'too short.' || chr(10) ||
+               'this line has no terminal punctuation at all' || chr(10) ||
+               'please enable javascript to view this page.' || chr(10) ||
+               text || '!' || chr(10) ||
+               'a third proper sentence with enough words here.' ||
+               CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function() {'
+                    WHEN doc_id % 17 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit amet consectetur.'
+                    ELSE '' END AS text
+        FROM documents WHERE text IS NOT NULL
+    ),
+    kept AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, chr(10)), l ->
+                 len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                                 w -> w <> '')) >= 5
+                 AND regexp_matches(trim(l), '[.!?"]$')
+                 AND NOT contains(lower(l), 'javascript')) AS k
+        FROM pages
+    )
+    SELECT doc_id, array_to_string(k, chr(10)) AS text,
+           CAST(len(k) AS INT) AS n_lines_kept
+    FROM kept
+    WHERE NOT contains(lower(text), 'lorem ipsum')
+      AND NOT contains(text, '{')
+      AND len(k) >= 3
+    """,
+    doc="C4-style heuristic cleaning (r10, operators/curation.py "
+        "c4_line_filter — Raffel et al. 2020 §2.2): terminal-punctuation "
+        "+ min-words + javascript line rules, lorem-ipsum / curly-brace "
+        "/ min-kept-lines page rules. Pages are planted in-plan (the "
+        "line_dedup fixture pattern): each doc gets two keepable body "
+        "lines + three rule-violating lines, every 13th a code brace and "
+        "every 17th a lorem-ipsum line so both page gates fire. All "
+        "scan-local HOF expressions — no shuffle; the oracle mirrors "
+        "construction and rules exactly.",
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = F.concat(
+        F.col("text"), F.lit(".\n"),
+        F.lit("too short.\n"),
+        F.lit("this line has no terminal punctuation at all\n"),
+        F.lit("please enable javascript to view this page.\n"),
+        F.col("text"), F.lit("!\n"),
+        F.lit("a third proper sentence with enough words here."),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(base, F.lit("\nfunction() {")))
+        .when(F.col("doc_id") % 17 == 0,
+              F.concat(base,
+                       F.lit("\nLorem Ipsum dolor sit amet consectetur.")))
+        .otherwise(base)
+        .alias("text"),
+    )
+    return C.c4_line_filter(aug)

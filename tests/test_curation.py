@@ -397,3 +397,40 @@ def test_c4_line_filter_rules(spark):
     # min_lines / min_words knobs: doc 2 keeps 2 non-javascript lines
     assert c4_line_filter(docs, min_lines=2).count() == 2
     assert c4_line_filter(docs, min_words=9, min_lines=1).count() == 0
+
+
+def test_gopher_quality_features(spark):
+    from pyspark.sql import functions as F
+    from tweets_elastic_spark.functions.textstats import (
+        gopher_quality_features, whitespace_words,
+    )
+
+    df = spark.createDataFrame(
+        [("The cat and the dog sat... #tag\n• bullet item\nplain line…",)],
+        "text string",
+    )
+    staged = df.select(
+        F.transform(whitespace_words(F.col("text")), F.lower).alias("w"),
+        F.filter(F.split(F.col("text"), "\n"),
+                 lambda l: l != F.lit("")).alias("ln"),
+        "text",
+    )
+    f = gopher_quality_features(F.col("w"), F.col("text"), F.col("ln"))
+    row = staged.select(
+        f["n_words"].alias("n"), f["mean_word_len"].alias("mwl"),
+        f["symbol_word_ratio"].alias("sym"),
+        f["alpha_word_ratio"].alias("alpha"),
+        f["stop_hits"].alias("stops"),
+        f["bullet_line_ratio"].alias("bul"),
+        f["ellipsis_line_ratio"].alias("ell"),
+    ).head()
+    # words: the cat and the dog sat... #tag • bullet item plain line… = 12
+    assert row["n"] == 12
+    # symbols: one '...', one '#', one '…' -> 3/12
+    assert abs(row["sym"] - 3 / 12) < 1e-9
+    # only the bare '•' word has no [a-z]: 11/12
+    assert abs(row["alpha"] - 11 / 12) < 1e-9
+    # stops present: the, and -> 2 distinct hits
+    assert row["stops"] == 2
+    # 3 lines: one bullet-start, one ellipsis-end
+    assert abs(row["bul"] - 1 / 3) < 1e-9 and abs(row["ell"] - 1 / 3) < 1e-9

@@ -288,6 +288,109 @@ def classifier_oracle_sql() -> str:
 # keyword-stuffing, and generation loops — standard pretraining filters.
 # ---------------------------------------------------------------------------
 
+# Gopher quality rules (Rae et al. 2021, appendix A1.1) — the heuristic
+# half that pairs with repetition_features. "Words" are WHITESPACE tokens
+# (symbols kept: the symbol/alpha ratios need them), lowercased once by
+# the caller (the stop-hit membership test is case-insensitive; the other
+# features are case-blind).
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def whitespace_words(c: Column) -> Column:
+    return F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+
+
+def gopher_quality_features(
+    ws: Column, c: Column, lines: Column
+) -> dict[str, Column]:
+    """Feature expressions over (ideally materialized) lowercased
+    whitespace words ``ws``, the raw text ``c``, and its non-empty line
+    array ``lines`` — one expression per Gopher quality rule:
+    word count, mean word length, symbol-to-word ratio (#, … and ...),
+    alpha-word ratio, stop-word hits, bullet-start and ellipsis-end line
+    ratios."""
+    n = F.size(ws).cast("long")
+    nd = n.cast("double")
+    n_lines = F.size(lines).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    return {
+        "n_words": n,
+        "mean_word_len": F.when(
+            n > 0,
+            F.aggregate(ws, F.lit(0).cast("long"),
+                        lambda a, w: a + F.length(w)) / nd,
+        ).otherwise(F.lit(0.0)),
+        "symbol_word_ratio": F.when(
+            n > 0,
+            F.regexp_count(c, F.lit(r"#|\.\.\.|…")).cast("double") / nd,
+        ).otherwise(F.lit(0.0)),
+        "alpha_word_ratio": F.when(
+            n > 0,
+            F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))) / nd,
+        ).otherwise(F.lit(0.0)),
+        "stop_hits": F.size(
+            F.filter(stop_arr, lambda s: F.array_contains(ws, s))
+        ).cast("long"),
+        "bullet_line_ratio": F.when(
+            n_lines > 0,
+            F.size(F.filter(
+                lines,
+                lambda l: F.trim(l).rlike(r"^[•\-\*]"),
+            )) / n_lines,
+        ).otherwise(F.lit(0.0)),
+        "ellipsis_line_ratio": F.when(
+            n_lines > 0,
+            F.size(F.filter(
+                lines,
+                lambda l: l.rlike(r"(\.\.\.|…)$"),
+            )) / n_lines,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def gopher_quality_oracle_exprs(
+    ws: str = "w", text: str = "text", lines: str = "ln"
+) -> dict[str, str]:
+    """DuckDB mirrors of gopher_quality_features, operator for operator
+    (``ws``/``lines`` name pre-materialized CTE columns)."""
+    n = f"len({ws})"
+    nd = f"CAST(len({ws}) AS DOUBLE)"
+    nl = f"CAST(len({lines}) AS DOUBLE)"
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return {
+        "n_words": f"CAST({n} AS BIGINT)",
+        "mean_word_len": (
+            f"CASE WHEN {n} > 0 THEN "
+            f"list_aggregate(list_transform({ws}, x -> length(x)), 'sum')"
+            f" / {nd} ELSE 0.0 END"
+        ),
+        "symbol_word_ratio": (
+            f"CASE WHEN {n} > 0 THEN "
+            f"CAST(len(regexp_extract_all({text}, '#|\\.\\.\\.|…')) AS DOUBLE)"
+            f" / {nd} ELSE 0.0 END"
+        ),
+        "alpha_word_ratio": (
+            f"CASE WHEN {n} > 0 THEN "
+            f"len(list_filter({ws}, x -> regexp_matches(x, '[a-z]')))"
+            f" / {nd} ELSE 0.0 END"
+        ),
+        "stop_hits": (
+            f"CAST(len(list_filter([{stops}], s -> list_contains({ws}, s)))"
+            " AS BIGINT)"
+        ),
+        "bullet_line_ratio": (
+            f"CASE WHEN len({lines}) > 0 THEN "
+            f"len(list_filter({lines}, l -> regexp_matches(trim(l), '^[•\\-\\*]')))"
+            f" / {nl} ELSE 0.0 END"
+        ),
+        "ellipsis_line_ratio": (
+            f"CASE WHEN len({lines}) > 0 THEN "
+            f"len(list_filter({lines}, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))"
+            f" / {nl} ELSE 0.0 END"
+        ),
+    }
+
+
 def repetition_features(toks: Column) -> dict[str, Column]:
     """Repetition ratios over a LOWERCASED TOKEN-ARRAY ATTRIBUTE.
 

@@ -837,3 +837,82 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return C.c4_line_filter(aug)
+
+
+_GQ = __import__(
+    "tweets_elastic_spark.functions.textstats", fromlist=["x"]
+).gopher_quality_oracle_exprs()
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               list_transform(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x <> ''), x -> lower(x)) AS w,
+               list_filter(string_split(text, chr(10)), l -> l <> '') AS ln,
+               text
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           {_GQ['n_words']} AS n_words,
+           round({_GQ['mean_word_len']}, 6) AS mean_word_len,
+           {_GQ['stop_hits']} AS stop_hits
+    FROM feat
+    WHERE {_GQ['n_words']} BETWEEN 50 AND 100000
+      AND {_GQ['mean_word_len']} BETWEEN 3 AND 10
+      AND {_GQ['symbol_word_ratio']} <= 0.1
+      AND {_GQ['alpha_word_ratio']} >= 0.8
+      AND {_GQ['stop_hits']} >= 1
+      AND {_GQ['bullet_line_ratio']} <= 0.9
+      AND {_GQ['ellipsis_line_ratio']} <= 0.3
+    """,
+    doc="Gopher QUALITY rules (r10, Rae et al. 2021 A1.1 — the heuristic "
+        "half pairing with gopher_repetition_filter): 50<=words<=100k, "
+        "mean word length 3-10, symbol-to-word ratio (#/.../…) <= 0.1, "
+        ">= 80% words with an alphabetic character, a stop-word "
+        "presence gate (canonical list; threshold 1 here — the fixture "
+        "corpus is database jargon where only 'the' occurs, and Gopher's "
+        ">=2 would zero the split; same tuned-to-nontrivial precedent as "
+        "the repetition thresholds), bullet-start <= 90% and ellipsis-end "
+        "<= 30% of lines. Words/lines materialize once (CollapseProject "
+        "keeps multi-referenced non-cheap aliases), every rule a "
+        "scan-local expression — no shuffle; the oracle mirrors each "
+        "formula operator for operator.",
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    staged = docs.select(
+        "doc_id",
+        F.transform(T.whitespace_words(F.col("text")), F.lower).alias("_ws"),
+        F.filter(F.split(F.col("text"), "\n"),
+                 lambda l: l != F.lit("")).alias("_ln"),
+        "text",
+    )
+    f = T.gopher_quality_features(F.col("_ws"), F.col("text"), F.col("_ln"))
+    return (
+        staged.select(
+            "doc_id",
+            f["n_words"].alias("n_words"),
+            f["mean_word_len"].alias("_mwl"),
+            f["stop_hits"].alias("stop_hits"),
+            f["symbol_word_ratio"].alias("_sym"),
+            f["alpha_word_ratio"].alias("_alpha"),
+            f["bullet_line_ratio"].alias("_bul"),
+            f["ellipsis_line_ratio"].alias("_ell"),
+        )
+        .filter(
+            F.col("n_words").between(50, 100000)
+            & F.col("_mwl").between(3, 10)
+            & (F.col("_sym") <= 0.1)
+            & (F.col("_alpha") >= 0.8)
+            & (F.col("stop_hits") >= 1)
+            & (F.col("_bul") <= 0.9)
+            & (F.col("_ell") <= 0.3)
+        )
+        .select("doc_id", "n_words",
+                F.round("_mwl", 6).alias("mean_word_len"), "stop_hits")
+    )

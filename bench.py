@@ -227,6 +227,22 @@ HEADLINE = [
     "ann_cosine_topk_mrl",
     "ann_mrl_rerank_topk",
     "ml_anomaly_score",
+    # r10 wave: ES-SQL full-text/date-parts, mustache lists, sequence
+    # pipes, agg round-out, terms_enum, fingerprint analyzer, C4 +
+    # Gopher-quality curation (video_frame_dups rides the multimodal
+    # block above)
+    "essql_match_query",
+    "essql_date_parts",
+    "msearch_template_list",
+    "eql_sequence_pipes",
+    "es_aggs_ip_prefix",
+    "es_aggs_extended_stats_bucket",
+    "es_aggs_reverse_nested",
+    "es_aggs_parent",
+    "es_terms_enum",
+    "analyze_fingerprint",
+    "c4_line_filter",
+    "gopher_quality_filter",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

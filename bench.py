@@ -297,6 +297,9 @@ SF1_HEADLINE = [
     "es_aggs_frequent_item_sets", "es_aggs_cumulative_cardinality",
     "rollup_search_month", "ingest_pipeline", "eql_event_pipes",
     "search_has_child", "es_aggs_children", "essql_group_query",
+    # r10 rows (documents/events only — all scan-shaped or one-shuffle):
+    "c4_line_filter", "gopher_quality_filter", "analyze_fingerprint",
+    "es_aggs_ip_prefix", "eql_sequence_pipes", "essql_date_parts",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -558,3 +558,74 @@ def test_runs_qualifier(spark):
                   "until [x where true] with runs=2")
     with pytest.raises(ValueError, match=r"runs must be in"):
         parse_eql("sequence by u [a where true] with runs=99 [b where true]")
+
+
+def test_eql_sequence_differential_fuzz(spark):
+    """Property-style differential: random event streams and random
+    sequence queries, the engine's JVM-aggregate automaton vs an
+    INDEPENDENT pure-Python reimplementation of the documented
+    single-slot semantics (scan in (ts, id) order; an event plays the
+    DEEPEST stage it can extend within maxspan, else starts/replaces the
+    length-1 prefix; completion consumes; until clears). Deterministic
+    seed — reproducible, no flaky CI."""
+    import random
+
+    rnd = random.Random(20260815)
+
+    def reference(events, stages, maxspan, until):
+        """events: (id, ts, key, cat); stages/until: category strings."""
+        L = len(stages)
+        by_key = {}
+        for eid, ts, key, cat in sorted(events, key=lambda e: (e[1], e[0])):
+            slots = by_key.setdefault(key, [None] * (L - 1))
+            if until is not None and cat == until:
+                by_key[key] = [None] * (L - 1)
+                continue
+            ext = -1
+            for j in range(L - 1, 0, -1):
+                prev = slots[j - 1]
+                if (cat == stages[j] and prev is not None
+                        and (maxspan is None or ts - prev[0] <= maxspan)):
+                    ext = j
+                    break
+            if ext == -1 and cat == stages[0]:
+                ext = 0
+            if ext == -1:
+                continue
+            if ext == 0:
+                slots[0] = (ts, [eid])
+            elif ext == L - 1:
+                fts, ids = slots[L - 2]
+                yield (key, fts, ts, *ids, eid)
+                slots[L - 2] = None
+            else:
+                fts, ids = slots[ext - 1]
+                slots[ext] = (fts, ids + [eid])
+                slots[ext - 1] = None
+
+    for trial in range(6):
+        cats = ["a", "b", "c", "d"][: rnd.randint(3, 4)]
+        L = rnd.randint(2, 3)
+        stages = [rnd.choice(cats) for _ in range(L)]
+        until = rnd.choice([None, cats[-1]])
+        maxspan = rnd.choice([None, 5.0, 20.0])
+        n = 220
+        events = [
+            (i, float(rnd.randint(0, 60)), rnd.randint(1, 6),
+             rnd.choice(cats))
+            for i in range(n)
+        ]
+        q = f"sequence by user_id"
+        if maxspan is not None:
+            q += f" with maxspan={int(maxspan)}s"
+        q += "".join(f" [ {s} where true ]" for s in stages)
+        if until is not None:
+            q += f" until [ {until} where true ]"
+        df = spark.createDataFrame(
+            [(eid, ts, key, cat, 0.0) for eid, ts, key, cat in events],
+            "event_id long, ts double, user_id long, event_type string, "
+            "value double",
+        )
+        got = sorted(tuple(r) for r in eql_search(df, q).collect())
+        want = sorted(reference(events, stages, maxspan, until))
+        assert got == want, (trial, q, got[:3], want[:3])

@@ -2581,3 +2581,15 @@ def test_terms_enum_pagination_and_case(spark):
     import pytest as pt
     with pt.raises(ValueError, match="size"):
         es_terms_enum(df, "w", size=0)
+
+
+def test_match_none(spark):
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, s string")
+    assert search(df, from_es_json({"match_none": {}}), k=None).count() == 0
+    # composes: bool.should with match_none contributes nothing
+    q = from_es_json({"bool": {"should": [{"match_none": {}}],
+                               "filter": [{"term": {"s": "x"}}]}})
+    rows = search(df, q, k=None).collect()
+    assert len(rows) == 1 and rows[0]["score"] == 0.0

@@ -95,6 +95,16 @@ class MatchAll(Query):
 
 
 @dataclass
+class MatchNone(Query):
+    """ES ``match_none``: the empty set — match_all's inverse (the
+    placeholder ES template-built queries compile to when every optional
+    clause is absent)."""
+
+    def predicate(self, spark, resolve) -> Column:
+        return F.lit(False)
+
+
+@dataclass
 class Term(Query):
     """Exact keyword equality (non-analyzed string fields, SURVEY §1.3)."""
 
@@ -3336,6 +3346,8 @@ def from_es_json(
             return auto_nest(body["field"], Exists, scope)
         if kind == "match_all":
             return MatchAll()
+        if kind == "match_none":
+            return MatchNone()
         raise ValueError(f"unsupported query clause: {kind!r}")
 
     return compile_node(dsl, None)

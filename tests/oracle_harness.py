@@ -36,6 +36,14 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # DIVERGENCE FROM THE DRIVER (r10 lesson): the driver's canonicalizer
+    # sorts RAW pandas cells (plain sort_values) and ERRORS on list/dict
+    # values ("unhashable type: 'list'"); this harness stringifies them
+    # first so post-prefix array-output entries can still be compared.
+    # That means a non-primitive DRIVER_PRIORITY entry passes here but
+    # reds out at the driver — tests/test_plans.py::
+    # test_driver_prefix_schemas_are_primitive_only makes that state
+    # unrepresentable by forcing prefix entries to primitive schemas.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -440,3 +440,26 @@ def test_r8_s4_operator_plan_shapes(spark):
 
     plan = plan_of("eql_sequence_funnel")
     assert "Python" not in plan  # JVM aggregate HOF automaton
+
+
+def test_driver_prefix_schemas_are_primitive_only(spark):
+    """The driver's canonicalizer sorts RAW pandas cells (plain
+    ``sort_values``) and cannot factorize list/dict values — an array- or
+    struct-typed top-level column in any DRIVER_PRIORITY entry errors the
+    whole row before comparison (the r10 ``es_aggs_frequent_item_sets``
+    red row). The local harness stringifies cells before sorting, so it
+    is NOT a faithful replica for non-primitive outputs; this guard makes
+    the divergence unreachable: every prefix entry must project complex
+    columns to primitives (array_join / to_json) before returning."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name in registry.DRIVER_PRIORITY:
+        df = registry.get(name).fn(spark, SF)  # lazy — schema only
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, (
+        "DRIVER_PRIORITY entries must emit primitive-only top-level "
+        f"schemas (driver sort_values cannot sort these): {offenders}"
+    )

@@ -2649,7 +2649,7 @@ def q_search_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks WHERE list_contains(tokens, 'spark')
     UNION ALL
     SELECT doc_id, 'alert_long_en' FROM documents
-    WHERE n_chars > 800 AND lang = 'en'
+    WHERE n_chars > 400 AND lang = 'en'
     UNION ALL
     SELECT doc_id, 'alert_src2_short' FROM documents
     WHERE source = 'src2' AND n_chars < 200
@@ -2673,7 +2673,7 @@ def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifacts = {
         "alert_spark": {"query": {"match": {"text": {"query": "spark"}}}},
         "alert_long_en": {"query": {"bool": {"filter": [
-            {"range": {"n_chars": {"gt": 800}}},
+            {"range": {"n_chars": {"gt": 400}}},
             {"term": {"lang": "en"}},
         ]}}},
         "alert_src2_short": {"query": {"bool": {
@@ -4094,7 +4094,7 @@ def q_search_explain_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT lang,
-               CAST(sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END)
                     AS BIGINT) AS doc_count,
                CAST(count(*) AS BIGINT) AS bg_count
         FROM documents WHERE lang IS NOT NULL GROUP BY lang
@@ -4106,7 +4106,10 @@ def q_search_explain_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang AS by_lang, doc_count, bg_count,
            round(
-             bg_total
+             CASE WHEN CAST(doc_count AS DOUBLE) / fg_total
+                       < CAST(bg_count AS DOUBLE) / bg_total
+                  THEN -1.0 ELSE 1.0 END
+             * bg_total
              * ((doc_count * (bg_total - bg_count - (fg_total - doc_count))
                  - (bg_count - doc_count) * (fg_total - doc_count)) ^ 2)
              / ((doc_count + (bg_count - doc_count))
@@ -4134,7 +4137,7 @@ def q_es_aggs_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return es_request(docs, {
-        "query": {"range": {"n_chars": {"gt": 800}}},
+        "query": {"range": {"n_chars": {"gt": 400}}},
         "aggs": {"by_lang": {"significant_terms": {
             "field": "lang", "size": 5, "chi_square": {},
         }}},
@@ -4146,7 +4149,7 @@ def q_es_aggs_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT lang,
-               CAST(sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END)
                     AS BIGINT) AS doc_count,
                CAST(count(*) AS BIGINT) AS bg_count
         FROM documents WHERE lang IS NOT NULL GROUP BY lang
@@ -4187,7 +4190,7 @@ def q_es_aggs_significant_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return es_request(docs, {
-        "query": {"range": {"n_chars": {"gt": 800}}},
+        "query": {"range": {"n_chars": {"gt": 400}}},
         "aggs": {"by_lang": {"significant_terms": {
             "field": "lang", "size": 5, "gnd": {},
         }}},
@@ -4199,7 +4202,7 @@ def q_es_aggs_significant_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT lang,
-               CAST(sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END)
                     AS BIGINT) AS doc_count,
                CAST(count(*) AS BIGINT) AS bg_count
         FROM documents WHERE lang IS NOT NULL GROUP BY lang
@@ -4235,7 +4238,7 @@ def q_es_aggs_significant_script(
 
     docs = load_table(spark, sf_dir, "documents")
     return es_request(docs, {
-        "query": {"range": {"n_chars": {"gt": 800}}},
+        "query": {"range": {"n_chars": {"gt": 400}}},
         "aggs": {"by_lang": {"significant_terms": {
             "field": "lang", "size": 5,
             "script_heuristic": {"script": {
@@ -4857,7 +4860,8 @@ def q_es_aggs_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     ),
     u AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
-    SELECT sets, doc_count, round(doc_count / n, 6) AS support
+    SELECT array_to_string(list_sort(sets), '|') AS sets,
+           doc_count, round(doc_count / n, 6) AS support
     FROM u, nn WHERE doc_count >= n * 0.05
     """,
     doc="ES frequent_item_sets agg (r8 s4): market-basket mining over "
@@ -4866,7 +4870,11 @@ def q_es_aggs_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approximate by contract; sizes > 2 refuse loudly). Pairs come "
         "from a per-document HOF over the sorted distinct item array "
         "(C(d,2) per doc, no join, doc-size capped), one groupBy each "
-        "for singles and pairs, support denominator a 1-row broadcast.",
+        "for singles and pairs, support denominator a 1-row broadcast. "
+        "The driver row projects the itemset to a pipe-joined string: "
+        "the driver's canonicalizer sorts RAW pandas cells and cannot "
+        "factorize list values (the r10 red row) — prefix rows must be "
+        "primitive-only (tests/test_plans.py guard).",
 )
 def q_es_aggs_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
@@ -4878,10 +4886,14 @@ def q_es_aggs_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("c"), (F.col("l_partkey") % 12).cast("string"))
         ).alias("cats"))
     )
-    return es_aggregate(baskets, {"sets": {"frequent_item_sets": {
+    out = es_aggregate(baskets, {"sets": {"frequent_item_sets": {
         "fields": [{"field": "cats"}],
         "minimum_support": 0.05,
     }}})
+    return out.select(
+        F.array_join(F.array_sort("sets"), "|").alias("sets"),
+        "doc_count", "support",
+    )
 
 
 @register(

@@ -5188,9 +5188,9 @@ def q_es_aggs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "es_terms_enum",
     oracle="""
-    SELECT DISTINCT p_type AS term
+    SELECT DISTINCT p_brand AS term
     FROM part
-    WHERE p_type IS NOT NULL AND p_type LIKE 'STANDARD%'
+    WHERE p_brand IS NOT NULL AND p_brand LIKE 'Brand#1%'
     ORDER BY term
     LIMIT 10
     """,
@@ -5199,12 +5199,15 @@ def q_es_aggs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "autocomplete endpoint. Prefix filter rides the scan (startswith "
         "pushes down), one distinct hash aggregation over qualifying "
         "terms, TakeOrdered for the page; search_after keyset pagination "
-        "and case_insensitive matching are pytest-pinned.",
+        "and case_insensitive matching are pytest-pinned. (Driver row "
+        "re-seeded r11: p_brand's 'Brand#1' prefix matches 11 distinct "
+        "terms so the size-10 page boundary actually cuts — p_type had "
+        "one qualifying term, a near-empty verification.)",
 )
 def q_es_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.api import es_terms_enum
 
     return es_terms_enum(
-        load_table(spark, sf_dir, "part"), "p_type",
-        string="STANDARD", size=10,
+        load_table(spark, sf_dir, "part"), "p_brand",
+        string="Brand#1", size=10,
     )

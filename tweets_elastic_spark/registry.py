@@ -56,15 +56,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Per-round rotation rationale lives in COVERAGE.md ("Verification
 # structure" + the round-N addition notes), not here.
 DRIVER_PRIORITY: list[str] = [
-    # flagship + relational reference surface
+    # flagship + relational reference surface (snowflake_dim_join and
+    # self_join_pairs rotated OUT r11: the flagship exercises both the
+    # snowflake dim chain and the parent-tweet self-join — verdict r10
+    # marks J3/J6 "pass + flagship"; both stay locally hash-gated)
     "tweet_documents_flat", "denorm_order_lineitems", "keyset_page",
-    "snowflake_dim_join", "percolate_matches",
-    "self_join_pairs", "exists_child_hof", "pricing_summary",
+    "percolate_matches",
+    "exists_child_hof", "pricing_summary",
     # search / scoring / search-quality evaluation (search_wrapper_script
-    # pins the late-r8 wrapper + script query nodes)
-    "es_rank_eval_ndcg", "search_from_json_dsl", "search_dsl_bm25",
+    # pins the late-r8 wrapper + script query nodes; search_dsl_bm25
+    # rotated OUT r11 — essql_match_query shares its oracle VERBATIM and
+    # compiles onto the same Match/BM25Match nodes)
+    "es_rank_eval_ndcg", "search_from_json_dsl",
     "search_wrapper_script",
     "lm_perplexity_filter", "es_aggs_date_histogram",
+    # r10 wave rotated IN r11: prefix-keyset term enumeration
+    "es_terms_enum",
     # ES agg families new in r7/r8: geo rings, long-tail terms,
     # significance, multivariate moments, exact windowed percentiles
     "es_aggs_geo_distance", "es_aggs_rare_terms", "es_aggs_significant_gnd",
@@ -78,14 +85,21 @@ DRIVER_PRIORITY: list[str] = [
     # endpoint (verbatim-string oracle), its r10 MATCH()/SCORE()
     # full-text extension, and mustache LIST iteration through
     # _msearch/template (r10)
-    "search_combined_fields", "essql_group_query", "essql_match_query",
+    # (essql_group_query rotated OUT r11: essql_date_parts drives the
+    # same ES-SQL compiler with strictly more surface — date-part
+    # extraction, GROUP BY aliases, COUNT(DISTINCT))
+    "search_combined_fields", "essql_date_parts", "essql_match_query",
     "msearch_template_list",
     # windows + time series + sequence correlation (EQL replaces the
-    # funnel row: sequence matching subsumes stage-funnel counting)
+    # funnel row: sequence matching subsumes stage-funnel counting;
+    # eql_sequence_pipes IN r11 — head/tail/unique post-processing over
+    # sequence hits)
     "tumbling_window", "events_asof_join",
-    "es_aggs_composite", "eql_sequence_funnel",
-    # text stats
-    "lang_id", "quality_score",
+    "es_aggs_composite", "eql_sequence_funnel", "eql_sequence_pipes",
+    # text stats + curation quality gates (quality_score rotated OUT
+    # r11: the r10 Gopher/C4 rule sets are the stricter superset of the
+    # same textstats machinery)
+    "lang_id", "gopher_quality_filter", "c4_line_filter",
     # dedup families — the granularity ladder: document (exact, minhash,
     # simhash, semdedup), span, composed pipeline
     "dedup_exact_survivors", "span_dedup_rebuild",
@@ -94,16 +108,19 @@ DRIVER_PRIORITY: list[str] = [
     # parent-join (r8 s4)
     "search_has_child",
     # ANN families — one slot per index family: exact baseline, IVF(-PQ)
-    # (which transitively times the PQ encoder), LSH-through-the-index
+    # (which transitively times the PQ encoder). ann_lsh_topk_indexed
+    # rotated OUT r11: it shares indexing.py's build/probe machinery
+    # with the IVF-PQ slot and stays locally hash-gated.
     "ann_cosine_topk", "ann_ivfpq_topk",
-    "ann_lsh_topk_indexed",
     # curation ship stage
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",
     "training_shards", "dsir_sample",
     # chunking + multimodal (PNG = the late-r8 codec, all five unfilter
     # paths pinned through one oracle row; the PPM twin shares the sketch
-    # path and yields its slot — pinned by local parity instead)
-    "chunk_documents", "image_near_dups_png",
+    # path and yields its slot — pinned by local parity instead;
+    # video_frame_dups IN r11 — the r10 MP4 container walk + exact mdat
+    # frame slicing verified against DuckDB sha256)
+    "chunk_documents", "image_near_dups_png", "video_frame_dups",
 ]
 
 

@@ -2,7 +2,7 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints TWO JSON lines — a verbose record first (every headline query's
-best-of-2 and first-run time; also written to bench_full.json), then a
+best-of-3 and first-run time; also written to bench_full.json), then a
 COMPACT final line sized to survive the driver's 2000-char tail capture
 (BENCH_r06 lost its per-query dict to that truncation — r6 verdict item 3):
 
@@ -544,18 +544,20 @@ def main() -> None:
         ensure_index(spark, sf_dir)
         index_build_sec = round(time.perf_counter() - t0, 3)
 
-    # Best-of-2 per query: the box carries exogenous background load, and a
-    # single sample can be 2-5× off its steady-state (measured). The min of
-    # two runs is the standard noise-robust estimator for compute+shuffle
-    # cost; both runs are full materializations at sf0.1. The FIRST run is
-    # also recorded separately (queries_first_run / first_run_total_sec) so
+    # Best-of-3 per query (r11, was best-of-2): the box carries exogenous
+    # background load, and the r10 review's same-session A/Bs showed
+    # single-sample spread up to 1.5× — three committed numbers carried
+    # phantom per-query "regressions" on untouched code. The min of three
+    # runs is the noise-robust estimator for compute+shuffle cost; all
+    # runs are full materializations at sf0.1. The FIRST run is also
+    # recorded separately (queries_first_run / first_run_total_sec) so
     # round-over-round comparisons against pre-r5 single-sample numbers
     # stay apples-to-apples and the warm-vs-first gap stays visible.
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for i in range(2):
+        for i in range(3):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             dt = time.perf_counter() - t0
@@ -573,7 +575,7 @@ def main() -> None:
         "queries_first_run": first_run,
         "first_run_total_sec": round(sum(first_run.values()), 3),
         "index_build_sec": index_build_sec,
-        "warmup": "per-query sf0.001 pass, then best-of-2 timed sf0.1 runs "
+        "warmup": "per-query sf0.001 pass, then best-of-3 timed sf0.1 runs "
                   "(steady-state, noise-robust); queries_first_run is the "
                   "single-sample first sf0.1 run of each query",
         "sf": sf,

@@ -235,6 +235,8 @@ HEADLINE = [
     "essql_date_parts",
     "msearch_template_list",
     "eql_sequence_pipes",
+    # r11: disjunctive stage conditions (or / not / in / parens)
+    "eql_sequence_disjunction",
     "es_aggs_ip_prefix",
     "es_aggs_extended_stats_bucket",
     "es_aggs_reverse_nested",

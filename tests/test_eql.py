@@ -34,14 +34,80 @@ def test_parse_rejects_unsupported():
         parse_eql("sequence by u with maxspan=10fortnights [a where true] [b where true]")
     with pytest.raises(ValueError, match=">= 2 stages"):
         parse_eql("sequence by u [ a where true ]")
-    with pytest.raises(ValueError, match="only 'true' and"):
-        parse_eql("a where x == 1 or y == 2")
     with pytest.raises(ValueError, match="comparison"):
         parse_eql("a where startsWith(x)")
+    with pytest.raises(ValueError, match="unbalanced|end of"):
+        parse_eql("a where (x == 1 or y == 2")
+    with pytest.raises(ValueError, match="trailing"):
+        parse_eql("a where x == 1) or y == 2")
     q = parse_eql('sequence by u with maxspan=2h [a where v >= 3] [any where true]')
     assert q.maxspan_s == 7200.0
     assert q.stages[0].conditions[0].op == ">="
     assert q.stages[1].category == "any"
+
+
+def test_parse_disjunctions_membership_not():
+    from tweets_elastic_spark.plans.eql import BoolOp, InList, NotOp
+
+    # or at the top level (the r10 verdict's most-wanted refusal removal)
+    q = parse_eql("a where x == 1 or y == 2")
+    (node,) = q.stages[0].conditions
+    assert isinstance(node, BoolOp) and node.op == "or"
+    assert [(c.field, c.op, c.value) for c in node.children] == \
+        [("x", "==", 1), ("y", "==", 2)]
+    # precedence: and binds tighter than or
+    q = parse_eql("a where x == 1 or y == 2 and z == 3")
+    (node,) = q.stages[0].conditions
+    assert node.op == "or"
+    assert isinstance(node.children[1], BoolOp)
+    assert node.children[1].op == "and"
+    # parens override precedence; top-level and still flattens to the
+    # pre-r11 list shape
+    q = parse_eql("a where (x == 1 or y == 2) and z == 3")
+    disj, cmp3 = q.stages[0].conditions
+    assert isinstance(disj, BoolOp) and disj.op == "or"
+    assert (cmp3.field, cmp3.value) == ("z", 3)
+    # in / not in
+    q = parse_eql("a where lang in ('en', 'de') and not status in (4, 5)")
+    inn, notin = q.stages[0].conditions
+    assert isinstance(inn, InList) and inn.values == ["en", "de"]
+    assert isinstance(notin, NotOp) and notin.child.values == [4, 5]
+    q = parse_eql("a where status not in (1, 2)")
+    (node,) = q.stages[0].conditions
+    assert isinstance(node, NotOp) and node.child.field == "status"
+    # keywords inside literals stay literal
+    q = parse_eql("a where msg == 'x or y' or v > 2")
+    (node,) = q.stages[0].conditions
+    assert node.op == "or" and node.children[0].value == "x or y"
+
+
+def test_or_condition_evaluates(spark):
+    rows = [
+        (1, 1.0, 1, "err", 95.0),
+        (2, 2.0, 1, "err", 10.0),
+        (3, 3.0, 1, "warn", 99.0),
+        (4, 4.0, 1, "err", None),
+    ]
+    df = _df(spark, rows)
+    got = sorted(
+        r["event_id"]
+        for r in eql_search(
+            df, "err where value > 90 or value < 20").collect()
+    )
+    assert got == [1, 2]  # NULL value matches neither side (3VL)
+    got = sorted(
+        r["event_id"]
+        for r in eql_search(
+            df, "any where event_type in ('warn', 'fatal') or value < 20"
+        ).collect()
+    )
+    assert got == [2, 3]
+    got = sorted(
+        r["event_id"]
+        for r in eql_search(
+            df, "err where not (value > 90 or value < 20)").collect()
+    )
+    assert got == []  # id2's 10.0 fails, NULL stays NULL through not
 
 
 def test_parse_count_must_be_final_pipe():
@@ -572,23 +638,44 @@ def test_eql_sequence_differential_fuzz(spark):
 
     rnd = random.Random(20260815)
 
+    def rand_condition():
+        """A random condition over integer-valued ``value`` plus its
+        pure-Python evaluator — disjunctions/negations/in-lists included
+        (r11: the grammar the parser just gained must agree with an
+        independent evaluation, not only parse)."""
+        t1, t2 = rnd.randint(10, 60), rnd.randint(40, 90)
+        a, b = rnd.randint(0, 100), rnd.randint(0, 100)
+        return rnd.choice([
+            ("true", lambda v: True),
+            (f"value > {t1}", lambda v: v > t1),
+            (f"value > {t2} or value < {t1}",
+             lambda v: v > t2 or v < t1),
+            (f"not (value >= {t1} and value <= {t2})",
+             lambda v: not (t1 <= v <= t2)),
+            (f"value in ({a}, {b}) or value > {t2}",
+             lambda v: v in (a, b) or v > t2),
+        ])
+
     def reference(events, stages, maxspan, until):
-        """events: (id, ts, key, cat); stages/until: category strings."""
+        """events: (id, ts, key, cat, val); stages/until: (category,
+        value-predicate) pairs."""
         L = len(stages)
         by_key = {}
-        for eid, ts, key, cat in sorted(events, key=lambda e: (e[1], e[0])):
+        for eid, ts, key, cat, val in sorted(
+                events, key=lambda e: (e[1], e[0])):
             slots = by_key.setdefault(key, [None] * (L - 1))
-            if until is not None and cat == until:
+            if until is not None and cat == until[0] and until[1](val):
                 by_key[key] = [None] * (L - 1)
                 continue
             ext = -1
             for j in range(L - 1, 0, -1):
                 prev = slots[j - 1]
-                if (cat == stages[j] and prev is not None
+                if (cat == stages[j][0] and stages[j][1](val)
+                        and prev is not None
                         and (maxspan is None or ts - prev[0] <= maxspan)):
                     ext = j
                     break
-            if ext == -1 and cat == stages[0]:
+            if ext == -1 and cat == stages[0][0] and stages[0][1](val):
                 ext = 0
             if ext == -1:
                 continue
@@ -603,29 +690,32 @@ def test_eql_sequence_differential_fuzz(spark):
                 slots[ext] = (fts, ids + [eid])
                 slots[ext - 1] = None
 
-    for trial in range(6):
+    for trial in range(8):
         cats = ["a", "b", "c", "d"][: rnd.randint(3, 4)]
         L = rnd.randint(2, 3)
-        stages = [rnd.choice(cats) for _ in range(L)]
-        until = rnd.choice([None, cats[-1]])
+        stages = [(rnd.choice(cats), *rand_condition())
+                  for _ in range(L)]  # (cat, src, pred)
+        until = rnd.choice([None, (cats[-1], *rand_condition())])
         maxspan = rnd.choice([None, 5.0, 20.0])
         n = 220
         events = [
             (i, float(rnd.randint(0, 60)), rnd.randint(1, 6),
-             rnd.choice(cats))
+             rnd.choice(cats), float(rnd.randint(0, 100)))
             for i in range(n)
         ]
         q = f"sequence by user_id"
         if maxspan is not None:
             q += f" with maxspan={int(maxspan)}s"
-        q += "".join(f" [ {s} where true ]" for s in stages)
+        q += "".join(f" [ {c} where {src} ]" for c, src, _ in stages)
         if until is not None:
-            q += f" until [ {until} where true ]"
+            q += f" until [ {until[0]} where {until[1]} ]"
         df = spark.createDataFrame(
-            [(eid, ts, key, cat, 0.0) for eid, ts, key, cat in events],
+            events,
             "event_id long, ts double, user_id long, event_type string, "
             "value double",
         )
         got = sorted(tuple(r) for r in eql_search(df, q).collect())
-        want = sorted(reference(events, stages, maxspan, until))
+        want = sorted(reference(
+            events, [(c, p) for c, _, p in stages], maxspan,
+            (until[0], until[2]) if until is not None else None))
         assert got == want, (trial, q, got[:3], want[:3])

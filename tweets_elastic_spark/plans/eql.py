@@ -20,8 +20,13 @@ Supported subset
         ...
 
   ``<category>`` matches the event-category field (``any`` matches every
-  event); conditions are conjunctions of ``field OP literal`` comparisons
-  (``== != > >= < <=``) or the literal ``true``.
+  event); conditions are boolean combinations — ``and`` / ``or`` /
+  ``not`` / parentheses at ES EQL precedence (r11) — of
+  ``field OP literal`` comparisons (``== != > >= < <=``),
+  ``field [not] in (lit, ...)`` membership tests, and the literals
+  ``true`` / ``false``. NULL fields follow SQL three-valued logic
+  (never match, including through ``not`` — the semantics the DuckDB
+  oracles evaluate). Function calls still refuse loudly.
 
 Sequence semantics (deterministic single-slot automaton)
 --------------------------------------------------------
@@ -75,9 +80,42 @@ class Comparison:
 
 
 @dataclass
+class InList:
+    """``field in (lit, lit, ...)`` — compiles to ``Column.isin``."""
+    field: str
+    values: list
+
+
+@dataclass
+class NotOp:
+    """``not <node>``. SQL three-valued logic applies: a NULL field never
+    matches, even through ``not`` (``not (null == 1)`` is NULL → dropped)
+    — the same semantics the DuckDB oracle evaluates, so parity holds by
+    construction. Documented divergence from ES EQL, which treats missing
+    fields as non-matching on BOTH a predicate and its negation only for
+    some operators."""
+    child: object
+
+
+@dataclass
+class BoolOp:
+    """``and`` / ``or`` over 2+ child nodes (n-ary, flattened)."""
+    op: str  # "and" | "or"
+    children: list
+
+
+@dataclass
+class BoolLit:
+    value: bool
+
+
+@dataclass
 class StageFilter:
     category: str  # "any" or a category literal
-    conditions: list[Comparison] = field(default_factory=list)  # AND-joined
+    # top-level AND-joined condition nodes (Comparison | InList | NotOp |
+    # BoolOp | BoolLit); a flat conjunction of comparisons stays a plain
+    # [Comparison, ...] list, the pre-r11 shape
+    conditions: list = field(default_factory=list)
 
 
 @dataclass
@@ -179,48 +217,177 @@ def _split_unquoted(text: str, sep: str) -> list[str]:
     return parts
 
 
-def _parse_condition(text: str) -> list[Comparison]:
-    """``true`` or ``cmp (and cmp)*`` — the conjunctive subset. ``or`` /
-    parentheses / functions raise loudly rather than silently narrowing.
+def _tokenize_condition(text: str) -> list[str]:
+    """Lex a condition into tokens: quoted literals (kept verbatim,
+    quotes included — located on the quote mask so ``==`` / ``and`` /
+    ``(`` INSIDE a literal never split), parens, commas, comparison
+    operators, and identifier/number/keyword words."""
+    mask = _quote_mask(text)
+    toks: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        if mask[i] == "\x00":  # quoted literal — maximal masked run
+            j = i
+            while j < n and mask[j] == "\x00":
+                j += 1
+            toks.append(text[i:j])
+            i = j
+            continue
+        c = text[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "(),":
+            toks.append(c)
+            i += 1
+            continue
+        if text[i:i + 2] in ("==", "!=", ">=", "<="):
+            toks.append(text[i:i + 2])
+            i += 2
+            continue
+        if c in "<>":
+            toks.append(c)
+            i += 1
+            continue
+        j = i
+        while (j < n and mask[j] != "\x00" and not text[j].isspace()
+               and text[j] not in "(),<>=!"):
+            j += 1
+        if j == i:
+            raise ValueError(
+                f"unsupported character {c!r} in EQL condition {text!r}"
+            )
+        toks.append(text[i:j])
+        i = j
+    return toks
 
-    Operator and ``and`` detection run on a quote-masked copy of the text,
-    so a string literal containing ``==`` / `` and `` / ``(`` does not
-    mis-split the comparison around it."""
+
+class _CondParser:
+    """Recursive descent over the tokenized condition (r11 — closes the
+    r10 verdict's 'EQL disjunctions' gap). Grammar, loosest-binding
+    first (ES EQL precedence: ``or`` < ``and`` < ``not`` < comparison)::
+
+        expr     := and_expr ('or' and_expr)*
+        and_expr := not_expr ('and' not_expr)*
+        not_expr := 'not' not_expr | primary
+        primary  := '(' expr ')' | 'true' | 'false'
+                  | ident ('not')? 'in' '(' literal (',' literal)* ')'
+                  | ident CMP_OP literal
+
+    Functions (``startsWith(x)`` …) still refuse loudly at the primary —
+    an identifier followed by ``(`` is not a supported comparison."""
+
+    def __init__(self, toks: list[str], src: str):
+        self.toks, self.i, self.src = toks, 0, src
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError(
+                f"unexpected end of EQL condition {self.src!r}"
+            )
+        self.i += 1
+        return tok
+
+    def parse(self):
+        node = self.expr()
+        if self.peek() is not None:
+            raise ValueError(
+                f"trailing tokens {self.toks[self.i:]!r} in EQL "
+                f"condition {self.src!r}"
+            )
+        return node
+
+    def expr(self):
+        children = [self.and_expr()]
+        while (p := self.peek()) is not None and p.lower() == "or":
+            self.take()
+            children.append(self.and_expr())
+        return children[0] if len(children) == 1 else BoolOp("or", children)
+
+    def and_expr(self):
+        children = [self.not_expr()]
+        while (p := self.peek()) is not None and p.lower() == "and":
+            self.take()
+            children.append(self.not_expr())
+        return children[0] if len(children) == 1 else BoolOp("and", children)
+
+    def not_expr(self):
+        if (p := self.peek()) is not None and p.lower() == "not":
+            self.take()
+            return NotOp(self.not_expr())
+        return self.primary()
+
+    def primary(self):
+        tok = self.take()
+        if tok == "(":
+            node = self.expr()
+            if self.take() != ")":
+                raise ValueError(
+                    f"unbalanced parentheses in EQL condition {self.src!r}"
+                )
+            return node
+        if tok.lower() in ("true", "false"):
+            return BoolLit(tok.lower() == "true")
+        if not _IDENT_RE.match(tok):
+            raise ValueError(f"bad EQL field name {tok!r}")
+        op = self.peek()
+        negated = False
+        if op is not None and op.lower() == "not":
+            self.take()
+            nxt = self.peek()
+            if nxt is None or nxt.lower() != "in":
+                raise ValueError(
+                    f"expected 'in' after '{tok} not' in EQL condition "
+                    f"{self.src!r}"
+                )
+            op, negated = "in", True
+        if op is not None and op.lower() == "in":
+            self.take()
+            node = self.in_list(tok)
+            return NotOp(node) if negated else node
+        if op in _CMP_OPS:
+            self.take()
+            return Comparison(tok, op, _parse_literal(self.take()))
+        raise ValueError(
+            f"unsupported EQL comparison near {tok!r} in {self.src!r} "
+            "(field-vs-literal comparisons, in-lists, and boolean "
+            "combinations are supported; function calls are not)"
+        )
+
+    def in_list(self, fieldname: str) -> InList:
+        if self.take() != "(":
+            raise ValueError(
+                f"EQL 'in' needs a parenthesized literal list in "
+                f"{self.src!r}"
+            )
+        values = [_parse_literal(self.take())]
+        while True:
+            tok = self.take()
+            if tok == ")":
+                return InList(fieldname, values)
+            if tok != ",":
+                raise ValueError(
+                    f"malformed EQL in-list near {tok!r} in {self.src!r}"
+                )
+            values.append(_parse_literal(self.take()))
+
+
+def _parse_condition(text: str) -> list:
+    """Parse a stage condition to its top-level AND-joined node list.
+    ``true`` → ``[]`` (match-all); a flat conjunction of comparisons
+    stays ``[Comparison, ...]`` (the pre-r11 shape consumers and tests
+    rely on); ``or`` / ``not`` / parens / in-lists produce nested nodes."""
     text = text.strip()
     if text == "true":
         return []
-    mask = _quote_mask(text)
-    lowered = f" {mask.lower()} "
-    for bad in (" or ", "(", ")"):
-        if bad in lowered:
-            raise ValueError(
-                f"unsupported EQL condition {text!r}: only 'true' and "
-                "AND-joined field-vs-literal comparisons are supported"
-            )
-    out = []
-    # split on `and` occurrences found in the mask, slice the original
-    starts, prev = [], 0
-    for m in re.finditer(r"\s+and\s+", mask, flags=re.IGNORECASE):
-        starts.append((prev, m.start()))
-        prev = m.end()
-    starts.append((prev, len(text)))
-    for lo, hi in starts:
-        part, pmask = text[lo:hi], mask[lo:hi]
-        # leftmost operator occurrence outside quotes; two-char ops win
-        # at equal position (== before =, >= before >)
-        best = None
-        for op in _CMP_OPS:
-            i = pmask.find(op)
-            if i != -1 and (best is None or i < best[0]):
-                best = (i, op)
-        if best is None:
-            raise ValueError(f"unsupported EQL comparison {part!r}")
-        i, op = best
-        lhs, rhs = part[:i].strip(), part[i + len(op):].strip()
-        if not _IDENT_RE.match(lhs):
-            raise ValueError(f"bad EQL field name {lhs!r}")
-        out.append(Comparison(lhs, op, _parse_literal(rhs)))
-    return out
+    node = _CondParser(_tokenize_condition(text), text).parse()
+    if isinstance(node, BoolOp) and node.op == "and":
+        return node.children
+    return [node]
 
 
 def _parse_pipes(pipe_srcs: list[str]) -> list[tuple]:
@@ -374,12 +541,33 @@ def _cmp_col(c: Comparison) -> Column:
     }[c.op]
 
 
+def _node_col(node) -> Column:
+    """Compile one condition node to a Column predicate (pure Catalyst
+    expressions — stage predicates stay inside whole-stage codegen and
+    are evaluated BEFORE the sequence shuffle)."""
+    if isinstance(node, Comparison):
+        return _cmp_col(node)
+    if isinstance(node, InList):
+        return F.col(node.field).isin(*node.values)
+    if isinstance(node, NotOp):
+        return ~_node_col(node.child)
+    if isinstance(node, BoolOp):
+        out = _node_col(node.children[0])
+        for child in node.children[1:]:
+            nxt = _node_col(child)
+            out = (out & nxt) if node.op == "and" else (out | nxt)
+        return out
+    if isinstance(node, BoolLit):
+        return F.lit(node.value)
+    raise TypeError(f"unknown EQL condition node {node!r}")
+
+
 def _stage_pred(stage: StageFilter, category_field: str) -> Column:
     pred = F.lit(True) if stage.category == "any" else (
         F.col(category_field) == F.lit(stage.category)
     )
     for c in stage.conditions:
-        pred = pred & _cmp_col(c)
+        pred = pred & _node_col(c)
     return pred
 
 

@@ -531,6 +531,73 @@ def q_eql_sequence_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eql_sequence_disjunction",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch(ts) AS tsd, event_id AS eid,
+               (event_type IN ('view', 'signup')
+                AND NOT (value > 200)) AS p1,
+               ((event_type = 'purchase' OR event_type = 'error')
+                AND (value > 60 OR value < 15)) AS p2,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch(ts), event_id) AS rn
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND (coalesce((event_type IN ('view', 'signup')
+                         AND NOT (value > 200)), false)
+            OR coalesce(((event_type = 'purchase' OR event_type = 'error')
+                         AND (value > 60 OR value < 15)), false))
+    ),
+    run AS (
+        SELECT k, 0 AS rn,
+               CAST(NULL AS DOUBLE) AS s1_ts, CAST(NULL AS BIGINT) AS s1_id,
+               CAST(NULL AS DOUBLE) AS m_first, CAST(NULL AS DOUBLE) AS m_last,
+               CAST(NULL AS BIGINT) AS m_id1, CAST(NULL AS BIGINT) AS m_id2
+        FROM (SELECT DISTINCT k FROM ev)
+        UNION ALL
+        SELECT e.k, e.rn,
+               CASE WHEN c2 THEN NULL WHEN e.p1 THEN e.tsd
+                    ELSE r.s1_ts END,
+               CASE WHEN c2 THEN NULL WHEN e.p1 THEN e.eid
+                    ELSE r.s1_id END,
+               CASE WHEN c2 THEN r.s1_ts END,
+               CASE WHEN c2 THEN e.tsd END,
+               CASE WHEN c2 THEN r.s1_id END,
+               CASE WHEN c2 THEN e.eid END
+        FROM run r
+        JOIN ev e ON e.k = r.k AND e.rn = r.rn + 1,
+        LATERAL (SELECT
+            (e.p2 AND r.s1_ts IS NOT NULL
+             AND e.tsd - r.s1_ts <= 86400.0) AS c2) f
+    )
+    SELECT k AS user_id, m_first AS first_ts, m_last AS last_ts,
+           m_id1 AS id1, m_id2 AS id2
+    FROM run WHERE m_id2 IS NOT NULL
+    """,
+    doc="EQL sequence with DISJUNCTIVE stage conditions (r11 — the r10 "
+        "verdict's top parser gap): both stages are `any where <boolean "
+        "expr>` exercising the full r11 condition grammar — `in` "
+        "membership, `not`, parenthesized `or` at ES precedence — "
+        "compiled to pure Catalyst predicates evaluated before the "
+        "single key shuffle. The oracle replays the 2-stage single-slot "
+        "automaton as a recursive CTE with the same stage predicates "
+        "spelled in SQL (per-event p1/p2 bits computed in the scan CTE, "
+        "exactly like the engine ships stage bits through the shuffle).",
+)
+def q_eql_sequence_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    events = load_table(spark, sf_dir, "events")
+    return eql_search(events, """
+        sequence by user_id with maxspan=1d
+          [ any where event_type in ('view', 'signup')
+                      and not value > 200 ]
+          [ any where (event_type == 'purchase' or event_type == 'error')
+                      and (value > 60 or value < 15) ]
+    """)
+
+
+@register(
     "eql_event_query",
     oracle="""
     SELECT event_id, epoch(ts) AS tsd, user_id, event_type, value

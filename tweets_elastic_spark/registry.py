@@ -90,12 +90,13 @@ DRIVER_PRIORITY: list[str] = [
     # extraction, GROUP BY aliases, COUNT(DISTINCT))
     "search_combined_fields", "essql_date_parts", "essql_match_query",
     "msearch_template_list",
-    # windows + time series + sequence correlation (EQL replaces the
-    # funnel row: sequence matching subsumes stage-funnel counting;
-    # eql_sequence_pipes IN r11 — head/tail/unique post-processing over
-    # sequence hits)
+    # windows + time series + sequence correlation. r11: the pipes row
+    # drives the same 3-stage automaton + recursive-CTE oracle body as
+    # eql_sequence_funnel (which yields its slot and stays locally
+    # gated); eql_sequence_disjunction adds the r11 condition grammar
+    # (or / not / in / parens) over a 2-stage sequence.
     "tumbling_window", "events_asof_join",
-    "es_aggs_composite", "eql_sequence_funnel", "eql_sequence_pipes",
+    "es_aggs_composite", "eql_sequence_pipes", "eql_sequence_disjunction",
     # text stats + curation quality gates (quality_score rotated OUT
     # r11: the r10 Gopher/C4 rule sets are the stricter superset of the
     # same textstats machinery)

@@ -434,3 +434,38 @@ def test_gopher_quality_features(spark):
     assert row["stops"] == 2
     # 3 lines: one bullet-start, one ellipsis-end
     assert abs(row["bul"] - 1 / 3) < 1e-9 and abs(row["ell"] - 1 / 3) < 1e-9
+
+
+def test_c4_bad_words_page_gate(spark):
+    from tweets_elastic_spark.operators.curation import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'a perfectly fine sentence with words.\n'
+                'b perfectly fine sentence with words.\n'
+                'c perfectly fine sentence with words.'),
+            # bad word in an otherwise-keepable line -> PAGE dropped
+            (2, 'a perfectly fine sentence with words.\n'
+                'this keepable sentence mentions BadWord in passing.\n'
+                'c perfectly fine sentence with words.'),
+            # substring is NOT a whole-word match -> survives
+            (3, 'a perfectly fine sentence with words.\n'
+                'embadwordded inside a longer token stays fine.\n'
+                'c perfectly fine sentence with words.'),
+            # regex metacharacters in the list are escaped literally
+            (4, 'a perfectly fine sentence with words.\n'
+                'b perfectly fine sentence with words.\n'
+                'c perfectly fine sentence with words.'),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in c4_line_filter(docs, bad_words=["badword", "a.c"]).collect()
+    )
+    # doc 2 dropped (case-insensitive whole word); doc 3 survives
+    # (substring only); "a.c" escaped: the dot is literal, so the
+    # freestanding 'a'/'c' words never match it
+    assert got == [1, 3, 4]
+    # default stays gate-off
+    assert c4_line_filter(docs).count() == 4

@@ -304,6 +304,7 @@ def c4_line_filter(
     id_col: str = "doc_id",
     min_words: int = 5,
     min_lines: int = 3,
+    bad_words: list[str] | None = None,
 ) -> DataFrame:
     """C4-style heuristic cleaning (Raffel et al. 2020, arXiv:1910.10683
     §2.2 — the classic pretraining line filter):
@@ -314,9 +315,14 @@ def c4_line_filter(
     * drop the whole page when it contains "lorem ipsum" (any case) or a
       curly brace ``{`` (code), or when fewer than ``min_lines`` lines
       survive (C4 counts sentences; this engine counts kept lines — a
-      documented approximation, no sentence splitter in the chain).
-      C4's bad-words page rule is NOT implemented (the list is a
-      licensing/俗-content artifact, out of scope) — documented omission.
+      documented approximation, no sentence splitter in the chain);
+    * drop the whole page when it contains any word from ``bad_words``
+      (C4's bad-words page rule, r11): whole-word, case-insensitive —
+      all words fold into ONE compiled alternation regex so the gate is
+      a single scan-local ``rlike``. The canonical blocklist ("List of
+      Dirty, Naughty, Obscene..." — the public artifact C4 used) is NOT
+      shipped; callers pass their own list. ``None`` (default) disables
+      the gate.
 
     Returns (id, text, n_lines_kept) for surviving pages, text rebuilt
     from the kept lines in order.
@@ -339,6 +345,13 @@ def c4_line_filter(
         & ~F.lower(F.col(text_col)).contains("lorem ipsum")
         & ~F.col(text_col).contains("{")
     )
+    if bad_words:
+        import re as _re
+
+        pattern = (
+            r"(?i)\b(" + "|".join(_re.escape(w) for w in bad_words) + r")\b"
+        )
+        page_ok = page_ok & ~F.col(text_col).rlike(pattern)
     return (
         docs.filter(page_ok)
         .select(

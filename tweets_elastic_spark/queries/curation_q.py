@@ -785,6 +785,10 @@ def q_tfidf_hashed_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
                'a third proper sentence with enough words here.' ||
                CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function() {'
                     WHEN doc_id % 17 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit amet consectetur.'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN chr(10) ||
+                         'this sentence mentions badword once in passing.'
                     ELSE '' END AS text
         FROM documents WHERE text IS NOT NULL
     ),
@@ -802,17 +806,22 @@ def q_tfidf_hashed_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM kept
     WHERE NOT contains(lower(text), 'lorem ipsum')
       AND NOT contains(text, '{')
+      AND NOT regexp_matches(text, '\\b(badword|verboten)\\b', 'i')
       AND len(k) >= 3
     """,
-    doc="C4-style heuristic cleaning (r10, operators/curation.py "
+    doc="C4-style heuristic cleaning (r10/r11, operators/curation.py "
         "c4_line_filter — Raffel et al. 2020 §2.2): terminal-punctuation "
         "+ min-words + javascript line rules, lorem-ipsum / curly-brace "
-        "/ min-kept-lines page rules. Pages are planted in-plan (the "
-        "line_dedup fixture pattern): each doc gets two keepable body "
-        "lines + three rule-violating lines, every 13th a code brace and "
-        "every 17th a lorem-ipsum line so both page gates fire. All "
-        "scan-local HOF expressions — no shuffle; the oracle mirrors "
-        "construction and rules exactly.",
+        "/ bad-words / min-kept-lines page rules. Pages are planted "
+        "in-plan (the line_dedup fixture pattern): each doc gets two "
+        "keepable body lines + three rule-violating lines, every 13th a "
+        "code brace, every 17th a lorem-ipsum line, every 11th a "
+        "bad-word sentence that the LINE rules would keep — proving the "
+        "page gate (one whole-word case-insensitive alternation rlike "
+        "over a neutral placeholder list; the canonical public blocklist "
+        "is caller-supplied) is what drops it. All scan-local HOF "
+        "expressions — no shuffle; the oracle mirrors construction and "
+        "rules exactly.",
 )
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -826,17 +835,19 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.lit("!\n"),
         F.lit("a third proper sentence with enough words here."),
     )
-    aug = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 13 == 0,
-               F.concat(base, F.lit("\nfunction() {")))
+    page = F.when(F.col("doc_id") % 13 == 0,
+                  F.concat(base, F.lit("\nfunction() {")))\
         .when(F.col("doc_id") % 17 == 0,
               F.concat(base,
-                       F.lit("\nLorem Ipsum dolor sit amet consectetur.")))
+                       F.lit("\nLorem Ipsum dolor sit amet consectetur.")))\
         .otherwise(base)
-        .alias("text"),
-    )
-    return C.c4_line_filter(aug)
+    page = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(page,
+                 F.lit("\nthis sentence mentions badword once in passing.")),
+    ).otherwise(page)
+    aug = docs.select("doc_id", page.alias("text"))
+    return C.c4_line_filter(aug, bad_words=["badword", "verboten"])
 
 
 _GQ = __import__(

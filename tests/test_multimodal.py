@@ -347,3 +347,68 @@ def test_audio_near_dups_fingerprint(spark):
                  * (0.5 + 0.5 * np.sin(2 * np.pi * t / 2000)))
     ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
     assert ham(ahash64(a), ahash64(b)) <= 2
+
+
+def test_ffmpeg_seam_refuses_loudly_when_absent():
+    """The r11 ffmpeg gate mirrors the PNG/Pillow policy: without ffmpeg
+    on PATH the native sample-decode functions refuse with an actionable
+    message; the codec-free container paths (metadata, sample_frames
+    addressing) never touch the gate."""
+    import shutil
+
+    import pytest
+
+    from tweets_elastic_spark.functions import multimodal as m
+    from tweets_elastic_spark.functions.mp4 import build_mp4
+
+    payload = build_mp4([b"frame-one", b"frame-two"], width=8, height=8)
+    if shutil.which("ffmpeg") is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            m.decode_video_frames_native(payload)
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            m.decode_audio_pcm_native(b"\xff\xfb\x90\x00" + b"\x00" * 400)
+    else:  # wherever ffmpeg exists the gate must be OPEN (no refusal);
+        # the synthetic payload carries fake codec bytes, so a decode
+        # error (ValueError) is acceptable — NotImplementedError is not
+        with pytest.raises(ValueError):
+            m.decode_video_frames_native(payload)
+
+
+def test_ffmpeg_native_decode_roundtrip():
+    """Wherever ffmpeg exists: encode a tiny real MP4 with ffmpeg itself
+    (mpeg4 codec — built into every ffmpeg), then the native seam must
+    decode it to (n, H, W, 3) uint8 deterministically. The sandbox has
+    no ffmpeg, so this skips here — same contract as the Pillow-gated
+    PNG equality test."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+    import pytest
+
+    if shutil.which("ffmpeg") is None:
+        pytest.skip("ffmpeg not installed")
+    w, h, n = 16, 8, 4
+    raw = np.zeros((n, h, w, 3), np.uint8)
+    for i in range(n):
+        raw[i, :, :, :] = 40 * (i + 1)
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as out:
+        proc = subprocess.run(
+            ["ffmpeg", "-y", "-v", "error", "-f", "rawvideo",
+             "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", "10",
+             "-i", "pipe:0", "-c:v", "mpeg4", "-q:v", "1", out.name],
+            input=raw.tobytes(), capture_output=True,
+        )
+        if proc.returncode != 0:
+            pytest.skip(f"ffmpeg mpeg4 encode unavailable: {proc.stderr!r}")
+        payload = open(out.name, "rb").read()
+    from tweets_elastic_spark.functions import multimodal as m
+
+    frames = m.decode_video_frames_native(payload, n_frames=n)
+    assert frames.shape == (n, h, w, 3) and frames.dtype == np.uint8
+    again = m.decode_video_frames_native(payload, n_frames=n)
+    assert np.array_equal(frames, again)
+    # lossy codec: decoded gray levels stay near the encoded ramp
+    for i in range(n):
+        assert abs(int(frames[i].mean()) - 40 * (i + 1)) < 12

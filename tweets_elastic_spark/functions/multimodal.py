@@ -19,10 +19,14 @@ formats the Python stdlib can handle and clearly-marked stubs for the rest:
   so ``sample_frames`` addresses REAL access units; ``functions/mp4``)
   and MP3 (frame-header walk: duration / sample rate / bitrate;
   ``functions/mp3``).
-* **Stub**: decoding those containers' SAMPLES — H.264 pixels, Layer-III
-  PCM — genuinely needs ffmpeg, which this container doesn't ship;
-  ``resize_images`` and any pixel path raise ``NotImplementedError`` for
-  them so the boundary is unmistakable. The deterministic fake
+* **Gated native (r11)**: decoding those containers' SAMPLES — H.264
+  pixels, Layer-III PCM — goes through the ffmpeg seam at the bottom of
+  this module (``decode_video_frames_native`` / ``decode_audio_pcm_native``
+  + the ``decode_video_frames`` mapInPandas operator), the exact policy
+  ``functions/png`` applies to Pillow: real invocation wherever ffmpeg
+  exists (skip-gated pytest), loud ``NotImplementedError`` here where it
+  doesn't. ``resize_images`` and other pixel paths still refuse for
+  these mimes so the boundary is unmistakable. The deterministic fake
   (``application/x-fake``, byte-length pseudo-dims) keeps the plumbing
   testable at scale.
 
@@ -457,3 +461,122 @@ def audio_near_dups(
         hash_batch, out_schema
     )
     return hamming_band_pairs(sig, max_distance=max_distance)
+
+
+# ---------------------------------------------------------------------------
+# Native sample decode: the gated ffmpeg seam (r11 — the PNG/Pillow gate
+# policy applied to MP4 pixels and MP3 PCM, closing the policy asymmetry
+# the r10 review noted). ffmpeg is absent in this sandbox, so the native
+# functions raise loudly here and the pytest is skip-gated — exactly like
+# functions/png.decode_png_native on Pillow. Container metadata and frame
+# ADDRESSING (sample_frames' exact mdat byte ranges) never need ffmpeg.
+# ---------------------------------------------------------------------------
+
+import shutil as _shutil
+
+_FFMPEG = _shutil.which("ffmpeg")
+
+
+def _ffmpeg_run(payload: bytes, suffix: str, args: list[str]) -> bytes:
+    """Feed ``payload`` to ffmpeg through a temp file (MP4 needs seekable
+    input when moov trails mdat) and return raw stdout bytes."""
+    import os
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+        f.write(payload)
+        path = f.name
+    try:
+        proc = subprocess.run(
+            [_FFMPEG, "-v", "error", "-i", path, *args, "pipe:1"],
+            capture_output=True,
+        )
+        if proc.returncode != 0:
+            raise ValueError(
+                f"ffmpeg decode failed: {proc.stderr.decode(errors='replace')}"
+            )
+        return proc.stdout
+    finally:
+        os.unlink(path)
+
+
+def decode_video_frames_native(payload: bytes, n_frames: int = 4) -> np.ndarray:
+    """MP4 bytes → (n, H, W, 3) uint8 RGB frames through ffmpeg — the
+    production pixel path behind the same mapInPandas seam as the
+    codec-free sketches. Dimensions come from the container's own tkhd
+    (functions/mp4.mp4_metadata), so the raw rgb24 stream reshapes
+    without probing. Raises loudly when ffmpeg is not on PATH."""
+    if _FFMPEG is None:
+        raise NotImplementedError(
+            "decode_video_frames_native needs ffmpeg on PATH; container "
+            "metadata and sample_frames' exact frame addressing work "
+            "without it"
+        )
+    from tweets_elastic_spark.functions.mp4 import mp4_metadata
+
+    meta = mp4_metadata(payload)
+    vide = next((t for t in meta.tracks if t.handler == "vide"), None)
+    if vide is None or not vide.width or not vide.height:
+        raise ValueError("MP4 has no video track with tkhd dimensions")
+    out = _ffmpeg_run(
+        payload, ".mp4",
+        ["-f", "rawvideo", "-pix_fmt", "rgb24", "-frames:v", str(n_frames)],
+    )
+    frame_bytes = vide.width * vide.height * 3
+    n = len(out) // frame_bytes
+    if n == 0:
+        raise ValueError("ffmpeg produced no complete frames")
+    return np.frombuffer(out[: n * frame_bytes], np.uint8).reshape(
+        n, vide.height, vide.width, 3
+    )
+
+
+def decode_audio_pcm_native(payload: bytes) -> np.ndarray:
+    """MP3 bytes → mono int16 PCM samples through ffmpeg (s16le, one
+    channel, the container's own sample rate). Raises loudly when ffmpeg
+    is not on PATH."""
+    if _FFMPEG is None:
+        raise NotImplementedError(
+            "decode_audio_pcm_native needs ffmpeg on PATH; frame-walk "
+            "metadata (functions/mp3.mp3_metadata) works without it"
+        )
+    out = _ffmpeg_run(
+        payload, ".mp3",
+        ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1"],
+    )
+    return np.frombuffer(out, np.int16)
+
+
+DECODED_FRAMES_SCHEMA = (
+    "asset_id long, frame_idx int, width int, height int, pixel_sha string"
+)
+
+
+def decode_video_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """The Spark-side seam over ``decode_video_frames_native``: 1→N rows
+    per MP4 asset with each DECODED frame's dimensions and pixel-bytes
+    sha256 (the decoded-pixel analogue of sample_frames' container-level
+    addressing). Same scale shape as every multimodal op: mapInPandas,
+    narrow, payload never shuffles — only 8-byte-scale sketch columns
+    leave the scan. Fails loudly (per batch) when ffmpeg is absent."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, shas = [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = decode_video_frames_native(bytes(payload), n_frames)
+                for i, fr in enumerate(frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+                    shas.append(hashlib.sha256(fr.tobytes()).hexdigest())
+            yield pd.DataFrame({
+                "asset_id": ids, "frame_idx": idxs,
+                "width": ws, "height": hs, "pixel_sha": shas,
+            })
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        sample, DECODED_FRAMES_SCHEMA
+    )

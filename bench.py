@@ -302,6 +302,8 @@ SF1_HEADLINE = [
     # r10 rows (documents/events only — all scan-shaped or one-shuffle):
     "c4_line_filter", "gopher_quality_filter", "analyze_fingerprint",
     "es_aggs_ip_prefix", "eql_sequence_pipes", "essql_date_parts",
+    # r11 rows: documents (in-plan MP4 fixtures), part, events
+    "video_frame_dups", "es_terms_enum", "eql_sequence_disjunction",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -39,6 +39,8 @@ ROWS = [
     "semdedup_survivors",
     # r8 late: the new multivariate-moments metric (one power-sum pass)
     "es_aggs_matrix_stats",
+    # r11 (the r10 verdict's SCALING stragglers + the new EQL grammar row)
+    "video_frame_dups", "es_terms_enum", "eql_sequence_disjunction",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

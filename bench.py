@@ -235,8 +235,10 @@ HEADLINE = [
     "essql_date_parts",
     "msearch_template_list",
     "eql_sequence_pipes",
-    # r11: disjunctive stage conditions (or / not / in / parens)
+    # r11: disjunctive stage conditions (or / not / in / parens) and the
+    # condition functions (startsWith~/wildcard/cidrMatch/length)
     "eql_sequence_disjunction",
+    "eql_event_functions",
     "es_aggs_ip_prefix",
     "es_aggs_extended_stats_bucket",
     "es_aggs_reverse_nested",

@@ -34,8 +34,16 @@ def test_parse_rejects_unsupported():
         parse_eql("sequence by u with maxspan=10fortnights [a where true] [b where true]")
     with pytest.raises(ValueError, match=">= 2 stages"):
         parse_eql("sequence by u [ a where true ]")
-    with pytest.raises(ValueError, match="comparison"):
-        parse_eql("a where startsWith(x)")
+    with pytest.raises(ValueError, match="takes \\(field, string\\)"):
+        parse_eql("a where startsWith(x)")  # bad arity — loud
+    with pytest.raises(ValueError, match="unsupported EQL function"):
+        parse_eql("a where indexOf(x, 'y') > 0")
+    with pytest.raises(ValueError, match="no case-insensitive"):
+        parse_eql("a where length~(x) > 1")
+    with pytest.raises(ValueError, match="CIDR"):
+        parse_eql("a where cidrMatch(ip, '::1/64')")
+    with pytest.raises(ValueError, match="numeric"):
+        parse_eql("a where length(x)")
     with pytest.raises(ValueError, match="unbalanced|end of"):
         parse_eql("a where (x == 1 or y == 2")
     with pytest.raises(ValueError, match="trailing"):
@@ -719,3 +727,75 @@ def test_eql_sequence_differential_fuzz(spark):
             events, [(c, p) for c, _, p in stages], maxspan,
             (until[0], until[2]) if until is not None else None))
         assert got == want, (trial, q, got[:3], want[:3])
+
+
+def test_condition_functions(spark):
+    """r11 condition functions: parse + evaluate against hand-computed
+    rows; the ~ variants fold case on both sides."""
+    rows = spark.createDataFrame(
+        [
+            (1, 1.0, 1, "Checkout-Start", "10.2.3.4"),
+            (2, 2.0, 1, "checkout-end", "10.130.0.9"),
+            (3, 3.0, 1, "view", "192.168.1.5"),
+            (4, 4.0, 1, "err", None),
+        ],
+        "event_id long, ts double, user_id long, event_type string, "
+        "ip string",
+    )
+
+    def run(q):
+        from tweets_elastic_spark.plans.eql import eql_search
+
+        return sorted(r["event_id"] for r in eql_search(rows, q).collect())
+
+    assert run("any where startsWith(event_type, 'checkout')") == [2]
+    assert run("any where startsWith~(event_type, 'CHECKOUT')") == [1, 2]
+    assert run("any where endsWith~(event_type, 'END')") == [2]
+    assert run("any where stringContains(event_type, 'Check')") == [1]
+    assert run("any where stringContains~(event_type, 'CHECK')") == [1, 2]
+    assert run("any where wildcard(event_type, '*out*', 'vi?w')") == [1, 2, 3]
+    assert run("any where wildcard(event_type, 'check*', 'vi?w')") == [2, 3]
+    assert run("any where wildcard~(event_type, 'CHECKOUT-*')") == [1, 2]
+    # wildcard metachars beyond * ? stay literal: '.' must not match 'any'
+    assert run("any where wildcard(event_type, '...')") == []
+    assert run("any where length(event_type) > 8") == [1, 2]
+    assert run("any where length(event_type) == 3") == [4]
+    # cidrMatch: /10 spans 10.128-10.191; host bits in the literal zero
+    assert run("any where cidrMatch(ip, '10.0.0.0/8')") == [1, 2]
+    assert run("any where cidrMatch(ip, '10.128.77.1/10')") == [2]
+    assert run(
+        "any where cidrMatch(ip, '192.168.0.0/16', '10.2.0.0/16')"
+    ) == [1, 3]
+    # NULL ip matches nothing, functions compose with the grammar
+    assert run(
+        "any where not cidrMatch(ip, '0.0.0.0/0')"
+    ) == []  # NULL stays NULL through not; all real ips match /0
+    assert run(
+        "any where (startsWith(event_type, 'view') or length(ip) < 9)"
+        " and event_type != 'err'"
+    ) == [1, 3]
+
+
+def test_condition_functions_in_sequence(spark):
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    rows = spark.createDataFrame(
+        [
+            (1, 1.0, 7, "login", "10.0.0.1"),
+            (2, 2.0, 7, "sudo-su", "10.0.0.1"),
+            (3, 3.0, 8, "login", "172.16.0.2"),
+            (4, 4.0, 8, "sudo-su", "192.168.0.9"),
+        ],
+        "event_id long, ts double, user_id long, event_type string, "
+        "ip string",
+    )
+    got = sorted(
+        (r["user_id"], r["id1"], r["id2"])
+        for r in eql_search(rows, """
+            sequence by user_id with maxspan=1h
+              [ any where event_type == 'login'
+                          and cidrMatch(ip, '10.0.0.0/8') ]
+              [ any where startsWith(event_type, 'sudo') ]
+        """).collect()
+    )
+    assert got == [(7, 1, 2)]  # user 8's login is outside the CIDR

@@ -23,10 +23,15 @@ Supported subset
   event); conditions are boolean combinations — ``and`` / ``or`` /
   ``not`` / parentheses at ES EQL precedence (r11) — of
   ``field OP literal`` comparisons (``== != > >= < <=``),
-  ``field [not] in (lit, ...)`` membership tests, and the literals
-  ``true`` / ``false``. NULL fields follow SQL three-valued logic
-  (never match, including through ``not`` — the semantics the DuckDB
-  oracles evaluate). Function calls still refuse loudly.
+  ``field [not] in (lit, ...)`` membership tests, the literals
+  ``true`` / ``false``, and the condition functions ``startsWith`` /
+  ``endsWith`` / ``stringContains`` / ``wildcard`` / ``cidrMatch``
+  (boolean, multi-pattern ORs supported) and ``length`` (numeric,
+  compared to a literal) — each with ES's ``~`` case-insensitive
+  variant where folding makes sense. NULL fields follow SQL
+  three-valued logic (never match, including through ``not`` — the
+  semantics the DuckDB oracles evaluate). Unknown functions, bad
+  arities and IPv6 CIDRs refuse loudly.
 
 Sequence semantics (deterministic single-slot automaton)
 --------------------------------------------------------
@@ -71,6 +76,55 @@ _DUR_SECONDS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 _CMP_OPS = ("==", "!=", ">=", "<=", ">", "<")
 
+# supported EQL condition functions (r11), canonical lowercase. Boolean
+# funcs stand alone in a condition; numeric funcs must be compared to a
+# literal (`length(f) > 5`). The `~` suffix selects ES's case-insensitive
+# variant for the string-comparing funcs; `~` on length/cidrMatch refuses
+# (no case to fold).
+_BOOL_FUNCS = {"startswith", "endswith", "stringcontains", "wildcard",
+               "cidrmatch"}
+_NUM_FUNCS = {"length"}
+_EQL_FUNCS = _BOOL_FUNCS | _NUM_FUNCS
+_CIDR_RE = re.compile(
+    r"^(25[0-5]|2[0-4]\d|1?\d?\d)\.(25[0-5]|2[0-4]\d|1?\d?\d)\."
+    r"(25[0-5]|2[0-4]\d|1?\d?\d)\.(25[0-5]|2[0-4]\d|1?\d?\d)/(\d|[12]\d|3[0-2])$"
+)
+_OCTET_RE = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+
+
+def _validate_func(call, src: str) -> None:
+    name, args = call.name, call.args
+
+    def need(cond: bool, what: str) -> None:
+        if not cond:
+            raise ValueError(f"EQL {name}() {what} in {src!r}")
+
+    if call.insensitive:
+        need(name not in ("length", "cidrmatch"),
+             "has no case-insensitive (~) variant")
+    if name in ("startswith", "endswith", "stringcontains"):
+        need(len(args) == 2, "takes (field, string)")
+        need(args[0][0] == "field", "needs a field first argument")
+        need(args[1][0] == "lit" and isinstance(args[1][1], str),
+             "needs a string literal second argument")
+    elif name == "wildcard":
+        need(len(args) >= 2, "takes (field, pattern, ...)")
+        need(args[0][0] == "field", "needs a field first argument")
+        for a in args[1:]:
+            need(a[0] == "lit" and isinstance(a[1], str),
+                 "patterns must be string literals")
+    elif name == "cidrmatch":
+        need(len(args) >= 2, "takes (field, cidr, ...)")
+        need(args[0][0] == "field", "needs a field first argument")
+        for a in args[1:]:
+            need(a[0] == "lit" and isinstance(a[1], str)
+                 and _CIDR_RE.match(a[1]) is not None,
+                 "CIDR blocks must be IPv4 'a.b.c.d/N' literals (IPv6 "
+                 "needs 128-bit ints — unsupported, same policy as the "
+                 "ip_prefix agg)")
+    elif name == "length":
+        need(len(args) == 1 and args[0][0] == "field", "takes (field)")
+
 
 @dataclass
 class Comparison:
@@ -107,6 +161,26 @@ class BoolOp:
 @dataclass
 class BoolLit:
     value: bool
+
+
+@dataclass
+class FuncCall:
+    """A supported EQL condition function (r11). ``name`` is the
+    canonical lowercase name without the ``~`` suffix; ``insensitive``
+    records the suffix (ES EQL's case-insensitive variant, e.g.
+    ``startsWith~``). ``args`` holds ``("field", name)`` /
+    ``("lit", value)`` pairs, validated per function at parse time."""
+    name: str
+    args: list
+    insensitive: bool = False
+
+
+@dataclass
+class FuncCmp:
+    """A numeric function compared to a literal: ``length(f) > 5``."""
+    func: FuncCall
+    op: str
+    value: object
 
 
 @dataclass
@@ -332,6 +406,8 @@ class _CondParser:
             return node
         if tok.lower() in ("true", "false"):
             return BoolLit(tok.lower() == "true")
+        if self.peek() == "(":
+            return self.func_call(tok)
         if not _IDENT_RE.match(tok):
             raise ValueError(f"bad EQL field name {tok!r}")
         op = self.peek()
@@ -374,6 +450,49 @@ class _CondParser:
                     f"malformed EQL in-list near {tok!r} in {self.src!r}"
                 )
             values.append(_parse_literal(self.take()))
+
+    def func_call(self, name: str):
+        insensitive = name.endswith("~")
+        lname = (name[:-1] if insensitive else name).lower()
+        if lname not in _EQL_FUNCS:
+            raise ValueError(
+                f"unsupported EQL function {name!r} "
+                f"(supported: {', '.join(sorted(_EQL_FUNCS))}, each "
+                "optionally ~-suffixed for case-insensitive matching)"
+            )
+        self.take()  # consume '('
+        args: list = []
+        tok = self.take()
+        if tok == ")":
+            raise ValueError(f"EQL {name}() needs arguments in {self.src!r}")
+        while True:
+            if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "\"'":
+                args.append(("lit", tok[1:-1]))
+            elif _IDENT_RE.match(tok) and tok.lower() not in ("true", "false"):
+                args.append(("field", tok))
+            else:
+                args.append(("lit", _parse_literal(tok)))
+            sep = self.take()
+            if sep == ")":
+                break
+            if sep != ",":
+                raise ValueError(
+                    f"malformed EQL argument list near {sep!r} in "
+                    f"{self.src!r}"
+                )
+            tok = self.take()
+        call = FuncCall(lname, args, insensitive)
+        _validate_func(call, self.src)
+        if lname in _NUM_FUNCS:
+            op = self.peek()
+            if op is None or op not in _CMP_OPS:
+                raise ValueError(
+                    f"EQL {name}() is numeric — compare it to a literal "
+                    f"({' '.join(_CMP_OPS)}) in {self.src!r}"
+                )
+            self.take()
+            return FuncCmp(call, op, _parse_literal(self.take()))
+        return call
 
 
 def _parse_condition(text: str) -> list:
@@ -541,12 +660,87 @@ def _cmp_col(c: Comparison) -> Column:
     }[c.op]
 
 
+def _wildcard_regex(pat: str) -> str:
+    """EQL wildcard pattern (``*`` any run, ``?`` one char) → anchored
+    regex, every other char escaped literally."""
+    out = []
+    for c in pat:
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+    return "^" + "".join(out) + "$"
+
+
+def _ipv4_long(col: Column) -> Column:
+    """Validated IPv4 string → 32-bit long (NULL for malformed — which
+    then matches no CIDR, the ip_range/ip_prefix agg policy)."""
+    p = F.split(col, r"\.")
+    ip = (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+    return F.when(col.rlike(f"^({_OCTET_RE}\\.){{3}}{_OCTET_RE}$"), ip)
+
+
+def _func_col(call: FuncCall) -> Column:
+    """Compile a boolean FuncCall to a Column predicate — string funcs
+    via the matching Catalyst expressions (lowered on both sides for the
+    ``~`` variants), cidrMatch via the //-and-% octet arithmetic the
+    ip_prefix agg established (the CIDR literal is parsed at COMPILE
+    time, so per-row work is one regex validate + 4-octet arithmetic)."""
+    fld = F.col(call.args[0][1])
+    if call.name in ("startswith", "endswith", "stringcontains"):
+        lit = call.args[1][1]
+        if call.insensitive:
+            fld, lit = F.lower(fld), lit.lower()
+        if call.name == "startswith":
+            return fld.startswith(lit)
+        if call.name == "endswith":
+            return fld.endswith(lit)
+        return fld.contains(lit)
+    if call.name == "wildcard":
+        src = F.lower(fld) if call.insensitive else fld
+        pred = None
+        for _, pat in call.args[1:]:
+            r = _wildcard_regex(pat.lower() if call.insensitive else pat)
+            m = src.rlike(r)
+            pred = m if pred is None else (pred | m)
+        return pred
+    if call.name == "cidrmatch":
+        ip = _ipv4_long(fld)
+        pred = None
+        for _, cidr in call.args[1:]:
+            base, bits = cidr.split("/")
+            o = [int(x) for x in base.split(".")]
+            width = 1 << (32 - int(bits))
+            addr = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+            net = (addr // width) * width  # zero host bits, ES's contract
+            m = (ip >= F.lit(net)) & (ip < F.lit(net + width))
+            pred = m if pred is None else (pred | m)
+        return pred
+    raise TypeError(f"not a boolean EQL function: {call.name}")
+
+
 def _node_col(node) -> Column:
     """Compile one condition node to a Column predicate (pure Catalyst
     expressions — stage predicates stay inside whole-stage codegen and
     are evaluated BEFORE the sequence shuffle)."""
     if isinstance(node, Comparison):
         return _cmp_col(node)
+    if isinstance(node, FuncCall):
+        return _func_col(node)
+    if isinstance(node, FuncCmp):
+        inner = F.length(F.col(node.func.args[0][1])).cast("long")
+        lit = F.lit(node.value)
+        return {
+            "==": inner == lit, "!=": inner != lit, ">": inner > lit,
+            ">=": inner >= lit, "<": inner < lit, "<=": inner <= lit,
+        }[node.op]
     if isinstance(node, InList):
         return F.col(node.field).isin(*node.values)
     if isinstance(node, NotOp):

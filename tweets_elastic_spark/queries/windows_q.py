@@ -731,6 +731,64 @@ def q_eql_event_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eql_event_functions",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, epoch(ts) AS tsd, user_id, event_type,
+               '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+               CAST(event_id % 250 AS VARCHAR) || '.7' AS ip
+        FROM events
+    ),
+    f AS (
+        SELECT *,
+               CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+               + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+               + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+               + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipl
+        FROM ev
+    )
+    SELECT event_id, tsd, user_id, event_type, ip
+    FROM f
+    WHERE ((ipl >= 171966464 AND ipl < 176160768)
+           OR lower(event_type) LIKE 'cl%')
+      AND length(event_type) >= 5
+    ORDER BY tsd, event_id
+    LIMIT 300
+    """,
+    doc="EQL condition FUNCTIONS end-to-end (r11, plans/eql.py): `any "
+        "where (cidrMatch(ip, '10.64.0.0/10') or startsWith~(event_type, "
+        "'CL')) and length(event_type) >= 5 | head 300` over an in-plan "
+        "derived IPv4 column. cidrMatch parses the CIDR at COMPILE time "
+        "into [net, net+width) long literals (the oracle carries the "
+        "same folded constants — 10.64.0.0/10 = [171966464, 176160768)) "
+        "and the per-row octet arithmetic is mirrored operator for "
+        "operator; startsWith~ folds case on both sides; head compiles "
+        "to TakeOrderedAndProject. All predicates pure Catalyst, "
+        "evaluated on the scan.",
+)
+def q_eql_event_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.concat_ws(
+            ".", F.lit("10"), (F.col("user_id") % 200).cast("string"),
+            (F.col("event_id") % 250).cast("string"), F.lit("7"),
+        ),
+    )
+    out = eql_search(events, """
+        any where (cidrMatch(ip, '10.64.0.0/10')
+                   or startsWith~(event_type, 'CL'))
+                  and length(event_type) >= 5
+        | head 300
+    """)
+    return out.select(
+        "event_id", F.col("ts").cast("double").alias("tsd"),
+        "user_id", "event_type", "ip",
+    )
+
+
+@register(
     "rollup_search_month",
     oracle="""
     SELECT strftime(date_trunc('month', ts), '%Y-%m') AS bucket,

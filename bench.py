@@ -134,6 +134,7 @@ HEADLINE = [
     "multimodal_decode",
     "image_near_dups",
     "video_frame_dups",  # r10: real MP4 sample-table frame addressing
+    "video_frame_dups_fmp4",  # r11: the moof/traf/trun fragment walk
     # r6 wave 3
     "search_query_string",
     "search_terms_set",

@@ -190,10 +190,63 @@ def test_mp4_sample_table_frame_addressing():
     (t,) = md.tracks
     assert (t.handler, t.codec, t.n_samples) == ("vide", "avc1", 7)
     assert abs(md.duration_s - 7 * 0.040) < 1e-9
-    with pytest.raises(NotImplementedError, match="fragmented"):
+    # a bare moof with no moov is metadata-less either way (r11: moof no
+    # longer refuses wholesale — fragments parse; moov stays required)
+    with pytest.raises(ValueError, match="no moov"):
         mp4_metadata(b"\x00\x00\x00\x08moof")
     with pytest.raises(ValueError, match="no moov"):
         mp4_metadata(b"\x00\x00\x00\x08mdat")
+
+
+def test_fragmented_mp4_frame_addressing():
+    """fMP4 (r11): sample ranges resolved from moof/traf/trun across all
+    three size-resolution paths (trun entries, tfhd default, trex
+    default), default-base-is-moof offsets, metadata aggregated from
+    fragments (fMP4 moov durations are 0 by convention)."""
+    from tweets_elastic_spark.functions.mp4 import (
+        build_fmp4, mp4_metadata, mp4_sample_ranges,
+    )
+
+    frags = [[b"frameAA", b"frameBBB"], [b"frameCCCC"],
+             [b"fD", b"fEE", b"fFFF"]]
+    flat = [f for frag in frags for f in frag]
+    p = build_fmp4(frags, width=32, height=24, frame_duration=40)
+    assert [p[o:o + s] for o, s in mp4_sample_ranges(p)] == flat
+    md = mp4_metadata(p)
+    (t,) = md.tracks
+    assert (t.handler, t.codec, t.n_samples, t.width) == (
+        "vide", "avc1", 6, 32)
+    assert abs(md.duration_s - 6 * 0.040) < 1e-9
+
+    eq = [[b"AAAA", b"BBBB"], [b"CCCC"]]
+    for mode in ("tfhd", "trex"):
+        p = build_fmp4(eq, size_mode=mode)
+        assert [p[o:o + s] for o, s in mp4_sample_ranges(p)] == \
+            [b"AAAA", b"BBBB", b"CCCC"], mode
+        assert mp4_metadata(p).tracks[0].n_samples == 3
+    # unequal frames cannot ride a single default size — loud
+    with pytest.raises(ValueError, match="equal-size"):
+        build_fmp4(frags, size_mode="tfhd")
+
+
+def test_fragmented_mp4_through_sample_frames(spark):
+    """The Spark frame-sampling operator addresses fMP4 frames exactly
+    like progressive ones — same mapInPandas seam, zero code switches."""
+    import hashlib
+
+    from tweets_elastic_spark.functions.mp4 import build_fmp4
+    from tweets_elastic_spark.functions.multimodal import sample_frames
+
+    frames = [b"alpha-frame", b"beta-frame!", b"gamma-frame"]
+    payload = build_fmp4([frames[:2], frames[2:]])
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(payload), "video/mp4")],
+        "asset_id long, modality string, payload binary, mime_type string",
+    )
+    got = {(r["frame_idx"], r["frame_sha"])
+           for r in sample_frames(assets, n_frames=3).collect()}
+    want = {(i, hashlib.sha256(f).hexdigest()) for i, f in enumerate(frames)}
+    assert got == want
 
 
 def test_mp3_frame_walk_and_guards():

@@ -390,9 +390,10 @@ def _mp4_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "video_frame_dups",
-    oracle="""
+# shared by video_frame_dups and its fragmented twin: both containers
+# carry the SAME deterministic frame strings, so byte-exact addressing
+# in either layout reproduces identical hashes
+_FRAME_DUPS_ORACLE = """
     WITH toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\s+'),
@@ -409,7 +410,12 @@ def _mp4_assets(docs: DataFrame) -> DataFrame:
     FROM frames
     GROUP BY 1
     HAVING count(*) > 1
-    """,
+    """
+
+
+@register(
+    "video_frame_dups",
+    oracle=_FRAME_DUPS_ORACLE,
     doc="Video frame-level dedup through the REAL MP4 container path "
         "(r10, functions/mp4): per-doc MP4s are assembled from "
         "position-tagged token frames, sample_frames addresses each "
@@ -427,6 +433,66 @@ def q_video_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(_mp4_assets(docs), n_frames=4)
+    return (
+        frames.groupBy("frame_sha")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _fmp4_assets(docs: DataFrame) -> DataFrame:
+    """The fragmented twin of ``_mp4_assets``: the SAME deterministic
+    position-tagged frames packed as fMP4 — two moof+mdat fragments per
+    asset (first two frames, then the rest), default-base-is-moof, sizes
+    in the trun entries."""
+    import pandas as pd
+
+    from tweets_elastic_spark.functions.mp4 import build_fmp4
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split()[:4]
+                if not toks:
+                    continue
+                frames = [f"frame:{i}:{t}".encode("utf-8")
+                          for i, t in enumerate(toks)]
+                ids.append(did)
+                payloads.append(build_fmp4([frames[:2], frames[2:]]
+                                           if len(frames) > 2
+                                           else [frames]))
+            yield pd.DataFrame({
+                "asset_id": ids, "payload": payloads,
+                "modality": ["video"] * len(ids),
+                "mime_type": ["video/mp4"] * len(ids),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        "asset_id long, payload binary, modality string, mime_type string",
+    )
+
+
+@register(
+    "video_frame_dups_fmp4",
+    oracle=_FRAME_DUPS_ORACLE,
+    doc="Frame-level dedup through the FRAGMENTED MP4 path (r11, "
+        "functions/mp4 moof/traf/trun walk): the same deterministic "
+        "frames as video_frame_dups, packed as two-fragment fMP4 (the "
+        "DASH/CMAF layout scraped streaming video uses) with "
+        "default-base-is-moof offsets and trun-entry sizes. Shares "
+        "video_frame_dups' oracle VERBATIM — identical frame strings "
+        "must hash identically through either container layout, so a "
+        "green row proves the fragment walker's byte addressing is "
+        "exact (any base/data_offset error changes every hash). Same "
+        "scale shape: payloads scan-local, only (sha, count) shuffles.",
+)
+def q_video_frame_dups_fmp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(_fmp4_assets(docs), n_frames=4)
     return (
         frames.groupBy("frame_sha")
         .agg(F.count(F.lit(1)).alias("n"))

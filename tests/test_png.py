@@ -144,8 +144,9 @@ def test_error_paths_are_loud():
     corrupt[20] ^= 1
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(corrupt))
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(_raw_png(1, 1, 16, 0, b"\x00\x00\x00"))
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(_raw_png(1, 1, 16, 3, b"\x00\x00\x00",
+                            palette=np.zeros((2, 3), dtype=np.uint8)))
     with pytest.raises(ValueError, match="unknown PNG filter type"):
         decode_png(_raw_png(2, 1, 8, 0, b"\x07\x01\x02"))
     with pytest.raises(ValueError, match="truncated"):
@@ -188,3 +189,46 @@ def test_spark_decode_resize_dhash(spark):
 
     sigs = {r["_id"]: r["_sig"] for r in image_dhash(df).collect()}
     assert sigs == {i: dhash64(img) for i, img in enumerate(imgs)}
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_16bit_roundtrip_every_filter(filter_type):
+    """r11: 16-bit truecolor — the encoder replicates samples to v*257
+    (high byte == low byte == v), so the decoder's high-byte strip
+    round-trips bit-exactly through every scanline filter (bpp=6)."""
+    img = _rand_img(h=9, w=6, seed=40 + filter_type)
+    payload = encode_png(img, filter_type=filter_type, depth=16)
+    assert payload[24] == 16  # IHDR bit depth
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_16bit_gray_and_alpha_high_byte_strip():
+    """Hand-built 16-bit grey / RGBA payloads: arbitrary (not replicated)
+    u16 samples must reduce to their HIGH byte — libpng's strip-16."""
+    g16 = np.array([[0x1234, 0xFF01], [0x00FF, 0xABCD]], dtype=">u2")
+    raw = b"".join(b"\x00" + g16[y].tobytes() for y in range(2))
+    out = decode_png(_raw_png(2, 2, 16, 0, raw))
+    want = np.array([[0x12, 0xFF], [0x00, 0xAB]], dtype=np.uint8)
+    assert np.array_equal(out[:, :, 0], want)
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])  # grey fan-out
+    rgba16 = (np.arange(2 * 3 * 4).reshape(2, 3, 4) * 993).astype(">u2")
+    raw = b"".join(b"\x00" + rgba16[y].tobytes() for y in range(2))
+    out = decode_png(_raw_png(3, 2, 16, 6, raw))
+    want = (rgba16[:, :, :3].astype(np.uint32) >> 8).astype(np.uint8)
+    assert np.array_equal(out, want)  # alpha dropped, high bytes kept
+
+
+def test_16bit_adam7_interlace():
+    img = _rand_img(h=9, w=11, seed=5)
+    wide = (img.astype(">u2") * 257)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = wide[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    out = decode_png(_raw_png(11, 9, 16, 2, bytes(raw), interlace=1))
+    assert np.array_equal(out, img)

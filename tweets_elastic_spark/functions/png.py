@@ -9,15 +9,18 @@ recompute decoded pixels arithmetically with no quantization caveats.
 Scope:
 
 * **Decode**: 8-bit samples in every color type (greyscale 0, truecolor
-  2, palette 3, grey+alpha 4, RGBA 6), sub-byte depths 1/2/4 for
-  greyscale and palette, all five scanline filters (None/Sub/Up/
-  Average/Paeth), Adam7 interlace (8-bit only), chunk CRC verification.
-  Output is always (H, W, 3) uint8 RGB — alpha channels are dropped
-  (straight, not composited; documented divergence from viewers that
-  blend against a background). 16-bit samples and sub-byte interlace
-  raise ``NotImplementedError`` loudly.
-* **Encode**: 8-bit truecolor (color type 2), non-interlaced, one
-  selectable filter applied to every scanline (``filter_type``
+  2, palette 3, grey+alpha 4, RGBA 6), 16-bit samples (r11) in the
+  non-palette color types — reduced to their HIGH byte, libpng's
+  classic strip-16 — sub-byte depths 1/2/4 for greyscale and palette,
+  all five scanline filters (None/Sub/Up/Average/Paeth), Adam7
+  interlace (8- and 16-bit), chunk CRC verification. Output is always
+  (H, W, 3) uint8 RGB — alpha channels are dropped (straight, not
+  composited; documented divergence from viewers that blend against a
+  background). Sub-byte interlace raises ``NotImplementedError``
+  loudly.
+* **Encode**: truecolor (color type 2) at depth 8 or 16 (16 replicates
+  samples to v·257, so decode round-trips bit-exactly), non-interlaced,
+  one selectable filter applied to every scanline (``filter_type``
   0..4) — the knob exists so round-trip tests exercise every decoder
   unfilter path, not for compression ratio.
 
@@ -220,12 +223,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("unknown PNG compression/filter method")
     if color_type not in _SAMPLES:
         raise ValueError(f"unsupported PNG color type {color_type}")
-    if depth == 16:
-        raise NotImplementedError("16-bit PNG not supported")
-    if depth not in (1, 2, 4, 8):
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"invalid PNG bit depth {depth}")
     if depth < 8 and color_type not in (0, 3):
         raise ValueError(f"bit depth {depth} invalid for color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("bit depth 16 invalid for palette PNG")
     if width == 0 or height == 0:
         raise ValueError("zero-dimension PNG")
     raw = zlib.decompress(bytes(idat))
@@ -236,9 +239,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         return _samples_to_rgb(samples, color_type, depth, palette)
     if interlace != 1:
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError("sub-byte Adam7 interlace not supported")
     # Adam7: seven independently-filtered sub-images, scattered back.
+    bps = depth // 8  # bytes per sample (16-bit passes reduce like
+    # _decode_subimage: unfilter on spp·2-byte pixels, keep high bytes)
     full = np.zeros((height, width, spp), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -246,18 +251,31 @@ def decode_png(payload: bytes) -> np.ndarray:
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        stride = pw * spp
+        stride = pw * spp * bps
         need = ph * (1 + stride)
-        sub = _unfilter(raw[pos : pos + need], ph, stride, spp)
+        sub = _unfilter(raw[pos : pos + need], ph, stride, spp * bps)
         pos += need
-        full[y0::dy, x0::dx] = sub.reshape(ph, pw, spp)
+        if bps == 2:
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, spp, 2)[..., 0]
+        else:
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, spp)
     return _samples_to_rgb(full, color_type, depth, palette)
 
 
 def _decode_subimage(
     raw: bytes, width: int, height: int, depth: int, spp: int
 ) -> np.ndarray:
-    """Non-interlaced pixel data → (H, W, spp) uint8 sample values."""
+    """Non-interlaced pixel data → (H, W, spp) uint8 sample values.
+
+    Depth 16 (r11): filtering operates on bytes with bpp = spp·2 per the
+    spec; the reconstructed big-endian u16 samples reduce to their HIGH
+    byte — libpng's classic strip-16, and bit-exact for values of the
+    form v·257 (the 8→16 replication the encoder emits), so round trips
+    are exact."""
+    if depth == 16:
+        stride = width * spp * 2
+        rec = _unfilter(raw, height, stride, spp * 2)
+        return rec.reshape(height, width, spp, 2)[..., 0]
     if depth == 8:
         stride = width * spp
         rec = _unfilter(raw, height, stride, spp)
@@ -302,9 +320,11 @@ def decode_png_native(payload: bytes) -> np.ndarray:
 
 def decode_png_auto(payload: bytes) -> np.ndarray:
     """The production seam: libpng/Pillow when available, the pure
-    decoder otherwise. Sub-byte depths (1/2/4) always take the pure
-    decoder — Pillow's sub-byte grey expansion is not guaranteed to
-    match the spec's ``×255/×85/×17`` scaling this module pins."""
+    decoder otherwise. Sub-byte depths (1/2/4) AND 16-bit always take
+    the pure decoder — Pillow's sub-byte grey expansion is not
+    guaranteed to match the spec's ``×255/×85/×17`` scaling this module
+    pins, and its 16-bit reduction differs from the high-byte strip the
+    oracle rows replicate."""
     # payload[24] is the IHDR bit depth (sig 8 + len 4 + type 4 + W 4 + H 4)
     if _PIL_Image is not None and len(payload) > 24 and payload[24] == 8:
         return decode_png_native(payload)
@@ -316,21 +336,36 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """(H, W, 3) uint8 → PNG bytes (8-bit truecolor, non-interlaced).
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, depth: int = 8
+) -> bytes:
+    """(H, W, 3) uint8 → PNG bytes (truecolor, non-interlaced).
 
     ``filter_type`` 0..4 applies that scanline filter to EVERY row —
     compression-irrelevant here; it exists so tests drive each decoder
-    unfilter path through real encoded streams.
+    unfilter path through real encoded streams. ``depth=16`` (r11)
+    replicates each 8-bit sample to v·257 (the spec's 8→16 scaling, high
+    byte == low byte == v) and filters the big-endian byte stream with
+    bpp=6 — so decode's high-byte strip round-trips bit-exactly.
     """
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError(f"encode_png expects (H, W, 3), got {px.shape}")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"invalid PNG filter type {filter_type}")
+    if depth not in (8, 16):
+        raise ValueError(f"encode_png supports depth 8 or 16, got {depth}")
     h, w, _ = px.shape
-    bpp = 3
-    flat = px.reshape(h, w * bpp).astype(np.int64)
+    bpp = 3 * (depth // 8)
+    if depth == 16:
+        wide = (px.astype(np.uint16) * 257).reshape(h, w * 3)
+        flat = (
+            wide.view(np.uint8).reshape(h, w * 3, 2)[:, :, ::-1]
+            if np.little_endian
+            else wide.view(np.uint8).reshape(h, w * 3, 2)
+        ).reshape(h, w * 6).astype(np.int64)
+    else:
+        flat = px.reshape(h, w * bpp).astype(np.int64)
     zero = np.zeros(w * bpp, dtype=np.int64)
     lines = bytearray()
     for y in range(h):
@@ -357,7 +392,7 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             filt = cur - pred
         lines.append(filter_type)
         lines += (filt & 0xFF).astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 0)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)

@@ -70,8 +70,9 @@ def _planted_grid_assets(docs: DataFrame, salt: str = "", codec: str = "ppm") ->
     gid = doc_id//4, plus (doc_id % 4) noise on pixel (0,0,0) — four
     near-identical variants per group, everything else deterministic.
     ``codec='ppm'`` emits P6 bytes; ``codec='png'`` emits real PNG bytes
-    with the scanline filter cycled per image (doc_id % 5) so the
-    oracle-gated row drives every decoder unfilter path."""
+    with the scanline filter cycled per image (doc_id % 5) and bit depth
+    16 on every 7th image (r11) so the oracle-gated row drives every
+    decoder unfilter path AND the 16-bit high-byte strip."""
     import hashlib
 
     import numpy as np
@@ -108,7 +109,14 @@ def _planted_grid_assets(docs: DataFrame, salt: str = "", codec: str = "ppm") ->
                 px[0, 0, 0] = (int(px[0, 0, 0]) + did % 4) % 256
                 ids.append(did)
                 if codec == "png":
-                    payloads.append(bytearray(encode_png(px, filter_type=did % 5)))
+                    # depth 16 on every 7th image (r11): the 8→16
+                    # replication round-trips to identical pixels, so
+                    # the arithmetic oracle covers the 16-bit decode
+                    # path with zero formula changes
+                    payloads.append(bytearray(encode_png(
+                        px, filter_type=did % 5,
+                        depth=16 if did % 7 == 0 else 8,
+                    )))
                 else:
                     payloads.append(bytearray(encode_ppm(px)))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})

@@ -80,13 +80,14 @@ def test_malformed_and_unsupported_raise():
         decode_jpeg(b"not a jpeg at all")
     img = _test_image(16, 16)
     enc = bytearray(encode_jpeg(img))
-    # flip SOF0 (FFC0) into SOF2 (FFC2): progressive must raise loudly
+    # flip SOF0 (FFC0) into SOF2 (FFC2): r11 decodes REAL progressive
+    # streams, so a baseline scan header under a forged SOF2 is the
+    # inconsistency that must stay loud
     i = enc.find(b"\xFF\xC0")
     enc[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="forged SOF2"):
         decode_jpeg(bytes(enc))
-    with pytest.raises(NotImplementedError, match="baseline"):
-        jpeg_dimensions(bytes(enc))
+    assert jpeg_dimensions(bytes(enc)) == (16, 16)  # SOF2 headers parse
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4), dtype=np.uint8))  # not (H, W, 3)
     with pytest.raises(ValueError, match="quality"):
@@ -102,3 +103,57 @@ def test_byte_stuffing_survives():
         img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
         dec = decode_jpeg(encode_jpeg(img, quality=95))
         assert dec.shape == img.shape
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_decodes_identical_to_baseline(subsample):
+    """r11: encode_jpeg_progressive ships the SAME quantized coefficients
+    as encode_jpeg through the cjpeg-shaped scan script (DC Al=1 + DC
+    refine, AC band splits at Al=2/1 + two refinement passes) — so the
+    progressive decode must be BIT-IDENTICAL to the baseline decode.
+    This pins every progressive path: spectral selection, successive
+    approximation, EOB runs, buffered correction bits."""
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (21, 18, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=75, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=75, subsample=subsample))
+    assert np.array_equal(base, prog)
+    assert jpeg_dimensions(
+        encode_jpeg_progressive(img, subsample=subsample)) == (18, 21)
+
+
+def test_progressive_eob_runs_and_flat_regions():
+    """Long EOB runs (mostly-flat image → all-zero AC bands across many
+    consecutive blocks) and heavy quantization (quality=5 → sparse
+    coefficients, deep ZRL/EOBn interplay) both decode identically."""
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_progressive
+
+    flat = np.full((48, 40, 3), 130, dtype=np.uint8)
+    flat[20:24, 16:20] = 250  # one feature in a sea of identical blocks
+    for q in (5, 75, 100):
+        base = decode_jpeg(encode_jpeg(flat, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(flat, quality=q))
+        assert np.array_equal(base, prog), q
+    rng = np.random.RandomState(12)
+    noisy = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(noisy, quality=5)),
+        decode_jpeg(encode_jpeg_progressive(noisy, quality=5)),
+    )
+
+
+def test_progressive_quality100_constant_blocks_exact():
+    """The oracle-row fixture contract holds for progressive too:
+    constant 8x8 gray blocks at quality=100 are DC-only with unit quant,
+    so decode(encode_progressive(img)) == img bit-exactly."""
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(13)
+    grays = rng.randint(0, 256, (3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(grays, 8, axis=0), 8, axis=1)
+    img = np.stack([img, img, img], axis=2)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, quality=100)), img)

@@ -1,20 +1,27 @@
-"""Baseline JFIF (ITU T.81) codec — pure stdlib + NumPy, no PIL/libjpeg.
+"""JFIF (ITU T.81) codec — pure stdlib + NumPy, no PIL/libjpeg.
 
 Closes the r7 verdict's loudest stub (functions/multimodal.py routed
 ``image/jpeg`` to NotImplementedError): real multimodal corpora are JPEG,
 and the dHash/banding dedup machinery downstream was ready. Scope is the
 baseline sequential process — SOF0, 8-bit samples, Huffman entropy coding,
 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
-intervals. Progressive (SOF2), arithmetic coding, 12-bit and hierarchical
-modes raise ``NotImplementedError`` loudly.
+intervals — plus, since r11, the PROGRESSIVE process (SOF2): multi-scan
+spectral selection and successive approximation per T.81 G.2 (DC
+first/refinement, AC band scans with EOB runs, AC refinement with
+correction bits), decoded through the same coefficient store the
+baseline path fills in one scan. Arithmetic coding, 12-bit and
+hierarchical modes raise ``NotImplementedError`` loudly.
 
-The encoder exists so the decoder is testable without external
+The encoders exist so the decoder is testable without external
 libraries: round-trip tests (encode → decode ≈ original within
 quantization error) and the oracle-gated dedup query (constant 8×8 gray
 blocks at quality=100 round-trip EXACTLY — DC-only blocks, unit quant
-step — so DuckDB can recompute the decoded pixels arithmetically). The
-encoder always embeds its quant + Huffman tables in the stream, so any
-standard decoder reads its output.
+step — so DuckDB can recompute the decoded pixels arithmetically).
+``encode_jpeg_progressive`` emits the SAME coefficients as
+``encode_jpeg`` through a cjpeg-shaped scan script, so the progressive
+decode must land bit-identical to the baseline decode — the equality
+the round-trip tests pin. Both encoders embed their quant + Huffman
+tables in the stream, so any standard decoder reads their output.
 
 Everything here is per-payload CPU work invoked from Arrow-batched
 ``mapInPandas`` (functions/multimodal.py) — scan-local, never shuffled.
@@ -256,14 +263,14 @@ def _magnitude(v: int) -> tuple[int, int]:
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     """(width, height) from the SOF header — no entropy decode."""
     for marker, seg, _ in _segments(payload):
-        if marker in (0xFFC0, 0xFFC1):
+        if marker in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF2 decodes since r11
             _, h, w = struct.unpack(">BHH", seg[:5])
             return w, h
-        if marker in (0xFFC2, 0xFFC3) or 0xFFC5 <= marker <= 0xFFCF and \
+        if marker == 0xFFC3 or 0xFFC5 <= marker <= 0xFFCF and \
                 marker not in (0xFFC8, 0xFFCC):
             raise NotImplementedError(
-                f"only baseline JPEG (SOF0/1) is supported, got SOF marker "
-                f"{marker:#x}"
+                f"only baseline/progressive JPEG (SOF0/1/2) is supported, "
+                f"got SOF marker {marker:#x}"
             )
     raise ValueError("no SOF marker found — not a JPEG?")
 
@@ -290,18 +297,136 @@ def _segments(payload: bytes):
         i += ln
 
 
+class _ScanCtx:
+    """Mutable per-scan entropy state (DC predictors + the progressive
+    EOB run), reset at restart markers."""
+
+    def __init__(self, comp_ids):
+        self.preds = {cid: 0 for cid in comp_ids}
+        self.eobrun = 0
+
+
+def _decode_dc_unit(reader, ctx, coef, cid, dct, ah, al):
+    """One block's DC portion: first scan (Ah=0) decodes a diff in the
+    point-transformed domain (coef = running-sum << Al); refinement
+    scans (Ah>0) read one bit that sets bit Al."""
+    if ah == 0:
+        s = _read_huff_symbol(reader, dct)
+        ctx.preds[cid] += _extend(reader.read_bits(s), s)
+        coef[0] = ctx.preds[cid] << al
+    elif reader.read_bit():
+        # two's-complement bit-set reconstructs negatives exactly: the
+        # first scan's arithmetic >> Al dropped non-negative low bits
+        coef[0] |= 1 << al
+
+
+def _decode_ac_first(reader, ctx, coef, act, ss, se, al):
+    """AC first scan (Ah=0) over band [ss, se]: T.81 G.2 — runs, ZRL and
+    EOBn symbols (an EOB run skips whole blocks)."""
+    if ctx.eobrun > 0:
+        ctx.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_huff_symbol(reader, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            ctx.eobrun = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(reader, ctx, coef, act, ss, se, al):
+    """AC refinement scan (Ah = Al+1) over band [ss, se] — T.81 G.1.2.3:
+    newly-nonzero coefficients arrive as ±1<<Al after a run over
+    ZERO-HISTORY positions; every nonzero-history position traversed
+    (including inside EOB runs) reads one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        # every value reachable at this scan is a multiple of 2^Al, so
+        # the two's-complement bit test equals the magnitude-bit test
+        if reader.read_bit() and not coef[k] & p1:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    k = ss
+    if ctx.eobrun == 0:
+        while k <= se:
+            rs = _read_huff_symbol(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    ctx.eobrun = (1 << r) + \
+                        (reader.read_bits(r) if r else 0)
+                    break
+                # r == 15: a run of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement symbol with size != 1"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            # advance past r zero-history positions, correcting every
+            # nonzero-history one on the way
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if ctx.eobrun > 0:
+        while k <= se:  # EOB-covered remainder still corrects history
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        ctx.eobrun -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF → (H, W, 3) uint8 RGB (grayscale replicates)."""
+    """Baseline (SOF0/1) or PROGRESSIVE (SOF2, r11) JFIF → (H, W, 3)
+    uint8 RGB (grayscale replicates). All scans accumulate into one
+    coefficient store (zigzag order, per component block grid); the
+    dequantize + IDCT + upsample + color-convert tail runs once at EOI —
+    which is also exactly how a progressive file is meant to be
+    finalized, and makes baseline a one-scan special case."""
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
-    scan_comps: list[dict] = []
-    scan_start = -1
+    any_scan = False
+    progressive = False
 
-    for marker, seg, after in _segments(payload):
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("missing SOI — not a JPEG")
+    i = 2
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        marker = 0xFF00 | payload[i + 1]
+        i += 2
+        if marker == 0xFFD9:  # EOI
+            break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            continue  # bare markers
+        ln = struct.unpack(">H", payload[i:i + 2])[0]
+        seg = payload[i + 2:i + ln]
+        after = i + ln
+        i = after
         if marker == 0xFFDB:  # DQT
             j = 0
             while j < len(seg):
@@ -314,17 +439,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ).astype(np.int64)
                 qts[tq] = tbl.reshape(8, 8)
                 j += 65
-        elif marker in (0xFFC0, 0xFFC1):  # SOF0/1 (baseline / ext. seq.)
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF0/1/2
             prec, h, w = struct.unpack(">BHH", seg[:5])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit samples")
+            progressive = marker == 0xFFC2
             n = seg[5]
             for c in range(n):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker == 0xFFC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
         elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
                         0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
@@ -343,74 +467,129 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xFFDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xFFDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
+            if not any_scan:
+                # allocate the coefficient store on the interleaved
+                # (MCU-padded) grid once the geometry is known
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                store = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                    )
+                    for c in comps
+                }
+                any_scan = True
             ns = seg[0]
+            scan_comps = []
             for c in range(ns):
                 cid, tabs = seg[1 + c * 2], seg[2 + c * 2]
                 comp = next(x for x in comps if x["id"] == cid)
-                scan_comps.append({**comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
-            scan_start = after
+                scan_comps.append(
+                    {**comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
+            ss, se, ahal = seg[1 + ns * 2:4 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("baseline scan with progressive header")
+            if progressive and ss == 0 and se != 0:
+                raise ValueError(
+                    "progressive DC scan must have Se=0 (T.81 B.2.3) — "
+                    "is this a baseline stream with a forged SOF2?"
+                )
+            if progressive and ss > 0 and ah not in (0, al + 1):
+                raise ValueError("progressive AC scan needs Ah=0 or Al+1")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be "
+                                 "single-component (T.81 B.2.3)")
+            reader = _BitReader(payload, after)
+            ctx = _ScanCtx([c["id"] for c in scan_comps])
+            unit = 0
+
+            def restart_check(unit):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    m = reader.align_to_marker()
+                    if not 0xFFD0 <= m <= 0xFFD7:
+                        raise ValueError(f"expected RST marker, got {m:#x}")
+                    ctx.preds = {k: 0 for k in ctx.preds}
+                    ctx.eobrun = 0
+
+            if ns == 1 and (ss > 0 or progressive):
+                # non-interleaved: the component's own (unpadded) grid
+                c = scan_comps[0]
+                cw = -(-w * c["h"] // hmax)
+                chh = -(-h * c["v"] // vmax)
+                bw, bh = -(-cw // 8), -(-chh // 8)
+                blocks = store[c["id"]]
+                for byy in range(bh):
+                    for bxx in range(bw):
+                        restart_check(unit)
+                        coef = blocks[byy, bxx]
+                        if ss == 0:
+                            _decode_dc_unit(reader, ctx, coef, c["id"],
+                                            dc_tabs[c["dc"]], ah, al)
+                        elif ah == 0:
+                            _decode_ac_first(reader, ctx, coef,
+                                             ac_tabs[c["ac"]], ss, se, al)
+                        else:
+                            _decode_ac_refine(reader, ctx, coef,
+                                              ac_tabs[c["ac"]], ss, se, al)
+                        unit += 1
+            else:
+                # interleaved MCU order (baseline full scans and
+                # progressive multi-component DC scans)
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        restart_check(unit)
+                        for c in scan_comps:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    coef = store[c["id"]][
+                                        my * c["v"] + by, mx * c["h"] + bx]
+                                    if progressive:
+                                        _decode_dc_unit(
+                                            reader, ctx, coef, c["id"],
+                                            dc_tabs[c["dc"]], ah, al)
+                                        continue
+                                    _decode_dc_unit(
+                                        reader, ctx, coef, c["id"],
+                                        dc_tabs[c["dc"]], 0, 0)
+                                    _decode_ac_first(
+                                        reader, ctx, coef,
+                                        ac_tabs[c["ac"]], 1, 63, 0)
+                        unit += 1
+            # resync: skip pad bits / fill bytes to the next marker
+            i = reader.pos
+            while i < len(payload) and payload[i] != 0xFF:
+                i += 1
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
         # APPn / COM / others: skipped
 
-    if not comps or scan_start < 0:
+    if not comps or not any_scan:
         raise ValueError("truncated JPEG: missing SOF or SOS")
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-        for c in scan_comps
-    }
 
-    reader = _BitReader(payload, scan_start)
-    preds = {c["id"]: 0 for c in scan_comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                m = reader.align_to_marker()
-                if not 0xFFD0 <= m <= 0xFFD7:
-                    raise ValueError(f"expected RST marker, got {m:#x}")
-                preds = {c["id"]: 0 for c in scan_comps}
-            for c in scan_comps:
-                qt = qts[c["tq"]]
-                dct, act = dc_tabs[c["dc"]], ac_tabs[c["ac"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _read_huff_symbol(reader, dct)
-                        diff = _extend(reader.read_bits(s), s)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _read_huff_symbol(reader, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        # zz is zigzag-ordered; qt is natural-ordered —
-                        # scatter first, then dequantize element-wise
-                        nat = np.zeros(64)
-                        nat[ZIGZAG] = zz
-                        nat = nat.reshape(8, 8) * qt
-                        spatial = _C.T @ nat @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
-            mcu_count += 1
+    planes = {}
+    for c in comps:
+        blocks = store[c["id"]]
+        qt = qts[c["tq"]]
+        bh_, bw_ = blocks.shape[:2]
+        plane = np.zeros((bh_ * 8, bw_ * 8))
+        for byy in range(bh_):
+            for bxx in range(bw_):
+                nat = np.zeros(64)
+                nat[ZIGZAG] = blocks[byy, bxx]
+                nat = nat.reshape(8, 8) * qt
+                plane[byy * 8:byy * 8 + 8, bxx * 8:bxx * 8 + 8] = \
+                    _C.T @ nat @ _C + 128.0
+        planes[c["id"]] = plane
 
     # upsample each component to full resolution and crop
     full = []
-    for c in scan_comps:
+    for c in comps:
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
@@ -576,3 +755,276 @@ def _box2(p: np.ndarray) -> np.ndarray:
     """2×2 box mean (chroma subsampling)."""
     return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) \
         / 4.0
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (r11): spectral selection + successive approximation,
+# the cjpeg-shaped scan script. Exists (like encode_png's filter knob) so
+# round-trip tests drive every progressive DECODE path through real byte
+# streams — DC first/refine, AC first with EOB runs, AC refinement with
+# buffered correction bits.
+# ---------------------------------------------------------------------------
+
+# one AC table carrying every symbol a progressive scan can emit: EOBn for
+# n=0..14, ZRL, and (run, size) for size 1..10 — 176 symbols, all 8-bit
+# canonical codes (2^8 >= 176, so the assignment is trivially prefix-free)
+_AC_PROG_SYMS = [
+    (r << 4) | s
+    for r in range(16)
+    for s in range(11)
+    if s != 0 or r <= 15
+]
+_AC_PROG = ([0] * 7 + [len(_AC_PROG_SYMS)] + [0] * 8, _AC_PROG_SYMS)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: integer division by 2^Al toward zero."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _EobState:
+    """Pending EOB run + the buffered correction bits (libjpeg's BE) that
+    must follow the next emitted EOBn symbol in block order."""
+
+    def __init__(self, wtr, ac_enc):
+        self.wtr, self.ac_enc = wtr, ac_enc
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self):
+        if self.run:
+            n = self.run.bit_length() - 1
+            code, ln = self.ac_enc[n << 4]
+            self.wtr.write(code, ln)
+            if n:
+                self.wtr.write(self.run - (1 << n), n)
+            self.run = 0
+        for b in self.bits:
+            self.wtr.write(b, 1)
+        self.bits = []
+
+
+def _enc_ac_first(wtr, blocks, ac_enc, ss, se, al):
+    eob = _EobState(wtr, ac_enc)
+    for zz in blocks:
+        band = [_pt(int(v), al) for v in zz[ss:se + 1]]
+        last = -1
+        for idx, t in enumerate(band):
+            if t:
+                last = idx
+        if last < 0:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush()
+            continue
+        eob.flush()
+        run = 0
+        for t in band[:last + 1]:
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            size, mag = _magnitude(t)
+            code, ln = ac_enc[(run << 4) | size]
+            wtr.write(code, ln)
+            wtr.write(mag, size)
+            run = 0
+        if last < len(band) - 1:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush()
+    eob.flush()
+
+
+def _enc_ac_refine(wtr, blocks, ac_enc, ss, se, al):
+    """T.81 G.1.2.3 encode side (libjpeg encode_mcu_AC_refine shape):
+    newly-nonzero coefficients (|t| == 1 at this precision) emit runs
+    over zero-history positions; history coefficients' correction bits
+    ride buffered behind the next symbol; all-history blocks fold into
+    the EOB run with their corrections buffered."""
+    eob = _EobState(wtr, ac_enc)
+    for zz in blocks:
+        band = [_pt(int(v), al) for v in zz[ss:se + 1]]
+        absv = [abs(t) for t in band]
+        eob_k = -1
+        for idx, a in enumerate(absv):
+            if a == 1:
+                eob_k = idx
+        r = 0
+        pend: list[int] = []
+        for k, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            if a > 1:  # history coefficient: one correction bit, run
+                pend.append(a & 1)  # unchanged
+                continue
+            # newly nonzero (|t| == 1)
+            while r > 15 and k <= eob_k:
+                eob.flush()
+                code, ln = ac_enc[0xF0]
+                wtr.write(code, ln)
+                r -= 16
+                for b in pend:
+                    wtr.write(b, 1)
+                pend = []
+            eob.flush()
+            code, ln = ac_enc[(r << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if band[k] > 0 else 0, 1)
+            for b in pend:
+                wtr.write(b, 1)
+            pend = []
+            r = 0
+        if r > 0 or pend:
+            eob.run += 1
+            eob.bits.extend(pend)
+            if eob.run == 0x7FFF:
+                eob.flush()
+    eob.flush()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB → PROGRESSIVE JFIF bytes (SOF2). Same color
+    transform, tables and coefficients as ``encode_jpeg`` — only the
+    scan structure differs — so ``decode(progressive) ==
+    decode(baseline)`` EXACTLY, which is what the round-trip tests pin.
+    Scan script (the cjpeg default shape): DC first at Al=1 →
+    luma AC 1-5 at Al=2 → chroma AC full-band at Al=1 → luma AC 6-63 at
+    Al=2 → luma AC refine 2→1 → DC refine → final AC refines to Al=0."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_jpeg_progressive expects (H, W, 3) uint8")
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    yy = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    lq = _scaled_qt(STD_LUMA_QT, quality)
+    cq = _scaled_qt(STD_CHROMA_QT, quality)
+    if subsample:
+        planes = [_pad_to(yy, 16, 16),
+                  _pad_to(np.round(_box2(_pad_to(cb, 2, 2))), 8, 8),
+                  _pad_to(np.round(_box2(_pad_to(cr, 2, 2))), 8, 8)]
+        hv = [(2, 2), (1, 1), (1, 1)]
+    else:
+        planes = [_pad_to(yy, 8, 8), _pad_to(cb, 8, 8), _pad_to(cr, 8, 8)]
+        hv = [(1, 1), (1, 1), (1, 1)]
+    qts = [lq, cq, cq]
+
+    def quantized(plane, qt):
+        hh, ww = plane.shape
+        bh, bw = hh // 8, ww // 8
+        out = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = _C @ blk @ _C.T
+                out[by, bx] = np.round(coef / qt).astype(
+                    np.int64).reshape(-1)[ZIGZAG]
+        return out
+
+    blocks = [quantized(p, q) for p, q in zip(planes, qts)]
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tq, tbl in ((0, lq), (1, cq)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tq) \
+            + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG])
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, (hs, vs), tq in ((1, hv[0], 0), (2, hv[1], 1), (3, hv[2], 1)):
+        out += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    for tc, th, (bits, vals) in (
+        (0, 0, _DC_LUMA), (0, 1, _DC_CHROMA), (1, 0, _AC_PROG),
+    ):
+        out += b"\xFF\xC4" + struct.pack(
+            ">HB", 19 + len(vals), (tc << 4) | th
+        ) + bytes(bits) + bytes(vals)
+
+    dc_enc = [_huff_encode_table(*_DC_LUMA),
+              _huff_encode_table(*_DC_CHROMA),
+              _huff_encode_table(*_DC_CHROMA)]
+    ac_enc = _huff_encode_table(*_AC_PROG)
+
+    def sos(comp_idxs, ss, se, ah, al):
+        out.extend(b"\xFF\xDA")
+        out.extend(struct.pack(">HB", 6 + 2 * len(comp_idxs),
+                               len(comp_idxs)))
+        for ci in comp_idxs:
+            dc_id = 0 if ci == 0 else 1
+            out.extend(struct.pack(">BB", ci + 1, (dc_id << 4) | 0))
+        out.extend(struct.pack(">BBB", ss, se, (ah << 4) | al))
+
+    def nonint_blocks(ci):
+        """The component's unpadded block grid in raster order."""
+        cw = -(-w * hv[ci][0] // hmax)
+        chh = -(-h * hv[ci][1] // vmax)
+        for by in range(-(-chh // 8)):
+            for bx in range(-(-cw // 8)):
+                yield blocks[ci][by, bx]
+
+    def dc_scan(ah, al):
+        wtr = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    for by in range(hv[ci][1]):
+                        for bx in range(hv[ci][0]):
+                            dc = int(blocks[ci][my * hv[ci][1] + by,
+                                                mx * hv[ci][0] + bx][0])
+                            if ah == 0:
+                                t = dc >> al  # arithmetic: floor
+                                diff = t - preds[ci]
+                                preds[ci] = t
+                                size, mag = _magnitude(diff)
+                                code, ln = dc_enc[ci][size]
+                                wtr.write(code, ln)
+                                if size:
+                                    wtr.write(mag, size)
+                            else:
+                                wtr.write((dc >> al) & 1, 1)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    def ac_scan(ci, ss, se, ah, al):
+        wtr = _BitWriter()
+        if ah == 0:
+            _enc_ac_first(wtr, nonint_blocks(ci), ac_enc, ss, se, al)
+        else:
+            _enc_ac_refine(wtr, nonint_blocks(ci), ac_enc, ss, se, al)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    sos([0, 1, 2], 0, 0, 0, 1)
+    dc_scan(0, 1)
+    sos([0], 1, 5, 0, 2)
+    ac_scan(0, 1, 5, 0, 2)
+    sos([2], 1, 63, 0, 1)
+    ac_scan(2, 1, 63, 0, 1)
+    sos([1], 1, 63, 0, 1)
+    ac_scan(1, 1, 63, 0, 1)
+    sos([0], 6, 63, 0, 2)
+    ac_scan(0, 6, 63, 0, 2)
+    sos([0], 1, 63, 2, 1)
+    ac_scan(0, 1, 63, 2, 1)
+    sos([0, 1, 2], 0, 0, 1, 0)
+    dc_scan(1, 0)
+    sos([0], 1, 63, 1, 0)
+    ac_scan(0, 1, 63, 1, 0)
+    sos([2], 1, 63, 1, 0)
+    ac_scan(2, 1, 63, 1, 0)
+    sos([1], 1, 63, 1, 0)
+    ac_scan(1, 1, 63, 1, 0)
+    out += b"\xFF\xD9"
+    return bytes(out)

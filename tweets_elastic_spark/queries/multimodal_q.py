@@ -205,7 +205,9 @@ def _planted_jpeg_assets(docs: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from tweets_elastic_spark.functions.jpeg import encode_jpeg
+    from tweets_elastic_spark.functions.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
 
     rows_, cols_ = _JPEG_BLOCK_ROWS, _JPEG_BLOCK_COLS
 
@@ -234,8 +236,14 @@ def _planted_jpeg_assets(docs: DataFrame) -> DataFrame:
                 px = np.repeat(np.repeat(blk, 8, 0), 8, 1)
                 img = np.stack([px, px, px], axis=2)
                 ids.append(did)
+                # every 3rd image ships PROGRESSIVE (SOF2, r11): same
+                # coefficients, multi-scan layout — the q=100 constant-
+                # block exactness holds identically, so the arithmetic
+                # oracle now gates the progressive decode paths too
+                enc = (encode_jpeg_progressive if did % 3 == 0
+                       else encode_jpeg)
                 payloads.append(bytearray(
-                    encode_jpeg(img, quality=100, subsample=True)
+                    enc(img, quality=100, subsample=True)
                 ))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 

@@ -236,10 +236,12 @@ HEADLINE = [
     "essql_date_parts",
     "msearch_template_list",
     "eql_sequence_pipes",
-    # r11: disjunctive stage conditions (or / not / in / parens) and the
-    # condition functions (startsWith~/wildcard/cidrMatch/length)
+    # r11: disjunctive stage conditions (or / not / in / parens), the
+    # condition functions (startsWith~/wildcard/cidrMatch/length), and
+    # per-stage join keys (cross-field sequence correlation)
     "eql_sequence_disjunction",
     "eql_event_functions",
+    "eql_sequence_by_stage",
     "es_aggs_ip_prefix",
     "es_aggs_extended_stats_bucket",
     "es_aggs_reverse_nested",

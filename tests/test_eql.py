@@ -799,3 +799,99 @@ def test_condition_functions_in_sequence(spark):
         """).collect()
     )
     assert got == [(7, 1, 2)]  # user 8's login is outside the CIDR
+
+
+def test_per_stage_by_parse_and_validation():
+    q = parse_eql("""
+        sequence with maxspan=1h
+          [ login where true ] by src_ip
+          [ exec where true ] by host_ip
+        until [ logout where true ] by src_ip
+    """)
+    assert q.by == [] and q.stages[0].by == ["src_ip"]
+    assert q.stages[1].by == ["host_ip"] and q.until.by == ["src_ip"]
+    q = parse_eql(
+        "sequence by tenant [a where true] by pid, uid "
+        "[b where true] by ppid, uid"
+    )
+    assert q.by == ["tenant"] and q.stages[0].by == ["pid", "uid"]
+    with pytest.raises(ValueError, match="EVERY stage"):
+        parse_eql("sequence [a where true] by pid [b where true]")
+    with pytest.raises(ValueError, match="EVERY stage"):
+        parse_eql("sequence [a where true] by pid, uid "
+                  "[b where true] by ppid")
+    with pytest.raises(ValueError, match="until"):
+        parse_eql("sequence [a where true] by pid [b where true] by ppid "
+                  "until [c where true]")
+    with pytest.raises(ValueError, match="join key"):
+        parse_eql("sequence [a where true] [b where true]")
+    with pytest.raises(ValueError, match="field names"):
+        parse_eql("sequence [a where true] by [b where true] by x")
+
+
+def test_per_stage_by_equals_global_by(spark):
+    """`[s] by user_id` on every stage must produce the same matches as
+    `sequence by user_id` — except the key column arrives as the string
+    rendering the per-stage join compares on."""
+    rows = [
+        (1, 1.0, 1, "a", 0.0), (2, 2.0, 1, "b", 0.0),
+        (3, 3.0, 2, "a", 0.0), (4, 4.0, 1, "a", 0.0),
+        (5, 5.0, 2, "b", 0.0), (6, 6.0, 1, "b", 0.0),
+    ]
+    df = _df(spark, rows)
+    want = sorted(
+        (str(r["user_id"]), r["id1"], r["id2"])
+        for r in eql_search(
+            df, "sequence by user_id [a where true] [b where true]"
+        ).collect()
+    )
+    got = sorted(
+        (r["user_id"], r["id1"], r["id2"])
+        for r in eql_search(
+            df, "sequence [a where true] by user_id "
+                "[b where true] by user_id"
+        ).collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_per_stage_by_cross_field_join(spark):
+    """Stage 1 keys on user_id, stage 2 on a DIFFERENT column (value as
+    long): only pairs whose cross-field values agree correlate."""
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, 7, "login", 0),
+            (2, 2.0, 99, "exec", 7),    # exec.value == login.user_id -> join
+            (3, 3.0, 8, "login", 0),
+            (4, 4.0, 99, "exec", 5),    # 5 matches no login user
+            (5, 5.0, 99, "exec", 8),    # joins user 8's login
+        ],
+        "event_id long, ts double, user_id long, event_type string, "
+        "value long",
+    )
+    got = sorted(
+        (r["user_id"], r["id1"], r["id2"])
+        for r in eql_search(df, """
+            sequence with maxspan=1h
+              [ login where true ] by user_id
+              [ exec where true ] by value
+        """).collect()
+    )
+    # output key column named after stage 1's field (string rendering)
+    assert got == [("7", 1, 2), ("8", 3, 5)]
+
+
+def test_per_stage_by_null_key_drops(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, None, "a", 1), (2, 2.0, 5, "a", 1), (3, 3.0, 99, "b", 5)],
+        "event_id long, ts double, user_id long, event_type string, "
+        "value long",
+    )
+    got = sorted(
+        (r["user_id"], r["id1"], r["id2"])
+        for r in eql_search(df, """
+            sequence [ a where true ] by user_id
+                     [ b where true ] by value
+        """).collect()
+    )
+    assert got == [("5", 2, 3)]  # the NULL-keyed login never correlates

@@ -14,10 +14,17 @@ Supported subset
   on the final event id).
 * sequences::
 
-      sequence by <field> [with maxspan=<n><unit>]
-        [ <category> where <condition> ]
-        [ <category> where <condition> ]
+      sequence [by <field>[, ...]] [with maxspan=<n><unit>]
+        [ <category> where <condition> ] [by <field>[, ...]]
+        [ <category> where <condition> ] [by <field>[, ...]]
         ...
+
+  Join keys are the global ``by`` fields and/or PER-STAGE ``by`` fields
+  (r11 — ES's cross-field sequence join: every stage must then carry
+  the same number of fields, whose values must agree across stages;
+  keys compare as string renderings, NULL key values drop the stage
+  match). A sequence with neither refuses loudly — keyless correlation
+  would serialize the whole stream through one task.
 
   ``<category>`` matches the event-category field (``any`` matches every
   event); conditions are boolean combinations — ``and`` / ``or`` /
@@ -190,6 +197,10 @@ class StageFilter:
     # BoolOp | BoolLit); a flat conjunction of comparisons stays a plain
     # [Comparison, ...] list, the pre-r11 shape
     conditions: list = field(default_factory=list)
+    # per-stage join-key fields (`[ stage ] by f1, f2` — r11): values
+    # must be EQUAL across stages for events to correlate; None = the
+    # stage relies on the sequence's global `by` alone
+    by: list[str] | None = None
 
 
 @dataclass
@@ -573,16 +584,17 @@ def parse_eql(query: str) -> EqlQuery:
         raise ValueError("EQL sequence needs at least one [ ... ] stage")
     head, rest = q[:bracket_at], q[bracket_at + 1:]
     m = re.match(
-        r"^sequence\s+by\s+(.+?)(?:\s+with\s+maxspan\s*=\s*(\S+))?\s*$",
+        r"^sequence(?:\s+by\s+(.+?))?(?:\s+with\s+maxspan\s*=\s*(\S+))?\s*$",
         head, flags=re.IGNORECASE,
     )
     if not m:
         raise ValueError(
             f"unsupported EQL sequence head {head.strip()!r} "
-            "(expected: sequence by <field>[, <field>...] "
+            "(expected: sequence [by <field>[, <field>...]] "
             "[with maxspan=<dur>])"
         )
-    by = [f.strip() for f in m.group(1).split(",")]
+    by = ([f.strip() for f in m.group(1).split(",")]
+          if m.group(1) else [])
     for f in by:
         if not _IDENT_RE.match(f):
             raise ValueError(f"bad EQL join-key field {f!r}")
@@ -590,20 +602,30 @@ def parse_eql(query: str) -> EqlQuery:
     stages: list[StageFilter] = []
     until: StageFilter | None = None
     in_until = False
-    pos = 0
     body_src = "[" + rest
     # tokenize on the quote mask (indexes line up with body_src) so `]`
     # or `[` inside a string literal can't truncate / split a stage
     body_mask = _quote_mask(body_src)
+    toks = [
+        t for t in re.finditer(
+            r"\[\s*(\S+)\s+where\s+([^\]]*)\]"
+            r"|with\s+runs\s*=\s*(\d+)|(\S+)",
+            body_mask, flags=re.IGNORECASE,
+        )
+    ]
+    # drop word-matches that fall inside an earlier stage match
+    filtered, pos = [], 0
+    for t in toks:
+        if t.start() >= pos:
+            filtered.append(t)
+            pos = t.end()
+    toks = filtered
     pending_runs_ok = False
-    for tok in re.finditer(
-        r"\[\s*(\S+)\s+where\s+([^\]]*)\]"
-        r"|with\s+runs\s*=\s*(\d+)|(\S+)",
-        body_mask, flags=re.IGNORECASE,
-    ):
-        if tok.start() < pos:
-            continue
-        pos = tok.end()
+    last_sf: StageFilter | None = None
+    ti = 0
+    while ti < len(toks):
+        tok = toks[ti]
+        ti += 1
         if tok.group(3) is not None:
             # EQL `[stage] with runs=N`: the stage repeated N times —
             # pure expansion sugar (the automaton/oracle see N stages)
@@ -615,7 +637,8 @@ def parse_eql(query: str) -> EqlQuery:
             if not 1 <= n <= 10:
                 raise ValueError(f"runs must be in [1, 10], got {n}")
             stages.extend(StageFilter(stages[-1].category,
-                                      list(stages[-1].conditions))
+                                      list(stages[-1].conditions),
+                                      by=stages[-1].by)
                           for _ in range(n - 1))
             pending_runs_ok = False
             continue
@@ -628,6 +651,35 @@ def parse_eql(query: str) -> EqlQuery:
                     )
                 in_until = True
                 pending_runs_ok = False
+                last_sf = None
+                continue
+            if word.lower() == "by" and last_sf is not None:
+                # per-stage join keys: `[ stage ] by f1, f2` (r11)
+                fields: list[str] = []
+                more = True
+                while more:
+                    if ti >= len(toks) or toks[ti].group(4) is None:
+                        raise ValueError(
+                            "EQL per-stage `by` needs field names"
+                        )
+                    w = body_src[toks[ti].start(4):toks[ti].end(4)]
+                    ti += 1
+                    more = w.endswith(",")
+                    for part in w.split(","):
+                        if not part:
+                            continue
+                        if not _IDENT_RE.match(part):
+                            raise ValueError(
+                                f"bad EQL per-stage by field {part!r}"
+                            )
+                        fields.append(part)
+                    if not more and ti < len(toks) \
+                            and toks[ti].group(4) is not None:
+                        nxt = body_src[toks[ti].start(4):toks[ti].end(4)]
+                        if nxt == ",":
+                            ti += 1
+                            more = True
+                last_sf.by = fields
                 continue
             raise ValueError(
                 f"malformed EQL sequence near {word!r}"
@@ -643,10 +695,35 @@ def parse_eql(query: str) -> EqlQuery:
         else:
             stages.append(sf)
             pending_runs_ok = True
+        last_sf = sf
     if in_until and until is None:
         raise ValueError("EQL until needs a [ ... ] stage")
     if len(stages) < 2:
         raise ValueError("EQL sequence needs >= 2 stages")
+    with_by = [s for s in stages if s.by is not None]
+    if with_by:
+        arity = len(with_by[0].by)
+        if len(with_by) != len(stages) or any(
+                len(s.by) != arity for s in stages):
+            raise ValueError(
+                "per-stage `by` must appear on EVERY stage with the "
+                "same field count (ES's sequence join contract)"
+            )
+        if until is not None and (
+                until.by is None or len(until.by) != arity):
+            raise ValueError(
+                "a sequence with per-stage `by` needs `until ... by` "
+                "with the same field count"
+            )
+    elif until is not None and until.by is not None:
+        raise ValueError("until has per-stage `by` but the stages don't")
+    if not by and not with_by:
+        raise ValueError(
+            "EQL sequence needs a join key: global `sequence by` and/or "
+            "per-stage `[stage] by` (a keyless sequence would serialize "
+            "the whole stream through one task — refuse rather than "
+            "degrade)"
+        )
     return EqlQuery("sequence", stages, by=by, maxspan_s=maxspan,
                     until=until, pipes=pipes)
 
@@ -843,14 +920,69 @@ def eql_search(
         tscol = tscol.cast("timestamp")
     # shuffle only (key, ts, id, L match bits) — never the event payload
     kcols = [F.col(kf).alias(f"__k{i}") for i, kf in enumerate(eq.by)]
-    knames = [f"__k{i}" for i in range(len(eq.by))]
-    ev = df.filter(any_stage).select(
-        *kcols,
-        tscol.cast("double").alias("tsd"),
-        F.col(id_field).cast("bigint").alias("eid"),
-        F.array(*preds).alias("m"),
-    )
-    for kn in knames:
+    gnames = [f"__k{i}" for i in range(len(eq.by))]
+    stage_by = eq.stages[0].by is not None
+    if stage_by:
+        # per-stage join keys (r11): each stage contributes its OWN
+        # field(s), and their values must be EQUAL across stages. An
+        # event's stage bits can imply different candidate key values,
+        # so events fan out once per DISTINCT candidate key (≤ L copies,
+        # in practice 1) and the stage bits are re-masked to the stages
+        # whose key equals that candidate — then the single key shuffle
+        # proceeds exactly as in the global-by case. Keys compare as
+        # STRING renderings (array<string>), the documented convention
+        # for cross-typed per-stage fields; NULL key values drop the
+        # stage match (ES's null-join-key contract).
+        by_lists = [s.by for s in eq.stages]
+        if eq.until is not None:
+            by_lists.append(eq.until.by)
+        for nm in eq.stages[0].by:
+            if nm in eq.by:
+                raise ValueError(
+                    f"per-stage by field {nm!r} collides with a global "
+                    "by field (output columns would clash)"
+                )
+
+        def skey(fields):
+            return F.array(*[F.col(f).cast("string") for f in fields])
+
+        def svalid(fields):
+            v = F.lit(True)
+            for f in fields:
+                v = v & F.col(f).isNotNull()
+            return v
+
+        scols = [
+            F.when(p & svalid(fl), skey(fl)).alias(f"__s{j}")
+            for j, (p, fl) in enumerate(zip(preds, by_lists))
+        ]
+        ev = df.filter(any_stage).select(
+            *kcols,
+            tscol.cast("double").alias("tsd"),
+            F.col(id_field).cast("bigint").alias("eid"),
+            *scols,
+        )
+        cand = F.array_distinct(F.filter(
+            F.array(*[F.col(f"__s{j}") for j in range(len(by_lists))]),
+            lambda x: x.isNotNull(),
+        ))
+        ev = ev.select("*", F.explode(cand).alias("__sk"))
+        m2 = F.array(*[
+            F.col(f"__s{j}").isNotNull()
+            & (F.col(f"__s{j}") == F.col("__sk"))
+            for j in range(len(by_lists))
+        ])
+        ev = ev.select(*gnames, "tsd", "eid", m2.alias("m"), "__sk")
+        knames = gnames + ["__sk"]
+    else:
+        ev = df.filter(any_stage).select(
+            *kcols,
+            tscol.cast("double").alias("tsd"),
+            F.col(id_field).cast("bigint").alias("eid"),
+            F.array(*preds).alias("m"),
+        )
+        knames = gnames
+    for kn in gnames:
         ev = ev.filter(F.col(kn).isNotNull())
 
     slot_t = "struct<fts:double,ids:array<bigint>>"
@@ -954,8 +1086,17 @@ def eql_search(
         F.element_at(F.col("s.ids"), i + 1).alias(f"id{i + 1}")
         for i in range(L)
     ]
+    key_out = [F.col(kn).alias(kf) for kn, kf in zip(gnames, eq.by)]
+    if stage_by:
+        # name the unified per-stage key columns after the FIRST stage's
+        # fields (ES reports join keys positionally); values are the
+        # string renderings the key compares as
+        key_out += [
+            F.col("__sk")[i].alias(nm)
+            for i, nm in enumerate(eq.stages[0].by)
+        ]
     out = runs.select(
-        *[F.col(kn).alias(kf) for kn, kf in zip(knames, eq.by)],
+        *key_out,
         F.col("s.fts").alias("first_ts"),
         F.col("s.lts").alias("last_ts"),
         *id_cols,

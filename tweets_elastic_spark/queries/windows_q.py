@@ -731,6 +731,79 @@ def q_eql_event_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eql_sequence_by_stage",
+    oracle="""
+    WITH RECURSIVE raw AS (
+        SELECT CASE WHEN event_type = 'signup'
+                    THEN CAST(user_id AS VARCHAR)
+                    WHEN event_type = 'click'
+                    THEN CAST(CAST(floor(value % 50) AS BIGINT) AS VARCHAR)
+               END AS k,
+               epoch(ts) AS tsd, event_id AS eid,
+               (event_type = 'signup') AS p1,
+               (event_type = 'click') AS p2
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_type IN ('signup', 'click')
+    ),
+    ev AS (
+        SELECT *, row_number() OVER (PARTITION BY k
+                                     ORDER BY tsd, eid) AS rn
+        FROM raw
+    ),
+    run AS (
+        SELECT k, 0 AS rn,
+               CAST(NULL AS DOUBLE) AS s1_ts, CAST(NULL AS BIGINT) AS s1_id,
+               CAST(NULL AS DOUBLE) AS m_first, CAST(NULL AS DOUBLE) AS m_last,
+               CAST(NULL AS BIGINT) AS m_id1, CAST(NULL AS BIGINT) AS m_id2
+        FROM (SELECT DISTINCT k FROM ev)
+        UNION ALL
+        SELECT e.k, e.rn,
+               CASE WHEN c2 THEN NULL WHEN e.p1 THEN e.tsd
+                    ELSE r.s1_ts END,
+               CASE WHEN c2 THEN NULL WHEN e.p1 THEN e.eid
+                    ELSE r.s1_id END,
+               CASE WHEN c2 THEN r.s1_ts END,
+               CASE WHEN c2 THEN e.tsd END,
+               CASE WHEN c2 THEN r.s1_id END,
+               CASE WHEN c2 THEN e.eid END
+        FROM run r
+        JOIN ev e ON e.k = r.k AND e.rn = r.rn + 1,
+        LATERAL (SELECT
+            (e.p2 AND r.s1_ts IS NOT NULL
+             AND e.tsd - r.s1_ts <= 172800.0) AS c2) f
+    )
+    SELECT k AS user_id, m_first AS first_ts, m_last AS last_ts,
+           m_id1 AS id1, m_id2 AS id2
+    FROM run WHERE m_id2 IS NOT NULL
+    """,
+    doc="EQL PER-STAGE join keys (r11, plans/eql.py): `sequence "
+        "[signup] by user_id [click] by uid2` — each stage keys on its "
+        "OWN field (uid2 derived in-plan as floor(value %% 50)) and the "
+        "values must agree, ES's cross-field sequence join. The engine "
+        "fans events out per DISTINCT candidate key (here exactly one — "
+        "categories are disjoint — so the oracle folds the key to a "
+        "CASE; the overlapping-stage fan-out is pinned by hand-vector "
+        "pytests), masks stage bits to key-matching stages, and runs "
+        "the same single-slot automaton per (key) group. Keys compare "
+        "as string renderings — the documented cross-typed convention. "
+        "Oracle: the 2-stage recursive-CTE replay over the same keyed "
+        "relation.",
+)
+def q_eql_sequence_by_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).withColumn("uid2", F.floor(F.col("value") % 50).cast("long"))
+    return eql_search(events, """
+        sequence with maxspan=2d
+          [ signup where true ] by user_id
+          [ click where true ] by uid2
+    """)
+
+
+@register(
     "eql_event_functions",
     oracle="""
     WITH ev AS (

@@ -50,6 +50,12 @@ def streaming_eql_sequence(
             "streaming_eql_sequence needs a sequence query; run plain "
             "event queries as an ordinary streaming filter"
         )
+    if eq.stages[0].by is not None:
+        raise NotImplementedError(
+            "per-stage `by` is batch-only for now (the candidate-key "
+            "fan-out needs a different state key layout) — use a global "
+            "`sequence by`"
+        )
     L = len(eq.stages)
     preds = [_stage_pred(s, event_category_field) for s in eq.stages]
     if eq.until is not None:
@@ -174,6 +180,12 @@ def streaming_eql_sequence_watermarked(
     if eq.kind != "sequence":
         raise ValueError("streaming_eql_sequence_watermarked needs a "
                          "sequence query")
+    if eq.stages[0].by is not None:
+        raise NotImplementedError(
+            "per-stage `by` is batch-only for now (the candidate-key "
+            "fan-out needs a different state key layout) — use a global "
+            "`sequence by`"
+        )
     ts_type = events_stream.schema[timestamp_field].dataType.simpleString()
     if not ts_type.startswith("timestamp"):
         raise ValueError(

@@ -309,6 +309,7 @@ SF1_HEADLINE = [
     "es_aggs_ip_prefix", "eql_sequence_pipes", "essql_date_parts",
     # r11 rows: documents (in-plan MP4 fixtures), part, events
     "video_frame_dups", "es_terms_enum", "eql_sequence_disjunction",
+    "eql_event_functions", "eql_sequence_by_stage",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -41,6 +41,7 @@ ROWS = [
     "es_aggs_matrix_stats",
     # r11 (the r10 verdict's SCALING stragglers + the new EQL grammar row)
     "video_frame_dups", "es_terms_enum", "eql_sequence_disjunction",
+    "eql_event_functions", "eql_sequence_by_stage",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

@@ -234,6 +234,7 @@ HEADLINE = [
     # block above)
     "essql_match_query",
     "essql_date_parts",
+    "essql_string_functions",
     "msearch_template_list",
     "eql_sequence_pipes",
     # r11: disjunctive stage conditions (or / not / in / parens), the

@@ -265,6 +265,9 @@ def test_essql_differential_vs_duckdb(spark):
         "v > 50", "v <= 25.5", "id <> 7", "g = 'a'", "g IS NOT NULL",
         "s LIKE 'x%'", "s NOT LIKE '%z'", "id IN (1, 2, 3, 40, 99)",
         "v BETWEEN 10 AND 60", "s IS NULL", "NOT (g = 'b')",
+        # r11 string scalar functions — same verbatim-portability contract
+        "LENGTH(s) > 2", "LCASE(g) = 'a'", "UCASE(s) LIKE 'X%'",
+        "LENGTH(TRIM(s)) = 2", "SUBSTRING(s, 1, 1) = 'x'",
     ]
 
     def rand_where():
@@ -275,16 +278,53 @@ def test_essql_differential_vs_duckdb(spark):
             out = f"({out} {rnd.choice(['AND', 'OR'])} {p})"
         return out
 
-    for _ in range(25):
-        if rnd.random() < 0.5:
+    for _ in range(30):
+        roll = rnd.random()
+        if roll < 0.4:
             q = (f"SELECT g, COUNT(*) AS n, ROUND(SUM(v), 6) AS sv, "
                  f"COUNT(DISTINCT s) AS ns "
                  f"FROM t WHERE {rand_where()} GROUP BY g")
-        else:
+        elif roll < 0.7:
             q = (f"SELECT id, g, v FROM t WHERE {rand_where()} "
+                 f"ORDER BY id LIMIT {rnd.randint(1, 50)}")
+        else:
+            q = (f"SELECT id, CONCAT(g, '-', s) AS tag, "
+                 f"SUBSTRING(s, 1, 2) AS s2, LENGTH(s) AS n "
+                 f"FROM t WHERE {rand_where()} "
                  f"ORDER BY id LIMIT {rnd.randint(1, 50)}")
         key = lambda t: tuple((x is None, x) for x in t)
         got = sorted((tuple(r) for r in es_sql(q, {"t": df}).collect()),
                      key=key)
         want = sorted((tuple(r) for r in con.sql(q).fetchall()), key=key)
         assert got == want, q
+
+
+def test_string_scalar_functions(spark, t):
+    # select-list aliases + nesting + WHERE usage; NULL s drops at the
+    # LENGTH gate (3VL), NULL g passes through UCASE as NULL
+    got = _rows(es_sql(
+        "SELECT id, UCASE(g) AS ug, LENGTH(TRIM(s)) AS n FROM t "
+        "WHERE LENGTH(s) >= 2 ORDER BY id", t))
+    assert got == [(3, "B", 2), (4, "B", 2), (5, None, 3)]
+    # CONCAT: NULL arguments count as '' (ES / DuckDB NULL-skipping)
+    got = _rows(es_sql(
+        "SELECT id, CONCAT(g, '-', s) AS tag FROM t ORDER BY id", t))
+    assert got == [(1, "a-x"), (2, "a-"), (3, "b-xy"), (4, "b-zz"),
+                   (5, "-xyz")]
+    # SUBSTRING is 1-based; GROUP BY a string-scalar alias works
+    got = _rows(es_sql(
+        "SELECT SUBSTRING(s, 1, 1) AS c, COUNT(*) AS n FROM t "
+        "WHERE s IS NOT NULL GROUP BY c ORDER BY c", t))
+    assert got == [("x", 3), ("z", 1)]
+    # LCASE in WHERE rides the scan as an ordinary predicate
+    got = _rows(es_sql(
+        "SELECT id FROM t WHERE LCASE(g) = 'b' ORDER BY id", t))
+    assert got == [(3,), (4,)]
+    # LENGTH result is BIGINT (DuckDB's width — driver hash sensitivity)
+    out = es_sql("SELECT LENGTH(s) AS n FROM t", t)
+    assert dict(out.dtypes)["n"] == "bigint"
+    # guards: date fns still refuse literal args; malformed SUBSTRING
+    with pytest.raises(ValueError, match="must be a column"):
+        es_sql("SELECT LCASE(3) AS x FROM t", t)
+    with pytest.raises(ValueError, match="SUBSTRING"):
+        es_sql("SELECT SUBSTRING(s, 1) AS x FROM t", t)

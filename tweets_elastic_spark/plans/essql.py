@@ -17,6 +17,13 @@ verbatim on DuckDB/Postgres, which is exactly how the oracle checks it):
   the string stays verbatim-oracle-able — results are BIGINT, DuckDB's
   width, alias required and usable in GROUP BY/HAVING/ORDER BY);
   aggregates MUST be aliased (engines disagree on default names).
+  String scalar functions (r11, same verbatim-portability contract):
+  ``LCASE/UCASE/TRIM/LENGTH`` (LENGTH → BIGINT),
+  ``SUBSTRING(col, start, len)`` (1-based, both engines), and variadic
+  ``CONCAT`` (NULL arguments count as ``''`` — ES's and DuckDB's
+  NULL-skipping; Spark-side coalesce). Scalar calls NEST
+  (``LENGTH(TRIM(x))``) and work in SELECT (aliased), WHERE, and —
+  through their alias — GROUP BY/HAVING/ORDER BY.
 * ``WHERE`` with ``= <> != < <= > >=``, ``AND/OR/NOT`` + parentheses,
   ``[NOT] IN (...)``, ``[NOT] LIKE``, ``[NOT] BETWEEN a AND b``
   (inclusive), ``IS [NOT] NULL``.
@@ -63,10 +70,19 @@ _DATE_FNS = {
     "HOUR": F.hour, "MINUTE": F.minute, "SECOND": F.second,
     "DAYOFWEEK": F.dayofweek, "DAYOFYEAR": F.dayofyear,
 }
+# ES SQL's string scalar functions (r11), chosen for ANSI/DuckDB name
+# parity so queries stay verbatim-oracle-able: LCASE/UCASE are DuckDB
+# aliases of lower/upper; LENGTH is BIGINT there (the Spark side casts);
+# SUBSTRING is 1-based in both; CONCAT skips NULLs in DuckDB and ES SQL,
+# so the Spark compile coalesces each argument to '' (documented).
+_STR_FNS_1 = {"LCASE": F.lower, "UCASE": F.upper, "TRIM": F.trim}
+_SCALAR_FNS = set(_DATE_FNS) | set(_STR_FNS_1) | {
+    "LENGTH", "SUBSTRING", "CONCAT"}
+
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "IS",
              "NULL", "AS", "ASC", "DESC", "ROUND", "TRUE", "FALSE",
-             "MATCH", "SCORE", "DISTINCT"} | set(_DATE_FNS)
+             "MATCH", "SCORE", "DISTINCT"} | _SCALAR_FNS
 
 
 def _tokenize(sql: str) -> tuple[list[tuple[str, object]], list[str | None]]:
@@ -155,17 +171,10 @@ class _Parser:
                 raise ValueError("ES SQL: SCORE takes no arguments: SCORE()")
             alias = self._alias(required=True)
             return ("score", None, alias)
-        if k == "kw" and v in _DATE_FNS:
-            self.next()
-            if not self.accept_op("("):
-                raise ValueError(f"ES SQL: {v} needs (")
-            ck, cv = self.next()
-            if ck != "ident":
-                raise ValueError(f"ES SQL: {v} argument must be a column")
-            if not self.accept_op(")"):
-                raise ValueError(f"ES SQL: {v} missing )")
+        if k == "kw" and v in _SCALAR_FNS:
+            col = self.scalar_expr()
             alias = self._alias(required=True)
-            return ("expr", (v, cv), alias)
+            return ("exprcol", col, alias)
         if k == "kw" and v in (_AGG_FNS | {"ROUND"}):
             item = self._agg_call()
             alias = self._alias(required=True)
@@ -250,6 +259,66 @@ class _Parser:
             )
         return None
 
+    # ---- scalar expressions (r11) --------------------------------------
+    def scalar_expr(self) -> Column:
+        """A scalar-function call — date parts, LCASE/UCASE/TRIM, LENGTH,
+        SUBSTRING(col, start, len), CONCAT(a, b, ...) — with NESTED calls
+        allowed (``LENGTH(TRIM(x))``). Returns the compiled Column; the
+        SQL string itself stays verbatim-oracle-able (same names and
+        semantics in DuckDB, LENGTH/date parts cast to BIGINT to match
+        its width, CONCAT coalesces NULL args to '' to match its
+        NULL-skipping)."""
+        k, fn = self.next()
+        if k != "kw" or fn not in _SCALAR_FNS:
+            raise ValueError(f"ES SQL: unsupported scalar function {fn!r}")
+        if not self.accept_op("("):
+            raise ValueError(f"ES SQL: {fn} needs (")
+
+        def arg(allow_lit: bool = False) -> Column:
+            ak, av = self.peek()
+            if ak == "kw" and av in _SCALAR_FNS:
+                return self.scalar_expr()
+            ak, av = self.next()
+            if ak == "ident":
+                return F.col(av)
+            if allow_lit and ak in ("num", "str"):
+                return F.lit(av)
+            raise ValueError(
+                f"ES SQL: {fn} argument must be a column"
+                + (" or literal" if allow_lit else "")
+                + " (or a nested scalar call)"
+            )
+
+        if fn in _DATE_FNS:
+            out = _DATE_FNS[fn](arg()).cast("bigint")
+        elif fn in _STR_FNS_1:
+            out = _STR_FNS_1[fn](arg())
+        elif fn == "LENGTH":
+            out = F.length(arg()).cast("bigint")
+        elif fn == "SUBSTRING":
+            src = arg()
+            if not self.accept_op(","):
+                raise ValueError("ES SQL: SUBSTRING(col, start, len)")
+            sk, sv = self.next()
+            if sk != "num" or isinstance(sv, float):
+                raise ValueError("ES SQL: SUBSTRING start must be an int")
+            if not self.accept_op(","):
+                raise ValueError("ES SQL: SUBSTRING(col, start, len)")
+            lk, lv = self.next()
+            if lk != "num" or isinstance(lv, float):
+                raise ValueError("ES SQL: SUBSTRING length must be an int")
+            out = F.substring(src, int(sv), int(lv))
+        else:  # CONCAT — variadic; NULL args count as '' (ES/DuckDB)
+            parts = [arg(allow_lit=True)]
+            while self.accept_op(","):
+                parts.append(arg(allow_lit=True))
+            out = F.concat(*[
+                F.coalesce(c.cast("string"), F.lit("")) for c in parts
+            ])
+        if not self.accept_op(")"):
+            raise ValueError(f"ES SQL: {fn} missing )")
+        return out
+
     # ---- boolean expressions ------------------------------------------
     def expr(self, cols) -> Column:
         left = self.and_expr(cols)
@@ -328,17 +397,12 @@ class _Parser:
                 "ES SQL: SCORE() is not a predicate — select it (aliased) "
                 "or ORDER BY it"
             )
-        if k == "kw" and v in _DATE_FNS:
-            # WHERE YEAR(ts) = 2024 — the date-part call as a comparison
-            # LHS, same BIGINT rendering as the select-list form
-            if not self.accept_op("("):
-                raise ValueError(f"ES SQL: {v} needs (")
-            ck, cv = self.next()
-            if ck != "ident":
-                raise ValueError(f"ES SQL: {v} argument must be a column")
-            if not self.accept_op(")"):
-                raise ValueError(f"ES SQL: {v} missing )")
-            c = _DATE_FNS[v](cols(cv)).cast("bigint")
+        if k == "kw" and v in _SCALAR_FNS:
+            # WHERE YEAR(ts) = 2024 / WHERE LENGTH(text) > 100 — a scalar
+            # call as the comparison LHS, same rendering as the
+            # select-list form
+            self.i -= 1  # rewind: scalar_expr consumes the fn token
+            c = self.scalar_expr()
         elif k != "ident":
             raise ValueError(f"ES SQL: expected a column, got {v!r}")
         else:
@@ -480,16 +544,15 @@ def es_sql(
     if p.accept_kw("WHERE"):
         df = df.filter(p.expr(F.col))
 
-    # date-part select items (YEAR(ts) AS y, ...) materialize as named
-    # columns before aggregation, so GROUP BY / HAVING / ORDER BY can
-    # reference the alias — exactly how DuckDB resolves the same string
+    # scalar select items (YEAR(ts) AS y, LCASE(lang) AS l, ...)
+    # materialize as named columns before aggregation, so GROUP BY /
+    # HAVING / ORDER BY can reference the alias — exactly how DuckDB
+    # resolves the same string
     for kind, pay, alias in items:
-        if kind == "expr":
-            fn, col = pay
-            df = df.withColumn(
-                alias, _DATE_FNS[fn](F.col(col)).cast("bigint")
-            )
-    items = [("col", alias, alias) if kind == "expr" else (kind, pay, alias)
+        if kind == "exprcol":
+            df = df.withColumn(alias, pay)
+    items = [("col", alias, alias) if kind == "exprcol"
+             else (kind, pay, alias)
              for kind, pay, alias in items]
 
     score_aliases = [alias for kind, _, alias in items if kind == "score"]

@@ -466,6 +466,32 @@ def q_essql_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   {"orders": load_table(spark, sf_dir, "orders")})
 
 
+_ESSQL_STR = """SELECT doc_id, LCASE(lang) AS l, SUBSTRING(source, 1, 4) AS src4,
+       CONCAT(lang, '-', source) AS tag, LENGTH(TRIM(text)) AS n
+FROM documents
+WHERE LENGTH(text) > 200 AND UCASE(lang) <> 'DE'
+ORDER BY doc_id
+LIMIT 400"""
+
+
+@register(
+    "essql_string_functions",
+    oracle=_ESSQL_STR,
+    doc="ES SQL string scalar functions (r11): LCASE/UCASE/TRIM/LENGTH/"
+        "SUBSTRING/CONCAT — nested (LENGTH(TRIM(text))), in WHERE "
+        "(LENGTH gate + UCASE comparison, both riding the scan) and in "
+        "the select list. CONCAT's NULL arguments count as '' (ES's and "
+        "DuckDB's NULL-skipping — the Spark compile coalesces); LENGTH "
+        "casts to BIGINT (DuckDB's width). Same string IS the oracle, "
+        "verbatim, like every essql row.",
+)
+def q_essql_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.essql import es_sql
+
+    return es_sql(_ESSQL_STR,
+                  {"documents": load_table(spark, sf_dir, "documents")})
+
+
 @register(
     "essql_filter_query",
     oracle=_ESSQL_FILTER,

@@ -235,6 +235,7 @@ HEADLINE = [
     "essql_match_query",
     "essql_date_parts",
     "essql_string_functions",
+    "es_request_highlight_fragments",
     "msearch_template_list",
     "eql_sequence_pipes",
     # r11: disjunctive stage conditions (or / not / in / parens), the

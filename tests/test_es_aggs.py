@@ -837,9 +837,6 @@ def test_highlight_tags_analyzed_terms(spark):
     got2 = es_request(df, req2, analyzers={"text": "standard"},
                       tiebreak="id").collect()
     assert got2[0]["text_highlight"] == "[Spark] and [MERGE] win"
-    with pytest.raises(ValueError, match="full-field mode only"):
-        es_request(df, {**req, "highlight": {"fields": {"text": {
-            "number_of_fragments": 3}}}}, analyzers={"text": "standard"})
     with pytest.raises(ValueError, match="no analyzed query terms"):
         es_request(df, {
             "query": {"term": {"id": 1}},
@@ -2671,3 +2668,49 @@ def test_reverse_nested_counts_parents(spark):
             "by_tag": {"terms": {"field": "anns.tag"},
                        "aggs": {"p": {"reverse_nested": {"path": "anns"}}}},
         }}})
+
+
+def test_highlight_fragments(spark):
+    """r11 fragment mode (number_of_fragments > 0): fixed-char windows
+    around each match in document order — last fsize//3 chars of prefix
+    + pre-tag + first fsize - fsize//3 chars from the match on."""
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    text = ("aaaa spark bbbb cccc dddd eeee ffff spark gggg hhhh "
+            "iiii jjjj kkkk llll spark mmmm")
+    df = spark.createDataFrame([(1, text, 1.0)],
+                               "id long, text string, amount double")
+    req = {
+        "query": {"match": {"text": {"query": "spark"}}},
+        "sort": [{"amount": "desc"}],
+        "highlight": {"fields": {"text": {
+            "number_of_fragments": 2, "fragment_size": 30,
+        }}},
+    }
+    (row,) = es_request(df, req, analyzers={"text": "standard"},
+                        tiebreak="id").collect()
+    frags = row["text_fragments"]
+    assert len(frags) == 2  # first two matches, document order
+    for f in frags:
+        assert "<em>spark</em>" in f
+        # window arithmetic: <= 10 chars context, then the re-added
+        # pre-tag + <= 20 chars from the match on
+        pre_len = f.index("<em>")
+        assert pre_len <= 10 and len(f) - pre_len <= len("<em>") + 20
+    assert frags[0].startswith("aaaa <em>spark")  # only 5 chars before
+    # more fragments requested than matches -> all matches, no padding
+    req["highlight"]["fields"]["text"]["number_of_fragments"] = 9
+    (row,) = es_request(df, req, analyzers={"text": "standard"},
+                        tiebreak="id").collect()
+    assert len(row["text_fragments"]) == 3
+    # no match in the field -> empty fragment list, row still returned
+    df2 = spark.createDataFrame([(1, "nothing here", 1.0)],
+                                "id long, text string, amount double")
+    req2 = {
+        "query": {"match": {"text": {"query": "spark nothing"}}},
+        "sort": [{"amount": "desc"}],
+        "highlight": {"fields": {"text": {"number_of_fragments": 2}}},
+    }
+    (row,) = es_request(df2, req2, analyzers={"text": "standard"},
+                        tiebreak="id").collect()
+    assert row["text_fragments"] == ["<em>nothing</em> here"]

@@ -3684,13 +3684,20 @@ def es_request(
             )
     hl = body.get("highlight")
     if hl is not None:
-        # ES highlighting, full-field mode (number_of_fragments: 0): tag
-        # every analyzed query term for the requested fields with the
-        # pre/post tags — ONE codegen'd regexp_replace per field riding the
-        # (already top-k-truncated) hit set, word-boundary + case-
-        # insensitive, the regex dialect both engines share. Fragmenting
-        # (the default snippet mode) is not supported — raise, never
-        # silently return untagged text.
+        # ES highlighting: tag every analyzed query term for the
+        # requested fields with the pre/post tags — ONE codegen'd
+        # regexp_replace per field riding the (already top-k-truncated)
+        # hit set, word-boundary + case-insensitive, the regex dialect
+        # both engines share. number_of_fragments: 0 returns the whole
+        # tagged field ({field}_highlight); N > 0 (r11) returns up to N
+        # fixed-char-window snippets ({field}_fragments, array<string>):
+        # the tagged text splits on the pre-tag, and fragment i carries
+        # the last fragment_size//3 chars before match i plus the first
+        # 2*fragment_size//3 chars from it — fragments in DOCUMENT order
+        # (ES's unified highlighter scores fragments and snaps to
+        # sentence boundaries; this fixed-window document-order variant
+        # is the documented divergence, chosen because the exact same
+        # arithmetic runs in SQL: string_split + list_zip + right/left).
         import re as _re
 
         from tweets_elastic_spark.plans.search import match_terms_by_field
@@ -3699,12 +3706,6 @@ def es_request(
         pre = hl.get("pre_tags", ["<em>"])[0]
         post = hl.get("post_tags", ["</em>"])[0]
         for field, opts in hl["fields"].items():
-            if (opts or {}).get("number_of_fragments", 0) != 0:
-                raise ValueError(
-                    "highlight supports full-field mode only — pass "
-                    "number_of_fragments: 0 (fragment snippets are not "
-                    "implemented)"
-                )
             toks = terms.get(field)
             if not toks:
                 raise ValueError(
@@ -3712,10 +3713,27 @@ def es_request(
                     "terms to tag (only analyzed match clauses highlight)"
                 )
             pattern = r"(?i)\b(" + "|".join(_re.escape(t) for t in toks) + r")\b"
-            out = out.withColumn(
-                f"{field}_highlight",
-                F.regexp_replace(F.col(field), pattern, f"{pre}$1{post}"),
+            tagged = F.regexp_replace(F.col(field), pattern, f"{pre}$1{post}")
+            nf = int((opts or {}).get("number_of_fragments", 0))
+            if nf == 0:
+                out = out.withColumn(f"{field}_highlight", tagged)
+                continue
+            fsize = int((opts or {}).get("fragment_size", 100))
+            ctx = fsize // 3
+            parts = F.split(tagged, _re.escape(pre))
+            n = F.greatest(
+                F.least(F.size(parts) - 1, F.lit(nf)), F.lit(0)
             )
+            frags = F.zip_with(
+                F.slice(parts, F.lit(1), n),
+                F.slice(parts, F.lit(2), n),
+                lambda a, b: F.concat(
+                    F.right(a, F.lit(ctx)),
+                    F.lit(pre),
+                    F.left(b, F.lit(fsize - ctx)),
+                ),
+            )
+            out = out.withColumn(f"{field}_fragments", frags)
     if source is not None:
         # ES returns script_fields ALONGSIDE _source; keep their columns
         # through the projection

@@ -1602,6 +1602,82 @@ def q_es_request_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_request_highlight_fragments",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, text,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, text
+        FROM toks
+        WHERE lang = 'en' AND list_has_any(t, ['spark', 'merge'])
+        ORDER BY n_chars DESC, doc_id ASC
+        LIMIT 25
+    ),
+    parts AS (
+        SELECT doc_id,
+               string_split(
+                 regexp_replace(text, '(?i)\b(spark|merge)\b',
+                                '<em>\1</em>', 'g'),
+                 '<em>') AS p
+        FROM hits
+    ),
+    win AS (
+        SELECT doc_id, p, least(len(p) - 1, 3) AS n FROM parts
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_zip(p[1:n], p[2:n+1]),
+               x -> right(x[1], 20) || '<em>' || left(x[2], 40)),
+             ' ... ') AS snips
+    FROM win
+    """,
+    doc="ES highlighting, FRAGMENT mode (r11, number_of_fragments: 3, "
+        "fragment_size: 60): fixed-char windows around the first N "
+        "matches in document order — the tagged text splits on the "
+        "pre-tag and each fragment is right(prefix, 20) + '<em>' + "
+        "left(rest, 40) (fsize//3 context, documented divergence from "
+        "ES's scored sentence-snapped snippets, chosen because the SAME "
+        "arithmetic runs in SQL: string_split + list_zip + right/left). "
+        "The driver row joins the snippet array with ' ... ' (primitive "
+        "schema). Fragmenting rides the already-top-k-truncated hit set "
+        "— cost scales with the page, never the corpus.",
+)
+def q_es_request_highlight_fragments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    request = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": {"query": "spark merge"}}}],
+                "filter": [{"term": {"lang": "en"}}],
+            }
+        },
+        "sort": [{"n_chars": "desc"}],
+        "size": 25,
+        "highlight": {"fields": {"text": {
+            "number_of_fragments": 3, "fragment_size": 60,
+        }}},
+    }
+    out = es_request(
+        docs, request, analyzers={"text": "standard"}, tiebreak="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("text_fragments", " ... ").alias("snips"),
+    )
+
+
+@register(
     "search_function_score_fvf",
     oracle=_TOKENS_CTE + """
     SELECT doc_id,

@@ -895,3 +895,56 @@ def test_per_stage_by_null_key_drops(spark):
         """).collect()
     )
     assert got == [("5", 2, 3)]  # the NULL-keyed login never correlates
+
+
+def test_streaming_per_stage_by_matches_batch(spark, tmp_path):
+    """The per-stage-by candidate fan-out runs BEFORE the stateful
+    grouping, so one availableNow pass must equal the batch engine
+    row-for-row (same string-rendered key columns)."""
+    import os
+    import shutil
+
+    from tweets_elastic_spark.sources.catalog import load_table
+    from tweets_elastic_spark.streaming.eql import streaming_eql_sequence
+    from tweets_elastic_spark.streaming.ingest import stream_events
+
+    sf = "/root/testdata/sf0.001"
+    events_dir = str(tmp_path / "events_in")
+    os.makedirs(events_dir)
+    shutil.copy(os.path.join(sf, "events.parquet"),
+                os.path.join(events_dir, "part-0.parquet"))
+    q = """sequence with maxspan=2d
+      [ signup where true ] by user_id
+      [ click where true ] by uid2"""
+
+    def with_uid2(df):
+        return df.filter(F.col("value").isNotNull()).withColumn(
+            "uid2", F.floor(F.col("value") % 50).cast("long"))
+
+    sink = str(tmp_path / "eql_sby_out")
+    out = (
+        streaming_eql_sequence(with_uid2(stream_events(spark, events_dir)), q)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "eql_sby_ckpt"))
+        .format("parquet").option("path", sink).start()
+    )
+    out.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    want = sorted(
+        tuple(r) for r in
+        eql_search(with_uid2(load_table(spark, sf, "events")), q).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_watermarked_refuses_per_stage_by(spark):
+    from tweets_elastic_spark.streaming.eql import (
+        streaming_eql_sequence_watermarked,
+    )
+
+    with pytest.raises(NotImplementedError, match="WATERMARKED"):
+        streaming_eql_sequence_watermarked(
+            spark.readStream.format("rate").load(),
+            "sequence [a where true] by x [b where true] by y",
+        )

@@ -50,12 +50,6 @@ def streaming_eql_sequence(
             "streaming_eql_sequence needs a sequence query; run plain "
             "event queries as an ordinary streaming filter"
         )
-    if eq.stages[0].by is not None:
-        raise NotImplementedError(
-            "per-stage `by` is batch-only for now (the candidate-key "
-            "fan-out needs a different state key layout) — use a global "
-            "`sequence by`"
-        )
     L = len(eq.stages)
     preds = [_stage_pred(s, event_category_field) for s in eq.stages]
     if eq.until is not None:
@@ -69,14 +63,60 @@ def streaming_eql_sequence(
     if ts_type.startswith("timestamp"):
         tscol = tscol.cast("timestamp")
 
-    knames = [f"__k{i}" for i in range(len(eq.by))]
-    ev = events_stream.filter(any_stage).select(
-        *[F.col(kf).alias(kn) for kf, kn in zip(eq.by, knames)],
-        tscol.cast("double").alias("tsd"),
-        F.col(id_field).cast("bigint").alias("eid"),
-        *[p.alias(f"m{i}") for i, p in enumerate(preds)],
-    )
-    for kn in knames:
+    gnames = [f"__k{i}" for i in range(len(eq.by))]
+    stage_by = eq.stages[0].by is not None
+    if stage_by:
+        # per-stage join keys (r11): same candidate-key fan-out as the
+        # batch engine (plans/eql.py), computed BEFORE the stateful
+        # grouping so the state layout is unchanged — the unified key
+        # rides as ONE extra string grouping column (fields joined on
+        # \x1f; the batch side compares array<string>, equal whenever
+        # values are \x1f-free — documented).
+        by_lists = [s.by for s in eq.stages]
+        if eq.until is not None:
+            by_lists.append(eq.until.by)
+
+        def skey(fields):
+            return F.concat_ws(
+                "\x1f", *[F.col(f).cast("string") for f in fields])
+
+        def svalid(fields):
+            v = F.lit(True)
+            for f in fields:
+                v = v & F.col(f).isNotNull()
+            return v
+
+        scols = [
+            F.when(p & svalid(fl), skey(fl)).alias(f"__s{j}")
+            for j, (p, fl) in enumerate(zip(preds, by_lists))
+        ]
+        ev = events_stream.filter(any_stage).select(
+            *[F.col(kf).alias(kn) for kf, kn in zip(eq.by, gnames)],
+            tscol.cast("double").alias("tsd"),
+            F.col(id_field).cast("bigint").alias("eid"),
+            *scols,
+        )
+        cand = F.array_distinct(F.filter(
+            F.array(*[F.col(f"__s{j}") for j in range(len(by_lists))]),
+            lambda x: x.isNotNull(),
+        ))
+        ev = ev.select("*", F.explode(cand).alias("__sk"))
+        ev = ev.select(
+            *gnames, "tsd", "eid", "__sk",
+            *[(F.col(f"__s{j}").isNotNull()
+               & (F.col(f"__s{j}") == F.col("__sk"))).alias(f"m{j}")
+              for j in range(len(by_lists))],
+        )
+        knames = gnames + ["__sk"]
+    else:
+        ev = events_stream.filter(any_stage).select(
+            *[F.col(kf).alias(kn) for kf, kn in zip(eq.by, gnames)],
+            tscol.cast("double").alias("tsd"),
+            F.col(id_field).cast("bigint").alias("eid"),
+            *[p.alias(f"m{i}") for i, p in enumerate(preds)],
+        )
+        knames = gnames
+    for kn in gnames:
         ev = ev.filter(F.col(kn).isNotNull())
 
     maxspan = eq.maxspan_s
@@ -86,12 +126,16 @@ def streaming_eql_sequence(
         f.name: f.dataType.simpleString()
         for f in events_stream.schema.fields
     }
+    stage_key_names = list(eq.stages[0].by) if stage_by else []
     out_schema = (
-        ", ".join(f"{kf} {key_types[kf]}" for kf in eq.by)
-        + ", first_ts double, last_ts double, "
+        ", ".join([f"{kf} {key_types[kf]}" for kf in eq.by]
+                  + [f"{nm} string" for nm in stage_key_names])
+        + (", " if eq.by or stage_key_names else "")
+        + "first_ts double, last_ts double, "
         + ", ".join(f"id{i + 1} long" for i in range(L))
     )
-    by_fields = list(eq.by)
+    by_fields = list(eq.by) + stage_key_names
+    n_stage_keys = len(stage_key_names)
 
     def step(key: tuple, pdfs: Iterable[pd.DataFrame],
              state: GroupState) -> Iterable[pd.DataFrame]:
@@ -100,6 +144,10 @@ def streaming_eql_sequence(
         slots = (
             json.loads(state.get[0]) if state.exists else [None] * (L - 1)
         )
+        if n_stage_keys:
+            # the last key element is the \x1f-joined per-stage key;
+            # split it back into its output fields
+            key = key[:-1] + tuple(key[-1].split("\x1f"))
         emits: list[tuple] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["tsd", "eid"])
@@ -182,9 +230,9 @@ def streaming_eql_sequence_watermarked(
                          "sequence query")
     if eq.stages[0].by is not None:
         raise NotImplementedError(
-            "per-stage `by` is batch-only for now (the candidate-key "
-            "fan-out needs a different state key layout) — use a global "
-            "`sequence by`"
+            "per-stage `by` is unsupported in the WATERMARKED variant "
+            "(the event-time buffer keys by the global fields); "
+            "streaming_eql_sequence and the batch engine support it"
         )
     ts_type = events_stream.schema[timestamp_field].dataType.simpleString()
     if not ts_type.startswith("timestamp"):

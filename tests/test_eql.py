@@ -938,13 +938,54 @@ def test_streaming_per_stage_by_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_watermarked_refuses_per_stage_by(spark):
+def test_watermarked_per_stage_by_matches_batch(spark, tmp_path):
+    """The watermarked variant supports per-stage keys too (r11): the
+    candidate fan-out is a narrow projection+explode, so the event-time
+    attribute rides through and one availableNow pass over an ordered
+    fixture equals the batch engine row-for-row."""
+    import os
+    import shutil
+
+    from tweets_elastic_spark.sources.catalog import load_table
     from tweets_elastic_spark.streaming.eql import (
         streaming_eql_sequence_watermarked,
     )
+    from tweets_elastic_spark.streaming.ingest import stream_events
 
-    with pytest.raises(NotImplementedError, match="WATERMARKED"):
+    sf = "/root/testdata/sf0.001"
+    events_dir = str(tmp_path / "events_in_wm")
+    os.makedirs(events_dir)
+    shutil.copy(os.path.join(sf, "events.parquet"),
+                os.path.join(events_dir, "part-0.parquet"))
+    q = """sequence with maxspan=2d
+      [ signup where true ] by user_id
+      [ click where true ] by uid2"""
+
+    def with_uid2(df):
+        return df.filter(F.col("value").isNotNull()).withColumn(
+            "uid2", F.floor(F.col("value") % 50).cast("long"))
+
+    sink = str(tmp_path / "eql_wm_sby_out")
+    out = (
         streaming_eql_sequence_watermarked(
-            spark.readStream.format("rate").load(),
-            "sequence [a where true] by x [b where true] by y",
-        )
+            with_uid2(stream_events(spark, events_dir)), q,
+            delay="10 minutes")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "eql_wm_sby_ckpt"))
+        .format("parquet").option("path", sink).start()
+    )
+    out.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    batch = with_uid2(load_table(spark, sf, "events"))
+    want_all = sorted(tuple(r) for r in eql_search(batch, q).collect())
+    # the final watermark = max stage-matching event time - delay; any
+    # match completing INSIDE that trailing window is still buffered when
+    # the availableNow run ends (correct watermark semantics, the same
+    # caveat every event-time pipeline has at stream end)
+    wm_final = (
+        batch.filter(F.col("event_type").isin("signup", "click"))
+        .agg(F.max(F.col("ts").cast("double"))).collect()[0][0] - 600.0
+    )
+    want = [w for w in want_all if w[2] <= wm_final]  # w[2] = last_ts
+    assert got == want and len(got) > 0

@@ -228,12 +228,6 @@ def streaming_eql_sequence_watermarked(
     if eq.kind != "sequence":
         raise ValueError("streaming_eql_sequence_watermarked needs a "
                          "sequence query")
-    if eq.stages[0].by is not None:
-        raise NotImplementedError(
-            "per-stage `by` is unsupported in the WATERMARKED variant "
-            "(the event-time buffer keys by the global fields); "
-            "streaming_eql_sequence and the batch engine support it"
-        )
     ts_type = events_stream.schema[timestamp_field].dataType.simpleString()
     if not ts_type.startswith("timestamp"):
         raise ValueError(
@@ -250,19 +244,64 @@ def streaming_eql_sequence_watermarked(
     for p in preds[1:]:
         any_stage = any_stage | p
 
-    knames = [f"__k{i}" for i in range(len(eq.by))]
-    ev = stream.filter(any_stage).select(
-        *[F.col(kf).alias(kn) for kf, kn in zip(eq.by, knames)],
-        # the watermarked column itself must reach the stateful operator
-        # (the event-time attribute is what makes getCurrentWatermarkMs
-        # available); tsd is its double rendering for the automaton
+    gnames = [f"__k{i}" for i in range(len(eq.by))]
+    stage_by = eq.stages[0].by is not None
+    # the watermarked column itself must reach the stateful operator
+    # (the event-time attribute is what makes getCurrentWatermarkMs
+    # available); tsd is its double rendering for the automaton
+    base_cols = [
         F.col(timestamp_field).alias("__et"),
         F.col(timestamp_field).cast("timestamp").cast("double")
         .alias("tsd"),
         F.col(id_field).cast("bigint").alias("eid"),
-        *[p.alias(f"m{i}") for i, p in enumerate(preds)],
-    )
-    for kn in knames:
+    ]
+    if stage_by:
+        # per-stage join keys (r11): the candidate-key fan-out is a
+        # narrow projection+explode, so the event-time attribute (__et)
+        # rides through untouched and the watermark semantics are
+        # unchanged — same layout as streaming_eql_sequence
+        by_lists = [s.by for s in eq.stages]
+        if eq.until is not None:
+            by_lists.append(eq.until.by)
+
+        def skey(fields):
+            return F.concat_ws(
+                "\x1f", *[F.col(f).cast("string") for f in fields])
+
+        def svalid(fields):
+            v = F.lit(True)
+            for f in fields:
+                v = v & F.col(f).isNotNull()
+            return v
+
+        scols = [
+            F.when(p & svalid(fl), skey(fl)).alias(f"__s{j}")
+            for j, (p, fl) in enumerate(zip(preds, by_lists))
+        ]
+        ev = stream.filter(any_stage).select(
+            *[F.col(kf).alias(kn) for kf, kn in zip(eq.by, gnames)],
+            *base_cols, *scols,
+        )
+        cand = F.array_distinct(F.filter(
+            F.array(*[F.col(f"__s{j}") for j in range(len(by_lists))]),
+            lambda x: x.isNotNull(),
+        ))
+        ev = ev.select("*", F.explode(cand).alias("__sk"))
+        ev = ev.select(
+            *gnames, "__et", "tsd", "eid", "__sk",
+            *[(F.col(f"__s{j}").isNotNull()
+               & (F.col(f"__s{j}") == F.col("__sk"))).alias(f"m{j}")
+              for j in range(len(by_lists))],
+        )
+        knames = gnames + ["__sk"]
+    else:
+        ev = stream.filter(any_stage).select(
+            *[F.col(kf).alias(kn) for kf, kn in zip(eq.by, gnames)],
+            *base_cols,
+            *[p.alias(f"m{i}") for i, p in enumerate(preds)],
+        )
+        knames = gnames
+    for kn in gnames:
         ev = ev.filter(F.col(kn).isNotNull())
 
     maxspan = eq.maxspan_s
@@ -272,12 +311,16 @@ def streaming_eql_sequence_watermarked(
         f.name: f.dataType.simpleString()
         for f in events_stream.schema.fields
     }
+    stage_key_names = list(eq.stages[0].by) if stage_by else []
     out_schema = (
-        ", ".join(f"{kf} {key_types[kf]}" for kf in eq.by)
-        + ", first_ts double, last_ts double, "
+        ", ".join([f"{kf} {key_types[kf]}" for kf in eq.by]
+                  + [f"{nm} string" for nm in stage_key_names])
+        + (", " if eq.by or stage_key_names else "")
+        + "first_ts double, last_ts double, "
         + ", ".join(f"id{i + 1} long" for i in range(L))
     )
-    by_fields = list(eq.by)
+    by_fields = list(eq.by) + stage_key_names
+    n_stage_keys = len(stage_key_names)
 
     def step(key: tuple, pdfs: Iterable[pd.DataFrame],
              state: GroupState) -> Iterable[pd.DataFrame]:
@@ -285,6 +328,8 @@ def streaming_eql_sequence_watermarked(
             slots, buffered = json.loads(state.get[0])
         else:
             slots, buffered = [None] * (L - 1), []
+        if n_stage_keys:
+            key = key[:-1] + tuple(key[-1].split("\x1f"))
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
                 buffered.append(

@@ -989,3 +989,132 @@ def test_watermarked_per_stage_by_matches_batch(spark, tmp_path):
     )
     want = [w for w in want_all if w[2] <= wm_final]  # w[2] = last_ts
     assert got == want and len(got) > 0
+
+
+SAMPLE = """sample by user_id
+  [ a where true ]
+  [ b where value > 10 ]"""
+
+
+def test_sample_parse():
+    q = parse_eql(SAMPLE)
+    assert q.kind == "sample"
+    assert q.by == ["user_id"]
+    assert len(q.stages) == 2
+    assert q.maxspan_s is None and q.until is None and q.pipes == []
+    # refusals: pipes, <2 stages, until/runs/per-stage-by, missing key
+    with pytest.raises(ValueError, match="no hit order"):
+        parse_eql(SAMPLE + "\n| head 5")
+    with pytest.raises(ValueError, match=">= 2 stages"):
+        parse_eql("sample by u [ a where true ]")
+    with pytest.raises(ValueError, match="neither `until`"):
+        parse_eql("sample by u [a where true] until [b where true]")
+    with pytest.raises(ValueError, match="neither `until`"):
+        parse_eql("sample by u [a where true] with runs=2 [b where true]")
+    with pytest.raises(ValueError, match="neither `until`"):
+        parse_eql("sample by u [a where true] by v [b where true] by v")
+    with pytest.raises(ValueError, match="sample head"):
+        parse_eql("sample by [a where true] [b where true]")
+    # an event CATEGORY named "sample" is still an event query
+    assert parse_eql("sample where value > 1").kind == "event"
+
+
+def test_sample_semantics(spark):
+    # key 7: both stages match — smallest id per stage wins, and
+    # CHRONOLOGY IS IGNORED (the stage-2 event precedes stage 1's).
+    # key 8: stage 2 never matches (value <= 10) — dropped.
+    # key None: null join key — dropped.
+    rows = [
+        (5, 10.0, 7, "b", 99.0), (6, 20.0, 7, "a", 0.0),
+        (7, 30.0, 7, "a", 0.0), (8, 40.0, 7, "b", 50.0),
+        (9, 10.0, 8, "a", 0.0), (10, 20.0, 8, "b", 3.0),
+        (11, 10.0, None, "a", 0.0), (12, 20.0, None, "b", 99.0),
+    ]
+    got = sorted(
+        (r["user_id"], r["id1"], r["id2"])
+        for r in eql_search(_df(spark, rows), SAMPLE).collect()
+    )
+    assert got == [(7, 6, 5)]
+
+
+def test_sample_event_may_serve_two_stages(spark):
+    # one event matching both stage filters serves each independently
+    q = """sample by user_id
+      [ any where value > 10 ]
+      [ b where true ]"""
+    rows = [(1, 10.0, 7, "b", 50.0)]
+    got = [(r["user_id"], r["id1"], r["id2"])
+           for r in eql_search(_df(spark, rows), q).collect()]
+    assert got == [(7, 1, 1)]
+
+
+def test_sample_plan_no_python_one_exchange(spark):
+    rows = [(1, 0.0, 7, "a", 0.0), (2, 1.0, 7, "b", 50.0)]
+    plan = (eql_search(_df(spark, rows), SAMPLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # one groupBy shuffle with map-side partial_min (+AQE read)
+    assert plan.count("Exchange") <= 2
+    assert "partial_min" in plan or "partial_agg" in plan.lower()
+
+
+def test_eql_sample_differential_fuzz(spark):
+    """Differential for the r12 `sample` kind: random streams + random
+    stage conditions vs an independent pure-Python evaluation of the
+    documented semantics (per key, every stage must match >= 1 event;
+    smallest event id per stage; chronology ignored). Deterministic
+    seed."""
+    import random
+
+    rnd = random.Random(20260815 + 12)
+
+    def rand_condition():
+        t1, t2 = rnd.randint(10, 60), rnd.randint(40, 90)
+        a, b = rnd.randint(0, 100), rnd.randint(0, 100)
+        return rnd.choice([
+            ("true", lambda v: True),
+            (f"value > {t1}", lambda v: v > t1),
+            (f"value > {t2} or value < {t1}",
+             lambda v: v > t2 or v < t1),
+            (f"not (value >= {t1} and value <= {t2})",
+             lambda v: not (t1 <= v <= t2)),
+            (f"value in ({a}, {b}) or value > {t2}",
+             lambda v: v in (a, b) or v > t2),
+        ])
+
+    def reference(events, stages):
+        by_key = {}
+        for eid, ts, key, cat, val in events:
+            if key is None:
+                continue
+            mins = by_key.setdefault(key, [None] * len(stages))
+            for j, (c, pred) in enumerate(stages):
+                if (c == "any" or c == cat) and pred(val):
+                    if mins[j] is None or eid < mins[j]:
+                        mins[j] = eid
+        for key, mins in by_key.items():
+            if all(m is not None for m in mins):
+                yield (key, *mins)
+
+    for trial in range(6):
+        cats = ["a", "b", "c", "d"][: rnd.randint(3, 4)]
+        L = rnd.randint(2, 3)
+        stages = [(rnd.choice(cats + ["any"]), *rand_condition())
+                  for _ in range(L)]
+        n = 200
+        events = [
+            (i, float(rnd.randint(0, 60)),
+             rnd.choice([None] + list(range(1, 7))),
+             rnd.choice(cats), float(rnd.randint(0, 100)))
+            for i in range(n)
+        ]
+        q = "sample by user_id" + "".join(
+            f" [ {c} where {src} ]" for c, src, _ in stages)
+        df = spark.createDataFrame(
+            events,
+            "event_id long, ts double, user_id long, event_type string, "
+            "value double",
+        )
+        got = sorted(tuple(r) for r in eql_search(df, q).collect())
+        want = sorted(reference(events, [(c, p) for c, _, p in stages]))
+        assert got == want, (trial, q, got[:3], want[:3])

@@ -8,6 +8,14 @@ Supported subset
 ----------------
 * simple event queries: ``<category> where <condition>`` — a filtered scan
   ordered by (timestamp, tiebreaker), ES's EQL hit order.
+* sample queries (r12): ``sample by <field>[, ...]`` followed by >= 2
+  ``[ <category> where <condition> ]`` stages — UN-ordered per-key
+  correlation (ES 8.6 ``sample``): one event per stage joined on the
+  ``by`` key, no chronology, no maxspan. Divergence (documented at the
+  compile site): ES caps output at ``size`` samples and picks per-stage
+  events heuristically; this engine emits every qualifying key with the
+  smallest-id event per stage, keeping results hash-oracle-checkable.
+  Pipes / ``until`` / ``with runs`` / per-stage ``by`` refuse loudly.
 * pipes ``head/tail/count/unique`` on BOTH query kinds: over hits for
   event queries, over sequence MATCHES in last-event hit order (ES
   orders sequence results by their final event's timestamp; ties break
@@ -205,7 +213,7 @@ class StageFilter:
 
 @dataclass
 class EqlQuery:
-    kind: str                      # "event" | "sequence"
+    kind: str                      # "event" | "sequence" | "sample"
     stages: list[StageFilter]
     by: list[str] | None = None    # sequence join-key fields (composite ok)
     maxspan_s: float | None = None
@@ -566,6 +574,53 @@ def parse_eql(query: str) -> EqlQuery:
     main, *pipe_srcs = _split_unquoted(q, "|")
     main = main.strip()
     pipes = _parse_pipes(pipe_srcs)
+    if re.match(r"^sample\s+by\b", main, flags=re.IGNORECASE):
+        # EQL sample (r12): un-ordered per-key correlation — one event
+        # per stage joined on the `by` key, NO chronology, NO maxspan.
+        # `sample where ...` (an event category named "sample") does not
+        # reach here: it lacks the `by` keyword.
+        if pipes:
+            raise ValueError(
+                "EQL sample results have no hit order (samples are "
+                "unordered by contract), so head/tail/unique pipes are "
+                "meaningless — refuse rather than invent an order"
+            )
+        q_mask = _quote_mask(main)
+        bracket_at = q_mask.find("[")
+        if bracket_at == -1:
+            raise ValueError("EQL sample needs at least two [ ... ] stages")
+        head, rest = main[:bracket_at], main[bracket_at:]
+        m = re.match(r"^sample\s+by\s+(.+?)\s*$", head, flags=re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                f"unsupported EQL sample head {head.strip()!r} "
+                "(expected: sample by <field>[, <field>...])"
+            )
+        by = [f.strip() for f in m.group(1).split(",")]
+        for f in by:
+            if not _IDENT_RE.match(f):
+                raise ValueError(f"bad EQL join-key field {f!r}")
+        stages: list[StageFilter] = []
+        rest_mask = _quote_mask(rest)
+        for t in re.finditer(
+            r"\[\s*(\S+)\s+where\s+([^\]]*)\]|(\S+)",
+            rest_mask, flags=re.IGNORECASE,
+        ):
+            if t.group(3) is not None:
+                word = rest[t.start(3):t.end(3)]
+                raise ValueError(
+                    "EQL sample supports neither `until`, `with runs`, "
+                    f"nor per-stage `by` — unexpected {word!r} (samples "
+                    "are unordered, so run/termination semantics don't "
+                    "apply; use a global `sample by` key)"
+                )
+            stages.append(StageFilter(
+                rest[t.start(1):t.end(1)],
+                _parse_condition(rest[t.start(2):t.end(2)].strip()),
+            ))
+        if len(stages) < 2:
+            raise ValueError("EQL sample needs >= 2 stages")
+        return EqlQuery("sample", stages, by=by)
     if not main.lower().startswith("sequence"):
         # simple event query: `<category> where <cond> [| pipe ...]`
         m = re.match(r"^(\S+)\s+where\s+(.*)$", main,
@@ -899,6 +954,40 @@ def eql_search(
                     .orderBy(timestamp_field, id_field)
                 )
         return out
+
+    if eq.kind == "sample":
+        # EQL sample: one row per join key where EVERY stage has >= 1
+        # matching event, carrying one event id per stage. Chronology is
+        # ignored by contract (ES 8.6+ `sample` queries). Documented
+        # divergence: ES returns up to `size` samples and picks
+        # per-stage events heuristically (most recently ingested); this
+        # engine emits every qualifying key and picks the event with the
+        # SMALLEST id per stage — deterministic, so the result stays
+        # hash-oracle-checkable. An event matching several stages may
+        # serve each of them (stages pick independently, ES-compatible).
+        # Scale: per-stage conditional ids are computed in the scan, so
+        # the single groupBy shuffles only (key, L nullable longs) with
+        # map-side partial min — no payload, no ordering, no state.
+        L = len(eq.stages)
+        preds = [_stage_pred(s, event_category_field) for s in eq.stages]
+        any_stage = preds[0]
+        for p in preds[1:]:
+            any_stage = any_stage | p
+        ev = df.filter(any_stage)
+        for kf in eq.by:
+            ev = ev.filter(F.col(kf).isNotNull())
+        ev = ev.select(
+            *[F.col(kf) for kf in eq.by],
+            *[F.when(p, F.col(id_field).cast("bigint")).alias(f"__e{j}")
+              for j, p in enumerate(preds)],
+        )
+        grouped = ev.groupBy(*eq.by).agg(
+            *[F.min(f"__e{j}").alias(f"id{j + 1}") for j in range(L)]
+        )
+        keep = F.col("id1").isNotNull()
+        for j in range(1, L):
+            keep = keep & F.col(f"id{j + 1}").isNotNull()
+        return grouped.filter(keep)
 
     L = len(eq.stages)
     preds = [_stage_pred(s, event_category_field) for s in eq.stages]

@@ -862,6 +862,49 @@ def q_eql_event_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eql_sample",
+    oracle="""
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' AND value > 150
+                    THEN event_id END) AS id1,
+           min(CASE WHEN event_type = 'error'
+                    THEN event_id END) AS id2,
+           min(CASE WHEN event_type = 'purchase' AND value < 50
+                    THEN event_id END) AS id3
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    HAVING min(CASE WHEN event_type = 'view' AND value > 150
+               THEN event_id END) IS NOT NULL
+       AND min(CASE WHEN event_type = 'error'
+               THEN event_id END) IS NOT NULL
+       AND min(CASE WHEN event_type = 'purchase' AND value < 50
+               THEN event_id END) IS NOT NULL
+    """,
+    doc="EQL `sample` query kind (r12 — the one EQL surface the r11 "
+        "verdict listed as absent; plans/eql.py): UN-ordered per-key "
+        "correlation, one event per stage joined on `sample by user_id` "
+        "with no chronology and no maxspan (ES 8.6 samples). "
+        "Deterministic documented divergence: ES caps at `size` samples "
+        "and picks per-stage events heuristically; this engine emits "
+        "every qualifying key with the smallest-id event per stage. "
+        "Compiles to per-stage conditional ids in the scan + ONE "
+        "map-side-combining groupBy — only (key, 3 nullable longs) "
+        "shuffle. Oracle: the same conditional-min GROUP BY in SQL.",
+)
+def q_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    events = load_table(spark, sf_dir, "events")
+    return eql_search(events, """
+        sample by user_id
+          [ view where value > 150 ]
+          [ error where true ]
+          [ purchase where value < 50 ]
+    """)
+
+
+@register(
     "rollup_search_month",
     oracle="""
     SELECT strftime(date_trunc('month', ts), '%Y-%m') AS bucket,

@@ -38,14 +38,16 @@ def test_query_runs_smoke(spark, sf_dir, name):
 
 def test_approx_distinct_within_error_bound(spark, sf_correct):
     """HLL++ approximate distincts stay within 5% of the exact counts (the
-    rsd=0.02 sketch's practical bound on this corpus)."""
+    rsd=0.02 sketch's practical bound on this corpus). r12: the query
+    itself emits the bound as booleans (the driver hash-checks them
+    against the oracle's TRUE columns); here we assert the booleans hold
+    and the exact counts match an independent computation."""
     from pyspark.sql import functions as F
 
     from tweets_elastic_spark.sources.catalog import load_table
 
     reg = registry.get("approx_distinct_profile")
-    approx = {r["lang"]: (r["approx_sources"], r["approx_texts"])
-              for r in reg.fn(spark, sf_correct).collect()}
+    rows = reg.fn(spark, sf_correct).collect()
     exact = {
         r["lang"]: (r["s"], r["t"])
         for r in load_table(spark, sf_correct, "documents")
@@ -56,8 +58,8 @@ def test_approx_distinct_within_error_bound(spark, sf_correct):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for lang, (es, et) in exact.items():
-        as_, at = approx[lang]
-        assert abs(as_ - es) <= max(1, 0.05 * es), (lang, as_, es)
-        assert abs(at - et) <= max(1, 0.05 * et), (lang, at, et)
+    assert {r["lang"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["sources_within_5pct"], r
+        assert r["texts_within_5pct"], r
+        assert (r["exact_sources"], r["exact_texts"]) == exact[r["lang"]], r

@@ -349,17 +349,111 @@ def q_es_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "es_suggest_phrase",
-    oracle=None,  # candidate enumeration + LM rescoring composes three
-    # driver-side bounded steps (dictionary collect, product, lookup);
-    # correctness is pinned by tests/test_indexing.py::
-    # test_suggest_phrase_corrects_multiword_typos against planted typos.
+    # Full SQL replay (r12 — the r11 verdict asked for this oracle): the
+    # Laplace bigram arithmetic in indexing.suggest_phrase is plain
+    # smoothed counting, so DuckDB re-derives the candidate lists from
+    # raw text (same dictionary rebuild as the es_suggest_terms oracle,
+    # incl. the verbatim-token fallback when no distance-0 candidate
+    # exists), crosses them into phrases, and scores each with the same
+    # ln((c12+1)/(c1+v)) + Σ ln((c1+1)/(t+v)) − 0.5·edits formula over
+    # bigram/history counts rebuilt from the standard token stream.
+    oracle="""
+    WITH std AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               list_concat(
+                 t,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)),
+                                          i -> t[i] || t[i+1])
+                      ELSE [] END) AS tokens
+        FROM std
+    ),
+    vocab AS (
+        SELECT tok AS suggestion, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM shingled)
+        GROUP BY 1
+    ),
+    cand1 AS (
+        SELECT suggestion, levenshtein(suggestion, 'sparc') AS d
+        FROM vocab WHERE levenshtein(suggestion, 'sparc') <= 2
+        ORDER BY d ASC, df DESC, suggestion ASC LIMIT 3
+    ),
+    cand1f AS (
+        SELECT suggestion, d FROM cand1
+        UNION ALL
+        SELECT 'sparc', 0
+        WHERE NOT EXISTS (SELECT 1 FROM cand1 WHERE d = 0)
+    ),
+    cand2 AS (
+        SELECT suggestion, levenshtein(suggestion, 'mrege') AS d
+        FROM vocab WHERE levenshtein(suggestion, 'mrege') <= 2
+        ORDER BY d ASC, df DESC, suggestion ASC LIMIT 3
+    ),
+    cand2f AS (
+        SELECT suggestion, d FROM cand2
+        UNION ALL
+        SELECT 'mrege', 0
+        WHERE NOT EXISTS (SELECT 1 FROM cand2 WHERE d = 0)
+    ),
+    big AS (
+        SELECT p.w1 AS w1, p.w2 AS w2
+        FROM (
+            SELECT unnest(CASE WHEN len(t) >= 2
+                               THEN list_transform(
+                                 range(1, len(t)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i+1]))
+                               ELSE [] END) AS p
+            FROM std
+        )
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+            FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+           FROM big GROUP BY 1),
+    vtot AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             FROM (SELECT unnest(t) AS tok FROM std)),
+    ttot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM c1),
+    phrases AS (
+        SELECT a.suggestion AS w1, a.d AS d1, b.suggestion AS w2, b.d AS d2
+        FROM cand1f a CROSS JOIN cand2f b
+    ),
+    scored AS (
+        SELECT p.w1 || ' ' || p.w2 AS suggestion,
+               round(
+                 ln((coalesce(b.c12, 0) + 1.0)
+                    / (coalesce(h1.c1, 0) + v.v))
+                 + (ln((coalesce(h1.c1, 0) + 1.0) / (tt.t + v.v))
+                    + ln((coalesce(h2.c1, 0) + 1.0) / (tt.t + v.v)))
+                 - 0.5 * (p.d1 + p.d2), 6) AS score,
+               CAST(p.d1 + p.d2 AS INT) AS n_edits
+        FROM phrases p
+        LEFT JOIN c12 b ON b.w1 = p.w1 AND b.w2 = p.w2
+        LEFT JOIN c1 h1 ON h1.w1 = p.w1
+        LEFT JOIN c1 h2 ON h2.w1 = p.w2
+        CROSS JOIN vtot v CROSS JOIN ttot tt
+    )
+    SELECT suggestion, score, n_edits FROM scored
+    ORDER BY score DESC, suggestion ASC
+    LIMIT 5
+    """,
     doc="ES phrase suggester (did-you-mean): per-token spell candidates "
         "from the WRITTEN term dictionary, candidate phrases reranked by "
         "the corpus bigram LM minus an edit prior — the portable twin of "
         "ES's shingle-field LM rescoring. 'sparc mrege' corrects to the "
         "corpus-frequent 'spark merge'; the whole computation touches the "
         "bounded vocabulary + a capped candidate product, the corpus only "
-        "to fit the LM.",
+        "to fit the LM. The oracle (r12) replays ALL of it in SQL: "
+        "dictionary + df rebuilt from raw text, verbatim-fallback "
+        "candidate lists, phrase cross product, and the Laplace bigram "
+        "score over counts rebuilt from the standard token stream.",
 )
 def q_es_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.indexing import suggest_phrase

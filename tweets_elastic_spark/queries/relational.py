@@ -341,18 +341,51 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_profile",
-    oracle=None,  # HLL sketches are engine-specific; error bound pinned in pytest
+    # r12 (verdict task): HLL sketch values are engine-specific, so the
+    # hash-checkable contract is (exact counts, bounded-error booleans):
+    # Spark computes BOTH the HLL++ estimate and the exact count and
+    # emits whether the estimate landed within 5% relative error
+    # (rsd=0.02 ⇒ theoretical ~2%); the oracle computes the exact counts
+    # and asserts TRUE for the bounds. A sketch drifting out of bound
+    # hash-mismatches the boolean — the error bound IS driver-verified.
+    oracle="""
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS exact_sources,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_texts,
+           true AS sources_within_5pct,
+           true AS texts_within_5pct
+    FROM documents
+    GROUP BY lang
+    """,
     doc="Approximate distinct counts (HyperLogLog++): distinct sources and "
         "distinct text fingerprints per language — the sketch path for "
         "cardinality profiling where exact countDistinct's shuffle is "
-        "unaffordable (rows-only driver check; ≤5%% relative error vs the "
-        "exact count is pinned in tests).",
+        "unaffordable. Driver contract (r12): exact counts (cross-engine) "
+        "plus within-5%%-relative-error booleans computed against the "
+        "engine's own HLL estimate, so the sketch's error bound is "
+        "hash-verified, not just pytest-pinned.",
 )
 def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
+
+    def within(approx: F.Column, exact: F.Column) -> F.Column:
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        )
+
+    agg = docs.groupBy("lang").agg(
         F.approx_count_distinct("source", rsd=0.02).alias("approx_sources"),
         F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("approx_texts"),
+        F.countDistinct("source").alias("exact_sources"),
+        F.countDistinct(F.md5("text")).alias("exact_texts"),
+    )
+    return agg.select(
+        "lang", "exact_sources", "exact_texts",
+        within(F.col("approx_sources"), F.col("exact_sources"))
+        .alias("sources_within_5pct"),
+        within(F.col("approx_texts"), F.col("exact_texts"))
+        .alias("texts_within_5pct"),
     )
 
 

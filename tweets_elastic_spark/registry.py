@@ -56,72 +56,70 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Per-round rotation rationale lives in COVERAGE.md ("Verification
 # structure" + the round-N addition notes), not here.
 DRIVER_PRIORITY: list[str] = [
-    # flagship + relational reference surface (snowflake_dim_join and
-    # self_join_pairs rotated OUT r11: the flagship exercises both the
-    # snowflake dim chain and the parent-tweet self-join — verdict r10
-    # marks J3/J6 "pass + flagship"; both stay locally hash-gated)
-    "tweet_documents_flat", "denorm_order_lineitems", "keyset_page",
-    "percolate_matches",
-    "exists_child_hof", "pricing_summary",
-    # search / scoring / search-quality evaluation (search_wrapper_script
-    # pins the late-r8 wrapper + script query nodes; search_dsl_bm25
-    # rotated OUT r11 — essql_match_query shares its oracle VERBATIM and
-    # compiles onto the same Match/BM25Match nodes)
-    "es_rank_eval_ndcg", "search_from_json_dsl",
-    "search_wrapper_script",
-    "lm_perplexity_filter", "es_aggs_date_histogram",
-    # r10 wave rotated IN r11: prefix-keyset term enumeration
-    "es_terms_enum",
-    # ES agg families new in r7/r8: geo rings, long-tail terms,
-    # significance, multivariate moments, exact windowed percentiles
-    "es_aggs_geo_distance", "es_aggs_rare_terms", "es_aggs_significant_gnd",
-    "es_aggs_matrix_stats", "es_aggs_moving_percentiles",
-    # r8-s4/r10 families rotated IN round 10: basket mining, rollup
-    # re-bucketing, the ingest-processor chain, ordered multi-phrase
-    # proximity (displacing prefix twins — rotation notes in COVERAGE.md)
+    # r12 ROTATION (15 out / 15 in — the r11 verdict's top task: burn
+    # down the never-driver-verified backlog, leading with r11-new code
+    # that had zero driver rows). OUT (all long-green, all still locally
+    # hash-gated by test_oracle_parity.py): keyset_page,
+    # percolate_matches, pricing_summary, es_rank_eval_ndcg,
+    # search_wrapper_script, lm_perplexity_filter, es_aggs_date_histogram
+    # (composite twin stays), es_aggs_geo_distance (the geo-distance
+    # arithmetic stays covered via search_geo_distance IN),
+    # es_aggs_rare_terms, es_aggs_matrix_stats, tumbling_window
+    # (events_asof_join keeps the time-series slot), eql_sequence_pipes
+    # (four EQL slots remain), lang_id, span_dedup_rebuild,
+    # minhash_lsh_near_dups_portable (dedup keeps 3 slots + corpus_clean).
+    # Schedule for the remaining backlog: COVERAGE.md "Rotation schedule".
+    #
+    # flagship + relational reference surface
+    "tweet_documents_flat", "denorm_order_lineitems",
+    "exists_child_hof",
+    # search / scoring / full-text (r12 in: more_like_this's TF-IDF
+    # term selection + match; knn request routing; geo-distance query)
+    "search_from_json_dsl", "search_more_like_this", "es_request_knn",
+    "search_geo_distance",
+    # hits surface (r12 in: highlight FRAGMENT windows — r11 code with
+    # zero driver rows)
+    "es_request_highlight_fragments",
+    # ES agg families (r12 in: top_hits per-bucket hit lifting,
+    # percentiles exact interpolation, pipeline bucket math chain,
+    # top_metrics sort-coupled metrics)
+    "es_terms_enum", "es_aggs_significant_gnd", "es_aggs_moving_percentiles",
+    "es_aggs_top_hits", "es_aggs_percentiles", "es_aggs_pipeline",
+    "es_aggs_top_metrics",
     "es_aggs_frequent_item_sets", "rollup_search_month",
     "ingest_pipeline", "search_intervals_all_of",
-    # search front-ends: BM25F fused-field scoring, the tabular SQL
-    # endpoint (verbatim-string oracle), its r10 MATCH()/SCORE()
-    # full-text extension, and mustache LIST iteration through
-    # _msearch/template (r10)
-    # (essql_group_query rotated OUT r11: essql_date_parts drives the
-    # same ES-SQL compiler with strictly more surface — date-part
-    # extraction, GROUP BY aliases, COUNT(DISTINCT))
+    # suggesters (r12 in: term suggester's dictionary-bounded edit
+    # ranking — first driver row for the suggest family)
+    "es_suggest_terms",
+    # search front-ends: BM25F fused-field scoring, the ES-SQL endpoint
+    # (r12 in: essql_string_functions — the r11 string-scalar grammar,
+    # zero driver rows until now), mustache LIST iteration
     "search_combined_fields", "essql_date_parts", "essql_match_query",
-    "msearch_template_list",
-    # windows + time series + sequence correlation. r11: the pipes row
-    # drives the same 3-stage automaton + recursive-CTE oracle body as
-    # eql_sequence_funnel (which yields its slot and stays locally
-    # gated); eql_sequence_disjunction adds the r11 condition grammar
-    # (or / not / in / parens) over a 2-stage sequence.
-    "tumbling_window", "events_asof_join",
-    "es_aggs_composite", "eql_sequence_pipes", "eql_sequence_disjunction",
-    # text stats + curation quality gates (quality_score rotated OUT
-    # r11: the r10 Gopher/C4 rule sets are the stricter superset of the
-    # same textstats machinery)
-    "lang_id", "gopher_quality_filter", "c4_line_filter",
-    # dedup families — the granularity ladder: document (exact, minhash,
-    # simhash, semdedup), span, composed pipeline
-    "dedup_exact_survivors", "span_dedup_rebuild",
-    "dedup_near_survivors", "minhash_lsh_near_dups_portable",
+    "essql_string_functions", "msearch_template_list",
+    # windows + time series + sequence correlation (r12 in: per-stage
+    # `by` cross-field join, `until` termination, and the new unordered
+    # `sample` kind — all EQL code with zero driver rows)
+    "events_asof_join", "es_aggs_composite",
+    "eql_sequence_disjunction", "eql_sequence_by_stage",
+    "eql_sequence_until", "eql_sample",
+    # text stats + curation quality gates
+    "gopher_quality_filter", "c4_line_filter",
+    # dedup families — the granularity ladder
+    "dedup_exact_survivors", "dedup_near_survivors",
     "semdedup_survivors", "corpus_clean",
     # parent-join (r8 s4)
     "search_has_child",
-    # ANN families — one slot per index family: exact baseline, IVF(-PQ)
-    # (which transitively times the PQ encoder). ann_lsh_topk_indexed
-    # rotated OUT r11: it shares indexing.py's build/probe machinery
-    # with the IVF-PQ slot and stays locally hash-gated.
+    # ANN families — exact baseline + IVF(-PQ)
     "ann_cosine_topk", "ann_ivfpq_topk",
     # curation ship stage
     "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",
     "training_shards", "dsir_sample",
-    # chunking + multimodal (PNG = the late-r8 codec, all five unfilter
-    # paths pinned through one oracle row; the PPM twin shares the sketch
-    # path and yields its slot — pinned by local parity instead;
-    # video_frame_dups IN r11 — the r10 MP4 container walk + exact mdat
-    # frame slicing verified against DuckDB sha256)
-    "chunk_documents", "image_near_dups_png", "video_frame_dups",
+    # chunking + multimodal (r12 in: image_near_dups_jpeg — the
+    # baseline+PROGRESSIVE JPEG decode oracle, zero driver rows since
+    # the r11 SOF2 decoder landed; video_frame_dups_fmp4 — the
+    # fragmented moof/traf/trun walk, same)
+    "chunk_documents", "image_near_dups_png", "image_near_dups_jpeg",
+    "video_frame_dups", "video_frame_dups_fmp4",
 ]
 
 

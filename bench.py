@@ -252,6 +252,8 @@ HEADLINE = [
     "analyze_fingerprint",
     "c4_line_filter",
     "gopher_quality_filter",
+    # r12: the unordered EQL sample kind (one conditional-min groupBy)
+    "eql_sample",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -312,6 +314,11 @@ SF1_HEADLINE = [
     # r11 rows: documents (in-plan MP4 fixtures), part, events
     "video_frame_dups", "es_terms_enum", "eql_sequence_disjunction",
     "eql_event_functions", "eql_sequence_by_stage",
+    # r12 rows (the r11 verdict's SCALING stragglers + the new sample
+    # kind): highlight fragment windows + ES-SQL string scalars are
+    # scan-shaped over documents; until/sample ride the events key shuffle
+    "es_request_highlight_fragments", "essql_string_functions",
+    "eql_sequence_until", "eql_sample",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -42,6 +42,9 @@ ROWS = [
     # r11 (the r10 verdict's SCALING stragglers + the new EQL grammar row)
     "video_frame_dups", "es_terms_enum", "eql_sequence_disjunction",
     "eql_event_functions", "eql_sequence_by_stage",
+    # r12 (the r11 verdict's stragglers + the new EQL sample kind)
+    "es_request_highlight_fragments", "essql_string_functions",
+    "eql_sequence_until", "eql_sample",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

@@ -40,8 +40,14 @@ def test_parse_rejects_unsupported():
         parse_eql("a where indexOf(x, 'y') > 0")
     with pytest.raises(ValueError, match="no case-insensitive"):
         parse_eql("a where length~(x) > 1")
+    # IPv6 CIDRs parse since r12; embedded dotted-quad still refuses
+    assert parse_eql("a where cidrMatch(ip, '::1/64')").kind == "event"
     with pytest.raises(ValueError, match="CIDR"):
-        parse_eql("a where cidrMatch(ip, '::1/64')")
+        parse_eql("a where cidrMatch(ip, '::ffff:1.2.3.4/96')")
+    with pytest.raises(ValueError, match="CIDR"):
+        parse_eql("a where cidrMatch(ip, 'fe80::1%eth0/64')")
+    with pytest.raises(ValueError, match="CIDR"):
+        parse_eql("a where cidrMatch(ip, 'g::1/64')")
     with pytest.raises(ValueError, match="numeric"):
         parse_eql("a where length(x)")
     with pytest.raises(ValueError, match="unbalanced|end of"):
@@ -1118,3 +1124,76 @@ def test_eql_sample_differential_fuzz(spark):
         got = sorted(tuple(r) for r in eql_search(df, q).collect())
         want = sorted(reference(events, [(c, p) for c, _, p in stages]))
         assert got == want, (trial, q, got[:3], want[:3])
+
+
+def test_cidrmatch_ipv6(spark):
+    """IPv6 cidrMatch (r12 — formerly a loud refusal): hand vectors for
+    '::' expansion, partial-group prefixes, malformed-address NULLs."""
+    rows = [
+        (1, 1.0, 1, "a", 0.0, "2001:db8::1"),
+        (2, 2.0, 1, "a", 0.0, "2001:db8:0:0:0:0:0:2"),     # expanded form
+        (3, 3.0, 1, "a", 0.0, "2001:db9::1"),              # outside /32
+        (4, 4.0, 1, "a", 0.0, "2001:db8:8000::1"),         # bit 33 set
+        (5, 5.0, 1, "a", 0.0, "::"),                       # all-zeros
+        (6, 6.0, 1, "a", 0.0, "not-an-ip"),
+        (7, 7.0, 1, "a", 0.0, "1:::2"),                    # malformed
+        (8, 8.0, 1, "a", 0.0, "1:2::3:4:5:6:7:8"),  # 9 groups: malformed
+        (9, 9.0, 1, "a", 0.0, "FE80::A"),                  # uppercase hex
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts double, user_id long, event_type string, "
+              "value double, ip string"
+    )
+
+    def ids(q):
+        return sorted(r["event_id"]
+                      for r in eql_search(df, q).collect())
+
+    assert ids("a where cidrMatch(ip, '2001:db8::/32')") == [1, 2, 4]
+    # /33: bit 33 (0x8000 in group 3) splits rows 1/2 from row 4
+    assert ids("a where cidrMatch(ip, '2001:db8::/33')") == [1, 2]
+    assert ids("a where cidrMatch(ip, '::/0')") == [1, 2, 3, 4, 5, 9]
+    assert ids("a where cidrMatch(ip, 'fe80::/10')") == [9]
+    # exact /128 match through the expanded form
+    assert ids("a where cidrMatch(ip, '2001:db8::2/128')") == [2]
+    # host bits in the literal are zeroed (ES contract)
+    assert ids("a where cidrMatch(ip, '2001:db8::ffff/32')") == [1, 2, 4]
+    # multi-pattern OR mixes families
+    assert ids("a where cidrMatch(ip, '10.0.0.0/8', '2001:db9::/32')") == [3]
+
+
+def test_cidrmatch_ipv6_differential_fuzz(spark):
+    """Random addresses x random networks vs Python's ipaddress module —
+    the engine's group-wise compare must agree exactly. Deterministic
+    seed."""
+    import ipaddress
+    import random
+
+    rnd = random.Random(20260815 + 6)
+    addrs = []
+    for i in range(60):
+        if rnd.random() < 0.5:
+            a = ipaddress.IPv6Address(rnd.getrandbits(128))
+        else:  # cluster near a common prefix so matches actually occur
+            a = ipaddress.IPv6Address(
+                (0x20010DB8 << 96) | rnd.getrandbits(64))
+        s = a.exploded if rnd.random() < 0.3 else a.compressed
+        addrs.append((i, s))
+    df = spark.createDataFrame(
+        [(i, 1.0, 1, "a", 0.0, s) for i, s in addrs],
+        "event_id long, ts double, user_id long, event_type string, "
+        "value double, ip string",
+    )
+    for _ in range(8):
+        plen = rnd.choice([0, 1, 10, 16, 32, 33, 48, 63, 64, 96, 127, 128])
+        base = ipaddress.IPv6Address(
+            (0x20010DB8 << 96) | rnd.getrandbits(64)
+            if rnd.random() < 0.6 else rnd.getrandbits(128))
+        net = ipaddress.ip_network(f"{base}/{plen}", strict=False)
+        got = sorted(
+            r["event_id"] for r in eql_search(
+                df, f"a where cidrMatch(ip, '{net}')").collect())
+        want = sorted(
+            i for i, s in addrs
+            if ipaddress.IPv6Address(s) in net)
+        assert got == want, (str(net), got, want)

@@ -151,8 +151,6 @@ def test_error_paths_are_loud():
         decode_png(_raw_png(2, 1, 8, 0, b"\x07\x01\x02"))
     with pytest.raises(ValueError, match="truncated"):
         decode_png(_raw_png(4, 4, 8, 2, b"\x00" + b"\x01" * 5))
-    with pytest.raises(NotImplementedError, match="sub-byte Adam7"):
-        decode_png(_raw_png(2, 2, 4, 0, b"\x00\x11", interlace=1))
     with pytest.raises(ValueError, match="expects"):
         encode_png(np.zeros((4, 4), dtype=np.uint8))
     with pytest.raises(ValueError, match="invalid PNG filter"):
@@ -232,3 +230,74 @@ def test_16bit_adam7_interlace():
             raw += b"\x00" + row.tobytes()
     out = decode_png(_raw_png(11, 9, 16, 2, bytes(raw), interlace=1))
     assert np.array_equal(out, img)
+
+
+def _pack_row(vals, depth):
+    """Pack a row of sub-byte samples MSB-first (PNG packing)."""
+    bits = np.unpackbits(
+        np.asarray(vals, np.uint8)[:, None], axis=1
+    )[:, 8 - depth:]
+    flat = bits.flatten()
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+    return np.packbits(flat).tobytes()
+
+
+@pytest.mark.parametrize("depth,ctype", [(1, 0), (2, 0), (4, 0), (4, 3)])
+def test_subbyte_adam7_equals_noninterlaced(depth, ctype):
+    """Sub-byte Adam7 (r12 — formerly a loud refusal): per-pass packed
+    scanlines unfilter on bytes and unpack per pass width, then scatter.
+    Truth = the long-tested NON-interlaced decode of the same samples."""
+    rng = np.random.RandomState(depth * 10 + ctype)
+    h, w = 9, 11
+    samples = rng.randint(0, 1 << depth, (h, w), dtype=np.uint8)
+    pal = (np.arange(3 * (1 << depth), dtype=np.uint8)
+           .reshape(-1, 3) * 7 % 256).astype(np.uint8) if ctype == 3 else None
+    flat_raw = b"".join(
+        b"\x00" + _pack_row(samples[y], depth) for y in range(h)
+    )
+    want = decode_png(_raw_png(w, h, depth, ctype, flat_raw, palette=pal))
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + _pack_row(row, depth)
+    got = decode_png(_raw_png(w, h, depth, ctype, bytes(raw),
+                              palette=pal, interlace=1))
+    assert np.array_equal(got, want)
+
+
+def test_subbyte_adam7_with_filters():
+    """Sub-byte pass scanlines may carry any filter; Sub/Up operate on
+    PACKED bytes with bpp=1. Filter pass rows with Up (2) against the
+    packed previous row and assert the decode still matches."""
+    rng = np.random.RandomState(42)
+    h, w, depth = 8, 8, 4
+    samples = rng.randint(0, 16, (h, w), dtype=np.uint8)
+    flat_raw = b"".join(
+        b"\x00" + _pack_row(samples[y], depth) for y in range(h)
+    )
+    want = decode_png(_raw_png(w, h, depth, 0, flat_raw))
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        prev = None
+        for row in sub:
+            packed = np.frombuffer(_pack_row(row, depth), np.uint8)
+            if prev is None:
+                raw += b"\x00" + packed.tobytes()
+            else:
+                raw += b"\x02" + ((packed - prev) & 0xFF).astype(
+                    np.uint8).tobytes()
+            prev = packed
+    got = decode_png(_raw_png(w, h, depth, 0, bytes(raw), interlace=1))
+    assert np.array_equal(got, want)

@@ -13,11 +13,11 @@ Scope:
   non-palette color types — reduced to their HIGH byte, libpng's
   classic strip-16 — sub-byte depths 1/2/4 for greyscale and palette,
   all five scanline filters (None/Sub/Up/Average/Paeth), Adam7
-  interlace (8- and 16-bit), chunk CRC verification. Output is always
+  interlace at EVERY depth (sub-byte 1/2/4 since r12, 8- and 16-bit
+  since r11), chunk CRC verification. Output is always
   (H, W, 3) uint8 RGB — alpha channels are dropped (straight, not
   composited; documented divergence from viewers that blend against a
-  background). Sub-byte interlace raises ``NotImplementedError``
-  loudly.
+  background).
 * **Encode**: truecolor (color type 2) at depth 8 or 16 (16 replicates
   samples to v·257, so decode round-trips bit-exactly), non-interlaced,
   one selectable filter applied to every scanline (``filter_type``
@@ -239,17 +239,29 @@ def decode_png(payload: bytes) -> np.ndarray:
         return _samples_to_rgb(samples, color_type, depth, palette)
     if interlace != 1:
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if depth not in (8, 16):
-        raise NotImplementedError("sub-byte Adam7 interlace not supported")
     # Adam7: seven independently-filtered sub-images, scattered back.
-    bps = depth // 8  # bytes per sample (16-bit passes reduce like
-    # _decode_subimage: unfilter on spp·2-byte pixels, keep high bytes)
+    # Sub-byte passes (r12 — depths 1/2/4, spp==1 by spec: gray or
+    # palette) pack each pass scanline to ceil(pw·depth/8) bytes and
+    # filter on bytes with bpp=1, exactly like the non-interlaced
+    # sub-byte path; 16-bit passes reduce like _decode_subimage
+    # (unfilter on spp·2-byte pixels, keep high bytes).
+    bps = depth // 8  # bytes per sample (0 marks the sub-byte branch)
     full = np.zeros((height, width, spp), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (width - x0 + dx - 1) // dx
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
+            continue
+        if depth < 8:
+            stride = (pw * depth + 7) // 8
+            need = ph * (1 + stride)
+            sub = _unfilter(raw[pos : pos + need], ph, stride, 1)
+            pos += need
+            for yy in range(ph):
+                full[y0 + yy * dy, x0::dx, 0] = _unpack_subbyte(
+                    sub[yy], depth, pw
+                )
             continue
         stride = pw * spp * bps
         need = ph * (1 + stride)

@@ -45,8 +45,12 @@ Supported subset
   compared to a literal) — each with ES's ``~`` case-insensitive
   variant where folding makes sense. NULL fields follow SQL
   three-valued logic (never match, including through ``not`` — the
-  semantics the DuckDB oracles evaluate). Unknown functions, bad
-  arities and IPv6 CIDRs refuse loudly.
+  semantics the DuckDB oracles evaluate). Unknown functions and bad
+  arities refuse loudly. ``cidrMatch`` takes IPv4 and (r12) IPv6
+  blocks — IPv6 compiles to group-wise 16-bit prefix compares over a
+  pure-Catalyst '::'-expanding parse (malformed / dotted-quad-embedded
+  / zoned addresses evaluate NULL and match nothing; an embedded-quad
+  CIDR *literal* refuses at parse time).
 
 Sequence semantics (deterministic single-slot automaton)
 --------------------------------------------------------
@@ -105,6 +109,24 @@ _CIDR_RE = re.compile(
     r"(25[0-5]|2[0-4]\d|1?\d?\d)\.(25[0-5]|2[0-4]\d|1?\d?\d)/(\d|[12]\d|3[0-2])$"
 )
 _OCTET_RE = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+_IPV6_GROUP_RE = "^[0-9a-fA-F]{1,4}$"
+
+
+def _valid_cidr(lit: str) -> bool:
+    """IPv4 'a.b.c.d/N', or IPv6 hex-group form (r12). Dotted-quad
+    embedding inside IPv6 refuses (the group-wise compiler has no octet
+    path), as do zone indexes; host bits are fine (ES zeroes them)."""
+    if _CIDR_RE.match(lit):
+        return True
+    if ":" not in lit or "." in lit or "%" in lit or "/" not in lit:
+        return False
+    import ipaddress
+
+    try:
+        net = ipaddress.ip_network(lit, strict=False)
+    except ValueError:
+        return False
+    return net.version == 6
 
 
 def _validate_func(call, src: str) -> None:
@@ -133,10 +155,12 @@ def _validate_func(call, src: str) -> None:
         need(args[0][0] == "field", "needs a field first argument")
         for a in args[1:]:
             need(a[0] == "lit" and isinstance(a[1], str)
-                 and _CIDR_RE.match(a[1]) is not None,
-                 "CIDR blocks must be IPv4 'a.b.c.d/N' literals (IPv6 "
-                 "needs 128-bit ints — unsupported, same policy as the "
-                 "ip_prefix agg)")
+                 and _valid_cidr(a[1]),
+                 "CIDR blocks must be IPv4 'a.b.c.d/N' or IPv6 "
+                 "'h:h::h/N' literals (r12: IPv6 compiles to group-wise "
+                 "16-bit prefix compares, no 128-bit ints needed; "
+                 "dotted-quad-embedded IPv6 like '::ffff:1.2.3.4/N' "
+                 "stays unsupported)")
     elif name == "length":
         need(len(args) == 1 and args[0][0] == "field", "takes (field)")
 
@@ -819,6 +843,62 @@ def _ipv4_long(col: Column) -> Column:
     return F.when(col.rlike(f"^({_OCTET_RE}\\.){{3}}{_OCTET_RE}$"), ip)
 
 
+def _ipv6_groups(col: Column) -> Column:
+    """IPv6 string → array<long> of its 8 16-bit groups, NULL for
+    malformed (which then matches no CIDR — the same row-level policy as
+    `_ipv4_long`). Pure Catalyst: split on '::', zero-fill the gap,
+    hex-validate every group, conv(16,10) each. Dotted-quad-embedded
+    and zoned addresses fail the hex-group validation → NULL."""
+    parts = F.split(col, "::")
+    has_dc = F.size(parts) == 2
+
+    def grps(s: Column) -> Column:
+        return F.filter(F.split(s, ":"), lambda x: x != F.lit(""))
+
+    left = grps(parts.getItem(0))
+    right = F.when(has_dc, grps(F.element_at(parts, 2))) \
+             .otherwise(F.array().cast("array<string>"))
+    nl, nr = F.size(left), F.size(right)
+    mid = F.array_repeat(F.lit("0"), F.lit(8) - nl - nr)
+    strs = (
+        F.when(has_dc & ((nl + nr) <= 7), F.concat(left, mid, right))
+        .when((F.size(parts) == 1) & (nl == 8), left)
+    )
+    ok = (
+        strs.isNotNull()
+        & F.forall(strs, lambda x: x.rlike(_IPV6_GROUP_RE))
+        & ~col.rlike(":::")  # split('1:::2', '::') would mis-repair it
+    )
+    return F.when(
+        ok, F.transform(strs, lambda x: F.conv(x, 16, 10).cast("long"))
+    )
+
+
+def _ipv6_cidr_match(fld: Column, cidr: str) -> Column:
+    """Group-wise 128-bit prefix compare: full 16-bit groups by equality,
+    the partial group by shiftright — compile-time constants on the net
+    side, ≤8 long comparisons per row on the address side."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)  # zero host bits (ES)
+    netaddr = int(net.network_address)
+    groups = _ipv6_groups(fld)
+    pred = groups.isNotNull()
+    for i in range(8):
+        take = min(16, net.prefixlen - 16 * i)
+        if take <= 0:
+            break
+        gi = F.element_at(groups, i + 1)
+        ng = (netaddr >> (16 * (7 - i))) & 0xFFFF
+        if take == 16:
+            pred = pred & (gi == F.lit(ng))
+        else:
+            pred = pred & (
+                F.shiftright(gi, 16 - take) == F.lit(ng >> (16 - take))
+            )
+    return pred
+
+
 def _func_col(call: FuncCall) -> Column:
     """Compile a boolean FuncCall to a Column predicate — string funcs
     via the matching Catalyst expressions (lowered on both sides for the
@@ -844,15 +924,18 @@ def _func_col(call: FuncCall) -> Column:
             pred = m if pred is None else (pred | m)
         return pred
     if call.name == "cidrmatch":
-        ip = _ipv4_long(fld)
         pred = None
         for _, cidr in call.args[1:]:
-            base, bits = cidr.split("/")
-            o = [int(x) for x in base.split(".")]
-            width = 1 << (32 - int(bits))
-            addr = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
-            net = (addr // width) * width  # zero host bits, ES's contract
-            m = (ip >= F.lit(net)) & (ip < F.lit(net + width))
+            if ":" in cidr:  # IPv6 (r12): group-wise prefix compare
+                m = _ipv6_cidr_match(fld, cidr)
+            else:
+                ip = _ipv4_long(fld)
+                base, bits = cidr.split("/")
+                o = [int(x) for x in base.split(".")]
+                width = 1 << (32 - int(bits))
+                addr = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+                net = (addr // width) * width  # zero host bits (ES)
+                m = (ip >= F.lit(net)) & (ip < F.lit(net + width))
             pred = m if pred is None else (pred | m)
         return pred
     raise TypeError(f"not a boolean EQL function: {call.name}")

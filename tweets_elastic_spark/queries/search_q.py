@@ -4097,16 +4097,33 @@ def q_search_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "es_aggs_percentiles_tdigest",
-    # rows-only: sketch results are approximate by contract — the exact
-    # twin es_aggs_percentiles carries the hash oracle for this shape, and
-    # tests/test_es_aggs.py::test_tdigest_percentiles_within_rank_error
-    # pins the sketch against the exact values with the GK error bound.
+    # r12: the approx_distinct_profile contract pattern — sketch values
+    # are engine-specific, so the hash-checkable surface is (exact
+    # percentiles, within-bound booleans): the query still DRIVES the
+    # tdigest/percentile_approx path and asserts each sketch value lands
+    # within 5% of the group's p50..p99 spread of the exact percentile
+    # (the test_tdigest_percentiles_within_rank_error bound, now
+    # driver-verified); the oracle recomputes the exact side and pins
+    # the booleans TRUE.
+    oracle="""
+    SELECT event_type AS by_type,
+           CAST(count(value) AS BIGINT) AS doc_count,
+           round(quantile_cont(value, 0.50), 6) AS p50_exact,
+           round(quantile_cont(value, 0.90), 6) AS p90_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+    """,
     doc="Percentiles via the SKETCH path (ES tdigest option -> "
         "percentile_approx, a Greenwald-Khanna summary): bounded-memory, "
         "executor-MERGEABLE per-group state — the 100 TB shape, where the "
-        "exact form's per-group value buffer is the scale limit. "
-        "Approximate by contract, so pytest-bounded instead of "
-        "hash-oracled; the exact twin keeps the oracle.",
+        "exact form's per-group value buffer is the scale limit. Driver "
+        "contract (r12): exact percentiles (cross-engine, quantile_cont "
+        "interpolation) plus within-bound booleans computed against the "
+        "engine's own sketch values — the GK rank-error bound is "
+        "hash-verified, the sketch values stay engine-side.",
 )
 def q_es_aggs_percentiles_tdigest(
     spark: SparkSession, sf_dir: str
@@ -4114,13 +4131,34 @@ def q_es_aggs_percentiles_tdigest(
     from tweets_elastic_spark.plans.aggs import es_aggregate
 
     events = load_table(spark, sf_dir, "events")
-    return es_aggregate(events, {"by_type": {
-        "terms": {"field": "event_type"},
-        "aggs": {"lat": {"percentiles": {
-            "field": "value", "percents": [50, 90, 99],
-            "tdigest": {"compression": 100},
+    spec = {"field": "value", "percents": [50, 90, 99]}
+    approx = es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type", "size": 10000},
+        "aggs": {"a": {"percentiles": {
+            **spec, "tdigest": {"compression": 100},
         }}},
+    }}).select("by_type", "a_p50", "a_p90", "a_p99")
+    exact = es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type", "size": 10000},
+        "aggs": {"e": {"percentiles": spec}},
     }})
+    j = exact.join(approx, "by_type")
+    spread = F.abs(F.col("e_p99") - F.col("e_p50")) + F.lit(1e-9)
+
+    def ok(p: str) -> F.Column:
+        return (
+            F.abs(F.col(f"a_{p}") - F.col(f"e_{p}"))
+            <= 0.05 * spread + F.lit(1e-6)
+        ).alias(f"{p}_ok")
+
+    return j.select(
+        "by_type",
+        F.col("doc_count").cast("bigint").alias("doc_count"),
+        F.round("e_p50", 6).alias("p50_exact"),
+        F.round("e_p90", 6).alias("p90_exact"),
+        F.round("e_p99", 6).alias("p99_exact"),
+        ok("p50"), ok("p90"), ok("p99"),
+    )
 
 
 @register(

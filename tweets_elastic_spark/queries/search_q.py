@@ -3159,16 +3159,16 @@ def q_search_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type AS by_type,
            CAST(count(*) AS BIGINT) AS doc_count,
-           list_transform(
+           array_to_string(list_transform(
              (list(struct_pack(s := s, lon := lon, lat := lat)
                    ORDER BY s, lon, lat))[1:20],
-             p -> [round(p.lon, 6), round(p.lat, 6)]) AS track_line,
+             p -> printf('%.6f %.6f', p.lon, p.lat)), ';') AS track_line,
            count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
                       AND s IS NOT NULL THEN 1 END) <= 20 AS track_complete,
-           list_transform(
+           array_to_string(list_transform(
              (list(struct_pack(s := s, lon := lon, lat := lat)
                    ORDER BY s, lon, lat))[1:20],
-             p -> round(p.s, 6)) AS track_sort_values
+             p -> printf('%.6f', p.s)), ';') AS track_sort_values
     FROM pts
     GROUP BY 1
     """,
@@ -3179,7 +3179,11 @@ def q_search_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "[lon, lat] GeoJSON coordinate order; ties on the sort value "
         "break by (lon, lat) so both engines share one total order. The "
         "oracle replays the ordered-list slice with DuckDB list "
-        "aggregates.",
+        "aggregates. r12: the coordinate and sort-value arrays are "
+        "projected to ';'-joined '%.6f'-formatted strings (C-style "
+        "formatting is identical across the JVM and DuckDB; driver "
+        "prefix primitive-schema constraint) — the agg itself keeps the "
+        "array columns.",
 )
 def q_es_aggs_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
@@ -3189,7 +3193,7 @@ def q_es_aggs_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon": (F.col("user_id") * 2.4) - 180,
         "ts_s": F.col("ts").cast("double"),
     })
-    return es_aggregate(events, {"by_type": {
+    out = es_aggregate(events, {"by_type": {
         "terms": {"field": "event_type"},
         "aggs": {"track": {"geo_line": {
             "point": {"field": {"lat": "lat", "lon": "lon"}},
@@ -3197,6 +3201,22 @@ def q_es_aggs_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
             "include_sort": True, "size": 20,
         }}},
     }})
+    return out.select(
+        "by_type", "doc_count",
+        F.array_join(
+            F.transform(
+                "track_line",
+                lambda p: F.format_string(
+                    "%.6f %.6f", F.element_at(p, 1), F.element_at(p, 2)
+                ),
+            ), ";",
+        ).alias("track_line"),
+        "track_complete",
+        F.array_join(
+            F.transform("track_sort_values",
+                        lambda s: F.format_string("%.6f", s)), ";",
+        ).alias("track_sort_values"),
+    )
 
 
 @register(
@@ -3641,18 +3661,23 @@ def q_es_aggs_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type AS by_type,
            (SELECT CAST(count(*) AS BIGINT) FROM events e
             WHERE e.event_type = ranked.event_type) AS doc_count,
-           list(round(value, 6) ORDER BY rn) AS recent_value
+           max(CASE WHEN rn = 1 THEN round(value, 6) END) AS recent_value_1,
+           max(CASE WHEN rn = 2 THEN round(value, 6) END) AS recent_value_2,
+           max(CASE WHEN rn = 3 THEN round(value, 6) END) AS recent_value_3
     FROM ranked WHERE rn <= 3
     GROUP BY event_type
     """,
     doc="ES top_metrics with size>1 (r8, formerly a loud refusal routing "
         "to top_hits): the metric's values at the bucket's top-3 "
-        "documents by sort field, rendered as an ARRAY column in sort "
-        "order. One shared collect buffer per bucket (Spark dedups equal "
-        "aggregate functions), sorted and sliced to size — per-bucket "
-        "memory O(bucket) before the slice, acceptable because ES caps "
-        "size at 10. Sort ties break by the metric values themselves "
-        "(deterministic, mirrored in the oracle's window ORDER BY).",
+        "documents by sort field. One shared collect buffer per bucket "
+        "(Spark dedups equal aggregate functions), sorted and sliced to "
+        "size — per-bucket memory O(bucket) before the slice, acceptable "
+        "because ES caps size at 10. Sort ties break by the metric "
+        "values themselves (deterministic, mirrored in the oracle's "
+        "window ORDER BY). r12: the top-3 array is projected to per-rank "
+        "PRIMITIVE columns recent_value_1..3 (driver prefix constraint — "
+        "tests/test_plans.py primitive-schema guard; the array form "
+        "stays exercised via the plan itself).",
 )
 def q_es_aggs_top_metrics_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
@@ -3666,10 +3691,11 @@ def q_es_aggs_top_metrics_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size": 3,
         }}},
     }})
+    rounded = F.transform("recent_value", lambda v: F.round(v, 6))
     return out.select(
         "by_type", "doc_count",
-        F.transform("recent_value", lambda v: F.round(v, 6))
-        .alias("recent_value"),
+        *[F.element_at(rounded, i).alias(f"recent_value_{i}")
+          for i in (1, 2, 3)],
     )
 
 
@@ -4418,13 +4444,16 @@ def q_es_request_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, term,
            CAST(count(*) AS BIGINT) AS term_freq,
-           list_sort(list(position)) AS positions
+           array_to_string(list_sort(list(position)), ',') AS positions
     FROM pos GROUP BY doc_id, term
     """,
     doc="ES _termvectors: per-document term frequency + positions from "
         "the analyzed token stream — one posexplode + groupBy, the "
         "keyword-extraction/relevance-debugging API. The oracle rebuilds "
-        "positions independently via an unnest-with-ordinality walk.",
+        "positions independently via an unnest-with-ordinality walk. "
+        "r12: positions projected to a comma-joined string (driver "
+        "prefix primitive-schema constraint); the API itself keeps the "
+        "array<int> column.",
 )
 def q_es_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.api import es_termvectors
@@ -4432,7 +4461,12 @@ def q_es_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") % 151 == 0
     )
-    return es_termvectors(docs, analyzer="standard")
+    tv = es_termvectors(docs, analyzer="standard")
+    return tv.withColumn(
+        "positions",
+        F.array_join(F.transform("positions", lambda p: p.cast("string")),
+                     ","),
+    )
 
 
 @register(

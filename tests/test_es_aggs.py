@@ -2610,12 +2610,76 @@ def test_ip_prefix_semantics(spark):
                                 "append_prefix_length": True}}}
     got = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl2).collect()}
     assert got == {"10.0.0.0/16": 3, "192.168.0.0/16": 1}
-    with pytest.raises(NotImplementedError, match="IPv4-only"):
-        es_aggregate(df, {"b": {"ip_prefix": {
-            "field": "ip", "prefix_length": 64, "is_ipv6": True}}})
     with pytest.raises(ValueError, match="prefix_length"):
         es_aggregate(df, {"b": {"ip_prefix": {
             "field": "ip", "prefix_length": 33}}})
+
+
+def test_ip_prefix_ipv6_semantics(spark):
+    """is_ipv6 (r12, formerly a loud refusal): group-wise masking + RFC
+    5952 canonical keys; malformed / IPv4 / zoned / embedded-quad
+    addresses land in no bucket."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "2001:db8::1"), (2, "2001:DB8:0:0:0:0:0:2"),   # same /64
+         (3, "2001:db8:0:1::5"),                             # next /64
+         (4, "fe80::1%eth0"), (5, "::ffff:1.2.3.4"),         # refused forms
+         (6, "10.0.0.1"), (7, "not-an-ip"), (8, None),
+         (9, "::"), (10, "1:0:0:2:3:0:0:4")],                # tie: leftmost
+        "id long, ip string",
+    )
+    dsl = {"b": {"ip_prefix": {"field": "ip", "prefix_length": 64,
+                               "is_ipv6": True}}}
+    got = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl).collect()
+           if r["b"] is not None}
+    assert got == {"2001:db8::": 2, "2001:db8:0:1::": 1, "::": 1,
+                   "1:0:0:2::": 1}
+    # partial-group mask + append_prefix_length + leftmost-tie render
+    dsl2 = {"b": {"ip_prefix": {"field": "ip", "prefix_length": 20,
+                                "is_ipv6": True,
+                                "append_prefix_length": True}}}
+    got2 = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl2).collect()
+            if r["b"] is not None}
+    # 0x0db8's top 4 bits are 0, so the 2001:db8 rows mask to 2001::
+    assert got2 == {"2001::/20": 3, "::/20": 1, "1::/20": 1}
+    with pytest.raises(ValueError, match="prefix length"):
+        es_aggregate(df, {"b": {"ip_prefix": {
+            "field": "ip", "prefix_length": 129, "is_ipv6": True}}})
+
+
+def test_ipv6_canonical_matches_python_ipaddress(spark):
+    """The parse→mask→render chain is pinned against the stdlib
+    ipaddress module over structured-random addresses biased toward
+    zero runs (compression edge cases) at several prefix lengths —
+    the independent-decoder check for functions/ip.py."""
+    import ipaddress
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.functions.ip import (
+        ipv6_canonical, ipv6_groups, ipv6_mask,
+    )
+
+    random.seed(12)
+    addrs = []
+    for _ in range(120):
+        gs = [random.choice([0, 0, 0, 1, 0xFFFF, random.getrandbits(16)])
+              for _ in range(8)]
+        addrs.append(str(ipaddress.IPv6Address(
+            bytes(b for g in gs for b in g.to_bytes(2, "big")))))
+    addrs += ["2001:0DB8:0:0:0:0:0:1", "0:0:0:0:0:0:0:0",
+              "1:0:0:2:3:0:0:4", "a:b:c:d:e:f:1:2", "fe80:0:0:0:1:0:0:1"]
+    df = spark.createDataFrame([(a,) for a in addrs], "addr string")
+    for bits in (0, 1, 15, 16, 17, 64, 68, 127, 128):
+        got = df.select("addr", ipv6_canonical(
+            ipv6_mask(ipv6_groups(F.col("addr")), bits)).alias("k")
+        ).collect()
+        for r in got:
+            want = str(ipaddress.ip_network(
+                f"{r['addr']}/{bits}", strict=False).network_address)
+            assert r["k"] == want, (r["addr"], bits, r["k"], want)
 
 
 def test_extended_stats_bucket_sibling(spark):

@@ -1,0 +1,110 @@
+"""Pure-Catalyst IP address parsing, masking and rendering.
+
+Shared by the EQL ``cidrMatch`` condition function (plans/eql.py) and
+the ``ip_range`` / ``ip_prefix`` aggregations (plans/aggs.py). No UDFs:
+IPv4 is one validated-regex + octet arithmetic; IPv6 is a
+'::'-expanding group parse into ``array<long>`` of the eight 16-bit
+groups, masked group-wise (so no 128-bit integers are ever needed) and
+rendered back in RFC 5952 canonical form via a longest-zero-run
+regexp_replace cascade. Every step is mirrored operator-for-operator by
+the DuckDB oracles (queries/search_q.py), so results stay
+hash-comparable across engines.
+
+Malformed addresses parse to NULL and therefore fall in no bucket and
+match no CIDR — the row-level policy the reference's ES semantics give
+(ES rejects malformed ``ip``-typed values at index time; this engine
+reads raw strings, so the malformed case must be decided per row).
+Dotted-quad-embedded IPv6 ('::ffff:1.2.3.4') and zone indexes ('%eth0')
+fail the hex-group validation → NULL, a documented refusal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_OCTET_RE = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+_IPV6_GROUP_RE = "^[0-9a-fA-F]{1,4}$"
+
+
+def ipv4_long(col: Column) -> Column:
+    """Validated IPv4 string → 32-bit long (NULL for malformed)."""
+    p = F.split(col, r"\.")
+    ip = (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+    return F.when(col.rlike(f"^({_OCTET_RE}\\.){{3}}{_OCTET_RE}$"), ip)
+
+
+def ipv6_groups(col: Column) -> Column:
+    """IPv6 string → ``array<long>`` of its 8 16-bit groups, NULL for
+    malformed. Pure Catalyst: split on '::', zero-fill the gap,
+    hex-validate every group, conv(16,10) each."""
+    parts = F.split(col, "::")
+    has_dc = F.size(parts) == 2
+
+    def grps(s: Column) -> Column:
+        return F.filter(F.split(s, ":"), lambda x: x != F.lit(""))
+
+    left = grps(parts.getItem(0))
+    right = F.when(has_dc, grps(F.element_at(parts, 2))) \
+             .otherwise(F.array().cast("array<string>"))
+    nl, nr = F.size(left), F.size(right)
+    mid = F.array_repeat(F.lit("0"), F.lit(8) - nl - nr)
+    strs = (
+        F.when(has_dc & ((nl + nr) <= 7), F.concat(left, mid, right))
+        .when((F.size(parts) == 1) & (nl == 8), left)
+    )
+    ok = (
+        strs.isNotNull()
+        & F.forall(strs, lambda x: x.rlike(_IPV6_GROUP_RE))
+        & ~col.rlike(":::")  # split('1:::2', '::') would mis-repair it
+    )
+    return F.when(
+        ok, F.transform(strs, lambda x: F.conv(x, 16, 10).cast("long"))
+    )
+
+
+def ipv6_mask(groups: Column, bits: int) -> Column:
+    """Zero the host bits of an 8-group array at /bits (0..128) —
+    group-wise: full prefix groups pass through, the partial group
+    shifts right then left, everything after is 0. Compile-time
+    constants per group; the DuckDB oracle mirrors with the same
+    //-and-* arithmetic."""
+    if not 0 <= bits <= 128:
+        raise ValueError(f"bad IPv6 prefix length {bits}")
+
+    def mask_one(g: Column, i: int) -> Column:
+        take = min(16, max(0, bits - 16 * i))
+        if take == 16:
+            return g
+        if take == 0:
+            return F.lit(0).cast("long")
+        # //-and-* (not bitwise) so the oracle replays it verbatim
+        w = 1 << (16 - take)
+        return (g / F.lit(w)).cast("long") * F.lit(w)
+
+    return F.array(*[mask_one(F.element_at(groups, i + 1), i)
+                     for i in range(8)])
+
+
+def ipv6_canonical(groups: Column) -> Column:
+    """8-group array → RFC 5952 canonical text: lowercase hex, no
+    leading zeros, the longest run of >=2 zero groups compressed to
+    '::' (leftmost on ties). The compression is a run-length cascade
+    where longer-run branches override — and every pattern is
+    ^-anchored with a lazy prefix capture so exactly ONE match exists:
+    Spark's regexp_replace replaces ALL occurrences while DuckDB
+    replaces the first, so an unanchored pattern would diverge on
+    addresses with two equal-length zero runs ('1:0:0:2:3:0:0:4')."""
+    full = F.lower(F.array_join(
+        F.transform(groups, lambda g: F.conv(g, 10, 16)), ":"))
+    out = full
+    for n in range(2, 9):
+        pat = "^(.*?)(^|:)0(:0){%d}(:|$)" % (n - 1)
+        out = F.when(full.rlike(pat),
+                     F.regexp_replace(full, pat, "$1::")).otherwise(out)
+    return out

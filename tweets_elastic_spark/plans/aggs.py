@@ -522,16 +522,35 @@ def _bucket_key(kind: str, body: dict) -> Column:
         # (buckets come from the data, one hash aggregation; same
         # validate-regex + octet arithmetic, no UDF). The bucket key is
         # the network address, "/N"-suffixed when append_prefix_length —
-        # ES's response key shape. IPv6 raises loudly (needs 128-bit
-        # ints); malformed addresses fall in no bucket, same documented
-        # policy as ip_range. Arithmetic is //-and-% (not bitwise) so the
-        # DuckDB oracle mirrors it operator for operator.
-        if body.get("is_ipv6"):
-            raise NotImplementedError(
-                "ip_prefix is IPv4-only in this engine (IPv6 prefixes "
-                "need 128-bit integers)"
-            )
+        # ES's response key shape. Malformed addresses fall in no
+        # bucket, same documented policy as ip_range. Arithmetic is
+        # //-and-% (not bitwise) so the DuckDB oracle mirrors it
+        # operator for operator. is_ipv6 (r12): the address parses to
+        # its eight 16-bit groups, masked GROUP-WISE (no 128-bit ints
+        # anywhere) and rendered back in RFC 5952 canonical form — all
+        # pure Catalyst, see functions/ip.py.
         bits = int(body["prefix_length"])
+        if body.get("is_ipv6"):
+            from tweets_elastic_spark.functions.ip import (
+                ipv6_canonical, ipv6_groups, ipv6_mask,
+            )
+
+            sfx = f"/{bits}" if body.get("append_prefix_length") else ""
+
+            def key6(g: Column) -> Column:
+                # NULL guard stays inside: a malformed address must
+                # yield a NULL key (no bucket), not ''+suffix
+                return F.when(
+                    g.isNotNull(),
+                    F.concat(ipv6_canonical(ipv6_mask(g, bits)),
+                             F.lit(sfx)),
+                )
+
+            # bind the parsed group array ONCE (Catalyst no-CSE): the
+            # mask/render tree references it ~30 times
+            return F.element_at(
+                F.transform(F.array(ipv6_groups(src)), key6), 1
+            )
         if not 0 <= bits <= 32:
             raise ValueError(f"bad ip_prefix prefix_length {bits}")
         width = 1 << (32 - bits)

@@ -830,48 +830,12 @@ def _wildcard_regex(pat: str) -> str:
     return "^" + "".join(out) + "$"
 
 
-def _ipv4_long(col: Column) -> Column:
-    """Validated IPv4 string → 32-bit long (NULL for malformed — which
-    then matches no CIDR, the ip_range/ip_prefix agg policy)."""
-    p = F.split(col, r"\.")
-    ip = (
-        p.getItem(0).cast("long") * 16777216
-        + p.getItem(1).cast("long") * 65536
-        + p.getItem(2).cast("long") * 256
-        + p.getItem(3).cast("long")
-    )
-    return F.when(col.rlike(f"^({_OCTET_RE}\\.){{3}}{_OCTET_RE}$"), ip)
-
-
-def _ipv6_groups(col: Column) -> Column:
-    """IPv6 string → array<long> of its 8 16-bit groups, NULL for
-    malformed (which then matches no CIDR — the same row-level policy as
-    `_ipv4_long`). Pure Catalyst: split on '::', zero-fill the gap,
-    hex-validate every group, conv(16,10) each. Dotted-quad-embedded
-    and zoned addresses fail the hex-group validation → NULL."""
-    parts = F.split(col, "::")
-    has_dc = F.size(parts) == 2
-
-    def grps(s: Column) -> Column:
-        return F.filter(F.split(s, ":"), lambda x: x != F.lit(""))
-
-    left = grps(parts.getItem(0))
-    right = F.when(has_dc, grps(F.element_at(parts, 2))) \
-             .otherwise(F.array().cast("array<string>"))
-    nl, nr = F.size(left), F.size(right)
-    mid = F.array_repeat(F.lit("0"), F.lit(8) - nl - nr)
-    strs = (
-        F.when(has_dc & ((nl + nr) <= 7), F.concat(left, mid, right))
-        .when((F.size(parts) == 1) & (nl == 8), left)
-    )
-    ok = (
-        strs.isNotNull()
-        & F.forall(strs, lambda x: x.rlike(_IPV6_GROUP_RE))
-        & ~col.rlike(":::")  # split('1:::2', '::') would mis-repair it
-    )
-    return F.when(
-        ok, F.transform(strs, lambda x: F.conv(x, 16, 10).cast("long"))
-    )
+# IPv4/IPv6 parsing shared with the ip_range/ip_prefix aggs (r12 —
+# moved to functions/ip.py when ip_prefix gained its is_ipv6 path)
+from tweets_elastic_spark.functions.ip import (  # noqa: E402
+    ipv4_long as _ipv4_long,
+    ipv6_groups as _ipv6_groups,
+)
 
 
 def _ipv6_cidr_match(fld: Column, cidr: str) -> Column:

@@ -3961,6 +3961,83 @@ def q_es_aggs_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     }})
 
 
+_V6_COMPRESS = "key"
+for _n in range(2, 9):  # longest run wins: wrap ascending, outer = longer
+    _p = "'^(.*?)(^|:)0(:0){%d}(:|$)'" % (_n - 1)
+    _V6_COMPRESS = (
+        f"CASE WHEN regexp_matches(key, {_p}) "
+        f"THEN regexp_replace(key, {_p}, '\\1::') ELSE {_V6_COMPRESS} END"
+    )
+
+
+@register(
+    "es_aggs_ip_prefix_v6",
+    oracle=f"""
+    WITH src AS (
+        SELECT CASE
+                 WHEN user_id % 37 = 0 THEN '2001:::db8'      -- malformed
+                 WHEN user_id % 41 = 0 THEN '10.0.0.1'        -- IPv4
+                 ELSE printf('2001:db8:%x:0:%x:0:0:%x',
+                             user_id % 65536, (user_id * 31) % 65536,
+                             CAST(floor(value) AS BIGINT) % 7)
+               END AS ip6,
+               value
+        FROM events
+    ),
+    masked AS (
+        -- /68 = groups 1-4 full + top 4 bits of group 5; groups 6-8
+        -- zero. Malformed/IPv4 rows drop (no bucket), mirroring the
+        -- engine's NULL-key policy.
+        SELECT printf('2001:db8:%x:0:%x:0:0:0',
+                      user_id % 65536,
+                      (((user_id * 31) % 65536) // 4096) * 4096) AS key,
+               value
+        FROM events
+        WHERE user_id % 37 <> 0 AND user_id % 41 <> 0
+    ),
+    comp AS (SELECT {_V6_COMPRESS} AS ckey, value FROM masked)
+    SELECT ckey || '/68' AS by_prefix,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(value), 6) AS total
+    FROM comp GROUP BY 1
+    """,
+    doc="ES ip_prefix agg with is_ipv6 (r12, formerly a loud refusal): "
+        "bucket by the /N IPv6 network prefix. The address parses to "
+        "its eight 16-bit groups ('::'-expanding pure-Catalyst parse, "
+        "functions/ip.py), is masked GROUP-WISE at /68 (full groups "
+        "pass, the partial group //-and-* shifts — no 128-bit integers "
+        "anywhere), and renders back in RFC 5952 canonical form "
+        "(lowercase hex, longest zero run compressed to '::', leftmost "
+        "on ties) via an anchored lazy-prefix regexp cascade that both "
+        "engines replay identically (Spark regexp_replace replaces ALL "
+        "matches, DuckDB the first — the ^ anchor makes them agree). "
+        "Malformed and IPv4 strings key to NULL and fall in no bucket. "
+        "The oracle reconstructs the masked groups from the same base "
+        "columns and replays the render; the PARSE path is pinned "
+        "separately against Python ipaddress in tests/test_es_aggs.py.",
+)
+def q_es_aggs_ip_prefix_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    uid = F.col("user_id")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ip6",
+        F.when(uid % 37 == 0, F.lit("2001:::db8"))
+        .when(uid % 41 == 0, F.lit("10.0.0.1"))
+        .otherwise(F.format_string(
+            "2001:db8:%x:0:%x:0:0:%x",
+            uid % 65536, (uid * 31) % 65536,
+            F.floor("value").cast("long") % 7,
+        )),
+    )
+    out = es_aggregate(events, {"by_prefix": {
+        "ip_prefix": {"field": "ip6", "prefix_length": 68,
+                      "is_ipv6": True, "append_prefix_length": True},
+        "aggs": {"total": {"sum": {"field": "value"}}},
+    }})
+    return out.filter(F.col("by_prefix").isNotNull())
+
+
 @register(
     "search_terms_set",
     oracle=_TOKENS_CTE + """

@@ -254,8 +254,9 @@ HEADLINE = [
     "gopher_quality_filter",
     # r12: the unordered EQL sample kind (one conditional-min groupBy)
     "eql_sample",
-    # r12: IPv6 ip_prefix (group-wise mask + RFC 5952 render, scan+groupBy)
+    # r12: IPv6 ip_prefix/ip_range (group-wise mask/compare, scan+groupBy)
     "es_aggs_ip_prefix_v6",
+    "es_aggs_ip_range_v6",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -2516,7 +2516,12 @@ def test_ip_range_semantics(spark):
             {"to": "10.0.1.0"}, {"from": "10.0.0.128"}]}}})
     with pytest.raises(ValueError, match="bad IPv4"):
         es_aggregate(df, {"b": {"ip_range": {"field": "ip", "ranges": [
-            {"from": "::1"}]}}})
+            {"from": "10.0.0"}]}}})
+    # an IPv6 spec no longer refuses — it dispatches to the v6 path
+    # (all-IPv4 column values then land in no bucket)
+    got6 = es_aggregate(df, {"b": {"ip_range": {"field": "ip", "ranges": [
+        {"from": "::1"}]}}}).filter("b IS NOT NULL").count()
+    assert got6 == 0
 
 
 def test_categorize_text_semantics(spark):
@@ -2646,6 +2651,46 @@ def test_ip_prefix_ipv6_semantics(spark):
     with pytest.raises(ValueError, match="prefix length"):
         es_aggregate(df, {"b": {"ip_prefix": {
             "field": "ip", "prefix_length": 129, "is_ipv6": True}}})
+
+
+def test_ip_range_ipv6_semantics(spark):
+    """IPv6 ip_range (r12): [from, to) group-wise compare, CIDR masks,
+    unbounded ends, malformed-address policy, mixed-spec refusal."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "2001:db8::1"), (2, "2001:db8::ffff"),      # inside /64
+         (3, "2001:db8:0:1::"),                           # == to: excluded
+         (4, "2001:db7:ffff:ffff:ffff:ffff:ffff:ffff"),  # just below from
+         (5, "ffff::1"),                                  # top bucket
+         (6, "10.0.0.1"), (7, "nope"), (8, None)],
+        "id long, ip string",
+    )
+    dsl = {"b": {"ip_range": {"field": "ip", "ranges": [
+        {"to": "2001:db8::", "key": "below"},
+        {"from": "2001:db8::", "to": "2001:db8:0:1::", "key": "net"},
+        {"from": "fe00::", "key": "top"},
+    ]}}}
+    got = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl).collect()
+           if r["b"] is not None}
+    assert got == {"below": 1, "net": 2, "top": 1}
+    # CIDR mask + default label + whole-space upper bound
+    dsl2 = {"b": {"ip_range": {"field": "ip", "ranges": [
+        {"mask": "2001:db8::/64"},
+        {"from": "2001:db8:0:1::"},
+    ]}}}
+    got2 = {r["b"]: r["doc_count"] for r in es_aggregate(df, dsl2).collect()
+            if r["b"] is not None}
+    assert got2 == {"2001:db8::/64": 2, "2001:db8:0:1::-*": 2}
+    with pytest.raises(ValueError, match="mixed"):
+        es_aggregate(df, {"b": {"ip_range": {"field": "ip", "ranges": [
+            {"mask": "10.0.0.0/8"}, {"from": "2001:db8::"}]}}})
+    with pytest.raises(ValueError, match="sorted and non-overlapping"):
+        es_aggregate(df, {"b": {"ip_range": {"field": "ip", "ranges": [
+            {"from": "2001:db8::"}, {"from": "2001:db9::"}]}}})
+    with pytest.raises(ValueError, match="bad IPv6"):
+        es_aggregate(df, {"b": {"ip_range": {"field": "ip", "ranges": [
+            {"from": "2001:zz::"}]}}})
 
 
 def test_ipv6_canonical_matches_python_ipaddress(spark):

@@ -454,8 +454,16 @@ def _bucket_key(kind: str, body: dict) -> Column:
         # arithmetic expression — scan-local, codegen'd, no UDF. Malformed
         # strings / octets > 255 fall in no bucket (ES rejects them at
         # index time via the ip field type; the scan-side engine filters
-        # instead, documented). IPv6 raises loudly. Overlapping ranges
-        # would need an explode — refuse, same policy as range.
+        # instead, documented). Overlapping ranges would need an
+        # explode — refuse, same policy as range. IPv6 specs (r12)
+        # dispatch to a group-wise lexicographic compare: the bound's
+        # eight 16-bit groups are compile-time constants, the address
+        # binds once as array<long>, and [from, to) evaluates as one
+        # chained-when >= per bound — no 128-bit integers anywhere.
+        if any(":" in str(r.get("mask", "")) + str(r.get("from", ""))
+               + str(r.get("to", "")) for r in body["ranges"]):
+            return _ip_range_v6_key(src, body["ranges"])
+
         def ip_int(s: str) -> int:
             parts = s.split(".")
             if len(parts) != 4 or not all(
@@ -581,6 +589,74 @@ def _bucket_key(kind: str, body: dict) -> Column:
         # bind the parsed integer once (no-CSE), same as ip_range
         return F.element_at(F.transform(F.array(ip), prefix_key), 1)
     raise ValueError(f"unsupported bucket aggregation: {kind!r}")
+
+
+def _ip_range_v6_key(src: Column, ranges: list) -> Column:
+    """IPv6 ip_range bucket key (r12, formerly a loud refusal): parse
+    the address into its eight 16-bit groups (functions/ip.py), then
+    test [from, to) per bucket with a group-wise lexicographic >= whose
+    bound side is eight compile-time constants — ≤16 long comparisons
+    per bound per row, scan-local, codegen'd, no 128-bit integers.
+    Malformed / IPv4 / zoned addresses parse to NULL → no bucket.
+    Mixing IPv4 and IPv6 specs in one agg raises (ES splits these by
+    field type)."""
+    import ipaddress
+
+    from tweets_elastic_spark.functions.ip import ipv6_groups
+
+    bounds = []
+    for r in ranges:
+        try:
+            if "mask" in r:
+                net = ipaddress.ip_network(r["mask"], strict=False)
+                if net.version != 6:
+                    raise ValueError(
+                        f"mixed IPv4/IPv6 ip_range specs ({r['mask']!r})"
+                    )
+                lo: int | None = int(net.network_address)
+                hi: int | None = lo + net.num_addresses
+                label = r.get("key", r["mask"])
+            else:
+                lo = (int(ipaddress.IPv6Address(r["from"]))
+                      if "from" in r else None)
+                hi = (int(ipaddress.IPv6Address(r["to"]))
+                      if "to" in r else None)
+                label = r.get(
+                    "key", f"{r.get('from', '*')}-{r.get('to', '*')}"
+                )
+        except ipaddress.AddressValueError as e:
+            raise ValueError(f"bad IPv6 ip_range spec {r!r}: {e}") from e
+        if hi is not None and hi >= 1 << 128:  # whole-space mask: no cap
+            hi = None
+        bounds.append((lo, hi, label))
+    for (lo_a, hi_a, la), (lo_b, hi_b, lb) in zip(bounds, bounds[1:]):
+        if hi_a is None or (lo_b is not None and lo_b < hi_a):
+            raise ValueError(
+                "ip_range buckets must be sorted and non-overlapping "
+                f"(got {la!r} then {lb!r})"
+            )
+
+    def ge(g: Column, bound: int) -> Column:
+        bg = [(bound >> (16 * (7 - i))) & 0xFFFF for i in range(8)]
+        cmp = F.element_at(g, 8) >= F.lit(bg[7])
+        for i in range(6, -1, -1):
+            gi = F.element_at(g, i + 1)
+            cmp = (gi > F.lit(bg[i])) | ((gi == F.lit(bg[i])) & cmp)
+        return cmp
+
+    def keyer(g: Column) -> Column:
+        key = F.lit(None).cast("string")
+        for lo, hi, label in reversed(bounds):
+            cond = g.isNotNull()
+            if lo is not None:
+                cond = cond & ge(g, lo)
+            if hi is not None:
+                cond = cond & ~ge(g, hi)
+            key = F.when(cond, F.lit(label)).otherwise(key)
+        return key
+
+    # bind the parsed group array ONCE (Catalyst no-CSE), same as IPv4
+    return F.element_at(F.transform(F.array(ipv6_groups(src)), keyer), 1)
 
 
 def _metric_cols(aggs: dict) -> list[Column]:

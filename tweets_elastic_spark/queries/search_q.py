@@ -3978,7 +3978,7 @@ for _n in range(2, 9):  # longest run wins: wrap ascending, outer = longer
                  WHEN user_id % 37 = 0 THEN '2001:::db8'      -- malformed
                  WHEN user_id % 41 = 0 THEN '10.0.0.1'        -- IPv4
                  ELSE printf('2001:db8:%x:0:%x:0:0:%x',
-                             user_id % 65536, (user_id * 31) % 65536,
+                             (user_id * 40503) % 65536, (user_id * 31) % 65536,
                              CAST(floor(value) AS BIGINT) % 7)
                END AS ip6,
                value
@@ -3989,7 +3989,7 @@ for _n in range(2, 9):  # longest run wins: wrap ascending, outer = longer
         -- zero. Malformed/IPv4 rows drop (no bucket), mirroring the
         -- engine's NULL-key policy.
         SELECT printf('2001:db8:%x:0:%x:0:0:0',
-                      user_id % 65536,
+                      (user_id * 40503) % 65536,
                       (((user_id * 31) % 65536) // 4096) * 4096) AS key,
                value
         FROM events
@@ -4026,7 +4026,7 @@ def q_es_aggs_ip_prefix_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(uid % 41 == 0, F.lit("10.0.0.1"))
         .otherwise(F.format_string(
             "2001:db8:%x:0:%x:0:0:%x",
-            uid % 65536, (uid * 31) % 65536,
+            (uid * 40503) % 65536, (uid * 31) % 65536,
             F.floor("value").cast("long") % 7,
         )),
     )
@@ -4958,6 +4958,80 @@ def q_es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]},
         "aggs": {"total": {"sum": {"field": "value"}}},
     }})
+
+
+@register(
+    "es_aggs_ip_range_v6",
+    # The engine compares GROUP-WISE (eight 16-bit longs, lexicographic
+    # when-chain); the oracle deliberately uses a DIFFERENT mechanism —
+    # one HUGEINT (128-bit) value per address — so agreement checks the
+    # comparison logic itself, not a replay of it. Our 2001:db8::/32
+    # addresses stay far below 2^127, so signed HUGEINT holds them.
+    oracle="""
+    WITH src AS (
+        SELECT CAST(8193 AS HUGEINT) * 5192296858534827628530496329220096
+             + CAST(3512 AS HUGEINT) * 79228162514264337593543950336
+             + CAST((user_id * 40503) % 65536 AS HUGEINT)
+               * 1208925819614629174706176
+             + CAST((user_id * 31) % 65536 AS HUGEINT) * 281474976710656
+             + CAST(CAST(floor(value) AS BIGINT) % 7 AS HUGEINT) AS v,
+             value
+        FROM events
+        WHERE user_id % 37 <> 0 AND user_id % 41 <> 0
+    ),
+    based AS (
+        SELECT v, value,
+               CAST(8193 AS HUGEINT)
+               * 5192296858534827628530496329220096
+             + CAST(3512 AS HUGEINT)
+               * 79228162514264337593543950336 AS base,
+               CAST(1208925819614629174706176 AS HUGEINT) AS g3w
+        FROM src
+    )
+    SELECT CASE WHEN v < base + 16384 * g3w THEN 'low'
+                WHEN v < base + 32768 * g3w THEN 'mid'
+                WHEN v < base + 49152 * g3w THEN '2001:db8:8000::/34'
+                ELSE 'high' END AS by_ip,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(value), 6) AS total
+    FROM based
+    GROUP BY 1
+    """,
+    doc="ES ip_range agg over IPv6 (r12, formerly a loud refusal): "
+        "[from, to) buckets whose bounds compile to eight 16-bit group "
+        "constants at plan time; per-row work is the shared "
+        "'::'-expanding parse (functions/ip.py, bound once) plus a "
+        "group-wise lexicographic when-chain per bound — scan-local, "
+        "codegen'd, no 128-bit integers in the engine. Malformed and "
+        "IPv4 strings land in no bucket. The oracle compares via a "
+        "single DuckDB HUGEINT per address — an independent 128-bit "
+        "mechanism, not a replay of the group arithmetic.",
+)
+def q_es_aggs_ip_range_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    uid = F.col("user_id")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ip6",
+        F.when(uid % 37 == 0, F.lit("2001:::db8"))
+        .when(uid % 41 == 0, F.lit("10.0.0.1"))
+        .otherwise(F.format_string(
+            "2001:db8:%x:0:%x:0:0:%x",
+            (uid * 40503) % 65536, (uid * 31) % 65536,
+            F.floor("value").cast("long") % 7,
+        )),
+    )
+    out = es_aggregate(events, {"by_ip": {
+        "ip_range": {"field": "ip6", "ranges": [
+            {"to": "2001:db8:4000::", "key": "low"},
+            {"from": "2001:db8:4000::", "to": "2001:db8:8000::",
+             "key": "mid"},
+            {"mask": "2001:db8:8000::/34"},
+            {"from": "2001:db8:c000::", "key": "high"},
+        ]},
+        "aggs": {"total": {"sum": {"field": "value"}}},
+    }})
+    return out.filter(F.col("by_ip").isNotNull())
 
 
 @register(

@@ -157,3 +157,67 @@ def test_progressive_quality100_constant_blocks_exact():
     img = np.stack([img, img, img], axis=2)
     assert np.array_equal(
         decode_jpeg(encode_jpeg_progressive(img, quality=100)), img)
+
+
+# ---------------------------------------------------------------------------
+# Lossless process (SOF3, r12)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("predictor", range(1, 8))
+def test_lossless_round_trip_exact_all_predictors(predictor):
+    """Annex H predictive coding is lossless by construction: decode ==
+    encoder input BIT-EXACTLY for every spec predictor, gray and RGB."""
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_lossless
+
+    rng = np.random.RandomState(40 + predictor)
+    gray = rng.randint(0, 256, (13, 17), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_lossless(gray, predictor=predictor))
+    assert np.array_equal(got, np.stack([gray] * 3, axis=2))
+    rgb = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(rgb, predictor=predictor)), rgb)
+
+
+def test_lossless_high_precision_point_transform_restarts():
+    """12/16-bit samples (uint16 out), point transform (decode returns
+    the shifted-back samples), restart markers resetting prediction."""
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_lossless
+
+    rng = np.random.RandomState(51)
+    img16 = rng.randint(0, 65536, (8, 8)).astype(np.uint16)
+    got = decode_jpeg(encode_jpeg_lossless(img16))
+    assert got.dtype == np.uint16 and np.array_equal(got, img16)
+    img12 = rng.randint(0, 4096, (10, 6)).astype(np.uint16)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(img12, precision=12)), img12)
+    rgb = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(rgb, restart_interval=6)), rgb)
+    gray = rng.randint(0, 256, (6, 6), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg_lossless(gray, predictor=7,
+                                           point_transform=2))
+    want = (gray >> 2) << 2
+    assert np.array_equal(dec, np.stack([want] * 3, axis=2))
+    assert jpeg_dimensions(encode_jpeg_lossless(gray)) == (6, 6)
+
+
+def test_lossless_guards():
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_lossless
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(img, predictor=0)
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_lossless(img, precision=17)
+    with pytest.raises(ValueError, match="point transform"):
+        encode_jpeg_lossless(img, point_transform=8)
+    with pytest.raises(ValueError, match="exceeds declared"):
+        encode_jpeg_lossless(
+            np.full((2, 2), 300, dtype=np.uint16), precision=8)
+    # subsampled lossless components stay a loud refusal
+    enc = bytearray(encode_jpeg_lossless(np.zeros((2, 2), np.uint8)))
+    i = enc.find(b"\xFF\xC3")
+    # SOF3 payload: len(2) prec(1) h(2) w(2) n(1) cid(1) hv(1) — flip hv
+    enc[i + 2 + 2 + 5 + 1 + 1] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(enc))

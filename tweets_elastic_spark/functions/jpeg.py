@@ -9,8 +9,11 @@ intervals — plus, since r11, the PROGRESSIVE process (SOF2): multi-scan
 spectral selection and successive approximation per T.81 G.2 (DC
 first/refinement, AC band scans with EOB runs, AC refinement with
 correction bits), decoded through the same coefficient store the
-baseline path fills in one scan. Arithmetic coding, 12-bit and
-hierarchical modes raise ``NotImplementedError`` loudly.
+baseline path fills in one scan — and, since r12, the LOSSLESS process
+(SOF3, Annex H): predictive coding with the seven spec predictors,
+2..16-bit precision, point transform, restart markers, decode ==
+encoder input bit-exactly. Arithmetic coding, 12-bit DCT modes and
+hierarchical mode raise ``NotImplementedError`` loudly.
 
 The encoders exist so the decoder is testable without external
 libraries: round-trip tests (encode → decode ≈ original within
@@ -263,14 +266,14 @@ def _magnitude(v: int) -> tuple[int, int]:
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     """(width, height) from the SOF header — no entropy decode."""
     for marker, seg, _ in _segments(payload):
-        if marker in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF2 decodes since r11
+        if marker in (0xFFC0, 0xFFC1, 0xFFC2, 0xFFC3):  # SOF3 since r12
             _, h, w = struct.unpack(">BHH", seg[:5])
             return w, h
         if marker == 0xFFC3 or 0xFFC5 <= marker <= 0xFFCF and \
                 marker not in (0xFFC8, 0xFFCC):
             raise NotImplementedError(
-                f"only baseline/progressive JPEG (SOF0/1/2) is supported, "
-                f"got SOF marker {marker:#x}"
+                f"only baseline/progressive/lossless JPEG (SOF0/1/2/3) "
+                f"is supported, got SOF marker {marker:#x}"
             )
     raise ValueError("no SOF marker found — not a JPEG?")
 
@@ -449,7 +452,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
+        elif marker == 0xFFC3:  # lossless (r12): own predictive path
+            return _decode_lossless(payload)
+        elif marker in (0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA,
                         0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
                 f"non-baseline JPEG process (SOF marker {marker:#x})"
@@ -1026,5 +1031,251 @@ def encode_jpeg_progressive(
     ac_scan(2, 1, 63, 1, 0)
     sos([1], 1, 63, 1, 0)
     ac_scan(1, 1, 63, 1, 0)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Lossless process (SOF3, T.81 Annex H) — r12, formerly a loud refusal
+# ---------------------------------------------------------------------------
+# Predictive coding, no DCT and no quantization: each sample's
+# difference from a neighborhood prediction is Huffman-coded with a
+# DC-class table extended to magnitude category 16 (SSSS=16 means
+# diff=32768 with no extra bits; all arithmetic is modulo 2^16 per
+# H.1.2.1). Sampling factors must all be 1x1 (the only shape real
+# lossless producers — DNG, PACS/DICOM exporters — emit). Components
+# are stored verbatim (no color transform is defined for the lossless
+# process), so 3-component files decode as RGB as-is.
+#
+# Restart markers reset the entropy coder and the prediction: the next
+# sample of every component is predicted with the default 2^(P-Pt-1),
+# after which the normal selection resumes (first-row samples use Ra,
+# first-column samples use Rb, interior samples the scan's predictor).
+# Mid-line restarts follow the same rule — the documented
+# implementation choice, mirrored exactly by the encoder.
+
+#: predictor id → Px(a, b, c); arithmetic on Python ints (H.1.1.1)
+_LL_PREDICTORS = {
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+# fixed Huffman table covering categories 0..16 (Kraft sum 1 - 2^-15,
+# so the all-ones max-length code stays unused as C.2 requires)
+_LL_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+_LL_VALS = list(range(17))
+
+
+def _decode_lossless(payload: bytes) -> np.ndarray:
+    """SOF3 stream → (H, W) or (H, W, ncomp) array; uint8 when the
+    scan's effective precision (P - Pt + Pt shift = P) fits 8 bits,
+    uint16 otherwise. Cited behavior: /root/reference has no media
+    stack — scope mirrors ES's ingest-attachment opacity instead."""
+    dc_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = prec = 0
+    restart_interval = 0
+    result = None
+
+    i = 2  # caller checked SOI
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        marker = 0xFF00 | payload[i + 1]
+        i += 2
+        if marker == 0xFFD9:
+            break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            continue
+        ln = struct.unpack(">H", payload[i:i + 2])[0]
+        seg = payload[i + 2:i + ln]
+        after = i + ln
+        i = after
+        if marker == 0xFFC3:
+            prec, h, w = struct.unpack(">BHH", seg[:5])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad lossless precision {prec}")
+            for c in range(seg[5]):
+                cid, hv, _tq = seg[6 + c * 3:9 + c * 3]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components"
+                    )
+                comps.append({"id": cid})
+        elif marker == 0xFFC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                if tc == 0:
+                    dc_tabs[th] = _huff_decode_table(
+                        bits, list(seg[j + 17:j + 17 + nv]))
+                j += 17 + nv
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xFFDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + c * 2], seg[2 + c * 2]
+                next(x for x in comps if x["id"] == cid)  # validate
+                scan.append({"id": cid, "tab": dc_tabs[tabs >> 4]})
+            sel, _se, ahal = seg[1 + ns * 2:4 + ns * 2]
+            pt = ahal & 0x0F
+            if not 1 <= sel <= 7:
+                raise ValueError(f"bad lossless predictor {sel}")
+            if pt >= prec:
+                raise ValueError(f"point transform {pt} >= precision")
+            default = 1 << (prec - pt - 1)
+            planes = {c["id"]: np.zeros((h, w), dtype=np.int64)
+                      for c in scan}
+            fresh = {c["id"]: True for c in scan}
+            reader = _BitReader(payload, after)
+            unit = 0
+            for y in range(h):
+                for x in range(w):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        m = reader.align_to_marker()
+                        if not 0xFFD0 <= m <= 0xFFD7:
+                            raise ValueError(
+                                f"expected RST marker, got {m:#x}")
+                        fresh = {k: True for k in fresh}
+                    for c in scan:
+                        sym = _read_huff_symbol(reader, c["tab"])
+                        if sym == 16:
+                            diff = 32768
+                        elif sym > 16:
+                            raise ValueError(
+                                f"bad lossless magnitude category {sym}")
+                        else:
+                            diff = _extend(reader.read_bits(sym), sym) \
+                                if sym else 0
+                        p = planes[c["id"]]
+                        if fresh[c["id"]]:
+                            pred = default
+                            fresh[c["id"]] = False
+                        elif y == 0:
+                            pred = int(p[0, x - 1])
+                        elif x == 0:
+                            pred = int(p[y - 1, 0])
+                        else:
+                            pred = _LL_PREDICTORS[sel](
+                                int(p[y, x - 1]), int(p[y - 1, x]),
+                                int(p[y - 1, x - 1]))
+                        p[y, x] = (pred + diff) & 0xFFFF
+                    unit += 1
+            out = [planes[c["id"]] << pt for c in scan]
+            dtype = np.uint8 if prec <= 8 else np.uint16
+            if len(out) == 1 and prec <= 8:
+                g = out[0].astype(dtype)  # match decode_jpeg's gray
+                result = np.stack([g, g, g], axis=2)
+            elif len(out) == 1:
+                result = out[0].astype(dtype)
+            else:
+                result = np.stack(out, axis=2).astype(dtype)
+            i = reader.pos
+            while i < len(payload) and payload[i] != 0xFF:
+                i += 1
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+
+    if result is None:
+        raise ValueError("truncated lossless JPEG: missing SOS")
+    return result
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray, predictor: int = 4, point_transform: int = 0,
+    precision: int | None = None, restart_interval: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, ncomp) uint8/uint16 → SOF3 lossless JFIF bytes.
+    Decode of the result reproduces the input EXACTLY (after
+    ``>> point_transform << point_transform`` when a point transform is
+    requested) — the property the round-trip tests pin. The fixed
+    category-0..16 Huffman table is embedded, so standard decoders read
+    the stream."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ncomp = pixels.shape
+    if precision is None:
+        precision = 8 if pixels.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"bad lossless precision {precision}")
+    pt = point_transform
+    if pt >= precision:
+        raise ValueError(f"point transform {pt} >= precision")
+    if int(pixels.max(initial=0)) >= 1 << precision:
+        raise ValueError("sample exceeds declared precision")
+
+    enc = _huff_encode_table(_LL_BITS, _LL_VALS)
+    out = bytearray(b"\xFF\xD8")
+    # DHT: one class-0 table, id 0, shared by every component
+    dht = bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS)
+    out += b"\xFF\xC4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for cid in range(ncomp):
+        sof += bytes([cid + 1, 0x11, 0])
+    out += b"\xFF\xC3" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for cid in range(ncomp):
+        sos += bytes([cid + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    shifted = (pixels.astype(np.int64) >> pt)
+    default = 1 << (precision - pt - 1)
+    wtr = _BitWriter()
+    fresh = [True] * ncomp
+    unit = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and unit and \
+                    unit % restart_interval == 0:
+                wtr.flush()
+                out += wtr.out
+                wtr = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                fresh = [True] * ncomp
+            for ci in range(ncomp):
+                p = shifted[:, :, ci]
+                if fresh[ci]:
+                    pred = default
+                    fresh[ci] = False
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _LL_PREDICTORS[predictor](
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]))
+                diff = (int(p[y, x]) - pred + 32768) % 65536 - 32768
+                if diff == -32768:
+                    code, ln = enc[16]  # SSSS=16: no extra bits
+                    wtr.write(code, ln)
+                else:
+                    size, mag = _magnitude(diff)
+                    code, ln = enc[size]
+                    wtr.write(code, ln)
+                    if size:
+                        wtr.write(mag, size)
+            unit += 1
+    wtr.flush()
+    out += wtr.out
     out += b"\xFF\xD9"
     return bytes(out)

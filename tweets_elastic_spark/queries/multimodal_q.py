@@ -72,12 +72,16 @@ def _planted_grid_assets(docs: DataFrame, salt: str = "", codec: str = "ppm") ->
     ``codec='ppm'`` emits P6 bytes; ``codec='png'`` emits real PNG bytes
     with the scanline filter cycled per image (doc_id % 5) and bit depth
     16 on every 7th image (r11) so the oracle-gated row drives every
-    decoder unfilter path AND the 16-bit high-byte strip."""
+    decoder unfilter path AND the 16-bit high-byte strip;
+    ``codec='jpegll'`` (r12) emits real SOF3 LOSSLESS JPEG bytes with
+    the predictor cycled per image (doc_id % 7 + 1 — all seven Annex H
+    predictors) — lossless, so the same arithmetic oracle holds."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_lossless
     from tweets_elastic_spark.functions.multimodal import encode_ppm
     from tweets_elastic_spark.functions.png import encode_png
 
@@ -108,7 +112,11 @@ def _planted_grid_assets(docs: DataFrame, salt: str = "", codec: str = "ppm") ->
                 px = base_pixels(did // 4).copy()
                 px[0, 0, 0] = (int(px[0, 0, 0]) + did % 4) % 256
                 ids.append(did)
-                if codec == "png":
+                if codec == "jpegll":
+                    payloads.append(bytearray(encode_jpeg_lossless(
+                        px, predictor=did % 7 + 1,
+                    )))
+                elif codec == "png":
                     # depth 16 on every 7th image (r11): the 8→16
                     # replication round-trips to identical pixels, so
                     # the arithmetic oracle covers the 16-bit decode
@@ -368,6 +376,35 @@ def q_image_near_dups_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     assets = _planted_grid_assets(docs, salt="n:", codec="png")
+    out = image_near_dups(assets, max_distance=3)
+    return out.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    )
+
+
+@register(
+    "image_near_dups_jpeg_lossless",
+    oracle=_image_dedup_oracle(salt="l:"),
+    doc="Perceptual near-dup over REAL lossless-JPEG payloads (r12, "
+        "SOF3 — T.81 Annex H predictive coding, formerly a loud "
+        "refusal): the pure-stdlib encoder cycles all seven spec "
+        "predictors per image (doc_id % 7 + 1), and lossless means "
+        "decode(encode(px)) == px bit-exactly for ARBITRARY pixels — "
+        "no constant-block trick needed — so the oracle recomputes the "
+        "dHash bits arithmetically from the same pixel formula. A green "
+        "row pins marker parse -> extended-category Huffman -> all "
+        "seven predictors -> modulo-2^16 reconstruction -> hash "
+        "end-to-end.",
+)
+def q_image_near_dups_jpeg_lossless(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.functions.multimodal import image_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _planted_grid_assets(docs, salt="l:", codec="jpegll")
     out = image_near_dups(assets, max_distance=3)
     return out.select(
         "id_a", "id_b", F.col("distance").cast("int").alias("distance")

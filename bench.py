@@ -257,6 +257,11 @@ HEADLINE = [
     # r12: IPv6 ip_prefix/ip_range (group-wise mask/compare, scan+groupBy)
     "es_aggs_ip_prefix_v6",
     "es_aggs_ip_range_v6",
+    # r12: adjacency_matrix with a nested bucket sub (tag-explode +
+    # one two-key hash aggregation)
+    "es_aggs_adjacency_nested_terms",
+    # r12: unordered all_of (permutation-OR positional chains, scan-local)
+    "search_intervals_all_of_unordered",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -381,11 +381,15 @@ def test_filters_agg_metric_sub_aggs_and_empty_buckets(spark, sales):
     assert rows["big"] == (4, 54.0, 20.0)       # 10+20+11+13
     assert rows["us_side"] == (4, 40.0, 13.0)   # 7+9+11+13
     assert rows["nothing"] == (0, 0.0, None)    # sum zero-fills, max NULL
-    with pytest.raises(ValueError, match="must be metrics"):
-        es_aggregate(sales, {
-            "w": {"filters": {"filters": {"a": {"match_all": {}}}},
-                  "aggs": {"b": {"terms": {"field": "region"}}}}
-        })
+    # r12: a bucket sub-agg no longer refuses — it takes the shared
+    # nested-bucket path (full coverage in
+    # test_filters_and_adjacency_nested_bucket_sub)
+    got = es_aggregate(sales, {
+        "w": {"filters": {"filters": {"a": {"match_all": {}}}},
+              "aggs": {"b": {"terms": {"field": "region"}}}}
+    })
+    assert {(r["w"], r["b"]) for r in got.collect()} == \
+        {("a", "eu"), ("a", "us")}
 
 
 def test_stats_metric_expands_five_columns(spark, sales):
@@ -2823,3 +2827,75 @@ def test_highlight_fragments(spark):
     (row,) = es_request(df2, req2, analyzers={"text": "standard"},
                         tiebreak="id").collect()
     assert row["text_fragments"] == ["<em>nothing</em> here"]
+
+
+def test_filters_and_adjacency_nested_bucket_sub(spark):
+    """r12: filters / adjacency_matrix accept ONE nested BUCKET sub-agg
+    (shared _tagged_nested_bucket): rows explode on matching cells, one
+    (cell, inner-key) groupBy evaluates the inner bucket + its metrics.
+    Overlapping docs feed every cell they match; empty cells drop."""
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "b", 30.0),
+         (4, "b", 50.0), (5, None, 30.0)],
+        "id long, k string, v double",
+    )
+    got = {(r["f"], r["ks"]): (r["doc_count"], r["avg_v"])
+           for r in es_aggregate(df, {"f": {
+               "filters": {"filters": {
+                   "lo": {"range": {"v": {"lt": 40}}},
+                   "hi": {"range": {"v": {"gte": 30}}},
+               }},
+               "aggs": {"ks": {"terms": {"field": "k"},
+                               "aggs": {"avg_v": {"avg": {"field": "v"}}}}},
+           }}).collect()}
+    # NULL k drops (inner null contract); overlap: v=30 rows hit both
+    assert got == {
+        ("lo", "a"): (2, 20.0), ("lo", "b"): (1, 30.0),
+        ("hi", "a"): (1, 30.0), ("hi", "b"): (2, 40.0),
+    }
+    # adjacency: pair cells feed the same inner bucket; empty pairs drop
+    got2 = {(r["adj"], r["ks"]): r["doc_count"]
+            for r in es_aggregate(df, {"adj": {
+                "adjacency_matrix": {"filters": {
+                    "lo": {"range": {"v": {"lt": 40}}},
+                    "hi": {"range": {"v": {"gte": 30}}},
+                }},
+                "aggs": {"ks": {"terms": {"field": "k"}}},
+            }}).collect()}
+    assert got2 == {
+        ("lo", "a"): 2, ("lo", "b"): 1, ("hi", "a"): 1, ("hi", "b"): 2,
+        ("hi&lo", "a"): 1, ("hi&lo", "b"): 1,  # the v=30 overlap rows
+    }
+    # inner histogram works through the same path
+    got3 = {(r["adj"], r["hv"]): r["doc_count"]
+            for r in es_aggregate(df, {"adj": {
+                "adjacency_matrix": {"filters": {
+                    "lo": {"range": {"v": {"lt": 40}}},
+                    "hi": {"range": {"v": {"gte": 30}}},
+                }},
+                "aggs": {"hv": {"histogram": {"field": "v",
+                                              "interval": 25}}},
+            }}).collect()}
+    # the NULL-k row participates here: the inner key is v, not k
+    assert got3 == {("lo", 0.0): 1, ("lo", 25.0): 3, ("hi", 25.0): 3,
+                    ("hi", 50.0): 1, ("hi&lo", 25.0): 3}
+    # refusals: metrics NEXT TO a bucket sub; >1 bucket sub; 3 levels
+    with pytest.raises(ValueError, match="exactly ONE bucket sub-agg"):
+        es_aggregate(df, {"f": {
+            "filters": {"filters": {"lo": {"range": {"v": {"lt": 40}}}}},
+            "aggs": {"ks": {"terms": {"field": "k"}},
+                     "m": {"avg": {"field": "v"}}},
+        }})
+    with pytest.raises(ValueError, match="deeper than two levels"):
+        es_aggregate(df, {"f": {
+            "filters": {"filters": {"lo": {"range": {"v": {"lt": 40}}}}},
+            "aggs": {"ks": {"terms": {"field": "k"},
+                            "aggs": {"k2": {"terms": {"field": "k"}}}}},
+        }})
+    with pytest.raises(ValueError, match="include/exclude"):
+        es_aggregate(df, {"f": {
+            "filters": {"filters": {"lo": {"range": {"v": {"lt": 40}}}}},
+            "aggs": {"ks": {"terms": {"field": "k", "include": "a.*"}}},
+        }})

@@ -1164,7 +1164,7 @@ def test_intervals_match_hand_computed(spark):
         from_es_json({"intervals": {"text": {"match": {"query": "x"}}}})
     # malformed rule shapes raise at compile time
     for bad in [
-        {"all_of": {"intervals": [ff()]}},            # unsupported rule
+        {"all_of": {"ordered": True}},                # intervals missing
         {"match": {"query": "x", "filter": {}}},      # unknown option
         {"match": {"max_gaps": 1}},                   # query missing
         {"match": {"query": "x", "max_gaps": -2}},    # bad gap bound
@@ -1209,10 +1209,7 @@ def test_intervals_all_of_ordered_phrases(spark):
     q = from_es_json({"intervals": {"text": rule(max_gaps=2)}},
                      analyzers={"text": "standard"})
     assert {x["id"] for x in search(df, q, k=None).collect()} == {1, 2}
-    # refusals: unordered composition, gappy multi-term child, non-match
-    with pytest.raises(ValueError, match="ordered: true only"):
-        Intervals("text", {"all_of": {"intervals": [
-            {"match": {"query": "a"}}]}}, analyzer="standard")
+    # refusals: gappy multi-term child, non-match children
     with pytest.raises(ValueError, match="contiguous"):
         hits({"all_of": {"ordered": True, "intervals": [
             {"match": {"query": "vector merge"}},   # multi-term, gappy
@@ -1220,6 +1217,56 @@ def test_intervals_all_of_ordered_phrases(spark):
     with pytest.raises(ValueError, match="must be match.prefix.wildcard rules"):
         Intervals("text", {"all_of": {"ordered": True, "intervals": [
             {"any_of": {"intervals": [{"match": {"query": "a"}}]}}]}},
+            analyzer="standard")
+
+
+def test_intervals_all_of_unordered(spark):
+    """Unordered all_of (r12, formerly a loud refusal): one
+    non-overlapping occurrence per child in ANY order — exact via the
+    ordered chain ORed over child permutations."""
+    from tweets_elastic_spark.plans.search import Intervals
+
+    df = spark.createDataFrame(
+        [(1, "vector merge x order"),      # forward, gaps 1
+         (2, "order x vector merge"),      # reversed, gaps 1
+         (3, "order vector merge"),        # reversed, gaps 0
+         (4, "vector order merge"),        # phrase broken by 'order'
+         (5, "vector merge"),              # 'order' absent
+         (6, "order a b c vector merge")], # reversed, gaps 3
+        "id long, text string",
+    )
+
+    def rule(**kw):
+        return {"all_of": {"intervals": [
+            {"match": {"query": "vector merge", "max_gaps": 0}},
+            {"match": {"query": "order"}},
+        ], **kw}}
+
+    def hits(r):
+        q = Intervals("text", r, analyzer="standard")
+        return {x["id"] for x in search(df, q, k=None).collect()}
+
+    assert hits(rule()) == {1, 2, 3, 6}
+    assert hits(rule(max_gaps=1)) == {1, 2, 3}
+    assert hits(rule(max_gaps=0)) == {3}
+    assert hits(rule(ordered=True, max_gaps=1)) == {1}  # order still binds
+    # three single-term children, all 6 permutations reachable
+    r3 = {"all_of": {"intervals": [
+        {"match": {"query": "a"}}, {"match": {"query": "b"}},
+        {"match": {"query": "c"}},
+    ], "max_gaps": 0}}
+    df3 = spark.createDataFrame(
+        [(1, "a b c"), (2, "c a b"), (3, "b c a"), (4, "a c x b"),
+         (5, "a b b")],
+        "id long, text string",
+    )
+    q3 = Intervals("text", r3, analyzer="standard")
+    assert {x["id"] for x in search(df3, q3, k=None).collect()} == \
+        {1, 2, 3}
+    # the permutation cap stays loud
+    with pytest.raises(ValueError, match="at most 4 children"):
+        Intervals("text", {"all_of": {"intervals": [
+            {"match": {"query": t}} for t in "abcde"]}},
             analyzer="standard")
 
 

@@ -1468,14 +1468,14 @@ def _filters_agg(
         ]
         wide = df.agg(*counts)
         return wide.unpivot([], list(named), name, "doc_count")
-    if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
-        raise ValueError("filters sub-aggs must be metrics, not buckets")
     tags = F.array_compact(F.array(*[
         F.when(
             from_es_json(q).predicate(spark, F.col), F.lit(bucket)
         )
         for bucket, q in named.items()
     ]))
+    if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+        return _tagged_nested_bucket(df, name, tags, sub)  # r12
     got = (
         df.withColumn("__bucket", F.explode(tags))
         .groupBy(F.col("__bucket").alias(name))
@@ -1491,6 +1491,51 @@ def _filters_agg(
     for zname in _zero_on_empty(sub):
         out = out.withColumn(zname, F.coalesce(zname, F.lit(0)))
     return out
+
+
+def _tagged_nested_bucket(
+    df: DataFrame, name: str, tags: Column, sub: dict
+) -> DataFrame:
+    """Shared filters / adjacency_matrix nested-BUCKET sub-agg path
+    (r12, formerly a 'must be metrics' refusal): rows explode on the
+    cells they match and ONE (cell, inner-key) groupBy evaluates the
+    inner bucket with its metric sub-aggs — the flattened leaf
+    relation, same machinery as the generic two-level path. Cells with
+    no matching rows drop (a flattened rendering has no row to carry
+    them — documented divergence from ES's zero-count filters buckets,
+    matching adjacency_matrix's drop-empty contract)."""
+    if len(sub) != 1:
+        raise ValueError(
+            "filters/adjacency_matrix take exactly ONE bucket sub-agg "
+            "with no same-level metrics (metrics belong under the inner "
+            "bucket in the flattened relation)"
+        )
+    (sname, sspec), = sub.items()
+    sspec = dict(sspec)
+    ssub = dict(sspec.pop("aggs", {}))
+    (skind, sbody), = sspec.items()
+    if skind not in ("terms", "multi_terms", "date_histogram",
+                     "histogram", "range", "date_range"):
+        raise ValueError(
+            f"unsupported nested bucket kind under filters/"
+            f"adjacency_matrix: {skind!r}"
+        )
+    if any(next(iter(s)) in _BUCKET_KINDS for s in ssub.values()):
+        raise ValueError(
+            "bucket nesting deeper than two levels is unsupported"
+        )
+    if skind == "terms" and ("include" in sbody or "exclude" in sbody):
+        raise ValueError(
+            "terms include/exclude on a nested sub-bucket is not "
+            "applied by the flattened relation"
+        )
+    key = _bucket_key(skind, sbody)
+    return (
+        df.withColumn("__cell", F.explode(tags))
+        .filter(key.isNotNull())
+        .groupBy(F.col("__cell").alias(name), key.alias(sname))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(ssub))
+    )
 
 
 def _zero_on_empty(sub: dict) -> list[str]:
@@ -1552,13 +1597,11 @@ def _adjacency_matrix_agg(
         for b in keys[i + 1:]:
             cells[f"{a}{sep}{b}"] = preds[a] & preds[b]
     if sub:
-        if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
-            raise ValueError(
-                "adjacency_matrix sub-aggs must be metrics, not buckets"
-            )
         tags = F.array_compact(F.array(*[
             F.when(p, F.lit(label)) for label, p in cells.items()
         ]))
+        if any(next(iter(s)) in _BUCKET_KINDS for s in sub.values()):
+            return _tagged_nested_bucket(df, name, tags, sub)  # r12
         return (
             df.withColumn("__cell", F.explode(tags))
             .groupBy(F.col("__cell").alias(name))

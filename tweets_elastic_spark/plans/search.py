@@ -632,17 +632,20 @@ class Intervals(Query):
       additionally requires the terms at strictly increasing positions in
       query order (Lucene's non-overlapping ordered-interval rule).
     * ``any_of``: OR over sub-rules.
-    * ``all_of`` (r8, documented subset): ORDERED composition of
-      CONTIGUOUS children — each child a ``match`` that is a single term
-      or carries ``max_gaps: 0`` (a phrase). One occurrence per child,
-      strictly after the previous child's end, with the composed
-      interval's gaps — span width minus the children's combined width,
-      Lucene's ``gaps()`` — bounded by ``max_gaps``. This is the
-      multi-phrase proximity query ("'vector merge' … then 'order',
-      near"). Unordered all_of and gappy children raise loudly: their
-      interval-algebra enumeration (choose one variable-width interval
-      per child, any order, non-overlapping) has no bounded scan-local
-      form here.
+    * ``all_of`` (r8, documented subset): composition of CONTIGUOUS
+      children — each child a ``match`` that is a single term or
+      carries ``max_gaps: 0`` (a phrase). One occurrence per child,
+      non-overlapping, with the composed interval's gaps — span width
+      minus the children's combined width, Lucene's ``gaps()`` —
+      bounded by ``max_gaps``. ``ordered: true`` requires each child
+      strictly after the previous child's end; UNORDERED (r12, formerly
+      a loud refusal) is exact for <= 4 children by ORing the ordered
+      chain over every child permutation (ES's all_of intervals must
+      not overlap, so any valid assignment sorts into some
+      permutation). This is the multi-phrase proximity query ("'vector
+      merge' … then 'order', near"). Gappy (variable-width) children
+      still raise loudly: their minimal-interval enumeration has no
+      bounded scan-local form here.
 
     Evaluation is scan-local HOFs over per-term position arrays — no
     shuffle, no UDF — reusing the bind-once discipline of the sloppy
@@ -731,10 +734,11 @@ class Intervals(Query):
                 raise ValueError(
                     "intervals all_of needs {'intervals': [rule, ...]}"
                 )
-            if not body.get("ordered"):
+            if not body.get("ordered") and len(subs) > 4:
                 raise ValueError(
-                    "all_of supports ordered: true only (unordered "
-                    "variable-width interval composition is out of scope)"
+                    "unordered all_of supports at most 4 children (the "
+                    "exact evaluation ORs the ordered chain over child "
+                    "permutations — 4! = 24 is the expression-size cap)"
                 )
             if int(body.get("max_gaps", -1)) < -1:
                 raise ValueError("intervals max_gaps must be >= -1")
@@ -935,27 +939,56 @@ class Intervals(Query):
             for i, (k, p) in enumerate(children)
         ])
 
+        # unordered (r12, formerly a loud refusal): ES all_of intervals
+        # must not overlap, so a valid any-order assignment exists iff
+        # SOME permutation chains in order — OR the ordered chain over
+        # every child permutation (validated <= 4 children = 24 chains,
+        # all reading the same bound starts struct). Exactness: sort any
+        # valid assignment by start to get its permutation; the greedy
+        # earliest-next chain anchored at that assignment's first start
+        # ends no later, so its gap count can only be smaller.
+        import itertools
+
+        perms = (
+            [tuple(range(len(children)))] if body.get("ordered")
+            else list(itertools.permutations(range(len(children))))
+        )
+
         def sweep(ss: Column) -> Column:
-            first = ss["c0"]
+            def make_chain_ok(perm):
+                # factory, NOT a default arg: HOF lambdas are
+                # arity-dispatched, so a second parameter would receive
+                # the element index
+                def chain_ok(a: Column) -> Column:
+                    end = a + F.lit(widths[perm[0]] - 1)
+                    for i in perm[1:]:
+                        prev_end = end
+                        s_i = F.array_min(
+                            F.filter(ss[f"c{i}"], lambda x: x > prev_end)
+                        )
+                        end = s_i + F.lit(widths[i] - 1)
 
-            def chain_ok(a: Column) -> Column:
-                end = a + F.lit(widths[0] - 1)
-                for i in range(1, len(children)):
-                    prev_end = end
-                    s_i = F.array_min(
-                        F.filter(ss[f"c{i}"], lambda x: x > prev_end)
-                    )
-                    end = s_i + F.lit(widths[i] - 1)
+                    def fin(e: Column) -> Column:
+                        ok = e.isNotNull()
+                        if max_gaps >= 0:
+                            ok = ok & (e - a + 1 - total_w <= max_gaps)
+                        return ok
 
-                def fin(e: Column) -> Column:
-                    ok = e.isNotNull()
-                    if max_gaps >= 0:
-                        ok = ok & (e - a + 1 - total_w <= max_gaps)
-                    return ok
+                    return F.element_at(F.transform(F.array(end), fin), 1)
 
-                return F.element_at(F.transform(F.array(end), fin), 1)
+                return chain_ok
 
-            return F.coalesce(F.exists(first, chain_ok), F.lit(False))
+            conds = []
+            for perm in perms:
+                first = ss[f"c{perm[0]}"]
+                conds.append(
+                    F.coalesce(F.exists(first, make_chain_ok(perm)),
+                               F.lit(False))
+                )
+            out = conds[0]
+            for c in conds[1:]:
+                out = out | c
+            return out
 
         return F.element_at(F.transform(F.array(starts_struct), sweep), 1)
 

@@ -617,6 +617,62 @@ def q_search_intervals_all_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_intervals_all_of_unordered",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang,
+          list_filter(list_transform(range(0, greatest(len(t)-1, 0)),
+              s -> CASE WHEN t[s+1] = 'vector' AND t[s+2] = 'merge'
+                   THEN s ELSE -1 END), p -> p >= 0) AS s1,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'order'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS s2
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(s1, a ->
+        list_min(list_filter(s2, x -> x > a + 1)) IS NOT NULL
+        AND list_min(list_filter(s2, x -> x > a + 1)) - a + 1 - 3 <= 5
+    )) > 0
+    OR len(list_filter(s2, b ->
+        list_min(list_filter(s1, x -> x > b)) IS NOT NULL
+        AND list_min(list_filter(s1, x -> x > b)) + 1 - b + 1 - 3 <= 5
+    )) > 0
+    """,
+    doc="ES intervals all_of UNORDERED (r12, formerly a loud refusal): "
+        "the phrase 'vector merge' and the term 'order' in EITHER "
+        "order, non-overlapping, with at most 5 uncovered positions in "
+        "the composed span. Exact evaluation ORs the ordered greedy "
+        "chain over both child permutations (ES all_of intervals must "
+        "not overlap, so any valid assignment sorts into some "
+        "permutation); the oracle replays both chains on the same "
+        "start arrays. Superset of the ordered row by construction.",
+)
+def q_search_intervals_all_of_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(
+        {"query": {"intervals": {"text": {"all_of": {
+            "max_gaps": 5,
+            "intervals": [
+                {"match": {"query": "vector merge", "max_gaps": 0}},
+                {"match": {"query": "order"}},
+            ],
+        }}}}},
+        analyzers={"text": "standard"},
+    )
+    return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
     "es_aggs_date_histogram",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,
@@ -5032,6 +5088,63 @@ def q_es_aggs_ip_range_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggs": {"total": {"sum": {"field": "value"}}},
     }})
     return out.filter(F.col("by_ip").isNotNull())
+
+
+@register(
+    "es_aggs_adjacency_nested_terms",
+    oracle="""
+    WITH f AS (
+        SELECT event_type, value,
+               value >= 60 AS big,
+               user_id < 60 AS busy,
+               event_type IN ('click', 'purchase') AS clicky
+        FROM events
+    ),
+    cells AS (
+        SELECT 'big' AS by_adj, event_type, value FROM f WHERE big
+        UNION ALL SELECT 'busy', event_type, value FROM f WHERE busy
+        UNION ALL SELECT 'clicky', event_type, value FROM f WHERE clicky
+        UNION ALL SELECT 'big&busy', event_type, value FROM f
+            WHERE big AND busy
+        UNION ALL SELECT 'big&clicky', event_type, value FROM f
+            WHERE big AND clicky
+        UNION ALL SELECT 'busy&clicky', event_type, value FROM f
+            WHERE busy AND clicky
+    )
+    SELECT by_adj, event_type AS types,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value), 6) AS avg_val
+    FROM cells WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="ES adjacency_matrix with a nested BUCKET sub-agg (r12, "
+        "formerly a 'must be metrics' refusal): each row explodes on "
+        "the cells it matches — singles plus sorted-name '&' pair "
+        "intersections — and ONE (cell, inner-key) groupBy evaluates "
+        "the inner terms bucket with its avg metric: the flattened "
+        "two-level leaf relation, same shape as the generic "
+        "terms-under-terms path (plans/aggs.py _tagged_nested_bucket, "
+        "shared with the filters agg). Scan-local tagging; the only "
+        "shuffle is the final two-key hash aggregation.",
+)
+def q_es_aggs_adjacency_nested_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = es_aggregate(events, {"by_adj": {
+        "adjacency_matrix": {"filters": {
+            "big": {"range": {"value": {"gte": 60}}},
+            "busy": {"range": {"user_id": {"lt": 60}}},
+            "clicky": {"terms": {"event_type": ["click", "purchase"]}},
+        }},
+        "aggs": {"types": {
+            "terms": {"field": "event_type"},
+            "aggs": {"avg_val": {"avg": {"field": "value"}}},
+        }},
+    }})
+    return out.withColumn("avg_val", F.round("avg_val", 6))
 
 
 @register(

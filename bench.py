@@ -262,6 +262,8 @@ HEADLINE = [
     "es_aggs_adjacency_nested_terms",
     # r12: unordered all_of (permutation-OR positional chains, scan-local)
     "search_intervals_all_of_unordered",
+    # r12: sample per-stage keys (candidate-key fan-out + one groupBy)
+    "eql_sample_by_stage",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

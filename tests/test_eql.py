@@ -1017,12 +1017,23 @@ def test_sample_parse():
         parse_eql("sample by u [a where true] until [b where true]")
     with pytest.raises(ValueError, match="neither `until`"):
         parse_eql("sample by u [a where true] with runs=2 [b where true]")
-    with pytest.raises(ValueError, match="neither `until`"):
-        parse_eql("sample by u [a where true] by v [b where true] by v")
     with pytest.raises(ValueError, match="sample head"):
         parse_eql("sample by [a where true] [b where true]")
     # an event CATEGORY named "sample" is still an event query
     assert parse_eql("sample where value > 1").kind == "event"
+    # per-stage by (r12): valid on every stage, headless or with a
+    # global key; partial / colliding / keyless forms refuse
+    q2 = parse_eql("sample [a where true] by u [b where true] by v")
+    assert q2.kind == "sample" and q2.by == []
+    assert [s.by for s in q2.stages] == [["u"], ["v"]]
+    q3 = parse_eql("sample by g [a where true] by u [b where true] by v")
+    assert q3.by == ["g"] and [s.by for s in q3.stages] == [["u"], ["v"]]
+    with pytest.raises(ValueError, match="EVERY stage"):
+        parse_eql("sample by g [a where true] by u [b where true]")
+    with pytest.raises(ValueError, match="collides"):
+        parse_eql("sample by u [a where true] by u [b where true] by u")
+    with pytest.raises(ValueError, match="needs a join key"):
+        parse_eql("sample [a where true] [b where true]")
 
 
 def test_sample_semantics(spark):
@@ -1052,6 +1063,42 @@ def test_sample_event_may_serve_two_stages(spark):
     got = [(r["user_id"], r["id1"], r["id2"])
            for r in eql_search(_df(spark, rows), q).collect()]
     assert got == [(7, 1, 1)]
+
+
+def test_sample_per_stage_by_semantics(spark):
+    """r12: each stage keys on its own field; values agree as string
+    renderings; an event matching SEVERAL stages with DIFFERENT key
+    values fans out and may serve each key independently."""
+    q = """sample
+      [ any where value > 10 ] by user_id
+      [ b where true ] by event_id"""
+    rows = [
+        # event 7: any-stage key user_id=7; event with event_id=7 and
+        # category b closes the pair under key "7"
+        (1, 0.0, 7, "a", 50.0),
+        (7, 1.0, 99, "b", 0.0),
+        # key "3": a b-event with value>10 matches BOTH stages — stage 1
+        # contributes key user_id=3, stage 2 key event_id=3: the row
+        # fans out to two candidate keys; only "3"=="3" pairs when both
+        # stages agree via the same event (event_id=3, user_id=3)
+        (3, 2.0, 3, "b", 60.0),
+        # no partner under key "42": stage-1-only
+        (5, 3.0, 42, "a", 90.0),
+    ]
+    got = sorted(
+        (list(r["skey"]), r["id1"], r["id2"])
+        for r in eql_search(_df(spark, rows), q).collect()
+    )
+    assert got == [(["3"], 3, 3), (["7"], 1, 7)]
+    # NULL per-stage key drops that stage's contribution
+    q2 = """sample
+      [ a where true ] by user_id
+      [ b where true ] by user_id"""
+    rows2 = [(1, 0.0, None, "a", 0.0), (2, 1.0, 5, "b", 0.0),
+             (3, 2.0, 5, "a", 0.0)]
+    got2 = [(list(r["skey"]), r["id1"], r["id2"])
+            for r in eql_search(_df(spark, rows2), q2).collect()]
+    assert got2 == [(["5"], 3, 2)]
 
 
 def test_sample_plan_no_python_one_exchange(spark):

@@ -8,14 +8,17 @@ Supported subset
 ----------------
 * simple event queries: ``<category> where <condition>`` — a filtered scan
   ordered by (timestamp, tiebreaker), ES's EQL hit order.
-* sample queries (r12): ``sample by <field>[, ...]`` followed by >= 2
-  ``[ <category> where <condition> ]`` stages — UN-ordered per-key
-  correlation (ES 8.6 ``sample``): one event per stage joined on the
-  ``by`` key, no chronology, no maxspan. Divergence (documented at the
-  compile site): ES caps output at ``size`` samples and picks per-stage
-  events heuristically; this engine emits every qualifying key with the
-  smallest-id event per stage, keeping results hash-oracle-checkable.
-  Pipes / ``until`` / ``with runs`` / per-stage ``by`` refuse loudly.
+* sample queries (r12): ``sample [by <field>[, ...]]`` followed by >= 2
+  ``[ <category> where <condition> ] [by <field>[, ...]]`` stages —
+  UN-ordered per-key correlation (ES 8.6 ``sample``): one event per
+  stage joined on the global ``by`` key and/or PER-STAGE keys (each
+  stage's own field, values equal across stages, compared as string
+  renderings — the sequence convention), no chronology, no maxspan.
+  Divergence (documented at the compile site): ES caps output at
+  ``size`` samples and picks per-stage events heuristically; this
+  engine emits every qualifying key with the smallest-id event per
+  stage, keeping results hash-oracle-checkable. Pipes / ``until`` /
+  ``with runs`` refuse loudly.
 * pipes ``head/tail/count/unique`` on BOTH query kinds: over hits for
   event queries, over sequence MATCHES in last-event hit order (ES
   orders sequence results by their final event's timestamp; ties break
@@ -598,11 +601,13 @@ def parse_eql(query: str) -> EqlQuery:
     main, *pipe_srcs = _split_unquoted(q, "|")
     main = main.strip()
     pipes = _parse_pipes(pipe_srcs)
-    if re.match(r"^sample\s+by\b", main, flags=re.IGNORECASE):
+    if re.match(r"^sample\b", main, flags=re.IGNORECASE) and \
+            "[" in _quote_mask(main):
         # EQL sample (r12): un-ordered per-key correlation — one event
-        # per stage joined on the `by` key, NO chronology, NO maxspan.
-        # `sample where ...` (an event category named "sample") does not
-        # reach here: it lacks the `by` keyword.
+        # per stage joined on the `by` key (global `sample by ...`
+        # and/or per-stage `[stage] by field`, ES 8.6 grammar), NO
+        # chronology, NO maxspan. `sample where ...` (an event category
+        # named "sample") does not reach here: it has no [ ... ] stage.
         if pipes:
             raise ValueError(
                 "EQL sample results have no hit order (samples are "
@@ -611,39 +616,101 @@ def parse_eql(query: str) -> EqlQuery:
             )
         q_mask = _quote_mask(main)
         bracket_at = q_mask.find("[")
-        if bracket_at == -1:
-            raise ValueError("EQL sample needs at least two [ ... ] stages")
         head, rest = main[:bracket_at], main[bracket_at:]
-        m = re.match(r"^sample\s+by\s+(.+?)\s*$", head, flags=re.IGNORECASE)
+        m = re.match(r"^sample(?:\s+by\s+(.+?))?\s*$", head,
+                     flags=re.IGNORECASE)
         if not m:
             raise ValueError(
                 f"unsupported EQL sample head {head.strip()!r} "
-                "(expected: sample by <field>[, <field>...])"
+                "(expected: sample [by <field>[, <field>...]])"
             )
-        by = [f.strip() for f in m.group(1).split(",")]
+        by = ([f.strip() for f in m.group(1).split(",")]
+              if m.group(1) else [])
         for f in by:
             if not _IDENT_RE.match(f):
                 raise ValueError(f"bad EQL join-key field {f!r}")
         stages: list[StageFilter] = []
         rest_mask = _quote_mask(rest)
-        for t in re.finditer(
+        toks = [t for t in re.finditer(
             r"\[\s*(\S+)\s+where\s+([^\]]*)\]|(\S+)",
             rest_mask, flags=re.IGNORECASE,
-        ):
-            if t.group(3) is not None:
-                word = rest[t.start(3):t.end(3)]
+        )]
+        filtered, pos = [], 0
+        for t in toks:
+            if t.start() >= pos:
+                filtered.append(t)
+                pos = t.end()
+        toks = filtered
+        last_sf: StageFilter | None = None
+        ti = 0
+        while ti < len(toks):
+            tok = toks[ti]
+            ti += 1
+            if tok.group(3) is not None:
+                word = rest[tok.start(3):tok.end(3)]
+                if word.lower() == "by" and last_sf is not None:
+                    # per-stage join keys (r12): `[ stage ] by f1, f2`,
+                    # same consumption loop as the sequence parser
+                    fields: list[str] = []
+                    more = True
+                    while more:
+                        if ti >= len(toks) or toks[ti].group(3) is None:
+                            raise ValueError(
+                                "EQL per-stage `by` needs field names"
+                            )
+                        w = rest[toks[ti].start(3):toks[ti].end(3)]
+                        ti += 1
+                        more = w.endswith(",")
+                        for part in w.split(","):
+                            if not part:
+                                continue
+                            if not _IDENT_RE.match(part):
+                                raise ValueError(
+                                    f"bad EQL per-stage by field {part!r}"
+                                )
+                            fields.append(part)
+                        if not more and ti < len(toks) \
+                                and toks[ti].group(3) is not None:
+                            nxt = rest[toks[ti].start(3):toks[ti].end(3)]
+                            if nxt == ",":
+                                ti += 1
+                                more = True
+                    last_sf.by = fields
+                    continue
                 raise ValueError(
-                    "EQL sample supports neither `until`, `with runs`, "
-                    f"nor per-stage `by` — unexpected {word!r} (samples "
-                    "are unordered, so run/termination semantics don't "
-                    "apply; use a global `sample by` key)"
+                    "EQL sample supports neither `until` nor `with "
+                    f"runs` — unexpected {word!r} (samples are "
+                    "unordered, so run/termination semantics don't "
+                    "apply)"
                 )
-            stages.append(StageFilter(
-                rest[t.start(1):t.end(1)],
-                _parse_condition(rest[t.start(2):t.end(2)].strip()),
-            ))
+            sf = StageFilter(
+                rest[tok.start(1):tok.end(1)],
+                _parse_condition(rest[tok.start(2):tok.end(2)].strip()),
+            )
+            stages.append(sf)
+            last_sf = sf
         if len(stages) < 2:
             raise ValueError("EQL sample needs >= 2 stages")
+        with_by = [s for s in stages if s.by is not None]
+        if with_by:
+            arity = len(with_by[0].by)
+            if len(with_by) != len(stages) or any(
+                    len(s.by) != arity for s in stages):
+                raise ValueError(
+                    "per-stage `by` must appear on EVERY stage with the "
+                    "same field count (ES's sample join contract)"
+                )
+            for nm in stages[0].by:
+                if nm in by:
+                    raise ValueError(
+                        f"per-stage by field {nm!r} collides with a "
+                        "global by field (output columns would clash)"
+                    )
+        if not by and not with_by:
+            raise ValueError(
+                "EQL sample needs a join key: global `sample by` and/or "
+                "per-stage `[stage] by`"
+            )
         return EqlQuery("sample", stages, by=by)
     if not main.lower().startswith("sequence"):
         # simple event query: `<category> where <cond> [| pipe ...]`
@@ -1023,14 +1090,55 @@ def eql_search(
         ev = df.filter(any_stage)
         for kf in eq.by:
             ev = ev.filter(F.col(kf).isNotNull())
-        ev = ev.select(
-            *[F.col(kf) for kf in eq.by],
-            *[F.when(p, F.col(id_field).cast("bigint")).alias(f"__e{j}")
-              for j, p in enumerate(preds)],
-        )
-        grouped = ev.groupBy(*eq.by).agg(
-            *[F.min(f"__e{j}").alias(f"id{j + 1}") for j in range(L)]
-        )
+        if eq.stages[0].by is not None:
+            # per-stage join keys (r12): each stage keys on its OWN
+            # field(s) and the values must agree. Same convention as
+            # sequences: keys compare as STRING renderings
+            # (array<string>, output column `skey`); NULL key values
+            # drop the stage match. Events fan out once per DISTINCT
+            # candidate key (<= L copies, in practice 1), then the SAME
+            # single conditional-min groupBy runs per (global keys,
+            # skey) — still one shuffle, no ordering, no state.
+            by_lists = [s.by for s in eq.stages]
+
+            def skey(fields: list) -> Column:
+                return F.array(*[F.col(f).cast("string")
+                                 for f in fields])
+
+            def svalid(fields: list) -> Column:
+                v = F.lit(True)
+                for f in fields:
+                    v = v & F.col(f).isNotNull()
+                return v
+
+            ev = ev.select(
+                *[F.col(kf) for kf in eq.by],
+                F.col(id_field).cast("bigint").alias("__eid"),
+                *[F.when(p & svalid(fl), skey(fl)).alias(f"__s{j}")
+                  for j, (p, fl) in enumerate(zip(preds, by_lists))],
+            )
+            cand = F.array_distinct(F.filter(
+                F.array(*[F.col(f"__s{j}") for j in range(L)]),
+                lambda x: x.isNotNull(),
+            ))
+            ev = ev.select("*", F.explode(cand).alias("skey"))
+            grouped = ev.groupBy(*eq.by, "skey").agg(*[
+                F.min(F.when(
+                    F.col(f"__s{j}").isNotNull()
+                    & (F.col(f"__s{j}") == F.col("skey")),
+                    F.col("__eid"),
+                )).alias(f"id{j + 1}")
+                for j in range(L)
+            ])
+        else:
+            ev = ev.select(
+                *[F.col(kf) for kf in eq.by],
+                *[F.when(p, F.col(id_field).cast("bigint"))
+                  .alias(f"__e{j}") for j, p in enumerate(preds)],
+            )
+            grouped = ev.groupBy(*eq.by).agg(
+                *[F.min(f"__e{j}").alias(f"id{j + 1}") for j in range(L)]
+            )
         keep = F.col("id1").isNotNull()
         for j in range(1, L):
             keep = keep & F.col(f"id{j + 1}").isNotNull()

@@ -905,6 +905,61 @@ def q_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eql_sample_by_stage",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN event_type = 'view' AND value > 100
+                    THEN CAST(user_id AS VARCHAR)
+                    WHEN event_type = 'error'
+                    THEN CAST(CAST(floor(value % 50) AS BIGINT) AS VARCHAR)
+               END AS skey,
+               event_type, value, event_id
+        FROM events
+        WHERE value IS NOT NULL
+    )
+    SELECT skey,
+           min(CASE WHEN event_type = 'view' AND value > 100
+                    THEN event_id END) AS id1,
+           min(CASE WHEN event_type = 'error'
+                    THEN event_id END) AS id2
+    FROM keyed
+    WHERE skey IS NOT NULL
+    GROUP BY skey
+    HAVING min(CASE WHEN event_type = 'view' AND value > 100
+               THEN event_id END) IS NOT NULL
+       AND min(CASE WHEN event_type = 'error'
+               THEN event_id END) IS NOT NULL
+    """,
+    doc="EQL sample with PER-STAGE join keys (r12, plans/eql.py): "
+        "`sample [view where value > 100] by user_id [error where "
+        "true] by uid2` — each stage keys on its OWN field (uid2 "
+        "derived in-plan as floor(value %% 50)), values must agree, "
+        "compared as string renderings (the sequence convention). "
+        "Events fan out per DISTINCT candidate key (here exactly one — "
+        "categories are disjoint, so the oracle folds the key to a "
+        "CASE; overlapping-stage fan-out is pinned by hand-vector "
+        "pytests), then the SAME single conditional-min groupBy runs "
+        "per key — one shuffle, no ordering, no state. The output key "
+        "column is the array<string> rendering, projected to a plain "
+        "string here (arity 1; driver primitive-schema constraint).",
+)
+def q_eql_sample_by_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.eql import eql_search
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).withColumn("uid2", F.floor(F.col("value") % 50).cast("long"))
+    out = eql_search(events, """
+        sample
+          [ view where value > 100 ] by user_id
+          [ error where true ] by uid2
+    """)
+    return out.select(
+        F.array_join("skey", "\x1f").alias("skey"), "id1", "id2"
+    )
+
+
+@register(
     "rollup_search_month",
     oracle="""
     SELECT strftime(date_trunc('month', ts), '%Y-%m') AS bucket,

@@ -221,3 +221,67 @@ def test_lossless_guards():
     enc[i + 2 + 2 + 5 + 1 + 1] = 0x22
     with pytest.raises(NotImplementedError, match="subsampled"):
         decode_jpeg(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential process (SOF1, r12)
+# ---------------------------------------------------------------------------
+
+def test_12bit_constant_blocks_exact_and_bounded_error():
+    """12-bit DCT (formerly a loud refusal): constant 8x8 gray blocks at
+    quality=100 round-trip BIT-EXACTLY (DC-only, unit quant, 2048 level
+    shift); smooth/noisy data stays within conforming-decoder rounding
+    of the 0..4095 range; output dtype is uint16."""
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_12bit
+
+    rng = np.random.RandomState(61)
+    grays = rng.randint(0, 4096, (3, 4)).astype(np.uint16)
+    img = np.repeat(np.repeat(grays, 8, 0), 8, 1)
+    dec = decode_jpeg(encode_jpeg_12bit(img, quality=100))
+    assert dec.dtype == np.uint16
+    assert np.array_equal(dec, np.stack([img] * 3, axis=2))
+    noisy = rng.randint(0, 4096, (16, 16, 3)).astype(np.uint16)
+    dec2 = decode_jpeg(encode_jpeg_12bit(noisy, quality=100))
+    assert np.abs(dec2.astype(int) - noisy.astype(int)).max() <= 3
+    x = np.linspace(0, 2047, 32)
+    smooth = (x[None, :] + x[:, None]).astype(np.uint16)
+    dec3 = decode_jpeg(encode_jpeg_12bit(smooth, quality=90))
+    assert np.abs(dec3[:, :, 0].astype(int) - smooth.astype(int)).max() <= 8
+    assert jpeg_dimensions(encode_jpeg_12bit(smooth)) == (32, 32)
+
+
+def test_12bit_sixteen_bit_quant_tables_parse():
+    """DQT pq=1 (16-bit entries): rewrite the embedded 8-bit table to
+    its 16-bit encoding — decode must be IDENTICAL (same values, wider
+    storage)."""
+    import struct as _s
+
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_12bit
+
+    rng = np.random.RandomState(62)
+    img = np.repeat(np.repeat(
+        rng.randint(0, 4096, (2, 2)), 8, 0), 8, 1).astype(np.uint16)
+    enc = encode_jpeg_12bit(img, quality=100)
+    i = enc.find(b"\xFF\xDB")
+    body = enc[i + 4:i + 4 + 65]          # pq/tq byte + 64 entries
+    tq = body[0] & 0x0F
+    wide = bytes([(1 << 4) | tq]) + b"".join(
+        _s.pack(">H", v) for v in body[1:])
+    enc2 = enc[:i] + b"\xFF\xDB" + _s.pack(">H", 2 + len(wide)) + wide \
+        + enc[i + 4 + 65:]
+    assert np.array_equal(decode_jpeg(bytes(enc2)), decode_jpeg(enc))
+
+
+def test_12bit_guards():
+    from tweets_elastic_spark.functions.jpeg import encode_jpeg_12bit
+
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg_12bit(np.full((8, 8), 5000, dtype=np.uint16))
+    with pytest.raises(ValueError, match="expects"):
+        encode_jpeg_12bit(np.zeros((8, 8, 4), dtype=np.uint16))
+    # SOF0 stays 8-bit by spec: flip the 12-bit stream's SOF1 to SOF0
+    enc = bytearray(encode_jpeg_12bit(np.zeros((8, 8), dtype=np.uint16)))
+    i = enc.find(b"\xFF\xC1")
+    enc[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="8-bit by spec"):
+        decode_jpeg(bytes(enc))

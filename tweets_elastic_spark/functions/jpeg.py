@@ -12,8 +12,10 @@ correction bits), decoded through the same coefficient store the
 baseline path fills in one scan — and, since r12, the LOSSLESS process
 (SOF3, Annex H): predictive coding with the seven spec predictors,
 2..16-bit precision, point transform, restart markers, decode ==
-encoder input bit-exactly. Arithmetic coding, 12-bit DCT modes and
-hierarchical mode raise ``NotImplementedError`` loudly.
+encoder input bit-exactly — and the 12-BIT extended sequential process
+(SOF1): 2048 level shift, 0..4095 clamp, 16-bit quant tables (DQT
+pq=1), extended magnitude categories, uint16 output. Arithmetic coding
+and hierarchical mode raise ``NotImplementedError`` loudly.
 
 The encoders exist so the decoder is testable without external
 libraries: round-trip tests (encode → decode ≈ original within
@@ -410,6 +412,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     comps: list[dict] = []
     w = h = 0
+    prec = 8
     restart_interval = 0
     any_scan = False
     progressive = False
@@ -430,21 +433,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         seg = payload[i + 2:i + ln]
         after = i + ln
         i = after
-        if marker == 0xFFDB:  # DQT
+        if marker == 0xFFDB:  # DQT (pq=1 = 16-bit entries, r12)
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(
-                    seg[j + 1:j + 65], dtype=np.uint8
-                ).astype(np.int64)
+                if pq == 0:
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[j + 1:j + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    j += 65
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[j + 1:j + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    j += 129
                 qts[tq] = tbl.reshape(8, 8)
-                j += 65
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF0/1/2
             prec, h, w = struct.unpack(">BHH", seg[:5])
-            if prec != 8:
+            if marker == 0xFFC0 and prec != 8:
+                raise NotImplementedError(
+                    f"baseline (SOF0) is 8-bit by spec, got {prec}"
+                )
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit samples")
             progressive = marker == 0xFFC2
             n = seg[5]
@@ -577,6 +588,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if not comps or not any_scan:
         raise ValueError("truncated JPEG: missing SOF or SOS")
 
+    mid = float(1 << (prec - 1))   # level shift: 128 (8-bit) / 2048 (12)
+    maxv = (1 << prec) - 1
     planes = {}
     for c in comps:
         blocks = store[c["id"]]
@@ -589,7 +602,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nat[ZIGZAG] = blocks[byy, bxx]
                 nat = nat.reshape(8, 8) * qt
                 plane[byy * 8:byy * 8 + 8, bxx * 8:bxx * 8 + 8] = \
-                    _C.T @ nat @ _C + 128.0
+                    _C.T @ nat @ _C + mid
         planes[c["id"]] = plane
 
     # upsample each component to full resolution and crop
@@ -599,29 +612,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    dtype = np.uint8 if prec == 8 else np.uint16
     if len(full) == 1:
-        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(full[0]), 0, maxv).astype(dtype)
         return np.stack([g, g, g], axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    y, cb, cr = full[0], full[1] - mid, full[2] - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(
-        np.round(np.stack([r, g, b], axis=2)), 0, 255
-    ).astype(np.uint8)
+        np.round(np.stack([r, g, b], axis=2)), 0, maxv
+    ).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
 
-def _encode_blocks(writer, plane, qt, dc_enc, ac_enc, pred):
+def _encode_blocks(writer, plane, qt, dc_enc, ac_enc, pred, mid=128.0):
     """FDCT + quantize + Huffman-encode every 8×8 block of a padded plane
-    row-major; returns the updated DC predictor."""
+    row-major; returns the updated DC predictor. ``mid`` is the level
+    shift (128 for 8-bit, 2048 for the r12 12-bit extended process)."""
     hh, ww = plane.shape
     for y0 in range(0, hh, 8):
         for x0 in range(0, ww, 8):
-            blk = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+            blk = plane[y0:y0 + 8, x0:x0 + 8] - mid
             coef = _C @ blk @ _C.T
             q = np.round(coef / qt).astype(np.int64)
             zz = q.reshape(-1)[ZIGZAG]
@@ -1275,6 +1290,87 @@ def encode_jpeg_lossless(
                     if size:
                         wtr.write(mag, size)
             unit += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential process (SOF1, r12 — formerly a loud refusal)
+# ---------------------------------------------------------------------------
+# T.81's extended DCT process at 12-bit precision: the same block
+# pipeline with a 2048 level shift, 0..4095 clamp, and Huffman tables
+# whose magnitude categories reach 15 (DC) / 14 (AC). The embedded
+# tables are FLAT canonical codes (all DC symbols at one length, all AC
+# symbols at another) — valid per C.2 with the all-ones code unused,
+# deliberately simple over optimal since these streams exist to pin the
+# decoder. Gray or RGB, 4:4:4 only.
+
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+_AC12_BITS = [0] * 16
+_AC12_BITS[8] = len(_AC12_VALS)  # 226 codes at length 9 (Kraft 226/512)
+_AC12_BITS_POS = 8  # index 8 = length 9
+
+
+def encode_jpeg_12bit(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W) or (H, W, 3) uint16 samples in 0..4095 → 12-bit extended
+    sequential (SOF1) JFIF bytes, 4:4:4. Tables are embedded; at
+    quality=100 the quant table is all-ones, so constant 8x8 blocks
+    round-trip BIT-EXACTLY (the oracle-row fixture contract, same as
+    8-bit)."""
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("encode_jpeg_12bit expects (H, W) or (H, W, 3)")
+    if int(pixels.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float64)
+    if gray:
+        planes = [px]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+        ]
+    lq = _scaled_qt(STD_LUMA_QT, quality)
+    padded = [_pad_to(p, 8, 8) for p in planes]
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) \
+        + bytes(int(x) for x in lq.reshape(-1)[ZIGZAG])
+    n = len(planes)
+    out += b"\xFF\xC1" + struct.pack(">HBHHB", 8 + 3 * n, 12, h, w, n)
+    for cid in range(n):
+        out += struct.pack(">BBB", cid + 1, 0x11, 0)
+    for tc, (bits, vals) in ((0, (_DC12_BITS, _DC12_VALS)),
+                             (1, (_AC12_BITS, _AC12_VALS))):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals), tc << 4) \
+            + bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * n, n)
+    for cid in range(n):
+        out += struct.pack(">BB", cid + 1, 0x00)
+    out += b"\x00\x3F\x00"
+
+    dc_enc = _huff_encode_table(_DC12_BITS, _DC12_VALS)
+    ac_enc = _huff_encode_table(_AC12_BITS, _AC12_VALS)
+    wtr = _BitWriter()
+    preds = [0] * n
+    mcux, mcuy = padded[0].shape[1] // 8, padded[0].shape[0] // 8
+    for my in range(mcuy):
+        for mx in range(mcux):
+            y0, x0 = my * 8, mx * 8
+            for ci, plane in enumerate(padded):
+                preds[ci] = _encode_blocks(
+                    wtr, plane[y0:y0 + 8, x0:x0 + 8], lq, dc_enc, ac_enc,
+                    preds[ci], mid=2048.0,
+                )
     wtr.flush()
     out += wtr.out
     out += b"\xFF\xD9"

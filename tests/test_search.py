@@ -2332,6 +2332,59 @@ def test_span_queries_translate_to_intervals(spark):
             analyzers=an)
 
 
+def test_span_not_semantics(spark):
+    """Lucene span_not (r12): include positions that do not overlap any
+    exclude position expanded by pre before / post after. Hand vectors
+    for every window edge + dist shorthand + refusals."""
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    an = {"text": "standard"}
+    df = spark.createDataFrame(
+        [(1, "quick fox"),            # no exclude at all → match
+         (2, "slow quick fox"),       # 'quick' 1 after 'slow' (pre=1) → cut
+         (3, "quick slow"),           # 'quick' 1 before 'slow' (post=1) → cut
+         (4, "quick x slow"),         # 2 before: outside post=1 → match
+         (5, "slow x quick"),         # 2 after: outside pre=1 → match
+         (6, "slow quick x x quick"), # second 'quick' survives → match
+         (7, "slow")],                # no include → no match
+        "id long, text string",
+    )
+
+    def ids(body):
+        q = from_es_json({"query": {"span_not": body}}, analyzers=an)
+        return sorted(r["id"] for r in search(df, q, k=None).collect())
+
+    base = {
+        "include": {"span_term": {"text": "quick"}},
+        "exclude": {"span_term": {"text": "slow"}},
+    }
+    assert ids({**base, "pre": 1, "post": 1}) == [1, 4, 5, 6]
+    # pre=post=0 = exact overlap only; distinct unit spans never overlap
+    assert ids({**base}) == [1, 2, 3, 4, 5, 6]
+    assert ids({**base, "dist": 2}) == [1, 6]   # dist = both directions
+    assert ids({**base, "post": 2}) == [1, 2, 5, 6]
+    # span_or include
+    assert ids({
+        "include": {"span_or": {"clauses": [
+            {"span_term": {"text": "quick"}},
+            {"span_term": {"text": "fox"}},
+        ]}},
+        "exclude": {"span_term": {"text": "slow"}},
+        "pre": 1, "post": 1,
+    }) == [1, 2, 4, 5, 6]  # doc 2's 'fox' is 2 past 'slow'
+    with pytest.raises(ValueError, match="dist OR pre/post"):
+        ids({**base, "dist": 1, "pre": 1})
+    with pytest.raises(ValueError, match=">= 0"):
+        ids({**base, "pre": -1})
+    with pytest.raises(ValueError, match="share one field"):
+        ids({"include": {"span_term": {"text": "a"}},
+             "exclude": {"span_term": {"lang": "b"}}})
+    with pytest.raises(ValueError, match="span_term/span_or"):
+        ids({"include": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}], "slop": 0}},
+            "exclude": {"span_term": {"text": "b"}}})
+
+
 def test_combined_fields_bm25f(spark):
     from tweets_elastic_spark.functions.analyzers import materialize_tokens
     from tweets_elastic_spark.plans.search import (

@@ -3135,7 +3135,113 @@ def from_es_json(
                         "max_gaps": slop, "ordered": False,
                     }}
             return compile_node({"intervals": {field: rule}}, scope)
-        if kind in ("span_not", "span_containing",
+        if kind == "span_not":
+            # Lucene span_not (r12, formerly a refusal): include spans
+            # that do not overlap any exclude span expanded by `pre`
+            # positions before and `dist`/`post` after. Unit-width
+            # include/exclude (span_term, or span_or of span_terms)
+            # reduce overlap to one window test per include position —
+            # scan-local HOFs on the analyzed token stream. Wider
+            # spans route to intervals, same policy as span_first.
+            extra = set(body) - {"include", "exclude", "pre", "post",
+                                 "dist"}
+            if extra:
+                raise ValueError(
+                    f"unsupported span_not keys: {sorted(extra)}"
+                )
+            if "dist" in body and ("pre" in body or "post" in body):
+                raise ValueError(
+                    "span_not takes dist OR pre/post, not both (ES)"
+                )
+            pre = int(body.get("pre", body.get("dist", 0)))
+            post = int(body.get("post", body.get("dist", 0)))
+            if pre < 0 or post < 0:
+                raise ValueError("span_not pre/post/dist must be >= 0")
+
+            def unit_terms(node: dict, role: str) -> tuple[str, list]:
+                (nk, nb), = node.items()
+                if nk == "span_term":
+                    (f, v), = nb.items()
+                    return f, [str(v["value"] if isinstance(v, dict)
+                                   else v)]
+                if nk == "span_or":
+                    pairs = [unit_terms(c, role) for c in nb["clauses"]]
+                    fields_ = {f for f, _ in pairs}
+                    if len(fields_) != 1:
+                        raise ValueError(
+                            f"span_not {role} clauses must share one "
+                            f"field, got {sorted(fields_)}"
+                        )
+                    return pairs[0][0], [v for _, vs in pairs for v in vs]
+                raise ValueError(
+                    f"span_not {role} must be span_term/span_or here "
+                    f"(got {nk!r}); richer spans via intervals"
+                )
+
+            inc_field, inc_vals = unit_terms(body["include"], "include")
+            exc_field, exc_vals = unit_terms(body["exclude"], "exclude")
+            if inc_field != exc_field:
+                raise ValueError(
+                    "span_not include/exclude must share one field "
+                    f"(got {inc_field!r} vs {exc_field!r})"
+                )
+            sn_analyzer = analyzers.get(inc_field)
+            sn_tok = tokens_cols.get(inc_field)  # optional, like Intervals
+            if sn_analyzer is None:
+                raise ValueError(
+                    f"span_not on {inc_field!r} needs an analyzer "
+                    "binding (positional semantics are over analyzed "
+                    "token sequences)"
+                )
+
+            class _SpanNot(Query):
+                def predicate(self, spark_, resolve) -> Column:
+                    def one_tok(v: str) -> str:
+                        toks_ = analyze_text(spark_, v, sn_analyzer)
+                        if len(toks_) != 1:
+                            raise ValueError(
+                                f"span_not term {v!r} analyzes to "
+                                f"{len(toks_)} tokens; span terms are "
+                                "single-token"
+                            )
+                        return toks_[0]
+
+                    inc = F.array(*[F.lit(one_tok(v)) for v in inc_vals])
+                    exc = F.array(*[F.lit(one_tok(v)) for v in exc_vals])
+                    ts = (resolve(sn_tok) if sn_tok is not None
+                          else analyze(resolve(inc_field), sn_analyzer))
+
+                    def pos_of(vals: Column) -> Column:
+                        return F.filter(
+                            F.transform(
+                                ts,
+                                lambda x, i: F.when(
+                                    F.array_contains(vals, x), i
+                                ).otherwise(-1),
+                            ),
+                            lambda p: p >= 0,
+                        )
+
+                    def check(st: Column) -> Column:
+                        ip, ep = st["i"], st["e"]
+                        return F.coalesce(
+                            F.exists(ip, lambda p: ~F.exists(
+                                ep,
+                                lambda q: (q >= p - F.lit(pre))
+                                & (q <= p + F.lit(post)),
+                            )),
+                            F.lit(False),
+                        )
+
+                    # bind both position arrays once (Catalyst no-CSE)
+                    st = F.struct(pos_of(inc).alias("i"),
+                                  pos_of(exc).alias("e"))
+                    return F.element_at(
+                        F.transform(F.array(st), check), 1
+                    )
+
+            return _SpanNot()
+        if kind in ("span_containing",
                     "span_within", "field_masking_span", "span_multi"):
             raise ValueError(
                 f"{kind} is not supported — use the intervals query "

@@ -673,6 +673,57 @@ def q_search_intervals_all_of_unordered(
 
 
 @register(
+    "search_span_not",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang,
+          list_filter(list_transform(t, (x,i) -> CASE
+              WHEN x IN ('spark', 'vector') THEN i-1 ELSE -1 END),
+              p -> p >= 0) AS ip,
+          list_filter(list_transform(t, (x,i) -> CASE
+              WHEN x = 'merge' THEN i-1 ELSE -1 END),
+              p -> p >= 0) AS ep
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(ip, p ->
+        len(list_filter(ep, q -> q >= p - 1 AND q <= p + 2)) = 0
+    )) > 0
+    """,
+    doc="Lucene span_not (r12, formerly a refusal): an occurrence of "
+        "'spark' or 'vector' (span_or include) that does NOT overlap "
+        "any 'merge' occurrence expanded by pre=1 position before and "
+        "post=2 after — Lucene's negative-proximity primitive ('X, but "
+        "not near Y'). Unit-width spans reduce overlap to one window "
+        "test per include position: two scan-local position arrays "
+        "bound once, one EXISTS/NOT-EXISTS HOF, no UDF. The oracle "
+        "replays the same window test with DuckDB nested lambdas.",
+)
+def q_search_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(
+        {"query": {"span_not": {
+            "include": {"span_or": {"clauses": [
+                {"span_term": {"text": "spark"}},
+                {"span_term": {"text": "vector"}},
+            ]}},
+            "exclude": {"span_term": {"text": "merge"}},
+            "pre": 1, "post": 2,
+        }}},
+        analyzers={"text": "standard"},
+    )
+    return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
     "es_aggs_date_histogram",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,

@@ -264,6 +264,8 @@ HEADLINE = [
     "search_intervals_all_of_unordered",
     # r12: sample per-stage keys (candidate-key fan-out + one groupBy)
     "eql_sample_by_stage",
+    # r12: span_not negative proximity (scan-local window HOF)
+    "search_span_not",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -329,6 +331,11 @@ SF1_HEADLINE = [
     # scan-shaped over documents; until/sample ride the events key shuffle
     "es_request_highlight_fragments", "essql_string_functions",
     "eql_sequence_until", "eql_sample",
+    # r12 second wave: IPv6 group parse/mask, adjacency tag-explode,
+    # per-stage sample fan-out (events); permutation intervals (documents)
+    "es_aggs_ip_prefix_v6", "es_aggs_ip_range_v6",
+    "es_aggs_adjacency_nested_terms", "eql_sample_by_stage",
+    "search_intervals_all_of_unordered",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -45,6 +45,11 @@ ROWS = [
     # r12 (the r11 verdict's stragglers + the new EQL sample kind)
     "es_request_highlight_fragments", "essql_string_functions",
     "eql_sequence_until", "eql_sample",
+    # r12 second wave (IPv6 aggs, adjacency nested bucket, per-stage
+    # sample, unordered intervals)
+    "es_aggs_ip_prefix_v6", "es_aggs_ip_range_v6",
+    "es_aggs_adjacency_nested_terms", "eql_sample_by_stage",
+    "search_intervals_all_of_unordered",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

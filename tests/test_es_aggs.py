@@ -389,7 +389,7 @@ def test_filters_agg_metric_sub_aggs_and_empty_buckets(spark, sales):
               "aggs": {"b": {"terms": {"field": "region"}}}}
     })
     assert {(r["w"], r["b"]) for r in got.collect()} == \
-        {("a", "eu"), ("a", "us")}
+        {("a", "eu"), ("a", "us"), ("a", "ap")}
 
 
 def test_stats_metric_expands_five_columns(spark, sales):

@@ -1621,6 +1621,13 @@ def _adjacency_matrix_agg(
 _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram",
                  "range", "ip_range", "ip_prefix", "categorize_text",
                  "geo_distance", "geotile_grid", "geohash_grid")
+#: kinds whose bucket key is a heavy expression tree — their ES
+#: null-contract filter moves AFTER the partial aggregation so the key
+#: evaluates once per row (see the keyed/groupBy site)
+_EXPENSIVE_KEY_KINDS = frozenset({
+    "ip_prefix", "ip_range", "categorize_text",
+    "geotile_grid", "geohash_grid", "geo_distance",
+})
 # every kind _metric_cols can evaluate — the metric-only fast-path test
 # for global/sampler sub-aggs (anything else must recurse)
 _METRIC_KINDS = (
@@ -3263,15 +3270,44 @@ def _es_aggregate_impl(
         sketch_mads.update(_pop_sketch_mads(sub_sub))
         metrics = metrics + _metric_cols(sub_sub)
 
+    # ES null contract: a document with no value for the bucket field
+    # (and no `missing` substitute) belongs to no bucket. For plain-
+    # column keys the isNotNull filter runs BEFORE the shuffle (parquet
+    # pushdown prunes row groups); for EXPRESSION-heavy keys (r12) the
+    # null bucket is dropped AFTER aggregation instead — semantically
+    # identical (null keys hash into one bucket that partial agg
+    # compacts to ~1 row per partition before the shuffle), but the key
+    # expression evaluates ONCE: Spark has no cross-operator CSE, so a
+    # pre-filter re-evaluates the whole key per row (measured 2x on the
+    # IPv6 ip_prefix parse+mask+render chain).
+    key_kinds = [kind] + ([sub_kind] if nested_bucket else [])
     keyed = df
-    for k, _ in keys:
-        # ES null contract: a document with no value for the bucket field
-        # (and no `missing` substitute) belongs to no bucket.
-        keyed = keyed.filter(k.isNotNull())
+    post_null: list[str] = []
+    for (k, n), kd in zip(keys, key_kinds):
+        if kd in _EXPENSIVE_KEY_KINDS:
+            post_null.append(n)
+        else:
+            keyed = keyed.filter(k.isNotNull())
+    # `__never` = max(NULL): an aggregate output that is always NULL at
+    # runtime but that the optimizer cannot constant-fold. Referencing
+    # it in the post-agg null drop stops Catalyst from pushing the
+    # filter below the Aggregate — a pushed filter substitutes the
+    # grouping EXPRESSION and re-evaluates the whole key per input row
+    # (a plain `doc_count IS NULL` disjunct gets eliminated first:
+    # count(1) is provably non-null). Costs one 4-byte always-null
+    # column per group in the shuffle.
+    fence = ([F.max(F.lit(None).cast("int")).alias("__never")]
+             if post_null else [])
     out = (
         keyed.groupBy(*[k.alias(n) for k, n in keys])
-        .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        .agg(F.count(F.lit(1)).alias("doc_count"), *metrics, *fence)
     )
+    for n in post_null:
+        out = out.filter(
+            F.col(n).isNotNull() | F.col("__never").isNotNull()
+        )
+    if post_null:
+        out = out.drop("__never")
     if sketch_mads:
         out = _sketch_mad_join(out, keyed, keys, sketch_mads)
     if kind == "terms" and (

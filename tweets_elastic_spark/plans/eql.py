@@ -112,7 +112,6 @@ _CIDR_RE = re.compile(
     r"(25[0-5]|2[0-4]\d|1?\d?\d)\.(25[0-5]|2[0-4]\d|1?\d?\d)/(\d|[12]\d|3[0-2])$"
 )
 _OCTET_RE = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
-_IPV6_GROUP_RE = "^[0-9a-fA-F]{1,4}$"
 
 
 def _valid_cidr(lit: str) -> bool:

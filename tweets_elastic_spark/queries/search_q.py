@@ -4142,7 +4142,7 @@ def q_es_aggs_ip_prefix_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "is_ipv6": True, "append_prefix_length": True},
         "aggs": {"total": {"sum": {"field": "value"}}},
     }})
-    return out.filter(F.col("by_prefix").isNotNull())
+    return out  # malformed rows already dropped (engine null contract)
 
 
 @register(
@@ -5138,7 +5138,7 @@ def q_es_aggs_ip_range_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]},
         "aggs": {"total": {"sum": {"field": "value"}}},
     }})
-    return out.filter(F.col("by_ip").isNotNull())
+    return out  # malformed rows already dropped (engine null contract)
 
 
 @register(

@@ -70,12 +70,22 @@ DRIVER_PRIORITY: list[str] = [
     # minhash_lsh_near_dups_portable (dedup keeps 3 slots + corpus_clean).
     # Schedule for the remaining backlog: COVERAGE.md "Rotation schedule".
     #
+    # r12 SECOND WAVE (7 out / 7 in — the round's NEW operators take
+    # their first driver rows immediately instead of joining the
+    # backlog). OUT (all long-green + still parity-gated):
+    # search_from_json_dsl, events_asof_join, es_aggs_composite,
+    # essql_date_parts, msearch_template_list, dedup_exact_survivors,
+    # image_near_dups_png. IN: search_span_not, eql_sample_by_stage,
+    # es_aggs_ip_prefix_v6, es_aggs_ip_range_v6,
+    # es_aggs_adjacency_nested_terms, search_intervals_all_of_unordered,
+    # image_near_dups_jpeg_lossless.
+    #
     # flagship + relational reference surface
     "tweet_documents_flat", "denorm_order_lineitems",
     "exists_child_hof",
     # search / scoring / full-text (r12 in: more_like_this's TF-IDF
     # term selection + match; knn request routing; geo-distance query)
-    "search_from_json_dsl", "search_more_like_this", "es_request_knn",
+    "search_span_not", "search_more_like_this", "es_request_knn",
     "search_geo_distance",
     # hits surface (r12 in: highlight FRAGMENT windows — r11 code with
     # zero driver rows)
@@ -94,18 +104,18 @@ DRIVER_PRIORITY: list[str] = [
     # search front-ends: BM25F fused-field scoring, the ES-SQL endpoint
     # (r12 in: essql_string_functions — the r11 string-scalar grammar,
     # zero driver rows until now), mustache LIST iteration
-    "search_combined_fields", "essql_date_parts", "essql_match_query",
-    "essql_string_functions", "msearch_template_list",
+    "search_combined_fields", "es_aggs_ip_range_v6", "essql_match_query",
+    "essql_string_functions", "es_aggs_adjacency_nested_terms",
     # windows + time series + sequence correlation (r12 in: per-stage
     # `by` cross-field join, `until` termination, and the new unordered
     # `sample` kind — all EQL code with zero driver rows)
-    "events_asof_join", "es_aggs_composite",
+    "eql_sample_by_stage", "es_aggs_ip_prefix_v6",
     "eql_sequence_disjunction", "eql_sequence_by_stage",
     "eql_sequence_until", "eql_sample",
     # text stats + curation quality gates
     "gopher_quality_filter", "c4_line_filter",
     # dedup families — the granularity ladder
-    "dedup_exact_survivors", "dedup_near_survivors",
+    "search_intervals_all_of_unordered", "dedup_near_survivors",
     "semdedup_survivors", "corpus_clean",
     # parent-join (r8 s4)
     "search_has_child",
@@ -118,7 +128,7 @@ DRIVER_PRIORITY: list[str] = [
     # baseline+PROGRESSIVE JPEG decode oracle, zero driver rows since
     # the r11 SOF2 decoder landed; video_frame_dups_fmp4 — the
     # fragmented moof/traf/trun walk, same)
-    "chunk_documents", "image_near_dups_png", "image_near_dups_jpeg",
+    "chunk_documents", "image_near_dups_jpeg_lossless", "image_near_dups_jpeg",
     "video_frame_dups", "video_frame_dups_fmp4",
 ]
 

@@ -269,6 +269,39 @@ def test_mp3_frame_walk_and_guards():
         mp3_frames(a[:-10])
 
 
+def test_mp3_layer_one_and_two_frames():
+    """Layers I and II (r12, formerly a loud refusal): Layer I uses
+    384 samples/frame and 4-byte slots (length = 4*(12*br/rate) +
+    4*padding), Layer II 1152 samples with the 144 multiplier and its
+    own MPEG-1 bitrate table. Mixed-layer archives parse frame by
+    frame."""
+    from tweets_elastic_spark.functions.mp3 import (
+        build_mp3, mp3_frames, mp3_metadata,
+    )
+
+    l1 = build_mp3(5, bitrate_kbps=192, sample_rate=48000, layer=1)
+    f = mp3_frames(l1)[0]
+    assert (f.layer, f.samples, f.length) == (1, 384, 192)
+    assert abs(mp3_metadata(l1).duration_s - 5 * 384 / 48000) < 1e-9
+    l2 = build_mp3(4, bitrate_kbps=160, sample_rate=44100, layer=2)
+    f2 = mp3_frames(l2)[0]
+    assert (f2.layer, f2.samples, f2.bitrate_kbps) == (2, 1152, 160)
+    assert f2.length == 144 * 160 * 1000 // 44100
+    # bitrate tables differ per layer: 56 kbps exists in the Layer II
+    # table but not Layer I's
+    with pytest.raises(ValueError):
+        build_mp3(1, bitrate_kbps=56, sample_rate=44100, layer=1)
+    assert mp3_frames(build_mp3(1, bitrate_kbps=56, sample_rate=44100,
+                                layer=2))[0].bitrate_kbps == 56
+    # reserved layer id still refuses
+    import struct as _s
+
+    h = (0x7FF << 21) | (0x3 << 19) | (0x0 << 17) | (0x1 << 16) \
+        | (0x5 << 12) | (0x0 << 10)
+    with pytest.raises(ValueError, match="reserved MPEG layer"):
+        mp3_frames(_s.pack(">I", h) + b"\x00" * 100)
+
+
 def test_mp4_sample_frames_real_access_units(spark):
     """sample_frames on an MP4 hashes the container's REAL frames (mdat
     byte ranges from the sample table), not arbitrary byte windows."""

@@ -8,10 +8,12 @@ and aggregates the stream's metadata. Decoding PCM SAMPLES genuinely
 needs a DCT synthesis filterbank (ffmpeg/libmad) and stays a loud
 ``NotImplementedError`` in functions/multimodal.py.
 
-Scope: MPEG-1/2/2.5 Layer III (what "MP3" means). Layer I/II and
-reserved version/layer/bitrate/samplerate codes raise loudly — a
-mis-synced walk silently producing garbage durations is the failure
-mode this module exists to prevent.
+Scope: MPEG-1/2/2.5 Layers I, II and III (r12 — Layer I/II were a
+loud refusal until their frame-size formulas landed; scraped "MP3"
+archives carry the occasional Layer II stream). Reserved
+version/layer/bitrate/samplerate codes raise loudly — a mis-synced
+walk silently producing garbage durations is the failure mode this
+module exists to prevent.
 
 ``build_mp3`` emits a valid constant-bitrate frame sequence (headers +
 zero payloads) — the deterministic test-fixture encoder sibling.
@@ -24,9 +26,17 @@ from dataclasses import dataclass
 
 __all__ = ["mp3_metadata", "mp3_frames", "build_mp3"]
 
-# bitrate kbps by index, Layer III: MPEG-1 vs MPEG-2/2.5
+# bitrate kbps by index per (version, layer) — ISO/IEC 11172-3 table
+# B.1 / 13818-3: MPEG-1 has a table per layer; MPEG-2/2.5 share one
+# for Layers II+III and have their own for Layer I
 _BITRATE_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
 _BITRATE_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_BITRATE_V1_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                  384, 416, 448]
+_BITRATE_V1_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                  320, 384]
+_BITRATE_V2_L1 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+                  224, 256]
 # sample rate Hz by index: MPEG-1; MPEG-2 halves, MPEG-2.5 quarters
 _RATE_V1 = [44100, 48000, 32000]
 
@@ -36,9 +46,10 @@ class Mp3Frame:
     offset: int
     length: int
     version: str        # '1', '2', '2.5'
+    layer: int          # 1 | 2 | 3
     sample_rate: int
     bitrate_kbps: int
-    samples: int        # samples per frame (1152 MPEG-1, 576 MPEG-2/2.5)
+    samples: int        # per frame: L1 384; L2 1152; L3 1152/576 (V1/V2+)
 
 
 def _id3v2_size(payload: bytes) -> int:
@@ -59,12 +70,9 @@ def _parse_header(payload: bytes, pos: int) -> Mp3Frame:
     layer_bits = (h >> 17) & 0x3
     if ver_bits == 1:
         raise ValueError(f"reserved MPEG version id at offset {pos}")
-    if layer_bits != 0x1:  # 01 = Layer III
-        raise NotImplementedError(
-            "only MPEG Layer III is supported (Layer "
-            f"{'reserved' if layer_bits == 0 else ['', 'III', 'II', 'I'][layer_bits]} "
-            f"frame at offset {pos})"
-        )
+    if layer_bits == 0:
+        raise ValueError(f"reserved MPEG layer id at offset {pos}")
+    layer = {0x1: 3, 0x2: 2, 0x3: 1}[layer_bits]
     version = {3: "1", 2: "2", 0: "2.5"}[ver_bits]
     bi = (h >> 12) & 0xF
     if bi in (0, 15):
@@ -75,17 +83,24 @@ def _parse_header(payload: bytes, pos: int) -> Mp3Frame:
     if ri == 3:
         raise ValueError(f"reserved sample-rate index at offset {pos}")
     padding = (h >> 9) & 0x1
-    if version == "1":
-        bitrate = _BITRATE_V1[bi]
-        rate = _RATE_V1[ri]
+    v1 = version == "1"
+    rate = _RATE_V1[ri] // (1 if v1 else (2 if version == "2" else 4))
+    bitrate = {
+        (True, 1): _BITRATE_V1_L1, (True, 2): _BITRATE_V1_L2,
+        (True, 3): _BITRATE_V1, (False, 1): _BITRATE_V2_L1,
+        (False, 2): _BITRATE_V2, (False, 3): _BITRATE_V2,
+    }[(v1, layer)][bi]
+    if layer == 1:
+        # slot = 4 bytes for Layer I; padding adds one SLOT
+        samples = 384
+        length = (12 * bitrate * 1000 // rate + padding) * 4
+    elif layer == 2:
         samples = 1152
         length = 144 * bitrate * 1000 // rate + padding
     else:
-        bitrate = _BITRATE_V2[bi]
-        rate = _RATE_V1[ri] // (2 if version == "2" else 4)
-        samples = 576
-        length = 72 * bitrate * 1000 // rate + padding
-    return Mp3Frame(pos, length, version, rate, bitrate, samples)
+        samples = 1152 if v1 else 576
+        length = (144 if v1 else 72) * bitrate * 1000 // rate + padding
+    return Mp3Frame(pos, length, version, layer, rate, bitrate, samples)
 
 
 def mp3_frames(payload: bytes) -> list[Mp3Frame]:
@@ -136,14 +151,21 @@ def mp3_metadata(payload: bytes) -> Mp3Metadata:
 
 
 def build_mp3(
-    n_frames: int, *, bitrate_kbps: int = 128, sample_rate: int = 44100
+    n_frames: int, *, bitrate_kbps: int = 128, sample_rate: int = 44100,
+    layer: int = 3,
 ) -> bytes:
-    """A valid constant-bitrate MPEG-1 Layer III frame sequence with
-    zeroed payloads — the deterministic fixture encoder for the parser."""
-    bi = _BITRATE_V1.index(bitrate_kbps)
+    """A valid constant-bitrate MPEG-1 frame sequence with zeroed
+    payloads — the deterministic fixture encoder for the parser.
+    ``layer`` selects I/II/III (r12); bitrate must be valid for it."""
+    table = {1: _BITRATE_V1_L1, 2: _BITRATE_V1_L2, 3: _BITRATE_V1}[layer]
+    bi = table.index(bitrate_kbps)
     ri = _RATE_V1.index(sample_rate)
-    h = (0x7FF << 21) | (0x3 << 19) | (0x1 << 17) | (0x1 << 16) \
+    layer_bits = {1: 0x3, 2: 0x2, 3: 0x1}[layer]
+    h = (0x7FF << 21) | (0x3 << 19) | (layer_bits << 17) | (0x1 << 16) \
         | (bi << 12) | (ri << 10)
-    length = 144 * bitrate_kbps * 1000 // sample_rate
+    if layer == 1:
+        length = (12 * bitrate_kbps * 1000 // sample_rate) * 4
+    else:
+        length = 144 * bitrate_kbps * 1000 // sample_rate
     frame = struct.pack(">I", h) + b"\x00" * (length - 4)
     return frame * n_frames

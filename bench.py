@@ -266,6 +266,9 @@ HEADLINE = [
     "eql_sample_by_stage",
     # r12: span_not negative proximity (scan-local window HOF)
     "search_span_not",
+    # r12: WARC/CommonCrawl ingestion (gzip members + framing + HTTP
+    # parse in mapInPandas; extracted fields only ever shuffle)
+    "warc_extract_text",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -551,3 +551,69 @@ def q_video_frame_dups_fmp4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
+
+
+@register(
+    "warc_extract_text",
+    oracle="""
+    SELECT 'https://example.com/' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END
+                AS INT) AS http_status,
+           CASE WHEN doc_id % 5 = 0 THEN 'text/plain'
+                ELSE 'text/html' END AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           text
+    FROM documents WHERE text IS NOT NULL
+    """,
+    doc="WARC ingestion (r12, sources/warc.py — the CommonCrawl first "
+        "stage of an LLM training-data pipeline): documents pack into "
+        "multi-record WARC archives in-plan (4 pages per archive, "
+        "warcinfo + response records, HTTP framing; every OTHER archive "
+        "uses CommonCrawl's per-record gzip-member layout, the rest "
+        "plain), then `warc_records` walks every archive scan-locally "
+        "in Arrow-batched mapInPandas and ships ONLY the extracted "
+        "fields — uri, status, mime, byte count, UTF-8 text — never "
+        "archive bytes. The oracle recomputes every field from the "
+        "same deterministic page formula, so a green row pins gzip "
+        "member splitting -> WARC framing -> header parse -> HTTP "
+        "status/header/body split -> UTF-8 decode end-to-end. At "
+        "100 TB: one narrow projection per archive split; the grouping "
+        "shuffle here belongs to the FIXTURE construction, not the "
+        "operator.",
+)
+def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.sources.warc import build_warc, warc_records
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("slot"),
+        F.expr("doc_id DIV 4").alias("gid"),
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        pages = [
+            (f"https://example.com/{int(d)}",
+             404 if int(d) % 11 == 0 else 200,
+             "text/plain" if int(d) % 5 == 0 else "text/html",
+             str(t))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        gid = int(key[0])
+        return pd.DataFrame({
+            "asset_id": [gid],
+            "payload": [bytearray(build_warc(
+                pages, gzip_members=(gid % 2 == 0)))],
+        })
+
+    archives = docs.groupBy("gid").applyInPandas(
+        build, "asset_id long, payload binary"
+    )
+    recs = warc_records(archives)
+    return recs.filter(F.col("warc_type") == "response").select(
+        "uri", "http_status", "mime", "n_bytes", "text"
+    )

@@ -78,7 +78,9 @@ DRIVER_PRIORITY: list[str] = [
     # image_near_dups_png. IN: search_span_not, eql_sample_by_stage,
     # es_aggs_ip_prefix_v6, es_aggs_ip_range_v6,
     # es_aggs_adjacency_nested_terms, search_intervals_all_of_unordered,
-    # image_near_dups_jpeg_lossless.
+    # image_near_dups_jpeg_lossless. Plus warc_extract_text (the new
+    # CommonCrawl ingestion stage) displacing rollup_search_month
+    # (green r10, parity-gated).
     #
     # flagship + relational reference surface
     "tweet_documents_flat", "denorm_order_lineitems",
@@ -96,7 +98,7 @@ DRIVER_PRIORITY: list[str] = [
     "es_terms_enum", "es_aggs_significant_gnd", "es_aggs_moving_percentiles",
     "es_aggs_top_hits", "es_aggs_percentiles", "es_aggs_pipeline",
     "es_aggs_top_metrics",
-    "es_aggs_frequent_item_sets", "rollup_search_month",
+    "es_aggs_frequent_item_sets", "warc_extract_text",
     "ingest_pipeline", "search_intervals_all_of",
     # suggesters (r12 in: term suggester's dictionary-bounded edit
     # ranking — first driver row for the suggest family)

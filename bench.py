@@ -339,6 +339,7 @@ SF1_HEADLINE = [
     "es_aggs_ip_prefix_v6", "es_aggs_ip_range_v6",
     "es_aggs_adjacency_nested_terms", "eql_sample_by_stage",
     "search_intervals_all_of_unordered", "search_span_not",
+    "warc_extract_text",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -50,6 +50,7 @@ ROWS = [
     "es_aggs_ip_prefix_v6", "es_aggs_ip_range_v6",
     "es_aggs_adjacency_nested_terms", "eql_sample_by_stage",
     "search_intervals_all_of_unordered", "search_span_not",
+    "warc_extract_text",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

@@ -97,3 +97,47 @@ def test_warc_records_operator(spark):
     # warcinfo rows carry NULL text and NULL status
     info = [r for r in by_asset[0] if r["warc_type"] == "warcinfo"][0]
     assert info["text"] is None and info["http_status"] is None
+
+
+def test_warc_records_streaming_matches_batch(spark, tmp_path):
+    """The ingestion stage works under Structured Streaming: archives
+    arrive as binary files (readStream binaryFile — the shape a
+    continuously-crawled bucket has), warc_records maps the stream, and
+    availableNow == batch row-for-row. mapInPandas is stateless, so no
+    watermark is involved."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "archives"
+    d.mkdir()
+    for aid in range(4):
+        pages = [(f"https://s.example/{aid}/{j}", 200, "text/html",
+                  f"stream body {aid}:{j}") for j in range(3)]
+        (d / f"{aid}.warc.gz").write_bytes(
+            build_warc(pages, gzip_members=(aid % 2 == 0)))
+
+    def extract(df):
+        assets = df.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.warc", 1)
+            .cast("long").alias("asset_id"),
+            F.col("content").alias("payload"),
+        )
+        return warc_records(assets).filter(
+            F.col("warc_type") == "response"
+        ).select("asset_id", "uri", "text")
+
+    bin_schema = ("path string, modificationTime timestamp, "
+                  "length long, content binary")
+    stream = extract(
+        spark.readStream.format("binaryFile").schema(bin_schema)
+        .load(str(d))
+    )
+    q = (stream.writeStream.format("memory").queryName("warc_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["asset_id"], r["uri"], r["text"])
+           for r in spark.sql("SELECT * FROM warc_stream").collect()}
+    batch = extract(
+        spark.read.format("binaryFile").load(str(d))
+    )
+    want = {(r["asset_id"], r["uri"], r["text"]) for r in batch.collect()}
+    assert got == want and len(got) == 12

@@ -269,6 +269,9 @@ HEADLINE = [
     # r12: WARC/CommonCrawl ingestion (gzip members + framing + HTTP
     # parse in mapInPandas; extracted fields only ever shuffle)
     "warc_extract_text",
+    # r12: URL gate + domain-blocklist anti-join (scan-riding rules +
+    # suffix-chain broadcast join)
+    "url_filter_survivors",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

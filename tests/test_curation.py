@@ -469,3 +469,45 @@ def test_c4_bad_words_page_gate(spark):
     assert got == [1, 3, 4]
     # default stays gate-off
     assert c4_line_filter(docs).count() == 4
+
+
+def test_url_quality_filter_rules(spark):
+    """r12 URL gating: each rule isolated on a hand vector."""
+    rows = [
+        (1, "https://ok.example.com/a/b"),            # clean -> keep
+        (2, "ftp://files.example.com/x"),             # scheme
+        (3, "https://10.1.2.3/x"),                    # IPv4 literal
+        (4, "https://ok.example.com:8080/x"),         # explicit port
+        (5, "https://ok.example.com" + "/d" * 9),     # depth 9 > 8
+        (6, "https://ok.example.com/go/CASINO/p"),    # fragment, any case
+        (7, "http://www.ok.example.com/x"),           # www. strips
+        (8, None),                                    # NULL drops
+        (9, "https://ok.example.com/x?" + "q" * 300), # query too long
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["host"] for r in C.url_quality_filter(
+        df, blocked_fragments=["casino"]).collect()}
+    assert got == {1: "ok.example.com", 7: "ok.example.com"}
+    # no fragment list -> the fragment row passes
+    assert 6 in {r["doc_id"]
+                 for r in C.url_quality_filter(df).collect()}
+
+
+def test_url_blocklist_filter_parent_domains(spark):
+    """The suffix-chain anti-join blocks exact AND parent-domain hits,
+    never substring false-positives ('notspam.com' survives
+    'spam.com')."""
+    df = spark.createDataFrame(
+        [(1, "spam.com"), (2, "a.b.spam.com"), (3, "notspam.com"),
+         (4, "good.org"), (5, "spam.com.evil.net")],
+        "doc_id long, host string",
+    )
+    bl = spark.createDataFrame([("spam.com",)], "domain string")
+    got = {r["doc_id"] for r in C.url_blocklist_filter(df, bl).collect()}
+    # 5's chain is spam.com.evil.net / com.evil.net / evil.net / net —
+    # 'spam.com' is a prefix, not a suffix chain entry -> survives
+    assert got == {3, 4, 5}
+    plan = (C.url_blocklist_filter(df, bl)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -584,3 +584,96 @@ def chunk_documents(
             F.size("_c").alias("n_tok"),
         )
     )
+
+
+def url_parts(url: Column) -> Column:
+    """URL → struct(scheme, host, path, query) — pure-regex split, no
+    UDF. Host lowercases and drops a leading ``www.``; missing pieces
+    come back as empty strings (the regexp_extract no-match value)."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)),
+        r"^www\.", "")
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    return F.struct(scheme.alias("scheme"), host.alias("host"),
+                    path.alias("path"), query.alias("query"))
+
+
+def url_quality_filter(
+    docs: DataFrame,
+    *,
+    url_col: str = "url",
+    blocked_fragments: list[str] | None = None,
+    max_path_depth: int = 8,
+    max_url_len: int = 2048,
+    max_query_len: int = 256,
+) -> DataFrame:
+    """URL-level page gating (the FIRST filter real crawl pipelines
+    apply — RefinedWeb §3.1 / C4 run URL rules before ever reading the
+    page body). Keeps rows whose URL passes ALL of:
+
+    * scheme is http/https;
+    * host is a hostname, not an IPv4 literal, and carries no explicit
+      port (crawl-trap heuristics);
+    * path depth (non-empty ``/`` segments) <= ``max_path_depth``,
+      total length <= ``max_url_len``, query string <= ``max_query_len``;
+    * the URL contains no ``blocked_fragments`` substring
+      (case-insensitive; the fragments fold into ONE alternation rlike
+      — a wired parameter like c4_line_filter's bad_words, no list is
+      shipped).
+
+    Adds the parsed ``host`` column for downstream grouping/blocklist
+    joins. Every rule is a scan-local expression — the gate rides the
+    scan, no shuffle, the cheapest possible 100 TB pass."""
+    import re as _re
+
+    u = F.col(url_col)
+    p = url_parts(u)
+    depth = F.size(F.filter(F.split(p["path"], "/"),
+                            lambda s: s != F.lit("")))
+    ok = (
+        u.isNotNull()
+        & p["scheme"].isin("http", "https")
+        & (p["host"] != F.lit(""))
+        & ~p["host"].rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+        & ~u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:\d")
+        & (depth <= max_path_depth)
+        & (F.length(u) <= max_url_len)
+        & (F.length(p["query"]) <= max_query_len)
+    )
+    if blocked_fragments:
+        pat = "(?i)(" + "|".join(
+            _re.escape(w) for w in blocked_fragments) + ")"
+        ok = ok & ~u.rlike(pat)
+    return docs.filter(ok).withColumn("host", url_parts(u)["host"])
+
+
+def url_blocklist_filter(
+    docs: DataFrame, blocklist: DataFrame, *,
+    host_col: str = "host", id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows whose host matches a blocklisted domain OR any parent
+    of it ('ads.x.spam.com' is blocked by 'spam.com'). Scale shape: the
+    host explodes into its <= ~6 domain-suffix chain entries
+    ('a.b.com' → a.b.com, b.com, com), one broadcast equi-join against
+    the (UT1-sized) blocklist collects the HIT IDS — 8-byte keys, never
+    the page payload — and one left_anti join on ``id_col`` removes
+    them. Never a string-suffix theta join (which would plan as a
+    nested loop). ``blocklist`` must carry a ``domain`` column."""
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    chain = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    hit_ids = (
+        docs.select(id_col, F.explode(chain).alias("__sfx"))
+        .join(F.broadcast(blocklist.select(
+            F.col("domain").alias("__sfx"))), "__sfx")
+        .select(id_col).distinct()
+    )
+    return docs.join(hit_ids, id_col, "left_anti")

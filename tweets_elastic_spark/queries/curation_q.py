@@ -927,3 +927,99 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words",
                 F.round("_mwl", 6).alias("mean_word_len"), "stop_hits")
     )
+
+
+@register(
+    "url_filter_survivors",
+    # The synthetic URL mixes every failure mode: ftp scheme (%13),
+    # explicit port (%17), IPv4-literal host (%23), deep path (%11),
+    # 'casino' fragment (%19), and a blocklisted domain family —
+    # host subN.spamhub.com when doc_id%7==0, adsN.tracker.net when
+    # %29==0 (parent-domain matching) — else subN.siteM.com. The oracle
+    # replays every rule arithmetically; precedence: the earliest CASE
+    # branch wins, mirroring the Spark when-chain.
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 13 = 0 THEN 'ftp'
+                 ELSE 'http' || CASE WHEN doc_id % 2 = 0 THEN 's'
+                                     ELSE '' END
+               END AS scheme,
+               CASE
+                 WHEN doc_id % 23 = 0 THEN '10.0.0.' ||
+                      CAST(doc_id % 250 AS VARCHAR)
+                 WHEN doc_id % 7 = 0 THEN 'sub' ||
+                      CAST(doc_id % 5 AS VARCHAR) || '.spamhub.com'
+                 WHEN doc_id % 29 = 0 THEN 'ads' ||
+                      CAST(doc_id % 5 AS VARCHAR) || '.tracker.net'
+                 ELSE 'sub' || CAST(doc_id % 5 AS VARCHAR) || '.site' ||
+                      CAST(doc_id % 97 AS VARCHAR) || '.com'
+               END AS host,
+               CASE WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END
+                 AS port,
+               CASE
+                 WHEN doc_id % 11 = 0 THEN repeat('/d', 10)
+                 WHEN doc_id % 19 = 0 THEN '/go/casino/page'
+                 ELSE '/p/' || CAST(doc_id AS VARCHAR)
+               END AS path
+        FROM documents
+    )
+    SELECT doc_id,
+           scheme || '://' || host || port || path AS url,
+           host
+    FROM u
+    WHERE scheme IN ('http', 'https')
+      AND NOT regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$')
+      AND port = ''
+      AND len(list_filter(string_split(path, '/'), s -> s <> '')) <= 8
+      AND NOT regexp_matches(lower(scheme || '://' || host || port ||
+                                   path), 'casino')
+      AND NOT (host = 'spamhub.com' OR host LIKE '%.spamhub.com')
+      AND NOT (host = 'tracker.net' OR host LIKE '%.tracker.net')
+    """,
+    doc="URL-level page gating + domain blocklist (r12, "
+        "operators/curation.py url_quality_filter + "
+        "url_blocklist_filter — the FIRST filter real crawl pipelines "
+        "apply, RefinedWeb §3.1/C4 style): scheme/IPv4-literal/port/"
+        "path-depth/length/fragment rules ride the scan as pure "
+        "expressions, then the host's domain-suffix chain explodes "
+        "into <= ~6 entries and ONE broadcast equi-join against the "
+        "blocklist collects hit ids (8-byte keys; parent domains match "
+        "— 'sub0.spamhub.com' falls to 'spamhub.com') for a left_anti "
+        "removal. The oracle replays every rule including the "
+        "suffix-chain semantics via LIKE '%.domain'. At 100 TB: one "
+        "scan-riding gate + one broadcast anti-join, the cheapest "
+        "possible corpus entry gate.",
+)
+def q_url_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    did = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(did % 13 == 0, F.lit("ftp"))
+            .when(did % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+            F.lit("://"),
+            F.when(did % 23 == 0,
+                   F.format_string("10.0.0.%d", did % 250))
+            .when(did % 7 == 0,
+                  F.format_string("sub%d.spamhub.com", did % 5))
+            .when(did % 29 == 0,
+                  F.format_string("ads%d.tracker.net", did % 5))
+            .otherwise(F.format_string("sub%d.site%d.com",
+                                       did % 5, did % 97)),
+            F.when(did % 17 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.expr("repeat('/d', 10)"))
+            .when(did % 19 == 0, F.lit("/go/casino/page"))
+            .otherwise(F.format_string("/p/%d", did)),
+        ).alias("url"),
+    )
+    gated = C.url_quality_filter(
+        docs, blocked_fragments=["casino"], max_path_depth=8,
+    )
+    blocklist = spark.createDataFrame(
+        [("spamhub.com",), ("tracker.net",)], "domain string"
+    )
+    return C.url_blocklist_filter(gated, blocklist).select(
+        "doc_id", "url", "host"
+    )

@@ -272,6 +272,9 @@ HEADLINE = [
     # r12: URL gate + domain-blocklist anti-join (scan-riding rules +
     # suffix-chain broadcast join)
     "url_filter_survivors",
+    # r12: the end-to-end crawl->corpus composition (WARC -> gates ->
+    # blocklist -> dedup)
+    "crawl_corpus_pipeline",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1023,3 +1023,135 @@ def q_url_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.url_blocklist_filter(gated, blocklist).select(
         "doc_id", "url", "host"
     )
+
+
+@register(
+    "crawl_corpus_pipeline",
+    # End-to-end oracle: every stage replayed in SQL over documents.
+    # Page synth: body = the EVEN partner's text (doc pairs 2k/2k+1
+    # share one body -> exact dups for the dedup stage); status 404
+    # when doc_id%37==0; mime text/plain when %5==0; uri carries the
+    # url_filter_survivors failure-mode mix.
+    oracle="""
+    WITH pick AS (
+        SELECT d.doc_id, d2.text AS body
+        FROM documents d
+        JOIN documents d2 ON d2.doc_id = (d.doc_id // 2) * 2
+        WHERE d.text IS NOT NULL AND d2.text IS NOT NULL
+    ),
+    u AS (
+        SELECT doc_id, body,
+               CASE WHEN doc_id % 13 = 0 THEN 'ftp'
+                    ELSE 'http' || CASE WHEN doc_id % 2 = 0 THEN 's'
+                                        ELSE '' END END AS scheme,
+               CASE
+                 WHEN doc_id % 23 = 0 THEN '10.0.0.' ||
+                      CAST(doc_id % 250 AS VARCHAR)
+                 WHEN doc_id % 7 = 0 THEN 'sub' ||
+                      CAST(doc_id % 5 AS VARCHAR) || '.spamhub.com'
+                 ELSE 'sub' || CAST(doc_id % 5 AS VARCHAR) || '.site' ||
+                      CAST(doc_id % 97 AS VARCHAR) || '.com'
+               END AS host,
+               CASE WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END AS port,
+               CASE WHEN doc_id % 19 = 0 THEN '/go/casino/p'
+                    ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path,
+               CASE WHEN doc_id % 37 = 0 THEN 404 ELSE 200 END AS status,
+               CASE WHEN doc_id % 5 = 0 THEN 'text/plain'
+                    ELSE 'text/html' END AS mime
+        FROM pick
+    ),
+    kept AS (
+        SELECT doc_id, host, body
+        FROM u
+        WHERE status = 200 AND mime = 'text/html'
+          AND scheme IN ('http', 'https')
+          AND NOT regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$')
+          AND port = ''
+          AND NOT regexp_matches(lower(scheme || '://' || host || port
+                                       || path), 'casino')
+          AND NOT (host = 'spamhub.com' OR host LIKE '%.spamhub.com')
+          AND octet_length(encode(body)) >= 200
+    ),
+    surv AS (SELECT body, min(doc_id) AS doc_id FROM kept GROUP BY body)
+    SELECT k.doc_id, k.host,
+           CAST(octet_length(encode(k.body)) AS BIGINT) AS n_bytes
+    FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+    """,
+    doc="The END-TO-END crawl-to-corpus pipeline (r12): WARC archives "
+        "-> record walk (sources/warc.py, both layouts) -> HTTP "
+        "status/mime gate -> URL quality gate + domain-blocklist "
+        "anti-join (operators/curation.py) -> byte-length gate -> "
+        "exact dedup (min-id keeper per identical body; doc pairs "
+        "share a body by construction, so the stage does real work). "
+        "One registered row demonstrating the whole LLM ingestion "
+        "story composes from the engine's parts, with every stage "
+        "replayed in the SQL oracle. Scale shape: the record walk and "
+        "every gate ride the archive scan; the only shuffles are the "
+        "broadcast blocklist hit-id anti-join (8-byte keys) and ONE "
+        "fingerprint groupBy for the dedup stage.",
+)
+def q_crawl_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from tweets_elastic_spark.sources.warc import build_warc, warc_records
+
+    did = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        "doc_id", "text", F.expr("doc_id DIV 4").alias("gid"),
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        texts = dict(zip((int(d) for d in pdf["doc_id"]), pdf["text"]))
+        pages = []
+        for d in texts:
+            partner = (d // 2) * 2
+            if partner not in texts:
+                continue  # odd doc whose even partner is text-NULL
+            if d % 23 == 0:
+                host = f"10.0.0.{d % 250}"
+            elif d % 7 == 0:
+                host = f"sub{d % 5}.spamhub.com"
+            else:
+                host = f"sub{d % 5}.site{d % 97}.com"
+            scheme = "ftp" if d % 13 == 0 else \
+                ("https" if d % 2 == 0 else "http")
+            port = ":8080" if d % 17 == 0 else ""
+            path = "/go/casino/p" if d % 19 == 0 else f"/p/{d}"
+            pages.append((
+                f"{scheme}://{host}{port}{path}",
+                404 if d % 37 == 0 else 200,
+                "text/plain" if d % 5 == 0 else "text/html",
+                str(texts[partner]),
+            ))
+        gid = int(key[0])
+        return pd.DataFrame({
+            "asset_id": [gid],
+            "payload": [bytearray(build_warc(
+                pages, gzip_members=(gid % 2 == 0)))],
+        })
+
+    archives = docs.groupBy("gid").applyInPandas(
+        build, "asset_id long, payload binary"
+    )
+    recs = warc_records(archives).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (F.col("mime") == "text/html")
+    )
+    gated = C.url_quality_filter(
+        recs, url_col="uri", blocked_fragments=["casino"],
+    ).withColumn(
+        "doc_id",
+        F.regexp_extract("uri", r"/p/(\d+)$", 1).cast("long"),
+    )
+    blocklist = spark.createDataFrame([("spamhub.com",)], "domain string")
+    clean = C.url_blocklist_filter(gated, blocklist).filter(
+        F.col("n_bytes") >= 200
+    )
+    surv = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return clean.join(surv, ["text", "doc_id"]).select(
+        "doc_id", "host", "n_bytes"
+    )

@@ -275,6 +275,8 @@ HEADLINE = [
     # r12: the end-to-end crawl->corpus composition (WARC -> gates ->
     # blocklist -> dedup)
     "crawl_corpus_pipeline",
+    # r12: span containment (anchor chain + containment EXISTS)
+    "search_span_containing",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

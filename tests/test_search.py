@@ -2385,6 +2385,56 @@ def test_span_not_semantics(spark):
             "exclude": {"span_term": {"text": "b"}}})
 
 
+def test_span_containing_and_within(spark):
+    """r12: big ordered near-span containing a little unit span; the
+    two kinds share one document predicate (returned-span choice is a
+    scoring concern, out of scope)."""
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    an = {"text": "standard"}
+    df = spark.createDataFrame(
+        [(1, "a mid b"),          # window a..b (width 3 <= 2+slop) has mid
+         (2, "a b mid"),          # mid outside the window
+         (3, "a x y z w b mid"),  # window too wide (slop 2)
+         (4, "a x mid y b"),      # width 5 = 2+3 > slop 2? gaps 3 > 2 -> no
+         (5, "a mid x b"),        # gaps 2 <= 2, contains mid
+         (6, "b mid a"),          # wrong order
+         (7, "a b")],             # no little
+        "id long, text string",
+    )
+
+    def ids(k):
+        q = from_es_json({"query": {k: {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "a"}},
+                {"span_term": {"text": "b"}},
+            ], "slop": 2, "in_order": True}},
+            "little": {"span_term": {"text": "mid"}},
+        }}}, analyzers=an)
+        return sorted(r["id"] for r in search(df, q, k=None).collect())
+
+    assert ids("span_containing") == [1, 5]
+    assert ids("span_within") == ids("span_containing")
+    # big = single span_term: containment degenerates to co-position
+    q2 = from_es_json({"query": {"span_containing": {
+        "big": {"span_term": {"text": "a"}},
+        "little": {"span_term": {"text": "a"}},
+    }}}, analyzers=an)
+    assert sorted(r["id"] for r in search(df, q2, k=None).collect()) == \
+        [1, 2, 3, 4, 5, 6, 7]
+    with pytest.raises(ValueError, match="in_order"):
+        from_es_json({"query": {"span_containing": {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "a"}}], "slop": 1}},
+            "little": {"span_term": {"text": "b"}},
+        }}}, analyzers=an)
+    with pytest.raises(ValueError, match="share one field"):
+        from_es_json({"query": {"span_within": {
+            "big": {"span_term": {"text": "a"}},
+            "little": {"span_term": {"lang": "b"}},
+        }}}, analyzers=an)
+
+
 def test_combined_fields_bm25f(spark):
     from tweets_elastic_spark.functions.analyzers import materialize_tokens
     from tweets_elastic_spark.plans.search import (

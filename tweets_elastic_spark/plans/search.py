@@ -3241,8 +3241,147 @@ def from_es_json(
                     )
 
             return _SpanNot()
-        if kind in ("span_containing",
-                    "span_within", "field_masking_span", "span_multi"):
+        if kind in ("span_containing", "span_within"):
+            # Lucene span_containing / span_within (r12, formerly
+            # refusals): containment between a BIG span (span_near of
+            # unit terms with slop/in_order — the engine's minimal
+            # greedy-chain span per anchor, the documented all_of
+            # semantics — or a single span_term) and a LITTLE unit span
+            # (span_term / span_or). As document-level FILTER predicates
+            # the two kinds coincide — "some big span contains some
+            # little span" — they differ only in WHICH span is returned
+            # for scoring/highlighting, out of scope for every
+            # positional node here (documented).
+            extra = set(body) - {"big", "little"}
+            if extra:
+                raise ValueError(
+                    f"unsupported {kind} keys: {sorted(extra)}"
+                )
+
+            def unit_list(node: dict, role: str) -> tuple[str, list]:
+                (nk, nb), = node.items()
+                if nk == "span_term":
+                    (f, v), = nb.items()
+                    return f, [str(v["value"] if isinstance(v, dict)
+                                   else v)]
+                if nk == "span_or":
+                    pairs = [unit_list(c, role) for c in nb["clauses"]]
+                    fs = {f for f, _ in pairs}
+                    if len(fs) != 1:
+                        raise ValueError(
+                            f"{kind} {role} clauses must share one field"
+                        )
+                    return pairs[0][0], [v for _, vs in pairs for v in vs]
+                raise ValueError(
+                    f"{kind} {role} must be span_term/span_or"
+                    + ("/span_near" if role == "big" else "")
+                    + f" here (got {nk!r}); richer spans via intervals"
+                )
+
+            (bk, bb), = body["big"].items()
+            if bk == "span_near":
+                big_field_terms = [unit_list(c, "big clause")
+                                   for c in bb["clauses"]]
+                if not big_field_terms:
+                    raise ValueError(f"{kind} big span_near needs clauses")
+                if any(len(ts) != 1 for _, ts in big_field_terms):
+                    raise ValueError(
+                        f"{kind} big span_near clauses must be span_term"
+                    )
+                if not bb.get("in_order", False):
+                    raise ValueError(
+                        f"{kind} big span_near must be in_order: true "
+                        "(the minimal greedy-chain span is defined for "
+                        "ordered composition; unordered big spans via "
+                        "intervals)"
+                    )
+                slop = int(bb.get("slop", 0))
+                big_terms = [ts[0] for _, ts in big_field_terms]
+                big_fields = {f for f, _ in big_field_terms}
+            else:
+                f, ts = unit_list(body["big"], "big")
+                big_terms, big_fields, slop = ts[:1], {f}, 0
+                if len(ts) != 1:
+                    raise ValueError(
+                        f"{kind} big must be one span_term or span_near"
+                    )
+            lit_field, lit_terms = unit_list(body["little"], "little")
+            fields_ = big_fields | {lit_field}
+            if len(fields_) != 1:
+                raise ValueError(
+                    f"{kind} big/little must share one field, got "
+                    f"{sorted(fields_)}"
+                )
+            (sc_field,) = fields_
+            sc_analyzer = analyzers.get(sc_field)
+            sc_tok = tokens_cols.get(sc_field)
+            if sc_analyzer is None:
+                raise ValueError(
+                    f"{kind} on {sc_field!r} needs an analyzer binding"
+                )
+            n_big = len(big_terms)
+
+            class _SpanContaining(Query):
+                def predicate(self, spark_, resolve) -> Column:
+                    def one_tok(v: str) -> str:
+                        toks_ = analyze_text(spark_, v, sc_analyzer)
+                        if len(toks_) != 1:
+                            raise ValueError(
+                                f"{kind} term {v!r} analyzes to "
+                                f"{len(toks_)} tokens; span terms are "
+                                "single-token"
+                            )
+                        return toks_[0]
+
+                    ts = (resolve(sc_tok) if sc_tok is not None
+                          else analyze(resolve(sc_field), sc_analyzer))
+
+                    def pos_of(vals: list) -> Column:
+                        arr = F.array(*[F.lit(one_tok(v)) for v in vals])
+                        return F.filter(
+                            F.transform(
+                                ts,
+                                lambda x, i: F.when(
+                                    F.array_contains(arr, x), i
+                                ).otherwise(-1),
+                            ),
+                            lambda p: p >= 0,
+                        )
+
+                    st = F.struct(
+                        *[pos_of([t]).alias(f"b{j}")
+                          for j, t in enumerate(big_terms)],
+                        pos_of(lit_terms).alias("lit"),
+                    )
+
+                    def check(s: Column) -> Column:
+                        def chain_ok(a: Column) -> Column:
+                            e = a
+                            for j in range(1, n_big):
+                                prev = e
+                                e = F.array_min(F.filter(
+                                    s[f"b{j}"], lambda x: x > prev))
+
+                            def fin(end: Column) -> Column:
+                                ok = end.isNotNull() \
+                                    & (end - a + 1 - n_big
+                                       <= F.lit(slop))
+                                return ok & F.coalesce(F.exists(
+                                    s["lit"],
+                                    lambda q: (q >= a) & (q <= end),
+                                ), F.lit(False))
+
+                            return F.element_at(
+                                F.transform(F.array(e), fin), 1)
+
+                        return F.coalesce(
+                            F.exists(s["b0"], chain_ok), F.lit(False))
+
+                    return F.element_at(
+                        F.transform(F.array(st), check), 1)
+
+            return _SpanContaining()
+        if kind in ("field_masking_span", "span_multi"):
             raise ValueError(
                 f"{kind} is not supported — use the intervals query "
                 "(match/any_of/all_of/prefix/wildcard), the modern "

@@ -724,6 +724,62 @@ def q_search_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_span_containing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'vector'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS s1,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'order'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS s2,
+          list_filter(list_transform(t, (x,i) -> CASE WHEN x = 'merge'
+                      THEN i-1 ELSE -1 END), p -> p >= 0) AS lit
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(s1, a ->
+        list_min(list_filter(s2, x -> x > a)) IS NOT NULL
+        AND list_min(list_filter(s2, x -> x > a)) - a + 1 - 2 <= 4
+        AND len(list_filter(lit, q -> q >= a
+                AND q <= list_min(list_filter(s2, x -> x > a)))) > 0
+    )) > 0
+    """,
+    doc="Lucene span_containing (r12, formerly a refusal): a BIG "
+        "ordered span_near('vector' ... 'order', slop 4) span that "
+        "CONTAINS a little 'merge' span — 'X near Y, with Z inside the "
+        "window', the positional-scope primitive. The big span is the "
+        "minimal greedy-chain span per anchor (the engine's documented "
+        "all_of semantics); containment is one more EXISTS over the "
+        "little positions inside the same bound struct — all scan-"
+        "local, no UDF. span_within compiles to the SAME document "
+        "predicate (the kinds differ only in which span is returned "
+        "for scoring, out of scope). The oracle replays anchor chain + "
+        "width bound + containment with DuckDB nested lambdas.",
+)
+def q_search_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(
+        {"query": {"span_containing": {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "vector"}},
+                {"span_term": {"text": "order"}},
+            ], "slop": 4, "in_order": True}},
+            "little": {"span_term": {"text": "merge"}},
+        }}},
+        analyzers={"text": "standard"},
+    )
+    return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
     "es_aggs_date_histogram",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,

@@ -16,7 +16,7 @@ from tweets_elastic_spark.functions import textstats as T
 from tweets_elastic_spark.functions.hashing import hash60_sql
 from tweets_elastic_spark.operators import curation as C
 from tweets_elastic_spark.registry import register
-from tweets_elastic_spark.sources.catalog import fan_out, load_table
+from tweets_elastic_spark.sources.catalog import cluster_by, fan_out, load_table
 
 # The fixture corpus has no separate eval set, so the benchmark is carved
 # deterministically: doc_id < 25 plays the benchmark, the rest the corpus.
@@ -1133,14 +1133,23 @@ def q_crawl_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pages, gzip_members=(gid % 2 == 0)))],
         })
 
-    archives = docs.groupBy("gid").applyInPandas(
+    # cluster_by: CPU-bound Python WARC assembly + record walk; see
+    # sources/catalog.py:cluster_by for why AQE must not coalesce here.
+    archives = cluster_by(docs, "gid").groupBy("gid").applyInPandas(
         build, "asset_id long, payload binary"
     )
+    # Materialize the extracted-page relation ONCE (localCheckpoint):
+    # the blocklist anti-join, the survivor window and the final output
+    # all branch from it, and without the checkpoint each branch would
+    # re-run the Python WARC assembly + record walk (the expensive
+    # stages). A production pipeline lands this relation to parquet
+    # between crawl and curation anyway; the checkpoint is that
+    # stage boundary, sized to the extracted text, not the archives.
     recs = warc_records(archives).filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
         & (F.col("mime") == "text/html")
-    )
+    ).localCheckpoint()
     gated = C.url_quality_filter(
         recs, url_col="uri", blocked_fragments=["casino"],
     ).withColumn(
@@ -1151,7 +1160,14 @@ def q_crawl_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = C.url_blocklist_filter(gated, blocklist).filter(
         F.col("n_bytes") >= 200
     )
-    surv = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    return clean.join(surv, ["text", "doc_id"]).select(
-        "doc_id", "host", "n_bytes"
+    # Exact-dup survivor pick as ONE window pass (min doc_id per text)
+    # instead of groupBy + self-join on the long text key — halves the
+    # text-keyed shuffles; same keeper semantics as dedup_exact.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text")
+    return (
+        clean.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "host", "n_bytes")
     )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tweets_elastic_spark.functions.multimodal import attach_payload, decode_assets, sample_frames
 from tweets_elastic_spark.registry import register
-from tweets_elastic_spark.sources.catalog import load_table
+from tweets_elastic_spark.sources.catalog import cluster_by, load_table
 
 
 @register(
@@ -610,7 +610,10 @@ def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pages, gzip_members=(gid % 2 == 0)))],
         })
 
-    archives = docs.groupBy("gid").applyInPandas(
+    # cluster_by: the WARC assembly (gzip members) and the record walk
+    # behind it are CPU-bound Python; AQE's byte-based coalescing would
+    # run both on one core at fixture size.
+    archives = cluster_by(docs, "gid").groupBy("gid").applyInPandas(
         build, "asset_id long, payload binary"
     )
     recs = warc_records(archives)

@@ -2241,6 +2241,9 @@ def _matrix_stats_oracle() -> str:
 def q_es_aggs_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
 
+    # deliberately NOT fanned out: measured at sf0.1, the extra
+    # round-robin exchange of 600k rows costs more than the parallel
+    # partial agg saves (the moment sums are light codegen'd work).
     li = load_table(spark, sf_dir, "lineitem")
     out = es_aggregate(li, {"flag": {
         "terms": {"field": "l_returnflag", "size": 10},
@@ -3602,7 +3605,7 @@ def q_es_aggs_filters_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_es_rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.api import es_rank_eval
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     body = {
         "requests": [
             {"id": "q_spark",
@@ -3686,7 +3689,7 @@ def q_es_rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_es_rank_eval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.api import es_rank_eval
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     body = {
         "requests": [
             {"id": "q_spark",
@@ -4107,7 +4110,12 @@ def q_es_aggs_extended_stats_bucket(
 def q_es_aggs_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
 
-    events = load_table(spark, sf_dir, "events").withColumn(
+    # fan_out: the fixture parquet is one row group = one input split, so
+    # without it the octet arithmetic + bucket-key render runs partial-agg
+    # on a single core (no-op on a many-split production scan).
+    events = fan_out(
+        load_table(spark, sf_dir, "events").select("user_id", "value")
+    ).withColumn(
         "ip",
         F.concat_ws(
             ".",
@@ -4183,7 +4191,12 @@ def q_es_aggs_ip_prefix_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
 
     uid = F.col("user_id")
-    events = load_table(spark, sf_dir, "events").withColumn(
+    # fan_out: single-row-group fixture → one split; the '::'-expanding
+    # parse + group-wise mask + RFC 5952 render is the most expression-
+    # heavy agg key in the registry and must not run on one core.
+    events = fan_out(
+        load_table(spark, sf_dir, "events").select("user_id", "value")
+    ).withColumn(
         "ip6",
         F.when(uid % 37 == 0, F.lit("2001:::db8"))
         .when(uid % 41 == 0, F.lit("10.0.0.1"))
@@ -5103,7 +5116,10 @@ def q_msearch_template_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
 
-    events = load_table(spark, sf_dir, "events").withColumn(
+    # fan_out: same single-split fixture rationale as ip_prefix.
+    events = fan_out(
+        load_table(spark, sf_dir, "events").select("user_id", "value")
+    ).withColumn(
         "ip",
         F.concat_ws(
             ".",
@@ -5174,7 +5190,12 @@ def q_es_aggs_ip_range_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
 
     uid = F.col("user_id")
-    events = load_table(spark, sf_dir, "events").withColumn(
+    # fan_out: same single-split fixture rationale as ip_prefix_v6 —
+    # the group-wise lexicographic range compare binds the parsed
+    # array<long> key per row and must spread over the cores.
+    events = fan_out(
+        load_table(spark, sf_dir, "events").select("user_id", "value")
+    ).withColumn(
         "ip6",
         F.when(uid % 37 == 0, F.lit("2001:::db8"))
         .when(uid % 41 == 0, F.lit("10.0.0.1"))
@@ -5399,6 +5420,8 @@ def q_es_aggs_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
 
     baskets = (
+        # deliberately NOT fanned out: measured at sf0.1 the extra
+        # exchange loses to the light map-side collect_set partials.
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.collect_set(

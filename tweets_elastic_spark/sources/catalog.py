@@ -172,6 +172,24 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def cluster_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-cluster ``df`` on ``cols`` at full session parallelism for a
+    downstream per-group Python stage (``groupBy(...).applyInPandas``).
+
+    Why not let the groupBy's own exchange do it: AQE sizes post-shuffle
+    partitions by BYTES (advisoryPartitionSizeInBytes), so a small-but-
+    CPU-heavy grouped stage (WARC assembly, media decode) coalesces to
+    one partition and runs single-core — byte-based sizing can't see
+    Python-UDF cost. An explicit ``repartition(N, cols)`` is exempt from
+    AQE coalescing and already satisfies the applyInPandas clustered-
+    distribution requirement, so no second exchange is inserted. On a
+    real cluster defaultParallelism is the executor-core total, which is
+    exactly the floor a CPU-bound stage wants; data skew beyond that is
+    the per-group cap problem, handled by the callers' group design."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, *[F.col(c) for c in cols])
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

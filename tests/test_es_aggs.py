@@ -2899,3 +2899,109 @@ def test_filters_and_adjacency_nested_bucket_sub(spark):
             "filters": {"filters": {"lo": {"range": {"v": {"lt": 40}}}}},
             "aggs": {"ks": {"terms": {"field": "k", "include": "a.*"}}},
         }})
+
+
+def test_time_series_buckets_and_guards(spark, sales):
+    # one bucket per distinct (region, product) dimension tuple, ordered
+    # by the tuple ascending; metric sub-aggs ride the groupBy
+    got = [
+        (r["region"], r["product"], r["doc_count"], r["m"])
+        for r in es_aggregate(sales, {"s": {
+            "time_series": {"dimensions": ["region", "product"]},
+            "aggs": {"m": {"max": {"field": "amount"}}},
+        }}).collect()
+    ]
+    assert got == [
+        ("ap", "a", 1, 1.0), ("eu", "a", 2, 20.0), ("eu", "b", 1, 5.0),
+        ("us", "a", 1, 7.0), ("us", "b", 3, 13.0),
+    ]
+    # size caps the series list AFTER the dimension-tuple order
+    capped = es_aggregate(sales, {"s": {
+        "time_series": {"dimensions": ["region", "product"], "size": 2},
+    }}).collect()
+    assert [(r["region"], r["product"]) for r in capped] == \
+        [("ap", "a"), ("eu", "a")]
+    # null contract: a row missing ANY dimension forms no series
+    rows = [("eu", None, 1.0), ("eu", "a", 2.0), (None, "a", 3.0)]
+    df = spark.createDataFrame(rows, "region string, product string, v double")
+    only = es_aggregate(df, {"s": {
+        "time_series": {"dimensions": ["region", "product"]},
+    }}).collect()
+    assert [(r["region"], r["product"], r["doc_count"]) for r in only] == \
+        [("eu", "a", 1)]
+    # refusals: missing/empty dimensions, bad size, bucket sub-agg,
+    # unknown parameters
+    with pytest.raises(ValueError, match="dimensions"):
+        es_aggregate(sales, {"s": {"time_series": {}}})
+    with pytest.raises(ValueError, match="dimensions"):
+        es_aggregate(sales, {"s": {"time_series": {"dimensions": []}}})
+    with pytest.raises(ValueError, match="size must be >= 1"):
+        es_aggregate(sales, {"s": {
+            "time_series": {"dimensions": ["region"], "size": 0}}})
+    with pytest.raises(ValueError, match="must be metrics"):
+        es_aggregate(sales, {"s": {
+            "time_series": {"dimensions": ["region"]},
+            "aggs": {"p": {"terms": {"field": "product"}}},
+        }})
+    with pytest.raises(ValueError, match="unsupported time_series"):
+        es_aggregate(sales, {"s": {
+            "time_series": {"dimensions": ["region"], "keyed": True}}})
+
+
+def test_inference_pipeline_models_and_guards(spark, sales):
+    # regression: linear response over bucket metrics (here: amount sum
+    # and count per region) — verified against hand arithmetic
+    got = {
+        r["k"]: r["pred"]
+        for r in es_aggregate(sales, {"k": {
+            "terms": {"field": "region"},
+            "aggs": {
+                "s": {"sum": {"field": "amount"}},
+                "pred": {"inference": {
+                    "buckets_path": {"s": "s", "n": "_count"},
+                    "model": {"type": "regression",
+                              "weights": {"s": 2.0, "n": -1.0},
+                              "intercept": 0.5},
+                }},
+            },
+        }}).collect()
+    }
+    # eu: sum 35, n 3 -> 2*35 - 3 + 0.5 = 67.5; us: sum 40, n 4 -> 76.5;
+    # ap: sum 1, n 1 -> 1.5
+    assert got == {"eu": 67.5, "us": 76.5, "ap": 1.5}
+    # classification: sigmoid probability + 0/1 prediction at 0.5
+    rows = es_aggregate(sales, {"k": {
+        "terms": {"field": "region"},
+        "aggs": {"cls": {"inference": {
+            "buckets_path": {"n": "_count"},
+            "model": {"type": "classification",
+                      "weights": {"n": 1.0}, "intercept": -2.0},
+        }}},
+    }}).collect()
+    import math
+    for r in rows:
+        p = 1.0 / (1.0 + math.exp(-(r["doc_count"] - 2.0)))
+        assert abs(r["cls_prediction_probability"] - p) < 1e-12
+        assert r["cls"] == (1 if p >= 0.5 else 0)
+    # guards: no model, bad type, weight naming an absent feature
+    with pytest.raises(ValueError, match="inference needs 'model'"):
+        es_aggregate(sales, {"k": {
+            "terms": {"field": "region"},
+            "aggs": {"p": {"inference": {"buckets_path": {"n": "_count"}}}},
+        }})
+    with pytest.raises(ValueError, match="unsupported inference model"):
+        es_aggregate(sales, {"k": {
+            "terms": {"field": "region"},
+            "aggs": {"p": {"inference": {
+                "buckets_path": {"n": "_count"},
+                "model": {"type": "ltr", "weights": {"n": 1.0}},
+            }}},
+        }})
+    with pytest.raises(ValueError, match="outside buckets_path"):
+        es_aggregate(sales, {"k": {
+            "terms": {"field": "region"},
+            "aggs": {"p": {"inference": {
+                "buckets_path": {"n": "_count"},
+                "model": {"type": "regression", "weights": {"x": 1.0}},
+            }}},
+        }})

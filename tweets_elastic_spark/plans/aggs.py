@@ -1748,7 +1748,7 @@ def _agg_kind(spec: dict) -> str:
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "serial_diff", "moving_fn",
     "moving_percentiles", "normalize", "bucket_script", "bucket_selector",
-    "bucket_sort", "cumulative_cardinality",
+    "bucket_sort", "cumulative_cardinality", "inference",
 )
 # sibling pipelines: scalar over the parent agg's bucket list, requested
 # NEXT TO the parent at the top level (ES's sibling-agg shape).
@@ -2496,6 +2496,55 @@ def _apply_pipeline_aggs(
                     params=script_params(pkind, pbody),
                 ),
             )
+        elif pkind == "inference":
+            # ES inference pipeline agg: apply a trained model to each
+            # bucket's metric values (the feature map = buckets_path).
+            # ES resolves model_id from its ML model store; this engine
+            # has no store, so the caller supplies the trained
+            # parameters inline via 'model' — the same mapping-to-
+            # parameter move as time_series' dimensions and
+            # random_sampler's id_field (a documented divergence, not a
+            # capability gap: the linear/logistic response is the same
+            # arithmetic ES's pretrained LTR/regression models apply).
+            # regression emits <name> (the linear response);
+            # classification emits <name> (0/1 at probability 0.5) plus
+            # <name>_prediction_probability — mirroring ES's
+            # predicted_value / prediction_probability fields.
+            model = pbody.get("model")
+            if not (isinstance(model, dict)
+                    and isinstance(model.get("weights"), dict)
+                    and model["weights"]):
+                raise ValueError(
+                    "inference needs 'model': {'type': 'regression'|"
+                    "'classification', 'weights': {param: w}, "
+                    "'intercept': b} (ES resolves model_id from its ML "
+                    "store; raw parquet has none, so supply the trained "
+                    "parameters inline)"
+                )
+            mtype = model.get("type", "regression")
+            if mtype not in ("regression", "classification"):
+                raise ValueError(
+                    f"unsupported inference model type {mtype!r}"
+                )
+            feats = script_params(pkind, pbody)
+            unknown = set(model["weights"]) - set(feats)
+            if unknown:
+                raise ValueError(
+                    f"inference weights reference features outside "
+                    f"buckets_path: {sorted(unknown)}"
+                )
+            resp = F.lit(float(model.get("intercept", 0.0)))
+            for p in sorted(model["weights"]):
+                resp = resp + F.lit(float(model["weights"][p])) * feats[p]
+            if mtype == "regression":
+                out = out.withColumn(pname, resp)
+            else:
+                prob_col = f"{pname}_prediction_probability"
+                out = out.withColumn(
+                    prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-resp))
+                ).withColumn(
+                    pname, (F.col(prob_col) >= 0.5).cast("int")
+                )
         elif pkind == "bucket_selector":
             out = out.filter(
                 compile_painless(
@@ -3024,6 +3073,52 @@ def _es_aggregate_impl(
             .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub))
             .filter(F.col("doc_count") <= mdc)
             .orderBy(F.col("doc_count").asc(), F.col(name).asc())
+        )
+    if kind == "time_series":
+        # ES time_series agg (TSDB indices, 8.7+): one bucket per unique
+        # time series — the distinct combination of the index's dimension
+        # fields (the _tsid). Two documented divergences: (1) dimensions
+        # come from the TSDB index MAPPING in ES; this engine reads raw
+        # parquet, so the caller names them explicitly via 'dimensions'
+        # (the same mapping-to-parameter move as random_sampler's
+        # id_field); (2) ES orders buckets by the opaque _tsid hash —
+        # not reproducible across engines — so this engine orders by the
+        # dimension tuple ascending (deterministic; the same
+        # determinism-over-internal-order trade as sampler). Null
+        # contract: ES builds the _tsid from the dimensions PRESENT, so
+        # a doc missing one dimension forms a different series; a
+        # relational output with one column per dimension cannot key
+        # "absent" distinctly from NULL, so rows missing ANY dimension
+        # drop (loudly documented; pre-coalesce to keep them). Plan:
+        # one hash aggregation on the dimension tuple + TakeOrdered for
+        # the size cap — the terms-agg shape on a compound key.
+        extra = set(body) - {"dimensions", "size"}
+        if extra:
+            raise ValueError(
+                f"unsupported time_series parameters: {sorted(extra)}"
+            )
+        dims = body.get("dimensions")
+        if not (isinstance(dims, list) and dims
+                and all(isinstance(d, str) for d in dims)):
+            raise ValueError(
+                "time_series needs 'dimensions': [field, ...] (ES takes "
+                "them from the TSDB index mapping; raw parquet has no "
+                "mapping, so name them explicitly)"
+            )
+        size = int(body.get("size", 10000))
+        if size < 1:
+            raise ValueError(f"time_series size must be >= 1, got {size}")
+        if any(next(iter(s)) in _BUCKET_KINDS for s in (sub or {}).values()):
+            raise ValueError("time_series sub-aggs must be metrics")
+        present = F.col(dims[0]).isNotNull()
+        for d in dims[1:]:
+            present = present & F.col(d).isNotNull()
+        return (
+            df.filter(present)
+            .groupBy(*dims)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub))
+            .orderBy(*[F.col(d).asc() for d in dims])
+            .limit(size)
         )
     if kind == "filters":
         return _filters_agg(df, name, body, sub)

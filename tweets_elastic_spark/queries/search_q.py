@@ -3740,6 +3740,111 @@ def q_es_aggs_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_aggs_inference",
+    oracle="""
+    WITH b AS (
+        SELECT event_type AS by_type,
+               CAST(count(*) AS BIGINT) AS doc_count,
+               avg(value) AS avg_value
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT by_type, doc_count, avg_value,
+               1.0 / (1.0 + exp(-(-2.0 + 0.08 * avg_value
+                                  + 0.00002 * doc_count))) AS p
+        FROM b
+    )
+    SELECT by_type, doc_count, round(avg_value, 6) AS avg_value,
+           round(p, 6) AS score_prediction_probability,
+           CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INT) AS score
+    FROM m
+    ORDER BY by_type
+    """,
+    doc="ES inference pipeline agg: run a trained model over each "
+        "bucket's metrics (features = buckets_path). ES resolves "
+        "model_id from its ML store; the engine takes the trained "
+        "parameters inline (documented divergence), here a logistic "
+        "model over (avg value, bucket count) — emits ES's "
+        "predicted-value/prediction-probability pair per bucket. The "
+        "model math runs coordinator-side over the reduced bucket "
+        "relation, exactly like bucket_script.",
+)
+def q_es_aggs_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = es_aggregate(events, {"by_type": {
+        "terms": {"field": "event_type", "size": 100},
+        "aggs": {
+            "avg_value": {"avg": {"field": "value"}},
+            "score": {"inference": {
+                "buckets_path": {"v": "avg_value", "n": "_count"},
+                "model": {"type": "classification",
+                          "weights": {"v": 0.08, "n": 0.00002},
+                          "intercept": -2.0},
+            }},
+        },
+    }})
+    return out.select(
+        "by_type", "doc_count",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("score_prediction_probability", 6)
+        .alias("score_prediction_probability"),
+        "score",
+    ).orderBy("by_type")
+
+
+@register(
+    "es_aggs_time_series",
+    oracle="""
+    WITH src AS (
+        SELECT event_type,
+               'd' || CAST(user_id % 4 AS VARCHAR) AS device,
+               value
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT event_type, device,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(value), 6) AS avg_value,
+           round(max(value), 6) AS peak
+    FROM src
+    GROUP BY event_type, device
+    ORDER BY event_type ASC, device ASC
+    LIMIT 15
+    """,
+    doc="ES time_series agg (TSDB indices, 8.7+): one bucket per unique "
+        "time series — the distinct dimension combination (_tsid) — with "
+        "metric sub-aggs per series and a size cap. Dimensions are "
+        "explicit parameters here (ES reads them from the TSDB mapping; "
+        "raw parquet has none) and buckets order by the dimension tuple "
+        "(ES orders by the opaque _tsid hash — not reproducible across "
+        "engines). Plan: one hash aggregation on the compound key + "
+        "TakeOrderedAndProject for the cap, the terms shape.",
+)
+def q_es_aggs_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.aggs import es_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "device", F.concat(F.lit("d"), (F.col("user_id") % 4).cast("string"))
+    )
+    out = es_aggregate(events, {"series": {
+        "time_series": {"dimensions": ["event_type", "device"], "size": 15},
+        "aggs": {
+            "avg_value": {"avg": {"field": "value"}},
+            "peak": {"max": {"field": "value"}},
+        },
+    }})
+    return out.select(
+        "event_type", "device", "doc_count",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+@register(
     "es_aggs_boxplot",
     oracle="""
     SELECT lang AS by_lang,

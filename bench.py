@@ -277,6 +277,13 @@ HEADLINE = [
     "crawl_corpus_pipeline",
     # r12: span containment (anchor chain + containment EXISTS)
     "search_span_containing",
+    # r12 final session: the last two ES agg kinds (dimension-tuple
+    # series buckets; per-bucket model inference) and the 8.14+
+    # retriever tree (rrf / linear fusion over standard+knn legs)
+    "es_aggs_time_series",
+    "es_aggs_inference",
+    "es_request_retriever_rrf",
+    "es_request_retriever_linear",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -348,6 +355,10 @@ SF1_HEADLINE = [
     "es_aggs_adjacency_nested_terms", "eql_sample_by_stage",
     "search_intervals_all_of_unordered", "search_span_not",
     "warc_extract_text",
+    # r12 final session: new agg kinds + the crawl composition (all
+    # measured at sf1 in SCALING.md's final-session table)
+    "es_aggs_time_series", "es_aggs_inference", "crawl_corpus_pipeline",
+    "es_rank_eval_ndcg",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -2743,3 +2743,53 @@ def test_match_none(spark):
                                "filter": [{"term": {"s": "x"}}]}})
     rows = search(df, q, k=None).collect()
     assert len(rows) == 1 and rows[0]["score"] == 0.0
+
+
+def test_es_retriever_tree(spark):
+    from tweets_elastic_spark.plans.search import es_retriever
+
+    rows = [
+        (1, 10.0, [1.0, 0.0]), (2, 20.0, [0.0, 1.0]),
+        (3, 30.0, [0.6, 0.8]), (4, 40.0, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, pop double, emb array<float>")
+
+    # standard leaf: function_score ranks by the field, ties by id
+    std = {"standard": {"query": {"function_score": {
+        "query": {"range": {"pop": {"gte": 20}}},
+        "functions": [{"field_value_factor": {"field": "pop"}}],
+    }}}}
+    got = [(r["doc_id"], r["score"])
+           for r in es_retriever(df, std, size=2).collect()]
+    assert got == [(4, 40.0), (3, 30.0)]
+
+    # knn leaf: exact cosine to [1, 0]; k caps the leg
+    knn = {"knn": {"field": "emb", "query_vector": [1.0, 0.0], "k": 3}}
+    got = [r["doc_id"] for r in es_retriever(df, knn, size=10).collect()]
+    assert got == [1, 4, 3]  # cos 1.0, 1.0 (tie -> id), 0.6
+
+    # rrf fusion: doc 4 leads both legs' overlap
+    rrf = {"rrf": {"retrievers": [std, knn], "rank_window_size": 3}}
+    fused = es_retriever(df, rrf, size=4).collect()
+    assert fused[0]["doc_id"] == 4 and fused[0]["n_legs"] == 2
+
+    # linear fusion with minmax: leg tops get 1.0, weights apply
+    lin = {"linear": {"retrievers": [
+        {"retriever": std, "weight": 0.5, "normalizer": "minmax"},
+        {"retriever": knn, "weight": 0.5, "normalizer": "minmax"},
+    ], "rank_window_size": 3}}
+    top = es_retriever(df, lin, size=4).collect()[0]
+    assert top["doc_id"] == 4 and abs(top["score"] - 1.0) < 1e-9
+
+    # guards
+    with pytest.raises(ValueError, match="retriever kind"):
+        es_retriever(df, {"nope": {}})
+    with pytest.raises(ValueError, match=">= 2 child"):
+        es_retriever(df, {"rrf": {"retrievers": [std]}})
+    with pytest.raises(ValueError, match="normalizer"):
+        es_retriever(df, {"linear": {"retrievers": [
+            {"retriever": std, "normalizer": "zscore"}]}})
+    with pytest.raises(ValueError, match="unsupported standard"):
+        es_retriever(df, {"standard": {"query": {"match_all": {}},
+                                       "collapse": "pop"}})

@@ -3792,3 +3792,155 @@ def rrf_fuse(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def es_retriever(
+    df: DataFrame,
+    retriever: dict,
+    *,
+    id_col: str = "doc_id",
+    size: int = 10,
+    analyzers: dict[str, str] | None = None,
+    tokens_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """ES 8.14+ ``retriever`` tree: the request-level composition surface
+    that replaced the top-level query/knn/rank split. Leaves produce a
+    ranked (id, score) relation; compound nodes fuse their children:
+
+    * ``standard`` — {"query": ...}: from_es_json-compiled scoring, the
+      classic search leg (optional ``filter`` pre-applies).
+    * ``knn`` — {"field", "query_vector", "k"}: exact cosine top-k over
+      the (optionally ``filter``ed) scan — the documented strictly-more-
+      accurate divergence from HNSW shared with the knn request clause;
+      ``num_candidates`` is accepted and trivially satisfied.
+    * ``rrf`` — {"retrievers": [...], "rank_window_size",
+      "rank_constant"}: children evaluate recursively, truncate to
+      rank_window_size each, and fuse via rrf_fuse (adds ``n_legs``).
+    * ``linear`` — {"retrievers": [{"retriever": ..., "weight",
+      "normalizer"}], "rank_window_size"}: weighted sum of per-leg
+      normalized scores; ``minmax`` rescales each leg to [0, 1]
+      (single-score legs normalize to 1.0 — the max IS the score),
+      ``none`` uses raw scores. Docs absent from a leg contribute 0.
+
+    Every leg truncates BEFORE fusion (TakeOrderedAndProject), so the
+    rank windows and fusion groupBys run on leg-sized relations — the
+    coordinator-side shape rrf_fuse documents. Ties everywhere break by
+    ``id_col`` ascending (ES's internal-doc-id tiebreak is not
+    reproducible; the explicit key is the same determinism trade as
+    search()'s tiebreak)."""
+    from tweets_elastic_spark.functions.vectors import cosine, lit_vector
+
+    if not (isinstance(retriever, dict) and len(retriever) == 1):
+        raise ValueError(
+            f"a retriever is one {{kind: body}} object, got {retriever!r}"
+        )
+    (kind, body), = retriever.items()
+
+    def ranked(out: DataFrame, window: int) -> DataFrame:
+        # leg scores round to 6 dp BEFORE ranking (the registry-wide
+        # cross-engine determinism convention: raw float ties near the
+        # truncation boundary would otherwise rank engine-dependently)
+        return (
+            out.select(
+                F.col(id_col),
+                F.round(F.col("score").cast("double"), 6).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(int(window))
+        )
+
+    if kind == "standard":
+        extra = set(body) - {"query", "filter"}
+        if extra:
+            raise ValueError(
+                f"unsupported standard retriever keys: {sorted(extra)}"
+            )
+        scan = df
+        if body.get("filter") is not None:
+            pre = from_es_json({"query": body["filter"]},
+                               analyzers=analyzers, tokens_cols=tokens_cols)
+            scan = scan.filter(pre.predicate(scan.sparkSession,
+                                             _col_resolver))
+        tree = from_es_json({"query": body["query"]}, analyzers=analyzers,
+                            tokens_cols=tokens_cols)
+        return ranked(search(scan, tree, k=None), size)
+    if kind == "knn":
+        extra = set(body) - {"field", "query_vector", "k",
+                             "num_candidates", "filter"}
+        if extra:
+            raise ValueError(
+                f"unsupported knn retriever keys: {sorted(extra)}"
+            )
+        scan = df
+        if body.get("filter") is not None:
+            pre = from_es_json({"query": body["filter"]},
+                               analyzers=analyzers, tokens_cols=tokens_cols)
+            scan = scan.filter(pre.predicate(scan.sparkSession,
+                                             _col_resolver))
+        k = int(body.get("k", size))
+        out = scan.select(
+            F.col(id_col),
+            cosine(F.col(body["field"]),
+                   lit_vector([float(x) for x in body["query_vector"]]))
+            .alias("score"),
+        )
+        return ranked(out, min(k, size))
+    if kind == "rrf":
+        children = body.get("retrievers")
+        if not (isinstance(children, list) and len(children) >= 2):
+            raise ValueError("rrf retriever needs >= 2 child retrievers")
+        window = int(body.get("rank_window_size", size))
+        legs = [
+            es_retriever(df, c, id_col=id_col, size=window,
+                         analyzers=analyzers, tokens_cols=tokens_cols)
+            .select(id_col, "score")
+            for c in children
+        ]
+        return rrf_fuse(legs, id_col=id_col, k=size,
+                        rank_constant=int(body.get("rank_constant", 60)))
+    if kind == "linear":
+        children = body.get("retrievers")
+        if not (isinstance(children, list) and children):
+            raise ValueError("linear retriever needs child retrievers")
+        window = int(body.get("rank_window_size", size))
+        fused = None
+        for c in children:
+            spec = c.get("retriever")
+            if spec is None:
+                raise ValueError(
+                    "each linear child is {'retriever': ..., 'weight', "
+                    "'normalizer'}"
+                )
+            weight = float(c.get("weight", 1.0))
+            norm = c.get("normalizer", "none")
+            if norm not in ("none", "minmax"):
+                raise ValueError(
+                    f"unsupported linear normalizer {norm!r} "
+                    "(none/minmax)"
+                )
+            leg = es_retriever(df, spec, id_col=id_col, size=window,
+                               analyzers=analyzers, tokens_cols=tokens_cols
+                               ).select(id_col, "score")
+            if norm == "minmax":
+                # leg-sized relation: the min/max aggregate is a 1-row
+                # broadcast over at most rank_window_size rows
+                mm = leg.agg(F.min("score").alias("_lo"),
+                             F.max("score").alias("_hi"))
+                leg = leg.crossJoin(F.broadcast(mm)).select(
+                    id_col,
+                    F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0))
+                    .otherwise((F.col("score") - F.col("_lo"))
+                               / (F.col("_hi") - F.col("_lo")))
+                    .alias("score"),
+                )
+            leg = leg.select(id_col,
+                             (F.col("score") * F.lit(weight)).alias("_c"))
+            fused = leg if fused is None else fused.unionByName(leg)
+        return (
+            fused.groupBy(id_col)
+            .agg(F.round(F.sum("_c"), 6).alias("score"),
+                 F.count(F.lit(1)).cast("int").alias("n_legs"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(int(size))
+        )
+    raise ValueError(f"unsupported retriever kind {kind!r}")

@@ -2760,6 +2760,136 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm25_leg, vec_leg], k=15, rank_constant=60)
 
 
+_RETRIEVER_FRAME_CTE = """
+    WITH frame AS (
+        SELECT d.doc_id, d.n_chars, e.embedding
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    leg1 AS (
+        SELECT doc_id, round(0.001 * n_chars, 6) AS s
+        FROM frame WHERE n_chars >= 100
+        ORDER BY s DESC, doc_id ASC LIMIT 25
+    ),
+    r1 AS (SELECT doc_id, s,
+                  row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+           FROM leg1),
+    leg2 AS (
+        SELECT doc_id,
+               round(list_cosine_similarity(
+                   embedding::DOUBLE[],
+                   (SELECT embedding FROM embeddings
+                    WHERE vec_id = 7)::DOUBLE[]), 6) AS s
+        FROM frame
+        ORDER BY s DESC, doc_id ASC LIMIT 25
+    ),
+    r2 AS (SELECT doc_id, s,
+                  row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+           FROM leg2)
+"""
+
+
+@register(
+    "es_request_retriever_rrf",
+    oracle=_RETRIEVER_FRAME_CTE + """,
+    u AS (
+        SELECT doc_id, 1.0 / (60 + r) AS c FROM r1
+        UNION ALL
+        SELECT doc_id, 1.0 / (60 + r) AS c FROM r2
+    )
+    SELECT doc_id, round(sum(c), 6) AS score,
+           CAST(count(*) AS INT) AS n_legs
+    FROM u GROUP BY 1
+    ORDER BY round(sum(c), 6) DESC, doc_id ASC
+    LIMIT 12
+    """,
+    doc="ES 8.14 retriever tree, rrf node: a standard retriever "
+        "(function_score field_value_factor over n_chars, range-filtered) "
+        "and a knn retriever (exact cosine to the vec_id-7 embedding) "
+        "evaluate recursively, truncate to rank_window_size=25 each, and "
+        "fuse via reciprocal ranks — the request-level surface that "
+        "replaced the top-level query/knn/rank split, compiled onto the "
+        "same leg machinery as search_hybrid_rrf (plans/search.py "
+        "es_retriever).",
+)
+def q_es_request_retriever_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.search import es_retriever
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings")
+    frame = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "n_chars", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    return es_retriever(frame, {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"function_score": {
+                "query": {"range": {"n_chars": {"gte": 100}}},
+                "functions": [{"field_value_factor": {
+                    "field": "n_chars", "factor": 0.001}}],
+            }}}},
+            {"knn": {"field": "embedding", "query_vector": qvec, "k": 25,
+                     "num_candidates": 50}},
+        ],
+        "rank_window_size": 25,
+        "rank_constant": 60,
+    }}, id_col="doc_id", size=12)
+
+
+@register(
+    "es_request_retriever_linear",
+    oracle=_RETRIEVER_FRAME_CTE + """,
+    b1 AS (SELECT min(s) AS lo, max(s) AS hi FROM r1),
+    b2 AS (SELECT min(s) AS lo, max(s) AS hi FROM r2),
+    u AS (
+        SELECT doc_id,
+               0.7 * (CASE WHEN b1.hi = b1.lo THEN 1.0
+                           ELSE (s - b1.lo) / (b1.hi - b1.lo) END) AS c
+        FROM r1, b1
+        UNION ALL
+        SELECT doc_id,
+               0.3 * (CASE WHEN b2.hi = b2.lo THEN 1.0
+                           ELSE (s - b2.lo) / (b2.hi - b2.lo) END) AS c
+        FROM r2, b2
+    )
+    SELECT doc_id, round(sum(c), 6) AS score,
+           CAST(count(*) AS INT) AS n_legs
+    FROM u GROUP BY 1
+    ORDER BY round(sum(c), 6) DESC, doc_id ASC
+    LIMIT 12
+    """,
+    doc="ES 8.16 linear retriever: the same two legs as the rrf entry, "
+        "each minmax-normalized to [0, 1] over its rank window and "
+        "weighted 0.7/0.3 — score-calibrated fusion vs rrf's scoreless "
+        "ranks. The per-leg min/max is a 1-row broadcast over the "
+        "leg-sized (rank_window_size) relation; docs absent from a leg "
+        "contribute nothing.",
+)
+def q_es_request_retriever_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.search import es_retriever
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings")
+    frame = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "n_chars", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    return es_retriever(frame, {"linear": {
+        "retrievers": [
+            {"retriever": {"standard": {"query": {"function_score": {
+                "query": {"range": {"n_chars": {"gte": 100}}},
+                "functions": [{"field_value_factor": {
+                    "field": "n_chars", "factor": 0.001}}],
+            }}}}, "weight": 0.7, "normalizer": "minmax"},
+            {"retriever": {"knn": {"field": "embedding",
+                                   "query_vector": qvec, "k": 25}},
+             "weight": 0.3, "normalizer": "minmax"},
+        ],
+        "rank_window_size": 25,
+    }}, id_col="doc_id", size=12)
+
+
 @register(
     "es_request_knn",
     oracle="""

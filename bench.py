@@ -559,6 +559,15 @@ def main() -> None:
                          "$SPARK_GRAFT_SF_DIR or sf0.1.")
     args = ap.parse_args()
 
+    # 32g heap for the bench JVM (box carries 128 GiB; the default 8g is
+    # sized for the test suite's small fixtures): 200 headline queries ×
+    # best-of-3 accumulate localCheckpoint blocks and broadcasts faster
+    # than the async ContextCleaner reclaims them, and an 8g storage
+    # region under that churn evicts/spills checkpoint blocks INTO the
+    # timed runs — measured r12 as 2× spikes on whichever family ran
+    # while the region was full (corpus_clean 5.1↔10.3 s across
+    # same-code sessions). Honoring an explicit SPARK_GRAFT_DRIVER_MEM.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -612,6 +621,36 @@ def main() -> None:
     # recorded separately (queries_first_run / first_run_total_sec) so
     # round-over-round comparisons against pre-r5 single-sample numbers
     # stay apples-to-apples and the warm-vs-first gap stays visible.
+    # Settle the JVM between the warmup sweep + index build and the
+    # timed runs: ~200 warmed plans leave broadcast blocks and garbage
+    # whose ASYNCHRONOUS cleanup otherwise lands inside the first timed
+    # queries (measured r12: flagship 5.4-9.0 s right after the warmup
+    # sweep vs 3.3-4.8 s after this settle, 2.3 s in a fresh session).
+    # clearCache drops cached blocks, the explicit full GC reclaims them
+    # synchronously, and the sleep lets the ContextCleaner drain its
+    # reference queue before the clock starts.
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3.0)
+
+    # Calibration anchor (r12): the shared box's throughput drifts
+    # 10-50% intra-day (documented since r8), which has repeatedly made
+    # round-over-round totals incomparable and spawned phantom
+    # regressions. This fixed, data-independent JVM workload (hash +
+    # aggregate over spark.range — no I/O, no Python) is timed best-of-3
+    # alongside every record; dividing two rounds' headline totals by
+    # their calibration ratio removes the box term. ~1s of added wall.
+    def calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 100_000_000, 1, 32).selectExpr(
+                "sum(xxhash64(id) % 100000) AS h").collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    calibration_sec = calibrate()
+
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in headline:
@@ -634,6 +673,7 @@ def main() -> None:
         "queries_first_run": first_run,
         "first_run_total_sec": round(sum(first_run.values()), 3),
         "index_build_sec": index_build_sec,
+        "calibration_sec": calibration_sec,
         "warmup": "per-query sf0.001 pass, then best-of-3 timed sf0.1 runs "
                   "(steady-state, noise-robust); queries_first_run is the "
                   "single-sample first sf0.1 run of each query",
@@ -658,6 +698,7 @@ def main() -> None:
         "n_queries": len(times),
         "first_run_total_sec": full["first_run_total_sec"],
         "index_build_sec": index_build_sec,
+        "calibration_sec": calibration_sec,
         "full": full_name,
         "queries_other_total_sec": round(
             sum(v for n, v in times.items() if n not in subset), 3),

@@ -284,6 +284,7 @@ HEADLINE = [
     "es_aggs_inference",
     "es_request_retriever_rrf",
     "es_request_retriever_linear",
+    "es_request_retriever_rerank",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -2793,3 +2793,35 @@ def test_es_retriever_tree(spark):
     with pytest.raises(ValueError, match="unsupported standard"):
         es_retriever(df, {"standard": {"query": {"match_all": {}},
                                        "collapse": "pop"}})
+
+
+def test_es_retriever_text_similarity_reranker(spark):
+    from tweets_elastic_spark.plans.search import es_retriever
+
+    rows = [
+        (1, 5.0, "alpha beta gamma"),     # no query tokens -> 0
+        (2, 9.0, "spark streaming"),      # 2/3
+        (3, 7.0, "spark data lake ops"),  # 2/5
+        (4, 1.0, "data"),                 # excluded by child filter
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pop double, text string")
+    body = {"text_similarity_reranker": {
+        "retriever": {"standard": {"query": {"function_score": {
+            "query": {"range": {"pop": {"gte": 2}}},
+            "functions": [{"field_value_factor": {"field": "pop"}}],
+        }}}},
+        "field": "text",
+        "inference_text": "Spark streaming data",
+        "rank_window_size": 3,
+    }}
+    got = [(r["doc_id"], r["score"])
+           for r in es_retriever(df, body, size=3).collect()]
+    # doc 2: |{spark,streaming}|/|{spark,streaming} u {data}| = 2/3;
+    # doc 3: 2/5; doc 1: 0; doc 4 never enters the window
+    assert got == [(2, 0.666667), (3, 0.4), (1, 0.0)]
+    with pytest.raises(ValueError, match="needs 'retriever'"):
+        es_retriever(df, {"text_similarity_reranker": {"field": "text"}})
+    with pytest.raises(ValueError, match="unsupported text_similarity"):
+        es_retriever(df, {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match_all": {}}}},
+            "field": "text", "inference_text": "x", "min_score": 0.5}})

@@ -3885,6 +3885,52 @@ def es_retriever(
             .alias("score"),
         )
         return ranked(out, min(k, size))
+    if kind == "text_similarity_reranker":
+        # ES 8.15 semantic reranker: re-score the child retriever's
+        # rank window by a text-similarity model between
+        # ``inference_text`` and ``field``. ES calls an inference
+        # endpoint (a cross-encoder / ELSER deployment); this engine
+        # has no model server, so the similarity model is the
+        # DETERMINISTIC lexical one the dedup family already ships:
+        # token-set Jaccard between the analyzed query and the analyzed
+        # field (standard analyzer) — the documented model-free
+        # divergence, same class as sampler's sort_field. Plan: the
+        # child's window (<= rank_window_size rows of ids) broadcasts
+        # back onto the doc scan, the similarity is one scan-local HOF
+        # expression, and the re-rank is a TakeOrdered over window-sized
+        # rows — no new shuffle.
+        extra = set(body) - {"retriever", "field", "inference_text",
+                             "inference_id", "rank_window_size"}
+        if extra:
+            raise ValueError(
+                f"unsupported text_similarity_reranker keys: "
+                f"{sorted(extra)}"
+            )
+        child, field = body.get("retriever"), body.get("field")
+        qtext = body.get("inference_text")
+        if child is None or field is None or qtext is None:
+            raise ValueError(
+                "text_similarity_reranker needs 'retriever', 'field' "
+                "and 'inference_text'"
+            )
+        from tweets_elastic_spark.functions.analyzers import (
+            analyze, analyze_text,
+        )
+
+        window = int(body.get("rank_window_size", size))
+        leg = es_retriever(df, child, id_col=id_col, size=window,
+                           analyzers=analyzers, tokens_cols=tokens_cols
+                           ).select(id_col)
+        qtok = sorted(set(analyze_text(df.sparkSession, qtext, "standard")))
+        doctoks = F.array_distinct(analyze(F.col(field), "standard"))
+        qarr = F.array(*[F.lit(t) for t in qtok])
+        inter = F.size(F.array_intersect(doctoks, qarr))
+        union = F.size(doctoks) + F.lit(len(qtok)) - inter
+        sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        rescored = df.join(F.broadcast(leg), id_col).select(
+            F.col(id_col), sim.alias("score")
+        )
+        return ranked(rescored, size)
     if kind == "rrf":
         children = body.get("retrievers")
         if not (isinstance(children, list) and len(children) >= 2):

@@ -2836,6 +2836,67 @@ def q_es_request_retriever_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_request_retriever_rerank",
+    oracle="""
+    WITH leg AS (
+        SELECT doc_id, round(0.001 * n_chars, 6) AS s
+        FROM documents WHERE n_chars >= 100
+        ORDER BY s DESC, doc_id ASC LIMIT 30
+    ),
+    toks AS (
+        SELECT d.doc_id,
+               list_distinct(list_transform(
+                 list_filter(regexp_split_to_array(d.text,
+                                                   '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x))) AS t
+        FROM documents d JOIN leg USING (doc_id)
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST(len(list_intersect(t, ['data', 'spark', 'streaming']))
+                    AS DOUBLE)
+               / (len(t) + 3
+                  - len(list_intersect(t, ['data', 'spark', 'streaming'])))
+               AS score
+        FROM toks
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM sim
+    ORDER BY round(score, 6) DESC, doc_id ASC
+    LIMIT 12
+    """,
+    doc="ES 8.15 text_similarity_reranker retriever: a standard child "
+        "leg (field_value_factor over n_chars) retrieves a 30-doc rank "
+        "window, then the window re-scores by text similarity between "
+        "inference_text and the text field. ES calls an inference "
+        "endpoint; this engine substitutes the deterministic lexical "
+        "model (token-set Jaccard, standard analyzer) — documented "
+        "model-free divergence. The window's ids broadcast back onto "
+        "the doc scan; the similarity is scan-local; the re-rank is a "
+        "TakeOrdered over 30 rows.",
+)
+def q_es_request_retriever_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tweets_elastic_spark.plans.search import es_retriever
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    return es_retriever(docs, {"text_similarity_reranker": {
+        "retriever": {"standard": {"query": {"function_score": {
+            "query": {"range": {"n_chars": {"gte": 100}}},
+            "functions": [{"field_value_factor": {
+                "field": "n_chars", "factor": 0.001}}],
+        }}}},
+        "field": "text",
+        "inference_text": "spark streaming data",
+        "rank_window_size": 30,
+    }}, id_col="doc_id", size=12)
+
+
+@register(
     "es_request_retriever_linear",
     oracle=_RETRIEVER_FRAME_CTE + """,
     b1 AS (SELECT min(s) AS lo, max(s) AS hi FROM r1),

@@ -2825,3 +2825,21 @@ def test_es_retriever_text_similarity_reranker(spark):
         es_retriever(df, {"text_similarity_reranker": {
             "retriever": {"standard": {"query": {"match_all": {}}}},
             "field": "text", "inference_text": "x", "min_score": 0.5}})
+
+
+def test_es_request_retriever_envelope(spark):
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0)], "doc_id long, pop double")
+    body = {"retriever": {"standard": {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"field_value_factor": {"field": "pop"}}],
+    }}}}, "size": 2}
+    got = [(r["doc_id"], r["score"])
+           for r in es_request(df, body, tiebreak="doc_id").collect()]
+    assert got == [(2, 9.0), (3, 7.0)]
+    with pytest.raises(ValueError, match="replaces"):
+        es_request(df, {**body, "sort": ["pop"]}, tiebreak="doc_id")
+    with pytest.raises(ValueError, match="tiebreak"):
+        es_request(df, body)

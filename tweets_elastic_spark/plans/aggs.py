@@ -3612,6 +3612,34 @@ def es_request(
                     resolve_doc=lambda f: F.col(f).cast("double"),
                 ).cast(ftype),
             )
+    retr = body.get("retriever")
+    if retr is not None:
+        # ES 8.14 retriever envelope: the retriever tree REPLACES the
+        # top-level query/knn/rank split — composition happens inside
+        # the tree (rrf/linear/reranker nodes), so envelope features
+        # that would re-order or re-shape its output are contradictions,
+        # not extensions.
+        from tweets_elastic_spark.plans.search import es_retriever
+
+        conflict = set(body) & {
+            "query", "knn", "aggs", "aggregations", "sort", "from",
+            "search_after", "collapse", "rescore", "highlight",
+        }
+        if conflict:
+            raise ValueError(
+                f"'retriever' replaces {sorted(conflict)} (ES 8.14 "
+                "contract: compose inside the retriever tree)"
+            )
+        if tiebreak is None:
+            raise ValueError(
+                "retriever requests need a tiebreak id column "
+                "(deterministic ranks; ES's internal doc id is not "
+                "reproducible)"
+            )
+        return es_retriever(
+            df, retr, id_col=tiebreak, size=int(body.get("size", 10)),
+            analyzers=analyzers, tokens_cols=tokens_cols,
+        )
     q = body.get("query")
     aggs = body.get("aggs", body.get("aggregations"))
     if q is not None:

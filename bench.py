@@ -356,10 +356,12 @@ SF1_HEADLINE = [
     "es_aggs_adjacency_nested_terms", "eql_sample_by_stage",
     "search_intervals_all_of_unordered", "search_span_not",
     "warc_extract_text",
-    # r12 final session: new agg kinds + the crawl composition (all
-    # measured at sf1 in SCALING.md's final-session table)
+    # r12 final session: new agg kinds + the crawl composition + the
+    # retriever tree (all measured at sf1 in SCALING.md's final-session
+    # tables)
     "es_aggs_time_series", "es_aggs_inference", "crawl_corpus_pipeline",
-    "es_rank_eval_ndcg",
+    "es_rank_eval_ndcg", "es_request_retriever_rrf",
+    "es_request_retriever_linear", "es_request_retriever_rerank",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -51,8 +51,11 @@ ROWS = [
     "es_aggs_adjacency_nested_terms", "eql_sample_by_stage",
     "search_intervals_all_of_unordered", "search_span_not",
     "warc_extract_text",
-    # r12 final session (new agg kinds + the crawl composition)
+    # r12 final session (new agg kinds + the crawl composition + the
+    # retriever tree)
     "es_aggs_time_series", "es_aggs_inference", "crawl_corpus_pipeline",
+    "es_request_retriever_rrf", "es_request_retriever_linear",
+    "es_request_retriever_rerank",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

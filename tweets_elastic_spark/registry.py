@@ -82,6 +82,19 @@ DRIVER_PRIORITY: list[str] = [
     # CommonCrawl ingestion stage) displacing rollup_search_month
     # (green r10, parity-gated).
     #
+    # r12 THIRD WAVE (5 out / 5 in — same new-code-first principle for
+    # the final session's operators: the last two absent agg kinds and
+    # the 8.14+ retriever tree). OUT (all long-green + still
+    # parity-gated): es_aggs_significant_gnd (green r11+r12),
+    # es_aggs_moving_percentiles (green r11+r12),
+    # es_aggs_frequent_item_sets (green r11+r12), ingest_pipeline
+    # (green since r8), search_intervals_all_of (green r11+r12; the
+    # intervals family keeps the unordered slot). IN:
+    # es_aggs_time_series, es_aggs_inference, es_request_retriever_rrf,
+    # es_request_retriever_linear, es_request_retriever_rerank. The
+    # full 50-entry prefix replayed through the driver-replica compare
+    # after the swap, as with the prior waves.
+    #
     # flagship + relational reference surface
     "tweet_documents_flat", "denorm_order_lineitems",
     "exists_child_hof",
@@ -95,11 +108,12 @@ DRIVER_PRIORITY: list[str] = [
     # ES agg families (r12 in: top_hits per-bucket hit lifting,
     # percentiles exact interpolation, pipeline bucket math chain,
     # top_metrics sort-coupled metrics)
-    "es_terms_enum", "es_aggs_significant_gnd", "es_aggs_moving_percentiles",
+    "es_terms_enum", "es_aggs_time_series", "es_aggs_inference",
     "es_aggs_top_hits", "es_aggs_percentiles", "es_aggs_pipeline",
     "es_aggs_top_metrics",
-    "es_aggs_frequent_item_sets", "warc_extract_text",
-    "ingest_pipeline", "search_intervals_all_of",
+    # retriever tree (r12 third wave: fusion + rerank request surface)
+    "es_request_retriever_rrf", "es_request_retriever_linear",
+    "es_request_retriever_rerank", "warc_extract_text",
     # suggesters (r12 in: term suggester's dictionary-bounded edit
     # ranking — first driver row for the suggest family)
     "es_suggest_terms",

@@ -3005,3 +3005,28 @@ def test_inference_pipeline_models_and_guards(spark, sales):
                 "model": {"type": "regression", "weights": {"x": 1.0}},
             }}},
         }})
+
+def test_inference_null_feature_propagates_null(spark):
+    # Documented NULL-feature contract: an all-NULL bucket's avg is
+    # NULL and the inference response propagates it (SQL three-valued
+    # arithmetic) — classification's probability and 0/1 prediction go
+    # NULL too — instead of ES's per-bucket inference failure.
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("b", None)],
+        "region string, amount double")
+    rows = {r["k"]: r for r in es_aggregate(df, {"k": {
+        "terms": {"field": "region"},
+        "aggs": {
+            "m": {"avg": {"field": "amount"}},
+            "pred": {"inference": {
+                "buckets_path": {"m": "m"},
+                "model": {"type": "classification",
+                          "weights": {"m": 1.0}, "intercept": -3.0},
+            }},
+        },
+    }}).collect()}
+    assert rows["a"]["pred"] in (0, 1)
+    assert rows["a"]["pred_prediction_probability"] is not None
+    assert rows["b"]["m"] is None
+    assert rows["b"]["pred"] is None
+    assert rows["b"]["pred_prediction_probability"] is None

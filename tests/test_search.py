@@ -2843,3 +2843,70 @@ def test_es_request_retriever_envelope(spark):
         es_request(df, {**body, "sort": ["pop"]}, tiebreak="doc_id")
     with pytest.raises(ValueError, match="tiebreak"):
         es_request(df, body)
+
+def test_es_retriever_compound_filter_and_key_guards(spark):
+    # ES 8.16 compound-level `filter` on rrf/linear pre-applies to the
+    # scan every child leg reads; unknown body/child keys raise rather
+    # than silently changing the result (the advisor-flagged gap: a
+    # filtered rrf request must never return unfiltered results).
+    from tweets_elastic_spark.plans.search import es_retriever
+
+    rows = [
+        (1, 10.0, [1.0, 0.0]), (2, 20.0, [0.0, 1.0]),
+        (3, 30.0, [0.6, 0.8]), (4, 40.0, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, pop double, emb array<float>")
+    std = {"standard": {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"field_value_factor": {"field": "pop"}}],
+    }}}}
+    knn = {"knn": {"field": "emb", "query_vector": [1.0, 0.0], "k": 4}}
+
+    # unfiltered rrf sees doc 4; the compound filter pop < 35 removes
+    # it from BOTH legs (4 tops the std leg AND ties the knn leg)
+    rrf = {"rrf": {"retrievers": [std, knn], "rank_window_size": 4}}
+    assert {r["doc_id"] for r in es_retriever(df, rrf, size=4).collect()
+            } == {1, 2, 3, 4}
+    filtered = {"rrf": {"retrievers": [std, knn], "rank_window_size": 4,
+                        "filter": {"range": {"pop": {"lt": 35}}}}}
+    assert {r["doc_id"]
+            for r in es_retriever(df, filtered, size=4).collect()
+            } == {1, 2, 3}
+
+    # linear compound filter: same contract
+    lin = {"linear": {"retrievers": [
+        {"retriever": std, "weight": 1.0, "normalizer": "minmax"},
+    ], "filter": {"range": {"pop": {"lt": 35}}}}}
+    got = es_retriever(df, lin, size=4).collect()
+    assert [r["doc_id"] for r in got][0] == 3  # 4 filtered out, 3 tops
+
+    # guards: unknown compound keys and unknown linear child keys
+    with pytest.raises(ValueError, match="unsupported rrf"):
+        es_retriever(df, {"rrf": {"retrievers": [std, knn],
+                                  "rank_window": 3}})
+    with pytest.raises(ValueError, match="unsupported linear retriever"):
+        es_retriever(df, {"linear": {"retrievers": [
+            {"retriever": std}], "rank_constant": 60}})
+    with pytest.raises(ValueError, match="unsupported linear child"):
+        es_retriever(df, {"linear": {"retrievers": [
+            {"retriever": std, "filter": {"match_all": {}}}]}})
+
+
+def test_es_request_retriever_envelope_whitelist(spark):
+    # Envelope keys the non-retriever path honors (_source, post_filter,
+    # min_score, fields, explain) raise alongside `retriever` instead of
+    # being silently dropped (advisor-flagged: whitelist, not blacklist).
+    from tweets_elastic_spark.plans.aggs import es_request
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0)], "doc_id long, pop double")
+    body = {"retriever": {"standard": {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"field_value_factor": {"field": "pop"}}],
+    }}}}, "size": 2}
+    assert es_request(df, body, tiebreak="doc_id").count() == 2
+    for bad in ("_source", "post_filter", "min_score", "fields",
+                "explain"):
+        with pytest.raises(ValueError, match="unsupported envelope"):
+            es_request(df, {**body, bad: {}}, tiebreak="doc_id")

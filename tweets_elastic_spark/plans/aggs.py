@@ -2510,6 +2510,16 @@ def _apply_pipeline_aggs(
             # classification emits <name> (0/1 at probability 0.5) plus
             # <name>_prediction_probability — mirroring ES's
             # predicted_value / prediction_probability fields.
+            # NULL-feature contract (documented divergence): a NULL
+            # bucket metric (avg over an all-NULL bucket, a leading
+            # derivative/serial_diff bucket) propagates NULL through
+            # the response — SQL three-valued arithmetic, the same
+            # convention every other pipeline agg here follows — where
+            # ES would fail the inference for that bucket. Pinned by
+            # tests/test_es_aggs.py::
+            # test_inference_null_feature_propagates_null; callers
+            # wanting ES's failure mode gate upstream with
+            # bucket_selector or gap_policy.
             model = pbody.get("model")
             if not (isinstance(model, dict)
                     and isinstance(model.get("weights"), dict)
@@ -3629,6 +3639,19 @@ def es_request(
             raise ValueError(
                 f"'retriever' replaces {sorted(conflict)} (ES 8.14 "
                 "contract: compose inside the retriever tree)"
+            )
+        # Whitelist, not blacklist: any OTHER envelope key the
+        # non-retriever path would honor (_source, post_filter,
+        # min_score, fields, explain, ...) must raise rather than be
+        # silently dropped — the retriever path returns the fixed
+        # (id, score[, n_legs]) shape and cannot reproduce them.
+        extra = set(body) - {"retriever", "size", "runtime_mappings"}
+        if extra:
+            raise ValueError(
+                f"unsupported envelope keys alongside 'retriever': "
+                f"{sorted(extra)} (this path emits the ranked "
+                "(id, score) relation only; result-shaping envelope "
+                "options belong on the non-retriever path)"
             )
         if tiebreak is None:
             raise ValueError(

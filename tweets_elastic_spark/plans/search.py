@@ -3814,13 +3814,20 @@ def es_retriever(
       accurate divergence from HNSW shared with the knn request clause;
       ``num_candidates`` is accepted and trivially satisfied.
     * ``rrf`` — {"retrievers": [...], "rank_window_size",
-      "rank_constant"}: children evaluate recursively, truncate to
-      rank_window_size each, and fuse via rrf_fuse (adds ``n_legs``).
+      "rank_constant", "filter"}: children evaluate recursively,
+      truncate to rank_window_size each, and fuse via rrf_fuse (adds
+      ``n_legs``).
     * ``linear`` — {"retrievers": [{"retriever": ..., "weight",
-      "normalizer"}], "rank_window_size"}: weighted sum of per-leg
-      normalized scores; ``minmax`` rescales each leg to [0, 1]
+      "normalizer"}], "rank_window_size", "filter"}: weighted sum of
+      per-leg normalized scores; ``minmax`` rescales each leg to [0, 1]
       (single-score legs normalize to 1.0 — the max IS the score),
       ``none`` uses raw scores. Docs absent from a leg contribute 0.
+
+    Compound-level ``filter`` (ES 8.16) on rrf/linear pre-applies to
+    the scan every child leg reads — ES's attach-to-each-child
+    semantics, expressed once so Catalyst pushes it into the shared
+    scan. Every branch guards its key set: an option this engine does
+    not honor raises instead of silently changing the result.
 
     Every leg truncates BEFORE fusion (TakeOrderedAndProject), so the
     rank windows and fusion groupBys run on leg-sized relations — the
@@ -3932,12 +3939,30 @@ def es_retriever(
         )
         return ranked(rescored, size)
     if kind == "rrf":
+        # Same never-silently-ignore contract as the other branches: an
+        # unknown body key (a typo'd rank_window_size, an 8.16 option
+        # this engine lacks) must raise, not return differently-shaped
+        # results. ES 8.16's compound-level `filter` IS supported: it
+        # pre-applies to the scan every child leg reads — equivalent to
+        # ES attaching it as a pre-filter to each child.
+        extra = set(body) - {"retrievers", "rank_window_size",
+                             "rank_constant", "filter"}
+        if extra:
+            raise ValueError(
+                f"unsupported rrf retriever keys: {sorted(extra)}"
+            )
         children = body.get("retrievers")
         if not (isinstance(children, list) and len(children) >= 2):
             raise ValueError("rrf retriever needs >= 2 child retrievers")
+        scan = df
+        if body.get("filter") is not None:
+            pre = from_es_json({"query": body["filter"]},
+                               analyzers=analyzers, tokens_cols=tokens_cols)
+            scan = scan.filter(pre.predicate(scan.sparkSession,
+                                             _col_resolver))
         window = int(body.get("rank_window_size", size))
         legs = [
-            es_retriever(df, c, id_col=id_col, size=window,
+            es_retriever(scan, c, id_col=id_col, size=window,
                          analyzers=analyzers, tokens_cols=tokens_cols)
             .select(id_col, "score")
             for c in children
@@ -3945,12 +3970,34 @@ def es_retriever(
         return rrf_fuse(legs, id_col=id_col, k=size,
                         rank_constant=int(body.get("rank_constant", 60)))
     if kind == "linear":
+        extra = set(body) - {"retrievers", "rank_window_size", "filter"}
+        if extra:
+            raise ValueError(
+                f"unsupported linear retriever keys: {sorted(extra)}"
+            )
         children = body.get("retrievers")
         if not (isinstance(children, list) and children):
             raise ValueError("linear retriever needs child retrievers")
+        scan = df
+        if body.get("filter") is not None:
+            pre = from_es_json({"query": body["filter"]},
+                               analyzers=analyzers, tokens_cols=tokens_cols)
+            scan = scan.filter(pre.predicate(scan.sparkSession,
+                                             _col_resolver))
         window = int(body.get("rank_window_size", size))
         fused = None
         for c in children:
+            if not isinstance(c, dict):
+                raise ValueError(
+                    "each linear child is {'retriever': ..., 'weight', "
+                    "'normalizer'}"
+                )
+            child_extra = set(c) - {"retriever", "weight", "normalizer"}
+            if child_extra:
+                raise ValueError(
+                    f"unsupported linear child keys: "
+                    f"{sorted(child_extra)}"
+                )
             spec = c.get("retriever")
             if spec is None:
                 raise ValueError(
@@ -3964,7 +4011,7 @@ def es_retriever(
                     f"unsupported linear normalizer {norm!r} "
                     "(none/minmax)"
                 )
-            leg = es_retriever(df, spec, id_col=id_col, size=window,
+            leg = es_retriever(scan, spec, id_col=id_col, size=window,
                                analyzers=analyzers, tokens_cols=tokens_cols
                                ).select(id_col, "score")
             if norm == "minmax":

@@ -473,3 +473,26 @@ def test_driver_prefix_schemas_are_primitive_only(spark):
         "registry entries must emit primitive-only top-level "
         f"schemas (driver sort_values cannot sort these): {offenders}"
     )
+
+def test_driver_prefix_rows_are_nontrivial(spark):
+    """Every DRIVER_PRIORITY entry must return >= 1 row at sf0.01. A
+    0-rows-vs-0-rows driver comparison is vacuously green — it verifies
+    request framing, not semantics (the r12 ``search_more_like_this``
+    row: the seed's term selection produced an empty selected set at
+    the default 25% df cap, so engine and oracle both returned empty
+    and the tf·idf scoring was never exercised). This guard makes a
+    trivially-green prefix row unreachable: rotating in an entry whose
+    seed is empty at sf0.01 fails the suite, forcing a re-seed first
+    (COVERAGE.md rotation policy)."""
+    from tweets_elastic_spark.registry import DRIVER_PRIORITY
+
+    registry._ensure_loaded()
+    empty = []
+    for name in DRIVER_PRIORITY:
+        df = registry.get(name).fn(spark, SF)
+        if df.limit(1).count() == 0:
+            empty.append(name)
+    assert not empty, (
+        "DRIVER_PRIORITY entries must be non-trivial at sf0.01 "
+        f"(0-vs-0 driver rows verify nothing): {empty}"
+    )

@@ -2640,7 +2640,7 @@ def q_es_aggs_date_range_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     ), sel AS (
         SELECT s.term, ln(n.n / d.df) AS idf
         FROM seedtf s JOIN dfs d USING (term), n
-        WHERE d.df >= 2 AND d.df <= n.n * 0.25
+        WHERE d.df >= 2 AND d.df <= n.n * 0.78
         ORDER BY s.tf * ln(n.n / d.df) DESC, s.term ASC
         LIMIT 12
     ), kk AS (SELECT count(*) AS k FROM sel),
@@ -2655,16 +2655,22 @@ def q_es_aggs_date_range_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM m, kk
     WHERE n_matched >= floor(kk.k * 0.3)
     ORDER BY score DESC, doc_id ASC
-    LIMIT 10
+    LIMIT 120
     """,
     doc="ES more_like_this: documents similar to seed doc 42 — the seed's "
-        "terms filtered by tf/df bounds (df >= 2, df <= 25% of the corpus "
-        "— the stopword guard), top-12 by tf*idf, every other doc scored "
-        "by the sum of selected-term idfs it matches with a 30% "
-        "minimum_should_match. Fully in-plan: the selected-terms relation "
-        "(<= 12 rows) broadcasts, no driver-side term collection; two "
-        "token aggregations + TakeOrderedAndProject, linear in posting "
-        "count.",
+        "terms filtered by tf/df bounds (df >= 2, df <= 78% of the corpus "
+        "— the stopword guard; the synthetic corpus's 31-term vocabulary "
+        "sits almost entirely at df 75-80%, so ES's default 25% cap "
+        "selects nothing and the r12 driver row passed 0-vs-0 — this "
+        "seed puts the cut MID-distribution so selection, idf arithmetic "
+        "and the msm gate all do real work: 12 of 13 candidate terms "
+        "selected, k=120 crosses the 12-matched/11-matched score "
+        "boundary, 10+ distinct scores at sf0.01), top-12 by tf*idf, "
+        "every other doc scored by the sum of selected-term idfs it "
+        "matches with a 30% minimum_should_match. Fully in-plan: the "
+        "selected-terms relation (<= 12 rows) broadcasts, no driver-side "
+        "term collection; two token aggregations + "
+        "TakeOrderedAndProject, linear in posting count.",
 )
 def q_search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.search import more_like_this
@@ -2672,8 +2678,8 @@ def q_search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return more_like_this(
         docs, 42, analyzer="standard", max_query_terms=12,
-        min_doc_freq=2, max_doc_freq_frac=0.25,
-        minimum_should_match=0.3, k=10,
+        min_doc_freq=2, max_doc_freq_frac=0.78,
+        minimum_should_match=0.3, k=120,
     )
 
 

@@ -589,7 +589,11 @@ def main() -> None:
         headline = HEADLINE
         build_index = True
 
-    queries = registry.all_queries()
+    # registry entries + the bench-only production variants (xxhash64
+    # minhash/simhash, k-means/sidecar IVF): outside the driver contract
+    # since r13, but they ARE the production fast paths, so the bench
+    # keeps timing them (COVERAGE.md "rows-only class closed").
+    queries = {**registry.all_queries(), **registry.bench_variants()}
     # Warm EVERY headline query once at sf0.001 before its timed sf0.1 run
     # (this includes analyze_englando, which also primes the Python-UDF
     # worker pool + Arrow serializers) — so per-query times measure

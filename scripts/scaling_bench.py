@@ -78,7 +78,7 @@ def main() -> None:
     ensure_index(spark, "/root/testdata/sf0.01")
     ensure_index(spark, "/root/testdata/sf0.001")
     sf1 = ensure_sf1(spark)
-    qs = registry.all_queries()
+    qs = {**registry.all_queries(), **registry.bench_variants()}
     for name in ROWS:
         fn = qs[name]
         fn(spark, "/root/testdata/sf0.001").write.mode("overwrite") \

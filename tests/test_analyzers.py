@@ -200,3 +200,27 @@ def test_trim_truncate_unique_fingerprint_filters(spark):
     ).select(analyze(F.col("text"), "fingerprint").alias("fp")).collect()
     assert list(out[0]["fp"]) == ["brown fox quick the"]
     assert list(out[1]["fp"]) == [] and list(out[2]["fp"]) == []
+
+def test_englando_oracle_vocab_covers_corpus():
+    """The englando oracle's stem CASE is a fixture over the corpus's
+    fixed vocabulary; this guard keeps the fixture complete — if the
+    testdata generator ever widens the vocabulary, this fails before a
+    ~MISSINGSTEM sentinel can redden the driver row."""
+    import duckdb
+
+    from tweets_elastic_spark.queries.text import _ENGLANDO_VOCAB
+
+    con = duckdb.connect()
+    vocab = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = con.execute(f"""
+            SELECT DISTINCT unnest(list_filter(
+                regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                x -> x <> ''))
+            FROM read_parquet('/root/testdata/{sf}/documents.parquet')
+        """).fetchall()
+        vocab.update(r[0].lower() for r in rows)
+    assert vocab <= set(_ENGLANDO_VOCAB), (
+        f"corpus vocabulary outgrew the oracle fixture: "
+        f"{sorted(vocab - set(_ENGLANDO_VOCAB))}"
+    )

@@ -250,7 +250,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
     joins. A new operator that accidentally joins without a key fails
     here before it ever reaches the driver."""
     offenders = []
-    for name in registry.all_queries():
+    for name in {**registry.all_queries(), **registry.bench_variants()}:
         try:
             p = plan_of(spark, name)
         except Exception as e:  # index-dependent queries build their index

@@ -24,7 +24,7 @@ from tweets_elastic_spark.indexing import (
     read_indexed_embeddings,
 )
 from tweets_elastic_spark.operators import similarity as S
-from tweets_elastic_spark.registry import register
+from tweets_elastic_spark.registry import bench_variant, register
 from tweets_elastic_spark.queries.dedup_q import _LSH_ORACLE, _PQ_ORACLE, _rh_sig_sql
 from tweets_elastic_spark.queries.search_q import (
     _BM25_DF_SQL,
@@ -160,13 +160,15 @@ def q_ann_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk_indexed(emb, qvec, k=10, sig_cols=SIG_COLS)
 
 
-@register(
+@bench_variant(
     "ann_ivf_topk_indexed",
-    oracle=None,  # centroids live in the index sidecar, not in static SQL
-    doc="IVF ANN over the written index: probe cells come from the sidecar "
-        "centroids (k x d driver math), the corpus plan is a pure "
-        "isin(ivf_cell) filter over the stored cell id + exact rerank — "
-        "no training job, no assignment UDF at query time.",
+    doc="PRODUCTION IVF-through-the-index (bench-only since r13): probe "
+        "cells come from the sidecar centroids, which no static SQL can "
+        "reach — stored==recomputed cells and single-vs-indexed "
+        "equivalence are pinned in tests/test_indexing.py, and the "
+        "k-means IVF contract holds a driver row via "
+        "ann_ivf_recall_profile; the corpus plan is a pure "
+        "isin(ivf_cell) filter over the stored cell id + exact rerank.",
 )
 def q_ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -233,10 +235,10 @@ def q_ann_lsh_multi_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@bench_variant(
     "ann_ivf_multi_indexed",
-    oracle=None,  # probe cells derive from sidecar centroids (not static SQL)
-    doc="Batched IVF ANN through the index: per-query probe cells computed "
+    doc="PRODUCTION batched IVF through the index (bench-only since r13; "
+        "see ann_ivf_topk_indexed): per-query probe cells computed "
         "inside the plan (literal-centroid distances + array_sort on the "
         "broadcast query side), array_contains(probes, stored_cell) "
         "candidate join, one corpus scan, per-query ranking window. "

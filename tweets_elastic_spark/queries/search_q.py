@@ -3164,8 +3164,33 @@ def q_es_aggs_multi_terms_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "es_aggs_multi_terms_mad_sketch",
-    oracle=None,  # sketch output is approximate by contract: rank-error-
-    # bounded vs the exact twin by pytest (test_es_aggs), not hash-oracled
+    oracle="""
+    WITH src AS (
+        SELECT lang, source, n_chars::DOUBLE AS x,
+               quantile_disc(n_chars::DOUBLE, 0.5)
+                   OVER (PARTITION BY lang, source) AS med
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT lang || '|' || source AS by_ls,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(quantile_disc(abs(x - med), 0.5), 6) AS mad_chars
+    FROM src GROUP BY lang, source
+    ORDER BY doc_count DESC, by_ls ASC
+    LIMIT 10
+    """,
+    # FULL oracle since r13 (was rows-only "sketch output is approximate"):
+    # in the all-values regime (bucket n <= the GK buffer at accuracy
+    # 20000 — provable at every oracle-gated SF; fixture buckets hold
+    # 10-112 values) Spark's percentile_approx(0.5) deterministically
+    # returns the order statistic at 1-based rank ceil(n/2), which is
+    # DuckDB's quantile_disc(0.5) — so sketch median AND sketched
+    # deviations replay exactly as discrete quantiles (verified
+    # value-equal at sf0.001/0.01/0.1). The COMPRESSED regime (where the
+    # replay no longer holds) stays pinned by the Zipf rank-error pytest
+    # (test_es_aggs.py::test_mad_zipf_skew_exact_vs_sketch, 20k rows);
+    # if fixture buckets ever outgrow the buffer the row fails loudly
+    # rather than silently passing.
     doc="The SKEW-SAFE twin of es_aggs_multi_terms_mad (r6 verdict item "
         "2): median_absolute_deviation with ES's compression knob opts "
         "into the sketch path — per-bucket state is two mergeable "

@@ -203,10 +203,68 @@ def q_analyze_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The documents corpus's complete text vocabulary (31 words, identical
+# across every shipped SF — all lowercase ASCII, no possessives, so the
+# possessive/lowercase filters are exercised as identities and the stop +
+# stem filters do the visible work: 'a'/'the' drop, six words re-spell).
+# Coverage is asserted by
+# tests/test_analyzers.py::test_englando_oracle_vocab_covers_corpus.
+_ENGLANDO_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _englando_oracle_sql() -> str:
+    """Full DuckDB oracle for AN1 (was rows-only until r13): replay
+    tokenize → possessive → lowercase → stop in SQL, then map each token
+    through a Porter-stem CASE built AT IMPORT from the vendored stemmer
+    over the fixed corpus vocabulary. The driver row thereby verifies
+    the whole distributed analyzer chain (tokenization, filter order,
+    stop list, order-preserving join) against an independent engine;
+    Porter itself is pinned separately by the exact-token pytest over
+    the published Porter vocabulary, so the CASE is a fixture, not a
+    replay of the UDF under test. A token OUTSIDE the fixture maps to
+    token||'~MISSINGSTEM', which can only make the row FAIL — loud,
+    never silently green."""
+    from tweets_elastic_spark.functions.stemmer import porter_stem
+
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{porter_stem(w)}'" for w in _ENGLANDO_VOCAB
+    )
+    stem_case = f"CASE t {whens} ELSE t || '~MISSINGSTEM' END"
+    stop_in = ", ".join(f"'{w}'" for w in A.ENGLISH_STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_filter(
+                 list_transform(
+                   list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                               x -> x <> ''),
+                   x -> lower(regexp_replace(x, '[''’]s$', ''))),
+                 t -> t NOT IN ({stop_in})),
+               t -> {stem_case}),
+             ' ') AS tokens
+    FROM documents
+    """
+
+
 @register(
     "analyze_englando",
-    oracle=None,  # Porter stemming is not SQL-expressible; unit tests pin it
-    doc="AN1 englando analyzer (settings.json:9-19) at corpus scale (rows-only check).",
+    oracle=_englando_oracle_sql(),
+    doc="AN1 englando analyzer (settings.json:9-19) at corpus scale — "
+        "html_strip → standard → possessive → lowercase → stop → Porter, "
+        "token order preserved through the join. FULL oracle since r13 "
+        "(was rows-only 'Porter is not SQL-expressible'): the corpus "
+        "vocabulary is a fixed 31-word set, so the stem step becomes an "
+        "inline CASE fixture built from the vendored stemmer (itself "
+        "exact-token-pinned against the published Porter vocabulary); "
+        "unknown tokens map to a loud ~MISSINGSTEM sentinel that can "
+        "only fail the row. html_strip is identity on this HTML-free "
+        "corpus, same as every analyze_* oracle here.",
 )
 def q_analyze_englando(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))

@@ -33,6 +33,17 @@ class RegisteredQuery:
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
+# Production fast-path twins OUTSIDE the driver contract (r13, closing the
+# rows-only class): entries whose only divergence from a full-oracle
+# registry sibling is an engine-private primitive (xxhash64 base hash,
+# k-means/sidecar centroids) register here instead of carrying a
+# permanently-unverifiable oracle=None row. They stay timed by bench.py
+# (they ARE the production path) and correctness-pinned by equivalence
+# pytests against their oracled siblings; they no longer appear in
+# queries()/oracle_sql(), so the driver surface contains no entry that can
+# never hold a hard signal.
+_BENCH_VARIANTS: dict[str, RegisteredQuery] = {}
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
@@ -40,6 +51,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
         return fn
 
     return deco
+
+
+def bench_variant(name: str, doc: str = ""):
+    """Register a bench-only production variant (see _BENCH_VARIANTS)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _BENCH_VARIANTS[name] = RegisteredQuery(name, fn, None, doc)
+        return fn
+
+    return deco
+
+
+def bench_variants() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {n: q.fn for n, q in _BENCH_VARIANTS.items()}
 
 
 # DISCLOSED EMISSION-ORDER CONTRACT: the driver verifies a 50-entry PREFIX
@@ -176,7 +202,9 @@ def all_oracles() -> dict[str, str]:
 
 def get(name: str) -> RegisteredQuery:
     _ensure_loaded()
-    return _REGISTRY[name]
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    return _BENCH_VARIANTS[name]
 
 
 _LOADED = False

@@ -82,96 +82,89 @@ def bench_variants() -> dict[str, QueryFn]:
 # Per-round rotation rationale lives in COVERAGE.md ("Verification
 # structure" + the round-N addition notes), not here.
 DRIVER_PRIORITY: list[str] = [
-    # r12 ROTATION (15 out / 15 in — the r11 verdict's top task: burn
-    # down the never-driver-verified backlog, leading with r11-new code
-    # that had zero driver rows). OUT (all long-green, all still locally
-    # hash-gated by test_oracle_parity.py): keyset_page,
-    # percolate_matches, pricing_summary, es_rank_eval_ndcg,
-    # search_wrapper_script, lm_perplexity_filter, es_aggs_date_histogram
-    # (composite twin stays), es_aggs_geo_distance (the geo-distance
-    # arithmetic stays covered via search_geo_distance IN),
-    # es_aggs_rare_terms, es_aggs_matrix_stats, tumbling_window
-    # (events_asof_join keeps the time-series slot), eql_sequence_pipes
-    # (four EQL slots remain), lang_id, span_dedup_rebuild,
-    # minhash_lsh_near_dups_portable (dedup keeps 3 slots + corpus_clean).
-    # Schedule for the remaining backlog: COVERAGE.md "Rotation schedule".
-    #
-    # r12 SECOND WAVE (7 out / 7 in — the round's NEW operators take
-    # their first driver rows immediately instead of joining the
-    # backlog). OUT (all long-green + still parity-gated):
-    # search_from_json_dsl, events_asof_join, es_aggs_composite,
-    # essql_date_parts, msearch_template_list, dedup_exact_survivors,
-    # image_near_dups_png. IN: search_span_not, eql_sample_by_stage,
-    # es_aggs_ip_prefix_v6, es_aggs_ip_range_v6,
-    # es_aggs_adjacency_nested_terms, search_intervals_all_of_unordered,
-    # image_near_dups_jpeg_lossless. Plus warc_extract_text (the new
-    # CommonCrawl ingestion stage) displacing rollup_search_month
-    # (green r10, parity-gated).
-    #
-    # r12 THIRD WAVE (5 out / 5 in — same new-code-first principle for
-    # the final session's operators: the last two absent agg kinds and
-    # the 8.14+ retriever tree). OUT (all long-green + still
-    # parity-gated): es_aggs_significant_gnd (green r11+r12),
-    # es_aggs_moving_percentiles (green r11+r12),
-    # es_aggs_frequent_item_sets (green r11+r12), ingest_pipeline
-    # (green since r8), search_intervals_all_of (green r11+r12; the
-    # intervals family keeps the unordered slot). IN:
-    # es_aggs_time_series, es_aggs_inference, es_request_retriever_rrf,
-    # es_request_retriever_linear, es_request_retriever_rerank. The
-    # full 50-entry prefix replayed through the driver-replica compare
-    # after the swap, as with the prior waves.
+    # r13 ROTATION (22 out / 22 in — the COVERAGE.md burn-down schedule's
+    # r13 wave, all 22 first-time driver rows). IN: the scheduled
+    # geo/suggester/intervals/pipeline-agg families (es_aggs_geotile_grid,
+    # es_aggs_geohash_grid, es_aggs_geo_bounds, search_geo_bounding_box,
+    # search_geo_polygon, es_suggest_completion, es_suggest_phrase,
+    # approx_distinct_profile, es_aggs_percentiles_tdigest,
+    # search_intervals, search_intervals_prefix, es_aggs_moving_pipeline,
+    # es_aggs_extended_stats_bucket, es_aggs_top_metrics_multi,
+    # es_request_collapse), the named r12-new candidates
+    # (crawl_corpus_pipeline, url_filter_survivors,
+    # search_span_containing), the §2-adjacent parity-only rows the r12
+    # verdict called out (analyze_fingerprint, dedup_increment_survivors,
+    # unimax_sample), and the newly-oracled analyze_englando (§2 AN1 —
+    # rows-only until r13, now full-oracle). OUT (all green r12 or
+    # earlier, all still hash-gated every run by test_oracle_parity.py):
+    # denorm_order_lineitems (flagship covers the denorm machinery),
+    # search_span_not (span family keeps the containing row),
+    # search_geo_distance (five geo rows come IN), es_request_highlight_
+    # fragments, es_aggs_time_series, es_aggs_inference, es_aggs_top_hits,
+    # es_aggs_percentiles (tdigest-contract twin comes in),
+    # es_aggs_pipeline (moving_pipeline + extended_stats_bucket come in),
+    # es_aggs_top_metrics (multi variant comes in),
+    # es_request_retriever_linear + es_request_retriever_rerank (rrf
+    # keeps the retriever slot), warc_extract_text (crawl_corpus_pipeline
+    # drives the same WARC walk plus four more stages), es_suggest_terms
+    # (completion + phrase come in), es_aggs_ip_range_v6 (prefix_v6
+    # keeps the IPv6 slot), essql_string_functions, eql_sequence_by_stage
+    # + eql_sequence_until + eql_sample (sample_by_stage + disjunction
+    # keep two EQL slots), c4_line_filter (gopher rows keep the
+    # curation-gate slots), video_frame_dups (fmp4 twin stays),
+    # image_near_dups_jpeg (lossless twin stays — strictly more codec
+    # surface). Prior waves' rationale: git history of this list +
+    # COVERAGE.md rotation notes.
     #
     # flagship + relational reference surface
-    "tweet_documents_flat", "denorm_order_lineitems",
-    "exists_child_hof",
-    # search / scoring / full-text (r12 in: more_like_this's TF-IDF
-    # term selection + match; knn request routing; geo-distance query)
-    "search_span_not", "search_more_like_this", "es_request_knn",
-    "search_geo_distance",
-    # hits surface (r12 in: highlight FRAGMENT windows — r11 code with
-    # zero driver rows)
-    "es_request_highlight_fragments",
-    # ES agg families (r12 in: top_hits per-bucket hit lifting,
-    # percentiles exact interpolation, pipeline bucket math chain,
-    # top_metrics sort-coupled metrics)
-    "es_terms_enum", "es_aggs_time_series", "es_aggs_inference",
-    "es_aggs_top_hits", "es_aggs_percentiles", "es_aggs_pipeline",
-    "es_aggs_top_metrics",
-    # retriever tree (r12 third wave: fusion + rerank request surface)
-    "es_request_retriever_rrf", "es_request_retriever_linear",
-    "es_request_retriever_rerank", "warc_extract_text",
-    # suggesters (r12 in: term suggester's dictionary-bounded edit
-    # ranking — first driver row for the suggest family)
-    "es_suggest_terms",
-    # search front-ends: BM25F fused-field scoring, the ES-SQL endpoint
-    # (r12 in: essql_string_functions — the r11 string-scalar grammar,
-    # zero driver rows until now), mustache LIST iteration
-    "search_combined_fields", "es_aggs_ip_range_v6", "essql_match_query",
-    "essql_string_functions", "es_aggs_adjacency_nested_terms",
-    # windows + time series + sequence correlation (r12 in: per-stage
-    # `by` cross-field join, `until` termination, and the new unordered
-    # `sample` kind — all EQL code with zero driver rows)
-    "eql_sample_by_stage", "es_aggs_ip_prefix_v6",
-    "eql_sequence_disjunction", "eql_sequence_by_stage",
-    "eql_sequence_until", "eql_sample",
+    "tweet_documents_flat", "exists_child_hof",
+    # search / scoring / full-text
+    "search_more_like_this", "es_request_knn", "search_span_containing",
+    # geo family (r13 in: grid bucketing x2, bounds, bbox + polygon
+    # predicates — first driver rows for geo since the engine grew it)
+    "es_aggs_geotile_grid", "es_aggs_geohash_grid", "es_aggs_geo_bounds",
+    "search_geo_bounding_box", "search_geo_polygon",
+    # suggesters (r13 in: completion prefix ranking + the full phrase
+    # bigram-LM replay oracled in r12)
+    "es_suggest_completion", "es_suggest_phrase",
+    # sketch contracts (r13 in: HLL error-bound profile, t-digest
+    # percentile bounds)
+    "approx_distinct_profile", "es_aggs_percentiles_tdigest",
+    # intervals (r13 in: base + prefix variants; unordered all_of stays)
+    "search_intervals", "search_intervals_prefix",
+    "search_intervals_all_of_unordered",
+    # pipeline-agg families (r13 in: moving window chain, sibling
+    # extended stats) + request surface (collapse)
+    "es_aggs_moving_pipeline", "es_aggs_extended_stats_bucket",
+    "es_aggs_top_metrics_multi", "es_request_collapse",
+    # ES agg / request rows retained
+    "es_terms_enum", "es_request_retriever_rrf",
+    "search_combined_fields", "essql_match_query",
+    "es_aggs_adjacency_nested_terms", "es_aggs_ip_prefix_v6",
+    # EQL correlation
+    "eql_sample_by_stage", "eql_sequence_disjunction",
+    # analyzers (r13 in: englando — §2 AN1's FIRST hard-signal row, via
+    # the r13 stem-fixture oracle; fingerprint — parity-only since r10)
+    "analyze_englando", "analyze_fingerprint",
     # text stats + curation quality gates
-    "gopher_quality_filter", "c4_line_filter",
-    # dedup families — the granularity ladder
-    "search_intervals_all_of_unordered", "dedup_near_survivors",
+    "gopher_quality_filter", "gopher_repetition_filter",
+    # crawl -> corpus (r13 in: the end-to-end WARC->gates->dedup
+    # pipeline + the URL gate it composes)
+    "crawl_corpus_pipeline", "url_filter_survivors",
+    # dedup families — the granularity ladder (r13 in: incremental
+    # fingerprint-store dedup, parity-only since r7)
+    "dedup_near_survivors", "dedup_increment_survivors",
     "semdedup_survivors", "corpus_clean",
     # parent-join (r8 s4)
     "search_has_child",
     # ANN families — exact baseline + IVF(-PQ)
     "ann_cosine_topk", "ann_ivfpq_topk",
-    # curation ship stage
-    "decontaminate_survivors", "pii_redact", "gopher_repetition_filter",
+    # curation ship stage (r13 in: unimax_sample — parity-only since r9)
+    "decontaminate_survivors", "pii_redact", "unimax_sample",
     "training_shards", "dsir_sample",
-    # chunking + multimodal (r12 in: image_near_dups_jpeg — the
-    # baseline+PROGRESSIVE JPEG decode oracle, zero driver rows since
-    # the r11 SOF2 decoder landed; video_frame_dups_fmp4 — the
-    # fragmented moof/traf/trun walk, same)
-    "chunk_documents", "image_near_dups_jpeg_lossless", "image_near_dups_jpeg",
-    "video_frame_dups", "video_frame_dups_fmp4",
+    # chunking + multimodal
+    "chunk_documents", "image_near_dups_jpeg_lossless",
+    "video_frame_dups_fmp4",
 ]
 
 

@@ -2910,3 +2910,70 @@ def test_es_request_retriever_envelope_whitelist(spark):
                 "explain"):
         with pytest.raises(ValueError, match="unsupported envelope"):
             es_request(df, {**body, bad: {}}, tiebreak="doc_id")
+
+def test_span_multi_semantics(spark):
+    """Lucene span_multi (r13, formerly a refusal): a prefix/wildcard
+    multi-term query wrapped as unit-width spans — standalone, inside
+    span_or/span_near (both orders), and as span_not include/exclude.
+    Both engines place one span per matching TOKEN position, so the
+    intervals translation is exact."""
+    from tweets_elastic_spark.plans.search import from_es_json, search
+
+    an = {"text": "standard"}
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"),
+         (2, "quill pen"),
+         (3, "fox quicker than most"),
+         (4, "nothing here"),
+         (5, "slow quickstep fox")],
+        "id long, text string",
+    )
+
+    def ids(q):
+        return sorted(r["id"] for r in
+                      search(df, from_es_json({"query": q}, analyzers=an),
+                             k=None).collect())
+
+    pre_qui = {"span_multi": {"match": {"prefix": {"text": "qui"}}}}
+    # standalone: any token starting 'qui'
+    assert ids(pre_qui) == [1, 2, 3, 5]
+    # wildcard inner query, {'value': ...} form
+    assert ids({"span_multi": {"match": {"wildcard": {
+        "text": {"value": "qu*er"}}}}}) == [3]
+    # span_or mixing a term and a multi leaf
+    assert ids({"span_or": {"clauses": [
+        {"span_term": {"text": "pen"}},
+        {"span_multi": {"match": {"prefix": {"text": "noth"}}}},
+    ]}}) == [2, 4]
+    # span_near ordered: qui* then fox, adjacent -> docs 1 (brown
+    # intervenes? no: quick(0) brown(1) fox(2) -> gap 1 needs slop 1)
+    near = lambda slop, order: {"span_near": {"clauses": [
+        pre_qui, {"span_term": {"text": "fox"}},
+    ], "slop": slop, "in_order": order}}
+    assert ids(near(0, True)) == [5]        # quickstep fox adjacent
+    assert ids(near(1, True)) == [1, 5]     # one gap admits brown
+    # unordered: doc 3's fox..quicker (reversed, gap 0) joins at slop 0
+    assert ids(near(0, False)) == [3, 5]
+    # span_not: qui* tokens not within 1 of 'slow'/'than'
+    assert ids({"span_not": {
+        "include": pre_qui,
+        "exclude": {"span_or": {"clauses": [
+            {"span_term": {"text": "slow"}},
+            {"span_term": {"text": "than"}},
+        ]}},
+        "pre": 1, "post": 1,
+    }}) == [1, 2]  # doc 3 quicker~than cut, doc 5 quickstep~slow cut
+    # span_multi as the EXCLUDE side: doc 3/5's fox sits adjacent to a
+    # qui* token and is cut; doc 1's fox is 2 past 'quick' — outside
+    # the pre/post=1 window — and survives
+    assert ids({"span_not": {
+        "include": {"span_term": {"text": "fox"}},
+        "exclude": {"span_multi": {"match": {"prefix": {"text": "qui"}}}},
+        "pre": 1, "post": 1,
+    }}) == [1]
+    # refusals: fuzzy inner query, field_masking_span message
+    with pytest.raises(ValueError, match="prefix/wildcard"):
+        ids({"span_multi": {"match": {"fuzzy": {"text": "quick"}}}})
+    with pytest.raises(ValueError, match="field_masking_span"):
+        ids({"field_masking_span": {
+            "query": {"span_term": {"text": "fox"}}, "field": "lang"}})

@@ -3064,48 +3064,80 @@ def from_es_json(
                     )
 
             return _SpanFirst()
-        if kind in ("span_term", "span_or", "span_near"):
+        if kind in ("span_term", "span_or", "span_near", "span_multi"):
             # Lucene span queries, translated onto the intervals
             # machinery (ES itself recommends intervals over spans —
             # intervals are the modern positional surface and strictly
-            # generalize these three):
+            # generalize these):
             #   span_term {f: v}            -> intervals f: match v
+            #   span_multi {match: {prefix|wildcard: {f: v}}}
+            #       (r13, formerly a refusal) -> intervals f:
+            #       prefix/wildcard — Lucene's multi-term-as-unit-span
+            #       wrapper; both engines place one span per MATCHING
+            #       TOKEN position, so the translation is exact.
+            #       fuzzy/regexp/range inner queries refuse loudly
+            #       (no interval twin here).
             #   span_or   {clauses: [...]}  -> intervals any_of
             #   span_near {clauses, slop, in_order}
             #     in_order=true  -> all_of(ordered, max_gaps=slop)
-            #     in_order=false -> match(joined terms, max_gaps=slop)
-            # Only span_term leaves (and span_or OF span_terms under
-            # span_near via any_of at the top) are expressible this way;
-            # span_not/span_containing/field_masking_span raise with a
-            # pointer to intervals (span_first IS supported, below).
-            def span_leaf(node: dict) -> tuple[str, str]:
+            #     in_order=false, all-term clauses
+            #                    -> match(joined terms, max_gaps=slop)
+            #     in_order=false with a span_multi clause
+            #                    -> all_of(unordered) — the <=4-children
+            #                       expression cap applies and refuses
+            #                       loudly past it.
+            # span_not takes span_multi include/exclude via its own
+            # predicate-position machinery below; span_containing stays
+            # term-only; field_masking_span remains the one span refusal
+            # (cross-field position alignment needs multi-field
+            # mappings this engine does not model — intervals is the
+            # supported surface).
+            def span_leaf(node: dict) -> tuple[str, dict, bool]:
+                """-> (field, interval child rule, is_plain_term)."""
                 (nk, nb), = node.items()
-                if nk != "span_term":
-                    raise ValueError(
-                        f"span_near clauses must be span_term here "
-                        f"(got {nk!r}); express richer compositions "
-                        "with the intervals query directly"
-                    )
-                (f, v), = nb.items()
-                if isinstance(v, dict):
-                    v = v["value"]
-                return f, str(v)
+                if nk == "span_term":
+                    (f, v), = nb.items()
+                    if isinstance(v, dict):
+                        v = v["value"]
+                    return f, {"match": {"query": str(v)}}, True
+                if nk == "span_multi":
+                    if set(nb) != {"match"}:
+                        raise ValueError(
+                            "span_multi takes exactly {'match': "
+                            "<multi-term query>}"
+                        )
+                    (mk, mb), = nb["match"].items()
+                    if mk not in ("prefix", "wildcard"):
+                        raise ValueError(
+                            f"span_multi supports prefix/wildcard inner "
+                            f"queries here (got {mk!r}); fuzzy/regexp "
+                            "have no interval twin — use the fuzzy/"
+                            "regexp document queries"
+                        )
+                    (f, v), = mb.items()
+                    if isinstance(v, dict):
+                        v = v.get("value", v.get(
+                            "prefix" if mk == "prefix" else "pattern"))
+                    want = "prefix" if mk == "prefix" else "pattern"
+                    return f, {mk: {want: str(v)}}, False
+                raise ValueError(
+                    f"span clauses must be span_term/span_multi here "
+                    f"(got {nk!r}); express richer compositions "
+                    "with the intervals query directly"
+                )
 
-            if kind == "span_term":
-                field, value = span_leaf({kind: body})
-                rule = {"match": {"query": value}}
+            if kind in ("span_term", "span_multi"):
+                field, rule, _ = span_leaf({kind: body})
             elif kind == "span_or":
                 leaves = [span_leaf(c) for c in body["clauses"]]
-                fields = {f for f, _ in leaves}
+                fields = {f for f, _, _ in leaves}
                 if len(fields) != 1:
                     raise ValueError(
                         f"span_or clauses must share one field, got "
                         f"{sorted(fields)}"
                     )
                 (field,) = fields
-                rule = {"any_of": {"intervals": [
-                    {"match": {"query": v}} for _, v in leaves
-                ]}}
+                rule = {"any_of": {"intervals": [r for _, r, _ in leaves]}}
             else:
                 extra = set(body) - {"clauses", "slop", "in_order"}
                 if extra:
@@ -3115,7 +3147,7 @@ def from_es_json(
                 leaves = [span_leaf(c) for c in body["clauses"]]
                 if not leaves:
                     raise ValueError("span_near needs clauses")
-                fields = {f for f, _ in leaves}
+                fields = {f for f, _, _ in leaves}
                 if len(fields) != 1:
                     raise ValueError(
                         f"span_near clauses must share one field, got "
@@ -3123,16 +3155,22 @@ def from_es_json(
                     )
                 (field,) = fields
                 slop = int(body.get("slop", 0))
+                all_terms = all(t for _, _, t in leaves)
                 if body.get("in_order", False):
                     rule = {"all_of": {
                         "ordered": True, "max_gaps": slop,
-                        "intervals": [{"match": {"query": v}}
-                                      for _, v in leaves],
+                        "intervals": [r for _, r, _ in leaves],
+                    }}
+                elif all_terms:
+                    rule = {"match": {
+                        "query": " ".join(r["match"]["query"]
+                                          for _, r, _ in leaves),
+                        "max_gaps": slop, "ordered": False,
                     }}
                 else:
-                    rule = {"match": {
-                        "query": " ".join(v for _, v in leaves),
-                        "max_gaps": slop, "ordered": False,
+                    rule = {"all_of": {
+                        "ordered": False, "max_gaps": slop,
+                        "intervals": [r for _, r, _ in leaves],
                     }}
             return compile_node({"intervals": {field: rule}}, scope)
         if kind == "span_not":
@@ -3158,28 +3196,65 @@ def from_es_json(
             if pre < 0 or post < 0:
                 raise ValueError("span_not pre/post/dist must be >= 0")
 
-            def unit_terms(node: dict, role: str) -> tuple[str, list]:
+            def unit_terms(
+                node: dict, role: str
+            ) -> tuple[str, list, list]:
+                """-> (field, literal terms, pattern specs) where specs
+                are ("prefix", lowered) / ("wildcard", anchored regex) —
+                span_multi wrappers (r13) contribute unit-width PATTERN
+                positions next to the literal term positions."""
                 (nk, nb), = node.items()
                 if nk == "span_term":
                     (f, v), = nb.items()
                     return f, [str(v["value"] if isinstance(v, dict)
-                                   else v)]
+                                   else v)], []
+                if nk == "span_multi":
+                    if set(nb) != {"match"}:
+                        raise ValueError(
+                            "span_multi takes exactly {'match': "
+                            "<multi-term query>}"
+                        )
+                    (mk, mb), = nb["match"].items()
+                    if mk not in ("prefix", "wildcard"):
+                        raise ValueError(
+                            f"span_multi supports prefix/wildcard "
+                            f"inner queries here (got {mk!r})"
+                        )
+                    (f, v), = mb.items()
+                    if isinstance(v, dict):
+                        v = v.get("value", v.get(
+                            "prefix" if mk == "prefix" else "pattern"))
+                    v = str(v).lower()
+                    if mk == "prefix":
+                        return f, [], [("prefix", v)]
+                    import re as _re
+
+                    rx = "".join(
+                        ".*" if ch == "*" else "." if ch == "?"
+                        else _re.escape(ch) for ch in v
+                    )
+                    return f, [], [("wildcard", "^" + rx + "$")]
                 if nk == "span_or":
-                    pairs = [unit_terms(c, role) for c in nb["clauses"]]
-                    fields_ = {f for f, _ in pairs}
+                    triples = [unit_terms(c, role) for c in nb["clauses"]]
+                    fields_ = {f for f, _, _ in triples}
                     if len(fields_) != 1:
                         raise ValueError(
                             f"span_not {role} clauses must share one "
                             f"field, got {sorted(fields_)}"
                         )
-                    return pairs[0][0], [v for _, vs in pairs for v in vs]
+                    return (triples[0][0],
+                            [v for _, vs, _ in triples for v in vs],
+                            [s for _, _, ss in triples for s in ss])
                 raise ValueError(
-                    f"span_not {role} must be span_term/span_or here "
-                    f"(got {nk!r}); richer spans via intervals"
+                    f"span_not {role} must be span_term/span_or/"
+                    f"span_multi here (got {nk!r}); richer spans via "
+                    "intervals"
                 )
 
-            inc_field, inc_vals = unit_terms(body["include"], "include")
-            exc_field, exc_vals = unit_terms(body["exclude"], "exclude")
+            inc_field, inc_vals, inc_specs = unit_terms(
+                body["include"], "include")
+            exc_field, exc_vals, exc_specs = unit_terms(
+                body["exclude"], "exclude")
             if inc_field != exc_field:
                 raise ValueError(
                     "span_not include/exclude must share one field "
@@ -3206,18 +3281,31 @@ def from_es_json(
                             )
                         return toks_[0]
 
-                    inc = F.array(*[F.lit(one_tok(v)) for v in inc_vals])
-                    exc = F.array(*[F.lit(one_tok(v)) for v in exc_vals])
                     ts = (resolve(sn_tok) if sn_tok is not None
                           else analyze(resolve(inc_field), sn_analyzer))
 
-                    def pos_of(vals: Column) -> Column:
+                    def pos_of(vals: list, specs: list) -> Column:
+                        toks_lit = [one_tok(v) for v in vals]
+
+                        def hit(x: Column) -> Column:
+                            cond = F.lit(False)
+                            if toks_lit:
+                                cond = cond | F.array_contains(
+                                    F.array(*[F.lit(t) for t in toks_lit]),
+                                    x,
+                                )
+                            for skind, sval in specs:
+                                if skind == "prefix":
+                                    cond = cond | x.startswith(F.lit(sval))
+                                else:
+                                    cond = cond | x.rlike(sval)
+                            return cond
+
                         return F.filter(
                             F.transform(
                                 ts,
-                                lambda x, i: F.when(
-                                    F.array_contains(vals, x), i
-                                ).otherwise(-1),
+                                lambda x, i: F.when(hit(x), i)
+                                .otherwise(-1),
                             ),
                             lambda p: p >= 0,
                         )
@@ -3234,8 +3322,10 @@ def from_es_json(
                         )
 
                     # bind both position arrays once (Catalyst no-CSE)
-                    st = F.struct(pos_of(inc).alias("i"),
-                                  pos_of(exc).alias("e"))
+                    st = F.struct(
+                        pos_of(inc_vals, inc_specs).alias("i"),
+                        pos_of(exc_vals, exc_specs).alias("e"),
+                    )
                     return F.element_at(
                         F.transform(F.array(st), check), 1
                     )
@@ -3381,11 +3471,15 @@ def from_es_json(
                         F.transform(F.array(st), check), 1)
 
             return _SpanContaining()
-        if kind in ("field_masking_span", "span_multi"):
+        if kind == "field_masking_span":
             raise ValueError(
-                f"{kind} is not supported — use the intervals query "
-                "(match/any_of/all_of/prefix/wildcard), the modern "
-                "positional surface ES itself recommends over spans"
+                "field_masking_span is not supported — it re-reads "
+                "positions from a sibling multi-field (text vs "
+                "text.stemmed), and this engine does not model "
+                "multi-field mappings whose token streams are "
+                "position-aligned; use the intervals query (match/"
+                "any_of/all_of/prefix/wildcard), the modern positional "
+                "surface ES itself recommends over spans"
             )
         if kind == "intervals":
             (field, rule), = body.items()

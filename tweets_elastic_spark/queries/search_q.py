@@ -780,6 +780,57 @@ def q_search_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_span_multi",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9'']+'),
+                             x -> x <> ''),
+                 x -> lower(x)) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang,
+          list_filter(list_transform(t, (x,i) -> CASE
+              WHEN x LIKE '%ow' THEN i-1 ELSE -1 END),
+              p -> p >= 0) AS wc,
+          list_filter(list_transform(t, (x,i) -> CASE
+              WHEN x = 'merge' THEN i-1 ELSE -1 END),
+              p -> p >= 0) AS tm
+        FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(wc, a ->
+        list_min(list_filter(tm, x -> x > a)) IS NOT NULL
+        AND list_min(list_filter(tm, x -> x > a)) - a + 1 - 2 <= 3
+    )) > 0
+    """,
+    doc="Lucene span_multi (r13, formerly a refusal): a wildcard "
+        "multi-term query ('*ow' — row/slow/window...) wrapped as "
+        "unit-width spans and composed under an ordered span_near with "
+        "a 'merge' span_term, slop 3 — 'any -ow word shortly before "
+        "merge'. Both engines place one span per matching TOKEN "
+        "position, so the intervals translation (prefix/wildcard unit "
+        "rules inside all_of) is exact; the pattern filter rides the "
+        "same scan-local position HOFs as span_term, no UDF. The "
+        "oracle replays the greedy anchor chain (earliest next "
+        "occurrence minimizes width => exact) with the pattern as a "
+        "LIKE predicate.",
+)
+def q_search_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    query = from_es_json(
+        {"query": {"span_near": {"clauses": [
+            {"span_multi": {"match": {"wildcard": {"text": "*ow"}}}},
+            {"span_term": {"text": "merge"}},
+        ], "slop": 3, "in_order": True}}},
+        analyzers={"text": "standard"},
+    )
+    return search(docs, query, k=None).select("doc_id", "lang")
+
+
+@register(
     "es_aggs_date_histogram",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS by_day,

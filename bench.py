@@ -285,6 +285,14 @@ HEADLINE = [
     "es_request_retriever_rrf",
     "es_request_retriever_linear",
     "es_request_retriever_rerank",
+    # r13: span_multi positional patterns; jusText-lite main-content
+    # extraction (the WARC->curation bridge stage).
+    # ann_ivf_recall_profile is NOT timed: it is the k-means IVF's
+    # correctness-contract row (runs IVF + exact + two verify joins);
+    # the production shape stays timed as ann_ivf_topk.
+    "search_span_multi",
+    "html_main_text",
+    "crawl_main_text_pipeline",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -660,16 +668,22 @@ def main() -> None:
 
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in headline:
-        best = float("inf")
+        samples = []
         for i in range(3):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            if i == 0:
-                first_run[name] = round(dt, 3)
-            best = min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        first_run[name] = round(samples[0], 3)
+        times[name] = round(min(samples), 3)
+        # r13 (r12 verdict task 5): per-query best-of-3 SPREAD committed
+        # to the artifact, so tail-variance rows (same code, 3-8x swings
+        # between runs — GC/eviction noise on the shared box) are
+        # visible IN the record instead of surfacing as phantom
+        # regressions when two rounds' minima land on different sides
+        # of the noise.
+        spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(times.values()), 3)
     full = {
@@ -678,6 +692,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_first_run": first_run,
+        "queries_spread": spread,
         "first_run_total_sec": round(sum(first_run.values()), 3),
         "index_build_sec": index_build_sec,
         "calibration_sec": calibration_sec,

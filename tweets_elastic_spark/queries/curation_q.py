@@ -1290,3 +1290,215 @@ def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Shared DuckDB replay of the jusText-lite extraction (the same arithmetic
+# html_main_text's inline oracle spells out), parameterized by the HTML
+# expression so the pipeline oracle below can run it over the WARC-synth
+# page bodies. Any drift between this helper and the Spark implementation
+# reddens BOTH oracled rows — the rows are the cross-check.
+def _strip_sql(e: str) -> str:
+    return (
+        "trim(regexp_replace(replace(replace(replace(replace(replace("
+        "replace("
+        f"regexp_replace({e}, '<[^>]*>', ' ', 'gs'),"
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
+def _blocks_sql(html_expr: str) -> str:
+    drop = (
+        "'<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>"
+        "|<!--.*?-->'"
+    )
+    split = (
+        "'(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote"
+        "|section|article|header|footer|nav|aside|br)\\b[^>]*>'"
+    )
+    return f"""list_filter(
+        list_transform(
+          regexp_split_to_array(
+            regexp_replace({html_expr}, {drop}, ' ', 'gis'), {split}),
+          b -> {{'t': {_strip_sql('b')},
+                'lc': list_sum(list_transform(
+                        regexp_extract_all(b,
+                          '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                        a -> length({_strip_sql('a')})))}}),
+        s -> length(s.t) > 0)"""
+
+
+_HTML_KEEP_SQL = (
+    "s -> length(s.t) >= 25 AND coalesce(s.lc, 0) <= 0.33 * length(s.t)"
+)
+
+
+@register(
+    "crawl_main_text_pipeline",
+    # The crawl_corpus_pipeline page synth (same uri/status/mime mix,
+    # doc pairs 2k/2k+1 share a body), but the body is the _HTML_PRE
+    # chrome wrap around the partner's text — so the pipeline must run
+    # BOILERPLATE REMOVAL between the WARC walk and the text gates,
+    # exactly where a real crawl pipeline runs trafilatura. The note
+    # block keys on the PARTNER id so pair bodies stay identical and
+    # the dedup stage still does real work.
+    oracle=f"""
+    WITH pick AS (
+        SELECT d.doc_id, d2.text AS ptext, (d.doc_id // 2) * 2 AS pid
+        FROM documents d
+        JOIN documents d2 ON d2.doc_id = (d.doc_id // 2) * 2
+        WHERE d.text IS NOT NULL AND d2.text IS NOT NULL
+    ),
+    u AS (
+        SELECT doc_id,
+               '{_HTML_PRE}' || ptext ||
+               CASE WHEN pid % 3 = 0 THEN '{_HTML_NOTE}' ELSE '' END ||
+               '{_HTML_POST}' AS body,
+               CASE WHEN doc_id % 13 = 0 THEN 'ftp'
+                    ELSE 'http' || CASE WHEN doc_id % 2 = 0 THEN 's'
+                                        ELSE '' END END AS scheme,
+               CASE
+                 WHEN doc_id % 23 = 0 THEN '10.0.0.' ||
+                      CAST(doc_id % 250 AS VARCHAR)
+                 WHEN doc_id % 7 = 0 THEN 'sub' ||
+                      CAST(doc_id % 5 AS VARCHAR) || '.spamhub.com'
+                 ELSE 'sub' || CAST(doc_id % 5 AS VARCHAR) || '.site' ||
+                      CAST(doc_id % 97 AS VARCHAR) || '.com'
+               END AS host,
+               CASE WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END AS port,
+               CASE WHEN doc_id % 19 = 0 THEN '/go/casino/p'
+                    ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path,
+               CASE WHEN doc_id % 37 = 0 THEN 404 ELSE 200 END AS status,
+               CASE WHEN doc_id % 5 = 0 THEN 'text/plain'
+                    ELSE 'text/html' END AS mime
+        FROM pick
+    ),
+    gated AS (
+        SELECT doc_id, host, body
+        FROM u
+        WHERE status = 200 AND mime = 'text/html'
+          AND scheme IN ('http', 'https')
+          AND NOT regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+          AND port = ''
+          AND NOT regexp_matches(lower(scheme || '://' || host || port
+                                       || path), 'casino')
+          AND NOT (host = 'spamhub.com' OR host LIKE '%.spamhub.com')
+    ),
+    ext AS (
+        SELECT doc_id, host,
+               array_to_string(list_transform(
+                 list_filter(bs, {_HTML_KEEP_SQL}), s -> s.t),
+                 ' ') AS main_text,
+               CAST(len(bs) AS BIGINT) AS n_blocks,
+               CAST(len(list_filter(bs, {_HTML_KEEP_SQL}))
+                    AS BIGINT) AS n_kept
+        FROM (SELECT doc_id, host, {_blocks_sql('body')} AS bs FROM gated)
+    ),
+    kept AS (
+        SELECT * FROM ext WHERE length(main_text) >= 200
+    ),
+    surv AS (SELECT main_text, min(doc_id) AS doc_id
+             FROM kept GROUP BY main_text)
+    SELECT k.doc_id, k.host, k.n_blocks, k.n_kept,
+           CAST(length(k.main_text) AS BIGINT) AS main_chars
+    FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+    """,
+    doc="crawl_corpus_pipeline extended one stage (r13): WARC archives "
+        "-> record walk -> status/mime gate -> URL quality + blocklist "
+        "gates -> HTML MAIN-CONTENT EXTRACTION (functions/html.py, the "
+        "trafilatura slot: bodies are chrome-wrapped HTML pages, the "
+        "extractor must recover the content block before any text gate "
+        "can run) -> min-main-text gate -> exact dedup on the EXTRACTED "
+        "text (pair bodies share the wrap AND the content, so survivors "
+        "halve). Every stage replays in the SQL oracle, including the "
+        "block split + link-density arithmetic over the synthesized "
+        "pages. Scale shape: extraction is built-in string expressions "
+        "riding the record walk's output (no new shuffle); the only "
+        "exchanges remain the broadcast blocklist anti-join and the "
+        "dedup groupBy — now keyed on extracted text, which is the "
+        "point: dedup AFTER boilerplate removal collapses pages that "
+        "differ only in chrome.",
+)
+def q_crawl_main_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from tweets_elastic_spark.functions.html import html_main_text
+    from tweets_elastic_spark.sources.warc import build_warc, warc_records
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        "doc_id", "text", F.expr("doc_id DIV 4").alias("gid"),
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        texts = dict(zip((int(d) for d in pdf["doc_id"]), pdf["text"]))
+        pages = []
+        for d in texts:
+            partner = (d // 2) * 2
+            if partner not in texts:
+                continue
+            body = (
+                _HTML_PRE + str(texts[partner])
+                + (_HTML_NOTE if partner % 3 == 0 else "")
+                + _HTML_POST
+            )
+            if d % 23 == 0:
+                host = f"10.0.0.{d % 250}"
+            elif d % 7 == 0:
+                host = f"sub{d % 5}.spamhub.com"
+            else:
+                host = f"sub{d % 5}.site{d % 97}.com"
+            scheme = "ftp" if d % 13 == 0 else \
+                ("https" if d % 2 == 0 else "http")
+            port = ":8080" if d % 17 == 0 else ""
+            path = "/go/casino/p" if d % 19 == 0 else f"/p/{d}"
+            pages.append((
+                f"{scheme}://{host}{port}{path}",
+                404 if d % 37 == 0 else 200,
+                "text/plain" if d % 5 == 0 else "text/html",
+                body,
+            ))
+        gid = int(key[0])
+        return pd.DataFrame({
+            "asset_id": [gid],
+            "payload": [bytearray(build_warc(
+                pages, gzip_members=(gid % 2 == 0)))],
+        })
+
+    archives = cluster_by(docs, "gid").groupBy("gid").applyInPandas(
+        build, "asset_id long, payload binary"
+    )
+    recs = warc_records(archives).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (F.col("mime") == "text/html")
+    ).localCheckpoint()
+    gated = C.url_quality_filter(
+        recs, url_col="uri", blocked_fragments=["casino"],
+    ).withColumn(
+        "doc_id",
+        F.regexp_extract("uri", r"/p/(\d+)$", 1).cast("long"),
+    )
+    blocklist = spark.createDataFrame([("spamhub.com",)], "domain string")
+    clean = C.url_blocklist_filter(gated, blocklist)
+    m = html_main_text(F.col("text"), min_chars=25, max_link_density=0.33)
+    ext = clean.select(
+        "doc_id", "host",
+        m["main_text"].alias("main_text"),
+        m["n_blocks"].alias("n_blocks"),
+        m["n_kept"].alias("n_kept"),
+    ).filter(F.length("main_text") >= 200)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("main_text")
+    return (
+        ext.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select(
+            "doc_id", "host", "n_blocks", "n_kept",
+            F.length("main_text").cast("bigint").alias("main_chars"),
+        )
+    )

@@ -137,20 +137,32 @@ DRIVER_PRIORITY: list[str] = [
     # extended stats) + request surface (collapse)
     "es_aggs_moving_pipeline", "es_aggs_extended_stats_bucket",
     "es_aggs_top_metrics_multi", "es_request_collapse",
+    # r13 SECOND WAVE (3 out / 3 in — the round's OWN new operators
+    # take driver rows immediately, the r12 new-code-first principle):
+    # OUT es_terms_enum (green r11+r12), search_combined_fields
+    # (ever-green), essql_match_query (green r10+r12) — all still
+    # parity-gated. IN: search_span_multi (r13 positional patterns),
+    # html_main_text (r13 jusText-lite extraction),
+    # ann_ivf_recall_profile (the k-means IVF contract row that closed
+    # part of the rows-only class).
+    "search_span_multi", "html_main_text", "ann_ivf_recall_profile",
     # ES agg / request rows retained
-    "es_terms_enum", "es_request_retriever_rrf",
-    "search_combined_fields", "essql_match_query",
+    "es_request_retriever_rrf",
     "es_aggs_adjacency_nested_terms", "es_aggs_ip_prefix_v6",
     # EQL correlation
     "eql_sample_by_stage", "eql_sequence_disjunction",
     # analyzers (r13 in: englando — §2 AN1's FIRST hard-signal row, via
     # the r13 stem-fixture oracle; fingerprint — parity-only since r10)
     "analyze_englando", "analyze_fingerprint",
-    # text stats + curation quality gates
-    "gopher_quality_filter", "gopher_repetition_filter",
+    # text stats + curation quality gates (r13 THIRD WAVE, 1/1:
+    # gopher_repetition_filter out — green r12, textstats family keeps
+    # the quality row — for the session's own crawl_main_text_pipeline)
+    "gopher_quality_filter",
     # crawl -> corpus (r13 in: the end-to-end WARC->gates->dedup
-    # pipeline + the URL gate it composes)
-    "crawl_corpus_pipeline", "url_filter_survivors",
+    # pipeline + the URL gate it composes + the r13 boilerplate-removal
+    # extension — WARC -> gates -> html_main_text -> dedup-on-extracted)
+    "crawl_corpus_pipeline", "crawl_main_text_pipeline",
+    "url_filter_survivors",
     # dedup families — the granularity ladder (r13 in: incremental
     # fingerprint-store dedup, parity-only since r7)
     "dedup_near_survivors", "dedup_increment_survivors",

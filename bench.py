@@ -293,6 +293,8 @@ HEADLINE = [
     "search_span_multi",
     "html_main_text",
     "crawl_main_text_pipeline",
+    "script_profile",
+    "robots_gate_survivors",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -56,6 +56,10 @@ ROWS = [
     "es_aggs_time_series", "es_aggs_inference", "crawl_corpus_pipeline",
     "es_request_retriever_rrf", "es_request_retriever_linear",
     "es_request_retriever_rerank",
+    # r13 (span patterns, boilerplate removal + its pipeline, the IVF
+    # contract row)
+    "search_span_multi", "html_main_text", "crawl_main_text_pipeline",
+    "ann_ivf_recall_profile", "script_profile", "robots_gate_survivors",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

@@ -511,3 +511,42 @@ def test_url_blocklist_filter_parent_domains(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_script_profile_hand_vectors(spark):
+    """Unicode script counts + dominant pick (functions/textstats.py r13):
+    per-script counting, the latin-first tie break, mixed-script pages,
+    and the all-punctuation 'none' case."""
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.functions.textstats import (
+        dominant_script, script_counts,
+    )
+
+    rows = [
+        (1, "hello мир"),          # 5 latin, 3 cyrillic -> latin
+        (2, "мир мир hi"),         # 6 cyrillic, 2 latin -> cyrillic
+        (3, "ab мир"),             # 2 vs 3 -> cyrillic
+        (4, "abc где"),            # 3 vs 3 tie -> latin (priority)
+        (5, "1234 .,!?"),          # no script chars -> none
+        (6, "中文 한글 中"),         # 3 han vs 2 hangul -> han
+        (7, "نص عربي"),            # arabic only
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    c = script_counts(F.col("t"))
+    got = {
+        r["id"]: (r["lat"], r["cyr"], r["han"], r["dom"])
+        for r in df.select(
+            "id",
+            c["latin"].alias("lat"), c["cyrillic"].alias("cyr"),
+            c["han"].alias("han"),
+            dominant_script(c).alias("dom"),
+        ).collect()
+    }
+    assert got[1] == (5, 3, 0, "latin")
+    assert got[2] == (2, 6, 0, "cyrillic")
+    assert got[3] == (2, 3, 0, "cyrillic")
+    assert got[4] == (3, 3, 0, "latin")     # tie -> SCRIPT_CLASSES order
+    assert got[5] == (0, 0, 0, "none")
+    assert got[6] == (0, 0, 3, "han")
+    assert got[7][3] == "arabic"

@@ -475,3 +475,78 @@ def fingerprint_md5(c: Column) -> Column:
 FINGERPRINT_ORACLE_EXPR = (
     "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile (r13): per-document counts of characters in the
+# major writing systems + the dominant script — the multilingual-corpus
+# routing signal (CCNet/mC4 bucket pages by script BEFORE language ID:
+# lang-id models are per-script, and mixed-script pages are a spam
+# signal). Counting is subtraction: len(text) - len(text with the script
+# class removed) — one scan-local regexp per script, no tokenization, no
+# UDF. Java regex spells the class \p{IsCyrillic}; RE2 (DuckDB) spells it
+# \p{Cyrillic} — the oracle helper emits the RE2 form, the Column helper
+# the Java form, over the SAME script list so the two cannot drift apart.
+# BMP scripts only (all listed blocks are basic-plane, where Java
+# length == codepoints == DuckDB length).
+# ---------------------------------------------------------------------------
+
+SCRIPT_CLASSES = [
+    ("latin", "Latin"), ("cyrillic", "Cyrillic"), ("greek", "Greek"),
+    ("arabic", "Arabic"), ("hebrew", "Hebrew"),
+    ("devanagari", "Devanagari"), ("han", "Han"), ("hangul", "Hangul"),
+]
+
+
+def script_counts(c: Column) -> dict[str, Column]:
+    out: dict[str, Column] = {}
+    for name, cls in SCRIPT_CLASSES:
+        out[name] = (
+            F.length(c)
+            - F.length(F.regexp_replace(c, f"[\\p{{Is{cls}}}]", ""))
+        ).cast("bigint")
+    return out
+
+
+def dominant_script(counts: dict[str, Column]) -> Column:
+    """Script with the highest count; ties break by SCRIPT_CLASSES order
+    (latin first); 'none' when no script character occurs. Max via ONE
+    array_max over (n, priority, name) structs — struct comparison is
+    lexicographic, so priority = -index makes the earlier script win
+    ties; the struct array binds the counts once (no expression
+    doubling), and the SQL twin below picks with the identical
+    list_max."""
+    elems = [
+        F.struct(
+            counts[name].alias("n"),
+            F.lit(-i).alias("p"),
+            F.lit(name).alias("s"),
+        )
+        for i, (name, _) in enumerate(SCRIPT_CLASSES)
+    ]
+    m = F.array_max(F.array(*elems))
+    return F.element_at(
+        F.transform(
+            F.array(m),
+            lambda mm: F.when(mm["n"] > 0, mm["s"]).otherwise(F.lit("none")),
+        ),
+        1,
+    )
+
+
+def script_count_oracle_sql(name: str, text_expr: str = "text") -> str:
+    cls = dict(SCRIPT_CLASSES)[name]
+    return (
+        f"CAST(length({text_expr}) - length(regexp_replace({text_expr}, "
+        f"'[\\p{{{cls}}}]', '', 'g')) AS BIGINT)"
+    )
+
+
+def dominant_script_oracle_sql(text_expr: str = "text") -> str:
+    elems = ", ".join(
+        f"{{'n': {script_count_oracle_sql(name, text_expr)}, "
+        f"'p': {-i}, 's': '{name}'}}"
+        for i, (name, _) in enumerate(SCRIPT_CLASSES)
+    )
+    m = f"list_max([{elems}])"
+    return f"CASE WHEN ({m}).n > 0 THEN ({m}).s ELSE 'none' END"

@@ -677,3 +677,55 @@ def url_blocklist_filter(
         .select(id_col).distinct()
     )
     return docs.join(hit_ids, id_col, "left_anti")
+
+
+def robots_gate(
+    docs: DataFrame,
+    robots: DataFrame,
+    *,
+    url_col: str = "url",
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """RFC 9309 robots.txt gate (r13) — the crawl-politeness filter next
+    to url_quality_filter / url_blocklist_filter: keep pages whose path
+    the host's robots.txt allows for ``agent``.
+
+    Scale shape: ``robots`` is the per-HOST relation (hosts-sized —
+    millions of rows at 100 TB corpus scale, not billions). Each body
+    parses ONCE in an Arrow-batched pandas UDF over that small relation
+    (group selection + wildcard-to-regex compilation,
+    functions/robots.py:parse_robots), then the compiled rule arrays
+    BROADCAST-join onto the page scan by host, and the allow/disallow
+    decision is one scan-local expression per page (HOF rlike filter +
+    array_max longest-match pick, robots_allowed_col) — the page stream
+    is never shuffled. Hosts missing from ``robots`` (or with a NULL
+    body) are allowed, per spec. Adds ``robots_allowed`` before
+    filtering so callers can audit; returns allowed rows."""
+    from tweets_elastic_spark.functions.robots import (
+        make_parse_udf, robots_allowed_col,
+    )
+
+    _parse = make_parse_udf(agent)
+    rules = robots.select(
+        F.col(host_col).alias("__rhost"),
+        _parse(F.col(txt_col)).alias("__rules"),
+    )
+    p = url_parts(F.col(url_col))
+    joined = docs.withColumn("__phost", p["host"]).withColumn(
+        "__ppath",
+        F.when(p["path"] == F.lit(""), F.lit("/")).otherwise(p["path"]),
+    ).join(
+        F.broadcast(rules),
+        F.col("__phost") == F.col("__rhost"),
+        "left",
+    )
+    out = joined.withColumn(
+        "robots_allowed",
+        robots_allowed_col(F.col("__ppath"), F.col("__rules")),
+    )
+    return (
+        out.filter(F.col("robots_allowed"))
+        .drop("__rhost", "__rules", "__phost", "__ppath")
+    )

@@ -1502,3 +1502,109 @@ def q_crawl_main_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("main_text").cast("bigint").alias("main_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt gate (r13). Planted per-host robots bodies: four host
+# classes — prefix rules with a longer Allow carve-out, a wildcard Allow
+# beating a shorter Disallow, a $-anchored exact Disallow under a
+# specific-agent decoy group, and no robots at all. The engine parses
+# and matches generically (functions/robots.py); the oracle derives each
+# page's verdict independently from the planted rule semantics.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_BODIES = {
+    0: "User-agent: *\nDisallow: /private/\nAllow: /private/public/",
+    1: "User-agent: *\nDisallow: /p/\nAllow: /p/4*",
+    2: ("User-agent: googlebot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /tmp/$"),
+    # class 3: host has NO robots.txt row -> allowed (RFC default)
+}
+
+
+@register(
+    "robots_gate_survivors",
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               'site' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS host,
+               (doc_id % 97) % 4 AS rclass,
+               doc_id % 6 AS pclass,
+               CASE doc_id % 6
+                 WHEN 0 THEN '/private/a' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/public/b' || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN '/tmp/'
+                 WHEN 3 THEN '/tmp/c' || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN '/p/4' || CAST(doc_id AS VARCHAR)
+                 ELSE '/p/9' || CAST(doc_id AS VARCHAR)
+               END AS path
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, host, path
+    FROM pages
+    WHERE NOT (
+           (rclass = 0 AND pclass = 0)   -- /private/ denied, public carve-out survives
+        OR (rclass = 1 AND pclass = 5)   -- /p/ denied, /p/4* wildcard carve-out survives
+        OR (rclass = 2 AND pclass = 2)   -- /tmp/$ denies the EXACT path only
+    )
+    ORDER BY doc_id
+    """,
+    doc="RFC 9309 robots.txt gate at corpus scale (r13): per-host robots "
+        "bodies parse ONCE (Arrow-batched pandas UDF over the hosts-sized "
+        "relation: group selection incl. a specific-agent decoy group, "
+        "wildcard->regex compilation), compiled rule arrays broadcast-join "
+        "the page scan, and each page's allow/disallow is one scan-local "
+        "longest-match-wins expression (operators/curation.py "
+        "robots_gate). The planted classes exercise the Allow carve-out "
+        "under a Disallow prefix, a wildcard Allow beating a shorter "
+        "Disallow, the $ end anchor denying only the exact path, and the "
+        "no-robots default-allow. The oracle derives every verdict "
+        "independently from the planted rule semantics — the engine's "
+        "parser/matcher is what is under test. Scale shape: the page "
+        "stream never shuffles; the only exchange is the broadcast of "
+        "the per-host rule arrays.",
+)
+def q_robots_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    s = F.col("doc_id") % 97
+    path = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("/private/a"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("/private/public/b"),
+                       F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 6 == 2, F.lit("/tmp/"))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("/tmp/c"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("/p/4"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/p/9"), F.col("doc_id").cast("string")))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), s.cast("string"), F.lit(".com"),
+                 path).alias("url"),
+    )
+    body = F.lit(None).cast("string")
+    for k, v in _ROBOTS_BODIES.items():
+        body = F.when(F.col("rclass") == k, F.lit(v)).otherwise(body)
+    robots = (
+        docs.select((F.col("doc_id") % 97).alias("sid"))
+        .distinct()
+        .withColumn("rclass", F.col("sid") % 4)
+        .filter(F.col("rclass") != 3)  # class 3 hosts ship no robots row
+        .select(
+            F.concat(F.lit("site"), F.col("sid").cast("string"),
+                     F.lit(".com")).alias("host"),
+            body.alias("robots_txt"),
+        )
+    )
+    from tweets_elastic_spark.operators.curation import robots_gate, url_parts
+
+    kept = robots_gate(pages, robots, url_col="url")
+    p = url_parts(F.col("url"))
+    return kept.select(
+        "doc_id", p["host"].alias("host"), p["path"].alias("path")
+    ).orderBy("doc_id")

@@ -425,3 +425,86 @@ def q_analyze_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(A.analyze(F.col("text"), "fingerprint"), " ")
         .alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile (r13). The fixture corpus is pure ASCII, so the
+# row PLANTS deterministic non-Latin suffixes (the c4_line_filter / html
+# wrap precedent): one script per residue class, a mixed-script page, and
+# a repeat-amplified Cyrillic page whose dominant script FLIPS away from
+# latin — so the dominant-pick logic is exercised, not just the counts.
+# Shared constants keep Spark and SQL building byte-identical text.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_SUFFIXES = {
+    1: " советские архивы хранят тексты",      # cyrillic
+    2: " 中文语料库质量很高",                     # han
+    3: " نصوص عربية للاختبار",                  # arabic
+    4: " ελληνικό κείμενο δοκιμής",             # greek
+    5: " טקסט עברי לבדיקה",                     # hebrew
+    6: " परीक्षण के लिए पाठ",                      # devanagari
+    7: " 한국어 텍스트 예시",                     # hangul
+    8: " советские 中文 тексты 语料",            # mixed cyr+han
+}
+
+
+@register(
+    "script_profile",
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id,
+               text ||
+               CASE doc_id % 11
+                 {" ".join(f"WHEN {k} THEN '{v}'" for k, v in _SCRIPT_SUFFIXES.items())}
+                 ELSE '' END ||
+               CASE WHEN doc_id % 31 = 0
+                    THEN repeat(' советский текстовый корпус для обучения моделей', 20)
+                    ELSE '' END AS t
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           {T.script_count_oracle_sql('latin', 't')} AS n_latin,
+           {T.script_count_oracle_sql('cyrillic', 't')} AS n_cyrillic,
+           {T.script_count_oracle_sql('han', 't')} AS n_han,
+           {T.script_count_oracle_sql('arabic', 't')} AS n_arabic,
+           {T.script_count_oracle_sql('hangul', 't')} AS n_hangul,
+           {T.dominant_script_oracle_sql('t')} AS dominant
+    FROM pages
+    ORDER BY doc_id
+    """,
+    doc="Unicode script profile (r13): per-document character counts for "
+        "the eight major writing systems + the dominant script — the "
+        "multilingual routing signal CCNet/mC4 apply BEFORE language ID "
+        "(lang-id models are per-script; mixed-script pages are a spam "
+        "signal). Counting is len(text) - len(text-with-script-removed), "
+        "one scan-local regexp per script, no tokenization, no UDF, no "
+        "shuffle; dominant = ONE array_max over (count, priority) "
+        "structs. Java spells the class \\p{IsCyrillic}, RE2 "
+        "\\p{Cyrillic}; both sides derive from the same SCRIPT_CLASSES "
+        "list (functions/textstats.py) so they cannot drift. The "
+        "planted pages put one script per residue class, a mixed "
+        "cyr+han page, and a repeat-amplified Cyrillic page that flips "
+        "dominant away from latin.",
+)
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    suffix = F.lit("")
+    for k, v in _SCRIPT_SUFFIXES.items():
+        suffix = F.when(F.col("doc_id") % 11 == k, F.lit(v)).otherwise(suffix)
+    amp = F.when(
+        F.col("doc_id") % 31 == 0,
+        F.repeat(F.lit(" советский текстовый корпус для обучения моделей"), 20),
+    ).otherwise(F.lit(""))
+    t = F.concat(F.col("text"), suffix, amp)
+    counts = T.script_counts(t)
+    return docs.select(
+        "doc_id",
+        counts["latin"].alias("n_latin"),
+        counts["cyrillic"].alias("n_cyrillic"),
+        counts["han"].alias("n_han"),
+        counts["arabic"].alias("n_arabic"),
+        counts["hangul"].alias("n_hangul"),
+        T.dominant_script(counts).alias("dominant"),
+    ).orderBy("doc_id")

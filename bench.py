@@ -295,6 +295,11 @@ HEADLINE = [
     "crawl_main_text_pipeline",
     "script_profile",
     "robots_gate_survivors",
+    # r13 late: the ES|QL front-end rows
+    "esql_stats_by",
+    "esql_eval_dissect",
+    "esql_mv_expand_stats",
+    "esql_percentiles",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -60,6 +60,7 @@ ROWS = [
     # contract row)
     "search_span_multi", "html_main_text", "crawl_main_text_pipeline",
     "ann_ivf_recall_profile", "script_profile", "robots_gate_survivors",
+    "esql_mv_expand_stats",
 ]
 # every ROW whose tables exist in the sf1 fixture gets the fourth decade
 SF1_ROWS = [n for n in ROWS if n in SF1_HEADLINE]

@@ -1,0 +1,140 @@
+"""ES|QL compiler (plans/esql.py): hand vectors for every pipe command,
+the expression grammar's corners, and the loud refusals."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_elastic_spark.plans.esql import esql
+
+
+def _rows(spark, q, tables=None):
+    return esql(spark, q, tables).collect()
+
+
+@pytest.fixture()
+def people(spark):
+    return {
+        "people": spark.createDataFrame(
+            [(1, "Ann", "eng", 170, None),
+             (2, "Bob", "eng", 180, 50.5),
+             (3, "Cyd", "ops", None, 72.0),
+             (4, "Dee", "ops", 160, 48.0),
+             (5, "Eli", "ops", 150, 49.0)],
+            "id long, name string, team string, h long, w double",
+        )
+    }
+
+
+def test_row_source_and_eval(spark):
+    r = _rows(spark, "ROW a = 1, b = 'x''y' | EVAL c = a * 2 + 1, "
+                     'd = CASE(a == 1, "one", "other") | KEEP c, d, b')
+    assert len(r) == 1
+    # single-quoted ES|QL strings double their quotes ('' -> ')
+    assert (r[0]["c"], r[0]["d"], r[0]["b"]) == (3, "one", "x'y")
+
+
+def test_where_operators(spark, people):
+    q = ('FROM people | WHERE team == "ops" AND h IS NOT NULL '
+         'AND NOT (name IN ("Dee")) | KEEP id')
+    assert [r["id"] for r in _rows(spark, q, people)] == [5]
+    q2 = 'FROM people | WHERE name LIKE "?e*" | SORT id | KEEP name'
+    assert [r["name"] for r in _rows(spark, q2, people)] == ["Dee"]
+    # RLIKE is anchored (ES|QL): "A" must NOT match "Ann" mid-string
+    q3 = 'FROM people | WHERE name RLIKE "A" | KEEP name'
+    assert _rows(spark, q3, people) == []
+    q4 = 'FROM people | WHERE name RLIKE "A.*" | KEEP name'
+    assert [r["name"] for r in _rows(spark, q4, people)] == ["Ann"]
+
+
+def test_stats_aggregates(spark, people):
+    q = ('FROM people | STATS n = COUNT(*), hs = SUM(h), '
+         'hm = MEDIAN(h), teams = COUNT_DISTINCT(team)')
+    r = _rows(spark, q, people)[0]
+    # MEDIAN skips NULL h (170, 180, 160, 150 -> 165.0)
+    assert (r["n"], r["hs"], r["hm"], r["teams"]) == (5, 660, 165.0, 2)
+    q2 = ('FROM people | STATS w90 = ROUND(PERCENTILE(w, 90), 2) '
+          'BY team | SORT team')
+    got = {r["team"]: r["w90"] for r in _rows(spark, q2, people)}
+    assert got["eng"] == 50.5  # single non-null value
+    assert got["ops"] == pytest.approx(67.4)  # interpolated, not t-digest
+
+
+def test_sort_nulls_and_limit(spark, people):
+    q = 'FROM people | SORT h ASC NULLS FIRST | LIMIT 2 | KEEP id'
+    assert [r["id"] for r in _rows(spark, q, people)] == [3, 5]
+    q2 = 'FROM people | SORT h DESC NULLS LAST | LIMIT 99 | KEEP id'
+    assert [r["id"] for r in _rows(spark, q2, people)][-1] == 3
+
+
+def test_keep_wildcard_drop_rename(spark, people):
+    q = 'FROM people | RENAME h AS height | KEEP id, he*'
+    r = _rows(spark, q, people)
+    assert set(r[0].asDict()) == {"id", "height"}
+    q2 = 'FROM people | DROP w, h | LIMIT 1'
+    assert set(_rows(spark, q2, people)[0].asDict()) == {
+        "id", "name", "team"}
+
+
+def test_mv_expand_and_mv_functions(spark):
+    tabs = {"t": None}
+    q = ('ROW s = "a b c" | EVAL xs = SPLIT(s, " "), '
+         'n = MV_COUNT(SPLIT(s, " ")), top = MV_MAX(SPLIT(s, " ")) '
+         '| MV_EXPAND xs | KEEP xs, n, top')
+    r = _rows(spark, q)
+    assert [x["xs"] for x in r] == ["a", "b", "c"]
+    assert r[0]["n"] == 3 and r[0]["top"] == "c"
+
+
+def test_dissect_null_on_mismatch(spark):
+    q = ('ROW s = "nodashhere" | DISSECT s "%{a}-%{b}" | KEEP a, b')
+    r = _rows(spark, q)[0]
+    assert r["a"] is None and r["b"] is None  # ES: non-match -> NULL
+    q2 = 'ROW s = "x-y-z" | DISSECT s "%{a}-%{b}" | KEEP a, b'
+    r2 = _rows(spark, q2)[0]
+    # first key non-greedy, last key takes the rest
+    assert (r2["a"], r2["b"]) == ("x", "y-z")
+
+
+def test_scalar_functions(spark):
+    q = ('ROW s = " Ab ", n = 7 | EVAL '
+         'l = LENGTH(s), lo = TO_LOWER(s), sub = SUBSTRING(s, 2, 2), '
+         'c = CONCAT(s, NULL, "z"), t = TO_LONG(n / 2), '
+         'd = TO_DOUBLE(n), sw = STARTS_WITH(TO_STRING(n), "7") '
+         '| KEEP l, lo, sub, c, t, d, sw')
+    r = _rows(spark, q)[0]
+    assert r["l"] == 4 and r["lo"] == " ab " and r["sub"] == "Ab"
+    assert r["c"] == " Ab z"          # NULL arg counts as ''
+    assert r["t"] == 3                # truncating cast (floor for 3.5)
+    assert r["d"] == 7.0 and r["sw"] is True
+
+
+def test_refusals(spark, people):
+    cases = [
+        ("FROM a, b | LIMIT 1", "one index"),
+        ("FROM people METADATA _id", "METADATA"),
+        ('FROM people | GROK name "%{X}"', "GROK"),
+        ("FROM people | ENRICH policy", "ENRICH/LOOKUP"),
+        ("FROM people | STATS COUNT(*)", "must be named"),
+        ("FROM people | STATS n = LENGTH(name)", "expects an aggregate"),
+        ("FROM people | WHERE SUM(h) > 1", "only valid inside STATS"),
+        ("FROM people | LIMIT 1 extra", "trailing token"),
+        ("FROM people | FOO 1", "unsupported command"),
+        ("FROM nosuch | LIMIT 1", "unknown index"),
+        ("FROM people | KEEP nope", "unknown column"),
+        ("FROM people | EVAL x = NOFUNC(1)", "unsupported function"),
+    ]
+    for q, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            esql(spark, q, people).collect()
+
+
+def test_esql_plan_shapes(spark, people):
+    # WHERE rides the scan; STATS is one hash agg; SORT+LIMIT becomes
+    # TakeOrderedAndProject — the translator emits declarative stages.
+    df = esql(spark, 'FROM people | WHERE team == "ops" '
+                     '| STATS n = COUNT(*) BY team '
+                     '| SORT n DESC | LIMIT 3', people)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+    assert "Python" not in plan

@@ -1,0 +1,720 @@
+"""ES|QL (``POST /_query``, ES 8.11+): the piped query language that is
+now Elasticsearch's primary query surface, next to the JSON DSL, EQL and
+ES-SQL front-ends this engine already ships.
+
+    FROM documents
+    | WHERE lang == "en" AND n_chars > 200
+    | EVAL tag = CONCAT(lang, "-", source)
+    | STATS cnt = COUNT(*), avg_chars = AVG(n_chars) BY source
+    | SORT cnt DESC, source
+    | LIMIT 10
+
+Each pipe stage compiles to the corresponding DataFrame transformation
+— WHERE → filter (rides the scan), EVAL → withColumns, STATS → one
+partial/final hash aggregation, SORT+LIMIT → TakeOrderedAndProject,
+MV_EXPAND → explode, DISSECT → one regexp extraction — so Catalyst
+plans the whole pipe as ordinary declarative Spark; the translator is
+never an interpreter.
+
+Supported subset (everything else raises loudly with the offending
+token, the ES-SQL/EQL convention):
+
+* sources: ``FROM <index>`` (one index — the engine's tables are the
+  indices; no METADATA) and ``ROW name = literal, ...``.
+* ``WHERE`` expr; ``EVAL name = expr, ...``; ``KEEP``/``DROP`` column
+  lists (``*`` suffix wildcards in KEEP); ``RENAME old AS new, ...``;
+  ``SORT expr [ASC|DESC] [NULLS FIRST|LAST], ...``; ``LIMIT n``;
+  ``MV_EXPAND col``; ``DISSECT col "%{a}<sep>%{b}..."`` (literal
+  separators; every key non-greedy except the last; non-matching rows
+  yield NULL fields — ES semantics).
+* expressions: ``== != < <= > >=``, arithmetic ``+ - * / %``,
+  ``AND/OR/NOT``, parentheses, ``IN (...)``, ``LIKE`` (ES|QL's ``*``/
+  ``?`` wildcards), ``RLIKE``, ``IS [NOT] NULL``, ``CASE(cond, val,
+  ..., [default])``, double- or single-quoted strings, TRUE/FALSE/NULL.
+* scalar functions: ROUND, ABS, LENGTH (BIGINT), SUBSTRING (1-based),
+  CONCAT (NULL args -> '' — ES/DuckDB skip semantics), TO_LOWER,
+  TO_UPPER, TO_STRING, TO_LONG (truncating, mirrored with floor() in
+  oracles — DuckDB CAST rounds), TO_DOUBLE, SPLIT(col, delim),
+  MV_COUNT, MV_MIN, MV_MAX, COALESCE, STARTS_WITH, ENDS_WITH,
+  DATE_TRUNC("unit", ts).
+* ``STATS [name =] agg [, ...] [BY [name =] expr [, ...]]`` with
+  COUNT(*)/COUNT(expr), COUNT_DISTINCT (EXACT — ES|QL uses HLL; the
+  documented strictly-more-accurate divergence shared with the
+  cardinality agg), SUM/AVG/MIN/MAX, MEDIAN and PERCENTILE(expr, p)
+  (EXACT interpolated — ES|QL uses t-digest; same divergence class,
+  same as DuckDB quantile_cont so oracles compare exactly).
+
+Refused loudly: multiple/remote indices, METADATA, GROK (DISSECT is
+the supported extraction), ENRICH/LOOKUP (express joins in the
+DataFrame API), nested subpipes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["esql"]
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)"
+    r'|(?P<dstr>"(?:[^"\\]|\\.)*")'
+    r"|(?P<sstr>'(?:[^']|'')*')"
+    r"|(?P<ident>[A-Za-z_@][A-Za-z0-9_.]*)"
+    r"|(?P<op>==|!=|<=|>=|<|>|\+|-|\*|/|%|\(|\)|,|\||=))"
+)
+
+_KEYWORDS = {
+    "FROM", "ROW", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT",
+    "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST",
+    "LAST", "AND", "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL",
+    "TRUE", "FALSE", "MV_EXPAND", "DISSECT", "GROK", "ENRICH", "LOOKUP",
+    "METADATA",
+}
+
+_AGG_FNS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
+            "MEDIAN", "PERCENTILE"}
+
+
+def _tokenize(text: str):
+    out, raws, pos = [], [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(
+                f"ES|QL: cannot tokenize at {text[pos:pos + 20]!r}"
+            )
+        pos = m.end()
+        if m.group("num") is not None:
+            t = m.group("num")
+            out.append(("num", float(t) if "." in t else int(t)))
+        elif m.group("dstr") is not None:
+            s = m.group("dstr")[1:-1]
+            out.append(("str", re.sub(r"\\(.)", r"\1", s)))
+        elif m.group("sstr") is not None:
+            out.append(("str", m.group("sstr")[1:-1].replace("''", "'")))
+        elif m.group("ident") is not None:
+            w = m.group("ident")
+            up = w.upper()
+            if up in _KEYWORDS:
+                out.append(("kw", up))
+                raws.append(w)
+                continue
+            out.append(("ident", w))
+        else:
+            out.append(("op", m.group("op")))
+        raws.append(None)
+    out.append(("end", None))
+    raws.append(None)
+    return out, raws
+
+
+def _like_regex(pattern: str) -> str:
+    """ES|QL LIKE wildcards: * = any run, ? = one char; anchored."""
+    return "^" + "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pattern
+    ) + "$"
+
+
+class _ExprParser:
+    """Pratt-style expression parser over the shared token stream.
+    Precedence: OR < AND < NOT < comparison/IN/LIKE/IS < + - < * / %
+    < unary minus < primary."""
+
+    def __init__(self, toks, raws, i=0):
+        self.toks, self.raws, self.i = toks, raws, i
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_op(self, op):
+        k, v = self.next()
+        if k != "op" or v != op:
+            raise ValueError(f"ES|QL: expected {op!r}, got {v!r}")
+
+    def at_kw(self, *kws):
+        k, v = self.peek()
+        return k == "kw" and v in kws
+
+    def eat_kw(self, kw) -> bool:
+        if self.at_kw(kw):
+            self.i += 1
+            return True
+        return False
+
+    # --- grammar ---------------------------------------------------------
+    def expr(self) -> Column:
+        c = self.and_expr()
+        while self.eat_kw("OR"):
+            c = c | self.and_expr()
+        return c
+
+    def and_expr(self) -> Column:
+        c = self.not_expr()
+        while self.eat_kw("AND"):
+            c = c & self.not_expr()
+        return c
+
+    def not_expr(self) -> Column:
+        if self.eat_kw("NOT"):
+            return ~self.not_expr()
+        return self.cmp_expr()
+
+    def cmp_expr(self) -> Column:
+        left = self.add_expr()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
+            self.i += 1
+            right = self.add_expr()
+            return {"==": left == right, "!=": left != right,
+                    "<": left < right, "<=": left <= right,
+                    ">": left > right, ">=": left >= right}[v]
+        negate = False
+        if self.at_kw("NOT"):
+            # lookahead: NOT IN / NOT LIKE / NOT RLIKE
+            nk, nv = self.toks[self.i + 1]
+            if nk == "kw" and nv in ("IN", "LIKE", "RLIKE"):
+                self.i += 1
+                negate = True
+        if self.eat_kw("IN"):
+            self.expect_op("(")
+            items = [self.add_expr()]
+            while self.peek() == ("op", ","):
+                self.i += 1
+                items.append(self.add_expr())
+            self.expect_op(")")
+            c = left.isin(*items)
+            return ~c if negate else c
+        if self.eat_kw("LIKE"):
+            k2, pat = self.next()
+            if k2 != "str":
+                raise ValueError("ES|QL: LIKE needs a string pattern")
+            c = left.rlike(_like_regex(pat))
+            return ~c if negate else c
+        if self.eat_kw("RLIKE"):
+            k2, pat = self.next()
+            if k2 != "str":
+                raise ValueError("ES|QL: RLIKE needs a string pattern")
+            c = left.rlike("^(?:" + pat + ")$")  # ES|QL RLIKE is anchored
+            return ~c if negate else c
+        if self.eat_kw("IS"):
+            neg = self.eat_kw("NOT")
+            if not self.eat_kw("NULL"):
+                raise ValueError("ES|QL: IS [NOT] NULL only")
+            return left.isNotNull() if neg else left.isNull()
+        return left
+
+    def add_expr(self) -> Column:
+        c = self.mul_expr()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.i += 1
+                nxt = self.mul_expr()
+                c = c + nxt if v == "+" else c - nxt
+            else:
+                return c
+
+    def mul_expr(self) -> Column:
+        c = self.unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self.i += 1
+                nxt = self.unary()
+                c = c * nxt if v == "*" else (
+                    c / nxt if v == "/" else c % nxt)
+            else:
+                return c
+
+    def unary(self) -> Column:
+        k, v = self.peek()
+        if k == "op" and v == "-":
+            self.i += 1
+            return -self.unary()
+        return self.primary()
+
+    def primary(self) -> Column:
+        k, v = self.next()
+        if k == "num":
+            return F.lit(v)
+        if k == "str":
+            return F.lit(v)
+        if k == "kw" and v in ("TRUE", "FALSE"):
+            return F.lit(v == "TRUE")
+        if k == "kw" and v == "NULL":
+            return F.lit(None)
+        if k == "op" and v == "(":
+            c = self.expr()
+            self.expect_op(")")
+            return c
+        if k == "ident":
+            if self.peek() == ("op", "("):
+                return self._call(v.upper())
+            return F.col(v)
+        raise ValueError(f"ES|QL: unexpected token {v!r} in expression")
+
+    def _args(self) -> list[Column]:
+        self.expect_op("(")
+        if self.peek() == ("op", ")"):
+            self.i += 1
+            return []
+        out = [self.expr()]
+        while self.peek() == ("op", ","):
+            self.i += 1
+            out.append(self.expr())
+        self.expect_op(")")
+        return out
+
+    def _lit_str_arg(self, what: str) -> str:
+        k, v = self.next()
+        if k != "str":
+            raise ValueError(f"ES|QL: {what} must be a string literal")
+        return v
+
+    def _lit_int_arg(self, what: str) -> int:
+        k, v = self.next()
+        if k != "num" or isinstance(v, float):
+            raise ValueError(f"ES|QL: {what} must be an integer literal")
+        return v
+
+    def _call(self, fn: str) -> Column:
+        if fn in _AGG_FNS:
+            raise ValueError(
+                f"ES|QL: aggregate {fn} is only valid inside STATS"
+            )
+        # functions whose literal arguments must be consumed at the
+        # TOKEN level (the pyspark builtin takes a Python value)
+        if fn == "SPLIT":
+            self.expect_op("(")
+            c = self.expr()
+            self.expect_op(",")
+            delim = self._lit_str_arg("SPLIT delimiter")
+            self.expect_op(")")
+            return F.split(c, re.escape(delim))
+        if fn == "DATE_TRUNC":
+            self.expect_op("(")
+            unit = self._lit_str_arg("DATE_TRUNC unit")
+            self.expect_op(",")
+            c = self.expr()
+            self.expect_op(")")
+            return F.date_trunc(unit, c)
+        if fn == "ROUND":
+            self.expect_op("(")
+            c = self.expr()
+            if self.peek() == ("op", ","):
+                self.i += 1
+                digits = self._lit_int_arg("ROUND digits")
+                self.expect_op(")")
+                return F.round(c, digits)
+            self.expect_op(")")
+            return F.round(c)
+        a = self._args()
+
+        def need(n):
+            if len(a) != n:
+                raise ValueError(f"ES|QL: {fn} takes {n} argument(s)")
+
+        if fn == "ABS":
+            need(1)
+            return F.abs(a[0])
+        if fn == "LENGTH":
+            need(1)
+            return F.length(a[0]).cast("bigint")
+        if fn == "SUBSTRING":
+            need(3)
+            return F.substring(a[0], a[1], a[2])
+        if fn == "CONCAT":
+            if not a:
+                raise ValueError("ES|QL: CONCAT needs arguments")
+            return F.concat(*[F.coalesce(x.cast("string"), F.lit(""))
+                              for x in a])
+        if fn == "TO_LOWER":
+            need(1)
+            return F.lower(a[0])
+        if fn == "TO_UPPER":
+            need(1)
+            return F.upper(a[0])
+        if fn == "TO_STRING":
+            need(1)
+            return a[0].cast("string")
+        if fn == "TO_LONG":
+            # truncating, like Spark CAST; oracles mirror with floor()
+            need(1)
+            return a[0].cast("bigint")
+        if fn == "TO_DOUBLE":
+            need(1)
+            return a[0].cast("double")
+        if fn == "SPLIT":
+            need(2)
+            return F.split(a[0], _lit_str_re(a[1]))
+        if fn == "MV_COUNT":
+            need(1)
+            return F.size(a[0]).cast("bigint")
+        if fn == "MV_MIN":
+            need(1)
+            return F.array_min(a[0])
+        if fn == "MV_MAX":
+            need(1)
+            return F.array_max(a[0])
+        if fn == "COALESCE":
+            return F.coalesce(*a)
+        if fn == "STARTS_WITH":
+            need(2)
+            return a[0].startswith(a[1])
+        if fn == "ENDS_WITH":
+            need(2)
+            return a[0].endswith(a[1])
+        if fn == "DATE_TRUNC":
+            need(2)
+            return F.date_trunc(_lit_str(a[0], "DATE_TRUNC unit"), a[1])
+        if fn == "CASE":
+            if len(a) < 2:
+                raise ValueError("ES|QL: CASE(cond, val, ..., [default])")
+            pairs, default = a, None
+            if len(a) % 2 == 1:
+                pairs, default = a[:-1], a[-1]
+            c = F.when(pairs[0].cast("boolean"), pairs[1])
+            for i in range(2, len(pairs), 2):
+                c = c.when(pairs[i].cast("boolean"), pairs[i + 1])
+            return c.otherwise(default) if default is not None else c
+        raise ValueError(f"ES|QL: unsupported function {fn}")
+
+
+def _split_pipes(text: str) -> list[str]:
+    """Split the query on top-level '|' with string literals masked."""
+    masked = re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\']|\'\')*\'',
+                    lambda m: " " * len(m.group(0)), text)
+    cuts = [i for i, ch in enumerate(masked) if ch == "|"]
+    parts, start = [], 0
+    for c in cuts:
+        parts.append(text[start:c])
+        start = c + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_name(p: _ExprParser) -> str:
+    k, v = p.next()
+    if k != "ident":
+        raise ValueError(f"ES|QL: expected a column name, got {v!r}")
+    return v
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """DISSECT pattern -> (regex, keys): literal separators between
+    %{key} refs; every key matches non-greedily except the last, which
+    takes the rest — the delimiter-based extraction semantics."""
+    parts = re.split(r"%\{([A-Za-z_][A-Za-z0-9_]*)\}", pattern)
+    # parts = [lit0, key1, lit1, key2, lit2, ...]
+    keys = parts[1::2]
+    if not keys:
+        raise ValueError("ES|QL: DISSECT pattern has no %{key} fields")
+    rx = "^" + re.escape(parts[0])
+    for i, _key in enumerate(keys):
+        last = i == len(keys) - 1
+        rx += "(.*)" if last and parts[2 * i + 2] == "" else "(.*?)"
+        rx += re.escape(parts[2 * i + 2])
+    rx += "$"
+    return rx, keys
+
+
+def esql(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile one ES|QL query to a DataFrame. ``tables`` maps index
+    names to DataFrames (the FROM resolver); ROW queries need none."""
+    stages = _split_pipes(query)
+    if not stages:
+        raise ValueError("ES|QL: empty query")
+
+    # ---- source command --------------------------------------------------
+    toks, raws = _tokenize(stages[0])
+    p = _ExprParser(toks, raws)
+    if p.eat_kw("FROM"):
+        name = _parse_name(p)
+        if p.peek() == ("op", ","):
+            raise ValueError(
+                "ES|QL: one index per FROM here (no multi-index)"
+            )
+        if p.at_kw("METADATA"):
+            raise ValueError("ES|QL: METADATA fields are not supported")
+        if p.peek()[0] != "end":
+            raise ValueError(
+                f"ES|QL: unexpected token after FROM {name}"
+            )
+        if not tables or name not in tables:
+            raise ValueError(f"ES|QL: unknown index {name!r}")
+        df = tables[name]
+    elif p.eat_kw("ROW"):
+        names, vals = [], []
+        while True:
+            names.append(_parse_name(p))
+            p.expect_op("=")
+            vals.append(p.expr())
+            if p.peek() == ("op", ","):
+                p.i += 1
+                continue
+            break
+        df = spark.range(1).select(
+            *[v.alias(n) for n, v in zip(names, vals)]
+        )
+    else:
+        raise ValueError(
+            "ES|QL: the first command must be FROM or ROW"
+        )
+
+    # ---- processing commands ---------------------------------------------
+    for stage in stages[1:]:
+        toks, raws = _tokenize(stage)
+        p = _ExprParser(toks, raws)
+        if p.eat_kw("WHERE"):
+            df = df.filter(p.expr())
+        elif p.eat_kw("EVAL"):
+            while True:
+                name = _parse_name(p)
+                p.expect_op("=")
+                df = df.withColumn(name, p.expr())
+                if p.peek() == ("op", ","):
+                    p.i += 1
+                    continue
+                break
+        elif p.eat_kw("STATS"):
+            df = _stats(df, p)
+        elif p.eat_kw("SORT"):
+            orders = []
+            while True:
+                c = p.expr()
+                asc = True
+                if p.eat_kw("DESC"):
+                    asc = False
+                else:
+                    p.eat_kw("ASC")
+                nulls = None
+                if p.eat_kw("NULLS"):
+                    if p.eat_kw("FIRST"):
+                        nulls = "first"
+                    elif p.eat_kw("LAST"):
+                        nulls = "last"
+                    else:
+                        raise ValueError("ES|QL: NULLS FIRST|LAST")
+                if asc:
+                    o = (c.asc_nulls_first() if nulls == "first"
+                         else c.asc_nulls_last() if nulls == "last"
+                         else c.asc())
+                else:
+                    o = (c.desc_nulls_first() if nulls == "first"
+                         else c.desc_nulls_last() if nulls == "last"
+                         else c.desc())
+                orders.append(o)
+                if p.peek() == ("op", ","):
+                    p.i += 1
+                    continue
+                break
+            df = df.orderBy(*orders)
+        elif p.eat_kw("LIMIT"):
+            k, v = p.next()
+            if k != "num" or isinstance(v, float):
+                raise ValueError("ES|QL: LIMIT needs an integer")
+            df = df.limit(int(v))
+        elif p.eat_kw("KEEP"):
+            cols = []
+            while True:
+                k, v = p.next()
+                if k == "ident":
+                    pat = v
+                elif k == "op" and v == "*":
+                    pat = "*"
+                else:
+                    raise ValueError(f"ES|QL: bad KEEP entry {v!r}")
+                # trailing-* wildcard support (ident tokens swallow no
+                # '*', so 'pre*' arrives as ident 'pre' + op '*')
+                if p.peek() == ("op", "*"):
+                    p.i += 1
+                    pat += "*"
+                if pat == "*":
+                    cols.extend(c for c in df.columns if c not in cols)
+                elif pat.endswith("*"):
+                    hits = [c for c in df.columns
+                            if c.startswith(pat[:-1])]
+                    if not hits:
+                        raise ValueError(
+                            f"ES|QL: KEEP {pat} matches no columns"
+                        )
+                    cols.extend(h for h in hits if h not in cols)
+                else:
+                    if pat not in df.columns:
+                        raise ValueError(
+                            f"ES|QL: KEEP references unknown column "
+                            f"{pat!r}"
+                        )
+                    cols.append(pat)
+                if p.peek() == ("op", ","):
+                    p.i += 1
+                    continue
+                break
+            df = df.select(*cols)
+        elif p.eat_kw("DROP"):
+            drops = []
+            while True:
+                drops.append(_parse_name(p))
+                if p.peek() == ("op", ","):
+                    p.i += 1
+                    continue
+                break
+            missing = [d for d in drops if d not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"ES|QL: DROP references unknown columns {missing}"
+                )
+            df = df.drop(*drops)
+        elif p.eat_kw("RENAME"):
+            while True:
+                old = _parse_name(p)
+                if not p.eat_kw("AS"):
+                    raise ValueError("ES|QL: RENAME old AS new")
+                new = _parse_name(p)
+                df = df.withColumnRenamed(old, new)
+                if p.peek() == ("op", ","):
+                    p.i += 1
+                    continue
+                break
+        elif p.eat_kw("MV_EXPAND"):
+            name = _parse_name(p)
+            df = df.withColumn(name, F.explode(F.col(name)))
+        elif p.eat_kw("DISSECT"):
+            col = _parse_name(p)
+            k, pat = p.next()
+            if k != "str":
+                raise ValueError("ES|QL: DISSECT needs a string pattern")
+            rx, keys = _dissect_regex(pat)
+            src = F.col(col)
+            matched = src.rlike(rx)
+            for i, key in enumerate(keys, start=1):
+                df = df.withColumn(
+                    key,
+                    F.when(matched, F.regexp_extract(src, rx, i)),
+                )
+        elif p.at_kw("GROK"):
+            raise ValueError(
+                "ES|QL: GROK is not supported — DISSECT covers "
+                "delimiter-based extraction; regex extraction via "
+                "EVAL + RLIKE/SUBSTRING"
+            )
+        elif p.at_kw("ENRICH", "LOOKUP"):
+            raise ValueError(
+                "ES|QL: ENRICH/LOOKUP are not supported — express "
+                "joins in the DataFrame API"
+            )
+        else:
+            raise ValueError(
+                f"ES|QL: unsupported command at {stage[:30]!r}"
+            )
+        k, v = p.peek()
+        if k != "end":
+            raise ValueError(
+                f"ES|QL: unexpected trailing token {v!r} in "
+                f"{stage[:30]!r}"
+            )
+    return df
+
+
+def _stats(df: DataFrame, p: _ExprParser) -> DataFrame:
+    def agg_item():
+        # [name =] [ROUND(] AGG(args) [, digits)]
+        name = None
+        k, v = p.peek()
+        if k == "ident" and p.toks[p.i + 1] == ("op", "="):
+            name = v
+            p.i += 2
+        k, fnname = p.next()
+        round_digits = None
+        if k == "ident" and fnname.upper() == "ROUND":
+            p.expect_op("(")
+            k, fnname = p.next()
+            round_digits = True  # digits parsed after the agg closes
+        if k != "ident" or fnname.upper() not in _AGG_FNS:
+            raise ValueError(
+                f"ES|QL: STATS expects an aggregate, got {fnname!r}"
+            )
+        fn = fnname.upper()
+        p.expect_op("(")
+        if fn == "COUNT" and p.peek() == ("op", "*"):
+            p.i += 1
+            p.expect_op(")")
+            col = F.count(F.lit(1))
+        else:
+            arg = p.expr()
+            if fn == "PERCENTILE":
+                p.expect_op(",")
+                k2, q = p.next()
+                if k2 != "num":
+                    raise ValueError(
+                        "ES|QL: PERCENTILE(expr, p) needs a numeric p"
+                    )
+                p.expect_op(")")
+                # EXACT interpolated percentile (= DuckDB
+                # quantile_cont), vs ES|QL's t-digest: the documented
+                # strictly-more-accurate divergence
+                col = F.percentile(arg, F.lit(float(q) / 100.0))
+            else:
+                p.expect_op(")")
+                col = {
+                    "COUNT": lambda a: F.count(a),
+                    "COUNT_DISTINCT": lambda a: F.count_distinct(a),
+                    "SUM": F.sum, "AVG": F.avg, "MIN": F.min,
+                    "MAX": F.max,
+                    "MEDIAN": lambda a: F.percentile(a, F.lit(0.5)),
+                }[fn](arg)
+        if fn in ("COUNT", "COUNT_DISTINCT"):
+            col = col.cast("bigint")
+        if round_digits:
+            p.expect_op(",")
+            k2, d = p.next()
+            if k2 != "num" or isinstance(d, float):
+                raise ValueError(
+                    "ES|QL: ROUND(agg, digits) needs an integer"
+                )
+            p.expect_op(")")
+            col = F.round(col, int(d))
+        if name is None:
+            raise ValueError(
+                "ES|QL: STATS aggregates must be named here "
+                "(name = AGG(...)) — engines disagree on default "
+                "column names"
+            )
+        return col.alias(name)
+
+    aggs = [agg_item()]
+    while p.peek() == ("op", ","):
+        p.i += 1
+        aggs.append(agg_item())
+    keys = []
+    if p.eat_kw("BY"):
+        while True:
+            name = None
+            k, v = p.peek()
+            if k == "ident" and p.toks[p.i + 1] == ("op", "="):
+                name = v
+                p.i += 2
+            c = p.expr()
+            keys.append(c.alias(name) if name else c)
+            if p.peek() == ("op", ","):
+                p.i += 1
+                continue
+            break
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)

@@ -3,6 +3,7 @@
 from tweets_elastic_spark.queries import (  # noqa: F401
     curation_q,
     dedup_q,
+    esql_q,
     indexed_q,
     multimodal_q,
     relational,

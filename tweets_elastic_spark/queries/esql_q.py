@@ -1,0 +1,144 @@
+"""ES|QL front-end queries (plans/esql.py): the 8.11+ piped language
+compiled onto DataFrame stages, each row with a hand-written ANSI-SQL
+oracle replaying the same pipe semantics (the EQL oracle convention —
+ES|QL itself does not run on DuckDB, the SEMANTICS do)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tweets_elastic_spark.registry import register
+from tweets_elastic_spark.sources.catalog import fan_out, load_table
+
+
+def _run(spark: SparkSession, sf_dir: str, query: str,
+         table: str = "documents") -> DataFrame:
+    from tweets_elastic_spark.plans.esql import esql
+
+    df = fan_out(load_table(spark, sf_dir, table))
+    return esql(spark, query, {table: df})
+
+
+@register(
+    "esql_stats_by",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars > 200
+    GROUP BY source
+    ORDER BY cnt DESC, source ASC
+    LIMIT 5
+    """,
+    doc="ES|QL (r13 — the 8.11+ piped language joins the DSL/EQL/ES-SQL "
+        "front-ends): FROM | WHERE | STATS ... BY | SORT | LIMIT "
+        "compiles to filter (rides the scan) + ONE partial/final hash "
+        "aggregation + TakeOrderedAndProject — the translator emits "
+        "declarative DataFrame stages, never an interpreter "
+        "(plans/esql.py). The oracle replays the pipe as plain SQL.",
+)
+def q_esql_stats_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM documents
+        | WHERE lang == "en" AND n_chars > 200
+        | STATS cnt = COUNT(*), avg_chars = ROUND(AVG(n_chars), 2) BY source
+        | SORT cnt DESC, source ASC
+        | LIMIT 5
+    """)
+
+
+@register(
+    "esql_eval_dissect",
+    oracle="""
+    SELECT doc_id,
+           lang || '-' || source AS tag,
+           regexp_extract(lang || '-' || source, '^(.*?)-(.*)$', 1) AS l,
+           regexp_extract(lang || '-' || source, '^(.*?)-(.*)$', 2) AS s,
+           CAST(floor(n_chars / 7.0) AS BIGINT) AS code
+    FROM documents
+    WHERE regexp_extract(lang || '-' || source, '^(.*?)-(.*)$', 2)
+              LIKE 'src1%'
+      AND lang NOT IN ('de', 'fr')
+    ORDER BY doc_id
+    """,
+    doc="ES|QL EVAL + DISSECT + LIKE: computed columns, delimiter "
+        "extraction (%{l}-%{s} -> one regexp with non-greedy keys, the "
+        "dissect contract), ES|QL's * wildcard LIKE, TO_LONG truncation "
+        "(oracle mirrors with floor() — DuckDB CAST rounds), KEEP "
+        "projection. Everything is scan-local expression work; the "
+        "oracle re-derives the dissect fields with the same regex.",
+)
+def q_esql_eval_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM documents
+        | EVAL tag = CONCAT(lang, "-", source), code = TO_LONG(n_chars / 7)
+        | DISSECT tag "%{l}-%{s}"
+        | WHERE s LIKE "src1*" AND NOT (l IN ("de", "fr"))
+        | KEEP doc_id, tag, l, s, code
+        | SORT doc_id
+    """)
+
+
+@register(
+    "esql_mv_expand_stats",
+    oracle="""
+    SELECT tok AS toks,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    )
+    WHERE tok LIKE 's%'
+    GROUP BY tok
+    ORDER BY n DESC, toks ASC
+    LIMIT 10
+    """,
+    doc="ES|QL multivalue pipeline: SPLIT -> MV_EXPAND (explode) -> "
+        "wildcard WHERE -> STATS with COUNT + exact COUNT_DISTINCT "
+        "(ES|QL uses HLL for COUNT_DISTINCT; exact is the documented "
+        "strictly-more-accurate divergence shared with the cardinality "
+        "agg) -> SORT/LIMIT. The explode feeds ONE map-side-combining "
+        "aggregation; the token filter applies before the shuffle, so "
+        "only s-prefixed tokens ever exchange.",
+)
+def q_esql_mv_expand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM documents
+        | WHERE text IS NOT NULL
+        | EVAL toks = SPLIT(text, " ")
+        | MV_EXPAND toks
+        | WHERE toks LIKE "s*"
+        | STATS n = COUNT(*), docs = COUNT_DISTINCT(doc_id) BY toks
+        | SORT n DESC, toks ASC
+        | LIMIT 10
+    """)
+
+
+@register(
+    "esql_percentiles",
+    oracle="""
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS med,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+    doc="ES|QL MEDIAN/PERCENTILE per group, evaluated EXACTLY "
+        "(interpolated order statistics = DuckDB quantile_cont, vs "
+        "ES|QL's t-digest — the documented strictly-more-accurate "
+        "divergence); rounded to 4 dp for cross-engine float identity. "
+        "One hash aggregation; percentiles are sort-based per group "
+        "state, no second shuffle.",
+)
+def q_esql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM documents
+        | STATS med = ROUND(MEDIAN(n_chars), 4),
+                p90 = ROUND(PERCENTILE(n_chars, 90), 4),
+                n = COUNT(*) BY lang
+        | SORT lang ASC
+    """)

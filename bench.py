@@ -300,6 +300,7 @@ HEADLINE = [
     "esql_eval_dissect",
     "esql_mv_expand_stats",
     "esql_percentiles",
+    "esql_match_score",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -138,3 +138,34 @@ def test_esql_plan_shapes(spark, people):
     assert "TakeOrderedAndProject" in plan
     assert "HashAggregate" in plan
     assert "Python" not in plan
+
+
+def test_esql_match_and_metadata_score(spark):
+    from tweets_elastic_spark.plans.esql import esql
+
+    docs = spark.createDataFrame(
+        [(1, "spark merge fast"), (2, "slow table"), (3, "spark only")],
+        "doc_id long, text string",
+    )
+    tabs = {"documents": docs}
+    an = {"text": "standard"}
+    # with an analyzer binding (no stats provider) MATCH is the overlap
+    # node: analyzed token matching, constant score 1.0 per clause
+    q = ('FROM documents METADATA _score '
+         '| WHERE MATCH(text, "spark") | KEEP doc_id, _score '
+         '| SORT doc_id')
+    rows = esql(spark, q, tabs, analyzers=an).collect()
+    assert [r["doc_id"] for r in rows] == [1, 3]
+    assert all(r["_score"] == 1.0 for r in rows)
+    # without ANY binding MATCH degrades to keyword equality — the
+    # documented ES-SQL fallback: no doc's whole text equals "spark"
+    assert esql(spark, q, tabs).collect() == []
+    # without METADATA _score the column must not exist
+    q2 = 'FROM documents | WHERE MATCH(text, "spark") | LIMIT 9'
+    assert "_score" not in esql(spark, q2, tabs, analyzers=an).columns
+    # refusals: MATCH outside WHERE; METADATA other than _score
+    import pytest as _pt
+    with _pt.raises(ValueError, match="only valid in WHERE"):
+        esql(spark, 'FROM documents | EVAL m = MATCH(text, "x")', tabs)
+    with _pt.raises(ValueError, match="only METADATA _score"):
+        esql(spark, "FROM documents METADATA _id | LIMIT 1", tabs)

@@ -128,6 +128,11 @@ class _ExprParser:
 
     def __init__(self, toks, raws, i=0):
         self.toks, self.raws, self.i = toks, raws, i
+        # full-text state: the WHERE stage installs make_match (the
+        # shared ES-SQL builder compiling onto the DSL's Match/BM25Match
+        # nodes); MATCH() outside WHERE raises
+        self.make_match = None
+        self.match_scores: list = []
 
     def peek(self):
         return self.toks[self.i]
@@ -293,6 +298,31 @@ class _ExprParser:
             raise ValueError(
                 f"ES|QL: aggregate {fn} is only valid inside STATS"
             )
+        if fn == "MATCH":
+            # ES|QL 8.16 full-text: MATCH(field, "query") as a WHERE
+            # predicate, compiled through the SAME Match/BM25Match
+            # nodes the DSL / ES-SQL front-ends use (plans/essql.py
+            # _match_builder) — with analyzer + token-column bindings
+            # and a stats provider the score is Okapi BM25, surfaced
+            # via FROM ... METADATA _score.
+            if self.make_match is None:
+                raise ValueError(
+                    "ES|QL: MATCH() is only valid in WHERE"
+                )
+            self.expect_op("(")
+            k, field = self.next()
+            if k != "ident":
+                raise ValueError("ES|QL: MATCH(field, \"query\")")
+            self.expect_op(",")
+            k, text = self.next()
+            if k != "str":
+                raise ValueError(
+                    "ES|QL: MATCH needs a string query"
+                )
+            self.expect_op(")")
+            pred, score = self.make_match(field, text, {})
+            self.match_scores.append(score)
+            return pred
         # functions whose literal arguments must be consumed at the
         # TOKEN level (the pyspark builtin takes a Python value)
         if fn == "SPLIT":
@@ -433,9 +463,17 @@ def esql(
     spark: SparkSession,
     query: str,
     tables: dict[str, DataFrame] | None = None,
+    *,
+    analyzers: dict[str, str] | None = None,
+    tokens_cols: dict[str, str] | None = None,
+    bm25_stats_for=None,
 ) -> DataFrame:
     """Compile one ES|QL query to a DataFrame. ``tables`` maps index
-    names to DataFrames (the FROM resolver); ROW queries need none."""
+    names to DataFrames (the FROM resolver); ROW queries need none.
+    ``analyzers``/``tokens_cols``/``bm25_stats_for`` are the same
+    full-text bindings from_es_json and es_sql take — they activate
+    BM25 scoring for MATCH(); without them MATCH falls back to the
+    keyword/overlap Match node (constant score), same as ES-SQL."""
     stages = _split_pipes(query)
     if not stages:
         raise ValueError("ES|QL: empty query")
@@ -449,8 +487,14 @@ def esql(
             raise ValueError(
                 "ES|QL: one index per FROM here (no multi-index)"
             )
-        if p.at_kw("METADATA"):
-            raise ValueError("ES|QL: METADATA fields are not supported")
+        metadata_score = False
+        if p.eat_kw("METADATA"):
+            k, v = p.next()
+            if k != "ident" or v != "_score":
+                raise ValueError(
+                    "ES|QL: only METADATA _score is supported"
+                )
+            metadata_score = True
         if p.peek()[0] != "end":
             raise ValueError(
                 f"ES|QL: unexpected token after FROM {name}"
@@ -458,6 +502,10 @@ def esql(
         if not tables or name not in tables:
             raise ValueError(f"ES|QL: unknown index {name!r}")
         df = tables[name]
+        if metadata_score:
+            # docs carry _score 0.0 until a scoring WHERE runs — the
+            # ES|QL contract (non-scoring queries leave _score at 0)
+            df = df.withColumn("_score", F.lit(0.0))
     elif p.eat_kw("ROW"):
         names, vals = [], []
         while True:
@@ -481,7 +529,17 @@ def esql(
         toks, raws = _tokenize(stage)
         p = _ExprParser(toks, raws)
         if p.eat_kw("WHERE"):
-            df = df.filter(p.expr())
+            from tweets_elastic_spark.plans.essql import _match_builder
+
+            p.make_match = _match_builder(
+                df, analyzers, tokens_cols, bm25_stats_for)
+            pred = p.expr()
+            df = df.filter(pred)
+            if p.match_scores and "_score" in df.columns:
+                total = p.match_scores[0]
+                for sc in p.match_scores[1:]:
+                    total = total + sc
+                df = df.withColumn("_score", total)
         elif p.eat_kw("EVAL"):
             while True:
                 name = _parse_name(p)

@@ -142,3 +142,45 @@ def q_esql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = COUNT(*) BY lang
         | SORT lang ASC
     """)
+
+
+@register(
+    "esql_match_score",
+    # shares the BM25 oracle VERBATIM with search_bm25 / search_dsl_bm25 /
+    # essql_match_query: FOUR front-ends (builder, JSON DSL, ES-SQL,
+    # ES|QL), one scoring truth — any drift reddens exactly one row.
+    oracle=None,  # assigned below from search_q._BM25_ORACLE
+    doc="ES|QL full-text (8.16 MATCH + METADATA _score): "
+        "FROM documents METADATA _score | WHERE MATCH(text, ...) "
+        "compiles the match through the SAME BM25Match node the other "
+        "three front-ends use (plans/essql._match_builder), _score "
+        "carries the Okapi BM25 relevance. Shares the DuckDB BM25 "
+        "recompute oracle verbatim with search_bm25 / search_dsl_bm25 / "
+        "essql_match_query.",
+)
+def q_esql_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import materialize_tokens
+    from tweets_elastic_spark.plans.esql import esql
+    from tweets_elastic_spark.plans.search import corpus_bm25_provider
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = materialize_tokens(docs, {"text": ["custom_shingles"]})
+    return esql(
+        spark,
+        '''FROM documents METADATA _score
+        | WHERE MATCH(text, "spark merge") AND lang == "en"
+        | EVAL score = ROUND(_score, 6)
+        | KEEP doc_id, lang, score''',
+        {"documents": docs},
+        analyzers={"text": "custom_shingles"},
+        tokens_cols={"text": "text__custom_shingles"},
+        bm25_stats_for=corpus_bm25_provider(spark, docs),
+    )
+
+
+# splice the shared BM25 oracle in (search_q owns it; importing the
+# module here is safe — it registers idempotently via the registry dict)
+from tweets_elastic_spark.queries.search_q import _BM25_ORACLE  # noqa: E402
+from tweets_elastic_spark.registry import _REGISTRY  # noqa: E402
+
+_REGISTRY["esql_match_score"].oracle = _BM25_ORACLE

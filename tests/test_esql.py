@@ -113,7 +113,9 @@ def test_refusals(spark, people):
         ("FROM a, b | LIMIT 1", "one index"),
         ("FROM people METADATA _id", "METADATA"),
         ('FROM people | GROK name "%{X}"', "GROK"),
-        ("FROM people | ENRICH policy", "ENRICH/LOOKUP"),
+        ("FROM people | ENRICH policy", "ENRICH is not supported"),
+        ("FROM people | LOOKUP tbl ON id", "bare LOOKUP"),
+        ("FROM people | LOOKUP JOIN nosuch ON id", "unknown lookup index"),
         ("FROM people | STATS COUNT(*)", "must be named"),
         ("FROM people | STATS n = LENGTH(name)", "expects an aggregate"),
         ("FROM people | WHERE SUM(h) > 1", "only valid inside STATS"),
@@ -169,3 +171,79 @@ def test_esql_match_and_metadata_score(spark):
         esql(spark, 'FROM documents | EVAL m = MATCH(text, "x")', tabs)
     with _pt.raises(ValueError, match="only METADATA _score"):
         esql(spark, "FROM documents METADATA _id | LIMIT 1", tabs)
+
+
+def test_unspaced_binary_minus(spark, people):
+    # 'h-100' must lex as [ident][op -][num 100], not [ident][num -100]
+    rows = _rows(spark, "FROM people | WHERE h-100 > 60 "
+                        "| EVAL d = h-150 | KEEP id, d | SORT id", people)
+    assert [(r["id"], r["d"]) for r in rows] == [(1, 20), (2, 30)]
+    # negative literals still work (unary minus + ROUND digit args)
+    r = _rows(spark, "ROW a = -5 | EVAL b = ROUND(-123.4, -1), "
+                     "c = a - -2 | KEEP a, b, c")[0]
+    assert (r["a"], r["b"], r["c"]) == (-5, -120.0, -3)
+
+
+def test_score_accumulates_across_scoring_wheres(spark):
+    # ES|QL contract: _score ACCUMULATES across scoring operators — a
+    # second scoring WHERE adds to the total, never replaces it
+    docs = spark.createDataFrame(
+        [(1, "spark merge fast", "spark tuning"),
+         (2, "spark only", "other notes")],
+        "doc_id long, text string, title string",
+    )
+    an = {"text": "standard", "title": "standard"}
+    q = ('FROM documents METADATA _score '
+         '| WHERE MATCH(text, "spark") '
+         '| WHERE MATCH(title, "spark") OR doc_id == 2 '
+         '| KEEP doc_id, _score | SORT doc_id')
+    rows = esql(spark, q, {"documents": docs}, analyzers=an).collect()
+    # doc 1 matched both scoring WHEREs (1.0 + 1.0); doc 2 passed the
+    # second stage via the non-scoring disjunct (score stays 1.0 + 0.0)
+    assert [(r["doc_id"], r["_score"]) for r in rows] == [(1, 2.0),
+                                                          (2, 1.0)]
+
+
+def test_lookup_join(spark, people):
+    teams = spark.createDataFrame(
+        [("eng", "Building", 4), ("ops", "Annex", 2), ("hr", "Main", 1)],
+        "team string, site string, floor long",
+    )
+    tabs = dict(people, teams=teams)
+    rows = esql(spark, "FROM people | LOOKUP JOIN teams ON team "
+                       "| KEEP id, team, site, floor | SORT id",
+                tabs).collect()
+    assert [(r["id"], r["site"], r["floor"]) for r in rows] == [
+        (1, "Building", 4), (2, "Building", 4),
+        (3, "Annex", 2), (4, "Annex", 2), (5, "Annex", 2)]
+    # collision rule: lookup-side columns OVERRIDE same-named incoming
+    # columns; unmatched keys leave them NULL
+    named = spark.createDataFrame(
+        [("eng", "Engineering")], "team string, name string")
+    rows = esql(spark, "FROM people | LOOKUP JOIN named ON team "
+                       "| KEEP id, name | SORT id",
+                dict(people, named=named)).collect()
+    assert [r["name"] for r in rows] == ["Engineering", "Engineering",
+                                         None, None, None]
+    # multiple lookup matches multiply rows (LEFT JOIN semantics)
+    multi = spark.createDataFrame(
+        [("ops", "x"), ("ops", "y")], "team string, tag string")
+    rows = esql(spark, "FROM people | WHERE id == 3 "
+                       "| LOOKUP JOIN multi ON team | KEEP id, tag",
+                dict(people, multi=multi)).collect()
+    assert sorted(r["tag"] for r in rows) == ["x", "y"]
+    # key must exist on both sides
+    with pytest.raises(ValueError, match="not a column of the incoming"):
+        esql(spark, "FROM people | LOOKUP JOIN teams ON nokey", tabs)
+    with pytest.raises(ValueError, match="not a column of lookup"):
+        esql(spark, "FROM people | LOOKUP JOIN noteam ON id",
+             dict(people, noteam=teams))
+
+
+def test_lookup_join_is_broadcast(spark, people):
+    teams = spark.createDataFrame(
+        [("eng", "B1"), ("ops", "B2")], "team string, site string")
+    df = esql(spark, "FROM people | LOOKUP JOIN teams ON team",
+              dict(people, teams=teams))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the main stream never shuffles

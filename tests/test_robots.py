@@ -114,3 +114,27 @@ def test_robots_gate_spark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_robots_gate_matches_query_component(spark):
+    # REP matching (RFC 9309 / the Google reference parser) is against
+    # path PLUS query: 'Disallow: /*?session=' must fire on
+    # '/q/a?session=1' even though the path alone contains no '?'
+    from tweets_elastic_spark.operators.curation import robots_gate
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/q/a?session=1"),
+         (2, "https://a.com/q/a"),
+         (3, "https://a.com/q/a?id=2"),
+         (4, "https://a.com/?session=9")],   # empty path -> '/?session=9'
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /*?session=")],
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in robots_gate(pages, robots, url_col="url").collect()
+    )
+    assert got == [2, 3]

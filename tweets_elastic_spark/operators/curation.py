@@ -713,9 +713,14 @@ def robots_gate(
         _parse(F.col(txt_col)).alias("__rules"),
     )
     p = url_parts(F.col(url_col))
+    base = F.when(p["path"] == F.lit(""), F.lit("/")).otherwise(p["path"])
+    # REP matching (the Google reference parser RFC 9309 formalizes)
+    # matches against path PLUS query — rules like 'Disallow: /*?session='
+    # must fire, so the query component cannot be dropped here
     joined = docs.withColumn("__phost", p["host"]).withColumn(
         "__ppath",
-        F.when(p["path"] == F.lit(""), F.lit("/")).otherwise(p["path"]),
+        F.when(p["query"] == F.lit(""), base)
+        .otherwise(F.concat(base, F.lit("?"), p["query"])),
     ).join(
         F.broadcast(rules),
         F.col("__phost") == F.col("__rhost"),

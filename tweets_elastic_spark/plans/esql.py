@@ -19,8 +19,10 @@ never an interpreter.
 Supported subset (everything else raises loudly with the offending
 token, the ES-SQL/EQL convention):
 
-* sources: ``FROM <index>`` (one index — the engine's tables are the
-  indices; no METADATA) and ``ROW name = literal, ...``.
+* sources: ``FROM <index> [METADATA _score]`` (one index — the
+  engine's tables are the indices; ``METADATA _score`` surfaces the
+  BM25 relevance accumulated by scoring ``WHERE MATCH(...)`` stages,
+  the 8.16 full-text contract) and ``ROW name = literal, ...``.
 * ``WHERE`` expr; ``EVAL name = expr, ...``; ``KEEP``/``DROP`` column
   lists (``*`` suffix wildcards in KEEP); ``RENAME old AS new, ...``;
   ``SORT expr [ASC|DESC] [NULLS FIRST|LAST], ...``; ``LIMIT n``;
@@ -44,9 +46,28 @@ token, the ES-SQL/EQL convention):
   (EXACT interpolated — ES|QL uses t-digest; same divergence class,
   same as DuckDB quantile_cont so oracles compare exactly).
 
-Refused loudly: multiple/remote indices, METADATA, GROK (DISSECT is
-the supported extraction), ENRICH/LOOKUP (express joins in the
-DataFrame API), nested subpipes.
+* ``LOOKUP JOIN <lookup_index> ON <field>`` (ES 8.18): a broadcast
+  LEFT join against a second catalog table; lookup-side columns
+  override same-named incoming columns (the documented ES collision
+  rule), multiple lookup matches multiply rows like SQL LEFT JOIN.
+
+Documented semantic divergences from upstream ES|QL (each strictly
+more accurate or type-visible, never silently wrong):
+
+* COUNT_DISTINCT / MEDIAN / PERCENTILE are EXACT (ES uses HLL /
+  t-digest sketches) — shared with the cardinality/percentiles aggs.
+* ``/`` on two integer operands is DOUBLE division (Spark's ``/``);
+  upstream ES|QL emits integer division there. ``TO_LONG(a / b)``
+  therefore truncates the double toward negative infinity where
+  ES|QL's integer ``/`` truncates toward zero — they differ on exact
+  negative quotients. Write ``FLOOR``-free integer math with ``%``
+  or cast explicitly when that matters; the Spark-mirroring oracles
+  mirror the double semantics.
+
+Refused loudly: multiple/remote indices, METADATA other than
+``_score``, GROK (DISSECT is the supported extraction), ENRICH
+(express enrich policies as LOOKUP JOIN or DataFrame joins), bare
+LOOKUP (the 8.14 experimental table form), nested subpipes.
 """
 
 from __future__ import annotations
@@ -59,7 +80,9 @@ from pyspark.sql import functions as F
 __all__ = ["esql"]
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)"
+    # no sign on num: unspaced binary minus ('n_chars-1') must lex as
+    # [ident][op -][num 1]; negative literals are the parser's unary -
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)"
     r'|(?P<dstr>"(?:[^"\\]|\\.)*")'
     r"|(?P<sstr>'(?:[^']|'')*')"
     r"|(?P<ident>[A-Za-z_@][A-Za-z0-9_.]*)"
@@ -288,10 +311,14 @@ class _ExprParser:
         return v
 
     def _lit_int_arg(self, what: str) -> int:
+        neg = False
+        if self.peek() == ("op", "-"):
+            self.i += 1
+            neg = True
         k, v = self.next()
         if k != "num" or isinstance(v, float):
             raise ValueError(f"ES|QL: {what} must be an integer literal")
-        return v
+        return -v if neg else v
 
     def _call(self, fn: str) -> Column:
         if fn in _AGG_FNS:
@@ -385,9 +412,6 @@ class _ExprParser:
         if fn == "TO_DOUBLE":
             need(1)
             return a[0].cast("double")
-        if fn == "SPLIT":
-            need(2)
-            return F.split(a[0], _lit_str_re(a[1]))
         if fn == "MV_COUNT":
             need(1)
             return F.size(a[0]).cast("bigint")
@@ -405,9 +429,6 @@ class _ExprParser:
         if fn == "ENDS_WITH":
             need(2)
             return a[0].endswith(a[1])
-        if fn == "DATE_TRUNC":
-            need(2)
-            return F.date_trunc(_lit_str(a[0], "DATE_TRUNC unit"), a[1])
         if fn == "CASE":
             if len(a) < 2:
                 raise ValueError("ES|QL: CASE(cond, val, ..., [default])")
@@ -539,7 +560,10 @@ def esql(
                 total = p.match_scores[0]
                 for sc in p.match_scores[1:]:
                     total = total + sc
-                df = df.withColumn("_score", total)
+                # _score ACCUMULATES across scoring operators (the
+                # ES|QL contract): add to the running total set by any
+                # earlier scoring WHERE, never replace it
+                df = df.withColumn("_score", F.col("_score") + total)
         elif p.eat_kw("EVAL"):
             while True:
                 name = _parse_name(p)
@@ -671,10 +695,52 @@ def esql(
                 "delimiter-based extraction; regex extraction via "
                 "EVAL + RLIKE/SUBSTRING"
             )
-        elif p.at_kw("ENRICH", "LOOKUP"):
+        elif p.eat_kw("LOOKUP"):
+            # LOOKUP JOIN <lookup_index> ON <field> (ES 8.18): enrich
+            # each row with the lookup index's columns. Lookup-mode
+            # indices are small BY CONTRACT (ES enforces single-shard
+            # lookup mode), so this compiles to a BROADCAST left join —
+            # the main stream never shuffles. Collision rule per the ES
+            # docs: lookup-side columns OVERRIDE same-named incoming
+            # columns; multiple matches multiply rows (LEFT JOIN
+            # semantics); no match leaves the lookup columns NULL.
+            k, v = p.next()
+            if k != "ident" or v.upper() != "JOIN":
+                raise ValueError(
+                    "ES|QL: bare LOOKUP (the 8.14 experimental table "
+                    "form) is not supported — use LOOKUP JOIN <index> "
+                    "ON <field> (ES 8.18)"
+                )
+            idx = _parse_name(p)
+            k, v = p.next()
+            if k != "ident" or v.upper() != "ON":
+                raise ValueError(
+                    "ES|QL: LOOKUP JOIN <index> ON <field>"
+                )
+            key = _parse_name(p)
+            if not tables or idx not in tables:
+                raise ValueError(f"ES|QL: unknown lookup index {idx!r}")
+            lk = tables[idx]
+            if key not in df.columns:
+                raise ValueError(
+                    f"ES|QL: LOOKUP JOIN key {key!r} is not a column "
+                    f"of the incoming rows"
+                )
+            if key not in lk.columns:
+                raise ValueError(
+                    f"ES|QL: LOOKUP JOIN key {key!r} is not a column "
+                    f"of lookup index {idx!r}"
+                )
+            overridden = [
+                c for c in df.columns if c != key and c in lk.columns
+            ]
+            df = df.drop(*overridden).join(
+                F.broadcast(lk), on=key, how="left"
+            )
+        elif p.at_kw("ENRICH"):
             raise ValueError(
-                "ES|QL: ENRICH/LOOKUP are not supported — express "
-                "joins in the DataFrame API"
+                "ES|QL: ENRICH is not supported — express enrich "
+                "policies as LOOKUP JOIN or DataFrame joins"
             )
         else:
             raise ValueError(

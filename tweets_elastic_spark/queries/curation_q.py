@@ -1515,7 +1515,11 @@ def q_crawl_main_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROBOTS_BODIES = {
     0: "User-agent: *\nDisallow: /private/\nAllow: /private/public/",
-    1: "User-agent: *\nDisallow: /p/\nAllow: /p/4*",
+    # class 1 carries the r14 QUERY-COMPONENT rule: REP matching is
+    # path+query, so '/*?session=' must deny '/q/a7?session=7' even
+    # though the PATH alone never contains '?'
+    1: ("User-agent: *\nDisallow: /p/\nAllow: /p/4*\n"
+        "Disallow: /*?session="),
     2: ("User-agent: googlebot\nDisallow: /\n\n"
         "User-agent: *\nDisallow: /tmp/$"),
     # class 3: host has NO robots.txt row -> allowed (RFC default)
@@ -1529,14 +1533,15 @@ _ROBOTS_BODIES = {
         SELECT doc_id,
                'site' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS host,
                (doc_id % 97) % 4 AS rclass,
-               doc_id % 6 AS pclass,
-               CASE doc_id % 6
+               doc_id % 7 AS pclass,
+               CASE doc_id % 7
                  WHEN 0 THEN '/private/a' || CAST(doc_id AS VARCHAR)
                  WHEN 1 THEN '/private/public/b' || CAST(doc_id AS VARCHAR)
                  WHEN 2 THEN '/tmp/'
                  WHEN 3 THEN '/tmp/c' || CAST(doc_id AS VARCHAR)
                  WHEN 4 THEN '/p/4' || CAST(doc_id AS VARCHAR)
-                 ELSE '/p/9' || CAST(doc_id AS VARCHAR)
+                 WHEN 5 THEN '/p/9' || CAST(doc_id AS VARCHAR)
+                 ELSE '/q/a' || CAST(doc_id AS VARCHAR)
                END AS path
         FROM documents WHERE text IS NOT NULL
     )
@@ -1545,6 +1550,7 @@ _ROBOTS_BODIES = {
     WHERE NOT (
            (rclass = 0 AND pclass = 0)   -- /private/ denied, public carve-out survives
         OR (rclass = 1 AND pclass = 5)   -- /p/ denied, /p/4* wildcard carve-out survives
+        OR (rclass = 1 AND pclass = 6)   -- /*?session= fires on path+QUERY (r14 fix)
         OR (rclass = 2 AND pclass = 2)   -- /tmp/$ denies the EXACT path only
     )
     ORDER BY doc_id
@@ -1557,8 +1563,10 @@ _ROBOTS_BODIES = {
         "longest-match-wins expression (operators/curation.py "
         "robots_gate). The planted classes exercise the Allow carve-out "
         "under a Disallow prefix, a wildcard Allow beating a shorter "
-        "Disallow, the $ end anchor denying only the exact path, and the "
-        "no-robots default-allow. The oracle derives every verdict "
+        "Disallow, the $ end anchor denying only the exact path, a "
+        "QUERY-component rule ('/*?session=' — REP matches path+query, "
+        "r14) and the no-robots default-allow. The oracle derives every "
+        "verdict "
         "independently from the planted rule semantics — the engine's "
         "parser/matcher is what is under test. Scale shape: the page "
         "stream never shuffles; the only exchange is the broadcast of "
@@ -1569,18 +1577,18 @@ def q_robots_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
     s = F.col("doc_id") % 97
+    d = F.col("doc_id").cast("string")
     path = (
-        F.when(F.col("doc_id") % 6 == 0,
-               F.concat(F.lit("/private/a"), F.col("doc_id").cast("string")))
-        .when(F.col("doc_id") % 6 == 1,
-              F.concat(F.lit("/private/public/b"),
-                       F.col("doc_id").cast("string")))
-        .when(F.col("doc_id") % 6 == 2, F.lit("/tmp/"))
-        .when(F.col("doc_id") % 6 == 3,
-              F.concat(F.lit("/tmp/c"), F.col("doc_id").cast("string")))
-        .when(F.col("doc_id") % 6 == 4,
-              F.concat(F.lit("/p/4"), F.col("doc_id").cast("string")))
-        .otherwise(F.concat(F.lit("/p/9"), F.col("doc_id").cast("string")))
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("/private/a"), d))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.lit("/private/public/b"), d))
+        .when(F.col("doc_id") % 7 == 2, F.lit("/tmp/"))
+        .when(F.col("doc_id") % 7 == 3, F.concat(F.lit("/tmp/c"), d))
+        .when(F.col("doc_id") % 7 == 4, F.concat(F.lit("/p/4"), d))
+        .when(F.col("doc_id") % 7 == 5, F.concat(F.lit("/p/9"), d))
+        # pclass 6: the QUERY-rule class — the path alone is innocent,
+        # only path+query matches '/*?session='
+        .otherwise(F.concat(F.lit("/q/a"), d, F.lit("?session="), d))
     )
     pages = docs.select(
         "doc_id",

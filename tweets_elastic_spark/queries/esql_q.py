@@ -178,6 +178,45 @@ def q_esql_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "esql_lookup_join",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS cnt,
+           max(c_acctbal) AS hi,
+           min(c_acctbal) AS lo
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY cnt DESC, n_name ASC
+    LIMIT 10
+    """,
+    doc="ES|QL LOOKUP JOIN (ES 8.18's headline feature, r14): "
+        "FROM customer | RENAME .. | LOOKUP JOIN nation ON n_nationkey "
+        "| STATS .. BY n_name — the lookup index compiles to a "
+        "BROADCAST left join (lookup-mode indices are single-shard-small "
+        "by ES contract, so the fact stream never shuffles for the "
+        "enrich; plan-shape pytest pins BroadcastHashJoin), then ONE "
+        "hash agg + TakeOrderedAndProject. MAX/MIN instead of SUM keeps "
+        "the doubles order-insensitive for cross-engine hash identity. "
+        "Oracle replays the pipe as a plain join+group (every customer "
+        "has a nation, so LEFT==INNER here).",
+)
+def q_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.esql import esql
+
+    cust = fan_out(load_table(spark, sf_dir, "customer"))
+    nation = load_table(spark, sf_dir, "nation")
+    return esql(spark, """
+        FROM customer
+        | RENAME c_nationkey AS n_nationkey
+        | LOOKUP JOIN nation ON n_nationkey
+        | STATS cnt = COUNT(*), hi = MAX(c_acctbal), lo = MIN(c_acctbal)
+                BY n_name
+        | SORT cnt DESC, n_name ASC
+        | LIMIT 10
+    """, {"customer": cust, "nation": nation})
+
+
 # splice the shared BM25 oracle in (search_q owns it; importing the
 # module here is safe — it registers idempotently via the registry dict)
 from tweets_elastic_spark.queries.search_q import _BM25_ORACLE  # noqa: E402

@@ -362,10 +362,32 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_token_stats",
-    oracle=None,  # the iterative merge recursion is not SQL-expressible;
-    # pinned by tests/test_bpe.py against an independent reference trainer
-    # (Sennrich example merges verbatim) + round-trip/monotonicity
-    # properties; the driver records the rows-only check.
+    # CONTRACT ORACLE (r14 — the ann_ivf_recall_profile pattern, closing
+    # the rows-only class for good): the iterative merge recursion is
+    # not SQL-expressible, so the row emits (a) per-lang doc/word counts
+    # the oracle REPLAYS exactly (same pre-tokenization regex both
+    # engines) and (b) structural-correctness booleans computed IN-PLAN
+    # over every encoded document — round-trip reconstruction, one
+    # end-of-word marker per word, the n_words <= n_bpe <= chars+words
+    # compression bounds, all-80-merges-learned. A violation on ANY doc
+    # turns a bool_and FALSE and reddens the row against the oracle's
+    # TRUE columns. The merge LIST itself stays pinned by tests/
+    # test_bpe.py (independent reference trainer, Sennrich example
+    # merges verbatim, monotone compression, determinism).
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> ''))) AS BIGINT) AS total_words,
+           TRUE AS roundtrip_ok,
+           TRUE AS word_marks_ok,
+           TRUE AS bpe_ge_words,
+           TRUE AS bpe_le_chars,
+           TRUE AS merges_complete
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY lang
+    """,
     doc="BPE subword tokenizer (Sennrich et al. 2016) trained on the "
         "corpus and applied to it in one operator pair: the corpus "
         "collapses to a (word, freq) relation (one map-side-combined "
@@ -373,27 +395,54 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "that bounded table (TakeOrderedAndProject cap, like every "
         "trainer does on aggregated counts), and encoding runs as an "
         "Arrow-batched pandas UDF with a per-batch word memo — work "
-        "scales with unique words (Zipf), not tokens. Output: per-doc "
-        "word/subword counts + compression ratio.",
+        "scales with unique words (Zipf), not tokens. Output: per-lang "
+        "doc/word counts (oracle-replayed) + in-plan structural "
+        "booleans over every encoded doc (round-trip, marker-per-word, "
+        "compression bounds, full merge count).",
 )
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tweets_elastic_spark.operators.bpe import bpe_encode, bpe_train
+    from tweets_elastic_spark.operators.bpe import END, bpe_encode, bpe_train
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     merges = bpe_train(docs, num_merges=80)
     out = bpe_encode(docs, merges)
-    from tweets_elastic_spark.functions.analyzers import lower_alnum_tokens
-
-    n_words = F.size(lower_alnum_tokens(F.col("text")))
-    return out.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.size("bpe_tokens").alias("n_bpe"),
-        F.round(
-            F.size("bpe_tokens").cast("double")
-            / F.greatest(n_words, F.lit(1)).cast("double"),
-            6,
-        ).alias("subwords_per_word"),
+    # the encoder's OWN pre-tokenization (bpe.py _encode), mirrored in
+    # the oracle's regexp_split_to_array so total_words replays exactly
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    words_joined = F.concat_ws("", words)
+    n_words = F.size(words)
+    n_bpe = F.size("bpe_tokens")
+    rejoined = F.replace(
+        F.concat_ws("", F.col("bpe_tokens")), F.lit(END), F.lit("")
+    )
+    n_marks = F.size(F.filter(F.col("bpe_tokens"),
+                              lambda t: t.contains(END)))
+    per_doc = out.select(
+        "lang",
+        n_words.alias("nw"),
+        # decode = strip the </w> markers and concatenate: must equal
+        # the concatenated pre-tokenized words (per-doc round trip)
+        (rejoined == words_joined).alias("rt"),
+        # exactly one end-of-word-marked token per word
+        (n_marks == n_words).alias("wm"),
+        # merges only ever SHRINK the char+marker split: the token
+        # count sits in [n_words, alnum_chars + n_words]
+        (n_bpe >= n_words).alias("ge"),
+        (n_bpe <= F.length(words_joined) + n_words).alias("le"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("total_words"),
+        F.bool_and("rt").alias("roundtrip_ok"),
+        F.bool_and("wm").alias("word_marks_ok"),
+        F.bool_and("ge").alias("bpe_ge_words"),
+        F.bool_and("le").alias("bpe_le_chars"),
+        F.lit(len(merges) == 80).alias("merges_complete"),
     )
 
 

@@ -301,6 +301,10 @@ HEADLINE = [
     "esql_mv_expand_stats",
     "esql_percentiles",
     "esql_match_score",
+    # r14: ES 8.18 LOOKUP JOIN (broadcast-enrich compile) + 8.16
+    # INLINESTATS (window-aggregate compile)
+    "esql_lookup_join",
+    "esql_inlinestats",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -674,24 +678,45 @@ def main() -> None:
 
     calibration_sec = calibrate()
 
+    # r14 (r13 verdict task 6 — the migrating-stall chase): r13's spread
+    # column proved a wandering ~30-40s stall event whose victims differ
+    # per run on identical code. With the old 3-CONSECUTIVE-samples-per-
+    # query loop, one stall lands on all three samples of whichever
+    # query is running, so even the best-of-3 min carries it. Sampling
+    # is now THREE FULL PASSES over the headline list — pass 0 in
+    # canonical order (so queries_first_run keeps its chronology and
+    # stays comparable to earlier rounds), passes 1-2 in deterministic
+    # shuffles, with a GC+settle between passes. A stall localized in
+    # time now hits DIFFERENT queries in each pass, and each query's
+    # min dodges it; the spread column still records the event.
+    import random
+
+    samples: dict[str, list[float]] = {n: [] for n in headline}
+    rng = random.Random(14)
+    for p in range(3):
+        order = list(headline)
+        if p > 0:
+            rng.shuffle(order)
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2.0)
+        for name in order:
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in headline:
-        samples = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            materialize(queries[name](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        first_run[name] = round(samples[0], 3)
-        times[name] = round(min(samples), 3)
-        # r13 (r12 verdict task 5): per-query best-of-3 SPREAD committed
-        # to the artifact, so tail-variance rows (same code, 3-8x swings
-        # between runs — GC/eviction noise on the shared box) are
-        # visible IN the record instead of surfacing as phantom
-        # regressions when two rounds' minima land on different sides
-        # of the noise.
-        spread[name] = round(max(samples) - min(samples), 3)
+        s = samples[name]
+        first_run[name] = round(s[0], 3)
+        times[name] = round(min(s), 3)
+        # r13 (r12 verdict task 5): per-query SPREAD committed to the
+        # artifact, so tail-variance rows (same code, 3-8x swings — GC/
+        # eviction noise on the shared box) are visible IN the record
+        # instead of surfacing as phantom regressions when two rounds'
+        # minima land on different sides of the noise.
+        spread[name] = round(max(s) - min(s), 3)
 
     total = round(sum(times.values()), 3)
     full = {
@@ -705,8 +730,11 @@ def main() -> None:
         "index_build_sec": index_build_sec,
         "calibration_sec": calibration_sec,
         "warmup": "per-query sf0.001 pass, then best-of-3 timed sf0.1 runs "
-                  "(steady-state, noise-robust); queries_first_run is the "
-                  "single-sample first sf0.1 run of each query",
+                  "taken as THREE FULL PASSES (pass 0 canonical order, "
+                  "passes 1-2 shuffled, GC+settle between — a time-local "
+                  "stall can no longer poison all three samples of one "
+                  "query); queries_first_run is pass 0 (each query's "
+                  "chronologically first sf0.1 run)",
         "sf": sf,
     }
     # the driver records the default sf0.1 run as bench_full.json; other

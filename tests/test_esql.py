@@ -247,3 +247,39 @@ def test_lookup_join_is_broadcast(spark, people):
               dict(people, teams=teams))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the main stream never shuffles
+
+
+def test_inlinestats_by_window(spark, people):
+    # BY form: aggregates APPEND to every row via a window partitioned
+    # on the keys — the stream is not collapsed
+    rows = _rows(spark, "FROM people | INLINESTATS ta = AVG(h) BY team "
+                        "| KEEP id, team, ta | SORT id", people)
+    assert [(r["id"], r["ta"]) for r in rows] == [
+        (1, 175.0), (2, 175.0), (3, 155.0), (4, 155.0), (5, 155.0)]
+    # MEDIAN rides the same window; ROUND(agg, d) wraps it
+    rows = _rows(spark, "FROM people | INLINESTATS m = ROUND(MEDIAN(h), 1) "
+                        "BY team | KEEP id, m | SORT id", people)
+    assert [r["m"] for r in rows] == [175.0, 175.0, 155.0, 155.0, 155.0]
+    # COUNT_DISTINCT compiles to size(collect_set()) over the window
+    rows = _rows(spark, "FROM people | INLINESTATS nd = COUNT_DISTINCT(name) "
+                        "BY team | KEEP id, nd | SORT id", people)
+    assert [r["nd"] for r in rows] == [2, 2, 3, 3, 3]
+    # named BY keys refuse loudly (STATS-only sugar)
+    with pytest.raises(ValueError, match="INLINESTATS BY takes plain"):
+        esql(spark, "FROM people | INLINESTATS n = COUNT(*) BY t = team",
+             people)
+
+
+def test_inlinestats_global_broadcast(spark, people):
+    # no BY: one aggregate row broadcast back onto the stream
+    rows = _rows(spark, "FROM people | INLINESTATS hi = MAX(h), "
+                        "n = COUNT(*) | KEEP id, hi, n | SORT id", people)
+    assert len(rows) == 5
+    assert all((r["hi"], r["n"]) == (180, 5) for r in rows)
+    # collision rule: same-named existing column is overridden
+    rows = _rows(spark, "FROM people | INLINESTATS h = MAX(h) "
+                        "| KEEP id, h | SORT id", people)
+    assert [r["h"] for r in rows] == [180] * 5
+    df = esql(spark, "FROM people | INLINESTATS hi = MAX(h)", people)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row broadcast, no shuffle

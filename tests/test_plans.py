@@ -231,6 +231,7 @@ _ONE_ROW_CROSS_JOIN_OK = {
     "es_aggs_change_point",        # 1-row cp_key/cp_stat broadcast
     "es_aggs_frequent_item_sets",  # 1-row support-denominator broadcast
     "es_request_retriever_linear",  # 1-row per-leg min/max (minmax norm)
+    "esql_inlinestats",            # global INLINESTATS: 1-row totals broadcast
     # bounded-broadcast designs (not 1-row, but the broadcast side is a
     # small constant — the documented plan, not an accident):
     "ann_multi_query_topk",        # 16-row query batch x one corpus scan

@@ -39,6 +39,11 @@ token, the ES-SQL/EQL convention):
   oracles — DuckDB CAST rounds), TO_DOUBLE, SPLIT(col, delim),
   MV_COUNT, MV_MIN, MV_MAX, COALESCE, STARTS_WITH, ENDS_WITH,
   DATE_TRUNC("unit", ts).
+* ``INLINESTATS [name =] agg [, ...] [BY expr [, ...]]`` (the 8.16
+  preview command): STATS that APPENDS instead of collapsing — BY form
+  compiles to window aggregates over partitionBy(keys) (one exchange,
+  no join); the global form is a 1-row broadcast back onto the stream.
+  Same-named columns are overridden (the ES collision rule).
 * ``STATS [name =] agg [, ...] [BY [name =] expr [, ...]]`` with
   COUNT(*)/COUNT(expr), COUNT_DISTINCT (EXACT — ES|QL uses HLL; the
   documented strictly-more-accurate divergence shared with the
@@ -94,7 +99,7 @@ _KEYWORDS = {
     "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST",
     "LAST", "AND", "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL",
     "TRUE", "FALSE", "MV_EXPAND", "DISSECT", "GROK", "ENRICH", "LOOKUP",
-    "METADATA",
+    "METADATA", "INLINESTATS",
 }
 
 _AGG_FNS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
@@ -575,6 +580,8 @@ def esql(
                 break
         elif p.eat_kw("STATS"):
             df = _stats(df, p)
+        elif p.eat_kw("INLINESTATS"):
+            df = _inlinestats(df, p)
         elif p.eat_kw("SORT"):
             orders = []
             while True:
@@ -755,56 +762,46 @@ def esql(
     return df
 
 
-def _stats(df: DataFrame, p: _ExprParser) -> DataFrame:
-    def agg_item():
-        # [name =] [ROUND(] AGG(args) [, digits)]
+def _parse_agg_items(p: _ExprParser) -> list[tuple]:
+    """Parse the shared STATS/INLINESTATS aggregate list:
+    ``[name =] [ROUND(] AGG(args) [, digits)], ...`` →
+    [(name, fn, arg_col_or_None, percentile_q, round_digits), ...]."""
+
+    def item():
         name = None
         k, v = p.peek()
         if k == "ident" and p.toks[p.i + 1] == ("op", "="):
             name = v
             p.i += 2
         k, fnname = p.next()
-        round_digits = None
+        wants_round = False
         if k == "ident" and fnname.upper() == "ROUND":
             p.expect_op("(")
             k, fnname = p.next()
-            round_digits = True  # digits parsed after the agg closes
+            wants_round = True  # digits parsed after the agg closes
         if k != "ident" or fnname.upper() not in _AGG_FNS:
             raise ValueError(
                 f"ES|QL: STATS expects an aggregate, got {fnname!r}"
             )
         fn = fnname.upper()
         p.expect_op("(")
+        arg, q = None, None
         if fn == "COUNT" and p.peek() == ("op", "*"):
             p.i += 1
             p.expect_op(")")
-            col = F.count(F.lit(1))
         else:
             arg = p.expr()
             if fn == "PERCENTILE":
                 p.expect_op(",")
-                k2, q = p.next()
+                k2, qv = p.next()
                 if k2 != "num":
                     raise ValueError(
                         "ES|QL: PERCENTILE(expr, p) needs a numeric p"
                     )
-                p.expect_op(")")
-                # EXACT interpolated percentile (= DuckDB
-                # quantile_cont), vs ES|QL's t-digest: the documented
-                # strictly-more-accurate divergence
-                col = F.percentile(arg, F.lit(float(q) / 100.0))
-            else:
-                p.expect_op(")")
-                col = {
-                    "COUNT": lambda a: F.count(a),
-                    "COUNT_DISTINCT": lambda a: F.count_distinct(a),
-                    "SUM": F.sum, "AVG": F.avg, "MIN": F.min,
-                    "MAX": F.max,
-                    "MEDIAN": lambda a: F.percentile(a, F.lit(0.5)),
-                }[fn](arg)
-        if fn in ("COUNT", "COUNT_DISTINCT"):
-            col = col.cast("bigint")
-        if round_digits:
+                q = float(qv)
+            p.expect_op(")")
+        digits = None
+        if wants_round:
             p.expect_op(",")
             k2, d = p.next()
             if k2 != "num" or isinstance(d, float):
@@ -812,19 +809,47 @@ def _stats(df: DataFrame, p: _ExprParser) -> DataFrame:
                     "ES|QL: ROUND(agg, digits) needs an integer"
                 )
             p.expect_op(")")
-            col = F.round(col, int(d))
+            digits = int(d)
         if name is None:
             raise ValueError(
                 "ES|QL: STATS aggregates must be named here "
                 "(name = AGG(...)) — engines disagree on default "
                 "column names"
             )
-        return col.alias(name)
+        return (name, fn, arg, q, digits)
 
-    aggs = [agg_item()]
+    items = [item()]
     while p.peek() == ("op", ","):
         p.i += 1
-        aggs.append(agg_item())
+        items.append(item())
+    return items
+
+
+def _agg_column(fn: str, arg, q) -> Column:
+    if fn == "COUNT" and arg is None:
+        return F.count(F.lit(1))
+    if fn == "PERCENTILE":
+        # EXACT interpolated percentile (= DuckDB quantile_cont), vs
+        # ES|QL's t-digest: the documented strictly-more-accurate
+        # divergence
+        return F.percentile(arg, F.lit(q / 100.0))
+    return {
+        "COUNT": lambda a: F.count(a),
+        "COUNT_DISTINCT": lambda a: F.count_distinct(a),
+        "SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max,
+        "MEDIAN": lambda a: F.percentile(a, F.lit(0.5)),
+    }[fn](arg)
+
+
+def _stats(df: DataFrame, p: _ExprParser) -> DataFrame:
+    aggs = []
+    for name, fn, arg, q, digits in _parse_agg_items(p):
+        col = _agg_column(fn, arg, q)
+        if fn in ("COUNT", "COUNT_DISTINCT"):
+            col = col.cast("bigint")
+        if digits is not None:
+            col = F.round(col, digits)
+        aggs.append(col.alias(name))
     keys = []
     if p.eat_kw("BY"):
         while True:
@@ -842,3 +867,65 @@ def _stats(df: DataFrame, p: _ExprParser) -> DataFrame:
     if keys:
         return df.groupBy(*keys).agg(*aggs)
     return df.agg(*aggs)
+
+
+def _inlinestats(df: DataFrame, p: _ExprParser) -> DataFrame:
+    """INLINESTATS (ES 8.16 preview): like STATS, but the aggregates are
+    APPENDED to every row instead of collapsing the stream.
+
+    Compile, by form:
+
+    * ``BY keys`` → window aggregates over ``partitionBy(keys)`` — ONE
+      hash-partition exchange on the grouping keys, no join, no second
+      scan. COUNT_DISTINCT compiles to ``size(collect_set())`` over the
+      window (Spark windows refuse DISTINCT aggregates; the set is
+      bounded by per-group cardinality, the same bound the hash-agg
+      form carries).
+    * no BY → the aggregates collapse to ONE row which broadcast-cross-
+      joins back onto the stream (the engine's standard scalar-totals
+      idiom: dsir_sample, vocab_top_tokens, ...) — the stream itself
+      never shuffles.
+
+    Same-named existing columns are overridden (the ES collision rule,
+    shared with LOOKUP JOIN)."""
+    from pyspark.sql.window import Window
+
+    items = _parse_agg_items(p)
+    keys = []
+    if p.eat_kw("BY"):
+        while True:
+            k, v = p.peek()
+            if k == "ident" and p.toks[p.i + 1] == ("op", "="):
+                raise ValueError(
+                    "ES|QL: INLINESTATS BY takes plain expressions "
+                    "(named keys are only supported in STATS here)"
+                )
+            keys.append(p.expr())
+            if p.peek() == ("op", ","):
+                p.i += 1
+                continue
+            break
+    if keys:
+        w = Window.partitionBy(*keys)
+        for name, fn, arg, q, digits in items:
+            if fn == "COUNT_DISTINCT":
+                col = F.size(F.collect_set(arg).over(w)).cast("bigint")
+            else:
+                col = _agg_column(fn, arg, q).over(w)
+                if fn == "COUNT":
+                    col = col.cast("bigint")
+            if digits is not None:
+                col = F.round(col, digits)
+            df = df.withColumn(name, col)
+        return df
+    aggs = []
+    for name, fn, arg, q, digits in items:
+        col = _agg_column(fn, arg, q)
+        if fn in ("COUNT", "COUNT_DISTINCT"):
+            col = col.cast("bigint")
+        if digits is not None:
+            col = F.round(col, digits)
+        aggs.append(col.alias(name))
+    clash = [c for c in df.columns
+             if c in {name for name, *_ in items}]
+    return df.drop(*clash).crossJoin(F.broadcast(df.agg(*aggs)))

@@ -179,6 +179,44 @@ def q_esql_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_inlinestats",
+    oracle="""
+    WITH t AS (
+        SELECT lang, n_chars,
+               round(avg(n_chars) OVER (PARTITION BY lang), 4) AS lang_avg,
+               CAST(count(*) OVER () AS BIGINT) AS g_n
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           max(n_chars) AS mx,
+           max(g_n) AS g
+    FROM t WHERE n_chars > lang_avg * 1.2
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+    doc="ES|QL INLINESTATS (8.16 preview, r14): per-group aggregates "
+        "APPENDED to every row, then used as an ordinary column in a "
+        "downstream WHERE — the above-their-language-average filter. "
+        "BY form compiles to window aggregates over partitionBy(lang) "
+        "(ONE hash exchange, no join, no second scan); the global "
+        "COUNT(*) form is a 1-row broadcast back onto the stream (the "
+        "engine's scalar-totals idiom). The oracle replays both as SQL "
+        "window functions.",
+)
+def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM documents
+        | WHERE text IS NOT NULL
+        | INLINESTATS lang_avg = ROUND(AVG(n_chars), 4) BY lang
+        | INLINESTATS g_n = COUNT(*)
+        | WHERE n_chars > lang_avg * 1.2
+        | STATS n = COUNT(*), mx = MAX(n_chars), g = MAX(g_n) BY lang
+        | SORT lang ASC
+    """)
+
+
+@register(
     "esql_lookup_join",
     oracle="""
     SELECT n_name,

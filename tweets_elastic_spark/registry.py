@@ -82,97 +82,92 @@ def bench_variants() -> dict[str, QueryFn]:
 # Per-round rotation rationale lives in COVERAGE.md ("Verification
 # structure" + the round-N addition notes), not here.
 DRIVER_PRIORITY: list[str] = [
-    # r13 ROTATION (22 out / 22 in — the COVERAGE.md burn-down schedule's
-    # r13 wave, all 22 first-time driver rows). IN: the scheduled
-    # geo/suggester/intervals/pipeline-agg families (es_aggs_geotile_grid,
-    # es_aggs_geohash_grid, es_aggs_geo_bounds, search_geo_bounding_box,
-    # search_geo_polygon, es_suggest_completion, es_suggest_phrase,
-    # approx_distinct_profile, es_aggs_percentiles_tdigest,
-    # search_intervals, search_intervals_prefix, es_aggs_moving_pipeline,
-    # es_aggs_extended_stats_bucket, es_aggs_top_metrics_multi,
-    # es_request_collapse), the named r12-new candidates
-    # (crawl_corpus_pipeline, url_filter_survivors,
-    # search_span_containing), the §2-adjacent parity-only rows the r12
-    # verdict called out (analyze_fingerprint, dedup_increment_survivors,
-    # unimax_sample), and the newly-oracled analyze_englando (§2 AN1 —
-    # rows-only until r13, now full-oracle). OUT (all green r12 or
-    # earlier, all still hash-gated every run by test_oracle_parity.py):
-    # denorm_order_lineitems (flagship covers the denorm machinery),
-    # search_span_not (span family keeps the containing row),
-    # search_geo_distance (five geo rows come IN), es_request_highlight_
-    # fragments, es_aggs_time_series, es_aggs_inference, es_aggs_top_hits,
-    # es_aggs_percentiles (tdigest-contract twin comes in),
-    # es_aggs_pipeline (moving_pipeline + extended_stats_bucket come in),
-    # es_aggs_top_metrics (multi variant comes in),
-    # es_request_retriever_linear + es_request_retriever_rerank (rrf
-    # keeps the retriever slot), warc_extract_text (crawl_corpus_pipeline
-    # drives the same WARC walk plus four more stages), es_suggest_terms
-    # (completion + phrase come in), es_aggs_ip_range_v6 (prefix_v6
-    # keeps the IPv6 slot), essql_string_functions, eql_sequence_by_stage
-    # + eql_sequence_until + eql_sample (sample_by_stage + disjunction
-    # keep two EQL slots), c4_line_filter (gopher rows keep the
-    # curation-gate slots), video_frame_dups (fmp4 twin stays),
-    # image_near_dups_jpeg (lossless twin stays — strictly more codec
-    # surface). Prior waves' rationale: git history of this list +
-    # COVERAGE.md rotation notes.
+    # r14 ROTATION (26 out / 26 in — the COVERAGE.md burn-down schedule's
+    # r14 wave; every incoming row is a FIRST-TIME driver entry). IN:
+    # the scheduled parent/child + significance + runtime-field +
+    # doc-API families (es_aggs_children, es_aggs_parent,
+    # es_aggs_nested_terms, es_aggs_reverse_nested,
+    # es_aggs_significant_chi2, es_aggs_significant_text,
+    # es_request_runtime_field, events_json_runtime_field,
+    # es_termvectors, es_mget, delete_by_query, update_by_query — §2
+    # S11's hard signal — search_terms_lookup, search_cross_fields,
+    # search_geo_shape), the r13-new surface per the new-code-first
+    # principle (script_profile, robots_gate_survivors, and the five
+    # ES|QL rows esql_stats_by / esql_eval_dissect /
+    # esql_mv_expand_stats / esql_percentiles / esql_match_score), the
+    # r14-new esql_lookup_join (ES 8.18 LOOKUP JOIN) and the
+    # newly-contract-oracled bpe_token_stats (the LAST rows-only entry,
+    # closed this round), plus dedup_near_best_survivors (the r13
+    # verdict's task 2: 3.95s of bench, never driver-checked). OUT
+    # (all green r13, all still hash-gated every run by
+    # test_oracle_parity.py): search_more_like_this,
+    # search_span_containing + search_span_multi (span family
+    # parity-gated), the five geo rows (search_geo_shape keeps a geo
+    # driver seat), es_suggest_completion + es_suggest_phrase,
+    # approx_distinct_profile + es_aggs_percentiles_tdigest (sketch
+    # contracts), the three intervals rows, es_aggs_moving_pipeline +
+    # es_aggs_extended_stats_bucket + es_aggs_top_metrics_multi +
+    # es_request_collapse (pipeline-agg/request families),
+    # html_main_text + crawl_corpus_pipeline + url_filter_survivors
+    # (crawl_main_text_pipeline KEEPS its seat and composes all three
+    # end-to-end: WARC walk -> status/mime -> URL gates ->
+    # main-text extraction -> dedup), ann_ivf_recall_profile (the
+    # weakest-oracle contract row; ann_cosine_topk + ann_ivfpq_topk
+    # keep the ANN seats), dedup_increment_survivors (near +
+    # near_best keep the dedup ladder), unimax_sample
+    # (training_shards + dsir_sample keep the sampling seats),
+    # analyze_fingerprint (analyzers keep englando — displaced by the
+    # r14-new esql_inlinestats).
+    # Prior waves' rationale: git history of this list + COVERAGE.md
+    # rotation notes.
     #
     # flagship + relational reference surface
     "tweet_documents_flat", "exists_child_hof",
-    # search / scoring / full-text
-    "search_more_like_this", "es_request_knn", "search_span_containing",
-    # geo family (r13 in: grid bucketing x2, bounds, bbox + polygon
-    # predicates — first driver rows for geo since the engine grew it)
-    "es_aggs_geotile_grid", "es_aggs_geohash_grid", "es_aggs_geo_bounds",
-    "search_geo_bounding_box", "search_geo_polygon",
-    # suggesters (r13 in: completion prefix ranking + the full phrase
-    # bigram-LM replay oracled in r12)
-    "es_suggest_completion", "es_suggest_phrase",
-    # sketch contracts (r13 in: HLL error-bound profile, t-digest
-    # percentile bounds)
-    "approx_distinct_profile", "es_aggs_percentiles_tdigest",
-    # intervals (r13 in: base + prefix variants; unordered all_of stays)
-    "search_intervals", "search_intervals_prefix",
-    "search_intervals_all_of_unordered",
-    # pipeline-agg families (r13 in: moving window chain, sibling
-    # extended stats) + request surface (collapse)
-    "es_aggs_moving_pipeline", "es_aggs_extended_stats_bucket",
-    "es_aggs_top_metrics_multi", "es_request_collapse",
-    # r13 SECOND WAVE (3 out / 3 in — the round's OWN new operators
-    # take driver rows immediately, the r12 new-code-first principle):
-    # OUT es_terms_enum (green r11+r12), search_combined_fields
-    # (ever-green), essql_match_query (green r10+r12) — all still
-    # parity-gated. IN: search_span_multi (r13 positional patterns),
-    # html_main_text (r13 jusText-lite extraction),
-    # ann_ivf_recall_profile (the k-means IVF contract row that closed
-    # part of the rows-only class).
-    "search_span_multi", "html_main_text", "ann_ivf_recall_profile",
-    # ES agg / request rows retained
-    "es_request_retriever_rrf",
+    # parent/child + nested + significance aggs (r14 in — the ES
+    # join-field/nested-bucket surface, parity-only since r9-r11)
+    "es_aggs_children", "es_aggs_parent", "es_aggs_nested_terms",
+    "es_aggs_reverse_nested", "es_aggs_significant_chi2",
+    "es_aggs_significant_text",
+    # runtime fields + doc APIs (r14 in — update_by_query is §2 S11's
+    # hard signal: Painless counter += compiled to a declarative merge)
+    "es_request_runtime_field", "events_json_runtime_field",
+    "es_termvectors", "es_mget", "delete_by_query", "update_by_query",
+    # search variants (r14 in) + geo representative
+    "search_terms_lookup", "search_cross_fields", "search_geo_shape",
+    # r13-new surface seated first (new-code-first): Unicode script
+    # routing, the RFC 9309 robots gate (query-component fix r14),
+    # and the ES|QL front-end's five full-oracle rows
+    "script_profile", "robots_gate_survivors",
+    "esql_stats_by", "esql_eval_dissect", "esql_mv_expand_stats",
+    "esql_percentiles", "esql_match_score",
+    # r14-new: ES 8.18 LOOKUP JOIN (broadcast-enrich compile), the 8.16
+    # INLINESTATS command (window-aggregate compile; displaced
+    # analyze_fingerprint — green r13, analyzers keep englando), and
+    # the contract-oracled BPE row that closed the rows-only class
+    "esql_lookup_join", "esql_inlinestats", "bpe_token_stats",
+    # retriever + ES agg / request rows retained
+    "es_request_knn", "es_request_retriever_rrf",
     "es_aggs_adjacency_nested_terms", "es_aggs_ip_prefix_v6",
     # EQL correlation
     "eql_sample_by_stage", "eql_sequence_disjunction",
-    # analyzers (r13 in: englando — §2 AN1's FIRST hard-signal row, via
-    # the r13 stem-fixture oracle; fingerprint — parity-only since r10)
-    "analyze_englando", "analyze_fingerprint",
-    # text stats + curation quality gates (r13 THIRD WAVE, 1/1:
-    # gopher_repetition_filter out — green r12, textstats family keeps
-    # the quality row — for the session's own crawl_main_text_pipeline)
+    # analyzers
+    "analyze_englando",
+    # text stats + curation quality gates
     "gopher_quality_filter",
-    # crawl -> corpus (r13 in: the end-to-end WARC->gates->dedup
-    # pipeline + the URL gate it composes + the r13 boilerplate-removal
-    # extension — WARC -> gates -> html_main_text -> dedup-on-extracted)
-    "crawl_corpus_pipeline", "crawl_main_text_pipeline",
-    "url_filter_survivors",
-    # dedup families — the granularity ladder (r13 in: incremental
-    # fingerprint-store dedup, parity-only since r7)
-    "dedup_near_survivors", "dedup_increment_survivors",
+    # crawl -> corpus (the end-to-end composition keeps the seat for
+    # the whole WARC/gates/extraction family)
+    "crawl_main_text_pipeline",
+    # dedup families — the granularity ladder (r14 in:
+    # dedup_near_best_survivors — quality-aware keeper, never
+    # driver-checked before, 3.95s of bench time)
+    "dedup_near_survivors", "dedup_near_best_survivors",
     "semdedup_survivors", "corpus_clean",
     # parent-join (r8 s4)
     "search_has_child",
     # ANN families — exact baseline + IVF(-PQ)
     "ann_cosine_topk", "ann_ivfpq_topk",
-    # curation ship stage (r13 in: unimax_sample — parity-only since r9)
-    "decontaminate_survivors", "pii_redact", "unimax_sample",
+    # curation ship stage
+    "decontaminate_survivors", "pii_redact",
     "training_shards", "dsir_sample",
     # chunking + multimodal
     "chunk_documents", "image_near_dups_jpeg_lossless",

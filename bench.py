@@ -302,9 +302,11 @@ HEADLINE = [
     "esql_percentiles",
     "esql_match_score",
     # r14: ES 8.18 LOOKUP JOIN (broadcast-enrich compile) + 8.16
-    # INLINESTATS (window-aggregate compile)
+    # INLINESTATS (window-aggregate compile) + GROK (pattern-library
+    # extraction, one compiled regex riding the scan)
     "esql_lookup_join",
     "esql_inlinestats",
+    "esql_grok",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -382,6 +384,9 @@ SF1_HEADLINE = [
     "es_aggs_time_series", "es_aggs_inference", "crawl_corpus_pipeline",
     "es_rank_eval_ndcg", "es_request_retriever_rrf",
     "es_request_retriever_linear", "es_request_retriever_rerank",
+    # r14: the new ES|QL commands (documents + the v5 customer/nation
+    # star are all in the fixture)
+    "esql_lookup_join", "esql_inlinestats", "esql_grok",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

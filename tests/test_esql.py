@@ -110,9 +110,13 @@ def test_scalar_functions(spark):
 
 def test_refusals(spark, people):
     cases = [
-        ("FROM a, b | LIMIT 1", "one index"),
+        ("FROM people, nosuch | LIMIT 1", "unknown index"),
+        ("FROM nope* | LIMIT 1", "matches nothing"),
         ("FROM people METADATA _id", "METADATA"),
-        ('FROM people | GROK name "%{X}"', "GROK"),
+        ('FROM people | GROK name "%{NOSUCHPAT:x}"', "not in the supported"),
+        ('FROM people | GROK name "%{WORD:a:blob}"', "GROK type"),
+        ('FROM people | GROK name "%{WORD:a} %{WORD:a}"', "captured twice"),
+        ('FROM people | GROK name "plain text"', "pattern has no"),
         ("FROM people | ENRICH policy", "ENRICH is not supported"),
         ("FROM people | LOOKUP tbl ON id", "bare LOOKUP"),
         ("FROM people | LOOKUP JOIN nosuch ON id", "unknown lookup index"),
@@ -283,3 +287,36 @@ def test_inlinestats_global_broadcast(spark, people):
     df = esql(spark, "FROM people | INLINESTATS hi = MAX(h)", people)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # 1-row broadcast, no shuffle
+
+
+def test_grok_extraction(spark):
+    q = ('ROW line = "2024-01-02T10:11:12Z ERROR 10.1.2.3 alice took 42ms" '
+         '| GROK line "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} '
+         '%{IP:ip} %{USERNAME:who} took %{INT:ms:int}ms" '
+         '| KEEP ts, lvl, ip, who, ms')
+    r = _rows(spark, q)[0]
+    assert r["ts"] == "2024-01-02T10:11:12Z" and r["lvl"] == "ERROR"
+    assert r["ip"] == "10.1.2.3" and r["who"] == "alice"
+    assert r["ms"] == 42  # :int -> BIGINT
+    # non-match -> every grok field NULL (ES semantics)
+    q2 = ('ROW line = "no numbers here" '
+          '| GROK line "%{INT:a:int}-%{INT:b:int}" | KEEP a, b')
+    r2 = _rows(spark, q2)[0]
+    assert r2["a"] is None and r2["b"] is None
+    # unanchored find (the grok convention) + unnamed refs don't capture
+    q3 = ('ROW line = "pre [id=77] post" '
+          '| GROK line "%{WORD}=%{INT:id:int}" | KEEP id')
+    assert _rows(spark, q3)[0]["id"] == 77
+
+
+def test_from_multi_index_union(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, "y")], "id long, b string")
+    tabs = {"logs_a": a, "logs_b": b}
+    # explicit list: union with missing columns NULL
+    rows = _rows(spark, "FROM logs_a, logs_b | SORT id", tabs)
+    assert [(r["id"], r["a"], r["b"]) for r in rows] == [
+        (1, "x", None), (2, None, "y")]
+    # trailing-* pattern resolves every matching index, deduped
+    rows = _rows(spark, "FROM logs*, logs_a | SORT id | KEEP id", tabs)
+    assert [r["id"] for r in rows] == [1, 2]

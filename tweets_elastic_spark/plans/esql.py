@@ -19,16 +19,24 @@ never an interpreter.
 Supported subset (everything else raises loudly with the offending
 token, the ES-SQL/EQL convention):
 
-* sources: ``FROM <index> [METADATA _score]`` (one index — the
-  engine's tables are the indices; ``METADATA _score`` surfaces the
-  BM25 relevance accumulated by scoring ``WHERE MATCH(...)`` stages,
-  the 8.16 full-text contract) and ``ROW name = literal, ...``.
+* sources: ``FROM <index>[, <index2>, pre*...] [METADATA _score]``
+  (the engine's tables are the indices; multiple names / trailing-*
+  patterns union with missing columns NULL, the ES multi-index read;
+  ``METADATA _score`` surfaces the BM25 relevance accumulated by
+  scoring ``WHERE MATCH(...)`` stages, the 8.16 full-text contract)
+  and ``ROW name = literal, ...``.
 * ``WHERE`` expr; ``EVAL name = expr, ...``; ``KEEP``/``DROP`` column
   lists (``*`` suffix wildcards in KEEP); ``RENAME old AS new, ...``;
   ``SORT expr [ASC|DESC] [NULLS FIRST|LAST], ...``; ``LIMIT n``;
   ``MV_EXPAND col``; ``DISSECT col "%{a}<sep>%{b}..."`` (literal
   separators; every key non-greedy except the last; non-matching rows
-  yield NULL fields — ES semantics).
+  yield NULL fields — ES semantics); ``GROK col
+  "%{SYNTAX[:field[:type]]}..."`` (regex-library extraction over a
+  documented pattern core — WORD/NOTSPACE/SPACE/DATA/GREEDYDATA/INT/
+  POSINT/NUMBER/BASE10NUM/IP(v4)/UUID/USERNAME/HOSTNAME/LOGLEVEL/
+  TIMESTAMP_ISO8601 — unanchored find like grok, NULL fields on
+  non-match, :int/:long/:float/:double/:boolean casts with NULL on
+  conversion failure; compiles to scan-local regexp_extract).
 * expressions: ``== != < <= > >=``, arithmetic ``+ - * / %``,
   ``AND/OR/NOT``, parentheses, ``IN (...)``, ``LIKE`` (ES|QL's ``*``/
   ``?`` wildcards), ``RLIKE``, ``IS [NOT] NULL``, ``CASE(cond, val,
@@ -69,10 +77,10 @@ more accurate or type-visible, never silently wrong):
   or cast explicitly when that matters; the Spark-mirroring oracles
   mirror the double semantics.
 
-Refused loudly: multiple/remote indices, METADATA other than
-``_score``, GROK (DISSECT is the supported extraction), ENRICH
-(express enrich policies as LOOKUP JOIN or DataFrame joins), bare
-LOOKUP (the 8.14 experimental table form), nested subpipes.
+Refused loudly: remote (cross-cluster) indices, METADATA other than
+``_score``, ENRICH (express enrich policies as LOOKUP JOIN or
+DataFrame joins), bare LOOKUP (the 8.14 experimental table form),
+grok syntaxes outside the documented core, nested subpipes.
 """
 
 from __future__ import annotations
@@ -467,6 +475,84 @@ def _parse_name(p: _ExprParser) -> str:
     return v
 
 
+# The grok pattern core (the public logstash/ES pattern library's
+# workhorse subset, spelled as Java-safe regexes with only NON-capturing
+# internal groups so the per-field capture indices stay aligned).
+# %{IP} is IPv4 here (documented; IPv6 literals carry ':' and still
+# match NOTSPACE/DATA routes).
+_GROK_LIB = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "POSINT": r"\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}"
+            r"(?:25[0-5]|2[0-4]\d|[01]?\d?\d)",
+    "IP": r"(?:(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}"
+          r"(?:25[0-5]|2[0-4]\d|[01]?\d?\d)",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+                r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "LOGLEVEL": r"(?i:alert|trace|debug|notice|info(?:rmation)?|"
+                r"warn(?:ing)?|err(?:or)?|crit(?:ical)?|fatal|"
+                r"severe|emerg(?:ency)?)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+                         r"(?::\d{2}(?:\.\d+)?)?"
+                         r"(?:Z|[+-]\d{2}:?\d{2})?",
+}
+
+_GROK_TYPES = {
+    "int": "bigint", "long": "bigint", "float": "double",
+    "double": "double", "boolean": "boolean", "keyword": None,
+    "text": None,
+}
+
+_GROK_REF_RE = re.compile(r"%\{(\w+)(?::([A-Za-z_]\w*))?(?::(\w+))?\}")
+
+
+def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """GROK pattern -> (unanchored regex, [(field, cast_type|None)]):
+    %{SYNTAX[:field[:type]]} refs swap in the library regex — CAPTURING
+    when a field name is given, non-capturing otherwise — and literal
+    text between refs escapes. Unknown syntaxes and duplicate field
+    names refuse loudly."""
+    fields: list[tuple[str, str | None]] = []
+    out, pos = [], 0
+    for m in _GROK_REF_RE.finditer(pattern):
+        out.append(re.escape(pattern[pos:m.start()]))
+        pos = m.end()
+        syntax, field, typ = m.group(1), m.group(2), m.group(3)
+        if syntax not in _GROK_LIB:
+            raise ValueError(
+                f"ES|QL: GROK pattern %{{{syntax}}} is not in the "
+                f"supported library ({sorted(_GROK_LIB)})"
+            )
+        if field is None:
+            out.append("(?:" + _GROK_LIB[syntax] + ")")
+            continue
+        if typ is not None and typ not in _GROK_TYPES:
+            raise ValueError(
+                f"ES|QL: GROK type {typ!r} (int/long/float/double/"
+                f"boolean/keyword/text)"
+            )
+        if any(f == field for f, _ in fields):
+            raise ValueError(
+                f"ES|QL: GROK field {field!r} captured twice"
+            )
+        fields.append((field, _GROK_TYPES.get(typ) if typ else None))
+        out.append("(" + _GROK_LIB[syntax] + ")")
+    out.append(re.escape(pattern[pos:]))
+    if not fields:
+        raise ValueError("ES|QL: GROK pattern has no %{SYNTAX:field} refs")
+    return "".join(out), fields
+
+
 def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     """DISSECT pattern -> (regex, keys): literal separators between
     %{key} refs; every key matches non-greedily except the last, which
@@ -508,11 +594,22 @@ def esql(
     toks, raws = _tokenize(stages[0])
     p = _ExprParser(toks, raws)
     if p.eat_kw("FROM"):
-        name = _parse_name(p)
-        if p.peek() == ("op", ","):
-            raise ValueError(
-                "ES|QL: one index per FROM here (no multi-index)"
-            )
+        # FROM idx[, idx2, pre*...]: multiple indices / trailing-*
+        # patterns union with missing columns NULL (the ES multi-index
+        # read contract; unionByName(allowMissingColumns) errors loudly
+        # on same-name/different-type columns, ES's mapping-conflict
+        # case). The union is a no-shuffle co-scan of all sources.
+        pats = []
+        while True:
+            name = _parse_name(p)
+            if p.peek() == ("op", "*"):
+                p.i += 1
+                name += "*"
+            pats.append(name)
+            if p.peek() == ("op", ","):
+                p.i += 1
+                continue
+            break
         metadata_score = False
         if p.eat_kw("METADATA"):
             k, v = p.next()
@@ -523,11 +620,26 @@ def esql(
             metadata_score = True
         if p.peek()[0] != "end":
             raise ValueError(
-                f"ES|QL: unexpected token after FROM {name}"
+                f"ES|QL: unexpected token after FROM {pats[-1]}"
             )
-        if not tables or name not in tables:
-            raise ValueError(f"ES|QL: unknown index {name!r}")
-        df = tables[name]
+        resolved: list[str] = []
+        for pat in pats:
+            if pat.endswith("*"):
+                hits = sorted(t for t in (tables or {})
+                              if t.startswith(pat[:-1]))
+                if not hits:
+                    raise ValueError(
+                        f"ES|QL: index pattern {pat!r} matches nothing"
+                    )
+                resolved.extend(h for h in hits if h not in resolved)
+            else:
+                if not tables or pat not in tables:
+                    raise ValueError(f"ES|QL: unknown index {pat!r}")
+                if pat not in resolved:
+                    resolved.append(pat)
+        df = tables[resolved[0]]
+        for t in resolved[1:]:
+            df = df.unionByName(tables[t], allowMissingColumns=True)
         if metadata_score:
             # docs carry _score 0.0 until a scoring WHERE runs — the
             # ES|QL contract (non-scoring queries leave _score at 0)
@@ -696,12 +808,25 @@ def esql(
                     key,
                     F.when(matched, F.regexp_extract(src, rx, i)),
                 )
-        elif p.at_kw("GROK"):
-            raise ValueError(
-                "ES|QL: GROK is not supported — DISSECT covers "
-                "delimiter-based extraction; regex extraction via "
-                "EVAL + RLIKE/SUBSTRING"
-            )
+        elif p.eat_kw("GROK"):
+            # GROK col "pattern" — regex-library extraction, the sibling
+            # of DISSECT: the %{SYNTAX:field:type} refs compile to ONE
+            # Java regex whose captures feed scan-local regexp_extract
+            # per field (unanchored find, the grok convention);
+            # non-matching rows yield NULL fields, :int/:float convert
+            # via cast (failure -> NULL, ES semantics).
+            col = _parse_name(p)
+            k, pat = p.next()
+            if k != "str":
+                raise ValueError("ES|QL: GROK needs a string pattern")
+            rx, fields = _grok_regex(pat)
+            src = F.col(col)
+            matched = src.rlike(rx)
+            for i, (field, cast_to) in enumerate(fields, start=1):
+                val = F.regexp_extract(src, rx, i)
+                if cast_to is not None:
+                    val = val.cast(cast_to)
+                df = df.withColumn(field, F.when(matched, val))
         elif p.eat_kw("LOOKUP"):
             # LOOKUP JOIN <lookup_index> ON <field> (ES 8.18): enrich
             # each row with the lookup index's columns. Lookup-mode

@@ -179,6 +179,51 @@ def q_esql_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_grok",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN n_chars % 3 = 0 THEN 'ERROR'
+                    WHEN n_chars % 3 = 1 THEN 'warn'
+                    ELSE 'info' END AS lvl,
+               n_chars AS ms
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lvl,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ms) AS BIGINT) AS total_ms
+    FROM t WHERE ms > 150
+    GROUP BY lvl
+    ORDER BY lvl ASC
+    """,
+    doc="ES|QL GROK (r14 — the refusal closed): EVAL synthesizes a "
+        "log line per document (doc=<id> lvl=<LEVEL> ip=<v4> took "
+        "<n>ms), GROK re-extracts id/level/ip/latency through the "
+        "pattern library (INT with :int cast, LOGLEVEL, IP) in ONE "
+        "compiled regex -> scan-local regexp_extract per field, and "
+        "the re-parsed values feed WHERE + STATS. The oracle derives "
+        "the same aggregate straight from the source columns — any "
+        "mis-capture (wrong span, wrong cast, wrong anchor) changes "
+        "the group counts/sums and reddens the row.",
+)
+def q_esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM documents
+        | WHERE text IS NOT NULL
+        | EVAL line = CONCAT("doc=", TO_STRING(doc_id),
+                             " lvl=", CASE(n_chars % 3 == 0, "ERROR",
+                                           n_chars % 3 == 1, "warn",
+                                           "info"),
+                             " ip=10.0.", TO_STRING(doc_id % 256),
+                             ".7 took ", TO_STRING(n_chars), "ms")
+        | GROK line "doc=%{INT:id:int} lvl=%{LOGLEVEL:lvl} ip=%{IP:ip} took %{INT:ms:int}ms"
+        | WHERE ms > 150
+        | STATS n = COUNT(*), total_ms = SUM(ms) BY lvl
+        | SORT lvl ASC
+    """)
+
+
+@register(
     "esql_inlinestats",
     oracle="""
     WITH t AS (

@@ -82,7 +82,7 @@ def bench_variants() -> dict[str, QueryFn]:
 # Per-round rotation rationale lives in COVERAGE.md ("Verification
 # structure" + the round-N addition notes), not here.
 DRIVER_PRIORITY: list[str] = [
-    # r14 ROTATION (26 out / 26 in — the COVERAGE.md burn-down schedule's
+    # r14 ROTATION (27 out / 27 in — the COVERAGE.md burn-down schedule's
     # r14 wave; every incoming row is a FIRST-TIME driver entry). IN:
     # the scheduled parent/child + significance + runtime-field +
     # doc-API families (es_aggs_children, es_aggs_parent,
@@ -117,7 +117,9 @@ DRIVER_PRIORITY: list[str] = [
     # near_best keep the dedup ladder), unimax_sample
     # (training_shards + dsir_sample keep the sampling seats),
     # analyze_fingerprint (analyzers keep englando — displaced by the
-    # r14-new esql_inlinestats).
+    # r14-new esql_inlinestats), gopher_quality_filter (green r13;
+    # displaced by the r14-new esql_grok — corpus_clean composes the
+    # same gate family).
     # Prior waves' rationale: git history of this list + COVERAGE.md
     # rotation notes.
     #
@@ -142,9 +144,13 @@ DRIVER_PRIORITY: list[str] = [
     "esql_percentiles", "esql_match_score",
     # r14-new: ES 8.18 LOOKUP JOIN (broadcast-enrich compile), the 8.16
     # INLINESTATS command (window-aggregate compile; displaced
-    # analyze_fingerprint — green r13, analyzers keep englando), and
-    # the contract-oracled BPE row that closed the rows-only class
-    "esql_lookup_join", "esql_inlinestats", "bpe_token_stats",
+    # analyze_fingerprint — green r13, analyzers keep englando), GROK
+    # (pattern-library extraction; displaced gopher_quality_filter —
+    # green r13, the curation gates keep corpus_clean +
+    # crawl_main_text_pipeline seats), and the contract-oracled BPE
+    # row that closed the rows-only class
+    "esql_lookup_join", "esql_inlinestats", "esql_grok",
+    "bpe_token_stats",
     # retriever + ES agg / request rows retained
     "es_request_knn", "es_request_retriever_rrf",
     "es_aggs_adjacency_nested_terms", "es_aggs_ip_prefix_v6",
@@ -152,8 +158,6 @@ DRIVER_PRIORITY: list[str] = [
     "eql_sample_by_stage", "eql_sequence_disjunction",
     # analyzers
     "analyze_englando",
-    # text stats + curation quality gates
-    "gopher_quality_filter",
     # crawl -> corpus (the end-to-end composition keeps the seat for
     # the whole WARC/gates/extraction family)
     "crawl_main_text_pipeline",

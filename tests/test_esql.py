@@ -320,3 +320,57 @@ def test_from_multi_index_union(spark):
     # trailing-* pattern resolves every matching index, deduped
     rows = _rows(spark, "FROM logs*, logs_a | SORT id | KEEP id", tabs)
     assert [r["id"] for r in rows] == [1, 2]
+
+
+def test_r14_string_and_math_functions(spark):
+    q = ('ROW s = "  ab  ", t = "banana", n = 9 | EVAL '
+         'tr = TRIM(s), lt = LTRIM(s), rt = RTRIM(s), '
+         'rp = REPLACE(t, "an", "X"), le = LEFT(t, 3), ri = RIGHT(t, 3), '
+         'rv = REVERSE(le), re = REPEAT(le, 2), '
+         'l1 = LOCATE(t, "an"), l2 = LOCATE(t, "an", 3), '
+         'l3 = LOCATE(t, "zz") '
+         '| KEEP tr, lt, rt, rp, le, ri, rv, re, l1, l2, l3')
+    r = _rows(spark, q)[0]
+    assert (r["tr"], r["lt"], r["rt"]) == ("ab", "ab  ", "  ab")
+    assert r["rp"] == "bXXa"                  # regex replace, ES semantics
+    assert (r["le"], r["ri"], r["rv"]) == ("ban", "ana", "nab")
+    assert r["re"] == "banban"
+    assert (r["l1"], r["l2"], r["l3"]) == (2, 4, 0)  # 1-based, 0 absent
+    q2 = ('ROW n = 9 | EVAL p = POW(2, n), sq = SQRT(n), '
+          'lg = LOG(3, n), ln10 = ROUND(LOG10(100), 6), '
+          'fl = FLOOR(2.7), ce = CEIL(2.1), sg = SIGNUM(0 - n), '
+          'pi = ROUND(PI(), 4), g = GREATEST(n, 3, 11), '
+          'l = LEAST(n, 3, 11) '
+          '| KEEP p, sq, lg, ln10, fl, ce, sg, pi, g, l')
+    r2 = _rows(spark, q2)[0]
+    assert (r2["p"], r2["sq"]) == (512.0, 3.0)
+    assert r2["lg"] == pytest.approx(2.0)
+    assert r2["ln10"] == 2.0 and r2["fl"] == 2 and r2["ce"] == 3
+    assert r2["sg"] == -1.0 and r2["pi"] == 3.1416
+    assert (r2["g"], r2["l"]) == (11, 3)
+
+
+def test_r14_mv_functions(spark):
+    q = ('ROW s = "3 1 2" | EVAL xs = SPLIT(s, " "), '
+         'f = MV_FIRST(MV_SORT(SPLIT(s, " "))), '
+         'la = MV_LAST(MV_SORT(SPLIT(s, " "), "DESC")), '
+         'dd = MV_DEDUPE(SPLIT("a b a", " ")), '
+         'z = MV_ZIP(SPLIT("a b", " "), SPLIT("1 2", " "), "-"), '
+         'sl = MV_SLICE(MV_SORT(SPLIT(s, " ")), 1, 2) '
+         '| KEEP f, la, dd, z, sl')
+    r = _rows(spark, q)[0]
+    assert r["f"] == "1" and r["la"] == "1"
+    assert sorted(r["dd"]) == ["a", "b"] and len(r["dd"]) == 2
+    assert r["z"] == ["a-1", "b-2"]
+    assert r["sl"] == ["2", "3"]    # 0-based INCLUSIVE bounds
+    # numeric MV aggregates: DOUBLE, NULL on empty
+    q2 = ('ROW a = 1 | EVAL xs = SPLIT("4 1 3 2", " "), '
+          'ns = MV_SUM(SPLIT("4 1 3 2", " ")), '
+          'av = MV_AVG(SPLIT("4 1 3 2", " ")), '
+          'md = MV_MEDIAN(SPLIT("4 1 3 2", " ")), '
+          'mo = MV_MEDIAN(SPLIT("5 1 9", " ")) '
+          '| KEEP ns, av, md, mo')
+    r2 = _rows(spark, q2)[0]
+    assert r2["ns"] == 10.0 and r2["av"] == 2.5
+    assert r2["md"] == 2.5            # even count: mean of middle two
+    assert r2["mo"] == 5.0            # odd count: the middle value

@@ -115,3 +115,37 @@ def test_esql_fuzz_matches_duckdb(spark, seed):
            f"FROM documents WHERE {cs} GROUP BY 1 ORDER BY 1")
     ok, msg = compare(esql(spark, q, tabs), sql, SF)
     assert ok, f"shape B seed {seed}: {msg}\n{q}\n{sql}"
+
+
+_INLINE_AGGS = [
+    ("mx = MAX(n_chars)", "max(n_chars) OVER (PARTITION BY {k}) AS mx",
+     "n_chars == mx", "n_chars = mx"),
+    ("mn = MIN(n_chars)", "min(n_chars) OVER (PARTITION BY {k}) AS mn",
+     "n_chars == mn", "n_chars = mn"),
+    ("c = COUNT(*)",
+     "CAST(count(*) OVER (PARTITION BY {k}) AS BIGINT) AS c",
+     "c > 10", "c > 10"),
+]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_esql_inlinestats_fuzz_matches_duckdb(spark, seed):
+    """Shape C (r14): WHERE -> INLINESTATS agg BY key -> WHERE on the
+    appended column -> STATS, vs the identical SQL window pipeline."""
+    rng = random.Random(9100 + seed)
+    docs = load_table(spark, SF, "documents")
+    tabs = {"documents": docs}
+    ce, cs = _cond(rng, 2)
+    key = rng.choice(["lang", "source"])
+    agg_e, agg_s, flt_e, flt_s = rng.choice(_INLINE_AGGS)
+    q = (f"FROM documents | WHERE {ce} "
+         f"| INLINESTATS {agg_e} BY {key} "
+         f"| WHERE {flt_e} "
+         f"| STATS n = COUNT(*) BY {key} | SORT {key} ASC")
+    sql = (f"WITH t AS (SELECT {key}, n_chars, "
+           f"{agg_s.format(k=key)} "
+           f"FROM documents WHERE {cs}) "
+           f"SELECT {key}, CAST(count(*) AS BIGINT) AS n "
+           f"FROM t WHERE {flt_s} GROUP BY 1 ORDER BY 1")
+    ok, msg = compare(esql(spark, q, tabs), sql, SF)
+    assert ok, f"shape C seed {seed}: {msg}\n{q}\n{sql}"

@@ -45,8 +45,17 @@ token, the ES-SQL/EQL convention):
   CONCAT (NULL args -> '' — ES/DuckDB skip semantics), TO_LOWER,
   TO_UPPER, TO_STRING, TO_LONG (truncating, mirrored with floor() in
   oracles — DuckDB CAST rounds), TO_DOUBLE, SPLIT(col, delim),
-  MV_COUNT, MV_MIN, MV_MAX, COALESCE, STARTS_WITH, ENDS_WITH,
-  DATE_TRUNC("unit", ts).
+  COALESCE, STARTS_WITH, ENDS_WITH, DATE_TRUNC("unit", ts), and the
+  r14 widening: TRIM/LTRIM/RTRIM, REPLACE (regex), LEFT/RIGHT,
+  REVERSE, REPEAT, LOCATE (1-based, 0 absent), POW/SQRT/EXP/LOG
+  ([base,] value)/LOG10/FLOOR/CEIL/SIGNUM, PI()/TAU()/E(),
+  GREATEST/LEAST.
+* multivalue functions: MV_COUNT, MV_MIN, MV_MAX, MV_FIRST, MV_LAST,
+  MV_DEDUPE, MV_SORT(col[, "ASC"|"DESC"]), MV_ZIP(a, b[, delim]),
+  MV_SUM/MV_AVG (DOUBLE; NULL on empty), MV_MEDIAN (exact; even
+  counts average the middle two as DOUBLE — documented divergence
+  from ES's integer-floor on whole-number inputs), MV_SLICE
+  (0-based inclusive bounds, non-negative).
 * ``INLINESTATS [name =] agg [, ...] [BY expr [, ...]]`` (the 8.16
   preview command): STATS that APPENDS instead of collapsing — BY form
   compiles to window aggregates over partitionBy(keys) (one exchange,
@@ -85,6 +94,7 @@ grok syntaxes outside the documented core, nested subpipes.
 
 from __future__ import annotations
 
+import math as _math
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -452,6 +462,169 @@ class _ExprParser:
             for i in range(2, len(pairs), 2):
                 c = c.when(pairs[i].cast("boolean"), pairs[i + 1])
             return c.otherwise(default) if default is not None else c
+        # ---- r14 widening: direct JVM mappings ------------------------
+        # string
+        if fn == "TRIM":
+            need(1)
+            return F.trim(a[0])
+        if fn == "LTRIM":
+            need(1)
+            return F.ltrim(a[0])
+        if fn == "RTRIM":
+            need(1)
+            return F.rtrim(a[0])
+        if fn == "REPLACE":
+            # REPLACE(string, regex, new) — regex-based, ES semantics
+            need(3)
+            return F.regexp_replace(a[0], a[1], a[2])
+        if fn == "LEFT":
+            need(2)
+            return F.left(a[0], a[1])
+        if fn == "RIGHT":
+            need(2)
+            return F.right(a[0], a[1])
+        if fn == "REVERSE":
+            need(1)
+            return F.reverse(a[0])
+        if fn == "REPEAT":
+            need(2)
+            return F.repeat(a[0], a[1])
+        if fn == "LOCATE":
+            # LOCATE(string, substring[, start]) — 1-based, 0 if absent
+            if len(a) not in (2, 3):
+                raise ValueError(
+                    "ES|QL: LOCATE(string, substring[, start])"
+                )
+            if len(a) == 2:
+                return F.instr(a[0], a[1]).cast("bigint")
+            # start > 1: search the suffix, re-offset non-zero hits
+            # (bind the suffix instr once via a 1-element HOF so the
+            # heavy subtree isn't evaluated twice — Catalyst has no CSE)
+            tail_hit = F.get(
+                F.transform(
+                    F.array(F.instr(
+                        F.substring(a[0], a[2].cast("int"),
+                                    F.lit(2147483647)), a[1])),
+                    lambda h: F.when(h == 0, F.lit(0))
+                    .otherwise(h + a[2] - 1),
+                ),
+                F.lit(0),
+            )
+            return F.when(a[2] <= 1, F.instr(a[0], a[1])) \
+                .otherwise(tail_hit).cast("bigint")
+        # math
+        if fn == "POW":
+            need(2)
+            return F.pow(a[0], a[1])
+        if fn == "SQRT":
+            need(1)
+            return F.sqrt(a[0])
+        if fn == "EXP":
+            need(1)
+            return F.exp(a[0])
+        if fn == "LOG":
+            # LOG(value) natural; LOG(base, value) = ln(v)/ln(base)
+            if len(a) == 1:
+                return F.log(a[0])
+            need(2)
+            return F.log(a[1]) / F.log(a[0])
+        if fn == "LOG10":
+            need(1)
+            return F.log10(a[0])
+        if fn == "FLOOR":
+            need(1)
+            return F.floor(a[0])
+        if fn == "CEIL":
+            need(1)
+            return F.ceil(a[0])
+        if fn == "SIGNUM":
+            need(1)
+            return F.signum(a[0])
+        if fn == "PI":
+            need(0)
+            return F.lit(_math.pi)
+        if fn == "TAU":
+            need(0)
+            return F.lit(_math.tau)
+        if fn == "E":
+            need(0)
+            return F.lit(_math.e)
+        if fn == "GREATEST":
+            return F.greatest(*a)
+        if fn == "LEAST":
+            return F.least(*a)
+        # multivalue (F.get is 0-based and NULL out of bounds — the
+        # ANSI-safe accessor; every MV fn is NULL on NULL/empty input,
+        # the ES|QL contract)
+        if fn == "MV_FIRST":
+            need(1)
+            return F.get(a[0], F.lit(0))
+        if fn == "MV_LAST":
+            need(1)
+            return F.get(a[0], F.size(a[0]) - 1)
+        if fn == "MV_DEDUPE":
+            need(1)
+            return F.array_distinct(a[0])
+        if fn == "MV_SORT":
+            # MV_SORT(col[, order_expr]) — order is the literal string
+            # "ASC"/"DESC" upstream; accepted as an expression here and
+            # compared case-insensitively
+            if len(a) == 1:
+                return F.array_sort(a[0])
+            need(2)
+            return F.when(
+                F.upper(a[1]) == F.lit("DESC"),
+                F.reverse(F.array_sort(a[0])),
+            ).otherwise(F.array_sort(a[0]))
+        if fn == "MV_ZIP":
+            # MV_ZIP(a, b[, delim]) — pairwise join, default ","
+            if len(a) == 2:
+                a = a + [F.lit(",")]
+            need(3)
+            delim = a[2]
+            return F.zip_with(
+                a[0], a[1],
+                lambda x, y: F.concat(
+                    F.coalesce(x, F.lit("")), delim,
+                    F.coalesce(y, F.lit(""))),
+            )
+        if fn == "MV_SUM":
+            need(1)
+            s = F.aggregate(
+                a[0], F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            )
+            return F.when(F.size(a[0]) > 0, s)
+        if fn == "MV_AVG":
+            need(1)
+            s = F.aggregate(
+                a[0], F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            )
+            return F.when(F.size(a[0]) > 0,
+                          s / F.size(a[0]).cast("double"))
+        if fn == "MV_MEDIAN":
+            # exact; even counts average the middle two as DOUBLE (the
+            # documented divergence from ES's integer-floor behavior
+            # on whole-number inputs)
+            need(1)
+            s = F.array_sort(a[0])
+            n = F.size(a[0])
+            mid = (n / 2).cast("int")
+            odd = F.get(s, ((n - 1) / 2).cast("int")).cast("double")
+            even = (F.get(s, mid - 1).cast("double")
+                    + F.get(s, mid).cast("double")) / 2
+            return F.when(
+                n > 0, F.when(n % 2 == 1, odd).otherwise(even)
+            )
+        if fn == "MV_SLICE":
+            # MV_SLICE(col, start[, end]) — 0-based INCLUSIVE bounds
+            # (ES semantics); non-negative bounds supported here
+            if len(a) == 2:
+                a = a + [a[1]]
+            need(3)
+            start, end = a[1].cast("int"), a[2].cast("int")
+            return F.slice(a[0], start + 1, end - start + 1)
         raise ValueError(f"ES|QL: unsupported function {fn}")
 
 

@@ -307,6 +307,7 @@ HEADLINE = [
     "esql_lookup_join",
     "esql_inlinestats",
     "esql_grok",
+    "esql_cidr_dates",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -384,9 +385,10 @@ SF1_HEADLINE = [
     "es_aggs_time_series", "es_aggs_inference", "crawl_corpus_pipeline",
     "es_rank_eval_ndcg", "es_request_retriever_rrf",
     "es_request_retriever_linear", "es_request_retriever_rerank",
-    # r14: the new ES|QL commands (documents + the v5 customer/nation
-    # star are all in the fixture)
+    # r14: the new ES|QL commands (documents/events + the v5
+    # customer/nation star are all in the fixture)
     "esql_lookup_join", "esql_inlinestats", "esql_grok",
+    "esql_cidr_dates",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

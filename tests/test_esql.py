@@ -374,3 +374,32 @@ def test_r14_mv_functions(spark):
     assert r2["ns"] == 10.0 and r2["av"] == 2.5
     assert r2["md"] == 2.5            # even count: mean of middle two
     assert r2["mo"] == 5.0            # odd count: the middle value
+
+
+def test_r14_cidr_and_date_functions(spark):
+    q = ('ROW ip4 = "10.0.3.7", ip6 = "2001:db8::1", bad = "999.1.1.1" '
+         '| EVAL a = CIDR_MATCH(ip4, "10.0.0.0/16"), '
+         'b = CIDR_MATCH(ip4, "10.1.0.0/16", "192.168.0.0/24"), '
+         'c = CIDR_MATCH(ip6, "2001:db8::/32"), '
+         'd = CIDR_MATCH(ip6, "2001:db9::/32"), '
+         'e = CIDR_MATCH(bad, "10.0.0.0/8") '
+         '| KEEP a, b, c, d, e')
+    r = _rows(spark, q)[0]
+    assert r["a"] is True and r["b"] is False
+    assert r["c"] is True and r["d"] is False
+    assert not r["e"]                       # malformed -> no match
+    q2 = ('ROW t = "2024-03-05 10:30:45" | EVAL ts = DATE_TRUNC("second", t), '
+          'mon = DATE_FORMAT("yyyy-MM", ts), '
+          'hr = DATE_EXTRACT("hour_of_day", ts), '
+          'dom = DATE_EXTRACT("day_of_month", ts), '
+          'dd = DATE_DIFF("hours", DATE_TRUNC("day", ts), ts) '
+          '| KEEP mon, hr, dom, dd')
+    r2 = _rows(spark, q2)[0]
+    assert r2["mon"] == "2024-03" and r2["hr"] == 10 and r2["dom"] == 5
+    assert r2["dd"] == 10
+    with pytest.raises(ValueError, match="ChronoField subset"):
+        esql(spark, 'ROW x = 1 | EVAL y = DATE_EXTRACT("era", x)', None)
+    with pytest.raises(ValueError, match="DATE_DIFF unit"):
+        esql(spark, 'ROW x = 1 | EVAL y = DATE_DIFF("weeks", x, x)', None)
+    with pytest.raises(ValueError, match="at least one block"):
+        esql(spark, 'ROW x = "1.2.3.4" | EVAL y = CIDR_MATCH(x)', None)

@@ -145,3 +145,41 @@ def ipv6_canonical(groups: Column) -> Column:
         return F.when(bl >= 2, comp).otherwise(F.array_join(h, ":"))
 
     return F.element_at(F.transform(F.array(bound), render), 1)
+
+
+def cidr_match(fld: Column, cidr: str) -> Column:
+    """One COMPILE-TIME CIDR literal against a string IP column — the
+    shared predicate behind EQL's ``cidrMatch`` and ES|QL's
+    ``CIDR_MATCH``. IPv4: range compare on the 32-bit long (host bits
+    of the literal zeroed, the ES rule); IPv6: group-wise prefix
+    compare — full 16-bit groups by equality, the partial group by
+    shiftright (compile-time constants on the network side, <=8 long
+    comparisons per row on the address side). Malformed addresses
+    parse to NULL and match nothing."""
+    if ":" in cidr:
+        import ipaddress
+
+        net = ipaddress.ip_network(cidr, strict=False)
+        netaddr = int(net.network_address)
+        groups = ipv6_groups(fld)
+        pred = groups.isNotNull()
+        for i in range(8):
+            take = min(16, net.prefixlen - 16 * i)
+            if take <= 0:
+                break
+            gi = F.element_at(groups, i + 1)
+            ng = (netaddr >> (16 * (7 - i))) & 0xFFFF
+            if take == 16:
+                pred = pred & (gi == F.lit(ng))
+            else:
+                pred = pred & (
+                    F.shiftright(gi, 16 - take) == F.lit(ng >> (16 - take))
+                )
+        return pred
+    ip = ipv4_long(fld)
+    base, bits = cidr.split("/")
+    o = [int(x) for x in base.split(".")]
+    width = 1 << (32 - int(bits))
+    addr = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+    net4 = (addr // width) * width  # zero host bits (ES)
+    return (ip >= F.lit(net4)) & (ip < F.lit(net4 + width))

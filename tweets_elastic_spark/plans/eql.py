@@ -897,36 +897,10 @@ def _wildcard_regex(pat: str) -> str:
 
 
 # IPv4/IPv6 parsing shared with the ip_range/ip_prefix aggs (r12 —
-# moved to functions/ip.py when ip_prefix gained its is_ipv6 path)
-from tweets_elastic_spark.functions.ip import (  # noqa: E402
-    ipv4_long as _ipv4_long,
-    ipv6_groups as _ipv6_groups,
-)
-
-
-def _ipv6_cidr_match(fld: Column, cidr: str) -> Column:
-    """Group-wise 128-bit prefix compare: full 16-bit groups by equality,
-    the partial group by shiftright — compile-time constants on the net
-    side, ≤8 long comparisons per row on the address side."""
-    import ipaddress
-
-    net = ipaddress.ip_network(cidr, strict=False)  # zero host bits (ES)
-    netaddr = int(net.network_address)
-    groups = _ipv6_groups(fld)
-    pred = groups.isNotNull()
-    for i in range(8):
-        take = min(16, net.prefixlen - 16 * i)
-        if take <= 0:
-            break
-        gi = F.element_at(groups, i + 1)
-        ng = (netaddr >> (16 * (7 - i))) & 0xFFFF
-        if take == 16:
-            pred = pred & (gi == F.lit(ng))
-        else:
-            pred = pred & (
-                F.shiftright(gi, 16 - take) == F.lit(ng >> (16 - take))
-            )
-    return pred
+# moved to functions/ip.py when ip_prefix gained its is_ipv6 path; r14
+# moved the whole cidrMatch predicate (group-wise IPv6 prefix compare +
+# IPv4 range arithmetic) there as cidr_match, shared with ES|QL's
+# CIDR_MATCH)
 
 
 def _func_col(call: FuncCall) -> Column:
@@ -954,18 +928,11 @@ def _func_col(call: FuncCall) -> Column:
             pred = m if pred is None else (pred | m)
         return pred
     if call.name == "cidrmatch":
+        from tweets_elastic_spark.functions.ip import cidr_match
+
         pred = None
         for _, cidr in call.args[1:]:
-            if ":" in cidr:  # IPv6 (r12): group-wise prefix compare
-                m = _ipv6_cidr_match(fld, cidr)
-            else:
-                ip = _ipv4_long(fld)
-                base, bits = cidr.split("/")
-                o = [int(x) for x in base.split(".")]
-                width = 1 << (32 - int(bits))
-                addr = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
-                net = (addr // width) * width  # zero host bits (ES)
-                m = (ip >= F.lit(net)) & (ip < F.lit(net + width))
+            m = cidr_match(fld, cidr)
             pred = m if pred is None else (pred | m)
         return pred
     raise TypeError(f"not a boolean EQL function: {call.name}")

@@ -49,7 +49,11 @@ token, the ES-SQL/EQL convention):
   r14 widening: TRIM/LTRIM/RTRIM, REPLACE (regex), LEFT/RIGHT,
   REVERSE, REPEAT, LOCATE (1-based, 0 absent), POW/SQRT/EXP/LOG
   ([base,] value)/LOG10/FLOOR/CEIL/SIGNUM, PI()/TAU()/E(),
-  GREATEST/LEAST.
+  GREATEST/LEAST, CIDR_MATCH(ip, "block", ... — IPv4+IPv6, literal
+  blocks folded at compile time, the predicate shared with EQL's
+  cidrMatch), DATE_FORMAT("pattern", ts), DATE_EXTRACT("part", ts)
+  (ChronoField-name core subset, BIGINT), DATE_DIFF("unit", a, b)
+  (seconds/minutes/hours/days, truncated toward zero).
 * multivalue functions: MV_COUNT, MV_MIN, MV_MAX, MV_FIRST, MV_LAST,
   MV_DEDUPE, MV_SORT(col[, "ASC"|"DESC"]), MV_ZIP(a, b[, delim]),
   MV_SUM/MV_AVG (DOUBLE; NULL on empty), MV_MEDIAN (exact; even
@@ -399,6 +403,81 @@ class _ExprParser:
                 return F.round(c, digits)
             self.expect_op(")")
             return F.round(c)
+        if fn == "CIDR_MATCH":
+            # CIDR_MATCH(ip, "block", ...) — blocks are compile-time
+            # literals so the network constants fold at plan time; one
+            # range/prefix compare per block, OR-folded (shared
+            # predicate with EQL's cidrMatch, functions/ip.py)
+            from tweets_elastic_spark.functions.ip import cidr_match
+
+            self.expect_op("(")
+            c = self.expr()
+            pred = None
+            while self.peek() == ("op", ","):
+                self.i += 1
+                block = self._lit_str_arg("CIDR_MATCH block")
+                m = cidr_match(c, block)
+                pred = m if pred is None else (pred | m)
+            self.expect_op(")")
+            if pred is None:
+                raise ValueError(
+                    "ES|QL: CIDR_MATCH(ip, \"block\"[, ...]) needs at "
+                    "least one block literal"
+                )
+            return pred
+        if fn == "DATE_FORMAT":
+            # DATE_FORMAT("pattern", date) — java.time patterns, same
+            # dialect Spark's date_format takes
+            self.expect_op("(")
+            fmt = self._lit_str_arg("DATE_FORMAT pattern")
+            self.expect_op(",")
+            c = self.expr()
+            self.expect_op(")")
+            return F.date_format(c, fmt)
+        if fn == "DATE_EXTRACT":
+            # DATE_EXTRACT("part", date) — the ChronoField names ES|QL
+            # takes, core subset; BIGINT result (ES long)
+            self.expect_op("(")
+            part = self._lit_str_arg("DATE_EXTRACT part").lower()
+            self.expect_op(",")
+            c = self.expr()
+            self.expect_op(")")
+            try:
+                col = {
+                    "year": F.year, "month_of_year": F.month,
+                    "day_of_month": F.dayofmonth,
+                    "day_of_week": F.dayofweek,
+                    "day_of_year": F.dayofyear,
+                    "hour_of_day": F.hour,
+                    "minute_of_hour": F.minute,
+                    "second_of_minute": F.second,
+                }[part](c)
+            except KeyError:
+                raise ValueError(
+                    f"ES|QL: DATE_EXTRACT part {part!r} not in the "
+                    f"supported ChronoField subset"
+                ) from None
+            return col.cast("bigint")
+        if fn == "DATE_DIFF":
+            # DATE_DIFF("unit", start, end) — signed count of whole
+            # units from start to end, truncated toward zero (ES)
+            self.expect_op("(")
+            unit = self._lit_str_arg("DATE_DIFF unit").lower()
+            secs = {"seconds": 1, "minutes": 60, "hours": 3600,
+                    "days": 86400}.get(unit)
+            if secs is None:
+                raise ValueError(
+                    f"ES|QL: DATE_DIFF unit {unit!r} "
+                    f"(seconds/minutes/hours/days)"
+                )
+            self.expect_op(",")
+            start = self.expr()
+            self.expect_op(",")
+            end = self.expr()
+            self.expect_op(")")
+            d = (F.unix_timestamp(end) - F.unix_timestamp(start)) \
+                / F.lit(secs)
+            return d.cast("bigint")  # truncates toward zero
         a = self._args()
 
         def need(n):

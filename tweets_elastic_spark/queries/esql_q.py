@@ -179,6 +179,42 @@ def q_esql_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_cidr_dates",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS mon,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           max(value) AS mx
+    FROM events
+    WHERE user_id % 2 = 0
+    GROUP BY mon, hr
+    ORDER BY mon ASC, hr ASC
+    """,
+    doc="ES|QL CIDR_MATCH + date functions (r14): EVAL synthesizes a "
+        "v4 address per event (10.<user_id%2>.0.<event_id%200>), "
+        "CIDR_MATCH(ip, \"10.0.0.0/16\", \"192.168.0.0/24\") keeps the "
+        "even-user half (compile-time-folded range compare on the "
+        "32-bit long, the predicate shared with EQL's cidrMatch via "
+        "functions/ip.py), DATE_FORMAT/DATE_EXTRACT bucket by month + "
+        "hour-of-day. All scan-local expression work feeding one hash "
+        "agg; the oracle derives the CIDR verdict straight from the "
+        "synthesized octet rule (user_id parity) so a mask-arithmetic "
+        "bug reddens the row.",
+)
+def q_esql_cidr_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM events
+        | EVAL ip = CONCAT("10.", TO_STRING(user_id % 2), ".0.",
+                           TO_STRING(event_id % 200)),
+               mon = DATE_FORMAT("yyyy-MM", ts),
+               hr = DATE_EXTRACT("hour_of_day", ts)
+        | WHERE CIDR_MATCH(ip, "10.0.0.0/16", "192.168.0.0/24")
+        | STATS n = COUNT(*), mx = MAX(value) BY mon, hr
+        | SORT mon ASC, hr ASC
+    """, table="events")
+
+
+@register(
     "esql_grok",
     oracle="""
     WITH t AS (

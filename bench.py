@@ -308,6 +308,7 @@ HEADLINE = [
     "esql_inlinestats",
     "esql_grok",
     "esql_cidr_dates",
+    "esql_change_point",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -388,7 +389,7 @@ SF1_HEADLINE = [
     # r14: the new ES|QL commands (documents/events + the v5
     # customer/nation star are all in the fixture)
     "esql_lookup_join", "esql_inlinestats", "esql_grok",
-    "esql_cidr_dates",
+    "esql_cidr_dates", "esql_change_point",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -403,3 +403,22 @@ def test_r14_cidr_and_date_functions(spark):
         esql(spark, 'ROW x = 1 | EVAL y = DATE_DIFF("weeks", x, x)', None)
     with pytest.raises(ValueError, match="at least one block"):
         esql(spark, 'ROW x = "1.2.3.4" | EVAL y = CIDR_MATCH(x)', None)
+
+
+def test_change_point(spark, people):
+    # planted step 1,1,1,100,100 over id order: CUSUM T peaks at the
+    # last left-segment row (id 3); only that row carries cp_type
+    q = ("FROM people | EVAL v = CASE(id >= 4, 100, 1) "
+         "| CHANGE_POINT v ON id "
+         "| KEEP id, v, cp_type, cp_stat | SORT id")
+    rows = _rows(spark, q, people)
+    assert len(rows) == 5
+    marked = [r for r in rows if r["cp_type"] is not None]
+    assert len(marked) == 1 and marked[0]["id"] == 3
+    assert marked[0]["cp_type"] == "step_change"
+    assert marked[0]["cp_stat"] > 50  # |1 - 100| scaled, clearly large
+    assert all(r["cp_stat"] is None for r in rows if r["id"] != 3)
+    with pytest.raises(ValueError, match="CHANGE_POINT <value> ON"):
+        esql(spark, "FROM people | CHANGE_POINT h BY id", people)
+    with pytest.raises(ValueError, match="unknown column"):
+        esql(spark, "FROM people | CHANGE_POINT nope ON id", people)

@@ -65,6 +65,11 @@ token, the ES-SQL/EQL convention):
   compiles to window aggregates over partitionBy(keys) (one exchange,
   no join); the global form is a 1-row broadcast back onto the stream.
   Same-named columns are overridden (the ES collision rule).
+* ``CHANGE_POINT value ON key`` (ES 8.18): marks the key-ordered
+  series' CUSUM mean-shift peak in-stream — cp_type/cp_stat columns,
+  NULL off the detected row; the deterministic statistic replaces
+  ES's ML type taxonomy/p_value (shared divergence with the
+  change_point sibling agg). Runs over the bounded post-STATS series.
 * ``STATS [name =] agg [, ...] [BY [name =] expr [, ...]]`` with
   COUNT(*)/COUNT(expr), COUNT_DISTINCT (EXACT — ES|QL uses HLL; the
   documented strictly-more-accurate divergence shared with the
@@ -121,7 +126,7 @@ _KEYWORDS = {
     "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST",
     "LAST", "AND", "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL",
     "TRUE", "FALSE", "MV_EXPAND", "DISSECT", "GROK", "ENRICH", "LOOKUP",
-    "METADATA", "INLINESTATS",
+    "METADATA", "INLINESTATS", "CHANGE_POINT",
 }
 
 _AGG_FNS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
@@ -946,6 +951,78 @@ def esql(
             df = _stats(df, p)
         elif p.eat_kw("INLINESTATS"):
             df = _inlinestats(df, p)
+        elif p.eat_kw("CHANGE_POINT"):
+            # CHANGE_POINT <value> ON <key> (ES 8.18): mark the row
+            # where the key-ordered value series' CUSUM mean-shift
+            # statistic T(k) = sqrt(nl*nr/n)*|mean_l - mean_r| peaks —
+            # the SAME deterministic detector as the change_point
+            # sibling agg (plans/aggs.py), in-row instead of 1-row.
+            # Emits cp_type ("step_change" at the detected row, NULL
+            # elsewhere) and cp_stat (the statistic) — ES's ML-derived
+            # type taxonomy/p_value is replaced by the reproducible
+            # statistic, the documented divergence shared with the agg.
+            # Runs over a BOUNDED post-aggregation series (ES caps the
+            # scan at 1000 values), so the single-partition window is
+            # the coordinator-side shape, not a scale risk.
+            val = _parse_name(p)
+            k, v = p.next()
+            if k != "ident" or v.upper() != "ON":
+                raise ValueError("ES|QL: CHANGE_POINT <value> ON <key>")
+            key = _parse_name(p)
+            for col in (val, key):
+                if col not in df.columns:
+                    raise ValueError(
+                        f"ES|QL: CHANGE_POINT references unknown "
+                        f"column {col!r}"
+                    )
+            from pyspark.sql.window import Window
+
+            w_all = Window.orderBy(F.col(key).asc())
+            w_cum = w_all.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)
+            w_tot = Window.orderBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+            c = F.col(val).cast("double")
+            df = (
+                df.withColumn("__i", F.row_number().over(w_all))
+                .withColumn("__cum", F.sum(c).over(w_cum))
+                .withColumn("__tot", F.sum(c).over(w_tot))
+                .withColumn("__n", F.count(F.lit(1)).over(w_tot))
+            )
+            df = df.withColumn(
+                "__t",
+                F.when(
+                    F.col("__i") < F.col("__n"),
+                    F.round(
+                        F.sqrt(
+                            F.col("__i").cast("double")
+                            * (F.col("__n") - F.col("__i"))
+                            / F.col("__n")
+                        )
+                        * F.abs(
+                            F.col("__cum") / F.col("__i")
+                            - (F.col("__tot") - F.col("__cum"))
+                            / (F.col("__n") - F.col("__i"))
+                        ),
+                        6,
+                    ),
+                ),
+            )
+            df = df.withColumn("__best", F.max("__t").over(w_tot))
+            df = df.withColumn(
+                "__bi",
+                F.min(
+                    F.when(F.col("__t") == F.col("__best"), F.col("__i"))
+                ).over(w_tot),  # ties -> earliest key, same as the agg
+            )
+            is_cp = F.col("__i") == F.col("__bi")
+            df = (
+                df.withColumn("cp_type",
+                              F.when(is_cp, F.lit("step_change")))
+                .withColumn("cp_stat", F.when(is_cp, F.col("__t")))
+                .drop("__i", "__cum", "__tot", "__n", "__t",
+                      "__best", "__bi")
+            )
         elif p.eat_kw("SORT"):
             orders = []
             while True:

@@ -179,6 +179,69 @@ def q_esql_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_change_point",
+    oracle="""
+    WITH d AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    v AS (
+        SELECT day, n,
+               n + CASE WHEN day > '2024-01-15' THEN 500 ELSE 0 END AS v
+        FROM d
+    ),
+    w AS (
+        SELECT day, n, v,
+               row_number() OVER (ORDER BY day) AS i,
+               sum(CAST(v AS DOUBLE)) OVER (ORDER BY day
+                                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(CAST(v AS DOUBLE)) OVER () AS tot,
+               count(*) OVER () AS cnt
+        FROM v
+    ),
+    t AS (
+        SELECT day, n, v, i, cnt,
+               CASE WHEN i < cnt THEN
+                 round(sqrt(CAST(i AS DOUBLE) * (cnt - i) / cnt)
+                       * abs(cum / i - (tot - cum) / (cnt - i)), 6)
+               END AS tstat
+        FROM w
+    ),
+    b AS (SELECT min(i) AS bi FROM t
+          WHERE tstat = (SELECT max(tstat) FROM t))
+    SELECT day, n, v,
+           CASE WHEN i = (SELECT bi FROM b)
+                THEN 'step_change' END AS cp_type,
+           CASE WHEN i = (SELECT bi FROM b) THEN tstat END AS cp_stat
+    FROM t
+    ORDER BY day ASC
+    """,
+    doc="ES|QL CHANGE_POINT (8.18, r14): daily event counts with a "
+        "PLANTED +500 step after 2024-01-15, the key-ordered CUSUM "
+        "mean-shift detector marks the split row in-stream (cp_type = "
+        "'step_change' at the peak-T row, cp_stat = the statistic, "
+        "NULL elsewhere; ties to the earliest key). Same deterministic "
+        "math as the change_point sibling agg — ES's ML type "
+        "taxonomy/p_value replaced by the reproducible statistic, the "
+        "documented divergence. The oracle replays the full cumulative "
+        "window computation; the window runs over the bounded "
+        "post-STATS series (the coordinator-side shape).",
+)
+def q_esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM events
+        | WHERE ts IS NOT NULL
+        | EVAL day = DATE_FORMAT("yyyy-MM-dd", ts)
+        | STATS n = COUNT(*) BY day
+        | EVAL v = n + CASE(day > "2024-01-15", 500, 0)
+        | CHANGE_POINT v ON day
+        | KEEP day, n, v, cp_type, cp_stat
+        | SORT day ASC
+    """, table="events")
+
+
+@register(
     "esql_cidr_dates",
     oracle="""
     SELECT strftime(ts, '%Y-%m') AS mon,

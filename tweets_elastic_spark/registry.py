@@ -82,7 +82,7 @@ def bench_variants() -> dict[str, QueryFn]:
 # Per-round rotation rationale lives in COVERAGE.md ("Verification
 # structure" + the round-N addition notes), not here.
 DRIVER_PRIORITY: list[str] = [
-    # r14 ROTATION (28 out / 28 in — the COVERAGE.md burn-down schedule's
+    # r14 ROTATION (29 out / 29 in — the COVERAGE.md burn-down schedule's
     # r14 wave; every incoming row is a FIRST-TIME driver entry). IN:
     # the scheduled parent/child + significance + runtime-field +
     # doc-API families (es_aggs_children, es_aggs_parent,
@@ -150,14 +150,16 @@ DRIVER_PRIORITY: list[str] = [
     # crawl_main_text_pipeline seats), and the contract-oracled BPE
     # row that closed the rows-only class
     "esql_lookup_join", "esql_inlinestats", "esql_grok",
-    "esql_cidr_dates", "bpe_token_stats",
+    "esql_cidr_dates", "esql_change_point", "bpe_token_stats",
     # retriever + ES agg / request rows retained (es_request_knn —
     # ever-green — rotated out for the r14-new esql_cidr_dates; the
     # rrf retriever row keeps kNN-leg coverage)
     "es_request_retriever_rrf",
     "es_aggs_adjacency_nested_terms", "es_aggs_ip_prefix_v6",
-    # EQL correlation
-    "eql_sample_by_stage", "eql_sequence_disjunction",
+    # EQL correlation (eql_sequence_disjunction — green r12 — rotated
+    # out for the r14-new esql_change_point; sample_by_stage keeps the
+    # EQL seat)
+    "eql_sample_by_stage",
     # analyzers
     "analyze_englando",
     # crawl -> corpus (the end-to-end composition keeps the seat for

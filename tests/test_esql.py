@@ -422,3 +422,58 @@ def test_change_point(spark, people):
         esql(spark, "FROM people | CHANGE_POINT h BY id", people)
     with pytest.raises(ValueError, match="unknown column"):
         esql(spark, "FROM people | CHANGE_POINT nope ON id", people)
+
+
+def test_r14_to_conversions(spark):
+    q = ('ROW s = "TRUE", f = "no", n = 3.9, ip = "10.0.0.1", '
+         'bad = "10.0.0.999" | EVAL '
+         'b1 = TO_BOOLEAN(s), b2 = TO_BOOLEAN(f), b3 = TO_BOOLEAN(n), '
+         'i = TO_INTEGER(n), v = TO_IP(ip), w = TO_IP(bad) '
+         '| KEEP b1, b2, b3, i, v, w')
+    r = _rows(spark, q)[0]
+    assert r["b1"] is True and r["b2"] is None  # non-true/false -> NULL
+    assert r["b3"] is True                      # nonzero numeric -> true
+    assert r["i"] == 3                          # truncating
+    assert r["v"] == "10.0.0.1" and r["w"] is None  # malformed -> NULL
+
+
+def test_r14_review_fixes(spark, people):
+    # GROK typed cast on junk capture -> NULL field, not an ANSI error
+    r = _rows(spark, 'ROW line = "abc end" '
+                     '| GROK line "%{DATA:x:int} end" | KEEP x')[0]
+    assert r["x"] is None
+    # malformed field name / malformed ref refuse loudly
+    with pytest.raises(ValueError, match="must start with a letter"):
+        esql(spark, 'ROW s = "x" | EVAL y = 1 | GROK s "%{INT:2field}"',
+             None)
+    with pytest.raises(ValueError, match="malformed"):
+        esql(spark, 'ROW s = "x" | GROK s "%{INT:fo-o} %{WORD:w}"', None)
+    # TO_LONG / TO_INTEGER on junk strings -> NULL, not an error
+    r = _rows(spark, 'ROW s = "abc" | EVAL a = TO_LONG(s), '
+                     'b = TO_INTEGER(s), c = TO_DOUBLE(s) '
+                     '| KEEP a, b, c')[0]
+    assert r["a"] is None and r["b"] is None and r["c"] is None
+    # DATE_EXTRACT day_of_week is ISO (ChronoField): Monday == 1
+    r = _rows(spark, 'ROW t = "2024-01-01" '  # a Monday
+                     '| EVAL d = DATE_EXTRACT("day_of_week", '
+                     'DATE_TRUNC("day", t)) | KEEP d')[0]
+    assert r["d"] == 1
+    # MV_ZIP: unmatched tail passes through AS-IS, no trailing delim
+    r = _rows(spark, 'ROW a = 1 | EVAL z = MV_ZIP(SPLIT("a b", " "), '
+                     'SPLIT("1", " "), "-") | KEEP z')[0]
+    assert r["z"] == ["a-1", "b"]
+    # INLINESTATS: ALL aggregates read the INPUT columns — an earlier
+    # item overwriting h must not feed the later MAX(h)
+    rows = _rows(spark, "FROM people | INLINESTATS h = AVG(h), "
+                        "mx = MAX(h) BY team | KEEP id, h, mx | SORT id",
+                 people)
+    assert rows[0]["h"] == 175.0 and rows[0]["mx"] == 180
+    assert rows[2]["h"] == 155.0 and rows[2]["mx"] == 160
+    # CHANGE_POINT: NULL values carry no statistic and don't skew means
+    rows = _rows(spark, "FROM people "
+                        "| EVAL v = CASE(id == 2, NULL, "
+                        "CASE(id >= 4, 100, 10)) "
+                        "| CHANGE_POINT v ON id "
+                        "| KEEP id, cp_type | SORT id", people)
+    marked = [r["id"] for r in rows if r["cp_type"] is not None]
+    assert marked == [3]   # series 10,NULL,10,100,100 -> split after id 3

@@ -44,7 +44,11 @@ token, the ES-SQL/EQL convention):
 * scalar functions: ROUND, ABS, LENGTH (BIGINT), SUBSTRING (1-based),
   CONCAT (NULL args -> '' — ES/DuckDB skip semantics), TO_LOWER,
   TO_UPPER, TO_STRING, TO_LONG (truncating, mirrored with floor() in
-  oracles — DuckDB CAST rounds), TO_DOUBLE, SPLIT(col, delim),
+  oracles — DuckDB CAST rounds), TO_DOUBLE, TO_INTEGER (32-bit,
+  truncating), TO_BOOLEAN (the ES table: "true"/"false" strings,
+  numeric 0/else; numeric-looking strings take the numeric rule —
+  documented), TO_IP (validation gate: malformed -> NULL),
+  SPLIT(col, delim),
   COALESCE, STARTS_WITH, ENDS_WITH, DATE_TRUNC("unit", ts), and the
   r14 widening: TRIM/LTRIM/RTRIM, REPLACE (regex), LEFT/RIGHT,
   REVERSE, REPEAT, LOCATE (1-based, 0 absent), POW/SQRT/EXP/LOG
@@ -451,7 +455,9 @@ class _ExprParser:
                 col = {
                     "year": F.year, "month_of_year": F.month,
                     "day_of_month": F.dayofmonth,
-                    "day_of_week": F.dayofweek,
+                    # ChronoField.DAY_OF_WEEK is ISO (1 = Monday);
+                    # Spark's dayofweek is 1 = Sunday — use weekday+1
+                    "day_of_week": lambda x: F.weekday(x) + 1,
                     "day_of_year": F.dayofyear,
                     "hour_of_day": F.hour,
                     "minute_of_hour": F.minute,
@@ -513,12 +519,45 @@ class _ExprParser:
             need(1)
             return a[0].cast("string")
         if fn == "TO_LONG":
-            # truncating, like Spark CAST; oracles mirror with floor()
+            # truncating, like Spark CAST; oracles mirror with floor().
+            # try_cast: junk strings/overflow -> NULL (the ES warn+null
+            # contract), never an ANSI cast error
             need(1)
-            return a[0].cast("bigint")
+            return a[0].try_cast("bigint")
         if fn == "TO_DOUBLE":
             need(1)
-            return a[0].cast("double")
+            return a[0].try_cast("double")
+        if fn == "TO_INTEGER":
+            # 32-bit, truncating like TO_LONG (oracles mirror w/ floor)
+            need(1)
+            return a[0].try_cast("int")
+        if fn == "TO_BOOLEAN":
+            # ES: the string "true" (any case) -> true, "false" ->
+            # false, other strings -> NULL; numerics: 0 -> false else
+            # true. NOT Spark's cast (which also accepts y/n/yes/no/
+            # t/f). Numeric-LOOKING strings take the numeric rule here
+            # (untyped expression compile) — documented divergence.
+            need(1)
+            s = F.lower(a[0].cast("string"))
+            num = a[0].try_cast("double")  # NULL (not error) on junk
+            return (
+                F.when(s == "true", F.lit(True))
+                .when(s == "false", F.lit(False))
+                .when(num.isNotNull(), num != 0)
+            )
+        if fn == "TO_IP":
+            # strings are the engine's IP representation; TO_IP is the
+            # validation gate — malformed addresses become NULL (ES
+            # raises a per-value warning and nulls the result)
+            need(1)
+            from tweets_elastic_spark.functions.ip import (
+                ipv4_long, ipv6_groups,
+            )
+            return F.when(
+                ipv4_long(a[0]).isNotNull()
+                | ipv6_groups(a[0]).isNotNull(),
+                a[0],
+            )
         if fn == "MV_COUNT":
             need(1)
             return F.size(a[0]).cast("bigint")
@@ -666,11 +705,13 @@ class _ExprParser:
                 a = a + [F.lit(",")]
             need(3)
             delim = a[2]
+            # unmatched tail of the longer array passes through AS-IS
+            # (ES semantics) — no trailing delimiter
             return F.zip_with(
                 a[0], a[1],
-                lambda x, y: F.concat(
-                    F.coalesce(x, F.lit("")), delim,
-                    F.coalesce(y, F.lit(""))),
+                lambda x, y: F.when(x.isNull(), y)
+                .when(y.isNull(), x)
+                .otherwise(F.concat(x, delim, y)),
             )
         if fn == "MV_SUM":
             need(1)
@@ -781,10 +822,20 @@ def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
     names refuse loudly."""
     fields: list[tuple[str, str | None]] = []
     out, pos = [], 0
+    literals: list[str] = []
     for m in _GROK_REF_RE.finditer(pattern):
+        literals.append(pattern[pos:m.start()])
         out.append(re.escape(pattern[pos:m.start()]))
         pos = m.end()
         syntax, field, typ = m.group(1), m.group(2), m.group(3)
+        if field is None and typ is not None:
+            # '%{INT:2field}': the "type" group swallowed a malformed
+            # FIELD name — refuse instead of silently dropping the
+            # capture (the module's raise-loudly convention)
+            raise ValueError(
+                f"ES|QL: GROK field name {typ!r} must start with a "
+                f"letter or underscore"
+            )
         if syntax not in _GROK_LIB:
             raise ValueError(
                 f"ES|QL: GROK pattern %{{{syntax}}} is not in the "
@@ -804,7 +855,14 @@ def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
             )
         fields.append((field, _GROK_TYPES.get(typ) if typ else None))
         out.append("(" + _GROK_LIB[syntax] + ")")
+    literals.append(pattern[pos:])
     out.append(re.escape(pattern[pos:]))
+    if any("%{" in lit for lit in literals):
+        # a ref the reference regex could not parse at all (bad
+        # characters inside %{...}) would otherwise match literally
+        raise ValueError(
+            "ES|QL: GROK pattern contains a malformed %{...} reference"
+        )
     if not fields:
         raise ValueError("ES|QL: GROK pattern has no %{SYNTAX:field} refs")
     return "".join(out), fields
@@ -983,26 +1041,33 @@ def esql(
             w_tot = Window.orderBy().rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing)
             c = F.col(val).cast("double")
+            # NULL-safe denominators: sums skip NULL values, so the
+            # mean denominators must COUNT THE VALUE (not the row) on
+            # both sides of the split, and NULL-valued rows carry no
+            # statistic (they cannot be the detected change point)
             df = (
                 df.withColumn("__i", F.row_number().over(w_all))
+                .withColumn("__ci", F.count(c).over(w_cum))
                 .withColumn("__cum", F.sum(c).over(w_cum))
                 .withColumn("__tot", F.sum(c).over(w_tot))
-                .withColumn("__n", F.count(F.lit(1)).over(w_tot))
+                .withColumn("__cn", F.count(c).over(w_tot))
             )
             df = df.withColumn(
                 "__t",
                 F.when(
-                    F.col("__i") < F.col("__n"),
+                    c.isNotNull()
+                    & (F.col("__ci") > 0)
+                    & (F.col("__ci") < F.col("__cn")),
                     F.round(
                         F.sqrt(
-                            F.col("__i").cast("double")
-                            * (F.col("__n") - F.col("__i"))
-                            / F.col("__n")
+                            F.col("__ci").cast("double")
+                            * (F.col("__cn") - F.col("__ci"))
+                            / F.col("__cn")
                         )
                         * F.abs(
-                            F.col("__cum") / F.col("__i")
+                            F.col("__cum") / F.col("__ci")
                             - (F.col("__tot") - F.col("__cum"))
-                            / (F.col("__n") - F.col("__i"))
+                            / (F.col("__cn") - F.col("__ci"))
                         ),
                         6,
                     ),
@@ -1020,7 +1085,7 @@ def esql(
                 df.withColumn("cp_type",
                               F.when(is_cp, F.lit("step_change")))
                 .withColumn("cp_stat", F.when(is_cp, F.col("__t")))
-                .drop("__i", "__cum", "__tot", "__n", "__t",
+                .drop("__i", "__ci", "__cum", "__tot", "__cn", "__t",
                       "__best", "__bi")
             )
         elif p.eat_kw("SORT"):
@@ -1154,7 +1219,9 @@ def esql(
             for i, (field, cast_to) in enumerate(fields, start=1):
                 val = F.regexp_extract(src, rx, i)
                 if cast_to is not None:
-                    val = val.cast(cast_to)
+                    # try_cast: conversion failure -> NULL field (the
+                    # ES contract), never an ANSI cast error
+                    val = val.try_cast(cast_to)
                 df = df.withColumn(field, F.when(matched, val))
         elif p.eat_kw("LOOKUP"):
             # LOOKUP JOIN <lookup_index> ON <field> (ES 8.18): enrich
@@ -1295,14 +1362,20 @@ def _agg_column(fn: str, arg, q) -> Column:
     }[fn](arg)
 
 
+def _finish_agg(col: Column, fn: str, digits: int | None) -> Column:
+    """The shared aggregate finisher: counts -> BIGINT (hash-stable
+    across engines), then the optional ROUND(agg, digits) wrapper."""
+    if fn in ("COUNT", "COUNT_DISTINCT"):
+        col = col.cast("bigint")
+    if digits is not None:
+        col = F.round(col, digits)
+    return col
+
+
 def _stats(df: DataFrame, p: _ExprParser) -> DataFrame:
     aggs = []
     for name, fn, arg, q, digits in _parse_agg_items(p):
-        col = _agg_column(fn, arg, q)
-        if fn in ("COUNT", "COUNT_DISTINCT"):
-            col = col.cast("bigint")
-        if digits is not None:
-            col = F.round(col, digits)
+        col = _finish_agg(_agg_column(fn, arg, q), fn, digits)
         aggs.append(col.alias(name))
     keys = []
     if p.eat_kw("BY"):
@@ -1359,27 +1432,33 @@ def _inlinestats(df: DataFrame, p: _ExprParser) -> DataFrame:
                 p.i += 1
                 continue
             break
+    new_names = {name for name, *_ in items}
     if keys:
         w = Window.partitionBy(*keys)
+        # ONE select from the INPUT relation: every aggregate reads the
+        # pre-command columns (the ES contract — sequential withColumn
+        # would let `INLINESTATS h = AVG(h), mx = MAX(h)` feed the
+        # already-overwritten h into MAX), and same-named existing
+        # columns are overridden in the same step
+        appended = []
         for name, fn, arg, q, digits in items:
             if fn == "COUNT_DISTINCT":
+                # Spark windows refuse DISTINCT aggregates; the set is
+                # bounded by per-group cardinality (same bound as the
+                # hash-agg form)
                 col = F.size(F.collect_set(arg).over(w)).cast("bigint")
+                if digits is not None:
+                    col = F.round(col, digits)
             else:
-                col = _agg_column(fn, arg, q).over(w)
-                if fn == "COUNT":
-                    col = col.cast("bigint")
-            if digits is not None:
-                col = F.round(col, digits)
-            df = df.withColumn(name, col)
-        return df
-    aggs = []
-    for name, fn, arg, q, digits in items:
-        col = _agg_column(fn, arg, q)
-        if fn in ("COUNT", "COUNT_DISTINCT"):
-            col = col.cast("bigint")
-        if digits is not None:
-            col = F.round(col, digits)
-        aggs.append(col.alias(name))
-    clash = [c for c in df.columns
-             if c in {name for name, *_ in items}]
+                col = _finish_agg(_agg_column(fn, arg, q).over(w),
+                                  fn, digits)
+            appended.append(col.alias(name))
+        return df.select(
+            *[c for c in df.columns if c not in new_names], *appended
+        )
+    aggs = [
+        _finish_agg(_agg_column(fn, arg, q), fn, digits).alias(name)
+        for name, fn, arg, q, digits in items
+    ]
+    clash = [c for c in df.columns if c in new_names]
     return df.drop(*clash).crossJoin(F.broadcast(df.agg(*aggs)))

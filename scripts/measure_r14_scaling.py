@@ -18,7 +18,8 @@ from bench import SF1_DIR, ensure_sf1, materialize  # noqa: E402
 from tweets_elastic_spark import registry  # noqa: E402
 from tweets_elastic_spark.session import get_spark  # noqa: E402
 
-ROWS = ["esql_lookup_join", "esql_inlinestats", "esql_grok"]
+ROWS = ["esql_lookup_join", "esql_inlinestats", "esql_grok",
+        "esql_cidr_dates", "esql_change_point"]
 
 
 def main() -> None:

@@ -150,36 +150,46 @@ def ipv6_canonical(groups: Column) -> Column:
 def cidr_match(fld: Column, cidr: str) -> Column:
     """One COMPILE-TIME CIDR literal against a string IP column — the
     shared predicate behind EQL's ``cidrMatch`` and ES|QL's
-    ``CIDR_MATCH``. IPv4: range compare on the 32-bit long (host bits
-    of the literal zeroed, the ES rule); IPv6: group-wise prefix
-    compare — full 16-bit groups by equality, the partial group by
-    shiftright (compile-time constants on the network side, <=8 long
-    comparisons per row on the address side). Malformed addresses
-    parse to NULL and match nothing."""
+    ``CIDR_MATCH``. Parses the address (v4 long / v6 groups) and
+    delegates to the parsed-side helpers below; multi-block callers
+    should parse ONCE themselves and call those directly (the ES|QL
+    CIDR_MATCH does — the address expression can be an arbitrary
+    computed column, and re-deriving it per block was measured at
+    ~2x on the cidr bench row). Malformed addresses parse to NULL
+    and match nothing."""
     if ":" in cidr:
-        import ipaddress
+        return cidr_match_v6_groups(ipv6_groups(fld), cidr)
+    return cidr_match_v4_long(ipv4_long(fld), cidr)
 
-        net = ipaddress.ip_network(cidr, strict=False)
-        netaddr = int(net.network_address)
-        groups = ipv6_groups(fld)
-        pred = groups.isNotNull()
-        for i in range(8):
-            take = min(16, net.prefixlen - 16 * i)
-            if take <= 0:
-                break
-            gi = F.element_at(groups, i + 1)
-            ng = (netaddr >> (16 * (7 - i))) & 0xFFFF
-            if take == 16:
-                pred = pred & (gi == F.lit(ng))
-            else:
-                pred = pred & (
-                    F.shiftright(gi, 16 - take) == F.lit(ng >> (16 - take))
-                )
-        return pred
-    ip = ipv4_long(fld)
+
+def cidr_match_v4_long(ip_long: Column, cidr: str) -> Column:
+    """v4 range compare against an ALREADY-PARSED 32-bit long — lets a
+    multi-block matcher parse the address once and compare per block."""
     base, bits = cidr.split("/")
     o = [int(x) for x in base.split(".")]
     width = 1 << (32 - int(bits))
     addr = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
     net4 = (addr // width) * width  # zero host bits (ES)
-    return (ip >= F.lit(net4)) & (ip < F.lit(net4 + width))
+    return (ip_long >= F.lit(net4)) & (ip_long < F.lit(net4 + width))
+
+
+def cidr_match_v6_groups(groups: Column, cidr: str) -> Column:
+    """v6 prefix compare against ALREADY-PARSED 16-bit groups."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    netaddr = int(net.network_address)
+    pred = groups.isNotNull()
+    for i in range(8):
+        take = min(16, net.prefixlen - 16 * i)
+        if take <= 0:
+            break
+        gi = F.element_at(groups, i + 1)
+        ng = (netaddr >> (16 * (7 - i))) & 0xFFFF
+        if take == 16:
+            pred = pred & (gi == F.lit(ng))
+        else:
+            pred = pred & (
+                F.shiftright(gi, 16 - take) == F.lit(ng >> (16 - take))
+            )
+    return pred

@@ -414,25 +414,68 @@ class _ExprParser:
             return F.round(c)
         if fn == "CIDR_MATCH":
             # CIDR_MATCH(ip, "block", ...) — blocks are compile-time
-            # literals so the network constants fold at plan time; one
-            # range/prefix compare per block, OR-folded (shared
-            # predicate with EQL's cidrMatch, functions/ip.py)
-            from tweets_elastic_spark.functions.ip import cidr_match
+            # literals so the network constants fold at plan time. The
+            # address PARSES ONCE (Catalyst has no CSE, and the ip can
+            # be an arbitrary computed expression: re-deriving the
+            # regex-validate + octet split per block measured ~2x on
+            # the cidr bench row) via the 1-element-HOF binding idiom;
+            # each block is then one range/prefix compare, OR-folded.
+            # Predicate arithmetic shared with EQL's cidrMatch
+            # (functions/ip.py).
+            from tweets_elastic_spark.functions.ip import (
+                cidr_match_v4_long, cidr_match_v6_groups,
+                ipv4_long, ipv6_groups,
+            )
 
             self.expect_op("(")
             c = self.expr()
-            pred = None
+            blocks = []
             while self.peek() == ("op", ","):
                 self.i += 1
-                block = self._lit_str_arg("CIDR_MATCH block")
-                m = cidr_match(c, block)
-                pred = m if pred is None else (pred | m)
+                blocks.append(self._lit_str_arg("CIDR_MATCH block"))
             self.expect_op(")")
-            if pred is None:
+            if not blocks:
                 raise ValueError(
                     "ES|QL: CIDR_MATCH(ip, \"block\"[, ...]) needs at "
                     "least one block literal"
                 )
+            v4 = [b for b in blocks if ":" not in b]
+            v6 = [b for b in blocks if ":" in b]
+            pred = None
+
+            def fold(parsed, matchers):
+                out = None
+                for m in matchers:
+                    p = m(parsed)
+                    out = p if out is None else (out | p)
+                return out
+
+            if v4:
+                bound = F.get(
+                    F.transform(
+                        F.array(ipv4_long(c)),
+                        lambda v: fold(v, [
+                            (lambda vv, b=b: cidr_match_v4_long(vv, b))
+                            for b in v4
+                        ]),
+                    ),
+                    F.lit(0),
+                )
+                pred = bound
+            if v6:
+                bound = F.get(
+                    F.transform(
+                        F.array(ipv6_groups(c)),
+                        lambda g: fold(g, [
+                            (lambda gg, b=b: cidr_match_v6_groups(gg, b))
+                            for b in v6
+                        ]),
+                    ),
+                    F.lit(0),
+                )
+                pred = bound if pred is None else (pred | bound)
+            # rlike/compare on NULL parses yields NULL -> filter drops
+            # the row, same as the unbound form
             return pred
         if fn == "DATE_FORMAT":
             # DATE_FORMAT("pattern", date) — java.time patterns, same

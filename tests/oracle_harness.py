@@ -47,7 +47,16 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # 17 significant digits = float64 round-trip (shortest-repr)
+        # precision. The r14 driver reddened es_aggs_parent on a 1e-5
+        # summation-order diff at 1e9 magnitude that this harness's old
+        # ".10g" normalization masked (both sides printed "2754983250"),
+        # so the replica passed twice while the driver failed. The
+        # driver's hash is full-precision; the local gate must be too —
+        # oracles are required to be order-robust (exact decimal sums,
+        # or rounding with enough headroom over the noise floor), not
+        # merely 10-digit-close.
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):

@@ -86,6 +86,12 @@ token, the ES-SQL/EQL convention):
   override same-named incoming columns (the documented ES collision
   rule), multiple lookup matches multiply rows like SQL LEFT JOIN.
 
+* ``ENRICH <policy> [ON <col>] [WITH [new =] field, ...]`` (ES 8.x,
+  r15): sugar over the LOOKUP JOIN path. The ``enrich_policies``
+  dict stands in for ES's policy store (policy → table +
+  match_field + enrich_fields); compiles to the same broadcast LEFT
+  join with the same collision rule.
+
 Documented semantic divergences from upstream ES|QL (each strictly
 more accurate or type-visible, never silently wrong):
 
@@ -100,9 +106,10 @@ more accurate or type-visible, never silently wrong):
   mirror the double semantics.
 
 Refused loudly: remote (cross-cluster) indices, METADATA other than
-``_score``, ENRICH (express enrich policies as LOOKUP JOIN or
-DataFrame joins), bare LOOKUP (the 8.14 experimental table form),
-grok syntaxes outside the documented core, nested subpipes.
+``_score``, ENRICH with a policy absent from ``enrich_policies``
+(there is no live policy store to consult), bare LOOKUP (the 8.14
+experimental table form), grok syntaxes outside the documented core,
+nested subpipes.
 """
 
 from __future__ import annotations
@@ -937,13 +944,19 @@ def esql(
     analyzers: dict[str, str] | None = None,
     tokens_cols: dict[str, str] | None = None,
     bm25_stats_for=None,
+    enrich_policies: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Compile one ES|QL query to a DataFrame. ``tables`` maps index
     names to DataFrames (the FROM resolver); ROW queries need none.
     ``analyzers``/``tokens_cols``/``bm25_stats_for`` are the same
     full-text bindings from_es_json and es_sql take — they activate
     BM25 scoring for MATCH(); without them MATCH falls back to the
-    keyword/overlap Match node (constant score), same as ES-SQL."""
+    keyword/overlap Match node (constant score), same as ES-SQL.
+    ``enrich_policies`` maps policy names to ES enrich-policy dicts —
+    ``{"table": DataFrame | index name, "match_field": str,
+    "enrich_fields": [cols] | None}`` (None = every non-key column) —
+    the compile-time stand-in for ES's policy store; ENRICH compiles
+    onto the same broadcast-left-join path as LOOKUP JOIN."""
     stages = _split_pipes(query)
     if not stages:
         raise ValueError("ES|QL: empty query")
@@ -1308,10 +1321,107 @@ def esql(
             df = df.drop(*overridden).join(
                 F.broadcast(lk), on=key, how="left"
             )
-        elif p.at_kw("ENRICH"):
-            raise ValueError(
-                "ES|QL: ENRICH is not supported — express enrich "
-                "policies as LOOKUP JOIN or DataFrame joins"
+        elif p.eat_kw("ENRICH"):
+            # ENRICH <policy> [ON <match_col>] [WITH [new =] field, ...]
+            # (ES 8.x): sugar over the LOOKUP JOIN path. The policy dict
+            # stands in for ES's executed .enrich-* index — which IS
+            # small and key-unique by construction (policy execution
+            # collapses the source index per match_field), so the join
+            # side broadcasts and the fact stream never shuffles.
+            # Collision rule per ES: enrich fields OVERRIDE same-named
+            # incoming columns; no match leaves them NULL (left join).
+            # A non-unique policy table multiplies rows exactly like
+            # LOOKUP JOIN — faithfully-executed policies are unique.
+            pol_name = _parse_name(p)
+            pol = (enrich_policies or {}).get(pol_name)
+            if pol is None:
+                known = sorted(enrich_policies or {})
+                raise ValueError(
+                    f"ES|QL: unknown enrich policy {pol_name!r} "
+                    f"(known: {known}) — pass enrich_policies="
+                    "{name: {'table', 'match_field', 'enrich_fields'}}"
+                )
+            lk = pol["table"]
+            if isinstance(lk, str):
+                if not tables or lk not in tables:
+                    raise ValueError(
+                        f"ES|QL: enrich policy {pol_name!r} points at "
+                        f"unknown index {lk!r}"
+                    )
+                lk = tables[lk]
+            match_field = pol["match_field"]
+            if match_field not in lk.columns:
+                raise ValueError(
+                    f"ES|QL: enrich policy {pol_name!r} match_field "
+                    f"{match_field!r} is not a column of its table"
+                )
+            enrich_fields = list(
+                pol.get("enrich_fields")
+                or [c for c in lk.columns if c != match_field]
+            )
+            missing = [f for f in enrich_fields if f not in lk.columns]
+            if missing:
+                raise ValueError(
+                    f"ES|QL: enrich policy {pol_name!r} enrich_fields "
+                    f"{missing} are not columns of its table"
+                )
+            # ON / WITH lex as idents (keyword-ing them would shadow
+            # same-named columns elsewhere); match them in place
+            def _eat_ident(word: str) -> bool:
+                k, v = p.peek()
+                if k == "ident" and v.upper() == word:
+                    p.i += 1
+                    return True
+                return False
+
+            on_col = match_field
+            if _eat_ident("ON"):
+                on_col = _parse_name(p)
+            if on_col not in df.columns:
+                raise ValueError(
+                    f"ES|QL: ENRICH match column {on_col!r} is not a "
+                    f"column of the incoming rows"
+                )
+            if _eat_ident("WITH"):
+                selected = []
+                while True:
+                    n1 = _parse_name(p)
+                    if p.peek() == ("op", "="):
+                        p.i += 1
+                        selected.append((n1, _parse_name(p)))
+                    else:
+                        selected.append((n1, n1))
+                    if p.peek() == ("op", ","):
+                        p.i += 1
+                        continue
+                    break
+                bad = [s for _, s in selected if s not in enrich_fields]
+                if bad:
+                    raise ValueError(
+                        f"ES|QL: ENRICH WITH fields {bad} are not in "
+                        f"policy {pol_name!r}'s enrich_fields "
+                        f"{enrich_fields}"
+                    )
+            else:
+                selected = [(f, f) for f in enrich_fields]
+            out_names = [out for out, _ in selected]
+            if len(set(out_names)) != len(out_names):
+                raise ValueError(
+                    f"ES|QL: ENRICH WITH names collide: {out_names}"
+                )
+            side = lk.select(
+                F.col(match_field).alias("__enrich_key"),
+                *[F.col(src).alias(out) for out, src in selected],
+            )
+            df = (
+                df.withColumn("__enrich_on", F.col(on_col))
+                .drop(*[c for c in df.columns if c in out_names])
+                .join(
+                    F.broadcast(side),
+                    F.col("__enrich_on") == F.col("__enrich_key"),
+                    "left",
+                )
+                .drop("__enrich_on", "__enrich_key")
             )
         else:
             raise ValueError(

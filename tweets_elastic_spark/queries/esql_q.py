@@ -399,6 +399,52 @@ def q_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, {"customer": cust, "nation": nation})
 
 
+@register(
+    "esql_enrich",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS cnt,
+           max(s.s_acctbal) AS hi,
+           min(s.s_acctbal) AS lo,
+           max(n.n_regionkey) AS region_key
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY cnt DESC, nation ASC
+    LIMIT 10
+    """,
+    doc="ES|QL ENRICH (r15 — the r14 verdict's task 5: 8.x users "
+        "migrating ingest pipelines hit ENRICH constantly): "
+        "FROM supplier | ENRICH nations ON s_nationkey WITH "
+        "nation = n_name, region_key = n_regionkey | STATS ... — "
+        "compiled as sugar over the LOOKUP JOIN path (plans/esql.py): "
+        "the policy dict stands in for ES's executed .enrich-* index "
+        "(small + key-unique by policy-execution construction), so the "
+        "enrich side BROADCASTS and the fact stream never shuffles; "
+        "WITH renames project before the join so only selected columns "
+        "move. MAX/MIN keep the doubles order-insensitive for "
+        "cross-engine hash identity. Oracle replays the policy as a "
+        "plain join (every supplier has a nation, so LEFT==INNER).",
+)
+def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.esql import esql
+
+    supp = fan_out(load_table(spark, sf_dir, "supplier"))
+    nation = load_table(spark, sf_dir, "nation")
+    return esql(spark, """
+        FROM supplier
+        | ENRICH nations ON s_nationkey
+                 WITH nation = n_name, region_key = n_regionkey
+        | STATS cnt = COUNT(*), hi = MAX(s_acctbal), lo = MIN(s_acctbal),
+                region_key = MAX(region_key)
+                BY nation
+        | SORT cnt DESC, nation ASC
+        | LIMIT 10
+    """, {"supplier": supp}, enrich_policies={
+        "nations": {"table": nation, "match_field": "n_nationkey",
+                    "enrich_fields": ["n_name", "n_regionkey"]},
+    }).select("nation", "cnt", "hi", "lo", "region_key")
+
+
 # splice the shared BM25 oracle in (search_q owns it; importing the
 # module here is safe — it registers idempotently via the registry dict)
 from tweets_elastic_spark.queries.search_q import _BM25_ORACLE  # noqa: E402

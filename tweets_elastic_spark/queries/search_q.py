@@ -4473,7 +4473,7 @@ def q_es_aggs_extended_stats_bucket(
            CAST((net // 256) % 256 AS VARCHAR) || '.' ||
            CAST(net % 256 AS VARCHAR) || '/20' AS by_prefix,
            CAST(count(*) AS BIGINT) AS doc_count,
-           round(sum(value), 6) AS total
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM nets
     GROUP BY 1
     """,
@@ -4503,11 +4503,16 @@ def q_es_aggs_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("user_id") * 7) % 256).cast("string"),
         ),
     )
+    # r15: sum over DECIMAL(18,2) on both engines — the raw double sum's
+    # ~1e-10 summation-order noise is order-dependent at full precision
+    # (the es_aggs_parent driver-hash lesson, applied fleet-wide); exact
+    # decimal accumulation is order-free, one cast back keeps the schema.
+    events = events.withColumn("value", F.col("value").cast("decimal(18,2)"))
     return es_aggregate(events, {"by_prefix": {
         "ip_prefix": {"field": "ip", "prefix_length": 20,
                       "append_prefix_length": True},
         "aggs": {"total": {"sum": {"field": "value"}}},
-    }})
+    }}).withColumn("total", F.col("total").cast("double"))
 
 
 _V6_COMPRESS = "key"
@@ -4547,7 +4552,7 @@ for _n in range(2, 9):  # longest run wins: wrap ascending, outer = longer
     comp AS (SELECT {_V6_COMPRESS} AS ckey, value FROM masked)
     SELECT ckey || '/68' AS by_prefix,
            CAST(count(*) AS BIGINT) AS doc_count,
-           round(sum(value), 6) AS total
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM comp GROUP BY 1
     """,
     doc="ES ip_prefix agg with is_ipv6 (r12, formerly a loud refusal): "
@@ -4584,11 +4589,14 @@ def q_es_aggs_ip_prefix_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("value").cast("long") % 7,
         )),
     )
+    # decimal sum: order-free across engines (the es_aggs_parent lesson);
+    # cast AFTER ip6 so floor(value) above still sees the raw double
+    events = events.withColumn("value", F.col("value").cast("decimal(18,2)"))
     out = es_aggregate(events, {"by_prefix": {
         "ip_prefix": {"field": "ip6", "prefix_length": 68,
                       "is_ipv6": True, "append_prefix_length": True},
         "aggs": {"total": {"sum": {"field": "value"}}},
-    }})
+    }}).withColumn("total", F.col("total").cast("double"))
     return out  # malformed rows already dropped (engine null contract)
 
 
@@ -5376,7 +5384,7 @@ def q_search_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_template",
     oracle="""
     SELECT event_type AS by_type, CAST(count(*) AS BIGINT) AS doc_count,
-           round(sum(value), 6) AS total
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events
     WHERE event_type IN ('click', 'error') AND value >= 10
     GROUP BY 1
@@ -5400,7 +5408,7 @@ def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
       ]}},
       "aggs": {"by_type": {
         "terms": {"field": "event_type"},
-        "aggs": {"total": {"sum": {"field": "value"}}}
+        "aggs": {"total": {"sum": {"field": "value_dec"}}}
       }}
     }
     """
@@ -5408,7 +5416,15 @@ def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         source, {"types": ["click", "error"], "min_value": 10}
     )
     events = load_table(spark, sf_dir, "events")
-    return es_request(events, request)
+    # decimal sum on a SEPARATE column: order-free across engines (the
+    # es_aggs_parent lesson) while the range filter stays on the raw
+    # double `value` so the parquet scan still gets the pushdown
+    events = events.withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    return es_request(events, request).withColumn(
+        "total", F.col("total").cast("double")
+    )
 
 
 # Mustache LIST ITERATION through the `_msearch/template` surface: one
@@ -5550,7 +5566,7 @@ def q_es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN v < base + 49152 * g3w THEN '2001:db8:8000::/34'
                 ELSE 'high' END AS by_ip,
            CAST(count(*) AS BIGINT) AS doc_count,
-           round(sum(value), 6) AS total
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM based
     GROUP BY 1
     """,
@@ -5583,6 +5599,9 @@ def q_es_aggs_ip_range_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("value").cast("long") % 7,
         )),
     )
+    # decimal sum: order-free across engines (the es_aggs_parent lesson);
+    # cast AFTER ip6 so floor(value) above still sees the raw double
+    events = events.withColumn("value", F.col("value").cast("decimal(18,2)"))
     out = es_aggregate(events, {"by_ip": {
         "ip_range": {"field": "ip6", "ranges": [
             {"to": "2001:db8:4000::", "key": "low"},
@@ -5592,7 +5611,7 @@ def q_es_aggs_ip_range_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"from": "2001:db8:c000::", "key": "high"},
         ]},
         "aggs": {"total": {"sum": {"field": "value"}}},
-    }})
+    }}).withColumn("total", F.col("total").cast("double"))
     return out  # malformed rows already dropped (engine null contract)
 
 
@@ -6034,7 +6053,8 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS doc_count,
-           round(sum(l.l_extendedprice), 6) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
            round(avg(l.l_quantity), 6) AS avg_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority IS NOT NULL
@@ -6045,21 +6065,29 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(doc_count counts children, ES's contract). One projection "
         "join — the parent's (key, bucket) pair onto the children, "
         "broadcast at dimension size — and one groupBy for every "
-        "metric.",
+        "metric. The revenue sum runs over DECIMAL(18,2) on BOTH "
+        "engines: bucket sums reach ~1e9 where float64 summation-order "
+        "noise (~1e-4) survives 6-digit rounding, so the r14 driver "
+        "reddened the double-sum twin (es_aggs_parent) while this row "
+        "passed on luck. Exact decimal accumulation is order-free; one "
+        "cast back to double after the agg keeps the output schema.",
 )
 def q_es_aggs_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.joinfield import children_agg
 
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("decimal(18,2)")
+    )
     return children_agg(
         load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
+        lineitem,
         parent_key="o_orderkey", child_key="l_orderkey",
         group_by="o_orderpriority",
         aggs={"revenue": {"sum": {"field": "l_extendedprice"}},
               "avg_qty": {"avg": {"field": "l_quantity"}}},
     ).select(
         "o_orderpriority", "doc_count",
-        F.round("revenue", 6).alias("revenue"),
+        F.col("revenue").cast("double").alias("revenue"),
         F.round("avg_qty", 6).alias("avg_qty"),
     )
 
@@ -6074,7 +6102,8 @@ def q_es_aggs_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.l_returnflag,
            CAST(count(*) AS BIGINT) AS doc_count,
-           round(sum(o.o_totalprice), 6) AS revenue,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
            round(avg(o.o_totalprice), 6) AS avg_price
     FROM pairs p JOIN orders o ON p.l_orderkey = o.o_orderkey
     GROUP BY 1
@@ -6091,16 +6120,24 @@ def q_es_aggs_children(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_es_aggs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.joinfield import parent_agg
 
+    # r15 fix for the r14 red row: sum over DECIMAL(18,2) on both engines.
+    # Bucket revenue reaches ~2.75e9 where double summation-order noise
+    # (Spark 2754983250.180004 vs DuckDB ...18001) survives round(,6);
+    # exact decimal accumulation is order-free, one cast back to double
+    # after the agg keeps the published schema.
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
     return parent_agg(
-        load_table(spark, sf_dir, "orders"),
+        orders,
         load_table(spark, sf_dir, "lineitem"),
         parent_key="o_orderkey", child_key="l_orderkey",
         group_by="l_returnflag",
-        aggs={"revenue": {"sum": {"field": "o_totalprice"}},
+        aggs={"revenue": {"sum": {"field": "o_totalprice_dec"}},
               "avg_price": {"avg": {"field": "o_totalprice"}}},
     ).select(
         "l_returnflag", "doc_count",
-        F.round("revenue", 6).alias("revenue"),
+        F.col("revenue").cast("double").alias("revenue"),
         F.round("avg_price", 6).alias("avg_price"),
     )
 

@@ -117,7 +117,7 @@ def test_refusals(spark, people):
         ('FROM people | GROK name "%{WORD:a:blob}"', "GROK type"),
         ('FROM people | GROK name "%{WORD:a} %{WORD:a}"', "captured twice"),
         ('FROM people | GROK name "plain text"', "pattern has no"),
-        ("FROM people | ENRICH policy", "ENRICH is not supported"),
+        ("FROM people | ENRICH policy", "unknown enrich policy"),
         ("FROM people | LOOKUP tbl ON id", "bare LOOKUP"),
         ("FROM people | LOOKUP JOIN nosuch ON id", "unknown lookup index"),
         ("FROM people | STATS COUNT(*)", "must be named"),
@@ -253,6 +253,95 @@ def test_lookup_join_is_broadcast(spark, people):
     assert "BroadcastHashJoin" in plan  # the main stream never shuffles
 
 
+@pytest.fixture()
+def team_policy(spark):
+    teams = spark.createDataFrame(
+        [("eng", "Building", 4), ("ops", "Annex", 2), ("hr", "Main", 1)],
+        "team string, site string, floor long",
+    )
+    return {"teams": {"table": teams, "match_field": "team",
+                      "enrich_fields": ["site", "floor"]}}
+
+
+def test_enrich_basic(spark, people, team_policy):
+    # default ON = the policy's match_field; default WITH = every
+    # enrich_field under its own name
+    rows = esql(spark, "FROM people | ENRICH teams "
+                       "| KEEP id, site, floor | SORT id",
+                people, enrich_policies=team_policy).collect()
+    assert [(r["id"], r["site"], r["floor"]) for r in rows] == [
+        (1, "Building", 4), (2, "Building", 4),
+        (3, "Annex", 2), (4, "Annex", 2), (5, "Annex", 2)]
+
+
+def test_enrich_on_with_rename(spark, people, team_policy):
+    rows = esql(spark, "FROM people | ENRICH teams ON team "
+                       "WITH loc = site | KEEP id, loc | SORT id",
+                people, enrich_policies=team_policy).collect()
+    assert rows[0]["loc"] == "Building"
+    assert "floor" not in rows[0].asDict()  # WITH projects, not appends
+
+
+def test_enrich_collision_and_nulls(spark, people, team_policy):
+    # enrich fields OVERRIDE same-named incoming columns (ES rule);
+    # unmatched keys leave them NULL (left join)
+    pp = dict(people)
+    pp["people"] = (
+        pp["people"]
+        .withColumn("site", F.lit("old"))
+        .withColumn(
+            "team",
+            F.when(F.col("id") == 5, F.lit("ghost"))
+            .otherwise(F.col("team")),
+        )
+    )
+    rows = esql(spark, "FROM people | ENRICH teams "
+                       "| KEEP id, site | SORT id",
+                pp, enrich_policies=team_policy).collect()
+    assert [r["site"] for r in rows] == [
+        "Building", "Building", "Annex", "Annex", None]
+
+
+def test_enrich_is_broadcast(spark, people, team_policy):
+    df = esql(spark, "FROM people | ENRICH teams WITH site",
+              people, enrich_policies=team_policy)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the fact stream never shuffles
+
+
+def test_enrich_policy_table_by_index_name(spark, people, team_policy):
+    teams_df = team_policy["teams"]["table"]
+    pol = {"teams": {"table": "teams_idx", "match_field": "team",
+                     "enrich_fields": ["site"]}}
+    rows = esql(spark, "FROM people | ENRICH teams | KEEP id, site "
+                       "| SORT id",
+                dict(people, teams_idx=teams_df),
+                enrich_policies=pol).collect()
+    assert rows[0]["site"] == "Building"
+
+
+def test_enrich_refusals(spark, people, team_policy):
+    cases = [
+        ("FROM people | ENRICH nosuch", "unknown enrich policy"),
+        ("FROM people | ENRICH teams ON nokey", "not a column of the"),
+        ("FROM people | ENRICH teams WITH nosite", "not in"),
+        ("FROM people | ENRICH teams WITH a = site, a = floor",
+         "collide"),
+    ]
+    for q, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            esql(spark, q, people, enrich_policies=team_policy)
+    bad = {"teams": {"table": "nosuch_idx", "match_field": "team"}}
+    with pytest.raises(ValueError, match="unknown index"):
+        esql(spark, "FROM people | ENRICH teams", people,
+             enrich_policies=bad)
+    bad2 = {"teams": {"table": team_policy["teams"]["table"],
+                      "match_field": "nokey"}}
+    with pytest.raises(ValueError, match="match_field"):
+        esql(spark, "FROM people | ENRICH teams", people,
+             enrich_policies=bad2)
+
+
 def test_inlinestats_by_window(spark, people):
     # BY form: aggregates APPEND to every row via a window partitioned
     # on the keys — the stream is not collapsed
@@ -363,6 +452,37 @@ def test_r14_mv_functions(spark):
     assert sorted(r["dd"]) == ["a", "b"] and len(r["dd"]) == 2
     assert r["z"] == ["a-1", "b-2"]
     assert r["sl"] == ["2", "3"]    # 0-based INCLUSIVE bounds
+    # MV_SLICE negative bounds count from the end (upstream ES|QL);
+    # empty/out-of-range windows are NULL (ADVICE r15)
+    q_neg = ('ROW s = "a b c d" | EVAL xs = SPLIT(s, " "), '
+             'tail = MV_SLICE(SPLIT(s, " "), -2, -1), '
+             'all2 = MV_SLICE(SPLIT(s, " "), 0, -1), '
+             'one = MV_SLICE(SPLIT(s, " "), -1), '
+             'bad = MV_SLICE(SPLIT(s, " "), 3, 1), '
+             'oob = MV_SLICE(SPLIT(s, " "), 9, 12) '
+             '| KEEP tail, all2, one, bad, oob')
+    rn = _rows(spark, q_neg)[0]
+    assert rn["tail"] == ["c", "d"]
+    assert rn["all2"] == ["a", "b", "c", "d"]
+    assert rn["one"] == ["d"]
+    assert rn["bad"] is None and rn["oob"] is None
+    # MV_SORT order must be a literal ASC/DESC — typos refuse loudly
+    with pytest.raises(ValueError, match="MV_SORT order"):
+        _rows(spark, 'ROW s = "b a" | EVAL x = MV_SORT(SPLIT(s, " "), '
+                     '"DSC")')
+    with pytest.raises(ValueError, match="string literal"):
+        _rows(spark, 'ROW s = "b a" | EVAL x = MV_SORT(SPLIT(s, " "), '
+                     's)')
+
+
+def test_stats_round_negative_digits(spark, people):
+    # ROUND(agg, -2) inside STATS — the tokenizer lexes no signed
+    # numbers, so the digits parse must route through the unary-minus
+    # path the scalar ROUND uses (ADVICE r15)
+    q = "FROM people | STATS hs = ROUND(SUM(h), -2)"
+    assert _rows(spark, q, people)[0]["hs"] == 700  # 660 -> 700
+    q2 = "FROM people | STATS ha = ROUND(AVG(h), 1) BY team | SORT team"
+    assert _rows(spark, q2, people)[0]["ha"] == 175.0
     # numeric MV aggregates: DOUBLE, NULL on empty
     q2 = ('ROW a = 1 | EVAL xs = SPLIT("4 1 3 2", " "), '
           'ns = MV_SUM(SPLIT("4 1 3 2", " ")), '
@@ -403,12 +523,21 @@ def test_r14_cidr_and_date_functions(spark):
         esql(spark, 'ROW x = 1 | EVAL y = DATE_DIFF("weeks", x, x)', None)
     with pytest.raises(ValueError, match="at least one block"):
         esql(spark, 'ROW x = "1.2.3.4" | EVAL y = CIDR_MATCH(x)', None)
+    # malformed compile-time v4 BLOCK literals refuse loudly (ADVICE
+    # r15 — previously silent garbage range arithmetic), matching the
+    # v6 path's ipaddress validation
+    for bad_block in ("300.1.2.3/8", "10.0.0.0/40", "10.0.0/8"):
+        with pytest.raises(ValueError, match="CIDR block|does not appear"):
+            esql(spark, f'ROW x = "1.2.3.4" | EVAL y = CIDR_MATCH(x, '
+                        f'"{bad_block}")', None)
 
 
 def test_change_point(spark, people):
     # planted step 1,1,1,100,100 over id order: CUSUM T peaks at the
     # last left-segment row (id 3); only that row carries cp_type
-    q = ("FROM people | EVAL v = CASE(id >= 4, 100, 1) "
+    # LIMIT bounds the series — the r15 compile-time guard refuses an
+    # unbounded pipe (ES caps CHANGE_POINT's scan at 1000 values)
+    q = ("FROM people | EVAL v = CASE(id >= 4, 100, 1) | LIMIT 1000 "
          "| CHANGE_POINT v ON id "
          "| KEEP id, v, cp_type, cp_stat | SORT id")
     rows = _rows(spark, q, people)
@@ -419,9 +548,18 @@ def test_change_point(spark, people):
     assert marked[0]["cp_stat"] > 50  # |1 - 100| scaled, clearly large
     assert all(r["cp_stat"] is None for r in rows if r["id"] != 3)
     with pytest.raises(ValueError, match="CHANGE_POINT <value> ON"):
-        esql(spark, "FROM people | CHANGE_POINT h BY id", people)
+        esql(spark, "FROM people | LIMIT 10 | CHANGE_POINT h BY id",
+             people)
     with pytest.raises(ValueError, match="unknown column"):
-        esql(spark, "FROM people | CHANGE_POINT nope ON id", people)
+        esql(spark, "FROM people | LIMIT 10 | CHANGE_POINT nope ON id",
+             people)
+    # the boundedness guard itself: no STATS/LIMIT upstream -> refusal
+    with pytest.raises(ValueError, match="bounded"):
+        esql(spark, "FROM people | CHANGE_POINT h ON id", people)
+    # ROW sources are literal-sized, no explicit bound needed
+    rows = _rows(spark, "ROW a = 1, b = 2 "
+                        "| CHANGE_POINT b ON a | KEEP a, cp_type")
+    assert len(rows) == 1
 
 
 def test_r14_to_conversions(spark):
@@ -472,7 +610,7 @@ def test_r14_review_fixes(spark, people):
     # CHANGE_POINT: NULL values carry no statistic and don't skew means
     rows = _rows(spark, "FROM people "
                         "| EVAL v = CASE(id == 2, NULL, "
-                        "CASE(id >= 4, 100, 10)) "
+                        "CASE(id >= 4, 100, 10)) | LIMIT 1000 "
                         "| CHANGE_POINT v ON id "
                         "| KEEP id, cp_type | SORT id", people)
     marked = [r["id"] for r in rows if r["cp_type"] is not None]

@@ -164,12 +164,21 @@ def cidr_match(fld: Column, cidr: str) -> Column:
 
 def cidr_match_v4_long(ip_long: Column, cidr: str) -> Column:
     """v4 range compare against an ALREADY-PARSED 32-bit long — lets a
-    multi-block matcher parse the address once and compare per block."""
-    base, bits = cidr.split("/")
-    o = [int(x) for x in base.split(".")]
-    width = 1 << (32 - int(bits))
-    addr = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
-    net4 = (addr // width) * width  # zero host bits (ES)
+    multi-block matcher parse the address once and compare per block.
+    The compile-time block literal is validated via ipaddress (octets
+    0-255, bits 0-32) and raises loudly on malformed input — the
+    module's convention, previously only the v6 path's (ADVICE r14:
+    '300.1.2.3/8' silently produced garbage range arithmetic)."""
+    import ipaddress
+
+    try:
+        net = ipaddress.ip_network(cidr, strict=False)
+    except ValueError as exc:
+        raise ValueError(f"malformed IPv4 CIDR block {cidr!r}: {exc}")
+    if net.version != 4:
+        raise ValueError(f"expected an IPv4 CIDR block, got {cidr!r}")
+    net4 = int(net.network_address)  # host bits already zeroed (ES)
+    width = 1 << (32 - net.prefixlen)
     return (ip_long >= F.lit(net4)) & (ip_long < F.lit(net4 + width))
 
 

@@ -73,7 +73,10 @@ token, the ES-SQL/EQL convention):
   series' CUSUM mean-shift peak in-stream — cp_type/cp_stat columns,
   NULL off the detected row; the deterministic statistic replaces
   ES's ML type taxonomy/p_value (shared divergence with the
-  change_point sibling agg). Runs over the bounded post-STATS series.
+  change_point sibling agg). Boundedness is ENFORCED: the pipe must
+  have a prior STATS/LIMIT (or a ROW source) — ES caps the scan at
+  1000 values, and the in-row detector is a single-partition window
+  that must never see an unbounded stream.
 * ``STATS [name =] agg [, ...] [BY [name =] expr [, ...]]`` with
   COUNT(*)/COUNT(expr), COUNT_DISTINCT (EXACT — ES|QL uses HLL; the
   documented strictly-more-accurate divergence shared with the
@@ -409,6 +412,25 @@ class _ExprParser:
             c = self.expr()
             self.expect_op(")")
             return F.date_trunc(unit, c)
+        if fn == "MV_SORT":
+            # MV_SORT(col[, order]) — order is a LITERAL "ASC"/"DESC"
+            # upstream; anything else (a typo like "DSC", a column) is
+            # refused at compile time instead of silently sorting
+            # ascending (ADVICE r14)
+            self.expect_op("(")
+            c = self.expr()
+            desc = False
+            if self.peek() == ("op", ","):
+                self.i += 1
+                order = self._lit_str_arg("MV_SORT order").upper()
+                if order not in ("ASC", "DESC"):
+                    raise ValueError(
+                        'ES|QL: MV_SORT order must be "ASC" or "DESC", '
+                        f"got {order!r}"
+                    )
+                desc = order == "DESC"
+            self.expect_op(")")
+            return F.reverse(F.array_sort(c)) if desc else F.array_sort(c)
         if fn == "ROUND":
             self.expect_op("(")
             c = self.expr()
@@ -738,17 +760,6 @@ class _ExprParser:
         if fn == "MV_DEDUPE":
             need(1)
             return F.array_distinct(a[0])
-        if fn == "MV_SORT":
-            # MV_SORT(col[, order_expr]) — order is the literal string
-            # "ASC"/"DESC" upstream; accepted as an expression here and
-            # compared case-insensitively
-            if len(a) == 1:
-                return F.array_sort(a[0])
-            need(2)
-            return F.when(
-                F.upper(a[1]) == F.lit("DESC"),
-                F.reverse(F.array_sort(a[0])),
-            ).otherwise(F.array_sort(a[0]))
         if fn == "MV_ZIP":
             # MV_ZIP(a, b[, delim]) — pairwise join, default ","
             if len(a) == 2:
@@ -793,13 +804,26 @@ class _ExprParser:
                 n > 0, F.when(n % 2 == 1, odd).otherwise(even)
             )
         if fn == "MV_SLICE":
-            # MV_SLICE(col, start[, end]) — 0-based INCLUSIVE bounds
-            # (ES semantics); non-negative bounds supported here
+            # MV_SLICE(col, start[, end]) — 0-based INCLUSIVE bounds,
+            # and NEGATIVE bounds count from the end (-1 = last), the
+            # upstream ES|QL semantics (ADVICE r14: a negative literal
+            # previously fed F.slice a wrong window). An empty window
+            # (end < start after normalization, or fully out of range)
+            # is NULL, the shared MV null contract.
             if len(a) == 2:
                 a = a + [a[1]]
             need(3)
+            arr = a[0]
+            n = F.size(arr)
             start, end = a[1].cast("int"), a[2].cast("int")
-            return F.slice(a[0], start + 1, end - start + 1)
+            s = F.when(start < 0, n + start).otherwise(start)
+            e = F.when(end < 0, n + end).otherwise(end)
+            s2 = F.greatest(s, F.lit(0))
+            e2 = F.least(e, n - 1)
+            return F.when(
+                (n > 0) & (e2 >= s2) & (s2 < n) & (e2 >= 0),
+                F.slice(arr, s2 + 1, e2 - s2 + 1),
+            )
         raise ValueError(f"ES|QL: unsupported function {fn}")
 
 
@@ -1034,6 +1058,14 @@ def esql(
         )
 
     # ---- processing commands ---------------------------------------------
+    # CHANGE_POINT boundedness (r15, the r14 verdict's task 4): ES caps
+    # the command's scan at 1000 values; this engine's in-row detector is
+    # a single-partition window — the coordinator-side shape, safe ONLY
+    # over a bounded series. Track whether any stage has bounded the
+    # stream (ROW source is literal-sized; STATS collapses to group
+    # cardinality; LIMIT is explicit) and refuse an unbounded pipe
+    # instead of silently serializing a full-table sort on one core.
+    series_bounded = stages[0].lstrip().upper().startswith("ROW")
     for stage in stages[1:]:
         toks, raws = _tokenize(stage)
         p = _ExprParser(toks, raws)
@@ -1063,9 +1095,17 @@ def esql(
                 break
         elif p.eat_kw("STATS"):
             df = _stats(df, p)
+            series_bounded = True
         elif p.eat_kw("INLINESTATS"):
             df = _inlinestats(df, p)
         elif p.eat_kw("CHANGE_POINT"):
+            if not series_bounded:
+                raise ValueError(
+                    "ES|QL: CHANGE_POINT runs a single-partition "
+                    "window over the whole incoming series — ES caps "
+                    "the scan at 1000 values; pipe through STATS or "
+                    "LIMIT first so the series is bounded"
+                )
             # CHANGE_POINT <value> ON <key> (ES 8.18): mark the row
             # where the key-ordered value series' CUSUM mean-shift
             # statistic T(k) = sqrt(nl*nr/n)*|mean_l - mean_r| peaks —
@@ -1077,7 +1117,9 @@ def esql(
             # statistic, the documented divergence shared with the agg.
             # Runs over a BOUNDED post-aggregation series (ES caps the
             # scan at 1000 values), so the single-partition window is
-            # the coordinator-side shape, not a scale risk.
+            # the coordinator-side shape, not a scale risk — ENFORCED
+            # above (r15): an unbounded pipe (no prior STATS/LIMIT, not
+            # a ROW source) is refused at compile time.
             val = _parse_name(p)
             k, v = p.next()
             if k != "ident" or v.upper() != "ON":
@@ -1180,6 +1222,7 @@ def esql(
             if k != "num" or isinstance(v, float):
                 raise ValueError("ES|QL: LIMIT needs an integer")
             df = df.limit(int(v))
+            series_bounded = True
         elif p.eat_kw("KEEP"):
             cols = []
             while True:
@@ -1477,13 +1520,11 @@ def _parse_agg_items(p: _ExprParser) -> list[tuple]:
         digits = None
         if wants_round:
             p.expect_op(",")
-            k2, d = p.next()
-            if k2 != "num" or isinstance(d, float):
-                raise ValueError(
-                    "ES|QL: ROUND(agg, digits) needs an integer"
-                )
+            # _lit_int_arg handles the unary minus (ROUND(AVG(x), -2));
+            # the tokenizer lexes no signed numbers, so a bare next()
+            # here rejected negative digits the scalar ROUND accepts
+            digits = p._lit_int_arg("ROUND(agg, digits) digits")
             p.expect_op(")")
-            digits = int(d)
         if name is None:
             raise ValueError(
                 "ES|QL: STATS aggregates must be named here "

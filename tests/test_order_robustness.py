@@ -32,6 +32,14 @@ FIXED_ROWS = [
     "es_aggs_ip_prefix_v6",
     "es_aggs_ip_range_v6",
     "search_template",
+    # second sweep: 6-dp (or unrounded) grids within ~10 ULP of the
+    # summation noise at 1e5-1e7 magnitude — decimal sums or a 2-dp
+    # re-round, whichever the row's semantics allow
+    "es_aggs_ip_range",
+    "es_aggs_filters_metrics",
+    "es_aggs_extended_stats",
+    "rollup_search_month",
+    "essql_date_parts",
 ]
 
 

@@ -474,7 +474,7 @@ def q_essql_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ESSQL_DATE = """SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS total
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders
 WHERE o_orderstatus <> 'P'
 GROUP BY y, m

@@ -2372,8 +2372,8 @@ def q_es_aggs_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(value) AS DOUBLE) AS v_min,
            CAST(max(value) AS DOUBLE) AS v_max,
            round(avg(value), 6) AS v_avg,
-           round(sum(value), 6) AS v_sum,
-           round(sum(value * value), 6) AS v_sum_of_squares,
+           round(sum(value), 2) AS v_sum,
+           round(sum(value * value), 2) AS v_sum_of_squares,
            round(var_pop(value), 6) AS v_variance,
            round(stddev_pop(value), 6) AS v_std_deviation,
            round(100.0 * avg(CASE WHEN value <= 2.5 THEN 1.0 ELSE 0.0 END), 6)
@@ -2409,11 +2409,19 @@ def q_es_aggs_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     }
     out = es_request(events, request)
+    # v_sum / v_sum_of_squares re-round at 2 dp on both engines: at
+    # ~1e7 magnitude a 6-dp grid sits within ~10 ULP of the double
+    # summation-order noise, so the hash compare straddles a rounding
+    # boundary a few % of the time (the es_aggs_parent lesson); the
+    # summands carry 2/4 decimal digits, so 2 dp loses nothing.
     return out.select(
         "by_type", "doc_count", "v_count",
         F.col("v_min").cast("double").alias("v_min"),
         F.col("v_max").cast("double").alias("v_max"),
-        "v_avg", "v_sum", "v_sum_of_squares", "v_variance",
+        "v_avg",
+        F.round("v_sum", 2).alias("v_sum"),
+        F.round("v_sum_of_squares", 2).alias("v_sum_of_squares"),
+        "v_variance",
         "v_std_deviation", "vr_rank_2_5", "vr_rank_7_5",
     )
 
@@ -3766,16 +3774,18 @@ def q_es_aggs_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'big_clicks' AS which,
            CAST(count(*) AS BIGINT) AS doc_count,
-           round(sum(value), 6) AS total,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
            round(max(value), 6) AS hi
     FROM events WHERE event_type = 'click' AND value > 50
     UNION ALL
     SELECT 'errors', CAST(count(*) AS BIGINT),
-           round(sum(value), 6), round(max(value), 6)
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+           round(max(value), 6)
     FROM events WHERE event_type = 'error'
     UNION ALL
     SELECT 'impossible', CAST(count(*) AS BIGINT),
-           round(coalesce(sum(value), 0), 6), round(max(value), 6)
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE),
+           round(max(value), 6)
     FROM events WHERE event_type = 'no_such_type'
     """,
     doc="ES filters agg with metric sub-aggs (r7): named DSL-predicate "
@@ -3790,6 +3800,10 @@ def q_es_aggs_filters_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_aggregate
 
     events = load_table(spark, sf_dir, "events")
+    # decimal sum: order-free across engines (the es_aggs_parent lesson)
+    events = events.withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
     out = es_aggregate(events, {"which": {
         "filters": {"filters": {
             "big_clicks": {"bool": {"filter": [
@@ -3799,12 +3813,12 @@ def q_es_aggs_filters_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "errors": {"term": {"event_type": "error"}},
             "impossible": {"term": {"event_type": "no_such_type"}},
         }},
-        "aggs": {"total": {"sum": {"field": "value"}},
+        "aggs": {"total": {"sum": {"field": "value_dec"}},
                  "hi": {"max": {"field": "value"}}},
     }})
     return out.select(
         "which", "doc_count",
-        F.round("total", 6).alias("total"),
+        F.col("total").cast("double").alias("total"),
         F.round("hi", 6).alias("hi"),
     )
 
@@ -5494,7 +5508,7 @@ def q_msearch_template_list(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN ipn < 168034304 THEN '10.2.0.0-10.4.0.0'
                 ELSE '10.4.0.0/15' END AS by_ip,
            CAST(count(*) AS BIGINT) AS doc_count,
-           round(sum(value), 6) AS total
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM parsed
     WHERE ipn IS NOT NULL AND ipn < 168165376
     GROUP BY 1
@@ -5523,6 +5537,8 @@ def q_es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("user_id") * 7) % 256).cast("string"),
         ),
     )
+    # decimal sum: order-free across engines (the es_aggs_parent lesson)
+    events = events.withColumn("value", F.col("value").cast("decimal(18,2)"))
     return es_aggregate(events, {"by_ip": {
         "ip_range": {"field": "ip", "ranges": [
             {"to": "10.2.0.0"},
@@ -5530,7 +5546,7 @@ def q_es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"mask": "10.4.0.0/15"},
         ]},
         "aggs": {"total": {"sum": {"field": "value"}}},
-    }})
+    }}).withColumn("total", F.col("total").cast("double"))
 
 
 @register(
@@ -6104,7 +6120,8 @@ def q_es_aggs_children(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS doc_count,
            CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS revenue,
-           round(avg(o.o_totalprice), 6) AS avg_price
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 6) AS avg_price
     FROM pairs p JOIN orders o ON p.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,
@@ -6133,12 +6150,16 @@ def q_es_aggs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         parent_key="o_orderkey", child_key="l_orderkey",
         group_by="l_returnflag",
-        aggs={"revenue": {"sum": {"field": "o_totalprice_dec"}},
-              "avg_price": {"avg": {"field": "o_totalprice"}}},
+        aggs={"revenue": {"sum": {"field": "o_totalprice_dec"}}},
     ).select(
         "l_returnflag", "doc_count",
         F.col("revenue").cast("double").alias("revenue"),
-        F.round("avg_price", 6).alias("avg_price"),
+        # avg from the EXACT decimal sum: one double division of
+        # identical inputs on both engines is bit-deterministic, where
+        # avg(double) accumulates in partition order
+        F.round(
+            F.col("revenue").cast("double") / F.col("doc_count"), 6
+        ).alias("avg_price"),
     )
 
 

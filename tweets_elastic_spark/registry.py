@@ -82,92 +82,75 @@ def bench_variants() -> dict[str, QueryFn]:
 # Per-round rotation rationale lives in COVERAGE.md ("Verification
 # structure" + the round-N addition notes), not here.
 DRIVER_PRIORITY: list[str] = [
-    # r14 ROTATION (29 out / 29 in — the COVERAGE.md burn-down schedule's
-    # r14 wave; every incoming row is a FIRST-TIME driver entry). IN:
-    # the scheduled parent/child + significance + runtime-field +
-    # doc-API families (es_aggs_children, es_aggs_parent,
-    # es_aggs_nested_terms, es_aggs_reverse_nested,
-    # es_aggs_significant_chi2, es_aggs_significant_text,
-    # es_request_runtime_field, events_json_runtime_field,
-    # es_termvectors, es_mget, delete_by_query, update_by_query — §2
-    # S11's hard signal — search_terms_lookup, search_cross_fields,
-    # search_geo_shape), the r13-new surface per the new-code-first
-    # principle (script_profile, robots_gate_survivors, and the five
-    # ES|QL rows esql_stats_by / esql_eval_dissect /
-    # esql_mv_expand_stats / esql_percentiles / esql_match_score), the
-    # r14-new esql_lookup_join (ES 8.18 LOOKUP JOIN) and the
-    # newly-contract-oracled bpe_token_stats (the LAST rows-only entry,
-    # closed this round), plus dedup_near_best_survivors (the r13
-    # verdict's task 2: 3.95s of bench, never driver-checked). OUT
-    # (all green r13, all still hash-gated every run by
-    # test_oracle_parity.py): search_more_like_this,
-    # search_span_containing + search_span_multi (span family
-    # parity-gated), the five geo rows (search_geo_shape keeps a geo
-    # driver seat), es_suggest_completion + es_suggest_phrase,
-    # approx_distinct_profile + es_aggs_percentiles_tdigest (sketch
-    # contracts), the three intervals rows, es_aggs_moving_pipeline +
-    # es_aggs_extended_stats_bucket + es_aggs_top_metrics_multi +
-    # es_request_collapse (pipeline-agg/request families),
-    # html_main_text + crawl_corpus_pipeline + url_filter_survivors
-    # (crawl_main_text_pipeline KEEPS its seat and composes all three
-    # end-to-end: WARC walk -> status/mime -> URL gates ->
-    # main-text extraction -> dedup), ann_ivf_recall_profile (the
-    # weakest-oracle contract row; ann_cosine_topk + ann_ivfpq_topk
-    # keep the ANN seats), dedup_increment_survivors (near +
-    # near_best keep the dedup ladder), unimax_sample
-    # (training_shards + dsir_sample keep the sampling seats),
-    # analyze_fingerprint (analyzers keep englando — displaced by the
-    # r14-new esql_inlinestats), gopher_quality_filter (green r13;
-    # displaced by the r14-new esql_grok — corpus_clean composes the
-    # same gate family).
+    # r15 ROTATION (the COVERAGE.md burn-down schedule's r15 wave plus
+    # the round's new code; 27 first-time entries). IN: the 20
+    # pre-replayed scoring-variant + fuzzy + sampling/stats-agg rows
+    # (search_script_score ... search_has_parent below), the r15-new
+    # esql_enrich (ENRICH compiled onto the LOOKUP JOIN broadcast
+    # path), and SIX rows pulled forward from the r16 agg-remainder
+    # wave (es_aggs_terms_top, es_aggs_filters, es_aggs_filters_metrics,
+    # es_aggs_extended_stats, es_aggs_composite_missing,
+    # es_aggs_cumulative_cardinality — all pre-replayed green at sf0.01
+    # under the STRENGTHENED 17-significant-digit local gate).
+    # RE-SEATED, not first-time: es_aggs_parent (the r14 RED row —
+    # order-dependent float-sum oracle, fixed with exact DECIMAL(18,2)
+    # sums on both engines) and es_aggs_children (its lucky twin, same
+    # fix) so the driver verifies the fix class at its own parallelism;
+    # es_aggs_ip_prefix_v6 (same fix class) keeps its seat for the same
+    # reason; esql_change_point keeps its seat because the r15
+    # boundedness guard touched its compile path (new-code-first). OUT
+    # (all green r14, all still hash-gated every run by
+    # test_oracle_parity.py at 17g — STRICTER than the old 10g gate):
+    # exists_child_hof, es_aggs_nested_terms, es_aggs_reverse_nested,
+    # es_aggs_significant_chi2 + _text (es_aggs_significant_terms takes
+    # the significance seat), the runtime-field/doc-API six
+    # (es_request_runtime_field, events_json_runtime_field,
+    # es_termvectors, es_mget, delete_by_query, update_by_query — S11
+    # verified r14), search_terms_lookup, search_cross_fields,
+    # search_geo_shape, script_profile, robots_gate_survivors, the five
+    # r13 ES|QL rows + esql_lookup_join/inlinestats/grok/cidr_dates
+    # (esql_enrich + esql_change_point keep the ES|QL seats),
+    # bpe_token_stats, video_frame_dups_fmp4 (image_near_dups keeps the
+    # multimodal seat).
     # Prior waves' rationale: git history of this list + COVERAGE.md
     # rotation notes.
     #
-    # flagship + relational reference surface
-    "tweet_documents_flat", "exists_child_hof",
-    # parent/child + nested + significance aggs (r14 in — the ES
-    # join-field/nested-bucket surface, parity-only since r9-r11)
-    "es_aggs_children", "es_aggs_parent", "es_aggs_nested_terms",
-    "es_aggs_reverse_nested", "es_aggs_significant_chi2",
-    "es_aggs_significant_text",
-    # runtime fields + doc APIs (r14 in — update_by_query is §2 S11's
-    # hard signal: Painless counter += compiled to a declarative merge)
-    "es_request_runtime_field", "events_json_runtime_field",
-    "es_termvectors", "es_mget", "delete_by_query", "update_by_query",
-    # search variants (r14 in) + geo representative
-    "search_terms_lookup", "search_cross_fields", "search_geo_shape",
-    # r13-new surface seated first (new-code-first): Unicode script
-    # routing, the RFC 9309 robots gate (query-component fix r14),
-    # and the ES|QL front-end's five full-oracle rows
-    "script_profile", "robots_gate_survivors",
-    "esql_stats_by", "esql_eval_dissect", "esql_mv_expand_stats",
-    "esql_percentiles", "esql_match_score",
-    # r14-new: ES 8.18 LOOKUP JOIN (broadcast-enrich compile), the 8.16
-    # INLINESTATS command (window-aggregate compile; displaced
-    # analyze_fingerprint — green r13, analyzers keep englando), GROK
-    # (pattern-library extraction; displaced gopher_quality_filter —
-    # green r13, the curation gates keep corpus_clean +
-    # crawl_main_text_pipeline seats), and the contract-oracled BPE
-    # row that closed the rows-only class
-    "esql_lookup_join", "esql_inlinestats", "esql_grok",
-    "esql_cidr_dates", "esql_change_point", "bpe_token_stats",
-    # retriever + ES agg / request rows retained (es_request_knn —
-    # ever-green — rotated out for the r14-new esql_cidr_dates; the
-    # rrf retriever row keeps kNN-leg coverage)
+    # flagship
+    "tweet_documents_flat",
+    # the r14 red row + its twin, re-seated to driver-verify the
+    # decimal-sum fix at driver parallelism
+    "es_aggs_parent", "es_aggs_children",
+    # r15 wave: scoring variants + fuzzy (driver-dark since r8-r11)
+    "search_script_score", "search_decay_recency",
+    "search_dis_max_boosting", "search_rank_feature_prefix",
+    "search_pinned_distance", "search_match_fuzzy",
+    "search_dsl_fuzzy_ids", "search_match_bool_prefix",
+    "search_multi_match", "search_phrase_slop",
+    # r15 wave: sampling/stats aggs + request surfaces
+    "es_aggs_random_sampler", "es_aggs_diversified_sampler",
+    "es_aggs_boxplot", "es_aggs_string_stats", "es_aggs_t_test",
+    "es_request_rescore", "es_request_highlight",
+    "es_request_search_after", "es_aggs_significant_terms",
+    "search_has_parent",
+    # r15-new ES|QL ENRICH + the guard-touched CHANGE_POINT seat
+    "esql_enrich", "esql_change_point",
+    # pulled forward from the r16 agg-remainder wave (pre-replayed
+    # green this round; extended_stats + filters_metrics also carry
+    # the r15 float-sum hardening)
+    "es_aggs_terms_top", "es_aggs_filters", "es_aggs_filters_metrics",
+    "es_aggs_extended_stats", "es_aggs_composite_missing",
+    "es_aggs_cumulative_cardinality",
+    # retriever + ES agg family representatives
     "es_request_retriever_rrf",
     "es_aggs_adjacency_nested_terms", "es_aggs_ip_prefix_v6",
-    # EQL correlation (eql_sequence_disjunction — green r12 — rotated
-    # out for the r14-new esql_change_point; sample_by_stage keeps the
-    # EQL seat)
+    # EQL seat
     "eql_sample_by_stage",
     # analyzers
     "analyze_englando",
     # crawl -> corpus (the end-to-end composition keeps the seat for
     # the whole WARC/gates/extraction family)
     "crawl_main_text_pipeline",
-    # dedup families — the granularity ladder (r14 in:
-    # dedup_near_best_survivors — quality-aware keeper, never
-    # driver-checked before, 3.95s of bench time)
+    # dedup families — the granularity ladder
     "dedup_near_survivors", "dedup_near_best_survivors",
     "semdedup_survivors", "corpus_clean",
     # parent-join (r8 s4)
@@ -179,7 +162,6 @@ DRIVER_PRIORITY: list[str] = [
     "training_shards", "dsir_sample",
     # chunking + multimodal
     "chunk_documents", "image_near_dups_jpeg_lossless",
-    "video_frame_dups_fmp4",
 ]
 
 

@@ -475,6 +475,79 @@ def test_r14_mv_functions(spark):
                      's)')
 
 
+def test_stats_where_filter(spark, people):
+    # per-aggregate WHERE (8.16): gates ONLY its own aggregate's input
+    q = ('FROM people | STATS n = COUNT(*), '
+         'n_tall = COUNT(*) WHERE h > 155, '
+         'hs = SUM(h) WHERE team == "ops", '
+         'cd = COUNT_DISTINCT(team) WHERE id > 2')
+    r = _rows(spark, q, people)[0]
+    assert (r["n"], r["n_tall"], r["hs"], r["cd"]) == (5, 3, 310, 1)
+    # BY form + window (INLINESTATS) share the same conditional-arg path
+    q2 = ('FROM people | STATS nt = COUNT(*) WHERE h >= 160 BY team '
+          '| SORT team')
+    got = {r["team"]: r["nt"] for r in _rows(spark, q2, people)}
+    assert got == {"eng": 2, "ops": 1}
+    rows = _rows(spark, "FROM people | INLINESTATS nt = COUNT(*) "
+                        "WHERE h >= 160 BY team | KEEP id, nt | SORT id",
+                 people)
+    assert [r["nt"] for r in rows] == [2, 2, 1, 1, 1]
+
+
+def test_stats_r15_aggregates(spark, people):
+    q = ('FROM people | STATS wa = ROUND(WEIGHTED_AVG(h, w), 3), '
+         'sd = ROUND(STD_DEV(h), 3), vals = VALUES(team), '
+         't2 = TOP(h, 2, "DESC"), b2 = TOP(h, 2, "ASC")')
+    r = _rows(spark, q, people)[0]
+    # rows with h AND w non-null: (180,50.5) (160,48) (150,49)
+    assert r["wa"] == pytest.approx(24120.0 / 147.5, abs=1e-3)
+    assert r["sd"] == 11.18        # population std-dev of 170/180/160/150
+    # VALUES keeps ALL values (upstream contract), sorted ascending here
+    assert r["vals"] == ["eng", "eng", "ops", "ops", "ops"]
+    assert r["t2"] == [180, 170] and r["b2"] == [150, 160]
+    # TOP/VALUES refuse the ROUND wrapper; TOP validates limit + order
+    with pytest.raises(ValueError, match="multivalue"):
+        esql(spark, "FROM people | STATS x = ROUND(VALUES(h), 2)", people)
+    with pytest.raises(ValueError, match="TOP limit"):
+        esql(spark, "FROM people | STATS x = TOP(h, 0, \"ASC\")", people)
+    with pytest.raises(ValueError, match="TOP order"):
+        esql(spark, "FROM people | STATS x = TOP(h, 2, \"UP\")", people)
+
+
+def test_r15_scalar_functions(spark):
+    q = ('ROW x = 1 | EVAL s = SIN(PI()), c = COS(0), '
+         'h = HYPOT(3, 4), cb = CBRT(27), d = TO_DEGREES(PI()), '
+         'ra = ROUND(TO_RADIANS(180), 6), a2 = ATAN2(1, 1), '
+         'ap = MV_APPEND(SPLIT("a b", " "), SPLIT("c", " ")) '
+         '| KEEP s, c, h, cb, d, ra, a2, ap')
+    r = _rows(spark, q)[0]
+    assert abs(r["s"]) < 1e-15 and r["c"] == 1.0
+    assert r["h"] == 5.0 and r["cb"] == 3.0 and r["d"] == 180.0
+    assert r["ra"] == 3.141593
+    assert r["a2"] == pytest.approx(0.7853981633974483)
+    assert r["ap"] == ["a", "b", "c"]
+
+
+def test_ip_prefix_function(spark):
+    import ipaddress
+
+    q = ('ROW ip4 = "10.1.2.3", ip6 = "2001:db8:1234:5678::1", '
+         'bad = "999.1.2.3" | EVAL '
+         'p4 = IP_PREFIX(ip4, 24, 0), p6 = IP_PREFIX(ip6, 0, 48), '
+         'pb = IP_PREFIX(bad, 24, 0) | KEEP p4, p6, pb')
+    r = _rows(spark, q)[0]
+    assert r["p4"] == "10.1.2.0"
+    assert r["p6"] == str(ipaddress.ip_network(
+        "2001:db8:1234:5678::1/48", strict=False).network_address)
+    assert r["pb"] is None          # malformed -> NULL
+    with pytest.raises(ValueError, match="v4 length"):
+        esql(spark, 'ROW x = "1.2.3.4" | EVAL y = IP_PREFIX(x, 40, 0)',
+             None)
+    with pytest.raises(ValueError, match="v6 length"):
+        esql(spark, 'ROW x = "::1" | EVAL y = IP_PREFIX(x, 24, 200)',
+             None)
+
+
 def test_stats_round_negative_digits(spark, people):
     # ROUND(agg, -2) inside STATS — the tokenizer lexes no signed
     # numbers, so the digits parse must route through the unary-minus

@@ -57,7 +57,11 @@ token, the ES-SQL/EQL convention):
   blocks folded at compile time, the predicate shared with EQL's
   cidrMatch), DATE_FORMAT("pattern", ts), DATE_EXTRACT("part", ts)
   (ChronoField-name core subset, BIGINT), DATE_DIFF("unit", a, b)
-  (seconds/minutes/hours/days, truncated toward zero).
+  (seconds/minutes/hours/days, truncated toward zero), and the r15
+  widening: SIN/COS/TAN/ASIN/ACOS/ATAN/ATAN2/SINH/COSH/TANH/CBRT/
+  HYPOT/TO_DEGREES/TO_RADIANS (1:1 Catalyst builtins), MV_APPEND,
+  IP_PREFIX(ip, v4_len, v6_len) (8.15 — family-matched prefix mask
+  rendered canonically, the functions/ip.py machinery).
 * multivalue functions: MV_COUNT, MV_MIN, MV_MAX, MV_FIRST, MV_LAST,
   MV_DEDUPE, MV_SORT(col[, "ASC"|"DESC"]), MV_ZIP(a, b[, delim]),
   MV_SUM/MV_AVG (DOUBLE; NULL on empty), MV_MEDIAN (exact; even
@@ -77,10 +81,18 @@ token, the ES-SQL/EQL convention):
   have a prior STATS/LIMIT (or a ROW source) — ES caps the scan at
   1000 values, and the in-row detector is a single-partition window
   that must never see an unbounded stream.
-* ``STATS [name =] agg [, ...] [BY [name =] expr [, ...]]`` with
+* ``STATS [name =] agg [WHERE cond] [, ...] [BY [name =] expr
+  [, ...]]`` — the per-aggregate WHERE filter (8.16) compiles to a
+  conditional argument riding the SAME single hash aggregation (no
+  extra pass, no second scan) — with
   COUNT(*)/COUNT(expr), COUNT_DISTINCT (EXACT — ES|QL uses HLL; the
   documented strictly-more-accurate divergence shared with the
-  cardinality agg), SUM/AVG/MIN/MAX, MEDIAN and PERCENTILE(expr, p)
+  cardinality agg), SUM/AVG/MIN/MAX, MEDIAN and PERCENTILE(expr, p),
+  and the r15 widening: WEIGHTED_AVG(value, weight) (null value OR
+  weight drops the row), STD_DEV (population, the extended_stats
+  basis), VALUES (all values as a multivalue — sorted ascending here;
+  upstream leaves the order unspecified), TOP(field, limit, "ASC" |
+  "DESC") (bounded multivalue)
   (EXACT interpolated — ES|QL uses t-digest; same divergence class,
   same as DuckDB quantile_cont so oracles compare exactly).
 
@@ -144,7 +156,8 @@ _KEYWORDS = {
 }
 
 _AGG_FNS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
-            "MEDIAN", "PERCENTILE"}
+            "MEDIAN", "PERCENTILE", "WEIGHTED_AVG", "STD_DEV",
+            "VALUES", "TOP"}
 
 
 def _tokenize(text: str):
@@ -431,6 +444,45 @@ class _ExprParser:
                 desc = order == "DESC"
             self.expect_op(")")
             return F.reverse(F.array_sort(c)) if desc else F.array_sort(c)
+        if fn == "IP_PREFIX":
+            # IP_PREFIX(ip, v4_len, v6_len) (8.15): the address masked
+            # at the family-matching prefix length, rendered back as an
+            # address (no /len suffix — that is the ip_prefix AGG's
+            # key rendering). Reuses the shared functions/ip.py parse/
+            # mask/RFC-5952 machinery; malformed addresses -> NULL.
+            self.expect_op("(")
+            c = self.expr()
+            self.expect_op(",")
+            v4 = self._lit_int_arg("IP_PREFIX v4 length")
+            self.expect_op(",")
+            v6 = self._lit_int_arg("IP_PREFIX v6 length")
+            self.expect_op(")")
+            if not 0 <= v4 <= 32:
+                raise ValueError(f"IP_PREFIX v4 length {v4} not in 0-32")
+            if not 0 <= v6 <= 128:
+                raise ValueError(
+                    f"IP_PREFIX v6 length {v6} not in 0-128")
+            from tweets_elastic_spark.functions.ip import (
+                ipv4_long, ipv6_canonical, ipv6_groups, ipv6_mask)
+
+            mask4 = (0xFFFFFFFF << (32 - v4)) & 0xFFFFFFFF
+
+            def _one(x: Column) -> Column:
+                n4 = ipv4_long(x).bitwiseAND(F.lit(mask4))
+                v4txt = F.concat_ws(
+                    ".",
+                    F.shiftright(n4, 24).cast("string"),
+                    (F.shiftright(n4, 16) % 256).cast("string"),
+                    (F.shiftright(n4, 8) % 256).cast("string"),
+                    (n4 % 256).cast("string"),
+                )
+                v6txt = ipv6_canonical(ipv6_mask(ipv6_groups(x), v6))
+                return F.when(x.contains(":"), v6txt).otherwise(
+                    F.when(n4.isNotNull(), v4txt))
+
+            # bind the (possibly computed) address once — the 1-element
+            # HOF idiom; Catalyst has no CSE and the v6 parse is heavy
+            return F.element_at(F.transform(F.array(c), _one), 1)
         if fn == "ROUND":
             self.expect_op("(")
             c = self.expr()
@@ -735,6 +787,28 @@ class _ExprParser:
         if fn == "SIGNUM":
             need(1)
             return F.signum(a[0])
+        if fn in ("SIN", "COS", "TAN", "ASIN", "ACOS", "ATAN",
+                  "SINH", "COSH", "TANH", "CBRT"):
+            # trig/hyperbolic/cube-root (8.x) — 1:1 Catalyst builtins
+            need(1)
+            return getattr(F, fn.lower())(a[0])
+        if fn == "ATAN2":
+            need(2)
+            return F.atan2(a[0], a[1])
+        if fn == "HYPOT":
+            need(2)
+            return F.hypot(a[0], a[1])
+        if fn == "TO_DEGREES":
+            need(1)
+            return F.degrees(a[0])
+        if fn == "TO_RADIANS":
+            need(1)
+            return F.radians(a[0])
+        if fn == "MV_APPEND":
+            # MV_APPEND(a, b) (8.14): concatenate two multivalues;
+            # NULL on either side -> NULL (the shared MV null contract)
+            need(2)
+            return F.concat(a[0], a[1])
         if fn == "PI":
             need(0)
             return F.lit(_math.pi)
@@ -1516,22 +1590,52 @@ def _parse_agg_items(p: _ExprParser) -> list[tuple]:
                         "ES|QL: PERCENTILE(expr, p) needs a numeric p"
                     )
                 q = float(qv)
+            elif fn == "WEIGHTED_AVG":
+                # WEIGHTED_AVG(value, weight) (8.13)
+                p.expect_op(",")
+                arg = (arg, p.expr())
+            elif fn == "TOP":
+                # TOP(field, limit, order) (8.16) — literal limit/order
+                p.expect_op(",")
+                n = p._lit_int_arg("TOP limit")
+                if n <= 0:
+                    raise ValueError("ES|QL: TOP limit must be positive")
+                p.expect_op(",")
+                order = p._lit_str_arg("TOP order").upper()
+                if order not in ("ASC", "DESC"):
+                    raise ValueError(
+                        'ES|QL: TOP order must be "ASC" or "DESC", '
+                        f"got {order!r}"
+                    )
+                arg = (arg, n, order)
             p.expect_op(")")
         digits = None
         if wants_round:
+            if fn in ("VALUES", "TOP"):
+                raise ValueError(
+                    f"ES|QL: ROUND cannot wrap the multivalue "
+                    f"aggregate {fn}"
+                )
             p.expect_op(",")
             # _lit_int_arg handles the unary minus (ROUND(AVG(x), -2));
             # the tokenizer lexes no signed numbers, so a bare next()
             # here rejected negative digits the scalar ROUND accepts
             digits = p._lit_int_arg("ROUND(agg, digits) digits")
             p.expect_op(")")
+        # per-aggregate WHERE filter (8.16): the condition gates ONLY
+        # this aggregate's input rows — compiled as a conditional
+        # argument (agg(CASE WHEN cond THEN x END)), which rides the
+        # same single hash aggregation; no extra pass, no second scan
+        filt = None
+        if p.eat_kw("WHERE"):
+            filt = p.expr()
         if name is None:
             raise ValueError(
                 "ES|QL: STATS aggregates must be named here "
                 "(name = AGG(...)) — engines disagree on default "
                 "column names"
             )
-        return (name, fn, arg, q, digits)
+        return (name, fn, arg, q, digits, filt)
 
     items = [item()]
     while p.peek() == ("op", ","):
@@ -1540,20 +1644,53 @@ def _parse_agg_items(p: _ExprParser) -> list[tuple]:
     return items
 
 
-def _agg_column(fn: str, arg, q) -> Column:
+def _agg_column(fn: str, arg, q, filt=None, w=None) -> Column:
+    """One aggregate item → a Column. ``filt`` is the per-aggregate
+    WHERE condition (8.16), compiled as a conditional argument so it
+    rides the same hash aggregation. ``w`` is the INLINESTATS window:
+    it must apply to each PRIMITIVE aggregate before post-composition
+    (WEIGHTED_AVG's ratio, VALUES/TOP's sort+slice are row-level work
+    over the windowed aggregate, not aggregates themselves)."""
+    ov = (lambda c: c.over(w)) if w is not None else (lambda c: c)
+    gate = (lambda c: F.when(filt, c)) if filt is not None else (
+        lambda c: c)
     if fn == "COUNT" and arg is None:
-        return F.count(F.lit(1))
+        return ov(F.count(gate(F.lit(1))))
+    if fn == "WEIGHTED_AVG":
+        # sum(v*w)/sum(w) over rows where BOTH are non-null (the ES
+        # null contract: a null value or weight drops the row)
+        v, wt = arg
+        valid = v.isNotNull() & wt.isNotNull()
+        if filt is not None:
+            valid = valid & filt
+        return ov(F.sum(F.when(valid, v * wt))) / ov(
+            F.sum(F.when(valid, wt)))
+    if fn == "VALUES":
+        # upstream: "order isn't guaranteed" — this engine sorts
+        # ascending so results stay oracle-checkable (a legal instance
+        # of the unspecified order; documented divergence)
+        return F.array_sort(ov(F.collect_list(gate(arg))))
+    if fn == "TOP":
+        c, n, order = arg
+        s = F.array_sort(ov(F.collect_list(gate(c))))
+        if order == "DESC":
+            s = F.reverse(s)
+        return F.slice(s, 1, n)
+    a = gate(arg)
     if fn == "PERCENTILE":
         # EXACT interpolated percentile (= DuckDB quantile_cont), vs
         # ES|QL's t-digest: the documented strictly-more-accurate
         # divergence
-        return F.percentile(arg, F.lit(q / 100.0))
-    return {
-        "COUNT": lambda a: F.count(a),
-        "COUNT_DISTINCT": lambda a: F.count_distinct(a),
+        return ov(F.percentile(a, F.lit(q / 100.0)))
+    return ov({
+        "COUNT": lambda x: F.count(x),
+        "COUNT_DISTINCT": lambda x: F.count_distinct(x),
         "SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max,
-        "MEDIAN": lambda a: F.percentile(a, F.lit(0.5)),
-    }[fn](arg)
+        "MEDIAN": lambda x: F.percentile(x, F.lit(0.5)),
+        # population std-dev, the same basis as ES extended_stats'
+        # std_deviation (Welford-accumulated upstream)
+        "STD_DEV": F.stddev_pop,
+    }[fn](a))
 
 
 def _finish_agg(col: Column, fn: str, digits: int | None) -> Column:
@@ -1568,8 +1705,8 @@ def _finish_agg(col: Column, fn: str, digits: int | None) -> Column:
 
 def _stats(df: DataFrame, p: _ExprParser) -> DataFrame:
     aggs = []
-    for name, fn, arg, q, digits in _parse_agg_items(p):
-        col = _finish_agg(_agg_column(fn, arg, q), fn, digits)
+    for name, fn, arg, q, digits, filt in _parse_agg_items(p):
+        col = _finish_agg(_agg_column(fn, arg, q, filt), fn, digits)
         aggs.append(col.alias(name))
     keys = []
     if p.eat_kw("BY"):
@@ -1635,24 +1772,26 @@ def _inlinestats(df: DataFrame, p: _ExprParser) -> DataFrame:
         # already-overwritten h into MAX), and same-named existing
         # columns are overridden in the same step
         appended = []
-        for name, fn, arg, q, digits in items:
+        for name, fn, arg, q, digits, filt in items:
             if fn == "COUNT_DISTINCT":
                 # Spark windows refuse DISTINCT aggregates; the set is
                 # bounded by per-group cardinality (same bound as the
-                # hash-agg form)
-                col = F.size(F.collect_set(arg).over(w)).cast("bigint")
+                # hash-agg form). The per-agg WHERE gates the argument
+                # (collect_set skips the NULLed-out rows).
+                a = F.when(filt, arg) if filt is not None else arg
+                col = F.size(F.collect_set(a).over(w)).cast("bigint")
                 if digits is not None:
                     col = F.round(col, digits)
             else:
-                col = _finish_agg(_agg_column(fn, arg, q).over(w),
+                col = _finish_agg(_agg_column(fn, arg, q, filt, w),
                                   fn, digits)
             appended.append(col.alias(name))
         return df.select(
             *[c for c in df.columns if c not in new_names], *appended
         )
     aggs = [
-        _finish_agg(_agg_column(fn, arg, q), fn, digits).alias(name)
-        for name, fn, arg, q, digits in items
+        _finish_agg(_agg_column(fn, arg, q, filt), fn, digits).alias(name)
+        for name, fn, arg, q, digits, filt in items
     ]
     clash = [c for c in df.columns if c in new_names]
     return df.drop(*clash).crossJoin(F.broadcast(df.agg(*aggs)))

@@ -400,6 +400,65 @@ def q_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_stats_where",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN value > 50 THEN 1 END) AS BIGINT)
+               AS n_big,
+           round(sum(CASE WHEN user_id % 2 = 0 AND value IS NOT NULL
+                          THEN value * value END)
+                 / sum(CASE WHEN user_id % 2 = 0 AND value IS NOT NULL
+                            THEN value END), 4) AS wa,
+           round(stddev_pop(value), 4) AS sd,
+           array_to_string(list(user_id ORDER BY user_id DESC)[1:3], ',')
+               AS top_uid
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1
+    ORDER BY event_type ASC
+    """,
+    doc="ES|QL per-aggregate WHERE + the 8.13-8.16 aggregate widening "
+        "(r15): STATS n = COUNT(*), n_big = COUNT(*) WHERE value > 50, "
+        "wa = WEIGHTED_AVG(value, value) WHERE user_id % 2 == 0, "
+        "sd = STD_DEV(value), top_uid = TOP(user_id, 3, DESC) BY "
+        "event_type — every filtered aggregate compiles to a "
+        "conditional ARGUMENT (agg(CASE WHEN cond THEN x END)) riding "
+        "ONE hash aggregation: no extra pass, no second scan, no "
+        "per-filter subquery. WEIGHTED_AVG is sum(v*w)/sum(w) with the "
+        "ES null contract (null value or weight drops the row); "
+        "STD_DEV is population (the extended_stats basis); TOP is a "
+        "bounded multivalue (sort + slice over the group's collected "
+        "values, stringified at the query boundary for hash-stable "
+        "primitives). The oracle replays each filter as the same CASE "
+        "conditional.",
+)
+def q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tweets_elastic_spark.plans.esql import esql
+
+    events = fan_out(load_table(spark, sf_dir, "events"))
+    out = esql(spark, """
+        FROM events
+        | WHERE event_type IS NOT NULL
+        | STATS n = COUNT(*),
+                n_big = COUNT(*) WHERE value > 50,
+                wa = ROUND(WEIGHTED_AVG(value, value), 4)
+                     WHERE user_id % 2 == 0,
+                sd = ROUND(STD_DEV(value), 4),
+                top_uid = TOP(user_id, 3, "DESC")
+                BY event_type
+        | SORT event_type ASC
+    """, {"events": events})
+    return out.withColumn(
+        "top_uid",
+        F.array_join(
+            F.transform("top_uid", lambda x: x.cast("string")), ","),
+    )
+
+
+@register(
     "esql_enrich",
     oracle="""
     SELECT n.n_name AS nation,

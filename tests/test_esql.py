@@ -95,6 +95,27 @@ def test_dissect_null_on_mismatch(spark):
     assert (r2["a"], r2["b"]) == ("x", "y-z")
 
 
+def test_dissect_modifiers(spark):
+    # right padding (->), append (+) with APPEND_SEPARATOR, skips
+    q = ('ROW s = "2024-01-02   INFO  alpha beta" '
+         '| DISSECT s "%{d->} %{lvl->} %{+msg} %{+msg}" '
+         'APPEND_SEPARATOR="_" | KEEP d, lvl, msg')
+    r = _rows(spark, q)[0]
+    assert (r["d"], r["lvl"], r["msg"]) == ("2024-01-02", "INFO",
+                                            "alpha_beta")
+    r2 = _rows(spark, 'ROW s = "a-b-c" | DISSECT s "%{}-%{?skip}-%{x}" '
+                      '| KEEP x')[0]
+    assert r2["x"] == "c"
+    assert "skip" not in r2.asDict()
+    # refusals: duplicate plain key, reference keys, /n order modifiers
+    with pytest.raises(ValueError, match="captured twice"):
+        esql(spark, 'ROW s = "a b" | DISSECT s "%{a} %{a}"', None)
+    with pytest.raises(ValueError, match="reference keys"):
+        esql(spark, 'ROW s = "a b" | DISSECT s "%{*a} %{&a}"', None)
+    with pytest.raises(ValueError, match="order modifiers"):
+        esql(spark, 'ROW s = "a b" | DISSECT s "%{+a/2} %{+a/1}"', None)
+
+
 def test_scalar_functions(spark):
     q = ('ROW s = " Ab ", n = 7 | EVAL '
          'l = LENGTH(s), lo = TO_LOWER(s), sub = SUBSTRING(s, 2, 2), '

@@ -28,9 +28,13 @@ token, the ES-SQL/EQL convention):
 * ``WHERE`` expr; ``EVAL name = expr, ...``; ``KEEP``/``DROP`` column
   lists (``*`` suffix wildcards in KEEP); ``RENAME old AS new, ...``;
   ``SORT expr [ASC|DESC] [NULLS FIRST|LAST], ...``; ``LIMIT n``;
-  ``MV_EXPAND col``; ``DISSECT col "%{a}<sep>%{b}..."`` (literal
-  separators; every key non-greedy except the last; non-matching rows
-  yield NULL fields — ES semantics); ``GROK col
+  ``MV_EXPAND col``; ``DISSECT col "%{a}<sep>%{b}..."
+  [APPEND_SEPARATOR="s"]`` (literal separators; every key non-greedy
+  except the last; non-matching rows yield NULL fields — ES
+  semantics; r15 modifiers: ``%{}``/``%{?skip}`` drop the capture,
+  ``%{+key}`` appends in capture order joined by APPEND_SEPARATOR,
+  ``%{key->}`` lets the following separator repeat — reference keys
+  and /n order modifiers refuse loudly); ``GROK col
   "%{SYNTAX[:field[:type]]}..."`` (regex-library extraction over a
   documented pattern core — WORD/NOTSPACE/SPACE/DATA/GREEDYDATA/INT/
   POSINT/NUMBER/BASE10NUM/IP(v4)/UUID/USERNAME/HOSTNAME/LOGLEVEL/
@@ -1016,22 +1020,67 @@ def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
     return "".join(out), fields
 
 
-def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
-    """DISSECT pattern -> (regex, keys): literal separators between
+_DISSECT_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[tuple]]:
+    """DISSECT pattern -> (regex, groups): literal separators between
     %{key} refs; every key matches non-greedily except the last, which
-    takes the rest — the delimiter-based extraction semantics."""
-    parts = re.split(r"%\{([A-Za-z_][A-Za-z0-9_]*)\}", pattern)
+    takes the rest — the delimiter-based extraction semantics.
+
+    Modifiers (the upstream dissect set, r15): ``%{}`` / ``%{?name}``
+    skip the capture (no output column); ``%{+name}`` appends this
+    capture to ``name`` (joined with the command's APPEND_SEPARATOR,
+    default "", in capture order); ``%{name->}`` allows the following
+    separator to REPEAT (right padding). Reference keys (``%{*k}`` /
+    ``%{&k}``) and ``/n`` append-order modifiers are refused loudly.
+
+    Returns groups as ``[(name | None, is_append), ...]`` — one entry
+    per regex capture group, in group order."""
+    parts = re.split(r"%\{([^}]*)\}", pattern)
     # parts = [lit0, key1, lit1, key2, lit2, ...]
-    keys = parts[1::2]
-    if not keys:
+    raw_keys = parts[1::2]
+    if not raw_keys:
         raise ValueError("ES|QL: DISSECT pattern has no %{key} fields")
     rx = "^" + re.escape(parts[0])
-    for i, _key in enumerate(keys):
-        last = i == len(keys) - 1
-        rx += "(.*)" if last and parts[2 * i + 2] == "" else "(.*?)"
-        rx += re.escape(parts[2 * i + 2])
+    groups: list[tuple] = []
+    for i, rk in enumerate(raw_keys):
+        last = i == len(raw_keys) - 1
+        lit = parts[2 * i + 2]
+        if rk.startswith(("*", "&")):
+            raise ValueError(
+                "ES|QL: DISSECT reference keys (%{*k}/%{&k}) are not "
+                "supported — emit both columns and join downstream"
+            )
+        if "/" in rk:
+            raise ValueError(
+                "ES|QL: DISSECT /n append-order modifiers are not "
+                "supported — appends join in capture order"
+            )
+        pad = rk.endswith("->")
+        if pad:
+            rk = rk[:-2]
+        if rk == "" or rk.startswith("?"):
+            name, is_append = None, False
+            if rk.startswith("?") and not _DISSECT_NAME.match(rk[1:]):
+                raise ValueError(
+                    f"ES|QL: bad DISSECT skip key {rk!r}")
+        elif rk.startswith("+"):
+            name, is_append = rk[1:], True
+            if not _DISSECT_NAME.match(name):
+                raise ValueError(
+                    f"ES|QL: bad DISSECT append key {rk!r}")
+        else:
+            name, is_append = rk, False
+            if not _DISSECT_NAME.match(name):
+                raise ValueError(f"ES|QL: bad DISSECT key {rk!r}")
+        groups.append((name, is_append))
+        rx += "(.*)" if last and lit == "" else "(.*?)"
+        # right padding: the separator may repeat after this capture
+        rx += ("(?:" + re.escape(lit) + ")+" if pad and lit
+               else re.escape(lit))
     rx += "$"
-    return rx, keys
+    return rx, groups
 
 
 def esql(
@@ -1367,14 +1416,36 @@ def esql(
             k, pat = p.next()
             if k != "str":
                 raise ValueError("ES|QL: DISSECT needs a string pattern")
-            rx, keys = _dissect_regex(pat)
+            # optional APPEND_SEPARATOR="sep" (joins %{+key} captures)
+            sep = ""
+            k2, v2 = p.peek()
+            if k2 == "ident" and v2.upper() == "APPEND_SEPARATOR":
+                p.i += 1
+                p.expect_op("=")
+                sep = p._lit_str_arg("DISSECT APPEND_SEPARATOR")
+            rx, groups = _dissect_regex(pat)
             src = F.col(col)
             matched = src.rlike(rx)
-            for i, key in enumerate(keys, start=1):
-                df = df.withColumn(
-                    key,
-                    F.when(matched, F.regexp_extract(src, rx, i)),
-                )
+            # collect per-name capture groups in order; plain keys get
+            # exactly one, %{+name} may own several (joined with sep)
+            named: dict[str, list[int]] = {}
+            for i, (name, is_append) in enumerate(groups, start=1):
+                if name is None:
+                    continue
+                if name in named and not is_append:
+                    raise ValueError(
+                        f"ES|QL: DISSECT key {name!r} captured twice — "
+                        "use %{+" + name + "} to append"
+                    )
+                named.setdefault(name, []).append(i)
+            for name, idxs in named.items():
+                if len(idxs) == 1:
+                    val = F.regexp_extract(src, rx, idxs[0])
+                else:
+                    val = F.concat_ws(
+                        sep, *[F.regexp_extract(src, rx, i)
+                               for i in idxs])
+                df = df.withColumn(name, F.when(matched, val))
         elif p.eat_kw("GROK"):
             # GROK col "pattern" — regex-library extraction, the sibling
             # of DISSECT: the %{SYNTAX:field:type} refs compile to ONE

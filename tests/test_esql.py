@@ -611,6 +611,14 @@ def test_r14_cidr_and_date_functions(spark):
     r2 = _rows(spark, q2)[0]
     assert r2["mon"] == "2024-03" and r2["hr"] == 10 and r2["dom"] == 5
     assert r2["dd"] == 10
+    # DATE_PARSE: java.time patterns, NULL on unparseable (ES contract)
+    q3 = ('ROW g = "2024-03-05 10:30:45", b = "not a date" | EVAL '
+          'ts = DATE_PARSE("yyyy-MM-dd HH:mm:ss", g), '
+          'bad = DATE_PARSE("yyyy-MM-dd HH:mm:ss", b), '
+          'y = DATE_EXTRACT("year", DATE_PARSE("yyyy-MM-dd HH:mm:ss", g)) '
+          '| KEEP ts, bad, y')
+    r3 = _rows(spark, q3)[0]
+    assert r3["ts"] is not None and r3["bad"] is None and r3["y"] == 2024
     with pytest.raises(ValueError, match="ChronoField subset"):
         esql(spark, 'ROW x = 1 | EVAL y = DATE_EXTRACT("era", x)', None)
     with pytest.raises(ValueError, match="DATE_DIFF unit"):

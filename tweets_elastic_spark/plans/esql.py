@@ -64,6 +64,7 @@ token, the ES-SQL/EQL convention):
   (seconds/minutes/hours/days, truncated toward zero), and the r15
   widening: SIN/COS/TAN/ASIN/ACOS/ATAN/ATAN2/SINH/COSH/TANH/CBRT/
   HYPOT/TO_DEGREES/TO_RADIANS (1:1 Catalyst builtins), MV_APPEND,
+  DATE_PARSE("pattern", s) (try_to_timestamp — NULL on unparseable),
   IP_PREFIX(ip, v4_len, v6_len) (8.15 — family-matched prefix mask
   rendered canonically, the functions/ip.py machinery).
 * multivalue functions: MV_COUNT, MV_MIN, MV_MAX, MV_FIRST, MV_LAST,
@@ -571,6 +572,16 @@ class _ExprParser:
             c = self.expr()
             self.expect_op(")")
             return F.date_format(c, fmt)
+        if fn == "DATE_PARSE":
+            # DATE_PARSE("pattern", string) (8.x) — java.time patterns,
+            # the same dialect DATE_FORMAT emits; unparseable strings
+            # -> NULL (try_to_timestamp, the ES null contract)
+            self.expect_op("(")
+            fmt = self._lit_str_arg("DATE_PARSE pattern")
+            self.expect_op(",")
+            c = self.expr()
+            self.expect_op(")")
+            return F.try_to_timestamp(c, F.lit(fmt))
         if fn == "DATE_EXTRACT":
             # DATE_EXTRACT("part", date) — the ChronoField names ES|QL
             # takes, core subset; BIGINT result (ES long)

@@ -496,6 +496,33 @@ def test_r14_mv_functions(spark):
                      's)')
 
 
+def test_like_rlike_pattern_lists(spark, people):
+    # 8.16 list forms: true when ANY pattern matches; one rlike
+    q = 'FROM people | WHERE name LIKE ("A*", "B*") | SORT id | KEEP name'
+    assert [r["name"] for r in _rows(spark, q, people)] == ["Ann", "Bob"]
+    q2 = ('FROM people | WHERE name NOT LIKE ("A*", "B*", "C*") '
+          '| SORT id | KEEP name')
+    assert [r["name"] for r in _rows(spark, q2, people)] == ["Dee", "Eli"]
+    q3 = 'FROM people | WHERE name RLIKE ("A.*", ".*i") | SORT id | KEEP name'
+    assert [r["name"] for r in _rows(spark, q3, people)] == ["Ann", "Eli"]
+    with pytest.raises(ValueError, match="LIKE .* string patterns"):
+        esql(spark, "FROM people | WHERE name LIKE (name)", people)
+
+
+def test_mv_percentile(spark):
+    q = ('ROW s = "4 1 3 2" | EVAL xs = SPLIT(s, " "), '
+         'p50 = MV_PERCENTILE(SPLIT(s, " "), 50), '
+         'p0 = MV_PERCENTILE(SPLIT(s, " "), 0), '
+         'p100 = MV_PERCENTILE(SPLIT(s, " "), 100), '
+         'p25 = MV_PERCENTILE(SPLIT(s, " "), 25), '
+         'bad = MV_PERCENTILE(SPLIT(s, " "), 101) '
+         '| KEEP p50, p0, p100, p25, bad')
+    r = _rows(spark, q)[0]
+    assert (r["p50"], r["p0"], r["p100"]) == (2.5, 1.0, 4.0)
+    assert r["p25"] == 1.75        # exact linear interpolation
+    assert r["bad"] is None        # p outside [0, 100]
+
+
 def test_stats_where_filter(spark, people):
     # per-aggregate WHERE (8.16): gates ONLY its own aggregate's input
     q = ('FROM people | STATS n = COUNT(*), '

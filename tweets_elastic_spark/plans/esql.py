@@ -43,7 +43,9 @@ token, the ES-SQL/EQL convention):
   conversion failure; compiles to scan-local regexp_extract).
 * expressions: ``== != < <= > >=``, arithmetic ``+ - * / %``,
   ``AND/OR/NOT``, parentheses, ``IN (...)``, ``LIKE`` (ES|QL's ``*``/
-  ``?`` wildcards), ``RLIKE``, ``IS [NOT] NULL``, ``CASE(cond, val,
+  ``?`` wildcards; single pattern or the 8.16 list form ``LIKE ("p1",
+  "p2", ...)`` — any-match, one alternation regex), ``RLIKE`` (same
+  list form), ``IS [NOT] NULL``, ``CASE(cond, val,
   ..., [default])``, double- or single-quoted strings, TRUE/FALSE/NULL.
 * scalar functions: ROUND, ABS, LENGTH (BIGINT), SUBSTRING (1-based),
   CONCAT (NULL args -> '' — ES/DuckDB skip semantics), TO_LOWER,
@@ -72,7 +74,10 @@ token, the ES-SQL/EQL convention):
   MV_SUM/MV_AVG (DOUBLE; NULL on empty), MV_MEDIAN (exact; even
   counts average the middle two as DOUBLE — documented divergence
   from ES's integer-floor on whole-number inputs), MV_SLICE
-  (0-based inclusive bounds, non-negative).
+  (0-based inclusive bounds; negative bounds count from the end,
+  empty/out-of-range windows NULL), MV_APPEND, MV_PERCENTILE(col, p)
+  (exact linear interpolation — the PERCENTILE divergence class;
+  p outside [0,100] -> NULL).
 * ``INLINESTATS [name =] agg [, ...] [BY expr [, ...]]`` (the 8.16
   preview command): STATS that APPENDS instead of collapsing — BY form
   compiles to window aggregates over partitionBy(keys) (one exchange,
@@ -288,16 +293,57 @@ class _ExprParser:
             c = left.isin(*items)
             return ~c if negate else c
         if self.eat_kw("LIKE"):
-            k2, pat = self.next()
-            if k2 != "str":
-                raise ValueError("ES|QL: LIKE needs a string pattern")
-            c = left.rlike(_like_regex(pat))
+            # LIKE "pat" or the 8.16 list form LIKE ("p1", "p2", ...)
+            # — true when ANY pattern matches; compiled to ONE anchored
+            # alternation regex, still a single scan-local rlike
+            pats = []
+            if self.peek() == ("op", "("):
+                self.i += 1
+                while True:
+                    k2, pat = self.next()
+                    if k2 != "str":
+                        raise ValueError(
+                            "ES|QL: LIKE (...) needs string patterns")
+                    pats.append(pat)
+                    if self.peek() == ("op", ","):
+                        self.i += 1
+                        continue
+                    break
+                self.expect_op(")")
+            else:
+                k2, pat = self.next()
+                if k2 != "str":
+                    raise ValueError(
+                        "ES|QL: LIKE needs a string pattern")
+                pats.append(pat)
+            rx = "|".join("(?:" + _like_regex(pp) + ")" for pp in pats)
+            c = left.rlike(rx)
             return ~c if negate else c
         if self.eat_kw("RLIKE"):
-            k2, pat = self.next()
-            if k2 != "str":
-                raise ValueError("ES|QL: RLIKE needs a string pattern")
-            c = left.rlike("^(?:" + pat + ")$")  # ES|QL RLIKE is anchored
+            # RLIKE "pat" or the 8.16 list form RLIKE ("p1", "p2", ...)
+            pats = []
+            if self.peek() == ("op", "("):
+                self.i += 1
+                while True:
+                    k2, pat = self.next()
+                    if k2 != "str":
+                        raise ValueError(
+                            "ES|QL: RLIKE (...) needs string patterns")
+                    pats.append(pat)
+                    if self.peek() == ("op", ","):
+                        self.i += 1
+                        continue
+                    break
+                self.expect_op(")")
+            else:
+                k2, pat = self.next()
+                if k2 != "str":
+                    raise ValueError(
+                        "ES|QL: RLIKE needs a string pattern")
+                pats.append(pat)
+            # ES|QL RLIKE is anchored
+            rx = "|".join("^(?:" + pp + ")$" for pp in pats)
+            c = left.rlike(rx)
             return ~c if negate else c
         if self.eat_kw("IS"):
             neg = self.eat_kw("NOT")
@@ -892,6 +938,23 @@ class _ExprParser:
             return F.when(
                 n > 0, F.when(n % 2 == 1, odd).otherwise(even)
             )
+        if fn == "MV_PERCENTILE":
+            # MV_PERCENTILE(col, p) (8.14) — EXACT linear interpolation
+            # over the sorted values (the PERCENTILE divergence class:
+            # upstream estimates, this engine is exact). p outside
+            # [0, 100] -> NULL, empty/NULL input -> NULL.
+            need(2)
+            s = F.array_sort(a[0])
+            n = F.size(a[0])
+            pcol = a[1].cast("double")
+            rank = (pcol / 100.0) * (n - 1).cast("double")
+            lo = F.floor(rank).cast("int")
+            hi = F.ceil(rank).cast("int")
+            frac = rank - lo.cast("double")
+            val = (F.get(s, lo).cast("double") * (F.lit(1.0) - frac)
+                   + F.get(s, hi).cast("double") * frac)
+            return F.when(
+                (n > 0) & (pcol >= 0) & (pcol <= 100), val)
         if fn == "MV_SLICE":
             # MV_SLICE(col, start[, end]) — 0-based INCLUSIVE bounds,
             # and NEGATIVE bounds count from the end (-1 = last), the

@@ -496,6 +496,46 @@ def test_r14_mv_functions(spark):
                      's)')
 
 
+def test_fork(spark, people):
+    # each branch sees the CURRENT stream; union by name, _fork tags
+    q = ('FROM people | WHERE id < 5 '
+         '| FORK (WHERE h > 165 | KEEP id, name) '
+         '       (STATS n = COUNT(*), mh = MAX(h) BY team | SORT team) '
+         '| SORT _fork, id NULLS LAST, team NULLS LAST')
+    rows = esql(spark, q, people).collect()
+    f1 = [r for r in rows if r["_fork"] == "fork1"]
+    f2 = [r for r in rows if r["_fork"] == "fork2"]
+    assert [r["id"] for r in f1] == [1, 2]          # Ann 170, Bob 180
+    assert all(r["n"] is None for r in f1)          # missing cols NULL
+    # id < 5 leaves eng = (Ann 170, Bob 180), ops = (Cyd NULL, Dee 160)
+    assert [(r["team"], r["n"], r["mh"]) for r in f2] == [
+        ("eng", 2, 180), ("ops", 2, 160)]
+    # pipes inside branch STRING literals don't split branches
+    q2 = ('FROM people | FORK (WHERE name LIKE "A*" | KEEP id) '
+          '(WHERE name == "x|y" | KEEP id) | SORT _fork')
+    rows2 = esql(spark, q2, people).collect()
+    assert [(r["id"], r["_fork"]) for r in rows2] == [(1, "fork1")]
+    # refusals
+    with pytest.raises(ValueError, match="at least two"):
+        esql(spark, "FROM people | FORK (KEEP id)", people)
+    with pytest.raises(ValueError, match="parenthesized"):
+        esql(spark, "FROM people | FORK (KEEP id) junk (KEEP name)",
+             people)
+    with pytest.raises(ValueError, match="unbalanced"):
+        esql(spark, "FROM people | FORK (KEEP id) (KEEP name", people)
+    with pytest.raises(ValueError, match="at most 8"):
+        esql(spark, "FROM people | FORK " + "(KEEP id) " * 9, people)
+    # boundedness composes: an unbounded branch keeps CHANGE_POINT out
+    with pytest.raises(ValueError, match="bounded"):
+        esql(spark, "FROM people | FORK (KEEP id, h) (LIMIT 2) "
+                    "| CHANGE_POINT h ON id", people)
+    # ...but all-bounded branches pass the guard
+    rows3 = esql(spark, "FROM people | FORK (LIMIT 3) (LIMIT 2) "
+                        "| CHANGE_POINT h ON id | KEEP id, cp_type",
+                 people).collect()
+    assert len(rows3) == 5
+
+
 def test_like_rlike_pattern_lists(spark, people):
     # 8.16 list forms: true when ANY pattern matches; one rlike
     q = 'FROM people | WHERE name LIKE ("A*", "B*") | SORT id | KEEP name'

@@ -117,6 +117,14 @@ token, the ES-SQL/EQL convention):
   match_field + enrich_fields); compiles to the same broadcast LEFT
   join with the same collision rule.
 
+* ``FORK (branch1) (branch2) ...`` (ES 8.19 preview, r15): every
+  branch receives the current stream and runs its own sub-pipe;
+  results union by name (missing columns NULL) with the ``_fork``
+  discriminator ("fork1".."forkN"). 2-8 branches (the ES cap).
+  Compiled as N plans over the same scan + one no-shuffle
+  unionByName. CHANGE_POINT boundedness composes conservatively:
+  the union is bounded only if every branch ends bounded.
+
 Documented semantic divergences from upstream ES|QL (each strictly
 more accurate or type-visible, never silently wrong):
 
@@ -134,7 +142,8 @@ Refused loudly: remote (cross-cluster) indices, METADATA other than
 ``_score``, ENRICH with a policy absent from ``enrich_policies``
 (there is no live policy store to consult), bare LOOKUP (the 8.14
 experimental table form), grok syntaxes outside the documented core,
-nested subpipes.
+FORK with <2 / >8 branches or unparenthesized text between branches
+(sub-pipes outside FORK don't exist upstream either).
 """
 
 from __future__ import annotations
@@ -162,7 +171,7 @@ _KEYWORDS = {
     "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST",
     "LAST", "AND", "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL",
     "TRUE", "FALSE", "MV_EXPAND", "DISSECT", "GROK", "ENRICH", "LOOKUP",
-    "METADATA", "INLINESTATS", "CHANGE_POINT",
+    "METADATA", "INLINESTATS", "CHANGE_POINT", "FORK",
 }
 
 _AGG_FNS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
@@ -979,17 +988,58 @@ class _ExprParser:
         raise ValueError(f"ES|QL: unsupported function {fn}")
 
 
+def _mask_strings(text: str) -> str:
+    """Blank out string literals (length-preserving) so structural
+    scans ('|' cuts, paren depth) never look inside them."""
+    return re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\']|\'\')*\'',
+                  lambda m: " " * len(m.group(0)), text)
+
+
 def _split_pipes(text: str) -> list[str]:
-    """Split the query on top-level '|' with string literals masked."""
-    masked = re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\']|\'\')*\'',
-                    lambda m: " " * len(m.group(0)), text)
-    cuts = [i for i, ch in enumerate(masked) if ch == "|"]
-    parts, start = [], 0
-    for c in cuts:
-        parts.append(text[start:c])
-        start = c + 1
+    """Split the query on top-level '|' with string literals masked and
+    parenthesized sub-pipes (FORK branches) kept intact."""
+    masked = _mask_strings(text)
+    parts, start, depth = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
     parts.append(text[start:])
     return [p.strip() for p in parts if p.strip()]
+
+
+def _fork_branches(stage: str) -> list[str]:
+    """FORK stage text -> the branch sub-pipe texts: after the FORK
+    word, a sequence of top-level parenthesized groups (strings
+    masked so parens inside literals don't count)."""
+    masked = _mask_strings(stage)
+    body = stage[len("FORK"):]
+    mbody = masked[len("FORK"):]
+    branches, depth, bstart = [], 0, None
+    for i, ch in enumerate(mbody):
+        if ch == "(":
+            if depth == 0:
+                bstart = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("ES|QL: unbalanced FORK parentheses")
+            if depth == 0:
+                branches.append(body[bstart:i].strip())
+                bstart = None
+        elif depth == 0 and not ch.isspace():
+            raise ValueError(
+                f"ES|QL: unexpected text {body[i:i+20]!r} between "
+                "FORK branches — each branch must be parenthesized"
+            )
+    if depth != 0:
+        raise ValueError("ES|QL: unbalanced FORK parentheses")
+    return branches
 
 
 def _parse_name(p: _ExprParser) -> str:
@@ -1263,7 +1313,66 @@ def esql(
     # cardinality; LIMIT is explicit) and refuse an unbounded pipe
     # instead of silently serializing a full-table sort on one core.
     series_bounded = stages[0].lstrip().upper().startswith("ROW")
-    for stage in stages[1:]:
+    df, _ = _run_stages(
+        df, stages[1:],
+        tables=tables, analyzers=analyzers, tokens_cols=tokens_cols,
+        bm25_stats_for=bm25_stats_for, enrich_policies=enrich_policies,
+        series_bounded=series_bounded,
+    )
+    return df
+
+
+def _run_stages(
+    df: DataFrame,
+    stages: list[str],
+    *,
+    tables,
+    analyzers,
+    tokens_cols,
+    bm25_stats_for,
+    enrich_policies,
+    series_bounded: bool,
+) -> tuple:
+    """Apply a list of processing-command stages to ``df`` — the
+    shared pipe executor esql() and FORK branches both run.
+    Returns (df, series_bounded) so callers can compose the
+    CHANGE_POINT boundedness state across branches."""
+    for stage in stages:
+        if re.match(r"\s*FORK\b", stage, re.I):
+            # FORK (branch1) (branch2) ... (ES 8.19 preview): every
+            # branch receives the CURRENT stream, runs its own sub-pipe,
+            # and the results union by name (missing columns NULL) with
+            # a `_fork` discriminator ("fork1".."forkN" in branch
+            # order) — compiled to N plans over the SAME scan + one
+            # no-shuffle unionByName, never a second read of the
+            # upstream stages. Boundedness composes conservatively:
+            # the union is bounded only if EVERY branch ends bounded.
+            branches = _fork_branches(stage)
+            if len(branches) < 2:
+                raise ValueError(
+                    "ES|QL: FORK needs at least two (branch) sub-pipes"
+                )
+            if len(branches) > 8:
+                raise ValueError(
+                    "ES|QL: FORK takes at most 8 branches (the ES cap)"
+                )
+            outs, bounded_states = [], []
+            for bi, btext in enumerate(branches, start=1):
+                bdf, bbound = _run_stages(
+                    df, _split_pipes(btext),
+                    tables=tables, analyzers=analyzers,
+                    tokens_cols=tokens_cols,
+                    bm25_stats_for=bm25_stats_for,
+                    enrich_policies=enrich_policies,
+                    series_bounded=series_bounded,
+                )
+                outs.append(bdf.withColumn("_fork", F.lit(f"fork{bi}")))
+                bounded_states.append(bbound)
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o, allowMissingColumns=True)
+            series_bounded = all(bounded_states)
+            continue
         toks, raws = _tokenize(stage)
         p = _ExprParser(toks, raws)
         if p.eat_kw("WHERE"):
@@ -1695,7 +1804,7 @@ def esql(
                 f"ES|QL: unexpected trailing token {v!r} in "
                 f"{stage[:30]!r}"
             )
-    return df
+    return df, series_bounded
 
 
 def _parse_agg_items(p: _ExprParser) -> list[tuple]:

@@ -459,6 +459,51 @@ def q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_fork",
+    oracle="""
+    WITH b1 AS (
+        SELECT event_id, event_type, value,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS mx,
+               'fork1' AS _fork
+        FROM events
+        WHERE event_type IS NOT NULL AND value > 95
+        ORDER BY value DESC, event_id ASC
+        LIMIT 20
+    ), b2 AS (
+        SELECT CAST(NULL AS BIGINT) AS event_id, event_type,
+               CAST(NULL AS DOUBLE) AS value,
+               CAST(count(*) AS BIGINT) AS n, max(value) AS mx,
+               'fork2' AS _fork
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    """,
+    doc="ES|QL FORK (8.19 preview, r15): the pipe splits into branches "
+        "that each receive the CURRENT stream — here a top-20 detail "
+        "page AND its per-type aggregate in one query — and union by "
+        "name with the `_fork` discriminator ('fork1'/'fork2', branch "
+        "order), missing columns NULL. Compiled as N plans over the "
+        "SAME scan plus one no-shuffle unionByName; the upstream "
+        "stages are never re-read. Both branches stay order-safe: the "
+        "detail branch ties break on event_id, the agg branch uses "
+        "order-free COUNT/MAX.",
+)
+def q_esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM events
+        | WHERE event_type IS NOT NULL
+        | FORK (WHERE value > 95
+                | KEEP event_id, event_type, value
+                | SORT value DESC, event_id ASC
+                | LIMIT 20)
+               (STATS n = COUNT(*), mx = MAX(value) BY event_type)
+        | SORT _fork ASC, event_id ASC NULLS LAST, event_type ASC
+    """, table="events")
+
+
+@register(
     "esql_enrich",
     oracle="""
     SELECT n.n_name AS nation,

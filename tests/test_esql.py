@@ -496,6 +496,34 @@ def test_r14_mv_functions(spark):
                      's)')
 
 
+def test_metadata_index(spark, people):
+    other = spark.createDataFrame([(9, "Zed")], "id long, name string")
+    tabs = dict(people, people2=other)
+    rows = esql(spark, "FROM people, people2 METADATA _index "
+                       "| KEEP id, _index | SORT id", tabs).collect()
+    assert [(r["id"], r["_index"]) for r in rows][:2] == [
+        (1, "people"), (2, "people")]
+    assert rows[-1].asDict() == {"id": 9, "_index": "people2"}
+    # combined list with _score, any order
+    rows2 = esql(spark, "FROM people METADATA _index, _score "
+                        "| KEEP id, _index, _score | SORT id",
+                 people).collect()
+    assert rows2[0]["_index"] == "people" and rows2[0]["_score"] == 0.0
+    with pytest.raises(ValueError, match="METADATA"):
+        esql(spark, "FROM people METADATA _id", people)
+
+
+def test_to_datetime(spark):
+    q = ('ROW s = "2024-03-05 10:30:45", ms = 1700000000000, '
+         'b = "nope" | EVAL t1 = TO_DATETIME(s), '
+         't2 = TO_DATETIME(ms), t3 = TO_DATETIME(b), '
+         'y = DATE_EXTRACT("year", TO_DATETIME(ms)) '
+         '| KEEP t1, t2, t3, y')
+    r = _rows(spark, q)[0]
+    assert r["t1"] is not None and r["t3"] is None
+    assert r["y"] == 2023          # 2023-11-14T22:13:20Z
+
+
 def test_fork(spark, people):
     # each branch sees the CURRENT stream; union by name, _fork tags
     q = ('FROM people | WHERE id < 5 '

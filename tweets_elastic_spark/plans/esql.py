@@ -19,12 +19,15 @@ never an interpreter.
 Supported subset (everything else raises loudly with the offending
 token, the ES-SQL/EQL convention):
 
-* sources: ``FROM <index>[, <index2>, pre*...] [METADATA _score]``
-  (the engine's tables are the indices; multiple names / trailing-*
-  patterns union with missing columns NULL, the ES multi-index read;
-  ``METADATA _score`` surfaces the BM25 relevance accumulated by
-  scoring ``WHERE MATCH(...)`` stages, the 8.16 full-text contract)
-  and ``ROW name = literal, ...``.
+* sources: ``FROM <index>[, <index2>, pre*...] [METADATA _score
+  [, _index]]`` (the engine's tables are the indices; multiple names
+  / trailing-* patterns union with missing columns NULL, the ES
+  multi-index read; ``METADATA _score`` surfaces the BM25 relevance
+  accumulated by scoring ``WHERE MATCH(...)`` stages, the 8.16
+  full-text contract; ``METADATA _index`` tags each row with the
+  catalog name of the index it was read from — the multi-index
+  provenance column, a scan-local literal) and
+  ``ROW name = literal, ...``.
 * ``WHERE`` expr; ``EVAL name = expr, ...``; ``KEEP``/``DROP`` column
   lists (``*`` suffix wildcards in KEEP); ``RENAME old AS new, ...``;
   ``SORT expr [ASC|DESC] [NULLS FIRST|LAST], ...``; ``LIMIT n``;
@@ -139,7 +142,8 @@ more accurate or type-visible, never silently wrong):
   mirror the double semantics.
 
 Refused loudly: remote (cross-cluster) indices, METADATA other than
-``_score``, ENRICH with a policy absent from ``enrich_policies``
+``_score``/``_index`` (_id/_version have no analog — no live doc
+store), ENRICH with a policy absent from ``enrich_policies``
 (there is no live policy store to consult), bare LOOKUP (the 8.14
 experimental table form), grok syntaxes outside the documented core,
 FORK with <2 / >8 branches or unparenthesized text between branches
@@ -739,6 +743,16 @@ class _ExprParser:
                 .when(s == "false", F.lit(False))
                 .when(num.isNotNull(), num != 0)
             )
+        if fn == "TO_DATETIME":
+            # TO_DATETIME(string|long): ISO-8601-ish strings via
+            # try_to_timestamp (NULL on unparseable — the ES per-value
+            # warning becomes a NULL, same as TO_IP); numeric input is
+            # millis-since-epoch (the ES datetime wire type)
+            need(1)
+            return F.coalesce(
+                F.try_to_timestamp(a[0].cast("string")),
+                F.timestamp_millis(a[0].try_cast("long")),
+            )
         if fn == "TO_IP":
             # strings are the engine's IP representation; TO_IP is the
             # validation gate — malformed addresses become NULL (ES
@@ -1252,14 +1266,28 @@ def esql(
                 p.i += 1
                 continue
             break
-        metadata_score = False
+        metadata_score = metadata_index = False
         if p.eat_kw("METADATA"):
-            k, v = p.next()
-            if k != "ident" or v != "_score":
-                raise ValueError(
-                    "ES|QL: only METADATA _score is supported"
-                )
-            metadata_score = True
+            # METADATA _score [, _index] — any order, comma list.
+            # _index tags each row with the catalog name of the index
+            # it was read from (the multi-index provenance column);
+            # _id/_version have no analog here (no live doc store)
+            # and refuse loudly.
+            while True:
+                k, v = p.next()
+                if k == "ident" and v == "_score":
+                    metadata_score = True
+                elif k == "ident" and v == "_index":
+                    metadata_index = True
+                else:
+                    raise ValueError(
+                        "ES|QL: only METADATA _score and _index are "
+                        f"supported, got {v!r}"
+                    )
+                if p.peek() == ("op", ","):
+                    p.i += 1
+                    continue
+                break
         if p.peek()[0] != "end":
             raise ValueError(
                 f"ES|QL: unexpected token after FROM {pats[-1]}"
@@ -1279,9 +1307,16 @@ def esql(
                     raise ValueError(f"ES|QL: unknown index {pat!r}")
                 if pat not in resolved:
                     resolved.append(pat)
-        df = tables[resolved[0]]
+
+        def _src(t: str) -> DataFrame:
+            # tag BEFORE the union so each row carries the name of the
+            # index it came from (a literal column, scan-local)
+            return (tables[t].withColumn("_index", F.lit(t))
+                    if metadata_index else tables[t])
+
+        df = _src(resolved[0])
         for t in resolved[1:]:
-            df = df.unionByName(tables[t], allowMissingColumns=True)
+            df = df.unionByName(_src(t), allowMissingColumns=True)
         if metadata_score:
             # docs carry _score 0.0 until a scoring WHERE runs — the
             # ES|QL contract (non-scoring queries leave _score at 0)

@@ -309,6 +309,12 @@ HEADLINE = [
     "esql_grok",
     "esql_cidr_dates",
     "esql_change_point",
+    # r15: ENRICH (policy-store broadcast enrich), the 8.16
+    # per-aggregate WHERE + aggregate widening, and FORK (8.19
+    # branch-the-pipe — two plans over one scan + unionByName)
+    "esql_enrich",
+    "esql_stats_where",
+    "esql_fork",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -24,6 +24,9 @@ from tweets_elastic_spark.session import get_spark  # noqa: E402
 ROWS = {
     "esql_match_score": ["sf0.001", "sf0.01", "sf0.1", "sf1"],
     "esql_enrich": ["sf0.001", "sf0.01", "sf0.1"],
+    # late-session additions (events-based, sf1-capable)
+    "esql_stats_where": ["sf0.001", "sf0.01", "sf0.1", "sf1"],
+    "esql_fork": ["sf0.001", "sf0.01", "sf0.1", "sf1"],
 }
 
 

@@ -496,6 +496,25 @@ def test_r14_mv_functions(spark):
                      's)')
 
 
+def test_categorize(spark):
+    logs = {"logs": spark.createDataFrame(
+        [(1, "Connected to 10.0.0.1 port 8080"),
+         (2, "Connected to 10.0.0.2 port 9090"),
+         (3, "Disk full on host db7"),
+         (4, "Disk full on host web2"),
+         (5, "12345 67890")],
+        "id long, msg string")}
+    rows = esql(spark, "FROM logs | STATS n = COUNT(*) "
+                       "BY cat = CATEGORIZE(msg) "
+                       "| SORT n DESC, cat ASC NULLS LAST",
+                logs).collect()
+    # number-bearing tokens are variables; the invariant sequence IS
+    # the category; all-variable messages key to NULL (no bucket in
+    # the agg front-end; NULL group here — the STATS BY contract)
+    assert [(r["cat"], r["n"]) for r in rows] == [
+        ("Connected to port", 2), ("Disk full on host", 2), (None, 1)]
+
+
 def test_metadata_index(spark, people):
     other = spark.createDataFrame([(9, "Zed")], "id long, name string")
     tabs = dict(people, people2=other)

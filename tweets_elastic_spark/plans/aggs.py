@@ -116,6 +116,31 @@ _METRICS = {
 }
 
 
+def categorize_key(src: Column, max_matched_tokens=None) -> Column:
+    """The deterministic categorize_text first pass, shared by the agg
+    front-end and ES|QL's ``CATEGORIZE()`` grouping function (8.16):
+    whitespace tokens, number-bearing tokens dropped as variables, the
+    surviving sequence (optionally truncated) IS the category key;
+    messages with no invariant token key to NULL (no bucket)."""
+    toks = F.filter(
+        F.split(src, r"\s+"),
+        lambda t: (t != F.lit("")) & ~t.rlike(r"\d"),
+    )
+    if max_matched_tokens is not None:
+        if int(max_matched_tokens) <= 0:
+            raise ValueError("max_matched_tokens must be > 0")
+        toks = F.slice(toks, 1, int(max_matched_tokens))
+    # bind once (no-CSE): the tokenize chain would otherwise run
+    # twice per row (empty-check + key)
+    return F.element_at(
+        F.transform(
+            F.array(F.array_join(toks, " ")),
+            lambda k: F.when(k != F.lit(""), k),
+        ),
+        1,
+    )
+
+
 def _bucket_key(kind: str, body: dict) -> Column:
     """Bucket-key expression. ES's null contract: documents missing the
     field fall out of the aggregation unless ``missing`` supplies a
@@ -428,24 +453,7 @@ def _bucket_key(kind: str, body: dict) -> Column:
             raise ValueError(
                 f"unsupported categorize_text parameters: {sorted(extra)}"
             )
-        toks = F.filter(
-            F.split(src, r"\s+"),
-            lambda t: (t != F.lit("")) & ~t.rlike(r"\d"),
-        )
-        mmt = body.get("max_matched_tokens")
-        if mmt is not None:
-            if int(mmt) <= 0:
-                raise ValueError("max_matched_tokens must be > 0")
-            toks = F.slice(toks, 1, int(mmt))
-        # bind once (no-CSE): the tokenize chain would otherwise run
-        # twice per row (empty-check + key)
-        return F.element_at(
-            F.transform(
-                F.array(F.array_join(toks, " ")),
-                lambda k: F.when(k != F.lit(""), k),
-            ),
-            1,
-        )
+        return categorize_key(src, body.get("max_matched_tokens"))
     if kind == "ip_range":
         # ES ip_range agg over an IPv4 string column: [from, to) buckets
         # (to exclusive, like range), specified as from/to addresses or a

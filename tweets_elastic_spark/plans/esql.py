@@ -70,8 +70,13 @@ token, the ES-SQL/EQL convention):
   widening: SIN/COS/TAN/ASIN/ACOS/ATAN/ATAN2/SINH/COSH/TANH/CBRT/
   HYPOT/TO_DEGREES/TO_RADIANS (1:1 Catalyst builtins), MV_APPEND,
   DATE_PARSE("pattern", s) (try_to_timestamp — NULL on unparseable),
+  TO_DATETIME (ISO strings or millis-since-epoch),
   IP_PREFIX(ip, v4_len, v6_len) (8.15 — family-matched prefix mask
-  rendered canonically, the functions/ip.py machinery).
+  rendered canonically, the functions/ip.py machinery), and
+  CATEGORIZE(field) (8.16 — the deterministic categorize_text first
+  pass shared with the agg front-end; the ML similarity merge is the
+  same refused divergence; valid anywhere, a permissive superset of
+  upstream's STATS-BY-only rule).
 * multivalue functions: MV_COUNT, MV_MIN, MV_MAX, MV_FIRST, MV_LAST,
   MV_DEDUPE, MV_SORT(col[, "ASC"|"DESC"]), MV_ZIP(a, b[, delim]),
   MV_SUM/MV_AVG (DOUBLE; NULL on empty), MV_MEDIAN (exact; even
@@ -743,6 +748,16 @@ class _ExprParser:
                 .when(s == "false", F.lit(False))
                 .when(num.isNotNull(), num != 0)
             )
+        if fn == "CATEGORIZE":
+            # CATEGORIZE(field) (8.16): the deterministic
+            # categorize_text first pass shared with the agg front-end
+            # (plans/aggs.categorize_key) — upstream restricts it to
+            # STATS BY; here the key column is valid anywhere (a
+            # permissive superset, documented), and the ML
+            # similarity-merging stage is the same refused divergence.
+            need(1)
+            from tweets_elastic_spark.plans.aggs import categorize_key
+            return categorize_key(a[0])
         if fn == "TO_DATETIME":
             # TO_DATETIME(string|long): ISO-8601-ish strings via
             # try_to_timestamp (NULL on unparseable — the ES per-value

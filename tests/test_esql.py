@@ -496,6 +496,29 @@ def test_r14_mv_functions(spark):
                      's)')
 
 
+def test_bucket(spark):
+    q = ('ROW v = 73.4, t = "2024-03-05 10:38:45" | EVAL '
+         'b = BUCKET(v, 20.0), '
+         'd = BUCKET(TO_DATETIME(t), 1 day), '
+         'h6 = BUCKET(TO_DATETIME(t), 6 hours), '
+         'mo = DATE_FORMAT("yyyy-MM-dd", BUCKET(TO_DATETIME(t), 1 month)) '
+         '| KEEP b, d, h6, mo')
+    r = _rows(spark, q)[0]
+    assert r["b"] == 60.0
+    assert r["d"].hour == 0 and r["h6"].hour == 6
+    assert r["mo"] == "2024-03-01"
+    cases = [
+        ("ROW v = 1 | EVAL b = BUCKET(v, 20, 0, 100)", "auto-width"),
+        ("ROW v = 1 | EVAL b = BUCKET(v, 2 months)", "count of 1"),
+        ("ROW v = 1 | EVAL b = BUCKET(v, 1 fortnight)", "time unit"),
+        ("ROW v = 1 | EVAL b = BUCKET(v, 1.5 days)", "integer"),
+        ("ROW v = 1 | EVAL b = BUCKET(v, 0)", "positive"),
+    ]
+    for q2, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            esql(spark, q2, None)
+
+
 def test_categorize(spark):
     logs = {"logs": spark.createDataFrame(
         [(1, "Connected to 10.0.0.1 port 8080"),

@@ -72,11 +72,15 @@ token, the ES-SQL/EQL convention):
   DATE_PARSE("pattern", s) (try_to_timestamp — NULL on unparseable),
   TO_DATETIME (ISO strings or millis-since-epoch),
   IP_PREFIX(ip, v4_len, v6_len) (8.15 — family-matched prefix mask
-  rendered canonically, the functions/ip.py machinery), and
+  rendered canonically, the functions/ip.py machinery),
   CATEGORIZE(field) (8.16 — the deterministic categorize_text first
   pass shared with the agg front-end; the ML similarity merge is the
   same refused divergence; valid anywhere, a permissive superset of
-  upstream's STATS-BY-only rule).
+  upstream's STATS-BY-only rule), and BUCKET(expr, span) (8.13 —
+  numeric span = floor grid; `N second..week` time spans truncate on
+  the fixed-width epoch grid; calendar `1 month|quarter|year` via
+  date_trunc, N > 1 calendar refused like the date_histogram agg;
+  the 4-arg auto-width form refused — not a reproducible contract).
 * multivalue functions: MV_COUNT, MV_MIN, MV_MAX, MV_FIRST, MV_LAST,
   MV_DEDUPE, MV_SORT(col[, "ASC"|"DESC"]), MV_ZIP(a, b[, delim]),
   MV_SUM/MV_AVG (DOUBLE; NULL on empty), MV_MEDIAN (exact; even
@@ -513,6 +517,74 @@ class _ExprParser:
                 desc = order == "DESC"
             self.expect_op(")")
             return F.reverse(F.array_sort(c)) if desc else F.array_sort(c)
+        if fn == "BUCKET":
+            # BUCKET(expr, span) (8.13, the ES|QL histogram grouping
+            # function — formerly AUTO_BUCKET):
+            #   * numeric span  -> floor(v / span) * span
+            #   * time span     -> the bucket's start timestamp:
+            #     `N second|minute|hour|day|week` truncate on the
+            #     fixed-width epoch grid; calendar `1 month|1 year`
+            #     via date_trunc (N > 1 calendar units refused — no
+            #     fixed width exists, same rule as the date_histogram
+            #     agg's calendar_interval).
+            # The 4-arg auto-width form (count, min, max -> a "nice"
+            # width chosen by ES heuristics) is refused with a pointer:
+            # pick the width explicitly, the heuristic is not a
+            # reproducible contract.
+            self.expect_op("(")
+            c = self.expr()
+            self.expect_op(",")
+            k2, v2 = self.peek()
+            neg = v2 == "-" and k2 == "op"
+            if neg:
+                raise ValueError("ES|QL: BUCKET span must be positive")
+            k2, span = self.next()
+            if k2 != "num":
+                raise ValueError(
+                    "ES|QL: BUCKET needs a literal span — "
+                    "BUCKET(expr, 50.0) or BUCKET(ts, 1 day)"
+                )
+            if span <= 0:
+                raise ValueError("ES|QL: BUCKET span must be positive")
+            k3, unit = self.peek()
+            if k3 == "ident":
+                self.i += 1
+                u = unit.lower().rstrip("s")
+                secs = {"second": 1, "minute": 60, "hour": 3600,
+                        "day": 86400, "week": 604800}
+                if u in secs:
+                    if isinstance(span, float):
+                        raise ValueError(
+                            "ES|QL: BUCKET time spans take an integer "
+                            "count"
+                        )
+                    width = int(span) * secs[u]
+                    self.expect_op(")")
+                    ep = F.unix_timestamp(c)
+                    return F.timestamp_seconds(
+                        F.floor(ep / width).cast("long") * width)
+                if u in ("month", "year", "quarter"):
+                    if span != 1:
+                        raise ValueError(
+                            f"ES|QL: BUCKET calendar unit {unit!r} "
+                            "only supports a count of 1 (no fixed "
+                            "width exists)"
+                        )
+                    self.expect_op(")")
+                    return F.date_trunc(u, c)
+                raise ValueError(
+                    f"ES|QL: unknown BUCKET time unit {unit!r}"
+                )
+            if self.peek() == ("op", ","):
+                raise ValueError(
+                    "ES|QL: the 4-arg BUCKET(expr, count, min, max) "
+                    "auto-width form is not supported — its 'nice "
+                    "width' heuristic is not a reproducible contract; "
+                    "pass the width explicitly"
+                )
+            self.expect_op(")")
+            sp = float(span)
+            return F.floor(c / F.lit(sp)) * F.lit(sp)
         if fn == "IP_PREFIX":
             # IP_PREFIX(ip, v4_len, v6_len) (8.15): the address masked
             # at the family-matching prefix length, rendered back as an

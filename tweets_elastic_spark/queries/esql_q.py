@@ -459,6 +459,41 @@ def q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_bucket_stats",
+    oracle="""
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
+                    '%Y-%m-%d') AS day,
+           floor(value / 25.0) * 25.0 AS vb,
+           CAST(count(*) AS BIGINT) AS n,
+           max(value) AS mx
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY day ASC, vb ASC NULLS LAST
+    """,
+    doc="ES|QL BUCKET (8.13 — the histogram grouping function, r15): "
+        "STATS ... BY day = BUCKET(ts, 1 day), vb = BUCKET(value, "
+        "25.0) — the time span truncates on the fixed-width epoch "
+        "grid (floor(epoch/width)*width, tz-independent instants), "
+        "the numeric span is floor(v/25)*25; both are scan-local "
+        "integer/double arithmetic feeding ONE two-key hash "
+        "aggregation, exactly the date_histogram + histogram agg "
+        "plan the DSL front-end emits. NULL values key to the NULL "
+        "group (the STATS BY contract). The oracle replays the same "
+        "grid arithmetic; MAX keeps the doubles order-free.",
+)
+def q_esql_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM events
+        | WHERE ts IS NOT NULL
+        | STATS n = COUNT(*), mx = MAX(value)
+                BY day = BUCKET(ts, 1 day), vb = BUCKET(value, 25.0)
+        | EVAL day = DATE_FORMAT("yyyy-MM-dd", day)
+        | SORT day ASC, vb ASC NULLS LAST
+    """, table="events")
+
+
+@register(
     "esql_fork",
     oracle="""
     WITH b1 AS (

@@ -496,6 +496,15 @@ def test_r14_mv_functions(spark):
                      's)')
 
 
+def test_drop_wildcards(spark):
+    q = ('ROW a_one = 1, a_two = 2, b = 3 | DROP a* | KEEP b')
+    assert _rows(spark, q)[0]["b"] == 3
+    with pytest.raises(ValueError, match="matches no columns"):
+        _rows(spark, "ROW a = 1 | DROP z*")
+    with pytest.raises(ValueError, match="every column"):
+        _rows(spark, "ROW a_one = 1, a_two = 2 | DROP a*")
+
+
 def test_bucket(spark):
     q = ('ROW v = 73.4, t = "2024-03-05 10:38:45" | EVAL '
          'b = BUCKET(v, 20.0), '

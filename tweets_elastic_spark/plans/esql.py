@@ -1689,9 +1689,24 @@ def _run_stages(
                 break
             df = df.select(*cols)
         elif p.eat_kw("DROP"):
+            # DROP col[, pre*...] — trailing-* wildcards expand like
+            # KEEP's (r15); a pattern matching nothing is the error,
+            # matching the unknown-column rule
             drops = []
             while True:
-                drops.append(_parse_name(p))
+                name = _parse_name(p)
+                if p.peek() == ("op", "*"):
+                    p.i += 1
+                    hits = [c for c in df.columns
+                            if c.startswith(name)]
+                    if not hits:
+                        raise ValueError(
+                            f"ES|QL: DROP pattern {name + '*'!r} "
+                            "matches no columns"
+                        )
+                    drops.extend(hits)
+                else:
+                    drops.append(name)
                 if p.peek() == ("op", ","):
                     p.i += 1
                     continue
@@ -1700,6 +1715,10 @@ def _run_stages(
             if missing:
                 raise ValueError(
                     f"ES|QL: DROP references unknown columns {missing}"
+                )
+            if not [c for c in df.columns if c not in drops]:
+                raise ValueError(
+                    "ES|QL: DROP would remove every column"
                 )
             df = df.drop(*drops)
         elif p.eat_kw("RENAME"):

@@ -17,8 +17,9 @@ Supported subset
   Divergence (documented at the compile site): ES caps output at
   ``size`` samples and picks per-stage events heuristically; this
   engine emits every qualifying key with the smallest-id event per
-  stage, keeping results hash-oracle-checkable. Pipes / ``until`` /
-  ``with runs`` refuse loudly.
+  stage, keeping results hash-oracle-checkable. (Sample queries take
+  no pipes/until/runs upstream either; the SEQUENCE kind supports
+  all three — see below.)
 * pipes ``head/tail/count/unique`` on BOTH query kinds: over hits for
   event queries, over sequence MATCHES in last-event hit order (ES
   orders sequence results by their final event's timestamp; ties break

@@ -496,6 +496,24 @@ def test_r14_mv_functions(spark):
                      's)')
 
 
+def test_hash_and_encoding_functions(spark):
+    import base64
+    import hashlib
+
+    q = ('ROW s = "spark" | EVAL m = MD5(s), s1 = SHA1(s), '
+         's2 = SHA256(s), b = TO_BASE64(s), fb = FROM_BASE64("c3Bhcms="), '
+         'bl = BIT_LENGTH(s), ol = BYTE_LENGTH("héh"), sp = SPACE(3) '
+         '| KEEP m, s1, s2, b, fb, bl, ol, sp')
+    r = _rows(spark, q)[0]
+    assert r["m"] == hashlib.md5(b"spark").hexdigest()
+    assert r["s1"] == hashlib.sha1(b"spark").hexdigest()
+    assert r["s2"] == hashlib.sha256(b"spark").hexdigest()
+    assert base64.b64decode(r["b"]) == b"spark"
+    assert r["fb"] == "spark"
+    assert r["bl"] == 40 and r["ol"] == 4   # é is 2 UTF-8 bytes
+    assert r["sp"] == "   "
+
+
 def test_drop_wildcards(spark):
     q = ('ROW a_one = 1, a_two = 2, b = 3 | DROP a* | KEEP b')
     assert _rows(spark, q)[0]["b"] == 3

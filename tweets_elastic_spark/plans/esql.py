@@ -71,6 +71,9 @@ token, the ES-SQL/EQL convention):
   HYPOT/TO_DEGREES/TO_RADIANS (1:1 Catalyst builtins), MV_APPEND,
   DATE_PARSE("pattern", s) (try_to_timestamp — NULL on unparseable),
   TO_DATETIME (ISO strings or millis-since-epoch),
+  MD5/SHA1/SHA256 (lowercase hex over UTF-8 bytes — the ES wire
+  form), TO_BASE64/FROM_BASE64, BIT_LENGTH/BYTE_LENGTH (BIGINT),
+  SPACE,
   IP_PREFIX(ip, v4_len, v6_len) (8.15 — family-matched prefix mask
   rendered canonically, the functions/ip.py machinery),
   CATEGORIZE(field) (8.16 — the deterministic categorize_text first
@@ -904,6 +907,35 @@ class _ExprParser:
         if fn == "REVERSE":
             need(1)
             return F.reverse(a[0])
+        # hash / encoding scalars (8.14) — 1:1 Catalyst builtins;
+        # hashes return lowercase hex over the UTF-8 bytes, the ES wire
+        # form (and DuckDB's md5()/sha256(), so oracles stay verbatim)
+        if fn == "MD5":
+            need(1)
+            return F.md5(a[0].cast("string"))
+        if fn == "SHA1":
+            need(1)
+            return F.sha1(a[0].cast("string"))
+        if fn == "SHA256":
+            need(1)
+            return F.sha2(a[0].cast("string"), 256)
+        if fn == "TO_BASE64":
+            need(1)
+            return F.base64(a[0].cast("binary"))
+        if fn == "FROM_BASE64":
+            # decoded bytes rendered back as a UTF-8 string (the
+            # engine's text representation; ES returns the raw bytes)
+            need(1)
+            return F.unbase64(a[0]).cast("string")
+        if fn == "BIT_LENGTH":
+            need(1)
+            return F.bit_length(a[0].cast("string")).cast("bigint")
+        if fn == "BYTE_LENGTH":
+            need(1)
+            return F.octet_length(a[0].cast("string")).cast("bigint")
+        if fn == "SPACE":
+            need(1)
+            return F.repeat(F.lit(" "), a[0].cast("int"))
         if fn == "REPEAT":
             need(2)
             return F.repeat(a[0], a[1])

@@ -315,6 +315,7 @@ HEADLINE = [
     "esql_enrich",
     "esql_stats_where",
     "esql_fork",
+    "esql_bucket_stats",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -633,6 +633,17 @@ def test_fork(spark, people):
     assert len(rows3) == 5
 
 
+def test_fork_is_single_scan_union(spark, people):
+    # FORK compiles to N branch plans + one unionByName: no Exchange
+    # appears for projection/filter branches — the union is not a
+    # shuffle and the upstream stages are never re-read through one
+    df = esql(spark, "FROM people | FORK (WHERE h > 1 | KEEP id) "
+                     "(KEEP id)", people)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    assert "Exchange" not in plan
+
+
 def test_like_rlike_pattern_lists(spark, people):
     # 8.16 list forms: true when ANY pattern matches; one rlike
     q = 'FROM people | WHERE name LIKE ("A*", "B*") | SORT id | KEEP name'

@@ -534,9 +534,16 @@ def test_bucket(spark):
     assert r["b"] == 60.0
     assert r["d"].hour == 0 and r["h6"].hour == 6
     assert r["mo"] == "2024-03-01"
+    # 1 week is a CALENDAR period: Monday-anchored (ISO), not the
+    # epoch-grid Thursday a 604800-second width would give
+    r2 = _rows(spark, 'ROW t = "2024-03-07 09:00:00" | EVAL '
+                      'w = DATE_FORMAT("yyyy-MM-dd", '
+                      'BUCKET(TO_DATETIME(t), 1 week)) | KEEP w')[0]
+    assert r2["w"] == "2024-03-04"    # the Monday of that week
     cases = [
         ("ROW v = 1 | EVAL b = BUCKET(v, 20, 0, 100)", "auto-width"),
         ("ROW v = 1 | EVAL b = BUCKET(v, 2 months)", "count of 1"),
+        ("ROW v = 1 | EVAL b = BUCKET(v, 2 weeks)", "count of 1"),
         ("ROW v = 1 | EVAL b = BUCKET(v, 1 fortnight)", "time unit"),
         ("ROW v = 1 | EVAL b = BUCKET(v, 1.5 days)", "integer"),
         ("ROW v = 1 | EVAL b = BUCKET(v, 0)", "positive"),

@@ -80,9 +80,10 @@ token, the ES-SQL/EQL convention):
   pass shared with the agg front-end; the ML similarity merge is the
   same refused divergence; valid anywhere, a permissive superset of
   upstream's STATS-BY-only rule), and BUCKET(expr, span) (8.13 —
-  numeric span = floor grid; `N second..week` time spans truncate on
-  the fixed-width epoch grid; calendar `1 month|quarter|year` via
-  date_trunc, N > 1 calendar refused like the date_histogram agg;
+  numeric span = floor grid; `N second..day` durations truncate on
+  the fixed-width epoch grid; calendar `1 week|month|quarter|year`
+  via date_trunc (week is Monday-anchored, the upstream DATE_PERIOD
+  rule), N > 1 calendar refused like the date_histogram agg;
   the 4-arg auto-width form refused — not a reproducible contract).
 * multivalue functions: MV_COUNT, MV_MIN, MV_MAX, MV_FIRST, MV_LAST,
   MV_DEDUPE, MV_SORT(col[, "ASC"|"DESC"]), MV_ZIP(a, b[, delim]),
@@ -554,7 +555,7 @@ class _ExprParser:
                 self.i += 1
                 u = unit.lower().rstrip("s")
                 secs = {"second": 1, "minute": 60, "hour": 3600,
-                        "day": 86400, "week": 604800}
+                        "day": 86400}
                 if u in secs:
                     if isinstance(span, float):
                         raise ValueError(
@@ -566,7 +567,13 @@ class _ExprParser:
                     ep = F.unix_timestamp(c)
                     return F.timestamp_seconds(
                         F.floor(ep / width).cast("long") * width)
-                if u in ("month", "year", "quarter"):
+                if u in ("week", "month", "year", "quarter"):
+                    # calendar (DATE_PERIOD) units truncate on the
+                    # calendar grid — `1 week` is MONDAY-anchored
+                    # (ISO, matching upstream's weekly buckets), not
+                    # the epoch-grid Thursday a 604800s width would
+                    # give; N > 1 has no fixed width, refused like
+                    # the date_histogram calendar_interval rule
                     if span != 1:
                         raise ValueError(
                             f"ES|QL: BUCKET calendar unit {unit!r} "

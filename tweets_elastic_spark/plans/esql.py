@@ -113,14 +113,14 @@ token, the ES-SQL/EQL convention):
   extra pass, no second scan) — with
   COUNT(*)/COUNT(expr), COUNT_DISTINCT (EXACT — ES|QL uses HLL; the
   documented strictly-more-accurate divergence shared with the
-  cardinality agg), SUM/AVG/MIN/MAX, MEDIAN and PERCENTILE(expr, p),
-  and the r15 widening: WEIGHTED_AVG(value, weight) (null value OR
-  weight drops the row), STD_DEV (population, the extended_stats
-  basis), VALUES (all values as a multivalue — sorted ascending here;
-  upstream leaves the order unspecified), TOP(field, limit, "ASC" |
-  "DESC") (bounded multivalue)
+  cardinality agg), SUM/AVG/MIN/MAX, MEDIAN and PERCENTILE(expr, p)
   (EXACT interpolated — ES|QL uses t-digest; same divergence class,
-  same as DuckDB quantile_cont so oracles compare exactly).
+  same as DuckDB quantile_cont so oracles compare exactly), and the
+  r15 widening: WEIGHTED_AVG(value, weight) (null value OR weight
+  drops the row), STD_DEV (population, the extended_stats basis),
+  VALUES (all values as a multivalue — sorted ascending here;
+  upstream leaves the order unspecified), TOP(field, limit, "ASC" |
+  "DESC") (bounded multivalue).
 
 * ``LOOKUP JOIN <lookup_index> ON <field>`` (ES 8.18): a broadcast
   LEFT join against a second catalog table; lookup-side columns

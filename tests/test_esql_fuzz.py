@@ -41,6 +41,12 @@ def _cond(rng: random.Random, depth: int) -> tuple[str, str]:
             return f"lang IN ({e})", f"lang IN ({s})"
         if kind == 3:
             n = rng.randint(0, 2)
+            if rng.random() < 0.3:
+                # the 8.16 pattern-list form: any-match (r15)
+                n2 = rng.randint(0, 3)
+                return (f'source LIKE ("src{n}*", "src{n2}*")',
+                        f"(source LIKE 'src{n}%' OR "
+                        f"source LIKE 'src{n2}%')")
             return (f'source LIKE "src{n}*"',
                     f"source LIKE 'src{n}%'")
         m = rng.randint(2, 9)
@@ -126,6 +132,78 @@ _INLINE_AGGS = [
      "CAST(count(*) OVER (PARTITION BY {k}) AS BIGINT) AS c",
      "c > 10", "c > 10"),
 ]
+
+
+def _filtered_agg(rng: random.Random) -> tuple[str, str]:
+    """One per-aggregate-WHERE item (8.16, r15) + its CASE-conditional
+    DuckDB replay."""
+    ce, cs = _cond(rng, 1)
+    forms = [
+        (f"fn = COUNT(*) WHERE {ce}",
+         f"CAST(count(CASE WHEN {cs} THEN 1 END) AS BIGINT) AS fn"),
+        (f"fs = SUM(n_chars) WHERE {ce}",
+         f"CAST(sum(CASE WHEN {cs} THEN n_chars END) AS BIGINT) AS fs"),
+        (f"fm = MAX(n_chars) WHERE {ce}",
+         f"max(CASE WHEN {cs} THEN n_chars END) AS fm"),
+        (f"fd = COUNT_DISTINCT(lang) WHERE {ce}",
+         f"CAST(count(DISTINCT CASE WHEN {cs} THEN lang END) AS BIGINT)"
+         " AS fd"),
+    ]
+    return rng.choice(forms)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_esql_stats_where_fuzz_matches_duckdb(spark, seed):
+    """Shape D (r15): per-aggregate WHERE filters + the WEIGHTED_AVG /
+    STD_DEV widening, vs CASE-conditional aggregates on DuckDB. The
+    weighted average divides two EXACT integer sums, so the single
+    double division is bit-deterministic cross-engine."""
+    rng = random.Random(11000 + seed)
+    docs = load_table(spark, SF, "documents")
+    tabs = {"documents": docs}
+    ce, cs = _cond(rng, 2)
+    f1e, f1s = _filtered_agg(rng)
+    key = rng.choice(["lang", "source"])
+    q = (f"FROM documents | WHERE {ce} "
+         f"| STATS n = COUNT(*), {f1e}, "
+         f"sd = ROUND(STD_DEV(n_chars), 4), "
+         f"wa = ROUND(WEIGHTED_AVG(n_chars, doc_id), 4) BY {key} "
+         f"| SORT {key} ASC")
+    sql = (f"SELECT {key}, CAST(count(*) AS BIGINT) AS n, {f1s}, "
+           f"round(stddev_pop(n_chars), 4) AS sd, "
+           f"round(sum(CASE WHEN n_chars IS NOT NULL AND doc_id IS NOT "
+           f"NULL THEN n_chars * doc_id END) "
+           f"/ sum(CASE WHEN n_chars IS NOT NULL AND doc_id IS NOT NULL "
+           f"THEN doc_id END), 4) AS wa "
+           f"FROM documents WHERE {cs} GROUP BY 1 ORDER BY 1")
+    ok, msg = compare(esql(spark, q, tabs), sql, SF)
+    assert ok, f"shape D seed {seed}: {msg}\n{q}\n{sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_esql_bucket_fuzz_matches_duckdb(spark, seed):
+    """Shape E (r15): BUCKET numeric + fixed-width time spans as STATS
+    BY keys, vs the same grid arithmetic on DuckDB."""
+    rng = random.Random(12000 + seed)
+    events = load_table(spark, SF, "events")
+    tabs = {"events": events}
+    w = rng.choice([5.0, 10.0, 25.0, 50.0])
+    hrs = rng.randint(1, 12)
+    q = (f"FROM events | WHERE ts IS NOT NULL "
+         f"| STATS n = COUNT(*), mx = MAX(value) "
+         f"BY vb = BUCKET(value, {w}), "
+         f"tb = BUCKET(ts, {hrs} hours) "
+         f'| EVAL tb = DATE_FORMAT("yyyy-MM-dd HH:mm", tb) '
+         f"| SORT vb ASC NULLS LAST, tb ASC")
+    width = hrs * 3600
+    sql = (f"SELECT floor(value / {w}) * {w} AS vb, "
+           f"strftime(to_timestamp(floor(epoch(ts) / {width}) * {width}),"
+           f" '%Y-%m-%d %H:%M') AS tb, "
+           f"CAST(count(*) AS BIGINT) AS n, max(value) AS mx "
+           f"FROM events WHERE ts IS NOT NULL "
+           f"GROUP BY 1, 2 ORDER BY 1 NULLS LAST, 2")
+    ok, msg = compare(esql(spark, q, tabs), sql, SF)
+    assert ok, f"shape E seed {seed}: {msg}\n{q}\n{sql}"
 
 
 @pytest.mark.parametrize("seed", range(12))

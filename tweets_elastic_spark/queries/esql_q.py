@@ -520,8 +520,11 @@ def q_esql_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "page AND its per-type aggregate in one query — and union by "
         "name with the `_fork` discriminator ('fork1'/'fork2', branch "
         "order), missing columns NULL. Compiled as N plans over the "
-        "SAME scan plus one no-shuffle unionByName; the upstream "
-        "stages are never re-read. Both branches stay order-safe: the "
+        "SAME source plus one no-shuffle unionByName (each branch "
+        "embeds its own copy of the upstream plan, so Spark executes "
+        "the upstream stages once per branch — cheap here, a bare "
+        "scan+filter; persist() first when the pre-FORK pipe is "
+        "expensive). Both branches stay order-safe: the "
         "detail branch ties break on event_id, the agg branch uses "
         "order-free COUNT/MAX.",
 )
@@ -582,6 +585,54 @@ def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nations": {"table": nation, "match_field": "n_nationkey",
                     "enrich_fields": ["n_name", "n_regionkey"]},
     }).select("nation", "cnt", "hi", "lo", "region_key")
+
+
+_SAMPLE_P = 0.2
+_SAMPLE_SEED = 7
+# the EXACT threshold the compiler computes (int() of the float
+# product) — the oracle must compare against the same literal
+_SAMPLE_THRESHOLD = int(_SAMPLE_P * (1 << 60))
+
+
+@register(
+    "esql_sample_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           max(n_chars) AS mx
+    FROM documents
+    WHERE lang IS NOT NULL
+      AND ('0x' || substr(md5(concat_ws(chr(31),
+               CAST(doc_id AS VARCHAR), lang,
+               CAST(n_chars AS VARCHAR), '{_SAMPLE_SEED}')),
+           1, 15))::BIGINT < {_SAMPLE_THRESHOLD}
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+    doc="ES|QL SAMPLE (8.19 tech preview, r16 — the verdict's "
+        "most-likely next user hit among the former refusals): "
+        "FROM | WHERE | KEEP | SAMPLE 0.2 7 | STATS ... BY lang. "
+        "Upstream samples non-reproducibly over internal doc ids; "
+        "this engine samples DETERMINISTICALLY by portable hash "
+        "(hash60 of the current columns + seed < p*2^60 — the same "
+        "documented determinism divergence as the aggs front-end's "
+        "random_sampler), which makes the sample a pure scan-riding "
+        "predicate: no shuffle, no RNG state, identical draw at any "
+        "partitioning and in the DuckDB oracle. KEEP precedes SAMPLE "
+        "so the hash key is pinned to int/string columns (cross-"
+        "engine stable formatting). At 100 TB this is the only "
+        "sampling shape that scales: df.sample() is partition-"
+        "dependent and unreproducible across engines/retries.",
+)
+def q_esql_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, f"""
+        FROM documents
+        | WHERE lang IS NOT NULL
+        | KEEP doc_id, lang, n_chars
+        | SAMPLE {_SAMPLE_P} {_SAMPLE_SEED}
+        | STATS n = COUNT(*), mx = MAX(n_chars) BY lang
+        | SORT lang ASC
+    """)
 
 
 # splice the shared BM25 oracle in (search_q owns it; importing the

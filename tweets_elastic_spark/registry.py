@@ -82,86 +82,64 @@ def bench_variants() -> dict[str, QueryFn]:
 # Per-round rotation rationale lives in COVERAGE.md ("Verification
 # structure" + the round-N addition notes), not here.
 DRIVER_PRIORITY: list[str] = [
-    # r15 ROTATION (the COVERAGE.md burn-down schedule's r15 wave plus
-    # the round's new code; 27 first-time entries). IN: the 20
-    # pre-replayed scoring-variant + fuzzy + sampling/stats-agg rows
-    # (search_script_score ... search_has_parent below), the r15-new
-    # esql_enrich (ENRICH compiled onto the LOOKUP JOIN broadcast
-    # path), and SIX rows pulled forward from the r16 agg-remainder
-    # wave (es_aggs_terms_top, es_aggs_filters, es_aggs_filters_metrics,
-    # es_aggs_extended_stats, es_aggs_composite_missing,
-    # es_aggs_cumulative_cardinality — all pre-replayed green at sf0.01
-    # under the STRENGTHENED 17-significant-digit local gate).
-    # RE-SEATED, not first-time: es_aggs_parent (the r14 RED row —
-    # order-dependent float-sum oracle, fixed with exact DECIMAL(18,2)
-    # sums on both engines) and es_aggs_children (its lucky twin, same
-    # fix) so the driver verifies the fix class at its own parallelism;
-    # es_aggs_ip_prefix_v6 (same fix class) keeps its seat for the same
-    # reason; esql_change_point keeps its seat because the r15
-    # boundedness guard touched its compile path (new-code-first). OUT
-    # (all green r14, all still hash-gated every run by
-    # test_oracle_parity.py at 17g — STRICTER than the old 10g gate):
-    # exists_child_hof, es_aggs_nested_terms, es_aggs_reverse_nested,
-    # es_aggs_significant_chi2 + _text (es_aggs_significant_terms takes
-    # the significance seat), the runtime-field/doc-API six
-    # (es_request_runtime_field, events_json_runtime_field,
-    # es_termvectors, es_mget, delete_by_query, update_by_query — S11
-    # verified r14), search_terms_lookup, search_cross_fields,
-    # search_geo_shape, script_profile, robots_gate_survivors, the five
-    # r13 ES|QL rows + esql_lookup_join/inlinestats/grok/cidr_dates
-    # (esql_enrich + esql_change_point keep the ES|QL seats),
-    # bpe_token_stats, video_frame_dups_fmp4 (image_near_dups keeps the
-    # multimodal seat).
+    # r16 ROTATION — THE FULL BACKLOG CLOSE-OUT. Entering r16 the
+    # cumulative ever-driver-green ledger stood at 218/262 (backlog
+    # 44). ALL 44 remaining never-driver-verified entries replay green
+    # at sf0.01 under the 17-significant-digit gate at TWO
+    # shuffle-partition layouts (scripts/replay_backlog.py, run this
+    # round), every one has a primitive-only schema (driver
+    # canonicalizer requirement, checked this round), so the whole
+    # backlog seats at once: 1 flagship + 44 first-time + 1 new-code
+    # row (esql_sample_stats — the r16-new ES|QL SAMPLE command,
+    # new-code-first) + 4 long-green family-representative keepers
+    # (dedup pair generation, SemDeDup, the WARC end-to-end
+    # composition, multimodal decode) = 50. If r16 comes back green
+    # the burn-down ends a round early: every registry entry
+    # ever-driver-verified. OUT (all green r15, all still hash-gated
+    # every run by test_oracle_parity.py at 17g): the whole r15 wave —
+    # scoring variants/fuzzy, sampling/stats aggs, request surfaces,
+    # esql_enrich/esql_change_point, the six pulled-forward agg rows,
+    # es_aggs_parent/children/ip_prefix_v6 (decimal-sum fix class,
+    # driver-confirmed r15), retriever/EQL/analyzer/curation/ANN/
+    # chunking seats.
     # Prior waves' rationale: git history of this list + COVERAGE.md
     # rotation notes.
     #
     # flagship
     "tweet_documents_flat",
-    # the r14 red row + its twin, re-seated to driver-verify the
-    # decimal-sum fix at driver parallelism
-    "es_aggs_parent", "es_aggs_children",
-    # r15 wave: scoring variants + fuzzy (driver-dark since r8-r11)
-    "search_script_score", "search_decay_recency",
-    "search_dis_max_boosting", "search_rank_feature_prefix",
-    "search_pinned_distance", "search_match_fuzzy",
-    "search_dsl_fuzzy_ids", "search_match_bool_prefix",
-    "search_multi_match", "search_phrase_slop",
-    # r15 wave: sampling/stats aggs + request surfaces
-    "es_aggs_random_sampler", "es_aggs_diversified_sampler",
-    "es_aggs_boxplot", "es_aggs_string_stats", "es_aggs_t_test",
-    "es_request_rescore", "es_request_highlight",
-    "es_request_search_after", "es_aggs_significant_terms",
-    "search_has_parent",
-    # r15-new ES|QL ENRICH + the guard-touched CHANGE_POINT seat
-    "esql_enrich", "esql_change_point",
-    # pulled forward from the r16 agg-remainder wave (pre-replayed
-    # green this round; extended_stats + filters_metrics also carry
-    # the r15 float-sum hardening)
-    "es_aggs_terms_top", "es_aggs_filters", "es_aggs_filters_metrics",
-    "es_aggs_extended_stats", "es_aggs_composite_missing",
-    "es_aggs_cumulative_cardinality",
-    # retriever + ES agg family representatives
-    "es_request_retriever_rrf",
-    "es_aggs_adjacency_nested_terms", "es_aggs_ip_prefix_v6",
-    # EQL seat
-    "eql_sample_by_stage",
-    # analyzers
-    "analyze_englando",
-    # crawl -> corpus (the end-to-end composition keeps the seat for
-    # the whole WARC/gates/extraction family)
-    "crawl_main_text_pipeline",
-    # dedup families — the granularity ladder
-    "dedup_near_survivors", "dedup_near_best_survivors",
-    "semdedup_survivors", "corpus_clean",
-    # parent-join (r8 s4)
-    "search_has_child",
-    # ANN families — exact baseline + IVF(-PQ)
-    "ann_cosine_topk", "ann_ivfpq_topk",
-    # curation ship stage
-    "decontaminate_survivors", "pii_redact",
-    "training_shards", "dsir_sample",
-    # chunking + multimodal
-    "chunk_documents", "image_near_dups_jpeg_lossless",
+    # r16-new code first: the ES|QL SAMPLE command (deterministic
+    # portable-hash sampling; the verdict's task 3)
+    "esql_sample_stats",
+    # r15-new ES|QL trio (parity-green at birth, driver-dark until now)
+    "esql_stats_where", "esql_fork", "esql_bucket_stats",
+    # agg remainder wave (the COVERAGE.md r16 schedule)
+    "es_aggs_scripted_metric", "es_aggs_variable_width_histogram",
+    "es_aggs_normalize", "es_aggs_terms_order_metric",
+    "es_aggs_sibling_stats", "es_aggs_rate_serial_diff",
+    "es_aggs_multi_terms_mad", "es_aggs_multi_terms_mad_sketch",
+    "es_aggs_date_range_weighted", "es_aggs_geo_line",
+    "es_aggs_geo_centroid", "es_aggs_ip_prefix", "es_aggs_ip_range",
+    "es_aggs_categorize_text", "es_aggs_change_point",
+    "es_aggs_significant_script",
+    # search/request stragglers (the promoted r17 six + the rest)
+    "es_rank_eval_err", "search_template", "search_explain_parts",
+    "search_terms_set", "search_sparse_vector", "search_dsl_extended",
+    "es_request_sorted_hits", "search_function_score_fvf",
+    "search_match_fuzzy_indexed",
+    # EQL event trio + ES-SQL remainder
+    "eql_event_query", "eql_event_pipes", "eql_event_functions",
+    "essql_filter_query",
+    # dedup/ANN locally-pinned twins, driver-seated at last
+    "decontaminate_fuzzy_survivors", "dup_ngram_stats",
+    "tfidf_hashed_sparse", "ann_ivf_portable_multi",
+    "ann_cosine_topk_mrl", "ann_mrl_rerank_topk", "ann_pq_topk_indexed",
+    # relational/window/ML remainder
+    "pricing_rollup_cube", "vocab_top_tokens",
+    "corpus_length_quantiles", "events_daily_unpivot",
+    "ml_anomaly_score",
+    # keepers: one long-green representative per heavy family
+    "dedup_near_survivors", "semdedup_survivors",
+    "crawl_main_text_pipeline", "image_near_dups_jpeg_lossless",
 ]
 
 

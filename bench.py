@@ -316,6 +316,13 @@ HEADLINE = [
     "esql_stats_where",
     "esql_fork",
     "esql_bucket_stats",
+    # r16: SAMPLE (8.19 — deterministic portable-hash sampling, a pure
+    # scan-riding predicate feeding one hash aggregation), QSTR
+    # (Lucene query-string syntax in WHERE), and the exact-MAD +
+    # ROUND_TO STATS row
+    "esql_sample_stats",
+    "esql_qstr_score",
+    "esql_mad_round_to",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;
@@ -397,6 +404,14 @@ SF1_HEADLINE = [
     # customer/nation star are all in the fixture)
     "esql_lookup_join", "esql_inlinestats", "esql_grok",
     "esql_cidr_dates", "esql_change_point",
+    # r16 (r15 verdict task 4): fourth-decade cells for the heaviest
+    # r15 ES|QL shapes — the two-key BUCKET grid and FORK — plus the
+    # per-aggregate-WHERE STATS and the new SAMPLE row. All read
+    # events/documents, which the fixture has; esql_enrich stays out
+    # (reads supplier, absent from the derived sf1 star — documented
+    # fixture-absence, SCALING.md).
+    "esql_stats_where", "esql_fork", "esql_bucket_stats",
+    "esql_sample_stats",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -773,6 +788,15 @@ def main() -> None:
         "index_build_sec": index_build_sec,
         "calibration_sec": calibration_sec,
         "full": full_name,
+        # r16 (r15 verdict task 6): the top-3 per-query spreads IN the
+        # compact tail, so the driver artifact itself shows
+        # stall-vs-plan at a glance (a large spread = an exogenous
+        # shared-box stall hit some samples of that query; the min
+        # dodged it) without opening bench_full.json
+        "queries_spread_top3": {
+            n: spread[n]
+            for n in sorted(spread, key=spread.get, reverse=True)[:3]
+        },
         "queries_other_total_sec": round(
             sum(v for n, v in times.items() if n not in subset), 3),
         "queries": {n: times[n] for n in subset},

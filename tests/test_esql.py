@@ -981,3 +981,77 @@ def test_sample_refusals(spark, people):
         esql(spark, "FROM people | SAMPLE -0.1", people)
     with pytest.raises(ValueError, match="seed must be an integer"):
         esql(spark, "FROM people | SAMPLE 0.5 1.5", people)
+
+
+def test_hash_scalb_round_to(spark):
+    import hashlib
+    r = _rows(spark, 'ROW s = "abc" | EVAL h1 = HASH("md5", s), '
+                     'h2 = HASH("sha256", s), h3 = HASH("nope", s), '
+                     'sc = SCALB(3.0, 4), '
+                     'a = ROUND_TO(7.5, 0, 5, 10), '
+                     'b = ROUND_TO(0 - 3, 0, 5, 10), '
+                     'c = ROUND_TO(12, 0, 5, 10) '
+                     '| KEEP h1, h2, h3, sc, a, b, c')[0]
+    assert r["h1"] == hashlib.md5(b"abc").hexdigest()
+    assert r["h2"] == hashlib.sha256(b"abc").hexdigest()
+    assert r["h3"] is None            # unknown algorithm -> NULL
+    assert r["sc"] == 48.0            # 3 * 2^4
+    assert r["a"] == 5.0              # largest point <= 7.5
+    assert r["b"] == 0.0              # below all points -> smallest
+    assert r["c"] == 10.0
+
+
+def test_mv_concat_mad_pseries(spark):
+    r = _rows(spark, 'ROW s = "a b c" '
+                     '| EVAL j = MV_CONCAT(SPLIT(s, " "), "-") '
+                     '| KEEP j')[0]
+    assert r["j"] == "a-b-c"
+    # 1,2,3,4,9 -> median 3; |devs| 2,1,0,1,6 -> median 1
+    r = _rows(spark, 'ROW s = "1 2 3 4 9" '
+                     '| EVAL m = MV_MEDIAN_ABSOLUTE_DEVIATION('
+                     'SPLIT(s, " ")) | KEEP m')[0]
+    assert r["m"] == 1.0
+    # list order positional weights: 2/1 + 4/2 + 8/3
+    r = _rows(spark, 'ROW s = "2 4 8" '
+                     '| EVAL w = MV_PSERIES_WEIGHTED_SUM('
+                     'SPLIT(s, " "), 1.0) | KEEP w')[0]
+    assert abs(r["w"] - (2 + 2 + 8 / 3)) < 1e-9
+
+
+def test_median_absolute_deviation_agg(spark, people):
+    # h = 170,180,NULL,160,150 -> median 165, |devs| 15,5,5,15 -> 10
+    rows = _rows(spark, "FROM people "
+                        "| STATS mad = MEDIAN_ABSOLUTE_DEVIATION(h)",
+                 people)
+    assert rows[0]["mad"] == 10.0
+    # grouped: eng h=170,180 -> median 175, devs 5,5 -> 5
+    rows = _rows(spark, "FROM people | STATS "
+                        "mad = MEDIAN_ABSOLUTE_DEVIATION(h) BY team "
+                        "| SORT team", people)
+    assert rows[0]["team"] == "eng" and rows[0]["mad"] == 5.0
+
+
+def test_qstr(spark, people):
+    # field-scoped keyword syntax works with NO analyzer bindings
+    rows = _rows(spark, 'FROM people '
+                        '| WHERE QSTR("team:eng AND h:[175 TO 200]") '
+                        '| KEEP name', people)
+    assert [r["name"] for r in rows] == ["Bob"]
+    # bare terms resolve against the single analyzer-bound field
+    docs = spark.createDataFrame(
+        [(1, "spark merge fast"), (2, "slow table"), (3, "spark only")],
+        "doc_id long, text string")
+    from tweets_elastic_spark.plans.esql import esql
+    out = esql(spark, 'FROM documents METADATA _score '
+                      '| WHERE QSTR("spark AND merge") '
+                      '| KEEP doc_id, _score',
+               {"documents": docs}, analyzers={"text": "standard"})
+    got = {r["doc_id"]: r["_score"] for r in out.collect()}
+    assert set(got) == {1} and got[1] == 2.0   # constant-weight sum
+    # bare term + no binding -> loud refusal
+    with pytest.raises(ValueError, match="bare .*term"):
+        esql(spark, 'FROM people | WHERE QSTR("loose")',
+             people).collect()
+    # outside WHERE -> refusal (same contract as MATCH)
+    with pytest.raises(ValueError, match="only valid in WHERE"):
+        esql(spark, 'FROM people | EVAL x = QSTR("team:eng")', people)

@@ -141,6 +141,37 @@ def categorize_key(src: Column, max_matched_tokens=None) -> Column:
     )
 
 
+def mad_expr(value: Column, ov=lambda c: c) -> Column:
+    """EXACT median absolute deviation — median(|x - median(x)|), both
+    medians linearly interpolated — as ONE sorted-array aggregate.
+    Shared by the agg front-end's ``median_absolute_deviation`` metric
+    and ES|QL's ``MEDIAN_ABSOLUTE_DEVIATION`` (upstream estimates with
+    t-digest; this engine is exact — the documented divergence).
+    ``ov`` wraps the inner collect_list for INLINESTATS windows.
+    Per-group memory is O(group size), the cost of exactness; the
+    bounded-state sketch alternative lives in _pop_sketch_mads."""
+    arr = F.array_sort(ov(F.collect_list(value)))
+
+    def _arr_median(a: Column) -> Column:
+        n = F.size(a)
+        lo = F.element_at(a, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(a, (n / 2 + 1).cast("int"))
+        return F.when(n > 0, (lo + hi) / 2.0)
+
+    def _mad_of(xs: Column) -> Column:
+        # xs is a BOUND lambda variable: every reference is an O(1)
+        # attribute lookup. Embedding `arr` directly would nest the
+        # sort inside the per-element deviation lambda (Catalyst
+        # does not CSE across lambda bodies) → O(n²·log n) on a
+        # populous bucket; binding once keeps the whole metric
+        # O(n·log n).
+        med = _arr_median(xs)
+        devs = F.array_sort(F.transform(xs, lambda x: F.abs(x - med)))
+        return _arr_median(devs)
+
+    return F.element_at(F.transform(F.array(arr), _mad_of), 1)
+
+
 def _bucket_key(kind: str, body: dict) -> Column:
     """Bucket-key expression. ES's null contract: documents missing the
     field fall out of the aggregation unless ``missing`` supplies a
@@ -1049,28 +1080,7 @@ def _metric_cols(aggs: dict) -> list[Column]:
                     "execution_hint) is supported under the terms/"
                     "multi_terms/date_histogram/histogram bucket families"
                 )
-            arr = F.array_sort(
-                F.collect_list(F.col(body["field"]).cast("double"))
-            )
-
-            def _arr_median(a: Column) -> Column:
-                n = F.size(a)
-                lo = F.element_at(a, ((n + 1) / 2).cast("int"))
-                hi = F.element_at(a, (n / 2 + 1).cast("int"))
-                return F.when(n > 0, (lo + hi) / 2.0)
-
-            def _mad_of(xs: Column) -> Column:
-                # xs is a BOUND lambda variable: every reference is an O(1)
-                # attribute lookup. Embedding `arr` directly would nest the
-                # sort inside the per-element deviation lambda (Catalyst
-                # does not CSE across lambda bodies) → O(n²·log n) on a
-                # populous bucket; binding once keeps the whole metric
-                # O(n·log n).
-                med = _arr_median(xs)
-                devs = F.array_sort(F.transform(xs, lambda x: F.abs(x - med)))
-                return _arr_median(devs)
-
-            bound = F.element_at(F.transform(F.array(arr), _mad_of), 1)
+            bound = mad_expr(F.col(body["field"]).cast("double"))
             out.append(F.round(bound, 6).alias(name))
         elif kind == "boxplot":
             # ES ``boxplot``: min/max and the three quartiles. ES

@@ -23,8 +23,11 @@ token, the ES-SQL/EQL convention):
   [, _index]]`` (the engine's tables are the indices; multiple names
   / trailing-* patterns union with missing columns NULL, the ES
   multi-index read; ``METADATA _score`` surfaces the BM25 relevance
-  accumulated by scoring ``WHERE MATCH(...)`` stages, the 8.16
-  full-text contract; ``METADATA _index`` tags each row with the
+  accumulated by scoring ``WHERE MATCH(...)`` / ``WHERE QSTR(...)``
+  stages, the 8.16 full-text contract (QSTR compiles the Lucene
+  query-string syntax through plans/query_string.py — field:term,
+  AND/OR/NOT, +/-, ranges, wildcards, fuzzy, boosts; bare terms
+  resolve to the single analyzer-bound field, else refused); ``METADATA _index`` tags each row with the
   catalog name of the index it was read from — the multi-index
   provenance column, a scan-local literal) and
   ``ROW name = literal, ...``.
@@ -97,7 +100,11 @@ token, the ES-SQL/EQL convention):
   (0-based inclusive bounds; negative bounds count from the end,
   empty/out-of-range windows NULL), MV_APPEND, MV_PERCENTILE(col, p)
   (exact linear interpolation — the PERCENTILE divergence class;
-  p outside [0,100] -> NULL).
+  p outside [0,100] -> NULL), MV_CONCAT(arr, delim),
+  MV_MEDIAN_ABSOLUTE_DEVIATION (exact), MV_PSERIES_WEIGHTED_SUM
+  (positional rank weights in list order). MV_MEDIAN /
+  MV_PERCENTILE / MV_MEDIAN_ABSOLUTE_DEVIATION drop NULL elements
+  before ranking.
 * ``INLINESTATS [name =] agg [, ...] [BY expr [, ...]]`` (the 8.16
   preview command): STATS that APPENDS instead of collapsing — BY form
   compiles to window aggregates over partitionBy(keys) (one exchange,
@@ -122,6 +129,8 @@ token, the ES-SQL/EQL convention):
   same as DuckDB quantile_cont so oracles compare exactly), and the
   r15 widening: WEIGHTED_AVG(value, weight) (null value OR weight
   drops the row), STD_DEV (population, the extended_stats basis),
+  MEDIAN_ABSOLUTE_DEVIATION (EXACT — upstream t-digest; shared with
+  the aggs front-end's metric, r16),
   VALUES (all values as a multivalue — sorted ascending here;
   upstream leaves the order unspecified), TOP(field, limit, "ASC" |
   "DESC") (bounded multivalue).
@@ -202,8 +211,8 @@ _KEYWORDS = {
 }
 
 _AGG_FNS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
-            "MEDIAN", "PERCENTILE", "WEIGHTED_AVG", "STD_DEV",
-            "VALUES", "TOP"}
+            "MEDIAN", "MEDIAN_ABSOLUTE_DEVIATION", "PERCENTILE",
+            "WEIGHTED_AVG", "STD_DEV", "VALUES", "TOP"}
 
 
 def _tokenize(text: str):
@@ -260,6 +269,7 @@ class _ExprParser:
         # shared ES-SQL builder compiling onto the DSL's Match/BM25Match
         # nodes); MATCH() outside WHERE raises
         self.make_match = None
+        self.make_qstr = None
         self.match_scores: list = []
 
     def peek(self):
@@ -494,6 +504,28 @@ class _ExprParser:
                 )
             self.expect_op(")")
             pred, score = self.make_match(field, text, {})
+            self.match_scores.append(score)
+            return pred
+        if fn == "QSTR":
+            # ES|QL 8.16 full-text: QSTR("lucene query string") as a
+            # WHERE predicate — the Kibana-bar syntax compiled through
+            # the SAME plans/query_string.py parser the DSL front-end
+            # uses (field:term, AND/OR/NOT, +/-, ranges, wildcards,
+            # fuzzy, boosts). Upstream resolves bare terms via the
+            # index's default_field setting; this engine resolves them
+            # to the single analyzer-bound field when exactly one is
+            # bound, and refuses otherwise (field-scope the terms) —
+            # a loud stand-in for a setting that has no analog here.
+            if self.make_qstr is None:
+                raise ValueError(
+                    "ES|QL: QSTR() is only valid in WHERE"
+                )
+            self.expect_op("(")
+            k, text = self.next()
+            if k != "str":
+                raise ValueError("ES|QL: QSTR needs a string query")
+            self.expect_op(")")
+            pred, score = self.make_qstr(text)
             self.match_scores.append(score)
             return pred
         # functions whose literal arguments must be consumed at the
@@ -980,6 +1012,23 @@ class _ExprParser:
         if fn == "SHA256":
             need(1)
             return F.sha2(a[0].cast("string"), 256)
+        if fn == "HASH":
+            # HASH(alg, input) (8.16): the generic digest dispatcher.
+            # The five MessageDigest names every JVM ships are
+            # supported; an unknown algorithm is NULL per row (upstream
+            # emits a per-value warning and nulls the result — same
+            # contract as TO_IP). alg may be any expression (a literal
+            # folds to one branch).
+            need(2)
+            alg = F.lower(a[0].cast("string"))
+            s = a[1].cast("string")
+            return (
+                F.when(alg == "md5", F.md5(s))
+                .when(alg == "sha1", F.sha1(s))
+                .when(alg == "sha256", F.sha2(s, 256))
+                .when(alg == "sha384", F.sha2(s, 384))
+                .when(alg == "sha512", F.sha2(s, 512))
+            )
         if fn == "TO_BASE64":
             need(1)
             return F.base64(a[0].cast("binary"))
@@ -1062,6 +1111,30 @@ class _ExprParser:
         if fn == "HYPOT":
             need(2)
             return F.hypot(a[0], a[1])
+        if fn == "SCALB":
+            # SCALB(d, i) (8.19) = d * 2^i (Math.scalb)
+            need(2)
+            return a[0].cast("double") * F.pow(
+                F.lit(2.0), a[1].cast("double"))
+        if fn == "ROUND_TO":
+            # ROUND_TO(field, p1, p2, ...) (8.19): round DOWN to the
+            # largest point <= field; a value below every point takes
+            # the smallest point (the upstream bucket-boundary
+            # contract). Scan-local array arithmetic over the
+            # literal-sized points list — the fast fixed-grid
+            # alternative to CASE chains.
+            if len(a) < 2:
+                raise ValueError(
+                    "ES|QL: ROUND_TO needs a field and at least one "
+                    "point")
+            v = a[0].cast("double")
+            pts = F.array_sort(F.array(
+                *[p.cast("double") for p in a[1:]]))
+            le = F.filter(pts, lambda q: q <= v)
+            return F.when(
+                v.isNotNull(),
+                F.coalesce(F.array_max(le), F.get(pts, F.lit(0))),
+            )
         if fn == "TO_DEGREES":
             need(1)
             return F.degrees(a[0])
@@ -1098,6 +1171,58 @@ class _ExprParser:
         if fn == "MV_DEDUPE":
             need(1)
             return F.array_distinct(a[0])
+        if fn == "MV_CONCAT":
+            # MV_CONCAT(arr, delim): join the string multivalues;
+            # NULL/empty input -> NULL (the shared MV null contract;
+            # NULL elements are skipped). A fold, not array_join —
+            # array_join takes only a PYTHON literal delimiter and the
+            # grammar hands us a Column (which may be computed).
+            need(2)
+            return F.aggregate(
+                a[0], F.lit(None).cast("string"),
+                lambda acc, x: F.when(x.isNull(), acc)
+                .when(acc.isNull(), x.cast("string"))
+                .otherwise(F.concat(acc, a[1], x.cast("string"))),
+            )
+        if fn == "MV_MEDIAN_ABSOLUTE_DEVIATION":
+            # exact MAD over the non-null elements (8.14; upstream
+            # computes exactly here too — MV values are one row's
+            # list, no sketch involved)
+            need(1)
+            nn = F.array_sort(F.filter(
+                F.transform(a[0], lambda x: x.cast("double")),
+                lambda x: x.isNotNull()))
+
+            def _amed(s: Column) -> Column:
+                n = F.size(s)
+                lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+                hi = F.element_at(s, (n / 2 + 1).cast("int"))
+                return F.when(n > 0, (lo + hi) / 2.0)
+
+            def _amad(xs: Column) -> Column:
+                med = _amed(xs)
+                devs = F.array_sort(
+                    F.transform(xs, lambda x: F.abs(x - med)))
+                return _amed(devs)
+
+            # bind the sorted array ONCE (no CSE across lambda bodies)
+            return F.element_at(
+                F.transform(F.array(nn), _amad), 1)
+        if fn == "MV_PSERIES_WEIGHTED_SUM":
+            # MV_PSERIES_WEIGHTED_SUM(arr, p) (8.14): sum of
+            # value_i / (i+1)^p in LIST ORDER (upstream reads the
+            # stored order; rank weights are positional). NULL/empty
+            # -> NULL.
+            need(2)
+            p = a[1].cast("double")
+            weighted = F.transform(
+                a[0],
+                lambda x, i: x.cast("double")
+                / F.pow((i + 1).cast("double"), p),
+            )
+            s = F.aggregate(
+                weighted, F.lit(0.0), lambda acc, x: acc + x)
+            return F.when(F.size(a[0]) > 0, s)
         if fn == "MV_ZIP":
             # MV_ZIP(a, b[, delim]) — pairwise join, default ","
             if len(a) == 2:
@@ -1545,6 +1670,57 @@ def esql(
     return df
 
 
+def _qstr_builder(df: DataFrame, analyzers, tokens_cols):
+    """text → (predicate, score) through plans/query_string.py — the
+    QSTR() full-text function (8.16). Bare terms resolve to the single
+    analyzer-bound field (the stand-in for ES's index default_field
+    setting); with zero or several bindings the query must field-scope
+    every term, enforced loudly by the parser receiving no default."""
+    from tweets_elastic_spark.plans.query_string import (
+        parse_query_string,
+    )
+
+    spark = df.sparkSession
+    analyzers = analyzers or {}
+    tokens_cols = tokens_cols or {}
+
+    _SENTINEL = "__qstr_no_default_field__"
+
+    def _uses(node, field_name: str) -> bool:
+        import dataclasses
+
+        if not dataclasses.is_dataclass(node):
+            return False
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if f.name == "field" and v == field_name:
+                return True
+            for child in v if isinstance(v, (list, tuple)) else [v]:
+                if dataclasses.is_dataclass(child) and _uses(
+                        child, field_name):
+                    return True
+        return False
+
+    def make(text: str):
+        default_field = (
+            next(iter(analyzers)) if len(analyzers) == 1 else _SENTINEL
+        )
+        q = parse_query_string(
+            text, default_field=default_field,
+            analyzers=analyzers, tokens_cols=tokens_cols,
+        )
+        if default_field == _SENTINEL and _uses(q, _SENTINEL):
+            raise ValueError(
+                "ES|QL: QSTR has a bare (unscoped) term but no single "
+                "analyzed-field binding to resolve it against (ES's "
+                "index default_field setting has no analog here); "
+                "field-scope every term, or bind exactly one analyzer"
+            )
+        return q.predicate(spark, F.col), q.score(spark, F.col)
+
+    return make
+
+
 def _run_stages(
     df: DataFrame,
     stages: list[str],
@@ -1615,6 +1791,7 @@ def _run_stages(
 
             p.make_match = _match_builder(
                 df, analyzers, tokens_cols, bm25_stats_for)
+            p.make_qstr = _qstr_builder(df, analyzers, tokens_cols)
             pred = p.expr()
             df = df.filter(pred)
             if p.match_scores and "_score" in df.columns:
@@ -2234,6 +2411,12 @@ def _agg_column(fn: str, arg, q, filt=None, w=None) -> Column:
         # ES|QL's t-digest: the documented strictly-more-accurate
         # divergence
         return ov(F.percentile(a, F.lit(q / 100.0)))
+    if fn == "MEDIAN_ABSOLUTE_DEVIATION":
+        # exact MAD (upstream: t-digest estimate) — shared with the
+        # aggs front-end's metric; one sorted-array aggregate
+        from tweets_elastic_spark.plans.aggs import mad_expr
+
+        return mad_expr(a.cast("double"), ov=ov)
     return ov({
         "COUNT": lambda x: F.count(x),
         "COUNT_DISTINCT": lambda x: F.count_distinct(x),

@@ -635,6 +635,101 @@ def q_esql_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register(
+    "esql_qstr_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, source,
+               list_transform(
+                 list_filter(regexp_split_to_array(text,
+                     '[^a-zA-Z0-9'']+'), x -> x <> ''),
+                 x -> lower(x)) AS tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(2.0 AS DOUBLE) AS score
+    FROM toks
+    WHERE list_contains(tokens, 'spark')
+      AND list_contains(tokens, 'streaming')
+      AND n_chars > 100
+    ORDER BY doc_id ASC
+    """,
+    doc="ES|QL QSTR (8.16 full-text, r16 widening): the Lucene "
+        "query-string syntax inside an ES|QL WHERE — "
+        "QSTR(\"spark AND streaming\") — compiled through the SAME "
+        "plans/query_string.py parser the DSL front-end uses, bare "
+        "terms resolved to the single analyzer-bound field (the "
+        "stand-in for ES's index default_field). Scoring is the "
+        "engine's constant-weight clause sum accumulated into "
+        "METADATA _score (both AND clauses match -> 2.0). The "
+        "analyzed-token predicate rides the scan; the oracle replays "
+        "tokenization with the same unigram rules (shingle bigrams "
+        "don't affect single-term containment).",
+)
+def q_esql_qstr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import (
+        materialize_tokens,
+    )
+    from tweets_elastic_spark.plans.esql import esql
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = materialize_tokens(docs, {"text": ["standard"]})
+    return esql(
+        spark,
+        '''FROM documents METADATA _score
+        | WHERE QSTR("spark AND streaming") AND n_chars > 100
+        | EVAL score = ROUND(_score, 6)
+        | KEEP doc_id, lang, source, score
+        | SORT doc_id ASC''',
+        {"documents": docs},
+        analyzers={"text": "standard"},
+        tokens_cols={"text": "text__standard"},
+    )
+
+
+@register(
+    "esql_mad_round_to",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN value >= 75 THEN 75
+                     WHEN value >= 50 THEN 50
+                     WHEN value >= 25 THEN 25
+                     ELSE 0 END AS DOUBLE) AS vb,
+           CAST(count(*) AS BIGINT) AS n,
+           mad(value) AS madv,
+           median(value) AS med
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY event_type ASC, vb ASC
+    """,
+    doc="ES|QL MEDIAN_ABSOLUTE_DEVIATION + ROUND_TO (r16 widening): "
+        "ROUND_TO(value, 0, 25, 50, 75) rounds DOWN to the largest "
+        "fixed point <= value (scan-local array arithmetic over the "
+        "literal points — the upstream 8.19 bucket-boundary contract, "
+        "mirrored by a CASE chain in the oracle), and the MAD "
+        "aggregate is EXACT median(|x - median(x)|) via ONE sorted-"
+        "array aggregate per group (plans/aggs.mad_expr, shared with "
+        "the agg front-end's metric; upstream estimates with "
+        "t-digest — DuckDB's mad() is the same quantile_cont "
+        "definition, so the oracle compares exactly). Sort-then-"
+        "interpolate is order-robust by construction — no float-sum "
+        "hazard. Per-group memory is O(group size), the documented "
+        "cost of exactness; group cardinality here is "
+        "event_type x 4 buckets.",
+)
+def q_esql_mad_round_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM events
+        | WHERE value IS NOT NULL
+        | EVAL vb = ROUND_TO(value, 0, 25, 50, 75)
+        | STATS n = COUNT(*),
+                madv = MEDIAN_ABSOLUTE_DEVIATION(value),
+                med = MEDIAN(value)
+                BY event_type, vb
+        | SORT event_type ASC, vb ASC
+    """, table="events")
+
+
 # splice the shared BM25 oracle in (search_q owns it; importing the
 # module here is safe — it registers idempotently via the registry dict)
 from tweets_elastic_spark.queries.search_q import _BM25_ORACLE  # noqa: E402

@@ -323,6 +323,8 @@ HEADLINE = [
     "esql_sample_stats",
     "esql_qstr_score",
     "esql_mad_round_to",
+    # r16: temporal-span arithmetic window (sargable timestamp range)
+    "esql_span_window",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1055,3 +1055,36 @@ def test_qstr(spark, people):
     # outside WHERE -> refusal (same contract as MATCH)
     with pytest.raises(ValueError, match="only valid in WHERE"):
         esql(spark, 'FROM people | EVAL x = QSTR("team:eng")', people)
+
+
+def test_temporal_span_arithmetic(spark):
+    # ts ± span compiles to timestampadd (upstream time_duration /
+    # date_period arithmetic); NOW() is the session-constant timestamp
+    r = _rows(spark, 'ROW t = TO_DATETIME("2024-03-05 10:30:00") '
+                     '| EVAL nxt = t + 1 day, prv = t - 2 hours, '
+                     'mo = t + 1 month, neg = t + -1 day, '
+                     'recent = t > NOW() - 1 day '
+                     '| KEEP nxt, prv, mo, neg, recent')[0]
+    assert str(r["nxt"]).startswith("2024-03-06 10:30")
+    assert str(r["prv"]).startswith("2024-03-05 08:30")
+    assert str(r["mo"]).startswith("2024-04-05 10:30")
+    assert str(r["neg"]).startswith("2024-03-04 10:30")
+    assert r["recent"] is False         # 2024 is not within a day of now
+    # abbreviations and plurals
+    r2 = _rows(spark, 'ROW t = TO_DATETIME("2024-01-01 00:00:00") '
+                      '| EVAL a = t + 90 min, b = t + 2 w '
+                      '| KEEP a, b')[0]
+    assert str(r2["a"]).startswith("2024-01-01 01:30")
+    assert str(r2["b"]).startswith("2024-01-15 00:00")
+
+
+def test_span_refusals(spark, people):
+    for q, msg in [
+        ("FROM people | EVAL x = 1 day", "bare expression"),
+        ("FROM people | EVAL x = 1 day + 2 hours", "span . span"),
+        ("FROM people | EVAL x = 2 * 1 day", "only valid added"),
+        ("FROM people | WHERE 1 day > h", "comparison"),
+        ("FROM people | EVAL x = 1.5 day", "integer amount"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            esql(spark, q, people)

@@ -31,6 +31,12 @@ token, the ES-SQL/EQL convention):
   catalog name of the index it was read from — the multi-index
   provenance column, a scan-local literal) and
   ``ROW name = literal, ...``.
+* temporal-amount literals in arithmetic: ``ts + 1 day``,
+  ``NOW() - 15 minutes`` (full/plural unit names + the documented
+  abbreviations, millisecond..year) compile to timestamp_add; a span
+  anywhere except ± a timestamp is refused loudly. ``NOW()`` is the
+  session-constant current timestamp (non-reproducible by nature —
+  keep it out of oracle rows).
 * ``WHERE`` expr; ``EVAL name = expr, ...``; ``KEEP``/``DROP`` column
   lists (``*`` suffix wildcards in KEEP); ``RENAME old AS new, ...``;
   ``SORT expr [ASC|DESC] [NULLS FIRST|LAST], ...``; ``LIMIT n``;
@@ -215,6 +221,44 @@ _AGG_FNS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
             "WEIGHTED_AVG", "STD_DEV", "VALUES", "TOP"}
 
 
+class _Span:
+    """A temporal-amount literal (``1 day``, ``15 minutes``) — the
+    upstream time_duration / date_period types. Only valid added to /
+    subtracted from a timestamp (add_expr compiles it to
+    timestampadd); anywhere else the parser refuses loudly."""
+
+    __slots__ = ("n", "unit")
+
+    def __init__(self, n: int, unit: str):
+        self.n, self.unit = n, unit
+
+
+# upstream unit spellings (full singular/plural + the documented
+# abbreviations) → Spark timestampadd units
+_SPAN_UNITS = {
+    "millisecond": "MILLISECOND", "milliseconds": "MILLISECOND",
+    "ms": "MILLISECOND",
+    "second": "SECOND", "seconds": "SECOND", "sec": "SECOND",
+    "s": "SECOND",
+    "minute": "MINUTE", "minutes": "MINUTE", "min": "MINUTE",
+    "hour": "HOUR", "hours": "HOUR", "h": "HOUR",
+    "day": "DAY", "days": "DAY", "d": "DAY",
+    "week": "WEEK", "weeks": "WEEK", "w": "WEEK",
+    "month": "MONTH", "months": "MONTH", "mo": "MONTH",
+    "quarter": "QUARTER", "quarters": "QUARTER", "q": "QUARTER",
+    "year": "YEAR", "years": "YEAR", "y": "YEAR",
+}
+
+
+def _no_span(c, ctx: str):
+    if isinstance(c, _Span):
+        raise ValueError(
+            f"ES|QL: a time span literal is only valid added to or "
+            f"subtracted from a timestamp, not in {ctx}"
+        )
+    return c
+
+
 def _tokenize(text: str):
     out, raws, pos = [], [], 0
     while pos < len(text):
@@ -299,18 +343,18 @@ class _ExprParser:
     def expr(self) -> Column:
         c = self.and_expr()
         while self.eat_kw("OR"):
-            c = c | self.and_expr()
-        return c
+            c = c | _no_span(self.and_expr(), "OR")
+        return _no_span(c, "a bare expression")
 
     def and_expr(self) -> Column:
         c = self.not_expr()
         while self.eat_kw("AND"):
-            c = c & self.not_expr()
+            c = _no_span(c, "AND") & _no_span(self.not_expr(), "AND")
         return c
 
     def not_expr(self) -> Column:
         if self.eat_kw("NOT"):
-            return ~self.not_expr()
+            return ~_no_span(self.not_expr(), "NOT")
         return self.cmp_expr()
 
     def cmp_expr(self) -> Column:
@@ -318,7 +362,8 @@ class _ExprParser:
         k, v = self.peek()
         if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
             self.i += 1
-            right = self.add_expr()
+            left = _no_span(left, "a comparison")
+            right = _no_span(self.add_expr(), "a comparison")
             return {"==": left == right, "!=": left != right,
                     "<": left < right, "<=": left <= right,
                     ">": left > right, ">=": left >= right}[v]
@@ -405,7 +450,26 @@ class _ExprParser:
             if k == "op" and v in ("+", "-"):
                 self.i += 1
                 nxt = self.mul_expr()
-                c = c + nxt if v == "+" else c - nxt
+                if isinstance(nxt, _Span):
+                    # ts ± span → timestampadd (the upstream temporal
+                    # arithmetic: WHERE ts > NOW() - 1 day)
+                    if isinstance(c, _Span):
+                        raise ValueError(
+                            "ES|QL: span ± span is not supported — "
+                            "write a single combined span"
+                        )
+                    n = -nxt.n if v == "-" else nxt.n
+                    c = F.timestamp_add(nxt.unit, F.lit(n), c)
+                elif isinstance(c, _Span):
+                    if v != "+":
+                        raise ValueError(
+                            "ES|QL: a time span can be subtracted "
+                            "FROM a timestamp (ts - 1 day), not the "
+                            "reverse"
+                        )
+                    c = F.timestamp_add(c.unit, F.lit(c.n), nxt)
+                else:
+                    c = c + nxt if v == "+" else c - nxt
             else:
                 return c
 
@@ -415,7 +479,8 @@ class _ExprParser:
             k, v = self.peek()
             if k == "op" and v in ("*", "/", "%"):
                 self.i += 1
-                nxt = self.unary()
+                _no_span(c, f"'{v}'")
+                nxt = _no_span(self.unary(), f"'{v}'")
                 c = c * nxt if v == "*" else (
                     c / nxt if v == "/" else c % nxt)
             else:
@@ -425,12 +490,24 @@ class _ExprParser:
         k, v = self.peek()
         if k == "op" and v == "-":
             self.i += 1
-            return -self.unary()
+            c = self.unary()
+            if isinstance(c, _Span):
+                return _Span(-c.n, c.unit)
+            return -c
         return self.primary()
 
     def primary(self) -> Column:
         k, v = self.next()
         if k == "num":
+            nk, nv = self.peek()
+            if nk == "ident" and nv.lower() in _SPAN_UNITS:
+                # `1 day`, `15 minutes` — a temporal-amount literal
+                if isinstance(v, float):
+                    raise ValueError(
+                        "ES|QL: time spans take an integer amount"
+                    )
+                self.i += 1
+                return _Span(int(v), _SPAN_UNITS[nv.lower()])
             return F.lit(v)
         if k == "str":
             return F.lit(v)
@@ -1146,6 +1223,14 @@ class _ExprParser:
             # NULL on either side -> NULL (the shared MV null contract)
             need(2)
             return F.concat(a[0], a[1])
+        if fn == "NOW":
+            # NOW() — the session-constant current timestamp (Spark
+            # folds current_timestamp once per query, matching the
+            # upstream single-value-per-request contract). Inherently
+            # non-reproducible across runs — oracle rows must not use
+            # it; the WHERE ts > NOW() - 1 day idiom is the target.
+            need(0)
+            return F.current_timestamp()
         if fn == "PI":
             need(0)
             return F.lit(_math.pi)

@@ -636,6 +636,41 @@ def q_esql_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_span_window",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           max(value) AS mx
+    FROM events
+    WHERE ts IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00' + INTERVAL 36 HOUR
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+    doc="ES|QL temporal-amount arithmetic (r16 widening — the "
+        "WHERE ts > <anchor> - 7 days idiom every dashboard query "
+        "uses, usually spelled NOW() - 7 days; the anchor is a "
+        "literal here so the row stays oracle-reproducible): span "
+        "literals (7 days, 36 hours) compile to timestamp_add on the "
+        "scan-riding range predicate — a sargable timestamp window "
+        "(the bounds fold to constants, so parquet min/max pruning "
+        "applies at scale), feeding one hash aggregation. The oracle "
+        "replays the same window with INTERVAL arithmetic; MAX keeps "
+        "the doubles order-free.",
+)
+def q_esql_span_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM events
+        | WHERE ts IS NOT NULL
+              AND ts >= TO_DATETIME("2024-01-20 00:00:00") - 7 days
+              AND ts < TO_DATETIME("2024-01-20 00:00:00") + 36 hours
+        | STATS n = COUNT(*), mx = MAX(value) BY event_type
+        | SORT event_type ASC
+    """, table="events")
+
+
+@register(
     "esql_qstr_score",
     oracle="""
     WITH toks AS (

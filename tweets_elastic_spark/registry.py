@@ -89,11 +89,12 @@ DRIVER_PRIORITY: list[str] = [
     # shuffle-partition layouts (scripts/replay_backlog.py, run this
     # round), every one has a primitive-only schema (driver
     # canonicalizer requirement, checked this round), so the whole
-    # backlog seats at once: 1 flagship + 44 first-time + 1 new-code
-    # row (esql_sample_stats — the r16-new ES|QL SAMPLE command,
-    # new-code-first) + 4 long-green family-representative keepers
-    # (dedup pair generation, SemDeDup, the WARC end-to-end
-    # composition, multimodal decode) = 50. If r16 comes back green
+    # backlog seats at once: 1 flagship + 44 first-time + 4 new-code
+    # rows (esql_sample_stats / esql_qstr_score / esql_mad_round_to /
+    # esql_span_window — the r16-new SAMPLE command, QSTR full-text,
+    # exact-MAD + ROUND_TO, and temporal-span arithmetic,
+    # new-code-first) + 1 long-green keeper (the WARC end-to-end
+    # composition) = 50. If r16 comes back green
     # the burn-down ends a round early: every registry entry
     # ever-driver-verified. OUT (all green r15, all still hash-gated
     # every run by test_oracle_parity.py at 17g): the whole r15 wave —
@@ -108,8 +109,10 @@ DRIVER_PRIORITY: list[str] = [
     # flagship
     "tweet_documents_flat",
     # r16-new code first: the ES|QL SAMPLE command (deterministic
-    # portable-hash sampling; the verdict's task 3)
-    "esql_sample_stats",
+    # portable-hash sampling; the verdict's task 3), QSTR full-text,
+    # the exact-MAD + ROUND_TO STATS row, and temporal-span arithmetic
+    "esql_sample_stats", "esql_qstr_score", "esql_mad_round_to",
+    "esql_span_window",
     # r15-new ES|QL trio (parity-green at birth, driver-dark until now)
     "esql_stats_where", "esql_fork", "esql_bucket_stats",
     # agg remainder wave (the COVERAGE.md r16 schedule)
@@ -137,9 +140,10 @@ DRIVER_PRIORITY: list[str] = [
     "pricing_rollup_cube", "vocab_top_tokens",
     "corpus_length_quantiles", "events_daily_unpivot",
     "ml_anomaly_score",
-    # keepers: one long-green representative per heavy family
-    "dedup_near_survivors", "semdedup_survivors",
-    "crawl_main_text_pipeline", "image_near_dups_jpeg_lossless",
+    # keeper: the WARC -> gates -> extraction end-to-end composition
+    # (one long-green seat; every other family is hash-gated every
+    # run by tests/test_oracle_parity.py)
+    "crawl_main_text_pipeline",
 ]
 
 

@@ -324,7 +324,9 @@ HEADLINE = [
     "esql_qstr_score",
     "esql_mad_round_to",
     # r16: temporal-span arithmetic window (sargable timestamp range)
+    # + the KQL filter-context front-end
     "esql_span_window",
+    "esql_kql_filter",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

@@ -1088,3 +1088,49 @@ def test_span_refusals(spark, people):
     ]:
         with pytest.raises(ValueError, match=msg):
             esql(spark, q, people)
+
+
+def test_kql(spark, people):
+    # field:value, and/or/not words, comparisons, value groups
+    rows = _rows(spark, 'FROM people '
+                        '| WHERE KQL("team:eng and h > 175") '
+                        '| KEEP name', people)
+    assert [r["name"] for r in rows] == ["Bob"]
+    rows = _rows(spark, 'FROM people '
+                        '| WHERE KQL("team:(eng or ops) and not name:Eli '
+                        'and h >= 160") | KEEP name | SORT name', people)
+    assert [r["name"] for r in rows] == ["Ann", "Bob", "Dee"]
+    # trailing-* prefix on a keyword field; field:* exists
+    rows = _rows(spark, 'FROM people | WHERE KQL("name:D* and h:*") '
+                        '| KEEP name', people)
+    assert [r["name"] for r in rows] == ["Dee"]
+    # filter context: no score contribution
+    rows = _rows(spark, 'FROM people METADATA _score '
+                        '| WHERE KQL("team:eng") | KEEP name, _score '
+                        '| SORT name', people)
+    assert [r["_score"] for r in rows] == [0.0, 0.0]
+
+
+def test_kql_refusals(spark, people):
+    from tweets_elastic_spark.plans.query_string import (
+        QueryStringSyntaxError, parse_kql,
+    )
+    with pytest.raises(QueryStringSyntaxError, match="nested-object"):
+        parse_kql("a:{ b:1 }")
+    with pytest.raises(QueryStringSyntaxError, match="adjacent clauses"):
+        parse_kql("team:eng team:ops")
+    with pytest.raises(QueryStringSyntaxError, match="bare term"):
+        parse_kql("loose")
+    with pytest.raises(ValueError, match="only valid in WHERE"):
+        esql(spark, 'FROM people | EVAL x = KQL("team:eng")', people)
+
+
+def test_show_info_and_inference_refusals(spark, people):
+    rows = _rows(spark, "SHOW INFO")
+    assert rows[0]["engine"] == "tweets_elastic_spark"
+    assert rows[0]["version"]                    # the Spark build
+    with pytest.raises(ValueError, match="SHOW INFO takes no"):
+        esql(spark, "SHOW INFO | LIMIT 1", people)
+    for cmd in ("RERANK", "COMPLETION", "FUSE"):
+        with pytest.raises(ValueError, match="inference endpoint"):
+            esql(spark, f'FROM people | {cmd} "x" ON name', people)

@@ -27,7 +27,11 @@ token, the ES-SQL/EQL convention):
   stages, the 8.16 full-text contract (QSTR compiles the Lucene
   query-string syntax through plans/query_string.py — field:term,
   AND/OR/NOT, +/-, ranges, wildcards, fuzzy, boosts; bare terms
-  resolve to the single analyzer-bound field, else refused); ``METADATA _index`` tags each row with the
+  resolve to the single analyzer-bound field, else refused). KQL()
+  (8.17) compiles the Kibana search-bar language (parse_kql:
+  field:value, and/or/not, field:(a or b) groups, comparisons,
+  trailing-* prefix, field:* exists) as a FILTER-context predicate —
+  no score contribution, the upstream contract; ``METADATA _index`` tags each row with the
   catalog name of the index it was read from — the multi-index
   provenance column, a scan-local literal) and
   ``ROW name = literal, ...``.
@@ -185,7 +189,10 @@ store), ENRICH with a policy absent from ``enrich_policies``
 (there is no live policy store to consult), bare LOOKUP (the 8.14
 experimental table form), grok syntaxes outside the documented core,
 FORK with <2 / >8 branches or unparenthesized text between branches
-(sub-pipes outside FORK don't exist upstream either).
+(sub-pipes outside FORK don't exist upstream either), nested FORK,
+and the 8.19 inference commands RERANK / COMPLETION / FUSE (need a
+live inference endpoint — the refusal points at the retriever tree
+for reranking). ``SHOW INFO`` answers with the engine build row.
 """
 
 from __future__ import annotations
@@ -314,6 +321,7 @@ class _ExprParser:
         # nodes); MATCH() outside WHERE raises
         self.make_match = None
         self.make_qstr = None
+        self.make_kql = None
         self.match_scores: list = []
 
     def peek(self):
@@ -605,6 +613,23 @@ class _ExprParser:
             pred, score = self.make_qstr(text)
             self.match_scores.append(score)
             return pred
+        if fn == "KQL":
+            # ES|QL 8.17 full-text: KQL("kibana query") as a WHERE
+            # predicate — the Kibana search-bar language
+            # (plans/query_string.py parse_kql: field:value, and/or/
+            # not, field:(a or b), comparisons, trailing-* prefix,
+            # field:* exists). KQL is FILTER context upstream: it
+            # contributes no relevance, so nothing is added to _score.
+            if self.make_kql is None:
+                raise ValueError(
+                    "ES|QL: KQL() is only valid in WHERE"
+                )
+            self.expect_op("(")
+            k, text = self.next()
+            if k != "str":
+                raise ValueError("ES|QL: KQL needs a string query")
+            self.expect_op(")")
+            return self.make_kql(text)
         # functions whose literal arguments must be consumed at the
         # TOKEN level (the pyspark builtin takes a Python value)
         if fn == "SPLIT":
@@ -1645,6 +1670,35 @@ def esql(
         raise ValueError("ES|QL: empty query")
 
     # ---- source command --------------------------------------------------
+    if re.match(r"\s*SHOW\s+INFO\s*$", stages[0], re.I):
+        # SHOW INFO — ES|QL's only SHOW command: one row of engine
+        # build info (upstream: date/hash/version of the ES build;
+        # here the engine name + the Spark version actually running,
+        # which is the number a capacity planner wants)
+        if len(stages) > 1:
+            raise ValueError(
+                "ES|QL: SHOW INFO takes no further pipe stages")
+        return spark.createDataFrame(
+            [("tweets_elastic_spark", spark.version)],
+            "engine string, version string",
+        )
+    if re.match(r"\s*(RERANK|COMPLETION|FUSE)\b", stages[0], re.I) or any(
+        re.match(r"\s*(RERANK|COMPLETION|FUSE)\b", s, re.I)
+        for s in stages[1:]
+    ):
+        cmd = next(
+            m.group(1).upper()
+            for s in stages
+            for m in [re.match(r"\s*(RERANK|COMPLETION|FUSE)\b", s, re.I)]
+            if m
+        )
+        raise ValueError(
+            f"ES|QL: {cmd} (8.19 preview) needs a live inference "
+            "endpoint, which this engine does not ship. For reranking "
+            "compose the retriever tree (plans/search.py rrf/linear/"
+            "rerank retrievers) with your own scorer; for text "
+            "generation call the model outside the query engine."
+        )
     toks, raws = _tokenize(stages[0])
     p = _ExprParser(toks, raws)
     if p.eat_kw("FROM"):
@@ -1806,6 +1860,29 @@ def _qstr_builder(df: DataFrame, analyzers, tokens_cols):
     return make
 
 
+def _kql_builder(df: DataFrame, analyzers, tokens_cols):
+    """text → predicate through plans/query_string.parse_kql — the
+    KQL() full-text function (8.17). Filter context: no score. Bare
+    terms resolve to the single analyzer-bound field like QSTR."""
+    from tweets_elastic_spark.plans.query_string import parse_kql
+
+    spark = df.sparkSession
+    analyzers = analyzers or {}
+    tokens_cols = tokens_cols or {}
+
+    def make(text: str):
+        default_field = (
+            next(iter(analyzers)) if len(analyzers) == 1 else None
+        )
+        q = parse_kql(
+            text, default_field=default_field,
+            analyzers=analyzers, tokens_cols=tokens_cols,
+        )
+        return q.predicate(spark, F.col)
+
+    return make
+
+
 def _run_stages(
     df: DataFrame,
     stages: list[str],
@@ -1877,6 +1954,7 @@ def _run_stages(
             p.make_match = _match_builder(
                 df, analyzers, tokens_cols, bm25_stats_for)
             p.make_qstr = _qstr_builder(df, analyzers, tokens_cols)
+            p.make_kql = _kql_builder(df, analyzers, tokens_cols)
             pred = p.expr()
             df = df.filter(pred)
             if p.match_scores and "_score" in df.columns:

@@ -749,3 +749,227 @@ def parse_simple_query_string(
                 should=[(out, 1.0), (more, 1.0)], minimum_should_match=1
             )
     return out if out is not None else MatchAll()
+
+
+# ---------------------------------------------------------------------------
+# KQL (Kibana Query Language) — the 8.17 ES|QL KQL() function's syntax.
+# Strictly SIMPLER than query_string: `and`/`or`/`not` words
+# (case-insensitive, precedence not > and > or), `field:value`,
+# `field:"phrase"`, `field:(a or b)` value groups inheriting the field,
+# `field > n` comparisons, trailing-* prefix, `field:*` exists, bare
+# terms against the caller's default field. NO fuzziness, boosts,
+# bracket ranges, or regex (KQL's documented differences from Lucene).
+# KQL runs in FILTER context upstream — no scoring; callers get a
+# predicate-only Query tree (constant score 0).
+
+_KQL_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<colon>:)"
+    r"|(?P<cmp><=|>=|<|>)"
+    r'|(?P<phrase>"(?:[^"\\]|\\.)*")'
+    r"|(?P<lbrace>\{)"
+    r'|(?P<word>[^\s():<>"{}]+))'
+)
+
+
+def _kql_tokens(s: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(s):
+        m = _KQL_TOKEN_RE.match(s, i)
+        if m is None or m.end() == i:
+            if s[i:].strip() == "":
+                break
+            raise QueryStringSyntaxError(
+                f"KQL: cannot lex at {s[i:i + 10]!r}")
+        i = m.end()
+        if m.group("lp"):
+            out.append(("LP", ""))
+        elif m.group("rp"):
+            out.append(("RP", ""))
+        elif m.group("colon"):
+            out.append(("COLON", ""))
+        elif m.group("cmp"):
+            out.append(("CMP", m.group("cmp")))
+        elif m.group("lbrace"):
+            raise QueryStringSyntaxError(
+                "KQL: nested-object syntax `field:{ ... }` is "
+                "unsupported (no nested doc store); flatten the path "
+                "or use the DSL's nested query"
+            )
+        elif m.group("phrase"):
+            body = m.group("phrase")[1:-1]
+            out.append(("PHRASE", re.sub(r"\\(.)", r"\1", body)))
+        else:
+            w = m.group("word")
+            lw = w.lower()
+            if lw in ("and", "or", "not"):
+                out.append((lw.upper(), w))
+            else:
+                out.append(("WORD", w))
+    return out
+
+
+def _kql_leaf(
+    field: str | None,
+    kind: str,
+    text: str,
+    default_field: str | None,
+    analyzers: dict[str, str],
+    tokens_cols: dict[str, str],
+) -> Query:
+    if field is None:
+        if default_field is None:
+            raise QueryStringSyntaxError(
+                f"KQL: bare term {text!r} has no field and no default "
+                "field is bound (ES resolves these via the index "
+                "default_field setting, which has no analog here) — "
+                "field-scope the term or bind exactly one analyzer"
+            )
+        field = default_field
+    analyzer = analyzers.get(field)
+    tokens_col = tokens_cols.get(field)
+    if kind == "PHRASE":
+        if analyzer is None:
+            return Term(field, text)
+        return MatchPhrase(field, text, analyzer, tokens_col=tokens_col)
+    if text == "*":
+        return Exists(field)
+    if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
+        stem = text[:-1]
+        if analyzer is not None:
+            return MatchPhrasePrefix(
+                field, stem, analyzer, tokens_col=tokens_col)
+        return Prefix(field, stem)
+    if "*" in text or "?" in text:
+        if analyzer is not None:
+            raise QueryStringSyntaxError(
+                f"KQL: non-trailing wildcards on the analyzed field "
+                f"{field!r} are unsupported (same term-dictionary "
+                "limit as query_string); only trailing * compiles"
+            )
+        return Wildcard(field, text)
+    if analyzer is None:
+        return Term(field, text)
+    return Match(field, text, analyzer=analyzer, tokens_col=tokens_col)
+
+
+class _KqlParser:
+    def __init__(self, toks, default_field, analyzers, tokens_cols):
+        self.toks = toks
+        self.i = 0
+        self.default_field = default_field
+        self.analyzers = analyzers
+        self.tokens_cols = tokens_cols
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind):
+        t = self.peek()
+        if t is None or t[0] != kind:
+            raise QueryStringSyntaxError(
+                f"KQL: expected {kind}, got "
+                f"{t[0] if t else 'end of query'}")
+        return self.next()
+
+    # --- top level: field context flows down -----------------------------
+    def or_q(self, field):
+        q = self.and_q(field)
+        while self.peek() is not None and self.peek()[0] == "OR":
+            self.next()
+            q = Bool(should=[(q, 1.0), (self.and_q(field), 1.0)],
+                     minimum_should_match=1)
+        return q
+
+    def and_q(self, field):
+        q = self.not_q(field)
+        while self.peek() is not None and self.peek()[0] == "AND":
+            self.next()
+            q = Bool(must=[q, self.not_q(field)])
+        return q
+
+    def not_q(self, field):
+        if self.peek() is not None and self.peek()[0] == "NOT":
+            self.next()
+            return Bool(must_not=[self.not_q(field)])
+        return self.primary(field)
+
+    def primary(self, field):
+        t = self.peek()
+        if t is None:
+            raise QueryStringSyntaxError("KQL: expected a clause, got "
+                                         "end of query")
+        if t[0] == "LP":
+            self.next()
+            q = self.or_q(field)
+            self.expect("RP")
+            return q
+        if t[0] == "PHRASE":
+            self.next()
+            return _kql_leaf(field, "PHRASE", t[1], self.default_field,
+                             self.analyzers, self.tokens_cols)
+        if t[0] == "WORD":
+            self.next()
+            nxt = self.peek()
+            if field is None and nxt is not None and nxt[0] == "COLON":
+                # field:value / field:"phrase" / field:(group)
+                self.next()
+                vt = self.peek()
+                if vt is not None and vt[0] == "LP":
+                    self.next()
+                    q = self.or_q(t[1])
+                    self.expect("RP")
+                    return q
+                if vt is None or vt[0] not in ("WORD", "PHRASE"):
+                    raise QueryStringSyntaxError(
+                        f"KQL: field {t[1]!r} needs a value after ':'")
+                self.next()
+                return _kql_leaf(
+                    t[1], vt[0], vt[1], self.default_field,
+                    self.analyzers, self.tokens_cols)
+            if field is None and nxt is not None and nxt[0] == "CMP":
+                self.next()
+                vt = self.peek()
+                if vt is None or vt[0] != "WORD":
+                    raise QueryStringSyntaxError(
+                        f"KQL: comparison on {t[1]!r} needs a literal")
+                self.next()
+                op = {">": "gt", ">=": "gte",
+                      "<": "lt", "<=": "lte"}[nxt[1]]
+                return Range(t[1], **{op: _num_or_str(vt[1])})
+            return _kql_leaf(field, "WORD", t[1], self.default_field,
+                             self.analyzers, self.tokens_cols)
+        raise QueryStringSyntaxError(
+            f"KQL: unexpected {t[0]} where a clause was expected")
+
+
+def parse_kql(
+    query: str,
+    *,
+    default_field: str | None = None,
+    analyzers: dict[str, str] | None = None,
+    tokens_cols: dict[str, str] | None = None,
+) -> Query:
+    """Parse a KQL query into the Query tree. Unlike query_string, KQL
+    REQUIRES explicit and/or between clauses — adjacent clauses raise
+    (upstream KQL errors there too), and unknown syntax raises
+    QueryStringSyntaxError with a pointer. `*` alone is match-all."""
+    toks = _kql_tokens(query)
+    if not toks:
+        return MatchAll()
+    if toks == [("WORD", "*")]:
+        return MatchAll()
+    p = _KqlParser(toks, default_field, analyzers or {},
+                   tokens_cols or {})
+    q = p.or_q(None)
+    if p.peek() is not None:
+        raise QueryStringSyntaxError(
+            "KQL: adjacent clauses need an explicit and/or between "
+            f"them (stopped before {p.peek()!r})"
+        )
+    return q

@@ -636,6 +636,41 @@ def q_esql_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "esql_kql_filter",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n,
+           max(n_chars) AS mx
+    FROM documents
+    WHERE (lang = 'en' OR lang = 'de')
+      AND NOT source = 'src9'
+      AND n_chars > 300
+      AND source LIKE 'src%'
+    GROUP BY lang, source
+    ORDER BY lang ASC, source ASC
+    """,
+    doc="ES|QL KQL (8.17 full-text, r16 widening): the Kibana "
+        "search-bar language inside WHERE — KQL(\"lang:(en or de) and "
+        "not source:src9 and n_chars > 300 and source:src*\") — "
+        "parsed by plans/query_string.parse_kql onto the same Query "
+        "tree as the DSL (value groups inherit the field, comparisons "
+        "become Range, trailing-* becomes a sargable Prefix). KQL is "
+        "FILTER context upstream: no score contribution, and every "
+        "compiled predicate is scan-riding keyword/range work — the "
+        "whole WHERE collapses into the parquet scan's filters at any "
+        "scale. The oracle replays the clauses as plain SQL.",
+)
+def q_esql_kql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, """
+        FROM documents
+        | WHERE KQL("lang:(en or de) and not source:src9
+                     and n_chars > 300 and source:src*")
+        | STATS n = COUNT(*), mx = MAX(n_chars) BY lang, source
+        | SORT lang ASC, source ASC
+    """)
+
+
+@register(
     "esql_span_window",
     oracle="""
     SELECT event_type,

@@ -89,13 +89,14 @@ DRIVER_PRIORITY: list[str] = [
     # shuffle-partition layouts (scripts/replay_backlog.py, run this
     # round), every one has a primitive-only schema (driver
     # canonicalizer requirement, checked this round), so the whole
-    # backlog seats at once: 1 flagship + 44 first-time + 4 new-code
+    # backlog seats at once: 1 flagship + 44 first-time + 5 new-code
     # rows (esql_sample_stats / esql_qstr_score / esql_mad_round_to /
-    # esql_span_window — the r16-new SAMPLE command, QSTR full-text,
-    # exact-MAD + ROUND_TO, and temporal-span arithmetic,
-    # new-code-first) + 1 long-green keeper (the WARC end-to-end
-    # composition) = 50. If r16 comes back green
-    # the burn-down ends a round early: every registry entry
+    # esql_span_window / esql_kql_filter — the r16-new SAMPLE command,
+    # QSTR full-text, exact-MAD + ROUND_TO, temporal-span arithmetic,
+    # and the KQL filter-context front-end, new-code-first) = 50.
+    # The flagship itself is the standing keeper; every non-seated
+    # family stays hash-gated every run by tests/test_oracle_parity.py.
+    # If r16 comes back green the burn-down ends: every registry entry
     # ever-driver-verified. OUT (all green r15, all still hash-gated
     # every run by test_oracle_parity.py at 17g): the whole r15 wave —
     # scoring variants/fuzzy, sampling/stats aggs, request surfaces,
@@ -112,7 +113,7 @@ DRIVER_PRIORITY: list[str] = [
     # portable-hash sampling; the verdict's task 3), QSTR full-text,
     # the exact-MAD + ROUND_TO STATS row, and temporal-span arithmetic
     "esql_sample_stats", "esql_qstr_score", "esql_mad_round_to",
-    "esql_span_window",
+    "esql_span_window", "esql_kql_filter",
     # r15-new ES|QL trio (parity-green at birth, driver-dark until now)
     "esql_stats_where", "esql_fork", "esql_bucket_stats",
     # agg remainder wave (the COVERAGE.md r16 schedule)
@@ -140,10 +141,6 @@ DRIVER_PRIORITY: list[str] = [
     "pricing_rollup_cube", "vocab_top_tokens",
     "corpus_length_quantiles", "events_daily_unpivot",
     "ml_anomaly_score",
-    # keeper: the WARC -> gates -> extraction end-to-end composition
-    # (one long-green seat; every other family is hash-gated every
-    # run by tests/test_oracle_parity.py)
-    "crawl_main_text_pipeline",
 ]
 
 

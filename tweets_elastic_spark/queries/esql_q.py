@@ -719,13 +719,13 @@ def q_esql_span_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source, CAST(2.0 AS DOUBLE) AS score
     FROM toks
     WHERE list_contains(tokens, 'spark')
-      AND list_contains(tokens, 'streaming')
+      AND list_contains(tokens, 'merge')
       AND n_chars > 100
     ORDER BY doc_id ASC
     """,
     doc="ES|QL QSTR (8.16 full-text, r16 widening): the Lucene "
         "query-string syntax inside an ES|QL WHERE — "
-        "QSTR(\"spark AND streaming\") — compiled through the SAME "
+        "QSTR(\"spark AND merge\") — compiled through the SAME "
         "plans/query_string.py parser the DSL front-end uses, bare "
         "terms resolved to the single analyzer-bound field (the "
         "stand-in for ES's index default_field). Scoring is the "
@@ -746,7 +746,7 @@ def q_esql_qstr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return esql(
         spark,
         '''FROM documents METADATA _score
-        | WHERE QSTR("spark AND streaming") AND n_chars > 100
+        | WHERE QSTR("spark AND merge") AND n_chars > 100
         | EVAL score = ROUND(_score, 6)
         | KEEP doc_id, lang, source, score
         | SORT doc_id ASC''',

@@ -327,6 +327,8 @@ HEADLINE = [
     # + the KQL filter-context front-end
     "esql_span_window",
     "esql_kql_filter",
+    # r16: ES-SQL HISTOGRAM grouping function
+    "essql_histogram",
 ]
 
 # The final compact JSON line must fit the driver's 2000-char tail capture;

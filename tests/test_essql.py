@@ -328,3 +328,43 @@ def test_string_scalar_functions(spark, t):
         es_sql("SELECT LCASE(3) AS x FROM t", t)
     with pytest.raises(ValueError, match="SUBSTRING"):
         es_sql("SELECT SUBSTRING(s, 1) AS x FROM t", t)
+
+
+def test_histogram_grouping(spark, t):
+    # numeric interval: fixed-width floor grid (DOUBLE)
+    got = _rows(es_sql(
+        "SELECT HISTOGRAM(v, 20) AS b, COUNT(*) AS n FROM t "
+        "WHERE v IS NOT NULL GROUP BY b ORDER BY b", t))
+    assert got == [(0.0, 1), (20.0, 2), (40.0, 1)]
+    # INTERVAL date form: epoch floor grid
+    ts = {"e": spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 23:00:00"),
+         (3, "2024-01-02 01:00:00")],
+        "id long, raw string").selectExpr(
+            "id", "CAST(raw AS TIMESTAMP) AS ts")}
+    got = _rows(es_sql(
+        "SELECT HISTOGRAM(ts, INTERVAL 1 DAY) AS d, COUNT(*) AS n "
+        "FROM e GROUP BY d ORDER BY d", ts))
+    assert [str(d)[:10] for d, _ in got] == ["2024-01-01", "2024-01-02"]
+    assert [n for _, n in got] == [2, 1]
+    # calendar INTERVAL beyond 1 refused (the date_histogram rule)
+    with pytest.raises(ValueError, match="calendar INTERVAL"):
+        es_sql("SELECT HISTOGRAM(ts, INTERVAL 2 MONTH) AS m, "
+               "COUNT(*) AS n FROM e GROUP BY m", ts)
+    with pytest.raises(ValueError, match="must be positive"):
+        es_sql("SELECT HISTOGRAM(v, 0) AS b, COUNT(*) AS n FROM t "
+               "GROUP BY b", t)
+
+
+def test_query_predicate(spark, t):
+    # QUERY('lucene') — field-scoped syntax needs no analyzer bindings
+    got = _rows(es_sql(
+        "SELECT id FROM t WHERE QUERY('g:a AND s:x*') ORDER BY id", t))
+    assert got == [(1,)]
+    # participates in SCORE() like MATCH (constant-weight sum)
+    got = _rows(es_sql(
+        "SELECT id, SCORE() AS sc FROM t WHERE QUERY('g:a OR g:b') "
+        "ORDER BY id", t))
+    assert [r[1] for r in got] == [1.0, 1.0, 1.0, 1.0]
+    with pytest.raises(ValueError, match="QUERY takes a string"):
+        es_sql("SELECT id FROM t WHERE QUERY(g)", t)

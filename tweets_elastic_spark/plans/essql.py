@@ -41,6 +41,18 @@ verbatim on DuckDB/Postgres, which is exactly how the oracle checks it):
   without bindings on an analyzed query, or SCORE() with no MATCH in
   WHERE, raises loudly.
 
+* ``HISTOGRAM(col, interval)`` in the select list (alias required,
+  GROUP BY the alias) — ES SQL's grouping function: numeric interval →
+  the fixed-width floor grid (DOUBLE, the histogram-agg contract);
+  ``INTERVAL n SECOND|MINUTE|HOUR|DAY`` → the epoch floor grid;
+  ``INTERVAL 1 MONTH|YEAR`` → calendar date_trunc (N > 1 calendar
+  refused, the date_histogram rule). Not ANSI — the oracle replays the
+  grid arithmetic instead of running the string verbatim.
+* ``QUERY('lucene query string')`` as a WHERE predicate — ES SQL's
+  query_string escape hatch, compiled through plans/query_string.py
+  (same parser as the DSL front-end and ES|QL QSTR()); its score joins
+  SCORE() like any MATCH.
+
 Anything else — subqueries, JOINs (one index, like ES), expressions in
 SELECT — raises loudly with the offending token.
 """
@@ -82,7 +94,8 @@ _SCALAR_FNS = set(_DATE_FNS) | set(_STR_FNS_1) | {
 _KEYWORDS = {"SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
              "LIMIT", "AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "IS",
              "NULL", "AS", "ASC", "DESC", "ROUND", "TRUE", "FALSE",
-             "MATCH", "SCORE", "DISTINCT"} | _SCALAR_FNS
+             "MATCH", "SCORE", "DISTINCT", "HISTOGRAM", "QUERY",
+             "INTERVAL"} | _SCALAR_FNS
 
 
 def _tokenize(sql: str) -> tuple[list[tuple[str, object]], list[str | None]]:
@@ -131,6 +144,7 @@ class _Parser:
         # (and so the SparkSession / bindings) is known; every MATCH
         # parsed in WHERE lands in match_nodes so SCORE() can sum them
         self.make_match = None  # (field, text, opts) -> (pred, score)
+        self.make_query = None   # (lucene text) -> (pred, score)
         self.match_nodes: list[tuple] = []  # (pred_col, score_col)
 
     def peek(self):
@@ -171,6 +185,11 @@ class _Parser:
                 raise ValueError("ES SQL: SCORE takes no arguments: SCORE()")
             alias = self._alias(required=True)
             return ("score", None, alias)
+        if k == "kw" and v == "HISTOGRAM":
+            self.next()
+            col = self._histogram_call()
+            alias = self._alias(required=True)
+            return ("exprcol", col, alias)
         if k == "kw" and v in _SCALAR_FNS:
             col = self.scalar_expr()
             alias = self._alias(required=True)
@@ -350,6 +369,88 @@ class _Parser:
             return v == "TRUE"
         raise ValueError(f"ES SQL: expected a literal, got {v!r}")
 
+    def _histogram_call(self) -> Column:
+        """``HISTOGRAM(col, interval)`` — ES SQL's grouping function
+        (the SQL spelling of the histogram / date_histogram agg).
+        Numeric interval → the shared fixed-width grid
+        floor(v/w)*w (DOUBLE, the BUCKET/histogram-agg contract);
+        ``INTERVAL n SECOND|MINUTE|HOUR|DAY`` → the epoch floor grid
+        (fixed-width instants, tz-independent); ``INTERVAL 1
+        MONTH|YEAR`` → calendar date_trunc (N > 1 calendar refused,
+        the same rule as the date_histogram agg). Scan-local
+        arithmetic — the key feeds one hash aggregation."""
+        if not self.accept_op("("):
+            raise ValueError("ES SQL: HISTOGRAM needs (")
+        ck, cv = self.next()
+        if ck != "ident":
+            raise ValueError("ES SQL: HISTOGRAM argument must be a column")
+        if not self.accept_op(","):
+            raise ValueError("ES SQL: HISTOGRAM(col, interval)")
+        k, v = self.peek()
+        if k == "kw" and v == "INTERVAL":
+            self.next()
+            nk, nv = self.next()
+            if nk != "num" or isinstance(nv, float):
+                raise ValueError(
+                    "ES SQL: INTERVAL amount must be an integer")
+            uk, uv = self.next()
+            unit = str(uv).upper().rstrip("S") if uk in ("kw", "ident") \
+                else ""
+            fixed = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                     "DAY": 86400}
+            if unit in fixed:
+                width = int(nv) * fixed[unit]
+                out = F.timestamp_seconds(
+                    F.floor(F.unix_timestamp(F.col(cv))
+                            / F.lit(width)).cast("long") * F.lit(width)
+                )
+            elif unit in ("MONTH", "YEAR"):
+                if int(nv) != 1:
+                    raise ValueError(
+                        f"ES SQL: calendar INTERVAL supports 1 {unit} "
+                        "only (the date_histogram calendar rule)")
+                out = F.date_trunc(unit.lower(), F.col(cv))
+            else:
+                raise ValueError(
+                    f"ES SQL: unsupported INTERVAL unit {uv!r} "
+                    "(SECOND/MINUTE/HOUR/DAY/MONTH/YEAR)")
+        else:
+            nk, nv = self.next()
+            if nk != "num":
+                raise ValueError(
+                    "ES SQL: HISTOGRAM interval must be a number or "
+                    "INTERVAL n unit")
+            w = float(nv)
+            if w <= 0:
+                raise ValueError("ES SQL: HISTOGRAM interval must be "
+                                 "positive")
+            out = (F.floor(F.col(cv) / F.lit(w)) * F.lit(w)) \
+                .cast("double")
+        if not self.accept_op(")"):
+            raise ValueError("ES SQL: HISTOGRAM missing )")
+        return out
+
+    def _query_call(self) -> Column:
+        """``QUERY('lucene query string')`` — ES SQL's query_string
+        escape hatch, compiled through the SAME plans/query_string.py
+        parser the DSL and ES|QL QSTR() use; the (pred, score) pair
+        joins match_nodes so SCORE() sums it like any MATCH."""
+        if self.make_query is None:
+            raise ValueError(
+                "ES SQL: QUERY() needs full-text bindings — pass "
+                "analyzers/tokens_cols to es_sql()"
+            )
+        if not self.accept_op("("):
+            raise ValueError("ES SQL: QUERY needs (")
+        tk, tv = self.next()
+        if tk != "str":
+            raise ValueError("ES SQL: QUERY takes a string")
+        if not self.accept_op(")"):
+            raise ValueError("ES SQL: QUERY missing )")
+        pred, score = self.make_query(tv)
+        self.match_nodes.append((pred, score))
+        return pred
+
     def _match_call(self) -> Column:
         """``MATCH(field, 'text' [, 'opts'])`` — compile via the installed
         builder, record the (pred, score) pair for SCORE(), return pred."""
@@ -392,6 +493,8 @@ class _Parser:
         k, v = self.next()
         if k == "kw" and v == "MATCH":
             return self._match_call()
+        if k == "kw" and v == "QUERY":
+            return self._query_call()
         if k == "kw" and v == "SCORE":
             raise ValueError(
                 "ES SQL: SCORE() is not a predicate — select it (aliased) "
@@ -540,6 +643,9 @@ def es_sql(
         )
     df = tables[tname]
     p.make_match = _match_builder(df, analyzers, tokens_cols, bm25_stats_for)
+    from tweets_elastic_spark.plans.esql import _qstr_builder
+
+    p.make_query = _qstr_builder(df, analyzers, tokens_cols)
 
     if p.accept_kw("WHERE"):
         df = df.filter(p.expr(F.col))

@@ -526,6 +526,41 @@ def q_essql_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "essql_histogram",
+    oracle="""
+    SELECT floor(value / 25.0) * 25.0 AS vb,
+           CAST(count(*) AS BIGINT) AS n,
+           max(value) AS mx
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    ORDER BY vb ASC
+    """,
+    doc="ES SQL HISTOGRAM(col, interval) (r16 — the endpoint's "
+        "grouping function, the SQL spelling of the histogram agg): "
+        "SELECT HISTOGRAM(value, 25) AS vb ... GROUP BY vb compiles "
+        "to the shared fixed-width floor grid (floor(v/w)*w, DOUBLE — "
+        "identical arithmetic to the histogram agg and ES|QL BUCKET) "
+        "feeding ONE hash aggregation; the INTERVAL date form maps to "
+        "the epoch floor grid / calendar date_trunc under the "
+        "date_histogram rules. HISTOGRAM is not ANSI, so unlike the "
+        "other essql rows the oracle replays the grid arithmetic "
+        "instead of running the string verbatim. MAX keeps the "
+        "doubles order-free.",
+)
+def q_essql_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.plans.essql import es_sql
+
+    return es_sql(
+        "SELECT HISTOGRAM(value, 25) AS vb, COUNT(*) AS n, "
+        "MAX(value) AS mx "
+        "FROM events WHERE value IS NOT NULL "
+        "GROUP BY vb ORDER BY vb ASC",
+        {"events": load_table(spark, sf_dir, "events")},
+    )
+
+
+@register(
     "essql_filter_query",
     oracle=_ESSQL_FILTER,
     doc="ES SQL endpoint, the row-returning shape: comparison/IN/IS NOT "

@@ -368,3 +368,14 @@ def test_query_predicate(spark, t):
     assert [r[1] for r in got] == [1.0, 1.0, 1.0, 1.0]
     with pytest.raises(ValueError, match="QUERY takes a string"):
         es_sql("SELECT id FROM t WHERE QUERY(g)", t)
+
+
+def test_show_tables_describe(spark, t):
+    got = _rows(es_sql("SHOW TABLES", t))
+    assert got == [("t", "TABLE")]
+    got = _rows(es_sql("DESCRIBE t", t))
+    assert ("id", "bigint") in got and ("v", "double") in got
+    got2 = _rows(es_sql("SHOW COLUMNS IN t", t))
+    assert got == got2
+    with pytest.raises(ValueError, match="unknown index"):
+        es_sql("DESCRIBE nosuch", t)

@@ -53,6 +53,10 @@ verbatim on DuckDB/Postgres, which is exactly how the oracle checks it):
   (same parser as the DSL front-end and ES|QL QSTR()); its score joins
   SCORE() like any MATCH.
 
+* Metadata commands: ``SHOW TABLES``, ``SHOW COLUMNS IN idx`` /
+  ``DESCRIBE idx`` — answered from the bound catalog (driver-side
+  rows, no data motion), the ES SQL operational surface.
+
 Anything else — subqueries, JOINs (one index, like ES), expressions in
 SELECT — raises loudly with the offending token.
 """
@@ -630,6 +634,31 @@ def es_sql(
     field → materialized token column, stats provider) — they activate
     MATCH()/SCORE() compilation; without them MATCH falls back to keyword
     equality and SCORE() is constant."""
+    # metadata commands (ES SQL: SHOW TABLES / SHOW COLUMNS IN idx /
+    # DESCRIBE idx) — answered from the bound catalog, one driver-side
+    # row per table/column, no data motion
+    m = re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.I)
+    if m:
+        spark = next(iter(tables.values())).sparkSession
+        return spark.createDataFrame(
+            [(n, "TABLE") for n in sorted(tables)],
+            "name string, type string",
+        )
+    m = re.match(
+        r"\s*(?:SHOW\s+COLUMNS\s+(?:IN|FROM)|DESCRIBE|DESC)\s+"
+        r"([A-Za-z_][A-Za-z0-9_.]*)\s*$", sql, re.I)
+    if m:
+        tname = m.group(1)
+        if tname not in tables:
+            raise ValueError(
+                f"ES SQL: unknown index {tname!r} (have {sorted(tables)})"
+            )
+        df = tables[tname]
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString()) for f in df.schema],
+            "column string, type string",
+        )
     p = _Parser(sql)
     p.expect_kw("SELECT")
     items = [p.select_item()]

@@ -418,6 +418,11 @@ SF1_HEADLINE = [
     # fixture-absence, SCALING.md).
     "esql_stats_where", "esql_fork", "esql_bucket_stats",
     "esql_sample_stats",
+    # r16 second wave: KQL filter (documents), exact-MAD + ROUND_TO
+    # grid (events), span-window (events), QSTR scoring (documents),
+    # ES-SQL HISTOGRAM (events)
+    "esql_kql_filter", "esql_mad_round_to", "esql_span_window",
+    "esql_qstr_score", "essql_histogram",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

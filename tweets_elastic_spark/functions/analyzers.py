@@ -89,8 +89,15 @@ def _fold_one(t: str) -> str:
 
 @F.pandas_udf(ArrayType(StringType()))
 def _asciifold_udf(batch: pd.Series) -> pd.Series:
+    # ASCII fast path (guide §4.2 — make the per-batch work cheap): an
+    # all-ASCII token has no combining marks, NFKD is the identity, and
+    # every _FOLD_TABLE key is non-ASCII — folding is a no-op. str.isascii
+    # is a single C scan, vs NFKD + a join per token; real corpora are
+    # overwhelmingly ASCII tokens, so this removes most of the Python cost
+    # of the analyzer chain's one unavoidable UDF.
     return batch.map(
-        lambda toks: None if toks is None else [_fold_one(t) for t in toks]
+        lambda toks: None if toks is None
+        else [t if t.isascii() else _fold_one(t) for t in toks]
     )
 
 
@@ -126,9 +133,18 @@ def english_stop(toks: Column) -> Column:
 # Memoized per Arrow batch: corpus vocabulary is tiny relative to tokens.
 # ---------------------------------------------------------------------------
 
+# Memo shared across batches AND tasks: the UDF lives in an importable
+# module, so a reused Python worker (spark.python.worker.reuse, default
+# on) keeps the module global across tasks (guide §4.5) — the per-batch
+# dict it replaces re-stemmed the whole vocabulary for every Arrow batch.
+# Pure-function cache, bounded by corpus vocabulary; never grows past a
+# few hundred k entries on real text.
+_PORTER_CACHE: dict[str, str] = {}
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def _porter_udf(batch: pd.Series) -> pd.Series:
-    cache: dict[str, str] = {}
+    cache = _PORTER_CACHE
 
     def stem_all(toks):
         if toks is None:
@@ -327,13 +343,36 @@ def analyze_text(spark, text: str, analyzer: str) -> list[str]:
     return list(_ANALYZE_TEXT_CACHE[key])
 
 
+def pin_computed(c: Column) -> Column:
+    """Pin an expensive computed column to ONE evaluation site.
+
+    Wraps ``c`` in a trivially-true CASE WHEN whose condition
+    (``spark_partition_id() >= 0``) is classified non-deterministic, which
+    forbids Catalyst from (a) duplicating the expression below a filter it
+    pushes down and (b) pushing filters that reference the column beneath
+    the projection that computes it. Without the pin, a match predicate
+    over an analyzed token column is pushed below the fan-out exchange
+    with a SECOND copy of the whole analyzer chain — the expensive
+    Arrow-UDF analysis then runs twice, and the pushed copy runs at the
+    raw scan's parallelism (a single task on a one-row-group parquet
+    file). With it, the column is computed exactly once, above the
+    exchange, and every consumer (filter and score alike) reads the
+    attribute (guide §4.4 — the asNondeterministic idea applied to the
+    column rather than the UDF, which keeps the UDF itself CSE-able).
+    Values are unchanged: the branch condition is always true."""
+    return F.when(F.spark_partition_id() >= 0, c)
+
+
 def materialize_tokens(df: DataFrame, spec: dict[str, list[str]]) -> DataFrame:
     """Index-time token materialization: the multi-field analogue
     (mapping.json:23-54 — one source field indexed several ways). Adds a
-    ``{col}__{analyzer}`` array column per requested pairing."""
+    ``{col}__{analyzer}`` array column per requested pairing, pinned to a
+    single evaluation site (see ``pin_computed``)."""
     for col_name, analyzers in spec.items():
         for an in analyzers:
-            df = df.withColumn(f"{col_name}__{an}", analyze(col_name, an))
+            df = df.withColumn(
+                f"{col_name}__{an}", pin_computed(analyze(col_name, an))
+            )
     return df
 
 

@@ -2342,6 +2342,115 @@ def explain_score(
     ).withColumn(parts_col, F.map_from_arrays(labels, values))
 
 
+def _rebind_analyzed(query: Query, bind) -> Query:
+    """Rewrite a query tree so every inline-analyzed leaf reads a shared
+    materialized token column instead (``bind(field, analyzer)`` returns
+    the column name, registering it). Containers recurse; ``Nested``
+    subtrees are left alone (their fields resolve inside the array
+    element scope, not at row scope); unknown node kinds pass through
+    unchanged. Pure plan rewrite — match/score values are identical, the
+    analyzer chain just runs once per row instead of once per reference
+    (guide §4.4)."""
+    import dataclasses as _dc
+
+    if isinstance(
+        query, (Match, MatchPhrase, MatchPhrasePrefix, MatchBoolPrefix)
+    ):
+        if query.analyzer is not None and query.tokens_col is None:
+            return _dc.replace(
+                query, tokens_col=bind(query.field, query.analyzer)
+            )
+        return query
+    if isinstance(query, Intervals):
+        if query.tokens_col is None:
+            return _dc.replace(
+                query, tokens_col=bind(query.field, query.analyzer)
+            )
+        return query
+    if isinstance(query, MultiMatch):
+        new_cols = dict(query.tokens_cols)
+        changed = False
+        for field, _ in query.fields:
+            an = query.analyzers.get(field)
+            if an and not new_cols.get(field):
+                new_cols[field] = bind(field, an)
+                changed = True
+        return _dc.replace(query, tokens_cols=new_cols) if changed else query
+    if isinstance(query, Bool):
+        return _dc.replace(
+            query,
+            must=[_rebind_analyzed(q, bind) for q in query.must],
+            filter=[_rebind_analyzed(q, bind) for q in query.filter],
+            must_not=[_rebind_analyzed(q, bind) for q in query.must_not],
+            should=[
+                (_rebind_analyzed(q, bind), b) for q, b in query.should
+            ],
+        )
+    if isinstance(query, ConstantScore):
+        return _dc.replace(query, filter=_rebind_analyzed(query.filter, bind))
+    if isinstance(query, DisMax):
+        return _dc.replace(
+            query, queries=[_rebind_analyzed(q, bind) for q in query.queries]
+        )
+    if isinstance(query, Boosting):
+        return _dc.replace(
+            query,
+            positive=_rebind_analyzed(query.positive, bind),
+            negative=_rebind_analyzed(query.negative, bind),
+        )
+    if isinstance(query, FunctionScore):
+        functions = [
+            _dc.replace(fn, filter=_rebind_analyzed(fn.filter, bind))
+            if isinstance(fn, WeightFunction) and fn.filter is not None
+            else fn
+            for fn in query.functions
+        ]
+        return _dc.replace(
+            query,
+            query=_rebind_analyzed(query.query, bind),
+            functions=functions,
+        )
+    if isinstance(query, Pinned):
+        return _dc.replace(query, organic=_rebind_analyzed(query.organic, bind))
+    if isinstance(query, ScriptScore):
+        return _dc.replace(query, query=_rebind_analyzed(query.query, bind))
+    return query
+
+
+def bind_analyzed_tokens(
+    df: DataFrame, query: Query
+) -> tuple[DataFrame, Query, list[str]]:
+    """Materialize every (field, analyzer) pair the tree analyzes INLINE
+    as one pinned token column and rebind the tree to read it.
+
+    Without this, ``search()`` evaluates the Arrow-UDF analyzer chain at
+    least twice per document — once inside the compiled filter predicate
+    and once inside the score expression — and the optimizer's filter
+    pushdown can duplicate it again below the scan projection (two
+    ArrowEvalPython nodes, guide §4.4). Bound + pinned
+    (``pin_computed``), the chain is ONE ArrowEvalPython node whose
+    output both the filter and the score read as an attribute. Queries
+    that already pass ``tokens_col`` (index-backed token columns) are
+    untouched."""
+    from tweets_elastic_spark.functions.analyzers import pin_computed
+
+    bound: dict[tuple[str, str], str] = {}
+
+    def bind(field: str, analyzer: str) -> str:
+        key = (field, analyzer)
+        if key not in bound:
+            bound[key] = f"__toks_{field.replace('.', '_')}__{analyzer}"
+        return bound[key]
+
+    rebound = _rebind_analyzed(query, bind)
+    out = df
+    for (field, analyzer), name in bound.items():
+        out = out.withColumn(
+            name, pin_computed(analyze(_col_resolver(field), analyzer))
+        )
+    return out, rebound, list(bound.values())
+
+
 def search(
     df: DataFrame,
     query: Query,
@@ -2355,8 +2464,11 @@ def search(
     ES breaks score ties by internal doc id, which isn't reproducible; an
     explicit key is. ``k=None`` returns all hits scored, unsorted."""
     spark = df.sparkSession
+    df, query, helpers = bind_analyzed_tokens(df, query)
     out = df.filter(query.predicate(spark, _col_resolver))
     out = out.withColumn(score_col, query.score(spark, _col_resolver))
+    if helpers:
+        out = out.drop(*helpers)
     if k is None:
         return out
     order = [F.col(score_col).desc()]

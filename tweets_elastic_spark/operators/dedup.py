@@ -33,7 +33,6 @@ from pyspark.sql.types import ArrayType, LongType
 
 from tweets_elastic_spark.functions.textstats import normalized_text, simple_tokens
 from tweets_elastic_spark.sources.catalog import fan_out
-from tweets_elastic_spark.functions.vectors import cosine
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -84,15 +83,28 @@ def connected_components(
     small and the driver-side loop runs a handful of rounds; every round
     ``localCheckpoint``s to truncate the growing lineage (the classic
     iterative-algorithm failure mode on Spark). The fixpoint check rides
-    the propagation join — no extra pass."""
+    the propagation join — no extra pass.
+
+    Two round-cost controls (guide §2.4/§5, r16):
+
+    * ``edges`` is ``localCheckpoint``ed, not persisted: the pair
+      generator's lineage (tokenize → shingle → posting join) would
+      otherwise be re-ANALYZED by Catalyst inside every round's plan —
+      measured as driver-side construction time that dominated the
+      dedup_near_* queries.
+    * The identity labelling + first propagation round fuse into ONE
+      aggregation (label₀ = min(id, min neighbor id)): the old
+      ``distinct()`` init paid the same shuffle to produce labels the
+      first round immediately rewrote. Saves a full round (3 shuffles +
+      2 driver actions) on every component of diameter d ≥ 1."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("_nbr"))
+        .select("id", F.least(F.col("id"), F.col("_nbr")).alias("label"))
         .localCheckpoint()
     )
     converged = False
@@ -113,7 +125,6 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         # silently returning intermediate labels would mislabel components
         # (and fail the recursive-CTE oracle with no hint why)
@@ -237,13 +248,16 @@ def _tokens_projection(
     Downstream shingle/signature expressions reference the token array many
     times; keeping tokenization in a separate Project node means Catalyst's
     CollapseProject refuses to inline it (expensive expression, multiple
-    references) and it executes once per row. ``fan_out`` additionally
-    spreads the CPU-heavy downstream stages across all cores."""
+    references) and it executes once per row. ``fan_out`` spreads the
+    CPU-heavy stages across all cores — the tokenize projection sits
+    ABOVE the exchange (r16): below it, the regex tokenization ran at the
+    raw scan's parallelism (one task on a one-row-group fixture file),
+    and the exchange carried token arrays where raw text is smaller."""
     return fan_out(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.transform(simple_tokens(F.col(text_col)), F.lower).alias("_toks"),
-        )
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select(
+        "_id",
+        F.transform(simple_tokens(F.col("_text")), F.lower).alias("_toks"),
     )
 
 
@@ -625,19 +639,19 @@ def embedding_near_pairs(
     work exactly where the cost is quadratic."""
     from tweets_elastic_spark.functions.vectors import dot, norm
 
-    # The norm must be its OWN column computed before the fan_out shuffle:
-    # placing norm(vec) inside the transform lambda would inline the O(d)
-    # fold per ELEMENT (the no-CSE HOF trap, see word_shingles_from_tokens),
-    # making normalization O(d²) per row. After the shuffle barrier `_norm`
-    # is a materialized attribute, so the lambda reads it for free.
-    pre_cols = [
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_norm"),
-    ]
+    # The norm must be its OWN column in its OWN projection: placing
+    # norm(vec) inside the transform lambda would inline the O(d) fold per
+    # ELEMENT (the no-CSE HOF trap, see word_shingles_from_tokens), making
+    # normalization O(d²) per row. As a separate Project node `_norm` is an
+    # attribute the lambda reads for free. Computed ABOVE the fan_out
+    # exchange (r16) so the O(n·d) norm pass runs at full parallelism, not
+    # at the single-split scan's.
+    pre_cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if bucket_by is not None:
         pre_cols.append(bucket_by.alias("_bk"))
-    pre = fan_out(df.select(*pre_cols))
+    pre = fan_out(df.select(*pre_cols)).select(
+        "*", norm(F.col("_v")).alias("_norm")
+    )
     cols = [
         "_id",
         F.transform(
@@ -731,6 +745,8 @@ def embedding_near_pairs_lsh(
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     # AQE would coalesce the small candidate shuffle to one partition and
     # serialize the (CPU-heavy) cosine verification — keep it fanned out.
+    from tweets_elastic_spark.functions.vectors import cosine
+
     return (
         fan_out(cand).join(va, "id_a")
         .join(vb, "id_b")

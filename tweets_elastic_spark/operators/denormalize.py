@@ -62,24 +62,33 @@ def group_children(
 def attach_children(
     parent: DataFrame,
     parent_key: str,
-    grouped: list[tuple[DataFrame, str, str]],
+    grouped: list[tuple[DataFrame, str, str | list[str]]],
     empty_as_array: bool = True,
 ) -> DataFrame:
     """Left-join pre-grouped children onto the parent (J2/J4/J5/J9 + P4).
 
-    ``grouped`` is a list of ``(grouped_df, child_key, array_col)``. With
-    ``empty_as_array`` the array column is coalesced to ``[]`` for parents
-    with no children (COALESCE semantics, queries.sql:21-25).
+    ``grouped`` is a list of ``(grouped_df, child_key, array_col)`` where
+    ``array_col`` may be one column name or a list of them (a grouped
+    relation carrying several child arrays joins ONCE — the shared-key
+    single-exchange shape, guide §2.4). With ``empty_as_array`` each array
+    column is coalesced to ``[]`` for parents with no children (COALESCE
+    semantics, queries.sql:21-25).
     """
     out = parent
-    for gdf, child_key, array_col in grouped:
+    for gdf, child_key, array_cols in grouped:
+        if isinstance(array_cols, str):
+            array_cols = [array_cols]
         out = out.join(gdf, out[parent_key] == gdf[child_key], "left").drop(child_key)
         if empty_as_array:
-            dtype = dict(gdf.dtypes)[array_col]
-            out = out.withColumn(
-                array_col,
-                F.coalesce(F.col(array_col), F.expr(f"CAST(array() AS {dtype})")),
-            )
+            dtypes = dict(gdf.dtypes)
+            for array_col in array_cols:
+                out = out.withColumn(
+                    array_col,
+                    F.coalesce(
+                        F.col(array_col),
+                        F.expr(f"CAST(array() AS {dtypes[array_col]})"),
+                    ),
+                )
     return out
 
 
@@ -87,8 +96,20 @@ def attach_children(
 # Flagship #1 — the reference's own document: tweets star → nested documents
 # ---------------------------------------------------------------------------
 
+#: the five child arrays of the tweet document, in output order
+CHILD_ARRAYS = (
+    "context_annotations",
+    "conversation_hashtags",
+    "annotations",
+    "links",
+    "conversation_references",
+)
+
+
 def build_tweet_documents(
-    t: dict[str, DataFrame], spine: DataFrame | None = None
+    t: dict[str, DataFrame],
+    spine: DataFrame | None = None,
+    children: list[str] | None = None,
 ) -> DataFrame:
     """Assemble the full denormalized tweet document (queries.sql:18-71).
 
@@ -100,118 +121,156 @@ def build_tweet_documents(
     tweets (J6), parent authors (J7), parent hashtags (J8) — still
     resolves against the FULL ``t["conversations"]``/``t["authors"]``,
     exactly like the reference's page query whose subqueries run over the
-    whole database. Defaults to all conversations."""
+    whole database. Defaults to all conversations.
+
+    ``children`` optionally names the subset of CHILD_ARRAYS to build —
+    consumers that touch one array (the nested-agg queries) skip the
+    other four child streams entirely (their joins cannot be pruned by
+    Catalyst: a left join against a grouped relation is only removable
+    if the optimizer could prove key uniqueness, which it does not).
+
+    Shuffle shape: each requested child stream is grouped on its own and
+    left-joined onto the spine (five small exchanges + five joins that
+    AQE co-partitions on conversation_id). An r16 experiment fused the
+    five groupings into ONE aggregation over a tagged union — fewer
+    exchanges on paper, but measured 5× SLOWER end-to-end at sf0.1
+    (4.6 s → 24.6 s): the union row carries every branch's struct slot,
+    and the single ObjectHashAggregate holds all five collect_list
+    buffers per key, spilling where the per-child aggregations ran in
+    memory. Kept the per-child shape deliberately (guide §1.1 — the
+    empirical loop overrides the first-principles shuffle count)."""
     conv = t["conversations"]
     authors = t["authors"]
     if spine is None:
         spine = conv
+    want = CHILD_ARRAYS if children is None else tuple(children)
+    unknown = set(want) - set(CHILD_ARRAYS)
+    if unknown:
+        raise ValueError(f"unknown child arrays: {sorted(unknown)}")
 
-    # J3 + A1: context_annotations ⋈ entities ⋈ domains, grouped.
-    # Both dims are small → broadcast (index-nested-loop analogue, SURVEY §4).
-    entity = F.broadcast(t["context_entities"]).alias("ce")
-    domain = F.broadcast(t["context_domains"]).alias("cd")
-    ca = (
-        t["context_annotations"].alias("ca")
-        .join(entity, F.col("ca.context_entity_id") == F.col("ce.id"), "inner")
-        .join(domain, F.col("ca.context_domain_id") == F.col("cd.id"), "inner")
-        .select(
-            F.col("ca.conversation_id").alias("conversation_id"),
-            F.col("ca.id").alias("_ca_id"),
-            F.struct(
+    grouped: list[tuple[DataFrame, str, str]] = []
+
+    if "context_annotations" in want:
+        # J3 + A1: context_annotations ⋈ entities ⋈ domains, grouped.
+        # Both dims are small → broadcast (index-nested-loop analogue,
+        # SURVEY §4). Sort key first, payload second; key stripped after
+        # the grouped array_sort.
+        entity = F.broadcast(t["context_entities"]).alias("ce")
+        domain = F.broadcast(t["context_domains"]).alias("cd")
+        ca = (
+            t["context_annotations"].alias("ca")
+            .join(entity, F.col("ca.context_entity_id") == F.col("ce.id"), "inner")
+            .join(domain, F.col("ca.context_domain_id") == F.col("cd.id"), "inner")
+            .select(
+                F.col("ca.conversation_id").alias("conversation_id"),
+                F.col("ca.id").alias("_ca_id"),
                 F.struct(
-                    F.col("ce.id").alias("id"),
-                    F.col("ce.name").alias("name"),
-                    F.col("ce.description").alias("description"),
-                ).alias("entity"),
-                F.struct(
-                    F.col("cd.id").alias("id"),
-                    F.col("cd.name").alias("name"),
-                    F.col("cd.description").alias("description"),
-                ).alias("domain"),
-            ).alias("value"),
+                    F.struct(
+                        F.col("ce.id").alias("id"),
+                        F.col("ce.name").alias("name"),
+                        F.col("ce.description").alias("description"),
+                    ).alias("entity"),
+                    F.struct(
+                        F.col("cd.id").alias("id"),
+                        F.col("cd.name").alias("name"),
+                        F.col("cd.description").alias("description"),
+                    ).alias("domain"),
+                ).alias("value"),
+            )
         )
-    )
-    # sort key first, payload second; strip the key after sorting
-    ca_g = (
-        ca.groupBy("conversation_id")
-        .agg(F.array_sort(F.collect_list(F.struct("_ca_id", "value"))).alias("_arr"))
-        .select(
+        ca_g = (
+            ca.groupBy("conversation_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_ca_id", "value"))).alias("_arr"))
+            .select(
+                "conversation_id",
+                F.transform("_arr", lambda x: x["value"]).alias("context_annotations"),
+            )
+        )
+        grouped.append((ca_g, "conversation_id", "context_annotations"))
+
+    # J4 + A1: hashtags of the conversation (queries.sql:35-40) — also
+    # the parent-hashtags lookup relation when references are built.
+    ch_g = None
+    if "conversation_hashtags" in want or "conversation_references" in want:
+        h = F.broadcast(t["hashtags"]).alias("h")
+        ch_g = (
+            t["conversation_hashtags"].alias("ch")
+            .join(h, F.col("ch.hashtag_id") == F.col("h.id"), "inner")
+            .groupBy(F.col("ch.conversation_id").alias("conversation_id"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("h.tag").alias("tag")))
+                ).alias("conversation_hashtags")
+            )
+        )
+    if "conversation_hashtags" in want:
+        grouped.append((ch_g, "conversation_id", "conversation_hashtags"))
+
+    if "annotations" in want:
+        # J5 + A1: annotations (queries.sql:41-45).
+        an_g = group_children(
+            t["annotations"],
             "conversation_id",
-            F.transform("_arr", lambda x: x["value"]).alias("context_annotations"),
-        )
-    )
-
-    # J4 + A1: hashtags of the conversation (queries.sql:35-40).
-    h = F.broadcast(t["hashtags"]).alias("h")
-    ch_g = (
-        t["conversation_hashtags"].alias("ch")
-        .join(h, F.col("ch.hashtag_id") == F.col("h.id"), "inner")
-        .groupBy(F.col("ch.conversation_id").alias("conversation_id"))
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("h.tag").alias("tag")))
-            ).alias("conversation_hashtags")
-        )
-    )
-
-    # J5 + A1: annotations (queries.sql:41-45).
-    an_g = group_children(
-        t["annotations"],
-        "conversation_id",
-        F.struct(
-            F.col("value"), F.col("probability"), F.col("type")
-        ),
-        "annotations",
-    )
-
-    # J5 + A1: links (queries.sql:46-50).
-    li_g = group_children(
-        t["links"],
-        "conversation_id",
-        F.struct(F.col("url"), F.col("title"), F.col("description")),
-        "links",
-    )
-
-    # J6-J9: conversation_references — self-join to the parent tweet,
-    # decorrelated parent-author (J7) and parent-hashtags (J8) subqueries.
-    parent = conv.select(
-        F.col("id").alias("p_id"),
-        F.col("content").alias("p_content"),
-        F.col("author_id").alias("p_author_id"),
-    )
-    pa = authors.select(
-        F.col("id").alias("pa_id"),
-        F.col("name").alias("pa_name"),
-        F.col("username").alias("pa_username"),
-    )
-    # Parent hashtags: NULL (not []) when the parent has none — the
-    # correlated subquery at queries.sql:61-66 has no COALESCE.
-    ph_g = ch_g.select(
-        F.col("conversation_id").alias("ph_conversation_id"),
-        F.col("conversation_hashtags").alias("p_hashtags"),
-    )
-    cr_g = (
-        t["conversation_references"].alias("cr")
-        .join(parent, F.col("cr.parent_id") == parent["p_id"], "inner")
-        .join(pa, F.col("p_author_id") == pa["pa_id"], "left")
-        .join(ph_g, F.col("p_id") == ph_g["ph_conversation_id"], "left")
-        .select(
-            F.col("cr.conversation_id").alias("conversation_id"),
             F.struct(
-                F.col("p_id").alias("id"),
-                F.col("cr.type").alias("type"),
-                F.col("p_content").alias("content"),
-                F.struct(
-                    F.col("pa_id").alias("id"),
-                    F.col("pa_name").alias("name"),
-                    F.col("pa_username").alias("username"),
-                ).alias("author"),
-                F.col("p_hashtags").alias("hashtags"),
-            ).alias("value"),
+                F.col("value"), F.col("probability"), F.col("type")
+            ),
+            "annotations",
         )
-        .groupBy("conversation_id")
-        .agg(F.array_sort(F.collect_list("value")).alias("conversation_references"))
-    )
+        grouped.append((an_g, "conversation_id", "annotations"))
+
+    if "links" in want:
+        # J5 + A1: links (queries.sql:46-50).
+        li_g = group_children(
+            t["links"],
+            "conversation_id",
+            F.struct(F.col("url"), F.col("title"), F.col("description")),
+            "links",
+        )
+        grouped.append((li_g, "conversation_id", "links"))
+
+    if "conversation_references" in want:
+        # J6-J9: conversation_references — self-join to the parent tweet,
+        # decorrelated parent-author (J7) and parent-hashtags (J8)
+        # subqueries.
+        parent = conv.select(
+            F.col("id").alias("p_id"),
+            F.col("content").alias("p_content"),
+            F.col("author_id").alias("p_author_id"),
+        )
+        pa = authors.select(
+            F.col("id").alias("pa_id"),
+            F.col("name").alias("pa_name"),
+            F.col("username").alias("pa_username"),
+        )
+        # Parent hashtags: NULL (not []) when the parent has none — the
+        # correlated subquery at queries.sql:61-66 has no COALESCE.
+        ph_g = ch_g.select(
+            F.col("conversation_id").alias("ph_conversation_id"),
+            F.col("conversation_hashtags").alias("p_hashtags"),
+        )
+        cr_g = (
+            t["conversation_references"].alias("cr")
+            .join(parent, F.col("cr.parent_id") == parent["p_id"], "inner")
+            .join(pa, F.col("p_author_id") == pa["pa_id"], "left")
+            .join(ph_g, F.col("p_id") == ph_g["ph_conversation_id"], "left")
+            .select(
+                F.col("cr.conversation_id").alias("conversation_id"),
+                F.struct(
+                    F.col("p_id").alias("id"),
+                    F.col("cr.type").alias("type"),
+                    F.col("p_content").alias("content"),
+                    F.struct(
+                        F.col("pa_id").alias("id"),
+                        F.col("pa_name").alias("name"),
+                        F.col("pa_username").alias("username"),
+                    ).alias("author"),
+                    F.col("p_hashtags").alias("hashtags"),
+                ).alias("value"),
+            )
+            .groupBy("conversation_id")
+            .agg(F.array_sort(F.collect_list("value")).alias("conversation_references"))
+        )
+        grouped.append((cr_g, "conversation_id", "conversation_references"))
 
     # J1: conversations ⋈ authors (inner), author packed as a struct (P2).
     a = authors.alias("a")
@@ -242,18 +301,11 @@ def build_tweet_documents(
         )
     )
 
-    # J2/J4/J5/J9 + P4: left-join the grouped children, [] for absent.
-    doc = attach_children(
-        doc,
-        "id",
-        [
-            (ca_g, "conversation_id", "context_annotations"),
-            (ch_g, "conversation_id", "conversation_hashtags"),
-            (an_g, "conversation_id", "annotations"),
-            (li_g, "conversation_id", "links"),
-            (cr_g, "conversation_id", "conversation_references"),
-        ],
-    )
+    # J2/J4/J5/J9 + P4: left-join the grouped children, [] for absent
+    # (except the nested parent-hashtags NULL, preserved inside the
+    # reference structs above).
+    if grouped:
+        doc = attach_children(doc, "id", grouped)
     return doc
 
 

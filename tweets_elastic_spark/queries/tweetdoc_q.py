@@ -361,7 +361,9 @@ def q_es_aggs_nested_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_request
 
     tables = tweet_star_from_tpch(spark, sf_dir)
-    doc = build_tweet_documents(tables)
+    # the request touches only context_annotations — skip the other four
+    # child streams (their grouped left joins are not Catalyst-prunable)
+    doc = build_tweet_documents(tables, children=["context_annotations"])
     request = {
         "aggs": {
             "ca": {
@@ -408,7 +410,9 @@ def q_es_aggs_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_elastic_spark.plans.aggs import es_request
 
     tables = tweet_star_from_tpch(spark, sf_dir)
-    doc = build_tweet_documents(tables)
+    # only context_annotations is aggregated (reverse_nested needs just
+    # the parent id, which the spine carries) — skip the other children
+    doc = build_tweet_documents(tables, children=["context_annotations"])
     request = {
         "aggs": {
             "ca": {

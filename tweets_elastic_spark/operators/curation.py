@@ -285,7 +285,14 @@ def line_dedup(
         ).alias("text_kept"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    # per-doc line totals are array-local: size(split(text)) equals the
+    # exploded count(*) row-for-row (posexplode emits no rows for a NULL
+    # text, hence the matching isNotNull gate) — this spares the third
+    # explode + groupBy pass over the corpus (r16, guide §2.4)
+    totals = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("_n_total"),
+    )
     return (
         totals.join(rebuilt, id_col, "left")
         .select(

@@ -34,14 +34,11 @@ from pyspark.sql import functions as F
 from tweets_elastic_spark.functions.analyzers import analyze
 
 
-def doc_bigrams(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, w1, w2) — one row per adjacent token pair under the standard
-    analyzer. zip_with pads the shorter slice with null → null bigrams are
-    the array tails, filtered before the explode."""
-    toks = analyze(F.col(text_col), "standard")
-    pairs = F.filter(
+def _bigram_pairs(toks: Column) -> Column:
+    """Adjacent-token struct pairs from a token-array column. zip_with pads
+    the shorter slice with null → null bigrams are the array tails,
+    filtered before the explode."""
+    return F.filter(
         F.zip_with(
             toks,
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -49,6 +46,14 @@ def doc_bigrams(
         ),
         lambda p: p["w2"].isNotNull(),
     )
+
+
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair under the standard
+    analyzer."""
+    pairs = _bigram_pairs(analyze(F.col(text_col), "standard"))
     return (
         docs.select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
@@ -121,9 +126,50 @@ def bigram_ce_filter(
     """Self-scored LM gate: train on ``docs``, score ``docs``, keep =
     cross-entropy below ``threshold`` (the out-of-distribution tail —
     gibberish, boilerplate-free repetition, wrong-language residue — sits
-    high). Returns (id, bigram_ce, keep)."""
-    c12, c1, vocab = fit_bigram_lm(docs, text_col, id_col)
-    scored = score_bigram_ce(docs, c12, c1, vocab, text_col, id_col, alpha)
+    high). Returns (id, bigram_ce, keep).
+
+    Tokenize-once (r16, guide §2.3/§5): self-scoring reads the corpus for
+    the bigram counts, the history counts, the vocabulary AND the scoring
+    stream — four executions of scan + analyzer chain through the generic
+    fit/score path. Here the token arrays are materialized once
+    (``localCheckpoint`` — the analyze-once move corpus_clean already
+    makes for its cleaned set) and all four consumers derive from the
+    checkpointed tokens; only the cheap zip_with/explode re-runs per
+    consumer. Counts, smoothing and the per-doc mean are unchanged
+    expression-for-expression, so scores are identical to the fit/score
+    path (oracle-parity-gated; the trained-once deployment keeps using
+    ``fit_bigram_lm`` + ``score_bigram_ce``)."""
+    toks = docs.select(
+        F.col(id_col), analyze(F.col(text_col), "standard").alias("_toks")
+    ).localCheckpoint()
+    big = (
+        toks.select(F.col(id_col), F.explode(_bigram_pairs(F.col("_toks"))).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks.select(F.explode("_toks").alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    scored = (
+        big.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                        + F.lit(alpha) * F.col("v")
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    scored = scored.groupBy(id_col).agg(F.avg("nll").alias("bigram_ce"))
     return scored.select(
         id_col,
         F.round("bigram_ce", 6).alias("bigram_ce"),

@@ -105,6 +105,13 @@ def decontaminate_fuzzy(
     only where a shingle is shared, and only (corpus × benchmark) pairs
     are scored — the corpus never self-joins, so cost is bounded by
     benchmark size × shared-shingle fan-out, not corpus²."""
+    # NOT checkpointed (r16 measurement): the corpus postings are consumed
+    # twice (size agg + intersection join), but materializing the fat
+    # (id, shingle-string) rows costs MORE than replaying the cheap
+    # tokenize→shingle lineage — measured 1.30 s → 2.12 s with a
+    # localCheckpoint here. jaccard_pairs checkpoints because its three
+    # consumers read 8-byte hashed keys; these postings stay strings
+    # (the oracle joins on strings).
     c_posts = _shingle_posting_list(corpus, text_col, id_col, k, None)
     b_posts = _shingle_posting_list(benchmark, text_col, id_col, k, None)
     c_sz = c_posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_csz"))

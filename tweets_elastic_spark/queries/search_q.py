@@ -4636,12 +4636,17 @@ def q_es_aggs_ip_prefix_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bound, codegen'd arithmetic riding the scan.",
 )
 def q_search_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tweets_elastic_spark.functions.analyzers import analyze
+    from tweets_elastic_spark.functions.analyzers import analyze, pin_computed
     from tweets_elastic_spark.plans.search import TermsSet
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     terms = ["spark", "merge", "stream", "data"]
-    toked = docs.withColumn("toks", analyze(F.col("text"), "custom_shingles"))
+    # pinned: the filter predicate and the n_matched projection both read
+    # toks — unpinned, the pushed filter re-evaluates the analyzer chain
+    # below the scan projection (two ArrowEvalPython nodes, guide §4.4)
+    toked = docs.withColumn(
+        "toks", pin_computed(analyze(F.col("text"), "custom_shingles"))
+    )
     q = TermsSet("toks", terms, minimum_should_match=2)
     matched = sum(
         (F.array_contains("toks", t).cast("int") for t in terms),

@@ -68,11 +68,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs below 0.5 are dropped.",
 )
 def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tweets_elastic_spark.functions.analyzers import pin_computed
+
     docs = load_table(spark, sf_dir, "documents")
-    score = T.classifier_quality_score(F.col("text"))
+    # pinned: the gate and the output column both read the classifier
+    # score — unpinned, Catalyst evaluates the whole feature expression
+    # twice per surviving row (once in the pushed filter, once in the
+    # projection; it does not CSE across operators — guide §4.4 applied
+    # to a pure-JVM expression)
+    score = pin_computed(T.classifier_quality_score(F.col("text")))
     return (
-        docs.filter(score >= 0.5)
-        .select("doc_id", F.round(score, 6).alias("model_quality"))
+        docs.withColumn("_mq", score)
+        .filter(F.col("_mq") >= 0.5)
+        .select("doc_id", F.round("_mq", 6).alias("model_quality"))
     )
 
 

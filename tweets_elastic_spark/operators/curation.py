@@ -501,16 +501,26 @@ def span_dedup(
     windows = toks.select(
         "_id", F.explode(win_structs).alias("w")
     ).select("_id", F.col("w.s").alias("_s"), F.col("w.h").alias("_h"))
-    agg = windows.groupBy("_h").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.min(F.struct(F.col("_id").alias("d"), F.col("_s").alias("s")))
-        .alias("_keep"),
-    ).filter(F.col("_cnt") >= 2)
+    # occurrence count + keeper as WINDOW functions riding one hash
+    # exchange (r16): the groupBy+join shape evaluated the `windows`
+    # projection TWICE (aggregation build + join probe side), and that
+    # projection is the operator's CPU core (an md5 per token position);
+    # the window form evaluates it once and drops the join outright
+    from pyspark.sql.window import Window
+
+    w_h = Window.partitionBy("_h")
     dup_starts = (
-        windows.join(agg, "_h")
+        windows
+        .select(
+            "*",
+            F.count(F.lit(1)).over(w_h).alias("_cnt"),
+            F.min(F.struct(F.col("_id").alias("d"), F.col("_s").alias("s")))
+            .over(w_h).alias("_keep"),
+        )
         .filter(
-            ~((F.col("_id") == F.col("_keep.d"))
-              & (F.col("_s") == F.col("_keep.s")))
+            (F.col("_cnt") >= 2)
+            & ~((F.col("_id") == F.col("_keep.d"))
+                & (F.col("_s") == F.col("_keep.s")))
         )
         .groupBy("_id")
         .agg(F.sort_array(F.collect_set("_s")).alias("_dup"))

@@ -1666,10 +1666,15 @@ def _frequent_item_sets(df: DataFrame, name: str, body: dict) -> DataFrame:
     One field of array type (multi-field item tuples unsupported,
     documented).
 
-    Shape: singles are one explode + groupBy; pairs are generated
-    per-document from the sorted distinct item array with a HOF
-    (C(d,2) per doc, no join, no driver state) and counted in a second
-    groupBy. Documents with more than ``max_items_per_doc`` (default 64,
+    Shape (r16): the per-document sorted distinct item array
+    materializes ONCE (eager ``localCheckpoint`` — the upstream may be
+    an expensive aggregation, and singles, pairs AND the document count
+    all consume it; without the checkpoint Catalyst replays the whole
+    upstream once per consumer, measured as 3 full input scans at
+    sf0.1). Singles and pairs are then generated per document with one
+    HOF (size-1 sets as ``array(x)``, size-2 sets as C(d,2) slices —
+    no join, no driver state) and counted in ONE explode + groupBy.
+    Documents with more than ``max_items_per_doc`` (default 64,
     ≤ 2016 pairs) raise rather than silently exploding the pair space —
     at that point Apriori pruning (semi join against frequent singles
     before pair generation) is the scale path, not brute force.
@@ -1714,35 +1719,30 @@ def _frequent_item_sets(df: DataFrame, name: str, body: dict) -> DataFrame:
             "frequent_item_sets: document has more than %d distinct "
             "items; raise max_items_per_doc or pre-prune", F.lit(cap)))
     )
-    src = df.select(arr.alias("__items")).filter(F.size("__items") > 0)
-    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # One upstream evaluation for all three consumers (see docstring).
+    items = df.select(arr.alias("__items")).localCheckpoint()
+    n_docs = items.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    src = items.filter(F.size("__items") > 0)
 
     parts = []
     if min_size <= 1:
-        parts.append(
-            src.select(F.explode("__items").alias("__i"))
-            .groupBy("__i")
-            .agg(F.count(F.lit(1)).alias("doc_count"))
-            .select(F.array("__i").alias(name), "doc_count")
-        )
+        parts.append(F.transform(F.col("__items"), lambda x: F.array(x)))
     if max_size >= 2:
-        pair_arr = F.flatten(F.transform(
+        parts.append(F.flatten(F.transform(
             F.col("__items"),
             lambda x, i: F.transform(
                 F.slice(F.col("__items"), i + 2,
                         F.size(F.col("__items")) - i - 1),
                 lambda y: F.array(x, y),
             ),
-        ))
-        parts.append(
-            src.select(F.explode(pair_arr).alias("__p"))
-            .groupBy("__p")
-            .agg(F.count(F.lit(1)).alias("doc_count"))
-            .select(F.col("__p").alias(name), "doc_count")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        )))
+    sets = parts[0] if len(parts) == 1 else F.concat(*parts)
+    out = (
+        src.select(F.explode(sets).alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(F.col("__s").alias(name), "doc_count")
+    )
     return (
         out.crossJoin(F.broadcast(n_docs))
         .filter(F.col("doc_count") >= F.col("__n") * F.lit(min_sup))

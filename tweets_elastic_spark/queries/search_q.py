@@ -5825,10 +5825,12 @@ def q_es_aggs_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ES frequent_item_sets agg (r8 s4): market-basket mining over "
         "order baskets (items = part categories) — itemsets of size 1-2 "
         "with support >= 5%, mined EXACTLY (ES's miner is sampled ECLAT, "
-        "approximate by contract; sizes > 2 refuse loudly). Pairs come "
-        "from a per-document HOF over the sorted distinct item array "
-        "(C(d,2) per doc, no join, doc-size capped), one groupBy each "
-        "for singles and pairs, support denominator a 1-row broadcast. "
+        "approximate by contract; sizes > 2 refuse loudly). The basket "
+        "arrays materialize once (r16 localCheckpoint — previously the "
+        "collect_set upstream ran 3x: singles, pairs, denominator); "
+        "size-1 and size-2 itemsets come from ONE per-document HOF "
+        "(C(d,2) per doc, no join, doc-size capped) counted in one "
+        "explode+groupBy, support denominator a 1-row broadcast. "
         "The driver row projects the itemset to a pipe-joined string: "
         "the driver's canonicalizer sorts RAW pandas cells and cannot "
         "factorize list values (the r10 red row) — prefix rows must be "

@@ -344,10 +344,11 @@ def c4_line_filter(
     Scale shape: every rule is a scan-local JVM expression over the
     line array (split → filter HOF → array_join) — NO shuffle, the
     filter literally rides the scan; at 100 TB this is the cheapest
-    possible pass (one read, one write). The kept-lines expression is
-    referenced by both the gate and the projection; the optimizer may
-    evaluate it twice per row (no CSE) — both evaluations are linear
-    string work on the same scan, accepted and documented."""
+    possible pass (one read, one write). The kept-lines array is pinned
+    to ONE evaluation site (r16, pin_computed — Catalyst does not CSE,
+    so the unpinned form ran the split+line-gate HOF up to 3× per row:
+    rebuild projection, size projection, and the pushed min_lines
+    filter)."""
     line_ok = lambda l: (
         F.size(
             F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != F.lit(""))
@@ -366,12 +367,15 @@ def c4_line_filter(
             r"(?i)\b(" + "|".join(_re.escape(w) for w in bad_words) + r")\b"
         )
         page_ok = page_ok & ~F.col(text_col).rlike(pattern)
+    from tweets_elastic_spark.functions.analyzers import pin_computed
+
     return (
         docs.filter(page_ok)
+        .select(F.col(id_col), pin_computed(kept).alias("_kept"))
         .select(
             F.col(id_col),
-            F.array_join(kept, "\n").alias(text_col),
-            F.size(kept).alias("n_lines_kept"),
+            F.array_join("_kept", "\n").alias(text_col),
+            F.size("_kept").alias("n_lines_kept"),
         )
         .filter(F.col("n_lines_kept") >= min_lines)
     )

@@ -896,11 +896,23 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
+    from tweets_elastic_spark.functions.analyzers import pin_computed
+
+    # pin the tokenized projections to ONE evaluation site (guide §4.4):
+    # unpinned, every gate predicate referencing a derived feature is
+    # pushed below this projection AND below the fan_out exchange with
+    # its own inlined copy of the tokenize — the r16 plan audit counted
+    # 20 split(text) evaluations per row in a Filter running at the raw
+    # scan's parallelism
     staged = docs.select(
         "doc_id",
-        F.transform(T.whitespace_words(F.col("text")), F.lower).alias("_ws"),
-        F.filter(F.split(F.col("text"), "\n"),
-                 lambda l: l != F.lit("")).alias("_ln"),
+        pin_computed(
+            F.transform(T.whitespace_words(F.col("text")), F.lower)
+        ).alias("_ws"),
+        pin_computed(
+            F.filter(F.split(F.col("text"), "\n"),
+                     lambda l: l != F.lit(""))
+        ).alias("_ln"),
         "text",
     )
     f = T.gopher_quality_features(F.col("_ws"), F.col("text"), F.col("_ln"))

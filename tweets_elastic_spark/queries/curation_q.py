@@ -1293,12 +1293,17 @@ def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HTML_POST),
     )
     m = html_main_text(page, min_chars=25, max_link_density=0.33)
+    from tweets_elastic_spark.functions.analyzers import pin_computed
+
+    # pin the extraction struct so the projection computes the block-split
+    # chain once per row instead of once per extracted field (guide §4.4)
     return (
-        docs.select(
+        docs.select("doc_id", pin_computed(m).alias("_m"))
+        .select(
             "doc_id",
-            m["main_text"].alias("main_text"),
-            m["n_blocks"].alias("n_blocks"),
-            m["n_kept"].alias("n_kept"),
+            F.col("_m.main_text").alias("main_text"),
+            F.col("_m.n_blocks").alias("n_blocks"),
+            F.col("_m.n_kept").alias("n_kept"),
         )
         .orderBy("doc_id")
     )
@@ -1497,11 +1502,20 @@ def q_crawl_main_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklist = spark.createDataFrame([("spamhub.com",)], "domain string")
     clean = C.url_blocklist_filter(gated, blocklist)
     m = html_main_text(F.col("text"), min_chars=25, max_link_density=0.33)
+    from tweets_elastic_spark.functions.analyzers import pin_computed
+
+    # pin the jusText-lite extraction struct to ONE evaluation site
+    # (guide §4.4): unpinned, the min-main-chars gate is pushed below the
+    # projection with its own inlined copy of the whole block-split +
+    # entity-cleanup chain and the projection carries one more copy per
+    # extracted field — the r16 plan audit counted 4 copies per record
     ext = clean.select(
+        "doc_id", "host", pin_computed(m).alias("_m"),
+    ).select(
         "doc_id", "host",
-        m["main_text"].alias("main_text"),
-        m["n_blocks"].alias("n_blocks"),
-        m["n_kept"].alias("n_kept"),
+        F.col("_m.main_text").alias("main_text"),
+        F.col("_m.n_blocks").alias("n_blocks"),
+        F.col("_m.n_kept").alias("n_kept"),
     ).filter(F.length("main_text") >= 200)
     from pyspark.sql.window import Window
 

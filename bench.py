@@ -719,6 +719,22 @@ def main() -> None:
 
     calibration_sec = calibrate()
 
+    # r17 (r16 verdict task 1 — the stall-poisoned-artifact fix): ONE
+    # calibration probe at run start cannot see a stall that hits later
+    # (the r16 driver run recorded 126-144 s spreads mid-run against a
+    # clean 0.096 start probe, and PERF manufactured 38 phantom
+    # regressions from it). The same fixed probe now brackets EVERY
+    # timed pass — calibration_per_pass = [before pass 0, before pass 1,
+    # before pass 2, after pass 2] — and each query records which pass
+    # its best-of-3 min came from. A query is STALL-FLAGGED when its
+    # min's pass window (the max of the two bracketing probes,
+    # conservative) deviates >1.5x from the run-median window: its "best"
+    # number was taken while the box was measurably degraded and must
+    # not be read as a plan property. Additions only: "queries",
+    # "calibration_sec" and every pre-r17 field keep their exact
+    # meaning and methodology.
+    calibration_per_pass: list[float] = [calibration_sec]
+
     # r14 (r13 verdict task 6 — the migrating-stall chase): r13's spread
     # column proved a wandering ~30-40s stall event whose victims differ
     # per run on identical code. With the old 3-CONSECUTIVE-samples-per-
@@ -740,14 +756,29 @@ def main() -> None:
             rng.shuffle(order)
             spark.sparkContext._jvm.System.gc()
             time.sleep(2.0)
+            calibration_per_pass.append(calibrate())
         for name in order:
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+    calibration_per_pass.append(calibrate())
+
+    # Per-pass window calibration: the max of the two probes bracketing
+    # the pass (a stall inside the window elevates at least the closing
+    # probe). A pass is degraded when its window exceeds 1.5x the median
+    # window of the run.
+    pass_window = [
+        max(calibration_per_pass[p], calibration_per_pass[p + 1])
+        for p in range(3)
+    ]
+    window_median = sorted(pass_window)[1]
+    degraded_pass = [w > 1.5 * window_median for w in pass_window]
 
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
     spread: dict[str, float] = {}
+    min_pass: dict[str, int] = {}
+    stall_flagged: list[str] = []
     for name in headline:
         s = samples[name]
         first_run[name] = round(s[0], 3)
@@ -758,6 +789,9 @@ def main() -> None:
         # instead of surfacing as phantom regressions when two rounds'
         # minima land on different sides of the noise.
         spread[name] = round(max(s) - min(s), 3)
+        min_pass[name] = min(range(3), key=lambda p: s[p])
+        if degraded_pass[min_pass[name]]:
+            stall_flagged.append(name)
 
     total = round(sum(times.values()), 3)
     full = {
@@ -770,6 +804,9 @@ def main() -> None:
         "first_run_total_sec": round(sum(first_run.values()), 3),
         "index_build_sec": index_build_sec,
         "calibration_sec": calibration_sec,
+        "calibration_per_pass": calibration_per_pass,
+        "queries_min_pass": min_pass,
+        "queries_stall_flagged": stall_flagged,
         "warmup": "per-query sf0.001 pass, then best-of-3 timed sf0.1 runs "
                   "taken as THREE FULL PASSES (pass 0 canonical order, "
                   "passes 1-2 shuffled, GC+settle between — a time-local "
@@ -798,6 +835,11 @@ def main() -> None:
         "first_run_total_sec": full["first_run_total_sec"],
         "index_build_sec": index_build_sec,
         "calibration_sec": calibration_sec,
+        # r17: per-pass probe brackets + how many queries' minima landed
+        # in a degraded (>1.5x median window) pass — stall-vs-plan is
+        # now decidable from this line alone; names in bench_full.json
+        "calibration_per_pass": calibration_per_pass,
+        "n_stall_flagged": len(stall_flagged),
         "full": full_name,
         # r16 (r15 verdict task 6): the top-3 per-query spreads IN the
         # compact tail, so the driver artifact itself shows
@@ -813,6 +855,15 @@ def main() -> None:
         "queries": {n: times[n] for n in subset},
     }
     line = json.dumps(compact, separators=(",", ":"))
+    # r17 (r16 verdict task 6): shed the LOWEST-information field first.
+    # The r16-build addition of queries_spread_top3 silently pushed a
+    # compare-subset query off this line, which PERF then reported as
+    # "dropped from bench". Spread entries go before any subset query.
+    while len(line) > 1950 and compact["queries_spread_top3"]:
+        worst = min(compact["queries_spread_top3"],
+                    key=compact["queries_spread_top3"].get)
+        del compact["queries_spread_top3"][worst]
+        line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1950 and compact["queries"]:
         # defensive: never emit an unparseable (truncated) final line —
         # drop trailing subset entries into the "other" bucket instead

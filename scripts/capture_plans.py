@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for registry queries into plans/r16/.
+"""Capture .explain("formatted") for registry queries into plans/<round>/.
 
-Usage: python scripts/capture_plans.py --suffix before name [name ...]
-Writes plans/r16/<name>_<suffix>.txt. Query construction may run bounded
+Usage: python scripts/capture_plans.py --suffix before [--round r17] name [...]
+Writes plans/<round>/<name>_<suffix>.txt. Query construction may run bounded
 driver actions (counts/heads) — that's part of the query's real shape.
 """
 
@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--suffix", required=True)
     ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--round", default="r17")
     args = ap.parse_args()
 
     spark = get_spark(app_name="capture_plans")
@@ -31,7 +32,7 @@ def main() -> None:
     sf_dir = f"/root/testdata/sf{args.sf:g}"
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r16")
+        "plans", args.round)
     os.makedirs(outdir, exist_ok=True)
 
     for name in args.names:

@@ -28,6 +28,19 @@ def test_connected_components_merges_transitively(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_pointer_doubling_round_bound(spark):
+    # r17 pointer doubling: rounds are O(log d), not O(d). A 9-node path
+    # (diameter 8) must converge in <= 4 loop iterations INCLUDING the
+    # final no-change confirmation: labels go x-1 -> max(1, x-3) ->
+    # max(1, x-7) -> all-1 (changed) -> confirm. Plain one-hop
+    # propagation needs 5+ iterations on the same graph.
+    path9 = [(i, i + 1) for i in range(1, 9)]
+    comp = D.connected_components(_pairs(spark, path9))
+    got = {r["id"]: r["cluster_id"] for r in comp.collect()}
+    assert got == {i: 1 for i in range(1, 10)}
+    assert D.CC_LAST_ROUNDS <= 4, D.CC_LAST_ROUNDS
+
+
 def test_connected_components_min_label_any_orientation(spark):
     # min id sits in the middle; labels must flow both directions
     comp = D.connected_components(_pairs(spark, [(5, 2), (2, 9), (9, 7)]))

@@ -359,7 +359,13 @@ def pin_computed(c: Column) -> Column:
     exchange, and every consumer (filter and score alike) reads the
     attribute (guide §4.4 — the asNondeterministic idea applied to the
     column rather than the UDF, which keeps the UDF itself CSE-able).
-    Values are unchanged: the branch condition is always true."""
+    Values are unchanged: the branch condition is always true.
+
+    Schema note: CASE WHEN without an ELSE is nullable, so the pinned
+    column's schema reports nullable=true even when ``c`` never is.
+    Values are unaffected (the branch always fires); strict-schema
+    consumers that need the original nullability must re-assert it
+    downstream (no declared query or oracle does)."""
     return F.when(F.spark_partition_id() >= 0, c)
 
 

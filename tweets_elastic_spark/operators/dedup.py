@@ -67,6 +67,11 @@ def dedup_exact(
 # an intermediate; dedup drops all-but-one per transitive duplicate group)
 # ---------------------------------------------------------------------------
 
+# Iteration count of the most recent connected_components call (test hook
+# for the pointer-doubling O(log d) round bound; includes the final
+# no-change confirmation round).
+CC_LAST_ROUNDS: int = 0
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -85,7 +90,7 @@ def connected_components(
     iterative-algorithm failure mode on Spark). The fixpoint check rides
     the propagation join — no extra pass.
 
-    Two round-cost controls (guide §2.4/§5, r16):
+    Three round-cost controls (guide §2.4/§5, r16-r17):
 
     * ``edges`` is ``localCheckpoint``ed, not persisted: the pair
       generator's lineage (tokenize → shingle → posting join) would
@@ -96,7 +101,28 @@ def connected_components(
       aggregation (label₀ = min(id, min neighbor id)): the old
       ``distinct()`` init paid the same shuffle to produce labels the
       first round immediately rewrote. Saves a full round (3 shuffles +
-      2 driver actions) on every component of diameter d ≥ 1."""
+      2 driver actions) on every component of diameter d ≥ 1.
+    * **Pointer doubling (r17)**: after each hop, labels are rebound
+      through the round's INPUT label relation — l(x) ← min(l'(x),
+      l(l'(x))), one extra join of the hopped labels against the
+      already-checkpointed previous labels (chasing through the hopped
+      relation itself would compound slightly faster but computes the
+      whole hop subtree twice per round — join outputs are not Exchange
+      nodes, so ReuseExchange cannot dedupe them). Every label value is
+      itself a node id (labels are mins over node ids), so the lookup
+      always hits; labels only decrease, so least() keeps monotonicity.
+      The label's distance-to-component-min now roughly doubles per
+      round instead of shrinking by a constant: rounds drop from
+      O(component diameter) to O(log d) — at 100 TB a long-chain
+      component no longer costs one edge-relation shuffle per hop, and
+      each saved round also saves the per-round driver action (the
+      convergence count). Fixpoint unchanged: the component min m has
+      l(m) = m always, every other label descends to it.
+
+    ``CC_LAST_ROUNDS`` (module global) records the iteration count of the
+    most recent call — a test hook for the O(log d) round bound; it plays
+    no part in the result."""
+    global CC_LAST_ROUNDS
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -108,16 +134,31 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy(edges["a"].alias("id"))
             .agg(F.min("label").alias("_nbr"))
         )
-        joined = labels.join(nbr_min, "id", "left").select(
+        hopped = labels.join(nbr_min, "id", "left").select(
             "id",
             F.col("label").alias("_old"),
             F.least("label", F.coalesce("_nbr", "label")).alias("label"),
+        )
+        # pointer doubling: chase the hopped label one more step through
+        # the checkpointed PREVIOUS labels (l(l'(x))) — a slim two-long
+        # join per node against an already-materialized RDD, no replay of
+        # the hop subtree. l(y) ≤ y, so the chased label can only improve
+        # on the hopped one (least() is belt-and-braces).
+        lookup = labels.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        joined = hopped.join(
+            lookup, hopped["label"] == lookup["_pid"], "left"
+        ).select(
+            "id",
+            "_old",
+            F.least("label", F.coalesce("_plabel", "label")).alias("label"),
         )
         joined = joined.localCheckpoint()  # truncate lineage, one pass
         changed = joined.filter(F.col("label") < F.col("_old")).limit(1).count()
@@ -125,6 +166,7 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    CC_LAST_ROUNDS = rounds
     if not converged:
         # silently returning intermediate labels would mislabel components
         # (and fail the recursive-CTE oracle with no hint why)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tweets_elastic_spark.functions import pii as P
+from tweets_elastic_spark.functions.analyzers import pin_computed
 from tweets_elastic_spark.functions import textstats as T
 from tweets_elastic_spark.functions.hashing import hash60_sql
 from tweets_elastic_spark.operators import curation as C
@@ -896,8 +897,6 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    from tweets_elastic_spark.functions.analyzers import pin_computed
-
     # pin the tokenized projections to ONE evaluation site (guide §4.4):
     # unpinned, every gate predicate referencing a derived feature is
     # pushed below this projection AND below the fan_out exchange with
@@ -1293,8 +1292,6 @@ def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HTML_POST),
     )
     m = html_main_text(page, min_chars=25, max_link_density=0.33)
-    from tweets_elastic_spark.functions.analyzers import pin_computed
-
     # pin the extraction struct so the projection computes the block-split
     # chain once per row instead of once per extracted field (guide §4.4)
     return (
@@ -1502,8 +1499,6 @@ def q_crawl_main_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklist = spark.createDataFrame([("spamhub.com",)], "domain string")
     clean = C.url_blocklist_filter(gated, blocklist)
     m = html_main_text(F.col("text"), min_chars=25, max_link_density=0.33)
-    from tweets_elastic_spark.functions.analyzers import pin_computed
-
     # pin the jusText-lite extraction struct to ONE evaluation site
     # (guide §4.4): unpinned, the min-main-chars gate is pushed below the
     # projection with its own inlined copy of the whole block-split +

@@ -107,8 +107,17 @@ DRIVER_PRIORITY: list[str] = [
     # Prior waves' rationale: git history of this list + COVERAGE.md
     # rotation notes.
     #
+    # r17 ROTATION (optimization round — no new queries): seat
+    # essql_histogram, the single remaining never-driver-green entry
+    # (r16 verdict item 9; CORRECTNESS_r16 left the cumulative ledger at
+    # 267/268). ml_anomaly_score rotates out to keep the prefix at 50 —
+    # it went driver-green in r16 and stays hash-gated every run by
+    # tests/test_oracle_parity.py. Green r17 ⇒ cumulative 268/268.
+    #
     # flagship
     "tweet_documents_flat",
+    # r17: the last never-driver-verified entry (ES-SQL HISTOGRAM)
+    "essql_histogram",
     # r16-new code first: the ES|QL SAMPLE command (deterministic
     # portable-hash sampling; the verdict's task 3), QSTR full-text,
     # the exact-MAD + ROUND_TO STATS row, and temporal-span arithmetic
@@ -140,7 +149,6 @@ DRIVER_PRIORITY: list[str] = [
     # relational/window/ML remainder
     "pricing_rollup_cube", "vocab_top_tokens",
     "corpus_length_quantiles", "events_daily_unpivot",
-    "ml_anomaly_score",
 ]
 
 
